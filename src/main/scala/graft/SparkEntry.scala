@@ -1,13 +1,219 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{CollectionConfig, Metric}
+import graft.functions.VectorFunctions._
+import graft.search.Search
+
+/** Driver contract — one entry per implemented operator (SURVEY §2), with
+  * DuckDB oracle SQL mirroring the engine's arithmetic (f32 normalize,
+  * f64 accumulate) so scores agree to well past the 6-decimal rounding. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship: exact flat cosine top-10 over the embeddings collection. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("vec_flat_cosine_topk")(spark, "/root/testdata/sf0.001")
+
+  // ------------------------------------------------------------- helpers
+
+  private def roundCols(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), scale) + lit(0.0)))
+
+  /** Flat search with rounded score/distance for oracle comparison. */
+  private def flatTopK(spark: SparkSession, dir: String, metric: Metric,
+      k: Int): DataFrame = {
+    val d = Tables.dims(spark, dir)
+    val config = CollectionConfig("embeddings", d, metric)
+    val coll = Tables.embeddingsCollection(spark, dir, config)
+    val q = Tables.queryVector(spark, dir, 0L)
+    roundCols(Search.flatSearch(coll, config, q, k).drop("metadata"),
+      Seq("score", "distance"))
+  }
+
+  // --------------------------------------------------- oracle SQL helpers
+
+  /** f32 L2-normalize of a DuckDB FLOAT[] column (matches engine ingest:
+    * f64 norm, per-element f32 cast). */
+  private def sqlNorm(v: String): String =
+    s"list_transform($v, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform($v, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT))"
+
+  /** f64 dot product of two DuckDB FLOAT[] columns. */
+  private def sqlDot(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)))"
+
+  private def sqlL2sq(a: String, b: String): String =
+    s"list_sum(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+
+  /** Packed sign-bit word w (0-based) of a FLOAT[] as signed BIGINT. */
+  private def sqlSignWord(v: String, word: Int, dims: Int): String = {
+    val lo = word * 64
+    val hi = math.min(lo + 64, dims)
+    s"CAST(CASE WHEN _sw$word >= (1::HUGEINT << 63) THEN _sw$word - (1::HUGEINT << 64) ELSE _sw$word END AS BIGINT)"
+  }
+
+  private def sqlSignWordRaw(v: String, word: Int, dims: Int): String = {
+    val lo = word * 64
+    val hi = math.min(lo + 64, dims)
+    s"list_sum(list_transform(range($lo, $hi), b -> CASE WHEN $v[b+1] >= 0 THEN 1::HUGEINT << (b - $lo) ELSE 0::HUGEINT END))"
+  }
+
+  // ------------------------------------------------------------- queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "vec_flat_cosine_topk" -> ((s, dir) => flatTopK(s, dir, Metric.Cosine, 10)),
+    "vec_flat_l2_topk" -> ((s, dir) => flatTopK(s, dir, Metric.L2, 10)),
+    "vec_flat_ip_topk" -> ((s, dir) => flatTopK(s, dir, Metric.InnerProduct, 10)),
+
+    // every scalar kernel over raw vectors vs the vec_id=0 query
+    "vec_metrics_all" -> ((s, dir) => {
+      val q = Tables.queryVector(s, dir, 0L)
+      val qc = vecLit(q)
+      // hamming/jaccard run on positive-thresholded copies so the truthy
+      // pattern is the sign pattern (random floats are never exactly 0)
+      val thr: Column => Column = v => transform(v, x => when(x > 0, x).otherwise(lit(0.0f)))
+      val df = Tables.read(s, dir, "embeddings")
+        .filter(col("vec_id") < 32)
+        .select(col("vec_id").cast("string").as("id"), col("embedding").as("vector"))
+      roundCols(df.select(
+        col("id"),
+        vecDistance(Metric.L2, col("vector"), qc).as("m_l2"),
+        vecDistance(Metric.L2Squared, col("vector"), qc).as("m_l2sq"),
+        vecDistance(Metric.InnerProduct, col("vector"), qc).as("m_dot"),
+        vecDistance(Metric.NegativeInnerProduct, col("vector"), qc).as("m_negdot"),
+        vecDistance(Metric.Manhattan, col("vector"), qc).as("m_manhattan"),
+        vecDistance(Metric.Chebyshev, col("vector"), qc).as("m_chebyshev"),
+        vecDistance(Metric.Hamming, thr(col("vector")), thr(qc)).as("m_hamming"),
+        vecDistance(Metric.Jaccard, thr(col("vector")), thr(qc)).as("m_jaccard"),
+        trueCosine(col("vector"), qc).as("m_truecos")),
+        Seq("m_l2", "m_l2sq", "m_dot", "m_negdot", "m_manhattan", "m_chebyshev",
+          "m_hamming", "m_jaccard", "m_truecos"))
+    }),
+
+    // sign packing: the packed word(s) + popcount per row
+    "vec_sign_pack" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val words = (d + 63) / 64
+      val df = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 64)
+        .select(col("vec_id").cast("string").as("id"),
+          packSignBits(col("embedding")).as("bv"))
+      val wordCols = (0 until words).map(w => element_at(col("bv"), w + 1).as(s"word$w"))
+      val pop = (0 until words).map(w => bit_count(element_at(col("bv"), w + 1)))
+        .reduce(_ + _).as("popcount")
+      df.select(col("id") +: wordCols :+ pop: _*)
+    }),
+
+    // quantized candidate pass: packed hamming vs query bits, top-20
+    "vec_packed_hamming_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val q = Tables.queryVector(s, dir, 0L)
+      val qBits = graft.expr.VectorKernels.packSignBits(q)
+      Tables.read(s, dir, "embeddings")
+        .select(col("vec_id").cast("string").as("id"),
+          packedHamming(packSignBits(col("embedding")), typedlit(qBits), d)
+            .cast("long").as("ham"))
+        .orderBy(col("ham").asc, col("id").asc).limit(20)
+    }),
+
+    // normalization modes: scalar invariants of each normalized vector
+    "vec_normalize_check" -> ((s, dir) => {
+      val df = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 64)
+        .select(col("vec_id").cast("string").as("id"), col("embedding").as("v"))
+      val l2n = normalizeVector(graft.core.Normalize.L2, col("v"))
+      val zs = normalizeVector(graft.core.Normalize.ZScore, col("v"))
+      val mm = normalizeVector(graft.core.Normalize.MinMax, col("v"))
+      roundCols(df.select(
+        col("id"),
+        aggregate(l2n, lit(0.0), (acc, x) => acc + x * x).as("l2_sumsq"),
+        aggregate(zs, lit(0.0), (acc, x) => acc + x).as("zs_sum"),
+        aggregate(zs, lit(0.0), (acc, x) => acc + x * x).as("zs_sumsq"),
+        array_min(mm).cast("double").as("mm_min"),
+        array_max(mm).cast("double").as("mm_max"),
+        aggregate(mm, lit(0.0), (acc, x) => acc + x).as("mm_sum")),
+        Seq("l2_sumsq", "zs_sum", "zs_sumsq", "mm_min", "mm_max", "mm_sum"), 5)
+    })
+  )
+
+  // ---------------------------------------------------------- oracle SQL
+
+  def oracleSql: Map[String, String] = {
+    val qv = s"SELECT ${sqlNorm("embedding")} AS qv, embedding AS qraw FROM embeddings WHERE vec_id = 0"
+    Map(
+      "vec_flat_cosine_topk" ->
+        s"""WITH q AS ($qv),
+           n AS (SELECT CAST(vec_id AS VARCHAR) AS id, ${sqlNorm("embedding")} AS nv FROM embeddings),
+           sc AS (SELECT id, ${sqlDot("nv", "qv")} AS raw FROM n, q)
+           SELECT id, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance, 'cosine' AS metric, id AS value
+           FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10""",
+
+      "vec_flat_l2_topk" ->
+        s"""WITH q AS ($qv),
+           sc AS (SELECT CAST(vec_id AS VARCHAR) AS id, sqrt(${sqlL2sq("embedding", "qraw")}) AS raw FROM embeddings, q)
+           SELECT id, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric, id AS value
+           FROM sc ORDER BY raw ASC, id ASC LIMIT 10""",
+
+      "vec_flat_ip_topk" ->
+        s"""WITH q AS ($qv),
+           sc AS (SELECT CAST(vec_id AS VARCHAR) AS id, ${sqlDot("embedding", "qraw")} AS raw FROM embeddings, q)
+           SELECT id, (round(raw, 6) + 0) AS score, (round(-raw, 6) + 0) AS distance, 'inner_product' AS metric, id AS value
+           FROM sc ORDER BY -raw ASC, id ASC LIMIT 10""",
+
+      "vec_metrics_all" ->
+        s"""WITH q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+           b AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v, qraw FROM embeddings, q WHERE vec_id < 32),
+           m AS (SELECT id,
+             ${sqlL2sq("v", "qraw")} AS l2sq,
+             ${sqlDot("v", "qraw")} AS dotp,
+             list_sum(list_transform(range(1, len(v)+1), i -> abs(CAST(v[i] AS DOUBLE) - CAST(qraw[i] AS DOUBLE)))) AS manh,
+             list_max(list_transform(range(1, len(v)+1), i -> abs(CAST(v[i] AS DOUBLE) - CAST(qraw[i] AS DOUBLE)))) AS cheb,
+             len(list_filter(range(1, len(v)+1), i -> (v[i] > 0) != (qraw[i] > 0))) AS hamm,
+             len(list_filter(range(1, len(v)+1), i -> (v[i] > 0) AND (qraw[i] > 0))) AS inter,
+             len(list_filter(range(1, len(v)+1), i -> (v[i] > 0) OR (qraw[i] > 0))) AS uni,
+             ${sqlDot("v", "v")} AS nv2, ${sqlDot("qraw", "qraw")} AS nq2
+             FROM b)
+           SELECT id, (round(sqrt(l2sq), 6) + 0) AS m_l2, (round(l2sq, 6) + 0) AS m_l2sq,
+             (round(dotp, 6) + 0) AS m_dot, (round(-dotp, 6) + 0) AS m_negdot,
+             (round(manh, 6) + 0) AS m_manhattan, (round(cheb, 6) + 0) AS m_chebyshev,
+             (round(CAST(hamm AS DOUBLE), 6) + 0) AS m_hamming,
+             (round(CASE WHEN uni = 0 THEN 0.0 ELSE 1.0 - CAST(inter AS DOUBLE)/uni END, 6) + 0) AS m_jaccard,
+             (round(CASE WHEN nv2 = 0 OR nq2 = 0 THEN 0.0 ELSE greatest(-1.0, least(1.0, dotp / (sqrt(nv2) * sqrt(nq2)))) END, 6) + 0) AS m_truecos
+           FROM m ORDER BY id""",
+
+      "vec_sign_pack" ->
+        s"""WITH b AS (SELECT CAST(vec_id AS VARCHAR) AS id, ${sqlSignWordRaw("embedding", 0, 64)} AS _sw0 FROM embeddings WHERE vec_id < 64)
+           SELECT id, ${sqlSignWord("embedding", 0, 64)} AS word0,
+             bit_count(${sqlSignWord("embedding", 0, 64)}) AS popcount
+           FROM b ORDER BY id""",
+
+      "vec_packed_hamming_topk" ->
+        s"""WITH q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+           h AS (SELECT CAST(vec_id AS VARCHAR) AS id,
+             len(list_filter(range(1, len(embedding)+1), i -> (embedding[i] >= 0) != (qraw[i] >= 0))) AS ham
+             FROM embeddings, q)
+           SELECT id, CAST(ham AS BIGINT) AS ham FROM h ORDER BY ham ASC, id ASC LIMIT 20""",
+
+      "vec_normalize_check" ->
+        s"""WITH b AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v FROM embeddings WHERE vec_id < 64),
+           n AS (SELECT id, v,
+             ${sqlNorm("v")} AS l2n,
+             list_sum(list_transform(v, x -> CAST(x AS DOUBLE))) / len(v) AS mean,
+             len(v) AS d FROM b),
+           z AS (SELECT id, v, l2n, mean, d,
+             sqrt(list_sum(list_transform(v, x -> (CAST(x AS DOUBLE) - mean) * (CAST(x AS DOUBLE) - mean))) / d) AS std,
+             list_min(v) AS mn, list_max(v) AS mx FROM n),
+           f AS (SELECT id,
+             list_transform(v, x -> CAST((CAST(x AS DOUBLE) - mean) / std AS FLOAT)) AS zs,
+             list_transform(v, x -> CAST((CAST(x AS DOUBLE) - CAST(mn AS DOUBLE)) / (CAST(mx AS DOUBLE) - CAST(mn AS DOUBLE)) AS FLOAT)) AS mm,
+             l2n FROM z)
+           SELECT id,
+             (round(list_sum(list_transform(l2n, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), 5) + 0) AS l2_sumsq,
+             (round(list_sum(list_transform(zs, x -> CAST(x AS DOUBLE))), 5) + 0) AS zs_sum,
+             (round(list_sum(list_transform(zs, x -> CAST(x AS DOUBLE)*CAST(x AS DOUBLE))), 5) + 0) AS zs_sumsq,
+             (round(CAST(list_min(mm) AS DOUBLE), 5) + 0) AS mm_min,
+             (round(CAST(list_max(mm) AS DOUBLE), 5) + 0) AS mm_max,
+             (round(list_sum(list_transform(mm, x -> CAST(x AS DOUBLE))), 5) + 0) AS mm_sum
+           FROM f ORDER BY id"""
+    )
+  }
 }

@@ -1,0 +1,105 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.graft.Bridge
+import org.apache.spark.sql.types.{ArrayType, FloatType}
+
+import graft.core.{Metric, Normalize, ScoreMode}
+import graft.expr._
+
+/** Column-level vector function library (the engine's `functions._`).
+  *
+  * Inputs are coerced to array<float> so semantics match the reference's
+  * f32 storage (SURVEY §1.2); all math runs in Double inside codegen'd
+  * Catalyst expressions.
+  */
+object VectorFunctions {
+
+  private val floatArray = ArrayType(FloatType)
+
+  private def asFloatArray(c: Column): Column =
+    c.cast(floatArray)
+
+  private def col2(e: org.apache.spark.sql.catalyst.expressions.Expression): Column =
+    Bridge.column(e)
+
+  private def expr0(c: Column): org.apache.spark.sql.catalyst.expressions.Expression =
+    Bridge.expression(c)
+
+  /** Raw metric value (reference `compute`, distances.rs:42-68). */
+  def vecDistance(metric: Metric, a: Column, b: Column): Column =
+    col2(VectorDistance(expr0(asFloatArray(a)), expr0(asFloatArray(b)), metric.code))
+
+  /** True normalized cosine (clamped, zero-vector -> 0); used for funnel
+    * prefix scoring (distances.rs:160-177). */
+  def trueCosine(a: Column, b: Column): Column =
+    col2(VectorDistance(expr0(asFloatArray(a)), expr0(asFloatArray(b)),
+      VectorKernels.TRUE_COSINE_CODE))
+
+  /** Ascending rank value from a raw metric column (distances.rs:108-119). */
+  def rankValue(metric: Metric, raw: Column): Column = metric match {
+    case Metric.Cosine       => lit(1.0) - raw
+    case Metric.InnerProduct => -raw
+    case _                   => raw
+  }
+
+  /** Higher-is-better similarity from a raw metric column (distances.rs:122-128). */
+  def similarityValue(metric: Metric, raw: Column): Column = metric match {
+    case Metric.Cosine | Metric.InnerProduct => raw
+    case Metric.NegativeInnerProduct         => -raw
+    case _                                   => lit(1.0) / (lit(1.0) + raw)
+  }
+
+  /** (score, distance) per SURVEY §2.8 / vettore_distance.ex:525-547. */
+  def resultValues(metric: Metric, raw: Column, mode: ScoreMode): (Column, Column) =
+    metric match {
+      case Metric.NegativeInnerProduct => (-raw, raw)
+      case Metric.Cosine =>
+        val score = mode match {
+          case ScoreMode.Raw        => raw
+          case ScoreMode.Similarity => (raw + lit(1.0)) / lit(2.0)
+        }
+        (score, lit(1.0) - raw)
+      case Metric.InnerProduct => (raw, -raw)
+      case _ =>
+        val score = mode match {
+          case ScoreMode.Raw        => -raw
+          case ScoreMode.Similarity => lit(1.0) / (lit(1.0) + raw)
+        }
+        (score, raw)
+    }
+
+  /** Vector normalization column (modes per graft.core.Normalize). */
+  def normalizeVector(mode: Normalize, v: Column): Column = {
+    val code = mode match {
+      case Normalize.None   => 0
+      case Normalize.L2     => 1
+      case Normalize.ZScore => 2
+      case Normalize.MinMax => 3
+    }
+    col2(NormalizeVector(expr0(asFloatArray(v)), code))
+  }
+
+  /** Sign-bit packing into Long words (64 dims/word). */
+  def packSignBits(v: Column): Column =
+    col2(PackSignBits(expr0(asFloatArray(v))))
+
+  /** Hamming over packed words, padding bits masked. */
+  def packedHamming(a: Column, b: Column, dims: Int): Column =
+    col2(PackedHamming(expr0(a), expr0(b), dims))
+
+  /** Jaccard over packed words, padding bits masked. */
+  def packedJaccard(a: Column, b: Column, dims: Int): Column =
+    col2(PackedJaccard(expr0(a), expr0(b), dims))
+
+  /** ColBERT/MaxSim late-interaction score. */
+  def maxSim(metric: Metric, queryVecs: Column, docVecs: Column): Column =
+    col2(MaxSim(
+      expr0(queryVecs.cast(ArrayType(floatArray))),
+      expr0(docVecs.cast(ArrayType(floatArray))),
+      metric.code))
+
+  /** A f32 vector literal. */
+  def vecLit(v: Array[Float]): Column = typedlit(v)
+}

@@ -1,0 +1,111 @@
+package graft.prepare
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core.CollectionConfig
+import graft.functions.VectorFunctions._
+
+/** Ingest pipeline: turns raw embedding rows into canonical collection
+  * rows in ONE narrow projection (no shuffle), mirroring the reference's
+  * prepare_embedding (lib/vettore/collection.ex:920-1017):
+  *
+  *  1. id := id, else value; value := value, else id (both non-empty)
+  *  2. vectors := each multi-vector normalized per collection config
+  *  3. vector := given vector, else the mean of the *normalized*
+  *     `vectors`; then normalized
+  *  4. binary_vector := packed sign bits of the prepared vector
+  *
+  * Duplicate-id detection is an aggregation (exact, distributed) instead
+  * of the reference's ETS insert_new compare-and-swap; job-commit
+  * atomicity replaces its store/index rollback choreography (SURVEY §3.2).
+  */
+object Prepare {
+
+  val canonicalSchema: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("value", StringType),
+    StructField("vector", ArrayType(FloatType)),
+    StructField("vectors", ArrayType(ArrayType(FloatType)), nullable = true),
+    StructField("binary_vector", ArrayType(LongType)),
+    StructField("metadata", MapType(StringType, StringType), nullable = true)))
+
+  private def optCol(df: DataFrame, name: String): Column =
+    if (df.columns.contains(name)) col(name)
+    else lit(null).cast(canonicalSchema(name).dataType)
+
+  /** The preparation projection. Input needs at least one of (id, value)
+    * and one of (vector, vectors); missing optional columns are allowed. */
+  def prepareEmbeddings(df: DataFrame, config: CollectionConfig): DataFrame = {
+    val norm = config.effectiveNormalize
+    val rawId = nullif(optCol(df, "id").cast(StringType), lit(""))
+    val rawValue = nullif(optCol(df, "value").cast(StringType), lit(""))
+
+    val normalizedVectors = when(optCol(df, "vectors").isNotNull,
+      transform(optCol(df, "vectors"),
+        v => normalizeVector(norm, v)))
+
+    // mean of normalized multi-vectors (collection.ex:1008-1017): element-
+    // wise running sum via zip_with-fold, divided by count — all codegen'd.
+    val meanOfVectors = {
+      val vs = col("_vectors_prep")
+      val zeros = array_repeat(lit(0.0f), lit(config.dimensions))
+      val summed = aggregate(vs, zeros, (acc, v) => zip_with(acc, v, _ + _))
+      transform(summed, x => (x / size(vs)).cast(FloatType))
+    }
+
+    df.withColumn("_vectors_prep", normalizedVectors)
+      .withColumn("_vector_prep",
+        when(optCol(df, "vector").isNotNull,
+          normalizeVector(norm, optCol(df, "vector")))
+          .otherwise(normalizeVector(norm, meanOfVectors)))
+      .select(
+        coalesce(rawId, rawValue).as("id"),
+        coalesce(rawValue, rawId).as("value"),
+        col("_vector_prep").as("vector"),
+        col("_vectors_prep").as("vectors"),
+        packSignBits(col("_vector_prep")).as("binary_vector"),
+        optCol(df, "metadata").as("metadata"))
+  }
+
+  /** Rows that violate collection invariants (dimension mismatch, missing
+    * id, non-finite values). Empty result == collection valid; the same
+    * scan the reference runs on snapshot load (collection.ex:1184-1203). */
+  def invalidRows(df: DataFrame, config: CollectionConfig): DataFrame = {
+    val badDim = size(col("vector")) =!= config.dimensions
+    val nonFinite = exists(col("vector"), x => isnan(x) || x === Float.PositiveInfinity || x === Float.NegativeInfinity)
+    val badId = col("id").isNull || col("id") === ""
+    val badMulti = col("vectors").isNotNull &&
+      exists(col("vectors"), v => size(v) =!= config.dimensions)
+    df.filter(badDim || nonFinite || badId || badMulti)
+  }
+
+  /** Duplicate-id check for a batch append: ids of `incoming` that already
+    * exist in `existing` (left-semi join — broadcastable when the batch is
+    * small) plus ids duplicated inside the batch itself. */
+  def duplicateIds(existing: DataFrame, incoming: DataFrame): DataFrame = {
+    val inBatch = incoming.groupBy("id").count().filter(col("count") > 1).select("id")
+    val inStore = incoming.select("id").join(existing.select("id"), Seq("id"), "left_semi")
+    inBatch.union(inStore).distinct()
+  }
+
+  /** Batch append with all-or-nothing semantics: fails fast when any
+    * duplicate id exists (ets.ex:100-111), otherwise unions the prepared
+    * batch onto the collection. */
+  def putMany(existing: DataFrame, incoming: DataFrame, config: CollectionConfig): DataFrame = {
+    val prepared = prepareEmbeddings(incoming, config)
+    val dups = duplicateIds(existing, prepared).limit(1).collect()
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(s"duplicate id: ${dups.head.getString(0)}")
+    existing.unionByName(prepared, allowMissingColumns = true)
+  }
+
+  /** Copy-on-write delete: the collection minus the given ids. */
+  def deleteIds(existing: DataFrame, ids: Seq[String]): DataFrame =
+    existing.filter(!col("id").isin(ids: _*))
+
+  /** Point lookup. */
+  def get(existing: DataFrame, id: String): DataFrame =
+    existing.filter(col("id") === id)
+}

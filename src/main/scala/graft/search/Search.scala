@@ -1,0 +1,206 @@
+package graft.search
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.core.{CollectionConfig, Metric, Normalize, ScoreMode}
+import graft.expr.VectorKernels
+import graft.functions.VectorFunctions._
+
+/** Search operators over a collection DataFrame.
+  *
+  * Canonical collection schema (SURVEY §1.3): `id string, value string,
+  * vector array<float>, vectors array<array<float>>, binary_vector
+  * array<bigint>, metadata map<string,string>` — extra columns pass
+  * through untouched.
+  *
+  * Execution model: every operator is a declarative plan ending in
+  * `ORDER BY (rank, id) LIMIT k`, which Catalyst compiles to
+  * `TakeOrderedAndProject` — a per-partition bounded heap merged on the
+  * driver. That is exactly the reference's top-k algorithm
+  * (native/vettore/src/search.rs:50-72) distributed across executors: no
+  * full sort, no shuffle of non-winners, scales linearly with partitions.
+  * Tie-break by ascending id keeps results fully deterministic
+  * (search.rs:23-29).
+  */
+object Search {
+
+  /** Validate + normalize a query vector exactly like ingest
+    * (collection.ex:351-357): dimensions then finiteness then the
+    * collection's normalize mode. */
+  def prepareQuery(config: CollectionConfig, query: Array[Float]): Array[Float] = {
+    require(query.length == config.dimensions,
+      s"dimension mismatch: query ${query.length}, collection ${config.dimensions}")
+    require(VectorKernels.validateFinite(query), "vector contains a non-finite value")
+    val mode = config.effectiveNormalize match {
+      case Normalize.None => 0; case Normalize.L2 => 1
+      case Normalize.ZScore => 2; case Normalize.MinMax => 3
+    }
+    VectorKernels.normalize(mode, query)
+  }
+
+  /** Ascending-rank column for a raw metric column. */
+  private def rankCol(metric: Metric, raw: Column): Column = rankValue(metric, raw)
+
+  /** Deterministic top-k: ORDER BY (rank, id) LIMIT k ->
+    * TakeOrderedAndProject. */
+  def topK(scored: DataFrame, k: Int, rank: Column = col("rank")): DataFrame =
+    scored.orderBy(rank.asc, col("id").asc).limit(k)
+
+  /** Final (score, distance) projection per SURVEY §2.8. */
+  def projectResults(df: DataFrame, config: CollectionConfig): DataFrame = {
+    val (score, dist) = resultValues(config.metric, col("raw"), config.score)
+    df.select(
+      col("id"), col("value"),
+      score.cast("double").as("score"),
+      dist.cast("double").as("distance"),
+      lit(config.metric.name).as("metric"),
+      (if (df.columns.contains("metadata")) col("metadata") else lit(null)).as("metadata"))
+  }
+
+  /** Exact flat search: scan + score + bounded-heap top-k.
+    * (reference: lib/vettore/index/flat.ex + flat.rs:96-124) */
+  def flatSearch(df: DataFrame, config: CollectionConfig, query: Array[Float],
+      limit: Int): DataFrame = {
+    require(limit > 0, "limit must be positive")
+    val q = prepareQuery(config, query)
+    val scored = df.withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))
+      .withColumn("rank", rankCol(config.metric, col("raw")))
+    projectResults(topK(scored, limit), config)
+  }
+
+  /** Candidate frame for one funnel stage: score the `d`-prefix of the
+    * stored vectors against the `d`-prefix of the query. Cosine uses the
+    * true normalized cosine because prefixes of unit vectors are not unit
+    * (search.rs:56-59); other metrics use their own kernel on the prefix. */
+  private def funnelStage(df: DataFrame, config: CollectionConfig, q: Array[Float],
+      d: Int, keep: Int): DataFrame = {
+    val qPrefix = q.slice(0, d)
+    val vPrefix = if (d >= config.dimensions) col("vector") else slice(col("vector"), 1, d)
+    val raw =
+      if (config.metric == Metric.Cosine) trueCosine(vPrefix, vecLit(qPrefix))
+      else vecDistance(config.metric, vPrefix, vecLit(qPrefix))
+    topK(df.withColumn("raw", raw).withColumn("rank", rankCol(config.metric, col("raw"))),
+      keep).drop("raw", "rank")
+  }
+
+  /** Matryoshka funnel search: successive prefix-scored candidate cuts,
+    * then exact rerank on full vectors (collection.ex:233-260,674-691).
+    * Default stages `[min(dims,128)]`, candidates `max(10*limit, limit)`. */
+  def funnelSearch(df: DataFrame, config: CollectionConfig, query: Array[Float],
+      limit: Int, stages: Seq[Int] = Nil, candidates: Int = 0): DataFrame = {
+    val q = prepareQuery(config, query)
+    val effStages = if (stages.nonEmpty) stages else Seq(math.min(config.dimensions, 128))
+    val effCand = if (candidates > 0) candidates else math.max(10 * limit, limit)
+    require(effCand >= limit, "candidates must be >= limit")
+    val survivors = effStages.foldLeft(df)((cur, d) => funnelStage(cur, config, q, d, effCand))
+    flatSearchPrepared(survivors, config, q, limit)
+  }
+
+  /** Exact rerank used by funnel/quantized/hybrid (query already prepared). */
+  private def flatSearchPrepared(df: DataFrame, config: CollectionConfig,
+      q: Array[Float], limit: Int): DataFrame = {
+    val scored = df.withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))
+      .withColumn("rank", rankCol(config.metric, col("raw")))
+    projectResults(topK(scored, limit), config)
+  }
+
+  /** Binary-quantized search: packed-Hamming candidate pass over sign
+    * bits, then exact rerank (collection.ex:263-295,693-728). Stored
+    * `binary_vector` is used when present, else packed on the fly. */
+  def quantizedSearch(df: DataFrame, config: CollectionConfig, query: Array[Float],
+      limit: Int, candidates: Int = 0): DataFrame = {
+    val q = prepareQuery(config, query)
+    val effCand = if (candidates > 0) candidates else math.max(10 * limit, limit)
+    require(effCand >= limit, "candidates must be >= limit")
+    projectResults(topK(quantizedCandidates(df, config, q, effCand)
+      .withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))
+      .withColumn("rank", rankCol(config.metric, col("raw"))), limit), config)
+  }
+
+  private def quantizedCandidates(df: DataFrame, config: CollectionConfig,
+      q: Array[Float], keep: Int): DataFrame = {
+    val qBits = VectorKernels.packSignBits(q)
+    val stored =
+      if (df.columns.contains("binary_vector"))
+        coalesce(col("binary_vector"), packSignBits(col("vector")))
+      else packSignBits(col("vector"))
+    topK(
+      df.withColumn("ham", packedHamming(stored, typedlit(qBits), config.dimensions)),
+      keep, rank = col("ham")).drop("ham")
+  }
+
+  /** ColBERT/MaxSim multi-vector search (collection.ex:298-323). Records
+    * fall back to `[vector]` when `vectors` is absent; score is the MaxSim
+    * sum (descending), distance is null. Optional per-query metric
+    * override (collection.ex:313-323). */
+  def multiVectorSearch(df: DataFrame, config: CollectionConfig,
+      queryVectors: Seq[Array[Float]], limit: Int,
+      metricOverride: Option[Metric] = None): DataFrame = {
+    val metric = metricOverride.getOrElse(config.metric)
+    queryVectors.foreach { v =>
+      require(v.length == config.dimensions, "dimension mismatch")
+      require(VectorKernels.validateFinite(v), "vector contains a non-finite value")
+    }
+    val prepared = queryVectors.map(prepareQuery(config, _)).toArray
+    val docVecs =
+      if (df.columns.contains("vectors"))
+        coalesce(col("vectors"), array(col("vector")))
+      else array(col("vector"))
+    val scored = df.withColumn("score", maxSim(metric, typedlit(prepared), docVecs))
+    scored.orderBy(col("score").desc, col("id").asc).limit(limit)
+      .select(col("id"), col("value"), col("score").cast("double").as("score"),
+        lit(null).cast("double").as("distance"), lit(metric.name).as("metric"),
+        (if (df.columns.contains("metadata")) col("metadata") else lit(null)).as("metadata"))
+  }
+
+  /** Hybrid search: run candidate generators, union + dedup by id, then
+    * rerank exactly or by MaxSim (collection.ex:326-348,516-658).
+    * Generators: "funnel", "quantized", "search" (= flat candidates). */
+  def hybridSearch(df: DataFrame, config: CollectionConfig, query: Array[Float],
+      limit: Int, generators: Seq[String] = Seq("funnel", "quantized"),
+      candidates: Int = 0, stages: Seq[Int] = Nil,
+      rerankMultiVector: Option[Seq[Array[Float]]] = None): DataFrame = {
+    val q = prepareQuery(config, query)
+    val effCand = if (candidates > 0) candidates else math.max(10 * limit, limit)
+    require(effCand >= limit, "candidates must be >= limit")
+    val effStages = if (stages.nonEmpty) stages else Seq(math.min(config.dimensions, 128))
+    val keep = Seq("id", "value", "vector") ++
+      Seq("vectors", "binary_vector", "metadata").filter(df.columns.contains)
+    val frames = generators.map {
+      case "funnel" =>
+        effStages.foldLeft(df)((cur, d) => funnelStage(cur, config, q, d, effCand))
+      case "quantized" => quantizedCandidates(df, config, q, effCand)
+      case "search" | "flat" =>
+        topK(df.withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))
+          .withColumn("rank", rankCol(config.metric, col("raw"))), effCand)
+          .drop("raw", "rank")
+      case g => throw new IllegalArgumentException(s"unknown generator $g")
+    }.map(_.select(keep.map(col): _*))
+    val union = frames.reduce(_ unionByName _).dropDuplicates("id")
+    rerankMultiVector match {
+      case Some(qvecs) => multiVectorSearch(union, config, qvecs, limit)
+      case None        => flatSearchPrepared(union, config, q, limit)
+    }
+  }
+
+  /** Batch form of flat search: one shuffle-free pass answers many queries
+    * at once. `queries` must have (qid, qvector) and is broadcast; results
+    * carry qid. This is the shape that scales on a cluster — per-query
+    * driver jobs do not. */
+  def flatSearchMany(df: DataFrame, config: CollectionConfig, queries: DataFrame,
+      limit: Int): DataFrame = {
+    val qNorm = queries.select(col("qid"),
+      normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+    val scored = df.crossJoin(broadcast(qNorm))
+      .withColumn("raw", vecDistance(config.metric, col("vector"), col("qvector")))
+      .withColumn("rank", rankCol(config.metric, col("raw")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc, col("id").asc)
+    val (score, dist) = resultValues(config.metric, col("raw"), config.score)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
+      .select(col("qid"), col("id"), col("value"),
+        score.cast("double").as("score"), dist.cast("double").as("distance"),
+        lit(config.metric.name).as("metric"))
+  }
+}
