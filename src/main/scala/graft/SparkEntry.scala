@@ -61,6 +61,24 @@ object SparkEntry {
 
   // ------------------------------------------------------------- queries
 
+  /** l2-metric collection + query, shared by funnel/quantized/hybrid. */
+  private def l2Setup(s: SparkSession, dir: String) = {
+    val d = Tables.dims(s, dir)
+    val config = Tables.l2Config(d)
+    (config, Tables.embeddingsCollection(s, dir, config), Tables.queryVector(s, dir, 0L))
+  }
+
+  /** Label-grouped multi-vector "documents" built from the embeddings
+    * table (vectors ordered by vec_id for determinism). */
+  private def labelDocs(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "embeddings")
+      .groupBy(col("label"))
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("embedding")))).as("sv"))
+      .select(col("label").cast("string").as("id"),
+        col("label").cast("string").as("value"),
+        transform(col("sv"), x => x.getField("embedding")).as("vectors"))
+      .withColumn("vector", element_at(col("vectors"), 1))
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "vec_flat_cosine_topk" -> ((s, dir) => flatTopK(s, dir, Metric.Cosine, 10)),
     "vec_flat_l2_topk" -> ((s, dir) => flatTopK(s, dir, Metric.L2, 10)),
@@ -114,6 +132,113 @@ object SparkEntry {
           packedHamming(packSignBits(col("embedding")), typedlit(qBits), d)
             .cast("long").as("ham"))
         .orderBy(col("ham").asc, col("id").asc).limit(20)
+    }),
+
+    // Matryoshka funnel: prefix stages [16,32] -> 50 candidates -> exact
+    "vec_funnel_topk" -> ((s, dir) => {
+      val (config, coll, q) = l2Setup(s, dir)
+      roundCols(Search.funnelSearch(coll, config, q, 10,
+        stages = Seq(16, 32), candidates = 50).drop("metadata"),
+        Seq("score", "distance"))
+    }),
+
+    // binary-quantized: packed-hamming candidates -> exact rerank
+    "vec_quantized_topk" -> ((s, dir) => {
+      val (config, coll, q) = l2Setup(s, dir)
+      roundCols(Search.quantizedSearch(coll, config, q, 10, candidates = 50)
+        .drop("metadata"), Seq("score", "distance"))
+    }),
+
+    // hybrid: funnel+quantized candidate union -> dedup -> exact rerank
+    "vec_hybrid_topk" -> ((s, dir) => {
+      val (config, coll, q) = l2Setup(s, dir)
+      roundCols(Search.hybridSearch(coll, config, q, 10,
+        generators = Seq("funnel", "quantized"), candidates = 50,
+        stages = Seq(16, 32)).drop("metadata"), Seq("score", "distance"))
+    }),
+
+    // ColBERT/MaxSim over label-grouped multi-vector documents
+    "vec_maxsim_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val qvecs = (0L to 3L).map(Tables.queryVector(s, dir, _))
+      roundCols(Search.multiVectorSearch(labelDocs(s, dir), Tables.ipConfig(d),
+        qvecs, 5).drop("metadata"), Seq("score"))
+    }),
+
+    // batch form: 10 queries answered in one shuffle-light pass
+    "vec_search_many" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+      roundCols(Search.flatSearchMany(coll, config, qs, 5), Seq("score", "distance"))
+    }),
+
+    // score mode :similarity on a distance metric (1/(1+raw))
+    "vec_flat_l2_similarity_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = CollectionConfig("embeddings", d, Metric.L2,
+        score = graft.core.ScoreMode.Similarity)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(Search.flatSearch(coll, config, q, 10).drop("metadata"),
+        Seq("score", "distance"))
+    }),
+
+    // ingest pipeline: vectors-only input -> normalized mean vector,
+    // value defaulting, sign packing (collection.ex:920-1017)
+    "vec_prepare_pipeline" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val emb = Tables.read(s, dir, "embeddings")
+      val e1 = emb.filter(col("vec_id") < 100)
+        .select(col("vec_id").as("k"), col("embedding").as("v1"))
+      val e2 = emb.filter(col("vec_id") >= 250 && col("vec_id") < 350)
+        .select((col("vec_id") - 250).as("k"), col("embedding").as("v2"))
+      val input = e1.join(e2, "k")
+        .select(col("k").cast("string").as("id"), array(col("v1"), col("v2")).as("vectors"))
+      val prepared = graft.prepare.Prepare.prepareEmbeddings(input, Tables.cosineConfig(d))
+      roundCols(prepared.select(
+        col("id"), col("value"),
+        aggregate(col("vector"), lit(0.0), (a, x) => a + x).as("vec_sum"),
+        size(col("vectors")).as("n_vectors"),
+        element_at(col("binary_vector"), 1).as("word0")), Seq("vec_sum"), 5)
+    }),
+
+    // copy-on-write delete + point lookup
+    "vec_crud_count" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val coll = Tables.embeddingsCollection(s, dir, Tables.cosineConfig(d))
+      val afterDelete = graft.prepare.Prepare.deleteIds(coll, (1L to 9L).map(_.toString))
+      afterDelete.agg(count(lit(1)).as("cnt"),
+        sum(when(col("id") === "10", 1L).otherwise(0L)).as("has_10"))
+    }),
+
+    // MMR diversity rerank (driver-side greedy over 50 candidates);
+    // no SQL oracle: sequential greedy — covered by ScalaTest oracle
+    "vec_mmr_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(graft.rerank.Mmr.rerankSearch(s, coll, config, q, 0.7, 10, 50),
+        Seq("score"))
+    }),
+
+    // MUVERA FDE retrieval: doc FDEs (average) vs query FDE (sum),
+    // inner-product candidates; no SQL oracle (hash-based encoder) —
+    // determinism + exactness covered by ScalaTest
+    "vec_muvera_fde_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val cfg = graft.encode.Muvera.Config(dimension = d, numRepetitions = 4,
+        numSimhashProjections = 3, seed = 13L)
+      val docs = labelDocs(s, dir).withColumn("fde",
+        graft.encode.Muvera.encodeColumn(cfg, graft.encode.Muvera.DocumentMode)(col("vectors")))
+      val qvecs = (0L to 3L).map(Tables.queryVector(s, dir, _))
+      val qfde = graft.encode.Muvera.encode(qvecs, cfg, graft.encode.Muvera.QueryMode)
+      roundCols(docs.select(col("id"),
+        vecDistance(Metric.InnerProduct, col("fde"), vecLit(qfde)).as("fde_score"))
+        .orderBy(col("fde_score").desc, col("id").asc).limit(5), Seq("fde_score"))
     }),
 
     // normalization modes: scalar invariants of each normalized vector
@@ -192,6 +317,78 @@ object SparkEntry {
              len(list_filter(range(1, len(embedding)+1), i -> (embedding[i] >= 0) != (qraw[i] >= 0))) AS ham
              FROM embeddings, q)
            SELECT id, CAST(ham AS BIGINT) AS ham FROM h ORDER BY ham ASC, id ASC LIMIT 20""",
+
+      "vec_funnel_topk" ->
+        s"""WITH q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+           base AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v FROM embeddings),
+           s1 AS (SELECT id, v FROM (SELECT id, v, ${sqlL2sq("v[1:16]", "qraw[1:16]")} AS r1 FROM base, q ORDER BY r1 ASC, id ASC LIMIT 50)),
+           s2 AS (SELECT id, v FROM (SELECT id, v, ${sqlL2sq("v[1:32]", "qraw[1:32]")} AS r2 FROM s1, q ORDER BY r2 ASC, id ASC LIMIT 50)),
+           fin AS (SELECT id, sqrt(${sqlL2sq("v", "qraw")}) AS raw FROM s2, q)
+           SELECT id, id AS value, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric
+           FROM fin ORDER BY raw ASC, id ASC LIMIT 10""",
+
+      "vec_quantized_topk" ->
+        s"""WITH q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+           h AS (SELECT id, v FROM (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v,
+             len(list_filter(range(1, len(embedding)+1), i -> (embedding[i] >= 0) != (qraw[i] >= 0))) AS ham
+             FROM embeddings, q ORDER BY ham ASC, id ASC LIMIT 50)),
+           fin AS (SELECT id, sqrt(${sqlL2sq("v", "qraw")}) AS raw FROM h, q)
+           SELECT id, id AS value, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric
+           FROM fin ORDER BY raw ASC, id ASC LIMIT 10""",
+
+      "vec_hybrid_topk" ->
+        s"""WITH q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+           base AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v FROM embeddings),
+           s1 AS (SELECT id, v FROM (SELECT id, v, ${sqlL2sq("v[1:16]", "qraw[1:16]")} AS r1 FROM base, q ORDER BY r1 ASC, id ASC LIMIT 50)),
+           s2 AS (SELECT id, v FROM (SELECT id, v, ${sqlL2sq("v[1:32]", "qraw[1:32]")} AS r2 FROM s1, q ORDER BY r2 ASC, id ASC LIMIT 50)),
+           hq AS (SELECT id, v FROM (SELECT id, v,
+             len(list_filter(range(1, len(v)+1), i -> (v[i] >= 0) != (qraw[i] >= 0))) AS ham
+             FROM base, q ORDER BY ham ASC, id ASC LIMIT 50)),
+           u AS (SELECT id, v FROM s2 UNION SELECT id, v FROM hq),
+           fin AS (SELECT id, sqrt(${sqlL2sq("v", "qraw")}) AS raw FROM u, q)
+           SELECT id, id AS value, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric
+           FROM fin ORDER BY raw ASC, id ASC LIMIT 10""",
+
+      "vec_maxsim_topk" ->
+        s"""WITH qv AS (SELECT vec_id AS qid, embedding AS q FROM embeddings WHERE vec_id < 4),
+           pair AS (SELECT e.label AS label, qv.qid AS qid, max(${sqlDot("q", "embedding")}) AS m
+             FROM embeddings e, qv GROUP BY e.label, qv.qid),
+           sc AS (SELECT CAST(label AS VARCHAR) AS id, sum(m) AS score FROM pair GROUP BY label)
+           SELECT id, id AS value, (round(score, 6) + 0) AS score, CAST(NULL AS DOUBLE) AS distance, 'inner_product' AS metric
+           FROM sc ORDER BY score DESC, id ASC LIMIT 5""",
+
+      "vec_search_many" ->
+        s"""WITH n AS (SELECT CAST(vec_id AS VARCHAR) AS id, ${sqlNorm("embedding")} AS nv FROM embeddings),
+           qs AS (SELECT CAST(vec_id AS VARCHAR) AS qid, ${sqlNorm("embedding")} AS qv FROM embeddings WHERE vec_id < 10),
+           sc AS (SELECT qid, id, ${sqlDot("nv", "qv")} AS raw FROM n, qs),
+           rk AS (SELECT qid, id, raw, row_number() OVER (PARTITION BY qid ORDER BY (1.0 - raw) ASC, id ASC) AS rn FROM sc)
+           SELECT qid, id, id AS value, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance, 'cosine' AS metric
+           FROM rk WHERE rn <= 5""",
+
+      "vec_flat_l2_similarity_topk" ->
+        s"""WITH q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+           sc AS (SELECT CAST(vec_id AS VARCHAR) AS id, sqrt(${sqlL2sq("embedding", "qraw")}) AS raw FROM embeddings, q)
+           SELECT id, id AS value, (round(1.0 / (1.0 + raw), 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric
+           FROM sc ORDER BY raw ASC, id ASC LIMIT 10""",
+
+      "vec_prepare_pipeline" ->
+        s"""WITH e1 AS (SELECT vec_id AS k, embedding AS v1 FROM embeddings WHERE vec_id < 100),
+           e2 AS (SELECT vec_id - 250 AS k, embedding AS v2 FROM embeddings WHERE vec_id >= 250 AND vec_id < 350),
+           j AS (SELECT CAST(e1.k AS VARCHAR) AS id, ${sqlNorm("v1")} AS n1, ${sqlNorm("v2")} AS n2 FROM e1 JOIN e2 ON e1.k = e2.k),
+           m AS (SELECT id, list_transform(range(1, len(n1)+1), i -> CAST((CAST(n1[i] AS DOUBLE) + CAST(n2[i] AS DOUBLE)) / 2 AS FLOAT)) AS mv FROM j),
+           p AS (SELECT id, ${sqlNorm("mv")} AS pv FROM m),
+           b AS (SELECT id, pv, ${sqlSignWordRaw("pv", 0, 64)} AS _sw0 FROM p)
+           SELECT id, id AS value,
+             (round(list_sum(list_transform(pv, x -> CAST(x AS DOUBLE))), 5) + 0) AS vec_sum,
+             2 AS n_vectors,
+             ${sqlSignWord("pv", 0, 64)} AS word0
+           FROM b ORDER BY id""",
+
+      "vec_crud_count" ->
+        s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
+             CAST(sum(CASE WHEN vec_id = 10 THEN 1 ELSE 0 END) AS BIGINT) AS has_10
+           FROM embeddings
+           WHERE CAST(vec_id AS VARCHAR) NOT IN ('1','2','3','4','5','6','7','8','9')""",
 
       "vec_normalize_check" ->
         s"""WITH b AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v FROM embeddings WHERE vec_id < 64),

@@ -1,0 +1,174 @@
+package graft.encode
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.udf
+
+/** MUVERA fixed-dimensional encoding of multi-vector sets (reference:
+  * native/vettore/src/muvera.rs). Queries SUM projected vectors per
+  * SimHash partition; documents ONLINE-AVERAGE them — the asymmetry that
+  * makes query-FDE · doc-FDE approximate Chamfer/MaxSim.
+  *
+  * Pure per-row function -> embarrassingly parallel: applied as a column
+  * over any DataFrame, no shuffle, scales with partitions. Determinism
+  * comes from a SplitMix64-style mixer over (seed, repetition,
+  * projection, dimension), so query and document encodings computed on
+  * different executors (or different clusters) are comparable.
+  */
+object Muvera {
+
+  final case class Config(
+      dimension: Int,
+      numRepetitions: Int = 1,
+      numSimhashProjections: Int = 0,
+      seed: Long = 0L,
+      projectionDimension: Int = 0, // 0 -> defaults to dimension (identity)
+      finalProjectionDimension: Option[Int] = None) {
+    def projDim: Int = if (projectionDimension > 0) projectionDimension else dimension
+    def partitions: Int = 1 << numSimhashProjections
+    def repetitionSize: Int = partitions * projDim
+    def outputSize: Int = numRepetitions * repetitionSize
+
+    def validate(): Unit = {
+      require(dimension > 0, "dimension must be positive")
+      require(numRepetitions > 0, "num_repetitions must be positive")
+      require(numSimhashProjections >= 0 && numSimhashProjections < 31,
+        "num_simhash_projections must be in [0, 31)")
+      require(projDim > 0, "projection_dimension must be positive")
+      require(finalProjectionDimension.forall(_ > 0),
+        "final_projection_dimension must be positive")
+      val maxOut = 16777216
+      require(outputSize <= maxOut && finalProjectionDimension.getOrElse(0) <= maxOut,
+        "fde dimension exceeds safety limit")
+    }
+  }
+
+  sealed trait Mode
+  case object QueryMode extends Mode    // sum per partition
+  case object DocumentMode extends Mode // online average per partition
+
+  /** SplitMix64-style 4-coordinate mixer (muvera.rs:219-225). */
+  private def hash4(a: Long, b: Long, c: Long, d: Long): Long = {
+    var x = a ^ java.lang.Long.rotateLeft(b, 17) ^
+      java.lang.Long.rotateLeft(c, 31) ^ java.lang.Long.rotateLeft(d, 47)
+    x += 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** u64 -> f64 as Rust's `as f64` (unsigned interpretation). */
+  private def u64ToDouble(x: Long): Double =
+    (x >>> 1).toDouble * 2.0 + (x & 1L).toDouble
+
+  // u64::MAX as f64 rounds to 2^64 (nearest representable double)
+  private val U64Max = 1.8446744073709552e19
+
+  /** Deterministic pseudo-random weight in [-1, 1] (f32, muvera.rs:203-207). */
+  private def randomWeight(seed: Long, rep: Int, proj: Int, dim: Int): Float =
+    ((u64ToDouble(hash4(seed, rep.toLong, proj.toLong, dim.toLong)) / U64Max).toFloat * 2.0f) - 1.0f
+
+  private def randomSign(seed: Long, rep: Int, proj: Int, dim: Int): Float =
+    if ((hash4(seed, rep.toLong, proj.toLong, dim.toLong) & 1L) == 0L) 1.0f else -1.0f
+
+  private def partitionIndex(v: Array[Float], cfg: Config, rep: Int): Int = {
+    if (cfg.numSimhashProjections == 0) return 0
+    var partition = 0
+    var p = 0
+    while (p < cfg.numSimhashProjections) {
+      var dot = 0.0
+      var d = 0
+      while (d < v.length) {
+        dot += v(d).toDouble * randomWeight(cfg.seed, rep, p, d).toDouble
+        d += 1
+      }
+      partition = (partition << 1) + (if (dot >= 0.0) 1 else 0)
+      p += 1
+    }
+    partition
+  }
+
+  private def accumulate(out: Array[Float], idx: Int, value: Double, mode: Mode,
+      count: Int): Unit = {
+    val current = out(idx).toDouble
+    val next = mode match {
+      case QueryMode    => current + value
+      case DocumentMode => current + (value - current) / count.toDouble
+    }
+    require(!next.isNaN && !next.isInfinite &&
+      next >= -3.4028234663852886e38 && next <= 3.4028234663852886e38, "encoding overflow")
+    out(idx) = next.toFloat
+  }
+
+  /** Encode one multi-vector set into a fixed-dimensional f32 encoding. */
+  def encode(vectors: Seq[Array[Float]], cfg: Config, mode: Mode): Array[Float] = {
+    cfg.validate()
+    require(vectors.nonEmpty, "empty vectors")
+    vectors.foreach { v =>
+      require(v.length == cfg.dimension, "dimension mismatch")
+      require(graft.expr.VectorKernels.validateFinite(v), "non-finite value")
+    }
+    val out = new Array[Float](cfg.outputSize)
+    val counts = new Array[Int](cfg.numRepetitions * cfg.partitions)
+
+    var rep = 0
+    while (rep < cfg.numRepetitions) {
+      vectors.foreach { v =>
+        val partition = partitionIndex(v, cfg, rep)
+        val countIdx = rep * cfg.partitions + partition
+        counts(countIdx) += 1
+        val base = rep * cfg.repetitionSize + partition * cfg.projDim
+        if (cfg.projDim == cfg.dimension) {
+          var off = 0
+          while (off < v.length) {
+            accumulate(out, base + off, v(off).toDouble, mode, counts(countIdx))
+            off += 1
+          }
+        } else {
+          var p = 0
+          while (p < cfg.projDim) {
+            var acc = 0.0
+            var d = 0
+            while (d < v.length) {
+              acc += v(d).toDouble * randomSign(cfg.seed + 17, rep, p, d).toDouble
+              d += 1
+            }
+            accumulate(out, base + p, acc, mode, counts(countIdx))
+            p += 1
+          }
+        }
+      }
+      rep += 1
+    }
+
+    cfg.finalProjectionDimension match {
+      case Some(finalDim) => countSketch(out, finalDim, cfg.seed)
+      case None           => out
+    }
+  }
+
+  /** Count-sketch style signed-hash compression (muvera.rs:180-200). */
+  private def countSketch(input: Array[Float], finalDim: Int, seed: Long): Array[Float] = {
+    val out = new Array[Float](finalDim)
+    var i = 0
+    while (i < input.length) {
+      val slot = java.lang.Long.remainderUnsigned(
+        hash4(seed, 0x9E3779B97F4A7C15L, i.toLong, 0L), finalDim.toLong).toInt
+      val sign =
+        if ((hash4(seed, 0xD1B54A32D192ED03L, i.toLong, slot.toLong) & 1L) == 0L) 1.0f else -1.0f
+      val next = out(slot).toDouble + (sign * input(i)).toDouble
+      require(!next.isNaN && !next.isInfinite &&
+        next >= -3.4028234663852886e38 && next <= 3.4028234663852886e38, "encoding overflow")
+      out(slot) = next.toFloat
+      i += 1
+    }
+    out
+  }
+
+  /** Column form: encode a `array<array<float>>` column row-by-row. */
+  def encodeColumn(cfg: Config, mode: Mode): Column => Column = {
+    val isQuery = mode == QueryMode
+    val f = udf((vectors: Seq[Seq[Float]]) =>
+      encode(vectors.map(_.toArray), cfg, if (isQuery) QueryMode else DocumentMode))
+    vectors => f(vectors)
+  }
+}

@@ -50,8 +50,8 @@ object Prepare {
     // wise running sum via zip_with-fold, divided by count — all codegen'd.
     val meanOfVectors = {
       val vs = col("_vectors_prep")
-      val zeros = array_repeat(lit(0.0f), lit(config.dimensions))
-      val summed = aggregate(vs, zeros, (acc, v) => zip_with(acc, v, _ + _))
+      val zeros = array_repeat(lit(0.0d), lit(config.dimensions))
+      val summed = aggregate(vs, zeros, (acc, v) => zip_with(acc, v, (a, b) => a + b))
       transform(summed, x => (x / size(vs)).cast(FloatType))
     }
 

@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.{CollectionConfig, Metric, ScoreMode}
+import graft.prepare.Prepare
+import graft.search.Search
+
+/** Search-operator semantics on the reference's own fixtures
+  * (FIXTURES §1, §2, §4). */
+class SearchSpec extends SparkSpec {
+
+  private def prep(rows: Seq[(String, Array[Float])], config: CollectionConfig) =
+    Prepare.prepareEmbeddings(embeddingRows(rows), config)
+
+  test("axis fixture: cosine top hit score 1.0 distance 0.0 (FIXTURES §1)") {
+    val config = CollectionConfig("axes", 2, Metric.Cosine)
+    val coll = prep(Seq(
+      "right" -> Array(1.0f, 0.0f),
+      "up" -> Array(0.0f, 1.0f),
+      "left" -> Array(-1.0f, 0.0f)), config)
+    val res = Search.flatSearch(coll, config, Array(1.0f, 0.0f), 2).collect()
+    assert(res.length === 2)
+    assert(res(0).getString(0) === "right")
+    assert(res(0).getDouble(2) === 1.0) // score
+    assert(res(0).getDouble(3) === 0.0) // distance
+    assert(res(1).getString(0) === "up")
+  }
+
+  test("compat score mode :similarity maps cosine to (raw+1)/2") {
+    val config = CollectionConfig("axes", 2, Metric.Cosine, score = ScoreMode.Similarity)
+    val coll = prep(Seq("right" -> Array(1f, 0f), "left" -> Array(-1f, 0f)), config)
+    val res = Search.flatSearch(coll, config, Array(1f, 0f), 2).collect()
+    assert(res(0).getDouble(2) === 1.0)
+    assert(res(1).getDouble(2) === 0.0) // cosine -1 -> similarity 0
+  }
+
+  test("funnel discrimination: prefix survivor killed by full rerank (FIXTURES §2)") {
+    val config = CollectionConfig("f", 3, Metric.L2)
+    val coll = prep(Seq(
+      "exact" -> Array(1.0f, 0.0f, 0.0f),
+      "prefix" -> Array(1.0f, 5.0f, 0.0f),
+      "opposite" -> Array(-1.0f, -1.0f, -1.0f)), config)
+    val res = Search.funnelSearch(coll, config, Array(1.0f, 0.0f, 0.0f), 1,
+      stages = Seq(1), candidates = 2)
+    assert(res.collect().map(_.getString(0)).toSeq === Seq("exact"))
+  }
+
+  test("quantized discrimination: same-sign-bits candidate loses exact rerank (FIXTURES §2)") {
+    val config = CollectionConfig("q", 2, Metric.L2)
+    val coll = prep(Seq(
+      "exact" -> Array(1.0f, 1.0f),
+      "same_bits_far" -> Array(100.0f, 100.0f),
+      "opposite" -> Array(-1.0f, -1.0f)), config)
+    // binary_vector of "exact" should be [3] (both sign bits set)
+    val bv = coll.filter(col("id") === "exact").select("binary_vector").head().getSeq[Long](0)
+    assert(bv === Seq(3L))
+    val res = Search.quantizedSearch(coll, config, Array(1.0f, 1.0f), 1, candidates = 2)
+    assert(res.collect().map(_.getString(0)).toSeq === Seq("exact"))
+  }
+
+  test("equivalence property: funnel/quantized/hybrid with full candidates == exact flat (FIXTURES §4)") {
+    val config = CollectionConfig("grid", 4, Metric.L2)
+    val rows = (0 until 64).map { i =>
+      f"id-$i%02d" -> Array(i / 10.0f, (i * 7 % 17) / 5.0f, (i * 11 % 19) / 7.0f, (i % 3) / 1.0f)
+    }
+    val coll = prep(rows, config).cache()
+    val q = Array(2.25f, 1.5f, 0.75f, 1.0f)
+    val exact = Search.flatSearch(coll, config, q, 10).collect().map(_.getString(0)).toSeq
+    val funnel = Search.funnelSearch(coll, config, q, 10, stages = Seq(2, 4), candidates = 64)
+      .collect().map(_.getString(0)).toSeq
+    val quant = Search.quantizedSearch(coll, config, q, 10, candidates = 64)
+      .collect().map(_.getString(0)).toSeq
+    val hybrid = Search.hybridSearch(coll, config, q, 10,
+      generators = Seq("funnel", "quantized"), candidates = 64, stages = Seq(2, 4))
+      .collect().map(_.getString(0)).toSeq
+    assert(funnel === exact)
+    assert(quant === exact)
+    assert(hybrid === exact)
+    coll.unpersist()
+  }
+
+  test("deterministic ties broken by ascending id across partitions (FIXTURES §8)") {
+    val config = CollectionConfig("ties", 2, Metric.L2)
+    // many equidistant points, inserted in scrambled order
+    val rows = scala.util.Random.shuffle(
+      (0 until 40).map(i => f"t$i%02d" -> Array(1.0f, 0.0f)).toList)
+    val coll = prep(rows, config)
+    val res = Search.flatSearch(coll, config, Array(0.0f, 0.0f), 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(res === (0 until 10).map(i => f"t$i%02d"))
+  }
+
+  test("prepare: mean-of-vectors derivation and value defaulting (FIXTURES §3)") {
+    val config = CollectionConfig("mv", 2, Metric.InnerProduct)
+    val df = multiVectorRows(Seq("doc" -> Seq(Array(1.0f, 0.0f), Array(0.0f, 1.0f))))
+    val out = Prepare.prepareEmbeddings(df, config).collect().head
+    assert(out.getAs[String]("value") === "doc")
+    assert(out.getAs[Seq[Float]]("vector") === Seq(0.5f, 0.5f))
+  }
+
+  test("put_many rejects duplicate ids; delete is copy-on-write (ets.ex:100-111)") {
+    val config = CollectionConfig("crud", 2, Metric.L2)
+    val coll = prep(Seq("a" -> Array(1f, 0f), "b" -> Array(0f, 1f)), config)
+    intercept[IllegalArgumentException] {
+      Prepare.putMany(coll, embeddingRows(Seq("a" -> Array(2f, 2f))), config)
+    }
+    val appended = Prepare.putMany(coll, embeddingRows(Seq("c" -> Array(1f, 1f))), config)
+    assert(appended.count() === 3)
+    assert(Prepare.deleteIds(appended, Seq("a", "c")).count() === 1)
+    assert(Prepare.get(appended, "b").count() === 1)
+  }
+
+  test("multi-partition batch search returns per-query top-k") {
+    val config = CollectionConfig("batch", 2, Metric.Cosine)
+    val coll = prep(Seq(
+      "right" -> Array(1f, 0f), "up" -> Array(0f, 1f),
+      "left" -> Array(-1f, 0f), "down" -> Array(0f, -1f)), config)
+    val qs = embeddingRows(Seq("q1" -> Array(1f, 0f), "q2" -> Array(0f, 1f)))
+      .select(col("id").as("qid"), col("vector").as("qvector"))
+    val res = Search.flatSearchMany(coll, config, qs, 1).collect()
+    val byQ = res.map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(byQ === Map("q1" -> "right", "q2" -> "up"))
+  }
+}
