@@ -79,7 +79,7 @@ object SparkEntry {
         transform(col("sv"), x => x.getField("embedding")).as("vectors"))
       .withColumn("vector", element_at(col("vectors"), 1))
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] = TrainingQueries.queries ++ Map(
     "vec_flat_cosine_topk" -> ((s, dir) => flatTopK(s, dir, Metric.Cosine, 10)),
     "vec_flat_l2_topk" -> ((s, dir) => flatTopK(s, dir, Metric.L2, 10)),
     "vec_flat_ip_topk" -> ((s, dir) => flatTopK(s, dir, Metric.InnerProduct, 10)),
@@ -262,7 +262,7 @@ object SparkEntry {
 
   // ---------------------------------------------------------- oracle SQL
 
-  def oracleSql: Map[String, String] = {
+  def oracleSql: Map[String, String] = TrainingQueries.oracleSql ++ {
     val qv = s"SELECT ${sqlNorm("embedding")} AS qv, embedding AS qraw FROM embeddings WHERE vec_id = 0"
     Map(
       "vec_flat_cosine_topk" ->

@@ -1,0 +1,406 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.ann.CosineLsh
+import graft.core.Metric
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.streaming.EventStreams
+import graft.text.TextAnalysis
+
+/** Training-data pipeline queries (dedup / text / multimodal / events /
+  * relational) with DuckDB oracles, merged into SparkEntry. */
+object TrainingQueries {
+
+  private def roundCols(df: DataFrame, cols: Seq[String], scale: Int = 6): DataFrame =
+    cols.foldLeft(df)((d, c) => d.withColumn(c, round(col(c), scale) + lit(0.0)))
+
+  /** Events table: ns timestamps are only readable as raw Long nanos. */
+  def events(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    s.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Dedup corpus: originals + exact copies + near copies, derived from
+    * the documents table (deterministic, mirrored in SQL). */
+  private def corpus(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+    docs.filter(col("doc_id") < 50).select(col("doc_id").as("id"), col("text"))
+      .union(docs.filter(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("id"), col("text")))
+      .union(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        .select((col("doc_id") + 20000).as("id"),
+          concat(col("text"), lit(" zzextra")).as("text")))
+  }
+
+  private val corpusSql =
+    """SELECT doc_id AS id, text FROM documents WHERE doc_id < 50
+      UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
+      UNION ALL SELECT doc_id + 20000, text || ' zzextra' FROM documents WHERE doc_id >= 20 AND doc_id < 40"""
+
+  /** Decimal-exact money sum: the source values are true 2-decimal
+    * amounts stored as doubles, so the decimal cast is unambiguous in
+    * both engines; the sum is then exact and order-independent. */
+  private def moneySum(c: Column): Column =
+    sum(c.cast(DecimalType(18, 2))).cast("double")
+
+  /** price * (1 - discount) with BOTH factors cast to exact decimals
+    * first: a double product would land on .xx5 halfway points that
+    * Spark and DuckDB round differently. */
+  private def discountedSum(price: Column, discount: Column): Column =
+    sum(price.cast(DecimalType(18, 2)) *
+      (lit(1.0) - discount).cast(DecimalType(18, 2))).cast("double")
+
+  // =========================================================== queries
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // ---- text analysis
+    "text_stats" -> ((s, dir) => {
+      val t = col("text")
+      roundCols(Tables.read(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.wordCount(t).as("n_tokens"),
+        TextAnalysis.regexTokenCount(t).cast("int").as("n_regex_tokens"),
+        TextAnalysis.punctCount(t).cast("int").as("n_punct"),
+        TextAnalysis.stopwordRatio(t).as("stop_ratio"),
+        TextAnalysis.qualityScore(t).as("quality")),
+        Seq("stop_ratio", "quality"))
+    }),
+
+    "text_langid" -> ((s, dir) =>
+      Tables.read(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.langId(col("text")).as("lang_detected"))),
+
+    "text_fingerprint" -> ((s, dir) =>
+      Tables.read(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.fingerprintMd5(col("text")).as("fp_md5"),
+        TextAnalysis.minShingleFingerprint(col("text"), 3).as("fp_shingle"))),
+
+    "text_simhash" -> ((s, dir) =>
+      Tables.read(s, dir, "documents").select(
+        col("doc_id"), TextAnalysis.simhash64(col("text")).as("simhash"))),
+
+    // ---- dedup
+    "dedup_exact" -> ((s, dir) =>
+      Dedup.exactDuplicates(corpus(s, dir), "id", col("text"))
+        .select("id", "canonical_id", "is_dup")),
+
+    "dedup_minhash_pairs" -> ((s, dir) =>
+      roundCols(Dedup.minhashVerifiedPairs(corpus(s, dir), "id", col("text"),
+        k = 3, numHashes = 8, bands = 4, threshold = 0.5), Seq("jaccard"))),
+
+    "dedup_simhash_pairs" -> ((s, dir) =>
+      Dedup.simhashPairs(corpus(s, dir), "id", col("text"), maxHamming = 3)),
+
+    "dedup_ngram_jaccard" -> ((s, dir) =>
+      roundCols(Dedup.exactJaccardPairs(
+        Tables.read(s, dir, "documents").filter(col("doc_id") < 60), "doc_id",
+        col("text"), 2).filter(col("jaccard") >= 0.02), Seq("jaccard"))),
+
+    "dedup_embedding_pairs" -> ((s, dir) =>
+      roundCols(Dedup.exactCosinePairs(
+        Tables.read(s, dir, "embeddings").filter(col("vec_id") < 300)
+          .select(col("vec_id").as("id"), col("embedding").as("vector")),
+        "id", "vector").filter(col("cosine") >= 0.35), Seq("cosine"))),
+
+    // LSH-bucketed near-dup + ANN paths (approximate candidate sets; no
+    // SQL oracle — overlap/recall asserted in ScalaTest)
+    "dedup_embedding_lsh" -> ((s, dir) =>
+      roundCols(Dedup.embeddingPairs(
+        Tables.read(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding").as("vector")),
+        "id", "vector", CosineLsh.LshConfig(bands = 24, bitsPerBand = 6),
+        threshold = 0.3), Seq("cosine"))),
+
+    "ann_lsh_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(CosineLsh.search(coll, config,
+        CosineLsh.LshConfig(bands = 24, bitsPerBand = 6), q, 10).drop("metadata"),
+        Seq("score", "distance"))
+    }),
+
+    // ---- multimodal plumbing (deterministic stub codec)
+    "mm_decode_meta" -> ((s, dir) => {
+      val media = Multimodal.documentsAsMedia(
+        Tables.read(s, dir, "documents").filter(col("doc_id") < 100))
+      val dec = Multimodal.decodeImages(media, "payload", batchSize = 32)
+      roundCols(dec.select(col("doc_id"), col("width"), col("height"),
+        col("channels"), col("n_bytes"),
+        element_at(col("features"), 1).cast("double").as("f0"),
+        element_at(col("features"), 2).cast("double").as("f1"),
+        element_at(col("features"), 3).cast("double").as("f2"),
+        element_at(col("features"), 4).cast("double").as("f3")),
+        Seq("f0", "f1", "f2", "f3"))
+    }),
+
+    // ---- event streams
+    "events_windowed" -> ((s, dir) =>
+      roundCols(EventStreams.windowedStats(events(s, dir), 3600L),
+        Seq("sum_value"))),
+
+    "events_sessionize" -> ((s, dir) => {
+      val sess = EventStreams.sessionize(events(s, dir), gapSeconds = 1800L)
+      sess.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("n_events")).as("n_events_total"),
+          max(col("n_events")).as("max_session_events"))
+    }),
+
+    "events_json_extract" -> ((s, dir) =>
+      events(s, dir)
+        .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))),
+
+    // ---- relational / analytical (the 100 TB shapes: scan-agg,
+    // broadcast star join, window top-k)
+    "agg_pricing_summary" -> ((s, dir) => {
+      val li = Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+      roundCols(li.groupBy(col("l_returnflag"), col("l_linestatus")).agg(
+        sum(col("l_quantity")).as("sum_qty"),
+        moneySum(col("l_extendedprice")).as("sum_base"),
+        discountedSum(col("l_extendedprice"), col("l_discount")).as("sum_disc_price"),
+        (sum(col("l_quantity")) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("cnt")), Seq("avg_qty"))
+    }),
+
+    "join_revenue_by_nation" -> ((s, dir) => {
+      val cust = Tables.read(s, dir, "customer")
+      val ord = Tables.read(s, dir, "orders")
+      val li = Tables.read(s, dir, "lineitem")
+      val nat = Tables.read(s, dir, "nation")
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(cust.hint("broadcast"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"))
+        .agg(discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
+          countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    "window_top_orders" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      Tables.read(s, dir, "orders")
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"), col("rk"))
+    }),
+
+    // ---- store lifecycle (snapshot -> load -> validate)
+    "store_roundtrip" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val path = "/tmp/graft_snapshot_roundtrip"
+      graft.store.CollectionStore.snapshot(coll, config, path)
+      val (loaded, cfg) = graft.store.CollectionStore.load(s, path,
+        overrides = Map("name" -> "reloaded", "score" -> "similarity"))
+      loaded.agg(count(lit(1)).as("cnt")).select(
+        col("cnt"), lit(cfg.dimensions).as("dimensions"),
+        lit(cfg.metric.name).as("metric"),
+        lit(cfg.effectiveNormalize.name).as("normalize"),
+        lit(cfg.name).as("name"), lit(cfg.score.name).as("score"))
+    })
+  )
+
+  // ======================================================== oracle SQL
+
+  private val tokensSql = "string_split_regex(trim(text), '\\s+')"
+  private def shinglesSql(k: Int): String =
+    s"list_transform(range(0, greatest(len(toks)-$k,0)+1), i -> array_to_string(toks[i+1:i+$k], ' '))"
+  private val enList = TextAnalysis.profiles.toMap.apply("en").map("'" + _ + "'").mkString(",")
+
+  private def langCount(lang: String): String = {
+    val words = TextAnalysis.profiles.toMap.apply(lang).map("'" + _ + "'").mkString(",")
+    s"len(list_filter(toks, t -> t IN ($words)))"
+  }
+
+  private val simhashSql =
+    """bits AS (SELECT id, b,
+         SUM(CASE WHEN ((strpos('0123456789abcdef', substr(md5(tok), b//4 + 1, 1)) - 1) >> (3 - b%4)) & 1 = 1 THEN 1 ELSE -1 END) AS vote
+         FROM toks, range(0, 64) r(b) GROUP BY id, b),
+       words AS (SELECT id, list_sum(list_transform(list_sort(list_zip(list(b), list(vote))),
+         z -> CASE WHEN z[2] >= 0 THEN 1::HUGEINT << (63 - z[1]) ELSE 0::HUGEINT END)) AS w
+         FROM bits GROUP BY id),
+       sh AS (SELECT id, CAST(CASE WHEN w >= (1::HUGEINT << 63) THEN w - (1::HUGEINT << 64) ELSE w END AS BIGINT) AS simhash FROM words)"""
+
+  private def minhashSigSql(numHashes: Int): String =
+    "[" + (0 until numHashes).map(i =>
+      s"list_min(list_transform(sh, s -> md5('$i:' || s)))").mkString(", ") + "]"
+
+  private def minhashBandsSql(bands: Int, rows: Int): String =
+    "[" + (0 until bands).map { b =>
+      val parts = (0 until rows).map(r => s"sig[${b * rows + r + 1}]").mkString(" || '|' || ")
+      s"md5('$b:' || $parts)"
+    }.mkString(", ") + "]"
+
+  def oracleSql: Map[String, String] = Map(
+
+    "text_stats" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
+         m AS (SELECT doc_id, len(toks) AS n_tokens,
+           CAST(len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\\s]')) AS INT) AS n_regex_tokens,
+           CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS INT) AS n_punct,
+           CAST(len(list_filter(toks, t -> t IN ($enList))) AS DOUBLE) / greatest(len(toks), 1) AS stop_ratio,
+           CAST(length(text) AS DOUBLE) AS n_chars FROM t)
+         SELECT doc_id, n_tokens, n_regex_tokens, n_punct,
+           (round(stop_ratio, 6) + 0) AS stop_ratio,
+           (round(0.4 * least(1.0, CAST(greatest(n_tokens,1) AS DOUBLE) / 20.0)
+                + 0.4 * least(1.0, stop_ratio * 4.0)
+                + 0.2 * (1.0 - least(1.0, (CAST(n_punct AS DOUBLE) / greatest(n_chars, 1)) * 5.0)), 6) + 0) AS quality
+         FROM m ORDER BY doc_id""",
+
+    "text_langid" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         c AS (SELECT doc_id, ${langCount("de")} AS cde, ${langCount("en")} AS cen,
+                ${langCount("es")} AS ces, ${langCount("fr")} AS cfr FROM t)
+         SELECT doc_id, CASE WHEN greatest(cde, cen, ces, cfr) = 0 THEN 'und'
+           WHEN cde = greatest(cde, cen, ces, cfr) THEN 'de'
+           WHEN cen = greatest(cde, cen, ces, cfr) THEN 'en'
+           WHEN ces = greatest(cde, cen, ces, cfr) THEN 'es'
+           ELSE 'fr' END AS lang_detected
+         FROM c ORDER BY doc_id""",
+
+    "text_fingerprint" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)
+         SELECT doc_id, md5(text) AS fp_md5,
+           list_min(list_transform(${shinglesSql(3)}, s -> md5(s))) AS fp_shingle
+         FROM t ORDER BY doc_id""",
+
+    "text_simhash" ->
+      s"""WITH toks AS (SELECT doc_id AS id, unnest($tokensSql) AS tok FROM documents),
+         $simhashSql
+         SELECT id AS doc_id, simhash FROM sh ORDER BY id""",
+
+    "dedup_exact" ->
+      s"""WITH corpus AS ($corpusSql)
+         SELECT id, min(id) OVER (PARTITION BY md5(text)) AS canonical_id,
+           id != min(id) OVER (PARTITION BY md5(text)) AS is_dup
+         FROM corpus ORDER BY id""",
+
+    "dedup_minhash_pairs" ->
+      s"""WITH corpus AS ($corpusSql),
+         t AS (SELECT id, $tokensSql AS toks FROM corpus),
+         shs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM t),
+         sig AS (SELECT id, sh, ${minhashSigSql(8)} AS sig FROM shs),
+         bandt AS (SELECT id, unnest(${minhashBandsSql(4, 2)}) AS band FROM sig),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bandt a JOIN bandt b ON a.band = b.band AND a.id < b.id),
+         ver AS (SELECT id_a, id_b,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+           FROM cand JOIN shs sa ON sa.id = cand.id_a JOIN shs sb ON sb.id = cand.id_b)
+         SELECT id_a, id_b, (round(jaccard, 6) + 0) AS jaccard FROM ver WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+    "dedup_simhash_pairs" ->
+      s"""WITH corpus AS ($corpusSql),
+         toks AS (SELECT id, unnest($tokensSql) AS tok FROM (SELECT id, text FROM corpus) c),
+         $simhashSql,
+         banded AS (SELECT id, simhash, unnest([
+           '0:' || CAST((simhash >> 0) & 65535 AS VARCHAR),
+           '1:' || CAST((simhash >> 16) & 65535 AS VARCHAR),
+           '2:' || CAST((simhash >> 32) & 65535 AS VARCHAR),
+           '3:' || CAST((simhash >> 48) & 65535 AS VARCHAR)]) AS band FROM sh),
+         pairs AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b,
+             bit_count(xor(a.simhash, b.simhash)) AS hamming
+           FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id)
+         SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    "dedup_ngram_jaccard" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id < 60),
+         shs AS (SELECT doc_id, list_distinct(${shinglesSql(2)}) AS sh FROM t)
+         SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+           (round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))), 6) + 0) AS jaccard
+         FROM shs a, shs b WHERE a.doc_id < b.doc_id
+           AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
+         ORDER BY id_a, id_b""",
+
+    "dedup_embedding_pairs" ->
+      s"""WITH n AS (SELECT vec_id AS id,
+           list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv
+           FROM embeddings WHERE vec_id < 300),
+         p AS (SELECT a.id AS id_a, b.id AS id_b,
+           list_sum(list_transform(range(1, len(a.nv)+1), i -> CAST(a.nv[i] AS DOUBLE) * CAST(b.nv[i] AS DOUBLE))) AS cosine
+           FROM n a, n b WHERE a.id < b.id)
+         SELECT id_a, id_b, (round(cosine, 6) + 0) AS cosine FROM p WHERE cosine >= 0.35 ORDER BY id_a, id_b""",
+
+    "mm_decode_meta" ->
+      s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n, md5(text) AS h FROM documents WHERE doc_id < 100),
+         f AS (SELECT doc_id, n, h,
+           list_transform(range(0, 4), i ->
+             (16 * (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1)
+              + (strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1)) / 255.0) AS fs
+           FROM m)
+         SELECT doc_id, CAST(64 + n % 448 AS INT) AS width, CAST(64 + (n * 7) % 448 AS INT) AS height,
+           3 AS channels, CAST(n AS BIGINT) AS n_bytes,
+           (round(CAST(CAST(fs[1] AS FLOAT) AS DOUBLE), 6) + 0) AS f0,
+           (round(CAST(CAST(fs[2] AS FLOAT) AS DOUBLE), 6) + 0) AS f1,
+           (round(CAST(CAST(fs[3] AS FLOAT) AS DOUBLE), 6) + 0) AS f2,
+           (round(CAST(CAST(fs[4] AS FLOAT) AS DOUBLE), 6) + 0) AS f3
+         FROM f ORDER BY doc_id""",
+
+    "events_windowed" ->
+      s"""WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value FROM events)
+         SELECT sec - (sec % 3600) AS window_start_epoch, event_type,
+           CAST(count(*) AS BIGINT) AS cnt, (round(sum(value), 6) + 0) AS sum_value
+         FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "events_sessionize" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS ns FROM events),
+         g AS (SELECT user_id, ns,
+           CASE WHEN lag(ns) OVER w IS NULL THEN 1
+                WHEN ns - lag(ns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ns)),
+         s AS (SELECT user_id, sum(new_s) OVER (PARTITION BY user_id ORDER BY ns ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+         per AS (SELECT user_id, sid, count(*) AS n FROM s GROUP BY user_id, sid)
+         SELECT user_id, CAST(count(*) AS BIGINT) AS n_sessions,
+           CAST(sum(n) AS BIGINT) AS n_events_total,
+           CAST(max(n) AS BIGINT) AS max_session_events
+         FROM per GROUP BY user_id ORDER BY user_id""",
+
+    "events_json_extract" ->
+      s"""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
+           CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
+         FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "agg_pricing_summary" ->
+      s"""SELECT l_returnflag, l_linestatus,
+           sum(l_quantity) AS sum_qty,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc_price,
+           (round(sum(l_quantity) / count(*), 6) + 0) AS avg_qty,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+         GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus""",
+
+    "join_revenue_by_nation" ->
+      s"""SELECT n_name,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+           CAST(count(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+           JOIN nation ON c_nationkey = n_nationkey
+         GROUP BY n_name ORDER BY n_name""",
+
+    "window_top_orders" ->
+      s"""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
+           SELECT o_custkey, o_orderkey, o_totalprice,
+             row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
+           FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+
+    "store_roundtrip" ->
+      s"""SELECT CAST(count(*) AS BIGINT) AS cnt,
+           CAST(max(len(embedding)) AS INT) AS dimensions,
+           'cosine' AS metric, 'l2' AS normalize,
+           'reloaded' AS name, 'similarity' AS score
+         FROM embeddings"""
+  )
+}

@@ -1,0 +1,166 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.ann.CosineLsh
+import graft.core.{CollectionConfig, Metric}
+import graft.functions.VectorFunctions._
+import graft.text.TextAnalysis
+
+/** Deduplication operators for training-data pipelines.
+  *
+  * Scale design: every near-dup variant is candidate-generation by LSH
+  * banding (shuffle on SMALL keys: band hashes, never documents) followed
+  * by exact verification restricted to candidate pairs. Exact dedup is a
+  * single hash-aggregate. Nothing ever does an all-pairs join except the
+  * explicitly-named `exactJaccardPairs` verification helper.
+  */
+object Dedup {
+
+  // ------------------------------------------------------------ exact
+
+  /** Exact dedup on a key: marks each row with the canonical (minimum)
+    * id of its duplicate group and an is_dup flag. One shuffle on the
+    * md5 of the key. */
+  def exactDuplicates(df: DataFrame, idCol: String, keyCol: Column): DataFrame = {
+    val w = Window.partitionBy(md5(keyCol))
+    df.withColumn("canonical_id", min(col(idCol)).over(w))
+      .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
+  }
+
+  /** Keep only canonical rows (first by id within each duplicate group). */
+  def dropExactDuplicates(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
+    exactDuplicates(df, idCol, keyCol).filter(!col("is_dup"))
+      .drop("canonical_id", "is_dup")
+
+  // ---------------------------------------------------- n-gram Jaccard
+
+  /** Exact k-shingle Jaccard for all pairs of a (small) frame — the
+    * verification kernel and test oracle. O(n^2): use the minhash path
+    * for anything big. */
+  def exactJaccardPairs(df: DataFrame, idCol: String, textCol: Column,
+      k: Int): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"),
+      array_distinct(TextAnalysis.shingles(textCol, k)).as("sh"))
+    val a = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  // ----------------------------------------------------------- MinHash
+
+  /** MinHash+LSH candidate pairs: signature -> band keys -> self-join on
+    * band key (a<b), distinct. The only shuffled payload is
+    * (band_hash, id). */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: Column,
+      k: Int, numHashes: Int, bands: Int): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sig = df.select(col(idCol).as("id"),
+      TextAnalysis.minhashBands(
+        TextAnalysis.minhashSignature(textCol, k, numHashes), bands, rows).as("bands"))
+    val exploded = sig.select(col("id"), explode(col("bands")).as("band"))
+    val a = exploded.select(col("band"), col("id").as("id_a"))
+    val b = exploded.select(col("band"), col("id").as("id_b"))
+    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+  }
+
+  /** MinHash dedup: LSH candidates verified by exact shingle Jaccard at
+    * `threshold`. Returns (id_a, id_b, jaccard) for verified pairs. */
+  def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: Column,
+      k: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, k, numHashes, bands)
+    val sh = df.select(col(idCol).as("sid"),
+      array_distinct(TextAnalysis.shingles(textCol, k)).as("sh"))
+    cands
+      .join(sh.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
+      .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id_a", "id_b", "jaccard")
+  }
+
+  /** Connected components over verified pairs by iterative min-label
+    * propagation (converges in O(log(diameter)) rounds; dup clusters are
+    * tiny so 5 rounds is far beyond enough). Returns (id, cluster_id). */
+  def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
+      maxIter: Int = 5): DataFrame = {
+    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+    var labels = df.select(col(idCol).as("id"))
+      .withColumn("cluster_id", col("id")).cache()
+    var i = 0
+    while (i < maxIter) {
+      val viaEdge = edges.join(labels, edges("dst") === labels("id"))
+        .groupBy(col("src").as("id2")).agg(min("cluster_id").as("edge_min"))
+      val next = labels.join(viaEdge, labels("id") === viaEdge("id2"), "left")
+        .select(col("id"),
+          least(col("cluster_id"), coalesce(col("edge_min"), col("cluster_id")))
+            .as("cluster_id")).cache()
+      labels = next
+      i += 1
+    }
+    labels
+  }
+
+  // ----------------------------------------------------------- SimHash
+
+  /** SimHash near-dup pairs: candidates share one of 4 16-bit bands of
+    * the 64-bit simhash (guarantees recall for hamming <= 3), verified by
+    * popcount(xor) <= maxHamming. */
+  def simhashPairs(df: DataFrame, idCol: String, textCol: Column,
+      maxHamming: Int): DataFrame = {
+    val withSh = df.select(col(idCol).as("id"),
+      TextAnalysis.simhash64(textCol).as("sh"))
+    val banded = withSh.withColumn("band",
+      explode(array((0 until 4).map(b =>
+        concat(lit(s"$b:"), shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)))): _*)))
+    val a = banded.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------- embedding cosine near-dup
+
+  /** Embedding near-dup pairs via cosine LSH banding + exact cosine
+    * verification. `df` needs (id, vector); vectors are L2-normalized
+    * here so verification is a plain dot. */
+  def embeddingPairs(df: DataFrame, idCol: String, vectorCol: String,
+      lsh: CosineLsh.LshConfig, threshold: Double): DataFrame = {
+    val n = df.select(col(idCol).as("id"),
+      normalizeVector(graft.core.Normalize.L2, col(vectorCol)).as("nv"))
+    val banded = CosineLsh.withSignatures(n, lsh, "nv")
+      .select(col("id"), col("nv"), explode(col("lsh_bands")).as("band"))
+    val a = banded.select(col("band"), col("id").as("id_a"), col("nv").as("nv_a"))
+    val b = banded.select(col("band"), col("id").as("id_b"), col("nv").as("nv_b"))
+    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cosine", vecDistance(Metric.InnerProduct, col("nv_a"), col("nv_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cosine")
+  }
+
+  /** Exact all-pairs cosine for a small frame (verification oracle). */
+  def exactCosinePairs(df: DataFrame, idCol: String, vectorCol: String): DataFrame = {
+    val n = df.select(col(idCol).as("id"),
+      normalizeVector(graft.core.Normalize.L2, col(vectorCol)).as("nv"))
+    val a = n.select(col("id").as("id_a"), col("nv").as("nv_a"))
+    val b = n.select(col("id").as("id_b"), col("nv").as("nv_b"))
+    a.join(b, col("id_a") < col("id_b"))
+      .withColumn("cosine", vecDistance(Metric.InnerProduct, col("nv_a"), col("nv_b")))
+      .select("id_a", "id_b", "cosine")
+  }
+}

@@ -1,0 +1,74 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.catalyst.encoders.RowEncoder
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal column plumbing: media as opaque `binary` columns with
+  * typed metadata, decoded/feature-extracted in partition-local batches.
+  *
+  * The Spark side — schema, partitioning, batch shape (fixed-size chunks
+  * inside mapPartitions, the same contract as `mapInPandas` batches) — is
+  * real and tested. The codec itself is a clearly-marked deterministic
+  * STUB (`decodeImageStub`): this container has no image/audio libraries,
+  * so the stub derives metadata and an 8-dim feature vector from the
+  * bytes (md5-based) with arithmetic simple enough to mirror in the SQL
+  * oracle. Swapping in a real codec changes ONLY the stub body; every
+  * schema/batching/partitioning decision stays.
+  */
+object Multimodal {
+
+  val decodedSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("features", ArrayType(FloatType, containsNull = false), nullable = false)))
+
+  /** STUB image decode: deterministic metadata + features from payload
+    * bytes. A real implementation would decode the codec header and run
+    * a feature extractor over pixel data; the signature and batch shape
+    * are what the pipeline depends on. */
+  def decodeImageStub(payload: Array[Byte]): Row = {
+    val n = payload.length.toLong
+    val width = 64 + (n % 448L).toInt
+    val height = 64 + ((n * 7L) % 448L).toInt
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val features = digest.take(8).map(b => (b & 0xFF).toFloat / 255.0f)
+    Row(width, height, 3, n, features.toSeq)
+  }
+
+  /** Decode a binary column in partition-local batches of `batchSize`
+    * rows (bounded memory per task — the same reason mapInPandas batches
+    * arrow record-batches). Appends the decoded struct columns. */
+  def decodeImages(df: DataFrame, payloadCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val inputSchema = df.schema
+    val outSchema = StructType(inputSchema.fields ++ decodedSchema.fields)
+    val payloadIdx = inputSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        // a real codec would decode the whole batch in one native call
+        batch.map { row =>
+          val decoded = decodeImageStub(row.getAs[Array[Byte]](payloadIdx))
+          Row.fromSeq(row.toSeq ++ decoded.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Frame sampling STUB for video payloads: deterministic frame index
+    * list (every `stride`-th "frame" of n_frames derived from length). */
+  def sampleFrameIndexes(df: DataFrame, payloadCol: String, stride: Int): DataFrame =
+    df.withColumn("n_frames", (length(col(payloadCol)) % 240 + 1).cast("int"))
+      .withColumn("frame_indexes",
+        sequence(lit(0), col("n_frames") - 1, lit(stride)))
+
+  /** Adapt the documents table into a fake media table: payload bytes are
+    * the UTF-8 text (stands in for image bytes; deterministic). */
+  def documentsAsMedia(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast(BinaryType).as("payload"),
+      col("source"))
+}

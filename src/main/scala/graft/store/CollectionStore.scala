@@ -1,0 +1,89 @@
+package graft.store
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core._
+import graft.prepare.Prepare
+
+/** Collection persistence: Parquet data + a JSON config sidecar
+  * (reference: snapshot/2 + load_snapshot/2, collection.ex:135-164,
+  * 376-433; SURVEY §2.1).
+  *
+  * Spark's job-commit protocol (_SUCCESS + task-attempt rename) replaces
+  * the reference's temp-file+rename atomicity; Parquet footer checksums
+  * replace its md5 extended_info. Load runs the same full-record
+  * validation pass the reference performs (collection.ex:1184-1203) and
+  * "rebuilds the index" by recomputing derived columns from canonical
+  * data — the exact contract of the reference's rebuild-on-load.
+  */
+object CollectionStore {
+
+  val ConfigFile = "_graft_config.json"
+
+  /** Keys a load may override (collection.ex:54): structural fields
+    * (dimensions, metric, normalize, compressed) are immutable. */
+  val OverridableKeys: Set[String] = Set("name", "index", "score")
+
+  private def configJson(c: CollectionConfig): String = {
+    def q(s: String) = "\"" + s + "\""
+    s"""{${q("snapshot_version")}: 1, ${q("name")}: ${q(c.name)}, ${q("dimensions")}: ${c.dimensions}, ${q("metric")}: ${q(c.metric.name)}, ${q("normalize")}: ${q(c.effectiveNormalize.name)}, ${q("score")}: ${q(c.score.name)}, ${q("index")}: ${q(c.index)}, ${q("compressed")}: ${c.compressed}}"""
+  }
+
+  private def parseConfig(json: String): CollectionConfig = {
+    def str(key: String): String = {
+      val m = ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r
+      m.findFirstMatchIn(json).map(_.group(1))
+        .getOrElse(throw new IllegalArgumentException(s"config missing $key"))
+    }
+    def int(key: String): Int = {
+      val m = ("\"" + key + "\"\\s*:\\s*(\\d+)").r
+      m.findFirstMatchIn(json).map(_.group(1).toInt)
+        .getOrElse(throw new IllegalArgumentException(s"config missing $key"))
+    }
+    def bool(key: String): Boolean =
+      ("\"" + key + "\"\\s*:\\s*true").r.findFirstIn(json).isDefined
+    CollectionConfig(str("name"), int("dimensions"), Metric.fromName(str("metric")),
+      Some(Normalize.fromName(str("normalize"))), ScoreMode.fromName(str("score")),
+      str("index"), bool("compressed"))
+  }
+
+  /** Snapshot the collection: parquet + config sidecar. */
+  def snapshot(df: DataFrame, config: CollectionConfig, path: String): Unit = {
+    df.write.mode("overwrite").parquet(path)
+    val spark = df.sparkSession
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(path, ConfigFile), true)
+    try out.write(configJson(config).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Load a snapshot: read config sidecar, apply (whitelisted) overrides,
+    * validate every record against the config, recompute derived columns
+    * that are missing. Throws on corrupt rows like the reference's
+    * verify-on-load. */
+  def load(spark: SparkSession, path: String,
+      overrides: Map[String, String] = Map.empty): (DataFrame, CollectionConfig) = {
+    val bad = overrides.keySet.diff(OverridableKeys)
+    require(bad.isEmpty, s"override keys not allowed: ${bad.mkString(",")}")
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(path, ConfigFile))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    val base = parseConfig(json)
+    val config = base.copy(
+      name = overrides.getOrElse("name", base.name),
+      index = overrides.getOrElse("index", base.index),
+      score = overrides.get("score").map(ScoreMode.fromName).getOrElse(base.score))
+
+    var df = spark.read.parquet(path)
+    val invalid = Prepare.invalidRows(df, config).limit(1).collect()
+    if (invalid.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot contains invalid record id=${invalid.head.getAs[String]("id")}")
+    // rebuild derived acceleration state from canonical columns
+    if (!df.columns.contains("binary_vector"))
+      df = df.withColumn("binary_vector",
+        graft.functions.VectorFunctions.packSignBits(col("vector")))
+    (df, config)
+  }
+}

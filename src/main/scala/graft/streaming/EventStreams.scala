@@ -1,0 +1,87 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.DataStreamWriter
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Event-stream operators. The reference has no streaming surface
+  * (SURVEY §2.9), so this module covers the training-pipeline side:
+  * windowed aggregation and sessionization, written once as batch
+  * transforms and reusable verbatim under Structured Streaming
+  * (readStream -> same transform -> writeStream).
+  *
+  * Timestamps: the test tables store nanosecond parquet timestamps,
+  * which Spark reads only as raw Long nanos
+  * (spark.sql.legacy.parquet.nanosAsLong). All gap/window arithmetic here
+  * is exact integer nanos — no precision cliff between engines.
+  */
+object EventStreams {
+
+  /** Nanos column from either a Long-nanos or Timestamp column. */
+  private def nanos(df: DataFrame, tsCol: String) =
+    df.schema(tsCol).dataType match {
+      case LongType => col(tsCol)
+      case _        => unix_micros(col(tsCol)) * lit(1000L)
+    }
+
+  /** Tumbling-window counts/sums per event type. Window start is emitted
+    * as epoch seconds (exact integer). */
+  def windowedStats(events: DataFrame, windowSeconds: Long = 3600L,
+      tsCol: String = "ts"): DataFrame = {
+    // integer `div`, not fp division: epoch nanos overflow double's 2^53
+    val withSec = events.withColumn("_ns", nanos(events, tsCol))
+      .withColumn("_sec", expr("_ns div 1000000000"))
+    withSec.groupBy(
+      (col("_sec") - pmod(col("_sec"), lit(windowSeconds))).as("window_start_epoch"),
+      col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+  }
+
+  /** Gap-based sessionization: a new session starts when the nanosecond
+    * gap to the user's previous event exceeds `gapSeconds`. One shuffle
+    * on user_id. Returns one row per (user, session). */
+  def sessionize(events: DataFrame, gapSeconds: Long,
+      tsCol: String = "ts"): DataFrame = {
+    val ns = nanos(events, tsCol)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("_ts_ns"))
+    val withGap = events.withColumn("_ts_ns", ns)
+      .withColumn("_prev", lag(col("_ts_ns"), 1).over(byUser))
+      .withColumn("_new_session",
+        when(col("_prev").isNull, 1)
+          .when(col("_ts_ns") - col("_prev") > gapSeconds * 1000000000L, 1)
+          .otherwise(0))
+      .withColumn("session_idx", sum(col("_new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withGap.groupBy(col("user_id"), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col("_ts_ns")).as("session_start_ns"),
+        max(col("_ts_ns")).as("session_end_ns"),
+        sum(col("value")).as("session_value"))
+  }
+
+  /** Streaming form of windowedStats over a Timestamp column source:
+    * watermark + tumbling window. Used with Trigger.AvailableNow in
+    * tests; identical plan consumes a live source incrementally. */
+  def streamingWindowedStats(spark: SparkSession, dir: String,
+      schema: StructType, windowLength: String = "1 hour",
+      tsCol: String = "ts"): DataFrame = {
+    val stream = spark.readStream.schema(schema).parquet(dir)
+    stream.withWatermark(tsCol, "2 hours")
+      .groupBy(window(col(tsCol), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+  }
+
+  /** Run a streaming frame to a memory sink until all available data is
+    * processed (test harness). */
+  def runAvailableNow(df: DataFrame, queryName: String): Unit = {
+    val q: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
+      .format("memory").queryName(queryName).outputMode("complete")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    val query = q.start()
+    query.awaitTermination()
+  }
+}

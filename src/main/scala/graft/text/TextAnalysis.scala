@@ -1,0 +1,130 @@
+package graft.text
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text analysis for large-scale training-data pipelines: tokenization,
+  * quality scoring, language ID, fingerprinting. Everything is a
+  * composition of codegen'd built-ins (split/transform/aggregate/md5) —
+  * no UDF in any per-row path except simhash (bit loop), so plans stay
+  * inside whole-stage codegen and scale linearly with partitions.
+  *
+  * Every function has an exact DuckDB-SQL mirror (same md5, same
+  * arithmetic) so results are oracle-checkable row by row.
+  */
+object TextAnalysis {
+
+  /** Whitespace tokens (multiplicity preserved). */
+  def tokens(text: Column): Column = split(trim(text), "\\s+")
+
+  /** BPE-ish regex token count: words + standalone punctuation. */
+  def regexTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
+
+  def wordCount(text: Column): Column = size(tokens(text))
+
+  def punctCount(text: Column): Column =
+    regexp_count(text, lit("[^A-Za-z0-9\\s]"))
+
+  /** Tiny stopword profiles for the language-ID heuristic. Deliberately
+    * small + public knowledge (top function words per language). */
+  val profiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq("der", "die", "und", "das", "ist", "nicht", "mit", "ein", "zu", "den"),
+    "en" -> Seq("the", "of", "and", "to", "a", "in", "is", "it", "you", "that"),
+    "es" -> Seq("el", "la", "de", "que", "y", "en", "un", "los", "se", "no"),
+    "fr" -> Seq("le", "la", "de", "et", "les", "des", "un", "une", "est", "dans"))
+
+  private def hitCount(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isin(words: _*)))
+
+  /** Stopword-hit ratio against the English profile (quality signal). */
+  def stopwordRatio(text: Column): Column = {
+    val toks = tokens(text)
+    hitCount(toks, profiles.toMap.apply("en")).cast("double") /
+      greatest(size(toks), lit(1)).cast("double")
+  }
+
+  /** n-gram-free language ID: argmax of profile hits, ties broken by
+    * language code (profiles scanned in sorted order), zero hits -> 'und'. */
+  def langId(text: Column): Column = {
+    val toks = tokens(text)
+    val scored = profiles.map { case (lang, words) => (lang, hitCount(toks, words)) }
+    // fold keeping the strictly-greater max: first (alphabetical) wins ties
+    scored.foldLeft((lit("und"), lit(0))) { case ((bestLang, bestHits), (lang, hits)) =>
+      (when(hits > bestHits, lit(lang)).otherwise(bestLang),
+        when(hits > bestHits, hits).otherwise(bestHits))
+    }._1
+  }
+
+  /** Composite quality score in [0,1]:
+    * 0.4*min(1, tokens/20) + 0.4*min(1, 4*stopword_ratio)
+    * + 0.2*(1 - min(1, 5*punct_ratio)). */
+  def qualityScore(text: Column): Column = {
+    val nTok = greatest(wordCount(text), lit(1)).cast("double")
+    val lenSig = least(lit(1.0), nTok / lit(20.0))
+    val stopSig = least(lit(1.0), stopwordRatio(text) * lit(4.0))
+    val punctRatio = punctCount(text).cast("double") / greatest(length(text), lit(1)).cast("double")
+    val punctSig = lit(1.0) - least(lit(1.0), punctRatio * lit(5.0))
+    lit(0.4) * lenSig + lit(0.4) * stopSig + lit(0.2) * punctSig
+  }
+
+  /** Exact-dup fingerprint. */
+  def fingerprintMd5(text: Column): Column = md5(text)
+
+  /** Word k-shingles (contiguous, space-joined); short texts collapse to
+    * one whole-text shingle. */
+  def shingles(text: Column, k: Int): Column = {
+    val toks = tokens(text)
+    transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
+      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
+  }
+
+  /** Rolling w-shingling fingerprint: the minimum md5 over k-shingles —
+    * one deterministic representative per document (a 1-hash MinHash). */
+  def minShingleFingerprint(text: Column, k: Int): Column =
+    array_min(transform(shingles(text, k), s => md5(s)))
+
+  /** MinHash signature: component i = min over shingles of
+    * md5(i ':' shingle). Hex-string min is a valid uniform-hash min, and
+    * is reproducible bit-for-bit in any engine with md5. */
+  def minhashSignature(text: Column, k: Int, numHashes: Int): Column = {
+    val sh = array_distinct(shingles(text, k))
+    array((0 until numHashes).map(i =>
+      array_min(transform(sh, s => md5(concat(lit(s"$i:"), s))))): _*)
+  }
+
+  /** LSH band keys over a minhash signature: md5 of the joined rows of
+    * each band, prefixed with the band index. */
+  def minhashBands(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      md5(concat(lit(s"$b:"), concat_ws("|",
+        slice(sig, b * rowsPerBand + 1, rowsPerBand))))): _*)
+
+  /** 64-bit SimHash over whitespace tokens (multiplicity-weighted): bit b
+    * of each token's md5 votes +1/-1; sign of the vote sum sets result
+    * bit b (MSB-first). Engine-portable: same md5, same bit order. */
+  def simhash64(text: Column): Column = {
+    val f = udf((toks: Seq[String]) => simhash64Scala(toks))
+    f(tokens(text))
+  }
+
+  def simhash64Scala(toks: Seq[String]): Long = {
+    val votes = new Array[Int](64)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    toks.foreach { t =>
+      val hex = digest.digest(t.getBytes("UTF-8"))
+        .take(8).map(b => f"$b%02x").mkString
+      var b = 0
+      while (b < 64) {
+        val digit = Character.digit(hex.charAt(b / 4), 16)
+        val bit = (digit >> (3 - b % 4)) & 1
+        votes(b) += (if (bit == 1) 1 else -1)
+        b += 1
+      }
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 64) { acc = (acc << 1) | (if (votes(b) >= 0) 1L else 0L); b += 1 }
+    acc
+  }
+}

@@ -1,0 +1,174 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.CosineLsh
+import graft.core.{CollectionConfig, Metric}
+import graft.dedup.Dedup
+import graft.multimodal.Multimodal
+import graft.prepare.Prepare
+import graft.store.CollectionStore
+import graft.streaming.EventStreams
+import graft.text.TextAnalysis
+
+/** Dedup / text / LSH / store / multimodal / streaming behavior. */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val sfDir = "/root/testdata/sf0.001"
+
+  test("LSH ANN: overlap@10 vs exact flat on real embeddings") {
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val lsh = CosineLsh.LshConfig(bands = 24, bitsPerBand = 6)
+    val overlaps = (0L until 5L).map { q =>
+      CosineLsh.overlapAtK(coll, config, lsh, Tables.queryVector(spark, sfDir, q), 10)
+    }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.5, s"mean overlap@10 $mean too low: $overlaps")
+    // candidate set must actually prune (be a strict subset of the scan)
+    val q0 = Search0.prepared(coll, config, Tables.queryVector(spark, sfDir, 0L))
+    val nCands = CosineLsh.withSignatures(coll, lsh)
+      .filter(arrays_overlap(col("lsh_bands"),
+        typedlit(CosineLsh.bandKeys(q0, lsh)))).count()
+    assert(nCands < coll.count(), s"LSH did not prune ($nCands)")
+    coll.unpersist()
+  }
+
+  test("LSH determinism: same plan on different frames, same signatures") {
+    val v = Array.fill(16)(0.25f)
+    val cfg = CosineLsh.LshConfig(bands = 4, bitsPerBand = 8, seed = 7L)
+    assert(CosineLsh.bandKeys(v, cfg).toSeq === CosineLsh.bandKeys(v.clone(), cfg).toSeq)
+    // band keys are namespaced: never collide across bands
+    val keys = CosineLsh.bandKeys(v, cfg)
+    assert(keys.map(_ >> 8).toSeq === (0 until 4))
+  }
+
+  test("exact dedup marks copies, keeps canonical (min id)") {
+    val df = Seq(
+      ("a", "same text here"), ("b", "same text here"), ("c", "unique text")
+    ).toDF("id", "text")
+    val out = Dedup.exactDuplicates(df, "id", col("text"))
+      .select("id", "canonical_id", "is_dup").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2))).toSet
+    assert(out === Set(("a", "a", false), ("b", "a", true), ("c", "c", false)))
+  }
+
+  test("minhash LSH finds near-duplicates, skips dissimilar") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val near = base + " tailtoken"
+    val other = (100 to 140).map(i => s"tok$i").mkString(" ")
+    val df = Seq(("d1", base), ("d2", near), ("d3", other)).toDF("id", "text")
+    val pairs = Dedup.minhashVerifiedPairs(df, "id", col("text"), 3, 8, 4, 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSeq === Seq(("d1", "d2")))
+  }
+
+  test("simhash: identical texts collide, hamming grows with distance") {
+    val t = "alpha beta gamma delta epsilon"
+    assert(TextAnalysis.simhash64Scala(t.split(" ").toSeq) ===
+      TextAnalysis.simhash64Scala(t.split(" ").toSeq))
+    // single-token simhash == first 64 bits of the token's md5 (each bit
+    // gets exactly one +1/-1 vote) — an independent oracle
+    val tok = "hello"
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+      .digest(tok.getBytes("UTF-8"))
+    val expected = java.nio.ByteBuffer.wrap(md5.take(8)).getLong
+    assert(TextAnalysis.simhash64Scala(Seq(tok)) === expected)
+  }
+
+  test("simhash pairs on near-dup corpus") {
+    val base = (1 to 60).map(i => s"tok$i").mkString(" ")
+    val df = Seq(("d1", base), ("d2", base + " x"), ("d3", "totally different words entirely"))
+      .toDF("id", "text")
+    val pairs = Dedup.simhashPairs(df, "id", col("text"), maxHamming = 6)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.contains(("d1", "d2")))
+    assert(!pairs.exists(p => p._1 == "d3" || p._2 == "d3"))
+  }
+
+  test("clusters: min-label propagation merges transitive groups") {
+    val df = Seq("a", "b", "c", "d", "e").toDF("id")
+    val pairs = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("id_a", "id_b")
+    val out = Dedup.clusters(df, "id", pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d", "e" -> "d"))
+  }
+
+  test("langid picks the profile language; und when nothing matches") {
+    val df = Seq(
+      ("1", "the cat sat of the mat and it is that"),
+      ("2", "el perro que corre en la casa y los gatos no se van"),
+      ("3", "qwerty zxcvb asdfgh")).toDF("id", "text")
+    val out = df.select(col("id"), TextAnalysis.langId(col("text")).as("l"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("1" -> "en", "2" -> "es", "3" -> "und"))
+  }
+
+  test("store roundtrip preserves rows and config; overrides whitelisted") {
+    val config = CollectionConfig("c1", 2, Metric.Cosine)
+    val coll = Prepare.prepareEmbeddings(
+      embeddingRows(Seq("a" -> Array(1f, 0f), "b" -> Array(0f, 1f))), config)
+    val path = java.nio.file.Files.createTempDirectory("graft_store").toString
+    CollectionStore.snapshot(coll, config, path)
+    val (loaded, cfg) = CollectionStore.load(spark, path, Map("name" -> "c2"))
+    assert(loaded.count() === 2)
+    assert(cfg.name === "c2")
+    assert(cfg.metric === Metric.Cosine)
+    assert(cfg.dimensions === 2)
+    intercept[IllegalArgumentException] {
+      CollectionStore.load(spark, path, Map("dimensions" -> "99"))
+    }
+  }
+
+  test("store load rejects snapshots with invalid records") {
+    val config = CollectionConfig("c1", 2, Metric.L2)
+    // wrong dimensionality sneaks into the parquet
+    val bad = Prepare.prepareEmbeddings(
+      embeddingRows(Seq("a" -> Array(1f, 0f, 9f))), CollectionConfig("c1", 3, Metric.L2))
+    val path = java.nio.file.Files.createTempDirectory("graft_store_bad").toString
+    CollectionStore.snapshot(bad, config, path)
+    intercept[IllegalStateException] { CollectionStore.load(spark, path) }
+  }
+
+  test("multimodal: batch decode equals per-row stub; schema is typed") {
+    val docs = Seq((1L, "hello world", "s"), (2L, "another payload text", "s"))
+      .toDF("doc_id", "text", "source")
+    val out = Multimodal.decodeImages(Multimodal.documentsAsMedia(docs), "payload",
+      batchSize = 1).collect()
+    assert(out.length === 2)
+    val r = out.find(_.getLong(0) == 1L).get
+    val expect = Multimodal.decodeImageStub("hello world".getBytes("UTF-8"))
+    assert(r.getAs[Int]("width") === expect.getInt(0))
+    assert(r.getAs[Int]("height") === expect.getInt(1))
+    assert(r.getAs[Seq[Float]]("features") === expect.getSeq[Float](4))
+    // frame sampling stub plumbing
+    val frames = Multimodal.sampleFrameIndexes(
+      Multimodal.documentsAsMedia(docs), "payload", stride = 3).collect()
+    assert(frames.forall(_.getAs[Seq[Int]]("frame_indexes").forall(_ % 3 == 0)))
+  }
+
+  test("streaming windowed stats == batch windowed stats (AvailableNow)") {
+    import org.apache.spark.sql.types._
+    val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
+    val rows = Seq(
+      (java.sql.Timestamp.valueOf("2024-01-01 10:05:00"), "click", 1.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 10:55:00"), "click", 2.0),
+      (java.sql.Timestamp.valueOf("2024-01-01 11:05:00"), "view", 3.0))
+    rows.toDF("ts", "event_type", "value").write.mode("overwrite").parquet(dir)
+    val schema = StructType(Seq(StructField("ts", TimestampType),
+      StructField("event_type", StringType), StructField("value", DoubleType)))
+    val streamDf = EventStreams.streamingWindowedStats(spark, dir, schema, "1 hour")
+    EventStreams.runAvailableNow(streamDf, "win_test")
+    val got = spark.sql("SELECT event_type, cnt, sum_value FROM win_test ORDER BY event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
+  }
+}
+
+/** Small helper to expose query preparation for the LSH spec. */
+private object Search0 {
+  def prepared(df: org.apache.spark.sql.DataFrame, config: CollectionConfig,
+      q: Array[Float]): Array[Float] = graft.search.Search.prepareQuery(config, q)
+}
