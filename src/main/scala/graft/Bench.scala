@@ -1,24 +1,170 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.core.{CollectionConfig, Metric}
+import graft.search.Search
+
+/** Benchmark main. Prints ONE JSON line:
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  *
+  * Two benchmark families:
+  *  1. `synth_*`: the reference's published matrix shape — 100k records
+  *     x 384 dims (BASELINE.md: largest published cell), deterministic
+  *     seeded vectors, limit 10, candidates 200, funnel stages
+  *     [96,192,384] (bench/search_modes_bench.exs:262-266). Warmup run +
+  *     median of 3. These are the numbers to hold against BASELINE.md.
+  *  2. `q_*`: every driver query once on SPARK_GRAFT_SF_DIR (end-to-end
+  *     operator latency at the given scale factor, cold plans).
+  */
 object Bench {
+
+  private val SynthRecords = sys.env.getOrElse("GRAFT_BENCH_RECORDS", "100000").toInt
+  private val SynthDims = sys.env.getOrElse("GRAFT_BENCH_DIMS", "384").toInt
+
+  private def mix(a: Long, b: Long): Long = {
+    var x = a ^ java.lang.Long.rotateLeft(b, 31)
+    x += 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** Deterministic pseudo-random vector in [-1,1]^dims (seeded like the
+    * reference's bench corpus idea; exact values don't matter, scale and
+    * distribution do). */
+  def synthVector(id: Long, dims: Int): Array[Float] = {
+    val out = new Array[Float](dims)
+    var d = 0
+    while (d < dims) {
+      out(d) = (((mix(id, d.toLong) >>> 11).toDouble / (1L << 53).toDouble) * 2.0 - 1.0).toFloat
+      d += 1
+    }
+    out
+  }
+
+  private def time(f: => Unit): Double = {
+    val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Warmup once, then median of 3. */
+  private def bench(f: => Unit): Double = {
+    f
+    val ts = Seq(time(f), time(f), time(f)).sorted
+    ts(1)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+    spark.sparkContext.setLogLevel("ERROR")
+    import spark.implicits._
+
+    val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+
+    // ----- family 1: the reference's matrix shape on synthetic vectors
+    val dims = SynthDims
+    val config = CollectionConfig("bench", dims, Metric.Cosine)
+    val genUdf = udf((id: Long) => synthVector(id, dims))
+    val raw = spark.range(SynthRecords).select(
+      col("id").cast("string").as("id"), col("id").cast("string").as("value"),
+      genUdf(col("id")).as("vector"))
+    val coll = graft.prepare.Prepare.prepareEmbeddings(raw, config)
+      .select("id", "value", "vector", "binary_vector") // what search scans
+      .repartition(cpus.toInt).persist()
+    results("synth_ingest_prepare") = time { coll.count() } // includes normalize+pack
+    val q = Search.prepareQuery(config, synthVector(-1L, dims))
+    Search.flatSearch(coll, config, q, 10).collect() // plan+JIT warmup
+
+    results("synth_flat_cosine") = bench {
+      Search.flatSearch(coll, config, q, 10).collect()
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val l2Config = config.copy(metric = Metric.L2, normalize = Some(graft.core.Normalize.None))
+    results("synth_flat_l2") = bench {
+      Search.flatSearch(coll, l2Config, q, 10).collect()
+    }
+    val ipConfig = config.copy(metric = Metric.InnerProduct, normalize = Some(graft.core.Normalize.None))
+    results("synth_flat_ip") = bench {
+      Search.flatSearch(coll, ipConfig, q, 10).collect()
+    }
+    // batch amortization: 64 queries in one job, per-query seconds
+    val queries64 = spark.range(64).select(col("id").cast("string").as("qid"),
+      genUdf(col("id") + 1000000L).as("qvector"))
+    results("synth_flat_cosine_batch64_perq") = bench {
+      Search.flatSearchMany(coll, config, queries64, 10).collect()
+    } / 64.0
+    results("synth_funnel") = bench {
+      Search.funnelSearch(coll, config, q, 10,
+        stages = Seq(dims / 4, dims / 2, dims), candidates = 200).collect()
+    }
+    results("synth_quantized") = bench {
+      Search.quantizedSearch(coll, config, q, 10, candidates = 200).collect()
+    }
+    results("synth_hybrid") = bench {
+      Search.hybridSearch(coll, config, q, 10, candidates = 200,
+        stages = Seq(dims / 4, dims / 2, dims)).collect()
+    }
+    val lshCfg = graft.ann.CosineLsh.LshConfig(bands = 16, bitsPerBand = 10)
+    val lshColl = graft.ann.CosineLsh.withSignatures(coll, lshCfg).persist()
+    lshColl.count()
+    results("synth_lsh_ann") = bench {
+      graft.ann.CosineLsh.search(lshColl, config, lshCfg, q, 10).collect()
+    }
+    results("synth_mmr_rerank") = bench {
+      graft.rerank.Mmr.rerankSearch(spark, coll, config, q, 0.7, 10, 200).collect()
+    }
+    // multi-vector MaxSim: 10k docs x 3 token vectors
+    val mvDocs = spark.range(10000).select(
+      col("id").cast("string").as("id"), col("id").cast("string").as("value"),
+      array(genUdf(col("id")), genUdf(col("id") + 5000000L),
+        genUdf(col("id") + 6000000L)).as("vectors"))
+      .withColumn("vector", element_at(col("vectors"), 1))
+      .persist()
+    mvDocs.count()
+    val mvConfig = CollectionConfig("mv", dims, Metric.InnerProduct)
+    val qvecs = (0 until 4).map(i => synthVector(-10L - i, dims))
+    results("synth_maxsim_10k_docs") = bench {
+      Search.multiVectorSearch(mvDocs, mvConfig, qvecs, 10).collect()
+    }
+    val muvCfg = graft.encode.Muvera.Config(dimension = dims, numRepetitions = 2,
+      numSimhashProjections = 4, seed = 7L, projectionDimension = 16)
+    results("synth_muvera_encode_10k") = bench {
+      mvDocs.select(graft.encode.Muvera.encodeColumn(muvCfg,
+        graft.encode.Muvera.DocumentMode)(col("vectors"))).count()
+    }
+    // FlatIndex acceleration mirror: the hot-loop path (packed primitive
+    // blocks, per-partition bounded heap — reference flat.rs distributed)
+    val t0 = System.nanoTime()
+    val idx = graft.index.FlatIndex.build(coll, config)
+    results("synth_flatindex_build") = (System.nanoTime() - t0) / 1e9
+    results("synth_flatindex_single") = bench {
+      idx.search(q, Metric.Cosine, 10)
+    }
+    val qs64 = (0 until 64).map(i =>
+      i.toString -> Search.prepareQuery(config, synthVector(1000000L + i, dims))).toArray
+    results("synth_flatindex_batch64_perq") = bench {
+      idx.searchMany(qs64, Metric.Cosine, 10)
+    } / 64.0
+    idx.unpersist()
+    coll.unpersist(); lshColl.unpersist(); mvDocs.unpersist()
+
+    // ----- family 2: every driver query once at the given SF
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try results(s"q_$name") = time { fn(spark, sfDir).count() }
+      catch { case _: Throwable => results(s"q_$name") = -1.0 }
+    }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.values.filter(_ > 0).sum
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","synth_records":$SynthRecords,"synth_dims":$SynthDims}""")
     spark.stop()
   }
 }

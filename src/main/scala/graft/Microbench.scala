@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+import graft.core.{CollectionConfig, Metric}
+import graft.search.Search
+
+/** Dev-only micro-profiler for the flat-search path. */
+object Microbench {
+  def time(label: String, reps: Int)(f: => Unit): Unit = {
+    f // warmup
+    val ts = (1 to reps).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    println(f"$label%-40s min=${ts.min}%.4f med=${ts.sorted.apply(reps / 2)}%.4f")
+  }
+
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val dims = 384
+    val n = 100000
+    val config = CollectionConfig("b", dims, Metric.Cosine)
+    val genUdf = udf((id: Long) => Bench.synthVector(id, dims))
+    val raw = spark.range(n).select(col("id").cast("string").as("id"),
+      col("id").cast("string").as("value"), genUdf(col("id")).as("vector"))
+    val coll = graft.prepare.Prepare.prepareEmbeddings(raw, config)
+      .repartition(8).persist()
+    println("rows " + coll.count())
+    val q = Search.prepareQuery(config, Bench.synthVector(-1L, dims))
+
+    time("count cached", 5) { coll.count() }
+    time("count id only", 5) { coll.select("id").count() }
+    import graft.functions.VectorFunctions._
+    time("scan+distance count", 5) {
+      coll.select(vecDistance(Metric.InnerProduct, col("vector"), vecLit(q)).as("raw"))
+        .agg(sum("raw")).collect()
+    }
+    time("flat ip", 5) { Search.flatSearch(coll, config.copy(metric = Metric.InnerProduct, normalize = Some(graft.core.Normalize.None)), q, 10).collect() }
+    time("flat cosine", 5) { Search.flatSearch(coll, config, q, 10).collect() }
+    time("flat l2", 5) { Search.flatSearch(coll, config.copy(metric = Metric.L2, normalize = Some(graft.core.Normalize.None)), q, 10).collect() }
+
+    // slim cache: only what search needs
+    val slim = coll.select("id", "value", "vector").persist()
+    println("slim rows " + slim.count())
+    time("flat cosine slim", 5) { Search.flatSearch(slim, config, q, 10).collect() }
+
+    // parquet-backed
+    slim.write.mode("overwrite").parquet("/tmp/mb_coll")
+    val pq = spark.read.parquet("/tmp/mb_coll")
+    time("flat cosine parquet", 5) { Search.flatSearch(pq, config, q, 10).collect() }
+
+    // FlatIndex acceleration mirror
+    val idx = graft.index.FlatIndex.build(slim, config)
+    println("index rows " + idx.count())
+    time("flatindex cosine single", 10) { idx.search(q, Metric.Cosine, 10) }
+    val qs64 = (0 until 64).map(i => i.toString -> Search.prepareQuery(config, Bench.synthVector(1000000L + i, dims))).toArray
+    time("flatindex batch64 (all)", 5) { idx.searchMany(qs64, Metric.Cosine, 10) }
+    spark.stop()
+  }
+}

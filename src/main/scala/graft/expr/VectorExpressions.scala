@@ -1,29 +1,26 @@
 package graft.expr
 
+import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.codegen.Block._
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.types._
 
 /** Catalyst expressions for the vector kernels.
   *
   * Design: each expression stays inside whole-stage codegen by emitting a
-  * single static call into [[VectorKernels]] (tight JIT-compiled loops over
-  * ArrayData, no per-element boxing, no intermediate arrays). This is the
-  * Spark-native analogue of the reference's batched SIMD NIF kernels
-  * (native/vettore/src/distances.rs): the batching unit is the partition,
-  * the kernel is JVM-JIT vectorized.
+  * single static call into [[VectorKernels]] (tight JIT-compiled primitive
+  * loops, no per-element boxing). This is the Spark-native analogue of the
+  * reference's batched SIMD NIF kernels (native/vettore/src/distances.rs):
+  * the batching unit is the partition, the kernel is JVM-JIT vectorized.
   *
-  * Compared to composing `zip_with`/`aggregate` higher-order functions,
-  * these expressions avoid materializing an intermediate array per row per
-  * metric — the difference between O(dims) allocations and zero per row —
-  * which matters when scanning 10^9+ rows.
+  * Query-vs-corpus comparisons have a foldable query side: those
+  * expressions extract the literal to a primitive array ONCE (a codegen
+  * reference object), so per-row cost is one memcpy (`toFloatArray`) plus
+  * arithmetic — the same shape as the reference's "one NIF call per
+  * batch, SIMD inside" (nifs.rs batched helpers).
   */
-
-private object ExprHelpers {
-  val floatArray: ArrayType = ArrayType(FloatType)
-  val longArray: ArrayType = ArrayType(LongType)
-}
 
 /** Raw metric value between two f32 vectors. `metricCode` 0..8 per
   * graft.core.Metric plus 9 = true cosine (funnel prefixes). */
@@ -33,12 +30,33 @@ case class VectorDistance(left: Expression, right: Expression, metricCode: Int)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "vector_distance"
 
+  @transient private lazy val rightConst: Array[Float] =
+    if (right.foldable) {
+      val v = right.eval(InternalRow.empty)
+      if (v == null) null else v.asInstanceOf[ArrayData].toFloatArray()
+    } else null
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.distance(metricCode, a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    if (rightConst != null)
+      VectorKernels.distance(metricCode, a.asInstanceOf[ArrayData], rightConst)
+    else
+      VectorKernels.distance(metricCode, a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.expr.VectorKernels.distance($metricCode, $a, $b);")
+    if (rightConst != null) {
+      val ref = ctx.addReferenceObj("queryVec", rightConst, "float[]")
+      val leftGen = left.genCode(ctx)
+      ev.copy(code = code"""
+        ${leftGen.code}
+        boolean ${ev.isNull} = ${leftGen.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.expr.VectorKernels.distance($metricCode, ${leftGen.value}, $ref);
+        }""")
+    } else {
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expr.VectorKernels.distance($metricCode, $a, $b);")
+    }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): VectorDistance =
     copy(left = l, right = r)
@@ -52,11 +70,11 @@ case class PackSignBits(child: Expression)
   override def prettyName: String = "pack_sign_bits"
 
   override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.packSignBits(v.asInstanceOf[ArrayData])
+    VectorKernels.packSignBitsData(v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.expr.VectorKernels.packSignBits($v);")
+      s"${ev.value} = graft.expr.VectorKernels.packSignBitsData($v);")
 
   override protected def withNewChildInternal(c: Expression): PackSignBits = copy(child = c)
 }
@@ -68,12 +86,33 @@ case class PackedHamming(left: Expression, right: Expression, dims: Int)
   override def dataType: DataType = DoubleType
   override def prettyName: String = "packed_hamming"
 
+  @transient private lazy val rightConst: Array[Long] =
+    if (right.foldable) {
+      val v = right.eval(InternalRow.empty)
+      if (v == null) null else v.asInstanceOf[ArrayData].toLongArray()
+    } else null
+
   override protected def nullSafeEval(a: Any, b: Any): Any =
-    VectorKernels.packedHamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], dims)
+    if (rightConst != null)
+      VectorKernels.packedHamming(a.asInstanceOf[ArrayData], rightConst, dims)
+    else
+      VectorKernels.packedHamming(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData], dims)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (a, b) =>
-      s"${ev.value} = graft.expr.VectorKernels.packedHamming($a, $b, $dims);")
+    if (rightConst != null) {
+      val ref = ctx.addReferenceObj("queryBits", rightConst, "long[]")
+      val leftGen = left.genCode(ctx)
+      ev.copy(code = code"""
+        ${leftGen.code}
+        boolean ${ev.isNull} = ${leftGen.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.expr.VectorKernels.packedHamming(${leftGen.value}, $ref, $dims);
+        }""")
+    } else {
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expr.VectorKernels.packedHamming($a, $b, $dims);")
+    }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): PackedHamming =
     copy(left = l, right = r)
@@ -105,28 +144,51 @@ case class NormalizeVector(child: Expression, mode: Int)
   override def prettyName: String = "normalize_vector"
 
   override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.normalize(mode, v.asInstanceOf[ArrayData])
+    VectorKernels.normalizeData(mode, v.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, v =>
-      s"${ev.value} = graft.expr.VectorKernels.normalize($mode, $v);")
+      s"${ev.value} = graft.expr.VectorKernels.normalizeData($mode, $v);")
 
   override protected def withNewChildInternal(c: Expression): NormalizeVector = copy(child = c)
 }
 
-/** ColBERT/MaxSim late-interaction score between two multi-vector sets. */
+/** ColBERT/MaxSim late-interaction score between two multi-vector sets.
+  * The query side (left) is foldable in search plans and is extracted to
+  * float[][] once. */
 case class MaxSim(left: Expression, right: Expression, metricCode: Int)
     extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "max_sim"
 
+  @transient private lazy val leftConst: Array[Array[Float]] =
+    if (left.foldable) {
+      val v = left.eval(InternalRow.empty)
+      if (v == null) null else VectorKernels.toFloatMatrix(v.asInstanceOf[ArrayData])
+    } else null
+
   override protected def nullSafeEval(q: Any, d: Any): Any =
-    VectorKernels.maxSim(metricCode, q.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
+    if (leftConst != null)
+      VectorKernels.maxSim(metricCode, leftConst, d.asInstanceOf[ArrayData])
+    else
+      VectorKernels.maxSim(metricCode, q.asInstanceOf[ArrayData], d.asInstanceOf[ArrayData])
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
-    nullSafeCodeGen(ctx, ev, (q, d) =>
-      s"${ev.value} = graft.expr.VectorKernels.maxSim($metricCode, $q, $d);")
+    if (leftConst != null) {
+      val ref = ctx.addReferenceObj("queryVecs", leftConst, "float[][]")
+      val rightGen = right.genCode(ctx)
+      ev.copy(code = code"""
+        ${rightGen.code}
+        boolean ${ev.isNull} = ${rightGen.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.expr.VectorKernels.maxSim($metricCode, $ref, ${rightGen.value});
+        }""")
+    } else {
+      nullSafeCodeGen(ctx, ev, (q, d) =>
+        s"${ev.value} = graft.expr.VectorKernels.maxSim($metricCode, $q, $d);")
+    }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MaxSim =
     copy(left = l, right = r)

@@ -1,6 +1,7 @@
 package graft.expr
 
-import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
 
 /** Scalar vector kernels shared by the Catalyst expressions (hot path,
   * called from generated code via static forwarders) and by driver-side
@@ -9,9 +10,14 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
   * All arithmetic is Double over f32 inputs. The reference computes f32
   * SIMD with an f64 recovery pass on overflow (distances.rs:59-98);
   * computing directly in f64 yields the same recovered values and never
-  * needs the retry. Where the reference's f64 result is cast back to f32
-  * we keep the f64 value (strictly more precise; score parity within f32
-  * rounding).
+  * needs the retry.
+  *
+  * Performance model: ArrayData rows are converted to primitive float[]
+  * once per row (UnsafeArrayData.toFloatArray is one memcpy), then the
+  * kernels run branch-free primitive loops the JIT can unroll — no
+  * per-element virtual calls, no boxing. Query literals are extracted to
+  * float[] ONCE at codegen time (see VectorDistance) so the per-row cost
+  * is a single memcpy + the arithmetic.
   *
   * Metric codes 0..8 as in graft.core.Metric; 9 is the internal
   * "true cosine" kernel used for funnel prefix scoring
@@ -21,16 +27,12 @@ object VectorKernels {
 
   final val TRUE_COSINE_CODE = 9
 
-  // ---------------------------------------------------------------- ArrayData
-  // ArrayData-based entry points: one virtual call per row from generated
-  // code, tight while-loops inside (JIT-friendly, no boxing, no
-  // intermediate arrays — unlike zip_with/aggregate HOF chains).
+  // ------------------------------------------------------ primitive kernels
 
-  def distance(code: Int, a: ArrayData, b: ArrayData): Double = {
-    val n = a.numElements()
-    if (b.numElements() != n)
-      throw new IllegalArgumentException(
-        s"dimension mismatch: ${n} vs ${b.numElements()}")
+  def distance(code: Int, a: Array[Float], b: Array[Float]): Double = {
+    val n = a.length
+    if (b.length != n)
+      throw new IllegalArgumentException(s"dimension mismatch: $n vs ${b.length}")
     code match {
       case 0 => math.sqrt(l2sq(a, b, n))
       case 1 => l2sq(a, b, n)
@@ -46,31 +48,36 @@ object VectorKernels {
     }
   }
 
-  private def dot(a: ArrayData, b: ArrayData, n: Int): Double = {
+  /** ArrayData entry point (one memcpy per side, then primitive loop). */
+  def distance(code: Int, a: ArrayData, b: ArrayData): Double =
+    distance(code, a.toFloatArray(), b.toFloatArray())
+
+  /** Literal-specialized entry point: the query side is already float[]. */
+  def distance(code: Int, a: ArrayData, b: Array[Float]): Double =
+    distance(code, a.toFloatArray(), b)
+
+  private def dot(a: Array[Float], b: Array[Float], n: Int): Double = {
     var acc = 0.0; var i = 0
-    while (i < n) { acc += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
     acc
   }
 
-  private def l2sq(a: ArrayData, b: ArrayData, n: Int): Double = {
+  private def l2sq(a: Array[Float], b: Array[Float], n: Int): Double = {
+    var acc = 0.0; var i = 0
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+    acc
+  }
+
+  private def manhattan(a: Array[Float], b: Array[Float], n: Int): Double = {
+    var acc = 0.0; var i = 0
+    while (i < n) { acc += math.abs(a(i).toDouble - b(i).toDouble); i += 1 }
+    acc
+  }
+
+  private def chebyshev(a: Array[Float], b: Array[Float], n: Int): Double = {
     var acc = 0.0; var i = 0
     while (i < n) {
-      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
-      acc += d * d; i += 1
-    }
-    acc
-  }
-
-  private def manhattan(a: ArrayData, b: ArrayData, n: Int): Double = {
-    var acc = 0.0; var i = 0
-    while (i < n) { acc += math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble); i += 1 }
-    acc
-  }
-
-  private def chebyshev(a: ArrayData, b: ArrayData, n: Int): Double = {
-    var acc = 0.0; var i = 0
-    while (i < n) {
-      val d = math.abs(a.getFloat(i).toDouble - b.getFloat(i).toDouble)
+      val d = math.abs(a(i).toDouble - b(i).toDouble)
       if (d > acc) acc = d
       i += 1
     }
@@ -78,20 +85,20 @@ object VectorKernels {
   }
 
   /** Truthy-float Hamming: coordinates differ when (x != 0) != (y != 0). */
-  private def hamming(a: ArrayData, b: ArrayData, n: Int): Double = {
+  private def hamming(a: Array[Float], b: Array[Float], n: Int): Double = {
     var acc = 0; var i = 0
     while (i < n) {
-      if ((a.getFloat(i) != 0.0f) != (b.getFloat(i) != 0.0f)) acc += 1
+      if ((a(i) != 0.0f) != (b(i) != 0.0f)) acc += 1
       i += 1
     }
     acc.toDouble
   }
 
   /** Truthy-float Jaccard distance; empty union -> 0.0. */
-  private def jaccard(a: ArrayData, b: ArrayData, n: Int): Double = {
+  private def jaccard(a: Array[Float], b: Array[Float], n: Int): Double = {
     var inter = 0; var union = 0; var i = 0
     while (i < n) {
-      val x = a.getFloat(i) != 0.0f; val y = b.getFloat(i) != 0.0f
+      val x = a(i) != 0.0f; val y = b(i) != 0.0f
       if (x || y) union += 1
       if (x && y) inter += 1
       i += 1
@@ -100,10 +107,10 @@ object VectorKernels {
   }
 
   /** True cosine with norms: zero vector -> 0.0, clamped to [-1, 1]. */
-  private def trueCosine(a: ArrayData, b: ArrayData, n: Int): Double = {
+  private def trueCosine(a: Array[Float], b: Array[Float], n: Int): Double = {
     var dotAcc = 0.0; var na = 0.0; var nb = 0.0; var i = 0
     while (i < n) {
-      val x = a.getFloat(i).toDouble; val y = b.getFloat(i).toDouble
+      val x = a(i).toDouble; val y = b(i).toDouble
       dotAcc += x * y; na += x * x; nb += y * y; i += 1
     }
     if (na == 0.0 || nb == 0.0) 0.0
@@ -114,16 +121,19 @@ object VectorKernels {
 
   /** Sign-bit packing: bit i set iff v(i) >= 0, 64 dims per Long word
     * (distances.rs:413-423). */
-  def packSignBits(v: ArrayData): ArrayData = {
-    val n = v.numElements()
+  def packSignBits(v: Array[Float]): Array[Long] = {
+    val n = v.length
     val words = new Array[Long]((n + 63) / 64)
     var i = 0
     while (i < n) {
-      if (v.getFloat(i) >= 0.0f) words(i / 64) |= 1L << (i % 64)
+      if (v(i) >= 0.0f) words(i / 64) |= 1L << (i % 64)
       i += 1
     }
-    new GenericArrayData(words)
+    words
   }
+
+  def packSignBitsData(v: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(packSignBits(v.toFloatArray()))
 
   private def lastWordMask(wordIdx: Int, words: Int, dims: Int): Long = {
     val rem = dims % 64
@@ -132,87 +142,102 @@ object VectorKernels {
 
   /** Hamming over packed sign words; padding bits masked out
     * (distances.rs:426-437). */
-  def packedHamming(a: ArrayData, b: ArrayData, dims: Int): Double = {
+  def packedHamming(a: Array[Long], b: Array[Long], dims: Int): Double = {
     val words = (dims + 63) / 64
-    require(a.numElements() == words && b.numElements() == words, "dimension mismatch")
+    require(a.length == words && b.length == words, "dimension mismatch")
     var acc = 0L; var i = 0
     while (i < words) {
-      acc += java.lang.Long.bitCount((a.getLong(i) ^ b.getLong(i)) & lastWordMask(i, words, dims))
+      acc += java.lang.Long.bitCount((a(i) ^ b(i)) & lastWordMask(i, words, dims))
       i += 1
     }
     acc.toDouble
   }
 
+  def packedHamming(a: ArrayData, b: ArrayData, dims: Int): Double =
+    packedHamming(a.toLongArray(), b.toLongArray(), dims)
+
+  def packedHamming(a: ArrayData, b: Array[Long], dims: Int): Double =
+    packedHamming(a.toLongArray(), b, dims)
+
   /** Jaccard over packed sign words; empty union -> 0.0 (distances.rs:440-457). */
-  def packedJaccard(a: ArrayData, b: ArrayData, dims: Int): Double = {
+  def packedJaccard(a: Array[Long], b: Array[Long], dims: Int): Double = {
     val words = (dims + 63) / 64
-    require(a.numElements() == words && b.numElements() == words, "dimension mismatch")
+    require(a.length == words && b.length == words, "dimension mismatch")
     var inter = 0L; var union = 0L; var i = 0
     while (i < words) {
       val m = lastWordMask(i, words, dims)
-      inter += java.lang.Long.bitCount(a.getLong(i) & b.getLong(i) & m)
-      union += java.lang.Long.bitCount((a.getLong(i) | b.getLong(i)) & m)
+      inter += java.lang.Long.bitCount(a(i) & b(i) & m)
+      union += java.lang.Long.bitCount((a(i) | b(i)) & m)
       i += 1
     }
     if (union == 0L) 0.0 else 1.0 - inter.toDouble / union.toDouble
   }
 
+  def packedJaccard(a: ArrayData, b: ArrayData, dims: Int): Double =
+    packedJaccard(a.toLongArray(), b.toLongArray(), dims)
+
+  def packedJaccard(a: ArrayData, b: Array[Long], dims: Int): Double =
+    packedJaccard(a.toLongArray(), b, dims)
+
   // ----------------------------------------------------------- normalization
 
   /** Normalize modes 0=none 1=l2 2=zscore 3=minmax (distances.rs:350-410).
     * Output stays f32 for storage parity. */
-  def normalize(mode: Int, v: ArrayData): ArrayData = {
-    val n = v.numElements()
+  def normalize(mode: Int, v: Array[Float]): Array[Float] = {
+    val n = v.length
     val out = new Array[Float](n)
     mode match {
       case 0 =>
-        var i = 0; while (i < n) { out(i) = v.getFloat(i); i += 1 }
+        System.arraycopy(v, 0, out, 0, n)
       case 1 =>
         var norm = 0.0; var i = 0
-        while (i < n) { val x = v.getFloat(i).toDouble; norm += x * x; i += 1 }
+        while (i < n) { val x = v(i).toDouble; norm += x * x; i += 1 }
         norm = math.sqrt(norm)
-        if (norm != 0.0) { i = 0; while (i < n) { out(i) = (v.getFloat(i).toDouble / norm).toFloat; i += 1 } }
+        if (norm != 0.0) { i = 0; while (i < n) { out(i) = (v(i).toDouble / norm).toFloat; i += 1 } }
       case 2 =>
         if (n > 0) {
           var sum = 0.0; var i = 0
-          while (i < n) { sum += v.getFloat(i).toDouble; i += 1 }
+          while (i < n) { sum += v(i).toDouble; i += 1 }
           val mean = sum / n
           var varAcc = 0.0; i = 0
-          while (i < n) { val d = v.getFloat(i).toDouble - mean; varAcc += d * d; i += 1 }
+          while (i < n) { val d = v(i).toDouble - mean; varAcc += d * d; i += 1 }
           val std = math.sqrt(varAcc / n) // population variance
-          if (std != 0.0) { i = 0; while (i < n) { out(i) = ((v.getFloat(i).toDouble - mean) / std).toFloat; i += 1 } }
+          if (std != 0.0) { i = 0; while (i < n) { out(i) = ((v(i).toDouble - mean) / std).toFloat; i += 1 } }
         }
       case 3 =>
         if (n > 0) {
           var mn = Float.PositiveInfinity; var mx = Float.NegativeInfinity; var i = 0
-          while (i < n) { val x = v.getFloat(i); if (x < mn) mn = x; if (x > mx) mx = x; i += 1 }
+          while (i < n) { val x = v(i); if (x < mn) mn = x; if (x > mx) mx = x; i += 1 }
           if (mn != mx) {
             val lo = mn.toDouble; val span = mx.toDouble - lo
-            i = 0; while (i < n) { out(i) = ((v.getFloat(i).toDouble - lo) / span).toFloat; i += 1 }
+            i = 0; while (i < n) { out(i) = ((v(i).toDouble - lo) / span).toFloat; i += 1 }
           }
         }
       case m => throw new IllegalArgumentException(s"unknown normalize mode $m")
     }
-    new GenericArrayData(out)
+    out
   }
+
+  def normalizeData(mode: Int, v: ArrayData): ArrayData =
+    UnsafeArrayData.fromPrimitiveArray(normalize(mode, v.toFloatArray()))
 
   // ----------------------------------------------------------------- MaxSim
   // ColBERT-style late interaction (multi_vector.rs:39-132): score =
   // sum over query vectors of (max over doc vectors of
   // similarity_value(metric, raw)). Either side empty -> 0.0.
 
-  def maxSim(metricCode: Int, queryVecs: ArrayData, docVecs: ArrayData): Double = {
-    val nq = queryVecs.numElements(); val nd = docVecs.numElements()
+  def maxSim(metricCode: Int, queryVecs: Array[Array[Float]],
+      docVecs: Array[Array[Float]]): Double = {
+    val nq = queryVecs.length; val nd = docVecs.length
     if (nq == 0 || nd == 0) return 0.0
     var total = 0.0
     var qi = 0
     while (qi < nq) {
-      val q = queryVecs.getArray(qi)
+      val q = queryVecs(qi)
       var best = Double.NegativeInfinity
       var di = 0
       while (di < nd) {
-        val raw = distance(metricCode, q, docVecs.getArray(di))
-        val sim = similarityValue(metricCode, raw)
+        val sim = similarityValue(metricCode, distance(metricCode, q, docVecs(di)))
         if (sim > best) best = sim
         di += 1
       }
@@ -221,6 +246,20 @@ object VectorKernels {
     }
     total
   }
+
+  def toFloatMatrix(a: ArrayData): Array[Array[Float]] = {
+    val n = a.numElements()
+    val out = new Array[Array[Float]](n)
+    var i = 0
+    while (i < n) { out(i) = a.getArray(i).toFloatArray(); i += 1 }
+    out
+  }
+
+  def maxSim(metricCode: Int, queryVecs: ArrayData, docVecs: ArrayData): Double =
+    maxSim(metricCode, toFloatMatrix(queryVecs), toFloatMatrix(docVecs))
+
+  def maxSim(metricCode: Int, queryVecs: Array[Array[Float]], docVecs: ArrayData): Double =
+    maxSim(metricCode, queryVecs, toFloatMatrix(docVecs))
 
   def similarityValue(metricCode: Int, raw: Double): Double = metricCode match {
     case 2 | 3 => raw
@@ -234,33 +273,9 @@ object VectorKernels {
     case _ => raw
   }
 
-  // ------------------------------------------------------- driver-side f32[]
-  // Plain-array variants for query preparation, MMR, and tests.
-
-  def distance(code: Int, a: Array[Float], b: Array[Float]): Double =
-    distance(code, wrap(a), wrap(b))
-
-  def normalize(mode: Int, v: Array[Float]): Array[Float] = {
-    val out = normalize(mode, wrap(v))
-    val n = out.numElements()
-    val arr = new Array[Float](n)
-    var i = 0; while (i < n) { arr(i) = out.getFloat(i); i += 1 }
-    arr
-  }
-
-  def packSignBits(v: Array[Float]): Array[Long] = {
-    val out = packSignBits(wrap(v))
-    val n = out.numElements()
-    val arr = new Array[Long](n)
-    var i = 0; while (i < n) { arr(i) = out.getLong(i); i += 1 }
-    arr
-  }
-
   def validateFinite(v: Array[Float]): Boolean = {
     var i = 0
     while (i < v.length) { if (!java.lang.Float.isFinite(v(i))) return false; i += 1 }
     true
   }
-
-  private def wrap(a: Array[Float]): ArrayData = new GenericArrayData(a)
 }

@@ -55,11 +55,20 @@ object Prepare {
       transform(summed, x => (x / size(vs)).cast(FloatType))
     }
 
-    df.withColumn("_vectors_prep", normalizedVectors)
-      .withColumn("_vector_prep",
+    // When the input has no `vectors` column, skip the mean-derivation
+    // branch entirely: its higher-order functions are CodegenFallback and
+    // would knock the whole projection out of whole-stage codegen even
+    // though the branch is dead (arrow_cast of a null literal).
+    val vectorPrep =
+      if (!df.columns.contains("vectors"))
+        normalizeVector(norm, col("vector"))
+      else
         when(optCol(df, "vector").isNotNull,
           normalizeVector(norm, optCol(df, "vector")))
-          .otherwise(normalizeVector(norm, meanOfVectors)))
+          .otherwise(normalizeVector(norm, meanOfVectors))
+
+    df.withColumn("_vectors_prep", normalizedVectors)
+      .withColumn("_vector_prep", vectorPrep)
       .select(
         coalesce(rawId, rawValue).as("id"),
         coalesce(rawValue, rawId).as("value"),

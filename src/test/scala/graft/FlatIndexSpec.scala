@@ -1,0 +1,54 @@
+package graft
+
+import graft.core.{CollectionConfig, Metric}
+import graft.index.FlatIndex
+import graft.search.Search
+
+/** FlatIndex (acceleration mirror) must agree exactly with the
+  * DataFrame flat search — same ids, same raw values, same tie order. */
+class FlatIndexSpec extends SparkSpec {
+
+  private lazy val sfDir = "/root/testdata/sf0.001"
+
+  test("FlatIndex == DataFrame flat search on real embeddings, all metrics") {
+    val d = Tables.dims(spark, sfDir)
+    for (metric <- Seq(Metric.Cosine, Metric.L2, Metric.InnerProduct, Metric.Manhattan)) {
+      val config = CollectionConfig("e", d, metric)
+      val coll = Tables.embeddingsCollection(spark, sfDir, config)
+      val idx = FlatIndex.build(coll, config)
+      val q = Search.prepareQuery(config, Tables.queryVector(spark, sfDir, 3L))
+      val fromIndex = idx.search(q, metric, 10).toSeq
+      val fromDf = Search.flatSearch(coll, config, Tables.queryVector(spark, sfDir, 3L), 10)
+        .collect().map(r => r.getString(0)).toSeq
+      assert(fromIndex.map(_._1) === fromDf, s"metric ${metric.name}")
+      idx.unpersist()
+    }
+  }
+
+  test("FlatIndex deterministic tie-break by id across many partitions") {
+    val config = CollectionConfig("ties", 2, Metric.L2)
+    val rows = scala.util.Random.shuffle(
+      (0 until 50).map(i => f"t$i%02d" -> Array(1.0f, 0.0f)).toList)
+    val coll = graft.prepare.Prepare.prepareEmbeddings(embeddingRows(rows), config)
+      .repartition(7)
+    val idx = FlatIndex.build(coll, config)
+    val hits = idx.search(Array(0.0f, 0.0f), Metric.L2, 10)
+    assert(hits.map(_._1).toSeq === (0 until 10).map(i => f"t$i%02d"))
+    idx.unpersist()
+  }
+
+  test("FlatIndex searchMany equals per-query search") {
+    val d = Tables.dims(spark, sfDir)
+    val config = CollectionConfig("e", d, Metric.Cosine)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+    val idx = FlatIndex.build(coll, config)
+    val qs = (0L until 4L).map(i =>
+      i.toString -> Search.prepareQuery(config, Tables.queryVector(spark, sfDir, i))).toArray
+    val batch = idx.searchMany(qs, Metric.Cosine, 5)
+    qs.foreach { case (qid, q) =>
+      assert(batch(qid).toSeq === idx.search(q, Metric.Cosine, 5).toSeq, s"query $qid")
+    }
+    assert(idx.count() === coll.count())
+    idx.unpersist()
+  }
+}
