@@ -1,0 +1,170 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.core._
+import graft.prepare.Prepare
+import graft.rerank.Mmr
+import graft.search.Search
+import graft.store.CollectionStore
+
+/** Compat facade: the reference's DB-handle API (lib/vettore.ex) over
+  * collection DataFrames — a registry of named collections with CRUD,
+  * search and snapshot verbs, so a user of the reference maps calls
+  * 1:1:
+  *
+  *   Vettore.new/create_collection    -> db.createCollection
+  *   put/insert, put_many/batch       -> db.insert, db.batch
+  *   get/get_by_value/get_by_vector   -> db.get / getByValue / getByVector
+  *   all/get_all, delete, close       -> db.all, db.delete, db.close
+  *   search/similarity_search         -> db.search / db.similaritySearch
+  *   funnel/quantized/multi_vector/
+  *   hybrid_search, rerank (MMR)      -> same names
+  *   snapshot/load_snapshot           -> db.snapshot / db.loadSnapshot
+  *
+  * Collections are immutable frames under the hood: writes swap the
+  * registry pointer (copy-on-write), atomicity comes from the Spark job
+  * (SURVEY §3.2), and the compat API defaults to score mode
+  * :similarity exactly like the reference (vettore.ex:358).
+  */
+final class GraftDb(val spark: SparkSession) {
+
+  final case class EmbeddingInput(
+      id: String = null, value: String = null,
+      vector: Array[Float] = null, vectors: Seq[Array[Float]] = null,
+      metadata: Map[String, String] = null)
+
+  private val registry =
+    scala.collection.concurrent.TrieMap.empty[String, (DataFrame, CollectionConfig)]
+
+  private def collection(name: String): (DataFrame, CollectionConfig) =
+    registry.getOrElse(name, throw new NoSuchElementException(s"no collection $name"))
+
+  def createCollection(name: String, dimensions: Int,
+      metric: String = "cosine", normalize: Option[String] = None,
+      score: String = "similarity", index: String = "flat"): Unit = {
+    require(!registry.contains(name), s"collection $name already exists")
+    val config = CollectionConfig(name, dimensions, Metric.fromName(metric),
+      normalize.map(Normalize.fromName), ScoreMode.fromName(score), index)
+    val empty = spark.createDataFrame(
+      java.util.Collections.emptyList[Row](), Prepare.canonicalSchema)
+    registry.put(name, (empty, config))
+  }
+
+  /** Idempotent release (reference close/1, collection.ex:360-374). */
+  def close(name: String): Unit = registry.remove(name).foreach(_._1.unpersist())
+  def deleteCollection(name: String): Unit = close(name)
+  def listCollections(): Seq[String] = registry.keys.toSeq.sorted
+
+  private def toDf(rows: Seq[EmbeddingInput]): DataFrame = {
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("value", StringType),
+      StructField("vector", ArrayType(FloatType)),
+      StructField("vectors", ArrayType(ArrayType(FloatType))),
+      StructField("metadata", MapType(StringType, StringType))))
+    spark.createDataFrame(java.util.Arrays.asList(rows.map(e =>
+      Row(e.id, e.value,
+        Option(e.vector).map(_.toSeq).orNull,
+        Option(e.vectors).map(_.map(_.toSeq)).orNull,
+        e.metadata)): _*), schema)
+  }
+
+  def insert(name: String, e: EmbeddingInput): Unit = batch(name, Seq(e))
+
+  /** Atomic batch append with duplicate-id rejection (put_many). */
+  def batch(name: String, rows: Seq[EmbeddingInput]): Unit = {
+    val (df, config) = collection(name)
+    val next = Prepare.putMany(df, toDf(rows), config)
+    registry.put(name, (next, config))
+  }
+
+  def all(name: String): DataFrame = collection(name)._1
+  def getAll(name: String): DataFrame = all(name)
+  def count(name: String): Long = all(name).count()
+  def config(name: String): CollectionConfig = collection(name)._2
+
+  def get(name: String, id: String): Option[Row] =
+    Prepare.get(all(name), id).collect().headOption
+
+  def getByValue(name: String, value: String): Option[Row] =
+    all(name).filter(col("value") === value).orderBy(col("id")).limit(1)
+      .collect().headOption
+
+  /** First exact match of the *prepared* (normalized) vector
+    * (vettore.ex:508-524); lowest id wins for determinism. */
+  def getByVector(name: String, vector: Array[Float]): Option[Row] = {
+    val (df, config) = collection(name)
+    val prepared = Search.prepareQuery(config, vector)
+    df.filter(col("vector") === graft.functions.VectorFunctions.vecLit(prepared))
+      .orderBy(col("id")).limit(1).collect().headOption
+  }
+
+  def delete(name: String, id: String): Unit = {
+    val (df, config) = collection(name)
+    registry.put(name, (Prepare.deleteIds(df, Seq(id)), config))
+  }
+
+  // ------------------------------------------------------------- search
+
+  def search(name: String, query: Array[Float], limit: Int): DataFrame = {
+    val (df, config) = collection(name)
+    Search.flatSearch(df, config, query, limit)
+  }
+
+  /** (id, score) pairs, compat default score mode (vettore.ex:593-605). */
+  def similaritySearch(name: String, query: Array[Float], limit: Int): Seq[(String, Double)] =
+    search(name, query, limit).select("id", "score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+
+  def funnelSearch(name: String, query: Array[Float], limit: Int,
+      stages: Seq[Int] = Nil, candidates: Int = 0): DataFrame = {
+    val (df, config) = collection(name)
+    Search.funnelSearch(df, config, query, limit, stages, candidates)
+  }
+
+  def quantizedSearch(name: String, query: Array[Float], limit: Int,
+      candidates: Int = 0): DataFrame = {
+    val (df, config) = collection(name)
+    Search.quantizedSearch(df, config, query, limit, candidates)
+  }
+
+  def multiVectorSearch(name: String, queryVectors: Seq[Array[Float]], limit: Int,
+      metric: Option[String] = None): DataFrame = {
+    val (df, config) = collection(name)
+    Search.multiVectorSearch(df, config, queryVectors, limit,
+      metric.map(Metric.fromName))
+  }
+
+  def hybridSearch(name: String, query: Array[Float], limit: Int,
+      generators: Seq[String] = Seq("funnel", "quantized"), candidates: Int = 0,
+      rerankMultiVector: Option[Seq[Array[Float]]] = None): DataFrame = {
+    val (df, config) = collection(name)
+    Search.hybridSearch(df, config, query, limit, generators, candidates,
+      rerankMultiVector = rerankMultiVector)
+  }
+
+  /** MMR rerank over the collection (compat rerank/4, vettore.ex:622-642). */
+  def rerank(name: String, query: Array[Float], alpha: Double, finalK: Int,
+      candidates: Int = 0): DataFrame = {
+    val (df, config) = collection(name)
+    val cands = if (candidates > 0) candidates else math.max(finalK * 10, finalK)
+    Mmr.rerankSearch(spark, df, config, query, alpha, finalK, cands)
+  }
+
+  // ------------------------------------------------------------ snapshot
+
+  def snapshot(name: String, path: String): Unit = {
+    val (df, config) = collection(name)
+    CollectionStore.snapshot(df, config, path)
+  }
+
+  /** Load a snapshot into the registry (overrides whitelisted per
+    * collection.ex:54). */
+  def loadSnapshot(path: String, overrides: Map[String, String] = Map.empty): String = {
+    val (df, config) = CollectionStore.load(spark, path, overrides)
+    registry.put(config.name, (df, config))
+    config.name
+  }
+}

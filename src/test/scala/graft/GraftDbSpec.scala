@@ -1,0 +1,81 @@
+package graft
+
+import graft.api.GraftDb
+
+/** Compat facade flows (reference test/vector_db_test.exs shapes). */
+class GraftDbSpec extends SparkSpec {
+
+  test("full compat flow: create, batch, get, search, delete, snapshot") {
+    val db = new GraftDb(spark)
+    db.createCollection("axes", 2, metric = "cosine")
+    db.batch("axes", Seq(
+      db.EmbeddingInput(id = "right", vector = Array(1f, 0f),
+        metadata = Map("tag" -> "axis")),
+      db.EmbeddingInput(id = "up", vector = Array(0f, 1f)),
+      db.EmbeddingInput(id = "left", vector = Array(-1f, 0f))))
+    assert(db.count("axes") === 3)
+    assert(db.listCollections() === Seq("axes"))
+
+    // duplicate id rejected atomically
+    intercept[IllegalArgumentException] {
+      db.batch("axes", Seq(db.EmbeddingInput(id = "right", vector = Array(1f, 1f))))
+    }
+    assert(db.count("axes") === 3)
+
+    // point lookups
+    assert(db.get("axes", "up").isDefined)
+    assert(db.getByValue("axes", "left").get.getAs[String]("id") === "left")
+    assert(db.getByVector("axes", Array(2f, 0f)).get.getAs[String]("id") === "right")
+
+    // compat default score mode is :similarity -> cosine (raw+1)/2
+    val hits = db.similaritySearch("axes", Array(1f, 0f), 2)
+    assert(hits.map(_._1) === Seq("right", "up"))
+    assert(hits.head._2 === 1.0)
+    assert(hits(1)._2 === 0.5)
+
+    // value defaults to id (ets.ex:284-288)
+    assert(db.get("axes", "up").get.getAs[String]("value") === "up")
+
+    db.delete("axes", "left")
+    assert(db.count("axes") === 2)
+
+    val path = java.nio.file.Files.createTempDirectory("graft_db").toString
+    db.snapshot("axes", path)
+    db.close("axes")
+    assert(db.listCollections().isEmpty)
+    val loaded = db.loadSnapshot(path, Map("name" -> "axes2"))
+    assert(loaded === "axes2")
+    assert(db.count("axes2") === 2)
+    // structural overrides rejected
+    intercept[IllegalArgumentException] {
+      db.loadSnapshot(path, Map("metric" -> "l2"))
+    }
+  }
+
+  test("vectors-only records derive mean vector through the facade") {
+    val db = new GraftDb(spark)
+    db.createCollection("mv", 2, metric = "inner_product", score = "raw")
+    db.batch("mv", Seq(db.EmbeddingInput(id = "doc",
+      vectors = Seq(Array(1f, 0f), Array(0f, 1f)))))
+    val row = db.get("mv", "doc").get
+    assert(row.getAs[Seq[Float]]("vector") === Seq(0.5f, 0.5f))
+    val res = db.multiVectorSearch("mv", Seq(Array(1f, 0f), Array(0f, 1f)), 1).collect()
+    assert(res.head.getString(0) === "doc")
+    assert(res.head.getDouble(2) === 2.0)
+  }
+
+  test("hybrid and rerank through the facade") {
+    val db = new GraftDb(spark)
+    db.createCollection("h", 3, metric = "l2", score = "raw")
+    db.batch("h", Seq(
+      db.EmbeddingInput(id = "exact", vector = Array(1f, 0f, 0f)),
+      db.EmbeddingInput(id = "near", vector = Array(1f, 0.1f, 0f)),
+      db.EmbeddingInput(id = "far", vector = Array(-1f, -1f, -1f))))
+    val hy = db.hybridSearch("h", Array(1f, 0f, 0f), 2, candidates = 3)
+      .collect().map(_.getString(0))
+    assert(hy.toSeq === Seq("exact", "near"))
+    val rr = db.rerank("h", Array(1f, 0f, 0f), alpha = 1.0, finalK = 2, candidates = 3)
+      .collect().map(_.getString(0))
+    assert(rr.toSeq === Seq("exact", "near"))
+  }
+}
