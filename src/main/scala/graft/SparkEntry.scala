@@ -127,11 +127,13 @@ object SparkEntry {
       val d = Tables.dims(s, dir)
       val q = Tables.queryVector(s, dir, 0L)
       val qBits = graft.expr.VectorKernels.packSignBits(q)
-      Tables.read(s, dir, "embeddings")
+      roundCols(Tables.read(s, dir, "embeddings")
         .select(col("vec_id").cast("string").as("id"),
           packedHamming(packSignBits(col("embedding")), typedlit(qBits), d)
-            .cast("long").as("ham"))
-        .orderBy(col("ham").asc, col("id").asc).limit(20)
+            .cast("long").as("ham"),
+          packedJaccard(packSignBits(col("embedding")), typedlit(qBits), d)
+            .as("pjac"))
+        .orderBy(col("ham").asc, col("id").asc).limit(20), Seq("pjac"))
     }),
 
     // Matryoshka funnel: prefix stages [16,32] -> 50 candidates -> exact
@@ -314,9 +316,13 @@ object SparkEntry {
       "vec_packed_hamming_topk" ->
         s"""WITH q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
            h AS (SELECT CAST(vec_id AS VARCHAR) AS id,
-             len(list_filter(range(1, len(embedding)+1), i -> (embedding[i] >= 0) != (qraw[i] >= 0))) AS ham
+             len(list_filter(range(1, len(embedding)+1), i -> (embedding[i] >= 0) != (qraw[i] >= 0))) AS ham,
+             len(list_filter(range(1, len(embedding)+1), i -> (embedding[i] >= 0) AND (qraw[i] >= 0))) AS inter,
+             len(list_filter(range(1, len(embedding)+1), i -> (embedding[i] >= 0) OR (qraw[i] >= 0))) AS uni
              FROM embeddings, q)
-           SELECT id, CAST(ham AS BIGINT) AS ham FROM h ORDER BY ham ASC, id ASC LIMIT 20""",
+           SELECT id, CAST(ham AS BIGINT) AS ham,
+             (round(CASE WHEN uni = 0 THEN 0.0 ELSE 1.0 - CAST(inter AS DOUBLE)/uni END, 6) + 0) AS pjac
+           FROM h ORDER BY ham ASC, id ASC LIMIT 20""",
 
       "vec_funnel_topk" ->
         s"""WITH q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),

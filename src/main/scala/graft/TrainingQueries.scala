@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ann.CosineLsh
+import graft.ann.{CosineLsh, IvfIndex}
 import graft.core.Metric
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -127,6 +127,30 @@ object TrainingQueries {
         Seq("score", "distance"))
     }),
 
+    // IVF: probing every cell must equal exact flat search (oracle =
+    // the flat-cosine SQL); partial probe is the approximate scale path
+    "ann_ivf_full_probe_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val ivf = IvfIndex.IvfConfig(k = 8, iterations = 5)
+      val centroids = IvfIndex.train(coll, config, ivf)
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(IvfIndex.search(coll, config, centroids, q, 10, nprobe = 8)
+        .drop("metadata"), Seq("score", "distance"))
+    }),
+
+    "ann_ivf_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val ivf = IvfIndex.IvfConfig(k = 8, iterations = 5)
+      val centroids = IvfIndex.train(coll, config, ivf)
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(IvfIndex.search(coll, config, centroids, q, 10, nprobe = 2)
+        .drop("metadata"), Seq("score", "distance"))
+    }),
+
     // ---- multimodal plumbing (deterministic stub codec)
     "mm_decode_meta" -> ((s, dir) => {
       val media = Multimodal.documentsAsMedia(
@@ -244,7 +268,15 @@ object TrainingQueries {
       s"md5('$b:' || $parts)"
     }.mkString(", ") + "]"
 
+  private val flatCosineOracle =
+    """WITH q AS (SELECT list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS qv FROM embeddings WHERE vec_id = 0),
+       n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings),
+       sc AS (SELECT id, list_sum(list_transform(range(1, len(nv)+1), i -> CAST(nv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS raw FROM n, q)
+       SELECT id, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance, 'cosine' AS metric, id AS value
+       FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10"""
+
   def oracleSql: Map[String, String] = Map(
+    "ann_ivf_full_probe_topk" -> flatCosineOracle,
 
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),

@@ -1,0 +1,102 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.core.{CollectionConfig, Metric}
+import graft.expr.VectorKernels
+import graft.functions.VectorFunctions._
+import graft.search.Search
+
+/** IVF (inverted-file) ANN: a coarse k-means quantizer partitions the
+  * corpus into cells; a query probes only the `nprobe` nearest cells and
+  * exact-reranks inside them — the classic scale path for
+  * billion-vector similarity search.
+  *
+  * Spark shape: centroids are trained on a driver-side sample
+  * (deterministic seeded Lloyd's — tiny, k x dims floats) and shipped as
+  * a literal; cell assignment is a per-row expression (narrow, no
+  * shuffle); at rest the collection can be repartitioned/bucketed BY
+  * CELL so a probe prunes whole partitions/files. `nprobe == k` recovers
+  * exact flat search (the equivalence the tests and the SQL oracle pin).
+  */
+object IvfIndex {
+
+  final case class IvfConfig(k: Int = 16, nprobe: Int = 2, iterations: Int = 10,
+      sampleSize: Int = 10000, seed: Long = 42L)
+
+  /** Deterministic Lloyd's iterations over a seeded sample (L2 cells —
+    * the standard IVF coarse metric; normalized vectors make this
+    * cosine-compatible). Empty cells re-seed from the sample. */
+  def train(df: DataFrame, config: CollectionConfig, ivf: IvfConfig): Array[Array[Float]] = {
+    val sample = df.select("vector").orderBy(md5(concat_ws(",", col("vector").cast("string"), lit(ivf.seed.toString))))
+      .limit(ivf.sampleSize).collect().map(_.getSeq[Float](0).toArray)
+    require(sample.nonEmpty, "cannot train IVF on an empty collection")
+    val k = math.min(ivf.k, sample.length)
+    var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
+    var iter = 0
+    while (iter < ivf.iterations) {
+      val sums = Array.fill(k)(new Array[Double](config.dimensions))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearestCentroid(v, centroids)
+        counts(c) += 1
+        var d = 0
+        while (d < v.length) { sums(c)(d) += v(d); d += 1 }
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) sample((c * 7919) % sample.length).clone()
+        else sums(c).map(x => (x / counts(c)).toFloat)
+      }
+      iter += 1
+    }
+    centroids
+  }
+
+  def nearestCentroid(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+    var best = 0
+    var bestDist = Double.MaxValue
+    var c = 0
+    while (c < centroids.length) {
+      val d = VectorKernels.distance(1, v, centroids(c)) // l2 squared
+      if (d < bestDist) { bestDist = d; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Cell-assignment column (narrow). At rest, `assigned.repartition(
+    * col("ivf_cell"))` or bucketed writes co-locate cells. */
+  def withCells(df: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
+    val cents = centroids
+    val f = udf((v: Seq[Float]) => nearestCentroid(v.toArray, cents))
+    df.withColumn("ivf_cell", f(col("vector")))
+  }
+
+  /** The nprobe nearest cells for a prepared query. */
+  def probeCells(q: Array[Float], centroids: Array[Array[Float]], nprobe: Int): Seq[Int] =
+    centroids.indices
+      .map(c => (VectorKernels.distance(1, q, centroids(c)), c))
+      .sortBy(identity).take(math.min(nprobe, centroids.length)).map(_._2)
+
+  /** IVF search: prune to probed cells, exact-rerank inside.
+    * nprobe == k degenerates to exact flat search. */
+  def search(df: DataFrame, config: CollectionConfig, centroids: Array[Array[Float]],
+      query: Array[Float], limit: Int, nprobe: Int): DataFrame = {
+    val q = Search.prepareQuery(config, query)
+    val probes = probeCells(q, centroids, nprobe)
+    val withCell = if (df.columns.contains("ivf_cell")) df else withCells(df, centroids)
+    val cands = withCell.filter(col("ivf_cell").isin(probes: _*)).drop("ivf_cell")
+    Search.flatSearch(cands, config, query, limit)
+  }
+
+  /** overlap@k vs exact flat — the quality gate. */
+  def overlapAtK(df: DataFrame, config: CollectionConfig, centroids: Array[Array[Float]],
+      query: Array[Float], k: Int, nprobe: Int): Double = {
+    val exact = Search.flatSearch(df, config, query, k).select("id")
+      .collect().map(_.getString(0)).toSet
+    val ann = search(df, config, centroids, query, k, nprobe).select("id")
+      .collect().map(_.getString(0)).toSet
+    if (exact.isEmpty) 1.0 else exact.intersect(ann).size.toDouble / exact.size
+  }
+}

@@ -1,0 +1,39 @@
+package graft
+
+import graft.ann.IvfIndex
+import graft.core.{CollectionConfig, Metric}
+import graft.search.Search
+
+/** IVF coarse-quantizer ANN behavior. */
+class IvfSpec extends SparkSpec {
+
+  private lazy val sfDir = "/root/testdata/sf0.001"
+
+  test("IVF with nprobe == k equals exact flat search") {
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val centroids = IvfIndex.train(coll, config, IvfIndex.IvfConfig(k = 8, iterations = 5))
+    val q = Tables.queryVector(spark, sfDir, 2L)
+    val exact = Search.flatSearch(coll, config, q, 10).collect().map(_.getString(0)).toSeq
+    val full = IvfIndex.search(coll, config, centroids, q, 10, nprobe = 8)
+      .collect().map(_.getString(0)).toSeq
+    assert(full === exact)
+    coll.unpersist()
+  }
+
+  test("IVF training is deterministic; partial probe keeps useful recall") {
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val ivf = IvfIndex.IvfConfig(k = 8, iterations = 5)
+    val c1 = IvfIndex.train(coll, config, ivf)
+    val c2 = IvfIndex.train(coll, config, ivf)
+    assert(c1.map(_.toSeq).toSeq === c2.map(_.toSeq).toSeq)
+    val overlaps = (0L until 5L).map(i =>
+      IvfIndex.overlapAtK(coll, config, c1, Tables.queryVector(spark, sfDir, i), 10, nprobe = 4))
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.5, s"mean overlap $mean: $overlaps")
+    coll.unpersist()
+  }
+}

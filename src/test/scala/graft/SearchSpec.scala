@@ -111,6 +111,21 @@ class SearchSpec extends SparkSpec {
     assert(Prepare.get(appended, "b").count() === 1)
   }
 
+  test("hybrid search with MaxSim rerank restricts scoring to candidates") {
+    val config = CollectionConfig("hmv", 2, Metric.InnerProduct)
+    val df = multiVectorRows(Seq(
+      "both" -> Seq(Array(1f, 0f), Array(0f, 1f)),
+      "x" -> Seq(Array(1f, 0f), Array(1f, 0f)),
+      "far" -> Seq(Array(-1f, 0f), Array(0f, -1f))))
+    val coll = Prepare.prepareEmbeddings(df, config)
+    val res = Search.hybridSearch(coll, config, Array(1f, 1f), 2,
+      generators = Seq("quantized"), candidates = 3,
+      rerankMultiVector = Some(Seq(Array(1f, 0f), Array(0f, 1f)))).collect()
+    assert(res.head.getString(0) === "both")
+    assert(res.head.getDouble(2) === 2.0)
+    assert(res.forall(_.isNullAt(3))) // MaxSim results carry null distance
+  }
+
   test("multi-partition batch search returns per-query top-k") {
     val config = CollectionConfig("batch", 2, Metric.Cosine)
     val coll = prep(Seq(
