@@ -75,6 +75,57 @@ object EventStreams {
         col("cnt"), col("sum_value"))
   }
 
+  // ------------------------------------------------- stateful streaming
+
+  final case class SessionEvent(user_id: Long, ts_ns: Long, value: Double)
+  final case class SessionState(startNs: Long, lastNs: Long, n: Int, sum: Double)
+  final case class SessionOut(user_id: Long, session_start_ns: Long,
+      session_end_ns: Long, n_events: Int, session_value: Double)
+
+  /** Incremental gap sessionization with explicit per-user state
+    * (KeyValueGroupedDataset.flatMapGroupsWithState): emits a session
+    * row whenever a gap closes it; the open session stays in state
+    * across micro-batches and is flushed on ProcessingTime timeout.
+    * The batch `sessionize` above computes the same sessions in one
+    * pass; this is the streaming form for live ingestion. */
+  def statefulSessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
+      gapSeconds: Long, idleFlush: Boolean = true): org.apache.spark.sql.Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val gapNs = gapSeconds * 1000000000L
+
+    def fn(userId: Long, rows: Iterator[SessionEvent],
+        state: GroupState[SessionState]): Iterator[SessionOut] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[SessionOut]
+      if (state.hasTimedOut) {
+        state.getOption.foreach(s =>
+          out += SessionOut(userId, s.startNs, s.lastNs, s.n, s.sum))
+        state.remove()
+      } else {
+        var cur = state.getOption.orNull
+        rows.toSeq.sortBy(_.ts_ns).foreach { e =>
+          if (cur == null) cur = SessionState(e.ts_ns, e.ts_ns, 1, e.value)
+          else if (e.ts_ns - cur.lastNs > gapNs) {
+            out += SessionOut(userId, cur.startNs, cur.lastNs, cur.n, cur.sum)
+            cur = SessionState(e.ts_ns, e.ts_ns, 1, e.value)
+          } else {
+            cur = SessionState(cur.startNs, e.ts_ns, cur.n + 1, cur.sum + e.value)
+          }
+        }
+        if (cur != null) {
+          state.update(cur)
+          if (idleFlush) state.setTimeoutDuration(s"$gapSeconds seconds")
+        }
+      }
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleFlush) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(fn)
+  }
+
   /** Run a streaming frame to a memory sink until all available data is
     * processed (test harness). */
   def runAvailableNow(df: DataFrame, queryName: String): Unit = {

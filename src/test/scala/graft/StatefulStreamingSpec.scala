@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.{OutputMode, Trigger}
+
+import graft.streaming.EventStreams
+import graft.streaming.EventStreams.{SessionEvent, SessionOut}
+
+/** flatMapGroupsWithState sessionization: sessions survive micro-batch
+  * boundaries and close on gap. */
+class StatefulStreamingSpec extends SparkSpec {
+
+  test("stateful sessionize across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val sec = 1000000000L
+    val input = MemoryStream[SessionEvent]
+    val sessions = EventStreams.statefulSessionize(input.toDS(), gapSeconds = 60, idleFlush = false)
+    val query = sessions.writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // batch 1: user 1 opens a session with two close events
+      input.addData(SessionEvent(1L, 0L, 1.0), SessionEvent(1L, 10L * sec, 2.0))
+      query.processAllAvailable()
+      // still open -> nothing emitted
+      assert(spark.table("sess_out").count() === 0)
+
+      // batch 2: an event 120 s later closes the first session
+      input.addData(SessionEvent(1L, 130L * sec, 5.0))
+      query.processAllAvailable()
+      val closed = spark.table("sess_out").as[SessionOut].collect()
+      assert(closed.length === 1)
+      assert(closed.head === SessionOut(1L, 0L, 10L * sec, 2, 3.0))
+
+      // batch 3: interleaved second user; gap closes their session too
+      input.addData(SessionEvent(2L, 0L, 7.0), SessionEvent(2L, 200L * sec, 1.0))
+      query.processAllAvailable()
+      val all = spark.table("sess_out").as[SessionOut].collect()
+      assert(all.contains(SessionOut(2L, 0L, 0L, 1, 7.0)))
+    } finally query.stop()
+  }
+}
