@@ -152,6 +152,15 @@ object Bench {
     results("synth_flatindex_batch64_perq") = bench {
       idx.searchMany(qs64, Metric.Cosine, 10)
     } / 64.0
+    results("synth_flatindex_funnel") = bench {
+      idx.funnelSearch(q, Metric.Cosine, 10, Seq(dims / 4, dims / 2, dims), 200)
+    }
+    results("synth_flatindex_quantized") = bench {
+      idx.quantizedSearch(q, Metric.Cosine, 10, 200)
+    }
+    results("synth_flatindex_hybrid") = bench {
+      idx.hybridSearch(q, Metric.Cosine, 10, Seq(dims / 4, dims / 2, dims), 200)
+    }
     idx.unpersist()
     coll.unpersist(); lshColl.unpersist(); mvDocs.unpersist()
 

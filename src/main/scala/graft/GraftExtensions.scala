@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.core.Metric
+import graft.expr._
+
+/** SparkSessionExtensions hook: registers the vector kernels as SQL
+  * functions so the engine is usable from pure SQL
+  * (`spark.sql("SELECT vec_distance('cosine', a, b) ...")`) and from any
+  * Spark Connect-style client that can only speak SQL.
+  *
+  * Install via config:
+  *   spark.sql.extensions=graft.GraftExtensions
+  * or programmatically: `GraftExtensions.register(spark)`.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.functions.foreach { case (name, (info, builder)) =>
+      ext.injectFunction((FunctionIdentifier(name), info, builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def metricCodeOf(e: Expression): Int = e match {
+    case Literal(s: UTF8String, _) =>
+      val name = s.toString
+      if (name == "true_cosine") VectorKernels.TRUE_COSINE_CODE
+      else Metric.fromName(name).code
+    case Literal(i: Integer, _) => i.intValue()
+    case other => throw new IllegalArgumentException(
+      s"metric must be a literal string or code, got $other")
+  }
+
+  private def intArgOf(e: Expression): Int = e match {
+    case Literal(i: Integer, _) => i.intValue()
+    case other => throw new IllegalArgumentException(s"expected literal int, got $other")
+  }
+
+  private def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo("graft", null, name, usage, "")
+
+  /** name -> (info, builder). */
+  val functions: Seq[(String, (ExpressionInfo, Seq[Expression] => Expression))] = Seq(
+    "vec_distance" -> ((
+      info("vec_distance",
+        "vec_distance(metric, a, b) - raw metric value between two f32 vectors; metric in l2|l2_squared|cosine|inner_product|negative_inner_product|manhattan|chebyshev|hamming|jaccard|true_cosine"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "vec_distance(metric, a, b)")
+        VectorDistance(args(1), args(2), metricCodeOf(args(0)))
+      })),
+    "vec_normalize" -> ((
+      info("vec_normalize", "vec_normalize(mode, v) - mode 0=none 1=l2 2=zscore 3=minmax"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_normalize(mode, v)")
+        NormalizeVector(args(1), intArgOf(args(0)))
+      })),
+    "vec_pack_sign_bits" -> ((
+      info("vec_pack_sign_bits", "vec_pack_sign_bits(v) - packed sign words of a f32 vector"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vec_pack_sign_bits(v)")
+        PackSignBits(args.head)
+      })),
+    "vec_packed_hamming" -> ((
+      info("vec_packed_hamming", "vec_packed_hamming(a, b, dims) - Hamming over packed sign words"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "vec_packed_hamming(a, b, dims)")
+        PackedHamming(args(0), args(1), intArgOf(args(2)))
+      })),
+    "vec_packed_jaccard" -> ((
+      info("vec_packed_jaccard", "vec_packed_jaccard(a, b, dims) - Jaccard over packed sign words"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "vec_packed_jaccard(a, b, dims)")
+        PackedJaccard(args(0), args(1), intArgOf(args(2)))
+      })),
+    "vec_max_sim" -> ((
+      info("vec_max_sim", "vec_max_sim(metric, query_vectors, doc_vectors) - ColBERT/MaxSim late-interaction score"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "vec_max_sim(metric, qvecs, dvecs)")
+        MaxSim(args(1), args(2), metricCodeOf(args(0)))
+      })))
+
+  /** Programmatic registration on an existing session. */
+  def register(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (name, (_, builder)) =>
+      spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+        name, builder, "built-in")
+    }
+}

@@ -63,6 +63,78 @@ final class FlatIndex private (
     }.toMap
   }
 
+  /** Top `keep` ids by PREFIX rank (first `d` dims; cosine uses the true
+    * normalized cosine on the prefix, search.rs:56-59), optionally
+    * restricted to `within`. One funnel stage. */
+  def prefixTop(query: Array[Float], metric: Metric, d: Int, keep: Int,
+      within: Set[String]): Array[String] = {
+    val q = query
+    val code = if (metric == Metric.Cosine) VectorKernels.TRUE_COSINE_CODE else metric.code
+    val rankCode = metric.code
+    val filter = within
+    val partTops = blocks.mapPartitions { it =>
+      val heap = new FlatIndex.BoundedRankHeap(keep)
+      it.foreach(_.scorePrefixInto(code, rankCode, q, d, filter, heap))
+      Iterator.single(heap.toSortedArray)
+    }.collect()
+    FlatIndex.mergeTop(partTops, keep).map(_._1)
+  }
+
+  /** Top `keep` ids by packed-Hamming distance to the query's sign bits,
+    * ties by id — the quantized candidate pass. */
+  def hammingTop(query: Array[Float], keep: Int): Array[String] = {
+    val qBits = VectorKernels.packSignBits(query)
+    val d = dims
+    val partTops = blocks.mapPartitions { it =>
+      val heap = new FlatIndex.BoundedRankHeap(keep)
+      it.foreach(_.scoreHammingInto(qBits, d, heap))
+      Iterator.single(heap.toSortedArray)
+    }.collect()
+    FlatIndex.mergeTop(partTops, keep).map(_._1)
+  }
+
+  /** Exact top-k restricted to a candidate id set (the shared rerank). */
+  def rerank(query: Array[Float], metric: Metric, within: Set[String],
+      k: Int): Array[(String, Double)] = {
+    val q = query
+    val code = metric.code
+    val filter = within
+    val partTops = blocks.mapPartitions { it =>
+      val heap = new FlatIndex.BoundedRankHeap(k)
+      it.foreach(_.scoreWithinInto(code, q, filter, heap))
+      Iterator.single(heap.toSortedArray)
+    }.collect()
+    FlatIndex.mergeTop(partTops, k)
+  }
+
+  /** Matryoshka funnel over the mirror: prefix stages cut to
+    * `candidates`, then exact rerank (same semantics as
+    * Search.funnelSearch). */
+  def funnelSearch(query: Array[Float], metric: Metric, k: Int,
+      stages: Seq[Int], candidates: Int): Array[(String, Double)] = {
+    var survivors: Set[String] = null
+    stages.foreach { d =>
+      survivors = prefixTop(query, metric, d, candidates,
+        survivors).toSet
+    }
+    rerank(query, metric, survivors, k)
+  }
+
+  /** Binary-quantized search over the mirror. */
+  def quantizedSearch(query: Array[Float], metric: Metric, k: Int,
+      candidates: Int): Array[(String, Double)] =
+    rerank(query, metric, hammingTop(query, candidates).toSet, k)
+
+  /** Hybrid: union of funnel + quantized candidates, exact rerank. */
+  def hybridSearch(query: Array[Float], metric: Metric, k: Int,
+      stages: Seq[Int], candidates: Int): Array[(String, Double)] = {
+    var survivors: Set[String] = null
+    stages.foreach { d =>
+      survivors = prefixTop(query, metric, d, candidates, survivors).toSet
+    }
+    rerank(query, metric, survivors ++ hammingTop(query, candidates), k)
+  }
+
   /** Result-frame form matching Search.flatSearch output semantics. */
   def searchDf(spark: SparkSession, config: CollectionConfig,
       query: Array[Float], k: Int): DataFrame = {
@@ -85,8 +157,106 @@ final class FlatIndex private (
 
 object FlatIndex {
 
-  /** Row-major packed vector block: vector i lives at [i*dims, (i+1)*dims). */
-  final case class Block(ids: Array[String], vecs: Array[Float], n: Int, dims: Int) {
+  /** Row-major packed vector block: vector i lives at [i*dims, (i+1)*dims);
+    * its sign words at [i*words, (i+1)*words). */
+  final case class Block(ids: Array[String], vecs: Array[Float], n: Int, dims: Int,
+      bits: Array[Long]) {
+
+    private def words: Int = (dims + 63) / 64
+
+    /** Funnel stage: score the d-prefix (kernel `code`, rank semantics
+      * `rankCode`), optionally restricted to a candidate id set. */
+    def scorePrefixInto(code: Int, rankCode: Int, q: Array[Float], d: Int,
+        within: Set[String], heap: BoundedRankHeap): Unit = {
+      var i = 0
+      var off = 0
+      while (i < n) {
+        if (within == null || within.contains(ids(i))) {
+          val raw = code match {
+            case 2 | 3 => dotPrefix(off, q, d)
+            case 4     => -dotPrefix(off, q, d)
+            case 0     => math.sqrt(l2sqPrefix(off, q, d))
+            case 1     => l2sqPrefix(off, q, d)
+            case 9     => trueCosinePrefix(off, q, d)
+            case _     => genericPrefix(code, off, q, d)
+          }
+          heap.offer(VectorKernels.rankValue(rankCode, raw), raw, ids(i))
+        }
+        i += 1
+        off += dims
+      }
+    }
+
+    /** Quantized candidate pass: packed Hamming against query bits. */
+    def scoreHammingInto(qBits: Array[Long], fullDims: Int,
+        heap: BoundedRankHeap): Unit = {
+      val w = words
+      val rem = fullDims % 64
+      val lastMask = if (rem != 0) (1L << rem) - 1 else -1L
+      var i = 0
+      var boff = 0
+      while (i < n) {
+        var acc = 0L
+        var j = 0
+        while (j < w) {
+          val m = if (j + 1 == w) lastMask else -1L
+          acc += java.lang.Long.bitCount((bits(boff + j) ^ qBits(j)) & m)
+          j += 1
+        }
+        heap.offer(acc.toDouble, acc.toDouble, ids(i))
+        i += 1
+        boff += w
+      }
+    }
+
+    /** Exact scoring restricted to a candidate id set. */
+    def scoreWithinInto(code: Int, q: Array[Float], within: Set[String],
+        heap: BoundedRankHeap): Unit = {
+      var i = 0
+      var off = 0
+      while (i < n) {
+        if (within == null || within.contains(ids(i))) {
+          val raw = code match {
+            case 2 | 3 => dotAt(off, q)
+            case 4     => -dotAt(off, q)
+            case 0     => math.sqrt(l2sqAt(off, q))
+            case 1     => l2sqAt(off, q)
+            case _     => genericAt(code, off, q)
+          }
+          heap.offer(VectorKernels.rankValue(code, raw), raw, ids(i))
+        }
+        i += 1
+        off += dims
+      }
+    }
+
+    private def dotPrefix(off: Int, q: Array[Float], d0: Int): Double = {
+      var acc = 0.0; var d = 0
+      while (d < d0) { acc += vecs(off + d).toDouble * q(d).toDouble; d += 1 }
+      acc
+    }
+
+    private def l2sqPrefix(off: Int, q: Array[Float], d0: Int): Double = {
+      var acc = 0.0; var d = 0
+      while (d < d0) { val x = vecs(off + d).toDouble - q(d).toDouble; acc += x * x; d += 1 }
+      acc
+    }
+
+    private def trueCosinePrefix(off: Int, q: Array[Float], d0: Int): Double = {
+      var dotAcc = 0.0; var na = 0.0; var nb = 0.0; var d = 0
+      while (d < d0) {
+        val x = vecs(off + d).toDouble; val y = q(d).toDouble
+        dotAcc += x * y; na += x * x; nb += y * y; d += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else math.max(-1.0, math.min(1.0, dotAcc / (math.sqrt(na) * math.sqrt(nb))))
+    }
+
+    private def genericPrefix(code: Int, off: Int, q: Array[Float], d0: Int): Double = {
+      val v = new Array[Float](d0)
+      System.arraycopy(vecs, off, v, 0, d0)
+      VectorKernels.distance(code, v, q.slice(0, d0))
+    }
     /** Score every vector in the block against q into the heap. */
     def scoreInto(metricCode: Int, q: Array[Float], heap: BoundedRankHeap): Unit = {
       var i = 0
@@ -209,15 +379,17 @@ object FlatIndex {
           val ids = new scala.collection.mutable.ArrayBuffer[String](1024)
           val vecs = new scala.collection.mutable.ArrayBuilder.ofFloat
           vecs.sizeHint(math.min(blockRows, 1024) * dims)
+          val bits = new scala.collection.mutable.ArrayBuilder.ofLong
           var n = 0
           while (it.hasNext && n < blockRows) {
             val (id, v) = it.next()
             require(v.length == dims, s"dimension mismatch for id $id")
             ids += id
             vecs ++= v
+            bits ++= graft.expr.VectorKernels.packSignBits(v)
             n += 1
           }
-          Block(ids.toArray, vecs.result(), n, dims)
+          Block(ids.toArray, vecs.result(), n, dims, bits.result())
         }
       }
     }.persist(storage)

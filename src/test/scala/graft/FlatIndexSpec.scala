@@ -37,6 +37,34 @@ class FlatIndexSpec extends SparkSpec {
     idx.unpersist()
   }
 
+  test("FlatIndex funnel/quantized/hybrid match the DataFrame operators") {
+    val d = Tables.dims(spark, sfDir)
+    for (metric <- Seq(Metric.Cosine, Metric.L2)) {
+      val config = CollectionConfig("e", d, metric)
+      val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+      val idx = FlatIndex.build(coll, config)
+      val rawQ = Tables.queryVector(spark, sfDir, 5L)
+      val q = Search.prepareQuery(config, rawQ)
+
+      val dfFunnel = Search.funnelSearch(coll, config, rawQ, 10,
+        stages = Seq(16, 32), candidates = 50).collect().map(_.getString(0)).toSeq
+      assert(idx.funnelSearch(q, metric, 10, Seq(16, 32), 50).map(_._1).toSeq === dfFunnel,
+        s"funnel ${metric.name}")
+
+      val dfQuant = Search.quantizedSearch(coll, config, rawQ, 10, candidates = 50)
+        .collect().map(_.getString(0)).toSeq
+      assert(idx.quantizedSearch(q, metric, 10, 50).map(_._1).toSeq === dfQuant,
+        s"quantized ${metric.name}")
+
+      val dfHybrid = Search.hybridSearch(coll, config, rawQ, 10,
+        generators = Seq("funnel", "quantized"), candidates = 50, stages = Seq(16, 32))
+        .collect().map(_.getString(0)).toSeq
+      assert(idx.hybridSearch(q, metric, 10, Seq(16, 32), 50).map(_._1).toSeq === dfHybrid,
+        s"hybrid ${metric.name}")
+      idx.unpersist(); coll.unpersist()
+    }
+  }
+
   test("FlatIndex searchMany equals per-query search") {
     val d = Tables.dims(spark, sfDir)
     val config = CollectionConfig("e", d, Metric.Cosine)

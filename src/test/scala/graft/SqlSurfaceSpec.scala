@@ -1,0 +1,40 @@
+package graft
+
+/** The SQL surface: kernels registered via GraftExtensions and used
+  * from pure spark.sql. */
+class SqlSurfaceSpec extends SparkSpec {
+
+  test("vector kernels callable from SQL") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    Seq(("a", Seq(1.0f, 0.0f)), ("b", Seq(0.0f, 1.0f)), ("c", Seq(-1.0f, 0.0f)))
+      .toDF("id", "vector").createOrReplaceTempView("vecs")
+
+    val top = spark.sql("""
+      SELECT id, vec_distance('l2', vector, array(1.0F, 0.0F)) AS d
+      FROM vecs ORDER BY d ASC, id ASC LIMIT 2""").collect()
+    assert(top.map(_.getString(0)).toSeq === Seq("a", "b"))
+    assert(top.head.getDouble(1) === 0.0)
+
+    val cos = spark.sql(
+      "SELECT vec_distance('true_cosine', array(1.0F,0.0F), array(-1.0F,0.0F))")
+      .head().getDouble(0)
+    assert(cos === -1.0)
+
+    val packed = spark.sql("""
+      SELECT vec_packed_hamming(vec_pack_sign_bits(array(1.0F, -1.0F)),
+                                vec_pack_sign_bits(array(-1.0F, 1.0F)), 2) AS h""")
+      .head().getDouble(0)
+    assert(packed === 2.0)
+
+    val ms = spark.sql("""
+      SELECT vec_max_sim('inner_product',
+        array(array(1.0F, 0.0F), array(0.0F, 1.0F)),
+        array(array(1.0F, 0.0F), array(0.0F, 1.0F))) AS s""").head().getDouble(0)
+    assert(ms === 2.0)
+
+    val norm = spark.sql("SELECT vec_normalize(1, array(3.0F, 4.0F))")
+      .head().getSeq[Float](0)
+    assert(norm === Seq(0.6f, 0.8f))
+  }
+}
