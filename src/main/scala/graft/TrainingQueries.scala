@@ -127,6 +127,20 @@ object TrainingQueries {
         Seq("score", "distance"))
     }),
 
+    // HNSW parity shim (driver graph, deterministic FNV-1a levels);
+    // approximate -> rows-only gate, top-1/recall asserted in HnswSpec
+    "ann_hnsw_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val g = graft.index.Hnsw.build(coll, config)
+      val q = graft.search.Search.prepareQuery(config, Tables.queryVector(s, dir, 0L))
+      val hits = g.search(q, 10)
+      import s.implicits._
+      roundCols(hits.toSeq.toDF("id", "raw")
+        .select(col("id"), col("raw").as("score")), Seq("score"))
+    }),
+
     // IVF: probing every cell must equal exact flat search (oracle =
     // the flat-cosine SQL); partial probe is the approximate scale path
     "ann_ivf_full_probe_topk" -> ((s, dir) => {

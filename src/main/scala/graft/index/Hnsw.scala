@@ -1,0 +1,290 @@
+package graft.index
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.types.{ArrayType, FloatType, StringType}
+
+import graft.core.{CollectionConfig, Metric}
+import graft.expr.VectorKernels
+
+/** Single-node HNSW graph — the reference-parity shim (SURVEY §7.4).
+  *
+  * The distributed ANN paths of this engine are CosineLsh and IvfIndex;
+  * this graph exists to satisfy strict `index: :hnsw` behavior where a
+  * user needs it: deterministic level assignment from an FNV-1a hash of
+  * the external id (reference hnsw.rs:473-481 — promotion while
+  * `hash & 3 == 0`), greedy upper-layer descent, ef-bounded layer
+  * search, m/m0 neighbor caps with reciprocal-edge pruning, and
+  * deterministic entry re-election on delete (highest layer, then
+  * smallest external id). Like the reference it is an acceleration
+  * structure rebuilt from canonical rows sorted by id on load
+  * (collection.ex:426-433); it holds no authoritative state.
+  *
+  * Metrics: l2 / cosine / inner_product only (hnsw.ex:104-109).
+  * Defaults m=16, m0=32, efConstruction=100, efSearch=64, maxLevel=12
+  * (hnsw.ex:13-19).
+  */
+final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
+  import Hnsw._
+
+  require(Seq(Metric.L2, Metric.Cosine, Metric.InnerProduct).contains(metric),
+    s"hnsw supports l2/cosine/inner_product, not ${metric.name}")
+  params.validate()
+
+  private final class Node(
+      val externalId: String,
+      val vector: Array[Float],
+      val layer: Int) {
+    val connections: Array[mutable.ArrayBuffer[Int]] =
+      Array.fill(layer + 1)(mutable.ArrayBuffer.empty[Int])
+  }
+
+  private val nodes = mutable.HashMap.empty[Int, Node]
+  private val externalToInternal = mutable.HashMap.empty[String, Int]
+  private var entry: Option[Int] = None
+  private var nextId = 0
+  private var dimension: Option[Int] = None
+
+  def size: Int = nodes.size
+
+  private def rankDistance(a: Array[Float], b: Array[Float]): Double =
+    VectorKernels.rankValue(metric.code, VectorKernels.distance(metric.code, a, b))
+
+  /** Deterministic level from FNV-1a of the external id. */
+  private def levelFor(externalId: String): Int = {
+    var hash = fnv1a(externalId.getBytes("UTF-8"))
+    var level = 0
+    while (level < params.maxLevel && (hash & 3L) == 0L) {
+      level += 1
+      hash = hash >>> 2
+    }
+    level
+  }
+
+  def insert(externalId: String, vector: Array[Float]): Unit = {
+    require(vector.nonEmpty && dimension.forall(_ == vector.length), "dimension mismatch")
+    require(VectorKernels.validateFinite(vector), "non-finite value")
+    if (externalToInternal.contains(externalId)) delete(externalId)
+
+    val internalId = nextId
+    nextId += 1
+    val nodeLevel = levelFor(externalId)
+    val node = new Node(externalId, vector, nodeLevel)
+
+    if (nodes.isEmpty) {
+      nodes(internalId) = node
+      externalToInternal(externalId) = internalId
+      entry = Some(internalId)
+      dimension = Some(vector.length)
+      return
+    }
+
+    var ep = entry.get
+    val topLayer = nodes(ep).layer
+    var layer = topLayer
+    while (layer > nodeLevel) {
+      ep = greedyClosest(ep, vector, layer)._1
+      layer -= 1
+    }
+
+    layer = math.min(nodeLevel, topLayer)
+    while (layer >= 0) {
+      val cands = searchLayer(ep, vector, layer, params.efConstruction)
+        .sortBy(c => (c._2, c._1)).distinctBy(_._1)
+        .take(if (layer == 0) params.m0 else params.m)
+      node.connections(layer) ++= cands.map(_._1)
+      cands.headOption.foreach(c => ep = c._1)
+      layer -= 1
+    }
+
+    nodes(internalId) = node
+    externalToInternal(externalId) = internalId
+    dimension = Some(vector.length)
+
+    // reciprocal edges + degree pruning (node must exist first so prune
+    // can score it)
+    var l = 0
+    while (l <= nodeLevel) {
+      node.connections(l).toArray.foreach { neighborId =>
+        nodes.get(neighborId).foreach { nb =>
+          if (l < nb.connections.length && !nb.connections(l).contains(internalId))
+            nb.connections(l) += internalId
+        }
+        prune(neighborId, l)
+      }
+      l += 1
+    }
+
+    entry.foreach { cur =>
+      if (nodeLevel > nodes(cur).layer) entry = Some(internalId)
+    }
+  }
+
+  def insertMany(rows: Seq[(String, Array[Float])]): Unit = {
+    val expected = dimension.orElse(rows.headOption.map(_._2.length))
+    rows.foreach { case (_, v) =>
+      require(expected.contains(v.length), "dimension mismatch")
+    }
+    rows.foreach { case (id, v) => insert(id, v) }
+  }
+
+  /** Delete + remove incoming edges; entry re-elected deterministically
+    * (highest layer, smallest external id on ties). */
+  def delete(externalId: String): Unit = {
+    externalToInternal.remove(externalId).foreach { internalId =>
+      nodes.remove(internalId)
+      nodes.values.foreach(n => n.connections.foreach(c => c --= Seq(internalId)))
+      if (entry.contains(internalId)) {
+        entry =
+          if (nodes.isEmpty) None
+          else Some(nodes.maxBy { case (_, n) => (n.layer, Reverse(n.externalId)) }._1)
+      }
+      if (nodes.isEmpty) dimension = None
+    }
+  }
+
+  def contains(externalId: String): Boolean = externalToInternal.contains(externalId)
+
+  /** ANN top-k: (external_id, raw metric value), dist-then-id order. */
+  def search(query: Array[Float], limit: Int): Seq[(String, Double)] = {
+    if (limit <= 0 || entry.isEmpty) return Seq.empty
+    require(dimension.forall(_ == query.length), "dimension mismatch")
+    var ep = entry.get
+    var layer = nodes(ep).layer
+    while (layer >= 1) {
+      ep = greedyClosest(ep, query, layer)._1
+      layer -= 1
+    }
+    searchLayer(ep, query, 0, math.max(params.efSearch, limit))
+      .map { case (id, dist) => (nodes(id).externalId, dist, id) }
+      .sortBy(t => (t._2, t._1))
+      .take(limit)
+      .map { case (eid, _, id) =>
+        (eid, VectorKernels.distance(metric.code, query, nodes(id).vector))
+      }
+  }
+
+  /** Greedy descent on one layer until no neighbor improves. */
+  private def greedyClosest(start: Int, query: Array[Float], layer: Int): (Int, Double) = {
+    var current = start
+    var currentDist = rankDistance(nodes(current).vector, query)
+    var moved = true
+    while (moved) {
+      moved = false
+      val node = nodes(current)
+      if (layer < node.connections.length) {
+        node.connections(layer).foreach { neighborId =>
+          nodes.get(neighborId).foreach { nb =>
+            val d = rankDistance(nb.vector, query)
+            if (d < currentDist) { current = neighborId; currentDist = d; moved = true }
+          }
+        }
+      }
+    }
+    (current, currentDist)
+  }
+
+  /** ef-bounded best-first exploration of one layer. */
+  private def searchLayer(ep: Int, query: Array[Float], layer: Int,
+      ef: Int): Seq[(Int, Double)] = {
+    if (!nodes.contains(ep)) return Seq.empty
+    val visited = mutable.HashSet(ep)
+    // closest-first: (dist asc, id asc); worst-first: (dist desc, id desc)
+    val candidates = mutable.PriorityQueue.empty[(Double, Int)](
+      Ordering.Tuple2[Double, Int].reverse)
+    val results = mutable.PriorityQueue.empty[(Double, Int)]
+    val d0 = rankDistance(nodes(ep).vector, query)
+    candidates.enqueue((d0, ep))
+    results.enqueue((d0, ep))
+
+    var done = false
+    while (!done && candidates.nonEmpty) {
+      val (curDist, curId) = candidates.dequeue()
+      val worst = if (results.nonEmpty) results.head._1 else Double.PositiveInfinity
+      if (results.size >= ef && curDist > worst) done = true
+      else {
+        val node = nodes(curId)
+        if (layer < node.connections.length) {
+          node.connections(layer).foreach { neighborId =>
+            if (visited.add(neighborId)) {
+              nodes.get(neighborId).foreach { nb =>
+                val d = rankDistance(nb.vector, query)
+                val w = if (results.nonEmpty) results.head._1 else Double.PositiveInfinity
+                if (results.size < ef || d < w) {
+                  candidates.enqueue((d, neighborId))
+                  results.enqueue((d, neighborId))
+                  if (results.size > ef) results.dequeue()
+                }
+              }
+            }
+          }
+        }
+      }
+    }
+    results.toSeq.map { case (d, id) => (id, d) }
+  }
+
+  /** Bound a node's layer degree to m/m0 by rank distance (ties by
+    * internal id). */
+  private def prune(nodeId: Int, layer: Int): Unit = {
+    val limit = if (layer == 0) params.m0 else params.m
+    nodes.get(nodeId).foreach { node =>
+      if (layer < node.connections.length && node.connections(layer).length > limit) {
+        val kept = node.connections(layer).toSeq
+          .flatMap(id => nodes.get(id).map(nb => (id, rankDistance(node.vector, nb.vector))))
+          .sortBy(t => (t._2, t._1)).take(limit).map(_._1)
+        node.connections(layer).clear()
+        node.connections(layer) ++= kept
+      }
+    }
+  }
+}
+
+object Hnsw {
+
+  final case class Params(
+      m: Int = 16, m0: Int = 32, efConstruction: Int = 100,
+      efSearch: Int = 64, maxLevel: Int = 12) {
+    def validate(): Unit = {
+      require(m > 0 && m0 > 0, "m/m0 must be positive")
+      require(m <= 1024 && m0 <= 2048 && m0 >= m, "invalid hnsw degree")
+      require(efConstruction >= m && efConstruction <= 1000000,
+        "ef_construction must be in [m, 1e6]")
+      require(efSearch > 0 && efSearch <= 1000000, "ef_search must be in (0, 1e6]")
+      require(maxLevel > 0 && maxLevel <= 64, "max_level must be in (0, 64]")
+    }
+  }
+
+  /** FNV-1a 64-bit (public constants). */
+  def fnv1a(bytes: Array[Byte]): Long = {
+    var hash = 0xcbf29ce484222325L
+    var i = 0
+    while (i < bytes.length) {
+      hash ^= (bytes(i) & 0xFFL)
+      hash *= 0x00000100000001B3L
+      i += 1
+    }
+    hash
+  }
+
+  /** Reverse-ordering wrapper for deterministic entry re-election. */
+  private[index] final case class Reverse(s: String) extends Ordered[Reverse] {
+    override def compare(that: Reverse): Int = that.s.compareTo(s)
+  }
+
+  /** Build from a canonical collection frame: rows collected to the
+    * driver SORTED BY ID (the reference's rebuild order) — insertion
+    * order is part of graph determinism. */
+  def build(df: DataFrame, config: CollectionConfig,
+      params: Params = Params()): Hnsw = {
+    val g = new Hnsw(config.metric, params)
+    val rows = df.select(df.col("id").cast(StringType),
+        df.col("vector").cast(ArrayType(FloatType)))
+      .collect()
+      .map(r => (r.getString(0), r.getSeq[Float](1).toArray))
+      .sortBy(_._1)
+    g.insertMany(rows.toSeq)
+    g
+  }
+}
