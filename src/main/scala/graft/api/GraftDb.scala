@@ -45,6 +45,7 @@ final class GraftDb(val spark: SparkSession) {
   def createCollection(name: String, dimensions: Int,
       metric: String = "cosine", normalize: Option[String] = None,
       score: String = "similarity", index: String = "flat"): Unit = {
+    require(Seq("flat", "hnsw", "lsh").contains(index), s"unknown index $index")
     require(!registry.contains(name), s"collection $name already exists")
     val config = CollectionConfig(name, dimensions, Metric.fromName(metric),
       normalize.map(Normalize.fromName), ScoreMode.fromName(score), index)
@@ -78,6 +79,7 @@ final class GraftDb(val spark: SparkSession) {
     val (df, config) = collection(name)
     val next = Prepare.putMany(df, toDf(rows), config)
     registry.put(name, (next, config))
+    hnswCache.remove(name)
   }
 
   def all(name: String): DataFrame = collection(name)._1
@@ -104,14 +106,41 @@ final class GraftDb(val spark: SparkSession) {
   def delete(name: String, id: String): Unit = {
     val (df, config) = collection(name)
     registry.put(name, (Prepare.deleteIds(df, Seq(id)), config))
+    hnswCache.remove(name)
   }
 
   // ------------------------------------------------------------- search
 
+  /** Index-routed search: `flat` scans exactly; `hnsw` uses the parity
+    * graph; `lsh` / `ivf` use the distributed ANN candidate paths.
+    * Mirrors the reference's `index_mod.search` dispatch. */
   def search(name: String, query: Array[Float], limit: Int): DataFrame = {
     val (df, config) = collection(name)
-    Search.flatSearch(df, config, query, limit)
+    config.index match {
+      case "flat" => Search.flatSearch(df, config, query, limit)
+      case "hnsw" =>
+        val g = hnswCache.getOrElseUpdate(name, graft.index.Hnsw.build(df, config))
+        val q = Search.prepareQuery(config, query)
+        import org.apache.spark.sql.types._
+        val rows = g.search(q, limit).map { case (id, raw) =>
+          val (score, dist) = ScoreMode.resultValues(config.metric, raw, config.score)
+          Row(id, score, dist.orNull, config.metric.name)
+        }
+        spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+          StructField("id", StringType, nullable = false),
+          StructField("score", DoubleType, nullable = false),
+          StructField("distance", DoubleType, nullable = true),
+          StructField("metric", StringType, nullable = false))))
+      case "lsh" =>
+        graft.ann.CosineLsh.search(df, config,
+          graft.ann.CosineLsh.LshConfig(), query, limit)
+      case other => throw new IllegalArgumentException(s"unknown index $other")
+    }
   }
+
+  // hnsw acceleration graphs, invalidated on every write (rebuildable
+  // state, like the reference's rebuild-on-load)
+  private val hnswCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.Hnsw]
 
   /** (id, score) pairs, compat default score mode (vettore.ex:593-605). */
   def similaritySearch(name: String, query: Array[Float], limit: Int): Seq[(String, Double)] =

@@ -133,6 +133,20 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
+  // --------------------------------------------------------- streaming
+
+  /** Streaming exact dedup: md5 fingerprint + dropDuplicatesWithinWatermark
+    * — state for a fingerprint is held only within the watermark window,
+    * so state size is bounded (the streaming analogue of
+    * exactDuplicates). `df` must be a streaming frame with an event-time
+    * column. */
+  def streamingExactDedup(df: DataFrame, keyCol: Column, tsCol: String,
+      watermark: String): DataFrame =
+    df.withColumn("_fp", md5(keyCol))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_fp")
+      .drop("_fp")
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs via cosine LSH banding + exact cosine

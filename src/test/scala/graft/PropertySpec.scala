@@ -1,0 +1,76 @@
+package graft
+
+import scala.util.Random
+
+import graft.core.{CollectionConfig, Metric}
+import graft.expr.VectorKernels
+import graft.prepare.Prepare
+import graft.search.Search
+
+/** Property-style oracle sweeps (reference test layer 1: every kernel
+  * checked against an independent scalar oracle across metrics, dims,
+  * limits — distances.rs:571-609, flat.rs:209-249). Seeded and
+  * deterministic. */
+class PropertySpec extends SparkSpec {
+
+  private val rng = new Random(20260721)
+
+  private def randVec(dims: Int): Array[Float] =
+    Array.fill(dims)((rng.nextDouble() * 2 - 1).toFloat)
+
+  test("kernels vs independent scalar oracles across dims 1..40") {
+    for (dims <- Seq(1, 2, 3, 7, 8, 9, 15, 16, 17, 31, 40); _ <- 1 to 3) {
+      val a = randVec(dims); val b = randVec(dims)
+      val ad = a.map(_.toDouble); val bd = b.map(_.toDouble)
+      def close(x: Double, y: Double) = assert(math.abs(x - y) < 1e-9, s"dims=$dims")
+      close(VectorKernels.distance(0, a, b),
+        math.sqrt(ad.zip(bd).map(t => (t._1 - t._2) * (t._1 - t._2)).sum))
+      close(VectorKernels.distance(3, a, b), ad.zip(bd).map(t => t._1 * t._2).sum)
+      close(VectorKernels.distance(5, a, b), ad.zip(bd).map(t => math.abs(t._1 - t._2)).sum)
+      close(VectorKernels.distance(6, a, b),
+        ad.zip(bd).map(t => math.abs(t._1 - t._2)).max)
+      // packed hamming == truthy sign hamming of thresholded vectors
+      val pa = VectorKernels.packSignBits(a); val pb = VectorKernels.packSignBits(b)
+      val expected = a.zip(b).count(t => (t._1 >= 0) != (t._2 >= 0)).toDouble
+      close(VectorKernels.packedHamming(pa, pb, dims), expected)
+      // l2-normalized vector has unit norm (or zero)
+      val n = VectorKernels.normalize(1, a)
+      val norm = math.sqrt(n.map(x => x.toDouble * x).sum)
+      assert(math.abs(norm - 1.0) < 1e-6 || norm == 0.0)
+    }
+  }
+
+  test("distributed top-k vs driver-side full-sort oracle, all metrics x limits") {
+    val dims = 6
+    val rows = (0 until 80).map(i => f"r$i%02d" -> randVec(dims))
+    for (metric <- Metric.all) {
+      val config = CollectionConfig("p", dims, metric,
+        normalize = Some(graft.core.Normalize.None))
+      val coll = Prepare.prepareEmbeddings(embeddingRows(rows), config).cache()
+      val q = randVec(dims)
+      for (k <- Seq(1, 5, 17)) {
+        val got = Search.flatSearch(coll, config, q, k)
+          .collect().map(_.getString(0)).toSeq
+        val oracle = rows.map { case (id, v) =>
+          (Metric.rankValue(metric, VectorKernels.distance(metric.code, v, q)), id)
+        }.sortBy(identity).take(k).map(_._2)
+        assert(got === oracle, s"metric=${metric.name} k=$k")
+      }
+      coll.unpersist()
+    }
+  }
+
+  test("MaxSim >= best single-vector similarity; monotone in query set") {
+    val dims = 4
+    for (_ <- 1 to 10) {
+      val docs = Array.fill(3)(randVec(dims))
+      val q1 = randVec(dims); val q2 = randVec(dims)
+      val one = VectorKernels.maxSim(3, Array(q1), docs)
+      val both = VectorKernels.maxSim(3, Array(q1, q2), docs)
+      val bestPair = docs.map(d => VectorKernels.distance(3, q1, d)).max
+      assert(math.abs(one - bestPair) < 1e-12)
+      val two = VectorKernels.maxSim(3, Array(q2), docs)
+      assert(math.abs(both - (one + two)) < 1e-12)
+    }
+  }
+}

@@ -39,4 +39,28 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(all.contains(SessionOut(2L, 0L, 0L, 1, 7.0)))
     } finally query.stop()
   }
+
+  test("streaming exact dedup holds fingerprints within the watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String)]
+    val df = input.toDF().toDF("ts", "text")
+    val deduped = graft.dedup.Dedup.streamingExactDedup(
+      df, org.apache.spark.sql.functions.col("text"), "ts", "10 minutes")
+    val q = deduped.writeStream.format("memory").queryName("dedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-01-01 10:01:00")
+      input.addData((t0, "hello"), (t1, "hello"), (t1, "world"))
+      q.processAllAvailable()
+      val texts = spark.table("dedup_out").select("text")
+        .collect().map(_.getString(0)).sorted
+      assert(texts.toSeq === Seq("hello", "world"))
+      // duplicate arriving in a later batch within the watermark: dropped
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:02:00"), "hello"))
+      q.processAllAvailable()
+      assert(spark.table("dedup_out").count() === 2)
+    } finally q.stop()
+  }
 }
