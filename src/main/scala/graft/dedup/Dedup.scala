@@ -62,9 +62,14 @@ object Dedup {
       k: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     val rows = numHashes / bands
+    // localCheckpoint: the banded-signature expression inlines the
+    // shingle pipeline numHashes x bands times; without a lineage
+    // barrier the optimizer re-expands that tree into every downstream
+    // join branch (minutes of planning time on a 90-doc corpus)
     val sig = df.select(col(idCol).as("id"),
       TextAnalysis.minhashBands(
         TextAnalysis.minhashSignature(textCol, k, numHashes), bands, rows).as("bands"))
+      .localCheckpoint()
     val exploded = sig.select(col("id"), explode(col("bands")).as("band"))
     val a = exploded.select(col("band"), col("id").as("id_a"))
     val b = exploded.select(col("band"), col("id").as("id_b"))
@@ -79,6 +84,7 @@ object Dedup {
     val cands = minhashCandidatePairs(df, idCol, textCol, k, numHashes, bands)
     val sh = df.select(col(idCol).as("sid"),
       array_distinct(TextAnalysis.shingles(textCol, k)).as("sh"))
+      .localCheckpoint()
     cands
       .join(sh.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
