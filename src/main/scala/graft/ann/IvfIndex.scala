@@ -90,6 +90,27 @@ object IvfIndex {
     Search.flatSearch(cands, config, query, limit)
   }
 
+  /** Write the collection partitioned BY CELL: at rest each IVF cell is
+    * its own directory, so a probe prunes whole files before any IO —
+    * the layout that matters at 100 TB (partition pruning shows up as
+    * PartitionFilters in the scan). */
+  def writePartitioned(df: DataFrame, centroids: Array[Array[Float]],
+      path: String): Unit =
+    withCells(df, centroids).write.mode("overwrite")
+      .partitionBy("ivf_cell").parquet(path)
+
+  /** Search a cell-partitioned collection: the probe filter becomes a
+    * partition filter — only nprobe/k of the data is read. */
+  def searchPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+      config: CollectionConfig, centroids: Array[Array[Float]],
+      query: Array[Float], limit: Int, nprobe: Int): DataFrame = {
+    val q = Search.prepareQuery(config, query)
+    val probes = probeCells(q, centroids, nprobe)
+    val cands = spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(probes: _*)).drop("ivf_cell")
+    Search.flatSearch(cands, config, query, limit)
+  }
+
   /** overlap@k vs exact flat — the quality gate. */
   def overlapAtK(df: DataFrame, config: CollectionConfig, centroids: Array[Array[Float]],
       query: Array[Float], k: Int, nprobe: Int): Double = {

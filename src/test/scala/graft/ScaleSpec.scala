@@ -1,0 +1,62 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.IvfIndex
+import graft.core.CollectionConfig
+import graft.functions.Skew
+import graft.search.Search
+
+/** Scale-layout features: cell-partitioned storage with partition
+  * pruning, salted skew handling. */
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("IVF cell-partitioned storage: pruned scan, same results as flat") {
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+    val centroids = IvfIndex.train(coll, config, IvfIndex.IvfConfig(k = 8, iterations = 5))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf").toString
+    IvfIndex.writePartitioned(coll, centroids, path)
+    // one directory per cell on disk
+    val cells = new java.io.File(path).listFiles().count(_.getName.startsWith("ivf_cell="))
+    assert(cells > 1 && cells <= 8)
+    val q = Tables.queryVector(spark, sfDir, 1L)
+    // full probe == exact flat
+    val full = IvfIndex.searchPartitioned(spark, path, config, centroids, q, 10, nprobe = 8)
+      .collect().map(_.getString(0)).toSeq
+    val exact = Search.flatSearch(coll, config, q, 10).collect().map(_.getString(0)).toSeq
+    assert(full === exact)
+    // partial probe physically prunes partitions (PartitionFilters in plan)
+    val prepared = Search.prepareQuery(config, q)
+    val probes = IvfIndex.probeCells(prepared, centroids, 2)
+    val plan = spark.read.parquet(path).filter(col("ivf_cell").isin(probes: _*))
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"))
+  }
+
+  test("salted aggregation is exact under skew") {
+    val df = (Seq.fill(5000)("hot") ++ (1 to 100).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, i.toDouble) }.toDF("key", "v")
+      .repartition(8)
+    val salted = Skew.saltedSum(df, col("key"), col("v"), parallelism = 16)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    val plain = df.groupBy("key").agg(sum("v"), count(lit(1)))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getLong(2))).toMap
+    assert(salted === plain)
+    assert(salted("hot")._2 === 5000L)
+  }
+
+  test("salted join equals plain join under a hot key") {
+    val big = (Seq.fill(2000)(1) ++ (2 to 50)).zipWithIndex
+      .map { case (k, i) => (k, i) }.toDF("k", "payload").repartition(8)
+    val small = (1 to 50).map(k => (k, s"dim$k")).toDF("k", "name")
+    val salted = Skew.saltedJoin(big, small, "k", parallelism = 4)
+      .groupBy("k").count().collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val plain = big.join(small, "k").groupBy("k").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(salted === plain)
+  }
+}
