@@ -96,23 +96,30 @@ object Dedup {
   }
 
   /** Connected components over verified pairs by iterative min-label
-    * propagation (converges in O(log(diameter)) rounds; dup clusters are
-    * tiny so 5 rounds is far beyond enough). Returns (id, cluster_id). */
+    * propagation to a FIXPOINT: each round pushes every node's minimum
+    * neighbor label one hop, so convergence takes O(graph diameter)
+    * rounds — the loop stops when a round changes no label, with
+    * `maxIter` only as a runaway-chain safety cap. `localCheckpoint`
+    * per round truncates the otherwise exponentially-growing plan
+    * lineage. Returns (id, cluster_id). */
   def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 5): DataFrame = {
+      maxIter: Int = 100): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
       .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .localCheckpoint()
     var labels = df.select(col(idCol).as("id"))
-      .withColumn("cluster_id", col("id")).cache()
+      .withColumn("cluster_id", col("id")).localCheckpoint()
+    var converged = false
     var i = 0
-    while (i < maxIter) {
+    while (!converged && i < maxIter) {
       val viaEdge = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min("cluster_id").as("edge_min"))
       val next = labels.join(viaEdge, labels("id") === viaEdge("id2"), "left")
-        .select(col("id"),
+        .select(col("id"), col("cluster_id").as("_prev"),
           least(col("cluster_id"), coalesce(col("edge_min"), col("cluster_id")))
-            .as("cluster_id")).cache()
-      labels = next
+            .as("cluster_id")).localCheckpoint()
+      converged = next.filter(col("cluster_id") =!= col("_prev")).isEmpty
+      labels = next.drop("_prev")
       i += 1
     }
     labels

@@ -72,9 +72,12 @@ final class FlatIndex private (
     val code = if (metric == Metric.Cosine) VectorKernels.TRUE_COSINE_CODE else metric.code
     val rankCode = metric.code
     val filter = within
+    // clamp like Search.funnelStage: a stage > dims degrades to a
+    // full-vector stage instead of reading past the query array
+    val dEff = math.min(d, dims)
     val partTops = blocks.mapPartitions { it =>
       val heap = new FlatIndex.BoundedRankHeap(keep)
-      it.foreach(_.scorePrefixInto(code, rankCode, q, d, filter, heap))
+      it.foreach(_.scorePrefixInto(code, rankCode, q, dEff, filter, heap))
       Iterator.single(heap.toSortedArray)
     }.collect()
     FlatIndex.mergeTop(partTops, keep).map(_._1)

@@ -82,12 +82,15 @@ object Prepare {
     * id, non-finite values). Empty result == collection valid; the same
     * scan the reference runs on snapshot load (collection.ex:1184-1203). */
   def invalidRows(df: DataFrame, config: CollectionConfig): DataFrame = {
+    // a prepared row must carry a vector: the reference rejects embeddings
+    // with neither `vector` nor `vectors` at insert (collection.ex:994-1017)
+    val noVector = col("vector").isNull
     val badDim = size(col("vector")) =!= config.dimensions
     val nonFinite = exists(col("vector"), x => isnan(x) || x === Float.PositiveInfinity || x === Float.NegativeInfinity)
     val badId = col("id").isNull || col("id") === ""
     val badMulti = col("vectors").isNotNull &&
       exists(col("vectors"), v => size(v) =!= config.dimensions)
-    df.filter(badDim || nonFinite || badId || badMulti)
+    df.filter(noVector || badDim || nonFinite || badId || badMulti)
   }
 
   /** Duplicate-id check for a batch append: ids of `incoming` that already
@@ -104,6 +107,16 @@ object Prepare {
     * batch onto the collection. */
   def putMany(existing: DataFrame, incoming: DataFrame, config: CollectionConfig): DataFrame = {
     val prepared = prepareEmbeddings(incoming, config)
+    // reject the whole batch on any invalid row, like the reference's
+    // prepare_embedding validation (dimension / finiteness / missing
+    // vector, collection.ex:1077-1095): an accepted bad row would either
+    // poison every later search (NULL rank) or throw mid-scan (dim
+    // mismatch inside the distance kernel).
+    val bad = invalidRows(prepared, config).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"invalid embedding in batch (id=${bad.head.getAs[Any]("id")}): " +
+          "missing/wrong-dimension/non-finite vector or empty id")
     val dups = duplicateIds(existing, prepared).limit(1).collect()
     if (dups.nonEmpty)
       throw new IllegalArgumentException(s"duplicate id: ${dups.head.getString(0)}")

@@ -46,7 +46,9 @@ object Search {
   /** Deterministic top-k: ORDER BY (rank, id) LIMIT k ->
     * TakeOrderedAndProject. */
   def topK(scored: DataFrame, k: Int, rank: Column = col("rank")): DataFrame =
-    scored.orderBy(rank.asc, col("id").asc).limit(k)
+    // nulls LAST: a NULL rank (e.g. a malformed row that slipped past
+    // ingest validation) must never outrank a real score
+    scored.orderBy(rank.asc_nulls_last, col("id").asc).limit(k)
 
   /** Final (score, distance) projection per SURVEY §2.8. */
   def projectResults(df: DataFrame, config: CollectionConfig): DataFrame = {

@@ -127,10 +127,13 @@ object EventStreams {
   }
 
   /** Run a streaming frame to a memory sink until all available data is
-    * processed (test harness). */
-  def runAvailableNow(df: DataFrame, queryName: String): Unit = {
+    * processed (test harness). Aggregation streams use the default
+    * "complete" mode; append-mode producers in this module
+    * (statefulSessionize, Dedup.streamingExactDedup) pass "append". */
+  def runAvailableNow(df: DataFrame, queryName: String,
+      outputMode: String = "complete"): Unit = {
     val q: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream
-      .format("memory").queryName(queryName).outputMode("complete")
+      .format("memory").queryName(queryName).outputMode(outputMode)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
     val query = q.start()
     query.awaitTermination()

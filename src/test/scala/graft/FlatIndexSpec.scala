@@ -65,6 +65,18 @@ class FlatIndexSpec extends SparkSpec {
     }
   }
 
+  test("FlatIndex clamps funnel stages beyond dims (degrades to full-vector stage)") {
+    val config = CollectionConfig("clamp", 2, Metric.L2)
+    val rows = (0 until 20).map(i => f"v$i%02d" -> Array(i.toFloat, (20 - i).toFloat))
+    val coll = graft.prepare.Prepare.prepareEmbeddings(embeddingRows(rows), config)
+    val idx = FlatIndex.build(coll, config)
+    val q = Array(3.0f, 17.0f)
+    val clamped = idx.funnelSearch(q, Metric.L2, 5, stages = Seq(1000), candidates = 10)
+    val exactIds = idx.search(q, Metric.L2, 5).map(_._1).toSeq
+    assert(clamped.map(_._1).toSeq === exactIds)
+    idx.unpersist()
+  }
+
   test("FlatIndex searchMany equals per-query search") {
     val d = Tables.dims(spark, sfDir)
     val config = CollectionConfig("e", d, Metric.Cosine)

@@ -96,6 +96,17 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map("a" -> "a", "b" -> "a", "c" -> "a", "d" -> "d", "e" -> "d"))
   }
 
+  test("clusters: fixpoint convergence on a chain deeper than any fixed round count") {
+    // a 12-node chain has diameter 11: one-hop propagation with a fixed
+    // 5 rounds would split it; the fixpoint loop must label all -> c00
+    val ids = (0 until 12).map(i => f"c$i%02d")
+    val df = ids.toDF("id")
+    val pairs = ids.zip(ids.tail).toDF("id_a", "id_b")
+    val out = Dedup.clusters(df, "id", pairs).collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out.values.toSet === Set("c00"))
+  }
+
   test("langid picks the profile language; und when nothing matches") {
     val df = Seq(
       ("1", "the cat sat of the mat and it is that"),

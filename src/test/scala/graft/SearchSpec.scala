@@ -111,6 +111,39 @@ class SearchSpec extends SparkSpec {
     assert(Prepare.get(appended, "b").count() === 1)
   }
 
+  test("put_many rejects missing-vector and wrong-dimension rows (collection.ex:1077-1095)") {
+    import org.apache.spark.sql.types._
+    val config = CollectionConfig("val", 2, Metric.L2)
+    val coll = prep(Seq("a" -> Array(1f, 0f)), config)
+    val schema = StructType(Seq(
+      StructField("id", StringType), StructField("vector", ArrayType(FloatType))))
+    def frame(rows: Seq[org.apache.spark.sql.Row]) =
+      spark.createDataFrame(java.util.Arrays.asList(rows: _*), schema)
+    // neither vector nor vectors
+    intercept[IllegalArgumentException] {
+      Prepare.putMany(coll, frame(Seq(org.apache.spark.sql.Row("novec", null))), config)
+    }
+    // wrong dimension
+    intercept[IllegalArgumentException] {
+      Prepare.putMany(coll, frame(Seq(
+        org.apache.spark.sql.Row("baddim", Seq(1.0f, 2.0f, 3.0f)))), config)
+    }
+    // non-finite
+    intercept[IllegalArgumentException] {
+      Prepare.putMany(coll, frame(Seq(
+        org.apache.spark.sql.Row("nan", Seq(Float.NaN, 1.0f)))), config)
+    }
+  }
+
+  test("topK orders NULL ranks last, never polluting the head") {
+    val config = CollectionConfig("nul", 2, Metric.L2)
+    val coll = prep(Seq("a" -> Array(1f, 0f), "b" -> Array(0f, 1f)), config)
+    val scored = coll.withColumn("rank",
+      when(col("id") === "a", lit(null).cast("double")).otherwise(lit(1.0)))
+    val top = Search.topK(scored, 1).collect()
+    assert(top.head.getAs[String]("id") === "b")
+  }
+
   test("hybrid search with MaxSim rerank restricts scoring to candidates") {
     val config = CollectionConfig("hmv", 2, Metric.InnerProduct)
     val df = multiVectorRows(Seq(
