@@ -22,6 +22,9 @@ object Bench {
 
   private val SynthRecords = sys.env.getOrElse("GRAFT_BENCH_RECORDS", "100000").toInt
   private val SynthDims = sys.env.getOrElse("GRAFT_BENCH_DIMS", "384").toInt
+  /** Comma-separated substrings: when set, run only matching q_* queries
+    * and skip the synth family (fast iteration on one slow query). */
+  private val Only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
 
   private def mix(a: Long, b: Long): Long = {
     var x = a ^ java.lang.Long.rotateLeft(b, 31)
@@ -69,6 +72,7 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
+    if (Only.isEmpty) {
     // ----- family 1: the reference's matrix shape on synthetic vectors
     val dims = SynthDims
     val config = CollectionConfig("bench", dims, Metric.Cosine)
@@ -161,14 +165,23 @@ object Bench {
     results("synth_flatindex_hybrid") = bench {
       idx.hybridSearch(q, Metric.Cosine, 10, Seq(dims / 4, dims / 2, dims), 200)
     }
-    idx.unpersist()
-    coll.unpersist(); lshColl.unpersist(); mvDocs.unpersist()
+    idx.unpersist(); idx.blocks.unpersist(blocking = true)
+    coll.unpersist(blocking = true); lshColl.unpersist(blocking = true)
+    mvDocs.unpersist(blocking = true)
+    // Family 1 leaves the executor heap full of evicted cache blocks and
+    // JIT churn; without a hard release the q_* family below measures
+    // GC pressure, not operator latency (observed ~2.5x inflation).
+    spark.catalog.clearCache()
+    System.gc()
+    }
 
     // ----- family 2: every driver query once at the given SF
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      try results(s"q_$name") = time { fn(spark, sfDir).count() }
-      catch { case _: Throwable => results(s"q_$name") = -1.0 }
-    }
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => Only.forall(_.exists(name.contains)) }
+      .foreach { case (name, fn) =>
+        try results(s"q_$name") = time { fn(spark, sfDir).count() }
+        catch { case _: Throwable => results(s"q_$name") = -1.0 }
+      }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
