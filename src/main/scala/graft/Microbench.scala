@@ -15,11 +15,59 @@ object Microbench {
     println(f"$label%-40s min=${ts.min}%.4f med=${ts.sorted.apply(reps / 2)}%.4f")
   }
 
+  /** Stage-by-stage profile of the slow driver queries at a real SF dir:
+    * `runMain graft.Microbench slow /root/testdata/sf0.1`. */
+  def profileSlow(spark: SparkSession, dir: String): Unit = {
+    val d = Tables.dims(spark, dir)
+    val config = Tables.cosineConfig(d)
+    time("embeddings collect raw", 3) {
+      Tables.read(spark, dir, "embeddings").collect()
+    }
+    time("collection prepare+collect", 3) {
+      Tables.embeddingsCollection(spark, dir, config)
+        .select("id", "vector").collect()
+    }
+    val coll = Tables.embeddingsCollection(spark, dir, config)
+    var g: graft.index.Hnsw = null
+    time("hnsw build (collect+insert)", 3) {
+      g = graft.index.Hnsw.build(coll, config)
+    }
+    val q = Search.prepareQuery(config, Tables.queryVector(spark, dir, 0L))
+    time("hnsw search", 3) { g.search(q, 10) }
+    time("ivf train", 3) {
+      graft.ann.IvfIndex.train(coll, config,
+        graft.ann.IvfIndex.IvfConfig(k = 8, iterations = 5))
+    }
+    val cents = graft.ann.IvfIndex.train(coll, config,
+      graft.ann.IvfIndex.IvfConfig(k = 8, iterations = 5))
+    time("ivf search nprobe=8", 3) {
+      graft.ann.IvfIndex.search(coll, config, cents,
+        Tables.queryVector(spark, dir, 0L), 10, nprobe = 8).collect()
+    }
+    val emb = Tables.read(spark, dir, "embeddings")
+      .select(col("vec_id").as("id"), col("embedding").as("vector"))
+    time("lsh dedup signatures only", 3) {
+      graft.ann.CosineLsh.withSignatures(
+        emb.select(col("id"),
+          graft.functions.VectorFunctions.normalizeVector(
+            graft.core.Normalize.L2, col("vector")).as("nv")),
+        graft.ann.CosineLsh.LshConfig(bands = 24, bitsPerBand = 6), "nv")
+        .select("id", "lsh_bands").count()
+    }
+    time("lsh dedup full", 3) {
+      graft.dedup.Dedup.embeddingPairs(emb, "id", "vector",
+        graft.ann.CosineLsh.LshConfig(bands = 24, bitsPerBand = 6), 0.3).count()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("slow")) {
+      profileSlow(spark, args(1)); spark.stop(); return
+    }
     val dims = 384
     val n = 100000
     val config = CollectionConfig("b", dims, Metric.Cosine)

@@ -29,7 +29,12 @@ object IvfIndex {
     * the standard IVF coarse metric; normalized vectors make this
     * cosine-compatible). Empty cells re-seed from the sample. */
   def train(df: DataFrame, config: CollectionConfig, ivf: IvfConfig): Array[Array[Float]] = {
-    val sample = df.select("vector").orderBy(md5(concat_ws(",", col("vector").cast("string"), lit(ivf.seed.toString))))
+    // Deterministic sample: order by a cheap codegen'd hash of the raw
+    // vector bytes (xxhash64 supports array columns natively); the
+    // orderBy+limit pair compiles to TakeOrderedAndProject, so at scale
+    // this is a single pass with a bounded heap, not a full sort.
+    val sample = df.select("vector")
+      .orderBy(xxhash64(col("vector"), lit(ivf.seed)))
       .limit(ivf.sampleSize).collect().map(_.getSeq[Float](0).toArray)
     require(sample.nonEmpty, "cannot train IVF on an empty collection")
     val k = math.min(ivf.k, sample.length)

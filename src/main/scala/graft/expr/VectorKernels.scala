@@ -56,6 +56,59 @@ object VectorKernels {
   def distance(code: Int, a: ArrayData, b: Array[Float]): Double =
     distance(code, a.toFloatArray(), b)
 
+  // ---- unrolled variants: 4 independent accumulator chains break the
+  // FP-add latency dependency (~4x on 384 dims). Summation ORDER differs
+  // from the sequential kernels, so these are reserved for internal
+  // ranking (HNSW graph walks) where no oracle mirrors the arithmetic —
+  // every oracle-matched path stays on the sequential kernels, whose
+  // order the DuckDB SQL replicates exactly.
+
+  /** Graph-walk ranking distance for codes 0..4 (l2/l2sq/cos/ip/nip). */
+  def rankingDistance(code: Int, a: Array[Float], b: Array[Float]): Double = {
+    val n = a.length
+    if (b.length != n)
+      throw new IllegalArgumentException(s"dimension mismatch: $n vs ${b.length}")
+    code match {
+      case 0 => math.sqrt(l2sq4(a, b, n))
+      case 1 => l2sq4(a, b, n)
+      case 2 => dot4(a, b, n)
+      case 3 => dot4(a, b, n)
+      case 4 => -dot4(a, b, n)
+      case c => distance(c, a, b)
+    }
+  }
+
+  private def dot4(a: Array[Float], b: Array[Float], n: Int): Double = {
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    var i = 0
+    val lim = n - 3
+    while (i < lim) {
+      s0 += a(i).toDouble * b(i).toDouble
+      s1 += a(i + 1).toDouble * b(i + 1).toDouble
+      s2 += a(i + 2).toDouble * b(i + 2).toDouble
+      s3 += a(i + 3).toDouble * b(i + 3).toDouble
+      i += 4
+    }
+    while (i < n) { s0 += a(i).toDouble * b(i).toDouble; i += 1 }
+    (s0 + s1) + (s2 + s3)
+  }
+
+  private def l2sq4(a: Array[Float], b: Array[Float], n: Int): Double = {
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    var i = 0
+    val lim = n - 3
+    while (i < lim) {
+      val d0 = a(i).toDouble - b(i).toDouble
+      val d1 = a(i + 1).toDouble - b(i + 1).toDouble
+      val d2 = a(i + 2).toDouble - b(i + 2).toDouble
+      val d3 = a(i + 3).toDouble - b(i + 3).toDouble
+      s0 += d0 * d0; s1 += d1 * d1; s2 += d2 * d2; s3 += d3 * d3
+      i += 4
+    }
+    while (i < n) { val d = a(i).toDouble - b(i).toDouble; s0 += d * d; i += 1 }
+    (s0 + s1) + (s2 + s3)
+  }
+
   private def dot(a: Array[Float], b: Array[Float], n: Int): Double = {
     var acc = 0.0; var i = 0
     while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }

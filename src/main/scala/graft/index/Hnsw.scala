@@ -40,16 +40,28 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
       Array.fill(layer + 1)(mutable.ArrayBuffer.empty[Int])
   }
 
-  private val nodes = mutable.HashMap.empty[Int, Node]
+  // Internal ids are dense sequential ints, so node storage is a flat
+  // array (null = deleted) — the graph walk does millions of neighbor
+  // lookups per build, and boxed HashMap[Int, _] access dominated the
+  // insert profile (measured ~2x whole-build win on 2k x 384).
+  private val nodes = mutable.ArrayBuffer.empty[Node]
+  private var liveCount = 0
   private val externalToInternal = mutable.HashMap.empty[String, Int]
   private var entry: Option[Int] = None
   private var nextId = 0
   private var dimension: Option[Int] = None
 
-  def size: Int = nodes.size
+  /** Live node or null. */
+  private def nodeAt(id: Int): Node =
+    if (id >= 0 && id < nodes.length) nodes(id) else null
 
+  def size: Int = liveCount
+
+  /** Internal graph-walk ranking only (unrolled kernel; result rows
+    * still report the sequential-kernel distance in `search`). */
   private def rankDistance(a: Array[Float], b: Array[Float]): Double =
-    VectorKernels.rankValue(metric.code, VectorKernels.distance(metric.code, a, b))
+    VectorKernels.rankValue(metric.code,
+      VectorKernels.rankingDistance(metric.code, a, b))
 
   /** Deterministic level from FNV-1a of the external id. */
   private def levelFor(externalId: String): Int = {
@@ -72,8 +84,9 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
     val nodeLevel = levelFor(externalId)
     val node = new Node(externalId, vector, nodeLevel)
 
-    if (nodes.isEmpty) {
-      nodes(internalId) = node
+    if (liveCount == 0) {
+      nodes += node
+      liveCount += 1
       externalToInternal(externalId) = internalId
       entry = Some(internalId)
       dimension = Some(vector.length)
@@ -98,7 +111,8 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
       layer -= 1
     }
 
-    nodes(internalId) = node
+    nodes += node
+    liveCount += 1
     externalToInternal(externalId) = internalId
     dimension = Some(vector.length)
 
@@ -107,10 +121,10 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
     var l = 0
     while (l <= nodeLevel) {
       node.connections(l).toArray.foreach { neighborId =>
-        nodes.get(neighborId).foreach { nb =>
-          if (l < nb.connections.length && !nb.connections(l).contains(internalId))
-            nb.connections(l) += internalId
-        }
+        val nb = nodeAt(neighborId)
+        if (nb != null && l < nb.connections.length &&
+            !nb.connections(l).contains(internalId))
+          nb.connections(l) += internalId
         prune(neighborId, l)
       }
       l += 1
@@ -133,14 +147,29 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
     * (highest layer, smallest external id on ties). */
   def delete(externalId: String): Unit = {
     externalToInternal.remove(externalId).foreach { internalId =>
-      nodes.remove(internalId)
-      nodes.values.foreach(n => n.connections.foreach(c => c --= Seq(internalId)))
+      nodes(internalId) = null // slot stays (internal id = array index)
+      liveCount -= 1
+      nodes.foreach(n =>
+        if (n != null) n.connections.foreach(c => c --= Seq(internalId)))
       if (entry.contains(internalId)) {
         entry =
-          if (nodes.isEmpty) None
-          else Some(nodes.maxBy { case (_, n) => (n.layer, Reverse(n.externalId)) }._1)
+          if (liveCount == 0) None
+          else {
+            var best = -1
+            var i = 0
+            while (i < nodes.length) {
+              val n = nodes(i)
+              if (n != null && (best < 0 || {
+                    val b = nodes(best)
+                    n.layer > b.layer ||
+                    (n.layer == b.layer && n.externalId < b.externalId)
+                  })) best = i
+              i += 1
+            }
+            Some(best)
+          }
       }
-      if (nodes.isEmpty) dimension = None
+      if (liveCount == 0) dimension = None
     }
   }
 
@@ -174,11 +203,15 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
       moved = false
       val node = nodes(current)
       if (layer < node.connections.length) {
-        node.connections(layer).foreach { neighborId =>
-          nodes.get(neighborId).foreach { nb =>
+        val conns = node.connections(layer)
+        var i = 0
+        while (i < conns.length) {
+          val nb = nodeAt(conns(i))
+          if (nb != null) {
             val d = rankDistance(nb.vector, query)
-            if (d < currentDist) { current = neighborId; currentDist = d; moved = true }
+            if (d < currentDist) { current = conns(i); currentDist = d; moved = true }
           }
+          i += 1
         }
       }
     }
@@ -188,8 +221,9 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
   /** ef-bounded best-first exploration of one layer. */
   private def searchLayer(ep: Int, query: Array[Float], layer: Int,
       ef: Int): Seq[(Int, Double)] = {
-    if (!nodes.contains(ep)) return Seq.empty
-    val visited = mutable.HashSet(ep)
+    if (nodeAt(ep) == null) return Seq.empty
+    val visited = new java.util.BitSet(nextId)
+    visited.set(ep)
     // closest-first: (dist asc, id asc); worst-first: (dist desc, id desc)
     val candidates = mutable.PriorityQueue.empty[(Double, Int)](
       Ordering.Tuple2[Double, Int].reverse)
@@ -206,9 +240,14 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
       else {
         val node = nodes(curId)
         if (layer < node.connections.length) {
-          node.connections(layer).foreach { neighborId =>
-            if (visited.add(neighborId)) {
-              nodes.get(neighborId).foreach { nb =>
+          val conns = node.connections(layer)
+          var i = 0
+          while (i < conns.length) {
+            val neighborId = conns(i)
+            if (!visited.get(neighborId)) {
+              visited.set(neighborId)
+              val nb = nodeAt(neighborId)
+              if (nb != null) {
                 val d = rankDistance(nb.vector, query)
                 val w = if (results.nonEmpty) results.head._1 else Double.PositiveInfinity
                 if (results.size < ef || d < w) {
@@ -218,6 +257,7 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
                 }
               }
             }
+            i += 1
           }
         }
       }
@@ -229,14 +269,17 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
     * internal id). */
   private def prune(nodeId: Int, layer: Int): Unit = {
     val limit = if (layer == 0) params.m0 else params.m
-    nodes.get(nodeId).foreach { node =>
-      if (layer < node.connections.length && node.connections(layer).length > limit) {
-        val kept = node.connections(layer).toSeq
-          .flatMap(id => nodes.get(id).map(nb => (id, rankDistance(node.vector, nb.vector))))
-          .sortBy(t => (t._2, t._1)).take(limit).map(_._1)
-        node.connections(layer).clear()
-        node.connections(layer) ++= kept
-      }
+    val node = nodeAt(nodeId)
+    if (node != null && layer < node.connections.length &&
+        node.connections(layer).length > limit) {
+      val kept = node.connections(layer).toSeq
+        .flatMap { id =>
+          val nb = nodeAt(id)
+          if (nb == null) None else Some((id, rankDistance(node.vector, nb.vector)))
+        }
+        .sortBy(t => (t._2, t._1)).take(limit).map(_._1)
+      node.connections(layer).clear()
+      node.connections(layer) ++= kept
     }
   }
 }
