@@ -71,6 +71,7 @@ object Bench {
     import spark.implicits._
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    val quality = scala.collection.mutable.LinkedHashMap.empty[String, Double]
 
     if (Only.isEmpty) {
     // ----- family 1: the reference's matrix shape on synthetic vectors
@@ -165,6 +166,93 @@ object Bench {
     results("synth_flatindex_hybrid") = bench {
       idx.hybridSearch(q, Metric.Cosine, 10, Seq(dims / 4, dims / 2, dims), 200)
     }
+    // ----- quality preflight: overlap@10 vs exact flat for every
+    // approximate mode, printed with the timings like the reference's
+    // bench gate (bench/search_modes_bench.exs:193-238, BASELINE.md).
+    // Also pins the strict-equivalence property: candidates = dataset
+    // size must reproduce the exact flat top-k (overlap 1.0).
+    val exactTop = idx.search(q, Metric.Cosine, 10).map(_._1).toSet
+    def overlap(ids: Iterable[String]): Double =
+      if (exactTop.isEmpty) 1.0
+      else exactTop.intersect(ids.toSet).size.toDouble / exactTop.size
+    def dfIds(df: DataFrame): Seq[String] =
+      df.select("id").collect().toIndexedSeq.map(_.getString(0))
+    quality("overlap10_funnel") = overlap(dfIds(Search.funnelSearch(
+      coll, config, q, 10, Seq(dims / 4, dims / 2, dims), 200)))
+    quality("overlap10_quantized") = overlap(dfIds(Search.quantizedSearch(
+      coll, config, q, 10, 200)))
+    quality("overlap10_hybrid") = overlap(dfIds(Search.hybridSearch(
+      coll, config, q, 10, candidates = 200,
+      stages = Seq(dims / 4, dims / 2, dims))))
+    quality("overlap10_lsh") = overlap(dfIds(
+      graft.ann.CosineLsh.search(lshColl, config, lshCfg, q, 10)))
+    val ivfCents = graft.ann.IvfIndex.train(coll, config,
+      graft.ann.IvfIndex.IvfConfig(k = 16, iterations = 5))
+    quality("overlap10_ivf_nprobe4") = overlap(dfIds(
+      graft.ann.IvfIndex.search(coll, config, ivfCents, q, 10, nprobe = 4)))
+    quality("equiv_funnel_fullcand") = overlap(dfIds(Search.funnelSearch(
+      coll, config, q, 10, Seq(dims / 4, dims / 2, dims), SynthRecords)))
+    // HNSW parity shim: driver-side build, quality on a 10k subset
+    // (insertion is sequential by design — reference rebuild semantics)
+    val hnswN = math.min(SynthRecords, 10000)
+    val hnswRows = (0 until hnswN).map(i =>
+      i.toString -> Search.prepareQuery(config, synthVector(i.toLong, dims)))
+    val hg = new graft.index.Hnsw(config.metric, graft.index.Hnsw.Params())
+    hg.insertMany(hnswRows.sortBy(_._1))
+    val hnswExact = hnswRows.map { case (id, v) =>
+      (graft.expr.VectorKernels.rankValue(config.metric.code,
+        graft.expr.VectorKernels.distance(config.metric.code, v, q)), id)
+    }.sorted.take(10).map(_._2).toSet
+    val hnswIds = hg.search(q, 10).map(_._1).toSet
+    quality("overlap10_hnsw_10k") =
+      if (hnswExact.isEmpty) 1.0
+      else hnswExact.intersect(hnswIds).size.toDouble / hnswExact.size
+    // MUVERA FDE vs exact MaxSim on the multi-vector corpus
+    val maxsimTop = dfIds(Search.multiVectorSearch(mvDocs, mvConfig, qvecs, 10))
+    val fdeQ = graft.encode.Muvera.encode(qvecs, muvCfg, graft.encode.Muvera.QueryMode)
+    val fdeTop = dfIds(mvDocs
+      .select(col("id"), graft.functions.VectorFunctions.vecDistance(
+        Metric.InnerProduct,
+        graft.encode.Muvera.encodeColumn(muvCfg, graft.encode.Muvera.DocumentMode)(col("vectors")),
+        graft.functions.VectorFunctions.vecLit(fdeQ)).as("s"))
+      .orderBy(col("s").desc, col("id").asc).limit(10))
+    quality("overlap10_muvera_vs_maxsim") =
+      if (maxsimTop.isEmpty) 1.0
+      else maxsimTop.toSet.intersect(fdeTop.toSet).size.toDouble / maxsimTop.size
+
+    // Same gate on the driver's embeddings table: uniform-random vectors
+    // are the adversarial case for ANN (pairwise cosines concentrate at
+    // 0) — the reference says to measure recall on representative
+    // embeddings (bench/performance.md:33-36), which these are.
+    try {
+      val ed = Tables.dims(spark, sfDir)
+      val econfig = Tables.cosineConfig(ed)
+      val ecoll = Tables.embeddingsCollection(spark, sfDir, econfig)
+        .select("id", "value", "vector", "binary_vector").persist()
+      val en = ecoll.count().toInt
+      val eq = Search.prepareQuery(econfig, Tables.queryVector(spark, sfDir, 0L))
+      val eExact = dfIds(Search.flatSearch(ecoll, econfig, eq, 10)).toSet
+      def eOverlap(ids: Iterable[String]): Double =
+        if (eExact.isEmpty) 1.0
+        else eExact.intersect(ids.toSet).size.toDouble / eExact.size
+      val ecand = math.min(en, 200)
+      quality("emb_overlap10_funnel") = eOverlap(dfIds(Search.funnelSearch(
+        ecoll, econfig, eq, 10, Seq(ed / 4, ed / 2, ed), ecand)))
+      quality("emb_overlap10_quantized") = eOverlap(dfIds(Search.quantizedSearch(
+        ecoll, econfig, eq, 10, ecand)))
+      val elsh = graft.ann.CosineLsh.LshConfig(bands = 24, bitsPerBand = 6)
+      quality("emb_overlap10_lsh") = eOverlap(dfIds(
+        graft.ann.CosineLsh.search(ecoll, econfig, elsh, eq, 10)))
+      val eCents = graft.ann.IvfIndex.train(ecoll, econfig,
+        graft.ann.IvfIndex.IvfConfig(k = 8, iterations = 5))
+      quality("emb_overlap10_ivf_nprobe2") = eOverlap(dfIds(
+        graft.ann.IvfIndex.search(ecoll, econfig, eCents, eq, 10, nprobe = 2)))
+      val ehg = graft.index.Hnsw.build(ecoll, econfig)
+      quality("emb_overlap10_hnsw") =
+        eOverlap(ehg.search(eq, 10).map(_._1))
+      ecoll.unpersist(blocking = true)
+    } catch { case _: Throwable => quality("emb_overlap_failed") = -1.0 }
+
     idx.unpersist(); idx.blocks.unpersist(blocking = true)
     coll.unpersist(blocking = true); lshColl.unpersist(blocking = true)
     mvDocs.unpersist(blocking = true)
@@ -185,8 +273,10 @@ object Bench {
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val ql = quality.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","synth_records":$SynthRecords,"synth_dims":$SynthDims}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"quality":$ql,"sf":"$sfDir","synth_records":$SynthRecords,"synth_dims":$SynthDims}""")
     spark.stop()
   }
 }
