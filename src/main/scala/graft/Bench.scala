@@ -116,6 +116,13 @@ object Bench {
       Search.hybridSearch(coll, config, q, 10, candidates = 200,
         stages = Seq(dims / 4, dims / 2, dims)).collect()
     }
+    // packed-f32 binary layout (scan-friendly at-rest format)
+    val packedColl = graft.prepare.Prepare.withPackedVector(coll)
+      .select("id", "value", "vector_f32").persist()
+    packedColl.count()
+    results("synth_flat_cosine_packed") = bench {
+      Search.flatSearchPacked(packedColl, config, q, 10).collect()
+    }
     val lshCfg = graft.ann.CosineLsh.LshConfig(bands = 16, bitsPerBand = 10)
     val lshColl = graft.ann.CosineLsh.withSignatures(coll, lshCfg).persist()
     lshColl.count()
@@ -254,6 +261,7 @@ object Bench {
     } catch { case _: Throwable => quality("emb_overlap_failed") = -1.0 }
 
     idx.unpersist(); idx.blocks.unpersist(blocking = true)
+    packedColl.unpersist(blocking = true)
     coll.unpersist(blocking = true); lshColl.unpersist(blocking = true)
     mvDocs.unpersist(blocking = true)
     // Family 1 leaves the executor heap full of evicted cache blocks and

@@ -68,8 +68,8 @@ object Microbench {
     if (args.headOption.contains("slow")) {
       profileSlow(spark, args(1)); spark.stop(); return
     }
-    val dims = 384
-    val n = 100000
+    val dims = sys.env.getOrElse("GRAFT_MB_DIMS", "384").toInt
+    val n = sys.env.getOrElse("GRAFT_MB_RECORDS", "100000").toInt
     val config = CollectionConfig("b", dims, Metric.Cosine)
     val genUdf = udf((id: Long) => Bench.synthVector(id, dims))
     val raw = spark.range(n).select(col("id").cast("string").as("id"),
@@ -99,6 +99,21 @@ object Microbench {
     slim.write.mode("overwrite").parquet("/tmp/mb_coll")
     val pq = spark.read.parquet("/tmp/mb_coll")
     time("flat cosine parquet", 5) { Search.flatSearch(pq, config, q, 10).collect() }
+
+    // packed-f32 binary layout at rest
+    graft.prepare.Prepare.withPackedVector(slim)
+      .select("id", "value", "vector_f32")
+      .write.mode("overwrite").parquet("/tmp/mb_coll_packed")
+    val pqPacked = spark.read.parquet("/tmp/mb_coll_packed")
+    time("flat cosine parquet packed", 5) {
+      Search.flatSearchPacked(pqPacked, config, q, 10).collect()
+    }
+    val packedCached = graft.prepare.Prepare.withPackedVector(slim)
+      .select("id", "value", "vector_f32").persist()
+    packedCached.count()
+    time("flat cosine cached packed", 5) {
+      Search.flatSearchPacked(packedCached, config, q, 10).collect()
+    }
 
     // FlatIndex acceleration mirror
     val idx = graft.index.FlatIndex.build(slim, config)

@@ -84,6 +84,19 @@ object SparkEntry {
     "vec_flat_l2_topk" -> ((s, dir) => flatTopK(s, dir, Metric.L2, 10)),
     "vec_flat_ip_topk" -> ((s, dir) => flatTopK(s, dir, Metric.InnerProduct, 10)),
 
+    // packed-f32 binary layout: scoring reads bytes in place; results
+    // must be bit-identical to vec_flat_cosine_topk (same oracle SQL)
+    "vec_flat_packed_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val packed = graft.prepare.Prepare
+        .withPackedVector(Tables.embeddingsCollection(s, dir, config))
+        .drop("vector", "vectors", "binary_vector") // packed column only
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(Search.flatSearchPacked(packed, config, q, 10).drop("metadata"),
+        Seq("score", "distance"))
+    }),
+
     // every scalar kernel over raw vectors vs the vec_id=0 query
     "vec_metrics_all" -> ((s, dir) => {
       val q = Tables.queryVector(s, dir, 0L)
@@ -268,6 +281,14 @@ object SparkEntry {
     val qv = s"SELECT ${sqlNorm("embedding")} AS qv, embedding AS qraw FROM embeddings WHERE vec_id = 0"
     Map(
       "vec_flat_cosine_topk" ->
+        s"""WITH q AS ($qv),
+           n AS (SELECT CAST(vec_id AS VARCHAR) AS id, ${sqlNorm("embedding")} AS nv FROM embeddings),
+           sc AS (SELECT id, ${sqlDot("nv", "qv")} AS raw FROM n, q)
+           SELECT id, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance, 'cosine' AS metric, id AS value
+           FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10""",
+
+      // identical to the cosine oracle: the packed layout is lossless
+      "vec_flat_packed_topk" ->
         s"""WITH q AS ($qv),
            n AS (SELECT CAST(vec_id AS VARCHAR) AS id, ${sqlNorm("embedding")} AS nv FROM embeddings),
            sc AS (SELECT id, ${sqlDot("nv", "qv")} AS raw FROM n, q)

@@ -62,6 +62,83 @@ case class VectorDistance(left: Expression, right: Expression, metricCode: Int)
     copy(left = l, right = r)
 }
 
+/** Pack a f32 vector into 4d bytes (BinaryType) — the scan-friendly
+  * at-rest layout: parquet decodes one BYTE_ARRAY per row instead of d
+  * repetition-leveled elements. */
+case class PackFloats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pack_floats"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.packFloatsData(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.VectorKernels.packFloatsData($v);")
+
+  override protected def withNewChildInternal(c: Expression): PackFloats = copy(child = c)
+}
+
+/** Inverse of [[PackFloats]]. */
+case class UnpackFloats(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "unpack_floats"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ArrayData.toArrayData(VectorKernels.unpackFloats(v.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.expr.VectorKernels.unpackFloats($v));")
+
+  override protected def withNewChildInternal(c: Expression): UnpackFloats = copy(child = c)
+}
+
+/** Raw metric value between a packed byte vector and a foldable f32
+  * query literal — in-place byte reads, no array materialization. */
+case class BinaryVectorDistance(left: Expression, right: Expression, metricCode: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "binary_vector_distance"
+
+  @transient private lazy val rightConst: Array[Float] =
+    if (right.foldable) {
+      val v = right.eval(InternalRow.empty)
+      if (v == null) null else v.asInstanceOf[ArrayData].toFloatArray()
+    } else null
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (rightConst != null)
+      VectorKernels.distanceBytes(metricCode, a.asInstanceOf[Array[Byte]], rightConst)
+    else
+      VectorKernels.distanceBytes(metricCode, a.asInstanceOf[Array[Byte]],
+        b.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (rightConst != null) {
+      val ref = ctx.addReferenceObj("queryVec", rightConst, "float[]")
+      val leftGen = left.genCode(ctx)
+      ev.copy(code = code"""
+        ${leftGen.code}
+        boolean ${ev.isNull} = ${leftGen.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.expr.VectorKernels.distanceBytes($metricCode, ${leftGen.value}, $ref);
+        }""")
+    } else {
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expr.VectorKernels.distanceBytes($metricCode, $a, " +
+          s"((org.apache.spark.sql.catalyst.util.ArrayData) $b).toFloatArray());")
+    }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): BinaryVectorDistance =
+    copy(left = l, right = r)
+}
+
 /** Pack sign bits of a f32 vector into Long words (64 dims per word). */
 case class PackSignBits(child: Expression)
     extends UnaryExpression {

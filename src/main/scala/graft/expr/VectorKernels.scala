@@ -56,6 +56,81 @@ object VectorKernels {
   def distance(code: Int, a: ArrayData, b: Array[Float]): Double =
     distance(code, a.toFloatArray(), b)
 
+  // ------------------------------------------- packed f32 byte vectors
+  //
+  // Scale layout: a d-dim vector stored as BinaryType (4d native-endian
+  // f32 bytes — LE on x86/aarch64, the same convention as Spark's
+  // UnsafeRow) decodes from parquet as ONE plain BYTE_ARRAY value per
+  // row instead of d repetition-leveled elements — the scan-side cost
+  // that dominates brute-force search over parquet at 100 TB. Kernels
+  // read floats in place (no float[] materialization) in the SAME
+  // sequential order as the ArrayData kernels, so results are
+  // bit-identical and the DuckDB oracles carry over unchanged.
+
+  import org.apache.spark.unsafe.Platform
+
+  private val BAO = Platform.BYTE_ARRAY_OFFSET
+
+  def packFloats(v: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](v.length * 4)
+    var i = 0
+    while (i < v.length) {
+      Platform.putFloat(out, BAO + i * 4L, v(i))
+      i += 1
+    }
+    out
+  }
+
+  def packFloatsData(v: ArrayData): Array[Byte] = packFloats(v.toFloatArray())
+
+  def unpackFloats(b: Array[Byte]): Array[Float] = {
+    require(b.length % 4 == 0, s"binary vector length ${b.length} not a multiple of 4")
+    val out = new Array[Float](b.length / 4)
+    var i = 0
+    while (i < out.length) {
+      out(i) = Platform.getFloat(b, BAO + i * 4L)
+      i += 1
+    }
+    out
+  }
+
+  /** Metric over a packed byte vector and a float[] query — identical
+    * arithmetic/order to [[distance]]; codes 5..9 fall back through
+    * [[unpackFloats]]. */
+  def distanceBytes(code: Int, a: Array[Byte], q: Array[Float]): Double = {
+    val n = q.length
+    if (a.length != n * 4)
+      throw new IllegalArgumentException(
+        s"dimension mismatch: ${a.length / 4} vs $n")
+    code match {
+      case 0 => math.sqrt(l2sqBytes(a, q, n))
+      case 1 => l2sqBytes(a, q, n)
+      case 2 => dotBytes(a, q, n)
+      case 3 => dotBytes(a, q, n)
+      case 4 => -dotBytes(a, q, n)
+      case c => distance(c, unpackFloats(a), q)
+    }
+  }
+
+  private def dotBytes(a: Array[Byte], q: Array[Float], n: Int): Double = {
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      acc += Platform.getFloat(a, BAO + i * 4L).toDouble * q(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  private def l2sqBytes(a: Array[Byte], q: Array[Float], n: Int): Double = {
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val d = Platform.getFloat(a, BAO + i * 4L).toDouble - q(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   // ---- unrolled variants: 4 independent accumulator chains break the
   // FP-add latency dependency (~4x on 384 dims). Summation ORDER differs
   // from the sequential kernels, so these are reserved for internal

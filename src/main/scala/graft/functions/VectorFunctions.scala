@@ -100,6 +100,20 @@ object VectorFunctions {
       expr0(docVecs.cast(ArrayType(floatArray))),
       metric.code))
 
+  /** Pack a f32 vector into a BinaryType column (4 bytes/dim) — the
+    * scan-friendly at-rest layout for brute-force search over parquet. */
+  def packF32(v: Column): Column =
+    col2(PackFloats(expr0(asFloatArray(v))))
+
+  /** Inverse of [[packF32]]. */
+  def unpackF32(b: Column): Column =
+    col2(UnpackFloats(expr0(b)))
+
+  /** Raw metric value between a packed byte vector column and a query
+    * literal, reading floats in place. */
+  def binaryVecDistance(metric: Metric, packed: Column, query: Array[Float]): Column =
+    col2(BinaryVectorDistance(expr0(packed), expr0(vecLit(query)), metric.code))
+
   /** A f32 vector literal. */
   def vecLit(v: Array[Float]): Column = typedlit(v)
 }

@@ -78,6 +78,13 @@ object Prepare {
         optCol(df, "metadata").as("metadata"))
   }
 
+  /** Add the packed-f32 binary layout of the prepared vector
+    * (`vector_f32`, 4 bytes/dim): at rest this decodes from parquet as
+    * one BYTE_ARRAY per row instead of `dims` repetition-leveled
+    * elements — pair with [[graft.search.Search.flatSearchPacked]]. */
+  def withPackedVector(df: DataFrame, vectorCol: String = "vector"): DataFrame =
+    df.withColumn("vector_f32", packF32(col(vectorCol)))
+
   /** Rows that violate collection invariants (dimension mismatch, missing
     * id, non-finite values). Empty result == collection valid; the same
     * scan the reference runs on snapshot load (collection.ex:1184-1203). */

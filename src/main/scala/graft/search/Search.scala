@@ -72,6 +72,22 @@ object Search {
     projectResults(topK(scored, limit), config)
   }
 
+  /** Exact flat search over the packed-f32 layout: like [[flatSearch]]
+    * but scoring `vector_f32` (BinaryType, see Prepare.withPackedVector)
+    * with in-place byte reads — bit-identical results, and the parquet
+    * scan decodes one binary value per row instead of `dims`
+    * repetition-leveled array elements (the scan-side win at 100 TB). */
+  def flatSearchPacked(df: DataFrame, config: CollectionConfig, query: Array[Float],
+      limit: Int, packedCol: String = "vector_f32"): DataFrame = {
+    require(limit > 0, "limit must be positive")
+    require(df.columns.contains(packedCol), s"missing packed column $packedCol")
+    val q = prepareQuery(config, query)
+    val scored = df.withColumn("raw",
+        binaryVecDistance(config.metric, col(packedCol), q))
+      .withColumn("rank", rankCol(config.metric, col("raw")))
+    projectResults(topK(scored, limit), config)
+  }
+
   /** Candidate frame for one funnel stage: score the `d`-prefix of the
     * stored vectors against the `d`-prefix of the query. Cosine uses the
     * true normalized cosine because prefixes of unit vectors are not unit
