@@ -160,6 +160,39 @@ object Dedup {
       .dropDuplicatesWithinWatermark("_fp")
       .drop("_fp")
 
+  /** Streaming MinHash near-dup filter: a document is NOVEL iff none of
+    * its LSH band keys collides with a band seen within the watermark
+    * (state) or earlier in the same batch — the streaming analogue of
+    * [[minhashCandidatePairs]] used as an online filter.
+    *
+    * Shape: explode band keys -> `dropDuplicatesWithinWatermark(band)`
+    * keeps only first-seen (band, doc) rows with per-key state bounded
+    * by the watermark -> windowed per-doc count; a doc whose surviving
+    * band count equals `bands` collided with nothing. Emits
+    * (window, id, novel) in APPEND mode when the window closes under the
+    * watermark; a document ALL of whose bands collide (an outright
+    * near-duplicate) emits nothing — absence means duplicate. Both
+    * stateful stages key on SMALL values (band hash / doc id) — no
+    * document text in state, so state scales with arrival rate x
+    * watermark, not corpus size.
+    */
+  def streamingMinhashNovelty(df: DataFrame, idCol: String, textCol: Column,
+      tsCol: String, watermark: String, k: Int = 3, numHashes: Int = 8,
+      bands: Int = 4, windowLength: String = "1 minute"): DataFrame = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val exploded = df.select(col(idCol).as("id"), col(tsCol).as("_ts"),
+        explode(TextAnalysis.minhashBands(
+          TextAnalysis.minhashSignature(textCol, k, numHashes), bands, rows))
+          .as("band"))
+      .withWatermark("_ts", watermark)
+    exploded.dropDuplicatesWithinWatermark("band")
+      .groupBy(window(col("_ts"), windowLength), col("id"))
+      .agg(count(lit(1)).as("_surviving"))
+      .select(col("window"), col("id"),
+        (col("_surviving") === bands).as("novel"))
+  }
+
   // ------------------------------------------- embedding cosine near-dup
 
   /** Embedding near-dup pairs via cosine LSH banding + exact cosine

@@ -63,4 +63,48 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(spark.table("dedup_out").count() === 2)
     } finally q.stop()
   }
+
+  test("streaming minhash novelty: band collisions mark near-dups online") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val df = input.toDF().toDF("ts", "id", "text")
+    val novelty = graft.dedup.Dedup.streamingMinhashNovelty(
+      df, "id", org.apache.spark.sql.functions.col("text"),
+      "ts", watermark = "5 minutes", k = 2, numHashes = 8, bands = 4,
+      windowLength = "1 minute")
+    val q = novelty.writeStream.format("memory").queryName("novel_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      val near = base + " extra" // shares most shingles -> most bands collide
+      val other = "completely different words populate this other document body"
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData((t0, "a", base), (t0, "b", near), (t0, "c", other))
+      q.processAllAvailable()
+      // advance the watermark far enough to close t0's window
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "z", "late sentinel"))
+      q.processAllAvailable()
+      val out = spark.table("novel_out")
+        .select("id", "novel").collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(out.get("a") === Some(true))   // first-seen: all bands novel
+      assert(out.get("c") === Some(true))   // unrelated text: all bands novel
+      // near-dup: at least one band collides with "a", so either absent
+      // (all collided) or explicitly non-novel
+      assert(!out.getOrElse("b", false))
+      // exact duplicate arriving in a LATER batch within the watermark of
+      // its original: all bands collide with held state -> absent/non-novel
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:31:00"), "d", base))
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:32:00"), "e", base))
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 11:30:00"), "y", "flush sentinel two"))
+      q.processAllAvailable()
+      val out2 = spark.table("novel_out").select("id", "novel").collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(out2.get("d") === Some(true)) // original state expired -> novel again
+      assert(!out2.getOrElse("e", false))  // within watermark of d -> duplicate
+    } finally q.stop()
+  }
 }
