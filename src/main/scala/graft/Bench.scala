@@ -265,10 +265,34 @@ object Bench {
     coll.unpersist(blocking = true); lshColl.unpersist(blocking = true)
     mvDocs.unpersist(blocking = true)
     // Family 1 leaves the executor heap full of evicted cache blocks and
-    // JIT churn; without a hard release the q_* family below measures
-    // GC pressure, not operator latency (observed ~2.5x inflation).
+    // JIT churn; without a hard release the families below measure GC
+    // pressure, not operator latency (observed ~2.5x inflation).
     spark.catalog.clearCache()
     System.gc()
+
+    // ----- scale family: 5x corpus, packed layout, uncached parquet
+    // scans — the shape that extrapolates to cluster scale (search cost
+    // = scan + in-place scoring + bounded-heap top-k, no cache)
+    val scaleN = SynthRecords * 5
+    val scalePath = "/tmp/graft_bench_scale"
+    results("scale5x_pack_write") = time {
+      graft.prepare.Prepare.withPackedVector(
+        graft.prepare.Prepare.prepareEmbeddings(
+          spark.range(scaleN).select(
+            col("id").cast("string").as("id"),
+            col("id").cast("string").as("value"),
+            genUdf(col("id")).as("vector")), config))
+        .select("id", "value", "vector_f32")
+        .write.mode("overwrite").parquet(scalePath)
+    }
+    val scaleDf = spark.read.parquet(scalePath)
+    results("scale5x_flat_packed") = bench {
+      Search.flatSearchPacked(scaleDf, config, q, 10).collect()
+    }
+    // stdout stays one JSON line; progress notes go to stderr
+    System.err.println(f"[bench] scale5x: $scaleN rows, packed parquet " +
+      f"search ${results("scale5x_flat_packed")}%.3f s = " +
+      f"${scaleN / results("scale5x_flat_packed") / 1e6}%.1f Mrows/s")
     }
 
     // ----- family 2: every driver query once at the given SF
