@@ -45,7 +45,7 @@ final class GraftDb(val spark: SparkSession) {
   def createCollection(name: String, dimensions: Int,
       metric: String = "cosine", normalize: Option[String] = None,
       score: String = "similarity", index: String = "flat"): Unit = {
-    require(Seq("flat", "hnsw", "lsh").contains(index), s"unknown index $index")
+    require(Seq("flat", "hnsw", "lsh", "ivf").contains(index), s"unknown index $index")
     require(!registry.contains(name), s"collection $name already exists")
     val config = CollectionConfig(name, dimensions, Metric.fromName(metric),
       normalize.map(Normalize.fromName), ScoreMode.fromName(score), index)
@@ -79,7 +79,7 @@ final class GraftDb(val spark: SparkSession) {
     val (df, config) = collection(name)
     val next = Prepare.putMany(df, toDf(rows), config)
     registry.put(name, (next, config))
-    hnswCache.remove(name)
+    hnswCache.remove(name); ivfCache.remove(name)
   }
 
   def all(name: String): DataFrame = collection(name)._1
@@ -106,7 +106,7 @@ final class GraftDb(val spark: SparkSession) {
   def delete(name: String, id: String): Unit = {
     val (df, config) = collection(name)
     registry.put(name, (Prepare.deleteIds(df, Seq(id)), config))
-    hnswCache.remove(name)
+    hnswCache.remove(name); ivfCache.remove(name)
   }
 
   // ------------------------------------------------------------- search
@@ -134,13 +134,19 @@ final class GraftDb(val spark: SparkSession) {
       case "lsh" =>
         graft.ann.CosineLsh.search(df, config,
           graft.ann.CosineLsh.LshConfig(), query, limit)
+      case "ivf" =>
+        val ivfCfg = graft.ann.IvfIndex.IvfConfig()
+        val cents = ivfCache.getOrElseUpdate(name,
+          graft.ann.IvfIndex.train(df, config, ivfCfg))
+        graft.ann.IvfIndex.search(df, config, cents, query, limit, ivfCfg.nprobe)
       case other => throw new IllegalArgumentException(s"unknown index $other")
     }
   }
 
-  // hnsw acceleration graphs, invalidated on every write (rebuildable
-  // state, like the reference's rebuild-on-load)
+  // acceleration structures (hnsw graphs, ivf centroids), invalidated on
+  // every write (rebuildable state, like the reference's rebuild-on-load)
   private val hnswCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.Hnsw]
+  private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
 
   /** (id, score) pairs, compat default score mode (vettore.ex:593-605). */
   def similaritySearch(name: String, query: Array[Float], limit: Int): Seq[(String, Double)] =
