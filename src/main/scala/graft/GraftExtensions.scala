@@ -82,6 +82,24 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "vec_max_sim(metric, qvecs, dvecs)")
         MaxSim(args(1), args(2), metricCodeOf(args(0)))
+      })),
+    "vec_pack_f32" -> ((
+      info("vec_pack_f32", "vec_pack_f32(v) - f32 vector packed to binary (4 bytes/dim, scan-friendly at-rest layout)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vec_pack_f32(v)")
+        PackFloats(args.head)
+      })),
+    "vec_unpack_f32" -> ((
+      info("vec_unpack_f32", "vec_unpack_f32(b) - inverse of vec_pack_f32"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vec_unpack_f32(b)")
+        UnpackFloats(args.head)
+      })),
+    "vec_binary_distance" -> ((
+      info("vec_binary_distance", "vec_binary_distance(metric, packed, q) - metric between a vec_pack_f32 binary vector and a f32 query"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "vec_binary_distance(metric, packed, q)")
+        BinaryVectorDistance(args(1), args(2), metricCodeOf(args(0)))
       })))
 
   /** Programmatic registration on an existing session. */

@@ -36,5 +36,15 @@ class SqlSurfaceSpec extends SparkSpec {
     val norm = spark.sql("SELECT vec_normalize(1, array(3.0F, 4.0F))")
       .head().getSeq[Float](0)
     assert(norm === Seq(0.6f, 0.8f))
+
+    // packed-f32 binary layout: roundtrip + in-place distance from SQL
+    val rt = spark.sql(
+      "SELECT vec_unpack_f32(vec_pack_f32(array(1.5F, -2.25F, 0.0F)))")
+      .head().getSeq[Float](0)
+    assert(rt === Seq(1.5f, -2.25f, 0.0f))
+    val bd = spark.sql("""
+      SELECT vec_binary_distance('inner_product',
+        vec_pack_f32(array(1.0F, 2.0F)), array(3.0F, 4.0F))""").head().getDouble(0)
+    assert(bd === 11.0)
   }
 }
