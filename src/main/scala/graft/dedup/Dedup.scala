@@ -43,7 +43,7 @@ object Dedup {
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: Column,
       k: Int): DataFrame = {
     val withSh = df.select(col(idCol).as("id"),
-      array_distinct(TextAnalysis.shingles(textCol, k)).as("sh"))
+      TextAnalysis.distinctShingles(textCol, k).as("sh"))
     val a = withSh.select(col("id").as("id_a"), col("sh").as("sh_a"))
     val b = withSh.select(col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, col("id_a") < col("id_b"))
@@ -61,15 +61,10 @@ object Dedup {
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: Column,
       k: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
-    // localCheckpoint: the banded-signature expression inlines the
-    // shingle pipeline numHashes x bands times; without a lineage
-    // barrier the optimizer re-expands that tree into every downstream
-    // join branch (minutes of planning time on a 90-doc corpus)
+    // Fused band-key expression: one opaque node, so no optimizer
+    // re-expansion of the shingle subtree and no lineage barrier
     val sig = df.select(col(idCol).as("id"),
-      TextAnalysis.minhashBands(
-        TextAnalysis.minhashSignature(textCol, k, numHashes), bands, rows).as("bands"))
-      .localCheckpoint()
+      TextAnalysis.minhashBandKeys(textCol, k, numHashes, bands).as("bands"))
     val exploded = sig.select(col("id"), explode(col("bands")).as("band"))
     val a = exploded.select(col("band"), col("id").as("id_a"))
     val b = exploded.select(col("band"), col("id").as("id_b"))
@@ -82,9 +77,10 @@ object Dedup {
   def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: Column,
       k: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
     val cands = minhashCandidatePairs(df, idCol, textCol, k, numHashes, bands)
+    // fused shingle expression: opaque node, safe in both join branches
+    // without a lineage barrier
     val sh = df.select(col(idCol).as("sid"),
-      array_distinct(TextAnalysis.shingles(textCol, k)).as("sh"))
-      .localCheckpoint()
+      TextAnalysis.distinctShingles(textCol, k).as("sh"))
     cands
       .join(sh.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
       .join(sh.withColumnRenamed("sid", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
@@ -180,10 +176,8 @@ object Dedup {
       tsCol: String, watermark: String, k: Int = 3, numHashes: Int = 8,
       bands: Int = 4, windowLength: String = "1 minute"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val rows = numHashes / bands
     val exploded = df.select(col(idCol).as("id"), col(tsCol).as("_ts"),
-        explode(TextAnalysis.minhashBands(
-          TextAnalysis.minhashSignature(textCol, k, numHashes), bands, rows))
+        explode(TextAnalysis.minhashBandKeys(textCol, k, numHashes, bands))
           .as("band"))
       .withWatermark("_ts", watermark)
     exploded.dropDuplicatesWithinWatermark("band")

@@ -1,0 +1,54 @@
+package graft.expr
+
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+
+/** Fused MinHash LSH band keys of a text column — see
+  * [[TextKernels.minhashBandKeys]] for semantics and why this exists as
+  * one opaque node (stops optimizer re-expansion of the inlined shingle
+  * pipeline; streaming-safe). */
+case class MinhashBandKeys(child: Expression, k: Int, numHashes: Int, bands: Int)
+    extends UnaryExpression {
+
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.minhashBandKeysData(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.TextKernels.minhashBandKeysData($v, $k, $numHashes, $bands);")
+
+  override protected def withNewChildInternal(c: Expression): MinhashBandKeys =
+    copy(child = c)
+}
+
+/** Distinct word k-shingles as one opaque node — same values as
+  * array_distinct(transform(sequence..., slice...)) but a fraction of
+  * the generated code, and safe to reuse across join branches. */
+case class DistinctShingles(child: Expression, k: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "distinct_shingles"
+
+  override protected def nullSafeEval(v: Any): Any = {
+    val sh = TextKernels.distinctShingles(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].toString, k)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      sh.map(org.apache.spark.unsafe.types.UTF8String.fromString(_))
+        .asInstanceOf[Array[Any]])
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.TextKernels.distinctShinglesData($v, $k);")
+
+  override protected def withNewChildInternal(c: Expression): DistinctShingles =
+    copy(child = c)
+}

@@ -1,0 +1,134 @@
+package graft.expr
+
+import java.util.regex.Pattern
+
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Fused MinHash kernel: tokenize -> k-shingles -> per-component md5 min
+  * -> LSH band keys in ONE pass per row.
+  *
+  * Exactly replicates the column-composed pipeline in
+  * [[graft.text.TextAnalysis]] (minhashSignature + minhashBands), which
+  * the DuckDB oracles mirror:
+  *  - trim removes SPACES only (Spark `trim` / DuckDB `trim` semantics,
+  *    NOT Java String.trim which also strips \t\n),
+  *  - split on `\s+` with -1 limit (leading whitespace yields an empty
+  *    first token, like Spark/DuckDB regexp split),
+  *  - shingle i = tokens[i, i+k) space-joined, i in [0, max(n-k, 0)],
+  *  - signature component j = min md5 hex of "j:" + shingle over the
+  *    DISTINCT shingles,
+  *  - band key b = md5 of "b:" + the band's components joined by '|'.
+  *
+  * The column pipeline inlines the shingle subtree numHashes x bands
+  * times, which forced `localCheckpoint()` lineage barriers to stop the
+  * optimizer re-expanding it into every join branch (minutes of planning
+  * on a 90-doc corpus). This kernel is a single opaque expression node:
+  * nothing to re-expand, no barrier needed, usable in streaming plans
+  * where checkpoint barriers are impossible.
+  */
+object TextKernels {
+
+  private val Whitespace = Pattern.compile("\\s+")
+
+  private val HexDigits = "0123456789abcdef".toCharArray
+
+  private def md5Hex(md: java.security.MessageDigest, s: String): String = {
+    val bytes = md.digest(s.getBytes("UTF-8"))
+    val out = new Array[Char](32)
+    var i = 0
+    while (i < 16) {
+      out(2 * i) = HexDigits((bytes(i) >> 4) & 0xF)
+      out(2 * i + 1) = HexDigits(bytes(i) & 0xF)
+      i += 1
+    }
+    new String(out)
+  }
+
+  /** Spark `trim`: leading/trailing SPACE characters only. */
+  private def trimSpaces(s: String): String = {
+    var from = 0
+    var to = s.length
+    while (from < to && s.charAt(from) == ' ') from += 1
+    while (to > from && s.charAt(to - 1) == ' ') to -= 1
+    s.substring(from, to)
+  }
+
+  /** Distinct word k-shingles of a text (insertion order, like
+    * array_distinct over the shingle transform). */
+  def distinctShingles(text: String, k: Int): Array[String] = {
+    val toks = Whitespace.split(trimSpaces(text), -1)
+    val n = math.max(toks.length - k, 0)
+    val seen = new java.util.LinkedHashSet[String]()
+    var i = 0
+    while (i <= n) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      val end = math.min(i + k, toks.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      seen.add(sb.toString)
+      i += 1
+    }
+    seen.toArray(new Array[String](seen.size))
+  }
+
+  /** MinHash signature over the distinct shingles: component j = min
+    * md5("j:" + shingle). */
+  def minhashSignature(text: String, k: Int, numHashes: Int): Array[String] = {
+    val sh = distinctShingles(text, k)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val sig = new Array[String](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      var best: String = null
+      var s = 0
+      while (s < sh.length) {
+        val h = md5Hex(md, j.toString + ":" + sh(s))
+        if (best == null || h.compareTo(best) < 0) best = h
+        s += 1
+      }
+      sig(j) = best
+      j += 1
+    }
+    sig
+  }
+
+  /** LSH band keys of the signature: md5("b:" + rows joined by '|'). */
+  def minhashBandKeys(text: String, k: Int, numHashes: Int, bands: Int): Array[String] = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val rows = numHashes / bands
+    val sig = minhashSignature(text, k, numHashes)
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[String](bands)
+    var b = 0
+    while (b < bands) {
+      val sb = new java.lang.StringBuilder(b.toString).append(':')
+      var r = 0
+      while (r < rows) {
+        if (r > 0) sb.append('|')
+        sb.append(sig(b * rows + r))
+        r += 1
+      }
+      out(b) = md5Hex(md, sb.toString)
+      b += 1
+    }
+    out
+  }
+
+  /** UTF8String/ArrayData adapter for codegen. */
+  def minhashBandKeysData(text: UTF8String, k: Int, numHashes: Int,
+      bands: Int): ArrayData = {
+    val keys = minhashBandKeys(text.toString, k, numHashes, bands)
+    new GenericArrayData(keys.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  /** UTF8String/ArrayData adapter for codegen. */
+  def distinctShinglesData(text: UTF8String, k: Int): ArrayData = {
+    val sh = distinctShingles(text.toString, k)
+    new GenericArrayData(sh.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+}

@@ -100,6 +100,23 @@ object TextAnalysis {
       md5(concat(lit(s"$b:"), concat_ws("|",
         slice(sig, b * rowsPerBand + 1, rowsPerBand))))): _*)
 
+  /** Distinct k-shingles as ONE expression node (same values as
+    * array_distinct(shingles(text, k)), a fraction of the codegen). */
+  def distinctShingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.DistinctShingles(
+        org.apache.spark.sql.graft.Bridge.expression(text.cast("string")), k))
+
+  /** Fused minhashBands(minhashSignature(...)) as ONE expression node:
+    * identical values, but the optimizer cannot re-expand the shingle
+    * subtree into join branches (no lineage barrier needed) and it works
+    * inside streaming plans. */
+  def minhashBandKeys(text: Column, k: Int, numHashes: Int, bands: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.MinhashBandKeys(
+        org.apache.spark.sql.graft.Bridge.expression(text.cast("string")),
+        k, numHashes, bands))
+
   /** 64-bit SimHash over whitespace tokens (multiplicity-weighted): bit b
     * of each token's md5 votes +1/-1; sign of the vote sum sets result
     * bit b (MSB-first). Engine-portable: same md5, same bit order. */

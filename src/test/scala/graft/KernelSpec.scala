@@ -103,4 +103,32 @@ class KernelSpec extends SparkSpec {
     assert(Metric.fromName("dot_product") === Metric.InnerProduct)
     assert(Metric.all.map(_.code) === (0 to 8))
   }
+
+  test("fused minhash band keys == column-composed pipeline") {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextAnalysis
+    val texts = Seq(
+      "the quick brown fox jumps over the lazy dog",
+      "  leading and trailing   spaces  ",
+      "\ttabs\nand newlines inside\t",
+      "one",
+      "two words",
+      "",
+      "   ",
+      "repeat repeat repeat repeat repeat")
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toString, t) }
+      .toDF("id", "text")
+    for ((k, n, b) <- Seq((3, 8, 4), (2, 6, 3), (1, 4, 2))) {
+      val cols = df.select(col("id"),
+        TextAnalysis.minhashBands(
+          TextAnalysis.minhashSignature(col("text"), k, n), b, n / b).as("a"),
+        TextAnalysis.minhashBandKeys(col("text"), k, n, b).as("f"))
+        .collect()
+      cols.foreach { r =>
+        assert(r.getSeq[String](1) === r.getSeq[String](2),
+          s"id=${r.getString(0)} k=$k n=$n b=$b")
+      }
+    }
+  }
 }
