@@ -95,6 +95,34 @@ object IvfIndex {
     Search.flatSearch(cands, config, query, limit)
   }
 
+  /** Batch IVF search: each query probes its `nprobe` nearest cells;
+    * queries explode to (cell, qid) and join the cell-assigned corpus on
+    * the CELL ID — the only shuffled corpus payload is rows of probed
+    * cells, never all-pairs. Per-query results equal [[search]] with the
+    * same nprobe. Returns (qid, id, value, score, distance, metric). */
+  def searchMany(df: DataFrame, config: CollectionConfig,
+      centroids: Array[Array[Float]], queries: DataFrame, limit: Int,
+      nprobe: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cents = centroids
+    val np = nprobe
+    val qNorm = queries.select(col("qid"),
+      normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+    val probeUdf = udf((v: Seq[Float]) => probeCells(v.toArray, cents, np).toArray)
+    val qSide = qNorm.withColumn("ivf_cell", explode(probeUdf(col("qvector"))))
+    val dSide = (if (df.columns.contains("ivf_cell")) df else withCells(df, centroids))
+      .select(col("ivf_cell"), col("id"), col("value"), col("vector"))
+    val cands = dSide.join(qSide, "ivf_cell")
+      .withColumn("raw", vecDistance(config.metric, col("vector"), col("qvector")))
+      .withColumn("rank", rankValue(config.metric, col("raw")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc, col("id").asc)
+    val (score, dist) = resultValues(config.metric, col("raw"), config.score)
+    cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
+      .select(col("qid"), col("id"), col("value"),
+        score.cast("double").as("score"), dist.cast("double").as("distance"),
+        lit(config.metric.name).as("metric"))
+  }
+
   /** Write the collection partitioned BY CELL: at rest each IVF cell is
     * its own directory, so a probe prunes whole files before any IO —
     * the layout that matters at 100 TB (partition pruning shows up as

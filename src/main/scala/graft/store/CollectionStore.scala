@@ -49,9 +49,18 @@ object CollectionStore {
       str("index"), bool("compressed"))
   }
 
-  /** Snapshot the collection: parquet + config sidecar. */
-  def snapshot(df: DataFrame, config: CollectionConfig, path: String): Unit = {
-    df.write.mode("overwrite").parquet(path)
+  /** Snapshot the collection: parquet + config sidecar. With
+    * `packed = true` the snapshot also carries the packed-f32 binary
+    * layout (`vector_f32`) so reloaded collections can serve
+    * [[graft.search.Search.flatSearchPacked]] straight off the scan —
+    * the at-rest format that matters when the snapshot IS the serving
+    * copy at scale. */
+  def snapshot(df: DataFrame, config: CollectionConfig, path: String,
+      packed: Boolean = false): Unit = {
+    val out0 =
+      if (packed && !df.columns.contains("vector_f32")) Prepare.withPackedVector(df)
+      else df
+    out0.write.mode("overwrite").parquet(path)
     val spark = df.sparkSession
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val out = fs.create(new Path(path, ConfigFile), true)

@@ -36,4 +36,36 @@ class IvfSpec extends SparkSpec {
     assert(mean >= 0.5, s"mean overlap $mean: $overlaps")
     coll.unpersist()
   }
+
+  test("batch IVF search equals per-query IVF search") {
+    import org.apache.spark.sql.functions._
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val centroids = IvfIndex.train(coll, config, IvfIndex.IvfConfig(k = 8, iterations = 5))
+    val qids = 0L until 4L
+    val queries = spark.createDataFrame(
+      java.util.Arrays.asList(qids.map(i => org.apache.spark.sql.Row(
+        i.toString, Tables.queryVector(spark, sfDir, i).toSeq)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("qvector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val batch = IvfIndex.searchMany(coll, config, centroids, queries, 5, nprobe = 3)
+      .collect().groupBy(_.getString(0))
+    qids.foreach { i =>
+      val single = IvfIndex.search(coll, config, centroids,
+        Tables.queryVector(spark, sfDir, i), 5, nprobe = 3).collect()
+      // batch rows carry no rank column; (distance asc, id asc) is the
+      // same total order the window used
+      val got = batch(i.toString).sortBy(r => (r.getDouble(4), r.getString(1)))
+      assert(got.map(_.getString(1)).toSeq ===
+        single.map(_.getString(0)).toSeq, s"qid $i")
+      assert(got.map(_.getDouble(3)).toSeq ===
+        single.map(_.getDouble(2)).toSeq, s"qid $i")
+    }
+    coll.unpersist()
+  }
 }

@@ -71,6 +71,19 @@ class PackedVectorSpec extends SparkSpec {
     }
   }
 
+  test("packed snapshot reloads and serves flatSearchPacked directly") {
+    val path = "/tmp/graft_packed_snapshot"
+    val coll = corpus(200)
+    graft.store.CollectionStore.snapshot(coll, config, path, packed = true)
+    val (loaded, cfg) = graft.store.CollectionStore.load(spark, path)
+    assert(loaded.columns.contains("vector_f32"))
+    val q = Bench.synthVector(-5L, dims)
+    val exact = Search.flatSearch(coll, cfg, q, 10).collect()
+    val packedRes = Search.flatSearchPacked(loaded, cfg, q, 10).collect()
+    assert(exact.map(_.getString(0)).toSeq === packedRes.map(_.getString(0)).toSeq)
+    assert(exact.map(_.getDouble(2)).toSeq === packedRes.map(_.getDouble(2)).toSeq)
+  }
+
   test("parity survives a parquet roundtrip of the packed layout") {
     val path = "/tmp/graft_packed_spec"
     Prepare.withPackedVector(corpus(300))
