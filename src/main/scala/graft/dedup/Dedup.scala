@@ -176,16 +176,38 @@ object Dedup {
       tsCol: String, watermark: String, k: Int = 3, numHashes: Int = 8,
       bands: Int = 4, windowLength: String = "1 minute"): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
-    val exploded = df.select(col(idCol).as("id"), col(tsCol).as("_ts"),
+    bandNovelty(df.select(col(idCol).as("id"), col(tsCol).as("_ts"),
         explode(TextAnalysis.minhashBandKeys(textCol, k, numHashes, bands))
-          .as("band"))
-      .withWatermark("_ts", watermark)
-    exploded.dropDuplicatesWithinWatermark("band")
+          .as("band")),
+      watermark, bands, windowLength)
+  }
+
+  /** Streaming embedding near-dup filter: same chained-stateful shape as
+    * [[streamingMinhashNovelty]], with cosine-LSH hyperplane band keys
+    * over the L2-normalized vector — an online analogue of
+    * [[embeddingPairs]]'s candidate generation. */
+  def streamingEmbeddingNovelty(df: DataFrame, idCol: String, vectorCol: String,
+      tsCol: String, watermark: String,
+      lsh: CosineLsh.LshConfig = CosineLsh.LshConfig(bands = 24, bitsPerBand = 6),
+      windowLength: String = "1 minute"): DataFrame = {
+    val cfg = lsh
+    val bandUdf = udf((v: Seq[Float]) => CosineLsh.bandKeys(v.toArray, cfg))
+    bandNovelty(df.select(col(idCol).as("id"), col(tsCol).as("_ts"),
+        explode(bandUdf(normalizeVector(graft.core.Normalize.L2, col(vectorCol))))
+          .as("band")),
+      watermark, lsh.bands, windowLength)
+  }
+
+  /** Shared novelty tail: first-seen band keys within the watermark ->
+    * windowed per-doc surviving count; novel iff nothing collided. */
+  private def bandNovelty(exploded: DataFrame, watermark: String,
+      bands: Int, windowLength: String): DataFrame =
+    exploded.withWatermark("_ts", watermark)
+      .dropDuplicatesWithinWatermark("band")
       .groupBy(window(col("_ts"), windowLength), col("id"))
       .agg(count(lit(1)).as("_surviving"))
       .select(col("window"), col("id"),
         (col("_surviving") === bands).as("novel"))
-  }
 
   // ------------------------------------------- embedding cosine near-dup
 

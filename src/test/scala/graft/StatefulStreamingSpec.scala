@@ -107,4 +107,33 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(!out2.getOrElse("e", false))  // within watermark of d -> duplicate
     } finally q.stop()
   }
+
+  test("streaming embedding novelty: cosine-LSH bands flag near-dup vectors") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Seq[Float])]
+    val df = input.toDF().toDF("ts", "id", "vector")
+    val novelty = graft.dedup.Dedup.streamingEmbeddingNovelty(
+      df, "id", "vector", "ts", watermark = "5 minutes",
+      windowLength = "1 minute")
+    val q = novelty.writeStream.format("memory").queryName("emb_novel_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = Bench.synthVector(7L, 32).toSeq
+      val nearDup = base.updated(0, base.head + 0.001f)
+      val unrelated = Bench.synthVector(99L, 32).toSeq
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData((t0, "a", base), (t0, "b", nearDup), (t0, "c", unrelated))
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:30:00"),
+        "z", Bench.synthVector(500L, 32).toSeq))
+      q.processAllAvailable()
+      val out = spark.table("emb_novel_out")
+        .select("id", "novel").collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(out.get("a") === Some(true))
+      assert(out.get("c") === Some(true))
+      assert(!out.getOrElse("b", false)) // near-identical vector collides
+    } finally q.stop()
+  }
 }
