@@ -59,6 +59,79 @@ object Multimodal {
     }(enc)
   }
 
+  val resizedSchema: StructType = StructType(Seq(
+    StructField("resized_width", IntegerType, nullable = false),
+    StructField("resized_height", IntegerType, nullable = false),
+    StructField("resized_payload", BinaryType, nullable = false)))
+
+  /** STUB resize kernel: deterministic downsampled bytes (md5 of the
+    * payload cycled to a size-bounded buffer). A real implementation
+    * would decode, bilinear-resample, and re-encode; target dims and the
+    * bounded output size are the contract the pipeline depends on. */
+  def resizeImageStub(payload: Array[Byte], targetW: Int, targetH: Int): Row = {
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val outLen = math.min(targetW * targetH * 3, 4096)
+    val out = new Array[Byte](outLen)
+    var i = 0
+    while (i < outLen) { out(i) = digest(i % digest.length); i += 1 }
+    Row(targetW, targetH, out)
+  }
+
+  /** Resize a binary image column in partition-local batches — same
+    * batch shape as [[decodeImages]]. Appends resized_{width,height,
+    * payload}. */
+  def resizeImages(df: DataFrame, payloadCol: String, targetW: Int,
+      targetH: Int, batchSize: Int = 256): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val inputSchema = df.schema
+    val outSchema = StructType(inputSchema.fields ++ resizedSchema.fields)
+    val payloadIdx = inputSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val resized = resizeImageStub(
+            row.getAs[Array[Byte]](payloadIdx), targetW, targetH)
+          Row.fromSeq(row.toSeq ++ resized.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  val audioSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("duration_s", DoubleType, nullable = false),
+    StructField("audio_features", ArrayType(FloatType, containsNull = false),
+      nullable = false)))
+
+  /** STUB audio decode: 16 kHz mono s16le assumed; metadata derived from
+    * the byte length, 4 MFCC-stand-in features from the md5. */
+  def decodeAudioStub(payload: Array[Byte]): Row = {
+    val nSamples = payload.length.toLong / 2
+    val rate = 16000
+    val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
+    val features = digest.slice(8, 12).map(b => (b & 0xFF).toFloat / 255.0f)
+    Row(rate, nSamples, nSamples.toDouble / rate, features.toSeq)
+  }
+
+  /** Decode a binary audio column in partition-local batches. */
+  def decodeAudio(df: DataFrame, payloadCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val inputSchema = df.schema
+    val outSchema = StructType(inputSchema.fields ++ audioSchema.fields)
+    val payloadIdx = inputSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val decoded = decodeAudioStub(row.getAs[Array[Byte]](payloadIdx))
+          Row.fromSeq(row.toSeq ++ decoded.toSeq)
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling STUB for video payloads: deterministic frame index
     * list (every `stride`-th "frame" of n_frames derived from length). */
   def sampleFrameIndexes(df: DataFrame, payloadCol: String, stride: Int): DataFrame =

@@ -160,6 +160,33 @@ class PipelineSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Seq[Int]]("frame_indexes").forall(_ % 3 == 0)))
   }
 
+  test("multimodal: resize and audio decode are batch-invariant and typed") {
+    val docs = Seq((1L, "hello world", "s"), (2L, "another payload text", "s"),
+      (3L, "third document body here", "s")).toDF("doc_id", "text", "source")
+    val media = Multimodal.documentsAsMedia(docs)
+    // resize: bounded output, batch size must not change results
+    val r1 = Multimodal.resizeImages(media, "payload", 32, 24, batchSize = 1)
+      .select("doc_id", "resized_width", "resized_height", "resized_payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getAs[Array[Byte]](3).toSeq)).sortBy(_._1)
+    val r2 = Multimodal.resizeImages(media, "payload", 32, 24, batchSize = 64)
+      .select("doc_id", "resized_width", "resized_height", "resized_payload")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getAs[Array[Byte]](3).toSeq)).sortBy(_._1)
+    assert(r1.toSeq === r2.toSeq)
+    assert(r1.forall { case (_, w, h, p) => w === 32 && h === 24 && p.length === 32 * 24 * 3 })
+    // audio: metadata derived from byte length, features deterministic
+    val a = Multimodal.decodeAudio(media, "payload").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("sample_rate"),
+        r.getAs[Long]("n_samples"), r.getAs[Double]("duration_s"),
+        r.getAs[Seq[Float]]("audio_features"))).sortBy(_._1)
+    val expect = Multimodal.decodeAudioStub("hello world".getBytes("UTF-8"))
+    assert(a.head._2 === 16000)
+    assert(a.head._3 === expect.getLong(1))
+    assert(a.head._5 === expect.getSeq[Float](3))
+    assert(a.head._4 === a.head._3.toDouble / 16000)
+  }
+
   test("streaming windowed stats == batch windowed stats (AvailableNow)") {
     import org.apache.spark.sql.types._
     val dir = java.nio.file.Files.createTempDirectory("graft_stream").toString
