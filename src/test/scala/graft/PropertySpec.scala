@@ -37,6 +37,16 @@ class PropertySpec extends SparkSpec {
       val n = VectorKernels.normalize(1, a)
       val norm = math.sqrt(n.map(x => x.toDouble * x).sum)
       assert(math.abs(norm - 1.0) < 1e-6 || norm == 0.0)
+      // packed-f32 byte kernels: bit-exact vs the array kernels
+      val packed = VectorKernels.packFloats(a)
+      (0 to 9).foreach(code => assert(
+        VectorKernels.distanceBytes(code, packed, b) ===
+          VectorKernels.distance(code, a, b), s"dims=$dims code=$code"))
+      assert(VectorKernels.unpackFloats(packed).toSeq === a.toSeq)
+      // unrolled ranking kernels agree with sequential to fp tolerance
+      Seq(0, 1, 2, 3, 4).foreach(code => close(
+        VectorKernels.rankingDistance(code, a, b),
+        VectorKernels.distance(code, a, b)))
     }
   }
 
