@@ -93,11 +93,13 @@ object Dedup {
 
   /** Connected components over verified pairs by iterative min-label
     * propagation to a FIXPOINT: each round pushes every node's minimum
-    * neighbor label one hop, so convergence takes O(graph diameter)
-    * rounds — the loop stops when a round changes no label, with
-    * `maxIter` only as a runaway-chain safety cap. `localCheckpoint`
-    * per round truncates the otherwise exponentially-growing plan
-    * lineage. Returns (id, cluster_id). */
+    * neighbor label one hop, then POINTER-JUMPS (label := label of the
+    * label) — the doubling step makes convergence O(log diameter)
+    * rounds instead of O(diameter), so billion-node duplicate chains
+    * need ~30 rounds, not millions. The loop stops at fixpoint;
+    * `maxIter` is only a runaway safety cap. `localCheckpoint` per
+    * round truncates the otherwise exponentially-growing plan lineage.
+    * Returns (id, cluster_id) with cluster_id = component minimum. */
   def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 100): DataFrame = {
     val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
@@ -108,18 +110,33 @@ object Dedup {
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
+      // one-hop: pull the minimum neighbor label across each edge
       val viaEdge = edges.join(labels, edges("dst") === labels("id"))
         .groupBy(col("src").as("id2")).agg(min("cluster_id").as("edge_min"))
-      val next = labels.join(viaEdge, labels("id") === viaEdge("id2"), "left")
+      val hop = labels.join(viaEdge, labels("id") === viaEdge("id2"), "left")
         .select(col("id"), col("cluster_id").as("_prev"),
           least(col("cluster_id"), coalesce(col("edge_min"), col("cluster_id")))
-            .as("cluster_id")).localCheckpoint()
+            .as("cluster_id"))
+      // pointer jump: adopt my label's own label (path halving) — labels
+      // only decrease, bounded below by the component minimum
+      val next = hop.as("a")
+        .join(hop.select(col("id").as("bid"), col("cluster_id").as("blabel")),
+          col("a.cluster_id") === col("bid"), "left")
+        .select(col("a.id").as("id"), col("a._prev").as("_prev"),
+          least(col("a.cluster_id"), coalesce(col("blabel"), col("a.cluster_id")))
+            .as("cluster_id"))
+        .localCheckpoint()
       converged = next.filter(col("cluster_id") =!= col("_prev")).isEmpty
       labels = next.drop("_prev")
       i += 1
     }
+    lastClusterRounds = i
     labels
   }
+
+  /** Rounds the last [[clusters]] call took to converge (spec hook for
+    * the O(log diameter) bound). */
+  @volatile private[graft] var lastClusterRounds: Int = 0
 
   // ----------------------------------------------------------- SimHash
 

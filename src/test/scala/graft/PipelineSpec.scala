@@ -99,12 +99,16 @@ class PipelineSpec extends SparkSpec {
   test("clusters: fixpoint convergence on a chain deeper than any fixed round count") {
     // a 12-node chain has diameter 11: one-hop propagation with a fixed
     // 5 rounds would split it; the fixpoint loop must label all -> c00
-    val ids = (0 until 12).map(i => f"c$i%02d")
+    val ids = (0 until 40).map(i => f"c$i%02d")
     val df = ids.toDF("id")
     val pairs = ids.zip(ids.tail).toDF("id_a", "id_b")
     val out = Dedup.clusters(df, "id", pairs).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out.values.toSet === Set("c00"))
+    // pointer jumping: a 40-node chain (diameter 39) must converge in
+    // O(log) rounds, not O(diameter)
+    assert(Dedup.lastClusterRounds <= 10,
+      s"expected O(log d) rounds, took ${Dedup.lastClusterRounds}")
   }
 
   test("langid picks the profile language; und when nothing matches") {
