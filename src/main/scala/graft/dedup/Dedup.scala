@@ -138,6 +138,20 @@ object Dedup {
     * the O(log diameter) bound). */
   @volatile private[graft] var lastClusterRounds: Int = 0
 
+  /** End-to-end near-dup removal: MinHash-LSH verified pairs ->
+    * connected components -> keep only each cluster's canonical (minimum
+    * id) row. The one-call shape of the full dedup pipeline. */
+  def dropNearDuplicates(df: DataFrame, idCol: String, textCol: Column,
+      k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.7): DataFrame = {
+    val pairs = minhashVerifiedPairs(df, idCol, textCol, k, numHashes, bands, threshold)
+    val labels = clusters(df, idCol, pairs)
+      .select(col("id").as("_cl_id"), col("cluster_id").as("_cl_label"))
+    df.join(labels, df(idCol) === col("_cl_id"))
+      .filter(col(idCol) === col("_cl_label"))
+      .drop("_cl_id", "_cl_label")
+  }
+
   // ----------------------------------------------------------- SimHash
 
   /** SimHash near-dup pairs: candidates share one of 4 16-bit bands of

@@ -111,6 +111,21 @@ class PipelineSpec extends SparkSpec {
       s"expected O(log d) rounds, took ${Dedup.lastClusterRounds}")
   }
 
+  test("dropNearDuplicates keeps one canonical row per duplicate cluster") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running"
+    val docs = Seq(
+      ("a1", base),
+      ("a2", base),                       // exact copy of a1
+      ("a3", base + " extra"),            // near copy of a1
+      ("b1", "completely different text about other things entirely here"),
+      ("c1", "a third unrelated document with its own words and phrases")
+    ).toDF("id", "text")
+    val kept = Dedup.dropNearDuplicates(docs, "id", $"text",
+      k = 2, numHashes = 8, bands = 4, threshold = 0.5)
+      .collect().map(_.getString(0)).sorted
+    assert(kept.toSeq === Seq("a1", "b1", "c1"))
+  }
+
   test("langid picks the profile language; und when nothing matches") {
     val df = Seq(
       ("1", "the cat sat of the mat and it is that"),
