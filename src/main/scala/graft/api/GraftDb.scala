@@ -153,6 +153,24 @@ final class GraftDb(val spark: SparkSession) {
     search(name, query, limit).select("id", "score").collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSeq
 
+  /** Batch search: one scan answers every query. Routes by index like
+    * [[search]] — flat scores all rows, lsh joins on exploded band keys,
+    * ivf joins on probed cells. Queries are (qid, qvector) rows. */
+  def searchMany(name: String, queries: DataFrame, limit: Int): DataFrame = {
+    val (df, config) = collection(name)
+    config.index match {
+      case "lsh" =>
+        graft.ann.CosineLsh.searchMany(df, config,
+          graft.ann.CosineLsh.LshConfig(), queries, limit)
+      case "ivf" =>
+        val ivfCfg = graft.ann.IvfIndex.IvfConfig()
+        val cents = ivfCache.getOrElseUpdate(name,
+          graft.ann.IvfIndex.train(df, config, ivfCfg))
+        graft.ann.IvfIndex.searchMany(df, config, cents, queries, limit, ivfCfg.nprobe)
+      case _ => Search.flatSearchMany(df, config, queries, limit)
+    }
+  }
+
   def funnelSearch(name: String, query: Array[Float], limit: Int,
       stages: Seq[Int] = Nil, candidates: Int = 0): DataFrame = {
     val (df, config) = collection(name)

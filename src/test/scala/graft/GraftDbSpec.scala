@@ -90,6 +90,19 @@ class GraftDbSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       db.createCollection("bad", 3, index = "btree")
     }
+    // batch search routes by index; per-collection batch top-1 must
+    // equal that collection's own single-query top-1 (c_ivf/c_hnsw now
+    // contain the later-inserted exactq row)
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
+    for (idx <- Seq("flat", "lsh", "ivf")) {
+      val batchTop = db.searchMany(s"c_$idx", queries, 3)
+        .orderBy(col("distance").asc, col("id").asc)
+        .collect().map(_.getAs[String]("id"))
+      val singleTop = db.search(s"c_$idx", q, 1).collect().map(_.getString(0))
+      assert(batchTop.head === singleTop.head, s"index $idx")
+    }
   }
 
   test("hybrid and rerank through the facade") {
