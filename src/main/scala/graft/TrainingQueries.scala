@@ -224,6 +224,15 @@ object TrainingQueries {
           countDistinct(col("o_orderkey")).as("n_orders"))
     }),
 
+    // salted two-phase aggregation: must be EXACTLY the plain GROUP BY
+    // (l_quantity is integer-valued, so double sums are order-exact) —
+    // the skew path is gate-checked, not just unit-tested
+    "skew_salted_agg" -> ((s, dir) =>
+      graft.functions.Skew.saltedSum(
+        Tables.read(s, dir, "lineitem"), col("l_suppkey"), col("l_quantity"))
+        .select(col("key").as("l_suppkey"), col("sum").as("sum_qty"),
+          col("cnt").as("cnt"))),
+
     "window_top_orders" -> ((s, dir) => {
       import org.apache.spark.sql.expressions.Window
       val w = Window.partitionBy(col("o_custkey"))
@@ -435,6 +444,11 @@ object TrainingQueries {
            JOIN customer ON o_custkey = c_custkey
            JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+
+    "skew_salted_agg" ->
+      s"""SELECT l_suppkey, sum(l_quantity) AS sum_qty,
+           CAST(count(*) AS BIGINT) AS cnt
+         FROM lineitem GROUP BY l_suppkey ORDER BY l_suppkey""",
 
     "window_top_orders" ->
       s"""SELECT o_custkey, o_orderkey, o_totalprice, CAST(rk AS INT) AS rk FROM (
