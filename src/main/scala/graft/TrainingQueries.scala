@@ -154,6 +154,22 @@ object TrainingQueries {
         .drop("metadata"), Seq("score", "distance"))
     }),
 
+    // cell-partitioned at-rest layout: write partitioned by ivf_cell,
+    // probe ALL cells -> must equal exact flat search (same oracle);
+    // partial probes of this layout prune whole directories before IO
+    "ann_ivf_partitioned_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val ivf = IvfIndex.IvfConfig(k = 8, iterations = 5)
+      val centroids = IvfIndex.train(coll, config, ivf)
+      val path = "/tmp/graft_ivf_partitioned_gate"
+      IvfIndex.writePartitioned(coll.drop("metadata"), centroids, path)
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(IvfIndex.searchPartitioned(s, path, config, centroids, q, 10,
+        nprobe = 8).drop("metadata"), Seq("score", "distance"))
+    }),
+
     "ann_ivf_topk" -> ((s, dir) => {
       val d = Tables.dims(s, dir)
       val config = Tables.cosineConfig(d)
@@ -300,6 +316,7 @@ object TrainingQueries {
 
   def oracleSql: Map[String, String] = Map(
     "ann_ivf_full_probe_topk" -> flatCosineOracle,
+    "ann_ivf_partitioned_topk" -> flatCosineOracle,
 
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
