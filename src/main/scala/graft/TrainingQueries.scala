@@ -97,6 +97,17 @@ object TrainingQueries {
     "dedup_simhash_pairs" -> ((s, dir) =>
       Dedup.simhashPairs(corpus(s, dir), "id", col("text"), maxHamming = 3)),
 
+    // connected components over the verified minhash pairs: pointer-jump
+    // label propagation must equal DuckDB's recursive-CTE transitive
+    // closure (cluster_id = min reachable id)
+    "dedup_clusters" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val pairs = Dedup.minhashVerifiedPairs(c, "id", col("text"),
+        k = 3, numHashes = 8, bands = 4, threshold = 0.5)
+        .select("id_a", "id_b")
+      Dedup.clusters(c.select(col("id")), "id", pairs)
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       roundCols(Dedup.exactJaccardPairs(
         Tables.read(s, dir, "documents").filter(col("doc_id") < 60), "doc_id",
@@ -371,6 +382,25 @@ object TrainingQueries {
            CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
            FROM cand JOIN shs sa ON sa.id = cand.id_a JOIN shs sb ON sb.id = cand.id_b)
          SELECT id_a, id_b, (round(jaccard, 6) + 0) AS jaccard FROM ver WHERE jaccard >= 0.5 ORDER BY id_a, id_b""",
+
+    "dedup_clusters" ->
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+         t AS (SELECT id, $tokensSql AS toks FROM corpus),
+         shs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM t),
+         sig AS (SELECT id, sh, ${minhashSigSql(8)} AS sig FROM shs),
+         bandt AS (SELECT id, unnest(${minhashBandsSql(4, 2)}) AS band FROM sig),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bandt a JOIN bandt b ON a.band = b.band AND a.id < b.id),
+         ver AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+             FROM cand JOIN shs sa ON sa.id = cand.id_a JOIN shs sb ON sb.id = cand.id_b)
+           WHERE jaccard >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+           UNION ALL SELECT id_b, id_a FROM ver),
+         reach(id, r) AS (
+           SELECT id, id FROM corpus
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
+         SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
 
     "dedup_simhash_pairs" ->
       s"""WITH corpus AS ($corpusSql),
