@@ -83,7 +83,8 @@ object Bench {
       genUdf(col("id")).as("vector"))
     val coll = graft.prepare.Prepare.prepareEmbeddings(raw, config)
       .select("id", "value", "vector", "binary_vector") // what search scans
-      .repartition(cpus.toInt).persist()
+      .persist() // spark.range partitions are already even — a repartition
+                 // here only adds a full shuffle of the corpus to ingest
     results("synth_ingest_prepare") = time { coll.count() } // includes normalize+pack
     val q = Search.prepareQuery(config, synthVector(-1L, dims))
     Search.flatSearch(coll, config, q, 10).collect() // plan+JIT warmup
