@@ -46,5 +46,12 @@ class SqlSurfaceSpec extends SparkSpec {
       SELECT vec_binary_distance('inner_product',
         vec_pack_f32(array(1.0F, 2.0F)), array(3.0F, 4.0F))""").head().getDouble(0)
     assert(bd === 11.0)
+
+    // non-foldable query side: both operands are per-row columns
+    val bdCol = spark.sql("""
+      SELECT id, vec_binary_distance('inner_product',
+        vec_pack_f32(vector), vector) AS selfdot
+      FROM vecs ORDER BY id""").collect()
+    assert(bdCol.map(_.getDouble(1)).toSeq === Seq(1.0, 1.0, 1.0))
   }
 }
