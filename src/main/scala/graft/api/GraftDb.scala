@@ -148,6 +148,11 @@ final class GraftDb(val spark: SparkSession) {
   private val hnswCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.Hnsw]
   private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
 
+  /** Validate + normalize a query exactly like ingest — the reference's
+    * prepare_query/2 (vettore.ex:314). */
+  def prepareQuery(name: String, query: Array[Float]): Array[Float] =
+    Search.prepareQuery(collection(name)._2, query)
+
   /** (id, score) pairs, compat default score mode (vettore.ex:593-605). */
   def similaritySearch(name: String, query: Array[Float], limit: Int): Seq[(String, Double)] =
     search(name, query, limit).select("id", "score").collect()

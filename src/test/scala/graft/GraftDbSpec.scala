@@ -36,6 +36,12 @@ class GraftDbSpec extends SparkSpec {
     // value defaults to id (ets.ex:284-288)
     assert(db.get("axes", "up").get.getAs[String]("value") === "up")
 
+    // prepare_query compat: normalizes like ingest, rejects bad input
+    assert(db.prepareQuery("axes", Array(2f, 0f)).toSeq === Seq(1f, 0f))
+    intercept[IllegalArgumentException] {
+      db.prepareQuery("axes", Array(1f, 2f, 3f)) // dimension mismatch
+    }
+
     db.delete("axes", "left")
     assert(db.count("axes") === 2)
 
