@@ -280,6 +280,36 @@ object SparkEntry {
   def oracleSql: Map[String, String] = TrainingQueries.oracleSql ++ {
     val qv = s"SELECT ${sqlNorm("embedding")} AS qv, embedding AS qraw FROM embeddings WHERE vec_id = 0"
     Map(
+      // greedy MMR as a recursive CTE: the selected-id list rides the
+      // recursion; each step's argmax replicates the driver loop's
+      // arithmetic exactly (alpha*raw - (1-alpha)*maxTrueCosine, strict
+      // first-max tie-break by candidate rank position)
+      "vec_mmr_topk" ->
+        s"""WITH RECURSIVE q AS (SELECT ${sqlNorm("embedding")} AS qv FROM embeddings WHERE vec_id = 0),
+           n AS (SELECT CAST(vec_id AS VARCHAR) AS id, ${sqlNorm("embedding")} AS nv FROM embeddings),
+           sc AS (SELECT id, nv, ${sqlDot("nv", "qv")} AS raw FROM n, q),
+           cand AS (SELECT id, nv, raw,
+               row_number() OVER (ORDER BY (1.0 - raw) ASC, id ASC) AS pos
+             FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 50),
+           sel(step, ids) AS (
+             SELECT 1, [(SELECT id FROM cand ORDER BY 0.7*raw DESC, pos ASC LIMIT 1)]
+             UNION ALL
+             SELECT s.step + 1, list_append(s.ids, (
+                 SELECT c.id FROM cand c
+                 WHERE NOT list_contains(s.ids, c.id)
+                 ORDER BY (0.7*c.raw - (1.0 - 0.7) * (
+                     SELECT max(CASE WHEN dn = 0 OR dp = 0 THEN 0.0
+                                ELSE greatest(-1.0, least(1.0, dd / (sqrt(dn) * sqrt(dp)))) END)
+                     FROM (SELECT ${sqlDot("c.nv", "p.nv")} AS dd, ${sqlDot("c.nv", "c.nv")} AS dn,
+                                  ${sqlDot("p.nv", "p.nv")} AS dp
+                           FROM cand p WHERE list_contains(s.ids, p.id)) pairs
+                   )) DESC, c.pos ASC
+                 LIMIT 1))
+             FROM sel s WHERE s.step < 10),
+           final AS (SELECT ids FROM sel ORDER BY step DESC LIMIT 1),
+           picked AS (SELECT unnest(ids) AS id, unnest(range(len(ids))) AS position FROM final)
+           SELECT picked.id, (round(c.raw, 6) + 0) AS score, CAST(picked.position AS INT) AS position
+           FROM picked JOIN cand c ON c.id = picked.id ORDER BY position""",
       "vec_flat_cosine_topk" ->
         s"""WITH q AS ($qv),
            n AS (SELECT CAST(vec_id AS VARCHAR) AS id, ${sqlNorm("embedding")} AS nv FROM embeddings),
