@@ -119,8 +119,9 @@ object TrainingQueries {
           .select(col("vec_id").as("id"), col("embedding").as("vector")),
         "id", "vector").filter(col("cosine") >= 0.35), Seq("cosine"))),
 
-    // LSH-bucketed near-dup + ANN paths (approximate candidate sets; no
-    // SQL oracle — overlap/recall asserted in ScalaTest)
+    // LSH-bucketed near-dup + ANN paths: the hash-derived hyperplanes
+    // are replicated bit-exactly in SQL (u64 SplitMix over HUGEINT), so
+    // even the candidate sets are oracle-checked
     "dedup_embedding_lsh" -> ((s, dir) =>
       roundCols(Dedup.embeddingPairs(
         Tables.read(s, dir, "embeddings")
@@ -325,9 +326,81 @@ object TrainingQueries {
        SELECT id, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance, 'cosine' AS metric, id AS value
        FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10"""
 
+  /** (x * c) mod 2^64 over HUGEINT via 32-bit lo/hi split — the direct
+    * product can exceed INT128. */
+  private def sqlMul64(x: String, c: BigInt): String = {
+    val cl = c % (BigInt(1) << 32)
+    val ch = c >> 32
+    s"""((($x) % 4294967296) * $cl::HUGEINT
+       + (((($x) % 4294967296) * $ch::HUGEINT
+       + (($x) >> 32) * $cl::HUGEINT) % 4294967296) * 4294967296)
+       % (1::HUGEINT << 64)"""
+  }
+
+  /** Bit-exact SQL mirror of CosineLsh: SplitMix-derived hyperplane
+    * weights (u64 arithmetic in HUGEINT), per-plane dots in dim order,
+    * MSB-first band signatures, band-collision candidates, exact rerank.
+    * bands=24, bitsPerBand=6, seed=42 — the gate query's config. */
+  /** Shared CTE prefix: SplitMix weights + per-id band keys over the
+    * normalized embeddings (id expression parameterized). */
+  private def lshPrefix(idExpr: String): String = {
+    val c1 = BigInt("11400714819323198485") // 0x9E3779B97F4A7C15
+    val c2 = BigInt("13787848793156543929") // 0xBF58476D1CE4E5B9
+    val c3 = BigInt("10723151780598845931") // 0x94D049BB133111EB
+    s"""dd AS (SELECT max(len(embedding)) AS dims FROM embeddings),
+       planes AS (SELECT unnest(range(0, 144)) AS p),
+       ds AS (SELECT unnest(range(0, (SELECT dims FROM dd))) AS d),
+       w0 AS (SELECT p, d,
+           (xor(xor(42::HUGEINT, (p::HUGEINT << 17)), (d::HUGEINT << 31))
+            + $c1::HUGEINT) % (1::HUGEINT << 64) AS x1
+         FROM planes, ds),
+       w2 AS (SELECT p, d, ${sqlMul64("xor(x1, x1 >> 30)", c2)} AS x2 FROM w0),
+       w3 AS (SELECT p, d, ${sqlMul64("xor(x2, x2 >> 27)", c3)} AS x3 FROM w2),
+       weights AS (SELECT p, d,
+           (CAST(xor(x3, x3 >> 31) >> 11 AS DOUBLE) / 9007199254740992.0) * 2.0 - 1.0 AS w
+         FROM w3),
+       n AS (SELECT $idExpr AS id,
+           list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv
+         FROM embeddings),
+       vd AS (SELECT id, p, list_sum(list_transform(range(0, (SELECT dims FROM dd)),
+               d -> CAST(nv[d+1] AS DOUBLE) * ww[d+1])) AS pdot
+         FROM n JOIN (SELECT p, list(w ORDER BY d) AS ww FROM weights GROUP BY p) pw ON true),
+       keys AS (SELECT id, (p // 6) AS band,
+           bit_or((CASE WHEN pdot >= 0 THEN 1 ELSE 0 END) << (5 - (p % 6))) AS sig
+         FROM vd GROUP BY id, (p // 6)),
+       bandkeys AS (SELECT id, ((band << 6) | sig) AS key FROM keys)"""
+  }
+
+  private val lshOracle =
+    s"""WITH ${lshPrefix("CAST(vec_id AS VARCHAR)")},
+       qk AS (SELECT key FROM bandkeys WHERE id = '0'),
+       cands AS (SELECT DISTINCT b.id FROM bandkeys b JOIN qk ON b.key = qk.key),
+       q AS (SELECT list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS qv
+         FROM embeddings WHERE vec_id = 0),
+       sc AS (SELECT n.id,
+           list_sum(list_transform(range(1, len(nv)+1), i -> CAST(nv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS raw
+         FROM n JOIN cands USING (id), q)
+       SELECT id, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance,
+         'cosine' AS metric, id AS value
+       FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10"""
+
+  /** All-pairs LSH near-dup oracle: ids colliding in any band, cosine
+    * verified at the gate threshold. */
+  private val embeddingLshOracle =
+    s"""WITH ${lshPrefix("vec_id")},
+       cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+         FROM bandkeys a JOIN bandkeys b ON a.key = b.key AND a.id < b.id),
+       ver AS (SELECT id_a, id_b,
+           list_sum(list_transform(range(1, len(na.nv)+1), i -> CAST(na.nv[i] AS DOUBLE) * CAST(nb.nv[i] AS DOUBLE))) AS cosine
+         FROM cand JOIN n na ON na.id = cand.id_a JOIN n nb ON nb.id = cand.id_b)
+       SELECT id_a, id_b, (round(cosine, 6) + 0) AS cosine
+       FROM ver WHERE cosine >= 0.3 ORDER BY id_a, id_b"""
+
   def oracleSql: Map[String, String] = Map(
     "ann_ivf_full_probe_topk" -> flatCosineOracle,
     "ann_ivf_partitioned_topk" -> flatCosineOracle,
+    "ann_lsh_topk" -> lshOracle,
+    "dedup_embedding_lsh" -> embeddingLshOracle,
 
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),
