@@ -277,9 +277,83 @@ object SparkEntry {
 
   // ---------------------------------------------------------- oracle SQL
 
+  /** (x * c) mod 2^64 over HUGEINT via 32-bit lo/hi split. */
+  private def sqlMul64(x: String, c: BigInt): String = {
+    val cl = c % (BigInt(1) << 32)
+    val ch = c >> 32
+    s"""((($x) % 4294967296) * $cl::HUGEINT
+       + (((($x) % 4294967296) * $ch::HUGEINT
+       + (($x) >> 32) * $cl::HUGEINT) % 4294967296) * 4294967296)
+       % (1::HUGEINT << 64)"""
+  }
+
+  /** Bit-exact SQL mirror of the MUVERA gate encoding (seed 13, 4 reps,
+    * 3 simhash projections, identity projection): SplitMix hash4 weights
+    * in u64-over-HUGEINT, per-(doc,rep,partition) SEQUENTIAL f32
+    * accumulation via a recursive CTE (online average for documents,
+    * sum for the query, which rides along as pseudo-doc '_q'), zero
+    * segments for empty partitions, f64 dot of the assembled FDEs. */
+  private val muveraOracle = {
+    val c1 = BigInt("11400714819323198485")
+    val c2 = BigInt("13787848793156543929")
+    val c3 = BigInt("10723151780598845931")
+    s"""WITH RECURSIVE dd AS (SELECT max(len(embedding)) AS dims FROM embeddings),
+       h0 AS (SELECT r, p, d,
+           (xor(xor(xor(13::HUGEINT, (r::HUGEINT << 17)), (p::HUGEINT << 31)), (d::HUGEINT << 47))
+            + $c1::HUGEINT) % (1::HUGEINT << 64) AS x1
+         FROM (SELECT unnest(range(0,4)) AS r), (SELECT unnest(range(0,3)) AS p),
+              (SELECT unnest(range(0, (SELECT dims FROM dd))) AS d)),
+       h2 AS (SELECT r, p, d, ${sqlMul64("xor(x1, x1 >> 30)", c2)} AS x2 FROM h0),
+       h3 AS (SELECT r, p, d, ${sqlMul64("xor(x2, x2 >> 27)", c3)} AS x3 FROM h2),
+       wq AS (SELECT r, p, d,
+           CAST((CAST(xor(x3, x3 >> 31) >> 1 AS DOUBLE) * 2.0 + CAST(xor(x3, x3 >> 31) % 2 AS DOUBLE))
+                / 1.8446744073709552e19 AS FLOAT) * 2.0::FLOAT - 1.0::FLOAT AS w
+         FROM h3),
+       wl AS (SELECT r, p, list(CAST(w AS DOUBLE) ORDER BY d) AS ww FROM wq GROUP BY r, p),
+       allv AS (SELECT CAST(label AS VARCHAR) AS doc, vec_id, embedding AS v FROM embeddings
+         UNION ALL SELECT '_q', vec_id, embedding FROM embeddings WHERE vec_id <= 3),
+       bits AS (SELECT a.doc, a.vec_id, a.v, wl.r, wl.p,
+           CASE WHEN list_sum(list_transform(range(0, (SELECT dims FROM dd)),
+               d -> CAST(a.v[d+1] AS DOUBLE) * wl.ww[d+1])) >= 0 THEN 1 ELSE 0 END AS bit
+         FROM allv a CROSS JOIN wl),
+       parts AS (SELECT doc, vec_id, any_value(v) AS v, r,
+           sum(bit << (2 - p))::INT AS part FROM bits GROUP BY doc, vec_id, r),
+       seq AS (SELECT doc, r, part, v,
+           row_number() OVER (PARTITION BY doc, r, part ORDER BY vec_id) AS n,
+           count(*) OVER (PARTITION BY doc, r, part) AS total
+         FROM parts),
+       fold(doc, r, part, n, total, acc) AS (
+         SELECT doc, r, part, 1::BIGINT, total,
+           list_transform(v, x -> CAST(CAST(x AS DOUBLE) AS FLOAT))
+         FROM seq WHERE n = 1
+         UNION ALL
+         SELECT s.doc, s.r, s.part, f.n + 1, f.total,
+           CASE WHEN s.doc = '_q'
+           THEN list_transform(range(0, (SELECT dims FROM dd)), i ->
+             CAST(CAST(f.acc[i+1] AS DOUBLE) + CAST(s.v[i+1] AS DOUBLE) AS FLOAT))
+           ELSE list_transform(range(0, (SELECT dims FROM dd)), i ->
+             CAST(CAST(f.acc[i+1] AS DOUBLE)
+               + (CAST(s.v[i+1] AS DOUBLE) - CAST(f.acc[i+1] AS DOUBLE)) / CAST(f.n + 1 AS DOUBLE) AS FLOAT))
+           END
+         FROM fold f JOIN seq s ON s.doc = f.doc AND s.r = f.r AND s.part = f.part AND s.n = f.n + 1),
+       segs AS (SELECT doc, r, part, acc FROM fold WHERE n = total),
+       grid AS (SELECT doc, r, part FROM (SELECT DISTINCT doc FROM allv),
+           (SELECT unnest(range(0,4)) AS r), (SELECT unnest(range(0,8)) AS part)),
+       fde AS (SELECT g.doc, flatten(list(coalesce(s.acc,
+             list_transform(range(0, (SELECT dims FROM dd)), i -> 0.0::FLOAT)) ORDER BY g.r, g.part)) AS fv
+         FROM grid g LEFT JOIN segs s ON s.doc = g.doc AND s.r = g.r AND s.part = g.part
+         GROUP BY g.doc),
+       sc AS (SELECT d.doc AS id, list_sum(list_transform(range(1, 32 * (SELECT dims FROM dd) + 1),
+             i -> CAST(d.fv[i] AS DOUBLE) * CAST(q.fv[i] AS DOUBLE))) AS fde_score
+         FROM fde d, (SELECT fv FROM fde WHERE doc = '_q') q WHERE d.doc != '_q')
+       SELECT id, (round(fde_score, 6) + 0) AS fde_score
+       FROM sc ORDER BY fde_score DESC, id ASC LIMIT 5"""
+  }
+
   def oracleSql: Map[String, String] = TrainingQueries.oracleSql ++ {
     val qv = s"SELECT ${sqlNorm("embedding")} AS qv, embedding AS qraw FROM embeddings WHERE vec_id = 0"
     Map(
+      "vec_muvera_fde_topk" -> muveraOracle,
       // greedy MMR as a recursive CTE: the selected-id list rides the
       // recursion; each step's argmax replicates the driver loop's
       // arithmetic exactly (alpha*raw - (1-alpha)*maxTrueCosine, strict
