@@ -182,12 +182,15 @@ object TrainingQueries {
         nprobe = 8).drop("metadata"), Seq("score", "distance"))
     }),
 
+    // partial probe with id-ordered sample training: the k-means itself
+    // is replicated in the DuckDB oracle (recursive-CTE Lloyd's), so the
+    // approximate candidate set is verified end-to-end
     "ann_ivf_topk" -> ((s, dir) => {
       val d = Tables.dims(s, dir)
       val config = Tables.cosineConfig(d)
       val coll = Tables.embeddingsCollection(s, dir, config)
       val ivf = IvfIndex.IvfConfig(k = 8, iterations = 5)
-      val centroids = IvfIndex.train(coll, config, ivf)
+      val centroids = IvfIndex.trainOrdered(coll, config, ivf, col("id").cast("long"))
       val q = Tables.queryVector(s, dir, 0L)
       roundCols(IvfIndex.search(coll, config, centroids, q, 10, nprobe = 2)
         .drop("metadata"), Seq("score", "distance"))
@@ -396,9 +399,62 @@ object TrainingQueries {
        SELECT id_a, id_b, (round(cosine, 6) + 0) AS cosine
        FROM ver WHERE cosine >= 0.3 ORDER BY id_a, id_b"""
 
+  /** Partial-probe IVF oracle: full Lloyd's k-means (k=8, 5 iterations,
+    * id-ordered sample, first-min assignment ties, empty-cell re-seed)
+    * as a recursive CTE — centroids are 8 LATERAL aggregates per
+    * iteration; each lateral re-exposes the recursive centroid column
+    * through a one-row derived table so lambdas can reference it (DuckDB
+    * forbids correlated columns inside lambda bodies). Then the query's
+    * 2 nearest cells, exact cosine rerank inside — the approximate
+    * candidate set verified end-to-end. */
+  private val ivfPartialProbeOracle = {
+    // dims via len() of in-scope lists, never a subquery: these
+    // expressions nest inside lambdas, where DuckDB forbids subqueries
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(range(0, len($a)), i -> (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))))"
+    def assign(vv: String, cc: String) =
+      s"(list_position(list_transform(range(1, 9), k -> ${l2(vv, s"$cc[k]")}), list_min(list_transform(range(1, 9), k -> ${l2(vv, s"$cc[k]")}))) - 1)"
+    val laterals = (0 until 8).map(k =>
+      s"LATERAL (SELECT count(*) AS cn, list(s.nv ORDER BY s.pos) AS ml" +
+      s" FROM sample s, (SELECT km.c AS cc) t WHERE ${assign("s.nv", "t.cc")} = $k) m$k")
+      .mkString(",\n    ")
+    val cents = (0 until 8).map(k =>
+      s"""CASE WHEN m$k.cn = 0
+      THEN (SELECT s2.nv FROM sample s2 WHERE s2.pos = (($k * 7919) % (SELECT cnt FROM meta)) + 1)
+      ELSE list_transform(range(0, len(m$k.ml[1])), d -> CAST(list_sum(list_transform(m$k.ml, m -> CAST(m[d+1] AS DOUBLE))) / m$k.cn AS FLOAT))
+      END""").mkString(",\n      ")
+    val nrm = "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT))"
+    s"""WITH RECURSIVE
+       n AS (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, $nrm AS nv FROM embeddings),
+       sample AS (SELECT nv, row_number() OVER (ORDER BY vec_id) AS pos FROM n),
+       meta AS (SELECT count(*)::BIGINT AS cnt FROM sample),
+       init AS (SELECT list(s.nv ORDER BY i.i) AS c
+         FROM (SELECT unnest(range(0, 8)) AS i) i
+         JOIN sample s ON s.pos = (i.i * (SELECT cnt FROM meta)) // 8 + 1),
+       km(it, c) AS (
+         SELECT 0, c FROM init
+         UNION ALL
+         SELECT km.it + 1, [$cents]
+         FROM km,
+           $laterals
+         WHERE km.it < 5),
+       cents AS (SELECT c FROM km WHERE it = 5),
+       q AS (SELECT nv AS qv FROM n WHERE vec_id = 0),
+       probes AS (SELECT k - 1 AS cell FROM (SELECT unnest(range(1, 9)) AS k), cents, q
+         ORDER BY ${l2("qv", "cents.c[k]")} ASC, k ASC LIMIT 2),
+       cands AS (SELECT n.id, n.nv FROM n, cents
+         WHERE ${assign("n.nv", "cents.c")} IN (SELECT cell FROM probes)),
+       sc AS (SELECT id, list_sum(list_transform(range(1, len(nv) + 1),
+           i -> CAST(nv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS raw FROM cands, q)
+       SELECT id, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance,
+         'cosine' AS metric, id AS value
+       FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ann_ivf_full_probe_topk" -> flatCosineOracle,
     "ann_ivf_partitioned_topk" -> flatCosineOracle,
+    "ann_ivf_topk" -> ivfPartialProbeOracle,
     "ann_lsh_topk" -> lshOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
 

@@ -33,9 +33,22 @@ object IvfIndex {
     // vector bytes (xxhash64 supports array columns natively); the
     // orderBy+limit pair compiles to TakeOrderedAndProject, so at scale
     // this is a single pass with a bounded heap, not a full sort.
-    val sample = df.select("vector")
+    lloyd(df.select("vector")
       .orderBy(xxhash64(col("vector"), lit(ivf.seed)))
-      .limit(ivf.sampleSize).collect().map(_.getSeq[Float](0).toArray)
+      .limit(ivf.sampleSize).collect().map(_.getSeq[Float](0).toArray), config, ivf)
+  }
+
+  /** Lloyd's over a sample in an EXPLICIT caller-chosen order (e.g. by
+    * id) — same algorithm as [[train]], but the sample ordering is
+    * replicable by an external oracle, so partial-probe results can be
+    * verified end-to-end outside the engine. */
+  def trainOrdered(df: DataFrame, config: CollectionConfig, ivf: IvfConfig,
+      order: Column): Array[Array[Float]] =
+    lloyd(df.orderBy(order).select("vector")
+      .limit(ivf.sampleSize).collect().map(_.getSeq[Float](0).toArray), config, ivf)
+
+  private def lloyd(sample: Array[Array[Float]], config: CollectionConfig,
+      ivf: IvfConfig): Array[Array[Float]] = {
     require(sample.nonEmpty, "cannot train IVF on an empty collection")
     val k = math.min(ivf.k, sample.length)
     var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
