@@ -128,7 +128,7 @@ object IvfIndex {
     val cands = dSide.join(qSide, "ivf_cell")
       .withColumn("raw", vecDistance(config.metric, col("vector"), col("qvector")))
       .withColumn("rank", rankValue(config.metric, col("raw")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc, col("id").asc)
+    val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc_nulls_last, col("id").asc)
     val (score, dist) = resultValues(config.metric, col("raw"), config.score)
     cands.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
       .select(col("qid"), col("id"), col("value"),

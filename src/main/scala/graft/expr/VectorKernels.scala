@@ -58,25 +58,44 @@ object VectorKernels {
 
   // ------------------------------------------- packed f32 byte vectors
   //
-  // Scale layout: a d-dim vector stored as BinaryType (4d native-endian
-  // f32 bytes — LE on x86/aarch64, the same convention as Spark's
-  // UnsafeRow) decodes from parquet as ONE plain BYTE_ARRAY value per
+  // Scale layout: a d-dim vector stored as BinaryType (4d LITTLE-ENDIAN
+  // f32 bytes) decodes from parquet as ONE plain BYTE_ARRAY value per
   // row instead of d repetition-leveled elements — the scan-side cost
   // that dominates brute-force search over parquet at 100 TB. Kernels
   // read floats in place (no float[] materialization) in the SAME
   // sequential order as the ArrayData kernels, so results are
   // bit-identical and the DuckDB oracles carry over unchanged.
+  //
+  // The byte order is pinned LE because this is a durable at-rest format
+  // (packed parquet snapshots travel between hosts): on a big-endian JVM
+  // the int bits are byte-swapped around the native Platform access — a
+  // constant branch the JIT eliminates on LE hosts (zero cost there).
 
   import org.apache.spark.unsafe.Platform
 
   private val BAO = Platform.BYTE_ARRAY_OFFSET
+  private final val NativeIsLE =
+    java.nio.ByteOrder.nativeOrder() == java.nio.ByteOrder.LITTLE_ENDIAN
+
+  @inline private def getF(b: Array[Byte], i: Int): Float =
+    if (NativeIsLE) Platform.getFloat(b, BAO + i * 4L)
+    else java.lang.Float.intBitsToFloat(
+      java.lang.Integer.reverseBytes(Platform.getInt(b, BAO + i * 4L)))
 
   def packFloats(v: Array[Float]): Array[Byte] = {
     val out = new Array[Byte](v.length * 4)
     var i = 0
-    while (i < v.length) {
-      Platform.putFloat(out, BAO + i * 4L, v(i))
-      i += 1
+    if (NativeIsLE) {
+      while (i < v.length) {
+        Platform.putFloat(out, BAO + i * 4L, v(i))
+        i += 1
+      }
+    } else {
+      while (i < v.length) {
+        Platform.putInt(out, BAO + i * 4L,
+          java.lang.Integer.reverseBytes(java.lang.Float.floatToRawIntBits(v(i))))
+        i += 1
+      }
     }
     out
   }
@@ -88,7 +107,7 @@ object VectorKernels {
     val out = new Array[Float](b.length / 4)
     var i = 0
     while (i < out.length) {
-      out(i) = Platform.getFloat(b, BAO + i * 4L)
+      out(i) = getF(b, i)
       i += 1
     }
     out
@@ -115,7 +134,7 @@ object VectorKernels {
   private def dotBytes(a: Array[Byte], q: Array[Float], n: Int): Double = {
     var acc = 0.0; var i = 0
     while (i < n) {
-      acc += Platform.getFloat(a, BAO + i * 4L).toDouble * q(i).toDouble
+      acc += getF(a, i).toDouble * q(i).toDouble
       i += 1
     }
     acc
@@ -124,7 +143,7 @@ object VectorKernels {
   private def l2sqBytes(a: Array[Byte], q: Array[Float], n: Int): Double = {
     var acc = 0.0; var i = 0
     while (i < n) {
-      val d = Platform.getFloat(a, BAO + i * 4L).toDouble - q(i).toDouble
+      val d = getF(a, i).toDouble - q(i).toDouble
       acc += d * d
       i += 1
     }

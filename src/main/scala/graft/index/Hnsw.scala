@@ -44,7 +44,11 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
   // array (null = deleted) — the graph walk does millions of neighbor
   // lookups per build, and boxed HashMap[Int, _] access dominated the
   // insert profile (measured ~2x whole-build win on 2k x 384).
+  // Deleted slots go on a free-list and are reused by later inserts, so
+  // storage (and the BitSet the walk allocates per search) scales with
+  // the live size, not total historical inserts, under insert/delete churn.
   private val nodes = mutable.ArrayBuffer.empty[Node]
+  private val freeIds = mutable.ArrayBuffer.empty[Int]
   private var liveCount = 0
   private val externalToInternal = mutable.HashMap.empty[String, Int]
   private var entry: Option[Int] = None
@@ -55,7 +59,13 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
   private def nodeAt(id: Int): Node =
     if (id >= 0 && id < nodes.length) nodes(id) else null
 
+  private def storeNode(id: Int, node: Node): Unit =
+    if (id == nodes.length) nodes += node else nodes(id) = node
+
   def size: Int = liveCount
+
+  /** Physical slot count (test hook: bounded under insert/delete churn). */
+  private[graft] def storageSize: Int = nodes.length
 
   /** Internal graph-walk ranking only (unrolled kernel; result rows
     * still report the sequential-kernel distance in `search`). */
@@ -79,13 +89,14 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
     require(VectorKernels.validateFinite(vector), "non-finite value")
     if (externalToInternal.contains(externalId)) delete(externalId)
 
-    val internalId = nextId
-    nextId += 1
+    val internalId =
+      if (freeIds.nonEmpty) freeIds.remove(freeIds.length - 1)
+      else { val id = nextId; nextId += 1; id }
     val nodeLevel = levelFor(externalId)
     val node = new Node(externalId, vector, nodeLevel)
 
     if (liveCount == 0) {
-      nodes += node
+      storeNode(internalId, node)
       liveCount += 1
       externalToInternal(externalId) = internalId
       entry = Some(internalId)
@@ -111,7 +122,7 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
       layer -= 1
     }
 
-    nodes += node
+    storeNode(internalId, node)
     liveCount += 1
     externalToInternal(externalId) = internalId
     dimension = Some(vector.length)
@@ -147,7 +158,8 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
     * (highest layer, smallest external id on ties). */
   def delete(externalId: String): Unit = {
     externalToInternal.remove(externalId).foreach { internalId =>
-      nodes(internalId) = null // slot stays (internal id = array index)
+      nodes(internalId) = null // slot freed for reuse by a later insert
+      freeIds += internalId
       liveCount -= 1
       nodes.foreach(n =>
         if (n != null) n.connections.foreach(c => c --= Seq(internalId)))
@@ -169,7 +181,13 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
             Some(best)
           }
       }
-      if (liveCount == 0) dimension = None
+      if (liveCount == 0) {
+        // graph emptied: compact all storage back to the initial state
+        nodes.clear()
+        freeIds.clear()
+        nextId = 0
+        dimension = None
+      }
     }
   }
 

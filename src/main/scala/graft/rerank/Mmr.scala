@@ -80,7 +80,7 @@ object Mmr {
     val cand = df
       .withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))
       .withColumn("rank", rankValue(config.metric, col("raw")))
-      .orderBy(col("rank").asc, col("id").asc).limit(candidates)
+      .orderBy(col("rank").asc_nulls_last, col("id").asc).limit(candidates)
     val rows = cand.select("id", "raw", "vector").collect()
     val initial = rows.map(r => r.getString(0) -> {
       val (score, _) = graft.core.ScoreMode.resultValues(config.metric, r.getDouble(1), config.score)

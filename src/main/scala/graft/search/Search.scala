@@ -214,7 +214,7 @@ object Search {
     val scored = df.crossJoin(broadcast(qNorm))
       .withColumn("raw", vecDistance(config.metric, col("vector"), col("qvector")))
       .withColumn("rank", rankCol(config.metric, col("raw")))
-    val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc, col("id").asc)
+    val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc_nulls_last, col("id").asc)
     val (score, dist) = resultValues(config.metric, col("raw"), config.score)
     scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
       .select(col("qid"), col("id"), col("value"),

@@ -59,6 +59,26 @@ class HnswSpec extends SparkSpec {
     assert(g.search(Array(-100f, -100f), 1).head._1 === "n29")
   }
 
+  test("storage is bounded under insert/delete churn (slot reuse)") {
+    val g = new Hnsw(Metric.L2, Hnsw.Params(m = 4, m0 = 8, efConstruction = 8, efSearch = 8))
+    (0 until 50).foreach(i => g.insert(f"n$i%02d", Array(i.toFloat, 1f)))
+    val base = g.storageSize
+    // 500 delete+reinsert cycles must not grow physical storage
+    (0 until 500).foreach { r =>
+      val id = f"n${r % 50}%02d"
+      g.delete(id)
+      g.insert(id, Array((r % 50).toFloat, 1f))
+    }
+    assert(g.size === 50)
+    assert(g.storageSize === base, s"storage grew: $base -> ${g.storageSize}")
+    assert(g.search(Array(7f, 1f), 1).head._1 === "n07")
+    // emptying the graph compacts storage completely
+    (0 until 50).foreach(i => g.delete(f"n$i%02d"))
+    assert(g.size === 0 && g.storageSize === 0)
+    g.insert("a", Array(1f, 2f))
+    assert(g.search(Array(1f, 2f), 1).head._1 === "a")
+  }
+
   test("rejects unsupported metrics and bad params (hnsw.ex:104-109, hnsw.rs:25-49)") {
     intercept[IllegalArgumentException] { new Hnsw(Metric.Jaccard, Hnsw.Params()) }
     intercept[IllegalArgumentException] { new Hnsw(Metric.L2, Hnsw.Params(m = 0)) }
