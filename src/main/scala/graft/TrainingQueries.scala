@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ann.{CosineLsh, IvfIndex}
+import graft.ann.{CosineLsh, IvfIndex, Pq, Sq8}
 import graft.core.Metric
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
@@ -193,6 +193,33 @@ object TrainingQueries {
       val centroids = IvfIndex.trainOrdered(coll, config, ivf, col("id").cast("long"))
       val q = Tables.queryVector(s, dir, 0L)
       roundCols(IvfIndex.search(coll, config, centroids, q, 10, nprobe = 2)
+        .drop("metadata"), Seq("score", "distance"))
+    }),
+
+    // SQ8 int8 quantization: per-dim min/max affine codes (4x smaller at
+    // rest), ADC candidate cut, exact rerank; every arithmetic step is
+    // mirrored in the SQL oracle, so the candidate set itself is verified
+    "ann_sq8_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val model = Sq8.train(coll)
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(Sq8.search(coll, config, model, q, 10, candidates = 50)
+        .drop("metadata"), Seq("score", "distance"))
+    }),
+
+    // PQ product quantization (m=4 subspaces, k=8 codewords): per-subspace
+    // k-means replicated in the oracle as parallel recursive-CTE Lloyd's,
+    // ADC candidate cut, exact rerank
+    "ann_pq_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val pq = Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256)
+      val cb = Pq.trainOrdered(coll, config, pq, col("id").cast("long"))
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(Pq.search(coll, config, cb, q, 10, candidates = 50)
         .drop("metadata"), Seq("score", "distance"))
     }),
 
@@ -451,10 +478,93 @@ object TrainingQueries {
        FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10"""
   }
 
+  /** SQ8: per-dim min/max aggregates -> affine codes -> ADC (against the
+    * f64 reconstruction) -> exact rerank; every f32/f64 step mirrors the
+    * engine (Sq8.encodeVec / Sq8.adcTable), so the approximate candidate
+    * set is bit-exact, not just the reranked output. */
+  private val sq8Oracle = {
+    def l2sq(a: String, b: String) =
+      s"list_sum(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
+    val code = "LEAST(255, GREATEST(0, round(CAST(CAST(e.embedding[i+1] - m.mn[i+1] AS FLOAT) AS DOUBLE) * 255.0 / CAST(m.rng[i+1] AS DOUBLE))))"
+    val recon = s"(CAST(m.mn[i+1] AS DOUBLE) + $code * CAST(m.rng[i+1] AS DOUBLE) / 255.0)"
+    s"""WITH dgrid AS (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS d),
+       stats AS (SELECT g.d, min(e.embedding[g.d+1]) AS mn, max(e.embedding[g.d+1]) AS mx
+                 FROM embeddings e, dgrid g GROUP BY g.d),
+       model AS (SELECT list(mn ORDER BY d) AS mn, list(CAST(mx - mn AS FLOAT) ORDER BY d) AS rng FROM stats),
+       q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+       adc AS (SELECT CAST(e.vec_id AS VARCHAR) AS id, e.embedding AS v,
+           list_sum(list_transform(range(0, len(e.embedding)), i ->
+             CASE WHEN m.rng[i+1] = 0 THEN
+               (CAST(q.qraw[i+1] AS DOUBLE) - CAST(m.mn[i+1] AS DOUBLE)) * (CAST(q.qraw[i+1] AS DOUBLE) - CAST(m.mn[i+1] AS DOUBLE))
+             ELSE
+               (CAST(q.qraw[i+1] AS DOUBLE) - $recon) * (CAST(q.qraw[i+1] AS DOUBLE) - $recon)
+             END)) AS approx
+         FROM embeddings e, model m, q),
+       cand AS (SELECT id, v FROM adc ORDER BY approx ASC, id ASC LIMIT 50),
+       fin AS (SELECT id, sqrt(${l2sq("v", "qraw")}) AS raw FROM cand, q)
+       SELECT id, id AS value, (round(-raw,6)+0) AS score, (round(raw,6)+0) AS distance, 'l2' AS metric
+       FROM fin ORDER BY raw ASC, id ASC LIMIT 10"""
+  }
+
+  /** PQ (m=4, k=8, 3 iterations, 256-sample): the per-subspace k-means
+    * runs as FOUR parallel rows of one recursive CTE (state keyed by
+    * `sub`, laterals correlated on `km.sub`); encode = per-slice argmin,
+    * ADC = ordered per-subspace sum — mirrors Pq.trainOrdered /
+    * Pq.adcTable exactly, so the candidate set is verified end-to-end. */
+  private val pqOracle = {
+    def l2(a: String, b: String) =
+      s"list_sum(list_transform(range(0, len($a)), i -> (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))))"
+    def assign(vv: String, cc: String) =
+      s"(list_position(list_transform(range(1, 9), k -> ${l2(vv, s"$cc[k]")}), list_min(list_transform(range(1, 9), k -> ${l2(vv, s"$cc[k]")}))) - 1)"
+    val laterals = (0 until 8).map(k =>
+      s"LATERAL (SELECT count(*) AS cn, list(s.sv ORDER BY s.pos) AS ml" +
+      s" FROM ss s, (SELECT km.c AS cc, km.sub AS sj) t" +
+      s" WHERE s.sub = t.sj AND ${assign("s.sv", "t.cc")} = $k) m$k")
+      .mkString(",\n    ")
+    val cents = (0 until 8).map(k =>
+      s"""CASE WHEN m$k.cn = 0
+      THEN (SELECT s2.sv FROM ss s2, (SELECT km.sub AS sj2) t2 WHERE s2.sub = t2.sj2 AND s2.pos = (($k * 7919) % (SELECT cnt FROM meta)) + 1)
+      ELSE list_transform(range(0, len(m$k.ml[1])), d -> CAST(list_sum(list_transform(m$k.ml, m -> CAST(m[d+1] AS DOUBLE))) / m$k.cn AS FLOAT))
+      END""").mkString(",\n      ")
+    val sliceN = "n.v[(qs.sub*(len(n.v)//4)+1):((qs.sub+1)*(len(n.v)//4))]"
+    s"""WITH RECURSIVE
+       n AS (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, embedding AS v FROM embeddings),
+       sample AS (SELECT v, pos FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS pos FROM n) WHERE pos <= 256),
+       meta AS (SELECT count(*)::BIGINT AS cnt FROM sample),
+       ss AS (SELECT sub.s AS sub, s.pos,
+              s.v[(sub.s*(len(s.v)//4)+1):((sub.s+1)*(len(s.v)//4))] AS sv
+            FROM sample s, (SELECT unnest(range(0,4)) AS s) sub),
+       init AS (SELECT ss.sub, list(ss.sv ORDER BY i.i) AS c
+            FROM (SELECT unnest(range(0,8)) AS i) i
+            JOIN ss ON ss.pos = (i.i * (SELECT cnt FROM meta)) // 8 + 1
+            GROUP BY ss.sub),
+       km(sub, it, c) AS (
+         SELECT sub, 0, c FROM init
+         UNION ALL
+         SELECT km.sub, km.it + 1, [$cents]
+         FROM km,
+           $laterals
+         WHERE km.it < 3),
+       cb AS (SELECT sub, c FROM km WHERE it = 3),
+       q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+       qs AS (SELECT cb.sub, q.qraw[(cb.sub*(len(q.qraw)//4)+1):((cb.sub+1)*(len(q.qraw)//4))] AS qsv, cb.c FROM cb, q),
+       rowsub AS (SELECT n.id, qs.sub, qs.qsv, qs.c,
+           ${assign(sliceN, "qs.c")} AS code
+         FROM n, qs),
+       adc AS (SELECT r.id, list_sum(list(${l2("r.qsv", "r.c[r.code+1]")} ORDER BY r.sub)) AS approx
+          FROM rowsub r GROUP BY r.id),
+       cand AS (SELECT a.id, n.v FROM adc a JOIN n ON n.id = a.id ORDER BY a.approx ASC, a.id ASC LIMIT 50),
+       fin AS (SELECT id, sqrt(${l2("v", "qraw")}) AS raw FROM cand, q)
+       SELECT id, id AS value, (round(-raw,6)+0) AS score, (round(raw,6)+0) AS distance, 'l2' AS metric
+       FROM fin ORDER BY raw ASC, id ASC LIMIT 10"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ann_ivf_full_probe_topk" -> flatCosineOracle,
     "ann_ivf_partitioned_topk" -> flatCosineOracle,
     "ann_ivf_topk" -> ivfPartialProbeOracle,
+    "ann_sq8_topk" -> sq8Oracle,
+    "ann_pq_topk" -> pqOracle,
     "ann_lsh_topk" -> lshOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
 

@@ -48,13 +48,20 @@ object IvfIndex {
       .limit(ivf.sampleSize).collect().map(_.getSeq[Float](0).toArray), config, ivf)
 
   private def lloyd(sample: Array[Array[Float]], config: CollectionConfig,
-      ivf: IvfConfig): Array[Array[Float]] = {
-    require(sample.nonEmpty, "cannot train IVF on an empty collection")
-    val k = math.min(ivf.k, sample.length)
+      ivf: IvfConfig): Array[Array[Float]] =
+    lloydKMeans(sample, config.dimensions, ivf.k, ivf.iterations)
+
+  /** Deterministic Lloyd's core (shared with [[Pq]] subspace training):
+    * init by evenly-spaced sample positions, f64 sums / f32 centroids,
+    * empty clusters re-seeded from position (c*7919) mod n. */
+  private[ann] def lloydKMeans(sample: Array[Array[Float]], dims: Int,
+      k0: Int, iterations: Int): Array[Array[Float]] = {
+    require(sample.nonEmpty, "cannot train on an empty sample")
+    val k = math.min(k0, sample.length)
     var centroids = Array.tabulate(k)(i => sample(i * sample.length / k).clone())
     var iter = 0
-    while (iter < ivf.iterations) {
-      val sums = Array.fill(k)(new Array[Double](config.dimensions))
+    while (iter < iterations) {
+      val sums = Array.fill(k)(new Array[Double](dims))
       val counts = new Array[Int](k)
       sample.foreach { v =>
         val c = nearestCentroid(v, centroids)

@@ -270,3 +270,28 @@ case class MaxSim(left: Expression, right: Expression, metricCode: Int)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): MaxSim =
     copy(left = l, right = r)
 }
+
+/** Asymmetric-distance (ADC) scoring of a quantized byte-code column
+  * against a driver-precomputed partial-distance table (position-major:
+  * `table[pos * stride + code]`). Covers SQ8 (stride 256, one code per
+  * dimension) and PQ (stride k, one code per subspace). The table is a
+  * per-query constant shipped as a codegen reference object, so the scan
+  * stays in whole-stage codegen with zero per-row allocation. */
+case class AdcDistance(child: Expression, table: Array[Double], stride: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_distance"
+
+  override protected def nullSafeEval(codes: Any): Any =
+    VectorKernels.adcLookup(codes.asInstanceOf[Array[Byte]], table, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcTable", table, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.VectorKernels.adcLookup($c, $ref, $stride);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): AdcDistance =
+    copy(child = c)
+}

@@ -150,6 +150,26 @@ object VectorKernels {
     acc
   }
 
+  // ------------------------------------------- quantized-code ADC lookup
+  //
+  // Asymmetric distance computation: a quantized vector is a byte code
+  // per position (SQ8: one code per dimension; PQ: one code per
+  // subspace), and the query is precomputed into a position-major table
+  // of partial distances (table[pos * stride + code]). Scoring a row is
+  // then codes.length dependent loads + adds — no float decode at scan
+  // time. Accumulation order is position order, matching the sequential
+  // kernels, so a DuckDB oracle can replicate the sum bit-for-bit.
+
+  def adcLookup(codes: Array[Byte], table: Array[Double], stride: Int): Double = {
+    var acc = 0.0
+    var i = 0
+    while (i < codes.length) {
+      acc += table(i * stride + (codes(i) & 0xff))
+      i += 1
+    }
+    acc
+  }
+
   // ---- unrolled variants: 4 independent accumulator chains break the
   // FP-add latency dependency (~4x on 384 dims). Summation ORDER differs
   // from the sequential kernels, so these are reserved for internal

@@ -114,6 +114,11 @@ object VectorFunctions {
   def binaryVecDistance(metric: Metric, packed: Column, query: Array[Float]): Column =
     col2(BinaryVectorDistance(expr0(packed), expr0(vecLit(query)), metric.code))
 
+  /** ADC score of a quantized byte-code column against a per-query
+    * partial-distance table (position-major, `table(pos*stride+code)`). */
+  def adcDistance(codes: Column, table: Array[Double], stride: Int): Column =
+    col2(graft.expr.AdcDistance(expr0(codes), table, stride))
+
   /** A f32 vector literal. */
   def vecLit(v: Array[Float]): Column = typedlit(v)
 }

@@ -116,6 +116,12 @@ object Search {
     flatSearchPrepared(survivors, config, q, limit)
   }
 
+  /** Exact rerank over an already-prepared query — shared by the
+    * candidate-generator searches (funnel/quantized/hybrid/SQ8/PQ). */
+  private[graft] def rerankExact(df: DataFrame, config: CollectionConfig,
+      q: Array[Float], limit: Int): DataFrame =
+    flatSearchPrepared(df, config, q, limit)
+
   /** Exact rerank used by funnel/quantized/hybrid (query already prepared). */
   private def flatSearchPrepared(df: DataFrame, config: CollectionConfig,
       q: Array[Float], limit: Int): DataFrame = {

@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.{Pq, Sq8}
+import graft.core.{CollectionConfig, Metric}
+import graft.prepare.Prepare
+import graft.search.Search
+
+/** SQ8 scalar quantization + PQ product quantization: encode contracts,
+  * full-candidates equivalence to exact flat search, and recall sanity
+  * on real embeddings. */
+class QuantizationSpec extends SparkSpec {
+
+  private lazy val sfDir = "/root/testdata/sf0.001"
+
+  private def prep(rows: Seq[(String, Array[Float])], config: CollectionConfig) =
+    Prepare.prepareEmbeddings(embeddingRows(rows), config)
+
+  private def gridColl(config: CollectionConfig) = prep(
+    (0 until 64).map { i =>
+      f"id-$i%02d" -> Array(i / 10.0f, (i * 7 % 17) / 5.0f, (i * 11 % 19) / 7.0f, (i % 3) / 1.0f)
+    }, config)
+
+  test("sq8 encode: codes in range, constant dims -> 0, extremes hit 0/255") {
+    val vecs = Seq(
+      Array(0.0f, 5.0f, -1.0f),
+      Array(1.0f, 5.0f, 3.0f),
+      Array(0.5f, 5.0f, 1.0f))
+    val model = Sq8.train(embeddingRows(vecs.zipWithIndex.map { case (v, i) => (s"r$i", v) }))
+    assert(model.mn.toSeq === Seq(0.0f, 5.0f, -1.0f))
+    assert(model.rng.toSeq === Seq(1.0f, 0.0f, 4.0f))
+    val c0 = Sq8.encodeVec(vecs(0), model)
+    val c1 = Sq8.encodeVec(vecs(1), model)
+    assert((c0(0) & 0xff) === 0 && (c1(0) & 0xff) === 255)
+    assert((c0(1) & 0xff) === 0 && (c1(1) & 0xff) === 0) // constant dim
+    assert((c0(2) & 0xff) === 0 && (c1(2) & 0xff) === 255)
+    // midpoint rounds half-up: (0.5-0)*255/1 = 127.5 -> 128
+    assert((Sq8.encodeVec(vecs(2), model)(0) & 0xff) === 128)
+  }
+
+  test("sq8 equivalence: candidates = n degenerates to exact flat (l2 + cosine)") {
+    for (metric <- Seq(Metric.L2, Metric.Cosine)) {
+      val config = CollectionConfig("grid", 4, metric)
+      val coll = gridColl(config).cache()
+      val model = Sq8.train(coll)
+      val q = Array(2.25f, 1.5f, 0.75f, 1.0f)
+      val exact = Search.flatSearch(coll, config, q, 10).collect().map(r => (r.getString(0), r.getDouble(2)))
+      val sq8 = Sq8.search(coll, config, model, q, 10, candidates = 64)
+        .collect().map(r => (r.getString(0), r.getDouble(2)))
+      assert(sq8.toSeq === exact.toSeq, s"metric ${metric.name}")
+      coll.unpersist()
+    }
+  }
+
+  test("sq8 recall on real embeddings: small candidate cut finds most of exact top-10") {
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val model = Sq8.train(coll)
+    val withCodes = Sq8.withCodes(coll, model).cache()
+    val hits = (1L to 5L).map { qi =>
+      val q = Tables.queryVector(spark, sfDir, qi)
+      val exact = Search.flatSearch(coll, config, q, 10).collect().map(_.getString(0)).toSet
+      val approx = Sq8.search(withCodes, config, model, q, 10, candidates = 30)
+        .collect().map(_.getString(0)).toSet
+      (exact & approx).size
+    }
+    val mean = hits.sum / 50.0
+    // 8-bit codes are near-lossless: tight cut should preserve nearly all
+    assert(mean >= 0.9, s"mean sq8 recall@10 $mean")
+    withCodes.unpersist(); coll.unpersist()
+  }
+
+  test("pq: codes are m bytes, training deterministic, equivalence at full candidates") {
+    val config = CollectionConfig("grid", 4, Metric.L2)
+    val coll = gridColl(config).cache()
+    val pq = Pq.PqConfig(m = 2, k = 4, iterations = 3, sampleSize = 64)
+    val cb1 = Pq.trainOrdered(coll, config, pq, col("id"))
+    val cb2 = Pq.trainOrdered(coll, config, pq, col("id"))
+    assert(cb1.map(_.map(_.toSeq).toSeq).toSeq === cb2.map(_.map(_.toSeq).toSeq).toSeq)
+    assert(cb1.length === 2 && cb1(0).length === 4 && cb1(0)(0).length === 2)
+    val codes = Pq.encodeVec(Array(1f, 2f, 3f, 4f), cb1)
+    assert(codes.length === 2)
+    val q = Array(2.25f, 1.5f, 0.75f, 1.0f)
+    val exact = Search.flatSearch(coll, config, q, 10).collect().map(r => (r.getString(0), r.getDouble(2)))
+    val viaPq = Pq.search(coll, config, cb1, q, 10, candidates = 64)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(viaPq.toSeq === exact.toSeq)
+    coll.unpersist()
+  }
+
+  test("pq recall on real embeddings beats random-candidate baseline") {
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val pq = Pq.PqConfig(m = 8, k = 16, iterations = 3, sampleSize = 256)
+    val cb = Pq.trainOrdered(coll, config, pq, col("id").cast("long"))
+    val withCodes = Pq.withCodes(coll, cb).cache()
+    val n = coll.count().toInt
+    val hits = (1L to 5L).map { qi =>
+      val q = Tables.queryVector(spark, sfDir, qi)
+      val exact = Search.flatSearch(coll, config, q, 10).collect().map(_.getString(0)).toSet
+      val approx = Pq.search(withCodes, config, cb, q, 10, candidates = n / 10)
+        .collect().map(_.getString(0)).toSet
+      (exact & approx).size
+    }
+    val mean = hits.sum / 50.0
+    // 10% candidate budget must recover well over the 10% a random cut would
+    assert(mean >= 0.5, s"mean pq recall@10 $mean")
+    withCodes.unpersist(); coll.unpersist()
+  }
+
+  test("sq8/pq reject dimension mismatches and bad configs") {
+    val model = Sq8.Model(Array(0f, 0f), Array(1f, 1f))
+    intercept[IllegalArgumentException] { Sq8.encodeVec(Array(1f), model) }
+    val config = CollectionConfig("x", 3, Metric.L2)
+    val coll = prep(Seq("a" -> Array(1f, 2f, 3f)), config)
+    intercept[IllegalArgumentException] {
+      Pq.trainOrdered(coll, config, Pq.PqConfig(m = 2), col("id"))
+    }
+  }
+}
