@@ -174,6 +174,29 @@ object Bench {
     results("synth_flatindex_hybrid") = bench {
       idx.hybridSearch(q, Metric.Cosine, 10, Seq(dims / 4, dims / 2, dims), 200)
     }
+    // quantized-code ANN: SQ8 (dims bytes/row) and PQ (m bytes/row) —
+    // the at-rest compression paths; search is ADC lookups + exact rerank
+    val sq8Model = graft.ann.Sq8.train(coll)
+    val sq8Coll = graft.ann.Sq8.withCodes(coll, sq8Model)
+      .select("id", "value", "vector", "sq8_codes").persist()
+    results("synth_sq8_encode") = time { sq8Coll.count() }
+    results("synth_sq8_search") = bench {
+      graft.ann.Sq8.search(sq8Coll, config, sq8Model, q, 10, candidates = 200).collect()
+    }
+    // m=32 on 384 dims = 12:1 compression (12-dim subspaces) — the
+    // representative PQ operating point; random vectors leave no margin
+    // for heavier compression (quantization error swamps the neighbor
+    // separation that real embeddings have)
+    val pqCfg = graft.ann.Pq.PqConfig(m = 32, k = 16, iterations = 3, sampleSize = 1000)
+    val tPq = System.nanoTime()
+    val pqCb = graft.ann.Pq.trainOrdered(coll, config, pqCfg, col("id").cast("long"))
+    results("synth_pq_train") = (System.nanoTime() - tPq) / 1e9
+    val pqColl = graft.ann.Pq.withCodes(coll, pqCb)
+      .select("id", "value", "vector", "pq_codes").persist()
+    results("synth_pq_encode") = time { pqColl.count() }
+    results("synth_pq_search") = bench {
+      graft.ann.Pq.search(pqColl, config, pqCb, q, 10, candidates = 200).collect()
+    }
     // ----- quality preflight: overlap@10 vs exact flat for every
     // approximate mode, printed with the timings like the reference's
     // bench gate (bench/search_modes_bench.exs:193-238, BASELINE.md).
@@ -200,6 +223,32 @@ object Bench {
       graft.ann.IvfIndex.search(coll, config, ivfCents, q, 10, nprobe = 4)))
     quality("equiv_funnel_fullcand") = overlap(dfIds(Search.funnelSearch(
       coll, config, q, 10, Seq(dims / 4, dims / 2, dims), SynthRecords)))
+    quality("overlap10_sq8_c200") = overlap(dfIds(
+      graft.ann.Sq8.search(sq8Coll, config, sq8Model, q, 10, candidates = 200)))
+    quality("overlap10_pq_c200") = overlap(dfIds(
+      graft.ann.Pq.search(pqColl, config, pqCb, q, 10, candidates = 200)))
+    // Planted-query probes: uniform-random corpora have no genuine near
+    // neighbors (pairwise cosines concentrate at 0), which floors any
+    // locality-based ANN at ~0 overlap BY CONSTRUCTION of the data, not
+    // the operator. A query blended 95/5 with a stored vector is the
+    // realistic retrieval shape — these probe that regime on the same
+    // corpus and the same configs.
+    val plantedBase = synthVector(12345L, dims)
+    val plantedNoise = synthVector(-2L, dims)
+    val planted = Search.prepareQuery(config,
+      Array.tabulate(dims)(i => 0.95f * plantedBase(i) + 0.05f * plantedNoise(i)))
+    val plantedExact = idx.search(planted, Metric.Cosine, 10).map(_._1).toSet
+    def pOverlap(ids: Iterable[String]): Double =
+      if (plantedExact.isEmpty) 1.0
+      else plantedExact.intersect(ids.toSet).size.toDouble / plantedExact.size
+    quality("planted_overlap10_funnel") = pOverlap(dfIds(Search.funnelSearch(
+      coll, config, planted, 10, Seq(dims / 4, dims / 2, dims), 200)))
+    quality("planted_overlap10_lsh") = pOverlap(dfIds(
+      graft.ann.CosineLsh.search(lshColl, config, lshCfg, planted, 10)))
+    quality("planted_overlap10_sq8") = pOverlap(dfIds(
+      graft.ann.Sq8.search(sq8Coll, config, sq8Model, planted, 10, candidates = 200)))
+    quality("planted_overlap10_pq") = pOverlap(dfIds(
+      graft.ann.Pq.search(pqColl, config, pqCb, planted, 10, candidates = 200)))
     // HNSW parity shim: driver-side build, quality on a 10k subset
     // (insertion is sequential by design — reference rebuild semantics)
     val hnswN = math.min(SynthRecords, 10000)
@@ -216,17 +265,27 @@ object Bench {
       if (hnswExact.isEmpty) 1.0
       else hnswExact.intersect(hnswIds).size.toDouble / hnswExact.size
     // MUVERA FDE vs exact MaxSim on the multi-vector corpus
+    def fdeTopIds(qv: Seq[Array[Float]]): Seq[String] = {
+      val fdeQ = graft.encode.Muvera.encode(qv, muvCfg, graft.encode.Muvera.QueryMode)
+      dfIds(mvDocs
+        .select(col("id"), graft.functions.VectorFunctions.vecDistance(
+          Metric.InnerProduct,
+          graft.encode.Muvera.encodeColumn(muvCfg, graft.encode.Muvera.DocumentMode)(col("vectors")),
+          graft.functions.VectorFunctions.vecLit(fdeQ)).as("s"))
+        .orderBy(col("s").desc, col("id").asc).limit(10))
+    }
     val maxsimTop = dfIds(Search.multiVectorSearch(mvDocs, mvConfig, qvecs, 10))
-    val fdeQ = graft.encode.Muvera.encode(qvecs, muvCfg, graft.encode.Muvera.QueryMode)
-    val fdeTop = dfIds(mvDocs
-      .select(col("id"), graft.functions.VectorFunctions.vecDistance(
-        Metric.InnerProduct,
-        graft.encode.Muvera.encodeColumn(muvCfg, graft.encode.Muvera.DocumentMode)(col("vectors")),
-        graft.functions.VectorFunctions.vecLit(fdeQ)).as("s"))
-      .orderBy(col("s").desc, col("id").asc).limit(10))
+    val fdeTop = fdeTopIds(qvecs)
     quality("overlap10_muvera_vs_maxsim") =
       if (maxsimTop.isEmpty) 1.0
       else maxsimTop.toSet.intersect(fdeTop.toSet).size.toDouble / maxsimTop.size
+    // self-retrieval: querying with a stored doc's own token vectors must
+    // surface that doc — the planted-query regime for multi-vector search
+    // (random docs' MaxSim scores concentrate, so relative-order overlap
+    // above is the adversarial floor, not retrieval quality)
+    val selfVecs = Seq(synthVector(777L, dims),
+      synthVector(5000777L, dims), synthVector(6000777L, dims))
+    quality("muvera_self_hit10") = if (fdeTopIds(selfVecs).contains("777")) 1.0 else 0.0
 
     // Same gate on the driver's embeddings table: uniform-random vectors
     // are the adversarial case for ANN (pairwise cosines concentrate at
@@ -255,6 +314,16 @@ object Bench {
         graft.ann.IvfIndex.IvfConfig(k = 8, iterations = 5))
       quality("emb_overlap10_ivf_nprobe2") = eOverlap(dfIds(
         graft.ann.IvfIndex.search(ecoll, econfig, eCents, eq, 10, nprobe = 2)))
+      val eSq8 = graft.ann.Sq8.train(ecoll)
+      quality("emb_overlap10_sq8") = eOverlap(dfIds(graft.ann.Sq8.search(
+        graft.ann.Sq8.withCodes(ecoll, eSq8), econfig, eSq8, eq, 10,
+        candidates = math.min(en, 50))))
+      val ePq = graft.ann.Pq.trainOrdered(ecoll, econfig,
+        graft.ann.Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256),
+        col("id").cast("long"))
+      quality("emb_overlap10_pq") = eOverlap(dfIds(graft.ann.Pq.search(
+        graft.ann.Pq.withCodes(ecoll, ePq), econfig, ePq, eq, 10,
+        candidates = math.min(en, 50))))
       val ehg = graft.index.Hnsw.build(ecoll, econfig)
       quality("emb_overlap10_hnsw") =
         eOverlap(ehg.search(eq, 10).map(_._1))
@@ -262,6 +331,7 @@ object Bench {
     } catch { case _: Throwable => quality("emb_overlap_failed") = -1.0 }
 
     idx.unpersist(); idx.blocks.unpersist(blocking = true)
+    sq8Coll.unpersist(blocking = true); pqColl.unpersist(blocking = true)
     packedColl.unpersist(blocking = true)
     coll.unpersist(blocking = true); lshColl.unpersist(blocking = true)
     mvDocs.unpersist(blocking = true)
