@@ -75,6 +75,24 @@ object TrainingQueries {
       Tables.read(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.langId(col("text")).as("lang_detected"))),
 
+    // Gopher/MassiveWeb repetition + format filters, exact count ratios
+    "text_gopher_quality" -> ((s, dir) => {
+      val t = col("text")
+      roundCols(Tables.read(s, dir, "documents").select(
+        col("doc_id"),
+        TextAnalysis.wordCount(t).as("n_words"),
+        TextAnalysis.meanWordLen(t).as("mean_word_len"),
+        TextAnalysis.fracAlphaWords(t).as("frac_alpha"),
+        TextAnalysis.fracSymbolWords(t).as("frac_symbol"),
+        TextAnalysis.fracBulletLines(t).as("frac_bullet"),
+        TextAnalysis.fracEllipsisLines(t).as("frac_ellipsis"),
+        TextAnalysis.fracDuplicateLines(t).as("frac_dup_lines"),
+        TextAnalysis.topTokenFrac(t).as("top_token_frac"),
+        TextAnalysis.gopherKeep(t, minWords = 20).cast("int").as("keep")),
+        Seq("mean_word_len", "frac_alpha", "frac_symbol", "frac_bullet",
+          "frac_ellipsis", "frac_dup_lines", "top_token_frac"))
+    }),
+
     "text_fingerprint" -> ((s, dir) =>
       Tables.read(s, dir, "documents").select(
         col("doc_id"),
@@ -592,6 +610,36 @@ object TrainingQueries {
            WHEN ces = greatest(cde, cen, ces, cfr) THEN 'es'
            ELSE 'fr' END AS lang_detected
          FROM c ORDER BY doc_id""",
+
+    "text_gopher_quality" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks,
+           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS ls,
+           list_transform($tokensSql, t -> lower(t)) AS lt
+         FROM documents),
+         m AS (SELECT doc_id,
+           len(toks) AS n_words,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(toks) END AS mean_word_len,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) END AS frac_alpha,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...') OR contains(t, '…'))) AS DOUBLE) / len(toks) END AS frac_symbol,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls) END AS frac_bullet,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls) END AS frac_ellipsis,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS frac_dup_lines,
+           CASE WHEN len(lt) = 0 THEN 0.0 ELSE CAST(list_max(list_transform(list_distinct(lt), d -> len(list_filter(lt, x -> x = d)))) AS DOUBLE) / len(lt) END AS top_token_frac
+         FROM t)
+         SELECT doc_id, n_words,
+           (round(mean_word_len, 6) + 0) AS mean_word_len,
+           (round(frac_alpha, 6) + 0) AS frac_alpha,
+           (round(frac_symbol, 6) + 0) AS frac_symbol,
+           (round(frac_bullet, 6) + 0) AS frac_bullet,
+           (round(frac_ellipsis, 6) + 0) AS frac_ellipsis,
+           (round(frac_dup_lines, 6) + 0) AS frac_dup_lines,
+           (round(top_token_frac, 6) + 0) AS top_token_frac,
+           CAST(n_words >= 20 AND n_words <= 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND frac_symbol <= 0.1 AND frac_bullet <= 0.9
+             AND frac_ellipsis <= 0.3 AND frac_alpha >= 0.8
+             AND frac_dup_lines <= 0.3 AND top_token_frac <= 0.2 AS INT) AS keep
+         FROM m ORDER BY doc_id""",
 
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)

@@ -68,6 +68,84 @@ object TextAnalysis {
     lit(0.4) * lenSig + lit(0.4) * stopSig + lit(0.2) * punctSig
   }
 
+  // ---------------------------------------- Gopher-style quality rules
+  //
+  // Repetition/format signals from the MassiveWeb filter set (Rae et
+  // al. 2021, "Scaling Language Models: Methods, Analysis & Insights
+  // from Training Gopher", appendix A1.1), each an exact count ratio so
+  // both engines compute the identical double.
+
+  /** Non-blank trimmed lines. */
+  private def lines(text: Column): Column =
+    filter(transform(split(text, "\n"), l => trim(l)), l => l =!= "")
+
+  private def ratio(num: Column, den: Column): Column =
+    when(den === 0, lit(0.0)).otherwise(num.cast("double") / den.cast("double"))
+
+  /** Mean whitespace-token length in characters. */
+  def meanWordLen(text: Column): Column = {
+    val toks = tokens(text)
+    ratio(aggregate(toks, lit(0L), (a, t) => a + length(t)), size(toks))
+  }
+
+  /** Fraction of tokens containing at least one ASCII letter. */
+  def fracAlphaWords(text: Column): Column = {
+    val toks = tokens(text)
+    ratio(size(filter(toks, t => t.rlike("[A-Za-z]"))), size(toks))
+  }
+
+  /** Fraction of tokens containing a lone-symbol marker (# or ellipsis). */
+  def fracSymbolWords(text: Column): Column = {
+    val toks = tokens(text)
+    ratio(size(filter(toks,
+      t => t.contains("#") || t.contains("...") || t.contains("…"))), size(toks))
+  }
+
+  /** Fraction of non-blank lines starting like a bullet item. */
+  def fracBulletLines(text: Column): Column = {
+    val ls = lines(text)
+    ratio(size(filter(ls, l =>
+      l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))), size(ls))
+  }
+
+  /** Fraction of non-blank lines ending in an ellipsis. */
+  def fracEllipsisLines(text: Column): Column = {
+    val ls = lines(text)
+    ratio(size(filter(ls, l => l.endsWith("...") || l.endsWith("…"))), size(ls))
+  }
+
+  /** Duplicate-line fraction: 1 - distinct/total over non-blank lines. */
+  def fracDuplicateLines(text: Column): Column = {
+    val ls = lines(text)
+    when(size(ls) === 0, lit(0.0))
+      .otherwise(lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls).cast("double"))
+  }
+
+  /** Occurrence fraction of the most frequent lowercased token. */
+  def topTokenFrac(text: Column): Column = {
+    val lt = transform(tokens(text), t => lower(t))
+    when(size(lt) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(lt),
+        d => size(filter(lt, x => x === d)))).cast("double") / size(lt).cast("double"))
+  }
+
+  /** The Gopher keep rule over the signals above (word-count window,
+    * word-shape bounds, symbol/bullet/ellipsis caps, duplicate-line and
+    * top-token repetition caps). Thresholds follow the published filter;
+    * `minWords` is tunable because corpus snippets differ from full
+    * pages. */
+  def gopherKeep(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+    val n = wordCount(text)
+    (n >= minWords) && (n <= maxWords) &&
+      meanWordLen(text).between(3.0, 10.0) &&
+      (fracSymbolWords(text) <= 0.1) &&
+      (fracBulletLines(text) <= 0.9) &&
+      (fracEllipsisLines(text) <= 0.3) &&
+      (fracAlphaWords(text) >= 0.8) &&
+      (fracDuplicateLines(text) <= 0.3) &&
+      (topTokenFrac(text) <= 0.2)
+  }
+
   /** Exact-dup fingerprint. */
   def fingerprintMd5(text: Column): Column = md5(text)
 

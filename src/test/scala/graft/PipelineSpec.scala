@@ -136,6 +136,26 @@ class PipelineSpec extends SparkSpec {
     assert(out === Map("1" -> "en", "2" -> "es", "3" -> "und"))
   }
 
+  test("gopher quality signals: repetition and format filters fire correctly") {
+    val clean = (1 to 30).map(i => s"word$i").mkString(" ") // 30 distinct 5-6 char words
+    val bullets = "- one two three\n- four five six\n- seven eight nine"
+    val repLines = "same line here\nsame line here\nsame line here\nother text"
+    val repToken = ("spam " * 30).trim
+    val df = Seq(("clean", clean), ("bullets", bullets),
+      ("replines", repLines), ("reptoken", repToken)).toDF("id", "text")
+    val out = df.select(col("id"),
+      TextAnalysis.fracBulletLines(col("text")).as("b"),
+      TextAnalysis.fracDuplicateLines(col("text")).as("d"),
+      TextAnalysis.topTokenFrac(col("text")).as("t"),
+      TextAnalysis.gopherKeep(col("text"), minWords = 10).as("keep"))
+      .collect().map(r => r.getString(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))).toMap
+    assert(out("clean")._4 === true)
+    assert(out("bullets")._1 === 1.0 && out("bullets")._4 === false)
+    assert(out("replines")._2 === 0.5)
+    assert(out("reptoken")._3 === 1.0 && out("reptoken")._4 === false)
+  }
+
   test("store roundtrip preserves rows and config; overrides whitelisted") {
     val config = CollectionConfig("c1", 2, Metric.Cosine)
     val coll = Prepare.prepareEmbeddings(
