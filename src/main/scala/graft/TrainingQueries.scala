@@ -241,6 +241,24 @@ object TrainingQueries {
         .drop("metadata"), Seq("score", "distance"))
     }),
 
+    // IVF-PQ: coarse cells prune, m-byte ADC codes score, exact rerank —
+    // the standard billion-vector layout; BOTH k-means (coarse + per-
+    // subspace) replicated in the oracle, so cells, probe set, and the
+    // ADC candidate cut are verified end-to-end
+    "ann_ivfpq_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val order = col("id").cast("long")
+      val cents = IvfIndex.trainOrdered(coll, config,
+        IvfIndex.IvfConfig(k = 8, iterations = 3), order)
+      val cb = Pq.trainOrdered(coll, config,
+        Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256), order)
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(graft.ann.IvfPq.search(coll, config, cents, cb, q, 10,
+        nprobe = 2, candidates = 50).drop("metadata"), Seq("score", "distance"))
+    }),
+
     // ---- multimodal plumbing (deterministic stub codec)
     "mm_decode_meta" -> ((s, dir) => {
       val media = Multimodal.documentsAsMedia(
@@ -524,30 +542,32 @@ object TrainingQueries {
        FROM fin ORDER BY raw ASC, id ASC LIMIT 10"""
   }
 
-  /** PQ (m=4, k=8, 3 iterations, 256-sample): the per-subspace k-means
-    * runs as FOUR parallel rows of one recursive CTE (state keyed by
-    * `sub`, laterals correlated on `km.sub`); encode = per-slice argmin,
-    * ADC = ordered per-subspace sum — mirrors Pq.trainOrdered /
-    * Pq.adcTable exactly, so the candidate set is verified end-to-end. */
-  private val pqOracle = {
-    def l2(a: String, b: String) =
-      s"list_sum(list_transform(range(0, len($a)), i -> (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))))"
-    def assign(vv: String, cc: String) =
-      s"(list_position(list_transform(range(1, 9), k -> ${l2(vv, s"$cc[k]")}), list_min(list_transform(range(1, 9), k -> ${l2(vv, s"$cc[k]")}))) - 1)"
+  // ---- shared SQL builders for the k-means-based quantizer oracles
+  // (dims via len() of in-scope lists, never a subquery: these nest
+  // inside lambdas, where DuckDB forbids subqueries)
+
+  private def kmL2(a: String, b: String) =
+    s"list_sum(list_transform(range(0, len($a)), i -> (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))))"
+
+  /** First-min argmin over 8 centroids (mirrors nearestCentroid). */
+  private def kmAssign(vv: String, cc: String) =
+    s"(list_position(list_transform(range(1, 9), k -> ${kmL2(vv, s"$cc[k]")}), list_min(list_transform(range(1, 9), k -> ${kmL2(vv, s"$cc[k]")}))) - 1)"
+
+  /** PQ per-subspace Lloyd's as FOUR parallel rows of one recursive CTE
+    * (state keyed by `sub`, laterals correlated on `km.sub`). Expects a
+    * CTE `n(id, vec_id, v)` in scope; yields CTEs through `cb(sub, c)`. */
+  private val pqKmeansCtes = {
     val laterals = (0 until 8).map(k =>
       s"LATERAL (SELECT count(*) AS cn, list(s.sv ORDER BY s.pos) AS ml" +
       s" FROM ss s, (SELECT km.c AS cc, km.sub AS sj) t" +
-      s" WHERE s.sub = t.sj AND ${assign("s.sv", "t.cc")} = $k) m$k")
+      s" WHERE s.sub = t.sj AND ${kmAssign("s.sv", "t.cc")} = $k) m$k")
       .mkString(",\n    ")
     val cents = (0 until 8).map(k =>
       s"""CASE WHEN m$k.cn = 0
       THEN (SELECT s2.sv FROM ss s2, (SELECT km.sub AS sj2) t2 WHERE s2.sub = t2.sj2 AND s2.pos = (($k * 7919) % (SELECT cnt FROM meta)) + 1)
       ELSE list_transform(range(0, len(m$k.ml[1])), d -> CAST(list_sum(list_transform(m$k.ml, m -> CAST(m[d+1] AS DOUBLE))) / m$k.cn AS FLOAT))
       END""").mkString(",\n      ")
-    val sliceN = "n.v[(qs.sub*(len(n.v)//4)+1):((qs.sub+1)*(len(n.v)//4))]"
-    s"""WITH RECURSIVE
-       n AS (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, embedding AS v FROM embeddings),
-       sample AS (SELECT v, pos FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS pos FROM n) WHERE pos <= 256),
+    s"""sample AS (SELECT v, pos FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS pos FROM n) WHERE pos <= 256),
        meta AS (SELECT count(*)::BIGINT AS cnt FROM sample),
        ss AS (SELECT sub.s AS sub, s.pos,
               s.v[(sub.s*(len(s.v)//4)+1):((sub.s+1)*(len(s.v)//4))] AS sv
@@ -563,18 +583,72 @@ object TrainingQueries {
          FROM km,
            $laterals
          WHERE km.it < 3),
-       cb AS (SELECT sub, c FROM km WHERE it = 3),
-       q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
-       qs AS (SELECT cb.sub, q.qraw[(cb.sub*(len(q.qraw)//4)+1):((cb.sub+1)*(len(q.qraw)//4))] AS qsv, cb.c FROM cb, q),
+       cb AS (SELECT sub, c FROM km WHERE it = 3)"""
+  }
+
+  /** PQ encode + ADC + exact-rerank tail over a candidate source CTE
+    * (`src(id, v)`): per-slice argmin codes, ordered per-subspace sum —
+    * mirrors Pq.encodeVec / Pq.adcTable / Search.rerankExact. */
+  private def pqAdcTail(src: String) = {
+    val sliceN = "n.v[(qs.sub*(len(n.v)//4)+1):((qs.sub+1)*(len(n.v)//4))]"
+    s"""qs AS (SELECT cb.sub, q.qraw[(cb.sub*(len(q.qraw)//4)+1):((cb.sub+1)*(len(q.qraw)//4))] AS qsv, cb.c FROM cb, q),
        rowsub AS (SELECT n.id, qs.sub, qs.qsv, qs.c,
-           ${assign(sliceN, "qs.c")} AS code
-         FROM n, qs),
-       adc AS (SELECT r.id, list_sum(list(${l2("r.qsv", "r.c[r.code+1]")} ORDER BY r.sub)) AS approx
+           ${kmAssign(sliceN, "qs.c")} AS code
+         FROM $src n, qs),
+       adc AS (SELECT r.id, list_sum(list(${kmL2("r.qsv", "r.c[r.code+1]")} ORDER BY r.sub)) AS approx
           FROM rowsub r GROUP BY r.id),
-       cand AS (SELECT a.id, n.v FROM adc a JOIN n ON n.id = a.id ORDER BY a.approx ASC, a.id ASC LIMIT 50),
-       fin AS (SELECT id, sqrt(${l2("v", "qraw")}) AS raw FROM cand, q)
+       cand AS (SELECT a.id, n.v FROM adc a JOIN $src n ON n.id = a.id ORDER BY a.approx ASC, a.id ASC LIMIT 50),
+       fin AS (SELECT id, sqrt(${kmL2("v", "qraw")}) AS raw FROM cand, q)
        SELECT id, id AS value, (round(-raw,6)+0) AS score, (round(raw,6)+0) AS distance, 'l2' AS metric
        FROM fin ORDER BY raw ASC, id ASC LIMIT 10"""
+  }
+
+  /** PQ (m=4, k=8, 3 iterations, 256-sample): candidate set verified
+    * end-to-end — mirrors Pq.trainOrdered / Pq.adcTable exactly. */
+  private val pqOracle =
+    s"""WITH RECURSIVE
+       n AS (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, embedding AS v FROM embeddings),
+       $pqKmeansCtes,
+       q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+       ${pqAdcTail("n")}"""
+
+  /** IVF-PQ: coarse k-means (raw vectors, k=8, 3 iterations, id-ordered
+    * 10000-sample — mirrors IvfIndex.trainOrdered) prunes to the nprobe=2
+    * nearest cells, then the PQ ADC + rerank tail runs inside the
+    * surviving cells only. Both k-means run as recursive CTEs in ONE
+    * query, so cells, probe set, codes, and candidates all replicate. */
+  private val ivfPqOracle = {
+    val ivfLaterals = (0 until 8).map(k =>
+      s"LATERAL (SELECT count(*) AS cn, list(s.v ORDER BY s.pos) AS ml" +
+      s" FROM ivfsample s, (SELECT ivfkm.c AS cc) t WHERE ${kmAssign("s.v", "t.cc")} = $k) iv$k")
+      .mkString(",\n    ")
+    val ivfCents = (0 until 8).map(k =>
+      s"""CASE WHEN iv$k.cn = 0
+      THEN (SELECT s2.v FROM ivfsample s2 WHERE s2.pos = (($k * 7919) % (SELECT cnt FROM ivfmeta)) + 1)
+      ELSE list_transform(range(0, len(iv$k.ml[1])), d -> CAST(list_sum(list_transform(iv$k.ml, m -> CAST(m[d+1] AS DOUBLE))) / iv$k.cn AS FLOAT))
+      END""").mkString(",\n      ")
+    s"""WITH RECURSIVE
+       n AS (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, embedding AS v FROM embeddings),
+       ivfsample AS (SELECT v, pos FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS pos FROM n) WHERE pos <= 10000),
+       ivfmeta AS (SELECT count(*)::BIGINT AS cnt FROM ivfsample),
+       ivfinit AS (SELECT list(s.v ORDER BY i.i) AS c
+            FROM (SELECT unnest(range(0,8)) AS i) i
+            JOIN ivfsample s ON s.pos = (i.i * (SELECT cnt FROM ivfmeta)) // 8 + 1),
+       ivfkm(it, c) AS (
+         SELECT 0, c FROM ivfinit
+         UNION ALL
+         SELECT ivfkm.it + 1, [$ivfCents]
+         FROM ivfkm,
+           $ivfLaterals
+         WHERE ivfkm.it < 3),
+       icb AS (SELECT c FROM ivfkm WHERE it = 3),
+       $pqKmeansCtes,
+       q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+       probes AS (SELECT k - 1 AS cell FROM (SELECT unnest(range(1, 9)) AS k), icb, q
+         ORDER BY ${kmL2("qraw", "icb.c[k]")} ASC, k ASC LIMIT 2),
+       incell AS (SELECT n.id, n.v FROM n, icb
+         WHERE ${kmAssign("n.v", "icb.c")} IN (SELECT cell FROM probes)),
+       ${pqAdcTail("incell")}"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -583,6 +657,7 @@ object TrainingQueries {
     "ann_ivf_topk" -> ivfPartialProbeOracle,
     "ann_sq8_topk" -> sq8Oracle,
     "ann_pq_topk" -> pqOracle,
+    "ann_ivfpq_topk" -> ivfPqOracle,
     "ann_lsh_topk" -> lshOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
 

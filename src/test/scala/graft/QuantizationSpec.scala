@@ -111,6 +111,26 @@ class QuantizationSpec extends SparkSpec {
     withCodes.unpersist(); coll.unpersist()
   }
 
+  test("ivf-pq: full probe + full candidates degenerates to exact flat; partial probe stays sane") {
+    val config = CollectionConfig("grid", 4, Metric.L2)
+    val coll = gridColl(config).cache()
+    val ivf = graft.ann.IvfIndex.IvfConfig(k = 4, iterations = 3)
+    val cents = graft.ann.IvfIndex.trainOrdered(coll, config, ivf, col("id"))
+    val cb = Pq.trainOrdered(coll, config, Pq.PqConfig(m = 2, k = 4, iterations = 3, sampleSize = 64), col("id"))
+    val prepared = graft.ann.IvfPq.prepare(coll, cents, cb).cache()
+    val q = Array(2.25f, 1.5f, 0.75f, 1.0f)
+    val exact = Search.flatSearch(coll, config, q, 10).collect().map(r => (r.getString(0), r.getDouble(2)))
+    val full = graft.ann.IvfPq.search(prepared, config, cents, cb, q, 10,
+      nprobe = 4, candidates = 64).collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(full.toSeq === exact.toSeq)
+    // partial probe returns k rows from the probed cells, exact-reranked
+    val partial = graft.ann.IvfPq.search(prepared, config, cents, cb, q, 5,
+      nprobe = 2, candidates = 16).collect()
+    assert(partial.length === 5)
+    assert(partial.map(_.getDouble(3)).toSeq === partial.map(_.getDouble(3)).sorted.toSeq)
+    prepared.unpersist(); coll.unpersist()
+  }
+
   test("sq8/pq reject dimension mismatches and bad configs") {
     val model = Sq8.Model(Array(0f, 0f), Array(1f, 1f))
     intercept[IllegalArgumentException] { Sq8.encodeVec(Array(1f), model) }
