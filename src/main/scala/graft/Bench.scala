@@ -360,10 +360,38 @@ object Bench {
     results("scale5x_flat_packed") = bench {
       Search.flatSearchPacked(scaleDf, config, q, 10).collect()
     }
+    // PQ codes-only table: the compressed serving layout — the ADC scan
+    // reads m bytes/row (vs 4*dims packed), rerank joins the 200
+    // surviving ids back against the packed table
+    val scalePqPath = "/tmp/graft_bench_scale_pq"
+    results("scale5x_pq_write") = time {
+      graft.ann.Pq.withCodes(
+        graft.prepare.Prepare.prepareEmbeddings(
+          spark.range(scaleN).select(
+            col("id").cast("string").as("id"),
+            col("id").cast("string").as("value"),
+            genUdf(col("id")).as("vector")), config), pqCb)
+        .select("id", "value", "pq_codes")
+        .write.mode("overwrite").parquet(scalePqPath)
+    }
+    val scalePq = spark.read.parquet(scalePqPath)
+    val scaleAdcTable = graft.ann.Pq.adcTable(pqCb, q, config.metric)
+    def scaleAdcCut(keep: Int): DataFrame = Search.topK(
+      scalePq.withColumn("rank",
+        -graft.functions.VectorFunctions.adcDistance(
+          col("pq_codes"), scaleAdcTable, pqCfg.k)), keep)
+    results("scale5x_pq_adc_topk") = bench { scaleAdcCut(10).collect() }
+    results("scale5x_pq_rerank_e2e") = bench {
+      Search.flatSearchPacked(
+        scaleDf.join(broadcast(scaleAdcCut(200).select("id")), "id"),
+        config, synthVector(-1L, dims), 10).collect()
+    }
     // stdout stays one JSON line; progress notes go to stderr
     System.err.println(f"[bench] scale5x: $scaleN rows, packed parquet " +
       f"search ${results("scale5x_flat_packed")}%.3f s = " +
-      f"${scaleN / results("scale5x_flat_packed") / 1e6}%.1f Mrows/s")
+      f"${scaleN / results("scale5x_flat_packed") / 1e6}%.1f Mrows/s, " +
+      f"pq adc ${results("scale5x_pq_adc_topk")}%.3f s = " +
+      f"${scaleN / results("scale5x_pq_adc_topk") / 1e6}%.1f Mrows/s")
     }
 
     // ----- family 2: every driver query once at the given SF
