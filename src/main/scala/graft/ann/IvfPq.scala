@@ -43,7 +43,7 @@ object IvfPq {
       if (df.columns.contains("ivf_cell") && df.columns.contains("pq_codes")) df
       else prepare(df, centroids, codebooks)
     val approx = adcDistance(col("pq_codes"), table, codebooks(0).length)
-    val cut = Search.topK(
+    val cut = Search.candidateCut(
       prepared.filter(col("ivf_cell").isin(cells: _*))
         .withColumn("rank", if (sim) -approx else approx), effCand)
       .drop("rank", "pq_codes", "ivf_cell")

@@ -121,7 +121,7 @@ object Pq {
     val table = adcTable(codebooks, q, config.metric)
     val approx = adcDistance(col(codesCol), table, codebooks(0).length)
     val rank = if (similarityLike(config.metric)) -approx else approx
-    val cut = Search.topK(
+    val cut = Search.candidateCut(
       withCodes(df, codebooks, codesCol).withColumn("rank", rank), effCand)
       .drop("rank", codesCol)
     Search.rerankExact(cut, config, q, limit)

@@ -143,7 +143,7 @@ object Sq8 {
     val table = adcTable(model, q, config.metric)
     val approx = adcDistance(col(codesCol), table, 256)
     val rank = if (similarityLike(config.metric)) -approx else approx
-    val cut = Search.topK(
+    val cut = Search.candidateCut(
       withCodes(df, model, codesCol).withColumn("rank", rank), effCand)
       .drop("rank", codesCol)
     Search.rerankExact(cut, config, q, limit)

@@ -50,6 +50,22 @@ object Search {
     // ingest validation) must never outrank a real score
     scored.orderBy(rank.asc_nulls_last, col("id").asc).limit(k)
 
+  /** Scale-safe INTERMEDIATE top-k. A mid-plan orderBy().limit(k) plans
+    * as a full range-partitioned sort of the whole corpus (only a
+    * terminal sort-limit becomes TakeOrderedAndProject) — a corpus-wide
+    * exchange that dwarfs the candidate cut it feeds at cluster scale.
+    * Here: sort each partition locally (no exchange), keep its first k
+    * rows (the per-partition record index in monotonically_increasing_id's
+    * low 33 bits — nondeterministic, so Catalyst cannot reorder the
+    * filter below the sort), then run the terminal-style global cut over
+    * the <= k * numPartitions survivors. The global (rank, id) top-k is
+    * a subset of the union of per-partition (rank, id) top-k's, so
+    * results are identical row-for-row. */
+  def candidateCut(df: DataFrame, k: Int, rank: Column = col("rank")): DataFrame =
+    topK(df.sortWithinPartitions(rank.asc_nulls_last, col("id").asc)
+      .filter(monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) < k),
+      k, rank)
+
   /** Final (score, distance) projection per SURVEY §2.8. */
   def projectResults(df: DataFrame, config: CollectionConfig): DataFrame = {
     val (score, dist) = resultValues(config.metric, col("raw"), config.score)
@@ -99,7 +115,7 @@ object Search {
     val raw =
       if (config.metric == Metric.Cosine) trueCosine(vPrefix, vecLit(qPrefix))
       else vecDistance(config.metric, vPrefix, vecLit(qPrefix))
-    topK(df.withColumn("raw", raw).withColumn("rank", rankCol(config.metric, col("raw"))),
+    candidateCut(df.withColumn("raw", raw).withColumn("rank", rankCol(config.metric, col("raw"))),
       keep).drop("raw", "rank")
   }
 
@@ -150,7 +166,7 @@ object Search {
       if (df.columns.contains("binary_vector"))
         coalesce(col("binary_vector"), packSignBits(col("vector")))
       else packSignBits(col("vector"))
-    topK(
+    candidateCut(
       df.withColumn("ham", packedHamming(stored, typedlit(qBits), config.dimensions)),
       keep, rank = col("ham")).drop("ham")
   }
@@ -197,7 +213,7 @@ object Search {
         effStages.foldLeft(df)((cur, d) => funnelStage(cur, config, q, d, effCand))
       case "quantized" => quantizedCandidates(df, config, q, effCand)
       case "search" | "flat" =>
-        topK(df.withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))
+        candidateCut(df.withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))
           .withColumn("rank", rankCol(config.metric, col("raw"))), effCand)
           .drop("raw", "rank")
       case g => throw new IllegalArgumentException(s"unknown generator $g")
