@@ -45,7 +45,8 @@ final class GraftDb(val spark: SparkSession) {
   def createCollection(name: String, dimensions: Int,
       metric: String = "cosine", normalize: Option[String] = None,
       score: String = "similarity", index: String = "flat"): Unit = {
-    require(Seq("flat", "hnsw", "lsh", "ivf").contains(index), s"unknown index $index")
+    require(Seq("flat", "hnsw", "lsh", "ivf", "sq8", "pq", "ivfpq").contains(index),
+      s"unknown index $index")
     require(!registry.contains(name), s"collection $name already exists")
     val config = CollectionConfig(name, dimensions, Metric.fromName(metric),
       normalize.map(Normalize.fromName), ScoreMode.fromName(score), index)
@@ -55,7 +56,11 @@ final class GraftDb(val spark: SparkSession) {
   }
 
   /** Idempotent release (reference close/1, collection.ex:360-374). */
-  def close(name: String): Unit = registry.remove(name).foreach(_._1.unpersist())
+  def close(name: String): Unit = {
+    registry.remove(name).foreach(_._1.unpersist())
+    hnswCache.remove(name); ivfCache.remove(name)
+    sq8Cache.remove(name); pqCache.remove(name)
+  }
   def deleteCollection(name: String): Unit = close(name)
   def listCollections(): Seq[String] = registry.keys.toSeq.sorted
 
@@ -80,6 +85,7 @@ final class GraftDb(val spark: SparkSession) {
     val next = Prepare.putMany(df, toDf(rows), config)
     registry.put(name, (next, config))
     hnswCache.remove(name); ivfCache.remove(name)
+    sq8Cache.remove(name); pqCache.remove(name)
   }
 
   def all(name: String): DataFrame = collection(name)._1
@@ -107,12 +113,14 @@ final class GraftDb(val spark: SparkSession) {
     val (df, config) = collection(name)
     registry.put(name, (Prepare.deleteIds(df, Seq(id)), config))
     hnswCache.remove(name); ivfCache.remove(name)
+    sq8Cache.remove(name); pqCache.remove(name)
   }
 
   // ------------------------------------------------------------- search
 
   /** Index-routed search: `flat` scans exactly; `hnsw` uses the parity
-    * graph; `lsh` / `ivf` use the distributed ANN candidate paths.
+    * graph; `lsh` / `ivf` / `sq8` / `pq` / `ivfpq` use the distributed
+    * ANN candidate paths (quantized variants rerank exactly).
     * Mirrors the reference's `index_mod.search` dispatch. */
   def search(name: String, query: Array[Float], limit: Int): DataFrame = {
     val (df, config) = collection(name)
@@ -139,6 +147,20 @@ final class GraftDb(val spark: SparkSession) {
         val cents = ivfCache.getOrElseUpdate(name,
           graft.ann.IvfIndex.train(df, config, ivfCfg))
         graft.ann.IvfIndex.search(df, config, cents, query, limit, ivfCfg.nprobe)
+      case "sq8" =>
+        val model = sq8Cache.getOrElseUpdate(name, graft.ann.Sq8.train(df))
+        graft.ann.Sq8.search(df, config, model, query, limit)
+      case "pq" =>
+        val cb = pqCache.getOrElseUpdate(name, graft.ann.Pq.trainOrdered(
+          df, config, pqConfigFor(config), col("id")))
+        graft.ann.Pq.search(df, config, cb, query, limit)
+      case "ivfpq" =>
+        val ivfCfg = graft.ann.IvfIndex.IvfConfig()
+        val cents = ivfCache.getOrElseUpdate(name,
+          graft.ann.IvfIndex.train(df, config, ivfCfg))
+        val cb = pqCache.getOrElseUpdate(name, graft.ann.Pq.trainOrdered(
+          df, config, pqConfigFor(config), col("id")))
+        graft.ann.IvfPq.search(df, config, cents, cb, query, limit, ivfCfg.nprobe)
       case other => throw new IllegalArgumentException(s"unknown index $other")
     }
   }
@@ -147,6 +169,12 @@ final class GraftDb(val spark: SparkSession) {
   // every write (rebuildable state, like the reference's rebuild-on-load)
   private val hnswCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.Hnsw]
   private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
+  private val sq8Cache = scala.collection.concurrent.TrieMap.empty[String, graft.ann.Sq8.Model]
+  private val pqCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]
+
+  /** Largest m <= 8 dividing the dimension (PQ needs m | dims). */
+  private def pqConfigFor(config: CollectionConfig): graft.ann.Pq.PqConfig =
+    graft.ann.Pq.PqConfig(m = (8 to 1 by -1).find(config.dimensions % _ == 0).get)
 
   /** Validate + normalize a query exactly like ingest — the reference's
     * prepare_query/2 (vettore.ex:314). */
@@ -223,6 +251,8 @@ final class GraftDb(val spark: SparkSession) {
   def loadSnapshot(path: String, overrides: Map[String, String] = Map.empty): String = {
     val (df, config) = CollectionStore.load(spark, path, overrides)
     registry.put(config.name, (df, config))
+    hnswCache.remove(config.name); ivfCache.remove(config.name)
+    sq8Cache.remove(config.name); pqCache.remove(config.name)
     config.name
   }
 }

@@ -70,23 +70,21 @@ class GraftDbSpec extends SparkSpec {
     assert(res.head.getDouble(2) === 2.0)
   }
 
-  test("index routing: hnsw, lsh and ivf collections agree with flat on top-1") {
+  test("index routing: hnsw, lsh, ivf, sq8, pq, ivfpq collections agree with flat on top-1") {
     val db = new GraftDb(spark)
     val vecs = (0 until 50).map(i =>
       db.EmbeddingInput(id = f"v$i%02d", vector = Array(
         math.cos(i * 0.13).toFloat, math.sin(i * 0.13).toFloat, (i % 5) / 4.0f)))
-    for (idx <- Seq("flat", "hnsw", "lsh", "ivf")) {
+    for (idx <- Seq("flat", "hnsw", "lsh", "ivf", "sq8", "pq", "ivfpq")) {
       db.createCollection(s"c_$idx", 3, metric = "cosine", index = idx)
       db.batch(s"c_$idx", vecs)
     }
     val q = Array(1.0f, 0.1f, 0.2f)
     val flatTop = db.search("c_flat", q, 5).collect().map(_.getString(0))
-    val hnswTop = db.search("c_hnsw", q, 5).collect().map(_.getString(0))
-    val lshTop = db.search("c_lsh", q, 5).collect().map(_.getString(0))
-    val ivfTop = db.search("c_ivf", q, 5).collect().map(_.getString(0))
-    assert(hnswTop.head === flatTop.head)
-    assert(lshTop.head === flatTop.head)
-    assert(ivfTop.head === flatTop.head)
+    for (idx <- Seq("hnsw", "lsh", "ivf", "sq8", "pq", "ivfpq")) {
+      val top = db.search(s"c_$idx", q, 5).collect().map(_.getString(0))
+      assert(top.head === flatTop.head, s"index $idx top-1 disagrees with flat")
+    }
     // write invalidates the ivf centroids (retrains on next search)
     db.batch("c_ivf", Seq(db.EmbeddingInput(id = "exactq", vector = q)))
     assert(db.search("c_ivf", q, 1).head.getString(0) === "exactq")
