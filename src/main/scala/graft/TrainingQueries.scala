@@ -292,6 +292,22 @@ object TrainingQueries {
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("cnt"), sum(col("k")).as("sum_k"))),
 
+    // as-of join: each purchase picks up the user's latest prior view —
+    // union + one keyed window pass (no range-join explosion); DuckDB's
+    // native ASOF JOIN is the oracle
+    "events_asof_join" -> ((s, dir) => {
+      val ev = events(s, dir) // ts read as raw Long nanos
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"), col("value"))
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("user_id"), col("ts").as("ts_ns"),
+          col("value").as("view_value"), col("event_id").as("view_event_id"))
+      EventStreams.asofJoin(purchases, views, "user_id", "ts_ns",
+        Seq("view_value", "view_event_id"))
+        // DuckDB timestamps are microseconds: emit micros for the compare
+        .withColumn("ts_us", expr("ts_ns div 1000")).drop("ts_ns")
+    }),
+
     // ---- relational / analytical (the 100 TB shapes: scan-agg,
     // broadcast star join, window top-k)
     "agg_pricing_summary" -> ((s, dir) => {
@@ -834,6 +850,14 @@ object TrainingQueries {
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,
            CAST(sum(CAST(regexp_extract(props, '"k":\\s*(\\d+)', 1) AS BIGINT)) AS BIGINT) AS sum_k
          FROM events GROUP BY event_type ORDER BY event_type""",
+
+    "events_asof_join" ->
+      s"""SELECT l.event_id, l.user_id, epoch_us(l.ts) AS ts_us, l.value,
+           r.value AS asof_view_value, r.event_id AS asof_view_event_id
+         FROM (SELECT * FROM events WHERE event_type = 'purchase') l
+         ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') r
+           ON l.user_id = r.user_id AND l.ts >= r.ts
+         ORDER BY l.event_id""",
 
     "agg_pricing_summary" ->
       s"""SELECT l_returnflag, l_linestatus,

@@ -39,6 +39,40 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
   }
 
+  /** Point-in-time (as-of) join: for each left row, attach `valueCols`
+    * from the LATEST right row of the same `key` with right ts <= left
+    * ts (inclusive), null when no prior right row exists — the feature/
+    * label-alignment join of training pipelines.
+    *
+    * Spark shape: tag the sides, union, ONE shuffle by key, and a single
+    * ordered window pass carrying the last non-null right payload
+    * forward (`last(..., ignoreNulls)` over unbounded-preceding rows).
+    * No range-join explosion, no per-row subquery — cost is a sort
+    * within each key partition, linear at any scale. Right rows sort
+    * before left rows at equal ts, making the match inclusive. Ties
+    * among right rows at identical (key, ts) resolve by `tieBreak`
+    * (append one for full determinism when such ties are possible). */
+  def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
+      valueCols: Seq[String], prefix: String = "asof_",
+      tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val lAligned = valueCols.foldLeft(left.withColumn("_side", lit(1)))((d, c) =>
+      d.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType)))
+    val rBase = right.select((Seq(col(key), col(ts)) ++ valueCols.map(col)): _*)
+      .withColumn("_side", lit(0))
+    val rRenamed = valueCols.foldLeft(rBase)((d, c) => d.withColumnRenamed(c, s"_r_$c"))
+    val rAligned = leftCols.filterNot(Seq(key, ts).contains).foldLeft(rRenamed)(
+      (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
+    val all = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    val w = Window.partitionBy(col(key))
+      .orderBy((Seq(col(ts).asc, col("_side").asc) ++ tieBreak.map(_.asc)): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = valueCols.foldLeft(all)((d, c) =>
+      d.withColumn(s"$prefix$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))
+    carried.filter(col("_side") === 1)
+      .select((leftCols.map(col) ++ valueCols.map(c => col(s"$prefix$c"))): _*)
+  }
+
   /** Gap-based sessionization: a new session starts when the nanosecond
     * gap to the user's previous event exceeds `gapSeconds`. One shuffle
     * on user_id. Returns one row per (user, session). */

@@ -156,6 +156,19 @@ class PipelineSpec extends SparkSpec {
     assert(out("reptoken")._3 === 1.0 && out("reptoken")._4 === false)
   }
 
+  test("asof join: latest prior right row per key, inclusive ties, null when none") {
+    import graft.streaming.EventStreams
+    val left = Seq((1L, 100L, "p1"), (1L, 50L, "p0"), (2L, 10L, "p2"))
+      .toDF("k", "t", "label")
+    val right = Seq((1L, 40L, 4.0), (1L, 100L, 10.0), (1L, 101L, 99.0), (3L, 5L, 3.0))
+      .toDF("k", "t", "v")
+    val out = EventStreams.asofJoin(left, right, "k", "t", Seq("v"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(out("p1") === Some(10.0)) // inclusive: right at t=100 matches left t=100
+    assert(out("p0") === Some(4.0))  // latest prior, not latest overall
+    assert(out("p2") === None)       // no right rows for key 2
+  }
+
   test("store roundtrip preserves rows and config; overrides whitelisted") {
     val config = CollectionConfig("c1", 2, Metric.Cosine)
     val coll = Prepare.prepareEmbeddings(
