@@ -88,10 +88,20 @@ object TrainingQueries {
         TextAnalysis.fracEllipsisLines(t).as("frac_ellipsis"),
         TextAnalysis.fracDuplicateLines(t).as("frac_dup_lines"),
         TextAnalysis.topTokenFrac(t).as("top_token_frac"),
+        TextAnalysis.topNgramFrac(t, 2).as("top_2gram_frac"),
         TextAnalysis.gopherKeep(t, minWords = 20).cast("int").as("keep")),
         Seq("mean_word_len", "frac_alpha", "frac_symbol", "frac_bullet",
-          "frac_ellipsis", "frac_dup_lines", "top_token_frac"))
+          "frac_ellipsis", "frac_dup_lines", "top_token_frac", "top_2gram_frac"))
     }),
+
+    // fixed-size token chunking with overlap (LLM-ingest shape)
+    "text_chunking" -> ((s, dir) =>
+      TextAnalysis.chunkTokens(
+        Tables.read(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text")), "text",
+        chunkSize = 40, overlap = 8)
+        .select(col("doc_id"), col("chunk_idx"),
+          md5(col("chunk")).as("chunk_md5"), col("n_chunk_tokens"))),
 
     "text_fingerprint" -> ((s, dir) =>
       Tables.read(s, dir, "documents").select(
@@ -707,6 +717,7 @@ object TrainingQueries {
            list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS ls,
            list_transform($tokensSql, t -> lower(t)) AS lt
          FROM documents),
+         t2 AS (SELECT doc_id, toks, ls, lt, ${shinglesSql(2)} AS sh2 FROM t),
          m AS (SELECT doc_id,
            len(toks) AS n_words,
            CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(toks) END AS mean_word_len,
@@ -715,8 +726,9 @@ object TrainingQueries {
            CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls) END AS frac_bullet,
            CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls) END AS frac_ellipsis,
            CASE WHEN len(ls) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS frac_dup_lines,
-           CASE WHEN len(lt) = 0 THEN 0.0 ELSE CAST(list_max(list_transform(list_distinct(lt), d -> len(list_filter(lt, x -> x = d)))) AS DOUBLE) / len(lt) END AS top_token_frac
-         FROM t)
+           CASE WHEN len(lt) = 0 THEN 0.0 ELSE CAST(list_max(list_transform(list_distinct(lt), d -> len(list_filter(lt, x -> x = d)))) AS DOUBLE) / len(lt) END AS top_token_frac,
+           CASE WHEN len(sh2) = 0 THEN 0.0 ELSE CAST(list_max(list_transform(list_distinct(sh2), d -> len(list_filter(sh2, x -> x = d)))) AS DOUBLE) / len(sh2) END AS top_2gram_frac
+         FROM t2)
          SELECT doc_id, n_words,
            (round(mean_word_len, 6) + 0) AS mean_word_len,
            (round(frac_alpha, 6) + 0) AS frac_alpha,
@@ -725,12 +737,23 @@ object TrainingQueries {
            (round(frac_ellipsis, 6) + 0) AS frac_ellipsis,
            (round(frac_dup_lines, 6) + 0) AS frac_dup_lines,
            (round(top_token_frac, 6) + 0) AS top_token_frac,
+           (round(top_2gram_frac, 6) + 0) AS top_2gram_frac,
            CAST(n_words >= 20 AND n_words <= 100000
              AND mean_word_len BETWEEN 3.0 AND 10.0
              AND frac_symbol <= 0.1 AND frac_bullet <= 0.9
              AND frac_ellipsis <= 0.3 AND frac_alpha >= 0.8
              AND frac_dup_lines <= 0.3 AND top_token_frac <= 0.2 AS INT) AS keep
          FROM m ORDER BY doc_id""",
+
+    "text_chunking" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id < 100),
+         c AS (SELECT doc_id, toks, greatest((len(toks) - 8 + 31) // 32, 1) AS nchunks FROM t),
+         e AS (SELECT doc_id, i.i AS chunk_idx,
+             array_to_string(toks[(i.i*32+1):(i.i*32+40)], ' ') AS chunk
+           FROM c, LATERAL (SELECT unnest(range(0, c.nchunks)) AS i) i)
+         SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, md5(chunk) AS chunk_md5,
+           CAST(len(string_split(chunk, ' ')) AS INT) AS n_chunk_tokens
+         FROM e ORDER BY doc_id, chunk_idx""",
 
     "text_fingerprint" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents)

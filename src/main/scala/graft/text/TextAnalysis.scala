@@ -129,6 +129,39 @@ object TextAnalysis {
         d => size(filter(lt, x => x === d)))).cast("double") / size(lt).cast("double"))
   }
 
+  /** Occurrence fraction of the most frequent word n-gram (Gopher's
+    * top-n-gram repetition signal, count-based) — 0 when no n-grams. */
+  def topNgramFrac(text: Column, n: Int): Column = {
+    val sh = shingles(text, n)
+    when(size(sh) === 0, lit(0.0)).otherwise(
+      array_max(transform(array_distinct(sh),
+        d => size(filter(sh, x => x === d)))).cast("double") / size(sh).cast("double"))
+  }
+
+  /** Fixed-size token chunks with overlap — the LLM-ingest shape (split
+    * every document into ~chunkSize-token windows advancing by
+    * chunkSize-overlap). Emits one row per chunk: the input columns plus
+    * (chunk_idx, chunk, n_chunk_tokens). Pure narrow projection +
+    * posexplode: no shuffle, scales with partitions. */
+  def chunkTokens(df: org.apache.spark.sql.DataFrame, textCol: String,
+      chunkSize: Int, overlap: Int): org.apache.spark.sql.DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val toks = tokens(col(textCol))
+    // exact integer chunk count: ceil((n - overlap) / stride), min 1
+    // (floor of a small-int double ratio is exact well below 2^53)
+    val nChunks = greatest(
+      floor((size(toks) - lit(overlap) + lit(stride - 1)) / lit(stride)).cast("int"),
+      lit(1))
+    val chunks = transform(sequence(lit(0), nChunks - 1),
+      i => concat_ws(" ", slice(toks, i * stride + 1, lit(chunkSize))))
+    df.withColumn("_chunks", chunks)
+      .select(col("*"), posexplode(col("_chunks")).as(Seq("chunk_idx", "chunk")))
+      .drop("_chunks")
+      .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")))
+  }
+
   /** The Gopher keep rule over the signals above (word-count window,
     * word-shape bounds, symbol/bullet/ellipsis caps, duplicate-line and
     * top-token repetition caps). Thresholds follow the published filter;
