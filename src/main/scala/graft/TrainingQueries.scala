@@ -269,6 +269,25 @@ object TrainingQueries {
         nprobe = 2, candidates = 50).drop("metadata"), Seq("score", "distance"))
     }),
 
+    // same pipeline over the cell-partitioned at-rest layout: the probe
+    // prunes whole directories (PartitionFilters), results identical
+    "ann_ivfpq_partitioned_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val order = col("id").cast("long")
+      val cents = IvfIndex.trainOrdered(coll, config,
+        IvfIndex.IvfConfig(k = 8, iterations = 3), order)
+      val cb = Pq.trainOrdered(coll, config,
+        Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256), order)
+      val path = "/tmp/graft_ivfpq_partitioned_gate"
+      graft.ann.IvfPq.writePartitioned(coll.drop("metadata"), cents, cb, path)
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(graft.ann.IvfPq.searchPartitioned(s, path, config, cents, cb,
+        q, 10, nprobe = 2, candidates = 50).drop("metadata"),
+        Seq("score", "distance"))
+    }),
+
     // ---- multimodal plumbing (deterministic stub codec)
     "mm_decode_meta" -> ((s, dir) => {
       val media = Multimodal.documentsAsMedia(
@@ -684,6 +703,7 @@ object TrainingQueries {
     "ann_sq8_topk" -> sq8Oracle,
     "ann_pq_topk" -> pqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
+    "ann_ivfpq_partitioned_topk" -> ivfPqOracle,
     "ann_lsh_topk" -> lshOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
 

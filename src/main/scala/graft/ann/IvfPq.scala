@@ -49,4 +49,23 @@ object IvfPq {
       .drop("rank", "pq_codes", "ivf_cell")
     Search.rerankExact(cut, config, q, limit)
   }
+
+  /** Write the prepared collection partitioned BY CELL: each IVF cell is
+    * its own directory, so a probe prunes whole files before any IO
+    * (PartitionFilters in the scan), and inside a cell the ADC scan
+    * reads only (id, value, pq_codes) until the rerank — the full
+    * at-rest IVF-PQ layout. */
+  def writePartitioned(df: DataFrame, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], path: String): Unit =
+    prepare(df, centroids, codebooks).write.mode("overwrite")
+      .partitionBy("ivf_cell").parquet(path)
+
+  /** Search the cell-partitioned layout: identical results to [[search]]
+    * over the same data (the probe filter becomes a partition filter). */
+  def searchPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
+      config: CollectionConfig, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], query: Array[Float], limit: Int,
+      nprobe: Int, candidates: Int = 0): DataFrame =
+    search(spark.read.parquet(path), config, centroids, codebooks, query,
+      limit, nprobe, candidates)
 }

@@ -37,6 +37,26 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters") && plan.contains("ivf_cell"))
   }
 
+  test("IVF-PQ partitioned storage: pruned ADC scan equals in-memory pipeline") {
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+    val order = col("id").cast("long")
+    val cents = IvfIndex.trainOrdered(coll, config, IvfIndex.IvfConfig(k = 8, iterations = 3), order)
+    val cb = graft.ann.Pq.trainOrdered(coll, config,
+      graft.ann.Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256), order)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq").toString
+    graft.ann.IvfPq.writePartitioned(coll.drop("metadata"), cents, cb, path)
+    val q = Tables.queryVector(spark, sfDir, 1L)
+    val inMem = graft.ann.IvfPq.search(coll, config, cents, cb, q, 10, nprobe = 2, candidates = 50)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    val onDisk = graft.ann.IvfPq.searchPartitioned(spark, path, config, cents, cb,
+      q, 10, nprobe = 2, candidates = 50)
+      .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(onDisk === inMem)
+  }
+
   test("salted aggregation is exact under skew") {
     val df = (Seq.fill(5000)("hot") ++ (1 to 100).map(i => s"k$i"))
       .zipWithIndex.map { case (k, i) => (k, i.toDouble) }.toDF("key", "v")
