@@ -136,4 +136,37 @@ class StatefulStreamingSpec extends SparkSpec {
       assert(!out.getOrElse("b", false)) // near-identical vector collides
     } finally q.stop()
   }
+
+  test("streaming quantized ingest: sq8/pq/cell columns are stateless projections") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // models trained offline on a static batch, applied to the stream
+    val trainRows = (0 until 64).map(i => (i.toString, Seq.tabulate(4)(d => (i * (d + 1)).toFloat)))
+    val static = trainRows.toDF("id", "vector")
+    val model = graft.ann.Sq8.train(static)
+    val config = graft.core.CollectionConfig("s", 4, graft.core.Metric.L2)
+    val cb = graft.ann.Pq.trainOrdered(static, config,
+      graft.ann.Pq.PqConfig(m = 2, k = 4, iterations = 2, sampleSize = 64), col("id"))
+    val cents = graft.ann.IvfIndex.trainOrdered(static, config,
+      graft.ann.IvfIndex.IvfConfig(k = 4, iterations = 2), col("id"))
+    val input = MemoryStream[(String, Seq[Float])]
+    val enc = graft.ann.IvfIndex.withCells(
+      graft.ann.Pq.withCodes(
+        graft.ann.Sq8.withCodes(input.toDF().toDF("id", "vector"), model), cb), cents)
+    val q = enc.writeStream.format("memory").queryName("quant_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(("x", Seq(1f, 2f, 3f, 4f)), ("y", Seq(60f, 120f, 180f, 240f)))
+      q.processAllAvailable()
+      val rows = spark.table("quant_stream_out").collect()
+      assert(rows.length === 2)
+      rows.foreach { r =>
+        val v = r.getSeq[Float](r.fieldIndex("vector")).toArray
+        assert(r.getAs[Array[Byte]]("sq8_codes").toSeq === graft.ann.Sq8.encodeVec(v, model).toSeq)
+        assert(r.getAs[Array[Byte]]("pq_codes").toSeq === graft.ann.Pq.encodeVec(v, cb).toSeq)
+        assert(r.getAs[Int]("ivf_cell") === graft.ann.IvfIndex.nearestCentroid(v, cents))
+      }
+    } finally q.stop()
+  }
 }
