@@ -94,6 +94,17 @@ object TrainingQueries {
           "frac_ellipsis", "frac_dup_lines", "top_token_frac", "top_2gram_frac"))
     }),
 
+    // deterministic hash-based train/val/test split + fractional sample
+    // (md5-derived buckets: stable across runs, engines, cluster sizes)
+    "data_split" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents").select(col("doc_id"))
+      graft.functions.Sampling.deterministicSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "graft")
+        .withColumn("bucket",
+          graft.functions.Sampling.hashBucket(col("doc_id"), 1000, "graft"))
+        .withColumn("in_sample", (col("bucket") < 250).cast("int"))
+    }),
+
     // fixed-size token chunking with overlap (LLM-ingest shape)
     "text_chunking" -> ((s, dir) =>
       TextAnalysis.chunkTokens(
@@ -764,6 +775,15 @@ object TrainingQueries {
              AND frac_ellipsis <= 0.3 AND frac_alpha >= 0.8
              AND frac_dup_lines <= 0.3 AND top_token_frac <= 0.2 AS INT) AS keep
          FROM m ORDER BY doc_id""",
+
+    "data_split" ->
+      s"""WITH b AS (SELECT doc_id,
+           CAST(('0x' || substr(md5('graft' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS INT) AS bucket
+         FROM documents)
+         SELECT doc_id,
+           CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
+           bucket, CAST(bucket < 250 AS INT) AS in_sample
+         FROM b ORDER BY doc_id""",
 
     "text_chunking" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id < 100),

@@ -169,6 +169,30 @@ class PipelineSpec extends SparkSpec {
     assert(out("p2") === None)       // no right rows for key 2
   }
 
+  test("deterministic split: total partition, stable assignment, ~right fractions") {
+    import graft.functions.Sampling
+    val df = (0 until 2000).map(_.toString).toDF("id")
+    val split = Sampling.deterministicSplit(df, "id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05)).cache()
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 2000) // every row in exactly one split
+    assert(counts("train") > 1700 && counts("train") < 1900)
+    assert(counts("val") > 50 && counts("test") > 50)
+    // same ids land in the same split on a differently-ordered rerun
+    val again = Sampling.deterministicSplit(
+      df.orderBy(rand(7)).repartition(7), "id",
+      Seq("train" -> 0.9, "val" -> 0.05, "test" -> 0.05))
+    assert(split.join(again.withColumnRenamed("split", "split2"), "id")
+      .filter(col("split") =!= col("split2")).count() === 0)
+    // sampleByHash is a subset-consistent filter: sample(0.5) ⊆ sample(0.8)
+    val s5 = Sampling.sampleByHash(df, "id", 0.5).select("id")
+    val s8 = Sampling.sampleByHash(df, "id", 0.8).select("id")
+    assert(s5.except(s8).count() === 0)
+    assert(math.abs(s5.count() - 1000L) < 100)
+    split.unpersist()
+  }
+
   test("store roundtrip preserves rows and config; overrides whitelisted") {
     val config = CollectionConfig("c1", 2, Metric.Cosine)
     val coll = Prepare.prepareEmbeddings(
