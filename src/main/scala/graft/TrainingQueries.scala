@@ -280,6 +280,22 @@ object TrainingQueries {
         nprobe = 2, candidates = 50).drop("metadata"), Seq("score", "distance"))
     }),
 
+    // FAISS-style residual IVF-PQ: codes quantize v - centroid[cell];
+    // each probed cell scores against its own query-residual ADC table
+    "ann_ivfpq_residual_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val order = col("id").cast("long")
+      val cents = IvfIndex.trainOrdered(coll, config,
+        IvfIndex.IvfConfig(k = 8, iterations = 3), order)
+      val cb = graft.ann.IvfPq.trainResidual(coll, config, cents,
+        Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256), order)
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(graft.ann.IvfPq.searchResidual(coll, config, cents, cb, q, 10,
+        nprobe = 2, candidates = 50).drop("metadata"), Seq("score", "distance"))
+    }),
+
     // same pipeline over the cell-partitioned at-rest layout: the probe
     // prunes whole directories (PartitionFilters), results identical
     "ann_ivfpq_partitioned_topk" -> ((s, dir) => {
@@ -610,9 +626,11 @@ object TrainingQueries {
     s"(list_position(list_transform(range(1, 9), k -> ${kmL2(vv, s"$cc[k]")}), list_min(list_transform(range(1, 9), k -> ${kmL2(vv, s"$cc[k]")}))) - 1)"
 
   /** PQ per-subspace Lloyd's as FOUR parallel rows of one recursive CTE
-    * (state keyed by `sub`, laterals correlated on `km.sub`). Expects a
-    * CTE `n(id, vec_id, v)` in scope; yields CTEs through `cb(sub, c)`. */
-  private val pqKmeansCtes = {
+    * (state keyed by `sub`, laterals correlated on `km.sub`). Samples
+    * `src(vec_id, v)`; yields CTEs through `cb(sub, c)`. Hot inputs are
+    * MATERIALIZED — DuckDB inlines CTEs by default, and each k-means
+    * lateral would otherwise recompute the whole upstream chain. */
+  private def pqKmeansCtes(src: String) = {
     val laterals = (0 until 8).map(k =>
       s"LATERAL (SELECT count(*) AS cn, list(s.sv ORDER BY s.pos) AS ml" +
       s" FROM ss s, (SELECT km.c AS cc, km.sub AS sj) t" +
@@ -623,9 +641,9 @@ object TrainingQueries {
       THEN (SELECT s2.sv FROM ss s2, (SELECT km.sub AS sj2) t2 WHERE s2.sub = t2.sj2 AND s2.pos = (($k * 7919) % (SELECT cnt FROM meta)) + 1)
       ELSE list_transform(range(0, len(m$k.ml[1])), d -> CAST(list_sum(list_transform(m$k.ml, m -> CAST(m[d+1] AS DOUBLE))) / m$k.cn AS FLOAT))
       END""").mkString(",\n      ")
-    s"""sample AS (SELECT v, pos FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS pos FROM n) WHERE pos <= 256),
+    s"""sample AS MATERIALIZED (SELECT v, pos FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS pos FROM $src) WHERE pos <= 256),
        meta AS (SELECT count(*)::BIGINT AS cnt FROM sample),
-       ss AS (SELECT sub.s AS sub, s.pos,
+       ss AS MATERIALIZED (SELECT sub.s AS sub, s.pos,
               s.v[(sub.s*(len(s.v)//4)+1):((sub.s+1)*(len(s.v)//4))] AS sv
             FROM sample s, (SELECT unnest(range(0,4)) AS s) sub),
        init AS (SELECT ss.sub, list(ss.sv ORDER BY i.i) AS c
@@ -663,8 +681,8 @@ object TrainingQueries {
     * end-to-end — mirrors Pq.trainOrdered / Pq.adcTable exactly. */
   private val pqOracle =
     s"""WITH RECURSIVE
-       n AS (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, embedding AS v FROM embeddings),
-       $pqKmeansCtes,
+       n AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, embedding AS v FROM embeddings),
+       ${pqKmeansCtes("n")},
        q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
        ${pqAdcTail("n")}"""
 
@@ -673,7 +691,10 @@ object TrainingQueries {
     * nearest cells, then the PQ ADC + rerank tail runs inside the
     * surviving cells only. Both k-means run as recursive CTEs in ONE
     * query, so cells, probe set, codes, and candidates all replicate. */
-  private val ivfPqOracle = {
+  /** Coarse-quantizer CTE block: raw vectors `n` -> `icb(c)` (k=8,
+    * 3 iterations, id-ordered 10000-sample — mirrors
+    * IvfIndex.trainOrdered). */
+  private val ivfKmeansCtes = {
     val ivfLaterals = (0 until 8).map(k =>
       s"LATERAL (SELECT count(*) AS cn, list(s.v ORDER BY s.pos) AS ml" +
       s" FROM ivfsample s, (SELECT ivfkm.c AS cc) t WHERE ${kmAssign("s.v", "t.cc")} = $k) iv$k")
@@ -683,9 +704,7 @@ object TrainingQueries {
       THEN (SELECT s2.v FROM ivfsample s2 WHERE s2.pos = (($k * 7919) % (SELECT cnt FROM ivfmeta)) + 1)
       ELSE list_transform(range(0, len(iv$k.ml[1])), d -> CAST(list_sum(list_transform(iv$k.ml, m -> CAST(m[d+1] AS DOUBLE))) / iv$k.cn AS FLOAT))
       END""").mkString(",\n      ")
-    s"""WITH RECURSIVE
-       n AS (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, embedding AS v FROM embeddings),
-       ivfsample AS (SELECT v, pos FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS pos FROM n) WHERE pos <= 10000),
+    s"""ivfsample AS MATERIALIZED (SELECT v, pos FROM (SELECT v, row_number() OVER (ORDER BY vec_id) AS pos FROM n) WHERE pos <= 10000),
        ivfmeta AS (SELECT count(*)::BIGINT AS cnt FROM ivfsample),
        ivfinit AS (SELECT list(s.v ORDER BY i.i) AS c
             FROM (SELECT unnest(range(0,8)) AS i) i
@@ -697,14 +716,54 @@ object TrainingQueries {
          FROM ivfkm,
            $ivfLaterals
          WHERE ivfkm.it < 3),
-       icb AS (SELECT c FROM ivfkm WHERE it = 3),
-       $pqKmeansCtes,
+       icb AS MATERIALIZED (SELECT c FROM ivfkm WHERE it = 3)"""
+  }
+
+  private val ivfPqOracle =
+    s"""WITH RECURSIVE
+       n AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, embedding AS v FROM embeddings),
+       $ivfKmeansCtes,
+       ${pqKmeansCtes("n")},
        q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
        probes AS (SELECT k - 1 AS cell FROM (SELECT unnest(range(1, 9)) AS k), icb, q
          ORDER BY ${kmL2("qraw", "icb.c[k]")} ASC, k ASC LIMIT 2),
        incell AS (SELECT n.id, n.v FROM n, icb
          WHERE ${kmAssign("n.v", "icb.c")} IN (SELECT cell FROM probes)),
        ${pqAdcTail("incell")}"""
+
+  /** FAISS-style residual IVF-PQ: cells from the coarse quantizer, PQ
+    * codebooks trained on (v - centroid[cell]) residuals, each probed
+    * cell scored against its own query-residual ADC table — mirrors
+    * IvfPq.trainResidual / searchResidual exactly. */
+  private val ivfPqResidualOracle = {
+    val resSlice = "r.res[(qs.sub*(len(r.res)//4)+1):((qs.sub+1)*(len(r.res)//4))]"
+    s"""WITH RECURSIVE
+       n AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, embedding AS v FROM embeddings),
+       $ivfKmeansCtes,
+       ncell AS MATERIALIZED (SELECT n.id, n.vec_id, n.v, icb.c AS allc, ${kmAssign("n.v", "icb.c")} AS cell FROM n, icb),
+       nres AS MATERIALIZED (SELECT id, vec_id, cell,
+           list_transform(range(0, len(v)), i -> CAST(v[i+1] - allc[cell+1][i+1] AS FLOAT)) AS v
+         FROM ncell),
+       ${pqKmeansCtes("nres")},
+       q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+       probes AS (SELECT k - 1 AS cell FROM (SELECT unnest(range(1, 9)) AS k), icb, q
+         ORDER BY ${kmL2("qraw", "icb.c[k]")} ASC, k ASC LIMIT 2),
+       qres AS (SELECT p.cell,
+           list_transform(range(0, len(q.qraw)), i -> CAST(q.qraw[i+1] - t.cc[i+1] AS FLOAT)) AS qr
+         FROM probes p, q, icb, LATERAL (SELECT icb.c[p.cell+1] AS cc) t),
+       qs AS (SELECT qres.cell, cb.sub,
+           qres.qr[(cb.sub*(len(qres.qr)//4)+1):((cb.sub+1)*(len(qres.qr)//4))] AS qsv, cb.c
+         FROM qres, cb),
+       rows0 AS (SELECT id, cell, v AS res FROM nres WHERE cell IN (SELECT cell FROM probes)),
+       rowsub AS (SELECT r.id, qs.sub, qs.qsv, qs.c,
+           ${kmAssign(resSlice, "qs.c")} AS code
+         FROM rows0 r JOIN qs ON qs.cell = r.cell),
+       adc AS (SELECT r.id, list_sum(list(${kmL2("r.qsv", "r.c[r.code+1]")} ORDER BY r.sub)) AS approx
+          FROM rowsub r GROUP BY r.id),
+       cand AS (SELECT a.id, n.v FROM adc a JOIN n ON n.id = a.id ORDER BY a.approx ASC, a.id ASC LIMIT 50),
+       fin AS (SELECT id, sqrt(${kmL2("v", "qraw")}) AS raw FROM cand, q)
+       SELECT id, id AS value, (round(-raw,6)+0) AS score, (round(raw,6)+0) AS distance, 'l2' AS metric
+       FROM fin ORDER BY raw ASC, id ASC LIMIT 10"""
   }
 
   def oracleSql: Map[String, String] = Map(
@@ -715,6 +774,7 @@ object TrainingQueries {
     "ann_pq_topk" -> pqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
     "ann_ivfpq_partitioned_topk" -> ivfPqOracle,
+    "ann_ivfpq_residual_topk" -> ivfPqResidualOracle,
     "ann_lsh_topk" -> lshOracle,
     "dedup_embedding_lsh" -> embeddingLshOracle,
 

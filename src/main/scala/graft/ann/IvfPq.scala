@@ -50,6 +50,85 @@ object IvfPq {
     Search.rerankExact(cut, config, q, limit)
   }
 
+  // ------------------------------------------------- residual encoding
+  //
+  // FAISS-style IVFPQ: codes quantize the RESIDUAL v - centroid[cell]
+  // rather than v itself. Residual norms are much smaller than vector
+  // norms, so the same code budget spends its resolution where it
+  // matters; for L2, ||q - (centroid + recon)||^2 = ||qres - recon||^2
+  // with qres = q - centroid, so ADC works per probed cell with a
+  // cell-specific query residual table.
+
+  /** Residual in f32 (element-wise subtract, mirrored by the oracle). */
+  def residualVec(v: Array[Float], centroid: Array[Float]): Array[Float] = {
+    val out = new Array[Float](v.length)
+    var i = 0
+    while (i < v.length) { out(i) = v(i) - centroid(i); i += 1 }
+    out
+  }
+
+  /** Train PQ codebooks on the residuals of an id-ordered sample
+    * (replicable by an external oracle, like the non-residual paths). */
+  def trainResidual(df: DataFrame, config: CollectionConfig,
+      centroids: Array[Array[Float]], pq: Pq.PqConfig,
+      order: org.apache.spark.sql.Column): Array[Array[Array[Float]]] = {
+    require(config.dimensions % pq.m == 0,
+      s"dims ${config.dimensions} not divisible by m=${pq.m}")
+    val sub = config.dimensions / pq.m
+    val sample = df.orderBy(order).select("vector")
+      .limit(pq.sampleSize).collect().map(_.getSeq[Float](0).toArray)
+      .map(v => residualVec(v, centroids(IvfIndex.nearestCentroid(v, centroids))))
+    Array.tabulate(pq.m) { j =>
+      IvfIndex.lloydKMeans(sample.map(r =>
+        java.util.Arrays.copyOfRange(r, j * sub, (j + 1) * sub)), sub, pq.k, pq.iterations)
+    }
+  }
+
+  /** Cell + residual-code columns in one pass. */
+  def withResidualCodes(df: DataFrame, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]]): DataFrame =
+    if (df.columns.contains("ivf_cell") && df.columns.contains("pq_codes")) df
+    else {
+      val cents = centroids
+      val cb = codebooks
+      val f = udf((v: Seq[Float]) => {
+        val arr = v.toArray
+        val cell = IvfIndex.nearestCentroid(arr, cents)
+        (cell, Pq.encodeVec(residualVec(arr, cents(cell)), cb))
+      })
+      df.withColumn("_cc", f(col("vector")))
+        .withColumn("ivf_cell", col("_cc._1"))
+        .withColumn("pq_codes", col("_cc._2"))
+        .drop("_cc")
+    }
+
+  /** Residual-encoded search: each probed cell scores its rows against
+    * its own query-residual ADC table (a per-cell scan branch — nprobe
+    * branches unioned, each pruning to one cell), then one candidate
+    * cut + exact rerank. L2-family metrics only (the residual identity
+    * is an L2 decomposition). */
+  def searchResidual(df: DataFrame, config: CollectionConfig,
+      centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]],
+      query: Array[Float], limit: Int, nprobe: Int,
+      candidates: Int = 0): DataFrame = {
+    require(limit > 0, "limit must be positive")
+    require(config.metric == Metric.L2 || config.metric == Metric.L2Squared,
+      s"residual IVF-PQ supports l2/l2_squared, not ${config.metric.name}")
+    val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
+    val q = Search.prepareQuery(config, query)
+    val cells = IvfIndex.probeCells(q, centroids, nprobe)
+    val prepared = withResidualCodes(df, centroids, codebooks)
+    val k = codebooks(0).length
+    val branches = cells.map { c =>
+      val table = Pq.adcTable(codebooks, residualVec(q, centroids(c)), Metric.L2Squared)
+      prepared.filter(col("ivf_cell") === c)
+        .withColumn("rank", adcDistance(col("pq_codes"), table, k))
+    }
+    val cut = Search.candidateCut(branches.reduce(_ unionByName _), effCand)
+      .drop("rank", "pq_codes", "ivf_cell")
+    Search.rerankExact(cut, config, q, limit)
+  }
+
   /** Write the prepared collection partitioned BY CELL: each IVF cell is
     * its own directory, so a probe prunes whole files before any IO
     * (PartitionFilters in the scan), and inside a cell the ADC scan
