@@ -324,6 +324,25 @@ object Bench {
       quality("emb_overlap10_pq") = eOverlap(dfIds(graft.ann.Pq.search(
         graft.ann.Pq.withCodes(ecoll, ePq), econfig, ePq, eq, 10,
         candidates = math.min(en, 50))))
+      // residual vs raw-vector codes at the same budget (l2 collection)
+      val el2 = Tables.l2Config(ed)
+      val el2coll = Tables.embeddingsCollection(spark, sfDir, el2)
+        .select("id", "value", "vector").persist()
+      val eql2 = Search.prepareQuery(el2, Tables.queryVector(spark, sfDir, 0L))
+      val el2Exact = dfIds(Search.flatSearch(el2coll, el2, eql2, 10)).toSet
+      val pqCfgR = graft.ann.Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256)
+      val eCentsL2 = graft.ann.IvfIndex.trainOrdered(el2coll, el2,
+        graft.ann.IvfIndex.IvfConfig(k = 8, iterations = 3), col("id").cast("long"))
+      val eResCb = graft.ann.IvfPq.trainResidual(el2coll, el2, eCentsL2, pqCfgR, col("id").cast("long"))
+      val eRawCb = graft.ann.Pq.trainOrdered(el2coll, el2, pqCfgR, col("id").cast("long"))
+      def el2Overlap(ids: Iterable[String]): Double =
+        if (el2Exact.isEmpty) 1.0
+        else el2Exact.intersect(ids.toSet).size.toDouble / el2Exact.size
+      quality("emb_overlap10_ivfpq_raw") = el2Overlap(dfIds(graft.ann.IvfPq.search(
+        el2coll, el2, eCentsL2, eRawCb, eql2, 10, nprobe = 4, candidates = math.min(en, 50))))
+      quality("emb_overlap10_ivfpq_residual") = el2Overlap(dfIds(graft.ann.IvfPq.searchResidual(
+        el2coll, el2, eCentsL2, eResCb, eql2, 10, nprobe = 4, candidates = math.min(en, 50))))
+      el2coll.unpersist(blocking = true)
       val ehg = graft.index.Hnsw.build(ecoll, econfig)
       quality("emb_overlap10_hnsw") =
         eOverlap(ehg.search(eq, 10).map(_._1))

@@ -14,8 +14,8 @@ object Explain {
     spark.sparkContext.setLogLevel("ERROR")
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("vec_flat_cosine_topk", "vec_flat_packed_topk", "vec_funnel_topk",
-        "vec_search_many", "agg_pricing_summary", "join_revenue_by_nation",
-        "dedup_minhash_pairs")
+        "vec_search_many", "ann_sq8_topk", "ann_ivfpq_topk",
+        "agg_pricing_summary", "join_revenue_by_nation", "dedup_minhash_pairs")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
