@@ -100,6 +100,17 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 3, "vec_binary_distance(metric, packed, q)")
         BinaryVectorDistance(args(1), args(2), metricCodeOf(args(0)))
+      })),
+    "vec_adc_distance" -> ((
+      info("vec_adc_distance", "vec_adc_distance(codes, table, stride) - ADC lookup sum over byte codes: sum_i table[i*stride + codes[i]] (SQ8 stride 256, PQ stride k)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "vec_adc_distance(codes, table, stride)")
+        val stride = args(2) match {
+          case org.apache.spark.sql.catalyst.expressions.Literal(v, _) => v.toString.toInt
+          case other => throw new IllegalArgumentException(
+            s"stride must be an integer literal, got $other")
+        }
+        AdcDistance(args(0), args(1), stride)
       })))
 
   /** Programmatic registration on an existing session. */

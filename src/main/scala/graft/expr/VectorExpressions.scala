@@ -272,26 +272,48 @@ case class MaxSim(left: Expression, right: Expression, metricCode: Int)
 }
 
 /** Asymmetric-distance (ADC) scoring of a quantized byte-code column
-  * against a driver-precomputed partial-distance table (position-major:
+  * against a partial-distance table (position-major:
   * `table[pos * stride + code]`). Covers SQ8 (stride 256, one code per
-  * dimension) and PQ (stride k, one code per subspace). The table is a
-  * per-query constant shipped as a codegen reference object, so the scan
-  * stays in whole-stage codegen with zero per-row allocation. */
-case class AdcDistance(child: Expression, table: Array[Double], stride: Int)
-    extends UnaryExpression {
+  * dimension) and PQ (stride k, one code per subspace). The usual table
+  * side is a per-query constant (a foldable array) extracted once into
+  * a codegen reference object, so the scan stays in whole-stage codegen
+  * with zero per-row allocation; a non-foldable table column also works
+  * (per-row extraction). */
+case class AdcDistance(left: Expression, right: Expression, stride: Int)
+    extends BinaryExpression {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "adc_distance"
 
-  override protected def nullSafeEval(codes: Any): Any =
-    VectorKernels.adcLookup(codes.asInstanceOf[Array[Byte]], table, stride)
+  @transient private lazy val tableConst: Array[Double] =
+    if (right.foldable) {
+      val v = right.eval(InternalRow.empty)
+      if (v == null) null else v.asInstanceOf[ArrayData].toDoubleArray()
+    } else null
 
-  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
-    val ref = ctx.addReferenceObj("adcTable", table, "double[]")
-    nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expr.VectorKernels.adcLookup($c, $ref, $stride);")
-  }
+  override protected def nullSafeEval(codes: Any, table: Any): Any =
+    if (tableConst != null)
+      VectorKernels.adcLookup(codes.asInstanceOf[Array[Byte]], tableConst, stride)
+    else
+      VectorKernels.adcLookup(codes.asInstanceOf[Array[Byte]],
+        table.asInstanceOf[ArrayData].toDoubleArray(), stride)
 
-  override protected def withNewChildInternal(c: Expression): AdcDistance =
-    copy(child = c)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (tableConst != null) {
+      val ref = ctx.addReferenceObj("adcTable", tableConst, "double[]")
+      val leftGen = left.genCode(ctx)
+      ev.copy(code = code"""
+        ${leftGen.code}
+        boolean ${ev.isNull} = ${leftGen.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.expr.VectorKernels.adcLookup(${leftGen.value}, $ref, $stride);
+        }""")
+    } else {
+      nullSafeCodeGen(ctx, ev, (c, t) =>
+        s"${ev.value} = graft.expr.VectorKernels.adcLookup($c, $t.toDoubleArray(), $stride);")
+    }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDistance =
+    copy(left = l, right = r)
 }

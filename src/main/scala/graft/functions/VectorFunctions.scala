@@ -117,7 +117,7 @@ object VectorFunctions {
   /** ADC score of a quantized byte-code column against a per-query
     * partial-distance table (position-major, `table(pos*stride+code)`). */
   def adcDistance(codes: Column, table: Array[Double], stride: Int): Column =
-    col2(graft.expr.AdcDistance(expr0(codes), table, stride))
+    col2(graft.expr.AdcDistance(expr0(codes), expr0(typedlit(table)), stride))
 
   /** A f32 vector literal. */
   def vecLit(v: Array[Float]): Column = typedlit(v)

@@ -53,5 +53,11 @@ class SqlSurfaceSpec extends SparkSpec {
         vec_pack_f32(vector), vector) AS selfdot
       FROM vecs ORDER BY id""").collect()
     assert(bdCol.map(_.getDouble(1)).toSeq === Seq(1.0, 1.0, 1.0))
+
+    // ADC lookup: codes X'0001' with stride 2 -> table[0*2+0] + table[1*2+1]
+    val adc = spark.sql("""
+      SELECT vec_adc_distance(X'0001', array(10.0D, 20.0D, 30.0D, 40.0D), 2)""")
+      .head().getDouble(0)
+    assert(adc === 50.0)
   }
 }
