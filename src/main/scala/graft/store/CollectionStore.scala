@@ -96,3 +96,22 @@ object CollectionStore {
     (df, config)
   }
 }
+
+/** Bucketed at-rest layout: rows hash-clustered and sorted by a key at
+  * write time, so joins and aggregations ON THAT KEY are co-located —
+  * Catalyst plans a SortMergeJoin with NO shuffle exchange on either
+  * side. This is the 100 TB answer to repeated large-large joins
+  * (e.g. chunk embeddings joined back to documents by doc id): pay the
+  * cluster-by once at ingest, never at query time.
+  */
+object Bucketing {
+
+  /** Write `df` as a managed parquet table bucketed+sorted by `key`.
+    * Both sides of a future join must use the same bucket count. */
+  def writeBucketed(df: org.apache.spark.sql.DataFrame, table: String,
+      buckets: Int, key: String): Unit = {
+    require(buckets > 0, "buckets must be positive")
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
+  }
+}

@@ -57,6 +57,38 @@ class ScaleSpec extends SparkSpec {
     assert(onDisk === inMem)
   }
 
+  test("bucketed tables: co-located join plans with no shuffle exchange") {
+    import graft.store.Bucketing
+    val left = (0 until 500).map(i => (i.toString, i * 2)).toDF("id", "a")
+    val right = (0 until 500).map(i => (i.toString, i * 3)).toDF("id", "b")
+    Bucketing.writeBucketed(left, "bkt_left", 4, "id")
+    Bucketing.writeBucketed(right, "bkt_right", 4, "id")
+    try {
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "id")
+      withSQLConf("spark.sql.autoBroadcastJoinThreshold" -> "-1") {
+        val plan = joined.queryExecution.executedPlan.toString
+        assert(plan.contains("SortMergeJoin"))
+        assert(!plan.contains("Exchange hashpartitioning"),
+          s"bucketed join must not shuffle:\n$plan")
+      }
+      assert(joined.count() === 500)
+      assert(joined.filter(col("id") === "7").select("a", "b").head() ===
+        org.apache.spark.sql.Row(14, 21))
+    } finally {
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
+  private def withSQLConf(kv: (String, String)*)(f: => Unit): Unit = {
+    val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
+
   test("salted aggregation is exact under skew") {
     val df = (Seq.fill(5000)("hot") ++ (1 to 100).map(i => s"k$i"))
       .zipWithIndex.map { case (k, i) => (k, i.toDouble) }.toDF("key", "v")
