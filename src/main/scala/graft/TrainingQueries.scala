@@ -105,6 +105,19 @@ object TrainingQueries {
         .withColumn("in_sample", (col("bucket") < 250).cast("int"))
     }),
 
+    // chunk-level cross-document dedup: repeated chunks (boilerplate)
+    // surface as md5 groups spanning docs — chunking + dedup composed
+    "chunk_dedup" -> ((s, dir) => {
+      val chunks = TextAnalysis.chunkTokens(
+        Tables.read(s, dir, "documents")
+          .select(col("doc_id"), col("text")), "text",
+        chunkSize = 20, overlap = 0)
+      chunks.groupBy(md5(col("chunk")).as("chunk_md5"))
+        .agg(countDistinct(col("doc_id")).as("n_docs"),
+          count(lit(1)).as("n_occurrences"))
+        .filter(col("n_occurrences") > 1)
+    }),
+
     // fixed-size token chunking with overlap (LLM-ingest shape)
     "text_chunking" -> ((s, dir) =>
       TextAnalysis.chunkTokens(
@@ -844,6 +857,15 @@ object TrainingQueries {
            CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
            bucket, CAST(bucket < 250 AS INT) AS in_sample
          FROM b ORDER BY doc_id""",
+
+    "chunk_dedup" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         c AS (SELECT doc_id, toks, greatest((len(toks) + 19) // 20, 1) AS nchunks FROM t),
+         e AS (SELECT doc_id, md5(array_to_string(toks[(i.i*20+1):(i.i*20+20)], ' ')) AS chunk_md5
+           FROM c, LATERAL (SELECT unnest(range(0, c.nchunks)) AS i) i)
+         SELECT chunk_md5, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(count(*) AS BIGINT) AS n_occurrences
+         FROM e GROUP BY chunk_md5 HAVING count(*) > 1 ORDER BY chunk_md5""",
 
     "text_chunking" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id < 100),
