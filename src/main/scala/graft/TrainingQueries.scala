@@ -105,6 +105,13 @@ object TrainingQueries {
         .withColumn("in_sample", (col("bucket") < 250).cast("int"))
     }),
 
+    // distributed zipWithIndex: contiguous global ids without a
+    // single-partition window (range partition + offset pass)
+    "data_sequential_ids" -> ((s, dir) =>
+      graft.functions.Sampling.withSequentialIds(
+        Tables.read(s, dir, "documents").select(col("doc_id"), length(col("text")).as("n_chars")),
+        col("doc_id"))),
+
     // chunk-level cross-document dedup: repeated chunks (boilerplate)
     // surface as md5 groups spanning docs — chunking + dedup composed
     "chunk_dedup" -> ((s, dir) => {
@@ -857,6 +864,11 @@ object TrainingQueries {
            CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
            bucket, CAST(bucket < 250 AS INT) AS in_sample
          FROM b ORDER BY doc_id""",
+
+    "data_sequential_ids" ->
+      s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
+         FROM documents ORDER BY doc_id""",
 
     "chunk_dedup" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),

@@ -45,4 +45,30 @@ object Sampling {
     // reversed fold builds: b < cut1 -> w1 else b < cut2 -> w2 ... else last
     df.withColumn("split", expr)
   }
+
+  /** Globally contiguous 0-based ids in `order`-sorted order, at scale.
+    * `row_number() OVER (ORDER BY ...)` needs a single-partition window;
+    * this instead range-repartitions on the key, sorts each partition
+    * locally, and adds per-partition offsets from one count pass — the
+    * distributed zipWithIndex. `order` must be a total order (unique
+    * values), otherwise the assignment within ties is undefined. */
+  def withSequentialIds(df: DataFrame, order: Column,
+      idCol: String = "seq_id"): DataFrame = {
+    val parts = df.repartitionByRange(order).sortWithinPartitions(order)
+      .withColumn("_pid", spark_partition_id())
+      // per-partition record index (low 33 bits of the monotonic id;
+      // nondeterministic marker keeps it glued to this exact plan position)
+      .withColumn("_rip",
+        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
+    val counts = parts.groupBy(col("_pid")).count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
+    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
+      .init.map(_._2) // cumulative start offset per partition, pid order
+    val offsetByPid = map(counts.map(_._1).zip(offsets).flatMap {
+      case (pid, off) => Seq(lit(pid), lit(off))
+    }: _*)
+    parts
+      .withColumn(idCol, element_at(offsetByPid, col("_pid")) + col("_rip"))
+      .drop("_pid", "_rip")
+  }
 }

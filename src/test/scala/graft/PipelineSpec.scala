@@ -193,6 +193,20 @@ class PipelineSpec extends SparkSpec {
     split.unpersist()
   }
 
+  test("sequential ids: contiguous, order-correct, stable across partitionings") {
+    import graft.functions.Sampling
+    val df = scala.util.Random.shuffle((0 until 1000).toList)
+      .map(i => (f"k$i%04d", i)).toDF("k", "payload").repartition(7)
+    val out = Sampling.withSequentialIds(df, col("k"))
+      .select("k", "seq_id").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out.size === 1000)
+    assert(out.values.toSeq.sorted === (0L until 1000L))     // contiguous 0..n-1
+    assert(out(f"k${0}%04d") === 0L && out(f"k${999}%04d") === 999L)
+    // id equals the rank of the order key
+    assert((0 until 1000).forall(i => out(f"k$i%04d") === i.toLong))
+  }
+
   test("store roundtrip preserves rows and config; overrides whitelisted") {
     val config = CollectionConfig("c1", 2, Metric.Cosine)
     val coll = Prepare.prepareEmbeddings(
