@@ -73,6 +73,25 @@ object EventStreams {
       .select((leftCols.map(col) ++ valueCols.map(c => col(s"$prefix$c"))): _*)
   }
 
+  /** Stream-friendly as-of lookup: the right side is a BOUNDED static
+    * dimension (price history, model-version history, config epochs)
+    * grouped into per-key ts-sorted arrays and broadcast; each left row
+    * picks the latest entry with entry ts <= row ts (inclusive), null
+    * when none. Stateless — works identically on a batch frame or a
+    * structured stream (no watermark, no state store), unlike the
+    * union-window [[asofJoin]] which needs the full left+right shuffle. */
+  def asofLookup(left: DataFrame, right: DataFrame, key: String, ts: String,
+      valueCol: String, prefix: String = "asof_"): DataFrame = {
+    val hist = right.groupBy(col(key)).agg(
+      array_sort(collect_list(struct(col(ts).as("_t"), col(valueCol).as("_v"))))
+        .as("_hist"))
+    val matches = filter(col("_hist"), h => h.getField("_t") <= col(ts))
+    left.join(broadcast(hist), Seq(key), "left")
+      .withColumn(prefix + valueCol,
+        when(size(matches) > 0, element_at(matches, -1).getField("_v")))
+      .drop("_hist")
+  }
+
   /** Gap-based sessionization: a new session starts when the nanosecond
     * gap to the user's previous event exceeds `gapSeconds`. One shuffle
     * on user_id. Returns one row per (user, session). */

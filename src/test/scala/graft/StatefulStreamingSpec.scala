@@ -137,6 +137,37 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("asof lookup: identical on batch and stream; matches the union-window asof join") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val right = Seq((1L, 40L, 4.0), (1L, 100L, 10.0), (1L, 101L, 99.0), (3L, 5L, 3.0))
+      .toDF("k", "t", "v")
+    val leftRows = Seq((1L, 100L, "p1"), (1L, 50L, "p0"), (2L, 10L, "p2"), (1L, 300L, "p3"))
+    val leftBatch = leftRows.toDF("k", "t", "label")
+    val batchOut = EventStreams.asofLookup(leftBatch, right, "k", "t", "v")
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(batchOut === Map("p1" -> Some(10.0), "p0" -> Some(4.0),
+      "p2" -> None, "p3" -> Some(99.0)))
+    // equivalent to the union-window as-of join on the same inputs
+    val joined = EventStreams.asofJoin(leftBatch, right, "k", "t", Seq("v"))
+      .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+    assert(joined === batchOut)
+    // same operator on a stream (stateless broadcast lookup)
+    val input = MemoryStream[(Long, Long, String)]
+    val q = EventStreams.asofLookup(input.toDF().toDF("k", "t", "label"),
+      right, "k", "t", "v")
+      .writeStream.format("memory").queryName("asof_lookup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(leftRows: _*)
+      q.processAllAvailable()
+      val streamOut = spark.table("asof_lookup_out")
+        .collect().map(r => r.getString(2) -> Option(r.get(3))).toMap
+      assert(streamOut === batchOut)
+    } finally q.stop()
+  }
+
   test("streaming quantized ingest: sq8/pq/cell columns are stateless projections") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
