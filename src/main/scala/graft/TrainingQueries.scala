@@ -105,6 +105,23 @@ object TrainingQueries {
         .withColumn("in_sample", (col("bucket") < 250).cast("int"))
     }),
 
+    // PII scrub: deterministic synthetic PII injected per doc, then
+    // counted and redacted — redacted text compared by md5
+    "text_pii_redact" -> ((s, dir) => {
+      val withPii = Tables.read(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or "),
+          lit("555-"), lpad(pmod(col("doc_id"), lit(1000)).cast("string"), 3, "0"),
+          lit("-1234 from 10.0."), pmod(col("doc_id"), lit(256)).cast("string"), lit(".7")
+        ).as("text"))
+      val t = col("text")
+      withPii.select(col("doc_id"),
+        TextAnalysis.piiCount(t, "email").cast("int").as("n_email"),
+        TextAnalysis.piiCount(t, "phone").cast("int").as("n_phone"),
+        TextAnalysis.piiCount(t, "ipv4").cast("int").as("n_ipv4"),
+        md5(TextAnalysis.redactPii(t)).as("redacted_md5"))
+    }),
+
     // distributed zipWithIndex: contiguous global ids without a
     // single-partition window (range partition + offset pass)
     "data_sequential_ids" -> ((s, dir) =>
@@ -864,6 +881,23 @@ object TrainingQueries {
            CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
            bucket, CAST(bucket < 250 AS INT) AS in_sample
          FROM b ORDER BY doc_id""",
+
+    "text_pii_redact" -> {
+      val Seq(email, phone, ip) = TextAnalysis.piiPatterns.map(_._2)
+      val redacted = TextAnalysis.piiPatterns.map(_._2).foldLeft("text")(
+        (t, p) => s"regexp_replace($t, '$p', '[PII]', 'g')")
+      s"""WITH p AS (SELECT doc_id,
+           text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com or 555-' ||
+           lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0') || '-1234 from 10.0.' ||
+           CAST(doc_id % 256 AS VARCHAR) || '.7' AS text
+         FROM documents)
+         SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '$email')) AS INT) AS n_email,
+           CAST(len(regexp_extract_all(text, '$phone')) AS INT) AS n_phone,
+           CAST(len(regexp_extract_all(text, '$ip')) AS INT) AS n_ipv4,
+           md5($redacted) AS redacted_md5
+         FROM p ORDER BY doc_id"""
+    },
 
     "data_sequential_ids" ->
       s"""SELECT doc_id, CAST(length(text) AS INT) AS n_chars,

@@ -179,6 +179,29 @@ object TextAnalysis {
       (topTokenFrac(text) <= 0.2)
   }
 
+  // -------------------------------------------------- PII scrubbing
+  //
+  // Engine-portable regexes (Java regex and RE2 both support \b, {m,n},
+  // character classes used here), applied in a fixed order so the
+  // redacted text is deterministic and SQL-replicable.
+
+  /** (name, pattern) in application order. */
+  val piiPatterns: Seq[(String, String)] = Seq(
+    "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "phone" -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
+
+  /** Occurrences of one PII class. */
+  def piiCount(text: Column, kind: String): Column =
+    regexp_count(text, lit(piiPatterns.toMap.apply(kind)))
+
+  /** All PII classes replaced (in [[piiPatterns]] order) by
+    * `replacement` — the scrub pass before training-corpus export. */
+  def redactPii(text: Column, replacement: String = "[PII]"): Column =
+    piiPatterns.foldLeft(text) { case (t, (_, p)) =>
+      regexp_replace(t, p, replacement)
+    }
+
   /** Exact-dup fingerprint. */
   def fingerprintMd5(text: Column): Column = md5(text)
 
