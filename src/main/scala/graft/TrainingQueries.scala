@@ -105,6 +105,14 @@ object TrainingQueries {
         .withColumn("in_sample", (col("bucket") < 250).cast("int"))
     }),
 
+    // tf-idf keyword extraction: two-level aggregation, rational idf
+    // for cross-engine exact scores
+    "text_tfidf_top" -> ((s, dir) =>
+      roundCols(TextAnalysis.tfidfTopTerms(
+        Tables.read(s, dir, "documents").filter(col("doc_id") < 100)
+          .select(col("doc_id"), col("text")), "doc_id", "text", topK = 3),
+        Seq("score"))),
+
     // PII scrub: deterministic synthetic PII injected per doc, then
     // counted and redacted — redacted text compared by md5
     "text_pii_redact" -> ((s, dir) => {
@@ -881,6 +889,19 @@ object TrainingQueries {
            CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
            bucket, CAST(bucket < 250 AS INT) AS in_sample
          FROM b ORDER BY doc_id""",
+
+    "text_tfidf_top" ->
+      s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id < 100),
+         toks AS (SELECT doc_id, lower(unnest(toks)) AS term FROM d),
+         tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+         dfq AS (SELECT term, count(*)::BIGINT AS df FROM tf GROUP BY term),
+         nn AS (SELECT count(DISTINCT doc_id)::BIGINT AS n FROM d),
+         sc AS (SELECT tf.doc_id, tf.term, tf.tf, dfq.df,
+             CAST(tf.tf AS DOUBLE) * (nn.n + 1.0) / (dfq.df + 1.0) AS score,
+             row_number() OVER (PARTITION BY tf.doc_id ORDER BY CAST(tf.tf AS DOUBLE) * (nn.n + 1.0) / (dfq.df + 1.0) DESC, tf.term ASC) AS rn
+           FROM tf JOIN dfq USING (term), nn)
+         SELECT doc_id, term, tf, df, (round(score, 6) + 0) AS score
+         FROM sc WHERE rn <= 3 ORDER BY doc_id, rn""",
 
     "text_pii_redact" -> {
       val Seq(email, phone, ip) = TextAnalysis.piiPatterns.map(_._2)

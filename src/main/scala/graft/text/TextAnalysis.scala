@@ -179,6 +179,28 @@ object TextAnalysis {
       (topTokenFrac(text) <= 0.2)
   }
 
+  /** Top-k terms per document by tf-idf. The idf factor is the smooth
+    * RATIONAL variant (N+1)/(df+1) — strictly monotone in the usual
+    * log idf, so rankings are identical, but the score is an exact
+    * integer ratio that any engine reproduces bit-for-bit (libm log is
+    * not cross-engine stable). Two aggregations: (doc, term) counts,
+    * then term document-frequency — only (id, term) pairs shuffle.
+    * Deterministic order: score desc, term asc. */
+  def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.select(col(idCol),
+      explode(transform(tokens(col(textCol)), t => lower(t))).as("term"))
+    val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.select(col(idCol)).distinct().count()
+    val scored = tf.join(dfreq, "term")
+      .withColumn("score", col("tf") * lit(n + 1.0) / (col("df") + lit(1.0)))
+    val w = Window.partitionBy(col(idCol)).orderBy(col("score").desc, col("term").asc)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= topK).drop("rn")
+      .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
+  }
+
   // -------------------------------------------------- PII scrubbing
   //
   // Engine-portable regexes (Java regex and RE2 both support \b, {m,n},
