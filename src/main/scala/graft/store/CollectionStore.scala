@@ -115,3 +115,35 @@ object Bucketing {
       .bucketBy(buckets, key).sortBy(key).saveAsTable(table)
   }
 }
+
+/** Table maintenance for parquet layouts: the small-file problem.
+  * Streaming appends and fine-grained partitioned writes accumulate
+  * files far below the ideal scan granularity; at cluster scale, task
+  * scheduling and footer reads then dominate the scan. `compact`
+  * rewrites a directory into ceil(bytes / targetBytes) files via a
+  * temp-dir + atomic swap (never reads and overwrites the same path in
+  * one job, which Spark forbids).
+  */
+object Compaction {
+
+  /** Rewrite `path` with ~targetBytes per output file; returns the new
+    * file count. Data is bit-identical (same rows, no reorder promises). */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    require(targetBytes > 0, "targetBytes must be positive")
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+    fs.delete(tmp, true)
+    spark.read.parquet(path).repartition(files).write.parquet(tmp.toString)
+    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
+    fs.delete(old, true)
+    require(fs.rename(p, old), s"could not stage $path")
+    require(fs.rename(tmp, p), s"could not swap compacted files into $path")
+    fs.delete(old, true)
+    files
+  }
+}

@@ -89,6 +89,20 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("compaction: small files merged, data identical") {
+    import graft.store.Compaction
+    val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
+    val df = (0 until 2000).map(i => (i.toLong, s"v$i")).toDF("id", "v")
+    df.repartition(40).write.parquet(path)
+    def parquetFiles = new java.io.File(path).listFiles()
+      .count(f => f.getName.endsWith(".parquet"))
+    assert(parquetFiles === 40)
+    val before = spark.read.parquet(path).orderBy("id").collect()
+    val n = Compaction.compact(spark, path, targetBytes = 1L << 30)
+    assert(n === 1 && parquetFiles === 1)
+    assert(spark.read.parquet(path).orderBy("id").collect() === before)
+  }
+
   test("salted aggregation is exact under skew") {
     val df = (Seq.fill(5000)("hot") ++ (1 to 100).map(i => s"k$i"))
       .zipWithIndex.map { case (k, i) => (k, i.toDouble) }.toDF("key", "v")
