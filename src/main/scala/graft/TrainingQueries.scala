@@ -105,6 +105,18 @@ object TrainingQueries {
         .withColumn("in_sample", (col("bucket") < 250).cast("int"))
     }),
 
+    // duplicate-line removal (the fix operator for frac_dup_lines):
+    // inject repeats deterministically, clean, md5-compare
+    "text_dedup_lines" -> ((s, dir) => {
+      val noisy = Tables.read(s, dir, "documents").select(col("doc_id"),
+        concat_ws("\n", col("text"), lit("footer line"), col("text"),
+          lit("footer line"), lit("unique tail")).as("text"))
+      noisy.select(col("doc_id"),
+        size(split(col("text"), "\n")).as("n_lines_before"),
+        size(split(TextAnalysis.dropDuplicateLines(col("text")), "\n")).as("n_lines_after"),
+        md5(TextAnalysis.dropDuplicateLines(col("text"))).as("clean_md5"))
+    }),
+
     // tf-idf keyword extraction: two-level aggregation, rational idf
     // for cross-engine exact scores
     "text_tfidf_top" -> ((s, dir) =>
@@ -433,6 +445,24 @@ object TrainingQueries {
         .groupBy(col("n_name"))
         .agg(discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"),
           countDistinct(col("o_orderkey")).as("n_orders"))
+    }),
+
+    // TPC-H Q3 shape: selective dimension filter -> broadcast ->
+    // fact join -> decimal-exact grouped revenue -> top-k
+    "join_shipping_priority" -> ((s, dir) => {
+      val cust = Tables.read(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = Tables.read(s, dir, "orders")
+        .filter(col("o_orderdate") < to_timestamp(lit("1997-06-01")))
+      val li = Tables.read(s, dir, "lineitem")
+        .filter(col("l_shipdate") > to_timestamp(lit("1997-06-01")))
+      li.join(ord, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("l_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("orderdate"),
+          col("o_orderpriority"))
+        .agg(discountedSum(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("l_orderkey").asc).limit(10)
     }),
 
     // salted two-phase aggregation: must be EXACTLY the plain GROUP BY
@@ -890,6 +920,18 @@ object TrainingQueries {
            bucket, CAST(bucket < 250 AS INT) AS in_sample
          FROM b ORDER BY doc_id""",
 
+    "text_dedup_lines" ->
+      s"""WITH noisy AS (SELECT doc_id,
+           concat_ws(chr(10), text, 'footer line', text, 'footer line', 'unique tail') AS text
+         FROM documents),
+         s AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM noisy),
+         c AS (SELECT doc_id, len(ls) AS n_lines_before,
+           list_filter(ls, (x, i) -> list_position(ls, x) = i) AS kept FROM s)
+         SELECT doc_id, CAST(n_lines_before AS INT) AS n_lines_before,
+           CAST(len(kept) AS INT) AS n_lines_after,
+           md5(array_to_string(kept, chr(10))) AS clean_md5
+         FROM c ORDER BY doc_id""",
+
     "text_tfidf_top" ->
       s"""WITH d AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id < 100),
          toks AS (SELECT doc_id, lower(unnest(toks)) AS term FROM d),
@@ -1089,6 +1131,18 @@ object TrainingQueries {
            JOIN customer ON o_custkey = c_custkey
            JOIN nation ON c_nationkey = n_nationkey
          GROUP BY n_name ORDER BY n_name""",
+
+    "join_shipping_priority" ->
+      s"""SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS orderdate, o_orderpriority,
+           CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(1.0 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+         FROM lineitem
+           JOIN orders ON l_orderkey = o_orderkey
+           JOIN customer ON o_custkey = c_custkey
+         WHERE c_mktsegment = 'BUILDING'
+           AND o_orderdate < TIMESTAMP '1997-06-01'
+           AND l_shipdate > TIMESTAMP '1997-06-01'
+         GROUP BY l_orderkey, orderdate, o_orderpriority
+         ORDER BY revenue DESC, l_orderkey ASC LIMIT 10""",
 
     "skew_salted_agg" ->
       s"""SELECT l_suppkey, sum(l_quantity) AS sum_qty,

@@ -179,6 +179,18 @@ object TextAnalysis {
       (topTokenFrac(text) <= 0.2)
   }
 
+  /** Remove every later exact repeat of a line, keeping first
+    * occurrences in order — the FIX for a high [[fracDuplicateLines]]
+    * (boilerplate/navigation repeats). Order-preserving distinct via an
+    * index lambda: a line survives iff its position is the line's first
+    * occurrence (array_position), which both engines evaluate
+    * identically. */
+  def dropDuplicateLines(text: Column): Column = {
+    val ls = split(text, "\n")
+    concat_ws("\n",
+      filter(ls, (l, i) => array_position(ls, l) === i + 1))
+  }
+
   /** Top-k terms per document by tf-idf. The idf factor is the smooth
     * RATIONAL variant (N+1)/(df+1) — strictly monotone in the usual
     * log idf, so rankings are identical, but the score is an exact
