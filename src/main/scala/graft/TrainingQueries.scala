@@ -105,6 +105,12 @@ object TrainingQueries {
         .withColumn("in_sample", (col("bucket") < 250).cast("int"))
     }),
 
+    // exact corpus percentiles via the distributed zipWithIndex
+    "text_token_percentiles" -> ((s, dir) =>
+      TextAnalysis.tokenPercentiles(
+        Tables.read(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", Seq(0.25, 0.5, 0.75, 0.95))),
+
     // duplicate-line removal (the fix operator for frac_dup_lines):
     // inject repeats deterministically, clean, md5-compare
     "text_dedup_lines" -> ((s, dir) => {
@@ -919,6 +925,15 @@ object TrainingQueries {
            CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
            bucket, CAST(bucket < 250 AS INT) AS in_sample
          FROM b ORDER BY doc_id""",
+
+    "text_token_percentiles" ->
+      s"""WITH c AS (SELECT doc_id, len($tokensSql) AS n_tokens FROM documents),
+         nn AS (SELECT count(*)::BIGINT AS n FROM c),
+         r AS (SELECT n_tokens, row_number() OVER (ORDER BY n_tokens, doc_id) - 1 AS seq FROM c),
+         t AS (SELECT unnest([0.25, 0.5, 0.75, 0.95]) AS pct)
+         SELECT t.pct AS pct, r.n_tokens
+         FROM r JOIN t ON r.seq = CAST(floor(((SELECT n FROM nn) - 1) * t.pct) AS BIGINT)
+         ORDER BY pct""",
 
     "text_dedup_lines" ->
       s"""WITH noisy AS (SELECT doc_id,

@@ -213,6 +213,26 @@ object TextAnalysis {
       .select(col(idCol), col("term"), col("tf"), col("df"), col("score"))
   }
 
+  /** EXACT token-count percentiles over the corpus (approx_percentile
+    * sketches are not cross-engine reproducible). Scale path: the value
+    * at sorted position floor((n-1)*p) is found with the distributed
+    * zipWithIndex ([[graft.functions.Sampling.withSequentialIds]]) —
+    * no single-partition window over the corpus. */
+  def tokenPercentiles(docs: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, ps: Seq[Double]): org.apache.spark.sql.DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0 && p <= 1), "percentiles in [0,1]")
+    val counts = docs.select(col(idCol), wordCount(col(textCol)).as("n_tokens"))
+    val n = counts.count()
+    val withSeq = graft.functions.Sampling.withSequentialIds(
+      counts, struct(col("n_tokens"), col(idCol)))
+    val targets = ps.map(p => math.floor((n - 1) * p).toLong -> p).toMap
+    val pctOf = targets.foldLeft(lit(null).cast("double")) {
+      case (e, (s, p)) => when(col("seq_id") === s, lit(p)).otherwise(e)
+    }
+    withSeq.filter(col("seq_id").isin(targets.keys.toSeq: _*))
+      .select(pctOf.as("pct"), col("n_tokens")).orderBy(col("pct"))
+  }
+
   // -------------------------------------------------- PII scrubbing
   //
   // Engine-portable regexes (Java regex and RE2 both support \b, {m,n},
