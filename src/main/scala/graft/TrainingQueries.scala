@@ -998,7 +998,7 @@ object TrainingQueries {
              array_to_string(toks[(i.i*32+1):(i.i*32+40)], ' ') AS chunk
            FROM c, LATERAL (SELECT unnest(range(0, c.nchunks)) AS i) i)
          SELECT doc_id, CAST(chunk_idx AS INT) AS chunk_idx, md5(chunk) AS chunk_md5,
-           CAST(len(string_split(chunk, ' ')) AS INT) AS n_chunk_tokens
+           CAST(len(list_filter(string_split(chunk, ' '), t -> t != '')) AS INT) AS n_chunk_tokens
          FROM e ORDER BY doc_id, chunk_idx""",
 
     "text_fingerprint" ->

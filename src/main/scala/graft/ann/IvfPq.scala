@@ -34,6 +34,7 @@ object IvfPq {
       query: Array[Float], limit: Int, nprobe: Int,
       candidates: Int = 0): DataFrame = {
     require(limit > 0, "limit must be positive")
+    require(nprobe > 0, "nprobe must be positive")
     val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
     val q = Search.prepareQuery(config, query)
     val cells = IvfIndex.probeCells(q, centroids, nprobe)
@@ -84,10 +85,13 @@ object IvfPq {
     }
   }
 
-  /** Cell + residual-code columns in one pass. */
+  /** Cell + residual-code columns in one pass. Residual codes live in
+    * their OWN column (`pq_res_codes`): a frame carrying plain
+    * [[Pq.withCodes]] codes is not silently accepted by the residual
+    * search path (the encodings are incompatible). */
   def withResidualCodes(df: DataFrame, centroids: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]]): DataFrame =
-    if (df.columns.contains("ivf_cell") && df.columns.contains("pq_codes")) df
+    if (df.columns.contains("ivf_cell") && df.columns.contains("pq_res_codes")) df
     else {
       val cents = centroids
       val cb = codebooks
@@ -96,9 +100,9 @@ object IvfPq {
         val cell = IvfIndex.nearestCentroid(arr, cents)
         (cell, Pq.encodeVec(residualVec(arr, cents(cell)), cb))
       })
-      df.withColumn("_cc", f(col("vector")))
+      df.drop("ivf_cell").withColumn("_cc", f(col("vector")))
         .withColumn("ivf_cell", col("_cc._1"))
-        .withColumn("pq_codes", col("_cc._2"))
+        .withColumn("pq_res_codes", col("_cc._2"))
         .drop("_cc")
     }
 
@@ -112,6 +116,7 @@ object IvfPq {
       query: Array[Float], limit: Int, nprobe: Int,
       candidates: Int = 0): DataFrame = {
     require(limit > 0, "limit must be positive")
+    require(nprobe > 0, "nprobe must be positive")
     require(config.metric == Metric.L2 || config.metric == Metric.L2Squared,
       s"residual IVF-PQ supports l2/l2_squared, not ${config.metric.name}")
     val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
@@ -122,10 +127,10 @@ object IvfPq {
     val branches = cells.map { c =>
       val table = Pq.adcTable(codebooks, residualVec(q, centroids(c)), Metric.L2Squared)
       prepared.filter(col("ivf_cell") === c)
-        .withColumn("rank", adcDistance(col("pq_codes"), table, k))
+        .withColumn("rank", adcDistance(col("pq_res_codes"), table, k))
     }
     val cut = Search.candidateCut(branches.reduce(_ unionByName _), effCand)
-      .drop("rank", "pq_codes", "ivf_cell")
+      .drop("rank", "pq_res_codes", "ivf_cell")
     Search.rerankExact(cut, config, q, limit)
   }
 

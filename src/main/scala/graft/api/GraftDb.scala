@@ -58,8 +58,7 @@ final class GraftDb(val spark: SparkSession) {
   /** Idempotent release (reference close/1, collection.ex:360-374). */
   def close(name: String): Unit = {
     registry.remove(name).foreach(_._1.unpersist())
-    hnswCache.remove(name); ivfCache.remove(name)
-    sq8Cache.remove(name); pqCache.remove(name)
+    invalidateIndexCaches(name)
   }
   def deleteCollection(name: String): Unit = close(name)
   def listCollections(): Seq[String] = registry.keys.toSeq.sorted
@@ -84,8 +83,7 @@ final class GraftDb(val spark: SparkSession) {
     val (df, config) = collection(name)
     val next = Prepare.putMany(df, toDf(rows), config)
     registry.put(name, (next, config))
-    hnswCache.remove(name); ivfCache.remove(name)
-    sq8Cache.remove(name); pqCache.remove(name)
+    invalidateIndexCaches(name)
   }
 
   def all(name: String): DataFrame = collection(name)._1
@@ -112,8 +110,7 @@ final class GraftDb(val spark: SparkSession) {
   def delete(name: String, id: String): Unit = {
     val (df, config) = collection(name)
     registry.put(name, (Prepare.deleteIds(df, Seq(id)), config))
-    hnswCache.remove(name); ivfCache.remove(name)
-    sq8Cache.remove(name); pqCache.remove(name)
+    invalidateIndexCaches(name)
   }
 
   // ------------------------------------------------------------- search
@@ -148,19 +145,28 @@ final class GraftDb(val spark: SparkSession) {
           graft.ann.IvfIndex.train(df, config, ivfCfg))
         graft.ann.IvfIndex.search(df, config, cents, query, limit, ivfCfg.nprobe)
       case "sq8" =>
-        val model = sq8Cache.getOrElseUpdate(name, graft.ann.Sq8.train(df))
-        graft.ann.Sq8.search(df, config, model, query, limit)
+        val (model, coded) = sq8Cache.getOrElseUpdate(name, {
+          val m = graft.ann.Sq8.train(df)
+          (m, graft.ann.Sq8.withCodes(df, m).persist())
+        })
+        graft.ann.Sq8.search(coded, config, model, query, limit)
       case "pq" =>
-        val cb = pqCache.getOrElseUpdate(name, graft.ann.Pq.trainOrdered(
-          df, config, pqConfigFor(config), col("id")))
-        graft.ann.Pq.search(df, config, cb, query, limit)
+        val (cb, coded) = pqCache.getOrElseUpdate(name, {
+          val c = graft.ann.Pq.trainOrdered(df, config, pqConfigFor(config), col("id"))
+          (c, graft.ann.Pq.withCodes(df, c).persist())
+        })
+        graft.ann.Pq.search(coded, config, cb, query, limit)
       case "ivfpq" =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
           graft.ann.IvfIndex.train(df, config, ivfCfg))
-        val cb = pqCache.getOrElseUpdate(name, graft.ann.Pq.trainOrdered(
-          df, config, pqConfigFor(config), col("id")))
-        graft.ann.IvfPq.search(df, config, cents, cb, query, limit, ivfCfg.nprobe)
+        val (cb, _) = pqCache.getOrElseUpdate(name, {
+          val c = graft.ann.Pq.trainOrdered(df, config, pqConfigFor(config), col("id"))
+          (c, null)
+        })
+        val prepared = ivfPqCache.getOrElseUpdate(name,
+          graft.ann.IvfPq.prepare(df, cents, cb).persist())
+        graft.ann.IvfPq.search(prepared, config, cents, cb, query, limit, ivfCfg.nprobe)
       case other => throw new IllegalArgumentException(s"unknown index $other")
     }
   }
@@ -169,8 +175,21 @@ final class GraftDb(val spark: SparkSession) {
   // every write (rebuildable state, like the reference's rebuild-on-load)
   private val hnswCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.Hnsw]
   private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
-  private val sq8Cache = scala.collection.concurrent.TrieMap.empty[String, graft.ann.Sq8.Model]
-  private val pqCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Array[Float]]]]
+  // quantizer state caches hold (model, PERSISTED coded frame) — without
+  // the cached frame every query would re-run the encode UDF over the
+  // whole collection, making quantized search slower than flat
+  private val sq8Cache = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.ann.Sq8.Model, DataFrame)]
+  private val pqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Array[Array[Float]]], DataFrame)]
+  private val ivfPqCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  private def invalidateIndexCaches(name: String): Unit = {
+    hnswCache.remove(name); ivfCache.remove(name)
+    sq8Cache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
+    pqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
+    ivfPqCache.remove(name).foreach(_.unpersist())
+  }
 
   /** Largest m <= 8 dividing the dimension (PQ needs m | dims). */
   private def pqConfigFor(config: CollectionConfig): graft.ann.Pq.PqConfig =
@@ -251,8 +270,7 @@ final class GraftDb(val spark: SparkSession) {
   def loadSnapshot(path: String, overrides: Map[String, String] = Map.empty): String = {
     val (df, config) = CollectionStore.load(spark, path, overrides)
     registry.put(config.name, (df, config))
-    hnswCache.remove(config.name); ivfCache.remove(config.name)
-    sq8Cache.remove(config.name); pqCache.remove(config.name)
+    invalidateIndexCaches(config.name)
     config.name
   }
 }

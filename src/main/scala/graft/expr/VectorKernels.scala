@@ -161,6 +161,11 @@ object VectorKernels {
   // kernels, so a DuckDB oracle can replicate the sum bit-for-bit.
 
   def adcLookup(codes: Array[Byte], table: Array[Double], stride: Int): Double = {
+    // one cheap guard per row: a mismatched stride/table would otherwise
+    // silently read another position's entries
+    if (codes.length * stride != table.length)
+      throw new IllegalArgumentException(
+        s"ADC shape mismatch: ${codes.length} codes * stride $stride != table ${table.length}")
     var acc = 0.0
     var i = 0
     while (i < codes.length) {

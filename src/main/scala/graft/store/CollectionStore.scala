@@ -127,23 +127,32 @@ object Bucketing {
 object Compaction {
 
   /** Rewrite `path` with ~targetBytes per output file; returns the new
-    * file count. Data is bit-identical (same rows, no reorder promises). */
+    * total file count. Hive-partitioned layouts (`col=value`
+    * subdirectories, e.g. IvfPq.writePartitioned cells) are preserved:
+    * each partition directory is compacted independently, so partition
+    * pruning — and the exact directory-name values — survive. */
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val totalBytes = fs.getContentSummary(p).getLength
-    val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-    val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
-    fs.delete(tmp, true)
-    spark.read.parquet(path).repartition(files).write.parquet(tmp.toString)
-    val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
-    fs.delete(old, true)
-    require(fs.rename(p, old), s"could not stage $path")
-    require(fs.rename(tmp, p), s"could not swap compacted files into $path")
-    fs.delete(old, true)
-    files
+    val partitionDirs = fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+    if (partitionDirs.nonEmpty)
+      partitionDirs.map(st => compact(spark, st.getPath.toString, targetBytes)).sum
+    else {
+      val totalBytes = fs.getContentSummary(p).getLength
+      val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
+      fs.delete(tmp, true)
+      spark.read.parquet(path).repartition(files).write.parquet(tmp.toString)
+      val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
+      fs.delete(old, true)
+      require(fs.rename(p, old), s"could not stage $path")
+      require(fs.rename(tmp, p), s"could not swap compacted files into $path")
+      fs.delete(old, true)
+      files
+    }
   }
 }

@@ -64,8 +64,12 @@ object EventStreams {
     val rAligned = leftCols.filterNot(Seq(key, ts).contains).foldLeft(rRenamed)(
       (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val all = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
+    // default tie-break: the renamed right payload columns, so two right
+    // rows at identical (key, ts) still resolve deterministically even
+    // when the caller passes no explicit tieBreak
+    val ties = (tieBreak ++ valueCols.map(c => col(s"_r_$c"))).map(_.asc_nulls_first)
     val w = Window.partitionBy(col(key))
-      .orderBy((Seq(col(ts).asc, col("_side").asc) ++ tieBreak.map(_.asc)): _*)
+      .orderBy((Seq(col(ts).asc, col("_side").asc) ++ ties): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val carried = valueCols.foldLeft(all)((d, c) =>
       d.withColumn(s"$prefix$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))

@@ -159,7 +159,8 @@ object TextAnalysis {
     df.withColumn("_chunks", chunks)
       .select(col("*"), posexplode(col("_chunks")).as(Seq("chunk_idx", "chunk")))
       .drop("_chunks")
-      .withColumn("n_chunk_tokens", size(split(col("chunk"), " ")))
+      .withColumn("n_chunk_tokens",
+        size(filter(split(col("chunk"), " "), t => t =!= "")))
   }
 
   /** The Gopher keep rule over the signals above (word-count window,
@@ -191,9 +192,11 @@ object TextAnalysis {
       filter(ls, (l, i) => array_position(ls, l) === i + 1))
   }
 
-  /** Top-k terms per document by tf-idf. The idf factor is the smooth
-    * RATIONAL variant (N+1)/(df+1) — strictly monotone in the usual
-    * log idf, so rankings are identical, but the score is an exact
+  /** Top-k terms per document by a tf-idf VARIANT with the rational
+    * idf (N+1)/(df+1). The idf factor itself is monotone in the usual
+    * log idf (per-term rarity order is preserved), but tf * idf
+    * products can rank differently than tf * log(idf) — this variant
+    * weighs rarity more heavily. Chosen because the score is an exact
     * integer ratio that any engine reproduces bit-for-bit (libm log is
     * not cross-engine stable). Two aggregations: (doc, term) counts,
     * then term document-frequency — only (id, term) pairs shuffle.
@@ -225,12 +228,14 @@ object TextAnalysis {
     val n = counts.count()
     val withSeq = graft.functions.Sampling.withSequentialIds(
       counts, struct(col("n_tokens"), col(idCol)))
-    val targets = ps.map(p => math.floor((n - 1) * p).toLong -> p).toMap
-    val pctOf = targets.foldLeft(lit(null).cast("double")) {
-      case (e, (s, p)) => when(col("seq_id") === s, lit(p)).otherwise(e)
-    }
-    withSeq.filter(col("seq_id").isin(targets.keys.toSeq: _*))
-      .select(pctOf.as("pct"), col("n_tokens")).orderBy(col("pct"))
+    // one output row per requested p, even when two ps floor to the
+    // same rank position (a when-chain keyed by position would collapse
+    // them) — join a tiny (pct, pos) frame instead
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val targets = ps.map(p => (p, math.floor((n - 1) * p).toLong)).toDF("pct", "_pos")
+    withSeq.join(broadcast(targets), col("seq_id") === col("_pos"))
+      .select(col("pct"), col("n_tokens")).orderBy(col("pct"))
   }
 
   // -------------------------------------------------- PII scrubbing
@@ -242,7 +247,7 @@ object TextAnalysis {
   /** (name, pattern) in application order. */
   val piiPatterns: Seq[(String, String)] = Seq(
     "email" -> "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
-    "phone" -> "\\b\\d{3}[-. ]\\d{3}[-. ]\\d{4}\\b",
+    "phone" -> "(\\(\\d{3}\\)|\\b\\d{3})[-. ]?\\d{3}[-. ]\\d{4}\\b",
     "ipv4" -> "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b")
 
   /** Occurrences of one PII class. */

@@ -103,6 +103,26 @@ class ScaleSpec extends SparkSpec {
     assert(spark.read.parquet(path).orderBy("id").collect() === before)
   }
 
+  test("compaction preserves hive-partitioned layouts (per-cell rewrite)") {
+    import graft.store.Compaction
+    val path = java.nio.file.Files.createTempDirectory("graft_compact_part").toString + "/t"
+    val df = (0 until 1000).map(i => (i.toLong, i % 4)).toDF("id", "cell")
+    df.repartition(10).write.partitionBy("cell").parquet(path)
+    val before = spark.read.parquet(path).orderBy("id").collect()
+    Compaction.compact(spark, path, targetBytes = 1L << 30)
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("cell=")).toSeq
+    assert(cellDirs.size === 4, "partition directories must survive compaction")
+    cellDirs.foreach { d =>
+      assert(d.listFiles().count(_.getName.endsWith(".parquet")) === 1)
+    }
+    assert(spark.read.parquet(path).orderBy("id").collect() === before)
+    // partition pruning still works on the compacted layout
+    val plan = spark.read.parquet(path).filter(col("cell") === 2)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters"))
+  }
+
   test("salted aggregation is exact under skew") {
     val df = (Seq.fill(5000)("hot") ++ (1 to 100).map(i => s"k$i"))
       .zipWithIndex.map { case (k, i) => (k, i.toDouble) }.toDF("key", "v")
