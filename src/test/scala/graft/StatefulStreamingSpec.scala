@@ -168,6 +168,41 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming document pipeline: quality filter -> PII scrub -> chunking, batch ≡ stream") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.text.TextAnalysis
+    def pipeline(docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+      TextAnalysis.chunkTokens(
+        docs.filter(TextAnalysis.gopherKeep(col("text"), minWords = 8))
+          .withColumn("text", TextAnalysis.redactPii(col("text"))),
+        "text", chunkSize = 6, overlap = 2)
+        .select(col("id"), col("chunk_idx"), col("chunk"))
+    val goodText = "please contact me at someone@example.com about the available cats " +
+      "and dogs they are very good animals indeed"
+    val docs = Seq(
+      ("keep", goodText),
+      ("drop_short", "too short"),
+      ("drop_rep", ("spam " * 20).trim))
+    val batchOut = pipeline(docs.toDF("id", "text")).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+    assert(batchOut.nonEmpty && batchOut.forall(_._1 == "keep"))
+    assert(batchOut.forall(!_._3.contains("example.com")), "PII must be scrubbed")
+    assert(batchOut.exists(_._3.contains("[PII]")))
+    val input = MemoryStream[(String, String)]
+    val q = pipeline(input.toDF().toDF("id", "text"))
+      .writeStream.format("memory").queryName("doc_pipeline_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(docs: _*)
+      q.processAllAvailable()
+      val streamOut = spark.table("doc_pipeline_out").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getString(2))).toSet
+      assert(streamOut === batchOut)
+    } finally q.stop()
+  }
+
   test("streaming quantized ingest: sq8/pq/cell columns are stateless projections") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
