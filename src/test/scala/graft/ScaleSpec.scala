@@ -123,6 +123,27 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("PartitionFilters"))
   }
 
+  test("IVF-PQ partitioned search is unchanged by compaction") {
+    import graft.store.Compaction
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+    val order = col("id").cast("long")
+    val cents = IvfIndex.trainOrdered(coll, config, IvfIndex.IvfConfig(k = 4, iterations = 2), order)
+    val cb = graft.ann.Pq.trainOrdered(coll, config,
+      graft.ann.Pq.PqConfig(m = 4, k = 8, iterations = 2, sampleSize = 128), order)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_c").toString + "/t"
+    graft.ann.IvfPq.writePartitioned(coll.drop("metadata").repartition(8), cents, cb, path)
+    val q = Tables.queryVector(spark, sfDir, 1L)
+    val beforeC = graft.ann.IvfPq.searchPartitioned(spark, path, config, cents, cb,
+      q, 10, nprobe = 2, candidates = 30).collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    Compaction.compact(spark, path)
+    val afterC = graft.ann.IvfPq.searchPartitioned(spark, path, config, cents, cb,
+      q, 10, nprobe = 2, candidates = 30).collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
+    assert(afterC === beforeC)
+  }
+
   test("salted aggregation is exact under skew") {
     val df = (Seq.fill(5000)("hot") ++ (1 to 100).map(i => s"k$i"))
       .zipWithIndex.map { case (k, i) => (k, i.toDouble) }.toDF("key", "v")
