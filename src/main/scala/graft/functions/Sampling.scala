@@ -49,26 +49,27 @@ object Sampling {
   /** Globally contiguous 0-based ids in `order`-sorted order, at scale.
     * `row_number() OVER (ORDER BY ...)` needs a single-partition window;
     * this instead range-repartitions on the key, sorts each partition
-    * locally, and adds per-partition offsets from one count pass — the
-    * distributed zipWithIndex. `order` must be a total order (unique
-    * values), otherwise the assignment within ties is undefined. */
+    * locally, and zips with a global index — the distributed
+    * zipWithIndex. `order` must be a total order (unique values),
+    * otherwise the assignment within ties is undefined.
+    *
+    * The zip happens on ONE materialized RDD instance: its
+    * RangePartitioner samples boundaries exactly once at construction,
+    * so the count job zipWithIndex runs internally and the final map
+    * job see identical partition boundaries and (sorted) contents. Two
+    * separate Dataset actions would each re-plan — new RDD ids, new
+    * sampling seeds, AQE re-coalescing — and could assign duplicate or
+    * non-contiguous ids. */
   def withSequentialIds(df: DataFrame, order: Column,
       idCol: String = "seq_id"): DataFrame = {
-    val parts = df.repartitionByRange(order).sortWithinPartitions(order)
-      .withColumn("_pid", spark_partition_id())
-      // per-partition record index (low 33 bits of the monotonic id;
-      // nondeterministic marker keeps it glued to this exact plan position)
-      .withColumn("_rip",
-        monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)))
-    val counts = parts.groupBy(col("_pid")).count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).sortBy(_._1)
-    val offsets = counts.scanLeft((0, 0L)) { case ((_, acc), (pid, n)) => (pid, acc + n) }
-      .init.map(_._2) // cumulative start offset per partition, pid order
-    val offsetByPid = map(counts.map(_._1).zip(offsets).flatMap {
-      case (pid, off) => Seq(lit(pid), lit(off))
-    }: _*)
-    parts
-      .withColumn(idCol, element_at(offsetByPid, col("_pid")) + col("_rip"))
-      .drop("_pid", "_rip")
+    val spark = df.sparkSession
+    val sorted = df.repartitionByRange(order).sortWithinPartitions(order)
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
+      org.apache.spark.sql.types.StructField(idCol,
+        org.apache.spark.sql.types.LongType, nullable = false))
+    val indexed = sorted.rdd.zipWithIndex().map { case (row, i) =>
+      org.apache.spark.sql.Row.fromSeq(row.toSeq :+ i)
+    }
+    spark.createDataFrame(indexed, schema)
   }
 }

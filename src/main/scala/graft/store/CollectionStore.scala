@@ -138,17 +138,27 @@ object Compaction {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
     val partitionDirs = fs.listStatus(p)
-      .filter(st => st.isDirectory && st.getPath.getName.contains("="))
+      .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
+        !st.getPath.getName.startsWith("."))
     if (partitionDirs.nonEmpty)
       partitionDirs.map(st => compact(spark, st.getPath.toString, targetBytes)).sum
     else {
+      // Staging dirs are SIBLINGS named with a leading '.', which Spark's
+      // file index ignores — a stale leftover can never be parsed as an
+      // extra partition directory (the old `<dir>._compact_old` names
+      // contained '=' inside hive-partitioned roots and were).
+      val parent = p.getParent
+      val tmp = new org.apache.hadoop.fs.Path(parent, "._compact_tmp_" + p.getName)
+      val old = new org.apache.hadoop.fs.Path(parent, "._compact_old_" + p.getName)
+      // recover from a crash between the two swap renames (data staged
+      // away, replacement never landed), then clear stale staging
+      if (!fs.exists(p) && fs.exists(old))
+        require(fs.rename(old, p), s"could not recover $path from staged copy")
+      fs.delete(tmp, true)
+      fs.delete(old, true)
       val totalBytes = fs.getContentSummary(p).getLength
       val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-      val tmp = new org.apache.hadoop.fs.Path(path + "._compact_tmp")
-      fs.delete(tmp, true)
       spark.read.parquet(path).repartition(files).write.parquet(tmp.toString)
-      val old = new org.apache.hadoop.fs.Path(path + "._compact_old")
-      fs.delete(old, true)
       require(fs.rename(p, old), s"could not stage $path")
       require(fs.rename(tmp, p), s"could not swap compacted files into $path")
       fs.delete(old, true)

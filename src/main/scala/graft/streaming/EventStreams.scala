@@ -51,30 +51,42 @@ object EventStreams {
     * within each key partition, linear at any scale. Right rows sort
     * before left rows at equal ts, making the match inclusive. Ties
     * among right rows at identical (key, ts) resolve by `tieBreak`
-    * (append one for full determinism when such ties are possible). */
+    * (append one for full determinism when such ties are possible).
+    *
+    * The right payload rides the window as ONE struct column with a
+    * single `last(ignoreNulls)` — the match is atomic per row: every
+    * output column comes from the SAME matched right row, and a
+    * genuinely-NULL field of that row surfaces as NULL instead of
+    * falling back to an older right row. */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       valueCols: Seq[String], prefix: String = "asof_",
       tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
     val leftCols = left.columns.toSeq
-    val lAligned = valueCols.foldLeft(left.withColumn("_side", lit(1)))((d, c) =>
-      d.withColumn(s"_r_$c", lit(null).cast(right.schema(c).dataType)))
+    val payloadType = org.apache.spark.sql.types.StructType(valueCols.map(c =>
+      org.apache.spark.sql.types.StructField(c, right.schema(c).dataType, nullable = true)))
+    val lAligned = left.withColumn("_side", lit(1))
+      .withColumn("_r_payload", lit(null).cast(payloadType))
     val rBase = right.select((Seq(col(key), col(ts)) ++ valueCols.map(col)): _*)
       .withColumn("_side", lit(0))
-    val rRenamed = valueCols.foldLeft(rBase)((d, c) => d.withColumnRenamed(c, s"_r_$c"))
-    val rAligned = leftCols.filterNot(Seq(key, ts).contains).foldLeft(rRenamed)(
+      // struct() is non-null on every right row even when all its fields
+      // are null — exactly the sentinel last(ignoreNulls) needs
+      .withColumn("_r_payload", struct(valueCols.map(col): _*).cast(payloadType))
+      .drop(valueCols: _*)
+    val rAligned = leftCols.filterNot(Seq(key, ts).contains).foldLeft(rBase)(
       (d, c) => d.withColumn(c, lit(null).cast(left.schema(c).dataType)))
     val all = lAligned.unionByName(rAligned.select(lAligned.columns.map(col): _*))
-    // default tie-break: the renamed right payload columns, so two right
-    // rows at identical (key, ts) still resolve deterministically even
-    // when the caller passes no explicit tieBreak
-    val ties = (tieBreak ++ valueCols.map(c => col(s"_r_$c"))).map(_.asc_nulls_first)
+    // default tie-break: the payload struct (field-wise ordering = the
+    // valueCols in order), so two right rows at identical (key, ts)
+    // still resolve deterministically without an explicit tieBreak
+    val ties = (tieBreak :+ col("_r_payload")).map(_.asc_nulls_first)
     val w = Window.partitionBy(col(key))
       .orderBy((Seq(col(ts).asc, col("_side").asc) ++ ties): _*)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = valueCols.foldLeft(all)((d, c) =>
-      d.withColumn(s"$prefix$c", last(col(s"_r_$c"), ignoreNulls = true).over(w)))
+    val carried = all.withColumn("_match",
+      last(col("_r_payload"), ignoreNulls = true).over(w))
     carried.filter(col("_side") === 1)
-      .select((leftCols.map(col) ++ valueCols.map(c => col(s"$prefix$c"))): _*)
+      .select((leftCols.map(col) ++
+        valueCols.map(c => col("_match").getField(c).as(s"$prefix$c"))): _*)
   }
 
   /** Stream-friendly as-of lookup: the right side is a BOUNDED static

@@ -121,22 +121,34 @@ object TextAnalysis {
       .otherwise(lit(1.0) - size(array_distinct(ls)).cast("double") / size(ls).cast("double"))
   }
 
-  /** Occurrence fraction of the most frequent lowercased token. */
-  def topTokenFrac(text: Column): Column = {
-    val lt = transform(tokens(text), t => lower(t))
-    when(size(lt) === 0, lit(0.0)).otherwise(
-      array_max(transform(array_distinct(lt),
-        d => size(filter(lt, x => x === d)))).cast("double") / size(lt).cast("double"))
+  /** Max element frequency / array size, as the longest equal run of the
+    * SORTED array: one O(n log n) sort + one O(n) fold, instead of the
+    * O(distinct × n) nested scan that blows up on a 100k-word document
+    * (maxWords allows them, and gopherKeep evaluates this on every row).
+    * Fold state = (prev element, current run, best run). */
+  private def maxFreqFrac(arr: Column): Column = {
+    val sorted = array_sort(arr)
+    val best = aggregate(
+      sorted,
+      struct(lit(null).cast("string").as("prev"), lit(0).as("run"), lit(0).as("best")),
+      (st, x) => {
+        val run = when(x === st.getField("prev"), st.getField("run") + 1).otherwise(lit(1))
+        struct(x.as("prev"), run.as("run"),
+          greatest(st.getField("best"), run).as("best"))
+      },
+      st => st.getField("best"))
+    when(size(arr) === 0, lit(0.0))
+      .otherwise(best.cast("double") / size(arr).cast("double"))
   }
+
+  /** Occurrence fraction of the most frequent lowercased token. */
+  def topTokenFrac(text: Column): Column =
+    maxFreqFrac(transform(tokens(text), t => lower(t)))
 
   /** Occurrence fraction of the most frequent word n-gram (Gopher's
     * top-n-gram repetition signal, count-based) — 0 when no n-grams. */
-  def topNgramFrac(text: Column, n: Int): Column = {
-    val sh = shingles(text, n)
-    when(size(sh) === 0, lit(0.0)).otherwise(
-      array_max(transform(array_distinct(sh),
-        d => size(filter(sh, x => x === d)))).cast("double") / size(sh).cast("double"))
-  }
+  def topNgramFrac(text: Column, n: Int): Column =
+    maxFreqFrac(shingles(text, n))
 
   /** Fixed-size token chunks with overlap — the LLM-ingest shape (split
     * every document into ~chunkSize-token windows advancing by
