@@ -51,6 +51,46 @@ object IvfPq {
     Search.rerankExact(cut, config, q, limit)
   }
 
+  /** Batch IVF-PQ search — the full scale shape for a million-query
+    * training batch: each query explodes to its nprobe probed cells and
+    * the (cell, qid, ADC-table) side is BROADCAST, so the corpus join
+    * touches only probed-cell rows and reads only (cell, id, m-byte
+    * codes); the per-query candidate cut rides row_number's map-side
+    * WindowGroupLimit pre-cut; the exact rerank broadcasts the bounded
+    * survivor set back by id (vectors never ride a shuffle). Per-query
+    * results equal [[search]] with the same nprobe/candidates. */
+  def searchMany(df: DataFrame, config: CollectionConfig,
+      centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]],
+      queries: DataFrame, limit: Int, nprobe: Int,
+      candidates: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(limit > 0, "limit must be positive")
+    require(nprobe > 0, "nprobe must be positive")
+    val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
+    val cents = centroids
+    val cb = codebooks
+    val np = nprobe
+    val metric = config.metric
+    val sim = metric == Metric.Cosine || metric == Metric.InnerProduct
+    val qNorm = queries.select(col("qid"),
+      normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+    val tableUdf = udf((q: Seq[Float]) => Pq.adcTable(cb, q.toArray, metric))
+    val probeUdf = udf((q: Seq[Float]) => IvfIndex.probeCells(q.toArray, cents, np).toArray)
+    val qSide = qNorm.select(col("qid"), tableUdf(col("qvector")).as("_qtable"),
+      explode(probeUdf(col("qvector"))).as("ivf_cell"))
+    val prepared =
+      if (df.columns.contains("ivf_cell") && df.columns.contains("pq_codes")) df
+      else prepare(df, cents, cb)
+    val approx = adcDistanceDyn(col("pq_codes"), col("_qtable"), codebooks(0).length)
+    val scored = prepared.select(col("ivf_cell"), col("id"), col("pq_codes"))
+      .join(broadcast(qSide), "ivf_cell")
+      .withColumn("arank", if (sim) -approx else approx)
+    val w = Window.partitionBy(col("qid")).orderBy(col("arank").asc_nulls_last, col("id").asc)
+    val cands = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= effCand).select("qid", "id")
+    Search.rerankManyExact(df, config, cands, qNorm, limit)
+  }
+
   // ------------------------------------------------- residual encoding
   //
   // FAISS-style IVFPQ: codes quantize the RESIDUAL v - centroid[cell]

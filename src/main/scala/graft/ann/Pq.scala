@@ -126,4 +126,30 @@ object Pq {
       .drop("rank", codesCol)
     Search.rerankExact(cut, config, q, limit)
   }
+
+  /** Batch ADC search over m-byte codes — same contract and shape as
+    * [[Sq8.searchMany]] (broadcast per-query tables, codes-only scan,
+    * map-side pre-cut window, broadcast-survivor exact rerank); the scan
+    * side reads m bytes + does m lookups per (row, query) pair. */
+  def searchMany(df: DataFrame, config: CollectionConfig,
+      codebooks: Array[Array[Array[Float]]], queries: DataFrame, limit: Int,
+      candidates: Int = 0, codesCol: String = "pq_codes"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(limit > 0, "limit must be positive")
+    val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
+    val cb = codebooks
+    val metric = config.metric
+    val qNorm = queries.select(col("qid"),
+      normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+    val tableUdf = udf((q: Seq[Float]) => adcTable(cb, q.toArray, metric))
+    val qSide = qNorm.select(col("qid"), tableUdf(col("qvector")).as("_qtable"))
+    val approx = adcDistanceDyn(col(codesCol), col("_qtable"), codebooks(0).length)
+    val scored = withCodes(df, codebooks, codesCol).select(col("id"), col(codesCol))
+      .crossJoin(broadcast(qSide))
+      .withColumn("arank", if (similarityLike(metric)) -approx else approx)
+    val w = Window.partitionBy(col("qid")).orderBy(col("arank").asc_nulls_last, col("id").asc)
+    val cands = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= effCand).select("qid", "id")
+    Search.rerankManyExact(df, config, cands, qNorm, limit)
+  }
 }

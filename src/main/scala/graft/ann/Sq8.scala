@@ -148,4 +148,35 @@ object Sq8 {
       .drop("rank", codesCol)
     Search.rerankExact(cut, config, q, limit)
   }
+
+  /** Batch ADC search: ONE codes-only scan answers every query — the
+    * training-pipeline shape (per-query driver jobs are the way a
+    * million-query batch dies in production). Queries (qid, qvector) are
+    * broadcast carrying their precomputed ADC tables; the per-query
+    * candidate cut rides row_number's map-side WindowGroupLimit pre-cut
+    * over (codes-derived rank, id) only; the exact rerank broadcasts the
+    * <= nq*candidates survivors back onto the corpus, so the vector
+    * column never enters a shuffle. Per-query results equal [[search]]
+    * with the same candidates. */
+  def searchMany(df: DataFrame, config: CollectionConfig, model: Model,
+      queries: DataFrame, limit: Int, candidates: Int = 0,
+      codesCol: String = "sq8_codes"): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(limit > 0, "limit must be positive")
+    val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
+    val m = model
+    val metric = config.metric
+    val qNorm = queries.select(col("qid"),
+      normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+    val tableUdf = udf((q: Seq[Float]) => adcTable(m, q.toArray, metric))
+    val qSide = qNorm.select(col("qid"), tableUdf(col("qvector")).as("_qtable"))
+    val approx = adcDistanceDyn(col(codesCol), col("_qtable"), 256)
+    val scored = withCodes(df, model, codesCol).select(col("id"), col(codesCol))
+      .crossJoin(broadcast(qSide))
+      .withColumn("arank", if (similarityLike(metric)) -approx else approx)
+    val w = Window.partitionBy(col("qid")).orderBy(col("arank").asc_nulls_last, col("id").asc)
+    val cands = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= effCand).select("qid", "id")
+    Search.rerankManyExact(df, config, cands, qNorm, limit)
+  }
 }

@@ -295,8 +295,8 @@ case class AdcDistance(left: Expression, right: Expression, stride: Int)
     if (tableConst != null)
       VectorKernels.adcLookup(codes.asInstanceOf[Array[Byte]], tableConst, stride)
     else
-      VectorKernels.adcLookup(codes.asInstanceOf[Array[Byte]],
-        table.asInstanceOf[ArrayData].toDoubleArray(), stride)
+      VectorKernels.adcLookupIndexed(codes.asInstanceOf[Array[Byte]],
+        table.asInstanceOf[ArrayData], stride)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     if (tableConst != null) {
@@ -311,7 +311,7 @@ case class AdcDistance(left: Expression, right: Expression, stride: Int)
         }""")
     } else {
       nullSafeCodeGen(ctx, ev, (c, t) =>
-        s"${ev.value} = graft.expr.VectorKernels.adcLookup($c, $t.toDoubleArray(), $stride);")
+        s"${ev.value} = graft.expr.VectorKernels.adcLookupIndexed($c, $t, $stride);")
     }
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDistance =

@@ -175,6 +175,25 @@ object VectorKernels {
     acc
   }
 
+  /** ADC over a Catalyst ArrayData table (the batch-search shape: each
+    * query's table rides the broadcast query side as an array column).
+    * Reads only the `codes.length` touched entries in place —
+    * materializing the table per row (`toDoubleArray`) would copy
+    * dims*256 doubles per scanned row. */
+  def adcLookupIndexed(codes: Array[Byte],
+      table: org.apache.spark.sql.catalyst.util.ArrayData, stride: Int): Double = {
+    if (codes.length * stride != table.numElements())
+      throw new IllegalArgumentException(
+        s"ADC shape mismatch: ${codes.length} codes * stride $stride != table ${table.numElements()}")
+    var acc = 0.0
+    var i = 0
+    while (i < codes.length) {
+      acc += table.getDouble(i * stride + (codes(i) & 0xff))
+      i += 1
+    }
+    acc
+  }
+
   // ---- unrolled variants: 4 independent accumulator chains break the
   // FP-add latency dependency (~4x on 384 dims). Summation ORDER differs
   // from the sequential kernels, so these are reserved for internal

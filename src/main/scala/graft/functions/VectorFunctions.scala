@@ -119,6 +119,12 @@ object VectorFunctions {
   def adcDistance(codes: Column, table: Array[Double], stride: Int): Column =
     col2(graft.expr.AdcDistance(expr0(codes), expr0(typedlit(table)), stride))
 
+  /** ADC score against a table COLUMN (array<double>) — the batch-search
+    * shape where each query's table rides the broadcast query side; only
+    * the touched entries are read per row. */
+  def adcDistanceDyn(codes: Column, table: Column, stride: Int): Column =
+    col2(graft.expr.AdcDistance(expr0(codes), expr0(table), stride))
+
   /** A f32 vector literal. */
   def vecLit(v: Array[Float]): Column = typedlit(v)
 }

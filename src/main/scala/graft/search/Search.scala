@@ -243,4 +243,26 @@ object Search {
         score.cast("double").as("score"), dist.cast("double").as("distance"),
         lit(config.metric.name).as("metric"))
   }
+
+  /** Exact batch rerank over (qid, id) candidate pairs — the shared tail
+    * of the quantized batch searches. The survivor set (<= nq *
+    * candidates rows) is BROADCAST back onto the corpus and queries are
+    * broadcast for their vectors, so the corpus vector column never
+    * rides a shuffle; the final per-query top-k is one row_number window
+    * over the bounded survivors. `queries` must carry (qid, qvector)
+    * already normalized. */
+  private[graft] def rerankManyExact(df: DataFrame, config: CollectionConfig,
+      candidates: DataFrame, queries: DataFrame, limit: Int): DataFrame = {
+    val joined = df.select(col("id"), col("value"), col("vector"))
+      .join(broadcast(candidates.select("qid", "id")), Seq("id"))
+      .join(broadcast(queries.select("qid", "qvector")), Seq("qid"))
+      .withColumn("raw", vecDistance(config.metric, col("vector"), col("qvector")))
+      .withColumn("rank", rankCol(config.metric, col("raw")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc_nulls_last, col("id").asc)
+    val (score, dist) = resultValues(config.metric, col("raw"), config.score)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
+      .select(col("qid"), col("id"), col("value"),
+        score.cast("double").as("score"), dist.cast("double").as("distance"),
+        lit(config.metric.name).as("metric"))
+  }
 }
