@@ -378,6 +378,26 @@ object TrainingQueries {
         Seq("score", "distance"))
     }),
 
+    // batch IVF-PQ: FOUR queries answered by one codes-only scan — the
+    // training-pipeline shape (reference's batched-NIF idiom,
+    // nifs.rs:151-175). Per-query probe sets, ADC candidate cuts, and
+    // exact reranks all replicate in the oracle's per-qid windows.
+    "ann_ivfpq_search_many" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val order = col("id").cast("long")
+      val cents = IvfIndex.trainOrdered(coll, config,
+        IvfIndex.IvfConfig(k = 8, iterations = 3), order)
+      val cb = Pq.trainOrdered(coll, config,
+        Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256), order)
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("string").as("qid"),
+          col("embedding").as("qvector"))
+      roundCols(graft.ann.IvfPq.searchMany(coll, config, cents, cb, qs, 10,
+        nprobe = 2, candidates = 50), Seq("score", "distance"))
+    }),
+
     // ---- multimodal plumbing (deterministic stub codec)
     "mm_decode_meta" -> ((s, dir) => {
       val media = Multimodal.documentsAsMedia(
@@ -812,6 +832,43 @@ object TrainingQueries {
          WHERE ${kmAssign("n.v", "icb.c")} IN (SELECT cell FROM probes)),
        ${pqAdcTail("incell")}"""
 
+  /** Batch IVF-PQ: same k-means CTEs, but the probe/ADC/rerank tail is
+    * keyed by qid — the global ORDER BY ... LIMIT cuts become per-qid
+    * row_number windows, mirroring the engine's WindowGroupLimit path
+    * (IvfPq.searchMany). */
+  private val ivfPqSearchManyOracle = {
+    val sliceN = "r.v[(qs.sub*(len(r.v)//4)+1):((qs.sub+1)*(len(r.v)//4))]"
+    s"""WITH RECURSIVE
+       n AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, embedding AS v FROM embeddings),
+       $ivfKmeansCtes,
+       ${pqKmeansCtes("n")},
+       q AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qraw FROM embeddings WHERE vec_id < 4),
+       probes AS (SELECT qid, cell FROM (
+           SELECT q.qid, k - 1 AS cell,
+             row_number() OVER (PARTITION BY q.qid ORDER BY ${kmL2("q.qraw", "icb.c[k]")} ASC, k ASC) AS rn
+           FROM (SELECT unnest(range(1, 9)) AS k), icb, q)
+         WHERE rn <= 2),
+       ncell AS MATERIALIZED (SELECT n.id, n.v, ${kmAssign("n.v", "icb.c")} AS cell FROM n, icb),
+       incell AS (SELECT p.qid, nc.id, nc.v FROM ncell nc JOIN probes p ON nc.cell = p.cell),
+       qs AS (SELECT q.qid, cb.sub, q.qraw[(cb.sub*(len(q.qraw)//4)+1):((cb.sub+1)*(len(q.qraw)//4))] AS qsv, cb.c FROM cb, q),
+       rowsub AS (SELECT r.qid, r.id, qs.sub, qs.qsv, qs.c,
+           ${kmAssign(sliceN, "qs.c")} AS code
+         FROM incell r JOIN qs ON qs.qid = r.qid),
+       adc AS (SELECT r.qid, r.id, list_sum(list(${kmL2("r.qsv", "r.c[r.code+1]")} ORDER BY r.sub)) AS approx
+          FROM rowsub r GROUP BY r.qid, r.id),
+       cand AS (SELECT qid, id FROM (
+           SELECT a.qid, a.id,
+             row_number() OVER (PARTITION BY a.qid ORDER BY a.approx ASC, a.id ASC) AS rn
+           FROM adc a)
+         WHERE rn <= 50),
+       fin AS (SELECT c.qid, c.id, sqrt(${kmL2("n.v", "q.qraw")}) AS raw
+         FROM cand c JOIN n ON n.id = c.id JOIN q ON q.qid = c.qid),
+       rk AS (SELECT qid, id, raw,
+           row_number() OVER (PARTITION BY qid ORDER BY raw ASC, id ASC) AS rn FROM fin)
+       SELECT qid, id, id AS value, (round(-raw,6)+0) AS score, (round(raw,6)+0) AS distance, 'l2' AS metric
+       FROM rk WHERE rn <= 10"""
+  }
+
   /** FAISS-style residual IVF-PQ: cells from the coarse quantizer, PQ
     * codebooks trained on (v - centroid[cell]) residuals, each probed
     * cell scored against its own query-residual ADC table — mirrors
@@ -854,6 +911,7 @@ object TrainingQueries {
     "ann_sq8_topk" -> sq8Oracle,
     "ann_pq_topk" -> pqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
+    "ann_ivfpq_search_many" -> ivfPqSearchManyOracle,
     "ann_ivfpq_partitioned_topk" -> ivfPqOracle,
     "ann_ivfpq_residual_topk" -> ivfPqResidualOracle,
     "ann_lsh_topk" -> lshOracle,

@@ -150,6 +150,6 @@ object Pq {
     val w = Window.partitionBy(col("qid")).orderBy(col("arank").asc_nulls_last, col("id").asc)
     val cands = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= effCand).select("qid", "id")
-    Search.rerankManyExact(df, config, cands, qNorm, limit)
+    Search.rerankManyExact(df, config, cands, qNorm, limit, effCand)
   }
 }

@@ -207,7 +207,9 @@ final class GraftDb(val spark: SparkSession) {
 
   /** Batch search: one scan answers every query. Routes by index like
     * [[search]] — flat scores all rows, lsh joins on exploded band keys,
-    * ivf joins on probed cells. Queries are (qid, qvector) rows. */
+    * ivf joins on probed cells, sq8/pq/ivfpq broadcast per-query ADC
+    * tables over a codes-only scan (the reference's batched-NIF idiom,
+    * nifs.rs:151-175). Queries are (qid, qvector) rows. */
   def searchMany(name: String, queries: DataFrame, limit: Int): DataFrame = {
     val (df, config) = collection(name)
     config.index match {
@@ -219,6 +221,29 @@ final class GraftDb(val spark: SparkSession) {
         val cents = ivfCache.getOrElseUpdate(name,
           graft.ann.IvfIndex.train(df, config, ivfCfg))
         graft.ann.IvfIndex.searchMany(df, config, cents, queries, limit, ivfCfg.nprobe)
+      case "sq8" =>
+        val (model, coded) = sq8Cache.getOrElseUpdate(name, {
+          val m = graft.ann.Sq8.train(df)
+          (m, graft.ann.Sq8.withCodes(df, m).persist())
+        })
+        graft.ann.Sq8.searchMany(coded, config, model, queries, limit)
+      case "pq" =>
+        val (cb, coded) = pqCache.getOrElseUpdate(name, {
+          val c = graft.ann.Pq.trainOrdered(df, config, pqConfigFor(config), col("id"))
+          (c, graft.ann.Pq.withCodes(df, c).persist())
+        })
+        graft.ann.Pq.searchMany(coded, config, cb, queries, limit)
+      case "ivfpq" =>
+        val ivfCfg = graft.ann.IvfIndex.IvfConfig()
+        val cents = ivfCache.getOrElseUpdate(name,
+          graft.ann.IvfIndex.train(df, config, ivfCfg))
+        val (cb, _) = pqCache.getOrElseUpdate(name, {
+          val c = graft.ann.Pq.trainOrdered(df, config, pqConfigFor(config), col("id"))
+          (c, null)
+        })
+        val prepared = ivfPqCache.getOrElseUpdate(name,
+          graft.ann.IvfPq.prepare(df, cents, cb).persist())
+        graft.ann.IvfPq.searchMany(prepared, config, cents, cb, queries, limit, ivfCfg.nprobe)
       case _ => Search.flatSearchMany(df, config, queries, limit)
     }
   }

@@ -245,17 +245,30 @@ object Search {
   }
 
   /** Exact batch rerank over (qid, id) candidate pairs — the shared tail
-    * of the quantized batch searches. The survivor set (<= nq *
-    * candidates rows) is BROADCAST back onto the corpus and queries are
-    * broadcast for their vectors, so the corpus vector column never
-    * rides a shuffle; the final per-query top-k is one row_number window
-    * over the bounded survivors. `queries` must carry (qid, qvector)
-    * already normalized. */
+    * of the quantized batch searches. For bounded batches the survivor
+    * set (<= nq * candidates rows) is BROADCAST back onto the corpus and
+    * queries are broadcast for their vectors, so the corpus vector column
+    * never rides a shuffle; the final per-query top-k is one row_number
+    * window over the bounded survivors. A 1M-query batch at
+    * candidates=100 would be a 100M-row broadcast, so when the caller's
+    * `perQueryBound` (candidates per query) times the query count exceeds
+    * `spark.graft.rerank.broadcastMaxRows` (default 4M) the survivor and
+    * query joins fall back to shuffle hash joins instead — same rows,
+    * bounded memory. `queries` must carry (qid, qvector) already
+    * normalized. */
   private[graft] def rerankManyExact(df: DataFrame, config: CollectionConfig,
-      candidates: DataFrame, queries: DataFrame, limit: Int): DataFrame = {
+      candidates: DataFrame, queries: DataFrame, limit: Int,
+      perQueryBound: Int = 0): DataFrame = {
+    val maxBroadcast = df.sparkSession.conf
+      .getOption("spark.graft.rerank.broadcastMaxRows").map(_.toLong)
+      .getOrElse(4000000L)
+    // query-side count is a tiny job (nq rows); the corpus is untouched
+    val bound = if (perQueryBound > 0) queries.count() * perQueryBound else -1L
+    val hint: DataFrame => DataFrame =
+      if (bound < 0 || bound <= maxBroadcast) broadcast(_) else identity
     val joined = df.select(col("id"), col("value"), col("vector"))
-      .join(broadcast(candidates.select("qid", "id")), Seq("id"))
-      .join(broadcast(queries.select("qid", "qvector")), Seq("qid"))
+      .join(hint(candidates.select("qid", "id")), Seq("id"))
+      .join(hint(queries.select("qid", "qvector")), Seq("qid"))
       .withColumn("raw", vecDistance(config.metric, col("vector"), col("qvector")))
       .withColumn("rank", rankCol(config.metric, col("raw")))
     val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc_nulls_last, col("id").asc)

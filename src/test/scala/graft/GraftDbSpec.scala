@@ -100,7 +100,7 @@ class GraftDbSpec extends SparkSpec {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
-    for (idx <- Seq("flat", "lsh", "ivf")) {
+    for (idx <- Seq("flat", "lsh", "ivf", "sq8", "pq", "ivfpq")) {
       val batchTop = db.searchMany(s"c_$idx", queries, 3)
         .orderBy(col("distance").asc, col("id").asc)
         .collect().map(_.getAs[String]("id"))

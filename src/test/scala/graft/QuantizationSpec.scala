@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
 import graft.ann.{Pq, Sq8}
@@ -167,6 +168,60 @@ class QuantizationSpec extends SparkSpec {
     assert(err(resCb, residual = true) < err(rawCb, residual = false),
       "residual quantization error should be below raw-vector error")
     coll.unpersist()
+  }
+
+  test("sq8/pq/ivf-pq batch searchMany equals per-query search") {
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val order = col("id").cast("long")
+    val sq8Model = Sq8.train(coll)
+    val sq8Coded = Sq8.withCodes(coll, sq8Model).cache()
+    val pqCfg = Pq.PqConfig(m = 8, k = 16, iterations = 3, sampleSize = 256)
+    val cb = Pq.trainOrdered(coll, config, pqCfg, order)
+    val pqCoded = Pq.withCodes(coll, cb).cache()
+    val cents = graft.ann.IvfIndex.trainOrdered(coll, config,
+      graft.ann.IvfIndex.IvfConfig(k = 8, iterations = 3), order)
+    val prepared = graft.ann.IvfPq.prepare(coll, cents, cb).cache()
+    val qids = 0L until 4L
+    val queries = spark.createDataFrame(
+      java.util.Arrays.asList(qids.map(i => org.apache.spark.sql.Row(
+        i.toString, Tables.queryVector(spark, sfDir, i).toSeq)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("qvector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val families = Seq[(String, DataFrame => DataFrame, (Array[Float], Int) => DataFrame)](
+      ("sq8", qs => Sq8.searchMany(sq8Coded, config, sq8Model, qs, 5),
+        (q, k) => Sq8.search(sq8Coded, config, sq8Model, q, k)),
+      ("pq", qs => Pq.searchMany(pqCoded, config, cb, qs, 5),
+        (q, k) => Pq.search(pqCoded, config, cb, q, k)),
+      ("ivfpq", qs => graft.ann.IvfPq.searchMany(prepared, config, cents, cb, qs, 5, nprobe = 3),
+        (q, k) => graft.ann.IvfPq.search(prepared, config, cents, cb, q, k, nprobe = 3)))
+    for ((fam, many, single) <- families) {
+      val batch = many(queries).collect().groupBy(_.getString(0))
+      qids.foreach { i =>
+        val s = single(Tables.queryVector(spark, sfDir, i), 5).collect()
+        val got = batch(i.toString).sortBy(r => (r.getDouble(4), r.getString(1)))
+        assert(got.map(_.getString(1)).toSeq === s.map(_.getString(0)).toSeq,
+          s"$fam qid $i ids")
+        assert(got.map(_.getDouble(3)).toSeq === s.map(_.getDouble(2)).toSeq,
+          s"$fam qid $i scores")
+      }
+    }
+    // shuffle fallback (broadcastMaxRows = 1) returns the same rows
+    spark.conf.set("spark.graft.rerank.broadcastMaxRows", "1")
+    try {
+      val viaShuffle = Sq8.searchMany(sq8Coded, config, sq8Model, queries, 5)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3))).sorted
+      spark.conf.unset("spark.graft.rerank.broadcastMaxRows")
+      val viaBroadcast = Sq8.searchMany(sq8Coded, config, sq8Model, queries, 5)
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(3))).sorted
+      assert(viaShuffle.toSeq === viaBroadcast.toSeq)
+    } finally spark.conf.unset("spark.graft.rerank.broadcastMaxRows")
+    prepared.unpersist(); pqCoded.unpersist(); sq8Coded.unpersist(); coll.unpersist()
   }
 
   test("sq8/pq reject dimension mismatches and bad configs") {

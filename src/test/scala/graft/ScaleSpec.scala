@@ -144,6 +144,25 @@ class ScaleSpec extends SparkSpec {
     assert(afterC === beforeC)
   }
 
+  test("quantized batch search plan: broadcast query side, map-side window pre-cut") {
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+    val model = graft.ann.Sq8.train(coll)
+    val coded = graft.ann.Sq8.withCodes(coll, model)
+    val qs = Tables.read(spark, sfDir, "embeddings").filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+    val plan = graft.ann.Sq8.searchMany(coded, config, model, qs, 5)
+      .queryExecution.executedPlan.toString
+    // queries ride a broadcast (no shuffle of the corpus against them)
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"no broadcast join in plan:\n$plan")
+    // the per-query candidate cut pre-cuts map-side BEFORE the exchange
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in plan:\n$plan")
+    assert(plan.contains("Partial"), s"no partial (map-side) group limit in plan:\n$plan")
+  }
+
   test("salted aggregation is exact under skew") {
     val df = (Seq.fill(5000)("hot") ++ (1 to 100).map(i => s"k$i"))
       .zipWithIndex.map { case (k, i) => (k, i.toDouble) }.toDF("key", "v")
