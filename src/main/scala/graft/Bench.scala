@@ -413,20 +413,46 @@ object Bench {
       f"${scaleN / results("scale5x_pq_adc_topk") / 1e6}%.1f Mrows/s")
     }
 
-    // ----- family 2: every driver query once at the given SF
+    // ----- family 2: every driver query at the given SF, warmup + median
+    // of 3 (a single cold shot is machine-load noise, not a regression
+    // signal — cross-round deltas up to 14x were observed on byte-
+    // identical code with the old one-shot scheme)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => Only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
-        try results(s"q_$name") = time { fn(spark, sfDir).count() }
+        try results(s"q_$name") = bench { fn(spark, sfDir).count() }
         catch { case _: Throwable => results(s"q_$name") = -1.0 }
       }
+
+    // ----- scale curve: the same q_* family at a SECOND scale factor in
+    // the same session, so scale-up claims ride a curve, not a point.
+    // Defaults to the sibling sf0.01 when benching sf0.1; disable with
+    // GRAFT_BENCH_ALT_SF_DIR=none.
+    val altSfDir = sys.env.get("GRAFT_BENCH_ALT_SF_DIR").filter(_ != "none")
+      .orElse(if (sfDir.endsWith("sf0.1")) Some(sfDir.stripSuffix("sf0.1") + "sf0.01") else Option.empty[String])
+      .filter(d => d != sfDir && new java.io.File(d).isDirectory)
+    altSfDir.foreach { alt =>
+      SparkEntry.queries.toSeq.sortBy(_._1)
+        .filter { case (name, _) => Only.forall(_.exists(name.contains)) }
+        .foreach { case (name, fn) =>
+          try results(s"qalt_$name") = bench { fn(spark, alt).count() }
+          catch { case _: Throwable => results(s"qalt_$name") = -1.0 }
+        }
+    }
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val ql = quality.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"quality":$ql,"sf":"$sfDir","synth_records":$SynthRecords,"synth_dims":$SynthDims}""")
+    val altField = altSfDir.map(d => s""","alt_sf":"$d"""").getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"quality":$ql,"sf":"$sfDir"$altField,"synth_records":$SynthRecords,"synth_dims":$SynthDims}"""
+    // the driver persists only a tail of stdout, so the FULL line is also
+    // written to a file (committed with the round snapshot)
+    val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_FULL_latest.json")
+    try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
+    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    println(line)
     spark.stop()
   }
 }
