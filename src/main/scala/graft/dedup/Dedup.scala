@@ -55,22 +55,64 @@ object Dedup {
 
   // ----------------------------------------------------------- MinHash
 
-  /** MinHash+LSH candidate pairs: signature -> band keys -> self-join on
-    * band key (a<b), distinct. The only shuffled payload is
-    * (band_hash, id). */
-  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: Column,
+  /** Default hot-band cap: a band with more members than this is skipped
+    * by candidate generation (see [[dropHotBands]]). 10k members is
+    * already 50M pairs from ONE band — past it the band is boilerplate
+    * (empty text, zero vectors, template pages), not near-duplication
+    * signal, and exact verification of c^2/2 pairs would stall the
+    * stage. */
+  val DefaultMaxBandSize = 10000
+
+  /** Hot-band guard: a degenerate band with c members emits c^2/2
+    * candidate pairs from the self-join, so one boilerplate mega-band on
+    * a web corpus turns a banded O(n) plan into an all-pairs stall. Rows
+    * in bands with more than `cap` members are excluded BEFORE the join;
+    * the membership count rides one window over the band key — the same
+    * shuffle the self-join needs anyway. `cap <= 0` disables the guard.
+    * Use the `*HotBands` audits for a (band, members) side output of
+    * what a cap would skip. */
+  private def dropHotBands(exploded: DataFrame, cap: Int): DataFrame =
+    if (cap <= 0) exploded
+    else exploded
+      .withColumn("_bc", count(lit(1)).over(Window.partitionBy("band")))
+      .filter(col("_bc") <= cap).drop("_bc")
+
+  /** (band, members) for bands over `cap` — the skipped-bands side
+    * output to pair with a capped candidate run. */
+  private def hotBands(exploded: DataFrame, cap: Int): DataFrame =
+    exploded.groupBy("band").agg(count(lit(1)).as("members"))
+      .filter(col("members") > cap)
+
+  private def minhashBanded(df: DataFrame, idCol: String, textCol: Column,
       k: Int, numHashes: Int, bands: Int): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // Fused band-key expression: one opaque node, so no optimizer
     // re-expansion of the shingle subtree and no lineage barrier
-    val sig = df.select(col(idCol).as("id"),
-      TextAnalysis.minhashBandKeys(textCol, k, numHashes, bands).as("bands"))
-    val exploded = sig.select(col("id"), explode(col("bands")).as("band"))
+    df.select(col(idCol).as("id"),
+        TextAnalysis.minhashBandKeys(textCol, k, numHashes, bands).as("bands"))
+      .select(col("id"), explode(col("bands")).as("band"))
+  }
+
+  /** MinHash+LSH candidate pairs: signature -> band keys -> self-join on
+    * band key (a<b), distinct. The only shuffled payload is
+    * (band_hash, id); bands over `maxBandSize` members are skipped (see
+    * [[dropHotBands]], audit with [[minhashHotBands]]). */
+  def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: Column,
+      k: Int, numHashes: Int, bands: Int,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    val exploded = dropHotBands(
+      minhashBanded(df, idCol, textCol, k, numHashes, bands), maxBandSize)
     val a = exploded.select(col("band"), col("id").as("id_a"))
     val b = exploded.select(col("band"), col("id").as("id_b"))
     a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b").distinct()
   }
+
+  /** Skipped-bands audit for [[minhashCandidatePairs]]. */
+  def minhashHotBands(df: DataFrame, idCol: String, textCol: Column,
+      k: Int, numHashes: Int, bands: Int,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame =
+    hotBands(minhashBanded(df, idCol, textCol, k, numHashes, bands), maxBandSize)
 
   /** MinHash dedup: LSH candidates verified by exact shingle Jaccard at
     * `threshold`. Returns (id_a, id_b, jaccard) for verified pairs. */
@@ -154,16 +196,19 @@ object Dedup {
 
   // ----------------------------------------------------------- SimHash
 
+  private def simhashBanded(df: DataFrame, idCol: String, textCol: Column): DataFrame =
+    df.select(col(idCol).as("id"), TextAnalysis.simhash64(textCol).as("sh"))
+      .withColumn("band",
+        explode(array((0 until 4).map(b =>
+          concat(lit(s"$b:"), shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)))): _*)))
+
   /** SimHash near-dup pairs: candidates share one of 4 16-bit bands of
     * the 64-bit simhash (guarantees recall for hamming <= 3), verified by
-    * popcount(xor) <= maxHamming. */
+    * popcount(xor) <= maxHamming. Bands over `maxBandSize` members are
+    * skipped (see [[dropHotBands]], audit with [[simhashHotBands]]). */
   def simhashPairs(df: DataFrame, idCol: String, textCol: Column,
-      maxHamming: Int): DataFrame = {
-    val withSh = df.select(col(idCol).as("id"),
-      TextAnalysis.simhash64(textCol).as("sh"))
-    val banded = withSh.withColumn("band",
-      explode(array((0 until 4).map(b =>
-        concat(lit(s"$b:"), shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)))): _*)))
+      maxHamming: Int, maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    val banded = dropHotBands(simhashBanded(df, idCol, textCol), maxBandSize)
     val a = banded.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
     val b = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
     a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
@@ -172,6 +217,11 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Skipped-bands audit for [[simhashPairs]]. */
+  def simhashHotBands(df: DataFrame, idCol: String, textCol: Column,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame =
+    hotBands(simhashBanded(df, idCol, textCol).select("id", "band"), maxBandSize)
 
   // --------------------------------------------------------- streaming
 
@@ -244,9 +294,12 @@ object Dedup {
 
   /** Embedding near-dup pairs via cosine LSH banding + exact cosine
     * verification. `df` needs (id, vector); vectors are L2-normalized
-    * here so verification is a plain dot. */
+    * here so verification is a plain dot. Bands over `maxBandSize`
+    * members (e.g. a zero-vector bucket) are skipped (see
+    * [[dropHotBands]], audit with [[embeddingHotBands]]). */
   def embeddingPairs(df: DataFrame, idCol: String, vectorCol: String,
-      lsh: CosineLsh.LshConfig, threshold: Double): DataFrame = {
+      lsh: CosineLsh.LshConfig, threshold: Double,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
     val n = df.select(col(idCol).as("id"),
       normalizeVector(graft.core.Normalize.L2, col(vectorCol)).as("nv"))
       .localCheckpoint()
@@ -256,8 +309,8 @@ object Dedup {
     // multiplies the shuffle by ~1000x at 384 dims (measured 4s -> 0.9s
     // on 2k x 384 at the gate shape). Vectors are attached AFTER the
     // distinct, by id joins against the small normalized frame.
-    val banded = CosineLsh.withSignatures(n, lsh, "nv")
-      .select(col("id"), explode(col("lsh_bands")).as("band"))
+    val banded = dropHotBands(CosineLsh.withSignatures(n, lsh, "nv")
+      .select(col("id"), explode(col("lsh_bands")).as("band")), maxBandSize)
     val a = banded.select(col("band"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("id").as("id_b"))
     val cands = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
@@ -268,6 +321,16 @@ object Dedup {
       .withColumn("cosine", vecDistance(Metric.InnerProduct, col("nv_a"), col("nv_b")))
       .filter(col("cosine") >= threshold)
       .select("id_a", "id_b", "cosine")
+  }
+
+  /** Skipped-bands audit for [[embeddingPairs]]. */
+  def embeddingHotBands(df: DataFrame, idCol: String, vectorCol: String,
+      lsh: CosineLsh.LshConfig,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    val n = df.select(col(idCol).as("id"),
+      normalizeVector(graft.core.Normalize.L2, col(vectorCol)).as("nv"))
+    hotBands(CosineLsh.withSignatures(n, lsh, "nv")
+      .select(col("id"), explode(col("lsh_bands")).as("band")), maxBandSize)
   }
 
   /** Exact all-pairs cosine for a small frame (verification oracle). */

@@ -88,6 +88,55 @@ class PipelineSpec extends SparkSpec {
     assert(!pairs.exists(p => p._1 == "d3" || p._2 == "d3"))
   }
 
+  test("hot-band guard: a 10k-member mega-band is skipped, planted near-dups survive") {
+    // 10,001 copies of the same boilerplate share every minhash band —
+    // unguarded, that one band alone emits ~50M candidate pairs. The
+    // guard must drop it while still pairing the planted near-dups.
+    val boiler = "copyright footer all rights reserved contact us terms of service"
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val rows = (0 until 10001).map(i => (f"b$i%05d", boiler)) ++
+      Seq(("d1", base), ("d2", base + " tailtoken"),
+        ("d3", (100 to 140).map(i => s"tok$i").mkString(" ")))
+    val df = rows.toDF("id", "text").repartition(8)
+    val pairs = Dedup.minhashCandidatePairs(df, "id", col("text"), 3, 8, 4)
+      .collect().map(r => (r.getString(0), r.getString(1)))
+    assert(pairs.toSeq.contains(("d1", "d2")))
+    // nothing from the mega-band: its pairs would be b*-b* combinations
+    assert(!pairs.exists(p => p._1.startsWith("b") && p._2.startsWith("b")))
+    // the audit reports the skipped bands with their true member count
+    val hot = Dedup.minhashHotBands(df, "id", col("text"), 3, 8, 4)
+      .collect().map(_.getLong(1))
+    assert(hot.nonEmpty && hot.forall(_ === 10001L))
+    // cap <= 0 disables the guard (small corpus: identical results)
+    val small = rows.takeRight(3).toDF("id", "text")
+    val guarded = Dedup.minhashCandidatePairs(small, "id", col("text"), 3, 8, 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val unguarded = Dedup.minhashCandidatePairs(small, "id", col("text"), 3, 8, 4,
+      maxBandSize = 0).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(guarded === unguarded)
+    // embedding variant: a zero-vector bucket over the cap is skipped,
+    // real near-dup embeddings still verify (shared guard, small cap)
+    val zeros = (0 until 100).map(i => (f"z$i%03d", Array.fill(8)(0f)))
+    val nears = Seq(("e1", Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      ("e2", Array(0.99f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f)))
+    val edf = (zeros ++ nears).toDF("id", "vector")
+    val epairs = Dedup.embeddingPairs(edf, "id", "vector",
+      CosineLsh.LshConfig(bands = 4, bitsPerBand = 6), threshold = 0.9,
+      maxBandSize = 50).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(epairs.toSeq === Seq(("e1", "e2")))
+    val ehot = Dedup.embeddingHotBands(edf, "id", "vector",
+      CosineLsh.LshConfig(bands = 4, bitsPerBand = 6), maxBandSize = 50)
+      .collect()
+    assert(ehot.nonEmpty)
+    // simhash variant: identical boilerplate texts over the cap skipped
+    val sdf = ((0 until 60).map(i => (f"s$i%02d", boiler)) ++
+      Seq(("t1", base), ("t2", base + " x"))).toDF("id", "text")
+    val spairs = Dedup.simhashPairs(sdf, "id", col("text"), maxHamming = 6,
+      maxBandSize = 50).collect().map(r => (r.getString(0), r.getString(1)))
+    assert(spairs.contains(("t1", "t2")))
+    assert(!spairs.exists(p => p._1.startsWith("s") && p._2.startsWith("s")))
+  }
+
   test("clusters: min-label propagation merges transitive groups") {
     val df = Seq("a", "b", "c", "d", "e").toDF("id")
     val pairs = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("id_a", "id_b")
