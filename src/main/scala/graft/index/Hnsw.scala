@@ -334,11 +334,32 @@ object Hnsw {
     override def compare(that: Reverse): Int = that.s.compareTo(s)
   }
 
+  /** Hard cap on driver-side graph builds. HNSW insertion is sequential
+    * by design (the reference rebuilds the graph in one process too), so
+    * [[build]] collects the collection to the driver — fine up to ~1M
+    * rows, an OOM past it. Configurable via
+    * `spark.graft.hnsw.maxBuildRows`. */
+  val DefaultMaxBuildRows = 1000000L
+
   /** Build from a canonical collection frame: rows collected to the
     * driver SORTED BY ID (the reference's rebuild order) — insertion
-    * order is part of graph determinism. */
+    * order is part of graph determinism.
+    *
+    * Guarded: refuses collections over `spark.graft.hnsw.maxBuildRows`
+    * (default 1M) — at that scale use the distributed quantized family
+    * (ivf / ivfpq / partitioned ivfpq) instead of a driver-resident
+    * graph. The count is one cheap aggregate before the collect. */
   def build(df: DataFrame, config: CollectionConfig,
       params: Params = Params()): Hnsw = {
+    val cap = df.sparkSession.conf
+      .getOption("spark.graft.hnsw.maxBuildRows").map(_.toLong)
+      .getOrElse(DefaultMaxBuildRows)
+    val n = df.count()
+    require(n <= cap,
+      s"hnsw build collects rows to the driver: $n rows exceeds the " +
+      s"$cap cap (spark.graft.hnsw.maxBuildRows). At this scale use a " +
+      "distributed index instead: index=\"ivfpq\" (cell-partitioned " +
+      "ADC) or index=\"ivf\".")
     val g = new Hnsw(config.metric, params)
     val rows = df.select(df.col("id").cast(StringType),
         df.col("vector").cast(ArrayType(FloatType)))

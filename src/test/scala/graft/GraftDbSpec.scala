@@ -109,6 +109,22 @@ class GraftDbSpec extends SparkSpec {
     }
   }
 
+  test("hnsw driver build refuses collections over the row cap, points at ivfpq") {
+    val db = new GraftDb(spark)
+    db.createCollection("capped", 3, metric = "l2", index = "hnsw")
+    db.batch("capped", (0 until 20).map(i =>
+      db.EmbeddingInput(id = f"v$i%02d", vector = Array(i.toFloat, 0f, 0f))))
+    spark.conf.set("spark.graft.hnsw.maxBuildRows", "10")
+    try {
+      val e = intercept[IllegalArgumentException] {
+        db.search("capped", Array(1f, 0f, 0f), 3)
+      }
+      assert(e.getMessage.contains("ivfpq"))
+    } finally spark.conf.unset("spark.graft.hnsw.maxBuildRows")
+    // under the cap the same collection builds and searches fine
+    assert(db.search("capped", Array(1f, 0f, 0f), 1).head.getString(0) === "v01")
+  }
+
   test("hybrid and rerank through the facade") {
     val db = new GraftDb(spark)
     db.createCollection("h", 3, metric = "l2", score = "raw")
