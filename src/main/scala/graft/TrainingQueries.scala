@@ -398,18 +398,17 @@ object TrainingQueries {
         nprobe = 2, candidates = 50), Seq("score", "distance"))
     }),
 
-    // ---- multimodal plumbing (deterministic stub codec)
+    // ---- multimodal: REAL image decode (javax.imageio) over PNG fixtures
+    // generated from known pixels — the oracle replicates the fixture
+    // arithmetic (two-tone image: left ceil(w/2) columns the doc_id-derived
+    // RGB, rest black), so a hash match proves the codec actually read the
+    // header AND traversed the pixels.
     "mm_decode_meta" -> ((s, dir) => {
-      val media = Multimodal.documentsAsMedia(
-        Tables.read(s, dir, "documents").filter(col("doc_id") < 100))
-      val dec = Multimodal.decodeImages(media, "payload", batchSize = 32)
-      roundCols(dec.select(col("doc_id"), col("width"), col("height"),
-        col("channels"), col("n_bytes"),
-        element_at(col("features"), 1).cast("double").as("f0"),
-        element_at(col("features"), 2).cast("double").as("f1"),
-        element_at(col("features"), 3).cast("double").as("f2"),
-        element_at(col("features"), 4).cast("double").as("f3")),
-        Seq("f0", "f1", "f2", "f3"))
+      val docs = Tables.read(s, dir, "documents").filter(col("doc_id") < 100)
+      val media = Multimodal.pngFixtures(docs, batchSize = 32)
+      val dec = Multimodal.decodeImagesReal(media, "payload", batchSize = 32)
+      dec.select(col("doc_id"), col("width"), col("height"),
+        col("channels"), col("sum_r"), col("sum_g"), col("sum_b"))
     }),
 
     // ---- event streams
@@ -1140,19 +1139,16 @@ object TrainingQueries {
          SELECT id_a, id_b, (round(cosine, 6) + 0) AS cosine FROM p WHERE cosine >= 0.35 ORDER BY id_a, id_b""",
 
     "mm_decode_meta" ->
-      s"""WITH m AS (SELECT doc_id, octet_length(encode(text)) AS n, md5(text) AS h FROM documents WHERE doc_id < 100),
-         f AS (SELECT doc_id, n, h,
-           list_transform(range(0, 4), i ->
-             (16 * (strpos('0123456789abcdef', substr(h, 2*i + 1, 1)) - 1)
-              + (strpos('0123456789abcdef', substr(h, 2*i + 2, 1)) - 1)) / 255.0) AS fs
-           FROM m)
-         SELECT doc_id, CAST(64 + n % 448 AS INT) AS width, CAST(64 + (n * 7) % 448 AS INT) AS height,
-           3 AS channels, CAST(n AS BIGINT) AS n_bytes,
-           (round(CAST(CAST(fs[1] AS FLOAT) AS DOUBLE), 6) + 0) AS f0,
-           (round(CAST(CAST(fs[2] AS FLOAT) AS DOUBLE), 6) + 0) AS f1,
-           (round(CAST(CAST(fs[3] AS FLOAT) AS DOUBLE), 6) + 0) AS f2,
-           (round(CAST(CAST(fs[4] AS FLOAT) AS DOUBLE), 6) + 0) AS f3
-         FROM f ORDER BY doc_id""",
+      s"""WITH spec AS (SELECT doc_id,
+           CAST(8 + doc_id % 24 AS INT) AS width,
+           CAST(8 + (doc_id * 3) % 24 AS INT) AS height,
+           (doc_id * 31) % 256 AS r, (doc_id * 67) % 256 AS g, (doc_id * 101) % 256 AS b
+         FROM documents WHERE doc_id < 100)
+         SELECT doc_id, width, height, CAST(3 AS INT) AS channels,
+           CAST(r * height * ((width + 1) // 2) AS BIGINT) AS sum_r,
+           CAST(g * height * ((width + 1) // 2) AS BIGINT) AS sum_g,
+           CAST(b * height * ((width + 1) // 2) AS BIGINT) AS sum_b
+         FROM spec ORDER BY doc_id""",
 
     "events_windowed" ->
       s"""WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value FROM events)

@@ -1,5 +1,10 @@
 package graft.multimodal
 
+import java.awt.image.BufferedImage
+import java.io.{ByteArrayInputStream, ByteArrayOutputStream}
+
+import javax.imageio.ImageIO
+
 import org.apache.spark.sql.{DataFrame, Row}
 import org.apache.spark.sql.catalyst.encoders.RowEncoder
 import org.apache.spark.sql.functions._
@@ -10,12 +15,13 @@ import org.apache.spark.sql.types._
   *
   * The Spark side — schema, partitioning, batch shape (fixed-size chunks
   * inside mapPartitions, the same contract as `mapInPandas` batches) — is
-  * real and tested. The codec itself is a clearly-marked deterministic
-  * STUB (`decodeImageStub`): this container has no image/audio libraries,
-  * so the stub derives metadata and an 8-dim feature vector from the
-  * bytes (md5-based) with arithmetic simple enough to mirror in the SQL
-  * oracle. Swapping in a real codec changes ONLY the stub body; every
-  * schema/batching/partitioning decision stays.
+  * real and tested. IMAGE decode is REAL (`decodeImageReal`, javax.imageio
+  * from the JDK: PNG/BMP/GIF/JPEG headers + pixel traversal). Audio decode
+  * and video frame sampling remain clearly-marked deterministic STUBs
+  * (no audio/video codec ships in the JDK); swapping in a real codec
+  * changes only the stub body — every schema/batching/partitioning
+  * decision stays. The md5 image stub is kept alongside for payloads that
+  * are not real images (e.g. [[documentsAsMedia]] text bytes).
   */
 object Multimodal {
 
@@ -54,6 +60,112 @@ object Multimodal {
         batch.map { row =>
           val decoded = decodeImageStub(row.getAs[Array[Byte]](payloadIdx))
           Row.fromSeq(row.toSeq ++ decoded.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  // ---- real image decode (javax.imageio — ships in the JDK, no external
+  // library). PNG/BMP/GIF/JPEG all route through the same ImageIO reader;
+  // the batched mapPartitions shape is identical to the stub path above.
+
+  val decodedRealSchema: StructType = StructType(Seq(
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_bytes", LongType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** Real image decode: true width/height/channels from the codec header
+    * plus exact per-channel pixel sums (integers, so the SQL oracle can
+    * replicate them bit-for-bit on fixtures with known pixels). */
+  def decodeImageReal(payload: Array[Byte]): Row = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val w = img.getWidth
+    val h = img.getHeight
+    val channels = img.getRaster.getNumBands
+    var sumR = 0L; var sumG = 0L; var sumB = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val rgb = img.getRGB(x, y) // exact for 8-bit sRGB sources (PNG/BMP)
+        sumR += (rgb >> 16) & 0xFF
+        sumG += (rgb >> 8) & 0xFF
+        sumB += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    Row(w, h, channels, payload.length.toLong, sumR, sumG, sumB)
+  }
+
+  /** Decode a binary image column with the REAL codec in partition-local
+    * batches — same batch contract as [[decodeImages]]. Appends
+    * width/height/channels/n_bytes plus exact per-channel pixel sums. */
+  def decodeImagesReal(df: DataFrame, payloadCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val inputSchema = df.schema
+    val outSchema = StructType(inputSchema.fields ++ decodedRealSchema.fields)
+    val payloadIdx = inputSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val decoded = decodeImageReal(row.getAs[Array[Byte]](payloadIdx))
+          Row.fromSeq(row.toSeq ++ decoded.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic PNG fixture spec for `docId`: (width, height, r, g, b).
+    * The encoded image is two-tone — the left ceil(width/2) columns are
+    * (r,g,b), the rest black — so decoded pixel sums are exact integer
+    * arithmetic on `docId`, replicable in the SQL oracle. */
+  def pngFixtureSpec(docId: Long): (Int, Int, Int, Int, Int) = {
+    val w = (8 + docId % 24).toInt
+    val h = (8 + (docId * 3) % 24).toInt
+    val r = ((docId * 31) % 256).toInt
+    val g = ((docId * 67) % 256).toInt
+    val b = ((docId * 101) % 256).toInt
+    (w, h, r, g, b)
+  }
+
+  /** Encode the [[pngFixtureSpec]] image for `docId` with the requested
+    * ImageIO format (png or bmp — both lossless 8-bit RGB in the JDK). */
+  def encodeImageFixture(docId: Long, format: String = "png"): Array[Byte] = {
+    val (w, h, r, g, b) = pngFixtureSpec(docId)
+    val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+    val left = (w + 1) / 2
+    val tone = (r << 16) | (g << 8) | b
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { img.setRGB(x, y, if (x < left) tone else 0); x += 1 }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(img, format, bos), s"no ImageIO writer for $format")
+    bos.toByteArray
+  }
+
+  /** Build a (doc_id, payload) media table of real PNG bytes, encoded in
+    * partition-local batches — payloads never touch the driver. */
+  def pngFixtures(docs: DataFrame, idCol: String = "doc_id",
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    docs.select(col(idCol).cast("long").as("doc_id")).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(0)
+          Row(id, encodeImageFixture(id))
         }
       }
     }(enc)

@@ -299,6 +299,44 @@ class PipelineSpec extends SparkSpec {
     assert(frames.forall(_.getAs[Seq[Int]]("frame_indexes").forall(_ % 3 == 0)))
   }
 
+  test("multimodal: real PNG decode recovers header dims and exact pixel sums") {
+    // hand-checked 3x2 two-tone image: left 2 columns (10,20,30), right black
+    val img = new java.awt.image.BufferedImage(3, 2,
+      java.awt.image.BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 2; x <- 0 until 3)
+      img.setRGB(x, y, if (x < 2) (10 << 16) | (20 << 8) | 30 else 0)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val d = Multimodal.decodeImageReal(bos.toByteArray)
+    assert((d.getInt(0), d.getInt(1), d.getInt(2)) === ((3, 2, 3)))
+    assert((d.getLong(4), d.getLong(5), d.getLong(6)) === ((40L, 80L, 120L)))
+    // BMP routes through the same ImageIO reader with identical pixels
+    val bmp = Multimodal.encodeImageFixture(7L, "bmp")
+    val png = Multimodal.encodeImageFixture(7L, "png")
+    val (db, dp) = (Multimodal.decodeImageReal(bmp), Multimodal.decodeImageReal(png))
+    assert(db.toSeq.take(3) === dp.toSeq.take(3))
+    assert(db.toSeq.drop(4) === dp.toSeq.drop(4))
+  }
+
+  test("multimodal: distributed fixture encode+decode matches the spec arithmetic") {
+    val docs = (0L until 20L).map(i => (i, s"t$i", "s")).toDF("doc_id", "text", "source")
+    val out = Multimodal.decodeImagesReal(
+      Multimodal.pngFixtures(docs, batchSize = 3), "payload", batchSize = 3)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out.size === 20)
+    for (id <- 0L until 20L) {
+      val (w, h, r, g, b) = Multimodal.pngFixtureSpec(id)
+      val row = out(id)
+      val left = (w + 1) / 2
+      assert(row.getAs[Int]("width") === w)
+      assert(row.getAs[Int]("height") === h)
+      assert(row.getAs[Int]("channels") === 3)
+      assert(row.getAs[Long]("sum_r") === r.toLong * h * left)
+      assert(row.getAs[Long]("sum_g") === g.toLong * h * left)
+      assert(row.getAs[Long]("sum_b") === b.toLong * h * left)
+    }
+  }
+
   test("multimodal: resize and audio decode are batch-invariant and typed") {
     val docs = Seq((1L, "hello world", "s"), (2L, "another payload text", "s"),
       (3L, "third document body here", "s")).toDF("doc_id", "text", "source")
