@@ -183,11 +183,11 @@ object Bench {
     results("synth_sq8_search") = bench {
       graft.ann.Sq8.search(sq8Coll, config, sq8Model, q, 10, candidates = 200).collect()
     }
-    // m=32 on 384 dims = 12:1 compression (12-dim subspaces) — the
-    // representative PQ operating point; random vectors leave no margin
-    // for heavier compression (quantization error swamps the neighbor
-    // separation that real embeddings have)
-    val pqCfg = graft.ann.Pq.PqConfig(m = 32, k = 16, iterations = 3, sampleSize = 1000)
+    // m=32 x 8-bit codes on 384 dims (12-dim subspaces, 48:1 scan-payload
+    // compression) — the standard PQ operating point (Jégou et al. use
+    // 8-bit codebooks; 4-bit k=16 floored planted-query overlap at 0.2
+    // because the quantization error swamped the neighbor separation)
+    val pqCfg = graft.ann.Pq.PqConfig(m = 32, k = 256, iterations = 3, sampleSize = 4000)
     val tPq = System.nanoTime()
     val pqCb = graft.ann.Pq.trainOrdered(coll, config, pqCfg, col("id").cast("long"))
     results("synth_pq_train") = (System.nanoTime() - tPq) / 1e9

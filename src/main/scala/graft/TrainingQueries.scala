@@ -4,8 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ann.{CosineLsh, IvfIndex, Pq, Sq8}
-import graft.core.Metric
+import graft.ann.{CosineLsh, IvfIndex, Opq, Pq, Sq8}
+import graft.core.{Metric, Normalize}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
@@ -322,6 +322,28 @@ object TrainingQueries {
       val cb = Pq.trainOrdered(coll, config, pq, col("id").cast("long"))
       val q = Tables.queryVector(s, dir, 0L)
       roundCols(Pq.search(coll, config, cb, q, 10, candidates = 50)
+        .drop("metadata"), Seq("score", "distance"))
+    }),
+
+    // OPQ-rotated PQ for the cosine/IP family: a SplitMix-seeded
+    // sign-Hadamard rotation (R = H·D/sqrt(d), exactly orthonormal)
+    // decorrelates the subspaces before the same PQ pipeline — the
+    // structured-OPQ idea (Ge et al. CVPR 2013; Ailon-Chazelle FJLT).
+    // Signs, Hadamard terms, accumulation order, and the f32 cast all
+    // replicate in the oracle, so the rotated candidate set is verified.
+    "ann_opq_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val sgn = Opq.signs(d, seed = 7L)
+      val rot = Opq.withRotated(coll, sgn) // unit stays unit (orthonormal)
+      val rcfg = config.copy(normalize = Some(Normalize.None))
+      val cb = Pq.trainOrdered(rot, rcfg,
+        Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256),
+        col("id").cast("long"))
+      val q = Opq.rotate(
+        graft.search.Search.prepareQuery(config, Tables.queryVector(s, dir, 0L)), sgn)
+      roundCols(Pq.search(rot, rcfg, cb, q, 10, candidates = 50)
         .drop("metadata"), Seq("score", "distance"))
     }),
 
@@ -777,6 +799,57 @@ object TrainingQueries {
        FROM fin ORDER BY raw ASC, id ASC LIMIT 10"""
   }
 
+  private def kmDot(a: String, b: String) =
+    s"list_sum(list_transform(range(0, len($a)), i -> CAST($a[i+1] AS DOUBLE) * CAST($b[i+1] AS DOUBLE)))"
+
+  /** Cosine variant of the ADC tail: codes are still L2 argmin (mirrors
+    * Pq.encodeVec, which is metric-independent), but the ADC partial is
+    * the per-subspace DOT and candidates order by approx DESC (the engine
+    * ranks similarity as -approx). Rerank = dot on the (already unit)
+    * vectors. */
+  private def pqAdcCosTail(src: String) = {
+    val sliceN = "n.v[(qs.sub*(len(n.v)//4)+1):((qs.sub+1)*(len(n.v)//4))]"
+    s"""qs AS (SELECT cb.sub, q.qraw[(cb.sub*(len(q.qraw)//4)+1):((cb.sub+1)*(len(q.qraw)//4))] AS qsv, cb.c FROM cb, q),
+       rowsub AS (SELECT n.id, qs.sub, qs.qsv, qs.c,
+           ${kmAssign(sliceN, "qs.c")} AS code
+         FROM $src n, qs),
+       adc AS (SELECT r.id, list_sum(list(${kmDot("r.qsv", "r.c[r.code+1]")} ORDER BY r.sub)) AS approx
+          FROM rowsub r GROUP BY r.id),
+       cand AS (SELECT a.id, n.v FROM adc a JOIN $src n ON n.id = a.id ORDER BY a.approx DESC, a.id ASC LIMIT 50),
+       fin AS (SELECT id, ${kmDot("v", "qraw")} AS raw FROM cand, q)
+       SELECT id, id AS value, (round(raw,6)+0) AS score, (round(1.0 - raw,6)+0) AS distance, 'cosine' AS metric
+       FROM fin ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10"""
+  }
+
+  /** OPQ-rotated cosine PQ: SplitMix signs (u64 over HUGEINT, mirrors
+    * Opq.signs), Hadamard terms (-1)^popcount(i&j), f64 ascending-j
+    * accumulation, /sqrt(d), f32 cast — term-for-term Opq.rotate — then
+    * the standard PQ k-means + cosine ADC tail in rotated space
+    * (orthonormal, so cosine is preserved). */
+  private val opqOracle = {
+    val c1 = BigInt("11400714819323198485") // 0x9E3779B97F4A7C15
+    val c2 = BigInt("13787848793156543929") // 0xBF58476D1CE4E5B9
+    val c3 = BigInt("10723151780598845931") // 0x94D049BB133111EB
+    val nrmE = "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT))"
+    def rotE(src: String) =
+      s"""list_transform(range(0, len($src)), i ->
+         CAST(list_sum(list_transform(range(0, len($src)), j ->
+           (CASE WHEN bit_count(CAST(i & j AS BIGINT)) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+           * sgn[j+1] * CAST($src[j+1] AS DOUBLE))) / sqrt(len($src)) AS FLOAT))"""
+    s"""WITH RECURSIVE
+       sgd AS (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS j),
+       sg0 AS (SELECT j, (7::HUGEINT + (j::HUGEINT + 1) * $c1::HUGEINT) % (1::HUGEINT << 64) AS st FROM sgd),
+       sg1 AS (SELECT j, ${sqlMul64("xor(st, st >> 30)", c2)} AS z1 FROM sg0),
+       sg2 AS (SELECT j, ${sqlMul64("xor(z1, z1 >> 27)", c3)} AS z2 FROM sg1),
+       sgl AS (SELECT list(CASE WHEN xor(z2, z2 >> 31) % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY j) AS sgn FROM sg2),
+       nn AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, $nrmE AS nv FROM embeddings),
+       n AS MATERIALIZED (SELECT id, vec_id, ${rotE("nv")} AS v FROM nn, sgl),
+       ${pqKmeansCtes("n")},
+       q0 AS (SELECT $nrmE AS nv FROM embeddings WHERE vec_id = 0),
+       q AS (SELECT ${rotE("nv")} AS qraw FROM q0, sgl),
+       ${pqAdcCosTail("n")}"""
+  }
+
   /** PQ (m=4, k=8, 3 iterations, 256-sample): candidate set verified
     * end-to-end — mirrors Pq.trainOrdered / Pq.adcTable exactly. */
   private val pqOracle =
@@ -909,6 +982,7 @@ object TrainingQueries {
     "ann_ivf_topk" -> ivfPartialProbeOracle,
     "ann_sq8_topk" -> sq8Oracle,
     "ann_pq_topk" -> pqOracle,
+    "ann_opq_topk" -> opqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
     "ann_ivfpq_search_many" -> ivfPqSearchManyOracle,
     "ann_ivfpq_partitioned_topk" -> ivfPqOracle,

@@ -174,6 +174,44 @@ object IvfPq {
     Search.rerankExact(cut, config, q, limit)
   }
 
+  /** Batch residual search — [[searchMany]]'s shape with per-(query,cell)
+    * residual ADC tables: each query explodes to its nprobe cells and the
+    * broadcast side carries the table for THAT cell's query residual, so
+    * the probed-cell join scores every row against the right table in one
+    * codes-only scan. Per-query results equal [[searchResidual]]. */
+  def searchManyResidual(df: DataFrame, config: CollectionConfig,
+      centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]],
+      queries: DataFrame, limit: Int, nprobe: Int,
+      candidates: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(limit > 0, "limit must be positive")
+    require(nprobe > 0, "nprobe must be positive")
+    require(config.metric == Metric.L2 || config.metric == Metric.L2Squared,
+      s"residual IVF-PQ supports l2/l2_squared, not ${config.metric.name}")
+    val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
+    val cents = centroids
+    val cb = codebooks
+    val np = nprobe
+    val qNorm = queries.select(col("qid"),
+      normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+    val probeUdf = udf((q: Seq[Float]) => IvfIndex.probeCells(q.toArray, cents, np).toArray)
+    val tableUdf = udf((q: Seq[Float], cell: Int) =>
+      Pq.adcTable(cb, residualVec(q.toArray, cents(cell)), Metric.L2Squared))
+    val qSide = qNorm
+      .select(col("qid"), col("qvector"), explode(probeUdf(col("qvector"))).as("ivf_cell"))
+      .select(col("qid"), col("ivf_cell"),
+        tableUdf(col("qvector"), col("ivf_cell")).as("_qtable"))
+    val prepared = withResidualCodes(df, cents, cb)
+    val scored = prepared.select(col("ivf_cell"), col("id"), col("pq_res_codes"))
+      .join(broadcast(qSide), "ivf_cell")
+      .withColumn("arank",
+        adcDistanceDyn(col("pq_res_codes"), col("_qtable"), codebooks(0).length))
+    val w = Window.partitionBy(col("qid")).orderBy(col("arank").asc_nulls_last, col("id").asc)
+    val cands = scored.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= effCand).select("qid", "id")
+    Search.rerankManyExact(df, config, cands, qNorm, limit, effCand)
+  }
+
   /** Write the prepared collection partitioned BY CELL: each IVF cell is
     * its own directory, so a probe prunes whole files before any IO
     * (PartitionFilters in the scan), and inside a cell the ADC scan

@@ -156,6 +156,20 @@ final class GraftDb(val spark: SparkSession) {
           (c, graft.ann.Pq.withCodes(df, c).persist())
         })
         graft.ann.Pq.search(coded, config, cb, query, limit)
+      case "ivfpq" if residualMetric(config) =>
+        // FAISS-style default for the L2 family: codes quantize the
+        // residual v - centroid[cell] (by_residual), spending the code
+        // budget on the small in-cell displacement instead of the vector
+        val ivfCfg = graft.ann.IvfIndex.IvfConfig()
+        val cents = ivfCache.getOrElseUpdate(name,
+          graft.ann.IvfIndex.train(df, config, ivfCfg))
+        val (cb, prepared) = ivfPqResCache.getOrElseUpdate(name, {
+          val c = graft.ann.IvfPq.trainResidual(df, config, cents,
+            pqConfigFor(config), col("id"))
+          (c, graft.ann.IvfPq.withResidualCodes(df, cents, c).persist())
+        })
+        graft.ann.IvfPq.searchResidual(prepared, config, cents, cb, query,
+          limit, ivfCfg.nprobe)
       case "ivfpq" =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
@@ -183,12 +197,18 @@ final class GraftDb(val spark: SparkSession) {
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Array[Array[Float]]], DataFrame)]
   private val ivfPqCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  private val ivfPqResCache = scala.collection.concurrent.TrieMap
+    .empty[String, (Array[Array[Array[Float]]], DataFrame)]
+
+  private def residualMetric(config: CollectionConfig): Boolean =
+    config.metric == Metric.L2 || config.metric == Metric.L2Squared
 
   private def invalidateIndexCaches(name: String): Unit = {
     hnswCache.remove(name); ivfCache.remove(name)
     sq8Cache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     pqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     ivfPqCache.remove(name).foreach(_.unpersist())
+    ivfPqResCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
   }
 
   /** Largest m <= 8 dividing the dimension (PQ needs m | dims). */
@@ -233,6 +253,17 @@ final class GraftDb(val spark: SparkSession) {
           (c, graft.ann.Pq.withCodes(df, c).persist())
         })
         graft.ann.Pq.searchMany(coded, config, cb, queries, limit)
+      case "ivfpq" if residualMetric(config) =>
+        val ivfCfg = graft.ann.IvfIndex.IvfConfig()
+        val cents = ivfCache.getOrElseUpdate(name,
+          graft.ann.IvfIndex.train(df, config, ivfCfg))
+        val (cb, prepared) = ivfPqResCache.getOrElseUpdate(name, {
+          val c = graft.ann.IvfPq.trainResidual(df, config, cents,
+            pqConfigFor(config), col("id"))
+          (c, graft.ann.IvfPq.withResidualCodes(df, cents, c).persist())
+        })
+        graft.ann.IvfPq.searchManyResidual(prepared, config, cents, cb,
+          queries, limit, ivfCfg.nprobe)
       case "ivfpq" =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,

@@ -109,6 +109,27 @@ class GraftDbSpec extends SparkSpec {
     }
   }
 
+  test("l2 ivfpq facade defaults to residual codes; batch agrees with single") {
+    val db = new GraftDb(spark)
+    db.createCollection("resq", 3, metric = "l2", index = "ivfpq")
+    db.batch("resq", (0 until 50).map(i =>
+      db.EmbeddingInput(id = f"v$i%02d", vector = Array(
+        math.cos(i * 0.13).toFloat, math.sin(i * 0.13).toFloat, (i % 5) / 4.0f))))
+    val q = Array(1.0f, 0.1f, 0.2f)
+    db.createCollection("resq_flat", 3, metric = "l2", index = "flat")
+    db.batch("resq_flat", (0 until 50).map(i =>
+      db.EmbeddingInput(id = f"v$i%02d", vector = Array(
+        math.cos(i * 0.13).toFloat, math.sin(i * 0.13).toFloat, (i % 5) / 4.0f))))
+    val flatTop = db.search("resq_flat", q, 1).head.getString(0)
+    assert(db.search("resq", q, 1).head.getString(0) === flatTop)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
+    val batchTop = db.searchMany("resq", queries, 3)
+      .orderBy(col("distance").asc, col("id").asc).head.getAs[String]("id")
+    assert(batchTop === flatTop)
+  }
+
   test("hnsw driver build refuses collections over the row cap, points at ivfpq") {
     val db = new GraftDb(spark)
     db.createCollection("capped", 3, metric = "l2", index = "hnsw")

@@ -224,6 +224,78 @@ class QuantizationSpec extends SparkSpec {
     prepared.unpersist(); pqCoded.unpersist(); sq8Coded.unpersist(); coll.unpersist()
   }
 
+  test("opq rotation: deterministic signs, orthonormal, fht path agrees") {
+    val d = 64
+    val s1 = graft.ann.Opq.signs(d, 7L)
+    val s2 = graft.ann.Opq.signs(d, 7L)
+    assert(s1.toSeq === s2.toSeq)
+    assert(s1.forall(s => s == 1.0f || s == -1.0f))
+    assert(graft.ann.Opq.signs(d, 8L).toSeq !== s1.toSeq)
+    val v = Array.tabulate(d)(i => math.sin(i * 0.37).toFloat)
+    val w = Array.tabulate(d)(i => math.cos(i * 0.53).toFloat)
+    val (rv, rw) = (graft.ann.Opq.rotate(v, s1), graft.ann.Opq.rotate(w, s1))
+    def dot(a: Array[Float], b: Array[Float]) =
+      a.zip(b).map { case (x, y) => x.toDouble * y.toDouble }.sum
+    // orthonormal: norms and pairwise dots are preserved
+    assert(math.abs(dot(rv, rv) - dot(v, v)) < 1e-4)
+    assert(math.abs(dot(rv, rw) - dot(v, w)) < 1e-4)
+    // the O(d log d) butterfly computes the same rotation
+    val fht = graft.ann.Opq.rotateFht(v, s1)
+    assert(rv.zip(fht).forall { case (a, b) => math.abs(a - b) < 1e-5 })
+    intercept[IllegalArgumentException] { graft.ann.Opq.rotate(Array(1f, 2f, 3f), s1.take(3)) }
+  }
+
+  test("opq-rotated pq: full candidates degenerates to exact flat in rotated space") {
+    val config = CollectionConfig("grid", 4, Metric.Cosine)
+    val coll = gridColl(config).cache()
+    val sgn = graft.ann.Opq.signs(4, 7L)
+    val rot = graft.ann.Opq.withRotated(coll, sgn).cache()
+    val rcfg = config.copy(normalize = Some(graft.core.Normalize.None))
+    val cb = Pq.trainOrdered(rot, rcfg, Pq.PqConfig(m = 2, k = 4, iterations = 3, sampleSize = 64), col("id"))
+    val q0 = Search.prepareQuery(config, Array(2.25f, 1.5f, 0.75f, 1.0f))
+    val rq = graft.ann.Opq.rotate(q0, sgn)
+    val exact = Search.flatSearch(rot, rcfg, rq, 10).collect().map(r => (r.getString(0), r.getDouble(2)))
+    val viaPq = Pq.search(rot, rcfg, cb, rq, 10, candidates = 64)
+      .collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(viaPq.toSeq === exact.toSeq)
+    // rotation preserves the cosine ranking of the unrotated collection
+    val unrot = Search.flatSearch(coll, config, q0, 3).collect().map(_.getString(0))
+    assert(exact.take(3).map(_._1).toSeq === unrot.toSeq)
+    rot.unpersist(); coll.unpersist()
+  }
+
+  test("residual ivf-pq batch searchMany equals per-query searchResidual") {
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val order = col("id").cast("long")
+    val cents = graft.ann.IvfIndex.trainOrdered(coll, config,
+      graft.ann.IvfIndex.IvfConfig(k = 8, iterations = 3), order)
+    val resCb = graft.ann.IvfPq.trainResidual(coll, config, cents,
+      Pq.PqConfig(m = 8, k = 16, iterations = 3, sampleSize = 256), order)
+    val prepared = graft.ann.IvfPq.withResidualCodes(coll, cents, resCb).cache()
+    val qids = 0L until 4L
+    val queries = spark.createDataFrame(
+      java.util.Arrays.asList(qids.map(i => org.apache.spark.sql.Row(
+        i.toString, Tables.queryVector(spark, sfDir, i).toSeq)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("qvector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    val batch = graft.ann.IvfPq.searchManyResidual(prepared, config, cents, resCb,
+      queries, 5, nprobe = 3).collect().groupBy(_.getString(0))
+    qids.foreach { i =>
+      val s = graft.ann.IvfPq.searchResidual(prepared, config, cents, resCb,
+        Tables.queryVector(spark, sfDir, i), 5, nprobe = 3).collect()
+      val got = batch(i.toString).sortBy(r => (r.getDouble(4), r.getString(1)))
+      assert(got.map(_.getString(1)).toSeq === s.map(_.getString(0)).toSeq, s"qid $i ids")
+      assert(got.map(_.getDouble(3)).toSeq === s.map(_.getDouble(2)).toSeq, s"qid $i scores")
+    }
+    prepared.unpersist(); coll.unpersist()
+  }
+
   test("sq8/pq reject dimension mismatches and bad configs") {
     val model = Sq8.Model(Array(0f, 0f), Array(1f, 1f))
     intercept[IllegalArgumentException] { Sq8.encodeVec(Array(1f), model) }
