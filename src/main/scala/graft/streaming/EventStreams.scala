@@ -195,6 +195,76 @@ object EventStreams {
         else GroupStateTimeout.NoTimeout())(fn)
   }
 
+  // ---- stream vs UPDATING history (online feature-store as-of)
+
+  /** One unioned input row: side 0 = a history update (key, ts, value),
+    * side 1 = a query event to enrich (key, ts, label). */
+  final case class AsofStreamEvent(key: Long, ts_ns: Long, side: Int,
+      value: Double, label: String)
+  final case class HistEntry(ts_ns: Long, value: Double)
+  final case class AsofHistState(hist: Seq[HistEntry])
+  final case class AsofStreamOut(key: Long, ts_ns: Long, label: String,
+      asof_value: Option[Double])
+
+  /** As-of join where the history side is ITSELF a stream (slowly-changing
+    * feature values, price ticks, model-version epochs) — the online
+    * feature-store shape [[asofLookup]] can't cover (it broadcasts a
+    * static right side). Both sides arrive unioned as [[AsofStreamEvent]];
+    * per-key state holds the ts-sorted history (bounded by
+    * `maxHistoryPerKey`, oldest trimmed), and each query event matches
+    * the latest history entry with ts <= its ts (inclusive — a history
+    * row and query at the same ts match, like [[asofJoin]]).
+    *
+    * Within a micro-batch, rows process in event-time order (history
+    * before queries at equal ts), so the output equals the batch
+    * [[asofJoin]] whenever history updates arrive no later than the
+    * first query they should match — the in-order replay / live-tick
+    * regime. A history update that arrives LATE corrects all subsequent
+    * matches but never retracts rows already emitted (append mode). */
+  def statefulAsofJoin(events: org.apache.spark.sql.Dataset[AsofStreamEvent],
+      maxHistoryPerKey: Int = 10000): org.apache.spark.sql.Dataset[AsofStreamOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    // latest entry index with ts_ns <= t in a (ts, value)-sorted history
+    def floorIdx(hist: Vector[HistEntry], t: Long): Int = {
+      var lo = 0; var hi = hist.length - 1; var ans = -1
+      while (lo <= hi) {
+        val mid = (lo + hi) >>> 1
+        if (hist(mid).ts_ns <= t) { ans = mid; lo = mid + 1 } else hi = mid - 1
+      }
+      ans
+    }
+
+    def fn(key: Long, rows: Iterator[AsofStreamEvent],
+        state: GroupState[AsofHistState]): Iterator[AsofStreamOut] = {
+      var hist = state.getOption.map(_.hist.toVector).getOrElse(Vector.empty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[AsofStreamOut]
+      // event-time order inside the batch; history (side 0) before
+      // queries at equal ts makes the match inclusive; equal-ts history
+      // ties resolve to the max value, mirroring asofJoin's payload
+      // tie-break
+      rows.toSeq.sortBy(e => (e.ts_ns, e.side, e.value)).foreach { e =>
+        if (e.side == 0) {
+          val entry = HistEntry(e.ts_ns, e.value)
+          val at = hist.lastIndexWhere(h =>
+            h.ts_ns < entry.ts_ns || (h.ts_ns == entry.ts_ns && h.value <= entry.value)) + 1
+          hist = (hist.take(at) :+ entry) ++ hist.drop(at)
+        } else {
+          val i = floorIdx(hist, e.ts_ns)
+          out += AsofStreamOut(key, e.ts_ns, e.label,
+            if (i >= 0) Some(hist(i).value) else None)
+        }
+      }
+      state.update(AsofHistState(hist.takeRight(maxHistoryPerKey)))
+      out.iterator
+    }
+
+    events.groupByKey(_.key)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+  }
+
   /** Run a streaming frame to a memory sink until all available data is
     * processed (test harness). Aggregation streams use the default
     * "complete" mode; append-mode producers in this module

@@ -168,6 +168,59 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful as-of vs UPDATING history: stream ≡ batch asofJoin across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStreams.{AsofStreamEvent, AsofStreamOut}
+    val input = MemoryStream[AsofStreamEvent]
+    val joined = EventStreams.statefulAsofJoin(input.toDS())
+    val q = joined.writeStream.format("memory").queryName("asof_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    def R(k: Long, t: Long, v: Double) = AsofStreamEvent(k, t, 0, v, null)
+    def L(k: Long, t: Long, label: String) = AsofStreamEvent(k, t, 1, 0.0, label)
+    try {
+      // batch 1: first history tick, then a query after it
+      input.addData(R(1L, 40L, 4.0), L(1L, 50L, "p0"))
+      q.processAllAvailable()
+      // batch 2: history UPDATES (two ticks, one at the query's own ts —
+      // inclusive match) — the shape the static-broadcast lookup can't do
+      input.addData(R(1L, 100L, 10.0), R(1L, 101L, 99.0), L(1L, 100L, "p1"))
+      q.processAllAvailable()
+      // batch 3: keyless query, unrelated key's history
+      input.addData(L(2L, 10L, "p2"), R(3L, 5L, 3.0))
+      q.processAllAvailable()
+      // batch 4+5: another tick arrives, then queries after it — history
+      // keeps updating between emissions
+      input.addData(R(1L, 150L, 15.0))
+      q.processAllAvailable()
+      input.addData(L(1L, 200L, "p4"), L(1L, 300L, "p3"))
+      q.processAllAvailable()
+      val streamOut = spark.table("asof_stream_out").as[AsofStreamOut]
+        .collect().map(o => o.label -> o.asof_value).toMap
+      // batch asofJoin over the SAME accumulated inputs: equal, because
+      // every tick arrived before the first query it should match
+      val right = Seq((1L, 40L, 4.0), (1L, 100L, 10.0), (1L, 101L, 99.0),
+        (3L, 5L, 3.0), (1L, 150L, 15.0)).toDF("k", "t", "v")
+      val left = Seq((1L, 50L, "p0"), (1L, 100L, "p1"), (1L, 300L, "p3"),
+        (2L, 10L, "p2"), (1L, 200L, "p4")).toDF("k", "t", "label")
+      val batchOut = EventStreams.asofJoin(left, right, "k", "t", Seq("v"))
+        .collect().map(r => r.getString(2) -> Option(r.get(3)).map(_.asInstanceOf[Double])).toMap
+      assert(streamOut === batchOut)
+      assert(streamOut === Map("p0" -> Some(4.0), "p1" -> Some(10.0),
+        "p2" -> None, "p3" -> Some(15.0), "p4" -> Some(15.0)))
+      // a LATE old tick corrects future matches only — already-emitted
+      // rows are never retracted (append mode)
+      input.addData(R(1L, 45L, 4.5))
+      q.processAllAvailable()
+      input.addData(L(1L, 46L, "p5"))
+      q.processAllAvailable()
+      val after = spark.table("asof_stream_out").as[AsofStreamOut]
+        .collect().map(o => o.label -> o.asof_value).toMap
+      assert(after("p5") === Some(4.5)) // late tick visible to later queries
+      assert(after("p0") === Some(4.0)) // earlier emission unchanged
+    } finally q.stop()
+  }
+
   test("streaming document pipeline: quality filter -> PII scrub -> chunking, batch ≡ stream") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
