@@ -60,6 +60,44 @@ object Microbench {
     }
   }
 
+  /** Fused codegen encode expressions vs the former Scala-UDF columns —
+    * same kernels, different plan nodes: `runMain graft.Microbench encode`. */
+  def profileEncode(spark: SparkSession): Unit = {
+    val dims = sys.env.getOrElse("GRAFT_MB_DIMS", "384").toInt
+    val n = sys.env.getOrElse("GRAFT_MB_RECORDS", "100000").toInt
+    val config = CollectionConfig("b", dims, Metric.Cosine)
+    val genUdf = udf((id: Long) => Bench.synthVector(id, dims))
+    val coll = graft.prepare.Prepare.prepareEmbeddings(
+      spark.range(n).select(col("id").cast("string").as("id"),
+        col("id").cast("string").as("value"), genUdf(col("id")).as("vector")),
+      config).select("id", "vector").persist()
+    coll.count()
+    val model = graft.ann.Sq8.train(coll)
+    val cb = graft.ann.Pq.trainOrdered(coll, config,
+      graft.ann.Pq.PqConfig(m = 32, k = 256, iterations = 3, sampleSize = 2000),
+      col("id").cast("long"))
+    val cents = graft.ann.IvfIndex.trainOrdered(coll, config,
+      graft.ann.IvfIndex.IvfConfig(k = 16, iterations = 3), col("id").cast("long"))
+    val lshCfg = graft.ann.CosineLsh.LshConfig(bands = 16, bitsPerBand = 10)
+    val m = model; val cbs = cb; val cts = cents; val lc = lshCfg
+    val udfs = Seq[(String, org.apache.spark.sql.Column)](
+      ("sq8", udf((x: Seq[Float]) => graft.ann.Sq8.encodeVec(x.toArray, m)).apply(col("vector"))),
+      ("pq", udf((x: Seq[Float]) => graft.ann.Pq.encodeVec(x.toArray, cbs)).apply(col("vector"))),
+      ("ivf_cell", udf((x: Seq[Float]) => graft.ann.IvfIndex.nearestCentroid(x.toArray, cts)).apply(col("vector"))),
+      ("lsh", udf((x: Seq[Float]) => graft.ann.CosineLsh.bandKeys(x.toArray, lc)).apply(col("vector"))))
+    val fused = Seq[(String, org.apache.spark.sql.Column)](
+      ("sq8", graft.ann.Sq8.encodeColumn(model)(col("vector"))),
+      ("pq", graft.ann.Pq.encodeColumn(cb)(col("vector"))),
+      ("ivf_cell", org.apache.spark.sql.graft.Bridge.column(graft.expr.IvfCell(
+        org.apache.spark.sql.graft.Bridge.expression(col("vector")), cents))),
+      ("lsh", graft.ann.CosineLsh.bandKeysColumn(lshCfg)(col("vector"))))
+    for (((name, u), (_, f)) <- udfs.zip(fused)) {
+      time(s"$name encode UDF", 3) { coll.select(u.as("c")).write.format("noop").mode("overwrite").save() }
+      time(s"$name encode fused", 3) { coll.select(f.as("c")).write.format("noop").mode("overwrite").save() }
+    }
+    coll.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -67,6 +105,9 @@ object Microbench {
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("slow")) {
       profileSlow(spark, args(1)); spark.stop(); return
+    }
+    if (args.headOption.contains("encode")) {
+      profileEncode(spark); spark.stop(); return
     }
     val dims = sys.env.getOrElse("GRAFT_MB_DIMS", "384").toInt
     val n = sys.env.getOrElse("GRAFT_MB_RECORDS", "100000").toInt

@@ -67,12 +67,23 @@ object CosineLsh {
     out
   }
 
+  /** Codegen entry point ([[graft.expr.LshBandKeys]]): same kernel, one
+    * primitive copy each way, no boxed Seq. */
+  def bandKeysData(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      cfg: LshConfig): org.apache.spark.sql.catalyst.util.ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(bandKeys(v.toFloatArray(), cfg))
+
+  /** Band-keys column (array<int>, fused codegen expression). */
+  def bandKeysColumn(cfg: LshConfig)(v: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.LshBandKeys(
+        org.apache.spark.sql.graft.Bridge.expression(v), cfg))
+
   /** Ingest-time signature column (array<int> of band keys). */
   def withSignatures(df: DataFrame, cfg: LshConfig,
-      vectorCol: String = "vector"): DataFrame = {
-    val f = udf((v: Seq[Float]) => bandKeys(v.toArray, cfg))
-    df.withColumn("lsh_bands", f(col(vectorCol)))
-  }
+      vectorCol: String = "vector"): DataFrame =
+    df.withColumn("lsh_bands", bandKeysColumn(cfg)(col(vectorCol)))
 
   /** ANN search: LSH-bucket candidates (any band collision), exact rerank
     * to `limit`. Shuffle-free: the band filter prunes the scan. */
@@ -96,8 +107,7 @@ object CosineLsh {
     import org.apache.spark.sql.expressions.Window
     val qNorm = queries.select(col("qid"),
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
-    val qf = udf((v: Seq[Float]) => bandKeys(v.toArray, cfg))
-    val qSide = qNorm.withColumn("band", explode(qf(col("qvector"))))
+    val qSide = qNorm.withColumn("band", explode(bandKeysColumn(cfg)(col("qvector"))))
     val dSide = (if (df.columns.contains("lsh_bands")) df else withSignatures(df, cfg))
       .withColumn("band", explode(col("lsh_bands")))
       .select(col("band"), col("id"), col("value"), col("vector"))

@@ -90,13 +90,19 @@ object IvfIndex {
     best
   }
 
-  /** Cell-assignment column (narrow). At rest, `assigned.repartition(
-    * col("ivf_cell"))` or bucketed writes co-locate cells. */
-  def withCells(df: DataFrame, centroids: Array[Array[Float]]): DataFrame = {
-    val cents = centroids
-    val f = udf((v: Seq[Float]) => nearestCentroid(v.toArray, cents))
-    df.withColumn("ivf_cell", f(col("vector")))
-  }
+  /** Codegen entry point ([[graft.expr.IvfCell]]): same kernel, one
+    * primitive copy in, no boxed Seq. */
+  def cellData(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      centroids: Array[Array[Float]]): Int =
+    nearestCentroid(v.toFloatArray(), centroids)
+
+  /** Cell-assignment column (narrow, fused codegen expression). At rest,
+    * `assigned.repartition(col("ivf_cell"))` or bucketed writes co-locate
+    * cells. */
+  def withCells(df: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    df.withColumn("ivf_cell", org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.IvfCell(
+        org.apache.spark.sql.graft.Bridge.expression(col("vector")), centroids)))
 
   /** The nprobe nearest cells for a prepared query. */
   def probeCells(q: Array[Float], centroids: Array[Array[Float]], nprobe: Int): Seq[Int] =

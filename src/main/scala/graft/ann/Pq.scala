@@ -64,12 +64,19 @@ object Pq {
     out
   }
 
+  /** Codegen entry point ([[graft.expr.PqEncode]]): same kernel, one
+    * primitive copy in, no boxed Seq. */
+  def encodeVecData(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      codebooks: Array[Array[Array[Float]]]): Array[Byte] =
+    encodeVec(v.toFloatArray(), codebooks)
+
   /** Codes column (BinaryType, m bytes/row at rest — e.g. 4 bytes for a
-    * 384-dim vector, a 384x compression of the scan payload). */
-  def encodeColumn(codebooks: Array[Array[Array[Float]]])(v: Column): Column = {
-    val cb = codebooks
-    udf((x: Seq[Float]) => encodeVec(x.toArray, cb)).apply(v)
-  }
+    * 384-dim vector, a 384x compression of the scan payload) — a fused
+    * codegen expression, not a Scala UDF. */
+  def encodeColumn(codebooks: Array[Array[Array[Float]]])(v: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.PqEncode(
+        org.apache.spark.sql.graft.Bridge.expression(v), codebooks))
 
   def withCodes(df: DataFrame, codebooks: Array[Array[Array[Float]]],
       codesCol: String = "pq_codes"): DataFrame =

@@ -87,11 +87,18 @@ object Sq8 {
     out
   }
 
-  /** Codes column (BinaryType, dims bytes/row at rest). */
-  def encodeColumn(model: Model)(v: Column): Column = {
-    val m = model
-    udf((x: Seq[Float]) => encodeVec(x.toArray, m)).apply(v)
-  }
+  /** Codegen entry point ([[graft.expr.Sq8Encode]]): same kernel, one
+    * primitive copy in, no boxed Seq. */
+  def encodeVecData(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      model: Model): Array[Byte] =
+    encodeVec(v.toFloatArray(), model)
+
+  /** Codes column (BinaryType, dims bytes/row at rest) — a fused codegen
+    * expression, not a Scala UDF, so ingest stays in whole-stage codegen. */
+  def encodeColumn(model: Model)(v: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.Sq8Encode(
+        org.apache.spark.sql.graft.Bridge.expression(v), model))
 
   /** Attach codes (idempotent). */
   def withCodes(df: DataFrame, model: Model,

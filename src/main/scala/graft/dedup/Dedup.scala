@@ -271,10 +271,9 @@ object Dedup {
       tsCol: String, watermark: String,
       lsh: CosineLsh.LshConfig = CosineLsh.LshConfig(bands = 24, bitsPerBand = 6),
       windowLength: String = "1 minute"): DataFrame = {
-    val cfg = lsh
-    val bandUdf = udf((v: Seq[Float]) => CosineLsh.bandKeys(v.toArray, cfg))
     bandNovelty(df.select(col(idCol).as("id"), col(tsCol).as("_ts"),
-        explode(bandUdf(normalizeVector(graft.core.Normalize.L2, col(vectorCol))))
+        explode(CosineLsh.bandKeysColumn(lsh)(
+          normalizeVector(graft.core.Normalize.L2, col(vectorCol))))
           .as("band")),
       watermark, lsh.bands, windowLength)
   }

@@ -163,6 +163,47 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("Partial"), s"no partial (map-side) group limit in plan:\n$plan")
   }
 
+  test("ANN ingest encodes are fused codegen expressions, not Scala UDFs") {
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+    val model = graft.ann.Sq8.train(coll)
+    val cb = graft.ann.Pq.trainOrdered(coll, config,
+      graft.ann.Pq.PqConfig(m = 8, k = 16, iterations = 2, sampleSize = 128),
+      col("id").cast("long"))
+    val cents = graft.ann.IvfIndex.trainOrdered(coll, config,
+      graft.ann.IvfIndex.IvfConfig(k = 4, iterations = 2), col("id").cast("long"))
+    val lshCfg = graft.ann.CosineLsh.LshConfig(bands = 4, bitsPerBand = 4)
+    val encoded = graft.ann.CosineLsh.withSignatures(
+      graft.ann.IvfIndex.withCells(
+        graft.ann.Pq.withCodes(
+          graft.ann.Sq8.withCodes(coll, model), cb), cents), lshCfg)
+    // no ScalaUDF node anywhere in the ingest projection
+    import org.apache.spark.sql.catalyst.expressions.ScalaUDF
+    val hasUdf = encoded.queryExecution.analyzed.expressions
+      .exists(_.exists(_.isInstanceOf[ScalaUDF]))
+    assert(!hasUdf, "ingest encode should be fused expressions, not UDFs")
+    // the whole encode stack runs inside one whole-stage-codegen span
+    // (the "*(1)" prefix on the Project is the codegen-stage marker)
+    val plan = encoded.queryExecution.executedPlan.toString
+    assert(plan.contains("*(1) Project") && plan.contains("sq8_encode"),
+      s"encode projection not in a codegen span:\n$plan")
+    // and the fused kernels produce exactly the scalar-path values
+    val rows = encoded.limit(20).collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](r.fieldIndex("vector")).toArray
+      assert(r.getAs[Array[Byte]]("sq8_codes").toSeq ===
+        graft.ann.Sq8.encodeVec(v, model).toSeq)
+      assert(r.getAs[Array[Byte]]("pq_codes").toSeq ===
+        graft.ann.Pq.encodeVec(v, cb).toSeq)
+      assert(r.getAs[Int]("ivf_cell") ===
+        graft.ann.IvfIndex.nearestCentroid(v, cents))
+      assert(r.getSeq[Int](r.fieldIndex("lsh_bands")).toArray.toSeq ===
+        graft.ann.CosineLsh.bandKeys(v, lshCfg).toSeq)
+    }
+  }
+
   test("salted aggregation is exact under skew") {
     val df = (Seq.fill(5000)("hot") ++ (1 to 100).map(i => s"k$i"))
       .zipWithIndex.map { case (k, i) => (k, i.toDouble) }.toDF("key", "v")
