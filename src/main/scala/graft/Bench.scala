@@ -324,6 +324,20 @@ object Bench {
       quality("emb_overlap10_pq") = eOverlap(dfIds(graft.ann.Pq.search(
         graft.ann.Pq.withCodes(ecoll, ePq), econfig, ePq, eq, 10,
         candidates = math.min(en, 50))))
+      // OPQ sign-Hadamard rotation before the SAME pq config: on real
+      // (anisotropic) embeddings the rotation balances subspace variance
+      if (graft.ann.Opq.isPowerOfTwo(ed)) {
+        val sgn = graft.ann.Opq.signs(ed, 7L)
+        val eRot = graft.ann.Opq.withRotated(ecoll, sgn).persist()
+        val rcfg = econfig.copy(normalize = Some(graft.core.Normalize.None))
+        val ePqR = graft.ann.Pq.trainOrdered(eRot, rcfg,
+          graft.ann.Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256),
+          col("id").cast("long"))
+        quality("emb_overlap10_pq_opq") = eOverlap(dfIds(graft.ann.Pq.search(
+          graft.ann.Pq.withCodes(eRot, ePqR), rcfg, ePqR,
+          graft.ann.Opq.rotate(eq, sgn), 10, candidates = math.min(en, 50))))
+        eRot.unpersist(blocking = true)
+      }
       // residual vs raw-vector codes at the same budget (l2 collection)
       val el2 = Tables.l2Config(ed)
       val el2coll = Tables.embeddingsCollection(spark, sfDir, el2)

@@ -105,6 +105,36 @@ object TrainingQueries {
         .withColumn("in_sample", (col("bucket") < 250).cast("int"))
     }),
 
+    // stratified deterministic sampling: rebalance a skewed corpus
+    // (downsample the dominant language, keep the tail) with per-stratum
+    // hash-rate thresholds — reproducible at any cluster size
+    "data_stratified_sample" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("lang"))
+      graft.functions.Sampling.stratifiedSampleByHash(docs, "doc_id", "lang",
+        Seq("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.1, salt = "graft")
+    }),
+
+    // per-domain cap: at most 15 docs per source, earliest doc_ids win —
+    // the "max N documents per domain" rule of web-corpus pipelines;
+    // WindowGroupLimit pre-cuts each domain map-side before the shuffle
+    "data_domain_cap" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("source"))
+      graft.functions.Sampling.capPerGroup(docs, "source", 15, Seq(col("doc_id")))
+    }),
+
+    // benchmark decontamination: distinct word 5-grams of each training
+    // doc joined (by md5, broadcast bench side) against an eval set that
+    // PLANTS verbatim copies of the first 10 training docs — those must
+    // report contamination 1.0; the report is what a pipeline thresholds
+    // before training so eval numbers stay honest
+    "text_contamination" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val train = docs.filter(col("doc_id") < 200).select(col("doc_id"), col("text"))
+      val bench = docs.filter(col("doc_id") >= 480 || col("doc_id") < 10).select(col("text"))
+      roundCols(TextAnalysis.contaminationReport(train, bench, "doc_id", "text", n = 5),
+        Seq("contamination"))
+    }),
+
     // exact corpus percentiles via the distributed zipWithIndex
     "text_token_percentiles" -> ((s, dir) =>
       TextAnalysis.tokenPercentiles(
@@ -1056,6 +1086,34 @@ object TrainingQueries {
            CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
            bucket, CAST(bucket < 250 AS INT) AS in_sample
          FROM b ORDER BY doc_id""",
+
+    "data_stratified_sample" ->
+      s"""WITH b AS (SELECT doc_id, lang,
+           CAST(('0x' || substr(md5('graft' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS INT) AS bucket
+         FROM documents)
+         SELECT doc_id, lang FROM b
+         WHERE bucket < (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 1000 ELSE 100 END)
+         ORDER BY doc_id""",
+
+    "data_domain_cap" ->
+      s"""SELECT doc_id, source FROM (
+           SELECT doc_id, source,
+             row_number() OVER (PARTITION BY source ORDER BY doc_id) AS rn
+           FROM documents)
+         WHERE rn <= 15 ORDER BY doc_id""",
+
+    "text_contamination" ->
+      s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents),
+         g AS (SELECT doc_id, list_distinct(${shinglesSql(5)}) AS gs FROM t),
+         be AS (SELECT DISTINCT unnest(gs) AS gr FROM g WHERE doc_id >= 480 OR doc_id < 10),
+         tr AS (SELECT doc_id, gs FROM g WHERE doc_id < 200),
+         ex AS (SELECT doc_id, unnest(gs) AS gr FROM tr),
+         sh AS (SELECT ex.doc_id, count(*) AS n_shared FROM ex JOIN be USING (gr) GROUP BY ex.doc_id),
+         tot AS (SELECT doc_id, len(gs) AS n_grams FROM tr)
+         SELECT tot.doc_id AS id, CAST(coalesce(sh.n_shared, 0) AS BIGINT) AS n_shared,
+           CAST(tot.n_grams AS BIGINT) AS n_grams,
+           (round(CAST(coalesce(sh.n_shared, 0) AS DOUBLE) / tot.n_grams, 6) + 0) AS contamination
+         FROM tot LEFT JOIN sh ON sh.doc_id = tot.doc_id ORDER BY id""",
 
     "text_token_percentiles" ->
       s"""WITH c AS (SELECT doc_id, len($tokensSql) AS n_tokens FROM documents),

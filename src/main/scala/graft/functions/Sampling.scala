@@ -46,6 +46,45 @@ object Sampling {
     df.withColumn("split", expr)
   }
 
+  /** Stratified deterministic sample: each stratum keeps its own
+    * fraction (per-mille resolution, like [[sampleByHash]]); strata not
+    * listed keep `defaultFraction`. The assignment depends only on
+    * (salt, id), so re-balancing a skewed corpus (e.g. downsample the
+    * dominant language, keep the tail) is reproducible across runs,
+    * cluster sizes, and engines — a narrow filter, no shuffle, no RNG
+    * state, and the same row never flips strata between samples drawn
+    * with the same salt. */
+  def stratifiedSampleByHash(df: DataFrame, idCol: String, stratumCol: String,
+      fractions: Seq[(String, Double)], defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    require(fractions.forall { case (_, f) => f >= 0 && f <= 1 },
+      "fractions in [0,1]")
+    require(defaultFraction >= 0 && defaultFraction <= 1, "fraction in [0,1]")
+    val b = hashBucket(col(idCol), 1000, salt)
+    val threshold = fractions.foldLeft(
+      lit((defaultFraction * 1000).round.toInt)) {
+      case (els, (stratum, f)) =>
+        when(col(stratumCol) === stratum, lit((f * 1000).round.toInt)).otherwise(els)
+    }
+    df.filter(b < threshold)
+  }
+
+  /** Per-group row cap (the CC-pipeline "at most N documents per domain"
+    * rule): keeps the first `cap` rows of each group in ascending
+    * `order` (append a unique tiebreaker for full determinism). One
+    * shuffle on the group key; Spark's WindowGroupLimit pre-cuts each
+    * group to `cap` rows map-side, so a mega-domain never floods the
+    * exchange. */
+  def capPerGroup(df: DataFrame, groupCol: String, cap: Int,
+      order: Seq[Column]): DataFrame = {
+    require(cap > 0, "cap must be positive")
+    require(order.nonEmpty, "order columns required")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(order: _*)
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= cap).drop("_rn")
+  }
+
   /** Globally contiguous 0-based ids in `order`-sorted order, at scale.
     * `row_number() OVER (ORDER BY ...)` needs a single-partition window;
     * this instead range-repartitions on the key, sorts each partition

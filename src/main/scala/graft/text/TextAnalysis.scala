@@ -322,6 +322,42 @@ object TextAnalysis {
         org.apache.spark.sql.graft.Bridge.expression(text.cast("string")),
         k, numHashes, bands))
 
+  /** Benchmark decontamination (the GPT-3 appendix-C / Pile shape): for
+    * each training document, count distinct word n-grams it shares with
+    * ANY document of an evaluation set, plus the contamination fraction
+    * (shared / its own distinct n-grams). Pipelines drop or flag docs
+    * above a threshold before training so eval numbers stay honest.
+    *
+    * Scale shape: both sides explode DISTINCT n-grams and join on the
+    * md5 of the gram — the shuffle carries only (32-hex-hash, id) pairs,
+    * never documents; the benchmark side (typically tiny next to a
+    * 100 TB corpus) is broadcast, so the corpus side never shuffles at
+    * all. Short texts collapse to one whole-text shingle (see
+    * [[shingles]]), so exact short-answer strings still match. */
+  def contaminationReport(docs: org.apache.spark.sql.DataFrame,
+      bench: org.apache.spark.sql.DataFrame, idCol: String, textCol: String,
+      n: Int = 8, broadcastBench: Boolean = true): org.apache.spark.sql.DataFrame = {
+    // per-doc totals are a NARROW size() — no aggregation over the
+    // exploded frame; only grams that actually hit the bench set (a tiny
+    // fraction of a clean corpus) reach the shared-count shuffle
+    val withGrams = docs.select(col(idCol).as("id"),
+      distinctShingles(col(textCol), n).as("_gs"))
+      .withColumn("n_grams", size(col("_gs")).cast("long"))
+    val dGrams = withGrams.select(col("id"), explode(col("_gs")).as("_g"))
+      .select(col("id"), md5(col("_g")).as("_gh"))
+    val bGrams = bench.select(explode(distinctShingles(col(textCol), n)).as("_g"))
+      .select(md5(col("_g")).as("_gh")).distinct()
+    val bSide = if (broadcastBench) broadcast(bGrams) else bGrams
+    val shared = dGrams.join(bSide, "_gh")
+      .groupBy(col("id")).agg(count(lit(1)).as("n_shared"))
+    withGrams.select(col("id"), col("n_grams"))
+      .join(shared, Seq("id"), "left")
+      .select(col("id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
+        col("n_grams"),
+        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"))
+          .as("contamination"))
+  }
+
   /** 64-bit SimHash over whitespace tokens (multiplicity-weighted): bit b
     * of each token's md5 votes +1/-1; sign of the vote sum sets result
     * bit b (MSB-first). Engine-portable: same md5, same bit order. */

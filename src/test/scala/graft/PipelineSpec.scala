@@ -282,6 +282,72 @@ class PipelineSpec extends SparkSpec {
     intercept[IllegalStateException] { CollectionStore.load(spark, path) }
   }
 
+  test("contamination report: verbatim leak = 1.0, partial overlap counted, clean = 0") {
+    import graft.text.TextAnalysis
+    val leak = "the quick brown fox jumps over the lazy dog tonight"
+    val train = Seq(
+      (1L, leak),                                            // verbatim in bench
+      (2L, "the quick brown fox sits under a tree all day"), // shares the leading 3-gram
+      (3L, "completely unrelated words populate this training document")
+    ).toDF("doc_id", "text")
+    val bench = Seq(leak, "another benchmark answer string entirely").toDF("text")
+    val out = TextAnalysis.contaminationReport(train, bench, "doc_id", "text", n = 3)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(out(1L)._3 === 1.0)           // every 3-gram shared
+    assert(out(1L)._1 === out(1L)._2)
+    assert(out(2L)._1 >= 1 && out(2L)._3 > 0.0 && out(2L)._3 < 1.0)
+    assert(out(3L) === ((0L, out(3L)._2, 0.0)))
+    // short text (< n tokens) collapses to a whole-text shingle and still matches
+    val shortLeak = Seq((9L, "exact answer")).toDF("doc_id", "text")
+    val shortBench = Seq("exact answer").toDF("text")
+    val s = TextAnalysis.contaminationReport(shortLeak, shortBench, "doc_id", "text", n = 5)
+      .collect().head
+    assert(s.getDouble(3) === 1.0)
+  }
+
+  test("stratified sample: per-stratum rates, deterministic, subset of source") {
+    import graft.functions.Sampling
+    val rows = (0 until 3000).map(i =>
+      (i.toLong, if (i % 3 == 0) "en" else if (i % 3 == 1) "de" else "fr"))
+    val df = rows.toDF("id", "lang").repartition(8)
+    val sampled = Sampling.stratifiedSampleByHash(df, "id", "lang",
+      Seq("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.0, salt = "s")
+    val got = sampled.collect().map(r => (r.getLong(0), r.getString(1)))
+    val byLang = got.groupBy(_._2).view.mapValues(_.length).toMap
+    assert(byLang("de") === 1000)              // fraction 1.0 keeps everything
+    assert(!byLang.contains("fr"))             // default 0.0 drops the rest
+    assert(math.abs(byLang("en") - 500) < 100) // hash-uniform ~50%
+    // exactly the rows whose hash bucket clears the per-stratum threshold
+    val expected = df.withColumn("b", Sampling.hashBucket(col("id"), 1000, "s"))
+      .collect().filter { r =>
+        val (lang, b) = (r.getString(1), r.getInt(2))
+        if (lang == "en") b < 500 else lang == "de"
+      }.map(r => (r.getLong(0), r.getString(1)))
+    assert(got.sorted.toSeq === expected.sorted.toSeq)
+    // rerun reproduces the same sample bit-for-bit
+    val again = Sampling.stratifiedSampleByHash(df, "id", "lang",
+      Seq("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.0, salt = "s")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sorted.toSeq === got.sorted.toSeq)
+  }
+
+  test("per-group cap: keeps first N per group deterministically, pre-cuts map-side") {
+    import graft.functions.Sampling
+    val df = (0 until 500).map(i => (i.toLong, s"dom${i % 5}")).toDF("id", "dom")
+      .repartition(8)
+    val capped = Sampling.capPerGroup(df, "dom", 10, Seq(col("id")))
+    val got = capped.collect().map(r => (r.getString(1), r.getLong(0)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toSeq).toMap
+    assert(got.keySet === (0 until 5).map(i => s"dom$i").toSet)
+    // first 10 ids of each group in ascending order win
+    for (d <- 0 until 5)
+      assert(got(s"dom$d") === (0 until 10).map(j => (j * 5 + d).toLong))
+    // the window group limit pre-cuts per-partition before the exchange
+    val plan = capped.queryExecution.executedPlan.toString
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+  }
+
   test("multimodal: batch decode equals per-row stub; schema is typed") {
     val docs = Seq((1L, "hello world", "s"), (2L, "another payload text", "s"))
       .toDF("doc_id", "text", "source")
