@@ -114,6 +114,16 @@ object TrainingQueries {
         Seq("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.1, salt = "graft")
     }),
 
+    // GPT-style sequence packing: docs laid end-to-end in doc_id order on
+    // one token stream, cut into 512-token bins; a distributed prefix sum
+    // (range partition + per-partition offsets), never a global window
+    "data_pack_sequences" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"),
+          TextAnalysis.wordCount(col("text")).cast("long").as("n_tokens"))
+      graft.functions.Sampling.packSequences(docs, col("doc_id"), "n_tokens", 512)
+    }),
+
     // per-domain cap: at most 15 docs per source, earliest doc_ids win —
     // the "max N documents per domain" rule of web-corpus pipelines;
     // WindowGroupLimit pre-cuts each domain map-side before the shuffle
@@ -1094,6 +1104,16 @@ object TrainingQueries {
          SELECT doc_id, lang FROM b
          WHERE bucket < (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 1000 ELSE 100 END)
          ORDER BY doc_id""",
+
+    "data_pack_sequences" ->
+      s"""WITH c AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents),
+         w AS (SELECT doc_id, n_tokens,
+           CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_start
+         FROM c)
+         SELECT doc_id, n_tokens, token_start AS pack_token_start,
+           token_start // 512 AS pack_bin, token_start % 512 AS pack_offset,
+           (CASE WHEN n_tokens > 0 THEN token_start + n_tokens - 1 ELSE token_start END) // 512 AS pack_end_bin
+         FROM w ORDER BY doc_id""",
 
     "data_domain_cap" ->
       s"""SELECT doc_id, source FROM (

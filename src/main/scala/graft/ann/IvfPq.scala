@@ -230,4 +230,21 @@ object IvfPq {
       nprobe: Int, candidates: Int = 0): DataFrame =
     search(spark.read.parquet(path), config, centroids, codebooks, query,
       limit, nprobe, candidates)
+
+  /** Residual layout at rest: cells as directories, residual codes in
+    * the rows — the full FAISS-style default persisted with the same
+    * directory-pruning property as [[writePartitioned]]. */
+  def writePartitionedResidual(df: DataFrame, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], path: String): Unit =
+    withResidualCodes(df, centroids, codebooks).write.mode("overwrite")
+      .partitionBy("ivf_cell").parquet(path)
+
+  /** Residual search over the cell-partitioned layout: identical results
+    * to [[searchResidual]]; each probe branch prunes whole directories. */
+  def searchPartitionedResidual(spark: org.apache.spark.sql.SparkSession,
+      path: String, config: CollectionConfig, centroids: Array[Array[Float]],
+      codebooks: Array[Array[Array[Float]]], query: Array[Float], limit: Int,
+      nprobe: Int, candidates: Int = 0): DataFrame =
+    searchResidual(spark.read.parquet(path), config, centroids, codebooks,
+      query, limit, nprobe, candidates)
 }

@@ -85,6 +85,61 @@ object Sampling {
       .filter(col("_rn") <= cap).drop("_rn")
   }
 
+  /** GPT-style sequence-packing layout: documents laid end-to-end on one
+    * token stream in ascending `order` (must be a total order), then cut
+    * into fixed `binSize` training sequences. Emits each doc's global
+    * `token_start`, its first/last bin, and its offset inside the first
+    * bin — everything a packed-pretraining writer needs to materialize
+    * sequences (or to route each doc to its bin workers when docs span
+    * bins).
+    *
+    * Scale shape: a global running sum CANNOT ride a Spark window (no
+    * partitionBy = one partition). Instead: range-repartition on the
+    * key, one pass for per-partition token totals (collected — one small
+    * number per partition), then a second pass over the SAME materialized
+    * RDD instance streams each partition with its exclusive prefix offset
+    * (the [[withSequentialIds]] determinism contract). */
+  def packSequences(df: DataFrame, order: Column, tokenCol: String,
+      binSize: Int, prefix: String = "pack_"): DataFrame = {
+    require(binSize > 0, "binSize must be positive")
+    val spark = df.sparkSession
+    val tokenIdx = df.schema.fieldIndex(tokenCol)
+    val sorted = df.repartitionByRange(order).sortWithinPartitions(order)
+    // ONE RDD instance: the RangePartitioner samples boundaries once at
+    // construction, and the second job reuses the first's shuffle files,
+    // so both passes see identical partition contents (no persist needed)
+    val rdd = sorted.rdd
+    val partTotals = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var s = 0L
+      it.foreach(r => s += r.getLong(tokenIdx))
+      Iterator((i, s))
+    }.collect().sortBy(_._1).map(_._2)
+    val offsets = partTotals.scanLeft(0L)(_ + _) // exclusive prefix per partition
+    val bs = binSize.toLong
+    val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields ++ Seq(
+      org.apache.spark.sql.types.StructField(s"${prefix}token_start",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(s"${prefix}bin",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(s"${prefix}offset",
+        org.apache.spark.sql.types.LongType, nullable = false),
+      org.apache.spark.sql.types.StructField(s"${prefix}end_bin",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+    val packed = rdd.mapPartitionsWithIndex { case (i, it) =>
+      var running = offsets(i)
+      it.map { r =>
+        val n = r.getLong(tokenIdx)
+        val start = running
+        running += n
+        val endTok = if (n > 0) start + n - 1 else start
+        org.apache.spark.sql.Row.fromSeq(r.toSeq ++
+          Seq(start, start / bs, start % bs, endTok / bs))
+      }
+    }
+    val out = spark.createDataFrame(packed, schema)
+    out
+  }
+
   /** Globally contiguous 0-based ids in `order`-sorted order, at scale.
     * `row_number() OVER (ORDER BY ...)` needs a single-partition window;
     * this instead range-repartitions on the key, sorts each partition

@@ -348,6 +348,33 @@ class PipelineSpec extends SparkSpec {
     assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
   }
 
+  test("sequence packing: contiguous stream, correct bins, multi-partition determinism") {
+    import graft.functions.Sampling
+    val docs = (0 until 200).map(i => (i.toLong, (i % 7 + 1).toLong))
+      .toDF("id", "n_tokens").repartition(8)
+    val packed = Sampling.packSequences(docs, col("id"), "n_tokens", binSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1)
+    // stream is contiguous: each doc starts where the previous ended
+    var expectStart = 0L
+    for ((id, n, start, bin, off, endBin) <- packed) {
+      assert(start === expectStart, s"doc $id")
+      assert(bin === start / 10 && off === start % 10)
+      assert(endBin === (if (n > 0) start + n - 1 else start) / 10)
+      expectStart += n
+    }
+    // zero-length doc occupies no tokens but still lands deterministically
+    val withZero = Seq((0L, 3L), (1L, 0L), (2L, 4L)).toDF("id", "n_tokens")
+    val z = Sampling.packSequences(withZero, col("id"), "n_tokens", 10)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getLong(5))).toMap
+    assert(z(1L) === ((3L, 0L)))
+    assert(z(2L)._1 === 3L)
+    // rerun reproduces the identical layout
+    val again = Sampling.packSequences(docs, col("id"), "n_tokens", binSize = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).sortBy(_._1)
+    assert(again.toSeq === packed.map(p => (p._1, p._3)).toSeq)
+  }
+
   test("multimodal: batch decode equals per-row stub; schema is typed") {
     val docs = Seq((1L, "hello world", "s"), (2L, "another payload text", "s"))
       .toDF("doc_id", "text", "source")

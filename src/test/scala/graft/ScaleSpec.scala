@@ -163,6 +163,53 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("Partial"), s"no partial (map-side) group limit in plan:\n$plan")
   }
 
+  test("residual batch search plan: broadcast per-cell tables, map-side window pre-cut") {
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+    val order = col("id").cast("long")
+    val cents = graft.ann.IvfIndex.trainOrdered(coll, config,
+      graft.ann.IvfIndex.IvfConfig(k = 4, iterations = 2), order)
+    val cb = graft.ann.IvfPq.trainResidual(coll, config, cents,
+      graft.ann.Pq.PqConfig(m = 8, k = 16, iterations = 2, sampleSize = 128), order)
+    val prepared = graft.ann.IvfPq.withResidualCodes(coll, cents, cb)
+    val qs = Tables.read(spark, sfDir, "embeddings").filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+    val plan = graft.ann.IvfPq.searchManyResidual(prepared, config, cents, cb,
+      qs, 5, nprobe = 2).queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"no broadcast join in plan:\n$plan")
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit in plan:\n$plan")
+    assert(plan.contains("Partial"), s"no partial (map-side) group limit in plan:\n$plan")
+  }
+
+  test("residual IVF-PQ partitioned layout: directory pruning, identical results") {
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val order = col("id").cast("long")
+    val cents = graft.ann.IvfIndex.trainOrdered(coll, config,
+      graft.ann.IvfIndex.IvfConfig(k = 4, iterations = 2), order)
+    val cb = graft.ann.IvfPq.trainResidual(coll, config, cents,
+      graft.ann.Pq.PqConfig(m = 8, k = 16, iterations = 2, sampleSize = 128), order)
+    val path = java.nio.file.Files.createTempDirectory("graft_ivfpq_res_part").toString
+    graft.ann.IvfPq.writePartitionedResidual(coll.drop("metadata"), cents, cb, path)
+    val q = Tables.queryVector(spark, sfDir, 1L)
+    val mem = graft.ann.IvfPq.searchResidual(coll.drop("metadata"), config, cents, cb,
+      q, 5, nprobe = 2).collect().map(r => (r.getString(0), r.getDouble(2)))
+    val part = graft.ann.IvfPq.searchPartitionedResidual(spark, path, config,
+      cents, cb, q, 5, nprobe = 2).collect().map(r => (r.getString(0), r.getDouble(2)))
+    assert(part.toSeq === mem.toSeq)
+    // the probe reaches the scan as a PartitionFilter (whole-directory prune)
+    val probePlan = graft.ann.IvfPq.searchPartitionedResidual(spark, path, config,
+      cents, cb, q, 5, nprobe = 2).queryExecution.executedPlan.toString
+    assert(probePlan.contains("PartitionFilters: [isnotnull(ivf_cell"),
+      s"probe not pushed to partition filter:\n$probePlan")
+    coll.unpersist()
+  }
+
   test("ANN ingest encodes are fused codegen expressions, not Scala UDFs") {
     val sfDir = "/root/testdata/sf0.001"
     val d = Tables.dims(spark, sfDir)
