@@ -81,4 +81,27 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.dedup.Dedup.clusters(empty.select($"id"), "id",
       Seq.empty[(String, String)].toDF("id_a", "id_b")).count() === 0)
   }
+
+  test("curation edge cases: empty bench, non-binding cap, oversize bin, empty stratum") {
+    import spark.implicits._
+    import graft.functions.Sampling
+    // contamination vs an EMPTY eval set: every doc reports 0.0
+    val docs = Seq((1L, "alpha beta gamma delta"), (2L, "more words here too")).toDF("doc_id", "text")
+    val emptyBench = Seq.empty[String].toDF("text")
+    val rep = graft.text.TextAnalysis.contaminationReport(docs, emptyBench, "doc_id", "text", n = 2)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(3))).toMap
+    assert(rep(1L) === ((0L, 0.0)) && rep(2L) === ((0L, 0.0)))
+    // cap larger than every group: identity
+    val src = Seq((1L, "a"), (2L, "a"), (3L, "b")).toDF("id", "g")
+    assert(Sampling.capPerGroup(src, "g", 10, Seq(col("id"))).count() === 3)
+    // bin larger than the whole stream: everything lands in bin 0
+    val toks = Seq((1L, 5L), (2L, 7L)).toDF("id", "n")
+    val packed = Sampling.packSequences(toks, col("id"), "n", binSize = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(3), r.getLong(5)))
+    assert(packed.forall { case (_, bin, endBin) => bin === 0L && endBin === 0L })
+    // stratum absent from the data: sample is just the listed strata's rows
+    val strat = Sampling.stratifiedSampleByHash(src, "id", "g",
+      Seq("zz" -> 1.0), defaultFraction = 0.0, salt = "s")
+    assert(strat.count() === 0)
+  }
 }
