@@ -15,7 +15,9 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("vec_flat_cosine_topk", "vec_flat_packed_topk", "vec_funnel_topk",
         "vec_search_many", "ann_sq8_topk", "ann_ivfpq_topk",
-        "agg_pricing_summary", "join_revenue_by_nation", "dedup_minhash_pairs")
+        "ann_ivfpq_search_many", "ann_opq_topk",
+        "agg_pricing_summary", "join_revenue_by_nation", "dedup_minhash_pairs",
+        "text_contamination", "data_domain_cap", "data_stratified_sample")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")
