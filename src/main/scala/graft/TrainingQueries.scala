@@ -473,6 +473,18 @@ object TrainingQueries {
         col("channels"), col("sum_r"), col("sum_g"), col("sum_b"))
     }),
 
+    // real audio decode (javax.sound.sampled, the JDK's WAV codec) over
+    // PCM fixtures with known samples — header fields AND the exact
+    // integer sample sum replicate in the oracle, so a hash match proves
+    // the codec parsed the container and read every frame
+    "mm_decode_audio" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents").filter(col("doc_id") < 100)
+      val media = Multimodal.wavFixtures(docs, batchSize = 32)
+      Multimodal.decodeAudioReal(media, "payload", batchSize = 32)
+        .select(col("doc_id"), col("sample_rate"), col("channels"),
+          col("n_samples"), col("sum_samples"))
+    }),
+
     // ---- event streams
     "events_windowed" -> ((s, dir) =>
       roundCols(EventStreams.windowedStats(events(s, dir), 3600L),
@@ -1300,6 +1312,17 @@ object TrainingQueries {
            CAST(r * height * ((width + 1) // 2) AS BIGINT) AS sum_r,
            CAST(g * height * ((width + 1) // 2) AS BIGINT) AS sum_g,
            CAST(b * height * ((width + 1) // 2) AS BIGINT) AS sum_b
+         FROM spec ORDER BY doc_id""",
+
+    "mm_decode_audio" ->
+      s"""WITH spec AS (SELECT doc_id,
+           CAST(8000 + (doc_id % 8) * 1000 AS INT) AS sample_rate,
+           CAST(64 + doc_id % 128 AS BIGINT) AS n
+         FROM documents WHERE doc_id < 100)
+         SELECT doc_id, sample_rate, CAST(1 AS INT) AS channels,
+           n AS n_samples,
+           CAST(list_sum(list_transform(range(0, n), i ->
+             ((doc_id * 31 + i * 17) % 2001) - 1000)) AS BIGINT) AS sum_samples
          FROM spec ORDER BY doc_id""",
 
     "events_windowed" ->

@@ -16,12 +16,14 @@ import org.apache.spark.sql.types._
   * The Spark side — schema, partitioning, batch shape (fixed-size chunks
   * inside mapPartitions, the same contract as `mapInPandas` batches) — is
   * real and tested. IMAGE decode is REAL (`decodeImageReal`, javax.imageio
-  * from the JDK: PNG/BMP/GIF/JPEG headers + pixel traversal). Audio decode
-  * and video frame sampling remain clearly-marked deterministic STUBs
-  * (no audio/video codec ships in the JDK); swapping in a real codec
-  * changes only the stub body — every schema/batching/partitioning
-  * decision stays. The md5 image stub is kept alongside for payloads that
-  * are not real images (e.g. [[documentsAsMedia]] text bytes).
+  * from the JDK: PNG/BMP/GIF/JPEG headers + pixel traversal) and AUDIO
+  * decode is REAL (`decodeAudioReal`, javax.sound.sampled: WAV/AIFF/AU
+  * PCM headers + frame traversal). Video frame sampling remains a
+  * clearly-marked deterministic STUB (no video codec ships in the JDK);
+  * swapping in a real codec changes only the stub body — every
+  * schema/batching/partitioning decision stays. The md5 stubs are kept
+  * alongside for payloads that are not real media (e.g.
+  * [[documentsAsMedia]] text bytes).
   */
 object Multimodal {
 
@@ -239,6 +241,109 @@ object Multimodal {
         batch.map { row =>
           val decoded = decodeAudioStub(row.getAs[Array[Byte]](payloadIdx))
           Row.fromSeq(row.toSeq ++ decoded.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  // ---- real audio decode (javax.sound.sampled — the JDK's WAV/AIFF/AU
+  // PCM codec; no external library). Same batched shape as the image
+  // path; payloads stay on executors.
+
+  val audioRealSchema: StructType = StructType(Seq(
+    StructField("sample_rate", IntegerType, nullable = false),
+    StructField("channels", IntegerType, nullable = false),
+    StructField("n_samples", LongType, nullable = false),
+    StructField("sum_samples", LongType, nullable = false)))
+
+  /** Real audio decode: sample rate / channels / frame count from the
+    * container header plus the exact integer sum of all 16-bit samples —
+    * replicable in the SQL oracle on fixtures with known samples. PCM
+    * s16 only (the WAV fixture format; lossless, so the read-back is
+    * byte-identical to what was written). */
+  def decodeAudioReal(payload: Array[Byte]): Row = {
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.BufferedInputStream(new ByteArrayInputStream(payload)))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16, s"expected 16-bit PCM, got ${fmt.getSampleSizeInBits}")
+      val channels = fmt.getChannels
+      val bytes = in.readAllBytes()
+      val le = !fmt.isBigEndian
+      var sum = 0L
+      var i = 0
+      while (i + 2 <= bytes.length) {
+        val lo = bytes(if (le) i else i + 1) & 0xFF
+        val hi = bytes(if (le) i + 1 else i) // sign byte: keep unmasked
+        sum += ((hi << 8) | lo).toShort.toLong
+        i += 2
+      }
+      val nSamples = bytes.length.toLong / 2
+      Row(fmt.getSampleRate.toInt, channels, nSamples / channels, sum)
+    } finally in.close()
+  }
+
+  /** Decode a binary audio column with the REAL codec in partition-local
+    * batches — same batch contract as [[decodeAudio]]. */
+  def decodeAudioReal(df: DataFrame, payloadCol: String,
+      batchSize: Int): DataFrame = {
+    val inputSchema = df.schema
+    val outSchema = StructType(inputSchema.fields ++ audioRealSchema.fields)
+    val payloadIdx = inputSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val decoded = decodeAudioReal(row.getAs[Array[Byte]](payloadIdx))
+          Row.fromSeq(row.toSeq ++ decoded.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic WAV fixture spec: (sampleRate, nSamples); sample i is
+    * `((docId * 31 + i * 17) % 2001) - 1000` — exact integer arithmetic
+    * on docId, replicable in the SQL oracle. */
+  def wavFixtureSpec(docId: Long): (Int, Int) =
+    ((8000 + (docId % 8) * 1000).toInt, (64 + docId % 128).toInt)
+
+  def wavFixtureSample(docId: Long, i: Int): Short =
+    (((docId * 31 + i.toLong * 17) % 2001L) - 1000L).toShort
+
+  /** Encode the [[wavFixtureSpec]] signal as PCM s16le mono WAV via the
+    * JDK codec. */
+  def encodeWavFixture(docId: Long): Array[Byte] = {
+    val (rate, n) = wavFixtureSpec(docId)
+    val pcm = new Array[Byte](n * 2)
+    var i = 0
+    while (i < n) {
+      val s = wavFixtureSample(docId, i)
+      pcm(2 * i) = (s & 0xFF).toByte
+      pcm(2 * i + 1) = ((s >> 8) & 0xFF).toByte
+      i += 1
+    }
+    val fmt = new javax.sound.sampled.AudioFormat(rate.toFloat, 16, 1, true, false)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new ByteArrayInputStream(pcm), fmt, n.toLong)
+    val bos = new ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(stream,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  /** Build a (doc_id, payload) table of real WAV bytes, encoded in
+    * partition-local batches. */
+  def wavFixtures(docs: DataFrame, idCol: String = "doc_id",
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    docs.select(col(idCol).cast("long").as("doc_id")).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(0)
+          Row(id, encodeWavFixture(id))
         }
       }
     }(enc)

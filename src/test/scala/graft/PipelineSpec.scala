@@ -430,6 +430,35 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: real WAV decode recovers header and exact sample sum") {
+    // hand-checked: 3 samples [100, -200, 300] at 8 kHz mono s16le
+    val pcm = Array[Short](100, -200, 300).flatMap(s =>
+      Array((s & 0xFF).toByte, ((s >> 8) & 0xFF).toByte))
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcm), fmt, 3L),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    val d = Multimodal.decodeAudioReal(bos.toByteArray)
+    assert((d.getInt(0), d.getInt(1), d.getLong(2), d.getLong(3)) ===
+      ((8000, 1, 3L, 200L)))
+    // distributed fixture roundtrip matches the spec arithmetic
+    val docs = (0L until 12L).map(i => (i, s"t$i", "s")).toDF("doc_id", "text", "source")
+    val out = Multimodal.decodeAudioReal(
+      Multimodal.wavFixtures(docs, batchSize = 5), "payload", batchSize = 5)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    for (id <- 0L until 12L) {
+      val (rate, n) = Multimodal.wavFixtureSpec(id)
+      val expectSum = (0 until n).map(i => Multimodal.wavFixtureSample(id, i).toLong).sum
+      val row = out(id)
+      assert(row.getAs[Int]("sample_rate") === rate)
+      assert(row.getAs[Int]("channels") === 1)
+      assert(row.getAs[Long]("n_samples") === n.toLong)
+      assert(row.getAs[Long]("sum_samples") === expectSum)
+    }
+  }
+
   test("multimodal: resize and audio decode are batch-invariant and typed") {
     val docs = Seq((1L, "hello world", "s"), (2L, "another payload text", "s"),
       (3L, "third document body here", "s")).toDF("doc_id", "text", "source")
