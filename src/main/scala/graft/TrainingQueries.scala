@@ -485,6 +485,17 @@ object TrainingQueries {
           col("n_samples"), col("sum_samples"))
     }),
 
+    // real multi-frame decode: animated GIF (the JDK's one multi-frame
+    // format) — frame count, sampled frame indexes, and exact per-frame
+    // pixel sums all replicate in the oracle's closed-form arithmetic
+    "mm_video_frames" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents").filter(col("doc_id") < 60)
+      val media = Multimodal.gifFixtures(docs, batchSize = 16)
+      Multimodal.sampleVideoFrames(media, "payload", stride = 2, batchSize = 16)
+        .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+          col("width"), col("height"), col("sum_r"), col("sum_g"), col("sum_b"))
+    }),
+
     // ---- event streams
     "events_windowed" -> ((s, dir) =>
       roundCols(EventStreams.windowedStats(events(s, dir), 3600L),
@@ -1313,6 +1324,21 @@ object TrainingQueries {
            CAST(g * height * ((width + 1) // 2) AS BIGINT) AS sum_g,
            CAST(b * height * ((width + 1) // 2) AS BIGINT) AS sum_b
          FROM spec ORDER BY doc_id""",
+
+    "mm_video_frames" ->
+      s"""WITH spec AS (SELECT doc_id,
+           CAST(8 + doc_id % 8 AS INT) AS width,
+           CAST(8 + (doc_id * 3) % 8 AS INT) AS height,
+           CAST(2 + doc_id % 5 AS INT) AS n_frames
+         FROM documents WHERE doc_id < 60),
+         f AS (SELECT doc_id, width, height, n_frames,
+           CAST(unnest(range(0, n_frames, 2)) AS INT) AS frame_idx
+         FROM spec)
+         SELECT doc_id, n_frames, frame_idx, width, height,
+           CAST(((doc_id * 31 + frame_idx * 7) % 256) * width * height AS BIGINT) AS sum_r,
+           CAST(((doc_id * 67 + frame_idx * 11) % 256) * width * height AS BIGINT) AS sum_g,
+           CAST(((doc_id * 101 + frame_idx * 13) % 256) * width * height AS BIGINT) AS sum_b
+         FROM f ORDER BY doc_id, frame_idx""",
 
     "mm_decode_audio" ->
       s"""WITH spec AS (SELECT doc_id,

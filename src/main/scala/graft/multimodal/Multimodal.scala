@@ -349,6 +349,128 @@ object Multimodal {
     }(enc)
   }
 
+  // ---- real multi-frame (video-like) decode: animated GIF via
+  // javax.imageio — the one multi-frame temporal format the JDK decodes.
+  // Frame sampling + per-frame feature extraction run on REAL frames.
+
+  val videoFramesSchema: StructType = StructType(Seq(
+    StructField("n_frames", IntegerType, nullable = false),
+    StructField("frame_idx", IntegerType, nullable = false),
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false),
+    StructField("sum_r", LongType, nullable = false),
+    StructField("sum_g", LongType, nullable = false),
+    StructField("sum_b", LongType, nullable = false)))
+
+  /** Decode an animated-GIF payload and sample every `stride`-th frame:
+    * (n_frames, frame_idx, width, height, exact per-channel pixel sums)
+    * per sampled frame. */
+  def decodeVideoFrames(payload: Array[Byte], stride: Int): Seq[Row] = {
+    require(stride > 0, "stride must be positive")
+    val it = ImageIO.getImageReadersByFormatName("gif")
+    require(it.hasNext, "no GIF reader")
+    val reader = it.next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n by stride).map { i =>
+        val img = reader.read(i)
+        var sumR = 0L; var sumG = 0L; var sumB = 0L
+        var y = 0
+        while (y < img.getHeight) {
+          var x = 0
+          while (x < img.getWidth) {
+            val rgb = img.getRGB(x, y)
+            sumR += (rgb >> 16) & 0xFF; sumG += (rgb >> 8) & 0xFF; sumB += rgb & 0xFF
+            x += 1
+          }
+          y += 1
+        }
+        Row(n, i, img.getWidth, img.getHeight, sumR, sumG, sumB)
+      }
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Frame-sample a binary animated-GIF column in partition-local
+    * batches; one output row per sampled frame (flatMap — a doc with f
+    * frames emits ceil(f/stride) rows). */
+  def sampleVideoFrames(df: DataFrame, payloadCol: String, stride: Int,
+      batchSize: Int = 64): DataFrame = {
+    val inputSchema = df.schema
+    val outSchema = StructType(inputSchema.fields ++ videoFramesSchema.fields)
+    val payloadIdx = inputSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.flatMap { row =>
+          decodeVideoFrames(row.getAs[Array[Byte]](payloadIdx), stride)
+            .map(f => Row.fromSeq(row.toSeq ++ f.toSeq))
+        }
+      }
+    }(enc)
+  }
+
+  /** Deterministic GIF fixture spec: (width, height, nFrames); frame j
+    * is the solid color [[gifFixtureColor]](docId, j) — exact integer
+    * arithmetic on docId, replicable in the SQL oracle. */
+  def gifFixtureSpec(docId: Long): (Int, Int, Int) =
+    ((8 + docId % 8).toInt, (8 + (docId * 3) % 8).toInt, (2 + docId % 5).toInt)
+
+  def gifFixtureColor(docId: Long, frame: Int): (Int, Int, Int) =
+    (((docId * 31 + frame * 7) % 256).toInt,
+     ((docId * 67 + frame * 11) % 256).toInt,
+     ((docId * 101 + frame * 13) % 256).toInt)
+
+  /** Encode the [[gifFixtureSpec]] animation (solid-color frames — GIF's
+    * palette holds each exactly, so decode is lossless). */
+  def encodeGifFixture(docId: Long): Array[Byte] = {
+    val (w, h, n) = gifFixtureSpec(docId)
+    val it = ImageIO.getImageWritersByFormatName("gif")
+    require(it.hasNext, "no GIF writer")
+    val writer = it.next()
+    val bos = new ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var j = 0
+      while (j < n) {
+        val (r, g, b) = gifFixtureColor(docId, j)
+        val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+        val tone = (r << 16) | (g << 8) | b
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) { img.setRGB(x, y, tone); x += 1 }
+          y += 1
+        }
+        writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+          writer.getDefaultWriteParam)
+        j += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  /** Build a (doc_id, payload) table of real animated-GIF bytes. */
+  def gifFixtures(docs: DataFrame, idCol: String = "doc_id",
+      batchSize: Int = 256): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField("doc_id", LongType, nullable = false),
+      StructField("payload", BinaryType, nullable = false)))
+    val enc = RowEncoder.encoderFor(outSchema)
+    docs.select(col(idCol).cast("long").as("doc_id")).mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val id = row.getLong(0)
+          Row(id, encodeGifFixture(id))
+        }
+      }
+    }(enc)
+  }
+
   /** Frame sampling STUB for video payloads: deterministic frame index
     * list (every `stride`-th "frame" of n_frames derived from length). */
   def sampleFrameIndexes(df: DataFrame, payloadCol: String, stride: Int): DataFrame =

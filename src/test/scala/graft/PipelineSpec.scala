@@ -459,6 +459,31 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("multimodal: real animated-GIF frame sampling decodes true frames") {
+    // hand-checked roundtrip: doc 3's fixture
+    val (w, h, n) = Multimodal.gifFixtureSpec(3L)
+    val frames = Multimodal.decodeVideoFrames(Multimodal.encodeGifFixture(3L), 1)
+    assert(frames.length === n)
+    for ((f, j) <- frames.zipWithIndex) {
+      val (r, g, b) = Multimodal.gifFixtureColor(3L, j)
+      assert((f.getInt(0), f.getInt(1), f.getInt(2), f.getInt(3)) === ((n, j, w, h)))
+      assert((f.getLong(4), f.getLong(5), f.getLong(6)) ===
+        ((r.toLong * w * h, g.toLong * w * h, b.toLong * w * h)))
+    }
+    // stride sampling emits every stride-th frame only
+    val strided = Multimodal.decodeVideoFrames(Multimodal.encodeGifFixture(3L), 2)
+    assert(strided.map(_.getInt(1)).toSeq === (0 until n by 2).toSeq)
+    // distributed flatMap shape: one row per sampled frame
+    val docs = (0L until 8L).map(i => (i, s"t$i", "s")).toDF("doc_id", "text", "source")
+    val out = Multimodal.sampleVideoFrames(
+      Multimodal.gifFixtures(docs, batchSize = 3), "payload", stride = 2, batchSize = 3)
+      .collect()
+    val expectRows = (0L until 8L).map { id =>
+      val nf = Multimodal.gifFixtureSpec(id)._3; (nf + 1) / 2
+    }.sum
+    assert(out.length === expectRows)
+  }
+
   test("multimodal: resize and audio decode are batch-invariant and typed") {
     val docs = Seq((1L, "hello world", "s"), (2L, "another payload text", "s"),
       (3L, "third document body here", "s")).toDF("doc_id", "text", "source")
