@@ -221,6 +221,8 @@ object Bench {
       graft.ann.IvfIndex.IvfConfig(k = 16, iterations = 5))
     quality("overlap10_ivf_nprobe4") = overlap(dfIds(
       graft.ann.IvfIndex.search(coll, config, ivfCents, q, 10, nprobe = 4)))
+    quality("overlap10_ivf_adaptive") = overlap(dfIds(
+      graft.ann.IvfIndex.searchAdaptive(coll, config, ivfCents, q, 10)))
     quality("equiv_funnel_fullcand") = overlap(dfIds(Search.funnelSearch(
       coll, config, q, 10, Seq(dims / 4, dims / 2, dims), SynthRecords)))
     quality("overlap10_sq8_c200") = overlap(dfIds(
@@ -314,6 +316,9 @@ object Bench {
         graft.ann.IvfIndex.IvfConfig(k = 8, iterations = 5))
       quality("emb_overlap10_ivf_nprobe2") = eOverlap(dfIds(
         graft.ann.IvfIndex.search(ecoll, econfig, eCents, eq, 10, nprobe = 2)))
+      quality("emb_overlap10_ivf_adaptive") = eOverlap(dfIds(
+        graft.ann.IvfIndex.searchAdaptive(ecoll, econfig, eCents, eq, 10,
+          ratio = 1.2, maxProbe = 4)))
       val eSq8 = graft.ann.Sq8.train(ecoll)
       quality("emb_overlap10_sq8") = eOverlap(dfIds(graft.ann.Sq8.search(
         graft.ann.Sq8.withCodes(ecoll, eSq8), econfig, eSq8, eq, 10,

@@ -149,7 +149,9 @@ object SparkEntry {
         .orderBy(col("ham").asc, col("id").asc).limit(20), Seq("pjac"))
     }),
 
-    // Matryoshka funnel: prefix stages [16,32] -> 50 candidates -> exact
+    // Matryoshka funnel: prefix stages [16,32] with the widen=8 schedule
+    // (stage keeps [400, 50]) -> exact rerank; the oracle replicates the
+    // per-stage keeps literally
     "vec_funnel_topk" -> ((s, dir) => {
       val (config, coll, q) = l2Setup(s, dir)
       roundCols(Search.funnelSearch(coll, config, q, 10,
@@ -452,7 +454,7 @@ object SparkEntry {
       "vec_funnel_topk" ->
         s"""WITH q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
            base AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v FROM embeddings),
-           s1 AS (SELECT id, v FROM (SELECT id, v, ${sqlL2sq("v[1:16]", "qraw[1:16]")} AS r1 FROM base, q ORDER BY r1 ASC, id ASC LIMIT 50)),
+           s1 AS (SELECT id, v FROM (SELECT id, v, ${sqlL2sq("v[1:16]", "qraw[1:16]")} AS r1 FROM base, q ORDER BY r1 ASC, id ASC LIMIT 400)),
            s2 AS (SELECT id, v FROM (SELECT id, v, ${sqlL2sq("v[1:32]", "qraw[1:32]")} AS r2 FROM s1, q ORDER BY r2 ASC, id ASC LIMIT 50)),
            fin AS (SELECT id, sqrt(${sqlL2sq("v", "qraw")}) AS raw FROM s2, q)
            SELECT id, id AS value, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric
@@ -470,7 +472,7 @@ object SparkEntry {
       "vec_hybrid_topk" ->
         s"""WITH q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
            base AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v FROM embeddings),
-           s1 AS (SELECT id, v FROM (SELECT id, v, ${sqlL2sq("v[1:16]", "qraw[1:16]")} AS r1 FROM base, q ORDER BY r1 ASC, id ASC LIMIT 50)),
+           s1 AS (SELECT id, v FROM (SELECT id, v, ${sqlL2sq("v[1:16]", "qraw[1:16]")} AS r1 FROM base, q ORDER BY r1 ASC, id ASC LIMIT 400)),
            s2 AS (SELECT id, v FROM (SELECT id, v, ${sqlL2sq("v[1:32]", "qraw[1:32]")} AS r2 FROM s1, q ORDER BY r2 ASC, id ASC LIMIT 50)),
            hq AS (SELECT id, v FROM (SELECT id, v,
              len(list_filter(range(1, len(v)+1), i -> (v[i] >= 0) != (qraw[i] >= 0))) AS ham

@@ -338,6 +338,21 @@ object TrainingQueries {
         .drop("metadata"), Seq("score", "distance"))
     }),
 
+    // adaptive probing of the same id-ordered-trained index: probe every
+    // cell within 1.2x the nearest cell's squared distance (max 4) —
+    // probes widen exactly where the coarse quantizer is ambiguous; the
+    // oracle replicates the ratio cutoff on the replicated k-means
+    "ann_ivf_adaptive_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val ivf = IvfIndex.IvfConfig(k = 8, iterations = 5)
+      val centroids = IvfIndex.trainOrdered(coll, config, ivf, col("id").cast("long"))
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(IvfIndex.searchAdaptive(coll, config, centroids, q, 10,
+        ratio = 1.2, maxProbe = 4).drop("metadata"), Seq("score", "distance"))
+    }),
+
     // SQ8 int8 quantization: per-dim min/max affine codes (4x smaller at
     // rest), ADC candidate cut, exact rerank; every arithmetic step is
     // mirrored in the SQL oracle, so the candidate set itself is verified
@@ -694,9 +709,16 @@ object TrainingQueries {
        bandkeys AS (SELECT id, ((band << 6) | sig) AS key FROM keys)"""
   }
 
+  /** Multi-probe query keys: the gate config probes probeBits=6 of 6
+    * bits at probeOrder=2, i.e. EVERY signature within Hamming distance
+    * <= 2 per band (margin ranking is moot when all bits are probed —
+    * the margin-directed subset only binds when probeBits < bitsPerBand,
+    * covered by ScalaTest). The oracle enumerates the radius-2 ball. */
   private val lshOracle =
     s"""WITH ${lshPrefix("CAST(vec_id AS VARCHAR)")},
-       qk AS (SELECT key FROM bandkeys WHERE id = '0'),
+       qk AS (SELECT DISTINCT ((k.band << 6) | s.s) AS key
+         FROM keys k, (SELECT unnest(range(0, 64)) AS s) s
+         WHERE k.id = '0' AND bit_count(CAST(xor(s.s::BIGINT, k.sig::BIGINT) AS BIGINT)) <= 2),
        cands AS (SELECT DISTINCT b.id FROM bandkeys b JOIN qk ON b.key = qk.key),
        q AS (SELECT list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS qv
          FROM embeddings WHERE vec_id = 0),
@@ -727,7 +749,7 @@ object TrainingQueries {
     * forbids correlated columns inside lambda bodies). Then the query's
     * 2 nearest cells, exact cosine rerank inside — the approximate
     * candidate set verified end-to-end. */
-  private val ivfPartialProbeOracle = {
+  private def ivfProbeOracle(probesCte: String): String = {
     // dims via len() of in-scope lists, never a subquery: these
     // expressions nest inside lambdas, where DuckDB forbids subqueries
     def l2(a: String, b: String) =
@@ -760,8 +782,9 @@ object TrainingQueries {
          WHERE km.it < 5),
        cents AS (SELECT c FROM km WHERE it = 5),
        q AS (SELECT nv AS qv FROM n WHERE vec_id = 0),
-       probes AS (SELECT k - 1 AS cell FROM (SELECT unnest(range(1, 9)) AS k), cents, q
-         ORDER BY ${l2("qv", "cents.c[k]")} ASC, k ASC LIMIT 2),
+       celld AS (SELECT k - 1 AS cell, ${l2("qv", "cents.c[k]")} AS d2
+         FROM (SELECT unnest(range(1, 9)) AS k), cents, q),
+       probes AS ($probesCte),
        cands AS (SELECT n.id, n.nv FROM n, cents
          WHERE ${assign("n.nv", "cents.c")} IN (SELECT cell FROM probes)),
        sc AS (SELECT id, list_sum(list_transform(range(1, len(nv) + 1),
@@ -770,6 +793,18 @@ object TrainingQueries {
          'cosine' AS metric, id AS value
        FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10"""
   }
+
+  private val ivfPartialProbeOracle =
+    ivfProbeOracle("SELECT cell FROM celld ORDER BY d2 ASC, cell ASC LIMIT 2")
+
+  /** Adaptive probe rule (IvfIndex.probeCellsAdaptive): every cell
+    * within ratio x the nearest cell's squared distance, ties by
+    * ascending cell, capped at maxProbe — same IEEE double arithmetic
+    * as the Scala side (cutoff = d2min * ratio). */
+  private val ivfAdaptiveProbeOracle =
+    ivfProbeOracle("""SELECT cell FROM celld
+         WHERE d2 <= (SELECT min(d2) FROM celld) * 1.2
+         ORDER BY d2 ASC, cell ASC LIMIT 4""")
 
   /** SQ8: per-dim min/max aggregates -> affine codes -> ADC (against the
     * f64 reconstruction) -> exact rerank; every f32/f64 step mirrors the
@@ -1043,6 +1078,7 @@ object TrainingQueries {
     "ann_ivf_full_probe_topk" -> flatCosineOracle,
     "ann_ivf_partitioned_topk" -> flatCosineOracle,
     "ann_ivf_topk" -> ivfPartialProbeOracle,
+    "ann_ivf_adaptive_topk" -> ivfAdaptiveProbeOracle,
     "ann_sq8_topk" -> sq8Oracle,
     "ann_pq_topk" -> pqOracle,
     "ann_opq_topk" -> opqOracle,

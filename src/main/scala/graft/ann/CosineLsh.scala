@@ -26,8 +26,19 @@ import graft.search.Search
   */
 object CosineLsh {
 
-  final case class LshConfig(bands: Int = 16, bitsPerBand: Int = 12, seed: Long = 42L) {
+  /** `probeBits`/`probeOrder` configure query-directed multi-probe (Lv
+    * et al., "Multi-Probe LSH", VLDB 2007): besides its own band keys,
+    * a QUERY also probes the keys reached by flipping up to `probeOrder`
+    * of its `probeBits` lowest-margin bits per band (margin = |dot| with
+    * the bit's hyperplane — the bits most likely to disagree for a true
+    * neighbor). Stored signatures are untouched, so multi-probe costs
+    * extra query keys, not extra index space (the alternative — more
+    * tables — multiplies the at-rest footprint, which is what matters at
+    * 100 TB). `probeBits = 0` disables (exact-key probing only). */
+  final case class LshConfig(bands: Int = 16, bitsPerBand: Int = 12, seed: Long = 42L,
+      probeBits: Int = 6, probeOrder: Int = 2) {
     require(bands > 0 && bitsPerBand > 0 && bitsPerBand <= 24, "bad lsh config")
+    require(probeBits >= 0 && probeOrder >= 1 && probeOrder <= 2, "bad multi-probe config")
     def planes: Int = bands * bitsPerBand
   }
 
@@ -67,6 +78,53 @@ object CosineLsh {
     out
   }
 
+  /** Query-side probe keys: the band keys plus, per band, the keys
+    * reached by flipping any non-empty subset (size <= probeOrder) of
+    * the probeBits lowest-margin bits. Margin ties break by ascending
+    * plane index, so the probe set is deterministic and replicable by
+    * the SQL oracle. */
+  def probeKeys(v: Array[Float], cfg: LshConfig): Array[Int] = {
+    if (cfg.probeBits == 0) return bandKeys(v, cfg)
+    val bits = cfg.bitsPerBand
+    val out = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var b = 0
+    while (b < cfg.bands) {
+      var sig = 0
+      val margins = new Array[Double](bits)
+      var i = 0
+      while (i < bits) {
+        val plane = b * bits + i
+        var dot = 0.0
+        var d = 0
+        while (d < v.length) { dot += v(d).toDouble * planeWeight(cfg.seed, plane, d); d += 1 }
+        sig = (sig << 1) | (if (dot >= 0.0) 1 else 0)
+        margins(i) = math.abs(dot)
+        i += 1
+      }
+      val base = (b << bits) | sig
+      out += base
+      // single-bit masks for the lowest-margin bits (bit i sits at
+      // shift bits-1-i in the signature), ties by ascending plane
+      val flips = (0 until bits).sortBy(i => (margins(i), i))
+        .take(math.min(cfg.probeBits, bits))
+        .map(i => 1 << (bits - 1 - i))
+      flips.foreach(m => out += (base ^ m))
+      if (cfg.probeOrder >= 2) {
+        var x = 0
+        while (x < flips.length) {
+          var y = x + 1
+          while (y < flips.length) {
+            out += (base ^ flips(x) ^ flips(y))
+            y += 1
+          }
+          x += 1
+        }
+      }
+      b += 1
+    }
+    out.distinct.toArray
+  }
+
   /** Codegen entry point ([[graft.expr.LshBandKeys]]): same kernel, one
     * primitive copy each way, no boxed Seq. */
   def bandKeysData(v: org.apache.spark.sql.catalyst.util.ArrayData,
@@ -85,12 +143,13 @@ object CosineLsh {
       vectorCol: String = "vector"): DataFrame =
     df.withColumn("lsh_bands", bandKeysColumn(cfg)(col(vectorCol)))
 
-  /** ANN search: LSH-bucket candidates (any band collision), exact rerank
-    * to `limit`. Shuffle-free: the band filter prunes the scan. */
+  /** ANN search: LSH-bucket candidates (any band collision with the
+    * query's multi-probe key set), exact rerank to `limit`.
+    * Shuffle-free: the band filter prunes the scan. */
   def search(df: DataFrame, config: CollectionConfig, cfg: LshConfig,
       query: Array[Float], limit: Int): DataFrame = {
     val q = Search.prepareQuery(config, query)
-    val qKeys = bandKeys(q, cfg)
+    val qKeys = probeKeys(q, cfg)
     val withSig =
       if (df.columns.contains("lsh_bands")) df
       else withSignatures(df, cfg)
@@ -107,7 +166,9 @@ object CosineLsh {
     import org.apache.spark.sql.expressions.Window
     val qNorm = queries.select(col("qid"),
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
-    val qSide = qNorm.withColumn("band", explode(bandKeysColumn(cfg)(col("qvector"))))
+    val c = cfg
+    val probeUdf = udf((v: Seq[Float]) => probeKeys(v.toArray, c))
+    val qSide = qNorm.withColumn("band", explode(probeUdf(col("qvector"))))
     val dSide = (if (df.columns.contains("lsh_bands")) df else withSignatures(df, cfg))
       .withColumn("band", explode(col("lsh_bands")))
       .select(col("band"), col("id"), col("value"), col("vector"))

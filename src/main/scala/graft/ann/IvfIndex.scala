@@ -110,6 +110,37 @@ object IvfIndex {
       .map(c => (VectorKernels.distance(1, q, centroids(c)), c))
       .sortBy(identity).take(math.min(nprobe, centroids.length)).map(_._2)
 
+  /** Adaptive probe set: cells sorted by squared centroid distance;
+    * probe every cell within `ratio` x the nearest cell's distance,
+    * bounded to at most `maxProbe`. A fixed nprobe wastes probes on
+    * easy queries (one dominant cell) and under-recalls on ambiguous
+    * ones (cell distances concentrate in high dimensions) — the ratio
+    * cutoff spends probes exactly where the coarse quantizer is
+    * uncertain, which is the knob FAISS users hand-tune nprobe toward.
+    * Ties in the cutoff keep ascending cell order (deterministic,
+    * SQL-replicable). */
+  def probeCellsAdaptive(q: Array[Float], centroids: Array[Array[Float]],
+      ratio: Double, maxProbe: Int): Seq[Int] = {
+    require(ratio >= 1.0, "ratio must be >= 1")
+    require(maxProbe > 0, "maxProbe must be positive")
+    val ds = centroids.indices
+      .map(c => (VectorKernels.distance(1, q, centroids(c)), c)).sortBy(identity)
+    val cutoff = ds.head._1 * ratio
+    ds.takeWhile(_._1 <= cutoff).take(math.min(maxProbe, centroids.length)).map(_._2)
+  }
+
+  /** IVF search with the adaptive probe policy: identical plan shape to
+    * [[search]] — only the probe set differs. */
+  def searchAdaptive(df: DataFrame, config: CollectionConfig,
+      centroids: Array[Array[Float]], query: Array[Float], limit: Int,
+      ratio: Double = 1.5, maxProbe: Int = 8): DataFrame = {
+    val q = Search.prepareQuery(config, query)
+    val probes = probeCellsAdaptive(q, centroids, ratio, maxProbe)
+    val withCell = if (df.columns.contains("ivf_cell")) df else withCells(df, centroids)
+    val cands = withCell.filter(col("ivf_cell").isin(probes: _*)).drop("ivf_cell")
+    Search.flatSearch(cands, config, query, limit)
+  }
+
   /** IVF search: prune to probed cells, exact-rerank inside.
     * nprobe == k degenerates to exact flat search. */
   def search(df: DataFrame, config: CollectionConfig, centroids: Array[Array[Float]],

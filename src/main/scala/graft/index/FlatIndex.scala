@@ -110,15 +110,15 @@ final class FlatIndex private (
     FlatIndex.mergeTop(partTops, k)
   }
 
-  /** Matryoshka funnel over the mirror: prefix stages cut to
-    * `candidates`, then exact rerank (same semantics as
-    * Search.funnelSearch). */
+  /** Matryoshka funnel over the mirror: prefix stages cut with the same
+    * widening schedule as Search.funnelSearch (earlier stages keep
+    * `widen`x more; see Search.funnelKeeps), then exact rerank. */
   def funnelSearch(query: Array[Float], metric: Metric, k: Int,
-      stages: Seq[Int], candidates: Int): Array[(String, Double)] = {
+      stages: Seq[Int], candidates: Int,
+      widen: Int = 8): Array[(String, Double)] = {
     var survivors: Set[String] = null
-    stages.foreach { d =>
-      survivors = prefixTop(query, metric, d, candidates,
-        survivors).toSet
+    stages.zip(Search.funnelKeeps(stages.size, candidates, widen)).foreach {
+      case (d, keep) => survivors = prefixTop(query, metric, d, keep, survivors).toSet
     }
     rerank(query, metric, survivors, k)
   }
@@ -130,10 +130,11 @@ final class FlatIndex private (
 
   /** Hybrid: union of funnel + quantized candidates, exact rerank. */
   def hybridSearch(query: Array[Float], metric: Metric, k: Int,
-      stages: Seq[Int], candidates: Int): Array[(String, Double)] = {
+      stages: Seq[Int], candidates: Int,
+      widen: Int = 8): Array[(String, Double)] = {
     var survivors: Set[String] = null
-    stages.foreach { d =>
-      survivors = prefixTop(query, metric, d, candidates, survivors).toSet
+    stages.zip(Search.funnelKeeps(stages.size, candidates, widen)).foreach {
+      case (d, keep) => survivors = prefixTop(query, metric, d, keep, survivors).toSet
     }
     rerank(query, metric, survivors ++ hammingTop(query, candidates), k)
   }

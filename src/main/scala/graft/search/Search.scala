@@ -119,16 +119,42 @@ object Search {
       keep).drop("raw", "rank")
   }
 
+  /** Default funnel stages `[d/4, d/2, d]` — the reference's bench
+    * defaults (bench/search_modes_bench.exs:262-266), deduplicated. */
+  def defaultFunnelStages(dims: Int): Seq[Int] =
+    Seq(math.max(dims / 4, 1), math.max(dims / 2, 1), dims).distinct
+
+  /** Per-stage keep counts: the LAST stage keeps `candidates`, each
+    * earlier stage keeps `widen`x more. With equal keeps at every stage
+    * (the reference's literal semantics, widen=1) a multi-stage funnel
+    * degenerates to its FIRST cut: stage 2 receives exactly `candidates`
+    * rows and "cuts" them to `candidates`, a no-op — so recall is that
+    * of the smallest prefix alone, and extra stages only cost time.
+    * Widening makes the funnel an actual funnel: the cheap small-prefix
+    * stage over-collects, later (more exact) stages narrow. */
+  private[graft] def funnelKeeps(nStages: Int, candidates: Int, widen: Int): Seq[Int] =
+    (0 until nStages).map(i =>
+      (candidates.toLong * math.pow(widen, (nStages - 1 - i).toDouble).toLong)
+        .min(Int.MaxValue).toInt)
+
   /** Matryoshka funnel search: successive prefix-scored candidate cuts,
     * then exact rerank on full vectors (collection.ex:233-260,674-691).
-    * Default stages `[min(dims,128)]`, candidates `max(10*limit, limit)`. */
+    * Default stages `[d/4, d/2, d]`, candidates `max(10*limit, limit)`;
+    * stage i keeps `candidates * widen^(stagesAfter)` rows (see
+    * [[funnelKeeps]]) — `widen = 1` recovers the reference's literal
+    * fixed-candidates semantics. */
   def funnelSearch(df: DataFrame, config: CollectionConfig, query: Array[Float],
-      limit: Int, stages: Seq[Int] = Nil, candidates: Int = 0): DataFrame = {
+      limit: Int, stages: Seq[Int] = Nil, candidates: Int = 0,
+      widen: Int = 8): DataFrame = {
     val q = prepareQuery(config, query)
-    val effStages = if (stages.nonEmpty) stages else Seq(math.min(config.dimensions, 128))
+    val effStages = if (stages.nonEmpty) stages else defaultFunnelStages(config.dimensions)
     val effCand = if (candidates > 0) candidates else math.max(10 * limit, limit)
     require(effCand >= limit, "candidates must be >= limit")
-    val survivors = effStages.foldLeft(df)((cur, d) => funnelStage(cur, config, q, d, effCand))
+    require(widen >= 1, "widen must be >= 1")
+    val keeps = funnelKeeps(effStages.size, effCand, widen)
+    val survivors = effStages.zip(keeps).foldLeft(df) {
+      case (cur, (d, keep)) => funnelStage(cur, config, q, d, keep)
+    }
     flatSearchPrepared(survivors, config, q, limit)
   }
 
@@ -201,16 +227,19 @@ object Search {
   def hybridSearch(df: DataFrame, config: CollectionConfig, query: Array[Float],
       limit: Int, generators: Seq[String] = Seq("funnel", "quantized"),
       candidates: Int = 0, stages: Seq[Int] = Nil,
-      rerankMultiVector: Option[Seq[Array[Float]]] = None): DataFrame = {
+      rerankMultiVector: Option[Seq[Array[Float]]] = None,
+      widen: Int = 8): DataFrame = {
     val q = prepareQuery(config, query)
     val effCand = if (candidates > 0) candidates else math.max(10 * limit, limit)
     require(effCand >= limit, "candidates must be >= limit")
-    val effStages = if (stages.nonEmpty) stages else Seq(math.min(config.dimensions, 128))
+    val effStages = if (stages.nonEmpty) stages else defaultFunnelStages(config.dimensions)
     val keep = Seq("id", "value", "vector") ++
       Seq("vectors", "binary_vector", "metadata").filter(df.columns.contains)
     val frames = generators.map {
       case "funnel" =>
-        effStages.foldLeft(df)((cur, d) => funnelStage(cur, config, q, d, effCand))
+        effStages.zip(funnelKeeps(effStages.size, effCand, widen)).foldLeft(df) {
+          case (cur, (d, k)) => funnelStage(cur, config, q, d, k)
+        }
       case "quantized" => quantizedCandidates(df, config, q, effCand)
       case "search" | "flat" =>
         candidateCut(df.withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))

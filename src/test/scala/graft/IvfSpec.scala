@@ -37,6 +37,31 @@ class IvfSpec extends SparkSpec {
     coll.unpersist()
   }
 
+  test("adaptive probing: huge ratio degenerates to exact flat; probe set is a ratio-bounded prefix") {
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val centroids = IvfIndex.train(coll, config, IvfIndex.IvfConfig(k = 8, iterations = 5))
+    val raw = Tables.queryVector(spark, sfDir, 2L)
+    val q = Search.prepareQuery(config, raw)
+    // ratio wide enough to admit every cell + maxProbe = k => exact flat
+    val exact = Search.flatSearch(coll, config, raw, 10).collect().map(_.getString(0)).toSeq
+    val all = IvfIndex.searchAdaptive(coll, config, centroids, raw, 10,
+      ratio = 1e9, maxProbe = 8).collect().map(_.getString(0)).toSeq
+    assert(all === exact)
+    // the adaptive probe set is always a prefix of the distance-sorted
+    // cells (never skips a nearer cell), bounded by maxProbe
+    val adaptive = IvfIndex.probeCellsAdaptive(q, centroids, ratio = 1.2, maxProbe = 4)
+    val sorted = IvfIndex.probeCells(q, centroids, nprobe = 8)
+    assert(adaptive === sorted.take(adaptive.size))
+    assert(adaptive.nonEmpty && adaptive.size <= 4)
+    // tight ratio probes strictly fewer cells than a loose one
+    val loose = IvfIndex.probeCellsAdaptive(q, centroids, ratio = 1e9, maxProbe = 8)
+    assert(loose.size === 8)
+    assert(adaptive.size <= loose.size)
+    coll.unpersist()
+  }
+
   test("batch IVF search equals per-query IVF search") {
     import org.apache.spark.sql.functions._
     val d = Tables.dims(spark, sfDir)

@@ -45,6 +45,46 @@ class PipelineSpec extends SparkSpec {
     assert(keys.map(_ >> 8).toSeq === (0 until 4))
   }
 
+  test("multi-probe LSH: probe set nests by probeBits and equals the Hamming-<=2 ball at full probeBits") {
+    val v = Array.tabulate(32)(i => ((i * 7 % 13) - 6) / 6.0f)
+    def cfg(pb: Int) = CosineLsh.LshConfig(bands = 4, bitsPerBand = 6,
+      seed = 11L, probeBits = pb, probeOrder = 2)
+    val base = CosineLsh.bandKeys(v, cfg(0))
+    // probeBits=0 degenerates to exact-key probing
+    assert(CosineLsh.probeKeys(v, cfg(0)).toSeq === base.toSeq)
+    // monotone: fewer probed bits => subset of more probed bits
+    val p2 = CosineLsh.probeKeys(v, cfg(2)).toSet
+    val p4 = CosineLsh.probeKeys(v, cfg(4)).toSet
+    val p6 = CosineLsh.probeKeys(v, cfg(6)).toSet
+    assert(base.toSet.subsetOf(p2) && p2.subsetOf(p4) && p4.subsetOf(p6))
+    // full probeBits + order 2 == every key within Hamming distance 2,
+    // in the same band (the ball the SQL oracle enumerates)
+    val ball = base.flatMap { k =>
+      val band = k >> 6; val sig = k & 63
+      (0 until 64).filter(s => Integer.bitCount(s ^ sig) <= 2).map(s => (band << 6) | s)
+    }.toSet
+    assert(p6 === ball)
+    // probe count: bands * (1 + probeBits + C(probeBits, 2)) when sigs distinct
+    assert(p4.size <= 4 * (1 + 4 + 6))
+  }
+
+  test("multi-probe LSH recall dominates single-probe at the same index (planted near-neighbor)") {
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val single = CosineLsh.LshConfig(bands = 24, bitsPerBand = 6, probeBits = 0)
+    val multi = CosineLsh.LshConfig(bands = 24, bitsPerBand = 6, probeBits = 6, probeOrder = 2)
+    val ovs = (0L until 5L).map { i =>
+      val q = Tables.queryVector(spark, sfDir, i)
+      (CosineLsh.overlapAtK(coll, config, single, q, 10),
+        CosineLsh.overlapAtK(coll, config, multi, q, 10))
+    }
+    // same stored signatures, wider query probes: recall can only grow
+    ovs.foreach { case (s, m) => assert(m >= s, s"multi $m < single $s") }
+    assert(ovs.map(_._2).sum / 5 >= ovs.map(_._1).sum / 5)
+    coll.unpersist()
+  }
+
   test("exact dedup marks copies, keeps canonical (min id)") {
     val df = Seq(
       ("a", "same text here"), ("b", "same text here"), ("c", "unique text")

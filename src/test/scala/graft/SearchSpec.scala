@@ -159,6 +159,33 @@ class SearchSpec extends SparkSpec {
     assert(res.forall(_.isNullAt(3))) // MaxSim results carry null distance
   }
 
+  test("funnel widen schedule: geometric keeps, last stage = candidates; widen=1 is flat") {
+    assert(Search.funnelKeeps(3, 200, 8) === Seq(12800, 1600, 200))
+    assert(Search.funnelKeeps(3, 200, 1) === Seq(200, 200, 200))
+    assert(Search.funnelKeeps(1, 50, 8) === Seq(50))
+  }
+
+  test("widened funnel recall dominates the fixed-candidates funnel (never worse, same final cut)") {
+    val dims = 16
+    val config = CollectionConfig("wf", dims, Metric.Cosine)
+    val rows = (0 until 2000).map(i => f"w$i%04d" -> Bench.synthVector(i.toLong, dims))
+    val coll = prep(rows, config).cache()
+    val q = Bench.synthVector(-5L, dims)
+    val exact = Search.flatSearch(coll, config, q, 10).collect().map(_.getString(0)).toSet
+    def ov(widen: Int): Double = {
+      val got = Search.funnelSearch(coll, config, q, 10,
+        stages = Seq(dims / 4, dims / 2, dims), candidates = 40, widen = widen)
+        .collect().map(_.getString(0)).toSet
+      exact.intersect(got).size / 10.0
+    }
+    val (flat, widened) = (ov(1), ov(8))
+    // the widened LAST stage scores full vectors, so its survivors are the
+    // exact top-40 of a superset of the flat schedule's stage-1 survivors
+    assert(widened >= flat, s"widened=$widened < flat=$flat")
+    assert(widened === 1.0) // stage-1 keep 40*64 > corpus => exact
+    coll.unpersist()
+  }
+
   test("multi-partition batch search returns per-query top-k") {
     val config = CollectionConfig("batch", 2, Metric.Cosine)
     val coll = prep(Seq(
