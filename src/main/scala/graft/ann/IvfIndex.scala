@@ -185,9 +185,19 @@ object IvfIndex {
     * the layout that matters at 100 TB (partition pruning shows up as
     * PartitionFilters in the scan). */
   def writePartitioned(df: DataFrame, centroids: Array[Array[Float]],
-      path: String): Unit =
+      path: String): Unit = {
     withCells(df, centroids).write.mode("overwrite")
       .partitionBy("ivf_cell").parquet(path)
+    ModelStore.saveIvf(df.sparkSession,
+      path.stripSuffix("/") + "/" + ModelStore.SidecarName, centroids)
+  }
+
+  /** Load the centroid sidecar of a [[writePartitioned]] layout —
+    * bit-identical to the trained centroids, so probe sets and search
+    * results match the training session's exactly. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[Array[Float]] =
+    ModelStore.loadIvf(spark, path.stripSuffix("/") + "/" + ModelStore.SidecarName)
 
   /** Search a cell-partitioned collection: the probe filter becomes a
     * partition filter — only nprobe/k of the data is read. */

@@ -216,11 +216,31 @@ object IvfPq {
     * its own directory, so a probe prunes whole files before any IO
     * (PartitionFilters in the scan), and inside a cell the ADC scan
     * reads only (id, value, pq_codes) until the rerank — the full
-    * at-rest IVF-PQ layout. */
+    * at-rest IVF-PQ layout. The trained model (centroids + codebooks)
+    * rides along as a `_graft_model.json` sidecar (underscore-prefixed,
+    * so parquet readers skip it): a cold session calls [[loadModel]]
+    * instead of retraining — the codes at rest are useless without the
+    * exact codebooks that produced them. */
   def writePartitioned(df: DataFrame, centroids: Array[Array[Float]],
-      codebooks: Array[Array[Array[Float]]], path: String): Unit =
+      codebooks: Array[Array[Array[Float]]], path: String): Unit = {
     prepare(df, centroids, codebooks).write.mode("overwrite")
       .partitionBy("ivf_cell").parquet(path)
+    ModelStore.saveIvfPq(df.sparkSession, sidecarPath(path), centroids,
+      codebooks, residual = false)
+  }
+
+  private def sidecarPath(path: String): String =
+    path.stripSuffix("/") + "/" + ModelStore.SidecarName
+
+  /** Load the model sidecar of a [[writePartitioned]] /
+    * [[writePartitionedResidual]] layout: (centroids, codebooks,
+    * residual). Bit-identical to the trained artifacts. */
+  def loadModel(spark: org.apache.spark.sql.SparkSession,
+      path: String): (Array[Array[Float]], Array[Array[Array[Float]]], Boolean) =
+    ModelStore.loadIvfPq(spark, sidecarPath(path))
+
+  def hasModel(spark: org.apache.spark.sql.SparkSession, path: String): Boolean =
+    ModelStore.exists(spark, sidecarPath(path))
 
   /** Search the cell-partitioned layout: identical results to [[search]]
     * over the same data (the probe filter becomes a partition filter). */
@@ -235,9 +255,12 @@ object IvfPq {
     * the rows — the full FAISS-style default persisted with the same
     * directory-pruning property as [[writePartitioned]]. */
   def writePartitionedResidual(df: DataFrame, centroids: Array[Array[Float]],
-      codebooks: Array[Array[Array[Float]]], path: String): Unit =
+      codebooks: Array[Array[Array[Float]]], path: String): Unit = {
     withResidualCodes(df, centroids, codebooks).write.mode("overwrite")
       .partitionBy("ivf_cell").parquet(path)
+    ModelStore.saveIvfPq(df.sparkSession, sidecarPath(path), centroids,
+      codebooks, residual = true)
+  }
 
   /** Residual search over the cell-partitioned layout: identical results
     * to [[searchResidual]]; each probe branch prunes whole directories. */

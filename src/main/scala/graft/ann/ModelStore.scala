@@ -1,0 +1,262 @@
+package graft.ann
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+
+/** JSON sidecar persistence for trained ANN model artifacts (SQ8
+  * min/max ranges, PQ/OPQ codebooks, IVF centroids).
+  *
+  * Without this, every cold session retrains its quantizers — at the
+  * gate that showed up as multi-second ann_* rows whose cost was
+  * train+encode, not search, and at 100 TB it is the difference between
+  * "load a few KB of JSON" and "re-scan the corpus". The reference's
+  * snapshot persists collection config exactly so load does not
+  * re-derive it (lib/vettore/collection.ex:444-457); codebooks and
+  * centroids are the same class of artifact for the quantized indexes,
+  * so they get the same treatment: a human-readable sidecar beside the
+  * at-rest data.
+  *
+  * Format: one JSON object, `kind` discriminated. Floats are written
+  * with `Float.toString` (shortest round-tripping decimal) and parsed
+  * with `toFloat`, so a loaded model is BIT-IDENTICAL to the trained
+  * one — load-then-search equals train-then-search row-for-row (pinned
+  * in QuantizationSpec). IO goes through the Hadoop FileSystem API, so
+  * sidecars live wherever the data lives (local/HDFS/object store).
+  */
+object ModelStore {
+
+  val SidecarName = "_graft_model.json"
+
+  // ------------------------------------------------------------ mini JSON
+  // Hand-rolled on purpose: the build exposes only spark/java/scala
+  // namespaces, and the schema here is closed (objects, arrays, numbers,
+  // strings, booleans — no nulls, no escapes beyond \" and \\).
+
+  private[ann] sealed trait J
+  private[ann] final case class JObj(fields: Vector[(String, J)]) extends J {
+    def apply(k: String): J = fields.find(_._1 == k).map(_._2)
+      .getOrElse(throw new IllegalArgumentException(s"missing field $k"))
+    def get(k: String): Option[J] = fields.find(_._1 == k).map(_._2)
+  }
+  private[ann] final case class JArr(items: Vector[J]) extends J
+  private[ann] final case class JStr(s: String) extends J
+  private[ann] final case class JNum(text: String) extends J
+  private[ann] final case class JBool(b: Boolean) extends J
+
+  private def render(j: J, sb: StringBuilder): Unit = j match {
+    case JObj(fs) =>
+      sb.append('{')
+      var first = true
+      fs.foreach { case (k, v) =>
+        if (!first) sb.append(',')
+        first = false
+        sb.append('"').append(k).append("\":")
+        render(v, sb)
+      }
+      sb.append('}')
+    case JArr(items) =>
+      sb.append('[')
+      var first = true
+      items.foreach { v =>
+        if (!first) sb.append(',')
+        first = false
+        render(v, sb)
+      }
+      sb.append(']')
+    case JStr(s) =>
+      sb.append('"').append(s.replace("\\", "\\\\").replace("\"", "\\\"")).append('"')
+    case JNum(t)  => sb.append(t)
+    case JBool(b) => sb.append(b)
+  }
+
+  private[ann] def renderJson(j: J): String = {
+    val sb = new StringBuilder
+    render(j, sb)
+    sb.toString
+  }
+
+  private[ann] def parseJson(s: String): J = {
+    var i = 0
+    def err(msg: String) = throw new IllegalArgumentException(s"bad model JSON at $i: $msg")
+    def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
+    def expect(c: Char): Unit = { ws(); if (i >= s.length || s.charAt(i) != c) err(s"expected $c"); i += 1 }
+    def str(): String = {
+      expect('"')
+      val sb = new StringBuilder
+      while (s.charAt(i) != '"') {
+        val c = s.charAt(i)
+        if (c == '\\') { sb.append(s.charAt(i + 1)); i += 2 }
+        else { sb.append(c); i += 1 }
+      }
+      i += 1
+      sb.toString
+    }
+    def value(): J = {
+      ws()
+      s.charAt(i) match {
+        case '{' =>
+          i += 1; ws()
+          val fs = Vector.newBuilder[(String, J)]
+          if (s.charAt(i) == '}') { i += 1 }
+          else {
+            var more = true
+            while (more) {
+              val k = str(); expect(':'); fs += (k -> value()); ws()
+              if (s.charAt(i) == ',') { i += 1; ws() }
+              else { expect('}'); more = false }
+            }
+          }
+          JObj(fs.result())
+        case '[' =>
+          i += 1; ws()
+          val items = Vector.newBuilder[J]
+          if (s.charAt(i) == ']') { i += 1 }
+          else {
+            var more = true
+            while (more) {
+              items += value(); ws()
+              if (s.charAt(i) == ',') { i += 1; ws() }
+              else { expect(']'); more = false }
+            }
+          }
+          JArr(items.result())
+        case '"' => JStr(str())
+        case 't' => i += 4; JBool(true)
+        case 'f' => i += 5; JBool(false)
+        case _ =>
+          val start = i
+          while (i < s.length && "+-0123456789.eE".indexOf(s.charAt(i)) >= 0) i += 1
+          if (i == start) err("expected a value")
+          JNum(s.substring(start, i))
+      }
+    }
+    val v = value()
+    ws()
+    if (i != s.length) err("trailing content")
+    v
+  }
+
+  private def num(j: J): String = j match {
+    case JNum(t) => t
+    case other   => throw new IllegalArgumentException(s"expected number, got $other")
+  }
+  private def arr(j: J): Vector[J] = j match {
+    case JArr(items) => items
+    case other       => throw new IllegalArgumentException(s"expected array, got $other")
+  }
+  private def floats1(j: J): Array[Float] = arr(j).map(x => num(x).toFloat).toArray
+  private def floats2(j: J): Array[Array[Float]] = arr(j).map(floats1).toArray
+  private def floats3(j: J): Array[Array[Array[Float]]] = arr(j).map(floats2).toArray
+  private def jFloats1(a: Array[Float]): J = JArr(a.toVector.map(f => JNum(f.toString)))
+  private def jFloats2(a: Array[Array[Float]]): J = JArr(a.toVector.map(jFloats1))
+  private def jFloats3(a: Array[Array[Array[Float]]]): J = JArr(a.toVector.map(jFloats2))
+
+  // --------------------------------------------------------------- fs io
+
+  /** Write a sidecar atomically (temp file + rename — the same idiom as
+    * CollectionStore's snapshot swap). */
+  private def writeString(spark: SparkSession, path: String, content: String): Unit = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new Path(path + ".tmp")
+    val out = fs.create(tmp, true)
+    try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
+    if (fs.exists(p)) fs.delete(p, false)
+    if (!fs.rename(tmp, p))
+      throw new java.io.IOException(s"could not move $tmp to $p")
+  }
+
+  private def readString(spark: SparkSession, path: String): String = {
+    val p = new Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(p)
+    try {
+      val out = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](65536)
+      var n = in.read(buf)
+      while (n >= 0) { out.write(buf, 0, n); n = in.read(buf) }
+      new String(out.toByteArray, StandardCharsets.UTF_8)
+    } finally in.close()
+  }
+
+  def exists(spark: SparkSession, path: String): Boolean = {
+    val p = new Path(path)
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  private def kindOf(j: J): String = j match {
+    case o: JObj => o("kind") match {
+      case JStr(k) => k
+      case other   => throw new IllegalArgumentException(s"bad kind $other")
+    }
+    case other => throw new IllegalArgumentException(s"expected object, got $other")
+  }
+
+  private def load(spark: SparkSession, path: String, kind: String): JObj =
+    parseJson(readString(spark, path)) match {
+      case o: JObj =>
+        require(kindOf(o) == kind, s"sidecar $path holds a ${kindOf(o)} model, expected $kind")
+        o
+      case other => throw new IllegalArgumentException(s"expected object, got $other")
+    }
+
+  // ------------------------------------------------------------- models
+
+  def saveSq8(spark: SparkSession, path: String, m: Sq8.Model): Unit =
+    writeString(spark, path, renderJson(JObj(Vector(
+      "kind" -> JStr("sq8"), "mn" -> jFloats1(m.mn), "rng" -> jFloats1(m.rng)))))
+
+  def loadSq8(spark: SparkSession, path: String): Sq8.Model = {
+    val o = load(spark, path, "sq8")
+    Sq8.Model(floats1(o("mn")), floats1(o("rng")))
+  }
+
+  def savePq(spark: SparkSession, path: String,
+      codebooks: Array[Array[Array[Float]]]): Unit =
+    writeString(spark, path, renderJson(JObj(Vector(
+      "kind" -> JStr("pq"), "codebooks" -> jFloats3(codebooks)))))
+
+  def loadPq(spark: SparkSession, path: String): Array[Array[Array[Float]]] =
+    floats3(load(spark, path, "pq")("codebooks"))
+
+  /** OPQ = the rotation seed (signs regenerate deterministically) + the
+    * codebooks trained in the rotated space. */
+  def saveOpq(spark: SparkSession, path: String, seed: Long,
+      codebooks: Array[Array[Array[Float]]]): Unit =
+    writeString(spark, path, renderJson(JObj(Vector(
+      "kind" -> JStr("opq"), "seed" -> JNum(seed.toString),
+      "codebooks" -> jFloats3(codebooks)))))
+
+  def loadOpq(spark: SparkSession, path: String): (Long, Array[Array[Array[Float]]]) = {
+    val o = load(spark, path, "opq")
+    (num(o("seed")).toLong, floats3(o("codebooks")))
+  }
+
+  def saveIvf(spark: SparkSession, path: String,
+      centroids: Array[Array[Float]]): Unit =
+    writeString(spark, path, renderJson(JObj(Vector(
+      "kind" -> JStr("ivf"), "centroids" -> jFloats2(centroids)))))
+
+  def loadIvf(spark: SparkSession, path: String): Array[Array[Float]] =
+    floats2(load(spark, path, "ivf")("centroids"))
+
+  def saveIvfPq(spark: SparkSession, path: String,
+      centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]],
+      residual: Boolean): Unit =
+    writeString(spark, path, renderJson(JObj(Vector(
+      "kind" -> JStr("ivfpq"), "residual" -> JBool(residual),
+      "centroids" -> jFloats2(centroids), "codebooks" -> jFloats3(codebooks)))))
+
+  /** (centroids, codebooks, residual). */
+  def loadIvfPq(spark: SparkSession,
+      path: String): (Array[Array[Float]], Array[Array[Array[Float]]], Boolean) = {
+    val o = load(spark, path, "ivfpq")
+    val residual = o("residual") match {
+      case JBool(b) => b
+      case other    => throw new IllegalArgumentException(s"bad residual $other")
+    }
+    (floats2(o("centroids")), floats3(o("codebooks")), residual)
+  }
+}

@@ -296,6 +296,69 @@ class QuantizationSpec extends SparkSpec {
     prepared.unpersist(); coll.unpersist()
   }
 
+  test("model sidecars round-trip bit-identically; load-then-search == train-then-search") {
+    import graft.ann.{IvfIndex, IvfPq, ModelStore, Opq}
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val q = Tables.queryVector(spark, sfDir, 3L)
+    val tmp = "/tmp/graft_modelstore_spec"
+
+    // SQ8: exact float round-trip through the JSON sidecar
+    val sq8 = Sq8.train(coll)
+    ModelStore.saveSq8(spark, s"$tmp/sq8.json", sq8)
+    val sq8L = ModelStore.loadSq8(spark, s"$tmp/sq8.json")
+    assert(sq8L.mn.toSeq === sq8.mn.toSeq && sq8L.rng.toSeq === sq8.rng.toSeq)
+    assert(Sq8.search(coll, config, sq8L, q, 10, candidates = 30).collect().toSeq ===
+      Sq8.search(coll, config, sq8, q, 10, candidates = 30).collect().toSeq)
+
+    // PQ codebooks
+    val pqCfg = Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 128)
+    val cb = Pq.trainOrdered(coll, config, pqCfg, col("id").cast("long"))
+    ModelStore.savePq(spark, s"$tmp/pq.json", cb)
+    val cbL = ModelStore.loadPq(spark, s"$tmp/pq.json")
+    assert(cbL.map(_.map(_.toSeq).toSeq).toSeq === cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // OPQ seed + codebooks
+    ModelStore.saveOpq(spark, s"$tmp/opq.json", 7L, cb)
+    val (seedL, ocbL) = ModelStore.loadOpq(spark, s"$tmp/opq.json")
+    assert(seedL === 7L)
+    assert(Opq.signs(d, seedL).toSeq === Opq.signs(d, 7L).toSeq)
+    assert(ocbL.map(_.map(_.toSeq).toSeq).toSeq === cb.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // IVF-PQ partitioned layout: the sidecar rides the written directory
+    val cents = IvfIndex.trainOrdered(coll, config,
+      IvfIndex.IvfConfig(k = 4, iterations = 3), col("id").cast("long"))
+    IvfPq.writePartitioned(coll.drop("metadata"), cents, cb, s"$tmp/ivfpq")
+    assert(IvfPq.hasModel(spark, s"$tmp/ivfpq"))
+    val (centsL, cbL2, residual) = IvfPq.loadModel(spark, s"$tmp/ivfpq")
+    assert(!residual)
+    assert(centsL.map(_.toSeq).toSeq === cents.map(_.toSeq).toSeq)
+    assert(cbL2.map(_.map(_.toSeq).toSeq).toSeq === cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // a cold session: loaded model + at-rest codes == trained in-memory
+    assert(
+      IvfPq.searchPartitioned(spark, s"$tmp/ivfpq", config, centsL, cbL2,
+        q, 10, nprobe = 4, candidates = 50).collect().toSeq ===
+      IvfPq.search(coll.drop("metadata"), config, cents, cb, q, 10,
+        nprobe = 4, candidates = 50).collect().toSeq)
+
+    // residual layout sidecar carries the residual flag
+    val rcb = IvfPq.trainResidual(coll, config, cents, pqCfg, col("id").cast("long"))
+    IvfPq.writePartitionedResidual(coll.drop("metadata"), cents, rcb, s"$tmp/ivfpq_res")
+    val (_, rcbL, res2) = IvfPq.loadModel(spark, s"$tmp/ivfpq_res")
+    assert(res2)
+    assert(rcbL.map(_.map(_.toSeq).toSeq).toSeq === rcb.map(_.map(_.toSeq).toSeq).toSeq)
+
+    // IVF centroid sidecar on the cell-partitioned layout
+    IvfIndex.writePartitioned(coll.drop("metadata"), cents, s"$tmp/ivf")
+    assert(IvfIndex.loadModel(spark, s"$tmp/ivf").map(_.toSeq).toSeq ===
+      cents.map(_.toSeq).toSeq)
+
+    // kind mismatch is rejected, not silently mis-parsed
+    intercept[IllegalArgumentException] { ModelStore.loadPq(spark, s"$tmp/sq8.json") }
+    coll.unpersist()
+  }
+
   test("sq8/pq reject dimension mismatches and bad configs") {
     val model = Sq8.Model(Array(0f, 0f), Array(1f, 1f))
     intercept[IllegalArgumentException] { Sq8.encodeVec(Array(1f), model) }
