@@ -62,7 +62,7 @@ object IvfPq {
   def searchMany(df: DataFrame, config: CollectionConfig,
       centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]],
       queries: DataFrame, limit: Int, nprobe: Int,
-      candidates: Int = 0): DataFrame = {
+      candidates: Int = 0, knownNq: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(limit > 0, "limit must be positive")
     require(nprobe > 0, "nprobe must be positive")
@@ -78,17 +78,21 @@ object IvfPq {
     val probeUdf = udf((q: Seq[Float]) => IvfIndex.probeCells(q.toArray, cents, np).toArray)
     val qSide = qNorm.select(col("qid"), tableUdf(col("qvector")).as("_qtable"),
       explode(probeUdf(col("qvector"))).as("ivf_cell"))
+    // the exploded broadcast duplicates each query's ADC table nprobe
+    // times — guard on total cells like the residual path
+    val qHint = Search.adcBroadcastHint(df, if (knownNq >= 0)
+      knownNq * np * codebooks.length * codebooks(0).length else -1L)
     val prepared =
       if (df.columns.contains("ivf_cell") && df.columns.contains("pq_codes")) df
       else prepare(df, cents, cb)
     val approx = adcDistanceDyn(col("pq_codes"), col("_qtable"), codebooks(0).length)
     val scored = prepared.select(col("ivf_cell"), col("id"), col("pq_codes"))
-      .join(broadcast(qSide), "ivf_cell")
+      .join(qHint(qSide), "ivf_cell")
       .withColumn("arank", if (sim) -approx else approx)
     val w = Window.partitionBy(col("qid")).orderBy(col("arank").asc_nulls_last, col("id").asc)
     val cands = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= effCand).select("qid", "id")
-    Search.rerankManyExact(df, config, cands, qNorm, limit, effCand)
+    Search.rerankManyExact(df, config, cands, qNorm, limit, effCand, knownNq)
   }
 
   // ------------------------------------------------- residual encoding
@@ -182,7 +186,7 @@ object IvfPq {
   def searchManyResidual(df: DataFrame, config: CollectionConfig,
       centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]],
       queries: DataFrame, limit: Int, nprobe: Int,
-      candidates: Int = 0): DataFrame = {
+      candidates: Int = 0, knownNq: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(limit > 0, "limit must be positive")
     require(nprobe > 0, "nprobe must be positive")
@@ -201,15 +205,22 @@ object IvfPq {
       .select(col("qid"), col("qvector"), explode(probeUdf(col("qvector"))).as("ivf_cell"))
       .select(col("qid"), col("ivf_cell"),
         tableUdf(col("qvector"), col("ivf_cell")).as("_qtable"))
+    // every (query, cell) pair carries its OWN m*k residual table, so
+    // the broadcast is nprobe x larger per query than the shared-table
+    // paths — size it (counting the tiny query frame if the caller did
+    // not pass nq) and fall back to a shuffle join over the cells
+    val nq = if (knownNq >= 0) knownNq else queries.count()
+    val qHint = Search.adcBroadcastHint(df,
+      nq * np * codebooks.length * codebooks(0).length)
     val prepared = withResidualCodes(df, cents, cb)
     val scored = prepared.select(col("ivf_cell"), col("id"), col("pq_res_codes"))
-      .join(broadcast(qSide), "ivf_cell")
+      .join(qHint(qSide), "ivf_cell")
       .withColumn("arank",
         adcDistanceDyn(col("pq_res_codes"), col("_qtable"), codebooks(0).length))
     val w = Window.partitionBy(col("qid")).orderBy(col("arank").asc_nulls_last, col("id").asc)
     val cands = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= effCand).select("qid", "id")
-    Search.rerankManyExact(df, config, cands, qNorm, limit, effCand)
+    Search.rerankManyExact(df, config, cands, qNorm, limit, effCand, nq)
   }
 
   /** Write the prepared collection partitioned BY CELL: each IVF cell is

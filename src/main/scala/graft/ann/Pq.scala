@@ -140,7 +140,8 @@ object Pq {
     * side reads m bytes + does m lookups per (row, query) pair. */
   def searchMany(df: DataFrame, config: CollectionConfig,
       codebooks: Array[Array[Array[Float]]], queries: DataFrame, limit: Int,
-      candidates: Int = 0, codesCol: String = "pq_codes"): DataFrame = {
+      candidates: Int = 0, codesCol: String = "pq_codes",
+      knownNq: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(limit > 0, "limit must be positive")
     val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
@@ -150,13 +151,15 @@ object Pq {
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
     val tableUdf = udf((q: Seq[Float]) => adcTable(cb, q.toArray, metric))
     val qSide = qNorm.select(col("qid"), tableUdf(col("qvector")).as("_qtable"))
+    val qHint = Search.adcBroadcastHint(df,
+      if (knownNq >= 0) knownNq * codebooks.length * codebooks(0).length else -1L)
     val approx = adcDistanceDyn(col(codesCol), col("_qtable"), codebooks(0).length)
     val scored = withCodes(df, codebooks, codesCol).select(col("id"), col(codesCol))
-      .crossJoin(broadcast(qSide))
+      .crossJoin(qHint(qSide))
       .withColumn("arank", if (similarityLike(metric)) -approx else approx)
     val w = Window.partitionBy(col("qid")).orderBy(col("arank").asc_nulls_last, col("id").asc)
     val cands = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= effCand).select("qid", "id")
-    Search.rerankManyExact(df, config, cands, qNorm, limit, effCand)
+    Search.rerankManyExact(df, config, cands, qNorm, limit, effCand, knownNq)
   }
 }

@@ -167,7 +167,7 @@ object Sq8 {
     * with the same candidates. */
   def searchMany(df: DataFrame, config: CollectionConfig, model: Model,
       queries: DataFrame, limit: Int, candidates: Int = 0,
-      codesCol: String = "sq8_codes"): DataFrame = {
+      codesCol: String = "sq8_codes", knownNq: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(limit > 0, "limit must be positive")
     val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
@@ -177,13 +177,15 @@ object Sq8 {
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
     val tableUdf = udf((q: Seq[Float]) => adcTable(m, q.toArray, metric))
     val qSide = qNorm.select(col("qid"), tableUdf(col("qvector")).as("_qtable"))
+    val qHint = Search.adcBroadcastHint(df,
+      if (knownNq >= 0) knownNq * model.dims * 256 else -1L)
     val approx = adcDistanceDyn(col(codesCol), col("_qtable"), 256)
     val scored = withCodes(df, model, codesCol).select(col("id"), col(codesCol))
-      .crossJoin(broadcast(qSide))
+      .crossJoin(qHint(qSide))
       .withColumn("arank", if (similarityLike(metric)) -approx else approx)
     val w = Window.partitionBy(col("qid")).orderBy(col("arank").asc_nulls_last, col("id").asc)
     val cands = scored.withColumn("rn", row_number().over(w))
       .filter(col("rn") <= effCand).select("qid", "id")
-    Search.rerankManyExact(df, config, cands, qNorm, limit, effCand)
+    Search.rerankManyExact(df, config, cands, qNorm, limit, effCand, knownNq)
   }
 }

@@ -229,8 +229,11 @@ final class GraftDb(val spark: SparkSession) {
     * [[search]] — flat scores all rows, lsh joins on exploded band keys,
     * ivf joins on probed cells, sq8/pq/ivfpq broadcast per-query ADC
     * tables over a codes-only scan (the reference's batched-NIF idiom,
-    * nifs.rs:151-175). Queries are (qid, qvector) rows. */
-  def searchMany(name: String, queries: DataFrame, limit: Int): DataFrame = {
+    * nifs.rs:151-175). Queries are (qid, qvector) rows; pass `knownNq`
+    * when the batch size is known so the broadcast-bound checks ride it
+    * instead of running a count job. */
+  def searchMany(name: String, queries: DataFrame, limit: Int,
+      knownNq: Long = -1L): DataFrame = {
     val (df, config) = collection(name)
     config.index match {
       case "lsh" =>
@@ -246,13 +249,15 @@ final class GraftDb(val spark: SparkSession) {
           val m = graft.ann.Sq8.train(df)
           (m, graft.ann.Sq8.withCodes(df, m).persist())
         })
-        graft.ann.Sq8.searchMany(coded, config, model, queries, limit)
+        graft.ann.Sq8.searchMany(coded, config, model, queries, limit,
+          knownNq = knownNq)
       case "pq" =>
         val (cb, coded) = pqCache.getOrElseUpdate(name, {
           val c = graft.ann.Pq.trainOrdered(df, config, pqConfigFor(config), col("id"))
           (c, graft.ann.Pq.withCodes(df, c).persist())
         })
-        graft.ann.Pq.searchMany(coded, config, cb, queries, limit)
+        graft.ann.Pq.searchMany(coded, config, cb, queries, limit,
+          knownNq = knownNq)
       case "ivfpq" if residualMetric(config) =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
@@ -263,7 +268,7 @@ final class GraftDb(val spark: SparkSession) {
           (c, graft.ann.IvfPq.withResidualCodes(df, cents, c).persist())
         })
         graft.ann.IvfPq.searchManyResidual(prepared, config, cents, cb,
-          queries, limit, ivfCfg.nprobe)
+          queries, limit, ivfCfg.nprobe, knownNq = knownNq)
       case "ivfpq" =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
@@ -274,7 +279,8 @@ final class GraftDb(val spark: SparkSession) {
         })
         val prepared = ivfPqCache.getOrElseUpdate(name,
           graft.ann.IvfPq.prepare(df, cents, cb).persist())
-        graft.ann.IvfPq.searchMany(prepared, config, cents, cb, queries, limit, ivfCfg.nprobe)
+        graft.ann.IvfPq.searchMany(prepared, config, cents, cb, queries,
+          limit, ivfCfg.nprobe, knownNq = knownNq)
       case _ => Search.flatSearchMany(df, config, queries, limit)
     }
   }

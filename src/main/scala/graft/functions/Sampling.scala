@@ -79,10 +79,15 @@ object Sampling {
       order: Seq[Column]): DataFrame = {
     require(cap > 0, "cap must be positive")
     require(order.nonEmpty, "order columns required")
+    // collision-free temp name: never silently overwrite (and then
+    // drop) a caller's own "_rn" column
+    val rn = Iterator.from(0)
+      .map(i => if (i == 0) "_rn" else s"_rn$i")
+      .find(n => !df.columns.contains(n)).get
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(groupCol)).orderBy(order: _*)
-    df.withColumn("_rn", row_number().over(w))
-      .filter(col("_rn") <= cap).drop("_rn")
+    df.withColumn(rn, row_number().over(w))
+      .filter(col(rn) <= cap).drop(rn)
   }
 
   /** GPT-style sequence-packing layout: documents laid end-to-end on one
@@ -102,6 +107,10 @@ object Sampling {
   def packSequences(df: DataFrame, order: Column, tokenCol: String,
       binSize: Int, prefix: String = "pack_"): DataFrame = {
     require(binSize > 0, "binSize must be positive")
+    val newCols = Seq("token_start", "bin", "offset", "end_bin").map(prefix + _)
+    require(!newCols.exists(df.columns.contains),
+      s"input already has ${newCols.filter(df.columns.contains).mkString(", ")} — " +
+        "pass a different prefix")
     val spark = df.sparkSession
     val tokenIdx = df.schema.fieldIndex(tokenCol)
     val sorted = df.repartitionByRange(order).sortWithinPartitions(order)

@@ -364,7 +364,16 @@ object Multimodal {
 
   /** Decode an animated-GIF payload and sample every `stride`-th frame:
     * (n_frames, frame_idx, width, height, exact per-channel pixel sums)
-    * per sampled frame. */
+    * per sampled frame.
+    *
+    * NO inter-frame compositing: each frame is read as its RAW raster
+    * (`reader.read(i)`), so for real-world GIFs that use disposal
+    * methods / partial frame rects the per-frame width/height and sums
+    * describe that frame's delta rect, not the composited canvas —
+    * exact for full-frame-per-frame payloads (the fixtures), surprising
+    * for delta-encoded ones. Compositing would need the stream
+    * metadata's disposal/offset handling (same class of caveat as
+    * decodeImageReal's no-color-management sRGB assumption). */
   def decodeVideoFrames(payload: Array[Byte], stride: Int): Seq[Row] = {
     require(stride > 0, "stride must be positive")
     val it = ImageIO.getImageReadersByFormatName("gif")

@@ -254,6 +254,21 @@ object Search {
     }
   }
 
+  /** Broadcast-or-shuffle hint for query-side ADC tables: a broadcast
+    * row carries m*k (or dims*256) doubles, so the bound is on total
+    * TABLE CELLS, not rows — `spark.graft.adc.broadcastMaxCells`
+    * (default 32M cells = 256 MB of f64). Above the bound the join
+    * falls back to a shuffle (same rows, bounded executor/driver
+    * memory) — the residual batch path multiplies rows by nprobe, which
+    * is exactly where an unguarded broadcast would blow up first. */
+  private[graft] def adcBroadcastHint(df: DataFrame,
+      estCells: Long): DataFrame => DataFrame = {
+    val maxCells = df.sparkSession.conf
+      .getOption("spark.graft.adc.broadcastMaxCells").map(_.toLong)
+      .getOrElse(32000000L)
+    if (estCells < 0 || estCells <= maxCells) broadcast(_) else identity
+  }
+
   /** Batch form of flat search: one shuffle-free pass answers many queries
     * at once. `queries` must have (qid, qvector) and is broadcast; results
     * carry qid. This is the shape that scales on a cluster — per-query
@@ -287,12 +302,15 @@ object Search {
     * normalized. */
   private[graft] def rerankManyExact(df: DataFrame, config: CollectionConfig,
       candidates: DataFrame, queries: DataFrame, limit: Int,
-      perQueryBound: Int = 0): DataFrame = {
+      perQueryBound: Int = 0, knownNq: Long = -1L): DataFrame = {
     val maxBroadcast = df.sparkSession.conf
       .getOption("spark.graft.rerank.broadcastMaxRows").map(_.toLong)
       .getOrElse(4000000L)
-    // query-side count is a tiny job (nq rows); the corpus is untouched
-    val bound = if (perQueryBound > 0) queries.count() * perQueryBound else -1L
+    // a caller that knows its batch size passes it; otherwise the
+    // query-side count is a tiny job (nq rows) — the corpus is untouched
+    val nq = if (knownNq >= 0) knownNq
+             else if (perQueryBound > 0) queries.count() else -1L
+    val bound = if (perQueryBound > 0 && nq >= 0) nq * perQueryBound else -1L
     val hint: DataFrame => DataFrame =
       if (bound < 0 || bound <= maxBroadcast) broadcast(_) else identity
     val joined = df.select(col("id"), col("value"), col("vector"))

@@ -340,8 +340,13 @@ object TextAnalysis {
     // per-doc totals are a NARROW size() — no aggregation over the
     // exploded frame; only grams that actually hit the bench set (a tiny
     // fraction of a clean corpus) reach the shared-count shuffle
+    // null text gets an explicit empty gram set, NOT a null that would
+    // propagate into a null contamination (a pipeline thresholding on
+    // `contamination > x` would silently keep such docs): every input
+    // row comes out with n_grams = 0 and contamination = 0.0
     val withGrams = docs.select(col(idCol).as("id"),
-      distinctShingles(col(textCol), n).as("_gs"))
+      when(col(textCol).isNotNull, distinctShingles(col(textCol), n))
+        .otherwise(array().cast("array<string>")).as("_gs"))
       .withColumn("n_grams", size(col("_gs")).cast("long"))
     val dGrams = withGrams.select(col("id"), explode(col("_gs")).as("_g"))
       .select(col("id"), md5(col("_g")).as("_gh"))
@@ -354,8 +359,9 @@ object TextAnalysis {
       .join(shared, Seq("id"), "left")
       .select(col("id"), coalesce(col("n_shared"), lit(0L)).as("n_shared"),
         col("n_grams"),
-        (coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"))
-          .as("contamination"))
+        when(col("n_grams") > 0,
+          coalesce(col("n_shared"), lit(0L)).cast("double") / col("n_grams"))
+          .otherwise(lit(0.0)).as("contamination"))
   }
 
   /** 64-bit SimHash over whitespace tokens (multiplicity-weighted): bit b

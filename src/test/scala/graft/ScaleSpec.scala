@@ -163,6 +163,38 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("Partial"), s"no partial (map-side) group limit in plan:\n$plan")
   }
 
+  test("searchMany with knownNq plans without running any job (no hidden count)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+    val model = graft.ann.Sq8.train(coll)
+    val coded = graft.ann.Sq8.withCodes(coll, model).cache()
+    coded.count()
+    val qs = Tables.read(spark, sfDir, "embeddings").filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+    // any hidden count() is SYNCHRONOUS and runs on THIS thread, so it
+    // lands in this job group before searchMany returns (the group scopes
+    // the counter away from concurrently-running suites on the shared
+    // session)
+    spark.sparkContext.setJobGroup("graft_knownnq_spec", "knownNq spec")
+    try {
+      def jobsSoFar(): Int = spark.sparkContext.statusTracker
+        .getJobIdsForGroup("graft_knownnq_spec").length
+      val before = jobsSoFar()
+      val df = graft.ann.Sq8.searchMany(coded, config, model, qs, 5, knownNq = 4L)
+      assert(jobsSoFar() === before, "plan construction ran a job despite knownNq")
+      assert(df.collect().nonEmpty) // still executes correctly
+      // without the hint, the broadcast-bound check runs a count (>= 1
+      // job; AQE may split it) during PLAN CONSTRUCTION — the contrast
+      // the hint exists to remove
+      val before2 = jobsSoFar()
+      graft.ann.Sq8.searchMany(coded, config, model, qs, 5)
+      assert(jobsSoFar() > before2)
+    } finally spark.sparkContext.clearJobGroup()
+    coded.unpersist()
+  }
+
   test("residual batch search plan: broadcast per-cell tables, map-side window pre-cut") {
     val sfDir = "/root/testdata/sf0.001"
     val d = Tables.dims(spark, sfDir)
