@@ -299,7 +299,9 @@ object TrainingQueries {
     }),
 
     // HNSW parity shim (driver graph, deterministic FNV-1a levels);
-    // approximate -> rows-only gate, top-1/recall asserted in HnswSpec
+    // gated against a stored-expected fixture oracle (the deterministic
+    // build's sf0.01 top-10 as a VALUES literal); top-1/recall and
+    // rebuild determinism asserted in HnswSpec
     "ann_hnsw_topk" -> ((s, dir) => {
       val d = Tables.dims(s, dir)
       val config = Tables.cosineConfig(d)
@@ -549,6 +551,20 @@ object TrainingQueries {
       val dec = Multimodal.decodeImagesReal(media, "payload", batchSize = 32)
       dec.select(col("doc_id"), col("width"), col("height"),
         col("channels"), col("sum_r"), col("sum_g"), col("sum_b"))
+    }),
+
+    // REAL image resize (pure-JDK bilinear: align-corners=false source
+    // sampling, edge clamp, round-half-up). With the power-of-two 32x32
+    // target, every sample coordinate and weight is an exact dyadic
+    // double, so the oracle replicates the interpolation itself
+    // closed-form (generate_series over destination columns) — a hash
+    // match proves the actual bilinear weights, not just the batching.
+    "mm_resize" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents").filter(col("doc_id") < 100)
+      val media = Multimodal.pngFixtures(docs, batchSize = 32)
+      Multimodal.resizeImagesReal(media, "payload", 32, 32, batchSize = 32)
+        .select(col("doc_id"), col("resized_width"), col("resized_height"),
+          col("resized_sum_r"), col("resized_sum_g"), col("resized_sum_b"))
     }),
 
     // real audio decode (javax.sound.sampled, the JDK's WAV codec) over
@@ -1150,6 +1166,21 @@ object TrainingQueries {
     "ann_ivfpq_partitioned_topk" -> ivfPqOracle,
     "ann_ivfpq_residual_topk" -> ivfPqResidualOracle,
     "ann_lsh_topk" -> lshOracle,
+
+    // stored-expected FIXTURE oracle: the HNSW build is deterministic
+    // (FNV-1a levels, sorted insertion, fixed seeds — pinned by
+    // HnswSpec's rebuild-determinism test), so the sf0.01 top-10 is a
+    // constant. A VALUES literal makes the one previously un-oracled
+    // row a real regression tripwire: any change to level hashing,
+    // neighbor pruning, or the greedy walk shifts the tail of this
+    // list. Regenerate via GRAFT_VERIFY_ONLY=ann_hnsw_topk if the graph
+    // parameters are deliberately changed.
+    "ann_hnsw_topk" ->
+      s"""SELECT id, (CAST(score AS DOUBLE) + 0) AS score FROM (VALUES
+           ('0', 1.0), ('365', 0.369994), ('334', 0.362722),
+           ('387', 0.331139), ('423', 0.296934), ('73', 0.295434),
+           ('7', 0.292842), ('320', 0.287861), ('190', 0.281795),
+           ('464', 0.276628)) AS t(id, score)""",
     "dedup_embedding_lsh" -> embeddingLshOracle,
 
     "text_stats" ->
@@ -1423,6 +1454,35 @@ object TrainingQueries {
            CAST(g * height * ((width + 1) // 2) AS BIGINT) AS sum_g,
            CAST(b * height * ((width + 1) // 2) AS BIGINT) AS sum_b
          FROM spec ORDER BY doc_id""",
+
+    // replicates the bilinear kernel itself: the fixture is constant
+    // vertically (convex vertical weights collapse exactly), so the
+    // resized sum = th * sum over destination columns of the
+    // horizontally-interpolated two-tone value — exact dyadic doubles
+    // throughout (power-of-two target), no float tolerance
+    "mm_resize" ->
+      s"""WITH spec AS (SELECT doc_id,
+           CAST(8 + doc_id % 24 AS INT) AS w,
+           CAST(8 + (doc_id * 3) % 24 AS INT) AS h,
+           (doc_id * 31) % 256 AS r, (doc_id * 67) % 256 AS g, (doc_id * 101) % 256 AS b,
+           (CAST(8 + doc_id % 24 AS INT) + 1) // 2 AS lft
+         FROM documents WHERE doc_id < 100),
+         px AS (SELECT doc_id, r, g, b, lft, w,
+           least(greatest((x + 0.5) * w / 32.0 - 0.5, 0.0), w - 1.0) AS sx
+         FROM spec, generate_series(0, 31) AS t(x)),
+         wt AS (SELECT doc_id, r, g, b,
+           (1 - (sx - floor(sx))) * (CASE WHEN floor(sx) < lft THEN 1 ELSE 0 END)
+             + (sx - floor(sx)) * (CASE WHEN least(floor(sx) + 1, w - 1) < lft THEN 1 ELSE 0 END) AS wx
+         FROM px),
+         sums AS (SELECT doc_id,
+           sum(floor(r * wx + 0.5)) AS sr, sum(floor(g * wx + 0.5)) AS sg,
+           sum(floor(b * wx + 0.5)) AS sb
+         FROM wt GROUP BY doc_id)
+         SELECT doc_id, CAST(32 AS INT) AS resized_width, CAST(32 AS INT) AS resized_height,
+           CAST(32 * sr AS BIGINT) AS resized_sum_r,
+           CAST(32 * sg AS BIGINT) AS resized_sum_g,
+           CAST(32 * sb AS BIGINT) AS resized_sum_b
+         FROM sums ORDER BY doc_id""",
 
     "mm_video_frames" ->
       s"""WITH spec AS (SELECT doc_id,

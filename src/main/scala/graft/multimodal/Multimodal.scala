@@ -18,11 +18,10 @@ import org.apache.spark.sql.types._
   * real and tested. IMAGE decode is REAL (`decodeImageReal`, javax.imageio
   * from the JDK: PNG/BMP/GIF/JPEG headers + pixel traversal) and AUDIO
   * decode is REAL (`decodeAudioReal`, javax.sound.sampled: WAV/AIFF/AU
-  * PCM headers + frame traversal). Video frame sampling remains a
-  * clearly-marked deterministic STUB (no video codec ships in the JDK);
-  * swapping in a real codec changes only the stub body — every
-  * schema/batching/partitioning decision stays. The md5 stubs are kept
-  * alongside for payloads that are not real media (e.g.
+  * PCM headers + frame traversal), multi-frame VIDEO sampling is REAL
+  * over animated GIF (the JDK's one multi-frame format), and RESIZE is
+  * REAL (`resizeImagesReal`, a pure-JDK bilinear kernel). The md5 stubs
+  * are kept alongside for payloads that are not real media (e.g.
   * [[documentsAsMedia]] text bytes).
   */
 object Multimodal {
@@ -178,10 +177,10 @@ object Multimodal {
     StructField("resized_height", IntegerType, nullable = false),
     StructField("resized_payload", BinaryType, nullable = false)))
 
-  /** STUB resize kernel: deterministic downsampled bytes (md5 of the
-    * payload cycled to a size-bounded buffer). A real implementation
-    * would decode, bilinear-resample, and re-encode; target dims and the
-    * bounded output size are the contract the pipeline depends on. */
+  /** STUB resize kernel for payloads that are NOT decodable images
+    * (e.g. [[documentsAsMedia]] text bytes): deterministic bytes (md5 of
+    * the payload cycled to a size-bounded buffer). Real images go
+    * through [[resizeImagesReal]] (bilinear). */
   def resizeImageStub(payload: Array[Byte], targetW: Int, targetH: Int): Row = {
     val digest = java.security.MessageDigest.getInstance("MD5").digest(payload)
     val outLen = math.min(targetW * targetH * 3, 4096)
@@ -205,6 +204,110 @@ object Multimodal {
       rows.grouped(batchSize).flatMap { batch =>
         batch.map { row =>
           val resized = resizeImageStub(
+            row.getAs[Array[Byte]](payloadIdx), targetW, targetH)
+          Row.fromSeq(row.toSeq ++ resized.toSeq)
+        }
+      }
+    }(enc)
+  }
+
+  // ---- real image resize (pure-JDK bilinear kernel; no external
+  // resample library). align-corners=false source sampling with edge
+  // clamp and round-half-up — the OpenCV/PIL convention — implemented
+  // directly so every interpolation weight is specified HERE and
+  // replicable in the SQL oracle. With a power-of-two target dimension
+  // every sample coordinate ((x+0.5)*w/tw - 0.5) and weight is an exact
+  // dyadic double, so fixture pixel sums are exact integer arithmetic
+  // end-to-end — the oracle verifies the bilinear weights themselves,
+  // no float tolerance.
+
+  val resizedRealSchema: StructType = StructType(Seq(
+    StructField("resized_width", IntegerType, nullable = false),
+    StructField("resized_height", IntegerType, nullable = false),
+    StructField("resized_sum_r", LongType, nullable = false),
+    StructField("resized_sum_g", LongType, nullable = false),
+    StructField("resized_sum_b", LongType, nullable = false),
+    StructField("resized_payload", BinaryType, nullable = false)))
+
+  /** Bilinear resample to (tw, th). Destination pixel (x, y) samples the
+    * source at sx = clamp((x+0.5)*w/tw - 0.5, 0, w-1) (align-corners =
+    * false), blends the 4 neighbors with (1-f)/f weights per axis, and
+    * rounds half-up per 8-bit channel. Same sRGB caveat as
+    * [[decodeImageReal]]: channel values are taken as-is, no color
+    * management and no gamma-aware averaging. */
+  def bilinearResize(src: BufferedImage, tw: Int, th: Int): BufferedImage = {
+    require(tw > 0 && th > 0, "target dims must be positive")
+    val w = src.getWidth
+    val h = src.getHeight
+    val out = new BufferedImage(tw, th, BufferedImage.TYPE_3BYTE_BGR)
+    var y = 0
+    while (y < th) {
+      val sy = math.max(0.0, math.min((h - 1).toDouble, (y + 0.5) * h / th - 0.5))
+      val y0 = sy.toInt // sy >= 0 so toInt == floor
+      val y1 = math.min(h - 1, y0 + 1)
+      val fy = sy - y0
+      var x = 0
+      while (x < tw) {
+        val sx = math.max(0.0, math.min((w - 1).toDouble, (x + 0.5) * w / tw - 0.5))
+        val x0 = sx.toInt
+        val x1 = math.min(w - 1, x0 + 1)
+        val fx = sx - x0
+        val p00 = src.getRGB(x0, y0); val p01 = src.getRGB(x1, y0)
+        val p10 = src.getRGB(x0, y1); val p11 = src.getRGB(x1, y1)
+        var rgb = 0
+        var shift = 16
+        while (shift >= 0) {
+          val c00 = (p00 >> shift) & 0xFF; val c01 = (p01 >> shift) & 0xFF
+          val c10 = (p10 >> shift) & 0xFF; val c11 = (p11 >> shift) & 0xFF
+          val v = (1 - fy) * ((1 - fx) * c00 + fx * c01) +
+            fy * ((1 - fx) * c10 + fx * c11)
+          rgb |= math.floor(v + 0.5).toInt << shift // v <= 255, no overflow
+          shift -= 8
+        }
+        out.setRGB(x, y, rgb)
+        x += 1
+      }
+      y += 1
+    }
+    out
+  }
+
+  /** REAL resize: ImageIO decode → [[bilinearResize]] → exact channel
+    * sums of the result → lossless PNG re-encode. */
+  def resizeImageReal(payload: Array[Byte], tw: Int, th: Int): Row = {
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "undecodable image payload")
+    val resized = bilinearResize(img, tw, th)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var y = 0
+    while (y < th) {
+      var x = 0
+      while (x < tw) {
+        val rgb = resized.getRGB(x, y)
+        sr += (rgb >> 16) & 0xFF; sg += (rgb >> 8) & 0xFF; sb += rgb & 0xFF
+        x += 1
+      }
+      y += 1
+    }
+    val bos = new ByteArrayOutputStream()
+    require(ImageIO.write(resized, "png", bos), "no PNG writer")
+    Row(tw, th, sr, sg, sb, bos.toByteArray)
+  }
+
+  /** Real-resize a binary image column in partition-local batches — the
+    * same batch shape as [[decodeImagesReal]]; payloads never touch the
+    * driver. Appends [[resizedRealSchema]]. */
+  def resizeImagesReal(df: DataFrame, payloadCol: String, targetW: Int,
+      targetH: Int, batchSize: Int = 256): DataFrame = {
+    require(targetW > 0 && targetH > 0, "target dims must be positive")
+    val inputSchema = df.schema
+    val outSchema = StructType(inputSchema.fields ++ resizedRealSchema.fields)
+    val payloadIdx = inputSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          val resized = resizeImageReal(
             row.getAs[Array[Byte]](payloadIdx), targetW, targetH)
           Row.fromSeq(row.toSeq ++ resized.toSeq)
         }

@@ -524,6 +524,54 @@ class PipelineSpec extends SparkSpec {
     assert(out.length === expectRows)
   }
 
+  test("multimodal: real bilinear resize — hand-computed weights, identity, batch shape") {
+    import java.awt.image.BufferedImage
+    // hand-computed 2x1 -> 4x1 upscale (align-corners=false, edge clamp,
+    // round half-up): sx = -0.25->0, 0.25, 0.75, 1.25->1, so channel
+    // values [a, 0.75a+0.25b, 0.25a+0.75b, b] = [100, 125, 175, 200]
+    val two = new BufferedImage(2, 1, BufferedImage.TYPE_3BYTE_BGR)
+    two.setRGB(0, 0, (100 << 16) | (100 << 8) | 100)
+    two.setRGB(1, 0, (200 << 16) | (200 << 8) | 200)
+    val up = Multimodal.bilinearResize(two, 4, 1)
+    val got = (0 until 4).map(x => up.getRGB(x, 0) & 0xFF)
+    assert(got === Seq(100, 125, 175, 200))
+    // 2x2 -> 1x1: sx = sy = 0.5, all four weights 0.25 exactly
+    val four = new BufferedImage(2, 2, BufferedImage.TYPE_3BYTE_BGR)
+    four.setRGB(0, 0, 10); four.setRGB(1, 0, 20)
+    four.setRGB(0, 1, 30); four.setRGB(1, 1, 41)
+    val down = Multimodal.bilinearResize(four, 1, 1)
+    assert((down.getRGB(0, 0) & 0xFF) === 25) // floor(25.25 + 0.5)
+    // identity resize (tw == w) samples exactly at source centers:
+    // sums must equal the decoded original's sums for every fixture
+    for (id <- 0L until 20L) {
+      val (w, h, _, _, _) = Multimodal.pngFixtureSpec(id)
+      val payload = Multimodal.encodeImageFixture(id)
+      val dec = Multimodal.decodeImageReal(payload)
+      val res = Multimodal.resizeImageReal(payload, w, h)
+      assert((res.getInt(0), res.getInt(1)) === ((w, h)))
+      assert((res.getLong(2), res.getLong(3), res.getLong(4)) ===
+        ((dec.getLong(4), dec.getLong(5), dec.getLong(6))), s"doc $id")
+    }
+    // resized payload is a real PNG: decoding it back reproduces the
+    // resized dims and sums (lossless round-trip through the codec)
+    val rr = Multimodal.resizeImageReal(Multimodal.encodeImageFixture(7L), 32, 32)
+    val back = Multimodal.decodeImageReal(rr.getAs[Array[Byte]](5))
+    assert((back.getInt(0), back.getInt(1)) === ((32, 32)))
+    assert((back.getLong(4), back.getLong(5), back.getLong(6)) ===
+      ((rr.getLong(2), rr.getLong(3), rr.getLong(4))))
+    // distributed batch shape: batch size must not change results
+    val docs = (0L until 9L).map(i => (i, s"t$i", "s")).toDF("doc_id", "text", "source")
+    val media = Multimodal.pngFixtures(docs, batchSize = 4)
+    def run(bs: Int) = Multimodal.resizeImagesReal(media, "payload", 16, 8, batchSize = bs)
+      .select("doc_id", "resized_width", "resized_height",
+        "resized_sum_r", "resized_sum_g", "resized_sum_b")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).sortBy(_._1).toSeq
+    val b1 = run(1)
+    assert(b1 === run(64))
+    assert(b1.forall { case (_, w, h, _, _, _) => w === 16 && h === 8 })
+  }
+
   test("multimodal: resize and audio decode are batch-invariant and typed") {
     val docs = Seq((1L, "hello world", "s"), (2L, "another payload text", "s"),
       (3L, "third document body here", "s")).toDF("doc_id", "text", "source")
