@@ -47,6 +47,23 @@ object Bench {
     out
   }
 
+  /** Clustered multi-vector tokens (FIXTURES §6 perturbation shape):
+    * member j of topic id/20 blends (1-0.04j) topic base + 0.04j own
+    * vector; 3 tokens perturb that center at graded strength. Top-level
+    * (not nested in main) so the udf lambda stays capture-free. */
+  def topicTokens(id: Long, dims: Int): Seq[Array[Float]] = {
+    val t = id / 20L
+    val j = (id % 20L).toInt
+    val base = synthVector(9100000L + t, dims)
+    val own = synthVector(7100000L + id, dims)
+    val c = Array.tabulate(dims)(i =>
+      (1.0f - 0.04f * j) * base(i) + 0.04f * j * own(i))
+    (0 until 3).map { k =>
+      val n = synthVector(8100000L + id * 3L + k, dims)
+      Array.tabulate(dims)(i => c(i) + 0.05f * k * n(i))
+    }
+  }
+
   private def time(f: => Unit): Double = {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
@@ -288,6 +305,45 @@ object Bench {
     val selfVecs = Seq(synthVector(777L, dims),
       synthVector(5000777L, dims), synthVector(6000777L, dims))
     quality("muvera_self_hit10") = if (fdeTopIds(selfVecs).contains("777")) 1.0 else 0.0
+    // STRUCTURED multi-vector corpus (FIXTURES §6: tokens are
+    // perturbations of a shared base — the reference's bench corpus
+    // shape, bench/search_modes_bench.exs:240-246). 10k docs in 500
+    // topics of 20; member j of a topic blends (1-0.04j) of the topic
+    // base with 0.04j of its own vector, tokens perturb that center.
+    // Random-token corpora have no neighbor structure (pairwise MaxSim
+    // concentrates), so overlap10_muvera_vs_maxsim above is an
+    // adversarial floor by construction of the DATA; clustered data is
+    // the regime the FDE guarantees actually address, and the graded
+    // membership gives the exact top-10 meaningful separation to
+    // recover.
+    val ttUdf = udf((id: Long) => topicTokens(id, dims))
+    val cmvDocs = spark.range(10000).select(
+      col("id").cast("string").as("id"), col("id").cast("string").as("value"),
+      ttUdf(col("id")).as("vectors"))
+      .withColumn("vector", element_at(col("vectors"), 1)).persist()
+    cmvDocs.count()
+    val qTopicBase = synthVector(9100000L + 123L, dims)
+    val cqvecs = (0 until 3).map { k =>
+      val n = synthVector(-910L - k, dims)
+      Array.tabulate(dims)(i => qTopicBase(i) + 0.04f * n(i))
+    }
+    val cExact = dfIds(Search.multiVectorSearch(cmvDocs, mvConfig, cqvecs, 10))
+    val cFdeQ = graft.encode.Muvera.encode(cqvecs, muvCfg, graft.encode.Muvera.QueryMode)
+    val cFdeTop = dfIds(cmvDocs
+      .select(col("id"), graft.functions.VectorFunctions.vecDistance(
+        Metric.InnerProduct,
+        graft.encode.Muvera.encodeColumn(muvCfg, graft.encode.Muvera.DocumentMode)(col("vectors")),
+        graft.functions.VectorFunctions.vecLit(cFdeQ)).as("s"))
+      .orderBy(col("s").desc, col("id").asc).limit(10))
+    quality("emb_overlap10_muvera") =
+      if (cExact.isEmpty) 1.0
+      else cExact.toSet.intersect(cFdeTop.toSet).size.toDouble / cExact.size
+    // the reference's recall-subset property at corpus scale
+    // (test/vector_integration_test.exs:49-98): the FDE candidate list
+    // must CONTAIN the exact MaxSim top-2 — FDE as a recall stage
+    quality("muvera_recall_subset_top2") =
+      if (cExact.take(2).forall(cFdeTop.contains)) 1.0 else 0.0
+    cmvDocs.unpersist(blocking = true)
 
     // Same gate on the driver's embeddings table: uniform-random vectors
     // are the adversarial case for ANN (pairwise cosines concentrate at

@@ -540,6 +540,31 @@ object TrainingQueries {
         Seq("score", "distance"))
     }),
 
+    // batch search over the partitioned at-rest layout with STATIC cell
+    // pruning: the probe union (computed from the query frame alone)
+    // becomes a partition filter, so non-probed cell directories are
+    // never read — same oracle as ann_ivfpq_search_many because the
+    // results are identical, only the scan shrinks
+    "ann_ivfpq_partitioned_search_many" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val base = cachedLayout(s, dir, "ivfpq") { p =>
+        val coll = Tables.embeddingsCollection(s, dir, config)
+        val order = col("id").cast("long")
+        val cents = IvfIndex.trainOrdered(coll, config,
+          IvfIndex.IvfConfig(k = 8, iterations = 3), order)
+        val cb = Pq.trainOrdered(coll, config,
+          Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256), order)
+        graft.ann.IvfPq.writePartitioned(coll.drop("metadata"), cents, cb, p)
+      }
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("string").as("qid"),
+          col("embedding").as("qvector"))
+      roundCols(graft.ann.IvfPq.searchManyPartitioned(s, base, config,
+        qs, 10, nprobe = 2, candidates = 50, knownNq = 4L),
+        Seq("score", "distance"))
+    }),
+
     // ---- multimodal: REAL image decode (javax.imageio) over PNG fixtures
     // generated from known pixels — the oracle replicates the fixture
     // arithmetic (two-tone image: left ceil(w/2) columns the doc_id-derived
@@ -1163,6 +1188,8 @@ object TrainingQueries {
     "ann_opq_topk" -> opqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
     "ann_ivfpq_search_many" -> ivfPqSearchManyOracle,
+    // static cell pruning changes the scan, not the results
+    "ann_ivfpq_partitioned_search_many" -> ivfPqSearchManyOracle,
     "ann_ivfpq_partitioned_topk" -> ivfPqOracle,
     "ann_ivfpq_residual_topk" -> ivfPqResidualOracle,
     "ann_lsh_topk" -> lshOracle,

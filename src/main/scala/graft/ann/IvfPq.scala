@@ -273,6 +273,35 @@ object IvfPq {
       codebooks, residual = true)
   }
 
+  /** Batch search over a cell-partitioned at-rest layout ([[
+    * writePartitioned]] or [[writePartitionedResidual]] — the sidecar
+    * records which). The union of every query's probed cells is computed
+    * FIRST (one tiny job over the nq-row query frame — the corpus is
+    * untouched) and applied as a STATIC `isin` filter on the partition
+    * column, so directories outside the probe union are pruned before
+    * any IO; a broadcast join alone would rely on runtime DPP for the
+    * same effect. Results are identical to [[searchMany]] /
+    * [[searchManyResidual]] over the same layout. */
+  def searchManyPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, config: CollectionConfig, queries: DataFrame, limit: Int,
+      nprobe: Int, candidates: Int = 0, knownNq: Long = -1L): DataFrame = {
+    val (cents, cb, residual) = loadModel(spark, path)
+    val np = math.min(nprobe, cents.length)
+    val probeUdf = udf((q: Seq[Float]) => IvfIndex.probeCells(q.toArray, cents, np).toArray)
+    val cells = queries
+      .select(normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+      .select(explode(probeUdf(col("qvector"))).as("c"))
+      .distinct().collect().map(_.getInt(0)) // bounded by the cell count
+    val pruned = spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(cells.map(Int.box): _*))
+    if (residual)
+      searchManyResidual(pruned, config, cents, cb, queries, limit, np,
+        candidates, knownNq)
+    else
+      searchMany(pruned, config, cents, cb, queries, limit, np, candidates,
+        knownNq)
+  }
+
   /** Residual search over the cell-partitioned layout: identical results
     * to [[searchResidual]]; each probe branch prunes whole directories. */
   def searchPartitionedResidual(spark: org.apache.spark.sql.SparkSession,

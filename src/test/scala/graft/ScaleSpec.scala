@@ -216,6 +216,46 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("Partial"), s"no partial (map-side) group limit in plan:\n$plan")
   }
 
+  test("searchManyPartitioned: static cell pruning in the scan, results == searchMany") {
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val order = col("id").cast("long")
+    val cents = graft.ann.IvfIndex.trainOrdered(coll, config,
+      graft.ann.IvfIndex.IvfConfig(k = 8, iterations = 2), order)
+    val cb = graft.ann.Pq.trainOrdered(coll, config,
+      graft.ann.Pq.PqConfig(m = 4, k = 8, iterations = 2, sampleSize = 128), order)
+    val path = java.nio.file.Files.createTempDirectory("graft_smp").toString
+    graft.ann.IvfPq.writePartitioned(coll.drop("metadata"), cents, cb, path)
+    val qs = Tables.read(spark, sfDir, "embeddings").filter(col("vec_id") < 3)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+    val pruned = graft.ann.IvfPq.searchManyPartitioned(spark, path, config,
+      qs, 5, nprobe = 2, candidates = 30, knownNq = 3L)
+    // the probe-union filter must land on the PARTITION column of the
+    // scan — directory pruning before IO, not a post-scan filter
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(plan).isDefined,
+      s"probe union not a partition filter:\n$plan")
+    val full = graft.ann.IvfPq.searchMany(spark.read.parquet(path), config,
+      cents, cb, qs, 5, nprobe = 2, candidates = 30)
+    def key(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[String]("qid"), r.getAs[String]("id"))).sorted.toSeq
+    assert(key(pruned) === key(full))
+    // residual layout routes through the sidecar's residual flag
+    val rcb = graft.ann.IvfPq.trainResidual(coll, config, cents,
+      graft.ann.Pq.PqConfig(m = 4, k = 8, iterations = 2, sampleSize = 128), order)
+    val rpath = java.nio.file.Files.createTempDirectory("graft_smp_res").toString
+    graft.ann.IvfPq.writePartitionedResidual(coll.drop("metadata"), cents, rcb, rpath)
+    val rp = graft.ann.IvfPq.searchManyPartitioned(spark, rpath, config,
+      qs, 5, nprobe = 2, candidates = 30, knownNq = 3L)
+    val rf = graft.ann.IvfPq.searchManyResidual(
+      graft.ann.IvfPq.withResidualCodes(coll.drop("metadata"), cents, rcb),
+      config, cents, rcb, qs, 5, nprobe = 2, candidates = 30)
+    assert(key(rp) === key(rf))
+    coll.unpersist()
+  }
+
   test("residual IVF-PQ partitioned layout: directory pruning, identical results") {
     val sfDir = "/root/testdata/sf0.001"
     val d = Tables.dims(spark, sfDir)
