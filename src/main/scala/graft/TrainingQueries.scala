@@ -565,6 +565,26 @@ object TrainingQueries {
         Seq("score", "distance"))
     }),
 
+    // plain-IVF batch over the partitioned layout (no PQ codes — exact
+    // distances inside probed cells): same static probe-union pruning,
+    // centroids loaded from the sidecar; the oracle replicates the
+    // k-means, the per-query probe sets, and the exact in-cell top-k
+    "ann_ivf_partitioned_search_many" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val base = cachedLayout(s, dir, "ivfflat") { p =>
+        val coll = Tables.embeddingsCollection(s, dir, config)
+        val cents = IvfIndex.trainOrdered(coll, config,
+          IvfIndex.IvfConfig(k = 8, iterations = 3), col("id").cast("long"))
+        IvfIndex.writePartitioned(coll.select("id", "value", "vector"), cents, p)
+      }
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("string").as("qid"),
+          col("embedding").as("qvector"))
+      roundCols(IvfIndex.searchManyPartitioned(s, base, config, qs, 10,
+        nprobe = 2), Seq("score", "distance"))
+    }),
+
     // ---- multimodal: REAL image decode (javax.imageio) over PNG fixtures
     // generated from known pixels — the oracle replicates the fixture
     // arithmetic (two-tone image: left ceil(w/2) columns the doc_id-derived
@@ -1143,6 +1163,29 @@ object TrainingQueries {
        FROM rk WHERE rn <= 10"""
   }
 
+  /** Plain-IVF batch (no PQ): replicated coarse k-means, per-query
+    * probe sets (nprobe=2), EXACT l2 inside the probed cells, per-query
+    * top-10 — mirrors IvfIndex.searchManyPartitioned over a layout
+    * trained with IvfConfig(k=8, iterations=3), id-ordered. */
+  private val ivfSearchManyOracle =
+    s"""WITH RECURSIVE
+       n AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, embedding AS v FROM embeddings),
+       $ivfKmeansCtes,
+       q AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qraw FROM embeddings WHERE vec_id < 4),
+       probes AS (SELECT qid, cell FROM (
+           SELECT q.qid, k - 1 AS cell,
+             row_number() OVER (PARTITION BY q.qid ORDER BY ${kmL2("q.qraw", "icb.c[k]")} ASC, k ASC) AS rn
+           FROM (SELECT unnest(range(1, 9)) AS k), icb, q)
+         WHERE rn <= 2),
+       ncell AS MATERIALIZED (SELECT n.id, n.v, ${kmAssign("n.v", "icb.c")} AS cell FROM n, icb),
+       incell AS (SELECT p.qid, nc.id, nc.v FROM ncell nc JOIN probes p ON nc.cell = p.cell),
+       fin AS (SELECT r.qid, r.id, sqrt(${kmL2("r.v", "q.qraw")}) AS raw
+         FROM incell r JOIN q ON q.qid = r.qid),
+       rk AS (SELECT qid, id, raw,
+           row_number() OVER (PARTITION BY qid ORDER BY raw ASC, id ASC) AS rn FROM fin)
+       SELECT qid, id, id AS value, (round(-raw,6)+0) AS score, (round(raw,6)+0) AS distance, 'l2' AS metric
+       FROM rk WHERE rn <= 10"""
+
   /** FAISS-style residual IVF-PQ: cells from the coarse quantizer, PQ
     * codebooks trained on (v - centroid[cell]) residuals, each probed
     * cell scored against its own query-residual ADC table — mirrors
@@ -1190,6 +1233,7 @@ object TrainingQueries {
     "ann_ivfpq_search_many" -> ivfPqSearchManyOracle,
     // static cell pruning changes the scan, not the results
     "ann_ivfpq_partitioned_search_many" -> ivfPqSearchManyOracle,
+    "ann_ivf_partitioned_search_many" -> ivfSearchManyOracle,
     "ann_ivfpq_partitioned_topk" -> ivfPqOracle,
     "ann_ivfpq_residual_topk" -> ivfPqResidualOracle,
     "ann_lsh_topk" -> lshOracle,

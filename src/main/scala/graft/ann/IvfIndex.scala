@@ -211,6 +211,28 @@ object IvfIndex {
     Search.flatSearch(cands, config, query, limit)
   }
 
+  /** Batch search over a cell-partitioned layout: the union of every
+    * query's probed cells (one tiny job over the nq-row query frame —
+    * the corpus is untouched) becomes a STATIC partition filter, so
+    * directories outside the probe union are pruned before any IO; the
+    * per-query probe join inside [[searchMany]] then narrows each query
+    * back to its own cells. Results are identical to [[searchMany]]
+    * over the same layout. */
+  def searchManyPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, config: CollectionConfig, queries: DataFrame, limit: Int,
+      nprobe: Int): DataFrame = {
+    val cents = loadModel(spark, path)
+    val np = math.min(nprobe, cents.length)
+    val probeUdf = udf((v: Seq[Float]) => probeCells(v.toArray, cents, np).toArray)
+    val cells = queries
+      .select(normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+      .select(explode(probeUdf(col("qvector"))).as("c"))
+      .distinct().collect().map(_.getInt(0)) // bounded by the cell count
+    val pruned = spark.read.parquet(path)
+      .filter(col("ivf_cell").isin(cells.map(Int.box): _*))
+    searchMany(pruned, config, cents, queries, limit, np)
+  }
+
   /** overlap@k vs exact flat — the quality gate. */
   def overlapAtK(df: DataFrame, config: CollectionConfig, centroids: Array[Array[Float]],
       query: Array[Float], k: Int, nprobe: Int): Double = {

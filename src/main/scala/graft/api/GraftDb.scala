@@ -137,13 +137,14 @@ final class GraftDb(val spark: SparkSession) {
           StructField("distance", DoubleType, nullable = true),
           StructField("metric", StringType, nullable = false))))
       case "lsh" =>
-        graft.ann.CosineLsh.search(df, config,
+        graft.ann.CosineLsh.search(codedFrameCache.getOrElse(name, df), config,
           graft.ann.CosineLsh.LshConfig(), query, limit)
       case "ivf" =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
           graft.ann.IvfIndex.train(df, config, ivfCfg))
-        graft.ann.IvfIndex.search(df, config, cents, query, limit, ivfCfg.nprobe)
+        graft.ann.IvfIndex.search(codedFrameCache.getOrElse(name, df), config,
+          cents, query, limit, ivfCfg.nprobe)
       case "sq8" =>
         val (model, coded) = sq8Cache.getOrElseUpdate(name, {
           val m = graft.ann.Sq8.train(df)
@@ -197,6 +198,10 @@ final class GraftDb(val spark: SparkSession) {
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Array[Array[Float]]], DataFrame)]
   private val ivfPqCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // at-rest coded frames opened by openIndexed for indexes whose search
+  // reuses precomputed columns directly from the scan (lsh_bands,
+  // ivf_cell) — CRUD sees the canonical projection, search sees this
+  private val codedFrameCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val ivfPqResCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Array[Array[Float]]], DataFrame)]
 
@@ -205,6 +210,7 @@ final class GraftDb(val spark: SparkSession) {
 
   private def invalidateIndexCaches(name: String): Unit = {
     hnswCache.remove(name); ivfCache.remove(name)
+    codedFrameCache.remove(name)
     sq8Cache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     pqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     ivfPqCache.remove(name).foreach(_.unpersist())
@@ -237,13 +243,14 @@ final class GraftDb(val spark: SparkSession) {
     val (df, config) = collection(name)
     config.index match {
       case "lsh" =>
-        graft.ann.CosineLsh.searchMany(df, config,
-          graft.ann.CosineLsh.LshConfig(), queries, limit)
+        graft.ann.CosineLsh.searchMany(codedFrameCache.getOrElse(name, df),
+          config, graft.ann.CosineLsh.LshConfig(), queries, limit)
       case "ivf" =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
           graft.ann.IvfIndex.train(df, config, ivfCfg))
-        graft.ann.IvfIndex.searchMany(df, config, cents, queries, limit, ivfCfg.nprobe)
+        graft.ann.IvfIndex.searchMany(codedFrameCache.getOrElse(name, df),
+          config, cents, queries, limit, ivfCfg.nprobe)
       case "sq8" =>
         val (model, coded) = sq8Cache.getOrElseUpdate(name, {
           val m = graft.ann.Sq8.train(df)
@@ -334,5 +341,106 @@ final class GraftDb(val spark: SparkSession) {
     registry.put(config.name, (df, config))
     invalidateIndexCaches(config.name)
     config.name
+  }
+
+  private def idxSidecar(path: String): String =
+    path.stripSuffix("/") + "/" + graft.ann.ModelStore.SidecarName
+
+  /** Persist collection `name`'s trained index AND encoded rows as an
+    * at-rest layout at `path`: canonical columns + code/cell columns,
+    * the collection config (`_graft_config.json`), and the trained
+    * model (`_graft_model.json`). Cell-routed indexes write
+    * cell-partitioned directories, so probe pruning is directory
+    * pruning. The reference's snapshot persists config exactly so load
+    * doesn't re-derive it (collection.ex:444-457); this extends that
+    * contract to the model artifacts — see [[openIndexed]] for the
+    * other half of the lifecycle. `hnsw` is rebuild-from-canonical by
+    * design (collection.ex:426-433): use [[snapshot]]. */
+  def persistIndex(name: String, path: String): Unit = {
+    val (df, config) = collection(name)
+    config.index match {
+      case "sq8" =>
+        val (model, coded) = sq8Cache.getOrElseUpdate(name, {
+          val m = graft.ann.Sq8.train(df)
+          (m, graft.ann.Sq8.withCodes(df, m).persist())
+        })
+        coded.write.mode("overwrite").parquet(path)
+        graft.ann.ModelStore.saveSq8(spark, idxSidecar(path), model)
+      case "pq" =>
+        val (cb, coded) = pqCache.getOrElseUpdate(name, {
+          val c = graft.ann.Pq.trainOrdered(df, config, pqConfigFor(config), col("id"))
+          (c, graft.ann.Pq.withCodes(df, c).persist())
+        })
+        val out = Option(coded).getOrElse(graft.ann.Pq.withCodes(df, cb))
+        out.write.mode("overwrite").parquet(path)
+        graft.ann.ModelStore.savePq(spark, idxSidecar(path), cb)
+      case "ivf" =>
+        val cents = ivfCache.getOrElseUpdate(name,
+          graft.ann.IvfIndex.train(df, config, graft.ann.IvfIndex.IvfConfig()))
+        graft.ann.IvfIndex.writePartitioned(df, cents, path)
+      case "ivfpq" if residualMetric(config) =>
+        val cents = ivfCache.getOrElseUpdate(name,
+          graft.ann.IvfIndex.train(df, config, graft.ann.IvfIndex.IvfConfig()))
+        val (cb, _) = ivfPqResCache.getOrElseUpdate(name, {
+          val c = graft.ann.IvfPq.trainResidual(df, config, cents,
+            pqConfigFor(config), col("id"))
+          (c, graft.ann.IvfPq.withResidualCodes(df, cents, c).persist())
+        })
+        graft.ann.IvfPq.writePartitionedResidual(df, cents, cb, path)
+      case "ivfpq" =>
+        val cents = ivfCache.getOrElseUpdate(name,
+          graft.ann.IvfIndex.train(df, config, graft.ann.IvfIndex.IvfConfig()))
+        val (cb, _) = pqCache.getOrElseUpdate(name, {
+          val c = graft.ann.Pq.trainOrdered(df, config, pqConfigFor(config), col("id"))
+          (c, null)
+        })
+        graft.ann.IvfPq.writePartitioned(df, cents, cb, path)
+      case "lsh" =>
+        // LSH has no trained state — band keys derive deterministically
+        // from the config; persist the signatures so a cold open serves
+        // without re-hashing the corpus
+        graft.ann.CosineLsh.withSignatures(df, graft.ann.CosineLsh.LshConfig())
+          .write.mode("overwrite").parquet(path)
+      case "flat" =>
+        CollectionStore.snapshot(df, config, path)
+      case other => throw new IllegalArgumentException(
+        s"index $other has no persistable layout (hnsw rebuilds from canonical — use snapshot)")
+    }
+    CollectionStore.writeConfig(spark, path, config)
+  }
+
+  /** Open an at-rest layout written by [[persistIndex]] as collection
+    * `name`: the config comes from its sidecar, the trained model from
+    * the model sidecar, and the code/cell columns feed the search
+    * caches directly — a cold session serves its first query with NO
+    * retraining and NO re-encoding. The registry holds the canonical
+    * columns, so CRUD output is unchanged. */
+  def openIndexed(name: String, path: String): Unit = {
+    require(!registry.contains(name), s"collection $name already exists")
+    val config = CollectionStore.readConfig(spark, path).copy(name = name)
+    val full = spark.read.parquet(path)
+    config.index match {
+      case "sq8" =>
+        sq8Cache.put(name, (graft.ann.ModelStore.loadSq8(spark, idxSidecar(path)), full))
+      case "pq" =>
+        pqCache.put(name, (graft.ann.ModelStore.loadPq(spark, idxSidecar(path)), full))
+      case "ivf" =>
+        ivfCache.put(name, graft.ann.IvfIndex.loadModel(spark, path))
+        codedFrameCache.put(name, full)
+      case "ivfpq" =>
+        val (cents, cb, residual) = graft.ann.IvfPq.loadModel(spark, path)
+        require(residual == residualMetric(config),
+          "layout residual flag does not match the collection's metric family")
+        ivfCache.put(name, cents)
+        if (residual) ivfPqResCache.put(name, (cb, full))
+        else { pqCache.put(name, (cb, null)); ivfPqCache.put(name, full) }
+      case "lsh" =>
+        codedFrameCache.put(name, full)
+      case "flat" => ()
+      case other => throw new IllegalArgumentException(
+        s"index $other has no persistable layout")
+    }
+    val canonical = Prepare.canonicalSchema.fieldNames.filter(full.columns.contains)
+    registry.put(name, (full.select(canonical.map(col).toSeq: _*), config))
   }
 }

@@ -31,6 +31,23 @@ object CollectionStore {
     s"""{${q("snapshot_version")}: 1, ${q("name")}: ${q(c.name)}, ${q("dimensions")}: ${c.dimensions}, ${q("metric")}: ${q(c.metric.name)}, ${q("normalize")}: ${q(c.effectiveNormalize.name)}, ${q("score")}: ${q(c.score.name)}, ${q("index")}: ${q(c.index)}, ${q("compressed")}: ${c.compressed}}"""
   }
 
+  /** Write the config sidecar alone (used by [[snapshot]] and by
+    * GraftDb.persistIndex for indexed at-rest layouts). */
+  def writeConfig(spark: SparkSession, path: String,
+      config: CollectionConfig): Unit = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new Path(path, ConfigFile), true)
+    try out.write(configJson(config).getBytes("UTF-8")) finally out.close()
+  }
+
+  /** Read the config sidecar alone. */
+  def readConfig(spark: SparkSession, path: String): CollectionConfig = {
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(path, ConfigFile))
+    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    parseConfig(json)
+  }
+
   private def parseConfig(json: String): CollectionConfig = {
     def str(key: String): String = {
       val m = ("\"" + key + "\"\\s*:\\s*\"([^\"]*)\"").r
@@ -61,10 +78,7 @@ object CollectionStore {
       if (packed && !df.columns.contains("vector_f32")) Prepare.withPackedVector(df)
       else df
     out0.write.mode("overwrite").parquet(path)
-    val spark = df.sparkSession
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(path, ConfigFile), true)
-    try out.write(configJson(config).getBytes("UTF-8")) finally out.close()
+    writeConfig(df.sparkSession, path, config)
   }
 
   /** Load a snapshot: read config sidecar, apply (whitelisted) overrides,
@@ -75,10 +89,7 @@ object CollectionStore {
       overrides: Map[String, String] = Map.empty): (DataFrame, CollectionConfig) = {
     val bad = overrides.keySet.diff(OverridableKeys)
     require(bad.isEmpty, s"override keys not allowed: ${bad.mkString(",")}")
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val in = fs.open(new Path(path, ConfigFile))
-    val json = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    val base = parseConfig(json)
+    val base = readConfig(spark, path)
     val config = base.copy(
       name = overrides.getOrElse("name", base.name),
       index = overrides.getOrElse("index", base.index),

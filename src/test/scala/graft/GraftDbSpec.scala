@@ -109,6 +109,54 @@ class GraftDbSpec extends SparkSpec {
     }
   }
 
+  test("persistIndex/openIndexed lifecycle: cold open serves without retraining, results identical") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val db = new GraftDb(spark)
+    val vecs = (0 until 60).map(i =>
+      db.EmbeddingInput(id = f"v$i%02d", vector = Array(
+        math.cos(i * 0.13).toFloat, math.sin(i * 0.17).toFloat,
+        (i % 7) / 6.0f, (i % 3) / 2.0f)))
+    val q = Array(0.9f, 0.2f, 0.3f, 0.1f)
+    val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
+    // ivfpq on cosine = raw codes; on l2 = residual codes; both roads
+    for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
+        "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
+        "flat" -> "cosine")) {
+      val name = s"p_${idx}_$metric"
+      db.createCollection(name, 4, metric = metric, index = idx)
+      db.batch(name, vecs)
+      val before = db.search(name, q, 5).select("id", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      val path = java.nio.file.Files.createTempDirectory(s"graft_pi_$idx").toString
+      db.persistIndex(name, path)
+      // COLD open: fresh handle, nothing cached, models from sidecars
+      val db2 = new GraftDb(spark)
+      db2.openIndexed(name, path)
+      val after = db2.search(name, q, 5).select("id", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(after === before, s"$name cold-open search differs")
+      // CRUD sees canonical columns only (codes stay in the caches)
+      assert(db2.all(name).columns.toSet.subsetOf(
+        graft.prepare.Prepare.canonicalSchema.fieldNames.toSet), s"$name leaks index columns")
+      assert(db2.count(name) === 60L, name)
+      // batch search serves off the same loaded artifacts
+      if (idx != "flat") {
+        val batchTop = db2.searchMany(name, queries, 1)
+          .collect().map(_.getAs[String]("id")).toSeq
+        val singleTop = db2.search(name, q, 1).collect().map(_.getString(0)).toSeq
+        assert(batchTop === singleTop, s"$name batch/single disagree after open")
+      }
+    }
+    // hnsw is rebuild-from-canonical: persistIndex refuses with guidance
+    db.createCollection("p_hnsw", 4, index = "hnsw")
+    db.batch("p_hnsw", vecs)
+    val e = intercept[IllegalArgumentException] {
+      db.persistIndex("p_hnsw", "/tmp/graft_pi_hnsw")
+    }
+    assert(e.getMessage.contains("snapshot"))
+  }
+
   test("l2 ivfpq facade defaults to residual codes; batch agrees with single") {
     val db = new GraftDb(spark)
     db.createCollection("resq", 3, metric = "l2", index = "ivfpq")

@@ -256,6 +256,49 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming ANN: query stream answered per micro-batch via searchMany, stream ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the online-retrieval composition: a STATIC quantized corpus (codes
+    // + model trained offline), queries ARRIVING AS A STREAM, each
+    // micro-batch answered with the same batch searchMany the offline
+    // pipeline uses (foreachBatch — no separate streaming search path to
+    // keep correct)
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+    val model = graft.ann.Sq8.train(coll)
+    val coded = graft.ann.Sq8.withCodes(coll, model).cache()
+    coded.count()
+    val qs = Tables.read(spark, sfDir, "embeddings").filter(col("vec_id") < 6)
+      .select(col("vec_id").cast("string"), col("embedding"))
+      .as[(String, Seq[Float])].collect().toSeq
+    val input = MemoryStream[(String, Seq[Float])]
+    val got = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    val q = input.toDF().toDF("qid", "qvector").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val res = graft.ann.Sq8.searchMany(coded, config, model, batch, 5,
+          candidates = 30, knownNq = batch.count())
+          .select("qid", "id").collect()
+        got.synchronized { got ++= res.map(r => (r.getString(0), r.getString(1))) }
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(qs.take(3))
+      q.processAllAvailable()
+      input.addData(qs.drop(3))
+      q.processAllAvailable()
+    } finally q.stop()
+    val batchRes = graft.ann.Sq8.searchMany(coded, config, model,
+      qs.toDF("qid", "qvector"), 5, candidates = 30, knownNq = qs.length.toLong)
+      .select("qid", "id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(got.sorted.toSeq === batchRes.sorted.toSeq)
+    coded.unpersist()
+  }
+
   test("streaming quantized ingest: sq8/pq/cell columns are stateless projections") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
