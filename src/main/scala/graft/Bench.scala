@@ -264,6 +264,11 @@ object Bench {
       coll, config, planted, 10, Seq(dims / 4, dims / 2, dims), 200)))
     quality("planted_overlap10_lsh") = pOverlap(dfIds(
       graft.ann.CosineLsh.search(lshColl, config, lshCfg, planted, 10)))
+    quality("planted_overlap10_quantized") = pOverlap(dfIds(Search.quantizedSearch(
+      coll, config, planted, 10, 200)))
+    quality("planted_overlap10_hybrid") = pOverlap(dfIds(Search.hybridSearch(
+      coll, config, planted, 10, candidates = 200,
+      stages = Seq(dims / 4, dims / 2, dims))))
     quality("planted_overlap10_sq8") = pOverlap(dfIds(
       graft.ann.Sq8.search(sq8Coll, config, sq8Model, planted, 10, candidates = 200)))
     quality("planted_overlap10_pq") = pOverlap(dfIds(

@@ -98,6 +98,40 @@ object Microbench {
     coll.unpersist()
   }
 
+  /** Plan-time vs execution split of single-query ADC search: the
+    * dims*256-entry sq8 table made PLANNING the dominant cost when it
+    * rode the tree as an array Literal (AdcDistanceConst keeps it as a
+    * reference object instead). `runMain graft.Microbench adc`. */
+  def profileAdc(spark: SparkSession): Unit = {
+    val dims = 384
+    val config = CollectionConfig("m", dims, Metric.Cosine)
+    val genUdf = udf((id: Long) => Bench.synthVector(id, dims))
+    val coll = graft.prepare.Prepare.prepareEmbeddings(
+      spark.range(100000).select(col("id").cast("string").as("id"),
+        col("id").cast("string").as("value"), genUdf(col("id")).as("vector")),
+      config).select("id", "value", "vector").persist()
+    coll.count()
+    val model = graft.ann.Sq8.train(coll)
+    val coded = graft.ann.Sq8.withCodes(coll, model)
+      .select("id", "value", "vector", "sq8_codes").persist()
+    coded.count()
+    val q = Search.prepareQuery(config, Bench.synthVector(-1L, dims))
+    time("sq8 search plan+exec", 5) {
+      graft.ann.Sq8.search(coded, config, model, q, 10, candidates = 200).collect()
+    }
+    val reused = graft.ann.Sq8.search(coded, config, model, q, 10, candidates = 200)
+    time("sq8 search exec only (reused plan)", 5) { reused.collect() }
+    val cb = graft.ann.Pq.trainOrdered(coll, config,
+      graft.ann.Pq.PqConfig(m = 32, k = 256, iterations = 3, sampleSize = 4000),
+      col("id").cast("long"))
+    val pqColl = graft.ann.Pq.withCodes(coll, cb)
+      .select("id", "value", "vector", "pq_codes").persist()
+    pqColl.count()
+    time("pq search plan+exec", 5) {
+      graft.ann.Pq.search(pqColl, config, cb, q, 10, candidates = 200).collect()
+    }
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -108,6 +142,9 @@ object Microbench {
     }
     if (args.headOption.contains("encode")) {
       profileEncode(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("adc")) {
+      profileAdc(spark); spark.stop(); return
     }
     val dims = sys.env.getOrElse("GRAFT_MB_DIMS", "384").toInt
     val n = sys.env.getOrElse("GRAFT_MB_RECORDS", "100000").toInt

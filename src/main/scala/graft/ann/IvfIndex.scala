@@ -185,11 +185,27 @@ object IvfIndex {
     * the layout that matters at 100 TB (partition pruning shows up as
     * PartitionFilters in the scan). */
   def writePartitioned(df: DataFrame, centroids: Array[Array[Float]],
-      path: String): Unit = {
-    withCells(df, centroids).write.mode("overwrite")
-      .partitionBy("ivf_cell").parquet(path)
+      path: String, filesPerCell: Int = 1): Unit = {
+    writeCellLayout(withCells(df, centroids), path, filesPerCell)
     ModelStore.saveIvf(df.sparkSession,
       path.stripSuffix("/") + "/" + ModelStore.SidecarName, centroids)
+  }
+
+  /** Write a cell-assigned frame partitioned BY CELL with a BOUNDED
+    * file count. Without the pre-shuffle every write task emits one
+    * file into every cell directory it holds rows for — tasks x cells
+    * small files, the classic partitioned-write bug that kills the
+    * layout at scale. Clustering by (cell, id-hash bucket) first puts
+    * each cell in at most `filesPerCell` tasks, so each directory gets
+    * at most that many files, sized ~n/(k*filesPerCell); raise
+    * `filesPerCell` when single-file cells would exceed a healthy
+    * parquet size. */
+  private[ann] def writeCellLayout(prepared: DataFrame, path: String,
+      filesPerCell: Int): Unit = {
+    require(filesPerCell > 0, "filesPerCell must be positive")
+    prepared
+      .repartition(col("ivf_cell"), pmod(xxhash64(col("id")), lit(filesPerCell)))
+      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
   }
 
   /** Load the centroid sidecar of a [[writePartitioned]] layout —

@@ -233,9 +233,9 @@ object IvfPq {
     * instead of retraining — the codes at rest are useless without the
     * exact codebooks that produced them. */
   def writePartitioned(df: DataFrame, centroids: Array[Array[Float]],
-      codebooks: Array[Array[Array[Float]]], path: String): Unit = {
-    prepare(df, centroids, codebooks).write.mode("overwrite")
-      .partitionBy("ivf_cell").parquet(path)
+      codebooks: Array[Array[Array[Float]]], path: String,
+      filesPerCell: Int = 1): Unit = {
+    IvfIndex.writeCellLayout(prepare(df, centroids, codebooks), path, filesPerCell)
     ModelStore.saveIvfPq(df.sparkSession, sidecarPath(path), centroids,
       codebooks, residual = false)
   }
@@ -266,9 +266,10 @@ object IvfPq {
     * the rows — the full FAISS-style default persisted with the same
     * directory-pruning property as [[writePartitioned]]. */
   def writePartitionedResidual(df: DataFrame, centroids: Array[Array[Float]],
-      codebooks: Array[Array[Array[Float]]], path: String): Unit = {
-    withResidualCodes(df, centroids, codebooks).write.mode("overwrite")
-      .partitionBy("ivf_cell").parquet(path)
+      codebooks: Array[Array[Array[Float]]], path: String,
+      filesPerCell: Int = 1): Unit = {
+    IvfIndex.writeCellLayout(withResidualCodes(df, centroids, codebooks), path,
+      filesPerCell)
     ModelStore.saveIvfPq(df.sparkSession, sidecarPath(path), centroids,
       codebooks, residual = true)
   }

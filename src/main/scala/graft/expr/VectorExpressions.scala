@@ -279,6 +279,31 @@ case class MaxSim(left: Expression, right: Expression, metricCode: Int)
   * a codegen reference object, so the scan stays in whole-stage codegen
   * with zero per-row allocation; a non-foldable table column also works
   * (per-row extraction). */
+/** ADC against a PLAN-CONSTANT per-query table. The table rides as a
+  * codegen reference object, NOT as an array Literal in the expression
+  * tree: a dims*256-entry literal (sq8 at 384 dims = 98k doubles) costs
+  * O(table) every time the plan is converted/analyzed/hashed, which
+  * dominated single-query ADC search wall time — the scan itself only
+  * reads the m (or dims) TOUCHED entries per row. */
+case class AdcDistanceConst(child: Expression, table: Array[Double], stride: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "adc_distance_const"
+
+  override protected def nullSafeEval(codes: Any): Any =
+    VectorKernels.adcLookup(codes.asInstanceOf[Array[Byte]], table, stride)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("adcTable", table, "double[]")
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.VectorKernels.adcLookup($c, $ref, $stride);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): AdcDistanceConst =
+    copy(child = newChild)
+}
+
 case class AdcDistance(left: Expression, right: Expression, stride: Int)
     extends BinaryExpression {
 

@@ -115,9 +115,11 @@ object VectorFunctions {
     col2(BinaryVectorDistance(expr0(packed), expr0(vecLit(query)), metric.code))
 
   /** ADC score of a quantized byte-code column against a per-query
-    * partial-distance table (position-major, `table(pos*stride+code)`). */
+    * partial-distance table (position-major, `table(pos*stride+code)`).
+    * The table is a plan CONSTANT carried as a reference object — large
+    * tables must not become array Literals (see AdcDistanceConst). */
   def adcDistance(codes: Column, table: Array[Double], stride: Int): Column =
-    col2(graft.expr.AdcDistance(expr0(codes), expr0(typedlit(table)), stride))
+    col2(graft.expr.AdcDistanceConst(expr0(codes), table, stride))
 
   /** ADC score against a table COLUMN (array<double>) — the batch-search
     * shape where each query's table rides the broadcast query side; only

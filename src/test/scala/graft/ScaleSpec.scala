@@ -242,6 +242,16 @@ class ScaleSpec extends SparkSpec {
     def key(df: org.apache.spark.sql.DataFrame) = df.collect()
       .map(r => (r.getAs[String]("qid"), r.getAs[String]("id"))).sorted.toSeq
     assert(key(pruned) === key(full))
+    // bounded file layout: the pre-shuffle clusters rows by cell before
+    // the partitioned write, so each cell directory holds exactly
+    // filesPerCell (default 1) data files — NOT one per write task
+    val cellDirs = new java.io.File(path).listFiles()
+      .filter(_.getName.startsWith("ivf_cell="))
+    assert(cellDirs.nonEmpty)
+    for (dir <- cellDirs) {
+      val n = dir.listFiles().count(_.getName.endsWith(".parquet"))
+      assert(n === 1, s"${dir.getName} holds $n files, want 1")
+    }
     // residual layout routes through the sidecar's residual flag
     val rcb = graft.ann.IvfPq.trainResidual(coll, config, cents,
       graft.ann.Pq.PqConfig(m = 4, k = 8, iterations = 2, sampleSize = 128), order)
