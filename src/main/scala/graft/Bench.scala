@@ -485,6 +485,30 @@ object Bench {
         scaleDf.join(broadcast(scaleAdcCut(200).select("id")), "id"),
         config, synthVector(-1L, dims), 10).collect()
     }
+    // the at-rest BATCH path at the largest local scale: IVF-PQ layout
+    // partitioned by cell on disk, 64 queries in ONE job through the
+    // static probe-union directory pruning + broadcast ADC join — the
+    // number that extrapolates to a 1000-executor batch-retrieval run
+    // (per-query cost is what a million-query training pipeline pays)
+    val scaleIvfPqPath = "/tmp/graft_bench_scale_ivfpq"
+    results("scale5x_ivfpq_part_write") = time {
+      val base = graft.prepare.Prepare.prepareEmbeddings(
+        spark.range(scaleN).select(
+          col("id").cast("string").as("id"),
+          col("id").cast("string").as("value"),
+          genUdf(col("id")).as("vector")), config)
+        .select("id", "value", "vector")
+      val cents = graft.ann.IvfIndex.trainOrdered(base, config,
+        graft.ann.IvfIndex.IvfConfig(k = 16, iterations = 3),
+        col("id").cast("long"))
+      graft.ann.IvfPq.writePartitioned(base, cents, pqCb, scaleIvfPqPath)
+    }
+    val scaleQs = spark.range(64).select(col("id").cast("string").as("qid"),
+      genUdf(col("id") + 2000000L).as("qvector"))
+    results("scale5x_ivfpq_part_batch64_perq") = bench {
+      graft.ann.IvfPq.searchManyPartitioned(spark, scaleIvfPqPath, config,
+        scaleQs, 10, nprobe = 4, candidates = 100, knownNq = 64L).count()
+    } / 64.0
     // stdout stays one JSON line; progress notes go to stderr
     System.err.println(f"[bench] scale5x: $scaleN rows, packed parquet " +
       f"search ${results("scale5x_flat_packed")}%.3f s = " +
