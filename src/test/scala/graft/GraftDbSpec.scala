@@ -155,6 +155,20 @@ class GraftDbSpec extends SparkSpec {
       db.persistIndex("p_hnsw", "/tmp/graft_pi_hnsw")
     }
     assert(e.getMessage.contains("snapshot"))
+    // re-persist over the same path is an overwrite, not an append
+    val rpPath = java.nio.file.Files.createTempDirectory("graft_pi_rw").toString
+    db.createCollection("p_rw", 4, metric = "l2", index = "sq8")
+    db.batch("p_rw", vecs)
+    db.persistIndex("p_rw", rpPath)
+    db.persistIndex("p_rw", rpPath)
+    val db3 = new GraftDb(spark)
+    db3.openIndexed("p_rw", rpPath)
+    assert(db3.count("p_rw") === 60L)
+    // name conflicts and missing paths fail cleanly
+    intercept[IllegalArgumentException] { db3.openIndexed("p_rw", rpPath) }
+    intercept[Exception] {
+      new GraftDb(spark).openIndexed("ghost", "/tmp/graft_pi_does_not_exist")
+    }
   }
 
   test("l2 ivfpq facade defaults to residual codes; batch agrees with single") {
