@@ -333,13 +333,17 @@ object TrainingQueries {
     "ann_ivf_partitioned_topk" -> ((s, dir) => {
       val d = Tables.dims(s, dir)
       val config = Tables.cosineConfig(d)
-      val coll = Tables.embeddingsCollection(s, dir, config)
-      val ivf = IvfIndex.IvfConfig(k = 8, iterations = 5)
-      val centroids = IvfIndex.train(coll, config, ivf)
-      val path = "/tmp/graft_ivf_partitioned_gate"
-      IvfIndex.writePartitioned(coll.drop("metadata"), centroids, path)
+      // train-once/load-thereafter like the quantized rows: the measured
+      // cost is directory-pruned scan + search, not k-means + rewrite
+      val base = cachedLayout(s, dir, "ivfflat_cos") { p =>
+        val coll = Tables.embeddingsCollection(s, dir, config)
+        val centroids = IvfIndex.train(coll, config,
+          IvfIndex.IvfConfig(k = 8, iterations = 5))
+        IvfIndex.writePartitioned(coll.drop("metadata"), centroids, p)
+      }
+      val centroids = IvfIndex.loadModel(s, base)
       val q = Tables.queryVector(s, dir, 0L)
-      roundCols(IvfIndex.searchPartitioned(s, path, config, centroids, q, 10,
+      roundCols(IvfIndex.searchPartitioned(s, base, config, centroids, q, 10,
         nprobe = 8).drop("metadata"), Seq("score", "distance"))
     }),
 
@@ -498,17 +502,20 @@ object TrainingQueries {
     "ann_ivfpq_partitioned_topk" -> ((s, dir) => {
       val d = Tables.dims(s, dir)
       val config = Tables.l2Config(d)
-      val coll = Tables.embeddingsCollection(s, dir, config)
-      val order = col("id").cast("long")
-      val cents = IvfIndex.trainOrdered(coll, config,
-        IvfIndex.IvfConfig(k = 8, iterations = 3), order)
-      val cb = Pq.trainOrdered(coll, config,
-        Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256), order)
-      val path = "/tmp/graft_ivfpq_partitioned_gate"
-      graft.ann.IvfPq.writePartitioned(coll.drop("metadata"), cents, cb, path)
-      val (lc, lcb, _) = graft.ann.IvfPq.loadModel(s, path)
+      // shares the "ivfpq" cached layout with the batch rows: one
+      // training + one partitioned write serve every query shape
+      val base = cachedLayout(s, dir, "ivfpq") { p =>
+        val coll = Tables.embeddingsCollection(s, dir, config)
+        val order = col("id").cast("long")
+        val cents = IvfIndex.trainOrdered(coll, config,
+          IvfIndex.IvfConfig(k = 8, iterations = 3), order)
+        val cb = Pq.trainOrdered(coll, config,
+          Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256), order)
+        graft.ann.IvfPq.writePartitioned(coll.drop("metadata"), cents, cb, p)
+      }
+      val (lc, lcb, _) = graft.ann.IvfPq.loadModel(s, base)
       val q = Tables.queryVector(s, dir, 0L)
-      roundCols(graft.ann.IvfPq.searchPartitioned(s, path, config, lc, lcb,
+      roundCols(graft.ann.IvfPq.searchPartitioned(s, base, config, lc, lcb,
         q, 10, nprobe = 2, candidates = 50).drop("metadata"),
         Seq("score", "distance"))
     }),
