@@ -70,6 +70,42 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("bilinear resize: convexity, identity, constant-preservation over random images") {
+    import java.awt.image.BufferedImage
+    val rnd = new Random(20260813L)
+    for (trial <- 0 until 30) {
+      val w = 1 + rnd.nextInt(20); val h = 1 + rnd.nextInt(20)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      var mn = 255; var mx = 0
+      for (y <- 0 until h; x <- 0 until w) {
+        val v = rnd.nextInt(256)
+        mn = math.min(mn, v); mx = math.max(mx, v)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      }
+      val tw = 1 + rnd.nextInt(24); val th = 1 + rnd.nextInt(24)
+      val out = graft.multimodal.Multimodal.bilinearResize(img, tw, th)
+      assert(out.getWidth === tw && out.getHeight === th)
+      // every output pixel is a rounded convex combination of inputs:
+      // it must stay inside the source's [min, max] range
+      for (y <- 0 until th; x <- 0 until tw) {
+        val v = out.getRGB(x, y) & 0xFF
+        assert(v >= mn && v <= mx, s"trial $trial: $v outside [$mn,$mx]")
+      }
+      // identity resize reproduces the image exactly (samples land on
+      // source pixel centers, weights collapse to 1)
+      val id = graft.multimodal.Multimodal.bilinearResize(img, w, h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((id.getRGB(x, y) & 0xFFFFFF) === (img.getRGB(x, y) & 0xFFFFFF))
+    }
+    // constant image -> constant at ANY target size (edge clamping must
+    // not bleed anything else in)
+    val const = new BufferedImage(5, 3, BufferedImage.TYPE_3BYTE_BGR)
+    for (y <- 0 until 3; x <- 0 until 5) const.setRGB(x, y, (200 << 16) | (130 << 8) | 7)
+    val big = graft.multimodal.Multimodal.bilinearResize(const, 17, 11)
+    for (y <- 0 until 11; x <- 0 until 17)
+      assert((big.getRGB(x, y) & 0xFFFFFF) === ((200 << 16) | (130 << 8) | 7))
+  }
+
   test("MaxSim >= best single-vector similarity; monotone in query set") {
     val dims = 4
     for (_ <- 1 to 10) {
