@@ -137,6 +137,36 @@ object TrainingQueries {
       graft.functions.Sampling.withSequentialIds(sampled, col("doc_id"))
     }),
 
+    // the same pipeline with the flagship stage added: MinHash+LSH
+    // near-dup removal between exact dedup and decontamination. The
+    // input is augmented with PLANTED near-duplicates (docs 0-29
+    // re-appended with one extra token at id+10000) so the stage
+    // genuinely bites: planted copies pass the quality gate and exact
+    // dedup (texts differ), then fall to the cluster-canonical rule
+    // (min id wins — the original survives).
+    "pipeline_curation_neardup" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val aug = docs.select(col("doc_id"), col("lang"), col("text"))
+        .union(docs.filter(col("doc_id") < 30).select(
+          (col("doc_id") + 10000).as("doc_id"), col("lang"),
+          concat(col("text"), lit(" zzextra")).as("text")))
+      val kept = aug.filter(TextAnalysis.gopherKeep(col("text"), minWords = 20))
+      val canon = Dedup.dropExactDuplicates(kept, "doc_id", col("text"))
+      val nd = Dedup.dropNearDuplicates(canon, "doc_id", col("text"),
+        k = 3, numHashes = 8, bands = 4, threshold = 0.5)
+      val bench = docs.filter(col("doc_id") >= 480 || col("doc_id") < 10)
+        .select(col("text"))
+      val contam = TextAnalysis.contaminationReport(
+        nd.select(col("doc_id"), col("text")), bench, "doc_id", "text", n = 5)
+      val clean = nd.join(
+        contam.filter(col("n_shared") === 0).select(col("id").as("doc_id")),
+        "doc_id")
+      val sampled = graft.functions.Sampling.stratifiedSampleByHash(
+        clean.select(col("doc_id"), col("lang")), "doc_id", "lang",
+        Seq("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.1, salt = "graft")
+      graft.functions.Sampling.withSequentialIds(sampled, col("doc_id"))
+    }),
+
     // deterministic hash-based train/val/test split + fractional sample
     // (md5-derived buckets: stable across runs, engines, cluster sizes)
     "data_split" -> ((s, dir) => {
@@ -1376,6 +1406,71 @@ object TrainingQueries {
          be AS (SELECT DISTINCT unnest(list_distinct(${shinglesSql(5)})) AS gr
            FROM t WHERE doc_id >= 480 OR doc_id < 10),
          dg AS (SELECT doc_id, lang, list_distinct(${shinglesSql(5)}) AS gs FROM dd),
+         dirty AS (SELECT DISTINCT ex.doc_id
+           FROM (SELECT doc_id, unnest(gs) AS gr FROM dg) ex JOIN be USING (gr)),
+         clean AS (SELECT doc_id, lang FROM dg
+           WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         samp AS (SELECT doc_id, lang FROM (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('graft' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS INT) AS bucket
+           FROM clean)
+           WHERE bucket < (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 1000 ELSE 100 END))
+         SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
+         FROM samp ORDER BY doc_id""",
+
+    // six stages in one SQL chain: the curation oracle plus the MinHash
+    // signature -> band-bucket candidates -> exact-Jaccard verify ->
+    // recursive-CTE connected components -> keep-cluster-minimum rule
+    "pipeline_curation_neardup" ->
+      s"""WITH RECURSIVE aug AS (
+           SELECT doc_id, lang, text FROM documents
+           UNION ALL SELECT doc_id + 10000, lang, text || ' zzextra'
+           FROM documents WHERE doc_id < 30),
+         t AS (SELECT doc_id, lang, text, $tokensSql AS toks,
+           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS ls,
+           list_transform($tokensSql, t -> lower(t)) AS lt
+         FROM aug),
+         m AS (SELECT doc_id, lang, text, toks,
+           len(toks) AS n_words,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(toks) END AS mean_word_len,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) END AS frac_alpha,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...') OR contains(t, '…'))) AS DOUBLE) / len(toks) END AS frac_symbol,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls) END AS frac_bullet,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls) END AS frac_ellipsis,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS frac_dup_lines,
+           CASE WHEN len(lt) = 0 THEN 0.0 ELSE CAST(list_max(list_transform(list_distinct(lt), d -> len(list_filter(lt, x -> x = d)))) AS DOUBLE) / len(lt) END AS top_token_frac
+         FROM t),
+         k AS (SELECT doc_id, lang, text, toks FROM m
+           WHERE n_words >= 20 AND n_words <= 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND frac_symbol <= 0.1 AND frac_bullet <= 0.9
+             AND frac_ellipsis <= 0.3 AND frac_alpha >= 0.8
+             AND frac_dup_lines <= 0.3 AND top_token_frac <= 0.2),
+         dd AS (SELECT doc_id, lang, toks FROM (
+             SELECT doc_id, lang, toks, min(doc_id) OVER (PARTITION BY md5(text)) AS canon FROM k)
+           WHERE doc_id = canon),
+         shs AS (SELECT doc_id, list_distinct(${shinglesSql(3)}) AS sh FROM dd),
+         sig AS (SELECT doc_id, sh, ${minhashSigSql(8)} AS sig FROM shs),
+         bandt AS (SELECT doc_id, unnest(${minhashBandsSql(4, 2)}) AS band FROM sig),
+         cand AS (SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+           FROM bandt a JOIN bandt b ON a.band = b.band AND a.doc_id < b.doc_id),
+         ver AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+             FROM cand JOIN shs sa ON sa.doc_id = cand.id_a JOIN shs sb ON sb.doc_id = cand.id_b)
+           WHERE jaccard >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+           UNION ALL SELECT id_b, id_a FROM ver),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM dd
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         nd AS (SELECT dd.doc_id, dd.lang, dd.toks FROM dd
+           JOIN cl ON cl.id = dd.doc_id WHERE cl.cluster_id = dd.doc_id),
+         tb AS (SELECT doc_id, $tokensSql AS toks FROM documents
+           WHERE doc_id >= 480 OR doc_id < 10),
+         be AS (SELECT DISTINCT unnest(list_distinct(${shinglesSql(5)})) AS gr FROM tb),
+         dg AS (SELECT doc_id, lang, list_distinct(${shinglesSql(5)}) AS gs FROM nd),
          dirty AS (SELECT DISTINCT ex.doc_id
            FROM (SELECT doc_id, unnest(gs) AS gr FROM dg) ex JOIN be USING (gr)),
          clean AS (SELECT doc_id, lang FROM dg
