@@ -123,7 +123,12 @@ object TrainingQueries {
     "pipeline_curation" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
       val kept = docs.filter(TextAnalysis.gopherKeep(col("text"), minWords = 20))
+      // stage materialization: each downstream stage re-reads canonical
+      // rows instead of re-running tokenization + quality metrics
+      // through the whole lineage (a real pipeline checkpoints between
+      // stages for exactly this reason)
       val canon = Dedup.dropExactDuplicates(kept, "doc_id", col("text"))
+        .localCheckpoint()
       val bench = docs.filter(col("doc_id") >= 480 || col("doc_id") < 10)
         .select(col("text"))
       val contam = TextAnalysis.contaminationReport(
@@ -151,9 +156,14 @@ object TrainingQueries {
           (col("doc_id") + 10000).as("doc_id"), col("lang"),
           concat(col("text"), lit(" zzextra")).as("text")))
       val kept = aug.filter(TextAnalysis.gopherKeep(col("text"), minWords = 20))
+      // stage materialization (see pipeline_curation): without it the
+      // tokenization + metrics recompute once per downstream branch —
+      // the near-dup stage alone reads canon from three join sides
       val canon = Dedup.dropExactDuplicates(kept, "doc_id", col("text"))
+        .localCheckpoint()
       val nd = Dedup.dropNearDuplicates(canon, "doc_id", col("text"),
         k = 3, numHashes = 8, bands = 4, threshold = 0.5)
+        .localCheckpoint()
       val bench = docs.filter(col("doc_id") >= 480 || col("doc_id") < 10)
         .select(col("text"))
       val contam = TextAnalysis.contaminationReport(

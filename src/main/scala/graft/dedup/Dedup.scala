@@ -84,12 +84,18 @@ object Dedup {
       .filter(col("members") > cap)
 
   private def minhashBanded(df: DataFrame, idCol: String, textCol: Column,
-      k: Int, numHashes: Int, bands: Int): DataFrame = {
+      k: Int, numHashes: Int, bands: Int,
+      fastHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
     // Fused band-key expression: one opaque node, so no optimizer
-    // re-expansion of the shingle subtree and no lineage barrier
-    df.select(col(idCol).as("id"),
-        TextAnalysis.minhashBandKeys(textCol, k, numHashes, bands).as("bands"))
+    // re-expansion of the shingle subtree and no lineage barrier.
+    // fastHash swaps the md5 spec hash for MurmurHash3 (~10x cheaper
+    // per shingle) — candidates only; the exact-Jaccard verify
+    // downstream is identical either way
+    val keys =
+      if (fastHash) TextAnalysis.minhashBandKeysFast(textCol, k, numHashes, bands)
+      else TextAnalysis.minhashBandKeys(textCol, k, numHashes, bands)
+    df.select(col(idCol).as("id"), keys.as("bands"))
       .select(col("id"), explode(col("bands")).as("band"))
   }
 
@@ -99,9 +105,10 @@ object Dedup {
     * [[dropHotBands]], audit with [[minhashHotBands]]). */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: Column,
       k: Int, numHashes: Int, bands: Int,
-      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+      maxBandSize: Int = DefaultMaxBandSize,
+      fastHash: Boolean = false): DataFrame = {
     val exploded = dropHotBands(
-      minhashBanded(df, idCol, textCol, k, numHashes, bands), maxBandSize)
+      minhashBanded(df, idCol, textCol, k, numHashes, bands, fastHash), maxBandSize)
     val a = exploded.select(col("band"), col("id").as("id_a"))
     val b = exploded.select(col("band"), col("id").as("id_b"))
     a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
@@ -117,8 +124,10 @@ object Dedup {
   /** MinHash dedup: LSH candidates verified by exact shingle Jaccard at
     * `threshold`. Returns (id_a, id_b, jaccard) for verified pairs. */
   def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: Column,
-      k: Int, numHashes: Int, bands: Int, threshold: Double): DataFrame = {
-    val cands = minhashCandidatePairs(df, idCol, textCol, k, numHashes, bands)
+      k: Int, numHashes: Int, bands: Int, threshold: Double,
+      fastHash: Boolean = false): DataFrame = {
+    val cands = minhashCandidatePairs(df, idCol, textCol, k, numHashes, bands,
+      fastHash = fastHash)
     // fused shingle expression: opaque node, safe in both join branches
     // without a lineage barrier
     val sh = df.select(col(idCol).as("sid"),
@@ -185,8 +194,9 @@ object Dedup {
     * id) row. The one-call shape of the full dedup pipeline. */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: Column,
       k: Int = 3, numHashes: Int = 8, bands: Int = 4,
-      threshold: Double = 0.7): DataFrame = {
-    val pairs = minhashVerifiedPairs(df, idCol, textCol, k, numHashes, bands, threshold)
+      threshold: Double = 0.7, fastHash: Boolean = false): DataFrame = {
+    val pairs = minhashVerifiedPairs(df, idCol, textCol, k, numHashes, bands,
+      threshold, fastHash = fastHash)
     val labels = clusters(df, idCol, pairs)
       .select(col("id").as("_cl_id"), col("cluster_id").as("_cl_label"))
     df.join(labels, df(idCol) === col("_cl_id"))

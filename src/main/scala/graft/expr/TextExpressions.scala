@@ -28,6 +28,28 @@ case class MinhashBandKeys(child: Expression, k: Int, numHashes: Int, bands: Int
     copy(child = c)
 }
 
+/** Fast-hash variant of [[MinhashBandKeys]] (MurmurHash3 + SplitMix
+  * finalizer, long keys) — see [[TextKernels.minhashBandKeysFast]]. */
+case class MinhashBandKeysFast(child: Expression, k: Int, numHashes: Int,
+    bands: Int) extends UnaryExpression {
+
+  require(numHashes % bands == 0, "numHashes must be divisible by bands")
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "minhash_band_keys_fast"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.minhashBandKeysFastData(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k, numHashes, bands)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.TextKernels.minhashBandKeysFastData($v, $k, $numHashes, $bands);")
+
+  override protected def withNewChildInternal(c: Expression): MinhashBandKeysFast =
+    copy(child = c)
+}
+
 /** Distinct word k-shingles as one opaque node — same values as
   * array_distinct(transform(sequence..., slice...)) but a fraction of
   * the generated code, and safe to reuse across join branches. */

@@ -119,6 +119,51 @@ object TextKernels {
     out
   }
 
+  /** FAST MinHash band keys: MurmurHash3 (scala stdlib) + a SplitMix
+    * finalizer instead of md5 — the production operating point (~10x
+    * cheaper per shingle; the md5 spec path computes numHashes digests
+    * per shingle). Candidates still get EXACT-Jaccard verification
+    * downstream, so hash quality only affects recall, never pair
+    * correctness. NOT oracle-replicable (DuckDB has no MurmurHash3),
+    * which is why the md5 path remains the gate spec. */
+  def minhashBandKeysFast(text: String, k: Int, numHashes: Int,
+      bands: Int): Array[Long] = {
+    require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    val sh = distinctShingles(text, k)
+    val rows = numHashes / bands
+    val sig = new Array[Int](numHashes)
+    var j = 0
+    while (j < numHashes) {
+      var best = Int.MaxValue
+      var s = 0
+      while (s < sh.length) {
+        val h = scala.util.hashing.MurmurHash3.stringHash(sh(s), j * 0x9E3779B9 + 1)
+        if (h < best) best = h
+        s += 1
+      }
+      sig(j) = best
+      j += 1
+    }
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 1125899906842597L * (b + 1)
+      var r = 0
+      while (r < rows) { acc = acc * 31L + sig(b * rows + r); r += 1 }
+      var z = acc + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      out(b) = z ^ (z >>> 31)
+      b += 1
+    }
+    out
+  }
+
+  /** UTF8String/ArrayData adapter for codegen. */
+  def minhashBandKeysFastData(text: UTF8String, k: Int, numHashes: Int,
+      bands: Int): ArrayData =
+    new GenericArrayData(minhashBandKeysFast(text.toString, k, numHashes, bands))
+
   /** UTF8String/ArrayData adapter for codegen. */
   def minhashBandKeysData(text: UTF8String, k: Int, numHashes: Int,
       bands: Int): ArrayData = {

@@ -322,6 +322,14 @@ object TextAnalysis {
         org.apache.spark.sql.graft.Bridge.expression(text.cast("string")),
         k, numHashes, bands))
 
+  /** Fast-hash band keys (MurmurHash3, long keys) — the production
+    * operating point; see [[graft.expr.TextKernels.minhashBandKeysFast]]. */
+  def minhashBandKeysFast(text: Column, k: Int, numHashes: Int, bands: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.MinhashBandKeysFast(
+        org.apache.spark.sql.graft.Bridge.expression(text.cast("string")),
+        k, numHashes, bands))
+
   /** Benchmark decontamination (the GPT-3 appendix-C / Pile shape): for
     * each training document, count distinct word n-grams it shares with
     * ANY document of an evaluation set, plus the contamination fraction

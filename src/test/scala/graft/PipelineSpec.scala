@@ -105,6 +105,32 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.toSeq === Seq(("d1", "d2")))
   }
 
+  test("fast-hash minhash: planted near-dups found, verified pairs == the md5 spec path") {
+    // 40 base docs of 40 pseudo-random tokens + 15 one-extra-token
+    // near-copies (jaccard ~0.9); non-planted pairs share almost no
+    // 3-shingles, so the EXACT verify admits only the planted pairs —
+    // both hash families must land on the same verified set, and the
+    // fast path must catch every planted pair as a candidate
+    val base = (0 until 40).map(i =>
+      (i.toLong, (0 until 40).map(w => s"tok${(i * 7 + w * 13) % 97}x$w").mkString(" ")))
+    val planted = (0 until 15).map(i => (100L + i, base(i)._2 + " zzextra"))
+    val corpus = (base ++ planted).toDF("id", "text")
+    def pairs(fast: Boolean) = Dedup.minhashVerifiedPairs(corpus, "id",
+      col("text"), k = 3, numHashes = 8, bands = 4, threshold = 0.5,
+      fastHash = fast).select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val fast = pairs(fast = true)
+    for (i <- 0 until 15)
+      assert(fast.contains((i.toLong, 100L + i)), s"planted pair $i missed")
+    assert(fast === pairs(fast = false))
+    // end-to-end: fast near-dup drop keeps originals, drops the copies
+    val kept = Dedup.dropNearDuplicates(corpus, "id", col("text"),
+      k = 3, numHashes = 8, bands = 4, threshold = 0.5, fastHash = true)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert((0 until 40).forall(i => kept.contains(i.toLong)))
+    assert((0 until 15).forall(i => !kept.contains(100L + i)))
+  }
+
   test("simhash: identical texts collide, hamming grows with distance") {
     val t = "alpha beta gamma delta epsilon"
     assert(TextAnalysis.simhash64Scala(t.split(" ").toSeq) ===
