@@ -132,6 +132,33 @@ object Microbench {
     }
   }
 
+  /** md5 spec hash vs MurmurHash3 fast hash for minhash banding over
+    * 5k synthetic ~200-token docs: `runMain graft.Microbench minhash`. */
+  def profileMinhash(spark: SparkSession): Unit = {
+    import org.apache.spark.sql.functions.{col, udf}
+    val gen = udf((id: Long) =>
+      (0 until 200).map(w => s"tok${(id * 31 + w * 17) % 4093}w$w").mkString(" "))
+    val docs = spark.range(5000)
+      .select(col("id"), gen(col("id")).as("text")).persist()
+    docs.count()
+    // aggregate over the band content so column pruning cannot elide
+    // the expression under a bare count()
+    import org.apache.spark.sql.functions.{element_at, length, sum}
+    for (nh <- Seq(8, 128)) {
+      time(s"minhash bands md5 nh=$nh", 3) {
+        docs.select(graft.text.TextAnalysis
+          .minhashBandKeys(col("text"), 3, nh, nh / 2).as("b"))
+          .agg(sum(length(element_at(col("b"), 1)))).collect()
+      }
+      time(s"minhash bands murmur3 nh=$nh", 3) {
+        docs.select(graft.text.TextAnalysis
+          .minhashBandKeysFast(col("text"), 3, nh, nh / 2).as("b"))
+          .agg(sum(element_at(col("b"), 1) % 1000000L)).collect() // bounded: full-range longs overflow sum
+      }
+    }
+    docs.unpersist()
+  }
+
   def main(args: Array[String]): Unit = {
     val spark = SparkSession.builder().master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -145,6 +172,9 @@ object Microbench {
     }
     if (args.headOption.contains("adc")) {
       profileAdc(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("minhash")) {
+      profileMinhash(spark); spark.stop(); return
     }
     val dims = sys.env.getOrElse("GRAFT_MB_DIMS", "384").toInt
     val n = sys.env.getOrElse("GRAFT_MB_RECORDS", "100000").toInt

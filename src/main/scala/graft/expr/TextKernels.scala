@@ -120,9 +120,11 @@ object TextKernels {
   }
 
   /** FAST MinHash band keys: MurmurHash3 (scala stdlib) + a SplitMix
-    * finalizer instead of md5 — the production operating point (~10x
-    * cheaper per shingle; the md5 spec path computes numHashes digests
-    * per shingle). Candidates still get EXACT-Jaccard verification
+    * finalizer instead of md5 — the production operating point
+    * (measured 2.1x at numHashes=8, 3.5x at the standard 128, where
+    * the md5 spec path computes numHashes digests per shingle; the
+    * residual cost both paths share is shingle-string construction).
+    * Candidates still get EXACT-Jaccard verification
     * downstream, so hash quality only affects recall, never pair
     * correctness. NOT oracle-replicable (DuckDB has no MurmurHash3),
     * which is why the md5 path remains the gate spec. */
