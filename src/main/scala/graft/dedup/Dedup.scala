@@ -265,11 +265,16 @@ object Dedup {
     */
   def streamingMinhashNovelty(df: DataFrame, idCol: String, textCol: Column,
       tsCol: String, watermark: String, k: Int = 3, numHashes: Int = 8,
-      bands: Int = 4, windowLength: String = "1 minute"): DataFrame = {
+      bands: Int = 4, windowLength: String = "1 minute",
+      fastHash: Boolean = false): DataFrame = {
     require(numHashes % bands == 0, "numHashes must be divisible by bands")
+    // fastHash: per-record cost matters most online; long band keys also
+    // shrink the dedup state store vs 32-char md5 strings
+    val keys =
+      if (fastHash) TextAnalysis.minhashBandKeysFast(textCol, k, numHashes, bands)
+      else TextAnalysis.minhashBandKeys(textCol, k, numHashes, bands)
     bandNovelty(df.select(col(idCol).as("id"), col(tsCol).as("_ts"),
-        explode(TextAnalysis.minhashBandKeys(textCol, k, numHashes, bands))
-          .as("band")),
+        explode(keys).as("band")),
       watermark, bands, windowLength)
   }
 

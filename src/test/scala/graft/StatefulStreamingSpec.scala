@@ -108,6 +108,33 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming minhash novelty with fastHash: same online semantics, long-key state") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    val novelty = graft.dedup.Dedup.streamingMinhashNovelty(
+      input.toDF().toDF("ts", "id", "text"), "id",
+      org.apache.spark.sql.functions.col("text"),
+      "ts", watermark = "5 minutes", k = 2, numHashes = 8, bands = 4,
+      windowLength = "1 minute", fastHash = true)
+    val q = novelty.writeStream.format("memory").queryName("novel_fast_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val base = "the quick brown fox jumps over the lazy dog again and again"
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+      input.addData((t0, "a", base), (t0, "b", base + " extra"),
+        (t0, "c", "completely different words populate this other document body"))
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:30:00"), "z", "late sentinel"))
+      q.processAllAvailable()
+      val out = spark.table("novel_fast_out").select("id", "novel").collect()
+        .map(r => r.getString(0) -> r.getBoolean(1)).toMap
+      assert(out.get("a") === Some(true))
+      assert(out.get("c") === Some(true))
+      assert(!out.getOrElse("b", false)) // near-dup bands collide online too
+    } finally q.stop()
+  }
+
   test("streaming embedding novelty: cosine-LSH bands flag near-dup vectors") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
