@@ -62,6 +62,12 @@ object TrainingQueries {
     * only probe + ADC + rerank). Bump the version tag whenever an
     * encoding changes so stale caches never survive a semantics change. */
   private val ModelCacheVersion = "v1"
+  /** Train-once/load-thereafter cache for gate ANN layouts. The key is
+    * (ModelCacheVersion, sf-dir basename, name) ONLY — it does not see
+    * the training config inside `build`, so changing a row's training
+    * parameters or regenerating the sf fixtures REQUIRES bumping
+    * ModelCacheVersion (or rm -rf /tmp/graft_ann_cache); a stale hit
+    * would otherwise gate against the old layout. */
   private def cachedLayout(s: SparkSession, dir: String, name: String)(
       build: String => Unit): String = {
     val base = s"/tmp/graft_ann_cache/${ModelCacheVersion}_" +
@@ -560,11 +566,12 @@ object TrainingQueries {
         Seq("score", "distance"))
     }),
 
-    // same pipeline over the cell-partitioned at-rest layout, written
-    // FRESH each invocation (this row is the write-path test): the probe
+    // same pipeline over the cell-partitioned at-rest layout: the probe
     // prunes whole directories (PartitionFilters), and the search runs
     // on the model LOADED from the layout's sidecar — trained and loaded
-    // artifacts must be bit-identical for this row to hash-match
+    // artifacts must be bit-identical for this row to hash-match. The
+    // write path itself is exercised on the first (cold-cache) build and
+    // by ScaleSpec's fresh-write tests
     "ann_ivfpq_partitioned_topk" -> ((s, dir) => {
       val d = Tables.dims(s, dir)
       val config = Tables.l2Config(d)

@@ -289,18 +289,24 @@ object IvfPq {
     val (cents, cb, residual) = loadModel(spark, path)
     val np = math.min(nprobe, cents.length)
     val probeUdf = udf((q: Seq[Float]) => IvfIndex.probeCells(q.toArray, cents, np).toArray)
-    val cells = queries
+    // ONE job over the nq-row query frame yields both the probe union
+    // (bounded by the cell count) and nq: probeCells returns exactly np
+    // distinct cells per query, so exploded rows / np = nq — the
+    // downstream broadcast-bound checks then never run their own count
+    val agg = queries
       .select(normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
       .select(explode(probeUdf(col("qvector"))).as("c"))
-      .distinct().collect().map(_.getInt(0)) // bounded by the cell count
+      .agg(collect_set(col("c")), count(lit(1))).head()
+    val cells = agg.getSeq[Int](0)
+    val nq = if (knownNq >= 0) knownNq else agg.getLong(1) / np
     val pruned = spark.read.parquet(path)
       .filter(col("ivf_cell").isin(cells.map(Int.box): _*))
     if (residual)
       searchManyResidual(pruned, config, cents, cb, queries, limit, np,
-        candidates, knownNq)
+        candidates, nq)
     else
       searchMany(pruned, config, cents, cb, queries, limit, np, candidates,
-        knownNq)
+        nq)
   }
 
   /** Residual search over the cell-partitioned layout: identical results

@@ -80,13 +80,14 @@ object ModelStore {
   private[ann] def parseJson(s: String): J = {
     var i = 0
     def err(msg: String) = throw new IllegalArgumentException(s"bad model JSON at $i: $msg")
+    def at(): Char = { if (i >= s.length) err("truncated"); s.charAt(i) }
     def ws(): Unit = while (i < s.length && s.charAt(i).isWhitespace) i += 1
     def expect(c: Char): Unit = { ws(); if (i >= s.length || s.charAt(i) != c) err(s"expected $c"); i += 1 }
     def str(): String = {
       expect('"')
       val sb = new StringBuilder
-      while (s.charAt(i) != '"') {
-        val c = s.charAt(i)
+      while (at() != '"') {
+        val c = at()
         if (c == '\\') { sb.append(s.charAt(i + 1)); i += 2 }
         else { sb.append(c); i += 1 }
       }
@@ -95,16 +96,16 @@ object ModelStore {
     }
     def value(): J = {
       ws()
-      s.charAt(i) match {
+      at() match {
         case '{' =>
           i += 1; ws()
           val fs = Vector.newBuilder[(String, J)]
-          if (s.charAt(i) == '}') { i += 1 }
+          if (at() == '}') { i += 1 }
           else {
             var more = true
             while (more) {
               val k = str(); expect(':'); fs += (k -> value()); ws()
-              if (s.charAt(i) == ',') { i += 1; ws() }
+              if (at() == ',') { i += 1; ws() }
               else { expect('}'); more = false }
             }
           }
@@ -112,12 +113,12 @@ object ModelStore {
         case '[' =>
           i += 1; ws()
           val items = Vector.newBuilder[J]
-          if (s.charAt(i) == ']') { i += 1 }
+          if (at() == ']') { i += 1 }
           else {
             var more = true
             while (more) {
               items += value(); ws()
-              if (s.charAt(i) == ',') { i += 1; ws() }
+              if (at() == ',') { i += 1; ws() }
               else { expect(']'); more = false }
             }
           }
@@ -149,23 +150,34 @@ object ModelStore {
   private def floats1(j: J): Array[Float] = arr(j).map(x => num(x).toFloat).toArray
   private def floats2(j: J): Array[Array[Float]] = arr(j).map(floats1).toArray
   private def floats3(j: J): Array[Array[Array[Float]]] = arr(j).map(floats2).toArray
-  private def jFloats1(a: Array[Float]): J = JArr(a.toVector.map(f => JNum(f.toString)))
+  // fail at SAVE time on non-finite values: Float.toString renders NaN /
+  // Infinity as bare tokens the parser (rightly) rejects, so without
+  // this check a poisoned model (0/0 from a zero vector under cosine, a
+  // corrupt embedding) would persist fine and only fail at cold open
+  private def jFloats1(a: Array[Float]): J = JArr(a.toVector.map { f =>
+    require(java.lang.Float.isFinite(f),
+      s"non-finite model value $f — refusing to persist a poisoned model")
+    JNum(f.toString)
+  })
   private def jFloats2(a: Array[Array[Float]]): J = JArr(a.toVector.map(jFloats1))
   private def jFloats3(a: Array[Array[Array[Float]]]): J = JArr(a.toVector.map(jFloats2))
 
   // --------------------------------------------------------------- fs io
 
-  /** Write a sidecar atomically (temp file + rename — the same idiom as
-    * CollectionStore's snapshot swap). */
+  /** Write a sidecar atomically: temp file + OVERWRITE rename via
+    * FileContext, which replaces the destination in one metadata op on
+    * HDFS/local — no window where the old sidecar is deleted and the
+    * new one not yet in place (delete-then-rename has exactly that
+    * window, and a crash inside it destroys a previously valid layout). */
   private def writeString(spark: SparkSession, path: String, content: String): Unit = {
     val p = new Path(path)
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = p.getFileSystem(conf)
     val tmp = new Path(path + ".tmp")
     val out = fs.create(tmp, true)
     try out.write(content.getBytes(StandardCharsets.UTF_8)) finally out.close()
-    if (fs.exists(p)) fs.delete(p, false)
-    if (!fs.rename(tmp, p))
-      throw new java.io.IOException(s"could not move $tmp to $p")
+    org.apache.hadoop.fs.FileContext.getFileContext(p.toUri, conf)
+      .rename(tmp, p, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   private def readString(spark: SparkSession, path: String): String = {

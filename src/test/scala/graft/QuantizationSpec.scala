@@ -359,6 +359,36 @@ class QuantizationSpec extends SparkSpec {
     coll.unpersist()
   }
 
+  test("model sidecars: non-finite values refused at SAVE, truncated JSON diagnosed at LOAD") {
+    import graft.ann.ModelStore
+    val tmp = "/tmp/graft_modelstore_guards"
+    // a poisoned model (NaN from 0/0, Infinity from overflow) must fail
+    // at persist time with a clear message, not at some later cold open
+    val bad = Sq8.Model(mn = Array(0f, Float.NaN), rng = Array(1f, 1f))
+    val e = intercept[IllegalArgumentException] {
+      ModelStore.saveSq8(spark, s"$tmp/bad.json", bad)
+    }
+    assert(e.getMessage.contains("non-finite"))
+    // a truncated sidecar (partial write, disk full) surfaces the
+    // parser's positioned diagnostic, not a raw index-out-of-bounds
+    val good = Sq8.Model(mn = Array(0f, 1f), rng = Array(1f, 2f))
+    ModelStore.saveSq8(spark, s"$tmp/good.json", good)
+    val full = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(s"$tmp/good.json")), "UTF-8")
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/trunc.json"),
+      full.substring(0, full.length / 2).getBytes("UTF-8"))
+    val e2 = intercept[IllegalArgumentException] {
+      ModelStore.loadSq8(spark, s"$tmp/trunc.json")
+    }
+    assert(e2.getMessage.contains("bad model JSON"))
+    // overwrite re-save replaces the sidecar in place (atomic rename)
+    ModelStore.saveSq8(spark, s"$tmp/good.json", bad2Good(good))
+    assert(ModelStore.loadSq8(spark, s"$tmp/good.json").mn.toSeq === bad2Good(good).mn.toSeq)
+  }
+
+  private def bad2Good(m: Sq8.Model): Sq8.Model =
+    Sq8.Model(mn = m.mn.map(_ + 1f), rng = m.rng)
+
   test("sq8/pq reject dimension mismatches and bad configs") {
     val model = Sq8.Model(Array(0f, 0f), Array(1f, 1f))
     intercept[IllegalArgumentException] { Sq8.encodeVec(Array(1f), model) }
