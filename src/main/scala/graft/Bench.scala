@@ -343,6 +343,19 @@ object Bench {
     quality("emb_overlap10_muvera") =
       if (cExact.isEmpty) 1.0
       else cExact.toSet.intersect(cFdeTop.toSet).size.toDouble / cExact.size
+    // the quality/cost knob: doubling repetitions tightens the FDE
+    // approximation (paper-standard accuracy lever) at 2x encode size
+    val muvCfg4 = muvCfg.copy(numRepetitions = 4)
+    val cFdeQ4 = graft.encode.Muvera.encode(cqvecs, muvCfg4, graft.encode.Muvera.QueryMode)
+    val cFdeTop4 = dfIds(cmvDocs
+      .select(col("id"), graft.functions.VectorFunctions.vecDistance(
+        Metric.InnerProduct,
+        graft.encode.Muvera.encodeColumn(muvCfg4, graft.encode.Muvera.DocumentMode)(col("vectors")),
+        graft.functions.VectorFunctions.vecLit(cFdeQ4)).as("s"))
+      .orderBy(col("s").desc, col("id").asc).limit(10))
+    quality("emb_overlap10_muvera_r4") =
+      if (cExact.isEmpty) 1.0
+      else cExact.toSet.intersect(cFdeTop4.toSet).size.toDouble / cExact.size
     // the reference's recall-subset property at corpus scale
     // (test/vector_integration_test.exs:49-98): the FDE candidate list
     // must CONTAIN the exact MaxSim top-2 — FDE as a recall stage

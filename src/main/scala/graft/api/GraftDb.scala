@@ -202,6 +202,11 @@ final class GraftDb(val spark: SparkSession) {
   // reuses precomputed columns directly from the scan (lsh_bands,
   // ivf_cell) — CRUD sees the canonical projection, search sees this
   private val codedFrameCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  // at-rest layout paths recorded by openIndexed for cell-partitioned
+  // indexes: batch search routes through searchManyPartitioned so the
+  // probe union prunes cell DIRECTORIES statically (a join on the
+  // loaded frame would lean on runtime DPP instead)
+  private val indexedPathCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private val ivfPqResCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Array[Array[Float]]], DataFrame)]
 
@@ -210,7 +215,7 @@ final class GraftDb(val spark: SparkSession) {
 
   private def invalidateIndexCaches(name: String): Unit = {
     hnswCache.remove(name); ivfCache.remove(name)
-    codedFrameCache.remove(name)
+    codedFrameCache.remove(name); indexedPathCache.remove(name)
     sq8Cache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     pqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     ivfPqCache.remove(name).foreach(_.unpersist())
@@ -245,6 +250,9 @@ final class GraftDb(val spark: SparkSession) {
       case "lsh" =>
         graft.ann.CosineLsh.searchMany(codedFrameCache.getOrElse(name, df),
           config, graft.ann.CosineLsh.LshConfig(), queries, limit)
+      case "ivf" if indexedPathCache.contains(name) =>
+        graft.ann.IvfIndex.searchManyPartitioned(spark, indexedPathCache(name),
+          config, queries, limit, graft.ann.IvfIndex.IvfConfig().nprobe)
       case "ivf" =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
@@ -264,6 +272,11 @@ final class GraftDb(val spark: SparkSession) {
           (c, graft.ann.Pq.withCodes(df, c).persist())
         })
         graft.ann.Pq.searchMany(coded, config, cb, queries, limit,
+          knownNq = knownNq)
+      case "ivfpq" if indexedPathCache.contains(name) =>
+        // the sidecar's residual flag routes raw vs residual codes
+        graft.ann.IvfPq.searchManyPartitioned(spark, indexedPathCache(name),
+          config, queries, limit, graft.ann.IvfIndex.IvfConfig().nprobe,
           knownNq = knownNq)
       case "ivfpq" if residualMetric(config) =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
@@ -427,6 +440,7 @@ final class GraftDb(val spark: SparkSession) {
       case "ivf" =>
         ivfCache.put(name, graft.ann.IvfIndex.loadModel(spark, path))
         codedFrameCache.put(name, full)
+        indexedPathCache.put(name, path)
       case "ivfpq" =>
         val (cents, cb, residual) = graft.ann.IvfPq.loadModel(spark, path)
         require(residual == residualMetric(config),
@@ -434,6 +448,7 @@ final class GraftDb(val spark: SparkSession) {
         ivfCache.put(name, cents)
         if (residual) ivfPqResCache.put(name, (cb, full))
         else { pqCache.put(name, (cb, null)); ivfPqCache.put(name, full) }
+        indexedPathCache.put(name, path)
       case "lsh" =>
         codedFrameCache.put(name, full)
       case "flat" => ()

@@ -142,10 +142,17 @@ class GraftDbSpec extends SparkSpec {
       assert(db2.count(name) === 60L, name)
       // batch search serves off the same loaded artifacts
       if (idx != "flat") {
-        val batchTop = db2.searchMany(name, queries, 1)
-          .collect().map(_.getAs[String]("id")).toSeq
+        val batch = db2.searchMany(name, queries, 1)
+        val batchTop = batch.collect().map(_.getAs[String]("id")).toSeq
         val singleTop = db2.search(name, q, 1).collect().map(_.getString(0)).toSeq
         assert(batchTop === singleTop, s"$name batch/single disagree after open")
+        // opened cell-partitioned collections route batch search through
+        // the at-rest layout with a STATIC probe-union partition filter
+        if (idx == "ivf" || idx == "ivfpq") {
+          val plan = batch.queryExecution.executedPlan.toString
+          assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(plan).isDefined,
+            s"$name batch after open does not statically prune cells:\n$plan")
+        }
       }
     }
     // hnsw is rebuild-from-canonical: persistIndex refuses with guidance
