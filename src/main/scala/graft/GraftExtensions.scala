@@ -111,6 +111,29 @@ object GraftExtensions {
             s"stride must be an integer literal, got $other")
         }
         AdcDistance(args(0), args(1), stride)
+      })),
+    // text dedup kernels: banding runnable from pure SQL, so a
+    // SQL-only client can generate near-dup candidates engine-side
+    "text_distinct_shingles" -> ((
+      info("text_distinct_shingles",
+        "text_distinct_shingles(text, k) - distinct word k-shingles (whitespace tokens, insertion order)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "text_distinct_shingles(text, k)")
+        DistinctShingles(args(0), intArgOf(args(1)))
+      })),
+    "text_minhash_bands" -> ((
+      info("text_minhash_bands",
+        "text_minhash_bands(text, k, num_hashes, bands) - MinHash LSH band keys (md5 spec hash; oracle-replicable)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "text_minhash_bands(text, k, num_hashes, bands)")
+        MinhashBandKeys(args(0), intArgOf(args(1)), intArgOf(args(2)), intArgOf(args(3)))
+      })),
+    "text_minhash_bands_fast" -> ((
+      info("text_minhash_bands_fast",
+        "text_minhash_bands_fast(text, k, num_hashes, bands) - MinHash LSH band keys (MurmurHash3 fast hash, long keys)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 4, "text_minhash_bands_fast(text, k, num_hashes, bands)")
+        MinhashBandKeysFast(args(0), intArgOf(args(1)), intArgOf(args(2)), intArgOf(args(3)))
       })))
 
   /** Programmatic registration on an existing session. */

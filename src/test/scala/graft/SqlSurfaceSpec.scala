@@ -4,6 +4,32 @@ package graft
   * from pure spark.sql. */
 class SqlSurfaceSpec extends SparkSpec {
 
+  test("text dedup kernels callable from SQL: shingles, minhash banding (spec + fast)") {
+    GraftExtensions.register(spark)
+    // shingles agree with the kernel
+    val sh = spark.sql(
+      "SELECT text_distinct_shingles('a b c d', 2) AS s").head().getSeq[String](0)
+    assert(sh === graft.expr.TextKernels.distinctShingles("a b c d", 2).toSeq)
+    // near-dup texts collide on at least one band; unrelated texts on none
+    val collide = spark.sql("""
+      SELECT size(array_intersect(
+        text_minhash_bands('the quick brown fox jumps over the lazy dog', 2, 8, 4),
+        text_minhash_bands('the quick brown fox jumps over the lazy dog x', 2, 8, 4))) AS n""")
+      .head().getInt(0)
+    assert(collide >= 1)
+    val disjoint = spark.sql("""
+      SELECT size(array_intersect(
+        text_minhash_bands('alpha beta gamma delta epsilon zeta', 2, 8, 4),
+        text_minhash_bands('one two three four five six seven', 2, 8, 4))) AS n""")
+      .head().getInt(0)
+    assert(disjoint === 0)
+    // fast path: long keys, same collision behavior, matches the kernel
+    val fast = spark.sql(
+      "SELECT text_minhash_bands_fast('a b c d e f', 2, 8, 4) AS b").head().getSeq[Long](0)
+    assert(fast === graft.expr.TextKernels
+      .minhashBandKeysFast("a b c d e f", 2, 8, 4).toSeq)
+  }
+
   test("vector kernels callable from SQL") {
     GraftExtensions.register(spark)
     import spark.implicits._
