@@ -201,11 +201,23 @@ object IvfIndex {
     * `filesPerCell` when single-file cells would exceed a healthy
     * parquet size. */
   private[ann] def writeCellLayout(prepared: DataFrame, path: String,
-      filesPerCell: Int): Unit = {
+      filesPerCell: Int, mode: String = "overwrite"): Unit = {
     require(filesPerCell > 0, "filesPerCell must be positive")
     prepared
       .repartition(col("ivf_cell"), pmod(xxhash64(col("id")), lit(filesPerCell)))
-      .write.mode("overwrite").partitionBy("ivf_cell").parquet(path)
+      .write.mode(mode).partitionBy("ivf_cell").parquet(path)
+  }
+
+  /** Append NEW rows to an existing [[writePartitioned]] layout WITHOUT
+    * retraining: rows are assigned cells by the SIDECAR's centroids (so
+    * the layout stays self-consistent) and appended into the cell
+    * directories. At scale you retrain rarely and append constantly —
+    * this is the incremental-ingest half of the lifecycle; the model
+    * sidecar is left untouched. */
+  def appendPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, filesPerCell: Int = 1): Unit = {
+    val cents = loadModel(spark, path)
+    writeCellLayout(withCells(df, cents), path, filesPerCell, mode = "append")
   }
 
   /** Load the centroid sidecar of a [[writePartitioned]] layout —

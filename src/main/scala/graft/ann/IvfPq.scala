@@ -240,6 +240,22 @@ object IvfPq {
       codebooks, residual = false)
   }
 
+  /** Append NEW rows to an existing partitioned layout WITHOUT
+    * retraining: rows are encoded with the SIDECAR's model (raw or
+    * residual codes per its flag, so the codes at rest stay mutually
+    * decodable against one codebook set) and appended into the cell
+    * directories. The incremental-ingest half of the lifecycle — at
+    * 100 TB you retrain rarely and append constantly; the sidecar is
+    * left untouched. Input needs the same base columns as the original
+    * write (id, value, vector, ...). */
+  def appendPartitioned(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame, filesPerCell: Int = 1): Unit = {
+    val (cents, cb, residual) = loadModel(spark, path)
+    val prepared =
+      if (residual) withResidualCodes(df, cents, cb) else prepare(df, cents, cb)
+    IvfIndex.writeCellLayout(prepared, path, filesPerCell, mode = "append")
+  }
+
   private def sidecarPath(path: String): String =
     path.stripSuffix("/") + "/" + ModelStore.SidecarName
 

@@ -266,6 +266,50 @@ class ScaleSpec extends SparkSpec {
     coll.unpersist()
   }
 
+  test("appendPartitioned: incremental ingest == full rewrite (no retrain, sidecar untouched)") {
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+      .select("id", "value", "vector").cache()
+    val order = col("id").cast("long")
+    val cents = graft.ann.IvfIndex.trainOrdered(coll, config,
+      graft.ann.IvfIndex.IvfConfig(k = 4, iterations = 2), order)
+    val cb = graft.ann.Pq.trainOrdered(coll, config,
+      graft.ann.Pq.PqConfig(m = 4, k = 8, iterations = 2, sampleSize = 128), order)
+    val first = coll.filter(order % 2 === 0)
+    val second = coll.filter(order % 2 === 1)
+    // raw-code layout: write half, append half, equal to one full write
+    val path = java.nio.file.Files.createTempDirectory("graft_append").toString
+    graft.ann.IvfPq.writePartitioned(first, cents, cb, path)
+    val sidecarBefore = graft.ann.IvfPq.loadModel(spark, path)
+    graft.ann.IvfPq.appendPartitioned(spark, path, second)
+    assert(spark.read.parquet(path).count() === coll.count())
+    // the appended rows carry codes from the SIDECAR model: search over
+    // the layout equals search over the fully-prepared in-memory frame
+    val q = Tables.queryVector(spark, sfDir, 2L)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0)).toSeq
+    val onDisk = key(graft.ann.IvfPq.searchPartitioned(spark, path, config,
+      cents, cb, q, 5, nprobe = 4, candidates = 40))
+    val inMem = key(graft.ann.IvfPq.search(coll, config, cents, cb,
+      q, 5, nprobe = 4, candidates = 40))
+    assert(onDisk === inMem)
+    // sidecar untouched by the append
+    val sidecarAfter = graft.ann.IvfPq.loadModel(spark, path)
+    assert(sidecarAfter._1.map(_.toSeq).toSeq === sidecarBefore._1.map(_.toSeq).toSeq)
+    assert(sidecarAfter._3 === sidecarBefore._3)
+    // plain-IVF layout: same contract
+    val ipath = java.nio.file.Files.createTempDirectory("graft_append_ivf").toString
+    graft.ann.IvfIndex.writePartitioned(first, cents, ipath)
+    graft.ann.IvfIndex.appendPartitioned(spark, ipath, second)
+    val iOnDisk = key(graft.ann.IvfIndex.searchPartitioned(spark, ipath, config,
+      cents, q, 5, nprobe = 4))
+    val iInMem = key(graft.ann.IvfIndex.search(coll, config, cents, q, 5, nprobe = 4))
+    assert(iOnDisk === iInMem)
+    coll.unpersist()
+  }
+
   test("residual IVF-PQ partitioned layout: directory pruning, identical results") {
     val sfDir = "/root/testdata/sf0.001"
     val d = Tables.dims(spark, sfDir)
