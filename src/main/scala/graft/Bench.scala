@@ -333,29 +333,24 @@ object Bench {
       Array.tabulate(dims)(i => qTopicBase(i) + 0.04f * n(i))
     }
     val cExact = dfIds(Search.multiVectorSearch(cmvDocs, mvConfig, cqvecs, 10))
-    val cFdeQ = graft.encode.Muvera.encode(cqvecs, muvCfg, graft.encode.Muvera.QueryMode)
-    val cFdeTop = dfIds(cmvDocs
-      .select(col("id"), graft.functions.VectorFunctions.vecDistance(
-        Metric.InnerProduct,
-        graft.encode.Muvera.encodeColumn(muvCfg, graft.encode.Muvera.DocumentMode)(col("vectors")),
-        graft.functions.VectorFunctions.vecLit(cFdeQ)).as("s"))
-      .orderBy(col("s").desc, col("id").asc).limit(10))
-    quality("emb_overlap10_muvera") =
+    def clusteredFdeTop(cfg: graft.encode.Muvera.Config): Seq[String] = {
+      val fdeQ = graft.encode.Muvera.encode(cqvecs, cfg, graft.encode.Muvera.QueryMode)
+      dfIds(cmvDocs
+        .select(col("id"), graft.functions.VectorFunctions.vecDistance(
+          Metric.InnerProduct,
+          graft.encode.Muvera.encodeColumn(cfg, graft.encode.Muvera.DocumentMode)(col("vectors")),
+          graft.functions.VectorFunctions.vecLit(fdeQ)).as("s"))
+        .orderBy(col("s").desc, col("id").asc).limit(10))
+    }
+    def cOverlap(ids: Seq[String]): Double =
       if (cExact.isEmpty) 1.0
-      else cExact.toSet.intersect(cFdeTop.toSet).size.toDouble / cExact.size
+      else cExact.toSet.intersect(ids.toSet).size.toDouble / cExact.size
+    val cFdeTop = clusteredFdeTop(muvCfg)
+    quality("emb_overlap10_muvera") = cOverlap(cFdeTop)
     // the quality/cost knob: doubling repetitions tightens the FDE
     // approximation (paper-standard accuracy lever) at 2x encode size
-    val muvCfg4 = muvCfg.copy(numRepetitions = 4)
-    val cFdeQ4 = graft.encode.Muvera.encode(cqvecs, muvCfg4, graft.encode.Muvera.QueryMode)
-    val cFdeTop4 = dfIds(cmvDocs
-      .select(col("id"), graft.functions.VectorFunctions.vecDistance(
-        Metric.InnerProduct,
-        graft.encode.Muvera.encodeColumn(muvCfg4, graft.encode.Muvera.DocumentMode)(col("vectors")),
-        graft.functions.VectorFunctions.vecLit(cFdeQ4)).as("s"))
-      .orderBy(col("s").desc, col("id").asc).limit(10))
     quality("emb_overlap10_muvera_r4") =
-      if (cExact.isEmpty) 1.0
-      else cExact.toSet.intersect(cFdeTop4.toSet).size.toDouble / cExact.size
+      cOverlap(clusteredFdeTop(muvCfg.copy(numRepetitions = 4)))
     // the reference's recall-subset property at corpus scale
     // (test/vector_integration_test.exs:49-98): the FDE candidate list
     // must CONTAIN the exact MaxSim top-2 — FDE as a recall stage

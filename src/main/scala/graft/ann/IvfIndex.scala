@@ -215,9 +215,25 @@ object IvfIndex {
     * this is the incremental-ingest half of the lifecycle; the model
     * sidecar is left untouched. */
   def appendPartitioned(spark: org.apache.spark.sql.SparkSession,
-      path: String, df: DataFrame, filesPerCell: Int = 1): Unit = {
+      path: String, df: DataFrame, filesPerCell: Int = 1,
+      checkIds: Boolean = true): Unit = {
+    if (checkIds) requireNewIds(spark, path, df)
     val cents = loadModel(spark, path)
     writeCellLayout(withCells(df, cents), path, filesPerCell, mode = "append")
+  }
+
+  /** Duplicate-id rejection for the append paths — the same contract
+    * the canonical ingest (put_many) enforces; a layout with repeated
+    * ids serves the same id twice in top-k. The check reads the id
+    * COLUMN only (parquet pruning); disable for bulk loads whose id
+    * disjointness is guaranteed upstream. */
+  private[ann] def requireNewIds(spark: org.apache.spark.sql.SparkSession,
+      path: String, df: DataFrame): Unit = {
+    val dup = spark.read.parquet(path).select("id")
+      .join(df.select("id"), "id").limit(1).collect()
+    require(dup.isEmpty,
+      s"append would duplicate id ${dup.headOption.map(_.get(0)).orNull} — " +
+        "ids must be new (pass checkIds = false only when disjointness is guaranteed)")
   }
 
   /** Load the centroid sidecar of a [[writePartitioned]] layout —
@@ -248,16 +264,24 @@ object IvfIndex {
     * over the same layout. */
   def searchManyPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, config: CollectionConfig, queries: DataFrame, limit: Int,
+      nprobe: Int): DataFrame =
+    searchManyPruned(spark.read.parquet(path), config, loadModel(spark, path),
+      queries, limit, nprobe)
+
+  /** Probe-union-pruned batch over an already-loaded frame with
+    * already-loaded centroids (see IvfPq.searchManyPruned for why this
+    * form exists separately from the path-based one). */
+  def searchManyPruned(df: DataFrame, config: CollectionConfig,
+      centroids: Array[Array[Float]], queries: DataFrame, limit: Int,
       nprobe: Int): DataFrame = {
-    val cents = loadModel(spark, path)
+    val cents = centroids
     val np = math.min(nprobe, cents.length)
     val probeUdf = udf((v: Seq[Float]) => probeCells(v.toArray, cents, np).toArray)
     val cells = queries
       .select(normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
       .select(explode(probeUdf(col("qvector"))).as("c"))
       .distinct().collect().map(_.getInt(0)) // bounded by the cell count
-    val pruned = spark.read.parquet(path)
-      .filter(col("ivf_cell").isin(cells.map(Int.box): _*))
+    val pruned = df.filter(col("ivf_cell").isin(cells.map(Int.box): _*))
     searchMany(pruned, config, cents, queries, limit, np)
   }
 

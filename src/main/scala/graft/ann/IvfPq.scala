@@ -249,7 +249,9 @@ object IvfPq {
     * left untouched. Input needs the same base columns as the original
     * write (id, value, vector, ...). */
   def appendPartitioned(spark: org.apache.spark.sql.SparkSession,
-      path: String, df: DataFrame, filesPerCell: Int = 1): Unit = {
+      path: String, df: DataFrame, filesPerCell: Int = 1,
+      checkIds: Boolean = true): Unit = {
+    if (checkIds) IvfIndex.requireNewIds(spark, path, df)
     val (cents, cb, residual) = loadModel(spark, path)
     val prepared =
       if (residual) withResidualCodes(df, cents, cb) else prepare(df, cents, cb)
@@ -303,6 +305,21 @@ object IvfPq {
       path: String, config: CollectionConfig, queries: DataFrame, limit: Int,
       nprobe: Int, candidates: Int = 0, knownNq: Long = -1L): DataFrame = {
     val (cents, cb, residual) = loadModel(spark, path)
+    searchManyPruned(spark.read.parquet(path), config, cents, cb, residual,
+      queries, limit, nprobe, candidates, knownNq)
+  }
+
+  /** The probe-union-pruned batch over an ALREADY-LOADED cell-assigned
+    * frame with ALREADY-LOADED models — the form callers that cached
+    * the artifacts at open time use (re-reading the layout and
+    * re-parsing the sidecar per batch would discard exactly what they
+    * cached). The static `isin` on the partition column still prunes
+    * directories when the frame is a partitioned scan. */
+  def searchManyPruned(df: DataFrame, config: CollectionConfig,
+      centroids: Array[Array[Float]], codebooks: Array[Array[Array[Float]]],
+      residual: Boolean, queries: DataFrame, limit: Int, nprobe: Int,
+      candidates: Int = 0, knownNq: Long = -1L): DataFrame = {
+    val cents = centroids
     val np = math.min(nprobe, cents.length)
     val probeUdf = udf((q: Seq[Float]) => IvfIndex.probeCells(q.toArray, cents, np).toArray)
     // ONE job over the nq-row query frame yields both the probe union
@@ -315,14 +332,13 @@ object IvfPq {
       .agg(collect_set(col("c")), count(lit(1))).head()
     val cells = agg.getSeq[Int](0)
     val nq = if (knownNq >= 0) knownNq else agg.getLong(1) / np
-    val pruned = spark.read.parquet(path)
-      .filter(col("ivf_cell").isin(cells.map(Int.box): _*))
+    val pruned = df.filter(col("ivf_cell").isin(cells.map(Int.box): _*))
     if (residual)
-      searchManyResidual(pruned, config, cents, cb, queries, limit, np,
+      searchManyResidual(pruned, config, cents, codebooks, queries, limit, np,
         candidates, nq)
     else
-      searchMany(pruned, config, cents, cb, queries, limit, np, candidates,
-        nq)
+      searchMany(pruned, config, cents, codebooks, queries, limit, np,
+        candidates, nq)
   }
 
   /** Residual search over the cell-partitioned layout: identical results

@@ -202,11 +202,6 @@ final class GraftDb(val spark: SparkSession) {
   // reuses precomputed columns directly from the scan (lsh_bands,
   // ivf_cell) — CRUD sees the canonical projection, search sees this
   private val codedFrameCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-  // at-rest layout paths recorded by openIndexed for cell-partitioned
-  // indexes: batch search routes through searchManyPartitioned so the
-  // probe union prunes cell DIRECTORIES statically (a join on the
-  // loaded frame would lean on runtime DPP instead)
-  private val indexedPathCache = scala.collection.concurrent.TrieMap.empty[String, String]
   private val ivfPqResCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Array[Array[Float]]], DataFrame)]
 
@@ -215,7 +210,7 @@ final class GraftDb(val spark: SparkSession) {
 
   private def invalidateIndexCaches(name: String): Unit = {
     hnswCache.remove(name); ivfCache.remove(name)
-    codedFrameCache.remove(name); indexedPathCache.remove(name)
+    codedFrameCache.remove(name)
     sq8Cache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     pqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     ivfPqCache.remove(name).foreach(_.unpersist())
@@ -250,15 +245,18 @@ final class GraftDb(val spark: SparkSession) {
       case "lsh" =>
         graft.ann.CosineLsh.searchMany(codedFrameCache.getOrElse(name, df),
           config, graft.ann.CosineLsh.LshConfig(), queries, limit)
-      case "ivf" if indexedPathCache.contains(name) =>
-        graft.ann.IvfIndex.searchManyPartitioned(spark, indexedPathCache(name),
-          config, queries, limit, graft.ann.IvfIndex.IvfConfig().nprobe)
       case "ivf" =>
+        // probe-union prune + batch join over the SAME frame single
+        // search uses (the captured at-rest frame when opened, so the
+        // isin on the partition column prunes directories statically;
+        // the cached models never re-load per call)
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
           graft.ann.IvfIndex.train(df, config, ivfCfg))
-        graft.ann.IvfIndex.searchMany(codedFrameCache.getOrElse(name, df),
-          config, cents, queries, limit, ivfCfg.nprobe)
+        val frame = codedFrameCache.getOrElse(name,
+          graft.ann.IvfIndex.withCells(df, cents))
+        graft.ann.IvfIndex.searchManyPruned(frame, config, cents, queries,
+          limit, ivfCfg.nprobe)
       case "sq8" =>
         val (model, coded) = sq8Cache.getOrElseUpdate(name, {
           val m = graft.ann.Sq8.train(df)
@@ -273,11 +271,6 @@ final class GraftDb(val spark: SparkSession) {
         })
         graft.ann.Pq.searchMany(coded, config, cb, queries, limit,
           knownNq = knownNq)
-      case "ivfpq" if indexedPathCache.contains(name) =>
-        // the sidecar's residual flag routes raw vs residual codes
-        graft.ann.IvfPq.searchManyPartitioned(spark, indexedPathCache(name),
-          config, queries, limit, graft.ann.IvfIndex.IvfConfig().nprobe,
-          knownNq = knownNq)
       case "ivfpq" if residualMetric(config) =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
@@ -287,8 +280,8 @@ final class GraftDb(val spark: SparkSession) {
             pqConfigFor(config), col("id"))
           (c, graft.ann.IvfPq.withResidualCodes(df, cents, c).persist())
         })
-        graft.ann.IvfPq.searchManyResidual(prepared, config, cents, cb,
-          queries, limit, ivfCfg.nprobe, knownNq = knownNq)
+        graft.ann.IvfPq.searchManyPruned(prepared, config, cents, cb,
+          residual = true, queries, limit, ivfCfg.nprobe, knownNq = knownNq)
       case "ivfpq" =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
@@ -299,8 +292,8 @@ final class GraftDb(val spark: SparkSession) {
         })
         val prepared = ivfPqCache.getOrElseUpdate(name,
           graft.ann.IvfPq.prepare(df, cents, cb).persist())
-        graft.ann.IvfPq.searchMany(prepared, config, cents, cb, queries,
-          limit, ivfCfg.nprobe, knownNq = knownNq)
+        graft.ann.IvfPq.searchManyPruned(prepared, config, cents, cb,
+          residual = false, queries, limit, ivfCfg.nprobe, knownNq = knownNq)
       case _ => Search.flatSearchMany(df, config, queries, limit)
     }
   }
@@ -440,7 +433,6 @@ final class GraftDb(val spark: SparkSession) {
       case "ivf" =>
         ivfCache.put(name, graft.ann.IvfIndex.loadModel(spark, path))
         codedFrameCache.put(name, full)
-        indexedPathCache.put(name, path)
       case "ivfpq" =>
         val (cents, cb, residual) = graft.ann.IvfPq.loadModel(spark, path)
         require(residual == residualMetric(config),
@@ -448,7 +440,6 @@ final class GraftDb(val spark: SparkSession) {
         ivfCache.put(name, cents)
         if (residual) ivfPqResCache.put(name, (cb, full))
         else { pqCache.put(name, (cb, null)); ivfPqCache.put(name, full) }
-        indexedPathCache.put(name, path)
       case "lsh" =>
         codedFrameCache.put(name, full)
       case "flat" => ()

@@ -285,27 +285,36 @@ class ScaleSpec extends SparkSpec {
     val sidecarBefore = graft.ann.IvfPq.loadModel(spark, path)
     graft.ann.IvfPq.appendPartitioned(spark, path, second)
     assert(spark.read.parquet(path).count() === coll.count())
-    // the appended rows carry codes from the SIDECAR model: search over
-    // the layout equals search over the fully-prepared in-memory frame
+    // PARTIAL probe (nprobe < k): wrong cell assignment of appended rows
+    // would change which rows the probe reads and break this equality —
+    // a full probe would mask it by degenerating to exact search
     val q = Tables.queryVector(spark, sfDir, 2L)
     def key(df: org.apache.spark.sql.DataFrame) =
       df.collect().map(r => r.getString(0)).toSeq
     val onDisk = key(graft.ann.IvfPq.searchPartitioned(spark, path, config,
-      cents, cb, q, 5, nprobe = 4, candidates = 40))
+      cents, cb, q, 5, nprobe = 2, candidates = 40))
     val inMem = key(graft.ann.IvfPq.search(coll, config, cents, cb,
-      q, 5, nprobe = 4, candidates = 40))
+      q, 5, nprobe = 2, candidates = 40))
     assert(onDisk === inMem)
-    // sidecar untouched by the append
+    // duplicate-id appends are rejected (put_many's contract at rest)
+    val dupErr = intercept[IllegalArgumentException] {
+      graft.ann.IvfPq.appendPartitioned(spark, path, second.limit(1))
+    }
+    assert(dupErr.getMessage.contains("duplicate"))
+    // sidecar untouched by the append (centroids, codebooks, flag)
     val sidecarAfter = graft.ann.IvfPq.loadModel(spark, path)
     assert(sidecarAfter._1.map(_.toSeq).toSeq === sidecarBefore._1.map(_.toSeq).toSeq)
+    assert(sidecarAfter._2.map(_.map(_.toSeq).toSeq).toSeq ===
+      sidecarBefore._2.map(_.map(_.toSeq).toSeq).toSeq)
     assert(sidecarAfter._3 === sidecarBefore._3)
-    // plain-IVF layout: same contract
+    // plain-IVF layout: same contract, same partial probe
     val ipath = java.nio.file.Files.createTempDirectory("graft_append_ivf").toString
     graft.ann.IvfIndex.writePartitioned(first, cents, ipath)
     graft.ann.IvfIndex.appendPartitioned(spark, ipath, second)
+    assert(spark.read.parquet(ipath).count() === coll.count())
     val iOnDisk = key(graft.ann.IvfIndex.searchPartitioned(spark, ipath, config,
-      cents, q, 5, nprobe = 4))
-    val iInMem = key(graft.ann.IvfIndex.search(coll, config, cents, q, 5, nprobe = 4))
+      cents, q, 5, nprobe = 2))
+    val iInMem = key(graft.ann.IvfIndex.search(coll, config, cents, q, 5, nprobe = 2))
     assert(iOnDisk === iInMem)
     coll.unpersist()
   }
