@@ -160,12 +160,32 @@ object IvfIndex {
   def searchMany(df: DataFrame, config: CollectionConfig,
       centroids: Array[Array[Float]], queries: DataFrame, limit: Int,
       nprobe: Int): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val cents = centroids
     val np = nprobe
+    searchManyWith(df, config, centroids, queries, limit,
+      v => probeCells(v, cents, np))
+  }
+
+  /** Batch IVF with the ADAPTIVE probe policy of [[searchAdaptive]]:
+    * per-query probe sets are variable-length (the explode-join shape
+    * absorbs that for free — easy queries ship fewer (cell,qid) pairs).
+    * Per-query results equal [[searchAdaptive]] at the same knobs. */
+  def searchManyAdaptive(df: DataFrame, config: CollectionConfig,
+      centroids: Array[Array[Float]], queries: DataFrame, limit: Int,
+      ratio: Double = 1.5, maxProbe: Int = 8): DataFrame = {
+    val cents = centroids
+    val (r, mp) = (ratio, maxProbe)
+    searchManyWith(df, config, centroids, queries, limit,
+      v => probeCellsAdaptive(v, cents, r, mp))
+  }
+
+  private def searchManyWith(df: DataFrame, config: CollectionConfig,
+      centroids: Array[Array[Float]], queries: DataFrame, limit: Int,
+      probe: Array[Float] => Seq[Int]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
     val qNorm = queries.select(col("qid"),
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
-    val probeUdf = udf((v: Seq[Float]) => probeCells(v.toArray, cents, np).toArray)
+    val probeUdf = udf((v: Seq[Float]) => probe(v.toArray).toArray)
     val qSide = qNorm.withColumn("ivf_cell", explode(probeUdf(col("qvector"))))
     val dSide = (if (df.columns.contains("ivf_cell")) df else withCells(df, centroids))
       .select(col("ivf_cell"), col("id"), col("value"), col("vector"))
@@ -227,7 +247,7 @@ object IvfIndex {
     * ids serves the same id twice in top-k. The check reads the id
     * COLUMN only (parquet pruning); disable for bulk loads whose id
     * disjointness is guaranteed upstream. */
-  private[ann] def requireNewIds(spark: org.apache.spark.sql.SparkSession,
+  private[graft] def requireNewIds(spark: org.apache.spark.sql.SparkSession,
       path: String, df: DataFrame): Unit = {
     val dup = spark.read.parquet(path).select("id")
       .join(df.select("id"), "id").limit(1).collect()
@@ -276,13 +296,33 @@ object IvfIndex {
       nprobe: Int): DataFrame = {
     val cents = centroids
     val np = math.min(nprobe, cents.length)
-    val probeUdf = udf((v: Seq[Float]) => probeCells(v.toArray, cents, np).toArray)
+    val pruned = prunedToProbes(df, config, queries,
+      v => probeCells(v, cents, np))
+    searchMany(pruned, config, cents, queries, limit, np)
+  }
+
+  /** Adaptive-probe twin of [[searchManyPruned]]: the probe UNION that
+    * prunes the scan is the union of per-query ADAPTIVE probe sets, so
+    * a batch of easy queries reads fewer cell directories. Results per
+    * query equal [[searchAdaptive]]. */
+  def searchManyPrunedAdaptive(df: DataFrame, config: CollectionConfig,
+      centroids: Array[Array[Float]], queries: DataFrame, limit: Int,
+      ratio: Double = 1.5, maxProbe: Int = 8): DataFrame = {
+    val cents = centroids
+    val (r, mp) = (ratio, maxProbe)
+    val pruned = prunedToProbes(df, config, queries,
+      v => probeCellsAdaptive(v, cents, r, mp))
+    searchManyAdaptive(pruned, config, cents, queries, limit, r, mp)
+  }
+
+  private def prunedToProbes(df: DataFrame, config: CollectionConfig,
+      queries: DataFrame, probe: Array[Float] => Seq[Int]): DataFrame = {
+    val probeUdf = udf((v: Seq[Float]) => probe(v.toArray).toArray)
     val cells = queries
       .select(normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
       .select(explode(probeUdf(col("qvector"))).as("c"))
       .distinct().collect().map(_.getInt(0)) // bounded by the cell count
-    val pruned = df.filter(col("ivf_cell").isin(cells.map(Int.box): _*))
-    searchMany(pruned, config, cents, queries, limit, np)
+    df.filter(col("ivf_cell").isin(cells.map(Int.box): _*))
   }
 
   /** overlap@k vs exact flat — the quality gate. */

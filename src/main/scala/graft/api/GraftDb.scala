@@ -143,8 +143,15 @@ final class GraftDb(val spark: SparkSession) {
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
           graft.ann.IvfIndex.train(df, config, ivfCfg))
-        graft.ann.IvfIndex.search(codedFrameCache.getOrElse(name, df), config,
-          cents, query, limit, ivfCfg.nprobe)
+        val frame = codedFrameCache.getOrElse(name, df)
+        ivfAdaptive match {
+          case Some((ratio, maxProbe)) =>
+            graft.ann.IvfIndex.searchAdaptive(frame, config, cents, query,
+              limit, ratio, maxProbe)
+          case None =>
+            graft.ann.IvfIndex.search(frame, config, cents, query, limit,
+              ivfCfg.nprobe)
+        }
       case "sq8" =>
         val (model, coded) = sq8Cache.getOrElseUpdate(name, {
           val m = graft.ann.Sq8.train(df)
@@ -204,13 +211,33 @@ final class GraftDb(val spark: SparkSession) {
   private val codedFrameCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   private val ivfPqResCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Array[Array[Float]]], DataFrame)]
+  // where each openIndexed collection's at-rest layout lives. Any CRUD
+  // mutation drops the binding (via invalidateIndexCaches): the in-memory
+  // frame has diverged from disk, and a later appendIndexed re-capture
+  // would silently resurrect deleted rows. appendIndexed re-binds around
+  // its own invalidate/re-capture cycle.
+  private val openPaths = scala.collection.concurrent.TrieMap.empty[String, String]
 
   private def residualMetric(config: CollectionConfig): Boolean =
     config.metric == Metric.L2 || config.metric == Metric.L2Squared
 
+  /** Opt-in adaptive IVF probing at the facade: `spark.graft.ivf.adaptive`
+    * switches the fixed-nprobe default to the distance-ratio policy
+    * (ratio/maxProbe tunable via `spark.graft.ivf.ratio` /
+    * `spark.graft.ivf.maxProbe`) for BOTH single and batch search, so
+    * the two stay per-query identical. The fixed default under-recalls
+    * on ambiguous queries; the ratio cutoff spends probes exactly where
+    * the coarse quantizer is uncertain. */
+  private def ivfAdaptive: Option[(Double, Int)] =
+    if (spark.conf.getOption("spark.graft.ivf.adaptive").exists(_.toBoolean))
+      Some((
+        spark.conf.getOption("spark.graft.ivf.ratio").map(_.toDouble).getOrElse(1.5),
+        spark.conf.getOption("spark.graft.ivf.maxProbe").map(_.toInt).getOrElse(8)))
+    else None
+
   private def invalidateIndexCaches(name: String): Unit = {
     hnswCache.remove(name); ivfCache.remove(name)
-    codedFrameCache.remove(name)
+    codedFrameCache.remove(name); openPaths.remove(name)
     sq8Cache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     pqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     ivfPqCache.remove(name).foreach(_.unpersist())
@@ -255,8 +282,14 @@ final class GraftDb(val spark: SparkSession) {
           graft.ann.IvfIndex.train(df, config, ivfCfg))
         val frame = codedFrameCache.getOrElse(name,
           graft.ann.IvfIndex.withCells(df, cents))
-        graft.ann.IvfIndex.searchManyPruned(frame, config, cents, queries,
-          limit, ivfCfg.nprobe)
+        ivfAdaptive match {
+          case Some((ratio, maxProbe)) =>
+            graft.ann.IvfIndex.searchManyPrunedAdaptive(frame, config, cents,
+              queries, limit, ratio, maxProbe)
+          case None =>
+            graft.ann.IvfIndex.searchManyPruned(frame, config, cents, queries,
+              limit, ivfCfg.nprobe)
+        }
       case "sq8" =>
         val (model, coded) = sq8Cache.getOrElseUpdate(name, {
           val m = graft.ann.Sq8.train(df)
@@ -424,6 +457,16 @@ final class GraftDb(val spark: SparkSession) {
   def openIndexed(name: String, path: String): Unit = {
     require(!registry.contains(name), s"collection $name already exists")
     val config = CollectionStore.readConfig(spark, path).copy(name = name)
+    openPaths.put(name, path)
+    captureIndexed(name, path, config)
+  }
+
+  /** Snapshot the at-rest layout into the per-name caches + registry —
+    * the shared tail of [[openIndexed]] and [[appendIndexed]] (the
+    * latter must re-capture so the frames see the appended files; a
+    * DataFrame's file listing is fixed at read time). */
+  private def captureIndexed(name: String, path: String,
+      config: CollectionConfig): Unit = {
     val full = spark.read.parquet(path)
     config.index match {
       case "sq8" =>
@@ -448,5 +491,46 @@ final class GraftDb(val spark: SparkSession) {
     }
     val canonical = Prepare.canonicalSchema.fieldNames.filter(full.columns.contains)
     registry.put(name, (full.select(canonical.map(col).toSeq: _*), config))
+  }
+
+  /** Append new rows to the at-rest layout of a collection opened via
+    * [[openIndexed]], encode them with the PERSISTED model (never
+    * retraining), and refresh the collection so single search, batch
+    * search, and CRUD all see them — the incremental-ingest API at the
+    * facade level. `rows` must carry the canonical columns of the
+    * original persist (id, value, vector, ...); duplicate ids are
+    * rejected like `put_many`. Concurrent searches racing the refresh
+    * see either the old or the new frame, never a mix. */
+  def appendIndexed(name: String, rows: DataFrame): Unit = {
+    val (_, config) = registry.getOrElse(name,
+      throw new IllegalArgumentException(s"collection $name does not exist"))
+    val path = openPaths.getOrElse(name, throw new IllegalArgumentException(
+      s"collection $name was not opened from an at-rest layout"))
+    config.index match {
+      case "ivf" =>
+        graft.ann.IvfIndex.appendPartitioned(spark, path, rows)
+      case "ivfpq" =>
+        graft.ann.IvfPq.appendPartitioned(spark, path, rows)
+      case "sq8" =>
+        graft.ann.IvfIndex.requireNewIds(spark, path, rows)
+        val model = graft.ann.ModelStore.loadSq8(spark, idxSidecar(path))
+        graft.ann.Sq8.withCodes(rows, model).write.mode("append").parquet(path)
+      case "pq" =>
+        graft.ann.IvfIndex.requireNewIds(spark, path, rows)
+        val cb = graft.ann.ModelStore.loadPq(spark, idxSidecar(path))
+        graft.ann.Pq.withCodes(rows, cb).write.mode("append").parquet(path)
+      case "lsh" =>
+        graft.ann.IvfIndex.requireNewIds(spark, path, rows)
+        graft.ann.CosineLsh.withSignatures(rows, graft.ann.CosineLsh.LshConfig())
+          .write.mode("append").parquet(path)
+      case "flat" =>
+        graft.ann.IvfIndex.requireNewIds(spark, path, rows)
+        rows.write.mode("append").parquet(path)
+      case other => throw new IllegalArgumentException(
+        s"index $other has no persistable layout")
+    }
+    invalidateIndexCaches(name)
+    openPaths.put(name, path)
+    captureIndexed(name, path, config)
   }
 }

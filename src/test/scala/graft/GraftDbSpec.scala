@@ -199,6 +199,113 @@ class GraftDbSpec extends SparkSpec {
     assert(batchTop === flatTop)
   }
 
+  test("appendIndexed: opened layouts ingest new rows without retraining; search/batch/CRUD all see them") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val db = new GraftDb(spark)
+    def mkVecs(d: GraftDb) = (0 until 60).map(i =>
+      d.EmbeddingInput(id = f"v$i%02d", vector = Array(
+        math.cos(i * 0.13).toFloat, math.sin(i * 0.17).toFloat,
+        (i % 7) / 6.0f, (i % 3) / 2.0f)))
+    val vecs = mkVecs(db)
+    // the appended row sits exactly on the query point: every family
+    // must surface it once the append is visible
+    val q = Array(0.31f, -0.47f, 0.83f, 0.11f)
+    def mkExtra(d: GraftDb) = Seq(
+      d.EmbeddingInput(id = "x_hit", vector = q.clone()),
+      d.EmbeddingInput(id = "x_far", vector = Array(-0.9f, 0.8f, -0.7f, 0.6f)))
+    val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
+    for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
+        "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
+        "flat" -> "cosine")) {
+      val name = s"ap_${idx}_$metric"
+      db.createCollection(name, 4, metric = metric, index = idx)
+      db.batch(name, vecs)
+      val path = java.nio.file.Files.createTempDirectory(s"graft_ai_$idx").toString
+      db.persistIndex(name, path)
+      val db2 = new GraftDb(spark)
+      db2.openIndexed(name, path)
+      // canonical-shaped append rows via the same preparation the
+      // original ingest used (scratch collection, then its frame)
+      db2.createCollection(s"${name}_rows", 4, metric = metric, index = "flat")
+      db2.batch(s"${name}_rows", mkExtra(db2))
+      val rows = db2.all(s"${name}_rows")
+      db2.appendIndexed(name, rows)
+      assert(db2.count(name) === 62L, s"$name count after append")
+      assert(db2.get(name, "x_hit").isDefined, s"$name CRUD misses appended row")
+      val top = db2.search(name, q, 5).collect().map(_.getString(0)).toSeq
+      assert(top.contains("x_hit"), s"$name single search misses appended row: $top")
+      if (idx != "flat") {
+        val batchTop = db2.searchMany(name, queries, 1)
+          .collect().map(_.getAs[String]("id")).toSeq
+        val singleTop = db2.search(name, q, 1).collect().map(_.getString(0)).toSeq
+        assert(batchTop === singleTop, s"$name batch/single disagree after append")
+      }
+      // duplicate ids are rejected, like put_many
+      val dup = intercept[IllegalArgumentException] {
+        db2.appendIndexed(name, rows.filter(col("id") === "x_hit"))
+      }
+      assert(dup.getMessage.contains("duplicate"), name)
+      // a CRUD mutation diverges memory from disk: append must refuse
+      // rather than resurrect the deleted row from the layout
+      db2.delete(name, "x_far")
+      val stale = intercept[IllegalArgumentException] {
+        db2.appendIndexed(name, rows.limit(0))
+      }
+      assert(stale.getMessage.contains("at-rest"), name)
+      db2.close(name); db2.close(s"${name}_rows")
+    }
+    // collections never opened from a layout refuse appendIndexed
+    val db3 = new GraftDb(spark)
+    db3.createCollection("ai_mem", 4, index = "flat")
+    db3.batch("ai_mem", mkVecs(db3).take(3))
+    val e = intercept[IllegalArgumentException] {
+      db3.appendIndexed("ai_mem", db3.all("ai_mem").limit(0))
+    }
+    assert(e.getMessage.contains("at-rest"))
+  }
+
+  test("spark.graft.ivf.adaptive switches facade ivf to ratio-cutoff probing, single==batch") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val db = new GraftDb(spark)
+    db.createCollection("adp", 4, metric = "cosine", index = "ivf")
+    db.batch("adp", (0 until 80).map(i =>
+      db.EmbeddingInput(id = f"v$i%02d", vector = Array(
+        math.cos(i * 0.11).toFloat, math.sin(i * 0.19).toFloat,
+        (i % 9) / 8.0f, (i % 4) / 3.0f))))
+    val q = Array(0.7f, -0.3f, 0.5f, 0.2f)
+    val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
+    val fixed = db.search("adp", q, 5).collect().map(_.getString(0)).toSeq
+    spark.conf.set("spark.graft.ivf.adaptive", "true")
+    try {
+      // wide-open knobs degenerate to exact flat — the equivalence anchor
+      spark.conf.set("spark.graft.ivf.ratio", "1e9")
+      spark.conf.set("spark.graft.ivf.maxProbe", "16")
+      db.createCollection("adp_flat", 4, metric = "cosine", index = "flat")
+      db.batch("adp_flat", (0 until 80).map(i =>
+        db.EmbeddingInput(id = f"v$i%02d", vector = Array(
+          math.cos(i * 0.11).toFloat, math.sin(i * 0.19).toFloat,
+          (i % 9) / 8.0f, (i % 4) / 3.0f))))
+      val exact = db.search("adp_flat", q, 5).collect().map(_.getString(0)).toSeq
+      assert(db.search("adp", q, 5).collect().map(_.getString(0)).toSeq === exact)
+      // tight knobs: single and batch stay per-query identical
+      spark.conf.set("spark.graft.ivf.ratio", "1.2")
+      spark.conf.set("spark.graft.ivf.maxProbe", "4")
+      val single = db.search("adp", q, 5).collect().map(_.getString(0)).toSeq
+      val batch = db.searchMany("adp", queries, 5)
+        .orderBy(col("distance").asc, col("id").asc)
+        .collect().map(_.getAs[String]("id")).toSeq
+      assert(batch === single)
+    } finally {
+      spark.conf.unset("spark.graft.ivf.adaptive")
+      spark.conf.unset("spark.graft.ivf.ratio")
+      spark.conf.unset("spark.graft.ivf.maxProbe")
+    }
+    // conf off: the fixed-nprobe default is untouched
+    assert(db.search("adp", q, 5).collect().map(_.getString(0)).toSeq === fixed)
+  }
+
   test("hnsw driver build refuses collections over the row cap, points at ivfpq") {
     val db = new GraftDb(spark)
     db.createCollection("capped", 3, metric = "l2", index = "hnsw")

@@ -93,4 +93,36 @@ class IvfSpec extends SparkSpec {
     }
     coll.unpersist()
   }
+
+  test("adaptive batch == per-query adaptive; probe-union pruning changes nothing") {
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val centroids = IvfIndex.train(coll, config, IvfIndex.IvfConfig(k = 8, iterations = 5))
+    val qids = 0L until 4L
+    val queries = spark.createDataFrame(
+      java.util.Arrays.asList(qids.map(i => org.apache.spark.sql.Row(
+        i.toString, Tables.queryVector(spark, sfDir, i).toSeq)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("qid",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("qvector",
+          org.apache.spark.sql.types.ArrayType(
+            org.apache.spark.sql.types.FloatType)))))
+    def keyed(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val batch = keyed(IvfIndex.searchManyAdaptive(coll, config, centroids,
+      queries, 5, ratio = 1.2, maxProbe = 4).collect())
+    qids.foreach { i =>
+      val single = IvfIndex.searchAdaptive(coll, config, centroids,
+        Tables.queryVector(spark, sfDir, i), 5, ratio = 1.2, maxProbe = 4)
+        .collect().map(r => (i.toString, r.getString(0))).sorted.toSeq
+      assert(batch.filter(_._1 == i.toString) === single, s"qid $i")
+    }
+    val withCells = IvfIndex.withCells(coll, centroids)
+    val pruned = keyed(IvfIndex.searchManyPrunedAdaptive(withCells, config,
+      centroids, queries, 5, ratio = 1.2, maxProbe = 4).collect())
+    assert(pruned === batch)
+    coll.unpersist()
+  }
 }

@@ -316,6 +316,15 @@ class ScaleSpec extends SparkSpec {
       cents, q, 5, nprobe = 2))
     val iInMem = key(graft.ann.IvfIndex.search(coll, config, cents, q, 5, nprobe = 2))
     assert(iOnDisk === iInMem)
+    // the full at-rest lifecycle: appends accumulate files per cell;
+    // compaction merges them, leaves the model sidecar readable, and
+    // search over the compacted layout is unchanged
+    graft.store.Compaction.compact(spark, path)
+    val sidecarCompacted = graft.ann.IvfPq.loadModel(spark, path)
+    assert(sidecarCompacted._1.map(_.toSeq).toSeq === sidecarBefore._1.map(_.toSeq).toSeq)
+    val compacted = key(graft.ann.IvfPq.searchPartitioned(spark, path, config,
+      cents, cb, q, 5, nprobe = 2, candidates = 40))
+    assert(compacted === onDisk)
     coll.unpersist()
   }
 

@@ -326,6 +326,61 @@ class StatefulStreamingSpec extends SparkSpec {
     coded.unpersist()
   }
 
+  test("streaming ingest into a persisted IVF-PQ layout: append per micro-batch, search ≡ batch-built") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the continuous-ingest half of the at-rest lifecycle: the layout is
+    // trained and written ONCE, then arriving vectors append through the
+    // SIDECAR's model per micro-batch (foreachBatch + appendPartitioned)
+    // — no retraining, and the landed layout is indistinguishable from
+    // one built in a single batch write
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+      .select("id", "value", "vector").cache()
+    val order = col("id").cast("long")
+    val cents = graft.ann.IvfIndex.trainOrdered(coll, config,
+      graft.ann.IvfIndex.IvfConfig(k = 4, iterations = 2), order)
+    val cb = graft.ann.Pq.trainOrdered(coll, config,
+      graft.ann.Pq.PqConfig(m = 4, k = 8, iterations = 2, sampleSize = 128), order)
+    val ids = coll.select("id").as[String].collect().sorted
+    val (seedIds, streamIds) = ids.splitAt(ids.length / 2)
+    val path = java.nio.file.Files.createTempDirectory("graft_stream_ingest").toString + "/t"
+    graft.ann.IvfPq.writePartitioned(
+      coll.filter(col("id").isin(seedIds: _*)), cents, cb, path)
+    val streamRows = coll.filter(col("id").isin(streamIds: _*))
+      .select("id", "value", "vector")
+      .as[(String, String, Seq[Float])].collect().toSeq
+    val input = MemoryStream[(String, String, Seq[Float])]
+    val q = input.toDF().toDF("id", "value", "vector").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        // ids are disjoint by construction (exactly-once source); the
+        // per-batch duplicate scan is the cautious mode, not needed here
+        graft.ann.IvfPq.appendPartitioned(batch.sparkSession, path, batch,
+          checkIds = false)
+        ()
+      }
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val (a, b) = streamRows.splitAt(streamRows.length / 2)
+      input.addData(a); q.processAllAvailable()
+      input.addData(b); q.processAllAvailable()
+    } finally q.stop()
+    assert(spark.read.parquet(path).count() === coll.count())
+    // partial probe: misplaced appended rows would surface here
+    val qv = Tables.queryVector(spark, sfDir, 3L)
+    def key(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getString(0)).toSeq
+    val streamed = key(graft.ann.IvfPq.searchPartitioned(spark, path, config,
+      cents, cb, qv, 5, nprobe = 2, candidates = 40))
+    val inMem = key(graft.ann.IvfPq.search(coll, config, cents, cb,
+      qv, 5, nprobe = 2, candidates = 40))
+    assert(streamed === inMem)
+    coll.unpersist()
+  }
+
   test("streaming quantized ingest: sq8/pq/cell columns are stateless projections") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
