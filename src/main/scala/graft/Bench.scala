@@ -395,9 +395,13 @@ object Bench {
       val ePq = graft.ann.Pq.trainOrdered(ecoll, econfig,
         graft.ann.Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256),
         col("id").cast("long"))
+      val ePqCoded = graft.ann.Pq.withCodes(ecoll, ePq)
       quality("emb_overlap10_pq") = eOverlap(dfIds(graft.ann.Pq.search(
-        graft.ann.Pq.withCodes(ecoll, ePq), econfig, ePq, eq, 10,
-        candidates = math.min(en, 50))))
+        ePqCoded, econfig, ePq, eq, 10, candidates = math.min(en, 50))))
+      // the rerank-depth knob on the same codes: 4x candidates buys the
+      // recall the m=4/k=8 ADC misses (the exact rerank absorbs them)
+      quality("emb_overlap10_pq_c200") = eOverlap(dfIds(graft.ann.Pq.search(
+        ePqCoded, econfig, ePq, eq, 10, candidates = math.min(en, 200))))
       // OPQ sign-Hadamard rotation before the SAME pq config: on real
       // (anisotropic) embeddings the rotation balances subspace variance
       if (graft.ann.Opq.isPowerOfTwo(ed)) {

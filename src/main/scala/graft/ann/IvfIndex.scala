@@ -249,6 +249,10 @@ object IvfIndex {
     * disjointness is guaranteed upstream. */
   private[graft] def requireNewIds(spark: org.apache.spark.sql.SparkSession,
       path: String, df: DataFrame): Unit = {
+    val inBatch = df.select("id").groupBy("id").count()
+      .filter(col("count") > 1).limit(1).collect()
+    require(inBatch.isEmpty,
+      s"append batch itself contains duplicate id ${inBatch.headOption.map(_.get(0)).orNull}")
     val dup = spark.read.parquet(path).select("id")
       .join(df.select("id"), "id").limit(1).collect()
     require(dup.isEmpty,

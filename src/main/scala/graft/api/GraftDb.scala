@@ -229,11 +229,22 @@ final class GraftDb(val spark: SparkSession) {
     * on ambiguous queries; the ratio cutoff spends probes exactly where
     * the coarse quantizer is uncertain. */
   private def ivfAdaptive: Option[(Double, Int)] =
-    if (spark.conf.getOption("spark.graft.ivf.adaptive").exists(_.toBoolean))
+    if (confParsed("spark.graft.ivf.adaptive", _.toBoolean).getOrElse(false))
       Some((
-        spark.conf.getOption("spark.graft.ivf.ratio").map(_.toDouble).getOrElse(1.5),
-        spark.conf.getOption("spark.graft.ivf.maxProbe").map(_.toInt).getOrElse(8)))
+        confParsed("spark.graft.ivf.ratio", _.toDouble).getOrElse(1.5),
+        confParsed("spark.graft.ivf.maxProbe", _.toInt).getOrElse(8)))
     else None
+
+  /** Conf value with a parse error that NAMES THE KEY — a bare
+    * `"1".toBoolean` failure surfacing from deep inside a search is
+    * undiagnosable. */
+  private def confParsed[T](key: String, parse: String => T): Option[T] =
+    spark.conf.getOption(key).map { v =>
+      try parse(v) catch {
+        case e: Exception => throw new IllegalArgumentException(
+          s"$key: cannot parse '$v' (${e.getMessage})")
+      }
+    }
 
   private def invalidateIndexCaches(name: String): Unit = {
     hnswCache.remove(name); ivfCache.remove(name)
@@ -280,7 +291,10 @@ final class GraftDb(val spark: SparkSession) {
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
           graft.ann.IvfIndex.train(df, config, ivfCfg))
-        val frame = codedFrameCache.getOrElse(name,
+        // cache the cell-assigned frame for never-opened collections too
+        // (opened ones put the at-rest scan here), so repeated batches
+        // reuse one plan instead of re-deriving cells per call
+        val frame = codedFrameCache.getOrElseUpdate(name,
           graft.ann.IvfIndex.withCells(df, cents))
         ivfAdaptive match {
           case Some((ratio, maxProbe)) =>
@@ -457,8 +471,11 @@ final class GraftDb(val spark: SparkSession) {
   def openIndexed(name: String, path: String): Unit = {
     require(!registry.contains(name), s"collection $name already exists")
     val config = CollectionStore.readConfig(spark, path).copy(name = name)
-    openPaths.put(name, path)
+    // bind the path only once the capture SUCCEEDED — a failed open
+    // (flag mismatch, unreadable layout) must not leave a stale binding
+    // that a later same-named in-memory collection could append through
     captureIndexed(name, path, config)
+    openPaths.put(name, path)
   }
 
   /** Snapshot the at-rest layout into the per-name caches + registry —
@@ -497,40 +514,50 @@ final class GraftDb(val spark: SparkSession) {
     * [[openIndexed]], encode them with the PERSISTED model (never
     * retraining), and refresh the collection so single search, batch
     * search, and CRUD all see them — the incremental-ingest API at the
-    * facade level. `rows` must carry the canonical columns of the
-    * original persist (id, value, vector, ...); duplicate ids are
-    * rejected like `put_many`. Concurrent searches racing the refresh
-    * see either the old or the new frame, never a mix. */
+    * facade level. Rows run through the SAME projection + validation as
+    * `put_many` (id resolution, normalization, derived columns,
+    * invalid-row and duplicate-id rejection — in-batch or already at
+    * rest), so raw (id, vector) input is fine. The refresh swaps cache
+    * entries per key without ever emptying them; since the model
+    * sidecar is append-invariant, a search racing the refresh pairs the
+    * unchanged model with either the old or the new frame — both
+    * self-consistent, and nothing ever retrains. */
   def appendIndexed(name: String, rows: DataFrame): Unit = {
     val (_, config) = registry.getOrElse(name,
       throw new IllegalArgumentException(s"collection $name does not exist"))
     val path = openPaths.getOrElse(name, throw new IllegalArgumentException(
       s"collection $name was not opened from an at-rest layout"))
+    val prepared = Prepare.prepareEmbeddings(rows, config)
+    val bad = Prepare.invalidRows(prepared, config).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"invalid embedding in append (id=${bad.head.getAs[Any]("id")}): " +
+          "missing/wrong-dimension/non-finite vector or empty id")
+    val dups = Prepare.duplicateIds(
+      spark.read.parquet(path).select("id"), prepared).limit(1).collect()
+    if (dups.nonEmpty)
+      throw new IllegalArgumentException(s"duplicate id: ${dups.head.getString(0)}")
     config.index match {
       case "ivf" =>
-        graft.ann.IvfIndex.appendPartitioned(spark, path, rows)
+        graft.ann.IvfIndex.appendPartitioned(spark, path, prepared, checkIds = false)
       case "ivfpq" =>
-        graft.ann.IvfPq.appendPartitioned(spark, path, rows)
+        graft.ann.IvfPq.appendPartitioned(spark, path, prepared, checkIds = false)
       case "sq8" =>
-        graft.ann.IvfIndex.requireNewIds(spark, path, rows)
-        val model = graft.ann.ModelStore.loadSq8(spark, idxSidecar(path))
-        graft.ann.Sq8.withCodes(rows, model).write.mode("append").parquet(path)
+        val model = sq8Cache.get(name).map(_._1).getOrElse(
+          graft.ann.ModelStore.loadSq8(spark, idxSidecar(path)))
+        graft.ann.Sq8.withCodes(prepared, model).write.mode("append").parquet(path)
       case "pq" =>
-        graft.ann.IvfIndex.requireNewIds(spark, path, rows)
-        val cb = graft.ann.ModelStore.loadPq(spark, idxSidecar(path))
-        graft.ann.Pq.withCodes(rows, cb).write.mode("append").parquet(path)
+        val cb = pqCache.get(name).map(_._1).getOrElse(
+          graft.ann.ModelStore.loadPq(spark, idxSidecar(path)))
+        graft.ann.Pq.withCodes(prepared, cb).write.mode("append").parquet(path)
       case "lsh" =>
-        graft.ann.IvfIndex.requireNewIds(spark, path, rows)
-        graft.ann.CosineLsh.withSignatures(rows, graft.ann.CosineLsh.LshConfig())
+        graft.ann.CosineLsh.withSignatures(prepared, graft.ann.CosineLsh.LshConfig())
           .write.mode("append").parquet(path)
       case "flat" =>
-        graft.ann.IvfIndex.requireNewIds(spark, path, rows)
-        rows.write.mode("append").parquet(path)
+        prepared.write.mode("append").parquet(path)
       case other => throw new IllegalArgumentException(
         s"index $other has no persistable layout")
     }
-    invalidateIndexCaches(name)
-    openPaths.put(name, path)
     captureIndexed(name, path, config)
   }
 }

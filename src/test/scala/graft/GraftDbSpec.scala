@@ -209,11 +209,12 @@ class GraftDbSpec extends SparkSpec {
         (i % 7) / 6.0f, (i % 3) / 2.0f)))
     val vecs = mkVecs(db)
     // the appended row sits exactly on the query point: every family
-    // must surface it once the append is visible
+    // must surface it once the append is visible. RAW (id, vector)
+    // input — appendIndexed runs the same prepare/validate as put_many
     val q = Array(0.31f, -0.47f, 0.83f, 0.11f)
-    def mkExtra(d: GraftDb) = Seq(
-      d.EmbeddingInput(id = "x_hit", vector = q.clone()),
-      d.EmbeddingInput(id = "x_far", vector = Array(-0.9f, 0.8f, -0.7f, 0.6f)))
+    val rawRows = Seq(
+      ("x_hit", q.toSeq), ("x_far", Seq(-0.9f, 0.8f, -0.7f, 0.6f)))
+      .toDF("id", "vector")
     val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
         "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
@@ -225,12 +226,7 @@ class GraftDbSpec extends SparkSpec {
       db.persistIndex(name, path)
       val db2 = new GraftDb(spark)
       db2.openIndexed(name, path)
-      // canonical-shaped append rows via the same preparation the
-      // original ingest used (scratch collection, then its frame)
-      db2.createCollection(s"${name}_rows", 4, metric = metric, index = "flat")
-      db2.batch(s"${name}_rows", mkExtra(db2))
-      val rows = db2.all(s"${name}_rows")
-      db2.appendIndexed(name, rows)
+      db2.appendIndexed(name, rawRows)
       assert(db2.count(name) === 62L, s"$name count after append")
       assert(db2.get(name, "x_hit").isDefined, s"$name CRUD misses appended row")
       val top = db2.search(name, q, 5).collect().map(_.getString(0)).toSeq
@@ -241,19 +237,30 @@ class GraftDbSpec extends SparkSpec {
         val singleTop = db2.search(name, q, 1).collect().map(_.getString(0)).toSeq
         assert(batchTop === singleTop, s"$name batch/single disagree after append")
       }
-      // duplicate ids are rejected, like put_many
+      // duplicate ids are rejected, like put_many — against the layout
+      // AND within the batch itself
       val dup = intercept[IllegalArgumentException] {
-        db2.appendIndexed(name, rows.filter(col("id") === "x_hit"))
+        db2.appendIndexed(name, rawRows.filter(col("id") === "x_hit"))
       }
       assert(dup.getMessage.contains("duplicate"), name)
+      val inBatch = intercept[IllegalArgumentException] {
+        db2.appendIndexed(name,
+          Seq(("x_twice", q.toSeq), ("x_twice", q.toSeq)).toDF("id", "vector"))
+      }
+      assert(inBatch.getMessage.contains("duplicate"), name)
+      // invalid rows are rejected whole-batch, like put_many
+      val badDim = intercept[IllegalArgumentException] {
+        db2.appendIndexed(name, Seq(("x_bad", Seq(1f))).toDF("id", "vector"))
+      }
+      assert(badDim.getMessage.contains("invalid"), name)
       // a CRUD mutation diverges memory from disk: append must refuse
       // rather than resurrect the deleted row from the layout
       db2.delete(name, "x_far")
       val stale = intercept[IllegalArgumentException] {
-        db2.appendIndexed(name, rows.limit(0))
+        db2.appendIndexed(name, rawRows.limit(0))
       }
       assert(stale.getMessage.contains("at-rest"), name)
-      db2.close(name); db2.close(s"${name}_rows")
+      db2.close(name)
     }
     // collections never opened from a layout refuse appendIndexed
     val db3 = new GraftDb(spark)
