@@ -537,6 +537,12 @@ final class GraftDb(val spark: SparkSession) {
       spark.read.parquet(path).select("id"), prepared).limit(1).collect()
     if (dups.nonEmpty)
       throw new IllegalArgumentException(s"duplicate id: ${dups.head.getString(0)}")
+    writeAppend(name, config, path, prepared)
+    captureIndexed(name, path, config)
+  }
+
+  private def writeAppend(name: String, config: CollectionConfig, path: String,
+      prepared: DataFrame): Unit =
     config.index match {
       case "ivf" =>
         graft.ann.IvfIndex.appendPartitioned(spark, path, prepared, checkIds = false)
@@ -558,6 +564,21 @@ final class GraftDb(val spark: SparkSession) {
       case other => throw new IllegalArgumentException(
         s"index $other has no persistable layout")
     }
+
+  /** Compact the at-rest layout of an opened collection — the small-file
+    * maintenance step after many [[appendIndexed]] rounds (each append
+    * adds files; scan task scheduling and footer reads degrade as they
+    * pile up). Data, sidecars, and search results are unchanged; the
+    * refreshed frames serve the merged files. Returns the new file
+    * count. */
+  def compactIndexed(name: String,
+      targetBytes: Long = 128L * 1024 * 1024): Int = {
+    val (_, config) = registry.getOrElse(name,
+      throw new IllegalArgumentException(s"collection $name does not exist"))
+    val path = openPaths.getOrElse(name, throw new IllegalArgumentException(
+      s"collection $name was not opened from an at-rest layout"))
+    val n = graft.store.Compaction.compact(spark, path, targetBytes)
     captureIndexed(name, path, config)
+    n
   }
 }

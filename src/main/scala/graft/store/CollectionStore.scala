@@ -172,6 +172,18 @@ object Compaction {
       spark.read.parquet(path).repartition(files).write.parquet(tmp.toString)
       require(fs.rename(p, old), s"could not stage $path")
       require(fs.rename(tmp, p), s"could not swap compacted files into $path")
+      // metadata sidecars (`_graft_config.json`, `_graft_model.json`, …)
+      // live beside the data files and are invisible to the parquet read
+      // (underscore prefix), so the rewrite above does not carry them —
+      // move them across from the staged copy before it is dropped
+      fs.listStatus(old)
+        .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
+          st.getPath.getName != "_SUCCESS")
+        .foreach { st =>
+          val dest = new org.apache.hadoop.fs.Path(p, st.getPath.getName)
+          require(fs.rename(st.getPath, dest),
+            s"could not preserve sidecar ${st.getPath.getName}")
+        }
       fs.delete(old, true)
       files
     }

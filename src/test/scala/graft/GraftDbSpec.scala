@@ -237,6 +237,13 @@ class GraftDbSpec extends SparkSpec {
         val singleTop = db2.search(name, q, 1).collect().map(_.getString(0)).toSeq
         assert(batchTop === singleTop, s"$name batch/single disagree after append")
       }
+      // compaction of the appended layout: nothing observable changes
+      // (for flat-dir layouts this also proves the config/model sidecars
+      // survive the rewrite — the re-capture reloads them from disk)
+      assert(db2.compactIndexed(name) >= 1, name)
+      assert(db2.count(name) === 62L, s"$name count after compact")
+      assert(db2.search(name, q, 5).collect().map(_.getString(0)).toSeq === top,
+        s"$name search after compact")
       // duplicate ids are rejected, like put_many — against the layout
       // AND within the batch itself
       val dup = intercept[IllegalArgumentException] {
