@@ -236,9 +236,13 @@ object IvfIndex {
     * sidecar is left untouched. */
   def appendPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, df: DataFrame, filesPerCell: Int = 1,
-      checkIds: Boolean = true): Unit = {
+      checkIds: Boolean = true,
+      cachedModel: Option[Array[Array[Float]]] = None): Unit = {
     if (checkIds) requireNewIds(spark, path, df)
-    val cents = loadModel(spark, path)
+    // callers that already hold the sidecar's centroids (openIndexed
+    // caches) pass them to skip the per-append JSON re-parse — the
+    // sidecar is append-invariant, so the two are identical by contract
+    val cents = cachedModel.getOrElse(loadModel(spark, path))
     writeCellLayout(withCells(df, cents), path, filesPerCell, mode = "append")
   }
 
@@ -249,15 +253,14 @@ object IvfIndex {
     * disjointness is guaranteed upstream. */
   private[graft] def requireNewIds(spark: org.apache.spark.sql.SparkSession,
       path: String, df: DataFrame): Unit = {
-    val inBatch = df.select("id").groupBy("id").count()
-      .filter(col("count") > 1).limit(1).collect()
-    require(inBatch.isEmpty,
-      s"append batch itself contains duplicate id ${inBatch.headOption.map(_.get(0)).orNull}")
-    val dup = spark.read.parquet(path).select("id")
-      .join(df.select("id"), "id").limit(1).collect()
+    // one unioned plan covers both failure modes (Prepare.duplicateIds):
+    // ids duplicated within the batch AND ids already at rest
+    val dup = graft.prepare.Prepare.duplicateIds(
+      spark.read.parquet(path).select("id"), df).limit(1).collect()
     require(dup.isEmpty,
-      s"append would duplicate id ${dup.headOption.map(_.get(0)).orNull} — " +
-        "ids must be new (pass checkIds = false only when disjointness is guaranteed)")
+      s"append would duplicate id ${dup.headOption.map(_.get(0)).orNull} " +
+        "(in-batch or already in the layout) — pass checkIds = false only " +
+        "when disjointness is guaranteed")
   }
 
   /** Load the centroid sidecar of a [[writePartitioned]] layout —

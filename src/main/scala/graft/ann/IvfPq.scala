@@ -250,9 +250,10 @@ object IvfPq {
     * write (id, value, vector, ...). */
   def appendPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, df: DataFrame, filesPerCell: Int = 1,
-      checkIds: Boolean = true): Unit = {
+      checkIds: Boolean = true,
+      cachedModel: Option[(Array[Array[Float]], Array[Array[Array[Float]]], Boolean)] = None): Unit = {
     if (checkIds) IvfIndex.requireNewIds(spark, path, df)
-    val (cents, cb, residual) = loadModel(spark, path)
+    val (cents, cb, residual) = cachedModel.getOrElse(loadModel(spark, path))
     val prepared =
       if (residual) withResidualCodes(df, cents, cb) else prepare(df, cents, cb)
     IvfIndex.writeCellLayout(prepared, path, filesPerCell, mode = "append")

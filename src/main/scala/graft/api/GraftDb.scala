@@ -545,9 +545,17 @@ final class GraftDb(val spark: SparkSession) {
       prepared: DataFrame): Unit =
     config.index match {
       case "ivf" =>
-        graft.ann.IvfIndex.appendPartitioned(spark, path, prepared, checkIds = false)
+        graft.ann.IvfIndex.appendPartitioned(spark, path, prepared,
+          checkIds = false, cachedModel = ivfCache.get(name))
       case "ivfpq" =>
-        graft.ann.IvfPq.appendPartitioned(spark, path, prepared, checkIds = false)
+        // rebuild the cached (cents, cb, residual) triple from the open
+        // caches when present, mirroring what loadModel would return
+        val cached = ivfCache.get(name).flatMap { cents =>
+          ivfPqResCache.get(name).map { case (cb, _) => (cents, cb, true) }
+            .orElse(pqCache.get(name).map { case (cb, _) => (cents, cb, false) })
+        }
+        graft.ann.IvfPq.appendPartitioned(spark, path, prepared,
+          checkIds = false, cachedModel = cached)
       case "sq8" =>
         val model = sq8Cache.get(name).map(_._1).getOrElse(
           graft.ann.ModelStore.loadSq8(spark, idxSidecar(path)))
@@ -570,7 +578,14 @@ final class GraftDb(val spark: SparkSession) {
     * adds files; scan task scheduling and footer reads degrade as they
     * pile up). Data, sidecars, and search results are unchanged; the
     * refreshed frames serve the merged files. Returns the new file
-    * count. */
+    * count.
+    *
+    * MAINTENANCE WINDOW: unlike [[appendIndexed]] (old files stay valid,
+    * a racing search sees old-or-new), compaction REPLACES the backing
+    * files — DataFrames captured before the call, including lazily held
+    * search results, reference deleted paths and will fail when next
+    * evaluated. Quiesce reads on this collection around the call and
+    * re-issue queries after it returns. */
   def compactIndexed(name: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     val (_, config) = registry.getOrElse(name,

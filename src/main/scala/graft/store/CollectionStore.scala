@@ -134,6 +134,10 @@ object Bucketing {
   * rewrites a directory into ceil(bytes / targetBytes) files via a
   * temp-dir + atomic swap (never reads and overwrites the same path in
   * one job, which Spark forbids).
+  *
+  * Compaction is a MAINTENANCE WINDOW operation: the swap replaces the
+  * files under `path`, so DataFrames whose file listing predates the
+  * call fail when next evaluated. Quiesce readers around it.
   */
 object Compaction {
 
@@ -170,20 +174,24 @@ object Compaction {
       val totalBytes = fs.getContentSummary(p).getLength
       val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
       spark.read.parquet(path).repartition(files).write.parquet(tmp.toString)
-      require(fs.rename(p, old), s"could not stage $path")
-      require(fs.rename(tmp, p), s"could not swap compacted files into $path")
       // metadata sidecars (`_graft_config.json`, `_graft_model.json`, …)
       // live beside the data files and are invisible to the parquet read
-      // (underscore prefix), so the rewrite above does not carry them —
-      // move them across from the staged copy before it is dropped
-      fs.listStatus(old)
+      // (underscore prefix), so the rewrite above does not carry them.
+      // COPY them into the staged replacement BEFORE the swap renames:
+      // the directory landing at `path` is complete at swap time, so a
+      // crash at any point leaves either the old dir (recoverable) or a
+      // full new one — never a layout whose only sidecar copy sits in a
+      // staging dir the next run deletes.
+      fs.listStatus(p)
         .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
           st.getPath.getName != "_SUCCESS")
         .foreach { st =>
-          val dest = new org.apache.hadoop.fs.Path(p, st.getPath.getName)
-          require(fs.rename(st.getPath, dest),
-            s"could not preserve sidecar ${st.getPath.getName}")
+          val dest = new org.apache.hadoop.fs.Path(tmp, st.getPath.getName)
+          require(org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dest,
+            false, conf), s"could not preserve sidecar ${st.getPath.getName}")
         }
+      require(fs.rename(p, old), s"could not stage $path")
+      require(fs.rename(tmp, p), s"could not swap compacted files into $path")
       fs.delete(old, true)
       files
     }
