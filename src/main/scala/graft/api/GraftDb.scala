@@ -249,6 +249,7 @@ final class GraftDb(val spark: SparkSession) {
   private def invalidateIndexCaches(name: String): Unit = {
     hnswCache.remove(name); ivfCache.remove(name)
     codedFrameCache.remove(name); openPaths.remove(name)
+    graft.index.ShardedHnsw.clearCache(s"$name@")
     sq8Cache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     pqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     ivfPqCache.remove(name).foreach(_.unpersist())
@@ -280,6 +281,13 @@ final class GraftDb(val spark: SparkSession) {
       knownNq: Long = -1L): DataFrame = {
     val (df, config) = collection(name)
     config.index match {
+      case "hnsw" =>
+        // the DISTRIBUTED hnsw path: per-shard graphs on executors, no
+        // driver build, no row cap — the scale answer the single-query
+        // driver shim can't give. The cache key tracks the registry
+        // frame instance, so any CRUD mutation (new frame) re-shards.
+        graft.index.ShardedHnsw.searchMany(df, config, queries, limit,
+          cacheKey = s"$name@${System.identityHashCode(df)}")
       case "lsh" =>
         graft.ann.CosineLsh.searchMany(codedFrameCache.getOrElse(name, df),
           config, graft.ann.CosineLsh.LshConfig(), queries, limit)

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.core.CollectionConfig
+import graft.index.{Hnsw, ShardedHnsw}
+import graft.search.Search
+
+/** Distributed (sharded) HNSW batch search. */
+class ShardedHnswSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dims = 16
+
+  private def synth(seed: Long): Array[Float] = {
+    var x = seed * 0x9e3779b97f4a7c15L + 1L
+    Array.tabulate(dims) { _ =>
+      x = x * 6364136223846793005L + 1442695040888963407L
+      (((x >>> 40) & 0x3ff).toInt / 512.0f) - 1.0f
+    }
+  }
+
+  // 40 topics x 10 graded members (member 0 == the topic base)
+  private def clusteredRows = for (t <- 0 until 40; j <- 0 until 10) yield {
+    val base = synth(500L + t)
+    val own = synth(50000L + t * 100L + j)
+    (s"t${t}_m$j",
+      Array.tabulate(dims)(i => (1f - 0.05f * j) * base(i) + 0.05f * j * own(i)))
+  }
+
+  test("shards=1 is bit-identical to the driver shim's graph") {
+    val config = CollectionConfig("sh1", dims)
+    val coll = graft.prepare.Prepare
+      .prepareEmbeddings(embeddingRows(clusteredRows), config).persist()
+    val qs = (0 until 3).map(k => (s"q$k", synth(-700L - k)))
+    val queries = qs.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "qvector")
+    val batch = ShardedHnsw.searchMany(coll, config, queries, 5, shards = 1)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .sortBy(t => (t._1, t._3, t._2))
+    val shim = Hnsw.build(coll, config)
+    val single = qs.flatMap { case (qid, v) =>
+      shim.search(Search.prepareQuery(config, v), 5).map { case (id, raw) =>
+        val (score, _) = graft.core.ScoreMode.resultValues(config.metric, raw, config.score)
+        (qid, id, score)
+      }
+    }.sortBy(t => (t._1, t._3, t._2))
+    assert(batch.toSeq === single)
+    coll.unpersist()
+  }
+
+  test("multi-shard: planted hits found, deterministic across runs, cache key reuse") {
+    val config = CollectionConfig("shn", dims)
+    val coll = graft.prepare.Prepare
+      .prepareEmbeddings(embeddingRows(clusteredRows), config).persist()
+    // each query sits on a topic base -> t<k>_m0 is the planted top-1
+    val queries = (0 until 4).map { k =>
+      val base = synth(500L + 3 * k)
+      val noise = synth(-900L - k)
+      (s"q$k", Array.tabulate(dims)(i => base(i) + 0.004f * noise(i)).toSeq)
+    }.toDF("qid", "qvector")
+    def run() = ShardedHnsw.searchMany(coll, config, queries, 5,
+      shards = 4, cacheKey = "shn_spec")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val first = run()
+    (0 until 4).foreach { k =>
+      val top = first.filter(_._1 == s"q$k").map(_._2)
+      assert(top.contains(s"t${3 * k}_m0"), s"q$k missed planted hit: $top")
+    }
+    // second call serves from the executor graph cache — same results
+    assert(run() === first)
+    ShardedHnsw.clearCache("shn_spec")
+    coll.unpersist()
+  }
+
+  test("facade hnsw batch routes through shards and finds the planted hit; CRUD mutation re-shards") {
+    val db = new graft.api.GraftDb(spark)
+    db.createCollection("shdb", dims, index = "hnsw")
+    db.batch("shdb", clusteredRows.map { case (id, v) =>
+      db.EmbeddingInput(id = id, vector = v) })
+    val base = synth(500L + 7)
+    val q = Array.tabulate(dims)(i => base(i) + 0.004f * synth(-77L)(i))
+    val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
+    val batchTop = db.searchMany("shdb", queries, 1)
+      .collect().map(_.getAs[String]("id")).toSeq
+    assert(batchTop === Seq("t7_m0"))
+    val singleTop = db.search("shdb", q, 1).collect().map(_.getString(0)).toSeq
+    assert(batchTop === singleTop, "sharded batch and driver-shim single disagree on the planted hit")
+    // delete the hit: the new registry frame must re-shard (stale cached
+    // graphs would still return the deleted id)
+    db.delete("shdb", "t7_m0")
+    val after = db.searchMany("shdb", queries, 1)
+      .collect().map(_.getAs[String]("id")).toSeq
+    assert(after.nonEmpty && after.head != "t7_m0", s"deleted id served from stale shard cache: $after")
+  }
+}
