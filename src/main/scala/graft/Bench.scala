@@ -288,6 +288,27 @@ object Bench {
     quality("overlap10_hnsw_10k") =
       if (hnswExact.isEmpty) 1.0
       else hnswExact.intersect(hnswIds).size.toDouble / hnswExact.size
+    // DISTRIBUTED hnsw over the FULL synth corpus (no driver build, no
+    // row cap): first call pays the per-shard graph builds (pinned by
+    // the cache key), the batch row measures serve-from-cache cost
+    val shKey = "bench_sharded_hnsw"
+    graft.index.ShardedHnsw.clearCache(shKey)
+    val oneQuery = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
+    results("synth_hnsw_sharded_build_search") = time {
+      graft.index.ShardedHnsw.searchMany(coll, config, oneQuery, 10,
+        cacheKey = shKey).collect()
+    }
+    results("synth_hnsw_sharded_batch64_perq") = bench {
+      graft.index.ShardedHnsw.searchMany(coll, config, queries64, 10,
+        cacheKey = shKey).collect()
+    } / 64.0
+    val exactFullIds = dfIds(Search.flatSearch(coll, config, q, 10)).toSet
+    val shardedIds = dfIds(graft.index.ShardedHnsw.searchMany(
+      coll, config, oneQuery, 10, cacheKey = shKey)).toSet
+    quality("overlap10_hnsw_sharded") =
+      if (exactFullIds.isEmpty) 1.0
+      else exactFullIds.intersect(shardedIds).size.toDouble / exactFullIds.size
+    graft.index.ShardedHnsw.clearCache(shKey)
     // MUVERA FDE vs exact MaxSim on the multi-vector corpus
     def fdeTopIds(qv: Seq[Array[Float]]): Seq[String] = {
       val fdeQ = graft.encode.Muvera.encode(qv, muvCfg, graft.encode.Muvera.QueryMode)

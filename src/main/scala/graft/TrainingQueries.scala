@@ -386,6 +386,23 @@ object TrainingQueries {
         .select(col("id"), col("raw").as("score")), Seq("score"))
     }),
 
+    // DISTRIBUTED hnsw (the no-row-cap path): 4 hash-shards, each task
+    // builds its own graph from id-sorted rows and answers the query;
+    // exact merge over the per-shard top-10. Deterministic end to end
+    // (hash partition + sorted insertion + FNV-1a levels), so it gets
+    // the same stored-expected fixture oracle as the driver shim.
+    "ann_hnsw_sharded_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      import s.implicits._
+      val queries = Seq(("q0", Tables.queryVector(s, dir, 0L).toSeq))
+        .toDF("qid", "qvector")
+      roundCols(graft.index.ShardedHnsw
+        .searchMany(coll, config, queries, 10, shards = 4)
+        .select(col("id"), col("score")), Seq("score"))
+    }),
+
     // IVF: probing every cell must equal exact flat search (oracle =
     // the flat-cosine SQL); partial probe is the approximate scale path
     "ann_ivf_full_probe_topk" -> ((s, dir) => {
@@ -1327,6 +1344,18 @@ object TrainingQueries {
     // list. Regenerate via GRAFT_VERIFY_ONLY=ann_hnsw_topk if the graph
     // parameters are deliberately changed.
     "ann_hnsw_topk" ->
+      s"""SELECT id, (CAST(score AS DOUBLE) + 0) AS score FROM (VALUES
+           ('0', 1.0), ('365', 0.369994), ('334', 0.362722),
+           ('387', 0.331139), ('423', 0.296934), ('73', 0.295434),
+           ('7', 0.292842), ('320', 0.287861), ('190', 0.281795),
+           ('464', 0.276628)) AS t(id, score)""",
+
+    // same fixture-oracle mechanism for the DISTRIBUTED path: 4-shard
+    // search is deterministic (hash partition, id-sorted insertion),
+    // and at sf0.01 every shard graph recovers its true local top-10,
+    // so the merged list coincides with the driver shim's. Regenerate
+    // via GRAFT_VERIFY_ONLY=ann_hnsw_sharded_topk on deliberate change.
+    "ann_hnsw_sharded_topk" ->
       s"""SELECT id, (CAST(score AS DOUBLE) + 0) AS score FROM (VALUES
            ('0', 1.0), ('365', 0.369994), ('334', 0.362722),
            ('387', 0.331139), ('423', 0.296934), ('73', 0.295434),

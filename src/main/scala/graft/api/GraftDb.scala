@@ -124,18 +124,32 @@ final class GraftDb(val spark: SparkSession) {
     config.index match {
       case "flat" => Search.flatSearch(df, config, query, limit)
       case "hnsw" =>
-        val g = hnswCache.getOrElseUpdate(name, graft.index.Hnsw.build(df, config))
-        val q = Search.prepareQuery(config, query)
-        import org.apache.spark.sql.types._
-        val rows = g.search(q, limit).map { case (id, raw) =>
-          val (score, dist) = ScoreMode.resultValues(config.metric, raw, config.score)
-          Row(id, score, dist.orNull, config.metric.name)
+        // driver parity graph below the build cap; above it, fall back
+        // to the distributed per-shard graphs instead of erroring — a
+        // billion-row hnsw collection stays searchable, it just loses
+        // bit-parity with the driver shim (sharded semantics).
+        val cap = spark.conf.getOption("spark.graft.hnsw.maxBuildRows")
+          .map(_.toLong).getOrElse(graft.index.Hnsw.DefaultMaxBuildRows)
+        if (hnswCache.contains(name) || df.count() <= cap) {
+          val g = hnswCache.getOrElseUpdate(name, graft.index.Hnsw.build(df, config))
+          val q = Search.prepareQuery(config, query)
+          import org.apache.spark.sql.types._
+          val rows = g.search(q, limit).map { case (id, raw) =>
+            val (score, dist) = ScoreMode.resultValues(config.metric, raw, config.score)
+            Row(id, score, dist.orNull, config.metric.name)
+          }
+          spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
+            StructField("id", StringType, nullable = false),
+            StructField("score", DoubleType, nullable = false),
+            StructField("distance", DoubleType, nullable = true),
+            StructField("metric", StringType, nullable = false))))
+        } else {
+          import spark.implicits._
+          val queries = Seq(("q", query.toSeq)).toDF("qid", "qvector")
+          graft.index.ShardedHnsw.searchMany(df, config, queries, limit,
+              cacheKey = s"$name@${System.identityHashCode(df)}")
+            .select(col("id"), col("score"), col("distance"), col("metric"))
         }
-        spark.createDataFrame(java.util.Arrays.asList(rows: _*), StructType(Seq(
-          StructField("id", StringType, nullable = false),
-          StructField("score", DoubleType, nullable = false),
-          StructField("distance", DoubleType, nullable = true),
-          StructField("metric", StringType, nullable = false))))
       case "lsh" =>
         graft.ann.CosineLsh.search(codedFrameCache.getOrElse(name, df), config,
           graft.ann.CosineLsh.LshConfig(), query, limit)

@@ -92,4 +92,26 @@ class ShardedHnswSpec extends SparkSpec {
       .collect().map(_.getAs[String]("id")).toSeq
     assert(after.nonEmpty && after.head != "t7_m0", s"deleted id served from stale shard cache: $after")
   }
+
+  test("single search above maxBuildRows falls back to sharded graphs instead of erroring") {
+    val db = new graft.api.GraftDb(spark)
+    db.createCollection("shcap", dims, index = "hnsw")
+    db.batch("shcap", clusteredRows.map { case (id, v) =>
+      db.EmbeddingInput(id = id, vector = v) })
+    val base = synth(500L + 11)
+    val q = Array.tabulate(dims)(i => base(i) + 0.004f * synth(-111L)(i))
+    spark.conf.set("spark.graft.hnsw.maxBuildRows", "100") // corpus is 400
+    try {
+      val top = db.search("shcap", q, 3).collect()
+      assert(top.map(_.getString(0)).head === "t11_m0",
+        s"over-cap fallback missed the planted hit: ${top.map(_.getString(0)).toSeq}")
+      // schema matches the shim path exactly
+      assert(top.head.schema.fieldNames.toSeq === Seq("id", "score", "distance", "metric"))
+      // under the default cap the driver shim still serves (cache was
+      // never populated for this name — build must succeed now)
+      spark.conf.unset("spark.graft.hnsw.maxBuildRows")
+      val shimTop = db.search("shcap", q, 3).collect().map(_.getString(0)).toSeq
+      assert(shimTop.head === "t11_m0")
+    } finally spark.conf.unset("spark.graft.hnsw.maxBuildRows")
+  }
 }
