@@ -132,6 +132,27 @@ object Microbench {
     }
   }
 
+  /** Driver-side HNSW insert-path profile (the per-shard build cost of
+    * ShardedHnsw rides on this): `runMain graft.Microbench hnsw [n]`. */
+  def profileHnsw(spark: SparkSession, args: Array[String]): Unit = {
+    val dims = 384
+    val n = args.lift(1).map(_.toInt).getOrElse(20000)
+    val config = CollectionConfig("h", dims, Metric.Cosine)
+    val rows = (0 until n).map { i =>
+      (i.toString, Search.prepareQuery(config, Bench.synthVector(i.toLong, dims)))
+    }.sortBy(_._1)
+    var g: graft.index.Hnsw = null
+    time(s"hnsw insertMany n=$n", 3) {
+      g = new graft.index.Hnsw(config.metric, graft.index.Hnsw.Params())
+      g.insertMany(rows)
+    }
+    val q = Search.prepareQuery(config, Bench.synthVector(-1L, dims))
+    time("hnsw search k=10 x100", 5) {
+      (0 until 100).foreach(_ => g.search(q, 10))
+    }
+    println("top3 " + g.search(q, 3).map { case (id, d) => f"$id:$d%.4f" }.mkString(" "))
+  }
+
   /** md5 spec hash vs MurmurHash3 fast hash for minhash banding over
     * 5k synthetic ~200-token docs: `runMain graft.Microbench minhash`. */
   def profileMinhash(spark: SparkSession): Unit = {
@@ -175,6 +196,9 @@ object Microbench {
     }
     if (args.headOption.contains("minhash")) {
       profileMinhash(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("hnsw")) {
+      profileHnsw(spark, args); spark.stop(); return
     }
     val dims = sys.env.getOrElse("GRAFT_MB_DIMS", "384").toInt
     val n = sys.env.getOrElse("GRAFT_MB_RECORDS", "100000").toInt

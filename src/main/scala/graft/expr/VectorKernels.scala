@@ -216,6 +216,56 @@ object VectorKernels {
     }
   }
 
+  /** Arena-addressed twin of [[rankingDistance]]: `a` lives at offset
+    * `ao` inside a flat arena (HNSW stores all node vectors in one
+    * contiguous Array[Float] — one less pointer chase per graph-walk
+    * distance, no per-vector object header splitting cache lines).
+    * Accumulation order is IDENTICAL to the array variants, so values
+    * are bit-equal and the deterministic graph is unchanged. */
+  def rankingDistanceOff(code: Int, a: Array[Float], ao: Int,
+      b: Array[Float], bo: Int, n: Int): Double = {
+    code match {
+      case 0 => math.sqrt(l2sq4Off(a, ao, b, bo, n))
+      case 1 => l2sq4Off(a, ao, b, bo, n)
+      case 2 => dot4Off(a, ao, b, bo, n)
+      case 3 => dot4Off(a, ao, b, bo, n)
+      case 4 => -dot4Off(a, ao, b, bo, n)
+      case c =>
+        throw new IllegalArgumentException(s"unsupported ranking metric code $c")
+    }
+  }
+
+  private def dot4Off(a: Array[Float], ao: Int, b: Array[Float], bo: Int, n: Int): Double = {
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    var i = 0
+    val lim = n - 3
+    while (i < lim) {
+      s0 += a(ao + i).toDouble * b(bo + i).toDouble
+      s1 += a(ao + i + 1).toDouble * b(bo + i + 1).toDouble
+      s2 += a(ao + i + 2).toDouble * b(bo + i + 2).toDouble
+      s3 += a(ao + i + 3).toDouble * b(bo + i + 3).toDouble
+      i += 4
+    }
+    while (i < n) { s0 += a(ao + i).toDouble * b(bo + i).toDouble; i += 1 }
+    (s0 + s1) + (s2 + s3)
+  }
+
+  private def l2sq4Off(a: Array[Float], ao: Int, b: Array[Float], bo: Int, n: Int): Double = {
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    var i = 0
+    val lim = n - 3
+    while (i < lim) {
+      val d0 = a(ao + i).toDouble - b(bo + i).toDouble
+      val d1 = a(ao + i + 1).toDouble - b(bo + i + 1).toDouble
+      val d2 = a(ao + i + 2).toDouble - b(bo + i + 2).toDouble
+      val d3 = a(ao + i + 3).toDouble - b(bo + i + 3).toDouble
+      s0 += d0 * d0; s1 += d1 * d1; s2 += d2 * d2; s3 += d3 * d3
+      i += 4
+    }
+    while (i < n) { val d = a(ao + i).toDouble - b(bo + i).toDouble; s0 += d * d; i += 1 }
+    (s0 + s1) + (s2 + s3)
+  }
+
   private def dot4(a: Array[Float], b: Array[Float], n: Int): Double = {
     var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
     var i = 0

@@ -34,7 +34,6 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
 
   private final class Node(
       val externalId: String,
-      val vector: Array[Float],
       val layer: Int) {
     val connections: Array[mutable.ArrayBuffer[Int]] =
       Array.fill(layer + 1)(mutable.ArrayBuffer.empty[Int])
@@ -55,6 +54,31 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
   private var nextId = 0
   private var dimension: Option[Int] = None
 
+  // All node vectors live in ONE flat arena at offset id*dims — the
+  // graph walk's distance calls are the build's dominant cost (stack
+  // sampling: ~85% in the ranking kernel), and a contiguous arena
+  // removes a pointer chase + per-vector object header per call while
+  // keeping the arithmetic (rankingDistanceOff) bit-identical to the
+  // per-array kernels. Stale slots of deleted nodes are never read:
+  // every access is guarded by a live-Node lookup first.
+  private var arena: Array[Float] = new Array[Float](0)
+
+  private def arenaStore(id: Int, vector: Array[Float]): Unit = {
+    val d = vector.length
+    val need = (id + 1) * d
+    if (arena.length < need) {
+      val grown = math.max(need, math.max(64 * d, arena.length * 2))
+      arena = java.util.Arrays.copyOf(arena, grown)
+    }
+    System.arraycopy(vector, 0, arena, id * d, d)
+  }
+
+  /** Copy of a live node's vector (result reporting only — k rows). */
+  private def vectorOf(id: Int): Array[Float] = {
+    val d = dimension.get
+    java.util.Arrays.copyOfRange(arena, id * d, id * d + d)
+  }
+
   /** Live node or null. */
   private def nodeAt(id: Int): Node =
     if (id >= 0 && id < nodes.length) nodes(id) else null
@@ -67,11 +91,20 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
   /** Physical slot count (test hook: bounded under insert/delete churn). */
   private[graft] def storageSize: Int = nodes.length
 
-  /** Internal graph-walk ranking only (unrolled kernel; result rows
-    * still report the sequential-kernel distance in `search`). */
-  private def rankDistance(a: Array[Float], b: Array[Float]): Double =
+  /** Internal graph-walk ranking only (unrolled arena kernel; result
+    * rows still report the sequential-kernel distance in `search`). */
+  private def rankToQuery(id: Int, q: Array[Float]): Double =
     VectorKernels.rankValue(metric.code,
-      VectorKernels.rankingDistance(metric.code, a, b))
+      VectorKernels.rankingDistanceOff(metric.code,
+        arena, id * q.length, q, 0, q.length))
+
+  /** Node-to-node ranking (prune path), both sides in the arena. */
+  private def rankNodes(aId: Int, bId: Int): Double = {
+    val d = dimension.get
+    VectorKernels.rankValue(metric.code,
+      VectorKernels.rankingDistanceOff(metric.code,
+        arena, aId * d, arena, bId * d, d))
+  }
 
   /** Deterministic level from FNV-1a of the external id. */
   private def levelFor(externalId: String): Int = {
@@ -93,7 +126,8 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
       if (freeIds.nonEmpty) freeIds.remove(freeIds.length - 1)
       else { val id = nextId; nextId += 1; id }
     val nodeLevel = levelFor(externalId)
-    val node = new Node(externalId, vector, nodeLevel)
+    val node = new Node(externalId, nodeLevel)
+    arenaStore(internalId, vector)
 
     if (liveCount == 0) {
       storeNode(internalId, node)
@@ -208,14 +242,14 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
       .sortBy(t => (t._2, t._1))
       .take(limit)
       .map { case (eid, _, id) =>
-        (eid, VectorKernels.distance(metric.code, query, nodes(id).vector))
+        (eid, VectorKernels.distance(metric.code, query, vectorOf(id)))
       }
   }
 
   /** Greedy descent on one layer until no neighbor improves. */
   private def greedyClosest(start: Int, query: Array[Float], layer: Int): (Int, Double) = {
     var current = start
-    var currentDist = rankDistance(nodes(current).vector, query)
+    var currentDist = rankToQuery(current, query)
     var moved = true
     while (moved) {
       moved = false
@@ -226,7 +260,7 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
         while (i < conns.length) {
           val nb = nodeAt(conns(i))
           if (nb != null) {
-            val d = rankDistance(nb.vector, query)
+            val d = rankToQuery(conns(i), query)
             if (d < currentDist) { current = conns(i); currentDist = d; moved = true }
           }
           i += 1
@@ -236,24 +270,33 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
     (current, currentDist)
   }
 
-  /** ef-bounded best-first exploration of one layer. */
+  /** ef-bounded best-first exploration of one layer.
+    *
+    * Hot path of every insert (ef_construction=100 × up-to-m0 neighbor
+    * expansions per step): the frontier/result heaps are primitive
+    * parallel-array heaps ([[Hnsw.PairHeap]]) whose ordering is
+    * bit-identical to the boxed `Ordering.Tuple2[Double, Int]` they
+    * replaced, so graph construction (and the fixture oracle pinning it)
+    * is unchanged while the build avoids per-edge tuple boxing. */
   private def searchLayer(ep: Int, query: Array[Float], layer: Int,
       ef: Int): Seq[(Int, Double)] = {
     if (nodeAt(ep) == null) return Seq.empty
     val visited = new java.util.BitSet(nextId)
     visited.set(ep)
-    // closest-first: (dist asc, id asc); worst-first: (dist desc, id desc)
-    val candidates = mutable.PriorityQueue.empty[(Double, Int)](
-      Ordering.Tuple2[Double, Int].reverse)
-    val results = mutable.PriorityQueue.empty[(Double, Int)]
-    val d0 = rankDistance(nodes(ep).vector, query)
-    candidates.enqueue((d0, ep))
-    results.enqueue((d0, ep))
+    // closest-first frontier: (dist asc, id asc); result set keeps its
+    // worst entry on top: (dist desc, id desc)
+    val candidates = new PairHeap(max = false)
+    val results = new PairHeap(max = true)
+    val d0 = rankToQuery(ep, query)
+    candidates.add(d0, ep)
+    results.add(d0, ep)
 
     var done = false
     while (!done && candidates.nonEmpty) {
-      val (curDist, curId) = candidates.dequeue()
-      val worst = if (results.nonEmpty) results.head._1 else Double.PositiveInfinity
+      val curDist = candidates.topDist
+      val curId = candidates.topId
+      candidates.removeTop()
+      val worst = if (results.nonEmpty) results.topDist else Double.PositiveInfinity
       if (results.size >= ef && curDist > worst) done = true
       else {
         val node = nodes(curId)
@@ -266,12 +309,12 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
               visited.set(neighborId)
               val nb = nodeAt(neighborId)
               if (nb != null) {
-                val d = rankDistance(nb.vector, query)
-                val w = if (results.nonEmpty) results.head._1 else Double.PositiveInfinity
+                val d = rankToQuery(neighborId, query)
+                val w = if (results.nonEmpty) results.topDist else Double.PositiveInfinity
                 if (results.size < ef || d < w) {
-                  candidates.enqueue((d, neighborId))
-                  results.enqueue((d, neighborId))
-                  if (results.size > ef) results.dequeue()
+                  candidates.add(d, neighborId)
+                  results.add(d, neighborId)
+                  if (results.size > ef) results.removeTop()
                 }
               }
             }
@@ -280,7 +323,13 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
         }
       }
     }
-    results.toSeq.map { case (d, id) => (id, d) }
+    val out = new Array[(Int, Double)](results.size)
+    var i = 0
+    while (i < out.length) {
+      out(i) = (results.idAt(i), results.distAt(i))
+      i += 1
+    }
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** Bound a node's layer degree to m/m0 by rank distance (ties by
@@ -293,7 +342,7 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
       val kept = node.connections(layer).toSeq
         .flatMap { id =>
           val nb = nodeAt(id)
-          if (nb == null) None else Some((id, rankDistance(node.vector, nb.vector)))
+          if (nb == null) None else Some((id, rankNodes(nodeId, id)))
         }
         .sortBy(t => (t._2, t._1)).take(limit).map(_._1)
       node.connections(layer).clear()
@@ -314,6 +363,74 @@ object Hnsw {
         "ef_construction must be in [m, 1e6]")
       require(efSearch > 0 && efSearch <= 1000000, "ef_search must be in (0, 1e6]")
       require(maxLevel > 0 && maxLevel <= 64, "max_level must be in (0, 64]")
+    }
+  }
+
+  /** Primitive (dist, id) binary heap over parallel arrays — the
+    * allocation-free replacement for `PriorityQueue[(Double, Int)]` in
+    * the graph walk. Ordering is exactly `Ordering.Tuple2[Double, Int]`
+    * (i.e. `java.lang.Double.compare`, ties by id): `max=true` keeps the
+    * LARGEST pair on top (result set, top = current worst), `max=false`
+    * the smallest (closest-first frontier). Callers iterate the raw heap
+    * array via `idAt`/`distAt` and sort downstream — heap-internal order
+    * carries no semantics, same as `PriorityQueue.toSeq` before it. */
+  private[index] final class PairHeap(max: Boolean, initial: Int = 64) {
+    private var dists = new Array[Double](initial)
+    private var ids = new Array[Int](initial)
+    private var n = 0
+
+    def size: Int = n
+    def nonEmpty: Boolean = n > 0
+    def topDist: Double = dists(0)
+    def topId: Int = ids(0)
+    def distAt(i: Int): Double = dists(i)
+    def idAt(i: Int): Int = ids(i)
+
+    /** True when (d1, i1) should sit above (d2, i2). */
+    private def before(d1: Double, i1: Int, d2: Double, i2: Int): Boolean = {
+      val c = java.lang.Double.compare(d1, d2)
+      if (c != 0) { if (max) c > 0 else c < 0 }
+      else { if (max) i1 > i2 else i1 < i2 }
+    }
+
+    def add(d: Double, id: Int): Unit = {
+      if (n == dists.length) {
+        dists = java.util.Arrays.copyOf(dists, n * 2)
+        ids = java.util.Arrays.copyOf(ids, n * 2)
+      }
+      var i = n
+      n += 1
+      while (i > 0 && {
+        val p = (i - 1) >> 1
+        before(d, id, dists(p), ids(p))
+      }) {
+        val p = (i - 1) >> 1
+        dists(i) = dists(p); ids(i) = ids(p)
+        i = p
+      }
+      dists(i) = d; ids(i) = id
+    }
+
+    def removeTop(): Unit = {
+      n -= 1
+      val d = dists(n)
+      val id = ids(n)
+      var i = 0
+      var sifting = n > 0
+      while (sifting) {
+        val l = 2 * i + 1
+        if (l >= n) sifting = false
+        else {
+          var c = l
+          val r = l + 1
+          if (r < n && before(dists(r), ids(r), dists(l), ids(l))) c = r
+          if (before(dists(c), ids(c), d, id)) {
+            dists(i) = dists(c); ids(i) = ids(c)
+            i = c
+          } else sifting = false
+        }
+      }
+      if (n > 0) { dists(i) = d; ids(i) = id }
     }
   }
 

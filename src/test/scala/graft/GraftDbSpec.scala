@@ -320,19 +320,24 @@ class GraftDbSpec extends SparkSpec {
     assert(db.search("adp", q, 5).collect().map(_.getString(0)).toSeq === fixed)
   }
 
-  test("hnsw driver build refuses collections over the row cap, points at ivfpq") {
+  test("hnsw over the row cap: facade falls back to sharded, direct build refuses") {
     val db = new GraftDb(spark)
     db.createCollection("capped", 3, metric = "l2", index = "hnsw")
     db.batch("capped", (0 until 20).map(i =>
       db.EmbeddingInput(id = f"v$i%02d", vector = Array(i.toFloat, 0f, 0f))))
     spark.conf.set("spark.graft.hnsw.maxBuildRows", "10")
     try {
+      // facade search no longer errors: it serves the query through
+      // per-shard executor graphs (ShardedHnswSpec covers the mechanics)
+      assert(db.search("capped", Array(1f, 0f, 0f), 1).head.getString(0) === "v01")
+      // the raw driver builder keeps the hard cap + actionable message
+      val config = graft.core.CollectionConfig("capped", 3, graft.core.Metric.L2)
       val e = intercept[IllegalArgumentException] {
-        db.search("capped", Array(1f, 0f, 0f), 3)
+        graft.index.Hnsw.build(db.all("capped"), config)
       }
       assert(e.getMessage.contains("ivfpq"))
     } finally spark.conf.unset("spark.graft.hnsw.maxBuildRows")
-    // under the cap the same collection builds and searches fine
+    // under the cap the driver graph serves the same answer
     assert(db.search("capped", Array(1f, 0f, 0f), 1).head.getString(0) === "v01")
   }
 
