@@ -459,6 +459,13 @@ object Bench {
       val ehg = graft.index.Hnsw.build(ecoll, econfig)
       quality("emb_overlap10_hnsw") =
         eOverlap(ehg.search(eq, 10).map(_._1))
+      // DISTRIBUTED hnsw on the same representative corpus: the quality
+      // cost of sharding (each shard graph sees 1/4 of the rows) vs the
+      // single driver graph above
+      val eOneQ = Seq(("q0", Tables.queryVector(spark, sfDir, 0L).toSeq))
+        .toDF("qid", "qvector")
+      quality("emb_overlap10_hnsw_sharded") = eOverlap(dfIds(
+        graft.index.ShardedHnsw.searchMany(ecoll, econfig, eOneQ, 10, shards = 4)))
       ecoll.unpersist(blocking = true)
     } catch { case _: Throwable => quality("emb_overlap_failed") = -1.0 }
 

@@ -60,6 +60,12 @@ class IntegrationParitySpec extends SparkSpec {
       graft.ann.CosineLsh.LshConfig(), q, 1))
     modes("hnsw") = graft.index.Hnsw.build(coll, config)
       .search(Search.prepareQuery(config, q), 1).head._1
+    modes("hnsw_sharded") = {
+      import spark.implicits._
+      top1(graft.index.ShardedHnsw.searchMany(coll, config,
+        Seq(("q0", q.toSeq)).toDF("qid", "qvector"), 1, shards = 4)
+        .select("id"))
+    }
     val cents = graft.ann.IvfIndex.train(coll, config,
       graft.ann.IvfIndex.IvfConfig(k = 16, iterations = 5))
     modes("ivf_nprobe4") = top1(graft.ann.IvfIndex.search(coll, config,
