@@ -309,6 +309,31 @@ object Bench {
       if (exactFullIds.isEmpty) 1.0
       else exactFullIds.intersect(shardedIds).size.toDouble / exactFullIds.size
     graft.index.ShardedHnsw.clearCache(shKey)
+    // PERSISTED layout: the expensive per-shard builds amortize to a
+    // one-time write (synth_hnsw_layout_write, skipped when the layout
+    // is already on disk — rm -rf /tmp/graft_bench_hnsw_layout* for the
+    // true cold number); serving reconstructs graphs from stored
+    // adjacency with zero distance computations
+    val shLayout = s"/tmp/graft_bench_hnsw_layout_${SynthRecords}_$SynthDims"
+    if (!graft.ann.ModelStore.exists(spark,
+        shLayout + "/" + graft.ann.ModelStore.SidecarName))
+      results("synth_hnsw_layout_write") = time {
+        graft.index.ShardedHnsw.writeLayout(coll, config, shLayout)
+      }
+    graft.index.ShardedHnsw.clearCache(shLayout)
+    results("synth_hnsw_persisted_open_search") = time {
+      graft.index.ShardedHnsw.searchManyPersisted(spark, shLayout, config,
+        oneQuery, 10, cacheKey = shLayout).collect()
+    }
+    // repeated batches: co-partitioned state persisted once, graphs
+    // cached — per call there is no shuffle and no parquet decode
+    val shState = graft.index.ShardedHnsw.layoutState(spark, shLayout).persist()
+    results("synth_hnsw_persisted_batch64_perq") = bench {
+      graft.index.ShardedHnsw.searchManyPersisted(spark, shLayout, config,
+        queries64, 10, cacheKey = shLayout, state = Some(shState)).collect()
+    } / 64.0
+    shState.unpersist(blocking = true)
+    graft.index.ShardedHnsw.clearCache(shLayout)
     // MUVERA FDE vs exact MaxSim on the multi-vector corpus
     def fdeTopIds(qv: Seq[Array[Float]]): Seq[String] = {
       val fdeQ = graft.encode.Muvera.encode(qv, muvCfg, graft.encode.Muvera.QueryMode)

@@ -403,6 +403,28 @@ object TrainingQueries {
         .select(col("id"), col("score")), Seq("score"))
     }),
 
+    // PERSISTED sharded layout (build-once/serve-thereafter, like the
+    // quantized cachedLayout rows): shard graphs reconstruct from
+    // stored adjacency with zero distance computations. Same shard
+    // count + params as the build-path row above, and Hnsw.fromState
+    // round-trips bit-exactly, so the SAME stored-expected fixture
+    // oracle pins it.
+    "ann_hnsw_persisted_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val base = cachedLayout(s, dir, "hnsw4") { p =>
+        val coll = Tables.embeddingsCollection(s, dir, config)
+        graft.index.ShardedHnsw.writeLayout(coll.drop("metadata"), config,
+          p, shards = 4)
+      }
+      import s.implicits._
+      val queries = Seq(("q0", Tables.queryVector(s, dir, 0L).toSeq))
+        .toDF("qid", "qvector")
+      roundCols(graft.index.ShardedHnsw
+        .searchManyPersisted(s, base, config, queries, 10, cacheKey = base)
+        .select(col("id"), col("score")), Seq("score"))
+    }),
+
     // IVF: probing every cell must equal exact flat search (oracle =
     // the flat-cosine SQL); partial probe is the approximate scale path
     "ann_ivf_full_probe_topk" -> ((s, dir) => {
@@ -1356,6 +1378,15 @@ object TrainingQueries {
     // so the merged list coincides with the driver shim's. Regenerate
     // via GRAFT_VERIFY_ONLY=ann_hnsw_sharded_topk on deliberate change.
     "ann_hnsw_sharded_topk" ->
+      s"""SELECT id, (CAST(score AS DOUBLE) + 0) AS score FROM (VALUES
+           ('0', 1.0), ('365', 0.369994), ('334', 0.362722),
+           ('387', 0.331139), ('423', 0.296934), ('73', 0.295434),
+           ('7', 0.292842), ('320', 0.287861), ('190', 0.281795),
+           ('464', 0.276628)) AS t(id, score)""",
+    // the persisted layout serves bit-identically to the sharded build
+    // path (Hnsw.fromState round-trip, pinned in ShardedHnswSpec), so
+    // it shares the fixture
+    "ann_hnsw_persisted_topk" ->
       s"""SELECT id, (CAST(score AS DOUBLE) + 0) AS score FROM (VALUES
            ('0', 1.0), ('365', 0.369994), ('334', 0.362722),
            ('387', 0.331139), ('423', 0.296934), ('73', 0.295434),

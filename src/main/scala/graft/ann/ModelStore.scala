@@ -246,6 +246,27 @@ object ModelStore {
     (num(o("seed")).toLong, floats3(o("codebooks")))
   }
 
+  /** Sharded-HNSW layout sidecar: shard count + graph params (the
+    * adjacency itself lives in the parquet state rows). */
+  def saveHnsw(spark: SparkSession, path: String, shards: Int,
+      p: graft.index.Hnsw.Params): Unit =
+    writeString(spark, path, renderJson(JObj(Vector(
+      "kind" -> JStr("hnsw"), "shards" -> JNum(shards.toString),
+      "m" -> JNum(p.m.toString), "m0" -> JNum(p.m0.toString),
+      "ef_construction" -> JNum(p.efConstruction.toString),
+      "ef_search" -> JNum(p.efSearch.toString),
+      "max_level" -> JNum(p.maxLevel.toString)))))
+
+  def loadHnsw(spark: SparkSession,
+      path: String): (Int, graft.index.Hnsw.Params) = {
+    val o = load(spark, path, "hnsw")
+    (num(o("shards")).toInt, graft.index.Hnsw.Params(
+      m = num(o("m")).toInt, m0 = num(o("m0")).toInt,
+      efConstruction = num(o("ef_construction")).toInt,
+      efSearch = num(o("ef_search")).toInt,
+      maxLevel = num(o("max_level")).toInt))
+  }
+
   def saveIvf(spark: SparkSession, path: String,
       centroids: Array[Array[Float]]): Unit =
     writeString(spark, path, renderJson(JObj(Vector(

@@ -123,6 +123,15 @@ final class GraftDb(val spark: SparkSession) {
     val (df, config) = collection(name)
     config.index match {
       case "flat" => Search.flatSearch(df, config, query, limit)
+      case "hnsw" if openPaths.contains(name) =>
+        // opened from an at-rest layout: serve through the persisted
+        // shard graphs (reconstructed from adjacency, cached per path)
+        import spark.implicits._
+        val queries = Seq(("q", query.toSeq)).toDF("qid", "qvector")
+        val path = openPaths(name)
+        graft.index.ShardedHnsw.searchManyPersisted(spark, path, config,
+            queries, limit, cacheKey = path)
+          .select(col("id"), col("score"), col("distance"), col("metric"))
       case "hnsw" =>
         // driver parity graph below the build cap; above it, fall back
         // to the distributed per-shard graphs instead of erroring — a
@@ -295,6 +304,10 @@ final class GraftDb(val spark: SparkSession) {
       knownNq: Long = -1L): DataFrame = {
     val (df, config) = collection(name)
     config.index match {
+      case "hnsw" if openPaths.contains(name) =>
+        val path = openPaths(name)
+        graft.index.ShardedHnsw.searchManyPersisted(spark, path, config,
+          queries, limit, cacheKey = path)
       case "hnsw" =>
         // the DISTRIBUTED hnsw path: per-shard graphs on executors, no
         // driver build, no row cap — the scale answer the single-query
@@ -478,8 +491,17 @@ final class GraftDb(val spark: SparkSession) {
           .write.mode("overwrite").parquet(path)
       case "flat" =>
         CollectionStore.snapshot(df, config, path)
+      case "hnsw" =>
+        // per-shard graphs persisted WITH their adjacency: a cold open
+        // reconstructs them with zero distance computations, skipping
+        // the expensive build (the reference rebuilds from canonical;
+        // persisting the graph is this engine's extension, like the
+        // quantized families' model sidecars)
+        graft.index.ShardedHnsw.writeLayout(df, config, path,
+          shards = spark.conf.getOption("spark.graft.hnsw.shards")
+            .map(_.toInt).getOrElse(0))
       case other => throw new IllegalArgumentException(
-        s"index $other has no persistable layout (hnsw rebuilds from canonical — use snapshot)")
+        s"index $other has no persistable layout")
     }
     CollectionStore.writeConfig(spark, path, config)
   }
@@ -524,6 +546,11 @@ final class GraftDb(val spark: SparkSession) {
         else { pqCache.put(name, (cb, null)); ivfPqCache.put(name, full) }
       case "lsh" =>
         codedFrameCache.put(name, full)
+      case "hnsw" =>
+        // validate the sidecar now (a failed open must not bind the
+        // path); shard graphs themselves reconstruct lazily on first
+        // search, into the executor cache keyed by the layout path
+        graft.ann.ModelStore.loadHnsw(spark, idxSidecar(path))
       case "flat" => ()
       case other => throw new IllegalArgumentException(
         s"index $other has no persistable layout")
@@ -566,6 +593,8 @@ final class GraftDb(val spark: SparkSession) {
   private def writeAppend(name: String, config: CollectionConfig, path: String,
       prepared: DataFrame): Unit =
     config.index match {
+      case "hnsw" =>
+        graft.index.ShardedHnsw.appendLayout(spark, path, config, prepared)
       case "ivf" =>
         graft.ann.IvfIndex.appendPartitioned(spark, path, prepared,
           checkIds = false, cachedModel = ivfCache.get(name))

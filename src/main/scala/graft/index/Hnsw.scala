@@ -246,6 +246,25 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
       }
   }
 
+  /** Snapshot every live node for a persisted layout: adjacency by
+    * INTERNAL id (layer-major), vector copied out of the arena. The
+    * pair (exportState, [[Hnsw.fromState]]) round-trips the graph
+    * bit-exactly — loading replays NO inserts and computes NO
+    * distances, which is what makes a persisted sharded layout cheap
+    * to open compared to the reference's rebuild-from-canonical. */
+  def exportState(): Seq[Hnsw.NodeState] = {
+    val out = Seq.newBuilder[Hnsw.NodeState]
+    var i = 0
+    while (i < nodes.length) {
+      val n = nodes(i)
+      if (n != null)
+        out += Hnsw.NodeState(i, n.externalId, n.layer, vectorOf(i),
+          n.connections.map(_.toArray), entry.contains(i))
+      i += 1
+    }
+    out.result()
+  }
+
   /** Greedy descent on one layer until no neighbor improves. */
   private def greedyClosest(start: Int, query: Array[Float], layer: Int): (Int, Double) = {
     var current = start
@@ -449,6 +468,54 @@ object Hnsw {
   /** Reverse-ordering wrapper for deterministic entry re-election. */
   private[index] final case class Reverse(s: String) extends Ordered[Reverse] {
     override def compare(that: Reverse): Int = that.s.compareTo(s)
+  }
+
+  /** One persisted graph node: adjacency is layer-major arrays of
+    * INTERNAL ids (dense ints — stable across export/import). */
+  final case class NodeState(
+      internalId: Int, externalId: String, layer: Int,
+      vector: Array[Float], connections: Array[Array[Int]], isEntry: Boolean)
+
+  /** Reconstruct a graph from [[Hnsw#exportState]] rows (any order).
+    * Structure, entry point, and internal ids restore exactly, so
+    * searches are bit-identical to the instance that exported. Freed
+    * slots (gaps from pre-export deletes) are reclaimed smallest-first
+    * by later inserts — deterministic, though a live instance that had
+    * deleted in a different order could assign future ids differently;
+    * the persisted-layout flow (build → export → import → search)
+    * never hits that case. */
+  def fromState(metric: Metric, params: Params,
+      state: Seq[NodeState]): Hnsw = {
+    val g = new Hnsw(metric, params)
+    if (state.isEmpty) return g
+    val d = state.head.vector.length
+    val maxId = state.iterator.map(_.internalId).max
+    require(maxId >= 0 && state.forall(_.internalId >= 0), "negative internal id")
+    var i = 0
+    while (i <= maxId) { g.nodes += null; i += 1 }
+    state.foreach { ns =>
+      require(ns.vector.length == d, "mixed dimensions in graph state")
+      require(ns.connections.length == ns.layer + 1,
+        s"node ${ns.externalId}: ${ns.connections.length} layers of adjacency for layer ${ns.layer}")
+      require(g.nodes(ns.internalId) == null, s"duplicate internal id ${ns.internalId}")
+      val node = new g.Node(ns.externalId, ns.layer)
+      var l = 0
+      while (l <= ns.layer) { node.connections(l) ++= ns.connections(l); l += 1 }
+      g.nodes(ns.internalId) = node
+      g.arenaStore(ns.internalId, ns.vector)
+      require(g.externalToInternal.put(ns.externalId, ns.internalId).isEmpty,
+        s"duplicate external id ${ns.externalId}")
+      if (ns.isEntry) g.entry = Some(ns.internalId)
+      g.liveCount += 1
+    }
+    require(g.entry.nonEmpty, "graph state has no entry point")
+    g.nextId = maxId + 1
+    g.dimension = Some(d)
+    // gaps become the free-list, smallest last (reuse pops from the
+    // end, so smallest ids are reclaimed first — see scaladoc)
+    i = maxId
+    while (i >= 0) { if (g.nodes(i) == null) g.freeIds += i; i -= 1 }
+    g
   }
 
   /** Hard cap on driver-side graph builds. HNSW insertion is sequential

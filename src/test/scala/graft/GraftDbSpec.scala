@@ -122,7 +122,7 @@ class GraftDbSpec extends SparkSpec {
     // ivfpq on cosine = raw codes; on l2 = residual codes; both roads
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
         "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
-        "flat" -> "cosine")) {
+        "hnsw" -> "cosine", "flat" -> "cosine")) {
       val name = s"p_${idx}_$metric"
       db.createCollection(name, 4, metric = metric, index = idx)
       db.batch(name, vecs)
@@ -155,13 +155,6 @@ class GraftDbSpec extends SparkSpec {
         }
       }
     }
-    // hnsw is rebuild-from-canonical: persistIndex refuses with guidance
-    db.createCollection("p_hnsw", 4, index = "hnsw")
-    db.batch("p_hnsw", vecs)
-    val e = intercept[IllegalArgumentException] {
-      db.persistIndex("p_hnsw", "/tmp/graft_pi_hnsw")
-    }
-    assert(e.getMessage.contains("snapshot"))
     // re-persist over the same path is an overwrite, not an append
     val rpPath = java.nio.file.Files.createTempDirectory("graft_pi_rw").toString
     db.createCollection("p_rw", 4, metric = "l2", index = "sq8")
@@ -218,7 +211,7 @@ class GraftDbSpec extends SparkSpec {
     val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
         "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
-        "flat" -> "cosine")) {
+        "hnsw" -> "cosine", "flat" -> "cosine")) {
       val name = s"ap_${idx}_$metric"
       db.createCollection(name, 4, metric = metric, index = idx)
       db.batch(name, vecs)

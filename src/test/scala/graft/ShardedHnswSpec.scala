@@ -93,6 +93,58 @@ class ShardedHnswSpec extends SparkSpec {
     assert(after.nonEmpty && after.head != "t7_m0", s"deleted id served from stale shard cache: $after")
   }
 
+  test("fromState round-trips a graph with deletes bit-exactly") {
+    val config = CollectionConfig("rt", dims)
+    val g = new Hnsw(config.metric, Hnsw.Params())
+    val rows = clusteredRows.take(120).map { case (id, v) =>
+      (id, Search.prepareQuery(config, v))
+    }.sortBy(_._1)
+    g.insertMany(rows)
+    // deletes leave free-list gaps + force entry re-election paths
+    g.delete("t0_m0"); g.delete("t3_m5"); g.delete("t9_m9")
+    val loaded = Hnsw.fromState(config.metric, Hnsw.Params(), g.exportState())
+    assert(loaded.size === g.size)
+    val q = Search.prepareQuery(config, synth(-55L))
+    assert(loaded.search(q, 10) === g.search(q, 10))
+    // the round-tripped graph keeps evolving identically: same insert
+    // lands on the same internal slot and produces the same results
+    val extra = ("zz_new", Search.prepareQuery(config, synth(-56L)))
+    g.insert(extra._1, extra._2)
+    loaded.insert(extra._1, extra._2)
+    assert(loaded.search(q, 10) === g.search(q, 10))
+  }
+
+  test("persisted layout: open serves bit-identically to the build path, cold and cached") {
+    val config = CollectionConfig("shp", dims)
+    val coll = graft.prepare.Prepare
+      .prepareEmbeddings(embeddingRows(clusteredRows), config).persist()
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_layout").toString
+    val queries = (0 until 3).map { k =>
+      val base = synth(500L + 5 * k)
+      (s"q$k", Array.tabulate(dims)(i => base(i) + 0.004f * synth(-800L - k)(i)).toSeq)
+    }.toDF("qid", "qvector")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._3, t._2)).toSeq
+    val built = rows(ShardedHnsw.searchMany(coll, config, queries, 5, shards = 4))
+    ShardedHnsw.writeLayout(coll, config, dir, shards = 4)
+    // cold: graphs reconstruct from adjacency (cacheKey empty)
+    val cold = rows(ShardedHnsw.searchManyPersisted(spark, dir, config, queries, 5))
+    assert(cold === built)
+    // cached: first call fills the executor cache, second serves from it
+    val c1 = rows(ShardedHnsw.searchManyPersisted(spark, dir, config, queries, 5,
+      cacheKey = dir))
+    val c2 = rows(ShardedHnsw.searchManyPersisted(spark, dir, config, queries, 5,
+      cacheKey = dir))
+    assert(c1 === built && c2 === built)
+    ShardedHnsw.clearCache(dir)
+    // canonical columns survive in the state rows (CRUD reads them back)
+    val state = spark.read.parquet(dir)
+    assert(Seq("id", "vector", "internal_id", "layer", "connections", "is_entry")
+      .forall(state.columns.contains))
+    coll.unpersist()
+  }
+
   test("single search above maxBuildRows falls back to sharded graphs instead of erroring") {
     val db = new graft.api.GraftDb(spark)
     db.createCollection("shcap", dims, index = "hnsw")
