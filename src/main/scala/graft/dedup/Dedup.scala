@@ -152,10 +152,30 @@ object Dedup {
     * round truncates the otherwise exponentially-growing plan lineage.
     * Returns (id, cluster_id) with cluster_id = component minimum. */
   def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
-      maxIter: Int = 100): DataFrame = {
-    val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
-      .localCheckpoint()
+      maxIter: Int = 100, maxLocalPairs: Int = -1): DataFrame = {
+    // HYBRID: duplicate-pair sets are usually tiny relative to the
+    // corpus (banded LSH + verification prunes hard), and the iterative
+    // loop below costs ~4 jobs per round — at gate scale that fixed
+    // overhead dominates the row. When a bounded collect proves the
+    // pair set small, run exact union-find on the driver and broadcast
+    // the labels: identical output (component minimum, Spark's
+    // UTF8String binary order for strings), ZERO iterative jobs. The
+    // distributed pointer-jumping loop remains the path for pair sets
+    // that do not fit one collect.
+    val localCap =
+      if (maxLocalPairs >= 0) maxLocalPairs
+      else df.sparkSession.conf.getOption("spark.graft.dedup.maxLocalPairs")
+        .map(_.toInt).getOrElse(DefaultMaxLocalPairs)
+    val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
+    if (localCap > 0) {
+      val sample = p.limit(localCap + 1).collect()
+      if (sample.length <= localCap) {
+        lastClusterRounds = 0
+        return clustersLocal(df, idCol, p, sample)
+      }
+    }
+    val edges = p.select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(p.select(col("id_b").as("src"), col("id_a").as("dst")))
     var labels = df.select(col(idCol).as("id"))
       .withColumn("cluster_id", col("id")).localCheckpoint()
     var converged = false
@@ -186,8 +206,71 @@ object Dedup {
   }
 
   /** Rounds the last [[clusters]] call took to converge (spec hook for
-    * the O(log diameter) bound). */
+    * the O(log diameter) bound; 0 = the driver union-find path). */
   @volatile private[graft] var lastClusterRounds: Int = 0
+
+  /** Pair sets at most this large cluster on the driver (~2M boxed ids
+    * peak). Override per call or via `spark.graft.dedup.maxLocalPairs`
+    * (0 disables the local path). */
+  val DefaultMaxLocalPairs = 1000000
+
+  /** `least`/`min` ordering Spark applies to the id column: numeric, or
+    * unsigned UTF-8 byte order for strings (UTF8String.compareTo) — the
+    * driver path must pick the SAME component minimum. */
+  private def idLess(a: Any, b: Any): Boolean = (a, b) match {
+    case (x: Long, y: Long) => x < y
+    case (x: Int, y: Int) => x < y
+    case (x: Short, y: Short) => x < y
+    case (x: String, y: String) => java.util.Arrays.compareUnsigned(
+      x.getBytes("UTF-8"), y.getBytes("UTF-8")) < 0
+    case _ => throw new IllegalArgumentException(
+      s"unsupported cluster id type ${a.getClass.getName}")
+  }
+
+  /** Driver union-find over a collected pair sample: exact same
+    * (id, component-min) labels as the distributed loop, one broadcast
+    * join instead of O(log diameter) iterations. */
+  private def clustersLocal(df: DataFrame, idCol: String, p: DataFrame,
+      sample: Array[org.apache.spark.sql.Row]): DataFrame = {
+    val spark = df.sparkSession
+    val parent = new java.util.HashMap[Any, Any]()
+    def find(x: Any): Any = {
+      var root = x
+      var pr = parent.get(root)
+      while (pr != null && pr != root) { root = pr; pr = parent.get(root) }
+      // path compression
+      var cur = x
+      while (cur != root) { val nxt = parent.get(cur); parent.put(cur, root); cur = nxt }
+      root
+    }
+    sample.foreach { r =>
+      val a = r.get(0); val b = r.get(1)
+      val ra = find(a); val rb = find(b)
+      if (ra != rb) parent.put(ra, rb)
+      parent.putIfAbsent(a, ra); parent.putIfAbsent(b, rb)
+    }
+    // component minimum per root, then one label row per participant
+    val minOf = new java.util.HashMap[Any, Any]()
+    val nodes = new java.util.ArrayList[Any](parent.keySet())
+    nodes.forEach { n =>
+      val r = find(n)
+      val cur = minOf.get(r)
+      if (cur == null || idLess(n, cur)) minOf.put(r, n)
+    }
+    val idType = p.schema("id_a").dataType
+    val rows = new java.util.ArrayList[org.apache.spark.sql.Row](nodes.size())
+    nodes.forEach { n =>
+      rows.add(org.apache.spark.sql.Row(n, minOf.get(find(n))))
+    }
+    val labelDf = spark.createDataFrame(rows,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id", idType),
+        org.apache.spark.sql.types.StructField("_local_label", idType))))
+    df.select(col(idCol).as("id"))
+      .join(org.apache.spark.sql.functions.broadcast(labelDf), Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("_local_label"), col("id")).as("cluster_id"))
+  }
 
   /** End-to-end near-dup removal: MinHash-LSH verified pairs ->
     * connected components -> keep only each cluster's canonical (minimum

@@ -174,6 +174,10 @@ object ShardedHnsw {
     graft.ann.ModelStore.saveHnsw(spark,
       path.stripSuffix("/") + "/" + graft.ann.ModelStore.SidecarName,
       nShards, p)
+    // a rewrite invalidates any graphs cached under this path — without
+    // this, re-persisting different data to the same path would serve
+    // the OLD graphs to path-keyed readers
+    clearCache(path)
   }
 
   /** Append prepared canonical rows to an at-rest layout IN PLACE:
@@ -262,12 +266,6 @@ object ShardedHnsw {
     clearCache(path) // cached executor graphs are stale for this layout
   }
 
-  /** Batch search over an at-rest layout written by [[writeLayout]]:
-    * shard graphs reconstruct from persisted adjacency (no inserts, no
-    * distance calls) into the executor cache under `cacheKey` — pass
-    * the layout path (stable across sessions); "" rebuilds every call.
-    * Results are bit-identical to `searchMany` over the same rows with
-    * the layout's shard count and params. */
   /** Co-partition layout state so every shard's rows share one task —
     * the shape [[searchManyPersisted]] wants. Repeated-batch callers
     * should `.persist()` the result and pass it as `state`: serving
@@ -280,6 +278,12 @@ object ShardedHnsw {
     spark.read.parquet(path).repartition(nShards, col("hnsw_shard"))
   }
 
+  /** Batch search over an at-rest layout written by [[writeLayout]]:
+    * shard graphs reconstruct from persisted adjacency (no inserts, no
+    * distance calls) into the executor cache under `cacheKey` — pass
+    * the layout path (stable across sessions); "" rebuilds every call.
+    * Results are bit-identical to `searchMany` over the same rows with
+    * the layout's shard count and params. */
   def searchManyPersisted(spark: org.apache.spark.sql.SparkSession,
       path: String, config: CollectionConfig, queries: DataFrame,
       limit: Int, cacheKey: String = "",

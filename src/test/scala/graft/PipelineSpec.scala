@@ -217,13 +217,34 @@ class PipelineSpec extends SparkSpec {
     val ids = (0 until 40).map(i => f"c$i%02d")
     val df = ids.toDF("id")
     val pairs = ids.zip(ids.tail).toDF("id_a", "id_b")
-    val out = Dedup.clusters(df, "id", pairs).collect()
+    // maxLocalPairs = 0 forces the DISTRIBUTED loop (small pair sets
+    // default to driver union-find)
+    val out = Dedup.clusters(df, "id", pairs, maxLocalPairs = 0).collect()
       .map(r => r.getString(0) -> r.getString(1)).toMap
     assert(out.values.toSet === Set("c00"))
     // pointer jumping: a 40-node chain (diameter 39) must converge in
     // O(log) rounds, not O(diameter)
-    assert(Dedup.lastClusterRounds <= 10,
-      s"expected O(log d) rounds, took ${Dedup.lastClusterRounds}")
+    assert(Dedup.lastClusterRounds > 0 && Dedup.lastClusterRounds <= 10,
+      s"expected O(log d) distributed rounds, took ${Dedup.lastClusterRounds}")
+  }
+
+  test("clusters: driver union-find path is identical to the distributed loop") {
+    // mixed components incl. a chain, a star, singletons; string ids
+    // exercise the UTF8-binary min rule
+    val ids = (0 until 60).map(i => f"n$i%02d") :+ "zz" :+ "AA"
+    val df = ids.toDF("id")
+    val pairs = (
+      (0 until 9).map(i => (f"n$i%02d", f"n${i + 1}%02d")) ++   // chain n00..n09
+      (20 until 25).map(i => (f"n$i%02d", "n30")) ++            // star at n30
+      Seq(("zz", "AA"))                                         // AA < zz in both orders
+    ).toDF("id_a", "id_b")
+    def sorted(d: org.apache.spark.sql.DataFrame) =
+      d.collect().map(r => (r.getString(0), r.getString(1))).sortBy(identity).toSeq
+    val local = sorted(Dedup.clusters(df, "id", pairs)) // default: local path
+    assert(Dedup.lastClusterRounds === 0, "small pair set should take the driver path")
+    val dist = sorted(Dedup.clusters(df, "id", pairs, maxLocalPairs = 0))
+    assert(Dedup.lastClusterRounds > 0)
+    assert(local === dist)
   }
 
   test("dropNearDuplicates keeps one canonical row per duplicate cluster") {

@@ -145,6 +145,31 @@ class ShardedHnswSpec extends SparkSpec {
     coll.unpersist()
   }
 
+  test("re-persisting different data to the same path invalidates cached graphs") {
+    val config = CollectionConfig("shrp", dims)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_repersist").toString
+    val rowsA = clusteredRows.take(100)  // topics 0..9
+    val collA = graft.prepare.Prepare
+      .prepareEmbeddings(embeddingRows(rowsA), config)
+    ShardedHnsw.writeLayout(collA, config, dir, shards = 2)
+    val base2 = synth(500L + 2)
+    val queries = Seq(("q0",
+      Array.tabulate(dims)(i => base2(i) + 0.004f * synth(-22L)(i)).toSeq))
+      .toDF("qid", "qvector")
+    def top1() = ShardedHnsw.searchManyPersisted(spark, dir, config,
+      queries, 1, cacheKey = dir).collect().head.getString(1)
+    assert(top1() === "t2_m0") // fills the path-keyed cache
+    // overwrite the layout with topics 10..19 only: the cached graphs
+    // are stale and MUST be dropped by the rewrite
+    val collB = graft.prepare.Prepare
+      .prepareEmbeddings(embeddingRows(clusteredRows.slice(100, 200)), config)
+    ShardedHnsw.writeLayout(collB, config, dir, shards = 2)
+    val after = top1()
+    assert(!after.matches("t[0-9]_m.*"),
+      s"stale cached graph served a deleted id: $after")
+    ShardedHnsw.clearCache(dir)
+  }
+
   test("single search above maxBuildRows falls back to sharded graphs instead of erroring") {
     val db = new graft.api.GraftDb(spark)
     db.createCollection("shcap", dims, index = "hnsw")
