@@ -145,6 +145,33 @@ class ShardedHnswSpec extends SparkSpec {
     coll.unpersist()
   }
 
+  test("persisted serving plan: map-side rank cut, persisted state never re-shuffles") {
+    val config = CollectionConfig("shplan", dims)
+    val coll = graft.prepare.Prepare
+      .prepareEmbeddings(embeddingRows(clusteredRows), config)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_plan").toString
+    ShardedHnsw.writeLayout(coll, config, dir, shards = 4)
+    val state = ShardedHnsw.layoutState(spark, dir).persist()
+    state.count()
+    val queries = Seq(("q0", synth(-5L).toSeq)).toDF("qid", "qvector")
+    val df = ShardedHnsw.searchManyPersisted(spark, dir, config, queries, 5,
+      cacheKey = dir, state = Some(state))
+    val plan = df.queryExecution.executedPlan.toString
+    // per-shard top-k lists are cut BEFORE the merge exchange
+    assert(plan.contains("WindowGroupLimit"), s"no map-side rank cut:\n$plan")
+    // the co-partitioned persisted state serves from cached blocks; the
+    // ONLY exchange is the bounded shards*nq*limit merge
+    assert(plan.contains("InMemoryTableScan"), s"state not served from cache:\n$plan")
+    // count exchanges in the EXECUTING portion (above the cache scan —
+    // InMemoryRelation also prints the one-time repartition that built
+    // the cached blocks, which does not run per call)
+    val executing = plan.substring(0, plan.indexOf("InMemoryTableScan"))
+    assert("Exchange hashpartitioning".r.findAllIn(executing).size === 1,
+      s"persisted state re-shuffled:\n$plan")
+    state.unpersist(blocking = true)
+    ShardedHnsw.clearCache(dir)
+  }
+
   test("re-persisting different data to the same path invalidates cached graphs") {
     val config = CollectionConfig("shrp", dims)
     val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_repersist").toString
