@@ -247,24 +247,31 @@ object ModelStore {
   }
 
   /** Sharded-HNSW layout sidecar: shard count + graph params (the
-    * adjacency itself lives in the parquet state rows). */
+    * adjacency itself lives in the parquet state rows) + a version
+    * stamp that changes on EVERY rewrite/append — readers fold it into
+    * their cache keys, which is how executor-cached graphs on a real
+    * cluster learn the layout changed (the driver cannot reach their
+    * memory). */
   def saveHnsw(spark: SparkSession, path: String, shards: Int,
-      p: graft.index.Hnsw.Params): Unit =
+      p: graft.index.Hnsw.Params,
+      version: String = java.util.UUID.randomUUID().toString): Unit =
     writeString(spark, path, renderJson(JObj(Vector(
       "kind" -> JStr("hnsw"), "shards" -> JNum(shards.toString),
       "m" -> JNum(p.m.toString), "m0" -> JNum(p.m0.toString),
       "ef_construction" -> JNum(p.efConstruction.toString),
       "ef_search" -> JNum(p.efSearch.toString),
-      "max_level" -> JNum(p.maxLevel.toString)))))
+      "max_level" -> JNum(p.maxLevel.toString),
+      "version" -> JStr(version)))))
 
   def loadHnsw(spark: SparkSession,
-      path: String): (Int, graft.index.Hnsw.Params) = {
+      path: String): (Int, graft.index.Hnsw.Params, String) = {
     val o = load(spark, path, "hnsw")
     (num(o("shards")).toInt, graft.index.Hnsw.Params(
       m = num(o("m")).toInt, m0 = num(o("m0")).toInt,
       efConstruction = num(o("ef_construction")).toInt,
       efSearch = num(o("ef_search")).toInt,
-      maxLevel = num(o("max_level")).toInt))
+      maxLevel = num(o("max_level")).toInt),
+      o.get("version").map { case JStr(v) => v; case _ => "v0" }.getOrElse("v0"))
   }
 
   def saveIvf(spark: SparkSession, path: String,

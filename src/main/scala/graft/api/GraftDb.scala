@@ -139,8 +139,12 @@ final class GraftDb(val spark: SparkSession) {
         // bit-parity with the driver shim (sharded semantics).
         val cap = spark.conf.getOption("spark.graft.hnsw.maxBuildRows")
           .map(_.toLong).getOrElse(graft.index.Hnsw.DefaultMaxBuildRows)
-        if (hnswCache.contains(name) || df.count() <= cap) {
-          val g = hnswCache.getOrElseUpdate(name, graft.index.Hnsw.build(df, config))
+        // the routing count runs once per registry frame (mutations
+        // invalidate it), not once per query
+        lazy val n = hnswRowCount.getOrElseUpdate(name, df.count())
+        if (hnswCache.contains(name) || n <= cap) {
+          val g = hnswCache.getOrElseUpdate(name,
+            graft.index.Hnsw.build(df, config, knownCount = n))
           val q = Search.prepareQuery(config, query)
           import org.apache.spark.sql.types._
           val rows = g.search(q, limit).map { case (id, raw) =>
@@ -156,7 +160,7 @@ final class GraftDb(val spark: SparkSession) {
           import spark.implicits._
           val queries = Seq(("q", query.toSeq)).toDF("qid", "qvector")
           graft.index.ShardedHnsw.searchMany(df, config, queries, limit,
-              cacheKey = s"$name@${System.identityHashCode(df)}")
+              cacheKey = hnswKey(name))
             .select(col("id"), col("score"), col("distance"), col("metric"))
         }
       case "lsh" =>
@@ -219,6 +223,14 @@ final class GraftDb(val spark: SparkSession) {
   // acceleration structures (hnsw graphs, ivf centroids), invalidated on
   // every write (rebuildable state, like the reference's rebuild-on-load)
   private val hnswCache = scala.collection.concurrent.TrieMap.empty[String, graft.index.Hnsw]
+  // sharded-hnsw cache generation per name: bumped on every mutation, so
+  // executor caches (which the driver cannot clear on a cluster) miss on
+  // the new key and purge the old generation on first touch; also caches
+  // the row count that gates the driver-shim-vs-sharded routing
+  private val hnswGen = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private val hnswRowCount = scala.collection.concurrent.TrieMap.empty[String, Long]
+  private def hnswKey(name: String): String =
+    s"$name#${hnswGen.getOrElse(name, 0L)}"
   private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
   // quantizer state caches hold (model, PERSISTED coded frame) — without
   // the cached frame every query would re-run the encode UDF over the
@@ -272,7 +284,9 @@ final class GraftDb(val spark: SparkSession) {
   private def invalidateIndexCaches(name: String): Unit = {
     hnswCache.remove(name); ivfCache.remove(name)
     codedFrameCache.remove(name); openPaths.remove(name)
-    graft.index.ShardedHnsw.clearCache(s"$name@")
+    hnswRowCount.remove(name)
+    hnswGen.put(name, hnswGen.getOrElse(name, 0L) + 1L)
+    graft.index.ShardedHnsw.clearCache(s"$name#")
     sq8Cache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     pqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     ivfPqCache.remove(name).foreach(_.unpersist())
@@ -314,7 +328,7 @@ final class GraftDb(val spark: SparkSession) {
         // driver shim can't give. The cache key tracks the registry
         // frame instance, so any CRUD mutation (new frame) re-shards.
         graft.index.ShardedHnsw.searchMany(df, config, queries, limit,
-          cacheKey = s"$name@${System.identityHashCode(df)}")
+          cacheKey = hnswKey(name))
       case "lsh" =>
         graft.ann.CosineLsh.searchMany(codedFrameCache.getOrElse(name, df),
           config, graft.ann.CosineLsh.LshConfig(), queries, limit)
@@ -442,8 +456,10 @@ final class GraftDb(val spark: SparkSession) {
     * pruning. The reference's snapshot persists config exactly so load
     * doesn't re-derive it (collection.ex:444-457); this extends that
     * contract to the model artifacts — see [[openIndexed]] for the
-    * other half of the lifecycle. `hnsw` is rebuild-from-canonical by
-    * design (collection.ex:426-433): use [[snapshot]]. */
+    * other half of the lifecycle. `hnsw` persists its per-shard graphs
+    * WITH adjacency (the reference rebuilds from canonical,
+    * collection.ex:426-433 — the layout is this engine's extension), so
+    * reopening reconstructs them with zero distance computations. */
   def persistIndex(name: String, path: String): Unit = {
     val (df, config) = collection(name)
     config.index match {

@@ -65,9 +65,15 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
 
   private def arenaStore(id: Int, vector: Array[Float]): Unit = {
     val d = vector.length
-    val need = (id + 1) * d
+    val needL = (id.toLong + 1L) * d // Long math: rows*dims can pass 2^31
+    require(needL <= Int.MaxValue,
+      s"hnsw graph exceeds ${Int.MaxValue} floats (${id + 1} rows x $d dims) " +
+      "in one arena — shard the collection (more shards) or lower " +
+      "spark.graft.hnsw.maxBuildRows")
+    val need = needL.toInt
     if (arena.length < need) {
-      val grown = math.max(need, math.max(64 * d, arena.length * 2))
+      val grown = math.min(Int.MaxValue.toLong,
+        math.max(needL, math.max(64L * d, arena.length * 2L))).toInt
       arena = java.util.Arrays.copyOf(arena, grown)
     }
     System.arraycopy(vector, 0, arena, id * d, d)
@@ -534,11 +540,11 @@ object Hnsw {
     * (ivf / ivfpq / partitioned ivfpq) instead of a driver-resident
     * graph. The count is one cheap aggregate before the collect. */
   def build(df: DataFrame, config: CollectionConfig,
-      params: Params = Params()): Hnsw = {
+      params: Params = Params(), knownCount: Long = -1L): Hnsw = {
     val cap = df.sparkSession.conf
       .getOption("spark.graft.hnsw.maxBuildRows").map(_.toLong)
       .getOrElse(DefaultMaxBuildRows)
-    val n = df.count()
+    val n = if (knownCount >= 0) knownCount else df.count()
     require(n <= cap,
       s"hnsw build collects rows to the driver: $n rows exceeds the " +
       s"$cap cap (spark.graft.hnsw.maxBuildRows). At this scale use a " +

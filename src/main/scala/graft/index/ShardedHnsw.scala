@@ -41,9 +41,32 @@ object ShardedHnsw {
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, Int), Hnsw]
 
   /** Drop every cached shard graph whose cacheKey starts with `prefix`
-    * (facade invalidation uses a name-derived prefix). */
+    * (facade invalidation uses a name-derived prefix). NOTE: this runs
+    * in the CALLING JVM only — on a cluster, executor caches are
+    * invalidated by version-suffixed cache keys instead (see
+    * [[cachedGraph]]), not by this call. */
   def clearCache(prefix: String): Unit =
     cache.keys.filter(_._1.startsWith(prefix)).foreach(cache.remove)
+
+  /** Executor-side cache access. Keys carry their data version after
+    * the LAST '#' ("stable#version"): when a key with the same stable
+    * part but a different version is inserted, superseded entries are
+    * purged IN THIS JVM — so on a real cluster, where the driver's
+    * [[clearCache]] cannot reach executor memory, a layout rewrite or
+    * collection mutation both invalidates stale graphs (new version =
+    * cache miss) and bounds growth (old versions evicted on first
+    * touch). Versionless keys behave as before. */
+  private def cachedGraph(key: String, shard: Int)(build: => Hnsw): Hnsw = {
+    if (key.isEmpty) return build
+    val sep = key.lastIndexOf('#')
+    if (sep > 0) {
+      val stable = key.substring(0, sep + 1)
+      cache.keys.foreach { k =>
+        if (k._1.startsWith(stable) && k._1 != key) cache.remove(k)
+      }
+    }
+    cache.getOrElseUpdate((key, shard), build)
+  }
 
   /** Batch search: queries are (qid, qvector) rows, bounded (they
     * broadcast); returns (qid, id, score, distance, metric) like the
@@ -78,8 +101,7 @@ object ShardedHnsw {
         // getOrElseUpdate may build twice under a concurrent-first-use
         // race (one result wins); searches on a published graph are
         // read-only, so sharing it across tasks is safe
-        val g = if (key.isEmpty) freshGraph()
-          else cache.getOrElseUpdate((key, pid), freshGraph())
+        val g = cachedGraph(key, pid)(freshGraph())
         bq.value.iterator.flatMap { case (qid, qv) =>
           g.search(qv, lim).iterator.map { case (id, raw) =>
             (qid, id, raw, VectorKernels.rankValue(metric.code, raw))
@@ -106,7 +128,8 @@ object ShardedHnsw {
   /** Collect + prepare a bounded (qid, qvector) query frame. */
   private def preparedQueries(config: CollectionConfig,
       queries: DataFrame): Array[(String, Array[Float])] =
-    queries.select(col("qid").cast("string"), col("qvector"))
+    queries.select(col("qid").cast("string"),
+        col("qvector").cast("array<float>"))
       .collect()
       .map(r => (r.getString(0),
         Search.prepareQuery(config, r.getSeq[Float](1).toArray)))
@@ -194,7 +217,7 @@ object ShardedHnsw {
   def appendLayout(spark: org.apache.spark.sql.SparkSession, path: String,
       config: CollectionConfig, prepared: DataFrame): Unit = {
     import org.apache.spark.sql.{Encoders, Row}
-    val (nShards, params) = graft.ann.ModelStore.loadHnsw(spark,
+    val (nShards, params, _) = graft.ann.ModelStore.loadHnsw(spark,
       path.stripSuffix("/") + "/" + graft.ann.ModelStore.SidecarName)
     val state = spark.read.parquet(path)
     val graphCols = Seq("internal_id", "layer", "connections", "is_entry")
@@ -263,7 +286,14 @@ object ShardedHnsw {
     rebuilt.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("hnsw_shard").parquet(path)
-    clearCache(path) // cached executor graphs are stale for this layout
+    // params stay append-invariant, but the VERSION stamp rotates so
+    // version-keyed executor caches miss (a crash before this line
+    // serves the old version until the next successful append — the
+    // same window the data rewrite itself has)
+    graft.ann.ModelStore.saveHnsw(spark,
+      path.stripSuffix("/") + "/" + graft.ann.ModelStore.SidecarName,
+      nShards, params)
+    clearCache(path) // local-JVM hygiene; clusters rely on the version
   }
 
   /** Co-partition layout state so every shard's rows share one task —
@@ -273,7 +303,7 @@ object ShardedHnsw {
     * path re-shuffles the state every call). */
   def layoutState(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
-    val (nShards, _) = graft.ann.ModelStore.loadHnsw(spark,
+    val (nShards, _, _) = graft.ann.ModelStore.loadHnsw(spark,
       path.stripSuffix("/") + "/" + graft.ann.ModelStore.SidecarName)
     spark.read.parquet(path).repartition(nShards, col("hnsw_shard"))
   }
@@ -290,13 +320,15 @@ object ShardedHnsw {
       state: Option[DataFrame] = None): DataFrame = {
     require(limit > 0, "limit must be positive")
     import spark.implicits._
-    val (_, params) = graft.ann.ModelStore.loadHnsw(spark,
+    val (_, params, version) = graft.ann.ModelStore.loadHnsw(spark,
       path.stripSuffix("/") + "/" + graft.ann.ModelStore.SidecarName)
     val qs = preparedQueries(config, queries)
     val bq = spark.sparkContext.broadcast(qs)
     val metric = config.metric
     val p = params
-    val key = cacheKey
+    // fold the layout version into the key: a rewrite/append bumps it,
+    // so stale executor-cached graphs can never serve this layout
+    val key = if (cacheKey.isEmpty) "" else s"$cacheKey#$version"
     val lim = limit
     // a task groups its partition locally (a shard never spans tasks —
     // layoutState's contract), so cached-graph serving avoids the
@@ -312,8 +344,7 @@ object ShardedHnsw {
             rows.toSeq.map { case (_, iid, eid, layer, vec, conns, isEntry) =>
               Hnsw.NodeState(iid, eid, layer, vec, conns, isEntry)
             })
-          val g = if (key.isEmpty) fresh()
-            else cache.getOrElseUpdate((key, shard), fresh())
+          val g = cachedGraph(key, shard)(fresh())
           bq.value.iterator.flatMap { case (qid, qv) =>
             g.search(qv, lim).iterator.map { case (id, raw) =>
               (qid, id, raw, VectorKernels.rankValue(metric.code, raw))

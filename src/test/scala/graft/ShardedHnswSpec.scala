@@ -79,7 +79,9 @@ class ShardedHnswSpec extends SparkSpec {
       db.EmbeddingInput(id = id, vector = v) })
     val base = synth(500L + 7)
     val q = Array.tabulate(dims)(i => base(i) + 0.004f * synth(-77L)(i))
-    val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
+    // DOUBLE-typed query vectors: the facade casts to array<float> like
+    // every other index family's batch path
+    val queries = Seq(("q0", q.map(_.toDouble).toSeq)).toDF("qid", "qvector")
     val batchTop = db.searchMany("shdb", queries, 1)
       .collect().map(_.getAs[String]("id")).toSeq
     assert(batchTop === Seq("t7_m0"))
