@@ -29,6 +29,11 @@ object ModelStore {
 
   val SidecarName = "_graft_model.json"
 
+  /** The model sidecar path of a layout directory — the ONE place the
+    * naming/placement rule lives. */
+  def sidecarOf(path: String): String =
+    path.stripSuffix("/") + "/" + SidecarName
+
   // ------------------------------------------------------------ mini JSON
   // Hand-rolled on purpose: the build exposes only spark/java/scala
   // namespaces, and the schema here is closed (objects, arrays, numbers,

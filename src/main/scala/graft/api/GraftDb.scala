@@ -229,8 +229,12 @@ final class GraftDb(val spark: SparkSession) {
   // the row count that gates the driver-shim-vs-sharded routing
   private val hnswGen = scala.collection.concurrent.TrieMap.empty[String, Long]
   private val hnswRowCount = scala.collection.concurrent.TrieMap.empty[String, Long]
+  // the graph cache is JVM-global but generations are per-handle: the
+  // instance token keeps two GraftDb handles with same-named collections
+  // from serving each other's graphs
+  private val dbToken = java.util.UUID.randomUUID().toString.take(8)
   private def hnswKey(name: String): String =
-    s"$name#${hnswGen.getOrElse(name, 0L)}"
+    s"$name@$dbToken#${hnswGen.getOrElse(name, 0L)}"
   private val ivfCache = scala.collection.concurrent.TrieMap.empty[String, Array[Array[Float]]]
   // quantizer state caches hold (model, PERSISTED coded frame) — without
   // the cached frame every query would re-run the encode UDF over the
@@ -286,7 +290,7 @@ final class GraftDb(val spark: SparkSession) {
     codedFrameCache.remove(name); openPaths.remove(name)
     hnswRowCount.remove(name)
     hnswGen.put(name, hnswGen.getOrElse(name, 0L) + 1L)
-    graft.index.ShardedHnsw.clearCache(s"$name#")
+    graft.index.ShardedHnsw.clearCache(s"$name@$dbToken#")
     sq8Cache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     pqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     ivfPqCache.remove(name).foreach(_.unpersist())
@@ -514,8 +518,7 @@ final class GraftDb(val spark: SparkSession) {
         // persisting the graph is this engine's extension, like the
         // quantized families' model sidecars)
         graft.index.ShardedHnsw.writeLayout(df, config, path,
-          shards = spark.conf.getOption("spark.graft.hnsw.shards")
-            .map(_.toInt).getOrElse(0))
+          shards = confParsed("spark.graft.hnsw.shards", _.toInt).getOrElse(0))
       case other => throw new IllegalArgumentException(
         s"index $other has no persistable layout")
     }

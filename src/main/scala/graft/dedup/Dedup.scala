@@ -165,9 +165,14 @@ object Dedup {
     val localCap =
       if (maxLocalPairs >= 0) maxLocalPairs
       else df.sparkSession.conf.getOption("spark.graft.dedup.maxLocalPairs")
-        .map(_.toInt).getOrElse(DefaultMaxLocalPairs)
+        .map { v =>
+          try v.toInt catch {
+            case e: NumberFormatException => throw new IllegalArgumentException(
+              s"spark.graft.dedup.maxLocalPairs: cannot parse '$v'", e)
+          }
+        }.getOrElse(DefaultMaxLocalPairs)
     val p = pairs.select(col("id_a"), col("id_b")).localCheckpoint()
-    if (localCap > 0) {
+    if (localCap > 0 && localIdType(p.schema("id_a").dataType)) {
       val sample = p.limit(localCap + 1).collect()
       if (sample.length <= localCap) {
         lastClusterRounds = 0
@@ -213,6 +218,18 @@ object Dedup {
     * peak). Override per call or via `spark.graft.dedup.maxLocalPairs`
     * (0 disables the local path). */
   val DefaultMaxLocalPairs = 1000000
+
+  /** Id types whose driver-side ordering provably matches Spark's
+    * `least`/`min` — anything else stays on the distributed loop (no
+    * regression for exotic id types the old code handled). */
+  private def localIdType(dt: org.apache.spark.sql.types.DataType): Boolean =
+    dt match {
+      case org.apache.spark.sql.types.LongType |
+           org.apache.spark.sql.types.IntegerType |
+           org.apache.spark.sql.types.ShortType |
+           org.apache.spark.sql.types.StringType => true
+      case _ => false
+    }
 
   /** `least`/`min` ordering Spark applies to the id column: numeric, or
     * unsigned UTF-8 byte order for strings (UTF8String.compareTo) — the

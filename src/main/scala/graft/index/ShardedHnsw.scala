@@ -195,8 +195,7 @@ object ShardedHnsw {
     // emits exactly one directory per task — no tasks x cells fan-out
     state.write.mode("overwrite").partitionBy("hnsw_shard").parquet(path)
     graft.ann.ModelStore.saveHnsw(spark,
-      path.stripSuffix("/") + "/" + graft.ann.ModelStore.SidecarName,
-      nShards, p)
+      graft.ann.ModelStore.sidecarOf(path), nShards, p)
     // a rewrite invalidates any graphs cached under this path — without
     // this, re-persisting different data to the same path would serve
     // the OLD graphs to path-keyed readers
@@ -218,7 +217,7 @@ object ShardedHnsw {
       config: CollectionConfig, prepared: DataFrame): Unit = {
     import org.apache.spark.sql.{Encoders, Row}
     val (nShards, params, _) = graft.ann.ModelStore.loadHnsw(spark,
-      path.stripSuffix("/") + "/" + graft.ann.ModelStore.SidecarName)
+      graft.ann.ModelStore.sidecarOf(path))
     val state = spark.read.parquet(path)
     val graphCols = Seq("internal_id", "layer", "connections", "is_entry")
     val canonCols = state.columns.toSeq
@@ -291,8 +290,7 @@ object ShardedHnsw {
     // serves the old version until the next successful append — the
     // same window the data rewrite itself has)
     graft.ann.ModelStore.saveHnsw(spark,
-      path.stripSuffix("/") + "/" + graft.ann.ModelStore.SidecarName,
-      nShards, params)
+      graft.ann.ModelStore.sidecarOf(path), nShards, params)
     clearCache(path) // local-JVM hygiene; clusters rely on the version
   }
 
@@ -304,9 +302,13 @@ object ShardedHnsw {
   def layoutState(spark: org.apache.spark.sql.SparkSession,
       path: String): DataFrame = {
     val (nShards, _, _) = graft.ann.ModelStore.loadHnsw(spark,
-      path.stripSuffix("/") + "/" + graft.ann.ModelStore.SidecarName)
-    spark.read.parquet(path).repartition(nShards, col("hnsw_shard"))
+      graft.ann.ModelStore.sidecarOf(path))
+    layoutState(spark, path, nShards)
   }
+
+  private def layoutState(spark: org.apache.spark.sql.SparkSession,
+      path: String, nShards: Int): DataFrame =
+    spark.read.parquet(path).repartition(nShards, col("hnsw_shard"))
 
   /** Batch search over an at-rest layout written by [[writeLayout]]:
     * shard graphs reconstruct from persisted adjacency (no inserts, no
@@ -320,8 +322,9 @@ object ShardedHnsw {
       state: Option[DataFrame] = None): DataFrame = {
     require(limit > 0, "limit must be positive")
     import spark.implicits._
-    val (_, params, version) = graft.ann.ModelStore.loadHnsw(spark,
-      path.stripSuffix("/") + "/" + graft.ann.ModelStore.SidecarName)
+    // one sidecar read serves shards + params + version
+    val (nShards, params, version) = graft.ann.ModelStore.loadHnsw(spark,
+      graft.ann.ModelStore.sidecarOf(path))
     val qs = preparedQueries(config, queries)
     val bq = spark.sparkContext.broadcast(qs)
     val metric = config.metric
@@ -333,7 +336,7 @@ object ShardedHnsw {
     // a task groups its partition locally (a shard never spans tasks —
     // layoutState's contract), so cached-graph serving avoids the
     // groupByKey shuffle of the whole state frame per call
-    val perShard = state.getOrElse(layoutState(spark, path))
+    val perShard = state.getOrElse(layoutState(spark, path, nShards))
       .select(col("hnsw_shard").cast("int"), col("internal_id").cast("int"),
         col("id").cast("string"), col("layer").cast("int"),
         col("vector").cast("array<float>"), col("connections"), col("is_entry"))

@@ -35,9 +35,17 @@ object CollectionStore {
     * GraftDb.persistIndex for indexed at-rest layouts). */
   def writeConfig(spark: SparkSession, path: String,
       config: CollectionConfig): Unit = {
-    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val out = fs.create(new Path(path, ConfigFile), true)
+    // temp + atomic rename, like ModelStore.writeString: an in-place
+    // truncate would brick the layout if the JVM dies mid-write (valid
+    // data + model, unparseable config)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val dest = new Path(path, ConfigFile)
+    val fs = dest.getFileSystem(conf)
+    val tmp = new Path(path, ConfigFile + ".tmp")
+    val out = fs.create(tmp, true)
     try out.write(configJson(config).getBytes("UTF-8")) finally out.close()
+    org.apache.hadoop.fs.FileContext.getFileContext(dest.toUri, conf)
+      .rename(tmp, dest, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
   }
 
   /** Read the config sidecar alone. */

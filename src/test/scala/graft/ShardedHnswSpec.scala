@@ -174,6 +174,27 @@ class ShardedHnswSpec extends SparkSpec {
     ShardedHnsw.clearCache(dir)
   }
 
+  test("two GraftDb handles with the same collection name never share shard graphs") {
+    def fill(db: graft.api.GraftDb, rows: Seq[(String, Array[Float])]): Unit = {
+      db.createCollection("twin", dims, index = "hnsw")
+      db.batch("twin", rows.map { case (id, v) => db.EmbeddingInput(id = id, vector = v) })
+    }
+    val base2 = synth(500L + 2)
+    val queries = Seq(("q0",
+      Array.tabulate(dims)(i => base2(i) + 0.004f * synth(-22L)(i)).toSeq))
+      .toDF("qid", "qvector")
+    val dbA = new graft.api.GraftDb(spark)
+    fill(dbA, clusteredRows.take(100)) // topics 0..9
+    assert(dbA.searchMany("twin", queries, 1)
+      .collect().head.getAs[String]("id") === "t2_m0") // caches A's graphs
+    val dbB = new graft.api.GraftDb(spark)
+    fill(dbB, clusteredRows.slice(100, 200)) // topics 10..19 only
+    val topB = dbB.searchMany("twin", queries, 1)
+      .collect().head.getAs[String]("id")
+    assert(!topB.matches("t[0-9]_m.*"),
+      s"handle B served handle A's cached shard graphs: $topB")
+  }
+
   test("re-persisting different data to the same path invalidates cached graphs") {
     val config = CollectionConfig("shrp", dims)
     val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_repersist").toString
