@@ -93,7 +93,15 @@ object ModelStore {
       val sb = new StringBuilder
       while (at() != '"') {
         val c = at()
-        if (c == '\\') { sb.append(s.charAt(i + 1)); i += 2 }
+        if (c == '\\') {
+          // the writer only ever emits \" and \\ — anything else in a
+          // sidecar (a hand edit, a foreign tool's \n or \uXXXX) must
+          // fail loudly, not silently parse to the wrong string
+          if (i + 1 >= s.length) err("truncated escape")
+          val e = s.charAt(i + 1)
+          if (e != '"' && e != '\\') err(s"unsupported escape \\$e")
+          sb.append(e); i += 2
+        }
         else { sb.append(c); i += 1 }
       }
       i += 1

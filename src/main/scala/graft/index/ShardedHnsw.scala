@@ -37,8 +37,22 @@ import graft.search.Search
 object ShardedHnsw {
 
   // executor-JVM-local: each executor caches the graphs of the shards
-  // it has served; local mode holds all of them in the one JVM
-  private val cache = scala.collection.concurrent.TrieMap.empty[(String, Int), Hnsw]
+  // it has served; local mode holds all of them in the one JVM. Entries
+  // carry a last-touch stamp so the node-count budget below can evict
+  // least-recently-used graphs (a dropped/abandoned collection's graphs
+  // would otherwise stay pinned in executor memory forever — the driver
+  // cannot reach this map on a cluster).
+  private final class Entry(val graph: Hnsw) {
+    @volatile var lastAccess: Long = System.nanoTime()
+  }
+  private val cache = scala.collection.concurrent.TrieMap.empty[(String, Int), Entry]
+
+  /** Default for `spark.graft.hnsw.cacheMaxNodes`: total LIVE nodes
+    * across all cached shard graphs in one JVM. At 384 float dims a
+    * node is ~1.7 KB of arena + adjacency, so 4M nodes ≈ 7 GB — a
+    * deliberate executor-memory-sized bound, not a tuning knob users
+    * must find before things work. */
+  val DefaultCacheMaxNodes = 4000000L
 
   /** Drop every cached shard graph whose cacheKey starts with `prefix`
     * (facade invalidation uses a name-derived prefix). NOTE: this runs
@@ -48,6 +62,22 @@ object ShardedHnsw {
   def clearCache(prefix: String): Unit =
     cache.keys.filter(_._1.startsWith(prefix)).foreach(cache.remove)
 
+  private[graft] def cachedNodeCount: Long =
+    cache.values.iterator.map(_.graph.size.toLong).sum
+
+  /** Fold the shard count into the STABLE part of a cache key (before
+    * any '#version' suffix): graphs built under a different
+    * partitioning must be a guaranteed cache miss — with shards=0 the
+    * count tracks defaultParallelism, which changes under dynamic
+    * allocation, and reusing graphs from a different id-hash layout
+    * would duplicate/drop ids in the merged top-k. */
+  private def withShardCount(key: String, nShards: Int): String = {
+    if (key.isEmpty) return key
+    val sep = key.lastIndexOf('#')
+    if (sep > 0) key.substring(0, sep) + "|n" + nShards + key.substring(sep)
+    else key + "|n" + nShards
+  }
+
   /** Executor-side cache access. Keys carry their data version after
     * the LAST '#' ("stable#version"): when a key with the same stable
     * part but a different version is inserted, superseded entries are
@@ -55,8 +85,12 @@ object ShardedHnsw {
     * [[clearCache]] cannot reach executor memory, a layout rewrite or
     * collection mutation both invalidates stale graphs (new version =
     * cache miss) and bounds growth (old versions evicted on first
-    * touch). Versionless keys behave as before. */
-  private def cachedGraph(key: String, shard: Int)(build: => Hnsw): Hnsw = {
+    * touch). Versionless keys behave as before. After an insert, total
+    * cached nodes above `maxNodes` evict least-recently-used entries
+    * (never the one just inserted) so abandoned generations die without
+    * a same-prefix touch. */
+  private def cachedGraph(key: String, shard: Int,
+      maxNodes: Long = DefaultCacheMaxNodes)(build: => Hnsw): Hnsw = {
     if (key.isEmpty) return build
     val sep = key.lastIndexOf('#')
     if (sep > 0) {
@@ -65,8 +99,31 @@ object ShardedHnsw {
         if (k._1.startsWith(stable) && k._1 != key) cache.remove(k)
       }
     }
-    cache.getOrElseUpdate((key, shard), build)
+    val existing = cache.get((key, shard))
+    if (existing.isDefined) {
+      existing.get.lastAccess = System.nanoTime()
+      return existing.get.graph
+    }
+    val entry = cache.getOrElseUpdate((key, shard), new Entry(build))
+    entry.lastAccess = System.nanoTime()
+    var total = cachedNodeCount
+    while (total > maxNodes && cache.size > 1) {
+      val lru = cache.iterator
+        .filter(_._1 != (key, shard))
+        .minByOption(_._2.lastAccess)
+      lru match {
+        case Some((k, e)) => cache.remove(k); total -= e.graph.size
+        case None => return entry.graph
+      }
+    }
+    entry.graph
   }
+
+  /** The JVM-wide cached-node budget, read driver-side and shipped in
+    * the task closure (executors cannot see runtime SQL confs). */
+  private def cacheMaxNodes(spark: org.apache.spark.sql.SparkSession): Long =
+    spark.conf.getOption("spark.graft.hnsw.cacheMaxNodes")
+      .map(_.toLong).getOrElse(DefaultCacheMaxNodes)
 
   /** Batch search: queries are (qid, qvector) rows, bounded (they
     * broadcast); returns (qid, id, score, distance, metric) like the
@@ -84,7 +141,11 @@ object ShardedHnsw {
     val bq = spark.sparkContext.broadcast(qs)
     val metric = config.metric
     val p = params
-    val key = cacheKey
+    // shard count rides the stable key part: same cacheKey at a
+    // different nShards (defaultParallelism moved under dynamic
+    // allocation) must rebuild, not reuse another partitioning's graphs
+    val key = withShardCount(cacheKey, nShards)
+    val maxNodes = cacheMaxNodes(spark)
     val lim = limit
     val perShard = df
       .select(col("id").cast("string"), col("vector").cast("array<float>"))
@@ -101,7 +162,7 @@ object ShardedHnsw {
         // getOrElseUpdate may build twice under a concurrent-first-use
         // race (one result wins); searches on a published graph are
         // read-only, so sharing it across tasks is safe
-        val g = cachedGraph(key, pid)(freshGraph())
+        val g = cachedGraph(key, pid, maxNodes)(freshGraph())
         bq.value.iterator.flatMap { case (qid, qv) =>
           g.search(qv, lim).iterator.map { case (id, raw) =>
             (qid, id, raw, VectorKernels.rankValue(metric.code, raw))
@@ -280,17 +341,19 @@ object ShardedHnsw {
             }
         }
       }(Encoders.row(outSchema))
+    // params stay append-invariant, but the VERSION stamp rotates
+    // BEFORE the data rewrite: a crash between the two then leaves a
+    // NEW version over OLD data — version-keyed executor caches miss
+    // and rebuild a consistent (pre-append) view — instead of the
+    // reverse order's window where stale cached graphs keep serving
+    // against already-rewritten shard directories
+    graft.ann.ModelStore.saveHnsw(spark,
+      graft.ann.ModelStore.sidecarOf(path), nShards, params)
     // dynamic overwrite touches ONLY the shard directories present in
     // the written rows; the sidecar and untouched shards survive
     rebuilt.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("hnsw_shard").parquet(path)
-    // params stay append-invariant, but the VERSION stamp rotates so
-    // version-keyed executor caches miss (a crash before this line
-    // serves the old version until the next successful append — the
-    // same window the data rewrite itself has)
-    graft.ann.ModelStore.saveHnsw(spark,
-      graft.ann.ModelStore.sidecarOf(path), nShards, params)
     clearCache(path) // local-JVM hygiene; clusters rely on the version
   }
 
@@ -330,9 +393,20 @@ object ShardedHnsw {
     val metric = config.metric
     val p = params
     // fold the layout version into the key: a rewrite/append bumps it,
-    // so stale executor-cached graphs can never serve this layout
-    val key = if (cacheKey.isEmpty) "" else s"$cacheKey#$version"
+    // so stale executor-cached graphs can never serve this layout; the
+    // shard count rides the stable part like searchMany's key
+    val key = if (cacheKey.isEmpty) ""
+      else s"${withShardCount(cacheKey, nShards)}#$version"
+    val maxNodes = cacheMaxNodes(spark)
     val lim = limit
+    // caller-supplied state frames promise "a shard never spans tasks";
+    // trust-but-verify with the layout's true per-shard row counts — a
+    // mis-partitioned frame would cache PARTIAL shard graphs under
+    // (key, shard) and silently poison every later call with the key
+    val expected: Map[Int, Long] =
+      if (state.isDefined) shardCounts(spark, path, version) else Map.empty
+    val bexp = spark.sparkContext.broadcast(expected)
+    val validate = state.isDefined
     // a task groups its partition locally (a shard never spans tasks —
     // layoutState's contract), so cached-graph serving avoids the
     // groupByKey shuffle of the whole state frame per call
@@ -343,11 +417,17 @@ object ShardedHnsw {
       .as[(Int, Int, String, Int, Array[Float], Array[Array[Int]], Boolean)]
       .mapPartitions { it =>
         it.toArray.groupBy(_._1).iterator.flatMap { case (shard, rows) =>
+          if (validate && bexp.value.getOrElse(shard, 0L) != rows.length.toLong)
+            throw new IllegalArgumentException(
+              s"state frame violates the co-partition contract: shard $shard " +
+              s"holds ${rows.length} rows in this task, layout has " +
+              s"${bexp.value.getOrElse(shard, 0L)} — repartition the frame " +
+              "with ShardedHnsw.layoutState (a shard must never span tasks)")
           def fresh(): Hnsw = Hnsw.fromState(metric, p,
             rows.toSeq.map { case (_, iid, eid, layer, vec, conns, isEntry) =>
               Hnsw.NodeState(iid, eid, layer, vec, conns, isEntry)
             })
-          val g = cachedGraph(key, shard)(fresh())
+          val g = cachedGraph(key, shard, maxNodes)(fresh())
           bq.value.iterator.flatMap { case (qid, qv) =>
             g.search(qv, lim).iterator.map { case (id, raw) =>
               (qid, id, raw, VectorKernels.rankValue(metric.code, raw))
@@ -357,4 +437,16 @@ object ShardedHnsw {
       }
     mergeTopK(perShard.toDF("qid", "id", "raw", "rank"), config, limit)
   }
+
+  // per-(path#version) true per-shard row counts, computed once per
+  // driver JVM — the price of validating caller-supplied state frames
+  // is one footer-reading count job per layout generation, not per call
+  private val countsCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[Int, Long]]
+
+  private def shardCounts(spark: org.apache.spark.sql.SparkSession,
+      path: String, version: String): Map[Int, Long] =
+    countsCache.getOrElseUpdate(s"$path#$version",
+      spark.read.parquet(path).groupBy("hnsw_shard").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
 }

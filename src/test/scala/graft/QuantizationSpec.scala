@@ -384,6 +384,19 @@ class QuantizationSpec extends SparkSpec {
     // overwrite re-save replaces the sidecar in place (atomic rename)
     ModelStore.saveSq8(spark, s"$tmp/good.json", bad2Good(good))
     assert(ModelStore.loadSq8(spark, s"$tmp/good.json").mn.toSeq === bad2Good(good).mn.toSeq)
+    // the writer only emits \" and \\ — a hand-edited sidecar with any
+    // other escape (\n, \t, \uXXXX) must FAIL, not silently parse to
+    // wrong string content
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$tmp/esc.json"),
+      """{"kind":"hnsw","shards":2,"m":16,"m0":32,"ef_construction":200,"ef_search":50,"max_level":16,"version":"a\nb"}""".getBytes("UTF-8"))
+    val e3 = intercept[IllegalArgumentException] {
+      ModelStore.loadHnsw(spark, s"$tmp/esc.json")
+    }
+    assert(e3.getMessage.contains("unsupported escape"))
+    // ...while the two escapes the writer emits still round-trip
+    ModelStore.saveHnsw(spark, s"$tmp/escok.json", 2,
+      graft.index.Hnsw.Params(), version = """v"q\z""")
+    assert(ModelStore.loadHnsw(spark, s"$tmp/escok.json")._3 === """v"q\z""")
   }
 
   private def bad2Good(m: Sq8.Model): Sq8.Model =

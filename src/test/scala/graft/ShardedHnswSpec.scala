@@ -220,6 +220,93 @@ class ShardedHnswSpec extends SparkSpec {
     ShardedHnsw.clearCache(dir)
   }
 
+  test("same cacheKey at a different shard count is a cache miss, not a poisoned merge") {
+    val config = CollectionConfig("shkey", dims)
+    val coll = graft.prepare.Prepare
+      .prepareEmbeddings(embeddingRows(clusteredRows), config).persist()
+    val queries = (0 until 3).map { k =>
+      val base = synth(500L + 7 * k)
+      (s"q$k", Array.tabulate(dims)(i => base(i) + 0.004f * synth(-300L - k)(i)).toSeq)
+    }.toDF("qid", "qvector")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._3, t._2)).toSeq
+    // fill the cache under a 2-shard partitioning...
+    ShardedHnsw.searchMany(coll, config, queries, 5, shards = 2,
+      cacheKey = "shkey-fixed").collect()
+    // ...then the SAME key at 4 shards (dynamic allocation moving
+    // defaultParallelism has exactly this shape): graphs from the old
+    // partitioning hold different id sets, so reuse would duplicate
+    // and/or drop ids in the merged top-k
+    val reKeyed = rows(ShardedHnsw.searchMany(coll, config, queries, 5,
+      shards = 4, cacheKey = "shkey-fixed"))
+    val fresh = rows(ShardedHnsw.searchMany(coll, config, queries, 5, shards = 4))
+    assert(reKeyed === fresh)
+    assert(reKeyed.groupBy(t => (t._1, t._2)).forall(_._2.size == 1),
+      s"duplicate ids in merged top-k: $reKeyed")
+    ShardedHnsw.clearCache("shkey-fixed")
+    coll.unpersist()
+  }
+
+  test("caller-supplied state that is not co-partitioned fails loudly, never caches partial graphs") {
+    val config = CollectionConfig("shbad", dims)
+    val coll = graft.prepare.Prepare
+      .prepareEmbeddings(embeddingRows(clusteredRows), config)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_badstate").toString
+    ShardedHnsw.writeLayout(coll, config, dir, shards = 2)
+    val queries = Seq(("q0", synth(-5L).toSeq)).toDF("qid", "qvector")
+    // round-robin repartition splits shards across tasks — the contract
+    // violation the validation must catch (partial graphs cached under
+    // (key, shard) would silently poison every later call)
+    val bad = spark.read.parquet(dir).repartition(6)
+    val e = intercept[Exception] {
+      ShardedHnsw.searchManyPersisted(spark, dir, config, queries, 3,
+        cacheKey = dir, state = Some(bad)).collect()
+    }
+    def causes(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: causes(x.getCause))
+    assert(causes(e).exists(m => m != null && m.contains("co-partition")),
+      s"expected a co-partition contract error, got: $e")
+    // a CORRECTLY prepared frame still serves, and matches the cold path
+    val good = ShardedHnsw.layoutState(spark, dir)
+    val served = ShardedHnsw.searchManyPersisted(spark, dir, config, queries, 3,
+      cacheKey = dir, state = Some(good)).collect().map(_.getString(1)).toSeq
+    val cold = ShardedHnsw.searchManyPersisted(spark, dir, config, queries, 3)
+      .collect().map(_.getString(1)).toSeq
+    assert(served === cold)
+    ShardedHnsw.clearCache(dir)
+  }
+
+  test("cached graphs above the node budget evict least-recently-used entries") {
+    ShardedHnsw.clearCache("") // start from an empty JVM cache
+    val config = CollectionConfig("shlru", dims)
+    val coll = graft.prepare.Prepare
+      .prepareEmbeddings(embeddingRows(clusteredRows), config).persist() // 400 rows
+    val queries = Seq(("q0", synth(-5L).toSeq)).toDF("qid", "qvector")
+    // budget holds ONE 400-node generation (2 shards x 200) but not two
+    spark.conf.set("spark.graft.hnsw.cacheMaxNodes", "500")
+    try {
+      ShardedHnsw.searchMany(coll, config, queries, 3, shards = 2,
+        cacheKey = "lru-gen-a").collect()
+      assert(ShardedHnsw.cachedNodeCount === 400L)
+      ShardedHnsw.searchMany(coll, config, queries, 3, shards = 2,
+        cacheKey = "lru-gen-b").collect()
+      // gen-a (least recently used) was evicted to fit gen-b
+      assert(ShardedHnsw.cachedNodeCount <= 500L,
+        s"cache exceeded the node budget: ${ShardedHnsw.cachedNodeCount}")
+      // eviction never breaks correctness — evicted generations rebuild
+      val again = ShardedHnsw.searchMany(coll, config, queries, 3, shards = 2,
+        cacheKey = "lru-gen-a").collect().map(_.getString(1)).toSeq
+      val keyless = ShardedHnsw.searchMany(coll, config, queries, 3, shards = 2)
+        .collect().map(_.getString(1)).toSeq
+      assert(again === keyless)
+    } finally {
+      spark.conf.unset("spark.graft.hnsw.cacheMaxNodes")
+      ShardedHnsw.clearCache("lru-gen-")
+    }
+    coll.unpersist()
+  }
+
   test("single search above maxBuildRows falls back to sharded graphs instead of erroring") {
     val db = new graft.api.GraftDb(spark)
     db.createCollection("shcap", dims, index = "hnsw")
