@@ -47,6 +47,15 @@ object ShardedHnsw {
   }
   private val cache = scala.collection.concurrent.TrieMap.empty[(String, Int), Entry]
 
+  /** Evictions whose victim shares the just-inserted key's stable
+    * prefix — i.e. the node budget is smaller than ONE generation, so
+    * the cache thrashes sibling shards of the layout currently being
+    * served (100% miss from then on, correctness unaffected). Exposed
+    * so operators can alarm on budget-too-small instead of silently
+    * paying a rebuild per call. */
+  private val samePrefixEvictionCount = new java.util.concurrent.atomic.AtomicLong(0)
+  def samePrefixEvictions: Long = samePrefixEvictionCount.get()
+
   /** Default for `spark.graft.hnsw.cacheMaxNodes`: total LIVE nodes
     * across all cached shard graphs in one JVM. At 384 float dims a
     * node is ~1.7 KB of arena + adjacency, so 4M nodes ≈ 7 GB — a
@@ -106,13 +115,23 @@ object ShardedHnsw {
     }
     val entry = cache.getOrElseUpdate((key, shard), new Entry(build))
     entry.lastAccess = System.nanoTime()
+    val stablePrefix =
+      if (sep > 0) key.substring(0, sep + 1) else key
     var total = cachedNodeCount
     while (total > maxNodes && cache.size > 1) {
       val lru = cache.iterator
         .filter(_._1 != (key, shard))
         .minByOption(_._2.lastAccess)
       lru match {
-        case Some((k, e)) => cache.remove(k); total -= e.graph.size
+        case Some((k, _)) =>
+          // decrement only when WE removed it — a concurrent evictor
+          // may have beaten us, and double-subtracting would let the
+          // loop exit while the cache is still over budget
+          cache.remove(k).foreach { r =>
+            total -= r.graph.size
+            if (k._1.startsWith(stablePrefix))
+              samePrefixEvictionCount.incrementAndGet()
+          }
         case None => return entry.graph
       }
     }
@@ -342,11 +361,17 @@ object ShardedHnsw {
         }
       }(Encoders.row(outSchema))
     // params stay append-invariant, but the VERSION stamp rotates
-    // BEFORE the data rewrite: a crash between the two then leaves a
-    // NEW version over OLD data — version-keyed executor caches miss
-    // and rebuild a consistent (pre-append) view — instead of the
-    // reverse order's window where stale cached graphs keep serving
-    // against already-rewritten shard directories
+    // TWICE around the data rewrite. The pre-write rotation closes the
+    // crash window: dying mid-rewrite leaves a transient version over
+    // mixed data, so version-keyed executor caches miss and rebuild
+    // rather than serving stale graphs against rewritten directories.
+    // The post-write rotation closes the no-crash poisoning race: a
+    // concurrent reader that loads the sidecar DURING the rewrite
+    // caches half-appended graphs under the transient version — if
+    // that version survived the append, those entries would serve
+    // stale results forever; rotating again after commit supersedes
+    // them on first post-append touch (cachedGraph purges same-stable
+    // older-version entries).
     graft.ann.ModelStore.saveHnsw(spark,
       graft.ann.ModelStore.sidecarOf(path), nShards, params)
     // dynamic overwrite touches ONLY the shard directories present in
@@ -354,6 +379,8 @@ object ShardedHnsw {
     rebuilt.write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("hnsw_shard").parquet(path)
+    graft.ann.ModelStore.saveHnsw(spark,
+      graft.ann.ModelStore.sidecarOf(path), nShards, params)
     clearCache(path) // local-JVM hygiene; clusters rely on the version
   }
 
@@ -403,10 +430,12 @@ object ShardedHnsw {
     // trust-but-verify with the layout's true per-shard row counts — a
     // mis-partitioned frame would cache PARTIAL shard graphs under
     // (key, shard) and silently poison every later call with the key
-    val expected: Map[Int, Long] =
-      if (state.isDefined) shardCounts(spark, path, version) else Map.empty
-    val bexp = spark.sparkContext.broadcast(expected)
     val validate = state.isDefined
+    // broadcast once per (path, version) — null when not validating so
+    // the unvalidated path allocates no broadcast at all (the closure
+    // never dereferences it with validate=false)
+    val bexp: org.apache.spark.broadcast.Broadcast[Map[Int, Long]] =
+      if (validate) shardCounts(spark, path, version) else null
     // a task groups its partition locally (a shard never spans tasks —
     // layoutState's contract), so cached-graph serving avoids the
     // groupByKey shuffle of the whole state frame per call
@@ -438,15 +467,36 @@ object ShardedHnsw {
     mergeTopK(perShard.toDF("qid", "id", "raw", "rank"), config, limit)
   }
 
-  // per-(path#version) true per-shard row counts, computed once per
-  // driver JVM — the price of validating caller-supplied state frames
-  // is one footer-reading count job per layout generation, not per call
+  // True per-shard row counts of a layout generation, broadcast ONCE
+  // per (path, version) — the price of validating caller-supplied
+  // state frames is one footer-reading count job and one broadcast per
+  // layout generation, not per call. Keyed by PATH with only the
+  // LATEST version retained (mirroring cachedGraph's supersede): a
+  // long-lived driver appending in a loop holds one entry per layout,
+  // not one per generation, and superseded broadcasts are unpersisted
+  // so executors drop their blocks (not destroyed — a stale lazy frame
+  // still referencing one re-fetches from the driver instead of
+  // crashing).
+  private final case class CountsEntry(version: String,
+      bcast: org.apache.spark.broadcast.Broadcast[Map[Int, Long]])
   private val countsCache =
-    scala.collection.concurrent.TrieMap.empty[String, Map[Int, Long]]
+    scala.collection.concurrent.TrieMap.empty[String, CountsEntry]
+
+  private[graft] def countsCacheSize: Int = countsCache.size
 
   private def shardCounts(spark: org.apache.spark.sql.SparkSession,
-      path: String, version: String): Map[Int, Long] =
-    countsCache.getOrElseUpdate(s"$path#$version",
-      spark.read.parquet(path).groupBy("hnsw_shard").count()
-        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap)
+      path: String, version: String
+      ): org.apache.spark.broadcast.Broadcast[Map[Int, Long]] = {
+    val cur = countsCache.get(path)
+    if (cur.exists(_.version == version)) cur.get.bcast
+    else {
+      val counts = spark.read.parquet(path).groupBy("hnsw_shard").count()
+        .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+      val b = spark.sparkContext.broadcast(counts)
+      countsCache.put(path, CountsEntry(version, b))
+        .foreach(old => if (old.version != version)
+          old.bcast.unpersist(blocking = false))
+      b
+    }
+  }
 }

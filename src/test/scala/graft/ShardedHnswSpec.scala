@@ -307,6 +307,64 @@ class ShardedHnswSpec extends SparkSpec {
     coll.unpersist()
   }
 
+  test("appendLayout rotates the version past mid-rewrite readers; countsCache stays one entry per path") {
+    val config = CollectionConfig("shapp", dims)
+    val coll = graft.prepare.Prepare
+      .prepareEmbeddings(embeddingRows(clusteredRows), config)
+    val dir = java.nio.file.Files.createTempDirectory("graft_hnsw_append").toString
+    ShardedHnsw.writeLayout(coll, config, dir, shards = 2)
+    val sidecar = graft.ann.ModelStore.sidecarOf(dir)
+    val v0 = graft.ann.ModelStore.loadHnsw(spark, sidecar)._3
+    val queries = Seq(("q0", synth(500L + 40).toSeq)).toDF("qid", "qvector")
+    // validated (state-supplied) search fills the per-path counts cache
+    val before = ShardedHnsw.countsCacheSize
+    ShardedHnsw.searchManyPersisted(spark, dir, config, queries, 3,
+      cacheKey = dir, state = Some(ShardedHnsw.layoutState(spark, dir))).collect()
+    assert(ShardedHnsw.countsCacheSize === before + 1)
+    // append a planted exact-hit row the original corpus lacks
+    val added = graft.prepare.Prepare.prepareEmbeddings(
+      embeddingRows(Seq(("t40_new", synth(500L + 40)))), config)
+    ShardedHnsw.appendLayout(spark, dir, config, added)
+    val v1 = graft.ann.ModelStore.loadHnsw(spark, sidecar)._3
+    assert(v1 !== v0, "append must rotate the sidecar version")
+    // a cached reader under the OLD version is superseded, not served
+    // stale: the appended row is the query's nearest neighbor
+    val top = ShardedHnsw.searchManyPersisted(spark, dir, config, queries, 3,
+      cacheKey = dir, state = Some(ShardedHnsw.layoutState(spark, dir)))
+      .collect().map(_.getString(1)).toSeq
+    assert(top.head === "t40_new", s"appended row missing from cached serving: $top")
+    // new generation SUPERSEDED the old counts entry — same size, and
+    // another validated call on the same generation adds nothing
+    assert(ShardedHnsw.countsCacheSize === before + 1)
+    ShardedHnsw.searchManyPersisted(spark, dir, config, queries, 3,
+      cacheKey = dir, state = Some(ShardedHnsw.layoutState(spark, dir))).collect()
+    assert(ShardedHnsw.countsCacheSize === before + 1)
+    ShardedHnsw.clearCache(dir)
+  }
+
+  test("node budget smaller than one generation counts same-prefix evictions") {
+    ShardedHnsw.clearCache("")
+    val config = CollectionConfig("shthrash", dims)
+    val coll = graft.prepare.Prepare
+      .prepareEmbeddings(embeddingRows(clusteredRows), config).persist() // 400 rows
+    val queries = Seq(("q0", synth(-5L).toSeq)).toDF("qid", "qvector")
+    // 2 shards x 200 nodes; a 250-node budget cannot hold both shards
+    // of ONE generation — inserting shard B evicts sibling shard A
+    spark.conf.set("spark.graft.hnsw.cacheMaxNodes", "250")
+    try {
+      val evictionsBefore = ShardedHnsw.samePrefixEvictions
+      ShardedHnsw.searchMany(coll, config, queries, 3, shards = 2,
+        cacheKey = "thrash-gen").collect()
+      assert(ShardedHnsw.samePrefixEvictions > evictionsBefore,
+        "sibling-shard eviction under a too-small budget must be counted")
+      assert(ShardedHnsw.cachedNodeCount <= 250L)
+    } finally {
+      spark.conf.unset("spark.graft.hnsw.cacheMaxNodes")
+      ShardedHnsw.clearCache("thrash-gen")
+    }
+    coll.unpersist()
+  }
+
   test("single search above maxBuildRows falls back to sharded graphs instead of erroring") {
     val db = new graft.api.GraftDb(spark)
     db.createCollection("shcap", dims, index = "hnsw")
