@@ -391,12 +391,15 @@ object Bench {
     def cOverlap(ids: Seq[String]): Double =
       if (cExact.isEmpty) 1.0
       else cExact.toSet.intersect(ids.toSet).size.toDouble / cExact.size
-    val cFdeTop = clusteredFdeTop(muvCfg)
+    // the Config-DEFAULT repetitions (4): the operating point a naive
+    // user gets; repetitions is the paper-standard accuracy lever
+    val muvDefCfg = graft.encode.Muvera.Config(dimension = dims,
+      numSimhashProjections = 4, seed = 7L, projectionDimension = 16)
+    val cFdeTop = clusteredFdeTop(muvDefCfg)
     quality("emb_overlap10_muvera") = cOverlap(cFdeTop)
-    // the quality/cost knob: doubling repetitions tightens the FDE
-    // approximation (paper-standard accuracy lever) at 2x encode size
-    quality("emb_overlap10_muvera_r4") =
-      cOverlap(clusteredFdeTop(muvCfg.copy(numRepetitions = 4)))
+    quality("emb_overlap10_muvera_r4") = cOverlap(cFdeTop)
+    // the cheaper half-width ablation (the pre-default r2 point)
+    quality("emb_overlap10_muvera_r2") = cOverlap(clusteredFdeTop(muvCfg))
     // the reference's recall-subset property at corpus scale
     // (test/vector_integration_test.exs:49-98): the FDE candidate list
     // must CONTAIN the exact MaxSim top-2 — FDE as a recall stage
@@ -431,6 +434,9 @@ object Bench {
         graft.ann.IvfIndex.IvfConfig(k = 8, iterations = 5))
       quality("emb_overlap10_ivf_nprobe2") = eOverlap(dfIds(
         graft.ann.IvfIndex.search(ecoll, econfig, eCents, eq, 10, nprobe = 2)))
+      // the facade DEFAULT: adaptive probing at ratio 1.5 / maxProbe 8
+      quality("emb_overlap10_ivf_default") = eOverlap(dfIds(
+        graft.ann.IvfIndex.searchAdaptive(ecoll, econfig, eCents, eq, 10)))
       quality("emb_overlap10_ivf_adaptive") = eOverlap(dfIds(
         graft.ann.IvfIndex.searchAdaptive(ecoll, econfig, eCents, eq, 10,
           ratio = 1.2, maxProbe = 4)))
@@ -442,7 +448,11 @@ object Bench {
         graft.ann.Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256),
         col("id").cast("long"))
       val ePqCoded = graft.ann.Pq.withCodes(ecoll, ePq)
+      // DEFAULT candidates (20*limit = 200): what a naive user gets
       quality("emb_overlap10_pq") = eOverlap(dfIds(graft.ann.Pq.search(
+        ePqCoded, econfig, ePq, eq, 10)))
+      // the old tight 50-candidate point, kept as the cost-floor ablation
+      quality("emb_overlap10_pq_c50") = eOverlap(dfIds(graft.ann.Pq.search(
         ePqCoded, econfig, ePq, eq, 10, candidates = math.min(en, 50))))
       // the rerank-depth knob on the same codes: 4x candidates buys the
       // recall the m=4/k=8 ADC misses (the exact rerank absorbs them)

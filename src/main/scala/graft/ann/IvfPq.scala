@@ -35,7 +35,7 @@ object IvfPq {
       candidates: Int = 0): DataFrame = {
     require(limit > 0, "limit must be positive")
     require(nprobe > 0, "nprobe must be positive")
-    val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
+    val effCand = math.max(if (candidates > 0) candidates else 20 * limit, limit)
     val q = Search.prepareQuery(config, query)
     val cells = IvfIndex.probeCells(q, centroids, nprobe)
     val table = Pq.adcTable(codebooks, q, config.metric)
@@ -66,7 +66,7 @@ object IvfPq {
     import org.apache.spark.sql.expressions.Window
     require(limit > 0, "limit must be positive")
     require(nprobe > 0, "nprobe must be positive")
-    val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
+    val effCand = math.max(if (candidates > 0) candidates else 20 * limit, limit)
     val cents = centroids
     val cb = codebooks
     val np = nprobe
@@ -163,7 +163,7 @@ object IvfPq {
     require(nprobe > 0, "nprobe must be positive")
     require(config.metric == Metric.L2 || config.metric == Metric.L2Squared,
       s"residual IVF-PQ supports l2/l2_squared, not ${config.metric.name}")
-    val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
+    val effCand = math.max(if (candidates > 0) candidates else 20 * limit, limit)
     val q = Search.prepareQuery(config, query)
     val cells = IvfIndex.probeCells(q, centroids, nprobe)
     val prepared = withResidualCodes(df, centroids, codebooks)
@@ -192,7 +192,7 @@ object IvfPq {
     require(nprobe > 0, "nprobe must be positive")
     require(config.metric == Metric.L2 || config.metric == Metric.L2Squared,
       s"residual IVF-PQ supports l2/l2_squared, not ${config.metric.name}")
-    val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
+    val effCand = math.max(if (candidates > 0) candidates else 20 * limit, limit)
     val cents = centroids
     val cb = codebooks
     val np = nprobe

@@ -123,7 +123,7 @@ object Pq {
       codebooks: Array[Array[Array[Float]]], query: Array[Float], limit: Int,
       candidates: Int = 0, codesCol: String = "pq_codes"): DataFrame = {
     require(limit > 0, "limit must be positive")
-    val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
+    val effCand = math.max(if (candidates > 0) candidates else 20 * limit, limit)
     val q = Search.prepareQuery(config, query)
     val table = adcTable(codebooks, q, config.metric)
     val approx = adcDistance(col(codesCol), table, codebooks(0).length)
@@ -144,7 +144,7 @@ object Pq {
       knownNq: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(limit > 0, "limit must be positive")
-    val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
+    val effCand = math.max(if (candidates > 0) candidates else 20 * limit, limit)
     val cb = codebooks
     val metric = config.metric
     val qNorm = queries.select(col("qid"),

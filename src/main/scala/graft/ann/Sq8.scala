@@ -145,7 +145,7 @@ object Sq8 {
       query: Array[Float], limit: Int, candidates: Int = 0,
       codesCol: String = "sq8_codes"): DataFrame = {
     require(limit > 0, "limit must be positive")
-    val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
+    val effCand = math.max(if (candidates > 0) candidates else 20 * limit, limit)
     val q = Search.prepareQuery(config, query)
     val table = adcTable(model, q, config.metric)
     val approx = adcDistance(col(codesCol), table, 256)
@@ -170,7 +170,7 @@ object Sq8 {
       codesCol: String = "sq8_codes", knownNq: Long = -1L): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     require(limit > 0, "limit must be positive")
-    val effCand = math.max(if (candidates > 0) candidates else 10 * limit, limit)
+    val effCand = math.max(if (candidates > 0) candidates else 20 * limit, limit)
     val m = model
     val metric = config.metric
     val qNorm = queries.select(col("qid"),

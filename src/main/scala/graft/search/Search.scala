@@ -139,7 +139,9 @@ object Search {
 
   /** Matryoshka funnel search: successive prefix-scored candidate cuts,
     * then exact rerank on full vectors (collection.ex:233-260,674-691).
-    * Default stages `[d/4, d/2, d]`, candidates `max(10*limit, limit)`;
+    * Default stages `[d/4, d/2, d]`, candidates `max(20*limit, limit)`
+    * — the reference bench's `min(records, 20*limit)` operating point
+    * (bench/search_modes_bench.exs:8-14; the cut caps at corpus size);
     * stage i keeps `candidates * widen^(stagesAfter)` rows (see
     * [[funnelKeeps]]) — `widen = 1` recovers the reference's literal
     * fixed-candidates semantics. */
@@ -148,7 +150,7 @@ object Search {
       widen: Int = 8): DataFrame = {
     val q = prepareQuery(config, query)
     val effStages = if (stages.nonEmpty) stages else defaultFunnelStages(config.dimensions)
-    val effCand = if (candidates > 0) candidates else math.max(10 * limit, limit)
+    val effCand = if (candidates > 0) candidates else math.max(20 * limit, limit)
     require(effCand >= limit, "candidates must be >= limit")
     require(widen >= 1, "widen must be >= 1")
     val keeps = funnelKeeps(effStages.size, effCand, widen)
@@ -178,7 +180,7 @@ object Search {
   def quantizedSearch(df: DataFrame, config: CollectionConfig, query: Array[Float],
       limit: Int, candidates: Int = 0): DataFrame = {
     val q = prepareQuery(config, query)
-    val effCand = if (candidates > 0) candidates else math.max(10 * limit, limit)
+    val effCand = if (candidates > 0) candidates else math.max(20 * limit, limit)
     require(effCand >= limit, "candidates must be >= limit")
     projectResults(topK(quantizedCandidates(df, config, q, effCand)
       .withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))
@@ -230,7 +232,7 @@ object Search {
       rerankMultiVector: Option[Seq[Array[Float]]] = None,
       widen: Int = 8): DataFrame = {
     val q = prepareQuery(config, query)
-    val effCand = if (candidates > 0) candidates else math.max(10 * limit, limit)
+    val effCand = if (candidates > 0) candidates else math.max(20 * limit, limit)
     require(effCand >= limit, "candidates must be >= limit")
     val effStages = if (stages.nonEmpty) stages else defaultFunnelStages(config.dimensions)
     val keep = Seq("id", "value", "vector") ++

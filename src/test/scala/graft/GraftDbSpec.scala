@@ -272,7 +272,7 @@ class GraftDbSpec extends SparkSpec {
     assert(e.getMessage.contains("at-rest"))
   }
 
-  test("spark.graft.ivf.adaptive switches facade ivf to ratio-cutoff probing, single==batch") {
+  test("facade ivf defaults to adaptive probing; spark.graft.ivf.adaptive=false opts back to fixed nprobe") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
     val db = new GraftDb(spark)
@@ -283,7 +283,12 @@ class GraftDbSpec extends SparkSpec {
         (i % 9) / 8.0f, (i % 4) / 3.0f))))
     val q = Array(0.7f, -0.3f, 0.5f, 0.2f)
     val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
-    val fixed = db.search("adp", q, 5).collect().map(_.getString(0)).toSeq
+    // no conf set: the DEFAULT is adaptive (ratio 1.5, maxProbe 8)
+    val byDefault = db.search("adp", q, 5).collect().map(_.getString(0)).toSeq
+    // explicit opt-out routes through the fixed-nprobe path
+    spark.conf.set("spark.graft.ivf.adaptive", "false")
+    val fixed = try db.search("adp", q, 5).collect().map(_.getString(0)).toSeq
+      finally spark.conf.unset("spark.graft.ivf.adaptive")
     spark.conf.set("spark.graft.ivf.adaptive", "true")
     try {
       // wide-open knobs degenerate to exact flat — the equivalence anchor
@@ -309,8 +314,11 @@ class GraftDbSpec extends SparkSpec {
       spark.conf.unset("spark.graft.ivf.ratio")
       spark.conf.unset("spark.graft.ivf.maxProbe")
     }
-    // conf off: the fixed-nprobe default is untouched
-    assert(db.search("adp", q, 5).collect().map(_.getString(0)).toSeq === fixed)
+    // conf cleared: back to the adaptive default, and the wide-open
+    // adaptive run above proved it can only widen probes vs fixed
+    assert(db.search("adp", q, 5).collect().map(_.getString(0)).toSeq === byDefault)
+    // the opt-out actually exercised the fixed path (results exist)
+    assert(fixed.nonEmpty)
   }
 
   test("hnsw over the row cap: facade falls back to sharded, direct build refuses") {
