@@ -7,16 +7,25 @@ import graft.core.{CollectionConfig, Metric}
 import graft.search.Search
 
 /** Benchmark main. Prints ONE JSON line:
-  * {"metric":"total","value":N,"unit":"sec","queries":{...},"sf":...}
+  * {"metric":"total","value":N,"unit":"sec","queries":{...},
+  *  "quality":{...},"spread":{...},"sf":...}
+  *
+  * Every row is the median of 3 measured repetitions (hot rows warm up
+  * once first; build/write rows reset their own state per rep so all
+  * three measure the same cold path), with the per-row relative spread
+  * (max-min)/median persisted alongside — a cross-round delta smaller
+  * than the row's own spread is noise, not signal. Families are
+  * separated by cache-clear + GC barriers so a section never measures
+  * its predecessor's heap churn.
   *
   * Two benchmark families:
   *  1. `synth_*`: the reference's published matrix shape — 100k records
   *     x 384 dims (BASELINE.md: largest published cell), deterministic
   *     seeded vectors, limit 10, candidates 200, funnel stages
-  *     [96,192,384] (bench/search_modes_bench.exs:262-266). Warmup run +
-  *     median of 3. These are the numbers to hold against BASELINE.md.
-  *  2. `q_*`: every driver query once on SPARK_GRAFT_SF_DIR (end-to-end
-  *     operator latency at the given scale factor, cold plans).
+  *     [96,192,384] (bench/search_modes_bench.exs:262-266). These are
+  *     the numbers to hold against BASELINE.md.
+  *  2. `q_*`: every driver query on SPARK_GRAFT_SF_DIR (end-to-end
+  *     operator latency at the given scale factor).
   */
 object Bench {
 
@@ -68,13 +77,6 @@ object Bench {
     val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
   }
 
-  /** Warmup once, then median of 3. */
-  private def bench(f: => Unit): Double = {
-    f
-    val ts = Seq(time(f), time(f), time(f)).sorted
-    ts(1)
-  }
-
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -89,6 +91,25 @@ object Bench {
 
     val results = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     val quality = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Per-row relative spread (max-min)/median over the measured reps —
+    // persisted so a cross-round delta can be judged against the row's
+    // own intra-session noise instead of guessed at (rows untouched by a
+    // round's diff have been observed swinging 1.5-2.6x between one-shot
+    // sessions; the spread makes that visible instead of misleading).
+    val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // Warmup once (skipped when `cold` — then every rep must reset its
+    // own state inside f, e.g. unpersist/clearCache, so all reps measure
+    // the same cold path), then median of 3 measured reps.
+    def record(name: String, div: Double = 1.0, cold: Boolean = false)(f: => Unit): Unit = {
+      if (!cold) f
+      val ts = Seq(time(f), time(f), time(f)).sorted
+      results(name) = ts(1) / div
+      spreads(name) = if (ts(1) > 0) (ts(2) - ts(0)) / ts(1) else 0.0
+    }
+    // Cache/GC barrier between bench families: without it a family
+    // measures the previous family's evicted blocks and JIT churn
+    // (observed ~2.5x inflation), not operator latency.
+    def familyBarrier(): Unit = { spark.catalog.clearCache(); System.gc() }
 
     if (Only.isEmpty) {
     // ----- family 1: the reference's matrix shape on synthetic vectors
@@ -102,35 +123,37 @@ object Bench {
       .select("id", "value", "vector", "binary_vector") // what search scans
       .persist() // spark.range partitions are already even — a repartition
                  // here only adds a full shuffle of the corpus to ingest
-    results("synth_ingest_prepare") = time { coll.count() } // includes normalize+pack
+    record("synth_ingest_prepare", cold = true) { // includes normalize+pack
+      coll.unpersist(blocking = true); coll.count()
+    }
     val q = Search.prepareQuery(config, synthVector(-1L, dims))
     Search.flatSearch(coll, config, q, 10).collect() // plan+JIT warmup
 
-    results("synth_flat_cosine") = bench {
+    record("synth_flat_cosine") {
       Search.flatSearch(coll, config, q, 10).collect()
     }
     val l2Config = config.copy(metric = Metric.L2, normalize = Some(graft.core.Normalize.None))
-    results("synth_flat_l2") = bench {
+    record("synth_flat_l2") {
       Search.flatSearch(coll, l2Config, q, 10).collect()
     }
     val ipConfig = config.copy(metric = Metric.InnerProduct, normalize = Some(graft.core.Normalize.None))
-    results("synth_flat_ip") = bench {
+    record("synth_flat_ip") {
       Search.flatSearch(coll, ipConfig, q, 10).collect()
     }
     // batch amortization: 64 queries in one job, per-query seconds
     val queries64 = spark.range(64).select(col("id").cast("string").as("qid"),
       genUdf(col("id") + 1000000L).as("qvector"))
-    results("synth_flat_cosine_batch64_perq") = bench {
+    record("synth_flat_cosine_batch64_perq", div = 64.0) {
       Search.flatSearchMany(coll, config, queries64, 10).collect()
-    } / 64.0
-    results("synth_funnel") = bench {
+    }
+    record("synth_funnel") {
       Search.funnelSearch(coll, config, q, 10,
         stages = Seq(dims / 4, dims / 2, dims), candidates = 200).collect()
     }
-    results("synth_quantized") = bench {
+    record("synth_quantized") {
       Search.quantizedSearch(coll, config, q, 10, candidates = 200).collect()
     }
-    results("synth_hybrid") = bench {
+    record("synth_hybrid") {
       Search.hybridSearch(coll, config, q, 10, candidates = 200,
         stages = Seq(dims / 4, dims / 2, dims)).collect()
     }
@@ -138,16 +161,16 @@ object Bench {
     val packedColl = graft.prepare.Prepare.withPackedVector(coll)
       .select("id", "value", "vector_f32").persist()
     packedColl.count()
-    results("synth_flat_cosine_packed") = bench {
+    record("synth_flat_cosine_packed") {
       Search.flatSearchPacked(packedColl, config, q, 10).collect()
     }
     val lshCfg = graft.ann.CosineLsh.LshConfig(bands = 16, bitsPerBand = 10)
     val lshColl = graft.ann.CosineLsh.withSignatures(coll, lshCfg).persist()
     lshColl.count()
-    results("synth_lsh_ann") = bench {
+    record("synth_lsh_ann") {
       graft.ann.CosineLsh.search(lshColl, config, lshCfg, q, 10).collect()
     }
-    results("synth_mmr_rerank") = bench {
+    record("synth_mmr_rerank") {
       graft.rerank.Mmr.rerankSearch(spark, coll, config, q, 0.7, 10, 200).collect()
     }
     // multi-vector MaxSim: 10k docs x 3 token vectors
@@ -160,44 +183,49 @@ object Bench {
     mvDocs.count()
     val mvConfig = CollectionConfig("mv", dims, Metric.InnerProduct)
     val qvecs = (0 until 4).map(i => synthVector(-10L - i, dims))
-    results("synth_maxsim_10k_docs") = bench {
+    record("synth_maxsim_10k_docs") {
       Search.multiVectorSearch(mvDocs, mvConfig, qvecs, 10).collect()
     }
     val muvCfg = graft.encode.Muvera.Config(dimension = dims, numRepetitions = 2,
       numSimhashProjections = 4, seed = 7L, projectionDimension = 16)
-    results("synth_muvera_encode_10k") = bench {
+    record("synth_muvera_encode_10k") {
       mvDocs.select(graft.encode.Muvera.encodeColumn(muvCfg,
         graft.encode.Muvera.DocumentMode)(col("vectors"))).count()
     }
     // FlatIndex acceleration mirror: the hot-loop path (packed primitive
     // blocks, per-partition bounded heap — reference flat.rs distributed)
-    val t0 = System.nanoTime()
-    val idx = graft.index.FlatIndex.build(coll, config)
-    results("synth_flatindex_build") = (System.nanoTime() - t0) / 1e9
-    results("synth_flatindex_single") = bench {
+    var idx: graft.index.FlatIndex = null
+    record("synth_flatindex_build", cold = true) {
+      if (idx != null) idx.unpersist()
+      idx = graft.index.FlatIndex.build(coll, config)
+    }
+    record("synth_flatindex_single") {
       idx.search(q, Metric.Cosine, 10)
     }
     val qs64 = (0 until 64).map(i =>
       i.toString -> Search.prepareQuery(config, synthVector(1000000L + i, dims))).toArray
-    results("synth_flatindex_batch64_perq") = bench {
+    record("synth_flatindex_batch64_perq", div = 64.0) {
       idx.searchMany(qs64, Metric.Cosine, 10)
-    } / 64.0
-    results("synth_flatindex_funnel") = bench {
+    }
+    record("synth_flatindex_funnel") {
       idx.funnelSearch(q, Metric.Cosine, 10, Seq(dims / 4, dims / 2, dims), 200)
     }
-    results("synth_flatindex_quantized") = bench {
+    record("synth_flatindex_quantized") {
       idx.quantizedSearch(q, Metric.Cosine, 10, 200)
     }
-    results("synth_flatindex_hybrid") = bench {
+    record("synth_flatindex_hybrid") {
       idx.hybridSearch(q, Metric.Cosine, 10, Seq(dims / 4, dims / 2, dims), 200)
     }
     // quantized-code ANN: SQ8 (dims bytes/row) and PQ (m bytes/row) —
     // the at-rest compression paths; search is ADC lookups + exact rerank
-    val sq8Model = graft.ann.Sq8.train(coll)
+    var sq8Model: graft.ann.Sq8.Model = null
+    record("synth_sq8_train", cold = true) { sq8Model = graft.ann.Sq8.train(coll) }
     val sq8Coll = graft.ann.Sq8.withCodes(coll, sq8Model)
       .select("id", "value", "vector", "sq8_codes").persist()
-    results("synth_sq8_encode") = time { sq8Coll.count() }
-    results("synth_sq8_search") = bench {
+    record("synth_sq8_encode", cold = true) {
+      sq8Coll.unpersist(blocking = true); sq8Coll.count()
+    }
+    record("synth_sq8_search") {
       graft.ann.Sq8.search(sq8Coll, config, sq8Model, q, 10, candidates = 200).collect()
     }
     // m=32 x 8-bit codes on 384 dims (12-dim subspaces, 48:1 scan-payload
@@ -205,13 +233,16 @@ object Bench {
     // 8-bit codebooks; 4-bit k=16 floored planted-query overlap at 0.2
     // because the quantization error swamped the neighbor separation)
     val pqCfg = graft.ann.Pq.PqConfig(m = 32, k = 256, iterations = 3, sampleSize = 4000)
-    val tPq = System.nanoTime()
-    val pqCb = graft.ann.Pq.trainOrdered(coll, config, pqCfg, col("id").cast("long"))
-    results("synth_pq_train") = (System.nanoTime() - tPq) / 1e9
+    var pqCb: Array[Array[Array[Float]]] = null
+    record("synth_pq_train", cold = true) {
+      pqCb = graft.ann.Pq.trainOrdered(coll, config, pqCfg, col("id").cast("long"))
+    }
     val pqColl = graft.ann.Pq.withCodes(coll, pqCb)
       .select("id", "value", "vector", "pq_codes").persist()
-    results("synth_pq_encode") = time { pqColl.count() }
-    results("synth_pq_search") = bench {
+    record("synth_pq_encode", cold = true) {
+      pqColl.unpersist(blocking = true); pqColl.count()
+    }
+    record("synth_pq_search") {
       graft.ann.Pq.search(pqColl, config, pqCb, q, 10, candidates = 200).collect()
     }
     // ----- quality preflight: overlap@10 vs exact flat for every
@@ -292,16 +323,16 @@ object Bench {
     // row cap): first call pays the per-shard graph builds (pinned by
     // the cache key), the batch row measures serve-from-cache cost
     val shKey = "bench_sharded_hnsw"
-    graft.index.ShardedHnsw.clearCache(shKey)
     val oneQuery = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
-    results("synth_hnsw_sharded_build_search") = time {
+    record("synth_hnsw_sharded_build_search", cold = true) {
+      graft.index.ShardedHnsw.clearCache(shKey)
       graft.index.ShardedHnsw.searchMany(coll, config, oneQuery, 10,
         cacheKey = shKey).collect()
     }
-    results("synth_hnsw_sharded_batch64_perq") = bench {
+    record("synth_hnsw_sharded_batch64_perq", div = 64.0) {
       graft.index.ShardedHnsw.searchMany(coll, config, queries64, 10,
         cacheKey = shKey).collect()
-    } / 64.0
+    }
     val exactFullIds = dfIds(Search.flatSearch(coll, config, q, 10)).toSet
     val shardedIds = dfIds(graft.index.ShardedHnsw.searchMany(
       coll, config, oneQuery, 10, cacheKey = shKey)).toSet
@@ -320,18 +351,18 @@ object Bench {
       results("synth_hnsw_layout_write") = time {
         graft.index.ShardedHnsw.writeLayout(coll, config, shLayout)
       }
-    graft.index.ShardedHnsw.clearCache(shLayout)
-    results("synth_hnsw_persisted_open_search") = time {
+    record("synth_hnsw_persisted_open_search", cold = true) {
+      graft.index.ShardedHnsw.clearCache(shLayout)
       graft.index.ShardedHnsw.searchManyPersisted(spark, shLayout, config,
         oneQuery, 10, cacheKey = shLayout).collect()
     }
     // repeated batches: co-partitioned state persisted once, graphs
     // cached — per call there is no shuffle and no parquet decode
     val shState = graft.index.ShardedHnsw.layoutState(spark, shLayout).persist()
-    results("synth_hnsw_persisted_batch64_perq") = bench {
+    record("synth_hnsw_persisted_batch64_perq", div = 64.0) {
       graft.index.ShardedHnsw.searchManyPersisted(spark, shLayout, config,
         queries64, 10, cacheKey = shLayout, state = Some(shState)).collect()
-    } / 64.0
+    }
     shState.unpersist(blocking = true)
     graft.index.ShardedHnsw.clearCache(shLayout)
     // MUVERA FDE vs exact MaxSim on the multi-vector corpus
@@ -512,15 +543,14 @@ object Bench {
     // Family 1 leaves the executor heap full of evicted cache blocks and
     // JIT churn; without a hard release the families below measure GC
     // pressure, not operator latency (observed ~2.5x inflation).
-    spark.catalog.clearCache()
-    System.gc()
+    familyBarrier()
 
     // ----- scale family: 5x corpus, packed layout, uncached parquet
     // scans — the shape that extrapolates to cluster scale (search cost
     // = scan + in-place scoring + bounded-heap top-k, no cache)
     val scaleN = SynthRecords * 5
     val scalePath = "/tmp/graft_bench_scale"
-    results("scale5x_pack_write") = time {
+    record("scale5x_pack_write", cold = true) {
       graft.prepare.Prepare.withPackedVector(
         graft.prepare.Prepare.prepareEmbeddings(
           spark.range(scaleN).select(
@@ -531,14 +561,14 @@ object Bench {
         .write.mode("overwrite").parquet(scalePath)
     }
     val scaleDf = spark.read.parquet(scalePath)
-    results("scale5x_flat_packed") = bench {
+    record("scale5x_flat_packed") {
       Search.flatSearchPacked(scaleDf, config, q, 10).collect()
     }
     // PQ codes-only table: the compressed serving layout — the ADC scan
     // reads m bytes/row (vs 4*dims packed), rerank joins the 200
     // surviving ids back against the packed table
     val scalePqPath = "/tmp/graft_bench_scale_pq"
-    results("scale5x_pq_write") = time {
+    record("scale5x_pq_write", cold = true) {
       graft.ann.Pq.withCodes(
         graft.prepare.Prepare.prepareEmbeddings(
           spark.range(scaleN).select(
@@ -554,8 +584,8 @@ object Bench {
       scalePq.withColumn("rank",
         -graft.functions.VectorFunctions.adcDistance(
           col("pq_codes"), scaleAdcTable, pqCfg.k)), keep)
-    results("scale5x_pq_adc_topk") = bench { scaleAdcCut(10).collect() }
-    results("scale5x_pq_rerank_e2e") = bench {
+    record("scale5x_pq_adc_topk") { scaleAdcCut(10).collect() }
+    record("scale5x_pq_rerank_e2e") {
       Search.flatSearchPacked(
         scaleDf.join(broadcast(scaleAdcCut(200).select("id")), "id"),
         config, synthVector(-1L, dims), 10).collect()
@@ -566,7 +596,7 @@ object Bench {
     // number that extrapolates to a 1000-executor batch-retrieval run
     // (per-query cost is what a million-query training pipeline pays)
     val scaleIvfPqPath = "/tmp/graft_bench_scale_ivfpq"
-    results("scale5x_ivfpq_part_write") = time {
+    record("scale5x_ivfpq_part_write", cold = true) {
       val base = graft.prepare.Prepare.prepareEmbeddings(
         spark.range(scaleN).select(
           col("id").cast("string").as("id"),
@@ -580,10 +610,10 @@ object Bench {
     }
     val scaleQs = spark.range(64).select(col("id").cast("string").as("qid"),
       genUdf(col("id") + 2000000L).as("qvector"))
-    results("scale5x_ivfpq_part_batch64_perq") = bench {
+    record("scale5x_ivfpq_part_batch64_perq", div = 64.0) {
       graft.ann.IvfPq.searchManyPartitioned(spark, scaleIvfPqPath, config,
         scaleQs, 10, nprobe = 4, candidates = 100, knownNq = 64L).count()
-    } / 64.0
+    }
     // stdout stays one JSON line; progress notes go to stderr
     System.err.println(f"[bench] scale5x: $scaleN rows, packed parquet " +
       f"search ${results("scale5x_flat_packed")}%.3f s = " +
@@ -596,10 +626,11 @@ object Bench {
     // of 3 (a single cold shot is machine-load noise, not a regression
     // signal — cross-round deltas up to 14x were observed on byte-
     // identical code with the old one-shot scheme)
+    familyBarrier()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => Only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
-        try results(s"q_$name") = bench { fn(spark, sfDir).count() }
+        try record(s"q_$name") { fn(spark, sfDir).count() }
         catch { case _: Throwable => results(s"q_$name") = -1.0 }
       }
 
@@ -611,10 +642,11 @@ object Bench {
       .orElse(if (sfDir.endsWith("sf0.1")) Some(sfDir.stripSuffix("sf0.1") + "sf0.01") else Option.empty[String])
       .filter(d => d != sfDir && new java.io.File(d).isDirectory)
     altSfDir.foreach { alt =>
+      familyBarrier()
       SparkEntry.queries.toSeq.sortBy(_._1)
         .filter { case (name, _) => Only.forall(_.exists(name.contains)) }
         .foreach { case (name, fn) =>
-          try results(s"qalt_$name") = bench { fn(spark, alt).count() }
+          try record(s"qalt_$name") { fn(spark, alt).count() }
           catch { case _: Throwable => results(s"qalt_$name") = -1.0 }
         }
     }
@@ -623,9 +655,11 @@ object Bench {
       .mkString("{", ",", "}")
     val ql = quality.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    val sp = spreads.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
     val altField = altSfDir.map(d => s""","alt_sf":"$d"""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"quality":$ql,"sf":"$sfDir"$altField,"synth_records":$SynthRecords,"synth_dims":$SynthDims}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"quality":$ql,"spread":$sp,"sf":"$sfDir"$altField,"synth_records":$SynthRecords,"synth_dims":$SynthDims}"""
     // the driver persists only a tail of stdout, so the FULL line is also
     // written to a file (committed with the round snapshot)
     val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_FULL_latest.json")

@@ -30,6 +30,29 @@ class HnswSpec extends SparkSpec {
     coll.unpersist()
   }
 
+  test("serving ef autoscales with k: recall >= 0.8 on an unclustered random corpus") {
+    // uniform-random vectors are the worst case for a locality graph
+    // (pairwise cosines concentrate at 0); the fixed reference default
+    // efSearch=64 floors overlap@10 at ~0.6 here, the 32k autoscale
+    // (ef=320 for k=10) measured 0.8+. Brute-force exact is the oracle.
+    val dims = 64
+    val config = CollectionConfig("r", dims, Metric.Cosine)
+    val rows = (0 until 4000).map(i =>
+      i.toString -> Search.prepareQuery(config, Bench.synthVector(i.toLong, dims)))
+    val g = new Hnsw(config.metric, Hnsw.Params())
+    g.insertMany(rows)
+    val overlaps = (0 until 5).map { qi =>
+      val q = Search.prepareQuery(config, Bench.synthVector(-1L - qi, dims))
+      val exact = rows.map { case (id, v) =>
+        (graft.expr.VectorKernels.rankValue(config.metric.code,
+          graft.expr.VectorKernels.distance(config.metric.code, v, q)), id)
+      }.sorted.take(10).map(_._2).toSet
+      exact.intersect(g.search(q, 10).map(_._1).toSet).size / 10.0
+    }
+    val mean = overlaps.sum / overlaps.size
+    assert(mean >= 0.8, s"mean recall@10 $mean at autoscaled ef")
+  }
+
   test("construction is deterministic (rebuild == rebuild)") {
     val d = Tables.dims(spark, sfDir)
     val config = CollectionConfig("e", d, Metric.L2)
