@@ -790,16 +790,19 @@ object TrainingQueries {
     // union + one keyed window pass (no range-join explosion); DuckDB's
     // native ASOF JOIN is the oracle
     "events_asof_join" -> ((s, dir) => {
-      val ev = events(s, dir) // ts read as raw Long nanos
+      val ev = events(s, dir)
       val purchases = ev.filter(col("event_type") === "purchase")
-        .select(col("event_id"), col("user_id"), col("ts").as("ts_ns"), col("value"))
+        .select(col("event_id"), col("user_id"), col("ts").as("ts_ev"), col("value"))
       val views = ev.filter(col("event_type") === "view")
-        .select(col("user_id"), col("ts").as("ts_ns"),
+        .select(col("user_id"), col("ts").as("ts_ev"),
           col("value").as("view_value"), col("event_id").as("view_event_id"))
-      EventStreams.asofJoin(purchases, views, "user_id", "ts_ns",
+      val joined = EventStreams.asofJoin(purchases, views, "user_id", "ts_ev",
         Seq("view_value", "view_event_id"))
-        // DuckDB timestamps are microseconds: emit micros for the compare
-        .withColumn("ts_us", expr("ts_ns div 1000")).drop("ts_ns")
+      // DuckDB timestamps are microseconds: emit micros for the compare
+      // (type-aware — the stored ts has been Long nanos and TIMESTAMP_NTZ
+      // across testdata generations)
+      joined.withColumn("ts_us", EventStreams.epochMicros(joined, "ts_ev"))
+        .drop("ts_ev")
     }),
 
     // ---- relational / analytical (the 100 TB shapes: scan-agg,

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.DataStreamWriter
-import org.apache.spark.sql.types.{LongType, StructType}
+import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType}
 
 /** Event-stream operators. The reference has no streaming surface
   * (SURVEY §2.9), so this module covers the training-pipeline side:
@@ -12,18 +12,32 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * transforms and reusable verbatim under Structured Streaming
   * (readStream -> same transform -> writeStream).
   *
-  * Timestamps: the test tables store nanosecond parquet timestamps,
-  * which Spark reads only as raw Long nanos
-  * (spark.sql.legacy.parquet.nanosAsLong). All gap/window arithmetic here
-  * is exact integer nanos — no precision cliff between engines.
+  * Timestamps: every operator takes the ts column as stored — raw Long
+  * nanos, TIMESTAMP, or TIMESTAMP_NTZ (what Spark infers for the test
+  * tables' timestamp[us] parquet) — and converts through [[epochMicros]]
+  * to exact integer epoch arithmetic; no precision cliff between
+  * engines and no session-timezone dependence.
   */
 object EventStreams {
 
-  /** Nanos column from either a Long-nanos or Timestamp column. */
+  /** Epoch microseconds from a Long-nanos, TIMESTAMP, or TIMESTAMP_NTZ
+    * column. NTZ (what Spark infers for the test tables' timestamp[us]
+    * parquet) has no session-zone: diff against the NTZ epoch literal —
+    * tz-free wall-clock micros, exactly DuckDB's `epoch_us` of a naive
+    * timestamp, with no dependence on the session timezone. */
+  def epochMicros(df: DataFrame, tsCol: String): org.apache.spark.sql.Column =
+    df.schema(tsCol).dataType match {
+      case LongType => expr(s"`$tsCol` div 1000") // caller-supplied raw nanos
+      case _: TimestampNTZType =>
+        expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `$tsCol`)")
+      case _ => unix_micros(col(tsCol))
+    }
+
+  /** Nanos column from either a Long-nanos or timestamp column. */
   private def nanos(df: DataFrame, tsCol: String) =
     df.schema(tsCol).dataType match {
       case LongType => col(tsCol)
-      case _        => unix_micros(col(tsCol)) * lit(1000L)
+      case _        => epochMicros(df, tsCol) * lit(1000L)
     }
 
   /** Tumbling-window counts/sums per event type. Window start is emitted
