@@ -471,6 +471,27 @@ object TrainingQueries {
         nprobe = 8).drop("metadata"), Seq("score", "distance"))
     }),
 
+    // FILTERED ANN over the same partitioned layout: a metadata
+    // predicate rides the probed scan (PushedFilters beside the
+    // ivf_cell PartitionFilters — asserted in IvfSpec), and top-k ranks
+    // the FILTERED rows. Full probe makes it exactly the filtered exact
+    // search, so the oracle is the flat-cosine SQL with the same WHERE.
+    "ann_ivf_filtered_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val base = cachedLayout(s, dir, "ivfflat_cos") { p =>
+        val coll = Tables.embeddingsCollection(s, dir, config)
+        val centroids = IvfIndex.train(coll, config,
+          IvfIndex.IvfConfig(k = 8, iterations = 5))
+        IvfIndex.writePartitioned(coll.drop("metadata"), centroids, p)
+      }
+      val centroids = IvfIndex.loadModel(s, base)
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(IvfIndex.searchPartitioned(s, base, config, centroids, q, 10,
+        nprobe = 8, filter = Some(col("id") >= "5")).drop("metadata"),
+        Seq("score", "distance"))
+    }),
+
     // partial probe with id-ordered sample training: the k-means itself
     // is replicated in the DuckDB oracle (recursive-CTE Lloyd's), so the
     // approximate candidate set is verified end-to-end
@@ -717,6 +738,28 @@ object TrainingQueries {
         nprobe = 2), Seq("score", "distance"))
     }),
 
+    // filtered BATCH ANN on the partial-probe path: probes still come
+    // from the queries alone (the model is trained on the FULL corpus;
+    // the predicate only filters stored rows at search time), so the
+    // oracle replicates the same k-means + probe CTEs and adds the
+    // WHERE at the in-cell candidate stage — the approximate filtered
+    // candidate set is verified end to end, not just "rows come back".
+    "ann_ivf_filtered_search_many" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val base = cachedLayout(s, dir, "ivfflat") { p =>
+        val coll = Tables.embeddingsCollection(s, dir, config)
+        val cents = IvfIndex.trainOrdered(coll, config,
+          IvfIndex.IvfConfig(k = 8, iterations = 3), col("id").cast("long"))
+        IvfIndex.writePartitioned(coll.select("id", "value", "vector"), cents, p)
+      }
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("string").as("qid"),
+          col("embedding").as("qvector"))
+      roundCols(IvfIndex.searchManyPartitioned(s, base, config, qs, 10,
+        nprobe = 2, filter = Some(col("id") >= "3")), Seq("score", "distance"))
+    }),
+
     // ---- multimodal: REAL image decode (javax.imageio) over PNG fixtures
     // generated from known pixels — the oracle replicates the fixture
     // arithmetic (two-tone image: left ceil(w/2) columns the doc_id-derived
@@ -916,12 +959,18 @@ object TrainingQueries {
       s"md5('$b:' || $parts)"
     }.mkString(", ") + "]"
 
-  private val flatCosineOracle =
-    """WITH q AS (SELECT list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS qv FROM embeddings WHERE vec_id = 0),
-       n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings),
+  /** Exact flat cosine top-10, optionally over a filtered corpus: the
+    * predicate restricts STORED rows only (the query vector CTE stays
+    * unfiltered), mirroring the post-filter semantics of the filtered
+    * search APIs. */
+  private def flatCosineOracleWhere(where: String): String =
+    s"""WITH q AS (SELECT list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS qv FROM embeddings WHERE vec_id = 0),
+       n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings $where),
        sc AS (SELECT id, list_sum(list_transform(range(1, len(nv)+1), i -> CAST(nv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS raw FROM n, q)
        SELECT id, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance, 'cosine' AS metric, id AS value
        FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10"""
+
+  private val flatCosineOracle = flatCosineOracleWhere("")
 
   /** (x * c) mod 2^64 over HUGEINT via 32-bit lo/hi split — the direct
     * product can exceed INT128. */
@@ -1302,7 +1351,12 @@ object TrainingQueries {
     * probe sets (nprobe=2), EXACT l2 inside the probed cells, per-query
     * top-10 — mirrors IvfIndex.searchManyPartitioned over a layout
     * trained with IvfConfig(k=8, iterations=3), id-ordered. */
-  private val ivfSearchManyOracle =
+  /** Partial-probe batch IVF, optionally over a filtered corpus: the
+    * k-means and probe CTEs always see the FULL corpus (the model is
+    * trained unfiltered; probes come from the queries alone) — the
+    * predicate lands exactly where the engine applies it, on the stored
+    * rows entering the probed cells. */
+  private def ivfSearchManyOracleWhere(where: String) =
     s"""WITH RECURSIVE
        n AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, embedding AS v FROM embeddings),
        $ivfKmeansCtes,
@@ -1313,13 +1367,15 @@ object TrainingQueries {
            FROM (SELECT unnest(range(1, 9)) AS k), icb, q)
          WHERE rn <= 2),
        ncell AS MATERIALIZED (SELECT n.id, n.v, ${kmAssign("n.v", "icb.c")} AS cell FROM n, icb),
-       incell AS (SELECT p.qid, nc.id, nc.v FROM ncell nc JOIN probes p ON nc.cell = p.cell),
+       incell AS (SELECT p.qid, nc.id, nc.v FROM ncell nc JOIN probes p ON nc.cell = p.cell $where),
        fin AS (SELECT r.qid, r.id, sqrt(${kmL2("r.v", "q.qraw")}) AS raw
          FROM incell r JOIN q ON q.qid = r.qid),
        rk AS (SELECT qid, id, raw,
            row_number() OVER (PARTITION BY qid ORDER BY raw ASC, id ASC) AS rn FROM fin)
        SELECT qid, id, id AS value, (round(-raw,6)+0) AS score, (round(raw,6)+0) AS distance, 'l2' AS metric
        FROM rk WHERE rn <= 10"""
+
+  private val ivfSearchManyOracle = ivfSearchManyOracleWhere("")
 
   /** FAISS-style residual IVF-PQ: cells from the coarse quantizer, PQ
     * codebooks trained on (v - centroid[cell]) residuals, each probed
@@ -1369,6 +1425,14 @@ object TrainingQueries {
     // static cell pruning changes the scan, not the results
     "ann_ivfpq_partitioned_search_many" -> ivfPqSearchManyOracle,
     "ann_ivf_partitioned_search_many" -> ivfSearchManyOracle,
+    // filtered search: the predicate is applied on the stored rows only
+    // (post-filter semantics) — full probe ≡ exact filtered flat; the
+    // partial-probe batch replicates k-means + probes on the FULL
+    // corpus and filters at the in-cell stage, like the engine
+    "ann_ivf_filtered_topk" ->
+      flatCosineOracleWhere("WHERE CAST(vec_id AS VARCHAR) >= '5'"),
+    "ann_ivf_filtered_search_many" ->
+      ivfSearchManyOracleWhere("WHERE nc.id >= '3'"),
     "ann_ivfpq_partitioned_topk" -> ivfPqOracle,
     "ann_ivfpq_residual_topk" -> ivfPqResidualOracle,
     "ann_lsh_topk" -> lshOracle,

@@ -271,13 +271,26 @@ object IvfIndex {
     ModelStore.loadIvf(spark, path.stripSuffix("/") + "/" + ModelStore.SidecarName)
 
   /** Search a cell-partitioned collection: the probe filter becomes a
-    * partition filter — only nprobe/k of the data is read. */
+    * partition filter — only nprobe/k of the data is read.
+    *
+    * `filter` is a POST-FILTER on the stored rows (top-k among rows
+    * matching the predicate): it rides the same scan as the probe
+    * filter, so a plain-column predicate reaches the parquet reader as
+    * PushedFilters next to the ivf_cell PartitionFilters — row groups
+    * outside the predicate are skipped before decode, the interaction
+    * that matters when a 100 TB corpus is searched "within language=X".
+    * With a full probe (nprobe = k) the result is EXACTLY the filtered
+    * exact top-k; with partial probes a highly selective predicate can
+    * empty probed cells while matches live in unprobed ones — widen
+    * nprobe (or use adaptive probing) as selectivity grows. */
   def searchPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
       config: CollectionConfig, centroids: Array[Array[Float]],
-      query: Array[Float], limit: Int, nprobe: Int): DataFrame = {
+      query: Array[Float], limit: Int, nprobe: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val q = Search.prepareQuery(config, query)
     val probes = probeCells(q, centroids, nprobe)
-    val cands = spark.read.parquet(path)
+    val base = spark.read.parquet(path)
+    val cands = filter.foldLeft(base)(_.filter(_))
       .filter(col("ivf_cell").isin(probes: _*)).drop("ivf_cell")
     Search.flatSearch(cands, config, query, limit)
   }
@@ -291,9 +304,14 @@ object IvfIndex {
     * over the same layout. */
   def searchManyPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, config: CollectionConfig, queries: DataFrame, limit: Int,
-      nprobe: Int): DataFrame =
-    searchManyPruned(spark.read.parquet(path), config, loadModel(spark, path),
-      queries, limit, nprobe)
+      nprobe: Int,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // metadata post-filter (see searchPartitioned): applied to the scan
+    // frame so it pushes down beside the static probe-union cell filter
+    val base = spark.read.parquet(path)
+    searchManyPruned(filter.foldLeft(base)(_.filter(_)), config,
+      loadModel(spark, path), queries, limit, nprobe)
+  }
 
   /** Probe-union-pruned batch over an already-loaded frame with
     * already-loaded centroids (see IvfPq.searchManyPruned for why this

@@ -277,9 +277,15 @@ object IvfPq {
   def searchPartitioned(spark: org.apache.spark.sql.SparkSession, path: String,
       config: CollectionConfig, centroids: Array[Array[Float]],
       codebooks: Array[Array[Array[Float]]], query: Array[Float], limit: Int,
-      nprobe: Int, candidates: Int = 0): DataFrame =
-    search(spark.read.parquet(path), config, centroids, codebooks, query,
-      limit, nprobe, candidates)
+      nprobe: Int, candidates: Int = 0,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    // metadata post-filter (IvfIndex.searchPartitioned semantics): rides
+    // the scan, so the ADC candidate cut ranks FILTERED rows only —
+    // a selective predicate doesn't eat the candidate budget
+    val base = spark.read.parquet(path)
+    search(filter.foldLeft(base)(_.filter(_)), config, centroids, codebooks,
+      query, limit, nprobe, candidates)
+  }
 
   /** Residual layout at rest: cells as directories, residual codes in
     * the rows — the full FAISS-style default persisted with the same
@@ -304,10 +310,13 @@ object IvfPq {
     * [[searchManyResidual]] over the same layout. */
   def searchManyPartitioned(spark: org.apache.spark.sql.SparkSession,
       path: String, config: CollectionConfig, queries: DataFrame, limit: Int,
-      nprobe: Int, candidates: Int = 0, knownNq: Long = -1L): DataFrame = {
+      nprobe: Int, candidates: Int = 0, knownNq: Long = -1L,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     val (cents, cb, residual) = loadModel(spark, path)
-    searchManyPruned(spark.read.parquet(path), config, cents, cb, residual,
-      queries, limit, nprobe, candidates, knownNq)
+    // metadata post-filter (IvfIndex.searchPartitioned semantics)
+    val base = spark.read.parquet(path)
+    searchManyPruned(filter.foldLeft(base)(_.filter(_)), config, cents, cb,
+      residual, queries, limit, nprobe, candidates, knownNq)
   }
 
   /** The probe-union-pruned batch over an ALREADY-LOADED cell-assigned

@@ -125,4 +125,40 @@ class IvfSpec extends SparkSpec {
     assert(pruned === batch)
     coll.unpersist()
   }
+
+  test("filtered partitioned search: full probe == pre-filtered exact; predicate pushes to the scan") {
+    import org.apache.spark.sql.functions.col
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val centroids = IvfIndex.train(coll, config, IvfIndex.IvfConfig(k = 8, iterations = 5))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_flt").toString
+    IvfIndex.writePartitioned(coll, centroids, path)
+    val q = Tables.queryVector(spark, sfDir, 3L)
+    val pred = col("id") >= "5"
+    // post-filter semantics: full probe over the filtered layout equals
+    // exact flat search over the pre-filtered collection
+    val filtered = IvfIndex.searchPartitioned(spark, path, config, centroids,
+      q, 10, nprobe = 8, filter = Some(pred))
+    val exact = Search.flatSearch(coll.filter(pred), config, q, 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(filtered.collect().map(_.getString(0)).toSeq === exact)
+    // the predicate reaches the parquet reader as a pushed data filter
+    // NEXT TO the probe partition filter — at 100 TB both prune IO
+    val plan = filtered.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(plan).isDefined, plan)
+    assert("PushedFilters: \\[[^\\]]*GreaterThanOrEqual\\(id,5\\)".r
+      .findFirstIn(plan).isDefined, plan)
+    // batch path: every returned id satisfies the predicate, and with a
+    // full probe each query's rows equal its single-query result
+    import spark.implicits._
+    val queries = Seq(("3", Tables.queryVector(spark, sfDir, 3L).toSeq),
+      ("7", Tables.queryVector(spark, sfDir, 7L).toSeq)).toDF("qid", "qvector")
+    val many = IvfIndex.searchManyPartitioned(spark, path, config, queries,
+      10, nprobe = 8, filter = Some(pred)).collect()
+    assert(many.forall(_.getAs[String]("id") >= "5"))
+    assert(many.filter(_.getString(0) == "3").map(_.getAs[String]("id")).toSeq
+      .sorted === exact.sorted)
+    coll.unpersist()
+  }
 }
