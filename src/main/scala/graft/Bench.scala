@@ -660,12 +660,23 @@ object Bench {
     val total = results.values.filter(_ > 0).sum
     val altField = altSfDir.map(d => s""","alt_sf":"$d"""").getOrElse("")
     val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"quality":$ql,"spread":$sp,"sf":"$sfDir"$altField,"synth_records":$SynthRecords,"synth_dims":$SynthDims}"""
-    // the driver persists only a tail of stdout, so the FULL line is also
-    // written to a file (committed with the round snapshot)
+    // The FULL line (110 query rows + quality + spread, ~8 KB) is written
+    // to a file committed with the round snapshot; stdout gets a COMPACT
+    // line instead, because the driver persists only a ~2 KB tail of
+    // stdout and the full line overflows it (BENCH_r7/r8 "parsed": null).
+    // The compact "queries" are the BASELINE-comparable synth_*/scale5x_*
+    // rows plus summed q_*/qalt_* family totals.
     val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_FULL_latest.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
     catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
-    println(line)
+    val headline = results.filter { case (k, _) =>
+      k.startsWith("synth_") || k.startsWith("scale5x_") }
+    val qTotal = results.collect { case (k, v) if k.startsWith("q_") && v > 0 => v }.sum
+    val qaltTotal = results.collect { case (k, v) if k.startsWith("qalt_") && v > 0 => v }.sum
+    val cq = (headline.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.toSeq ++
+      Seq("\"q_total\":" + f"$qTotal%.3f", "\"qalt_total\":" + f"$qaltTotal%.3f"))
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cq,"sf":"$sfDir","synth_records":$SynthRecords,"synth_dims":$SynthDims,"full":"$outFile"}""")
     spark.stop()
   }
 }
