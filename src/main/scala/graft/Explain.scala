@@ -17,6 +17,7 @@ object Explain {
         "vec_search_many", "ann_sq8_topk", "ann_ivfpq_topk",
         "ann_ivfpq_search_many", "ann_ivfpq_partitioned_search_many",
         "ann_ivf_partitioned_search_many", "ann_opq_topk",
+        "ann_ivf_filtered_topk", "ann_hnsw_filtered_topk",
         "ann_hnsw_sharded_topk", "ann_hnsw_persisted_topk", "mm_resize",
         "agg_pricing_summary", "join_revenue_by_nation", "dedup_minhash_pairs",
         "text_contamination", "data_domain_cap", "data_stratified_sample")

@@ -438,6 +438,27 @@ object TrainingQueries {
         .select(col("id"), col("score")), Seq("score"))
     }),
 
+    // FILTERED sharded-HNSW search: post-filter with oversampled beams
+    // (graph nodes hold only id+vector, so the predicate prunes the
+    // merged candidate set against the collection scan). At sf0.01 the
+    // oversampled beams (4 shards x 40 candidates of ~150 rows) recover
+    // the EXACT filtered top-10, so the oracle is the filtered
+    // flat-cosine SQL — data-derived, unlike the stored-expected hnsw
+    // fixtures, so it survives a testdata regeneration.
+    "ann_hnsw_filtered_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      import s.implicits._
+      val queries = Seq(("q0", Tables.queryVector(s, dir, 0L).toSeq))
+        .toDF("qid", "qvector")
+      roundCols(graft.index.ShardedHnsw
+        .searchMany(coll, config, queries, 10, shards = 4,
+          cacheKey = s"gate_filtered_hnsw@$dir",
+          filter = Some(col("id") >= "5"), oversample = 4)
+        .select(col("id"), col("score")), Seq("score"))
+    }),
+
     // IVF: probing every cell must equal exact flat search (oracle =
     // the flat-cosine SQL); partial probe is the approximate scale path
     "ann_ivf_full_probe_topk" -> ((s, dir) => {
@@ -1433,6 +1454,16 @@ object TrainingQueries {
       flatCosineOracleWhere("WHERE CAST(vec_id AS VARCHAR) >= '5'"),
     "ann_ivf_filtered_search_many" ->
       ivfSearchManyOracleWhere("WHERE nc.id >= '3'"),
+    // the oversampled beams recover the exact filtered top-10 at the
+    // gate scale (regenerate scrutiny: if this row ever fails with the
+    // list's TAIL differing, the beams stopped covering — widen
+    // oversample rather than re-pinning)
+    "ann_hnsw_filtered_topk" ->
+      """WITH q AS (SELECT list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS qv FROM embeddings WHERE vec_id = 0),
+       n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings WHERE CAST(vec_id AS VARCHAR) >= '5'),
+       sc AS (SELECT id, list_sum(list_transform(range(1, len(nv)+1), i -> CAST(nv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS raw FROM n, q)
+       SELECT id, (round(raw, 6) + 0) AS score
+       FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10""",
     "ann_ivfpq_partitioned_topk" -> ivfPqOracle,
     "ann_ivfpq_residual_topk" -> ivfPqResidualOracle,
     "ann_lsh_topk" -> lshOracle,

@@ -118,11 +118,23 @@ final class GraftDb(val spark: SparkSession) {
   /** Index-routed search: `flat` scans exactly; `hnsw` uses the parity
     * graph; `lsh` / `ivf` / `sq8` / `pq` / `ivfpq` use the distributed
     * ANN candidate paths (quantized variants rerank exactly).
-    * Mirrors the reference's `index_mod.search` dispatch. */
-  def search(name: String, query: Array[Float], limit: Int): DataFrame = {
+    * Mirrors the reference's `index_mod.search` dispatch.
+    *
+    * `filter` (engine extension) makes it a FILTERED search: top-k
+    * among rows matching the predicate (post-filter semantics). Models
+    * and codes stay trained on the FULL collection — a query-time
+    * predicate never retrains; scan-shaped indexes pre-filter the
+    * candidate scan (exact for flat; quantized candidate budgets rank
+    * filtered rows only), hnsw post-filters oversampled sharded beams
+    * (the driver shim's graph holds no metadata, so filtered hnsw
+    * always routes to the sharded path — `oversample` widens it). */
+  def search(name: String, query: Array[Float], limit: Int,
+      filter: Option[org.apache.spark.sql.Column] = None,
+      oversample: Int = 4): DataFrame = {
     val (df, config) = collection(name)
+    def filtered(f: DataFrame): DataFrame = filter.foldLeft(f)(_.filter(_))
     config.index match {
-      case "flat" => Search.flatSearch(df, config, query, limit)
+      case "flat" => Search.flatSearch(filtered(df), config, query, limit)
       case "hnsw" if openPaths.contains(name) =>
         // opened from an at-rest layout: serve through the persisted
         // shard graphs (reconstructed from adjacency, cached per path)
@@ -130,7 +142,8 @@ final class GraftDb(val spark: SparkSession) {
         val queries = Seq(("q", query.toSeq)).toDF("qid", "qvector")
         val path = openPaths(name)
         graft.index.ShardedHnsw.searchManyPersisted(spark, path, config,
-            queries, limit, cacheKey = path)
+            queries, limit, cacheKey = path, filter = filter,
+            oversample = oversample)
           .select(col("id"), col("score"), col("distance"), col("metric"))
       case "hnsw" =>
         // driver parity graph below the build cap; above it, fall back
@@ -142,7 +155,7 @@ final class GraftDb(val spark: SparkSession) {
         // the routing count runs once per registry frame (mutations
         // invalidate it), not once per query
         lazy val n = hnswRowCount.getOrElseUpdate(name, df.count())
-        if (hnswCache.contains(name) || n <= cap) {
+        if (filter.isEmpty && (hnswCache.contains(name) || n <= cap)) {
           val g = hnswCache.getOrElseUpdate(name,
             graft.index.Hnsw.build(df, config, knownCount = n))
           val q = Search.prepareQuery(config, query)
@@ -159,12 +172,16 @@ final class GraftDb(val spark: SparkSession) {
         } else {
           import spark.implicits._
           val queries = Seq(("q", query.toSeq)).toDF("qid", "qvector")
+          // graphs hold no metadata, so filtered and unfiltered share
+          // the same cache key — one build serves both
           graft.index.ShardedHnsw.searchMany(df, config, queries, limit,
-              cacheKey = hnswKey(name))
+              cacheKey = hnswKey(name), filter = filter,
+              oversample = oversample)
             .select(col("id"), col("score"), col("distance"), col("metric"))
         }
       case "lsh" =>
-        graft.ann.CosineLsh.search(codedFrameCache.getOrElse(name, df), config,
+        graft.ann.CosineLsh.search(
+          filtered(codedFrameCache.getOrElse(name, df)), config,
           graft.ann.CosineLsh.LshConfig(), query, limit)
       case "ivf" =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
@@ -173,24 +190,24 @@ final class GraftDb(val spark: SparkSession) {
         val frame = codedFrameCache.getOrElse(name, df)
         ivfAdaptive match {
           case Some((ratio, maxProbe)) =>
-            graft.ann.IvfIndex.searchAdaptive(frame, config, cents, query,
-              limit, ratio, maxProbe)
+            graft.ann.IvfIndex.searchAdaptive(filtered(frame), config, cents,
+              query, limit, ratio, maxProbe)
           case None =>
-            graft.ann.IvfIndex.search(frame, config, cents, query, limit,
-              ivfCfg.nprobe)
+            graft.ann.IvfIndex.search(filtered(frame), config, cents, query,
+              limit, ivfCfg.nprobe)
         }
       case "sq8" =>
         val (model, coded) = sq8Cache.getOrElseUpdate(name, {
           val m = graft.ann.Sq8.train(df)
           (m, graft.ann.Sq8.withCodes(df, m).persist())
         })
-        graft.ann.Sq8.search(coded, config, model, query, limit)
+        graft.ann.Sq8.search(filtered(coded), config, model, query, limit)
       case "pq" =>
         val (cb, coded) = pqCache.getOrElseUpdate(name, {
           val c = graft.ann.Pq.trainOrdered(df, config, pqConfigFor(config), col("id"))
           (c, graft.ann.Pq.withCodes(df, c).persist())
         })
-        graft.ann.Pq.search(coded, config, cb, query, limit)
+        graft.ann.Pq.search(filtered(coded), config, cb, query, limit)
       case "ivfpq" if residualMetric(config) =>
         // FAISS-style default for the L2 family: codes quantize the
         // residual v - centroid[cell] (by_residual), spending the code
@@ -203,8 +220,8 @@ final class GraftDb(val spark: SparkSession) {
             pqConfigFor(config), col("id"))
           (c, graft.ann.IvfPq.withResidualCodes(df, cents, c).persist())
         })
-        graft.ann.IvfPq.searchResidual(prepared, config, cents, cb, query,
-          limit, ivfCfg.nprobe)
+        graft.ann.IvfPq.searchResidual(filtered(prepared), config, cents, cb,
+          query, limit, ivfCfg.nprobe)
       case "ivfpq" =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
@@ -215,7 +232,8 @@ final class GraftDb(val spark: SparkSession) {
         })
         val prepared = ivfPqCache.getOrElseUpdate(name,
           graft.ann.IvfPq.prepare(df, cents, cb).persist())
-        graft.ann.IvfPq.search(prepared, config, cents, cb, query, limit, ivfCfg.nprobe)
+        graft.ann.IvfPq.search(filtered(prepared), config, cents, cb, query,
+          limit, ivfCfg.nprobe)
       case other => throw new IllegalArgumentException(s"unknown index $other")
     }
   }

@@ -147,11 +147,24 @@ object ShardedHnsw {
   /** Batch search: queries are (qid, qvector) rows, bounded (they
     * broadcast); returns (qid, id, score, distance, metric) like the
     * facade's single hnsw search. `shards = 0` uses the session's
-    * default parallelism. */
+    * default parallelism.
+    *
+    * `filter` is a POST-FILTER on the collection rows (top-k among rows
+    * matching the predicate). Graph nodes hold only (id, vector), so
+    * the predicate can't steer the walk; instead each shard's beam is
+    * WIDENED to limit*oversample candidates and the merged candidate
+    * set (bounded: nShards * nq * limit * oversample rows — it
+    * broadcasts) joins the predicate-filtered collection scan, where
+    * the predicate pushes down to the source. Approximate like every
+    * HNSW answer, and additionally bounded by the beam: a predicate
+    * keeping ~1/s of rows wants oversample ≳ s. */
   def searchMany(df: DataFrame, config: CollectionConfig, queries: DataFrame,
       limit: Int, shards: Int = 0, cacheKey: String = "",
-      params: Hnsw.Params = Hnsw.Params()): DataFrame = {
+      params: Hnsw.Params = Hnsw.Params(),
+      filter: Option[org.apache.spark.sql.Column] = None,
+      oversample: Int = 4): DataFrame = {
     require(limit > 0, "limit must be positive")
+    require(oversample > 0, "oversample must be positive")
     val spark = df.sparkSession
     import spark.implicits._
     val nShards =
@@ -165,7 +178,7 @@ object ShardedHnsw {
     // allocation) must rebuild, not reuse another partitioning's graphs
     val key = withShardCount(cacheKey, nShards)
     val maxNodes = cacheMaxNodes(spark)
-    val lim = limit
+    val lim = if (filter.isDefined) limit * oversample else limit
     val perShard = df
       .select(col("id").cast("string"), col("vector").cast("array<float>"))
       .as[(String, Array[Float])]
@@ -188,8 +201,22 @@ object ShardedHnsw {
           }
         }
       }
-    mergeTopK(perShard.toDF("qid", "id", "raw", "rank"), config, limit)
+    mergeTopK(postFilter(perShard.toDF("qid", "id", "raw", "rank"), df, filter),
+      config, limit)
   }
+
+  /** Candidate post-filter for the filtered search paths: keep only
+    * candidates whose id survives the predicate over `attrs` (the
+    * collection frame / layout scan — the predicate pushes down there),
+    * joining the BOUNDED candidate set broadcast against that scan. */
+  private def postFilter(cands: DataFrame, attrs: DataFrame,
+      filter: Option[org.apache.spark.sql.Column]): DataFrame =
+    filter match {
+      case None => cands
+      case Some(pred) =>
+        attrs.filter(pred).select(col("id").cast("string").as("id"))
+          .join(org.apache.spark.sql.functions.broadcast(cands), Seq("id"))
+    }
 
   /** Global merge of per-shard candidate lists: nShards * nq * limit
     * rows, one keyed window. */
@@ -405,12 +432,19 @@ object ShardedHnsw {
     * distance calls) into the executor cache under `cacheKey` — pass
     * the layout path (stable across sessions); "" rebuilds every call.
     * Results are bit-identical to `searchMany` over the same rows with
-    * the layout's shard count and params. */
+    * the layout's shard count and params.
+    *
+    * `filter`/`oversample` mirror [[searchMany]]'s post-filter: widened
+    * per-shard beams, candidates joined against the predicate-filtered
+    * layout scan (the predicate pushes down to the layout's parquet). */
   def searchManyPersisted(spark: org.apache.spark.sql.SparkSession,
       path: String, config: CollectionConfig, queries: DataFrame,
       limit: Int, cacheKey: String = "",
-      state: Option[DataFrame] = None): DataFrame = {
+      state: Option[DataFrame] = None,
+      filter: Option[org.apache.spark.sql.Column] = None,
+      oversample: Int = 4): DataFrame = {
     require(limit > 0, "limit must be positive")
+    require(oversample > 0, "oversample must be positive")
     import spark.implicits._
     // one sidecar read serves shards + params + version
     val (nShards, params, version) = graft.ann.ModelStore.loadHnsw(spark,
@@ -425,7 +459,7 @@ object ShardedHnsw {
     val key = if (cacheKey.isEmpty) ""
       else s"${withShardCount(cacheKey, nShards)}#$version"
     val maxNodes = cacheMaxNodes(spark)
-    val lim = limit
+    val lim = if (filter.isDefined) limit * oversample else limit
     // caller-supplied state frames promise "a shard never spans tasks";
     // trust-but-verify with the layout's true per-shard row counts — a
     // mis-partitioned frame would cache PARTIAL shard graphs under
@@ -464,7 +498,8 @@ object ShardedHnsw {
           }
         }
       }
-    mergeTopK(perShard.toDF("qid", "id", "raw", "rank"), config, limit)
+    mergeTopK(postFilter(perShard.toDF("qid", "id", "raw", "rank"),
+      spark.read.parquet(path), filter), config, limit)
   }
 
   // True per-shard row counts of a layout generation, broadcast ONCE

@@ -109,6 +109,45 @@ class GraftDbSpec extends SparkSpec {
     }
   }
 
+  test("filtered search routes through every index with post-filter semantics") {
+    import org.apache.spark.sql.functions.{col, expr}
+    val db = new GraftDb(spark)
+    val vecs = (0 until 60).map(i =>
+      db.EmbeddingInput(id = f"v$i%02d", vector = Array(
+        math.cos(i * 0.11).toFloat, math.sin(i * 0.11).toFloat, (i % 7) / 6.0f)))
+    for (idx <- Seq("flat", "hnsw", "lsh", "ivf", "sq8", "pq", "ivfpq"))  {
+      db.createCollection(s"f_$idx", 3, metric = "cosine", index = idx)
+      db.batch(s"f_$idx", vecs)
+    }
+    val q = Array(0.9f, 0.2f, 0.3f)
+    // keep even ids only
+    val pred = expr("cast(substring(id, 2, 2) as int) % 2 = 0")
+    val exact = db.search("f_flat", q, 5, filter = Some(pred))
+      .collect().map(_.getString(0)).toSeq
+    val unfiltered = db.search("f_flat", q, 5).collect().map(_.getString(0))
+    assert(exact !== unfiltered.toSeq, "predicate must change the answer")
+    assert(exact.forall(_.drop(1).toInt % 2 == 0))
+    for (idx <- Seq("hnsw", "lsh", "ivf", "sq8", "pq", "ivfpq")) {
+      val top = db.search(s"f_$idx", q, 5, filter = Some(pred),
+        oversample = 60).collect().map(_.getString(0)).toSeq
+      assert(top.nonEmpty && top.forall(_.drop(1).toInt % 2 == 0),
+        s"index $idx leaked: $top")
+    }
+    // where the candidate pool covers the corpus the filtered answer is
+    // EXACT: hnsw beams are exhaustive at oversample=60 on 60 rows, and
+    // the sq8/pq candidate budgets (20x limit) exceed the corpus before
+    // the exact rerank
+    for (idx <- Seq("hnsw", "sq8", "pq")) {
+      val top = db.search(s"f_$idx", q, 5, filter = Some(pred),
+        oversample = 60).collect().map(_.getString(0)).toSeq
+      assert(top === exact, s"index $idx filtered top-5 disagrees")
+    }
+    // unfiltered search on the same collections is untouched by the
+    // filtered calls (caches shared, semantics independent)
+    assert(db.search("f_hnsw", q, 5).collect().map(_.getString(0)).toSeq
+      === unfiltered.toSeq)
+  }
+
   test("persistIndex/openIndexed lifecycle: cold open serves without retraining, results identical") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -386,4 +386,41 @@ class ShardedHnswSpec extends SparkSpec {
       assert(shimTop.head === "t11_m0")
     } finally spark.conf.unset("spark.graft.hnsw.maxBuildRows")
   }
+
+  test("filtered search: post-filter semantics on build and persisted paths") {
+    val config = CollectionConfig("shflt", dims)
+    val coll = graft.prepare.Prepare
+      .prepareEmbeddings(embeddingRows(clusteredRows), config).persist()
+    val queries = (0 until 3).map { k =>
+      val base = synth(500L + 5 * k)
+      (s"q$k", Array.tabulate(dims)(i => base(i) + 0.004f * synth(-800L - k)(i)).toSeq)
+    }.toDF("qid", "qvector")
+    // keep only even topic members: odd members drop out of every
+    // candidate pool while the planted m0 tops survive
+    val pred = expr("cast(substring(id, length(id), 1) as int) % 2 = 0")
+    // oversample covering each shard entirely (400 rows / 4 shards = 100
+    // <= 5 * 100): per-shard beams are exhaustive, so the filtered
+    // answer must EQUAL exact flat search over the pre-filtered frame
+    val filtered = ShardedHnsw.searchMany(coll, config, queries, 5,
+      shards = 4, filter = Some(pred), oversample = 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    val exactPerQ = (0 until 3).flatMap { k =>
+      val qv = queries.filter(col("qid") === s"q$k")
+        .head().getSeq[Float](1).toArray
+      Search.flatSearch(coll.filter(pred), config, qv, 5)
+        .collect().map(r => (s"q$k", r.getString(0)))
+    }.sorted
+    assert(filtered === exactPerQ)
+    filtered.foreach { case (_, id) =>
+      assert(id.takeRight(1).toInt % 2 == 0, s"predicate violated by $id") }
+    // persisted layout serves the same filtered answer
+    val path = java.nio.file.Files.createTempDirectory("graft_hnsw_flt").toString
+    ShardedHnsw.writeLayout(coll, config, path, shards = 4)
+    val persisted = ShardedHnsw.searchManyPersisted(spark, path, config,
+      queries, 5, cacheKey = path, filter = Some(pred), oversample = 100)
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted.toSeq
+    assert(persisted === filtered)
+    ShardedHnsw.clearCache(path)
+    coll.unpersist()
+  }
 }
