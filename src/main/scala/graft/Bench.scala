@@ -333,6 +333,20 @@ object Bench {
       graft.index.ShardedHnsw.searchMany(coll, config, queries64, 10,
         cacheKey = shKey).collect()
     }
+    // FILTERED serving from the same cached graphs (default
+    // oversample=4 — the out-of-the-box operating point): a predicate
+    // keeping ~half the corpus, overlap vs exact filtered flat
+    val fltPred = expr("cast(id as long) % 2 = 0")
+    record("synth_hnsw_sharded_filtered", div = 1.0) {
+      graft.index.ShardedHnsw.searchMany(coll, config, oneQuery, 10,
+        cacheKey = shKey, filter = Some(fltPred)).collect()
+    }
+    val fltExact = dfIds(Search.flatSearch(coll.filter(fltPred), config, q, 10)).toSet
+    val fltIds = dfIds(graft.index.ShardedHnsw.searchMany(coll, config,
+      oneQuery, 10, cacheKey = shKey, filter = Some(fltPred))).toSet
+    quality("overlap10_hnsw_sharded_filtered") =
+      if (fltExact.isEmpty) 1.0
+      else fltExact.intersect(fltIds).size.toDouble / fltExact.size
     val exactFullIds = dfIds(Search.flatSearch(coll, config, q, 10)).toSet
     val shardedIds = dfIds(graft.index.ShardedHnsw.searchMany(
       coll, config, oneQuery, 10, cacheKey = shKey)).toSet

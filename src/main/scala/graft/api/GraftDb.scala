@@ -337,24 +337,32 @@ final class GraftDb(val spark: SparkSession) {
     * tables over a codes-only scan (the reference's batched-NIF idiom,
     * nifs.rs:151-175). Queries are (qid, qvector) rows; pass `knownNq`
     * when the batch size is known so the broadcast-bound checks ride it
-    * instead of running a count job. */
+    * instead of running a count job.
+    *
+    * `filter`/`oversample` make it a filtered batch search with the
+    * same semantics as [[search]]'s filtered form. */
   def searchMany(name: String, queries: DataFrame, limit: Int,
-      knownNq: Long = -1L): DataFrame = {
+      knownNq: Long = -1L,
+      filter: Option[org.apache.spark.sql.Column] = None,
+      oversample: Int = 4): DataFrame = {
     val (df, config) = collection(name)
+    def filtered(f: DataFrame): DataFrame = filter.foldLeft(f)(_.filter(_))
     config.index match {
       case "hnsw" if openPaths.contains(name) =>
         val path = openPaths(name)
         graft.index.ShardedHnsw.searchManyPersisted(spark, path, config,
-          queries, limit, cacheKey = path)
+          queries, limit, cacheKey = path, filter = filter,
+          oversample = oversample)
       case "hnsw" =>
         // the DISTRIBUTED hnsw path: per-shard graphs on executors, no
         // driver build, no row cap — the scale answer the single-query
         // driver shim can't give. The cache key tracks the registry
         // frame instance, so any CRUD mutation (new frame) re-shards.
         graft.index.ShardedHnsw.searchMany(df, config, queries, limit,
-          cacheKey = hnswKey(name))
+          cacheKey = hnswKey(name), filter = filter, oversample = oversample)
       case "lsh" =>
-        graft.ann.CosineLsh.searchMany(codedFrameCache.getOrElse(name, df),
+        graft.ann.CosineLsh.searchMany(
+          filtered(codedFrameCache.getOrElse(name, df)),
           config, graft.ann.CosineLsh.LshConfig(), queries, limit)
       case "ivf" =>
         // probe-union prune + batch join over the SAME frame single
@@ -371,25 +379,25 @@ final class GraftDb(val spark: SparkSession) {
           graft.ann.IvfIndex.withCells(df, cents))
         ivfAdaptive match {
           case Some((ratio, maxProbe)) =>
-            graft.ann.IvfIndex.searchManyPrunedAdaptive(frame, config, cents,
-              queries, limit, ratio, maxProbe)
+            graft.ann.IvfIndex.searchManyPrunedAdaptive(filtered(frame),
+              config, cents, queries, limit, ratio, maxProbe)
           case None =>
-            graft.ann.IvfIndex.searchManyPruned(frame, config, cents, queries,
-              limit, ivfCfg.nprobe)
+            graft.ann.IvfIndex.searchManyPruned(filtered(frame), config,
+              cents, queries, limit, ivfCfg.nprobe)
         }
       case "sq8" =>
         val (model, coded) = sq8Cache.getOrElseUpdate(name, {
           val m = graft.ann.Sq8.train(df)
           (m, graft.ann.Sq8.withCodes(df, m).persist())
         })
-        graft.ann.Sq8.searchMany(coded, config, model, queries, limit,
-          knownNq = knownNq)
+        graft.ann.Sq8.searchMany(filtered(coded), config, model, queries,
+          limit, knownNq = knownNq)
       case "pq" =>
         val (cb, coded) = pqCache.getOrElseUpdate(name, {
           val c = graft.ann.Pq.trainOrdered(df, config, pqConfigFor(config), col("id"))
           (c, graft.ann.Pq.withCodes(df, c).persist())
         })
-        graft.ann.Pq.searchMany(coded, config, cb, queries, limit,
+        graft.ann.Pq.searchMany(filtered(coded), config, cb, queries, limit,
           knownNq = knownNq)
       case "ivfpq" if residualMetric(config) =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
@@ -400,7 +408,7 @@ final class GraftDb(val spark: SparkSession) {
             pqConfigFor(config), col("id"))
           (c, graft.ann.IvfPq.withResidualCodes(df, cents, c).persist())
         })
-        graft.ann.IvfPq.searchManyPruned(prepared, config, cents, cb,
+        graft.ann.IvfPq.searchManyPruned(filtered(prepared), config, cents, cb,
           residual = true, queries, limit, ivfCfg.nprobe, knownNq = knownNq)
       case "ivfpq" =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
@@ -412,9 +420,9 @@ final class GraftDb(val spark: SparkSession) {
         })
         val prepared = ivfPqCache.getOrElseUpdate(name,
           graft.ann.IvfPq.prepare(df, cents, cb).persist())
-        graft.ann.IvfPq.searchManyPruned(prepared, config, cents, cb,
+        graft.ann.IvfPq.searchManyPruned(filtered(prepared), config, cents, cb,
           residual = false, queries, limit, ivfCfg.nprobe, knownNq = knownNq)
-      case _ => Search.flatSearchMany(df, config, queries, limit)
+      case _ => Search.flatSearchMany(filtered(df), config, queries, limit)
     }
   }
 

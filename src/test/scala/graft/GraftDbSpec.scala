@@ -146,6 +146,18 @@ class GraftDbSpec extends SparkSpec {
     // filtered calls (caches shared, semantics independent)
     assert(db.search("f_hnsw", q, 5).collect().map(_.getString(0)).toSeq
       === unfiltered.toSeq)
+    // filtered BATCH search: same routing, same post-filter contract
+    import spark.implicits._
+    val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
+    for (idx <- Seq("flat", "hnsw", "lsh", "ivf", "sq8", "pq", "ivfpq")) {
+      val top = db.searchMany(s"f_$idx", queries, 5, filter = Some(pred),
+        oversample = 60).collect().map(_.getAs[String]("id")).toSeq
+      assert(top.nonEmpty && top.forall(_.drop(1).toInt % 2 == 0),
+        s"batch index $idx leaked: $top")
+    }
+    assert(db.searchMany("f_flat", queries, 5, filter = Some(pred))
+      .orderBy(col("distance").asc, col("id").asc)
+      .collect().map(_.getAs[String]("id")).toSeq === exact)
   }
 
   test("persistIndex/openIndexed lifecycle: cold open serves without retraining, results identical") {
