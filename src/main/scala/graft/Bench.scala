@@ -682,7 +682,13 @@ object Bench {
     // rows plus summed q_*/qalt_* family totals.
     val outFile = sys.env.getOrElse("GRAFT_BENCH_OUT", "BENCH_FULL_latest.json")
     try java.nio.file.Files.writeString(java.nio.file.Paths.get(outFile), line + "\n")
-    catch { case e: Throwable => System.err.println(s"[bench] could not write $outFile: ${e.getMessage}") }
+    catch { case e: Throwable =>
+      // an unwritable out-path must not lose an hour-long run's numbers:
+      // fall back to stderr (captured by the bench logs), stdout stays
+      // the compact parseable line
+      System.err.println(s"[bench] could not write $outFile: ${e.getMessage}")
+      System.err.println(line)
+    }
     val headline = results.filter { case (k, _) =>
       k.startsWith("synth_") || k.startsWith("scale5x_") }
     val qTotal = results.collect { case (k, v) if k.startsWith("q_") && v > 0 => v }.sum

@@ -452,9 +452,12 @@ object TrainingQueries {
       import s.implicits._
       val queries = Seq(("q0", Tables.queryVector(s, dir, 0L).toSeq))
         .toDF("qid", "qvector")
+      // same corpus/config/shards/params as ann_hnsw_sharded_topk and
+      // graphs are filter-independent — share its cache key so one
+      // build serves both rows
       roundCols(graft.index.ShardedHnsw
         .searchMany(coll, config, queries, 10, shards = 4,
-          cacheKey = s"gate_filtered_hnsw@$dir",
+          cacheKey = s"gate_sharded_hnsw@$dir",
           filter = Some(col("id") >= "5"), oversample = 4)
         .select(col("id"), col("score")), Seq("score"))
     }),
@@ -1455,15 +1458,12 @@ object TrainingQueries {
     "ann_ivf_filtered_search_many" ->
       ivfSearchManyOracleWhere("WHERE nc.id >= '3'"),
     // the oversampled beams recover the exact filtered top-10 at the
-    // gate scale (regenerate scrutiny: if this row ever fails with the
-    // list's TAIL differing, the beams stopped covering — widen
-    // oversample rather than re-pinning)
+    // gate scale (if this row ever fails with the list's TAIL
+    // differing, the beams stopped covering — widen oversample). The
+    // query emits (id, score) only, so project the shared oracle down.
     "ann_hnsw_filtered_topk" ->
-      """WITH q AS (SELECT list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS qv FROM embeddings WHERE vec_id = 0),
-       n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings WHERE CAST(vec_id AS VARCHAR) >= '5'),
-       sc AS (SELECT id, list_sum(list_transform(range(1, len(nv)+1), i -> CAST(nv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS raw FROM n, q)
-       SELECT id, (round(raw, 6) + 0) AS score
-       FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10""",
+      s"""SELECT id, score FROM (
+         ${flatCosineOracleWhere("WHERE CAST(vec_id AS VARCHAR) >= '5'")})""",
     "ann_ivfpq_partitioned_topk" -> ivfPqOracle,
     "ann_ivfpq_residual_topk" -> ivfPqResidualOracle,
     "ann_lsh_topk" -> lshOracle,

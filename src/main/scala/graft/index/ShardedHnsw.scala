@@ -178,7 +178,10 @@ object ShardedHnsw {
     // allocation) must rebuild, not reuse another partitioning's graphs
     val key = withShardCount(cacheKey, nShards)
     val maxNodes = cacheMaxNodes(spark)
-    val lim = if (filter.isDefined) limit * oversample else limit
+    // multiplyExact: a silently-overflowed beam would return an empty
+    // result indistinguishable from "nothing matches the predicate"
+    val lim = if (filter.isDefined) math.multiplyExact(limit, oversample)
+      else limit
     val perShard = df
       .select(col("id").cast("string"), col("vector").cast("array<float>"))
       .as[(String, Array[Float])]
@@ -459,7 +462,10 @@ object ShardedHnsw {
     val key = if (cacheKey.isEmpty) ""
       else s"${withShardCount(cacheKey, nShards)}#$version"
     val maxNodes = cacheMaxNodes(spark)
-    val lim = if (filter.isDefined) limit * oversample else limit
+    // multiplyExact: a silently-overflowed beam would return an empty
+    // result indistinguishable from "nothing matches the predicate"
+    val lim = if (filter.isDefined) math.multiplyExact(limit, oversample)
+      else limit
     // caller-supplied state frames promise "a shard never spans tasks";
     // trust-but-verify with the layout's true per-shard row counts — a
     // mis-partitioned frame would cache PARTIAL shard graphs under
@@ -473,7 +479,8 @@ object ShardedHnsw {
     // a task groups its partition locally (a shard never spans tasks —
     // layoutState's contract), so cached-graph serving avoids the
     // groupByKey shuffle of the whole state frame per call
-    val perShard = state.getOrElse(layoutState(spark, path, nShards))
+    val stateFrame = state.getOrElse(layoutState(spark, path, nShards))
+    val perShard = stateFrame
       .select(col("hnsw_shard").cast("int"), col("internal_id").cast("int"),
         col("id").cast("string"), col("layer").cast("int"),
         col("vector").cast("array<float>"), col("connections"), col("is_entry"))
@@ -498,8 +505,13 @@ object ShardedHnsw {
           }
         }
       }
+    // post-filter attrs come from the SAME frame that served the graphs:
+    // a caller-persisted state frame keeps the no-per-call-parquet-decode
+    // contract, and the predicate always evaluates against the generation
+    // the candidates came from (a fresh read could see a newer file set
+    // mid-append than the version-keyed graphs serving the candidates)
     mergeTopK(postFilter(perShard.toDF("qid", "id", "raw", "rank"),
-      spark.read.parquet(path), filter), config, limit)
+      stateFrame, filter), config, limit)
   }
 
   // True per-shard row counts of a layout generation, broadcast ONCE
