@@ -55,6 +55,22 @@ class ScaleSpec extends SparkSpec {
       q, 10, nprobe = 2, candidates = 50)
       .collect().map(r => (r.getString(0), r.getDouble(3))).toSeq
     assert(onDisk === inMem)
+    // filtered at-rest search: full probe + candidates >= corpus makes
+    // the ADC cut a no-op, so the exact rerank over the filtered rows
+    // must equal exact flat search over the pre-filtered collection
+    val pred = col("id") >= "3"
+    val filtered = graft.ann.IvfPq.searchPartitioned(spark, path, config,
+      cents, cb, q, 10, nprobe = 8, candidates = 100000,
+      filter = Some(pred)).collect().map(_.getString(0)).toSeq
+    val exact = graft.search.Search.flatSearch(coll.filter(pred), config, q, 10)
+      .collect().map(_.getString(0)).toSeq
+    assert(filtered === exact)
+    import spark.implicits._
+    val queries = Seq(("1", q.toSeq)).toDF("qid", "qvector")
+    val filteredMany = graft.ann.IvfPq.searchManyPartitioned(spark, path,
+      config, queries, 10, nprobe = 8, candidates = 100000,
+      filter = Some(pred)).collect().map(_.getAs[String]("id")).toSeq.sorted
+    assert(filteredMany === exact.sorted)
   }
 
   test("bucketed tables: co-located join plans with no shuffle exchange") {
