@@ -41,6 +41,32 @@ object TrainingQueries {
       UNION ALL SELECT doc_id + 10000, text FROM documents WHERE doc_id < 20
       UNION ALL SELECT doc_id + 20000, text || ' zzextra' FROM documents WHERE doc_id >= 20 AND doc_id < 40"""
 
+  /** Batch-vs-corpus dedup fixtures: the at-rest corpus is the original
+    * docs; the "new crawl" batch holds exact copies (doc_id<20), near
+    * copies (20-39, ' zzextra' suffix), and genuinely new docs (50-69). */
+  private def dedupCorpusSide(s: SparkSession, dir: String): DataFrame =
+    Tables.read(s, dir, "documents").filter(col("doc_id") < 50)
+      .select(col("doc_id").as("id"), col("text"))
+
+  private def dedupBatchSide(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.read(s, dir, "documents")
+    docs.filter(col("doc_id") < 20)
+      .select((col("doc_id") + 10000).as("id"), col("text"))
+      .union(docs.filter(col("doc_id") >= 20 && col("doc_id") < 40)
+        .select((col("doc_id") + 20000).as("id"),
+          concat(col("text"), lit(" zzextra")).as("text")))
+      .union(docs.filter(col("doc_id") >= 50 && col("doc_id") < 70)
+        .select((col("doc_id") + 30000).as("id"), col("text")))
+  }
+
+  private val dedupCorpusSideSql =
+    "SELECT doc_id AS id, text FROM documents WHERE doc_id < 50"
+
+  private val dedupBatchSideSql =
+    """SELECT doc_id + 10000 AS id, text FROM documents WHERE doc_id < 20
+      UNION ALL SELECT doc_id + 20000, text || ' zzextra' FROM documents WHERE doc_id >= 20 AND doc_id < 40
+      UNION ALL SELECT doc_id + 30000, text FROM documents WHERE doc_id >= 50 AND doc_id < 70"""
+
   /** Decimal-exact money sum: the source values are true 2-decimal
     * amounts stored as doubles, so the decimal cast is unambiguous in
     * both engines; the sum is then exact and order-independent. */
@@ -349,6 +375,21 @@ object TrainingQueries {
       roundCols(Dedup.exactJaccardPairs(
         Tables.read(s, dir, "documents").filter(col("doc_id") < 60), "doc_id",
         col("text"), 2).filter(col("jaccard") >= 0.02), Seq("jaccard"))),
+
+    // batch-vs-corpus (incremental-ingest) dedup: a new "crawl" (exact
+    // copies, near copies, and genuinely new docs) against the at-rest
+    // corpus. Asymmetric: only (batch, corpus) bands join — never
+    // corpus x corpus — and corpus rows are never flagged.
+    "dedup_against_pairs" -> ((s, dir) =>
+      roundCols(Dedup.minhashMatchesAgainst(
+        dedupCorpusSide(s, dir), dedupBatchSide(s, dir), "id", col("text"),
+        k = 3, numHashes = 8, bands = 4, threshold = 0.5), Seq("jaccard"))),
+
+    "dedup_novel_against" -> ((s, dir) =>
+      Dedup.dropNearAgainst(
+        dedupCorpusSide(s, dir), dedupBatchSide(s, dir), "id", col("text"),
+        k = 3, numHashes = 8, bands = 4, threshold = 0.5)
+        .select("id")),
 
     "dedup_embedding_pairs" -> ((s, dir) =>
       roundCols(Dedup.exactCosinePairs(
@@ -1863,6 +1904,40 @@ object TrainingQueries {
          FROM shs a, shs b WHERE a.doc_id < b.doc_id
            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
          ORDER BY id_a, id_b""",
+
+    "dedup_against_pairs" ->
+      s"""WITH corpus AS ($dedupCorpusSideSql),
+         batch AS ($dedupBatchSideSql),
+         tc AS (SELECT id, $tokensSql AS toks FROM corpus),
+         shc AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM tc),
+         sigc AS (SELECT id, sh, ${minhashSigSql(8)} AS sig FROM shc),
+         bandc AS (SELECT id, unnest(${minhashBandsSql(4, 2)}) AS band FROM sigc),
+         tb AS (SELECT id, $tokensSql AS toks FROM batch),
+         shb AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM tb),
+         sigb AS (SELECT id, sh, ${minhashSigSql(8)} AS sig FROM shb),
+         bandb AS (SELECT id, unnest(${minhashBandsSql(4, 2)}) AS band FROM sigb),
+         cand AS (SELECT DISTINCT b.id AS id, c.id AS corpus_id FROM bandb b JOIN bandc c ON b.band = c.band),
+         ver AS (SELECT cand.id, cand.corpus_id,
+           CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+           FROM cand JOIN shb sa ON sa.id = cand.id JOIN shc sb ON sb.id = cand.corpus_id)
+         SELECT id, corpus_id, (round(jaccard, 6) + 0) AS jaccard FROM ver WHERE jaccard >= 0.5 ORDER BY id, corpus_id""",
+
+    "dedup_novel_against" ->
+      s"""WITH corpus AS ($dedupCorpusSideSql),
+         batch AS ($dedupBatchSideSql),
+         tc AS (SELECT id, $tokensSql AS toks FROM corpus),
+         shc AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM tc),
+         sigc AS (SELECT id, sh, ${minhashSigSql(8)} AS sig FROM shc),
+         bandc AS (SELECT id, unnest(${minhashBandsSql(4, 2)}) AS band FROM sigc),
+         tb AS (SELECT id, $tokensSql AS toks FROM batch),
+         shb AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM tb),
+         sigb AS (SELECT id, sh, ${minhashSigSql(8)} AS sig FROM shb),
+         bandb AS (SELECT id, unnest(${minhashBandsSql(4, 2)}) AS band FROM sigb),
+         cand AS (SELECT DISTINCT b.id AS id, c.id AS corpus_id FROM bandb b JOIN bandc c ON b.band = c.band),
+         matched AS (SELECT DISTINCT cand.id
+           FROM cand JOIN shb sa ON sa.id = cand.id JOIN shc sb ON sb.id = cand.corpus_id
+           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5)
+         SELECT id FROM batch WHERE id NOT IN (SELECT id FROM matched) ORDER BY id""",
 
     "dedup_embedding_pairs" ->
       s"""WITH n AS (SELECT vec_id AS id,

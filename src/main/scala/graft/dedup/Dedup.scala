@@ -304,6 +304,79 @@ object Dedup {
       .drop("_cl_id", "_cl_label")
   }
 
+  // ------------------------------------------- batch-vs-corpus (against)
+  //
+  // The incremental-ingest shape: a NEW batch is deduplicated AGAINST an
+  // EXISTING corpus (a new crawl against the dataset already at rest).
+  // Asymmetric by contract — corpus rows are never flagged or dropped,
+  // and batch-internal duplicates are NOT detected here (run the
+  // symmetric pass on the batch for that). At 100 TB the corpus side
+  // ships only (band_hash, id) pairs into the candidate join — never
+  // documents — and the hot-band guard bounds each band's corpus-side
+  // fan-out (a band over the cap on either side is skipped, audited via
+  // the *HotBands helpers on each frame).
+
+  /** Batch rows whose exact dedup key already exists in the corpus:
+    * semi-join on md5(key) — the corpus reduces to its distinct key
+    * hashes before any join. */
+  def exactMatchesAgainst(corpus: DataFrame, batch: DataFrame,
+      keyCol: Column): DataFrame = {
+    val keys = corpus.select(md5(keyCol).as("_dk")).distinct()
+    batch.withColumn("_dk", md5(keyCol))
+      .join(keys, Seq("_dk"), "left_semi").drop("_dk")
+  }
+
+  /** Batch rows with NO exact key match in the corpus. */
+  def dropExactAgainst(corpus: DataFrame, batch: DataFrame,
+      keyCol: Column): DataFrame = {
+    val keys = corpus.select(md5(keyCol).as("_dk")).distinct()
+    batch.withColumn("_dk", md5(keyCol))
+      .join(keys, Seq("_dk"), "left_anti").drop("_dk")
+  }
+
+  /** Verified near-dup matches of a NEW batch against the corpus:
+    * MinHash band keys on both sides, batch x corpus join per band
+    * (never corpus x corpus), exact shingle-Jaccard verification at
+    * `threshold`. Returns (id, corpus_id, jaccard) — one row per
+    * verified (batch, corpus) match. */
+  def minhashMatchesAgainst(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: Column, k: Int, numHashes: Int, bands: Int,
+      threshold: Double, maxBandSize: Int = DefaultMaxBandSize,
+      fastHash: Boolean = false): DataFrame = {
+    val cb = dropHotBands(
+      minhashBanded(corpus, idCol, textCol, k, numHashes, bands, fastHash),
+      maxBandSize)
+    val bb = dropHotBands(
+      minhashBanded(batch, idCol, textCol, k, numHashes, bands, fastHash),
+      maxBandSize)
+    val cands = bb
+      .join(cb.withColumnRenamed("id", "corpus_id"), Seq("band"))
+      .select("id", "corpus_id").distinct()
+    val shB = batch.select(col(idCol).as("id"),
+      TextAnalysis.distinctShingles(textCol, k).as("sh_a"))
+    val shC = corpus.select(col(idCol).as("corpus_id"),
+      TextAnalysis.distinctShingles(textCol, k).as("sh_b"))
+    cands.join(shB, "id").join(shC, "corpus_id")
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("id", "corpus_id", "jaccard")
+  }
+
+  /** The novelty cut: batch rows with no verified corpus match at
+    * `threshold` (exact duplicates match at jaccard 1.0, so this
+    * subsumes the exact cut when the key is the text itself). */
+  def dropNearAgainst(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: Column, k: Int = 3, numHashes: Int = 8, bands: Int = 4,
+      threshold: Double = 0.7, maxBandSize: Int = DefaultMaxBandSize,
+      fastHash: Boolean = false): DataFrame = {
+    val matched = minhashMatchesAgainst(corpus, batch, idCol, textCol, k,
+      numHashes, bands, threshold, maxBandSize, fastHash)
+      .select(col("id").as("_m_id")).distinct()
+    batch.join(matched, batch(idCol) === col("_m_id"), "left_anti")
+  }
+
   // ----------------------------------------------------------- SimHash
 
   private def simhashBanded(df: DataFrame, idCol: String, textCol: Column): DataFrame =

@@ -105,6 +105,35 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.toSeq === Seq(("d1", "d2")))
   }
 
+  test("batch-vs-corpus dedup: matches are asymmetric, novelty cut keeps new docs only") {
+    val corpus = Seq(
+      ("c1", (1 to 40).map(i => s"tok$i").mkString(" ")),
+      ("c2", (100 to 140).map(i => s"tok$i").mkString(" ")),
+      // corpus-internal duplicates must NOT appear in the output
+      ("c3", (1 to 40).map(i => s"tok$i").mkString(" "))
+    ).toDF("id", "text")
+    val batch = Seq(
+      ("b1", (1 to 40).map(i => s"tok$i").mkString(" ")),      // exact copy of c1/c3
+      ("b2", (100 to 140).map(i => s"tok$i").mkString(" ") + " tail"), // near c2
+      ("b3", (500 to 540).map(i => s"tok$i").mkString(" ")),   // novel
+      ("b4", (500 to 540).map(i => s"tok$i").mkString(" "))    // batch-internal dup of b3: still novel
+    ).toDF("id", "text")
+    val matches = Dedup.minhashMatchesAgainst(corpus, batch, "id", col("text"),
+      k = 3, numHashes = 8, bands = 4, threshold = 0.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(matches === Set(("b1", "c1"), ("b1", "c3"), ("b2", "c2")))
+    val novel = Dedup.dropNearAgainst(corpus, batch, "id", col("text"),
+      k = 3, numHashes = 8, bands = 4, threshold = 0.5)
+      .collect().map(_.getString(0)).toSet
+    assert(novel === Set("b3", "b4"))
+    // exact variant: only byte-identical keys match
+    val exactNovel = Dedup.dropExactAgainst(corpus, batch, col("text"))
+      .collect().map(_.getString(0)).toSet
+    assert(exactNovel === Set("b2", "b3", "b4"))
+    assert(Dedup.exactMatchesAgainst(corpus, batch, col("text"))
+      .collect().map(_.getString(0)).toSet === Set("b1"))
+  }
+
   test("fast-hash minhash: planted near-dups found, verified pairs == the md5 spec path") {
     // 40 base docs of 40 pseudo-random tokens + 15 one-extra-token
     // near-copies (jaccard ~0.9); non-planted pairs share almost no
