@@ -407,6 +407,19 @@ object TrainingQueries {
         "id", "vector", CosineLsh.LshConfig(bands = 24, bitsPerBand = 6),
         threshold = 0.3), Seq("cosine"))),
 
+    // embedding-space batch-vs-corpus novelty: older vectors are the
+    // at-rest corpus, newer ones the incoming batch; hyperplanes are
+    // seed-derived (data-independent), so the two-sided band keys
+    // replicate with the same SplitMix SQL as the symmetric row
+    "dedup_embedding_against" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), col("embedding").as("vector"))
+      roundCols(Dedup.embeddingMatchesAgainst(
+        emb.filter(col("id") < 400), emb.filter(col("id") >= 400),
+        "id", "vector", CosineLsh.LshConfig(bands = 24, bitsPerBand = 6),
+        threshold = 0.3), Seq("cosine"))
+    }),
+
     "ann_lsh_topk" -> ((s, dir) => {
       val d = Tables.dims(s, dir)
       val config = Tables.cosineConfig(d)
@@ -1114,6 +1127,21 @@ object TrainingQueries {
        SELECT id_a, id_b, (round(cosine, 6) + 0) AS cosine
        FROM ver WHERE cosine >= 0.3 ORDER BY id_a, id_b"""
 
+  /** Two-sided (batch-vs-corpus) variant of [[embeddingLshOracle]]: the
+    * shared prefix computes normalized vectors and band keys over ALL
+    * embeddings (hyperplanes are data-independent), the candidate join
+    * then splits sides by id instead of ordering a<b. */
+  private val embeddingAgainstOracle =
+    s"""WITH ${lshPrefix("vec_id")},
+       cand AS (SELECT DISTINCT b.id AS id, c.id AS corpus_id
+         FROM bandkeys b JOIN bandkeys c ON b.key = c.key
+         WHERE b.id >= 400 AND c.id < 400),
+       ver AS (SELECT cand.id, cand.corpus_id,
+           list_sum(list_transform(range(1, len(na.nv)+1), i -> CAST(na.nv[i] AS DOUBLE) * CAST(nb.nv[i] AS DOUBLE))) AS cosine
+         FROM cand JOIN n na ON na.id = cand.id JOIN n nb ON nb.id = cand.corpus_id)
+       SELECT id, corpus_id, (round(cosine, 6) + 0) AS cosine
+       FROM ver WHERE cosine >= 0.3 ORDER BY id, corpus_id"""
+
   /** Partial-probe IVF oracle: full Lloyd's k-means (k=8, 5 iterations,
     * id-ordered sample, first-min assignment ties, empty-cell re-seed)
     * as a recursive CTE — centroids are 8 LATERAL aggregates per
@@ -1545,6 +1573,7 @@ object TrainingQueries {
            ('7', 0.292842), ('320', 0.287861), ('190', 0.281795),
            ('464', 0.276628)) AS t(id, score)""",
     "dedup_embedding_lsh" -> embeddingLshOracle,
+    "dedup_embedding_against" -> embeddingAgainstOracle,
 
     "text_stats" ->
       s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks FROM documents),

@@ -510,6 +510,44 @@ object Dedup {
       .select("id_a", "id_b", "cosine")
   }
 
+  /** Embedding-space batch-vs-corpus matches (the [[minhashMatchesAgainst]]
+    * sibling for near-dup detection over vectors): hyperplane-LSH bands
+    * on both sides, batch x corpus join per band, exact cosine verify at
+    * `threshold`. Same shuffle discipline as [[embeddingPairs]] — only
+    * (band, id) moves through the join; vectors attach after the
+    * distinct. Returns (id, corpus_id, cosine), asymmetric like the
+    * text variant. */
+  def embeddingMatchesAgainst(corpus: DataFrame, batch: DataFrame,
+      idCol: String, vectorCol: String, lsh: CosineLsh.LshConfig,
+      threshold: Double, maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    def normed(df: DataFrame) = df.select(col(idCol).as("id"),
+      normalizeVector(graft.core.Normalize.L2, col(vectorCol)).as("nv"))
+      .localCheckpoint()
+    def banded(n: DataFrame) = dropHotBands(CosineLsh.withSignatures(n, lsh, "nv")
+      .select(col("id"), explode(col("lsh_bands")).as("band")), maxBandSize)
+    val nC = normed(corpus)
+    val nB = normed(batch)
+    val cands = banded(nB)
+      .join(banded(nC).withColumnRenamed("id", "corpus_id"), Seq("band"))
+      .select("id", "corpus_id").distinct()
+    cands
+      .join(nB.select(col("id"), col("nv").as("nv_a")), "id")
+      .join(nC.select(col("id").as("corpus_id"), col("nv").as("nv_b")), "corpus_id")
+      .withColumn("cosine", vecDistance(Metric.InnerProduct, col("nv_a"), col("nv_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id", "corpus_id", "cosine")
+  }
+
+  /** Batch rows with no corpus embedding within `threshold` cosine —
+    * the vector-space novelty cut. */
+  def dropEmbeddingAgainst(corpus: DataFrame, batch: DataFrame,
+      idCol: String, vectorCol: String, lsh: CosineLsh.LshConfig,
+      threshold: Double, maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    val matched = embeddingMatchesAgainst(corpus, batch, idCol, vectorCol,
+      lsh, threshold, maxBandSize).select(col("id").as("_m_id")).distinct()
+    batch.join(matched, batch(idCol) === col("_m_id"), "left_anti")
+  }
+
   /** Skipped-bands audit for [[embeddingPairs]]. */
   def embeddingHotBands(df: DataFrame, idCol: String, vectorCol: String,
       lsh: CosineLsh.LshConfig,

@@ -232,6 +232,25 @@ class PipelineSpec extends SparkSpec {
     assert(!spairs.exists(p => p._1.startsWith("s") && p._2.startsWith("s")))
   }
 
+  test("embedding batch-vs-corpus: near vectors matched, novel vectors kept") {
+    val corpus = Seq(
+      ("c1", Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
+      ("c2", Array(0f, 1f, 0f, 0f, 0f, 0f, 0f, 0f))
+    ).toDF("id", "vector")
+    val batch = Seq(
+      ("b1", Array(0.99f, 0.01f, 0f, 0f, 0f, 0f, 0f, 0f)), // near c1
+      ("b2", Array(0f, 0f, 0f, 1f, 0f, 0f, 0f, 0f))        // novel direction
+    ).toDF("id", "vector")
+    val lsh = graft.ann.CosineLsh.LshConfig(bands = 8, bitsPerBand = 4)
+    val matches = Dedup.embeddingMatchesAgainst(corpus, batch, "id", "vector",
+      lsh, threshold = 0.9).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(matches === Set(("b1", "c1")))
+    val novel = Dedup.dropEmbeddingAgainst(corpus, batch, "id", "vector",
+      lsh, threshold = 0.9).collect().map(_.getString(0)).toSet
+    assert(novel === Set("b2"))
+  }
+
   test("clusters: min-label propagation merges transitive groups") {
     val df = Seq("a", "b", "c", "d", "e").toDF("id")
     val pairs = Seq(("a", "b"), ("b", "c"), ("d", "e")).toDF("id_a", "id_b")
