@@ -407,6 +407,32 @@ object TrainingQueries {
         "id", "vector", CosineLsh.LshConfig(bands = 24, bitsPerBand = 6),
         threshold = 0.3), Seq("cosine"))),
 
+    // INCREMENTAL curation: the end-to-end shape of ingesting a new
+    // crawl against a dataset already at rest — quality gate on the
+    // batch, exact-against cut (corpus keys), near-against cut
+    // (two-sided minhash), then stable sequential ids over the novel
+    // keepers. Planted exact and near copies of corpus docs must fall
+    // to their respective stages; genuinely new docs survive.
+    "pipeline_curation_incremental" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val corpus = docs.filter(col("doc_id") < 400)
+        .select(col("doc_id").as("id"), col("text"))
+      val batch = docs.filter(col("doc_id") >= 400)
+        .select(col("doc_id").as("id"), col("lang"), col("text"))
+        .union(docs.filter(col("doc_id") < 10).select(
+          (col("doc_id") + 40000).as("id"), col("lang"), col("text")))
+        .union(docs.filter(col("doc_id") < 30).select(
+          (col("doc_id") + 50000).as("id"), col("lang"),
+          concat(col("text"), lit(" zzextra")).as("text")))
+      val kept = batch.filter(TextAnalysis.gopherKeep(col("text"), minWords = 20))
+        .localCheckpoint() // stage materialization (see pipeline_curation)
+      val afterExact = Dedup.dropExactAgainst(corpus, kept, col("text"))
+      val novel = Dedup.dropNearAgainst(corpus, afterExact, "id", col("text"),
+        k = 3, numHashes = 8, bands = 4, threshold = 0.5)
+      graft.functions.Sampling.withSequentialIds(
+        novel.select(col("id"), col("lang")), col("id"))
+    }),
+
     // embedding-space batch-vs-corpus novelty: older vectors are the
     // at-rest corpus, newer ones the incoming batch; hyperplanes are
     // seed-derived (data-independent), so the two-sided band keys
@@ -1933,6 +1959,50 @@ object TrainingQueries {
          FROM shs a, shs b WHERE a.doc_id < b.doc_id
            AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) / len(list_distinct(list_concat(a.sh, b.sh))) >= 0.02
          ORDER BY id_a, id_b""",
+
+    // quality gate -> exact-against -> near-against -> sequential ids,
+    // all replicated in ONE SQL chain (the gopher metrics block matches
+    // pipeline_curation's, re-keyed to the batch fixture's id column)
+    "pipeline_curation_incremental" ->
+      s"""WITH corpus AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 400),
+         batch AS (SELECT doc_id AS id, lang, text FROM documents WHERE doc_id >= 400
+           UNION ALL SELECT doc_id + 40000, lang, text FROM documents WHERE doc_id < 10
+           UNION ALL SELECT doc_id + 50000, lang, text || ' zzextra' FROM documents WHERE doc_id < 30),
+         t AS (SELECT id, lang, text, $tokensSql AS toks,
+           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS ls,
+           list_transform($tokensSql, t -> lower(t)) AS lt
+         FROM batch),
+         m AS (SELECT id, lang, text, toks,
+           len(toks) AS n_words,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(toks) END AS mean_word_len,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) END AS frac_alpha,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...') OR contains(t, '…'))) AS DOUBLE) / len(toks) END AS frac_symbol,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls) END AS frac_bullet,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls) END AS frac_ellipsis,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS frac_dup_lines,
+           CASE WHEN len(lt) = 0 THEN 0.0 ELSE CAST(list_max(list_transform(list_distinct(lt), d -> len(list_filter(lt, x -> x = d)))) AS DOUBLE) / len(lt) END AS top_token_frac
+         FROM t),
+         k AS (SELECT id, lang, text, toks FROM m
+           WHERE n_words >= 20 AND n_words <= 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND frac_symbol <= 0.1 AND frac_bullet <= 0.9
+             AND frac_ellipsis <= 0.3 AND frac_alpha >= 0.8
+             AND frac_dup_lines <= 0.3 AND top_token_frac <= 0.2),
+         ke AS (SELECT id, lang, toks FROM k
+           WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus)),
+         tc AS (SELECT id, $tokensSql AS toks FROM corpus),
+         shc AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM tc),
+         sigc AS (SELECT id, sh, ${minhashSigSql(8)} AS sig FROM shc),
+         bandc AS (SELECT id, unnest(${minhashBandsSql(4, 2)}) AS band FROM sigc),
+         shb AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM ke),
+         sigb AS (SELECT id, sh, ${minhashSigSql(8)} AS sig FROM shb),
+         bandb AS (SELECT id, unnest(${minhashBandsSql(4, 2)}) AS band FROM sigb),
+         cand AS (SELECT DISTINCT b.id AS id, c.id AS corpus_id FROM bandb b JOIN bandc c ON b.band = c.band),
+         matched AS (SELECT DISTINCT cand.id
+           FROM cand JOIN shb sa ON sa.id = cand.id JOIN shc sb ON sb.id = cand.corpus_id
+           WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) >= 0.5)
+         SELECT id, lang, CAST(row_number() OVER (ORDER BY id) - 1 AS BIGINT) AS seq_id
+         FROM ke WHERE id NOT IN (SELECT id FROM matched) ORDER BY id""",
 
     "dedup_against_pairs" ->
       s"""WITH corpus AS ($dedupCorpusSideSql),
