@@ -283,6 +283,42 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming novelty against a static corpus: foreachBatch novelty cut, stream ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // the incremental-ingest composition: an at-rest corpus (static),
+    // documents ARRIVING AS A STREAM, each micro-batch cut to its novel
+    // rows with the same against-dedup the batch pipeline uses
+    val corpus = Seq(
+      ("c1", (1 to 40).map(i => s"tok$i").mkString(" ")),
+      ("c2", (100 to 140).map(i => s"tok$i").mkString(" "))
+    ).toDF("id", "text")
+    val arriving = Seq(
+      ("b1", (1 to 40).map(i => s"tok$i").mkString(" ")),             // dup of c1
+      ("b2", (100 to 140).map(i => s"tok$i").mkString(" ") + " t"),   // near c2
+      ("b3", (500 to 540).map(i => s"tok$i").mkString(" ")))          // novel
+    val expected = graft.dedup.Dedup.dropNearAgainst(corpus,
+      arriving.toDF("id", "text"), "id", col("text"),
+      k = 3, numHashes = 8, bands = 4, threshold = 0.5)
+      .collect().map(_.getString(0)).toSet
+    assert(expected === Set("b3"))
+    val novel = scala.collection.mutable.Set.empty[String]
+    val input = MemoryStream[(String, String)]
+    val q = input.toDF().toDF("id", "text").writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        graft.dedup.Dedup.dropNearAgainst(corpus, batch.toDF(), "id",
+          col("text"), k = 3, numHashes = 8, bands = 4, threshold = 0.5)
+          .collect().foreach(r => novel.synchronized { novel += r.getString(0) })
+        ()
+      }.start()
+    try {
+      input.addData(arriving: _*)
+      q.processAllAvailable()
+      assert(novel.toSet === expected)
+    } finally q.stop()
+  }
+
   test("streaming ANN: query stream answered per micro-batch via searchMany, stream ≡ batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
