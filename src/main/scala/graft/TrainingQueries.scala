@@ -391,6 +391,11 @@ object TrainingQueries {
         k = 3, numHashes = 8, bands = 4, threshold = 0.5)
         .select("id")),
 
+    "dedup_simhash_against" -> ((s, dir) =>
+      Dedup.simhashMatchesAgainst(
+        dedupCorpusSide(s, dir), dedupBatchSide(s, dir), "id", col("text"),
+        maxHamming = 3)),
+
     "dedup_embedding_pairs" -> ((s, dir) =>
       roundCols(Dedup.exactCosinePairs(
         Tables.read(s, dir, "embeddings").filter(col("vec_id") < 300)
@@ -1950,6 +1955,25 @@ object TrainingQueries {
              bit_count(xor(a.simhash, b.simhash)) AS hamming
            FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id)
          SELECT id_a, id_b, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3 ORDER BY id_a, id_b""",
+
+    // two-sided simhash: fingerprints are per-row, so one chain over
+    // the corpus+batch union computes them all; the pair join then
+    // splits sides by id range (batch ids all >= 10000)
+    "dedup_simhash_against" ->
+      s"""WITH corpusx AS ($dedupCorpusSideSql),
+         batchx AS ($dedupBatchSideSql),
+         corpus AS (SELECT id, text FROM corpusx UNION ALL SELECT id, text FROM batchx),
+         toks AS (SELECT id, unnest($tokensSql) AS tok FROM (SELECT id, text FROM corpus) c),
+         $simhashSql,
+         banded AS (SELECT id, simhash, unnest([
+           '0:' || CAST((simhash >> 0) & 65535 AS VARCHAR),
+           '1:' || CAST((simhash >> 16) & 65535 AS VARCHAR),
+           '2:' || CAST((simhash >> 32) & 65535 AS VARCHAR),
+           '3:' || CAST((simhash >> 48) & 65535 AS VARCHAR)]) AS band FROM sh),
+         pairs AS (SELECT DISTINCT b.id AS id, c.id AS corpus_id,
+             bit_count(xor(b.simhash, c.simhash)) AS hamming
+           FROM banded b JOIN banded c ON b.band = c.band AND b.id >= 10000 AND c.id < 10000)
+         SELECT id, corpus_id, CAST(hamming AS INT) AS hamming FROM pairs WHERE hamming <= 3 ORDER BY id, corpus_id""",
 
     "dedup_ngram_jaccard" ->
       s"""WITH t AS (SELECT doc_id, $tokensSql AS toks FROM documents WHERE doc_id < 60),

@@ -406,6 +406,33 @@ object Dedup {
       maxBandSize: Int = DefaultMaxBandSize): DataFrame =
     hotBands(simhashBanded(df, idCol, textCol).select("id", "band"), maxBandSize)
 
+  /** SimHash batch-vs-corpus matches (the [[minhashMatchesAgainst]]
+    * sibling on the 64-bit fingerprint): 16-bit bands on both sides,
+    * batch x corpus join per band (recall guaranteed for hamming <= 3),
+    * verified by popcount(xor) <= maxHamming. Asymmetric like the other
+    * against forms. Returns (id, corpus_id, hamming). */
+  def simhashMatchesAgainst(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: Column, maxHamming: Int,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    val cb = dropHotBands(simhashBanded(corpus, idCol, textCol), maxBandSize)
+    val bb = dropHotBands(simhashBanded(batch, idCol, textCol), maxBandSize)
+    bb.join(cb.withColumnRenamed("id", "corpus_id")
+        .withColumnRenamed("sh", "sh_c"), Seq("band"))
+      .select(col("id"), col("corpus_id"),
+        bit_count(col("sh").bitwiseXOR(col("sh_c"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** Batch rows with no corpus fingerprint within `maxHamming` bits. */
+  def dropSimhashAgainst(corpus: DataFrame, batch: DataFrame, idCol: String,
+      textCol: Column, maxHamming: Int,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    val matched = simhashMatchesAgainst(corpus, batch, idCol, textCol,
+      maxHamming, maxBandSize).select(col("id").as("_m_id")).distinct()
+    batch.join(matched, batch(idCol) === col("_m_id"), "left_anti")
+  }
+
   // --------------------------------------------------------- streaming
 
   /** Streaming exact dedup: md5 fingerprint + dropDuplicatesWithinWatermark

@@ -132,6 +132,17 @@ class PipelineSpec extends SparkSpec {
     assert(exactNovel === Set("b2", "b3", "b4"))
     assert(Dedup.exactMatchesAgainst(corpus, batch, col("text"))
       .collect().map(_.getString(0)).toSet === Set("b1"))
+    // simhash variant: identical texts at hamming 0, disjoint texts
+    // never match; asymmetric like the others
+    val sim = Dedup.simhashMatchesAgainst(corpus, batch, "id", col("text"),
+      maxHamming = 6).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2)))
+    assert(sim.filter(_._3 == 0).map(t => (t._1, t._2)).toSet
+      === Set(("b1", "c1"), ("b1", "c3")))
+    assert(!sim.exists(t => t._1 == "b3" || t._1 == "b4"))
+    assert(Dedup.dropSimhashAgainst(corpus, batch, "id", col("text"),
+      maxHamming = 0).collect().map(_.getString(0)).toSet
+      === Set("b2", "b3", "b4"))
   }
 
   test("fast-hash minhash: planted near-dups found, verified pairs == the md5 spec path") {
