@@ -71,6 +71,13 @@ object GraftExtensions {
         require(args.length == 3, "vec_packed_hamming(a, b, dims)")
         PackedHamming(args(0), args(1), intArgOf(args(2)))
       })),
+    "vec_packed_asym_dot" -> ((
+      info("vec_packed_asym_dot",
+        "vec_packed_asym_dot(bits, q) - asymmetric binary dot: sum_i (bit i ? +q[i] : -q[i]) over packed sign words vs a full-precision f32 query"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "vec_packed_asym_dot(bits, q)")
+        PackedAsymmetricDot(args(0), args(1))
+      })),
     "vec_packed_jaccard" -> ((
       info("vec_packed_jaccard", "vec_packed_jaccard(a, b, dims) - Jaccard over packed sign words"),
       (args: Seq[Expression]) => {

@@ -46,6 +46,11 @@ object SparkEntry {
   private def sqlL2sq(a: String, b: String): String =
     s"list_sum(list_transform(range(1, len($a)+1), i -> (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE)) * (CAST($a[i] AS DOUBLE) - CAST($b[i] AS DOUBLE))))"
 
+  /** f64 asymmetric binary dot: full-precision query q against sign(v) —
+    * mirrors VectorKernels.packedAsymmetricDot (ascending-index f64 sum). */
+  private def sqlAsymDot(v: String, q: String): String =
+    s"list_sum(list_transform(range(1, len($v)+1), i -> CASE WHEN $v[i] >= 0 THEN CAST($q[i] AS DOUBLE) ELSE -CAST($q[i] AS DOUBLE) END))"
+
   /** Packed sign-bit word w (0-based) of a FLOAT[] as signed BIGINT. */
   private def sqlSignWord(v: String, word: Int, dims: Int): String = {
     val lo = word * 64
@@ -463,8 +468,8 @@ object SparkEntry {
       "vec_quantized_topk" ->
         s"""WITH q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
            h AS (SELECT id, v FROM (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v,
-             len(list_filter(range(1, len(embedding)+1), i -> (embedding[i] >= 0) != (qraw[i] >= 0))) AS ham
-             FROM embeddings, q ORDER BY ham ASC, id ASC LIMIT 50)),
+             ${sqlAsymDot("embedding", "qraw")} AS asym
+             FROM embeddings, q ORDER BY asym DESC, id ASC LIMIT 50)),
            fin AS (SELECT id, sqrt(${sqlL2sq("v", "qraw")}) AS raw FROM h, q)
            SELECT id, id AS value, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric
            FROM fin ORDER BY raw ASC, id ASC LIMIT 10""",
@@ -475,8 +480,8 @@ object SparkEntry {
            s1 AS (SELECT id, v FROM (SELECT id, v, ${sqlL2sq("v[1:16]", "qraw[1:16]")} AS r1 FROM base, q ORDER BY r1 ASC, id ASC LIMIT 400)),
            s2 AS (SELECT id, v FROM (SELECT id, v, ${sqlL2sq("v[1:32]", "qraw[1:32]")} AS r2 FROM s1, q ORDER BY r2 ASC, id ASC LIMIT 50)),
            hq AS (SELECT id, v FROM (SELECT id, v,
-             len(list_filter(range(1, len(v)+1), i -> (v[i] >= 0) != (qraw[i] >= 0))) AS ham
-             FROM base, q ORDER BY ham ASC, id ASC LIMIT 50)),
+             ${sqlAsymDot("v", "qraw")} AS asym
+             FROM base, q ORDER BY asym DESC, id ASC LIMIT 50)),
            u AS (SELECT id, v FROM s2 UNION SELECT id, v FROM hq),
            fin AS (SELECT id, sqrt(${sqlL2sq("v", "qraw")}) AS raw FROM u, q)
            SELECT id, id AS value, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric

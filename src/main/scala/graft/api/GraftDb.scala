@@ -141,10 +141,11 @@ final class GraftDb(val spark: SparkSession) {
         import spark.implicits._
         val queries = Seq(("q", query.toSeq)).toDF("qid", "qvector")
         val path = openPaths(name)
-        graft.index.ShardedHnsw.searchManyPersisted(spark, path, config,
-            queries, limit, cacheKey = path, filter = filter,
-            oversample = oversample)
+        def run(os: Int) = graft.index.ShardedHnsw.searchManyPersisted(
+            spark, path, config, queries, limit, cacheKey = path,
+            filter = filter, oversample = os)
           .select(col("id"), col("score"), col("distance"), col("metric"))
+        widenFilteredHnsw(run, filter, limit, oversample)
       case "hnsw" =>
         // driver parity graph below the build cap; above it, fall back
         // to the distributed per-shard graphs instead of erroring — a
@@ -174,10 +175,11 @@ final class GraftDb(val spark: SparkSession) {
           val queries = Seq(("q", query.toSeq)).toDF("qid", "qvector")
           // graphs hold no metadata, so filtered and unfiltered share
           // the same cache key — one build serves both
-          graft.index.ShardedHnsw.searchMany(df, config, queries, limit,
-              cacheKey = hnswKey(name), filter = filter,
-              oversample = oversample)
+          def run(os: Int) = graft.index.ShardedHnsw.searchMany(df, config,
+              queries, limit, cacheKey = hnswKey(name), filter = filter,
+              oversample = os)
             .select(col("id"), col("score"), col("distance"), col("metric"))
+          widenFilteredHnsw(run, filter, limit, oversample)
         }
       case "lsh" =>
         graft.ann.CosineLsh.search(
@@ -236,6 +238,23 @@ final class GraftDb(val spark: SparkSession) {
           limit, ivfCfg.nprobe)
       case other => throw new IllegalArgumentException(s"unknown index $other")
     }
+  }
+
+  /** Filtered-HNSW under-fill guard: oversampled beams post-filter, so a
+    * predicate more selective than ~1-in-oversample can return fewer
+    * than `limit` rows while looking identical to "nothing matches".
+    * When the filtered result comes up short, auto-widen the beam ONCE
+    * at 4x the caller's oversample and take the better result; a second
+    * shortfall means the filtered corpus itself likely has fewer than
+    * `limit` matches, which re-widening cannot fix. The extra count job
+    * is bounded by `limit` rows and only runs on filtered searches. */
+  private def widenFilteredHnsw(run: Int => DataFrame,
+      filter: Option[org.apache.spark.sql.Column], limit: Int,
+      oversample: Int): DataFrame = {
+    val first = run(oversample)
+    if (filter.isEmpty) first
+    else if (first.limit(limit).count() >= limit) first
+    else run(oversample * 4)
   }
 
   // acceleration structures (hnsw graphs, ivf centroids), invalidated on

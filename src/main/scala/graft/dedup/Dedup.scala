@@ -354,8 +354,17 @@ object Dedup {
       .select("id", "corpus_id").distinct()
     val shB = batch.select(col(idCol).as("id"),
       TextAnalysis.distinctShingles(textCol, k).as("sh_a"))
-    val shC = corpus.select(col(idCol).as("corpus_id"),
-      TextAnalysis.distinctShingles(textCol, k).as("sh_b"))
+    // Shingle only MATCHED corpus rows: the semi-join against candidate
+    // corpus_ids prunes BEFORE the (expensive) shingling projection, so
+    // the verify stage's corpus scan cost tracks the match count, not
+    // the corpus size — per-batch re-shingling of a 100 TB corpus was
+    // the dominant scan in the incremental pipeline. (The candidate
+    // band-join subplan appears twice; Spark's ReusedExchange serves the
+    // second occurrence from the first's shuffle output.)
+    val shC = corpus.select(col(idCol).as("corpus_id"), textCol.as("_txt_c"))
+      .join(cands.select("corpus_id").distinct(), Seq("corpus_id"), "left_semi")
+      .select(col("corpus_id"),
+        TextAnalysis.distinctShingles(col("_txt_c"), k).as("sh_b"))
     cands.join(shB, "id").join(shC, "corpus_id")
       .withColumn("jaccard",
         size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
@@ -366,7 +375,16 @@ object Dedup {
 
   /** The novelty cut: batch rows with no verified corpus match at
     * `threshold` (exact duplicates match at jaccard 1.0, so this
-    * subsumes the exact cut when the key is the text itself). */
+    * subsumes the exact cut when the key is the text itself).
+    *
+    * CAP CAVEAT (applies to every drop-against form): a band over
+    * `maxBandSize` members on EITHER side is skipped by the candidate
+    * join, so a batch row whose only corpus match lives in a skipped
+    * band is silently classified novel. Degenerate mega-bands are
+    * boilerplate, not near-dup signal, so this is usually the right
+    * trade — but when a false-novel on hot boilerplate matters, run
+    * [[minhashAgainstHotBands]] alongside and handle its bands
+    * explicitly (e.g. an exact-key pass over their members). */
   def dropNearAgainst(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: Column, k: Int = 3, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.7, maxBandSize: Int = DefaultMaxBandSize,
@@ -376,6 +394,20 @@ object Dedup {
       .select(col("id").as("_m_id")).distinct()
     batch.join(matched, batch(idCol) === col("_m_id"), "left_anti")
   }
+
+  /** Two-sided skipped-bands audit for the minhash against family:
+    * (side, band, members) for bands over the cap on the corpus or
+    * batch side — exactly the bands [[minhashMatchesAgainst]] /
+    * [[dropNearAgainst]] skip at the same `maxBandSize`. */
+  def minhashAgainstHotBands(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: Column, k: Int, numHashes: Int, bands: Int,
+      maxBandSize: Int = DefaultMaxBandSize,
+      fastHash: Boolean = false): DataFrame =
+    hotBands(minhashBanded(corpus, idCol, textCol, k, numHashes, bands, fastHash),
+        maxBandSize).withColumn("side", lit("corpus"))
+      .unionByName(
+        hotBands(minhashBanded(batch, idCol, textCol, k, numHashes, bands, fastHash),
+          maxBandSize).withColumn("side", lit("batch")))
 
   // ----------------------------------------------------------- SimHash
 
@@ -424,7 +456,10 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Batch rows with no corpus fingerprint within `maxHamming` bits. */
+  /** Batch rows with no corpus fingerprint within `maxHamming` bits.
+    * Same cap caveat as [[dropNearAgainst]]: bands over `maxBandSize` on
+    * either side are skipped, so a match living only in a skipped band
+    * passes as novel — audit with [[simhashAgainstHotBands]]. */
   def dropSimhashAgainst(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: Column, maxHamming: Int,
       maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
@@ -432,6 +467,17 @@ object Dedup {
       maxHamming, maxBandSize).select(col("id").as("_m_id")).distinct()
     batch.join(matched, batch(idCol) === col("_m_id"), "left_anti")
   }
+
+  /** Two-sided skipped-bands audit for [[simhashMatchesAgainst]] /
+    * [[dropSimhashAgainst]]: (side, band, members) over the cap. */
+  def simhashAgainstHotBands(corpus: DataFrame, batch: DataFrame,
+      idCol: String, textCol: Column,
+      maxBandSize: Int = DefaultMaxBandSize): DataFrame =
+    hotBands(simhashBanded(corpus, idCol, textCol).select("id", "band"), maxBandSize)
+      .withColumn("side", lit("corpus"))
+      .unionByName(
+        hotBands(simhashBanded(batch, idCol, textCol).select("id", "band"), maxBandSize)
+          .withColumn("side", lit("batch")))
 
   // --------------------------------------------------------- streaming
 
@@ -546,13 +592,22 @@ object Dedup {
     * text variant. */
   def embeddingMatchesAgainst(corpus: DataFrame, batch: DataFrame,
       idCol: String, vectorCol: String, lsh: CosineLsh.LshConfig,
-      threshold: Double, maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+      threshold: Double, maxBandSize: Int = DefaultMaxBandSize,
+      corpusIsNormalized: Boolean = false): DataFrame = {
     def normed(df: DataFrame) = df.select(col(idCol).as("id"),
       normalizeVector(graft.core.Normalize.L2, col(vectorCol)).as("nv"))
       .localCheckpoint()
     def banded(n: DataFrame) = dropHotBands(CosineLsh.withSignatures(n, lsh, "nv")
       .select(col("id"), explode(col("lsh_bands")).as("band")), maxBandSize)
-    val nC = normed(corpus)
+    // Repeated-ingest path: normalizing + localCheckpointing the FULL
+    // corpus per batch re-materializes its vectors into non-reliable
+    // executor storage on every call. A caller running many batches
+    // against a static corpus prepares it ONCE with
+    // [[normalizedCorpus]], persists/writes it, and passes
+    // `corpusIsNormalized = true` — the cost is then paid per corpus
+    // generation, not per batch.
+    val nC = if (corpusIsNormalized) corpus.select(col("id"), col("nv"))
+             else normed(corpus)
     val nB = normed(batch)
     val cands = banded(nB)
       .join(banded(nC).withColumnRenamed("id", "corpus_id"), Seq("band"))
@@ -565,13 +620,25 @@ object Dedup {
       .select("id", "corpus_id", "cosine")
   }
 
+  /** One-time corpus preparation for repeated against-calls: the
+    * (id, nv) frame with L2-normalized vectors that
+    * [[embeddingMatchesAgainst]] / [[dropEmbeddingAgainst]] accept with
+    * `corpusIsNormalized = true`. Persist (or write to parquet) once
+    * per corpus generation. */
+  def normalizedCorpus(df: DataFrame, idCol: String, vectorCol: String): DataFrame =
+    df.select(col(idCol).as("id"),
+      normalizeVector(graft.core.Normalize.L2, col(vectorCol)).as("nv"))
+
   /** Batch rows with no corpus embedding within `threshold` cosine —
-    * the vector-space novelty cut. */
+    * the vector-space novelty cut. Same cap caveat as
+    * [[dropNearAgainst]] (audit with [[embeddingHotBands]] per side). */
   def dropEmbeddingAgainst(corpus: DataFrame, batch: DataFrame,
       idCol: String, vectorCol: String, lsh: CosineLsh.LshConfig,
-      threshold: Double, maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+      threshold: Double, maxBandSize: Int = DefaultMaxBandSize,
+      corpusIsNormalized: Boolean = false): DataFrame = {
     val matched = embeddingMatchesAgainst(corpus, batch, idCol, vectorCol,
-      lsh, threshold, maxBandSize).select(col("id").as("_m_id")).distinct()
+      lsh, threshold, maxBandSize, corpusIsNormalized)
+      .select(col("id").as("_m_id")).distinct()
     batch.join(matched, batch(idCol) === col("_m_id"), "left_anti")
   }
 

@@ -195,6 +195,48 @@ case class PackedHamming(left: Expression, right: Expression, dims: Int)
     copy(left = l, right = r)
 }
 
+/** Asymmetric binary dot: stored packed sign words (left) scored against
+  * the full-precision f32 query (right) — see
+  * VectorKernels.packedAsymmetricDot. Query side is foldable in search
+  * plans and extracted once to a codegen reference object. */
+case class PackedAsymmetricDot(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "packed_asymmetric_dot"
+
+  @transient private lazy val rightConst: Array[Float] =
+    if (right.foldable) {
+      val v = right.eval(InternalRow.empty)
+      if (v == null) null else v.asInstanceOf[ArrayData].toFloatArray()
+    } else null
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (rightConst != null)
+      VectorKernels.packedAsymmetricDot(a.asInstanceOf[ArrayData], rightConst)
+    else
+      VectorKernels.packedAsymmetricDot(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (rightConst != null) {
+      val ref = ctx.addReferenceObj("queryVec", rightConst, "float[]")
+      val leftGen = left.genCode(ctx)
+      ev.copy(code = code"""
+        ${leftGen.code}
+        boolean ${ev.isNull} = ${leftGen.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.expr.VectorKernels.packedAsymmetricDot(${leftGen.value}, $ref);
+        }""")
+    } else {
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expr.VectorKernels.packedAsymmetricDot($a, $b);")
+    }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): PackedAsymmetricDot =
+    copy(left = l, right = r)
+}
+
 /** Jaccard over packed sign words, padding masked. */
 case class PackedJaccard(left: Expression, right: Expression, dims: Int)
     extends BinaryExpression {

@@ -93,6 +93,11 @@ object VectorFunctions {
   def packedJaccard(a: Column, b: Column, dims: Int): Column =
     col2(PackedJaccard(expr0(a), expr0(b), dims))
 
+  /** Asymmetric binary dot: packed sign words scored against the
+    * full-precision query (see VectorKernels.packedAsymmetricDot). */
+  def packedAsymmetricDot(a: Column, q: Column): Column =
+    col2(PackedAsymmetricDot(expr0(a), expr0(asFloatArray(q))))
+
   /** ColBERT/MaxSim late-interaction score. */
   def maxSim(metric: Metric, queryVecs: Column, docVecs: Column): Column =
     col2(MaxSim(

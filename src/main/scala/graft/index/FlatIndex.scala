@@ -83,14 +83,19 @@ final class FlatIndex private (
     FlatIndex.mergeTop(partTops, keep).map(_._1)
   }
 
-  /** Top `keep` ids by packed-Hamming distance to the query's sign bits,
-    * ties by id — the quantized candidate pass. */
-  def hammingTop(query: Array[Float], keep: Int): Array[String] = {
-    val qBits = VectorKernels.packSignBits(query)
+  /** Top `keep` ids by the quantized candidate scorer over the stored
+    * sign bits, ties by id. Default is the asymmetric binary dot
+    * (matches Search.quantizedCandidates); `asymmetric = false` is the
+    * reference-literal symmetric packed Hamming. */
+  def hammingTop(query: Array[Float], keep: Int,
+      asymmetric: Boolean = true): Array[String] = {
+    val q = query
+    val qBits = if (asymmetric) null else VectorKernels.packSignBits(query)
     val d = dims
     val partTops = blocks.mapPartitions { it =>
       val heap = new FlatIndex.BoundedRankHeap(keep)
-      it.foreach(_.scoreHammingInto(qBits, d, heap))
+      if (qBits == null) it.foreach(_.scoreAsymmetricInto(q, heap))
+      else it.foreach(_.scoreHammingInto(qBits, d, heap))
       Iterator.single(heap.toSortedArray)
     }.collect()
     FlatIndex.mergeTop(partTops, keep).map(_._1)
@@ -208,6 +213,28 @@ object FlatIndex {
           j += 1
         }
         heap.offer(acc.toDouble, acc.toDouble, ids(i))
+        i += 1
+        boff += w
+      }
+    }
+
+    /** Quantized candidate pass, asymmetric scorer: full-precision query
+      * against stored sign bits, rank = -dot (see
+      * VectorKernels.packedAsymmetricDot). */
+    def scoreAsymmetricInto(q: Array[Float], heap: BoundedRankHeap): Unit = {
+      val w = words
+      val d = dims
+      var i = 0
+      var boff = 0
+      while (i < n) {
+        var acc = 0.0
+        var j = 0
+        while (j < d) {
+          val x = q(j).toDouble
+          acc += (if ((bits(boff + (j >>> 6)) & (1L << (j & 63))) != 0L) x else -x)
+          j += 1
+        }
+        heap.offer(-acc, acc, ids(i))
         i += 1
         boff += w
       }

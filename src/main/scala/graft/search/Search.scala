@@ -174,29 +174,35 @@ object Search {
     projectResults(topK(scored, limit), config)
   }
 
-  /** Binary-quantized search: packed-Hamming candidate pass over sign
-    * bits, then exact rerank (collection.ex:263-295,693-728). Stored
-    * `binary_vector` is used when present, else packed on the fly. */
+  /** Binary-quantized search: sign-bit candidate pass, then exact rerank
+    * (collection.ex:263-295,693-728). Stored `binary_vector` is used when
+    * present, else packed on the fly. The default candidate scorer is the
+    * ASYMMETRIC binary dot (full-precision query vs stored signs — see
+    * VectorKernels.packedAsymmetricDot for the measured recall win);
+    * `asymmetric = false` recovers the reference's literal symmetric
+    * packed-Hamming pass (distances.rs:426-437). Both read the same
+    * packed words; the final top-k is always an exact rerank, and with
+    * candidates >= corpus size either scorer reproduces exact flat. */
   def quantizedSearch(df: DataFrame, config: CollectionConfig, query: Array[Float],
-      limit: Int, candidates: Int = 0): DataFrame = {
+      limit: Int, candidates: Int = 0, asymmetric: Boolean = true): DataFrame = {
     val q = prepareQuery(config, query)
     val effCand = if (candidates > 0) candidates else math.max(20 * limit, limit)
     require(effCand >= limit, "candidates must be >= limit")
-    projectResults(topK(quantizedCandidates(df, config, q, effCand)
+    projectResults(topK(quantizedCandidates(df, config, q, effCand, asymmetric)
       .withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))
       .withColumn("rank", rankCol(config.metric, col("raw"))), limit), config)
   }
 
   private def quantizedCandidates(df: DataFrame, config: CollectionConfig,
-      q: Array[Float], keep: Int): DataFrame = {
-    val qBits = VectorKernels.packSignBits(q)
+      q: Array[Float], keep: Int, asymmetric: Boolean = true): DataFrame = {
     val stored =
       if (df.columns.contains("binary_vector"))
         coalesce(col("binary_vector"), packSignBits(col("vector")))
       else packSignBits(col("vector"))
-    candidateCut(
-      df.withColumn("ham", packedHamming(stored, typedlit(qBits), config.dimensions)),
-      keep, rank = col("ham")).drop("ham")
+    val rank =
+      if (asymmetric) -packedAsymmetricDot(stored, vecLit(q))
+      else packedHamming(stored, typedlit(VectorKernels.packSignBits(q)), config.dimensions)
+    candidateCut(df.withColumn("ham", rank), keep, rank = col("ham")).drop("ham")
   }
 
   /** ColBERT/MaxSim multi-vector search (collection.ex:298-323). Records
@@ -230,7 +236,7 @@ object Search {
       limit: Int, generators: Seq[String] = Seq("funnel", "quantized"),
       candidates: Int = 0, stages: Seq[Int] = Nil,
       rerankMultiVector: Option[Seq[Array[Float]]] = None,
-      widen: Int = 8): DataFrame = {
+      widen: Int = 8, asymmetric: Boolean = true): DataFrame = {
     val q = prepareQuery(config, query)
     val effCand = if (candidates > 0) candidates else math.max(20 * limit, limit)
     require(effCand >= limit, "candidates must be >= limit")
@@ -242,7 +248,7 @@ object Search {
         effStages.zip(funnelKeeps(effStages.size, effCand, widen)).foldLeft(df) {
           case (cur, (d, k)) => funnelStage(cur, config, q, d, k)
         }
-      case "quantized" => quantizedCandidates(df, config, q, effCand)
+      case "quantized" => quantizedCandidates(df, config, q, effCand, asymmetric)
       case "search" | "flat" =>
         candidateCut(df.withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))
           .withColumn("rank", rankCol(config.metric, col("raw"))), effCand)

@@ -20,24 +20,45 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType}
   */
 object EventStreams {
 
-  /** Epoch microseconds from a Long-nanos, TIMESTAMP, or TIMESTAMP_NTZ
+  /** Epoch microseconds from a Long, TIMESTAMP, or TIMESTAMP_NTZ
     * column. NTZ (what Spark infers for the test tables' timestamp[us]
     * parquet) has no session-zone: diff against the NTZ epoch literal —
     * tz-free wall-clock micros, exactly DuckDB's `epoch_us` of a naive
-    * timestamp, with no dependence on the session timezone. */
+    * timestamp, with no dependence on the session timezone.
+    *
+    * A LongType ts column is interpreted as raw epoch NANOS by default
+    * (the documented legacy contract). A caller whose long column holds
+    * a different unit sets `spark.graft.events.longTsUnit` to one of
+    * nanos | micros | millis | seconds — silently-wrong windows from a
+    * unit mismatch have no type-level signal, so the unit is an
+    * explicit, validated setting rather than a guess. */
   def epochMicros(df: DataFrame, tsCol: String): org.apache.spark.sql.Column =
     df.schema(tsCol).dataType match {
-      case LongType => expr(s"`$tsCol` div 1000") // caller-supplied raw nanos
+      case LongType => longTsUnit(df) match {
+        case "nanos"   => expr(s"`$tsCol` div 1000")
+        case "micros"  => col(tsCol)
+        case "millis"  => col(tsCol) * lit(1000L)
+        case "seconds" => col(tsCol) * lit(1000000L)
+      }
       case _: TimestampNTZType =>
         expr(s"timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', `$tsCol`)")
       case _ => unix_micros(col(tsCol))
     }
 
-  /** Nanos column from either a Long-nanos or timestamp column. */
+  private def longTsUnit(df: DataFrame): String = {
+    val u = df.sparkSession.conf
+      .getOption("spark.graft.events.longTsUnit").getOrElse("nanos")
+    require(Set("nanos", "micros", "millis", "seconds")(u),
+      s"spark.graft.events.longTsUnit must be nanos|micros|millis|seconds, got $u")
+    u
+  }
+
+  /** Nanos column from either a Long or timestamp column (Long unit per
+    * `spark.graft.events.longTsUnit`, default raw nanos). */
   private def nanos(df: DataFrame, tsCol: String) =
     df.schema(tsCol).dataType match {
-      case LongType => col(tsCol)
-      case _        => epochMicros(df, tsCol) * lit(1000L)
+      case LongType if longTsUnit(df) == "nanos" => col(tsCol)
+      case _ => epochMicros(df, tsCol) * lit(1000L)
     }
 
   /** Tumbling-window counts/sums per event type. Window start is emitted
