@@ -229,6 +229,40 @@ object ModelStore {
 
   // ------------------------------------------------------------- models
 
+  /** Measured recall-curve sidecar: the ladder of operating points
+    * (nprobe, candidates, beam, overlap@limit) GraftDb.overlapCurve
+    * measures against exact flat — persisted beside an at-rest index so
+    * a reopened session resolves `recallTarget` knobs from the stored
+    * curve instead of re-measuring. */
+  val RecallCurveName = "_graft_recall_curve.json"
+
+  def saveRecallCurve(spark: SparkSession, dir: String, limit: Int,
+      points: Seq[(Int, Int, Int, Double, Double)]): Unit =
+    writeString(spark, dir.stripSuffix("/") + "/" + RecallCurveName,
+      renderJson(JObj(Vector(
+        "kind" -> JStr("recall_curve"), "limit" -> JNum(limit.toString),
+        "points" -> JArr(points.toVector.map { case (np, cand, beam, ov, fill) =>
+          JArr(Vector(JNum(np.toString), JNum(cand.toString),
+            JNum(beam.toString), JNum(ov.toString), JNum(fill.toString)))
+        })))))
+
+  /** (limit, points) when a curve sidecar exists under `dir`; each
+    * point is (nprobe, candidates, beam, overlap, fill). */
+  def loadRecallCurve(spark: SparkSession,
+      dir: String): Option[(Int, Seq[(Int, Int, Int, Double, Double)])] = {
+    val p = dir.stripSuffix("/") + "/" + RecallCurveName
+    if (!exists(spark, p)) None
+    else {
+      val o = load(spark, p, "recall_curve")
+      val pts = arr(o("points")).map { j =>
+        val a = arr(j)
+        (num(a(0)).toInt, num(a(1)).toInt, num(a(2)).toInt,
+          num(a(3)).toDouble, num(a(4)).toDouble)
+      }
+      Some((num(o("limit")).toInt, pts))
+    }
+  }
+
   def saveSq8(spark: SparkSession, path: String, m: Sq8.Model): Unit =
     writeString(spark, path, renderJson(JObj(Vector(
       "kind" -> JStr("sq8"), "mn" -> jFloats1(m.mn), "rng" -> jFloats1(m.rng)))))

@@ -334,6 +334,9 @@ final class GraftDb(val spark: SparkSession) {
     pqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     ivfPqCache.remove(name).foreach(_.unpersist())
     ivfPqResCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
+    // measured recall curves are per collection generation (keys carry
+    // the limit suffix, so sweep by prefix)
+    curveCache.keys.filter(_.startsWith(name + "#")).foreach(curveCache.remove)
   }
 
   /** Largest m <= 8 dividing the dimension (PQ needs m | dims). */
@@ -359,26 +362,41 @@ final class GraftDb(val spark: SparkSession) {
     * instead of running a count job.
     *
     * `filter`/`oversample` make it a filtered batch search with the
-    * same semantics as [[search]]'s filtered form. */
+    * same semantics as [[search]]'s filtered form.
+    *
+    * `recallTarget` (engine extension): instead of hand-picking
+    * nprobe/candidates/beam, ask for measured quality — the facade
+    * resolves the cheapest operating point on the collection's
+    * [[overlapCurve]] whose measured overlap@limit meets the target
+    * (curve measured once per collection generation, persisted beside
+    * an at-rest index). Explicit `nprobe`/`candidates`/`beam` override
+    * both the defaults and the target; 0 means "not set". */
   def searchMany(name: String, queries: DataFrame, limit: Int,
       knownNq: Long = -1L,
       filter: Option[org.apache.spark.sql.Column] = None,
-      oversample: Int = 4): DataFrame = {
+      oversample: Int = 4, recallTarget: Double = 0.0,
+      nprobe: Int = 0, candidates: Int = 0, beam: Int = 0): DataFrame = {
     val (df, config) = collection(name)
+    val (np, cand, bm) =
+      if (recallTarget > 0.0 && nprobe == 0 && candidates == 0 && beam == 0) {
+        val p = knobsFor(name, recallTarget, limit)
+        (p.nprobe, p.candidates, p.beam)
+      } else (nprobe, candidates, beam)
     def filtered(f: DataFrame): DataFrame = filter.foldLeft(f)(_.filter(_))
     config.index match {
       case "hnsw" if openPaths.contains(name) =>
         val path = openPaths(name)
         graft.index.ShardedHnsw.searchManyPersisted(spark, path, config,
           queries, limit, cacheKey = path, filter = filter,
-          oversample = oversample)
+          oversample = oversample, beam = bm)
       case "hnsw" =>
         // the DISTRIBUTED hnsw path: per-shard graphs on executors, no
         // driver build, no row cap — the scale answer the single-query
         // driver shim can't give. The cache key tracks the registry
         // frame instance, so any CRUD mutation (new frame) re-shards.
         graft.index.ShardedHnsw.searchMany(df, config, queries, limit,
-          cacheKey = hnswKey(name), filter = filter, oversample = oversample)
+          cacheKey = hnswKey(name), filter = filter, oversample = oversample,
+          beam = bm)
       case "lsh" =>
         graft.ann.CosineLsh.searchMany(
           filtered(codedFrameCache.getOrElse(name, df)),
@@ -396,13 +414,13 @@ final class GraftDb(val spark: SparkSession) {
         // reuse one plan instead of re-deriving cells per call
         val frame = codedFrameCache.getOrElseUpdate(name,
           graft.ann.IvfIndex.withCells(df, cents))
-        ivfAdaptive match {
+        (if (np > 0) None else ivfAdaptive) match {
           case Some((ratio, maxProbe)) =>
             graft.ann.IvfIndex.searchManyPrunedAdaptive(filtered(frame),
               config, cents, queries, limit, ratio, maxProbe)
           case None =>
             graft.ann.IvfIndex.searchManyPruned(filtered(frame), config,
-              cents, queries, limit, ivfCfg.nprobe)
+              cents, queries, limit, if (np > 0) np else ivfCfg.nprobe)
         }
       case "sq8" =>
         val (model, coded) = sq8Cache.getOrElseUpdate(name, {
@@ -410,14 +428,14 @@ final class GraftDb(val spark: SparkSession) {
           (m, graft.ann.Sq8.withCodes(df, m).persist())
         })
         graft.ann.Sq8.searchMany(filtered(coded), config, model, queries,
-          limit, knownNq = knownNq)
+          limit, candidates = cand, knownNq = knownNq)
       case "pq" =>
         val (cb, coded) = pqCache.getOrElseUpdate(name, {
           val c = graft.ann.Pq.trainOrdered(df, config, pqConfigFor(config), col("id"))
           (c, graft.ann.Pq.withCodes(df, c).persist())
         })
         graft.ann.Pq.searchMany(filtered(coded), config, cb, queries, limit,
-          knownNq = knownNq)
+          candidates = cand, knownNq = knownNq)
       case "ivfpq" if residualMetric(config) =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
@@ -428,7 +446,9 @@ final class GraftDb(val spark: SparkSession) {
           (c, graft.ann.IvfPq.withResidualCodes(df, cents, c).persist())
         })
         graft.ann.IvfPq.searchManyPruned(filtered(prepared), config, cents, cb,
-          residual = true, queries, limit, ivfCfg.nprobe, knownNq = knownNq)
+          residual = true, queries, limit,
+          if (np > 0) np else ivfCfg.nprobe, candidates = cand,
+          knownNq = knownNq)
       case "ivfpq" =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
@@ -440,9 +460,110 @@ final class GraftDb(val spark: SparkSession) {
         val prepared = ivfPqCache.getOrElseUpdate(name,
           graft.ann.IvfPq.prepare(df, cents, cb).persist())
         graft.ann.IvfPq.searchManyPruned(filtered(prepared), config, cents, cb,
-          residual = false, queries, limit, ivfCfg.nprobe, knownNq = knownNq)
+          residual = false, queries, limit,
+          if (np > 0) np else ivfCfg.nprobe, candidates = cand,
+          knownNq = knownNq)
       case _ => Search.flatSearchMany(filtered(df), config, queries, limit)
     }
+  }
+
+  // ---------------------------------------------------- recall calibration
+
+  /** One measured point of an index's recall/cost curve: searching with
+    * these knobs (0 = not applicable for the index type) delivered
+    * `overlap` mean overlap@limit vs exact flat on the probe sample.
+    * `fill` is the mean fraction of the expected result count actually
+    * returned — a too-narrow probe (one sparse IVF cell) can score
+    * overlap ≥ target while returning FEWER than limit rows, so
+    * [[knobsFor]] requires a full fill as well as the overlap. */
+  final case class OperatingPoint(nprobe: Int, candidates: Int, beam: Int,
+      overlap: Double, fill: Double = 1.0)
+
+  private val curveCache =
+    scala.collection.concurrent.TrieMap.empty[String, Seq[OperatingPoint]]
+
+  /** Knob ladder per index type, cheapest point first. */
+  private def knobLadder(index: String, limit: Int, cells: Int): Seq[(Int, Int, Int)] =
+    index match {
+      case "ivf" =>
+        Seq(1, 2, 4, 8, cells).distinct.filter(_ <= cells).map(np => (np, 0, 0))
+      case "pq" | "sq8" =>
+        Seq(2, 5, 20, 50, 200).map(m => (0, m * limit, 0))
+      case "ivfpq" =>
+        Seq((1, 20), (2, 20), (4, 20), (8, 50), (cells, 200))
+          .map { case (np, c) => (math.min(np, cells), c * limit, 0) }.distinct
+      case "hnsw" =>
+        Seq(1, 2, 4, 8, 16).map(b => (0, 0, b * limit))
+      case _ => Seq((0, 0, 0)) // flat is exact; lsh tunes via LshConfig
+    }
+
+  /** Measured overlap curve of `name`'s index at `limit`: mean
+    * overlap@limit vs exact flat over a deterministic sample of stored
+    * vectors used as self-queries (md5-of-id order, stable across
+    * partitionings). The reference prints exactly this measurement
+    * before every bench run (bench/search_modes_bench.exs:193-238);
+    * here it is measured ONCE per collection generation, cached, and —
+    * for a collection opened from an at-rest index — persisted as a
+    * sidecar beside the model so reopened sessions skip the
+    * measurement. Cost: one exact batch search plus one batch search
+    * per ladder point, each over `sampleQueries` probe queries. */
+  def overlapCurve(name: String, limit: Int = 10,
+      sampleQueries: Int = 8): Seq[OperatingPoint] =
+    curveCache.getOrElseUpdate(s"$name#$limit", {
+      val persisted = openPaths.get(name)
+        .flatMap(p => graft.ann.ModelStore.loadRecallCurve(spark, p))
+        .collect { case (l, pts) if l == limit =>
+          pts.map { case (n, c, b, ov, fl) => OperatingPoint(n, c, b, ov, fl) } }
+      persisted.getOrElse {
+        val curve = measureCurve(name, limit, sampleQueries)
+        openPaths.get(name).foreach { p =>
+          graft.ann.ModelStore.saveRecallCurve(spark, p, limit,
+            curve.map(pt => (pt.nprobe, pt.candidates, pt.beam, pt.overlap, pt.fill)))
+        }
+        curve
+      }
+    })
+
+  private def measureCurve(name: String, limit: Int,
+      sampleQueries: Int): Seq[OperatingPoint] = {
+    val (df, config) = collection(name)
+    import spark.implicits._
+    val probes = df.select(col("id").cast("string"), col("vector"))
+      .orderBy(md5(col("id")), col("id")).limit(sampleQueries)
+      .collect().map(r => (r.getString(0), r.getSeq[Float](1).toSeq))
+    require(probes.nonEmpty, s"collection $name is empty — nothing to calibrate")
+    val qdf = probes.toSeq.toDF("qid", "qvector")
+    def topIds(res: DataFrame): Map[String, Set[String]] =
+      res.select("qid", "id").collect().groupBy(_.getString(0))
+        .map { case (q, rows) => q -> rows.map(_.getString(1)).toSet }
+    val exact = topIds(Search.flatSearchMany(df, config, qdf, limit))
+    def overlapAndFill(res: DataFrame): (Double, Double) = {
+      val got = topIds(res)
+      val per = exact.toSeq.map { case (q, ex) =>
+        val g = got.getOrElse(q, Set.empty)
+        (if (ex.isEmpty) 1.0 else ex.intersect(g).size.toDouble / ex.size,
+         if (ex.isEmpty) 1.0 else math.min(1.0, g.size.toDouble / ex.size))
+      }
+      if (per.isEmpty) (1.0, 1.0)
+      else (per.map(_._1).sum / per.size, per.map(_._2).sum / per.size)
+    }
+    knobLadder(config.index, limit, graft.ann.IvfIndex.IvfConfig().k)
+      .map { case (np, c, b) =>
+        val (ov, fl) = overlapAndFill(searchMany(name, qdf, limit,
+          knownNq = probes.length.toLong, nprobe = np, candidates = c, beam = b))
+        OperatingPoint(np, c, b, ov, fl)
+      }
+  }
+
+  /** The cheapest measured operating point meeting `recallTarget`; when
+    * no ladder point does, the most expensive point (a target above the
+    * index's measured ceiling cannot be conjured — check
+    * [[overlapCurve]] and widen the ladder knobs explicitly if the
+    * ceiling surprises you). */
+  def knobsFor(name: String, recallTarget: Double, limit: Int = 10): OperatingPoint = {
+    val curve = overlapCurve(name, limit)
+    curve.find(p => p.overlap >= recallTarget && p.fill >= 0.999)
+      .getOrElse(curve.last)
   }
 
   def funnelSearch(name: String, query: Array[Float], limit: Int,

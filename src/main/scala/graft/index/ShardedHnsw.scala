@@ -162,7 +162,7 @@ object ShardedHnsw {
       limit: Int, shards: Int = 0, cacheKey: String = "",
       params: Hnsw.Params = Hnsw.Params(),
       filter: Option[org.apache.spark.sql.Column] = None,
-      oversample: Int = 4): DataFrame = {
+      oversample: Int = 4, beam: Int = 0): DataFrame = {
     require(limit > 0, "limit must be positive")
     require(oversample > 0, "oversample must be positive")
     val spark = df.sparkSession
@@ -179,9 +179,13 @@ object ShardedHnsw {
     val key = withShardCount(cacheKey, nShards)
     val maxNodes = cacheMaxNodes(spark)
     // multiplyExact: a silently-overflowed beam would return an empty
-    // result indistinguishable from "nothing matches the predicate"
-    val lim = if (filter.isDefined) math.multiplyExact(limit, oversample)
-      else limit
+    // result indistinguishable from "nothing matches the predicate".
+    // `beam` (recall knob, default off) widens each shard's candidate
+    // list past `limit` even without a filter — per-shard search effort
+    // scales with the beam and the global merge still returns `limit`.
+    val lim = math.max(
+      if (filter.isDefined) math.multiplyExact(limit, oversample) else limit,
+      beam)
     val perShard = df
       .select(col("id").cast("string"), col("vector").cast("array<float>"))
       .as[(String, Array[Float])]
@@ -445,7 +449,7 @@ object ShardedHnsw {
       limit: Int, cacheKey: String = "",
       state: Option[DataFrame] = None,
       filter: Option[org.apache.spark.sql.Column] = None,
-      oversample: Int = 4): DataFrame = {
+      oversample: Int = 4, beam: Int = 0): DataFrame = {
     require(limit > 0, "limit must be positive")
     require(oversample > 0, "oversample must be positive")
     import spark.implicits._
@@ -463,9 +467,11 @@ object ShardedHnsw {
       else s"${withShardCount(cacheKey, nShards)}#$version"
     val maxNodes = cacheMaxNodes(spark)
     // multiplyExact: a silently-overflowed beam would return an empty
-    // result indistinguishable from "nothing matches the predicate"
-    val lim = if (filter.isDefined) math.multiplyExact(limit, oversample)
-      else limit
+    // result indistinguishable from "nothing matches the predicate";
+    // `beam` widens per-shard candidates even unfiltered (recall knob)
+    val lim = math.max(
+      if (filter.isDefined) math.multiplyExact(limit, oversample) else limit,
+      beam)
     // caller-supplied state frames promise "a shard never spans tasks";
     // trust-but-verify with the layout's true per-shard row counts — a
     // mis-partitioned frame would cache PARTIAL shard graphs under

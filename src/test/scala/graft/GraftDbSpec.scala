@@ -407,4 +407,61 @@ class GraftDbSpec extends SparkSpec {
       .collect().map(_.getString(0))
     assert(rr.toSeq === Seq("exact", "near"))
   }
+
+  test("recallTarget=0.9 resolves measured knobs meeting the target for ivf, pq, ivfpq, hnsw") {
+    val db = new GraftDb(spark)
+    val dims = 16
+    // deterministic clustered corpus: 20 topics x 10 members, member j
+    // blends (1-0.03j) topic base with 0.03j its own vector — the
+    // retrieval regime where ANN knobs actually trade recall for cost
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dims)(d => math.sin(seed * 13.37 + d * 0.71).toFloat)
+    val rows = for (t <- 0 until 20; j <- 0 until 10) yield {
+      val base = vec(1000 + t); val own = vec(5000 + t * 10 + j)
+      db.EmbeddingInput(id = f"d$t%02d_$j%02d", vector =
+        Array.tabulate(dims)(i => (1.0f - 0.03f * j) * base(i) + 0.03f * j * own(i)))
+    }
+    // probe queries are PERTURBED topic bases, not stored vectors — so
+    // the assertion checks generalization past the calibration sample
+    import spark.implicits._
+    val qs = (0 until 4).map { t =>
+      val b = vec(1000 + t); val n = vec(9000 + t)
+      (s"q$t", Array.tabulate(dims)(i => b(i) + 0.02f * n(i)).toSeq)
+    }.toDF("qid", "qvector")
+    db.createCollection("rt_flat", dims, metric = "cosine", index = "flat")
+    db.batch("rt_flat", rows)
+    def topIds(res: org.apache.spark.sql.DataFrame): Map[String, Set[String]] =
+      res.select("qid", "id").collect().groupBy(_.getString(0))
+        .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
+    val exact = topIds(db.searchMany("rt_flat", qs, 10, knownNq = 4))
+    for (idx <- Seq("ivf", "pq", "ivfpq", "hnsw")) {
+      val name = s"rt_$idx"
+      db.createCollection(name, dims, metric = "cosine", index = idx)
+      db.batch(name, rows)
+      val point = db.knobsFor(name, 0.9)
+      assert(point.overlap >= 0.9,
+        s"$idx measured curve ceiling ${point.overlap} below target")
+      val got = topIds(db.searchMany(name, qs, 10, knownNq = 4, recallTarget = 0.9))
+      val overlaps = exact.toSeq.map { case (q, ex) =>
+        ex.intersect(got.getOrElse(q, Set.empty)).size.toDouble / ex.size }
+      val mean = overlaps.sum / overlaps.size
+      assert(mean >= 0.9, s"$idx recallTarget=0.9 delivered $mean on probe queries")
+      // the curve is monotone in cost order up to measurement noise;
+      // its cheapest point is reported with its own measured overlap
+      val curve = db.overlapCurve(name)
+      assert(curve.nonEmpty && curve.last.overlap >= curve.head.overlap - 0.2)
+    }
+    // persisted-curve round trip: an ivf layout carries its measured
+    // curve, and a reopened session resolves knobs from the sidecar
+    val path = java.nio.file.Files.createTempDirectory("graft_rtcurve").toString
+    db.persistIndex("rt_ivf", path)
+    db.close("rt_ivf")
+    db.openIndexed("rt_ivf", path)
+    val p1 = db.knobsFor("rt_ivf", 0.9) // measures + persists beside the model
+    assert(graft.ann.ModelStore.loadRecallCurve(spark, path).isDefined)
+    db.close("rt_ivf")
+    db.openIndexed("rt_ivf", path)
+    val p2 = db.knobsFor("rt_ivf", 0.9) // served from the sidecar
+    assert(p1 === p2)
+  }
 }

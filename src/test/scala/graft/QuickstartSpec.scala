@@ -1,0 +1,53 @@
+package graft
+
+import graft.api.GraftDb
+
+/** Executes the README "Quickstart: the 100 TB index lifecycle" snippet
+  * verbatim (small dims/corpus, same calls in the same order), so the
+  * documented flow can never drift from the API. */
+class QuickstartSpec extends SparkSpec {
+
+  test("README quickstart flow runs verbatim: create → batch → persistIndex → openIndexed → appendIndexed → compactIndexed → searchMany(recallTarget)") {
+    val db = new GraftDb(spark)
+    val dims = 8
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(dims)(d => math.sin(seed * 7.13 + d * 0.37).toFloat)
+    val rows = (0 until 120).map(i =>
+      db.EmbeddingInput(id = f"doc$i%03d", vector = vec(i)))
+    val path = java.nio.file.Files.createTempDirectory("graft_quickstart").toString
+
+    // 1. create + ingest
+    db.createCollection("docs", dims, metric = "cosine", index = "ivfpq")
+    db.batch("docs", rows)
+
+    // 2. train once, persist the encoded layout + sidecars
+    db.persistIndex("docs", path)
+    db.close("docs")
+
+    // 3. cold open: no retraining, no re-encoding
+    db.openIndexed("docs", path)
+    assert(db.count("docs") === 120)
+
+    // 4. incremental ingest through the persisted model
+    val newRows = embeddingRows((120 until 140).map(i => (f"doc$i%03d", vec(i))))
+    db.appendIndexed("docs", newRows)
+    assert(db.count("docs") === 140)
+
+    // 5. small-file maintenance; results unchanged
+    db.compactIndexed("docs")
+    assert(db.count("docs") === 140)
+
+    // 6. batch serve at a measured recall target
+    import spark.implicits._
+    val queries = (0 until 3).map(i => (s"q$i", vec(i).toSeq)).toDF("qid", "qvector")
+    val hits = db.searchMany("docs", queries, limit = 10, knownNq = 3,
+      recallTarget = 0.9).collect()
+    assert(hits.length === 30)
+    // self-queries: the stored vector itself must surface at rank 1
+    val byQ = hits.groupBy(_.getAs[String]("qid"))
+    (0 until 3).foreach { i =>
+      val top = byQ(s"q$i").maxBy(_.getAs[Double]("score"))
+      assert(top.getAs[String]("id") === f"doc$i%03d")
+    }
+  }
+}
