@@ -164,11 +164,19 @@ object SparkEntry {
         Seq("score", "distance"))
     }),
 
-    // binary-quantized: packed-hamming candidates -> exact rerank
+    // binary-quantized: asymmetric-dot candidates (default) -> exact rerank
     "vec_quantized_topk" -> ((s, dir) => {
       val (config, coll, q) = l2Setup(s, dir)
       roundCols(Search.quantizedSearch(coll, config, q, 10, candidates = 50)
         .drop("metadata"), Seq("score", "distance"))
+    }),
+
+    // reference-literal symmetric packed-Hamming candidate mode
+    // (distances.rs:426-437) — pinned alongside the asymmetric default
+    "vec_quantized_hamming_topk" -> ((s, dir) => {
+      val (config, coll, q) = l2Setup(s, dir)
+      roundCols(Search.quantizedSearch(coll, config, q, 10, candidates = 50,
+        asymmetric = false).drop("metadata"), Seq("score", "distance"))
     }),
 
     // hybrid: funnel+quantized candidate union -> dedup -> exact rerank
@@ -470,6 +478,15 @@ object SparkEntry {
            h AS (SELECT id, v FROM (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v,
              ${sqlAsymDot("embedding", "qraw")} AS asym
              FROM embeddings, q ORDER BY asym DESC, id ASC LIMIT 50)),
+           fin AS (SELECT id, sqrt(${sqlL2sq("v", "qraw")}) AS raw FROM h, q)
+           SELECT id, id AS value, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric
+           FROM fin ORDER BY raw ASC, id ASC LIMIT 10""",
+
+      "vec_quantized_hamming_topk" ->
+        s"""WITH q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+           h AS (SELECT id, v FROM (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v,
+             len(list_filter(range(1, len(embedding)+1), i -> (embedding[i] >= 0) != (qraw[i] >= 0))) AS ham
+             FROM embeddings, q ORDER BY ham ASC, id ASC LIMIT 50)),
            fin AS (SELECT id, sqrt(${sqlL2sq("v", "qraw")}) AS raw FROM h, q)
            SELECT id, id AS value, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric
            FROM fin ORDER BY raw ASC, id ASC LIMIT 10""",

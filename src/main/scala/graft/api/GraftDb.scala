@@ -127,11 +127,25 @@ final class GraftDb(val spark: SparkSession) {
     * candidate scan (exact for flat; quantized candidate budgets rank
     * filtered rows only), hnsw post-filters oversampled sharded beams
     * (the driver shim's graph holds no metadata, so filtered hnsw
-    * always routes to the sharded path — `oversample` widens it). */
+    * always routes to the sharded path — `oversample` widens it).
+    *
+    * `recallTarget` resolves the search knobs from the measured
+    * [[overlapCurve]] exactly like [[searchMany]]'s form of the same
+    * option (the single-query path shares the batch path's models and
+    * candidate budgets, so the curve transfers). */
   def search(name: String, query: Array[Float], limit: Int,
       filter: Option[org.apache.spark.sql.Column] = None,
-      oversample: Int = 4): DataFrame = {
+      oversample: Int = 4, recallTarget: Double = 0.0): DataFrame = {
     val (df, config) = collection(name)
+    if (recallTarget > 0.0) {
+      // resolve knobs once, then serve through the batch path (one
+      // query) so knob plumbing exists in exactly one dispatch
+      import spark.implicits._
+      val queries = Seq(("q", query.toSeq)).toDF("qid", "qvector")
+      return searchMany(name, queries, limit, knownNq = 1L, filter = filter,
+        oversample = oversample, recallTarget = recallTarget)
+        .select(col("id"), col("score"), col("distance"), col("metric"))
+    }
     def filtered(f: DataFrame): DataFrame = filter.foldLeft(f)(_.filter(_))
     config.index match {
       case "flat" => Search.flatSearch(filtered(df), config, query, limit)
