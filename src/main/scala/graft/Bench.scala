@@ -433,6 +433,29 @@ object Bench {
     quality("clu_overlap10_ivfpq_filtered") = cluOverlap(dfIds(
       graft.ann.IvfPq.search(cluColl.filter(cluPred), config, cluCents,
         cluPqCb, cluQ, 10, nprobe = 4)))
+    // recallTarget facade on the same clustered corpus: the knobs the
+    // measured overlap curve resolves for target 0.9 must DELIVER >=0.9
+    // on a fresh (non-calibration) perturbed query — the end-to-end
+    // check of the auto-tuning path a user actually gets
+    locally {
+      val rdb = new graft.api.GraftDb(spark)
+      val cluRows = cluColl.select("id", "vector").collect()
+      val inputs = cluRows.map(r => rdb.EmbeddingInput(
+        id = r.getString(0), vector = r.getSeq[Float](1).toArray)).toSeq
+      val cluFullExact = dfIds(Search.flatSearch(cluColl, config, cluQ, 10)).toSet
+      def rtOverlap(ids: Iterable[String]): Double =
+        if (cluFullExact.isEmpty) 1.0
+        else cluFullExact.intersect(ids.toSet).size.toDouble / cluFullExact.size
+      val rtQuery = Seq(("q0", cluQ.toSeq)).toDF("qid", "qvector")
+      for (ridx <- Seq("ivf", "pq", "ivfpq", "hnsw")) {
+        val rname = s"bench_rt_$ridx"
+        rdb.createCollection(rname, dims, metric = "cosine", index = ridx)
+        rdb.batch(rname, inputs)
+        quality(s"rt_overlap10_$ridx") = rtOverlap(dfIds(
+          rdb.searchMany(rname, rtQuery, 10, knownNq = 1L, recallTarget = 0.9)))
+        rdb.close(rname)
+      }
+    }
     cluColl.unpersist(blocking = true)
     // PERSISTED layout: the expensive per-shard builds amortize to a
     // one-time write (synth_hnsw_layout_write, skipped when the layout

@@ -235,6 +235,24 @@ object TrainingQueries {
         Seq("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.1, salt = "graft")
     }),
 
+    // DoReMi-style cluster mixing: k-means topic cells over the embedding
+    // column (same id-ordered k=8/it=5 training as ann_ivf_topk, so the
+    // oracle replicates the centroids term-for-term), then per-cell
+    // deterministic hash keep-rates — content-based domain reweighting
+    // when no metadata labels exist
+    "data_cluster_mix" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val ivf = IvfIndex.IvfConfig(k = 8, iterations = 5)
+      val centroids = IvfIndex.trainOrdered(coll, config, ivf, col("id").cast("long"))
+      graft.functions.Sampling.clusterProportionalSample(
+        coll.select(col("id"), col("vector")), "id", "vector", centroids,
+        fractions = Seq(0 -> 1.0, 1 -> 0.5, 2 -> 0.25),
+        defaultFraction = 0.1, salt = "graft")
+        .select(col("id"), col("mix_cell"))
+    }),
+
     // GPT-style sequence packing: docs laid end-to-end in doc_id order on
     // one token stream, cut into 512-token bins; a distributed prefix sum
     // (range partition + per-partition offsets), never a global window
@@ -1181,16 +1199,22 @@ object TrainingQueries {
     * forbids correlated columns inside lambda bodies). Then the query's
     * 2 nearest cells, exact cosine rerank inside — the approximate
     * candidate set verified end-to-end. */
-  private def ivfProbeOracle(probesCte: String): String = {
-    // dims via len() of in-scope lists, never a subquery: these
-    // expressions nest inside lambdas, where DuckDB forbids subqueries
-    def l2(a: String, b: String) =
-      s"list_sum(list_transform(range(0, len($a)), i -> (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))))"
-    def assign(vv: String, cc: String) =
-      s"(list_position(list_transform(range(1, 9), k -> ${l2(vv, s"$cc[k]")}), list_min(list_transform(range(1, 9), k -> ${l2(vv, s"$cc[k]")}))) - 1)"
+  // dims via len() of in-scope lists, never a subquery: these
+  // expressions nest inside lambdas, where DuckDB forbids subqueries
+  private def ivfL2(a: String, b: String) =
+    s"list_sum(list_transform(range(0, len($a)), i -> (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE)) * (CAST($a[i+1] AS DOUBLE) - CAST($b[i+1] AS DOUBLE))))"
+  private def ivfAssign(vv: String, cc: String) =
+    s"(list_position(list_transform(range(1, 9), k -> ${ivfL2(vv, s"$cc[k]")}), list_min(list_transform(range(1, 9), k -> ${ivfL2(vv, s"$cc[k]")}))) - 1)"
+
+  /** The shared k=8/it=5 recursive-CTE Lloyd's chain replicating
+    * IvfIndex.trainOrdered on the cosine-normalized embeddings table:
+    * provides CTEs `n` (id, vec_id, nv), `sample`, `meta`, `init`,
+    * `km`, and `cents` — callers append their own tail after it inside
+    * a WITH RECURSIVE. */
+  private val ivfCosKmeansCtes: String = {
     val laterals = (0 until 8).map(k =>
       s"LATERAL (SELECT count(*) AS cn, list(s.nv ORDER BY s.pos) AS ml" +
-      s" FROM sample s, (SELECT km.c AS cc) t WHERE ${assign("s.nv", "t.cc")} = $k) m$k")
+      s" FROM sample s, (SELECT km.c AS cc) t WHERE ${ivfAssign("s.nv", "t.cc")} = $k) m$k")
       .mkString(",\n    ")
     val cents = (0 until 8).map(k =>
       s"""CASE WHEN m$k.cn = 0
@@ -1198,8 +1222,7 @@ object TrainingQueries {
       ELSE list_transform(range(0, len(m$k.ml[1])), d -> CAST(list_sum(list_transform(m$k.ml, m -> CAST(m[d+1] AS DOUBLE))) / m$k.cn AS FLOAT))
       END""").mkString(",\n      ")
     val nrm = "list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT))"
-    s"""WITH RECURSIVE
-       n AS (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, $nrm AS nv FROM embeddings),
+    s"""n AS (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, $nrm AS nv FROM embeddings),
        sample AS (SELECT nv, row_number() OVER (ORDER BY vec_id) AS pos FROM n),
        meta AS (SELECT count(*)::BIGINT AS cnt FROM sample),
        init AS (SELECT list(s.nv ORDER BY i.i) AS c
@@ -1212,7 +1235,14 @@ object TrainingQueries {
          FROM km,
            $laterals
          WHERE km.it < 5),
-       cents AS (SELECT c FROM km WHERE it = 5),
+       cents AS (SELECT c FROM km WHERE it = 5)"""
+  }
+
+  private def ivfProbeOracle(probesCte: String): String = {
+    def l2(a: String, b: String) = ivfL2(a, b)
+    def assign(vv: String, cc: String) = ivfAssign(vv, cc)
+    s"""WITH RECURSIVE
+       $ivfCosKmeansCtes,
        q AS (SELECT nv AS qv FROM n WHERE vec_id = 0),
        celld AS (SELECT k - 1 AS cell, ${l2("qv", "cents.c[k]")} AS d2
          FROM (SELECT unnest(range(1, 9)) AS k), cents, q),
@@ -1788,6 +1818,17 @@ object TrainingQueries {
          SELECT doc_id, lang FROM b
          WHERE bucket < (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 1000 ELSE 100 END)
          ORDER BY doc_id""",
+
+    "data_cluster_mix" ->
+      s"""WITH RECURSIVE
+         $ivfCosKmeansCtes,
+         asg AS (SELECT n.id, ${ivfAssign("n.nv", "cents.c")} AS mix_cell,
+           CAST(('0x' || substr(md5('graft' || ':' || n.id), 1, 8))::BIGINT % 1000 AS INT) AS bucket
+           FROM n, cents)
+         SELECT id, mix_cell FROM asg
+         WHERE bucket < (CASE WHEN mix_cell = 0 THEN 1000 WHEN mix_cell = 1 THEN 500
+                              WHEN mix_cell = 2 THEN 250 ELSE 100 END)
+         ORDER BY id""",
 
     "data_pack_sequences" ->
       s"""WITH c AS (SELECT doc_id, CAST(len($tokensSql) AS BIGINT) AS n_tokens FROM documents),

@@ -69,6 +69,38 @@ object Sampling {
     df.filter(b < threshold)
   }
 
+  /** DoReMi-style data mixing over LEARNED clusters: assign each row to
+    * its nearest k-means centroid over `vectorCol` (the IVF cell rule —
+    * L2 argmin, codegen'd, centroids ride as a reference object), then
+    * keep each cluster's own deterministic hash fraction (per-mille md5
+    * buckets like [[stratifiedSampleByHash]]; clusters not listed keep
+    * `defaultFraction`). Metadata strata rebalance what the corpus
+    * already labels; cluster mixing rebalances by CONTENT — the domain-
+    * mixture-weight step of a pretraining pipeline when no domain
+    * labels exist (DoReMi, Xie et al. 2023 applies such weights to
+    * learned domains). The output keeps the assignment as `mix_cell`.
+    * A narrow projection + filter: no shuffle, reproducible at any
+    * cluster size, and the same row never flips clusters or buckets
+    * between runs with the same centroids and salt. */
+  def clusterProportionalSample(df: DataFrame, idCol: String,
+      vectorCol: String, centroids: Array[Array[Float]],
+      fractions: Seq[(Int, Double)], defaultFraction: Double = 0.0,
+      salt: String = ""): DataFrame = {
+    require(fractions.forall { case (_, f) => f >= 0 && f <= 1 },
+      "fractions in [0,1]")
+    require(defaultFraction >= 0 && defaultFraction <= 1, "fraction in [0,1]")
+    val cell = org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.IvfCell(
+        org.apache.spark.sql.graft.Bridge.expression(col(vectorCol)), centroids))
+    val b = hashBucket(col(idCol), 1000, salt)
+    val threshold = fractions.foldLeft(
+      lit((defaultFraction * 1000).round.toInt)) {
+      case (els, (k, f)) =>
+        when(col("mix_cell") === k, lit((f * 1000).round.toInt)).otherwise(els)
+    }
+    df.withColumn("mix_cell", cell).filter(b < threshold)
+  }
+
   /** Per-group row cap (the CC-pipeline "at most N documents per domain"
     * rule): keeps the first `cap` rows of each group in ascending
     * `order` (append a unique tiebreaker for full determinism). One

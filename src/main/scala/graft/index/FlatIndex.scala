@@ -128,10 +128,12 @@ final class FlatIndex private (
     rerank(query, metric, survivors, k)
   }
 
-  /** Binary-quantized search over the mirror. */
+  /** Binary-quantized search over the mirror (candidate scorer matches
+    * Search.quantizedSearch: asymmetric by default, `asymmetric = false`
+    * for the reference-literal Hamming pass). */
   def quantizedSearch(query: Array[Float], metric: Metric, k: Int,
-      candidates: Int): Array[(String, Double)] =
-    rerank(query, metric, hammingTop(query, candidates).toSet, k)
+      candidates: Int, asymmetric: Boolean = true): Array[(String, Double)] =
+    rerank(query, metric, hammingTop(query, candidates, asymmetric).toSet, k)
 
   /** Hybrid: union of funnel + quantized candidates, exact rerank. */
   def hybridSearch(query: Array[Float], metric: Metric, k: Int,

@@ -56,6 +56,12 @@ class FlatIndexSpec extends SparkSpec {
       assert(idx.quantizedSearch(q, metric, 10, 50).map(_._1).toSeq === dfQuant,
         s"quantized ${metric.name}")
 
+      // reference-literal Hamming candidate mode pins both sides too
+      val dfQuantHam = Search.quantizedSearch(coll, config, rawQ, 10,
+        candidates = 50, asymmetric = false).collect().map(_.getString(0)).toSeq
+      assert(idx.quantizedSearch(q, metric, 10, 50, asymmetric = false)
+        .map(_._1).toSeq === dfQuantHam, s"quantized-hamming ${metric.name}")
+
       val dfHybrid = Search.hybridSearch(coll, config, rawQ, 10,
         generators = Seq("funnel", "quantized"), candidates = 50, stages = Seq(16, 32))
         .collect().map(_.getString(0)).toSeq

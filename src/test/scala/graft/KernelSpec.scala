@@ -75,6 +75,26 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("asymmetric binary dot: sign-weighted query sum, word boundaries, exactness") {
+    // hand-checked: bits of (+,-,+) weight q as (+1,-1,+1)
+    val bits = VectorKernels.packSignBits(Array(1.0f, -2.0f, 3.0f))
+    assert(VectorKernels.packedAsymmetricDot(bits, Array(10f, 20f, 30f)) === 10.0 - 20.0 + 30.0)
+    // equals the naive sum across word boundaries (dims 1..129),
+    // including non-multiple-of-64 tails
+    for (dims <- Seq(1, 63, 64, 65, 127, 128, 129)) {
+      val v = Array.tabulate(dims)(i => (if (i % 3 == 0) -1 else 1) * (i + 1).toFloat)
+      val q = Array.tabulate(dims)(i => math.sin(i * 0.37).toFloat)
+      val expected = v.indices.foldLeft(0.0)((acc, i) =>
+        acc + (if (v(i) >= 0) q(i).toDouble else -q(i).toDouble))
+      val got = VectorKernels.packedAsymmetricDot(VectorKernels.packSignBits(v), q)
+      assert(got === expected, s"dims=$dims")
+    }
+    // wrong word count fails loudly, not silently
+    intercept[IllegalArgumentException] {
+      VectorKernels.packedAsymmetricDot(Array(0L), new Array[Float](65))
+    }
+  }
+
   test("normalize: zero/constant vectors stay zero (distances.rs:350-410)") {
     assert(VectorKernels.normalize(1, Array(0f, 0f)).toSeq === Seq(0f, 0f))
     assert(VectorKernels.normalize(2, Array(5f, 5f, 5f)).toSeq === Seq(0f, 0f, 0f))

@@ -478,6 +478,39 @@ class PipelineSpec extends SparkSpec {
     assert(again.sorted.toSeq === got.sorted.toSeq)
   }
 
+  test("cluster-proportional sample: per-cell rates over k-means assignment, deterministic") {
+    import graft.functions.Sampling
+    // two well-separated clusters on an axis; train k-means on them
+    val rows = (0 until 400).map { i =>
+      val base = if (i < 200) Array(10.0f, 0.0f) else Array(-10.0f, 0.0f)
+      (f"v$i%03d", Array(base(0) + (i % 7) * 0.01f, base(1) + (i % 5) * 0.01f))
+    }
+    val config = graft.core.CollectionConfig("mix", 2, graft.core.Metric.L2)
+    val df = graft.prepare.Prepare.prepareEmbeddings(embeddingRows(rows), config)
+      .select("id", "vector").repartition(8)
+    val cents = graft.ann.IvfIndex.trainOrdered(df, config,
+      graft.ann.IvfIndex.IvfConfig(k = 2, iterations = 5), col("id"))
+    val sampled = Sampling.clusterProportionalSample(df, "id", "vector", cents,
+      fractions = Seq(0 -> 1.0, 1 -> 0.0), salt = "s")
+    val got = sampled.collect().map(r => (r.getString(0), r.getAs[Int]("mix_cell")))
+    // cell 0 kept entirely, cell 1 dropped entirely — and membership is
+    // exactly the k-means assignment (one spatial cluster each)
+    assert(got.nonEmpty && got.forall(_._2 === 0))
+    val cell0Ids = df.withColumn("c", org.apache.spark.sql.graft.Bridge.column(
+        graft.expr.IvfCell(org.apache.spark.sql.graft.Bridge.expression(col("vector")), cents)))
+      .filter(col("c") === 0).select("id").collect().map(_.getString(0)).toSet
+    assert(got.map(_._1).toSet === cell0Ids)
+    // fractional rate on one cell: deterministic rerun, subset of cell
+    val frac = Sampling.clusterProportionalSample(df, "id", "vector", cents,
+      fractions = Seq(0 -> 0.5, 1 -> 0.0), salt = "s")
+      .collect().map(_.getString(0)).toSet
+    assert(frac.subsetOf(cell0Ids) && frac.nonEmpty && frac.size < cell0Ids.size)
+    val again = Sampling.clusterProportionalSample(df, "id", "vector", cents,
+      fractions = Seq(0 -> 0.5, 1 -> 0.0), salt = "s")
+      .collect().map(_.getString(0)).toSet
+    assert(again === frac)
+  }
+
   test("per-group cap: keeps first N per group deterministically, pre-cuts map-side") {
     import graft.functions.Sampling
     val df = (0 until 500).map(i => (i.toLong, s"dom${i % 5}")).toDF("id", "dom")
