@@ -31,4 +31,11 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // Long benchmark/verify sessions execute hundreds of distinct
+  // whole-stage-codegen plans; the default 240 MB JIT code cache fills
+  // and flushing then deoptimizes hot kernel loops 10-20x (observed:
+  // FlatIndex block scans 0.17s -> 2.9s after the 85-query oracle
+  // family ran first). Reserve enough that compiled kernels stay
+  // compiled — reservation is address space, not committed memory.
+  "-XX:ReservedCodeCacheSize=1g",
 )

@@ -85,16 +85,19 @@ final class FlatIndex private (
 
   /** Top `keep` ids by the quantized candidate scorer over the stored
     * sign bits, ties by id. Default is the asymmetric binary dot
-    * (matches Search.quantizedCandidates); `asymmetric = false` is the
-    * reference-literal symmetric packed Hamming. */
+    * (matches Search.quantizedCandidates, including the
+    * negative_inner_product direction flip); `asymmetric = false` is
+    * the reference-literal symmetric packed Hamming. */
   def hammingTop(query: Array[Float], keep: Int,
-      asymmetric: Boolean = true): Array[String] = {
+      asymmetric: Boolean = true,
+      metric: Metric = Metric.Cosine): Array[String] = {
     val q = query
     val qBits = if (asymmetric) null else VectorKernels.packSignBits(query)
+    val negDir = metric == Metric.NegativeInnerProduct
     val d = dims
     val partTops = blocks.mapPartitions { it =>
       val heap = new FlatIndex.BoundedRankHeap(keep)
-      if (qBits == null) it.foreach(_.scoreAsymmetricInto(q, heap))
+      if (qBits == null) it.foreach(_.scoreAsymmetricInto(q, heap, negDir))
       else it.foreach(_.scoreHammingInto(qBits, d, heap))
       Iterator.single(heap.toSortedArray)
     }.collect()
@@ -133,7 +136,7 @@ final class FlatIndex private (
     * for the reference-literal Hamming pass). */
   def quantizedSearch(query: Array[Float], metric: Metric, k: Int,
       candidates: Int, asymmetric: Boolean = true): Array[(String, Double)] =
-    rerank(query, metric, hammingTop(query, candidates, asymmetric).toSet, k)
+    rerank(query, metric, hammingTop(query, candidates, asymmetric, metric).toSet, k)
 
   /** Hybrid: union of funnel + quantized candidates, exact rerank. */
   def hybridSearch(query: Array[Float], metric: Metric, k: Int,
@@ -143,7 +146,7 @@ final class FlatIndex private (
     stages.zip(Search.funnelKeeps(stages.size, candidates, widen)).foreach {
       case (d, keep) => survivors = prefixTop(query, metric, d, keep, survivors).toSet
     }
-    rerank(query, metric, survivors ++ hammingTop(query, candidates), k)
+    rerank(query, metric, survivors ++ hammingTop(query, candidates, metric = metric), k)
   }
 
   /** Result-frame form matching Search.flatSearch output semantics. */
@@ -221,9 +224,11 @@ object FlatIndex {
     }
 
     /** Quantized candidate pass, asymmetric scorer: full-precision query
-      * against stored sign bits, rank = -dot (see
+      * against stored sign bits, rank = -dot (`negDir` flips the rank
+      * for the negative_inner_product metric — see
       * VectorKernels.packedAsymmetricDot). */
-    def scoreAsymmetricInto(q: Array[Float], heap: BoundedRankHeap): Unit = {
+    def scoreAsymmetricInto(q: Array[Float], heap: BoundedRankHeap,
+        negDir: Boolean = false): Unit = {
       val w = words
       val d = dims
       var i = 0
@@ -236,7 +241,7 @@ object FlatIndex {
           acc += (if ((bits(boff + (j >>> 6)) & (1L << (j & 63))) != 0L) x else -x)
           j += 1
         }
-        heap.offer(-acc, acc, ids(i))
+        heap.offer(if (negDir) acc else -acc, acc, ids(i))
         i += 1
         boff += w
       }

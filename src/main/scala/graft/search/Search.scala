@@ -199,9 +199,18 @@ object Search {
       if (df.columns.contains("binary_vector"))
         coalesce(col("binary_vector"), packSignBits(col("vector")))
       else packSignBits(col("vector"))
+    // the asymmetric proxy follows the metric's rank direction: every
+    // metric wants direction-similar candidates (high dot) EXCEPT
+    // negative_inner_product, whose exact top-k is the most-opposite
+    // direction — there high-asym candidates would exclude the true
+    // winners (the symmetric Hamming mode keeps the reference's literal
+    // sign-similarity semantics for every metric)
     val rank =
-      if (asymmetric) -packedAsymmetricDot(stored, vecLit(q))
-      else packedHamming(stored, typedlit(VectorKernels.packSignBits(q)), config.dimensions)
+      if (!asymmetric)
+        packedHamming(stored, typedlit(VectorKernels.packSignBits(q)), config.dimensions)
+      else if (config.metric == Metric.NegativeInnerProduct)
+        packedAsymmetricDot(stored, vecLit(q))
+      else -packedAsymmetricDot(stored, vecLit(q))
     candidateCut(df.withColumn("ham", rank), keep, rank = col("ham")).drop("ham")
   }
 

@@ -59,6 +59,24 @@ class SearchSpec extends SparkSpec {
     assert(res.collect().map(_.getString(0)).toSeq === Seq("exact"))
   }
 
+  test("quantized negative_inner_product: asymmetric candidates follow the flipped rank direction") {
+    // exact neg-IP top-1 is the most-OPPOSITE vector; the asymmetric
+    // candidate proxy must flip with the metric or a tight candidate
+    // budget would keep only direction-similar rows and lose the winner
+    val config = CollectionConfig("nip", 2, Metric.NegativeInnerProduct)
+    val coll = prep(Seq(
+      "aligned" -> Array(1.0f, 1.0f),
+      "aligned2" -> Array(2.0f, 2.0f),
+      "opposite" -> Array(-3.0f, -3.0f)), config)
+    val res = Search.quantizedSearch(coll, config, Array(1.0f, 1.0f), 1, candidates = 1)
+    assert(res.collect().map(_.getString(0)).toSeq === Seq("opposite"))
+    // FlatIndex mirror agrees
+    val idx = graft.index.FlatIndex.build(coll, config)
+    assert(idx.quantizedSearch(Array(1.0f, 1.0f), Metric.NegativeInnerProduct, 1, 1)
+      .map(_._1).toSeq === Seq("opposite"))
+    idx.unpersist()
+  }
+
   test("equivalence property: funnel/quantized/hybrid with full candidates == exact flat (FIXTURES §4)") {
     val config = CollectionConfig("grid", 4, Metric.L2)
     val rows = (0 until 64).map { i =>
