@@ -366,6 +366,31 @@ object TrainingQueries {
       Tables.read(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.simhash64(col("text")).as("simhash"))),
 
+    // hashing-trick TF vectors (embedding-free content vectors): the
+    // md5-bucket construction itself is verified via nnz / l2-norm /
+    // argmax scalars per doc — the bridge from the text tier into the
+    // vector tier when no embedding model exists
+    "text_hashing_tf" -> ((s, dir) => {
+      val withV = Tables.read(s, dir, "documents").filter(col("doc_id") < 64)
+        .select(col("doc_id"), TextAnalysis.hashingTfVector(col("text"), 64).as("v"))
+      withV.select(col("doc_id"),
+        size(filter(col("v"), x => x > 0)).cast("long").as("tf_nnz"),
+        (round(sqrt(graft.functions.VectorFunctions.vecDistance(
+          Metric.InnerProduct, col("v"), col("v"))), 6) + lit(0.0)).as("tf_l2"),
+        (array_position(col("v"), array_max(col("v"))) - 1).as("tf_argmax"))
+    }),
+
+    // exact all-pairs cosine over hashing-TF vectors: vector-space
+    // near-dup detection with NO model — near copies (shared token
+    // multiset) land at cosine ~1 regardless of which tokens changed
+    "dedup_tfvector_cosine" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents").filter(col("doc_id") < 80)
+        .select(col("doc_id").as("id"),
+          TextAnalysis.hashingTfVector(col("text"), 64).as("vector"))
+      roundCols(Dedup.exactCosinePairs(docs, "id", "vector")
+        .filter(col("cosine") >= 0.9), Seq("cosine"))
+    }),
+
     // ---- dedup
     "dedup_exact" -> ((s, dir) =>
       Dedup.exactDuplicates(corpus(s, dir), "id", col("text"))
@@ -1945,6 +1970,35 @@ object TrainingQueries {
       s"""WITH toks AS (SELECT doc_id AS id, unnest($tokensSql) AS tok FROM documents),
          $simhashSql
          SELECT id AS doc_id, simhash FROM sh ORDER BY id""",
+
+    "text_hashing_tf" ->
+      s"""WITH t AS (SELECT doc_id, list_transform($tokensSql, t -> lower(t)) AS lt
+           FROM documents WHERE doc_id < 64),
+         b AS (SELECT doc_id, list_transform(lt,
+           t -> CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS INT)) AS bk FROM t),
+         v AS (SELECT doc_id, list_transform(range(0, 64),
+           i -> len(list_filter(bk, x -> x = i))) AS cnt FROM b)
+         SELECT doc_id,
+           CAST(len(list_filter(cnt, c -> c > 0)) AS BIGINT) AS tf_nnz,
+           (round(sqrt(list_sum(list_transform(cnt, c -> CAST(c AS DOUBLE) * CAST(c AS DOUBLE)))), 6) + 0) AS tf_l2,
+           CAST(list_position(cnt, list_max(cnt)) - 1 AS BIGINT) AS tf_argmax
+         FROM v ORDER BY doc_id""",
+
+    "dedup_tfvector_cosine" ->
+      s"""WITH t AS (SELECT doc_id, list_transform($tokensSql, t -> lower(t)) AS lt
+           FROM documents WHERE doc_id < 80),
+         b AS (SELECT doc_id, list_transform(lt,
+           t -> CAST(('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS INT)) AS bk FROM t),
+         v AS (SELECT doc_id, list_transform(range(0, 64),
+           i -> CAST(len(list_filter(bk, x -> x = i)) AS FLOAT)) AS cv FROM b),
+         nn AS (SELECT doc_id, list_transform(cv,
+           x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(cv, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM v),
+         p AS (SELECT a.doc_id AS id_a, bb.doc_id AS id_b,
+           list_sum(list_transform(range(1, len(a.nv)+1),
+             i -> CAST(a.nv[i] AS DOUBLE) * CAST(bb.nv[i] AS DOUBLE))) AS cosine
+           FROM nn a, nn bb WHERE a.doc_id < bb.doc_id)
+         SELECT id_a, id_b, (round(cosine, 6) + 0) AS cosine
+         FROM p WHERE cosine >= 0.9 ORDER BY id_a, id_b""",
 
     "dedup_exact" ->
       s"""WITH corpus AS ($corpusSql)

@@ -23,6 +23,26 @@ object TextAnalysis {
 
   def wordCount(text: Column): Column = size(tokens(text))
 
+  /** Hashing-trick term-frequency vector (the classic "hashing
+    * vectorizer"): lowercased whitespace tokens hash to `dims` buckets
+    * via the first 8 md5 hex digits (the same engine-portable hash the
+    * sampling/split family uses), vector[b] = term count in bucket b as
+    * f32. An EMBEDDING-FREE content vector: feed it to the vector tier
+    * (cosine near-dup, LSH banding, k-means cluster mixing) when no
+    * model is available — exactly replicable in any engine with md5, so
+    * the construction itself is oracle-checkable. O(dims x tokens) per
+    * row as a pure codegen'd projection (keep dims <= ~256; at corpus
+    * scale the cost is embarrassingly parallel and shuffle-free).
+    * Counts are raw — compose with `normalizeVector(L2, _)` for cosine
+    * work. */
+  def hashingTfVector(text: Column, dims: Int): Column = {
+    require(dims > 0, "dims must be positive")
+    val buckets = transform(transform(tokens(text), t => lower(t)), t =>
+      (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dims).cast("int"))
+    transform(sequence(lit(0), lit(dims - 1)), i =>
+      size(filter(buckets, b => b === i)).cast("float"))
+  }
+
   def punctCount(text: Column): Column =
     regexp_count(text, lit("[^A-Za-z0-9\\s]"))
 
