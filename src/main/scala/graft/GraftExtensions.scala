@@ -141,6 +141,13 @@ object GraftExtensions {
       (args: Seq[Expression]) => {
         require(args.length == 4, "text_minhash_bands_fast(text, k, num_hashes, bands)")
         MinhashBandKeysFast(args(0), intArgOf(args(1)), intArgOf(args(2)), intArgOf(args(3)))
+      })),
+    "text_hashing_tf" -> ((
+      info("text_hashing_tf",
+        "text_hashing_tf(text, dims) - hashing-trick TF vector: lowercased whitespace tokens md5-hash to dims buckets, f32 counts (embedding-free content vector)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 2, "text_hashing_tf(text, dims)")
+        HashingTf(args(0), intArgOf(args(1)))
       })))
 
   /** Programmatic registration on an existing session. */

@@ -205,6 +205,18 @@ object SparkEntry {
       roundCols(Search.flatSearchMany(coll, config, qs, 5), Seq("score", "distance"))
     }),
 
+    // batch quantized search: sign-bit candidates for 10 queries in ONE
+    // scan (asymmetric scorer), per-qid cut, shared exact batch rerank
+    "vec_quantized_search_many" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 10)
+        .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+      roundCols(Search.quantizedSearchMany(coll, config, qs, 5,
+        candidates = 20, knownNq = 10L), Seq("score", "distance"))
+    }),
+
     // score mode :similarity on a distance metric (1/(1+raw))
     "vec_flat_l2_similarity_topk" -> ((s, dir) => {
       val d = Tables.dims(s, dir)
@@ -511,6 +523,17 @@ object SparkEntry {
            sc AS (SELECT CAST(label AS VARCHAR) AS id, sum(m) AS score FROM pair GROUP BY label)
            SELECT id, id AS value, (round(score, 6) + 0) AS score, CAST(NULL AS DOUBLE) AS distance, 'inner_product' AS metric
            FROM sc ORDER BY score DESC, id ASC LIMIT 5""",
+
+      "vec_quantized_search_many" ->
+        s"""WITH qs AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),
+           base AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v FROM embeddings),
+           sc AS (SELECT qid, id, v, qv, ${sqlAsymDot("v", "qv")} AS asym FROM base, qs),
+           cand AS (SELECT qid, id, v, qv FROM (SELECT qid, id, v, qv,
+             row_number() OVER (PARTITION BY qid ORDER BY asym DESC, id ASC) AS crn FROM sc) WHERE crn <= 20),
+           fin AS (SELECT qid, id, sqrt(${sqlL2sq("v", "qv")}) AS raw FROM cand),
+           rk AS (SELECT qid, id, raw, row_number() OVER (PARTITION BY qid ORDER BY raw ASC, id ASC) AS rn FROM fin)
+           SELECT qid, id, id AS value, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric
+           FROM rk WHERE rn <= 5""",
 
       "vec_search_many" ->
         s"""WITH n AS (SELECT CAST(vec_id AS VARCHAR) AS id, ${sqlNorm("embedding")} AS nv FROM embeddings),

@@ -592,6 +592,15 @@ final class GraftDb(val spark: SparkSession) {
     Search.quantizedSearch(df, config, query, limit, candidates)
   }
 
+  /** Batch quantized search — sign-bit candidates for the whole query
+    * batch in one scan (see Search.quantizedSearchMany). */
+  def quantizedSearchMany(name: String, queries: DataFrame, limit: Int,
+      candidates: Int = 0, knownNq: Long = -1L): DataFrame = {
+    val (df, config) = collection(name)
+    Search.quantizedSearchMany(df, config, queries, limit, candidates,
+      knownNq = knownNq)
+  }
+
   def multiVectorSearch(name: String, queryVectors: Seq[Array[Float]], limit: Int,
       metric: Option[String] = None): DataFrame = {
     val (df, config) = collection(name)

@@ -4,6 +4,30 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.types._
 
+/** Fused hashing-trick TF vector of a text column — see
+  * [[TextKernels.hashingTf]]: O(tokens + dims) single pass vs the
+  * O(tokens * dims) builtin column composition, same bit-exact
+  * semantics (md5 bucket = conv(substring(md5(lower(t)),1,8),16,10)
+  * % dims). */
+case class HashingTf(child: Expression, dims: Int) extends UnaryExpression {
+
+  require(dims > 0, "dims must be positive")
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "hashing_tf"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.hashingTfData(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], dims)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.TextKernels.hashingTfData($v, $dims);")
+
+  override protected def withNewChildInternal(c: Expression): HashingTf =
+    copy(child = c)
+}
+
 /** Fused MinHash LSH band keys of a text column — see
   * [[TextKernels.minhashBandKeys]] for semantics and why this exists as
   * one opaque node (stops optimizer re-expansion of the inlined shingle

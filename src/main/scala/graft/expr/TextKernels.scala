@@ -67,6 +67,37 @@ object TextKernels {
     seen.toArray(new Array[String](seen.size))
   }
 
+  /** Hashing-trick TF vector: lowercased whitespace tokens hash to
+    * `dims` buckets via the first 4 md5 bytes as an unsigned int (the
+    * exact value of `conv(substring(md5(t), 1, 8), 16, 10) % dims`,
+    * which the SQL oracles replicate); vector[b] = token count in
+    * bucket b as f32. One pass over tokens + one output array —
+    * O(tokens + dims) — where the builtin column composition
+    * (transform over sequence(0, dims-1) with a filter per bucket) is
+    * O(tokens * dims) and capped dims in practice. Lowercasing goes
+    * through UTF8String.toLowerCase, bit-identical to the `lower()`
+    * builtin on any input. */
+  def hashingTf(text: UTF8String, dims: Int): Array[Float] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val toks = Whitespace.split(trimSpaces(text.toString), -1)
+    val out = new Array[Float](dims)
+    var i = 0
+    while (i < toks.length) {
+      val t = UTF8String.fromString(toks(i)).toLowerCase
+      val d = md.digest(t.getBytes)
+      val v = ((d(0) & 0xFFL) << 24) | ((d(1) & 0xFFL) << 16) |
+        ((d(2) & 0xFFL) << 8) | (d(3) & 0xFFL)
+      out((v % dims).toInt) += 1.0f
+      md.reset()
+      i += 1
+    }
+    out
+  }
+
+  def hashingTfData(text: UTF8String, dims: Int): ArrayData =
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+      .fromPrimitiveArray(hashingTf(text, dims))
+
   /** MinHash signature over the distinct shingles: component j = min
     * md5("j:" + shingle).
     *

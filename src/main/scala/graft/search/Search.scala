@@ -305,6 +305,44 @@ object Search {
         lit(config.metric.name).as("metric"))
   }
 
+  /** Batch form of quantized search: the candidate pass scores the
+    * stored sign words against every query in ONE scan (queries
+    * broadcast with their prepared vectors; asymmetric binary dot by
+    * default, metric direction per [[quantizedSearch]]), the per-query
+    * candidate cut rides row_number's map-side WindowGroupLimit, and
+    * the exact rerank is the shared bounded-broadcast tail. The scan
+    * reads only (id, binary_vector) — dims/8 bytes per row instead of
+    * 4*dims — so at 100 TB the candidate stage moves ~32x less data
+    * than flat batch search over the same corpus. */
+  def quantizedSearchMany(df: DataFrame, config: CollectionConfig,
+      queries: DataFrame, limit: Int, candidates: Int = 0,
+      asymmetric: Boolean = true, knownNq: Long = -1L): DataFrame = {
+    require(limit > 0, "limit must be positive")
+    val effCand = math.max(if (candidates > 0) candidates else 20 * limit, limit)
+    val qNorm = queries.select(col("qid"),
+      normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+    val stored =
+      if (df.columns.contains("binary_vector"))
+        coalesce(col("binary_vector"), packSignBits(col("vector")))
+      else packSignBits(col("vector"))
+    val qSide =
+      if (asymmetric) qNorm
+      else qNorm.withColumn("qbits", packSignBits(col("qvector")))
+    val rank =
+      if (!asymmetric) packedHamming(col("_bits"), col("qbits"), config.dimensions)
+      else if (config.metric == Metric.NegativeInnerProduct)
+        packedAsymmetricDot(col("_bits"), col("qvector"))
+      else -packedAsymmetricDot(col("_bits"), col("qvector"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("_qrank").asc, col("id").asc)
+    val cands = df.select(col("id"), stored.as("_bits"))
+      .crossJoin(broadcast(qSide))
+      .withColumn("_qrank", rank)
+      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= effCand)
+      .select("qid", "id")
+    rerankManyExact(df, config, cands, qNorm, limit,
+      perQueryBound = effCand, knownNq = knownNq)
+  }
+
   /** Exact batch rerank over (qid, id) candidate pairs — the shared tail
     * of the quantized batch searches. For bounded batches the survivor
     * set (<= nq * candidates rows) is BROADCAST back onto the corpus and

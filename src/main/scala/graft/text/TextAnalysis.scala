@@ -34,9 +34,20 @@ object TextAnalysis {
     * row as a pure codegen'd projection (keep dims <= ~256; at corpus
     * scale the cost is embarrassingly parallel and shuffle-free).
     * Counts are raw — compose with `normalizeVector(L2, _)` for cosine
-    * work. */
+    * work. One fused expression node: O(tokens + dims) per row (see
+    * [[graft.expr.TextKernels.hashingTf]]; the builtin column
+    * composition below is kept as the semantic reference and pinned
+    * equal by spec). */
   def hashingTfVector(text: Column, dims: Int): Column = {
     require(dims > 0, "dims must be positive")
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.HashingTf(
+        org.apache.spark.sql.graft.Bridge.expression(text.cast("string")), dims))
+  }
+
+  /** Builtin-composition reference for [[hashingTfVector]] (O(tokens x
+    * dims)) — what the fused kernel must reproduce bit-for-bit. */
+  private[graft] def hashingTfVectorReference(text: Column, dims: Int): Column = {
     val buckets = transform(transform(tokens(text), t => lower(t)), t =>
       (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dims).cast("int"))
     transform(sequence(lit(0), lit(dims - 1)), i =>

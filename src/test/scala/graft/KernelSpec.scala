@@ -124,6 +124,30 @@ class KernelSpec extends SparkSpec {
     assert(Metric.all.map(_.code) === (0 to 8))
   }
 
+  test("fused hashing-TF kernel == builtin column composition, mixed case and unicode") {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextAnalysis
+    val texts = Seq(
+      "The Quick BROWN fox jumps Over the lazy DOG the the",
+      "  leading and trailing   spaces  ",
+      "one", "", "   ",
+      "MiXeD CaSe ÄÖÜ Émigré ÉMIGRÉ émigré",
+      "repeat repeat repeat 12345 !?")
+    import spark.implicits._
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toString, t) }
+      .toDF("id", "text")
+    for (dims <- Seq(1, 7, 64, 257)) {
+      val rows = df.select(col("id"),
+        TextAnalysis.hashingTfVector(col("text"), dims).as("fused"),
+        graft.text.TextAnalysis.hashingTfVectorReference(col("text"), dims).as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getSeq[Float](1) === r.getSeq[Float](2),
+          s"dims=$dims id=${r.getString(0)}")
+      }
+    }
+  }
+
   test("fused minhash band keys == column-composed pipeline") {
     import org.apache.spark.sql.functions._
     import graft.text.TextAnalysis

@@ -98,6 +98,32 @@ class SearchSpec extends SparkSpec {
     coll.unpersist()
   }
 
+  test("quantizedSearchMany == per-query quantizedSearch, both scorers") {
+    import spark.implicits._
+    val config = CollectionConfig("qb", 4, Metric.L2)
+    val rows = (0 until 64).map { i =>
+      f"id-$i%02d" -> Array(i / 10.0f, (i * 7 % 17) / 5.0f - 1.5f,
+        (i * 11 % 19) / 7.0f, (i % 3) / 1.0f - 1.0f)
+    }
+    val coll = prep(rows, config).cache()
+    val qvecs = (0 until 4).map(k =>
+      k.toString -> Array(2.25f - k, 1.5f, 0.75f + k * 0.3f, 1.0f - k * 0.7f))
+    val qdf = qvecs.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "qvector")
+    for (asym <- Seq(true, false)) {
+      val batch = Search.quantizedSearchMany(coll, config, qdf, 5,
+        candidates = 12, asymmetric = asym, knownNq = 4L)
+        .select("qid", "id").collect()
+        .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+      qvecs.foreach { case (qid, v) =>
+        val single = Search.quantizedSearch(coll, config, v, 5,
+          candidates = 12, asymmetric = asym)
+          .collect().map(_.getString(0)).toSet
+        assert(batch(qid) === single, s"asym=$asym qid=$qid")
+      }
+    }
+    coll.unpersist()
+  }
+
   test("deterministic ties broken by ascending id across partitions (FIXTURES §8)") {
     val config = CollectionConfig("ties", 2, Metric.L2)
     // many equidistant points, inserted in scrambled order
