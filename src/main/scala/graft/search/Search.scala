@@ -321,10 +321,17 @@ object Search {
     val effCand = math.max(if (candidates > 0) candidates else 20 * limit, limit)
     val qNorm = queries.select(col("qid"),
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
-    val stored =
+    // bits-ONLY candidate scan: when the stored `binary_vector` exists
+    // (canonical collections always derive it at ingest) the scan must
+    // not also decode `vector` — a coalesce fallback would drag the
+    // full f32 column through the widest stage and erase the 32x
+    // narrow-scan advantage. A row with a NULL stored binary_vector
+    // (non-canonical input) ranks null and sorts LAST, i.e. it is
+    // excluded from candidates rather than silently promoted.
+    val bitsScan =
       if (df.columns.contains("binary_vector"))
-        coalesce(col("binary_vector"), packSignBits(col("vector")))
-      else packSignBits(col("vector"))
+        df.select(col("id"), col("binary_vector").as("_bits"))
+      else df.select(col("id"), packSignBits(col("vector")).as("_bits"))
     val qSide =
       if (asymmetric) qNorm
       else qNorm.withColumn("qbits", packSignBits(col("qvector")))
@@ -333,8 +340,9 @@ object Search {
       else if (config.metric == Metric.NegativeInnerProduct)
         packedAsymmetricDot(col("_bits"), col("qvector"))
       else -packedAsymmetricDot(col("_bits"), col("qvector"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("_qrank").asc, col("id").asc)
-    val cands = df.select(col("id"), stored.as("_bits"))
+    val w = Window.partitionBy(col("qid"))
+      .orderBy(col("_qrank").asc_nulls_last, col("id").asc)
+    val cands = bitsScan
       .crossJoin(broadcast(qSide))
       .withColumn("_qrank", rank)
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= effCand)

@@ -179,6 +179,44 @@ class ScaleSpec extends SparkSpec {
     assert(plan.contains("Partial"), s"no partial (map-side) group limit in plan:\n$plan")
   }
 
+  test("quantizedSearchMany candidate scan reads sign bits only, never the vector column") {
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    // persist the collection as parquet so the plan has a real scan
+    // whose ReadSchema shows exactly what the candidate stage decodes
+    val dir = java.nio.file.Files.createTempDirectory("graft_qsm_plan").toString
+    Tables.embeddingsCollection(spark, sfDir, config)
+      .select("id", "value", "vector", "binary_vector")
+      .write.mode("overwrite").parquet(dir)
+    val atRest = spark.read.parquet(dir)
+    val qs = Tables.read(spark, sfDir, "embeddings").filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+    val res = Search.quantizedSearchMany(atRest, config, qs, 5,
+      candidates = 20, knownNq = 4L)
+    val plan = res.queryExecution.executedPlan.toString
+    // two scans of the corpus: the candidate scan must read ONLY
+    // (id, binary_vector) — dims/8 bytes/row — and the rerank scan
+    // carries the vectors for the bounded survivors
+    val reads = "ReadSchema: [^\\n]*".r.findAllIn(plan).toList
+    val candReads = reads.filter(_.contains("binary_vector"))
+    assert(candReads.nonEmpty, s"no binary_vector scan in plan:\n$plan")
+    candReads.foreach { r =>
+      assert(!r.replace("binary_vector", "").contains("vector"),
+        s"candidate scan decodes the full vector column: $r")
+    }
+    // and the results equal per-query single search over the same frame
+    val got = res.select("qid", "id").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getString(1)).toSet).toMap
+    Tables.read(spark, sfDir, "embeddings").filter(col("vec_id") < 4)
+      .select(col("vec_id"), col("embedding")).collect().foreach { r =>
+        val single = Search.quantizedSearch(atRest, config,
+          r.getSeq[Float](1).toArray, 5, candidates = 20)
+          .collect().map(_.getString(0)).toSet
+        assert(got(r.getLong(0).toString) === single, s"qid=${r.getLong(0)}")
+      }
+  }
+
   test("searchMany with knownNq plans without running any job (no hidden count)") {
     val sfDir = "/root/testdata/sf0.001"
     val d = Tables.dims(spark, sfDir)
