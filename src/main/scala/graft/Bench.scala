@@ -188,6 +188,13 @@ object Bench {
     record("synth_quantized") {
       Search.quantizedSearch(coll, config, q, 10, candidates = 200).collect()
     }
+    // batch quantized: sign-bit candidates for 64 queries in ONE scan
+    // that reads dims/8 bytes/row (vs 4*dims for flat batch), then the
+    // shared bounded rerank — the quantized analogue of flat batch
+    record("synth_quantized_batch64_perq", div = 64.0) {
+      Search.quantizedSearchMany(coll, config, queries64, 10,
+        candidates = 200, knownNq = 64L).collect()
+    }
     record("synth_hybrid") {
       Search.hybridSearch(coll, config, q, 10, candidates = 200,
         stages = Seq(dims / 4, dims / 2, dims)).collect()
