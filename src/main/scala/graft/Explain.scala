@@ -20,7 +20,9 @@ object Explain {
         "ann_ivf_filtered_topk", "ann_hnsw_filtered_topk",
         "ann_hnsw_sharded_topk", "ann_hnsw_persisted_topk", "mm_resize",
         "agg_pricing_summary", "join_revenue_by_nation", "dedup_minhash_pairs",
-        "text_contamination", "data_domain_cap", "data_stratified_sample")
+        "text_contamination", "data_domain_cap", "data_stratified_sample",
+        "vec_quantized_topk", "vec_quantized_search_many",
+        "data_cluster_mix", "text_hashing_tf", "dedup_tfvector_cosine")
     names.foreach { n =>
       println(s"\n===== $n =====")
       SparkEntry.queries(n)(spark, sfDir).explain("formatted")

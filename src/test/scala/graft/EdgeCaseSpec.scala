@@ -32,6 +32,31 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Search.flatSearchPacked(packed, config, q, 5).count() === 0)
   }
 
+  test("batch quantized, TF vectors, cluster mix on empty/tiny inputs") {
+    import spark.implicits._
+    val q = Bench.synthVector(-1L, dims)
+    // empty collection, non-empty queries -> zero result rows
+    val qdf = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
+    assert(Search.quantizedSearchMany(corpus(0), config, qdf, 5,
+      candidates = 10, knownNq = 1L).count() === 0)
+    // single-row corpus: every query finds the row
+    assert(Search.quantizedSearchMany(corpus(1), config, qdf, 5,
+      candidates = 10, knownNq = 1L).count() === 1)
+    // hashing-TF of empty / whitespace-only text: the single empty token
+    // lands in one bucket (tokenization parity with wordCount)
+    val tf = Seq(("a", ""), ("b", "   ")).toDF("id", "text")
+      .select(col("id"), graft.text.TextAnalysis.hashingTfVector(col("text"), 8).as("v"))
+      .collect().map(r => (r.getString(0), r.getSeq[Float](1)))
+    tf.foreach { case (id, v) =>
+      assert(v.sum === 1.0f, s"id=$id -> $v")
+    }
+    // cluster mix with a single centroid: fraction 1.0 keeps all rows
+    val df3 = corpus(3).select("id", "vector")
+    val oneCent = Array(Bench.synthVector(0L, dims))
+    assert(graft.functions.Sampling.clusterProportionalSample(
+      df3, "id", "vector", oneCent, Seq(0 -> 1.0)).count() === 3)
+  }
+
   test("limit larger than the corpus returns the whole corpus, ordered") {
     val coll = corpus(3)
     val q = Bench.synthVector(-1L, dims)
