@@ -9,7 +9,8 @@ import graft.core.{Metric, Normalize}
 import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
-import graft.text.TextAnalysis
+import graft.search.Search
+import graft.text.{Bm25, TextAnalysis}
 
 /** Training-data pipeline queries (dedup / text / multimodal / events /
   * relational) with DuckDB oracles, merged into SparkEntry. */
@@ -389,6 +390,41 @@ object TrainingQueries {
           TextAnalysis.hashingTfVector(col("text"), 64).as("vector"))
       roundCols(Dedup.exactCosinePairs(docs, "id", "vector")
         .filter(col("cosine") >= 0.9), Seq("cosine"))
+    }),
+
+    // ---- lexical retrieval + hybrid fusion
+    // Okapi BM25 top-k: per-doc tf/dl are codegen'd HOFs over the token
+    // array (no corpus-wide term explode), corpus stats (N, Σdl,
+    // per-term df) are ONE small-row agg broadcast back, and the score
+    // is an explicit sorted-term fold — the oracle replicates the
+    // idf / tf-saturation arithmetic term-for-term
+    "text_bm25_topk" -> ((s, dir) =>
+      Bm25.topK(
+        Tables.read(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", Seq("vector", "stream", "window"), limit = 10)),
+
+    // RRF hybrid fusion: BM25 lexical top-50 + exact flat-cosine vector
+    // top-50 (doc_id ≡ vec_id in the fixtures), fused by reciprocal
+    // rank 1/(60+rank) — rank-based, so the incomparable score scales
+    // never need calibrating; both rankings and the fused sum replicate
+    // in SQL
+    "hybrid_bm25_rrf" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val lex = Bm25.topK(
+        Tables.read(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", Seq("vector", "stream", "window"), limit = 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("score").desc, col("doc_id").asc)))
+        .select(col("doc_id"), col("rank"))
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val vec = Search.flatSearch(coll, config, Tables.queryVector(s, dir, 0L), 50)
+        .withColumn("rank", row_number().over(
+          Window.orderBy(col("distance").asc, col("id").asc)))
+        .select(col("id").cast("int").as("doc_id"), col("rank"))
+      graft.search.Fusion.rrf(Seq("lex" -> lex, "vec" -> vec), "doc_id",
+        limit = 10)
     }),
 
     // ---- dedup
@@ -1591,6 +1627,30 @@ object TrainingQueries {
        FROM fin ORDER BY raw ASC, id ASC LIMIT 10"""
   }
 
+  /** Shared BM25 CTE chain (docs → per-doc tf/dl HOFs → one-row corpus
+    * stats → explicit sorted-term score fold) mirroring [[Bm25.scores]]
+    * operation-for-operation: same left-assoc arithmetic, same
+    * `ln((n-df+0.5)/(df+0.5)+1)` idf, same round-6 ranking key. */
+  private def bm25Ctes(terms: Seq[String], k1: String = "1.2",
+      b: String = "0.75"): String = {
+    val ts = terms.map(_.toLowerCase).distinct.sorted
+    val tfSel = ts.zipWithIndex.map { case (t, i) =>
+      s"CAST(len(list_filter(lt, x -> x = '$t')) AS BIGINT) AS tf$i"
+    }.mkString(", ")
+    val dfSel = ts.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS BIGINT) AS df$i")
+      .mkString(", ")
+    val contrib = ts.indices.map { i =>
+      s"""ln((CAST(n AS DOUBLE) - CAST(df$i AS DOUBLE) + 0.5) / (CAST(df$i AS DOUBLE) + 0.5) + 1.0)
+         * (CAST(tf$i AS DOUBLE) * ($k1 + 1.0))
+         / (CAST(tf$i AS DOUBLE) + $k1 * (1.0 - $b + $b * CAST(dl AS DOUBLE) / (CAST(sumdl AS DOUBLE) / CAST(n AS DOUBLE))))"""
+    }.mkString(" + ")
+    s"""bmd AS (SELECT doc_id, list_transform($tokensSql, t -> lower(t)) AS lt FROM documents),
+       bmb AS (SELECT doc_id, CAST(len(lt) AS BIGINT) AS dl, $tfSel FROM bmd),
+       bms AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(dl) AS BIGINT) AS sumdl, $dfSel FROM bmb),
+       bmsc AS (SELECT doc_id, dl, ($contrib) AS score FROM bmb, bms)"""
+  }
+
   def oracleSql: Map[String, String] = Map(
     "ann_ivf_full_probe_topk" -> flatCosineOracle,
     "ann_ivf_partitioned_topk" -> flatCosineOracle,
@@ -1918,6 +1978,29 @@ object TrainingQueries {
            FROM tf JOIN dfq USING (term), nn)
          SELECT doc_id, term, tf, df, (round(score, 6) + 0) AS score
          FROM sc WHERE rn <= 3 ORDER BY doc_id, rn""",
+
+    "text_bm25_topk" ->
+      s"""WITH ${bm25Ctes(Seq("vector", "stream", "window"))}
+         SELECT doc_id, dl, (round(score, 6) + 0) AS score FROM bmsc
+         WHERE round(score, 6) > 0
+         ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""",
+
+    "hybrid_bm25_rrf" ->
+      s"""WITH ${bm25Ctes(Seq("vector", "stream", "window"))},
+         lex AS (SELECT doc_id, row_number() OVER (ORDER BY round(score, 6) DESC, doc_id ASC) AS rl
+           FROM bmsc WHERE round(score, 6) > 0 QUALIFY rl <= 50),
+         q2 AS (SELECT list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS qv FROM embeddings WHERE vec_id = 0),
+         n2 AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings),
+         sc2 AS (SELECT id, list_sum(list_transform(range(1, len(nv)+1), i -> CAST(nv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS raw FROM n2, q2),
+         vec AS (SELECT CAST(id AS INT) AS doc_id, row_number() OVER (ORDER BY (1.0 - raw) ASC, id ASC) AS rv
+           FROM sc2 QUALIFY rv <= 50),
+         f AS (SELECT coalesce(lex.doc_id, vec.doc_id) AS doc_id, lex.rl AS rl, vec.rv AS rv
+           FROM lex FULL JOIN vec ON lex.doc_id = vec.doc_id)
+         SELECT doc_id, CAST(rl AS BIGINT) AS rank_lex, CAST(rv AS BIGINT) AS rank_vec,
+           (round(coalesce(1.0 / (60.0 + CAST(rl AS DOUBLE)), 0.0) + coalesce(1.0 / (60.0 + CAST(rv AS DOUBLE)), 0.0), 6) + 0) AS rrf_score
+         FROM f
+         ORDER BY round(coalesce(1.0 / (60.0 + CAST(rl AS DOUBLE)), 0.0) + coalesce(1.0 / (60.0 + CAST(rv AS DOUBLE)), 0.0), 6) DESC, doc_id ASC
+         LIMIT 10""",
 
     "text_pii_redact" -> {
       val Seq(email, phone, ip) = TextAnalysis.piiPatterns.map(_._2)
