@@ -491,6 +491,26 @@ object TrainingQueries {
         "id", "vector", CosineLsh.LshConfig(bands = 24, bitsPerBand = 6),
         threshold = 0.3), Seq("cosine"))),
 
+    // SemDeDup (semantic dedup): k-means cells — trained on the
+    // ORIGINAL embeddings, one model per corpus generation — as the
+    // candidate groups, exact cosine verify at 0.9, canonical-min
+    // keep. Planted semantic near-dups: vec_id<30 re-added as
+    // id+10000 with dim-0 perturbed by +0.25 — cosine ~0.97 against a
+    // 0.51 background ceiling, so the threshold separates cleanly.
+    // The oracle replicates centroids, cell assignment, pair set, AND
+    // the connected-component closure.
+    "dedup_semantic_pairs" -> ((s, dir) => {
+      val (corpus, centroids) = semanticFixture(s, dir)
+      roundCols(Dedup.semanticPairs(corpus, "id", "vector", centroids, 0.9)
+        .withColumn("cell", col("cell").cast("int")), Seq("cosine"))
+    }),
+
+    "dedup_semantic_keep" -> ((s, dir) => {
+      val (corpus, centroids) = semanticFixture(s, dir)
+      Dedup.dropSemanticDuplicates(corpus, "id", "vector", centroids, 0.9)
+        .select("id")
+    }),
+
     // INCREMENTAL curation: the end-to-end shape of ingesting a new
     // crawl against a dataset already at rest — quality gate on the
     // batch, exact-against cut (corpus keys), near-against cut
@@ -1627,6 +1647,44 @@ object TrainingQueries {
        FROM fin ORDER BY raw ASC, id ASC LIMIT 10"""
   }
 
+  /** SemDeDup fixture: original embeddings + 30 perturbed copies (ids
+    * +10000, dim-0 +0.25 — cosine ~0.97 to their originals), centroids
+    * from the same k=8/it=5 id-ordered training as data_cluster_mix so
+    * the oracle's recursive-CTE k-means replicates them. */
+  private def semanticFixture(s: SparkSession, dir: String): (DataFrame, Array[Array[Float]]) = {
+    val d = Tables.dims(s, dir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(s, dir, config)
+    val centroids = IvfIndex.trainOrdered(coll, config,
+      IvfIndex.IvfConfig(k = 8, iterations = 5), col("id").cast("long"))
+    val e = Tables.read(s, dir, "embeddings")
+    val corpus = e.select(col("vec_id").cast("string").as("id"),
+        col("embedding").as("vector"))
+      .union(e.filter(col("vec_id") < 30).select(
+        (col("vec_id") + 10000).cast("string").as("id"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") + lit(0.25)).cast("float"))
+            .otherwise(x)).as("vector")))
+    (corpus, centroids)
+  }
+
+  /** SemDeDup oracle CTE tail (appended after [[ivfCosKmeansCtes]]):
+    * the planted-copy corpus, its f32 normalization, cell assignment
+    * through the trained centroids, and the verified pair set. */
+  private val semDedupCtes: String = {
+    def nrm(v: String) =
+      s"list_transform($v, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform($v, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT))"
+    s"""semc AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v FROM embeddings
+         UNION ALL SELECT CAST(vec_id + 10000 AS VARCHAR) AS id,
+           list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN CAST(CAST(x AS DOUBLE) + 0.25 AS FLOAT) ELSE x END) AS v
+         FROM embeddings WHERE vec_id < 30),
+       semn AS (SELECT id, ${nrm("v")} AS nv FROM semc),
+       sema AS (SELECT id, nv, ${ivfAssign("semn.nv", "cents.c")} AS cell FROM semn, cents),
+       sempr AS (SELECT a.id AS id_a, b.id AS id_b, a.cell AS cell,
+           list_sum(list_transform(range(1, len(a.nv)+1), i -> CAST(a.nv[i] AS DOUBLE) * CAST(b.nv[i] AS DOUBLE))) AS cosine
+         FROM sema a JOIN sema b ON a.cell = b.cell AND a.id < b.id)"""
+  }
+
   /** Shared BM25 CTE chain (docs → per-doc tf/dl HOFs → one-row corpus
     * stats → explicit sorted-term score fold) mirroring [[Bm25.scores]]
     * operation-for-operation: same left-assoc arithmetic, same
@@ -2119,6 +2177,27 @@ object TrainingQueries {
            UNION
            SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
          SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+
+    "dedup_semantic_pairs" ->
+      s"""WITH RECURSIVE
+         $ivfCosKmeansCtes,
+         $semDedupCtes
+         SELECT id_a, id_b, CAST(cell AS INT) AS cell, (round(cosine, 6) + 0) AS cosine
+         FROM sempr WHERE cosine >= 0.9 ORDER BY id_a, id_b""",
+
+    "dedup_semantic_keep" ->
+      s"""WITH RECURSIVE
+         $ivfCosKmeansCtes,
+         $semDedupCtes,
+         ver AS (SELECT id_a, id_b FROM sempr WHERE cosine >= 0.9),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+           UNION ALL SELECT id_b, id_a FROM ver),
+         reach(id, r) AS (
+           SELECT id, id FROM semc
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         lab AS (SELECT id, min(r) AS cl FROM reach GROUP BY id)
+         SELECT id FROM lab WHERE id = cl ORDER BY id""",
 
     "dedup_simhash_pairs" ->
       s"""WITH corpus AS ($corpusSql),

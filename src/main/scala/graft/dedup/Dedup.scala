@@ -652,6 +652,80 @@ object Dedup {
       .select(col("id"), explode(col("lsh_bands")).as("band")), maxBandSize)
   }
 
+  // ------------------------------------------- semantic dedup (SemDeDup)
+
+  /** SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    * arXiv:2303.09540): k-means the embedding space, then emit
+    * within-cluster pairs whose exact cosine clears `threshold`.
+    * Candidates come from the TRAINED cluster structure instead of LSH
+    * bands — the paper's operating point (their clusters play the role
+    * [[embeddingPairs]]'s bands play), trading the multi-band recall
+    * guarantee for model-aligned groups: a pair that straddles a
+    * cluster boundary is missed by construction, and a pair inside one
+    * cell is always tested. `centroids` come from the caller's trained
+    * model ([[graft.ann.IvfIndex.trainOrdered]]), so index training and
+    * dedup share one k-means — train once per corpus generation.
+    *
+    * Scale shape: each row gets ONE cell (a codegen'd IvfCell
+    * projection, no shuffle), the self-join shuffles only (cell, id) —
+    * vectors attach AFTER candidate generation like every pair family
+    * here — and pair cost is bounded by the largest cell; degenerate
+    * cells over `maxCellSize` are skipped (audit via
+    * [[semanticHotCells]]). Returns (id_a, id_b, cell, cosine). */
+  def semanticPairs(df: DataFrame, idCol: String, vectorCol: String,
+      centroids: Array[Array[Float]], threshold: Double,
+      maxCellSize: Int = DefaultMaxBandSize): DataFrame = {
+    val n = df.select(col(idCol).as("id"),
+      normalizeVector(graft.core.Normalize.L2, col(vectorCol)).as("nv"))
+      .localCheckpoint()
+    val celled = dropHotBands(
+      n.select(col("id"), cellOf(col("nv"), centroids).as("band")), maxCellSize)
+      .select(col("band").as("cell"), col("id"))
+    val a = celled.select(col("cell"), col("id").as("id_a"))
+    val b = celled.select(col("cell"), col("id").as("id_b"))
+    // one cell per id (functional), so the band-join can't duplicate a
+    // pair — no distinct needed, unlike the multi-band LSH families
+    val cands = a.join(b, Seq("cell")).filter(col("id_a") < col("id_b"))
+    cands
+      .join(n.select(col("id").as("id_a"), col("nv").as("nv_a")), "id_a")
+      .join(n.select(col("id").as("id_b"), col("nv").as("nv_b")), "id_b")
+      .withColumn("cosine", vecDistance(Metric.InnerProduct, col("nv_a"), col("nv_b")))
+      .filter(col("cosine") >= threshold)
+      .select("id_a", "id_b", "cell", "cosine")
+  }
+
+  /** SemDeDup keep-set: connected components over [[semanticPairs]],
+    * keep each component's minimum id (the canonical), drop the rest.
+    * Returns `df` rows that survive. Same silent-skip caveat as the
+    * other capped families: a pair lost to a `maxCellSize`-skipped cell
+    * leaves both rows in the keep-set. */
+  def dropSemanticDuplicates(df: DataFrame, idCol: String, vectorCol: String,
+      centroids: Array[Array[Float]], threshold: Double,
+      maxCellSize: Int = DefaultMaxBandSize): DataFrame = {
+    val pairs = semanticPairs(df, idCol, vectorCol, centroids, threshold,
+      maxCellSize).select("id_a", "id_b")
+    val labels = clusters(df.select(col(idCol)), idCol, pairs)
+      .select(col("id").as("_cl_id"), col("cluster_id").as("_cl_label"))
+    df.join(labels, df(idCol) === col("_cl_id"))
+      .filter(col(idCol) === col("_cl_label"))
+      .drop("_cl_id", "_cl_label")
+  }
+
+  /** Skipped-cells audit for [[semanticPairs]]: (cell, members) for
+    * cells over the cap — exactly the cells the pair join skips. */
+  def semanticHotCells(df: DataFrame, idCol: String, vectorCol: String,
+      centroids: Array[Array[Float]],
+      maxCellSize: Int = DefaultMaxBandSize): DataFrame =
+    hotBands(df.select(col(idCol).as("id"),
+      cellOf(normalizeVector(graft.core.Normalize.L2, col(vectorCol)),
+        centroids).as("band")), maxCellSize)
+      .withColumnRenamed("band", "cell")
+
+  private def cellOf(v: Column, centroids: Array[Array[Float]]): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.IvfCell(
+        org.apache.spark.sql.graft.Bridge.expression(v), centroids))
+
   /** Exact all-pairs cosine for a small frame (verification oracle). */
   def exactCosinePairs(df: DataFrame, idCol: String, vectorCol: String): DataFrame = {
     val n = df.select(col(idCol).as("id"),

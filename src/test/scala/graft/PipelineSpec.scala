@@ -243,6 +243,41 @@ class PipelineSpec extends SparkSpec {
     assert(!spairs.exists(p => p._1.startsWith("s") && p._2.startsWith("s")))
   }
 
+  test("semdedup: within-cell pairs verify, boundary straddles miss, canonical keep") {
+    // hand-made centroids — training is the caller's concern (the gate
+    // row trains via IvfIndex.trainOrdered; here geometry is explicit)
+    val cents = Array(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f))
+    val corpus = Seq(
+      ("a1", Array(1f, 0f, 0f, 0f)),
+      ("a2", Array(0.99f, 0.01f, 0f, 0f)),   // near a1, same cell
+      ("b1", Array(0f, 1f, 0f, 0f)),
+      ("b2", Array(0f, 0.99f, 0.1f, 0f)),    // near b1, same cell
+      ("x1", Array(0.75f, 0.66f, 0f, 0f)),   // cell 0 ...
+      ("x2", Array(0.66f, 0.75f, 0f, 0f)),   // ... cell 1: near pair straddles
+      ("c1", Array(0f, 0f, 1f, 0f))          // alone in its direction
+    ).toDF("id", "vector")
+    val pairs = Dedup.semanticPairs(corpus, "id", "vector", cents, 0.9)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("a1", "a2"), ("b1", "b2")))
+    // x1/x2 are cosine ~0.99 but land in different cells: missed by
+    // construction — the SemDeDup contract (cluster-scoped candidates)
+    assert(!pairs.contains(("x1", "x2")))
+    val kept = Dedup.dropSemanticDuplicates(corpus, "id", "vector", cents, 0.9)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(kept === Set("a1", "b1", "x1", "x2", "c1"))
+    // hot-cell guard: cap below the cell size skips the pair join for
+    // that cell, and the audit surfaces it
+    val crowd = (0 until 6).map(i => (f"z$i", Array(1f, i * 1e-4f, 0f, 0f)))
+    val crowded = (crowd ++ Seq(("w1", Array(0f, 1f, 0f, 0f)),
+      ("w2", Array(0f, 0.99f, 0.1f, 0f)))).toDF("id", "vector")
+    val guarded = Dedup.semanticPairs(crowded, "id", "vector", cents, 0.9,
+      maxCellSize = 4).collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(guarded === Set(("w1", "w2")))
+    val hot = Dedup.semanticHotCells(crowded, "id", "vector", cents,
+      maxCellSize = 4).collect()
+    assert(hot.map(_.getInt(0)).toSeq === Seq(0))
+  }
+
   test("embedding batch-vs-corpus: near vectors matched, novel vectors kept") {
     val corpus = Seq(
       ("c1", Array(1f, 0f, 0f, 0f, 0f, 0f, 0f, 0f)),
