@@ -102,6 +102,27 @@ object SparkEntry {
         Seq("score", "distance"))
     }),
 
+    // range (radius) search — the FAISS range_search contract: every
+    // row within a distance bound (or above a score bound), a pure
+    // scan + codegen'd filter with no heap and no sort
+    "vec_range_l2" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = CollectionConfig("embeddings", d, Metric.L2)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(Search.rangeSearch(coll, config, q, radius = 1.35)
+        .drop("metadata"), Seq("score", "distance"))
+    }),
+
+    "vec_range_cosine" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(Search.rangeSearchByScore(coll, config, q, minScore = 0.15)
+        .drop("metadata"), Seq("score", "distance"))
+    }),
+
     // every scalar kernel over raw vectors vs the vec_id=0 query
     "vec_metrics_all" -> ((s, dir) => {
       val q = Tables.queryVector(s, dir, 0L)
@@ -425,6 +446,19 @@ object SparkEntry {
            sc AS (SELECT id, ${sqlDot("nv", "qv")} AS raw FROM n, q)
            SELECT id, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance, 'cosine' AS metric, id AS value
            FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10""",
+
+      "vec_range_l2" ->
+        s"""WITH q AS ($qv),
+           sc AS (SELECT CAST(vec_id AS VARCHAR) AS id, sqrt(${sqlL2sq("embedding", "qraw")}) AS raw FROM embeddings, q)
+           SELECT id, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric, id AS value
+           FROM sc WHERE raw <= 1.35""",
+
+      "vec_range_cosine" ->
+        s"""WITH q AS ($qv),
+           n AS (SELECT CAST(vec_id AS VARCHAR) AS id, ${sqlNorm("embedding")} AS nv FROM embeddings),
+           sc AS (SELECT id, ${sqlDot("nv", "qv")} AS raw FROM n, q)
+           SELECT id, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance, 'cosine' AS metric, id AS value
+           FROM sc WHERE raw >= 0.15""",
 
       "vec_flat_l2_topk" ->
         s"""WITH q AS ($qv),

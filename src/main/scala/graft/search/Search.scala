@@ -104,6 +104,64 @@ object Search {
     projectResults(topK(scored, limit), config)
   }
 
+  /** Range (radius) search — the FAISS `range_search` contract: every
+    * row whose result DISTANCE is within `radius`, not a fixed k. A
+    * pure scan + codegen'd filter: no heap, no sort, no shuffle — the
+    * cheapest possible shape at 100 TB, and unlike top-k it needs no
+    * result-count coordination across partitions at all. Unordered by
+    * default for exactly that reason (a global sort of an unbounded
+    * result set is the one thing that could make this expensive);
+    * `limit > 0` adds the deterministic (rank, id) cut via
+    * TakeOrderedAndProject when a bound is wanted. */
+  def rangeSearch(df: DataFrame, config: CollectionConfig, query: Array[Float],
+      radius: Double, limit: Int = 0): DataFrame = {
+    require(radius >= 0, "radius must be non-negative")
+    rangeFiltered(df, config, query, dist => dist <= radius, limit)
+  }
+
+  /** Range search thresholded on the result SCORE instead of distance
+    * (`score >= minScore`) — the natural form for similarity metrics:
+    * cosine `minScore = 0.95` is the "all near-duplicates of this
+    * vector" query, inner_product `minScore` the recommender cutoff. */
+  def rangeSearchByScore(df: DataFrame, config: CollectionConfig,
+      query: Array[Float], minScore: Double, limit: Int = 0): DataFrame =
+    rangeFiltered(df, config, query, _ => lit(true), limit,
+      scorePred = Some(sc => sc >= minScore))
+
+  private def rangeFiltered(df: DataFrame, config: CollectionConfig,
+      query: Array[Float], distPred: Column => Column, limit: Int,
+      scorePred: Option[Column => Column] = None): DataFrame = {
+    val q = prepareQuery(config, query)
+    val scored = df.withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))
+      .withColumn("rank", rankCol(config.metric, col("raw")))
+    val (score, dist) = resultValues(config.metric, col("raw"), config.score)
+    val filtered = scorePred match {
+      case Some(p) => scored.filter(p(score.cast("double")))
+      case None => scored.filter(distPred(dist.cast("double")))
+    }
+    val cut = if (limit > 0) topK(filtered, limit) else filtered
+    projectResults(cut, config)
+  }
+
+  /** Batch range search: all queries against the corpus in ONE scan
+    * (queries broadcast), `distance <= radius` — or `score >=
+    * minScore` when `byScore` — per (qid, id). Emits only matches, so
+    * the output is the join's selectivity, never |corpus| x |queries|. */
+  def rangeSearchMany(df: DataFrame, config: CollectionConfig,
+      queries: DataFrame, radius: Double, byScore: Boolean = false): DataFrame = {
+    val qNorm = queries.select(col("qid"),
+      normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+    val scored = df.crossJoin(broadcast(qNorm))
+      .withColumn("raw", vecDistance(config.metric, col("vector"), col("qvector")))
+    val (score, dist) = resultValues(config.metric, col("raw"), config.score)
+    scored
+      .filter(if (byScore) score.cast("double") >= radius
+              else dist.cast("double") <= radius)
+      .select(col("qid"), col("id"), col("value"),
+        score.cast("double").as("score"), dist.cast("double").as("distance"),
+        lit(config.metric.name).as("metric"))
+  }
+
   /** Candidate frame for one funnel stage: score the `d`-prefix of the
     * stored vectors against the `d`-prefix of the query. Cosine uses the
     * true normalized cosine because prefixes of unit vectors are not unit

@@ -27,6 +27,38 @@ class SearchSpec extends SparkSpec {
     assert(res(1).getString(0) === "up")
   }
 
+  test("range search: distance radius, score threshold, batch form") {
+    val config = CollectionConfig("axes", 2, Metric.L2)
+    val coll = prep(Seq(
+      "a" -> Array(0.0f, 0.0f),
+      "b" -> Array(1.0f, 0.0f),
+      "c" -> Array(3.0f, 0.0f)), config)
+    // radius catches a and b, not c; unordered result, no limit
+    val ids = Search.rangeSearch(coll, config, Array(0.0f, 0.0f), radius = 1.5)
+      .collect().map(_.getString(0)).toSet
+    assert(ids === Set("a", "b"))
+    // limit adds the deterministic (rank, id) cut
+    val cut = Search.rangeSearch(coll, config, Array(0.0f, 0.0f), 1.5, limit = 1)
+      .collect().map(_.getString(0)).toSeq
+    assert(cut === Seq("a"))
+    // score threshold on cosine = similarity floor
+    val cc = CollectionConfig("axes", 2, Metric.Cosine)
+    val ccoll = prep(Seq(
+      "e" -> Array(1.0f, 0.0f),
+      "f" -> Array(1.0f, 0.2f),
+      "g" -> Array(-1.0f, 0.0f)), cc)
+    val near = Search.rangeSearchByScore(ccoll, cc, Array(1.0f, 0.0f), 0.9)
+      .collect().map(_.getString(0)).toSet
+    assert(near === Set("e", "f"))
+    // batch: each query sees only its own radius matches
+    import spark.implicits._
+    val qs = Seq(("q0", Seq(0.0f, 0.0f)), ("q1", Seq(3.0f, 0.0f)))
+      .toDF("qid", "qvector")
+    val many = Search.rangeSearchMany(coll, config, qs, radius = 1.5)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(many === Set(("q0", "a"), ("q0", "b"), ("q1", "c")))
+  }
+
   test("compat score mode :similarity maps cosine to (raw+1)/2") {
     val config = CollectionConfig("axes", 2, Metric.Cosine, score = ScoreMode.Similarity)
     val coll = prep(Seq("right" -> Array(1f, 0f), "left" -> Array(-1f, 0f)), config)
