@@ -10,7 +10,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
 import graft.search.Search
-import graft.text.{Bm25, TextAnalysis}
+import graft.text.{Bm25, NaiveBayes, TextAnalysis}
 
 /** Training-data pipeline queries (dedup / text / multimodal / events /
   * relational) with DuckDB oracles, merged into SparkEntry. */
@@ -390,6 +390,31 @@ object TrainingQueries {
           TextAnalysis.hashingTfVector(col("text"), 64).as("vector"))
       roundCols(Dedup.exactCosinePairs(docs, "id", "vector")
         .filter(col("cosine") >= 0.9), Seq("cosine"))
+    }),
+
+    // ---- supervised text classification (multinomial Naive Bayes —
+    // the counts-based shape of pipeline language/quality classifiers;
+    // training is pure aggregation, so the WHOLE model and every score
+    // replicate in SQL): fit on doc_id<400 (label = lang), predict the
+    // held-out 100 docs, report argmax + correctness + log posterior
+    // The synthetic corpus draws every lang from ONE token pool (zero
+    // real signal), so the fixture plants a deterministic per-lang
+    // marker token on 2/3 of docs — learnable vocabulary with a noisy
+    // tail, the regime a real language/quality classifier works in
+    "text_nb_langid" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents").select(
+        col("doc_id"), col("lang"),
+        concat(col("text"),
+          when(pmod(col("doc_id"), lit(3)) =!= 0,
+            concat(lit(" tok_"), col("lang"))).otherwise(lit(""))).as("text"))
+      val train = docs.filter(col("doc_id") < 400)
+      val test = docs.filter(col("doc_id") >= 400)
+      val model = NaiveBayes.train(train, "doc_id", "text", "lang")
+      val pred = NaiveBayes.predict(model, test, "doc_id", "text")
+      roundCols(pred.join(test.select(col("doc_id"), col("lang")), "doc_id")
+        .select(col("doc_id"), col("lang"), col("predicted"),
+          (col("predicted") === col("lang")).as("correct"), col("score")),
+        Seq("score"))
     }),
 
     // ---- lexical retrieval + hybrid fusion
@@ -2036,6 +2061,35 @@ object TrainingQueries {
            FROM tf JOIN dfq USING (term), nn)
          SELECT doc_id, term, tf, df, (round(score, 6) + 0) AS score
          FROM sc WHERE rn <= 3 ORDER BY doc_id, rn""",
+
+    "text_nb_langid" ->
+      s"""WITH aug AS (SELECT doc_id, lang,
+           text || (CASE WHEN doc_id % 3 != 0 THEN ' tok_' || lang ELSE '' END) AS text
+         FROM documents),
+         allt AS (SELECT doc_id, lang, list_transform($tokensSql, t -> lower(t)) AS lt FROM aug),
+         trn AS (SELECT * FROM allt WHERE doc_id < 400),
+         tst AS (SELECT * FROM allt WHERE doc_id >= 400),
+         nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM trn),
+         cls AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_c FROM trn GROUP BY lang),
+         tok AS (SELECT lang, unnest(lt) AS term FROM trn),
+         tc AS (SELECT lang, term, CAST(count(*) AS BIGINT) AS cnt FROM tok GROUP BY lang, term),
+         tot AS (SELECT lang, CAST(sum(cnt) AS BIGINT) AS t_c FROM tc GROUP BY lang),
+         voc AS (SELECT DISTINCT term FROM tok),
+         vn AS (SELECT CAST(count(*) AS BIGINT) AS v FROM voc),
+         grid AS (SELECT voc.term, cls.lang,
+             ln((CAST(coalesce(tc.cnt, 0) AS DOUBLE) + 1.0) / (CAST(tot.t_c AS DOUBLE) + CAST(vn.v AS DOUBLE))) AS ll
+           FROM voc CROSS JOIN cls JOIN tot ON tot.lang = cls.lang LEFT JOIN tc ON tc.term = voc.term AND tc.lang = cls.lang, vn),
+         dtf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf FROM (SELECT doc_id, unnest(lt) AS term FROM tst) GROUP BY doc_id, term),
+         ctb AS (SELECT d.doc_id, g.lang, struct_pack(t := d.term, c := CAST(d.tf AS DOUBLE) * g.ll) AS tc2 FROM dtf d JOIN grid g ON g.term = d.term),
+         sums AS (SELECT doc_id, lang, list_sum(list_transform(list_sort(list(tc2)), x -> struct_extract(x, 'c'))) AS s
+           FROM ctb GROUP BY doc_id, lang),
+         scd AS (SELECT t.doc_id, c.lang AS clang,
+             ln(CAST(c.n_c AS DOUBLE) / CAST(nn.n AS DOUBLE)) + coalesce(sums.s, 0.0) AS score
+           FROM tst t CROSS JOIN cls c LEFT JOIN sums ON sums.doc_id = t.doc_id AND sums.lang = c.lang, nn),
+         prd AS (SELECT doc_id, clang AS predicted, score,
+             row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, clang ASC) AS rn FROM scd)
+         SELECT t.doc_id, t.lang, p.predicted, (p.predicted = t.lang) AS correct, (round(p.score, 6) + 0) AS score
+         FROM prd p JOIN tst t ON t.doc_id = p.doc_id WHERE p.rn = 1 ORDER BY t.doc_id""",
 
     "text_bm25_topk" ->
       s"""WITH ${bm25Ctes(Seq("vector", "stream", "window"))}

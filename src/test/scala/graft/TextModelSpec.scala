@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.NaiveBayes
+
+/** Counts-based text models: multinomial Naive Bayes (and friends). */
+class TextModelSpec extends SparkSpec {
+  import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+
+  test("nb: separable vocabulary classifies held-out docs perfectly") {
+    val train = Seq(
+      (1, "apple banana apple", "fruit"),
+      (2, "banana cherry banana", "fruit"),
+      (3, "bolt nut bolt washer", "hardware"),
+      (4, "nut screw washer", "hardware")).toDF("id", "text", "label")
+    val test = Seq(
+      (10, "apple cherry"), (11, "screw bolt nut"), (12, "banana banana"))
+      .toDF("id", "text")
+    val m = NaiveBayes.train(train, "id", "text", "label")
+    val pred = NaiveBayes.predict(m, test, "id", "text")
+      .collect().map(r => r.getInt(0) -> r.getString(1)).toMap
+    assert(pred === Map(10 -> "fruit", 11 -> "hardware", 12 -> "fruit"))
+  }
+
+  test("nb: out-of-vocabulary doc falls back to priors (majority class)") {
+    val train = Seq(
+      (1, "a b", "big"), (2, "a c", "big"), (3, "a d", "big"),
+      (4, "x y", "small")).toDF("id", "text", "label")
+    val m = NaiveBayes.train(train, "id", "text", "label")
+    val pred = NaiveBayes.predict(m,
+      Seq((9, "zzz qqq")).toDF("id", "text"), "id", "text").collect()
+    assert(pred.head.getString(1) === "big")
+    // prior-only score: ln(3/4) for the winner
+    assert(math.abs(pred.head.getDouble(2) - math.log(3.0 / 4.0)) < 1e-12)
+  }
+
+  test("nb: smoothing keeps absent-in-class terms finite, order deterministic") {
+    val train = Seq(
+      (1, "only here", "a"), (2, "other words", "b")).toDF("id", "text", "label")
+    val m = NaiveBayes.train(train, "id", "text", "label")
+    // 'only' appears in class a, never in b — b still scores finite
+    val scoresByClass = m.likelihood.filter(col("term") === "only")
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(scoresByClass.keySet === Set("a", "b"))
+    assert(scoresByClass.values.forall(v => !v.isInfinite && !v.isNaN))
+    assert(scoresByClass("a") > scoresByClass("b"))
+    // repeated predict is bit-identical (term-sorted fold)
+    val t = Seq((7, "only other words here")).toDF("id", "text")
+    val s1 = NaiveBayes.predict(m, t, "id", "text").head.getDouble(2)
+    val s2 = NaiveBayes.predict(m, t, "id", "text").head.getDouble(2)
+    assert(s1 === s2)
+  }
+
+  test("nb: gate fixture beats the majority baseline on planted-signal langid") {
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.read(spark, dir, "documents").select(
+      col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(pmod(col("doc_id"), lit(3)) =!= 0,
+          concat(lit(" tok_"), col("lang"))).otherwise(lit(""))).as("text"))
+    val n = docs.count()
+    val cut = (n * 4) / 5
+    val train = docs.filter(col("doc_id") < cut)
+    val test = docs.filter(col("doc_id") >= cut)
+    val m = NaiveBayes.train(train, "doc_id", "text", "lang")
+    val joined = NaiveBayes.predict(m, test, "doc_id", "text")
+      .join(test.select(col("doc_id"), col("lang")), "doc_id")
+    val acc = joined.filter(col("predicted") === col("lang")).count().toDouble /
+      joined.count()
+    val majority = train.groupBy("lang").count()
+      .agg(max("count")).head.getLong(0).toDouble / train.count()
+    assert(acc > majority, s"nb accuracy $acc should beat majority $majority")
+  }
+}
