@@ -10,7 +10,7 @@ import graft.dedup.Dedup
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
 import graft.search.Search
-import graft.text.{Bm25, NaiveBayes, TextAnalysis}
+import graft.text.{Bm25, NaiveBayes, NgramLm, TextAnalysis}
 
 /** Training-data pipeline queries (dedup / text / multimodal / events /
   * relational) with DuckDB oracles, merged into SparkEntry. */
@@ -415,6 +415,17 @@ object TrainingQueries {
         .select(col("doc_id"), col("lang"), col("predicted"),
           (col("predicted") === col("lang")).as("correct"), col("score")),
         Seq("score"))
+    }),
+
+    // bigram-LM perplexity scoring (the CCNet-style filter): counts
+    // trained on doc_id<400, held-out docs scored by mean -ln p over
+    // their bigrams in position order — low logppl = in-domain text;
+    // compose with tokenPercentiles for a percentile keep rule
+    "text_bigram_ppl" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val model = NgramLm.train(docs.filter(col("doc_id") < 400), "doc_id", "text")
+      roundCols(NgramLm.score(model, docs.filter(col("doc_id") >= 400),
+        "doc_id", "text"), Seq("logppl"))
     }),
 
     // ---- lexical retrieval + hybrid fusion
@@ -2061,6 +2072,22 @@ object TrainingQueries {
            FROM tf JOIN dfq USING (term), nn)
          SELECT doc_id, term, tf, df, (round(score, 6) + 0) AS score
          FROM sc WHERE rn <= 3 ORDER BY doc_id, rn""",
+
+    "text_bigram_ppl" ->
+      s"""WITH allt AS (SELECT doc_id, list_transform($tokensSql, t -> lower(t)) AS lt FROM documents),
+         trn AS (SELECT * FROM allt WHERE doc_id < 400),
+         tst AS (SELECT * FROM allt WHERE doc_id >= 400),
+         tbg AS (SELECT lt[i.i+1] AS w1, lt[i.i+2] AS w2 FROM trn, LATERAL (SELECT unnest(range(0, len(lt)-1)) AS i) i WHERE len(lt) >= 2),
+         bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tbg GROUP BY w1, w2),
+         hd AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bgc GROUP BY w1),
+         vn AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM (SELECT unnest(lt) AS term FROM trn)),
+         sbg AS (SELECT doc_id, i.i AS pos, lt[i.i+1] AS w1, lt[i.i+2] AS w2 FROM tst, LATERAL (SELECT unnest(range(0, len(lt)-1)) AS i) i WHERE len(lt) >= 2),
+         ctb AS (SELECT doc_id, struct_pack(p := pos, c := ln((CAST(coalesce(bgc.c12, 0) AS DOUBLE) + 1.0) / (CAST(coalesce(hd.c1, 0) AS DOUBLE) + CAST(vn.v AS DOUBLE)))) AS pc
+           FROM sbg LEFT JOIN bgc ON bgc.w1 = sbg.w1 AND bgc.w2 = sbg.w2 LEFT JOIN hd ON hd.w1 = sbg.w1, vn),
+         sums AS (SELECT doc_id, list_sum(list_transform(list_sort(list(pc)), x -> struct_extract(x, 'c'))) AS s, CAST(count(*) AS BIGINT) AS nb FROM ctb GROUP BY doc_id)
+         SELECT t.doc_id, CAST(coalesce(sums.nb, 0) AS BIGINT) AS n_bigrams,
+           (CASE WHEN sums.nb > 0 THEN round((0.0 - sums.s) / CAST(sums.nb AS DOUBLE), 6) + 0 ELSE NULL END) AS logppl
+         FROM tst t LEFT JOIN sums ON sums.doc_id = t.doc_id ORDER BY t.doc_id""",
 
     "text_nb_langid" ->
       s"""WITH aug AS (SELECT doc_id, lang,

@@ -52,6 +52,43 @@ class TextModelSpec extends SparkSpec {
     assert(s1 === s2)
   }
 
+  test("lm: in-domain text scores lower perplexity than shuffled/rare text") {
+    import graft.text.NgramLm
+    val train = (1 to 50).map(i => (i, "the quick brown fox jumps over the lazy dog"))
+      .toDF("id", "text")
+    val m = NgramLm.train(train, "id", "text")
+    val test = Seq(
+      (100, "the quick brown fox"),     // fluent under the model
+      (101, "fox the jumps brown the"), // same tokens, broken order
+      (102, "zzz qqq www yyy")          // fully out of vocabulary
+    ).toDF("id", "text")
+    val sc = NgramLm.score(m, test, "id", "text")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(sc(100) < sc(101), s"fluent ${sc(100)} !< shuffled ${sc(101)}")
+    assert(sc(100) < sc(102), s"fluent ${sc(100)} !< oov ${sc(102)}")
+    // documented add-1 artifact: the fully-OOV doc is NOT guaranteed to
+    // score above the shuffled in-vocab doc (unseen heads have the
+    // smallest denominator) — the reason the scaladoc says to gate on
+    // language/vocab coverage before thresholding perplexity
+  }
+
+  test("lm: hand-checked probabilities; short docs score null") {
+    import graft.text.NgramLm
+    // corpus "a b a b": bigrams (a,b)x2? no — "a b a b" = (a,b),(b,a),(a,b)
+    val m = NgramLm.train(Seq((1, "a b a b")).toDF("id", "text"), "id", "text")
+    val bg = m.bigrams.collect().map(r =>
+      (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(bg === Map(("a", "b") -> 2L, ("b", "a") -> 1L))
+    assert(m.vocabSize === 2L)
+    val sc = NgramLm.score(m, Seq((9, "a b"), (10, "a"), (11, ""))
+      .toDF("id", "text"), "id", "text").collect()
+      .map(r => r.getInt(0) -> Option(r.get(2))).toMap
+    // p(b|a) = (2+1)/(2+2) = 0.75 -> logppl = -ln 0.75
+    assert(math.abs(sc(9).get.asInstanceOf[Double] - (-math.log(0.75))) < 1e-12)
+    assert(sc(10).isEmpty)
+    assert(sc(11).isEmpty)
+  }
+
   test("nb: gate fixture beats the majority baseline on planted-signal langid") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.read(spark, dir, "documents").select(
