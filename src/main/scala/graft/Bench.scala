@@ -440,6 +440,33 @@ object Bench {
     quality("clu_overlap10_ivfpq_filtered") = cluOverlap(dfIds(
       graft.ann.IvfPq.search(cluColl.filter(cluPred), config, cluCents,
         cluPqCb, cluQ, 10, nprobe = 4)))
+    // PCA compression on the same structured corpus: 64 -> 16 dims
+    // (trained from the corpus moments), exact L2 search in PCA space
+    // (stored vectors are L2-normalized, so full-space cosine order ==
+    // full-space L2 order; PCA approximately preserves the distances) —
+    // the recall cost of a 4x smaller scan on clustered embeddings
+    locally {
+      val cluExactAll = dfIds(Search.flatSearch(cluColl, config, cluQ, 10)).toSet
+      val pcaModel = graft.encode.Pca.train(cluColl, "vector", dims, dims / 4)
+      val pcaColl = graft.encode.Pca.withProjection(cluColl, "vector", pcaModel)
+        .select(col("id"), col("value"), col("vector_pca").as("vector")).persist()
+      pcaColl.count()
+      val pcaQ = pcaModel.components.map { c =>
+        var s = 0.0; var i = 0
+        while (i < c.length) { s += (cluQ(i) - pcaModel.mean(i)) * c(i); i += 1 }
+        s.toFloat
+      }
+      val pcaCfg = graft.core.CollectionConfig("pca", dims / 4, Metric.L2)
+      quality("clu_overlap10_pca16") =
+        (if (cluExactAll.isEmpty) 1.0
+         else cluExactAll.intersect(
+           dfIds(Search.flatSearch(pcaColl, pcaCfg, pcaQ, 10)).toSet).size.toDouble /
+           cluExactAll.size)
+      record("synth_pca16_search") {
+        Search.flatSearch(pcaColl, pcaCfg, pcaQ, 10).collect()
+      }
+      pcaColl.unpersist(blocking = true)
+    }
     // recallTarget facade on the same clustered corpus: the knobs the
     // measured overlap curve resolves for target 0.9 must DELIVER >=0.9
     // on a fresh (non-calibration) perturbed query — the end-to-end

@@ -7,6 +7,7 @@ import org.apache.spark.sql.types.DecimalType
 import graft.ann.{CosineLsh, IvfIndex, ModelStore, Opq, Pq, Sq8}
 import graft.core.{Metric, Normalize}
 import graft.dedup.Dedup
+import graft.encode.Pca
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
 import graft.search.Search
@@ -426,6 +427,17 @@ object TrainingQueries {
       val model = NgramLm.train(docs.filter(col("doc_id") < 400), "doc_id", "text")
       roundCols(NgramLm.score(model, docs.filter(col("doc_id") >= 400),
         "doc_id", "text"), Seq("logppl"))
+    }),
+
+    // PCA embedding compression — the ONE distributed job of PCA
+    // training (upper-tri second moments; the d x d eigensolve is
+    // driver-side and property-tested in PcaSpec): every covariance
+    // entry replicated in SQL
+    "emb_pca_covariance" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      roundCols(Pca.covariance(
+        Tables.read(s, dir, "embeddings").select(col("embedding").as("vector")),
+        "vector", d), Seq("cov"), scale = 9)
     }),
 
     // ---- lexical retrieval + hybrid fusion
@@ -2072,6 +2084,20 @@ object TrainingQueries {
            FROM tf JOIN dfq USING (term), nn)
          SELECT doc_id, term, tf, df, (round(score, 6) + 0) AS score
          FROM sc WHERE rn <= 3 ORDER BY doc_id, rn""",
+
+    "emb_pca_covariance" ->
+      s"""WITH dd AS (SELECT len(embedding) AS dims FROM embeddings LIMIT 1),
+         idx AS (SELECT unnest(range(0, (SELECT dims FROM dd))) AS i),
+         pij AS (SELECT a.i AS i, b.i AS j FROM idx a, idx b WHERE a.i <= b.i),
+         mom AS (SELECT p.i, p.j,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(embedding[p.i+1] AS DOUBLE)) AS sum_i,
+             sum(CAST(embedding[p.j+1] AS DOUBLE)) AS sum_j,
+             sum(CAST(embedding[p.i+1] AS DOUBLE) * CAST(embedding[p.j+1] AS DOUBLE)) AS sum_ij
+           FROM pij p, embeddings GROUP BY p.i, p.j)
+         SELECT CAST(i AS INT) AS i, CAST(j AS INT) AS j,
+           (round(sum_ij / CAST(n AS DOUBLE) - (sum_i / CAST(n AS DOUBLE)) * (sum_j / CAST(n AS DOUBLE)), 9) + 0) AS cov
+         FROM mom ORDER BY i, j""",
 
     "text_bigram_ppl" ->
       s"""WITH allt AS (SELECT doc_id, list_transform($tokensSql, t -> lower(t)) AS lt FROM documents),
