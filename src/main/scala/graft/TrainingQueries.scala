@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ann.{CosineLsh, IvfIndex, ModelStore, Opq, Pq, Sq8}
+import graft.ann.{CosineLsh, IvfIndex, KnnGraph, ModelStore, Opq, Pq, Sq8}
 import graft.core.{Metric, Normalize}
 import graft.dedup.Dedup
 import graft.encode.Pca
@@ -438,6 +438,29 @@ object TrainingQueries {
       roundCols(Pca.covariance(
         Tables.read(s, dir, "embeddings").select(col("embedding").as("vector")),
         "vector", d), Seq("cov"), scale = 9)
+    }),
+
+    // kNN graph construction (semantic clustering substrate): exact
+    // O(n^2) verification path, and the IVF-blocked scale path pinned
+    // IDENTICAL to it at full probes (both against ONE oracle) — the
+    // correctness contract partial probing degrades from gracefully
+    "knn_graph_exact" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+        .filter(col("id").cast("int") < 100)
+      roundCols(KnnGraph.exact(coll, config, 5), Seq("score", "distance"))
+    }),
+
+    "knn_graph_ivf_full" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+        .filter(col("id").cast("int") < 100)
+      val centroids = IvfIndex.trainOrdered(coll, config,
+        IvfIndex.IvfConfig(k = 8, iterations = 5), col("id").cast("long"))
+      roundCols(KnnGraph.ivf(coll, config, centroids, 5, nprobe = 8),
+        Seq("score", "distance"))
     }),
 
     // ---- lexical retrieval + hybrid fusion
@@ -2143,6 +2166,29 @@ object TrainingQueries {
              row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, clang ASC) AS rn FROM scd)
          SELECT t.doc_id, t.lang, p.predicted, (p.predicted = t.lang) AS correct, (round(p.score, 6) + 0) AS score
          FROM prd p JOIN tst t ON t.doc_id = p.doc_id WHERE p.rn = 1 ORDER BY t.doc_id""",
+
+    "knn_graph_exact" ->
+      s"""WITH n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings WHERE vec_id < 100),
+         p AS (SELECT a.id AS qid, b.id AS bid,
+             list_sum(list_transform(range(1, len(b.nv)+1), i -> CAST(b.nv[i] AS DOUBLE) * CAST(a.nv[i] AS DOUBLE))) AS raw
+           FROM n a JOIN n b ON a.id != b.id),
+         r AS (SELECT qid, bid, raw,
+             row_number() OVER (PARTITION BY qid ORDER BY (1.0 - raw) ASC, bid ASC) AS rn FROM p)
+         SELECT qid AS id, bid AS neighbor_id, CAST(rn AS INT) AS rank,
+           (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance
+         FROM r WHERE rn <= 5 ORDER BY id, rank""",
+
+    // the SAME oracle: full-probe IVF must reproduce exact bit-for-bit
+    "knn_graph_ivf_full" ->
+      s"""WITH n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings WHERE vec_id < 100),
+         p AS (SELECT a.id AS qid, b.id AS bid,
+             list_sum(list_transform(range(1, len(b.nv)+1), i -> CAST(b.nv[i] AS DOUBLE) * CAST(a.nv[i] AS DOUBLE))) AS raw
+           FROM n a JOIN n b ON a.id != b.id),
+         r AS (SELECT qid, bid, raw,
+             row_number() OVER (PARTITION BY qid ORDER BY (1.0 - raw) ASC, bid ASC) AS rn FROM p)
+         SELECT qid AS id, bid AS neighbor_id, CAST(rn AS INT) AS rank,
+           (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance
+         FROM r WHERE rn <= 5 ORDER BY id, rank""",
 
     "text_bm25_topk" ->
       s"""WITH ${bm25Ctes(Seq("vector", "stream", "window"))}
