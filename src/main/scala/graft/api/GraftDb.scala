@@ -616,6 +616,42 @@ final class GraftDb(val spark: SparkSession) {
       rerankMultiVector = rerankMultiVector)
   }
 
+  /** BM25 lexical search over the collection's `value` payload (the
+    * reference stores the document text there): top-`limit` by Okapi
+    * BM25, (id, dl, score). Null values rank as empty docs — they
+    * never match. Engine extension (the reference has no lexical
+    * scorer); see [[graft.text.Bm25]] for the scale shape. */
+  def textSearch(name: String, queryTerms: Seq[String], limit: Int,
+      k1: Double = graft.text.Bm25.DefaultK1,
+      b: Double = graft.text.Bm25.DefaultB): DataFrame = {
+    val (df, _) = collection(name)
+    graft.text.Bm25.topK(
+      df.select(col("id"), coalesce(col("value"), lit("")).as("_txt")),
+      "id", "_txt", queryTerms, limit, k1, b)
+  }
+
+  /** Hybrid lexical + vector retrieval fused by Reciprocal Rank
+    * Fusion: BM25 over `value` and the collection's OWN index route
+    * (whatever [[search]] dispatches to — flat, ivf, hnsw, ...), each
+    * contributing a `poolSize` ranking, fused by 1/(k0+rank). The
+    * rank-based fusion needs no calibration between BM25 and the
+    * vector score scale. */
+  def hybridRrfSearch(name: String, queryTerms: Seq[String],
+      query: Array[Float], limit: Int, poolSize: Int = 50,
+      k0: Int = graft.search.Fusion.DefaultK0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val lex = textSearch(name, queryTerms, poolSize)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("score").desc, col("id").asc)))
+      .select(col("id"), col("rank"))
+    val vec = search(name, query, poolSize)
+      .withColumn("rank", row_number().over(
+        Window.orderBy(col("distance").asc, col("id").asc)))
+      .select(col("id"), col("rank"))
+    graft.search.Fusion.rrf(Seq("lex" -> lex, "vec" -> vec), "id",
+      k0 = k0, limit = limit)
+  }
+
   /** MMR rerank over the collection (compat rerank/4, vettore.ex:622-642). */
   def rerank(name: String, query: Array[Float], alpha: Double, finalK: Int,
       candidates: Int = 0): DataFrame = {

@@ -5,6 +5,34 @@ import graft.api.GraftDb
 /** Compat facade flows (reference test/vector_db_test.exs shapes). */
 class GraftDbSpec extends SparkSpec {
 
+  test("textSearch + hybridRrfSearch over the value payload") {
+    val db = new GraftDb(spark)
+    db.createCollection("lexical", 2, metric = "cosine")
+    db.batch("lexical", Seq(
+      // good lexically AND by vector -> must win the fusion
+      db.EmbeddingInput(id = "both", value = "spark engine spark",
+        vector = Array(1f, 0f)),
+      // lexical-only hit: vector points away from the query
+      db.EmbeddingInput(id = "lexonly", value = "spark notes",
+        vector = Array(-1f, 0f)),
+      // vector-only hit: no query terms in the payload
+      db.EmbeddingInput(id = "veconly", value = "other words here",
+        vector = Array(0.95f, 0.05f)),
+      db.EmbeddingInput(id = "neither", value = "unrelated content",
+        vector = Array(0f, -1f))))
+    val lex = db.textSearch("lexical", Seq("spark"), 10).collect()
+    assert(lex.map(_.getString(0)).toSet === Set("both", "lexonly"))
+    assert(lex.head.getString(0) === "both") // tf 2 in a short doc
+    val fused = db.hybridRrfSearch("lexical", Seq("spark"),
+      Array(1f, 0f), limit = 4)
+    val order = fused.collect().map(_.getString(0)).toSeq
+    assert(order.head === "both")
+    assert(order.toSet === Set("both", "lexonly", "veconly", "neither"))
+    // single-channel docs rank above the nowhere doc
+    assert(order.indexOf("neither") === 3)
+    db.close("lexical")
+  }
+
   test("full compat flow: create, batch, get, search, delete, snapshot") {
     val db = new GraftDb(spark)
     db.createCollection("axes", 2, metric = "cosine")
