@@ -49,5 +49,13 @@ class QuickstartSpec extends SparkSpec {
       val top = byQ(s"q$i").maxBy(_.getAs[Double]("score"))
       assert(top.getAs[String]("id") === f"doc$i%03d")
     }
+
+    // 7. hybrid lexical + vector fusion (this corpus carries no value
+    //    payload, so the vector ranking drives the fusion — the call
+    //    shape is the README's)
+    val fused = db.hybridRrfSearch("docs", Seq("spark", "shuffle"),
+      vec(1), limit = 5).collect()
+    assert(fused.length === 5)
+    assert(fused.head.getAs[String]("id") === "doc001")
   }
 }
