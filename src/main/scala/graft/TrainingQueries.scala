@@ -463,6 +463,16 @@ object TrainingQueries {
         Seq("score", "distance"))
     }),
 
+    // temperature-scaled language mixing (the mC4/PaLM rule, T=2):
+    // DATA-DERIVED keep rates flatten the en-heavy corpus toward the
+    // tail languages; group stats, the power-law rates, and the md5
+    // membership all replicate in SQL
+    "data_temperature_mix" -> ((s, dir) =>
+      graft.functions.Sampling.temperatureSample(
+        Tables.read(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", temperature = 2.0, targetFraction = 0.3,
+        salt = "graft")),
+
     // ---- lexical retrieval + hybrid fusion
     // Okapi BM25 top-k: per-doc tf/dl are codegen'd HOFs over the token
     // array (no corpus-wide term explode), corpus stats (N, Σdl,
@@ -2189,6 +2199,15 @@ object TrainingQueries {
          SELECT qid AS id, bid AS neighbor_id, CAST(rn AS INT) AS rank,
            (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance
          FROM r WHERE rn <= 5 ORDER BY id, rank""",
+
+    "data_temperature_mix" ->
+      s"""WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_g FROM documents GROUP BY lang),
+         t AS (SELECT CAST(sum(n_g) AS BIGINT) AS n, sum(power(CAST(n_g AS DOUBLE), 0.5)) AS z FROM c),
+         r AS (SELECT c.lang, CAST(round(least(1.0, 0.3 * CAST(t.n AS DOUBLE) * (power(CAST(c.n_g AS DOUBLE), 0.5) / t.z) / CAST(c.n_g AS DOUBLE)) * 1000.0, 0) AS INT) AS mix_rate_x1000 FROM c, t)
+         SELECT d.doc_id, d.lang, r.mix_rate_x1000
+         FROM documents d JOIN r ON r.lang = d.lang
+         WHERE CAST(('0x' || substr(md5('graft' || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS INT) < r.mix_rate_x1000
+         ORDER BY d.doc_id""",
 
     "text_bm25_topk" ->
       s"""WITH ${bm25Ctes(Seq("vector", "stream", "window"))}

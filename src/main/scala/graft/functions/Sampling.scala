@@ -101,6 +101,37 @@ object Sampling {
     df.withColumn("mix_cell", cell).filter(b < threshold)
   }
 
+  /** Temperature-scaled group sampling — the mC4/PaLM multilingual
+    * mixing rule, DATA-DERIVED where [[stratifiedSampleByHash]] takes
+    * caller-fixed rates: group g keeps at rate
+    * `min(1, targetFraction * N * p_g / n_g)` with `p_g ∝ n_g^(1/T)`.
+    * T = 1 is proportional sampling (one uniform rate); larger T
+    * flattens toward equal group shares, boosting tail groups at the
+    * expense of the head (capped at keeping a group whole). Group
+    * stats are ONE small agg broadcast back; membership is the same
+    * deterministic md5 per-mille threshold as every sampler here, so
+    * the keep-set is reproducible at any cluster size and exactly
+    * replicable in SQL. Output: input rows that survive, plus
+    * `mix_rate_x1000` (the group's applied threshold). */
+  def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
+      temperature: Double, targetFraction: Double,
+      salt: String = ""): DataFrame = {
+    require(temperature > 0, "temperature must be positive")
+    require(targetFraction >= 0 && targetFraction <= 1, "fraction in [0,1]")
+    val alpha = 1.0 / temperature
+    val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n_g"))
+    val tot = counts.agg(sum(col("_n_g")).as("_n"),
+      sum(pow(col("_n_g").cast("double"), lit(alpha))).as("_z"))
+    val rates = counts.crossJoin(broadcast(tot)).select(col(groupCol),
+      round(least(lit(1.0),
+        lit(targetFraction) * col("_n").cast("double") *
+          (pow(col("_n_g").cast("double"), lit(alpha)) / col("_z")) /
+          col("_n_g").cast("double")) * 1000.0)
+        .cast("int").as("mix_rate_x1000"))
+    df.join(broadcast(rates), groupCol)
+      .filter(hashBucket(col(idCol), 1000, salt) < col("mix_rate_x1000"))
+  }
+
   /** Per-group row cap (the CC-pipeline "at most N documents per domain"
     * rule): keeps the first `cap` rows of each group in ascending
     * `order` (append a unique tiebreaker for full determinism). One

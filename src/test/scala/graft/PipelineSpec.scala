@@ -243,6 +243,30 @@ class PipelineSpec extends SparkSpec {
     assert(!spairs.exists(p => p._1.startsWith("s") && p._2.startsWith("s")))
   }
 
+  test("temperature sampling: T=1 proportional, high T flattens, cap and determinism") {
+    import graft.functions.Sampling
+    val rows = ((0 until 800).map(i => (i, "big")) ++
+      (800 until 900).map(i => (i, "mid")) ++
+      (900 until 920).map(i => (i, "tiny"))).toDF("id", "grp")
+    // T=1: p_g = n_g/N -> every group gets the SAME rate targetFraction
+    val t1 = Sampling.temperatureSample(rows, "id", "grp", 1.0, 0.5, "s")
+      .select("grp", "mix_rate_x1000").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(t1.values.toSet === Set(500))
+    // T=4 flattens: tiny group's rate rises (capped at 1000), big falls
+    val t4 = Sampling.temperatureSample(rows, "id", "grp", 4.0, 0.5, "s")
+      .select("grp", "mix_rate_x1000").distinct().collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(t4("tiny") === 1000 && t4("mid") === 1000) // tail kept whole (cap)
+    assert(t4("big") < 500) // head pays for the tail boost
+    // deterministic: same call, same keep-set
+    val a = Sampling.temperatureSample(rows, "id", "grp", 4.0, 0.5, "s")
+      .select("id").collect().map(_.getInt(0)).toSet
+    val b = Sampling.temperatureSample(rows, "id", "grp", 4.0, 0.5, "s")
+      .select("id").collect().map(_.getInt(0)).toSet
+    assert(a === b && a.nonEmpty)
+  }
+
   test("semdedup: within-cell pairs verify, boundary straddles miss, canonical keep") {
     // hand-made centroids — training is the caller's concern (the gate
     // row trains via IvfIndex.trainOrdered; here geometry is explicit)
