@@ -473,6 +473,30 @@ object TrainingQueries {
         "doc_id", "lang", temperature = 2.0, targetFraction = 0.3,
         salt = "graft")),
 
+    // LM-quality curation (the CCNet shape): Gopher gate → bigram-LM
+    // logppl against a trusted-slice model (doc_id<200) → keep the
+    // fluent half (EXACT corpus-median cut — order statistics, not an
+    // approx sketch; the threshold is relative to the scored corpus,
+    // so the whole keep rule replicates in SQL) → sequential ids
+    "pipeline_curation_lmfilter" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val kept = docs.filter(TextAnalysis.gopherKeep(col("text"), minWords = 20))
+        .select(col("doc_id"), col("text")).localCheckpoint()
+      val model = NgramLm.train(
+        docs.filter(col("doc_id") < 200).select(col("doc_id"), col("text")),
+        "doc_id", "text")
+      val scored = NgramLm.score(model, kept, "doc_id", "text").localCheckpoint()
+      val n = scored.count()
+      val seqd = graft.functions.Sampling.withSequentialIds(scored,
+        struct(col("logppl"), col("doc_id")))
+      val med = seqd.filter(col("seq_id") === (n - 1) / 2)
+        .select(col("logppl")).head.getDouble(0)
+      val fluent = scored.filter(col("logppl") <= med)
+      roundCols(graft.functions.Sampling.withSequentialIds(
+        fluent.select(col("doc_id"), col("n_bigrams"), col("logppl")),
+        col("doc_id")), Seq("logppl"))
+    }),
+
     // ---- lexical retrieval + hybrid fusion
     // Okapi BM25 top-k: per-doc tf/dl are codegen'd HOFs over the token
     // array (no corpus-wide term explode), corpus stats (N, Σdl,
@@ -2208,6 +2232,48 @@ object TrainingQueries {
          FROM documents d JOIN r ON r.lang = d.lang
          WHERE CAST(('0x' || substr(md5('graft' || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS INT) < r.mix_rate_x1000
          ORDER BY d.doc_id""",
+
+    "pipeline_curation_lmfilter" ->
+      s"""WITH t AS (SELECT doc_id, text, $tokensSql AS toks,
+           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS ls,
+           list_transform($tokensSql, t -> lower(t)) AS lt
+         FROM documents),
+         m AS (SELECT doc_id,
+           len(toks) AS n_words,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(toks) END AS mean_word_len,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) END AS frac_alpha,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...') OR contains(t, '…'))) AS DOUBLE) / len(toks) END AS frac_symbol,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls) END AS frac_bullet,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls) END AS frac_ellipsis,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS frac_dup_lines,
+           CASE WHEN len(lt) = 0 THEN 0.0 ELSE CAST(list_max(list_transform(list_distinct(lt), d -> len(list_filter(lt, x -> x = d)))) AS DOUBLE) / len(lt) END AS top_token_frac
+         FROM t),
+         k AS (SELECT doc_id FROM m
+           WHERE n_words >= 20 AND n_words <= 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND frac_symbol <= 0.1 AND frac_bullet <= 0.9
+             AND frac_ellipsis <= 0.3 AND frac_alpha >= 0.8
+             AND frac_dup_lines <= 0.3 AND top_token_frac <= 0.2),
+         trn AS (SELECT doc_id, lt FROM t WHERE doc_id < 200),
+         tbg AS (SELECT lt[i.i+1] AS w1, lt[i.i+2] AS w2 FROM trn, LATERAL (SELECT unnest(range(0, len(lt)-1)) AS i) i WHERE len(lt) >= 2),
+         bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tbg GROUP BY w1, w2),
+         hd AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1 FROM bgc GROUP BY w1),
+         vn AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM (SELECT unnest(lt) AS term FROM trn)),
+         tst AS (SELECT t.doc_id, t.lt FROM t JOIN k ON k.doc_id = t.doc_id),
+         sbg AS (SELECT doc_id, i.i AS pos, lt[i.i+1] AS w1, lt[i.i+2] AS w2 FROM tst, LATERAL (SELECT unnest(range(0, len(lt)-1)) AS i) i WHERE len(lt) >= 2),
+         ctb AS (SELECT doc_id, struct_pack(p := pos, c := ln((CAST(coalesce(bgc.c12, 0) AS DOUBLE) + 1.0) / (CAST(coalesce(hd.c1, 0) AS DOUBLE) + CAST(vn.v AS DOUBLE)))) AS pc
+           FROM sbg LEFT JOIN bgc ON bgc.w1 = sbg.w1 AND bgc.w2 = sbg.w2 LEFT JOIN hd ON hd.w1 = sbg.w1, vn),
+         sums AS (SELECT doc_id, list_sum(list_transform(list_sort(list(pc)), x -> struct_extract(x, 'c'))) AS s, CAST(count(*) AS BIGINT) AS nb FROM ctb GROUP BY doc_id),
+         sc AS (SELECT tst.doc_id, CAST(coalesce(sums.nb, 0) AS BIGINT) AS n_bigrams,
+             (0.0 - sums.s) / CAST(sums.nb AS DOUBLE) AS logppl
+           FROM tst LEFT JOIN sums ON sums.doc_id = tst.doc_id),
+         nn2 AS (SELECT CAST(count(*) AS BIGINT) AS n FROM sc),
+         rk AS (SELECT sc.doc_id, sc.logppl, row_number() OVER (ORDER BY sc.logppl, sc.doc_id) - 1 AS seq FROM sc),
+         med AS (SELECT rk.logppl AS mthr FROM rk, nn2 WHERE rk.seq = (nn2.n - 1) // 2),
+         fl AS (SELECT sc.doc_id, sc.n_bigrams, sc.logppl FROM sc, med WHERE sc.logppl <= med.mthr)
+         SELECT doc_id, n_bigrams, (round(logppl, 6) + 0) AS logppl,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
+         FROM fl ORDER BY doc_id""",
 
     "text_bm25_topk" ->
       s"""WITH ${bm25Ctes(Seq("vector", "stream", "window"))}
