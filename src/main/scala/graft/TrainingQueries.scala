@@ -508,6 +508,17 @@ object TrainingQueries {
         Tables.read(s, dir, "documents").select(col("doc_id"), col("text")),
         "doc_id", "text", Seq("vector", "stream", "window"), limit = 10)),
 
+    // the SAME ranking served from a PREBUILT lexicon (df/N/avgdl from
+    // the persisted stats, zero aggregation jobs at query time) — the
+    // lexical sibling of the persisted-index lifecycle, pinned against
+    // the inline oracle
+    "text_bm25_lexicon" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents").select(col("doc_id"), col("text"))
+      val lex = Bm25.buildLexicon(docs, "doc_id", "text")
+      Bm25.topKWithLexicon(docs, "doc_id", "text", lex,
+        Seq("vector", "stream", "window"), limit = 10)
+    }),
+
     // RRF hybrid fusion: BM25 lexical top-50 + exact flat-cosine vector
     // top-50 (doc_id ≡ vec_id in the fixtures), fused by reciprocal
     // rank 1/(60+rank) — rank-based, so the incomparable score scales
@@ -2276,6 +2287,12 @@ object TrainingQueries {
          FROM fl ORDER BY doc_id""",
 
     "text_bm25_topk" ->
+      s"""WITH ${bm25Ctes(Seq("vector", "stream", "window"))}
+         SELECT doc_id, dl, (round(score, 6) + 0) AS score FROM bmsc
+         WHERE round(score, 6) > 0
+         ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""",
+
+    "text_bm25_lexicon" ->
       s"""WITH ${bm25Ctes(Seq("vector", "stream", "window"))}
          SELECT doc_id, dl, (round(score, 6) + 0) AS score FROM bmsc
          WHERE round(score, 6) > 0

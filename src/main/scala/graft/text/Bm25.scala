@@ -77,4 +77,84 @@ object Bm25 {
       .orderBy(col("score_r").desc, col(idCol).asc)
       .limit(limit)
       .select(col(idCol), col("dl"), col("score_r").as("score"))
+
+  // ---------------------------------------- persisted lexicon path
+
+  /** Corpus lexicon: `stats` (one row — n docs, sumdl) and `terms`
+    * (term, df). Built ONCE per corpus generation; [[topKWithLexicon]]
+    * then serves any query with a single corpus scan and zero
+    * aggregation jobs over the corpus — the lexical sibling of the
+    * persisted-index lifecycle (at 100 TB you do not recount document
+    * frequencies per query). */
+  case class Lexicon(stats: DataFrame, terms: DataFrame)
+
+  def buildLexicon(df: DataFrame, idCol: String, textCol: String): Lexicon = {
+    val docs = df.select(lowerTokens(col(textCol)).as("_lt"))
+    val stats = docs.agg(count(lit(1)).as("n"),
+      sum(size(col("_lt")).cast("long")).as("sumdl"))
+    val terms = docs.select(explode(array_distinct(col("_lt"))).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("df"))
+    Lexicon(stats, terms)
+  }
+
+  /** Persist / reopen a lexicon: terms as parquet, corpus stats as a
+    * JSON sidecar (the same sidecar discipline as the index models). */
+  def writeLexicon(lex: Lexicon, path: String): Unit = {
+    lex.terms.write.mode("overwrite").parquet(s"$path/terms")
+    val r = lex.stats.head
+    val json = s"""{"n": ${r.getLong(0)}, "sumdl": ${r.getLong(1)}}"""
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(path))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$path/_graft_lexicon.json"), json)
+  }
+
+  def readLexicon(spark: org.apache.spark.sql.SparkSession, path: String): Lexicon = {
+    val txt = java.nio.file.Files.readString(
+      java.nio.file.Paths.get(s"$path/_graft_lexicon.json"))
+    def field(name: String): Long =
+      s""""$name":\\s*(-?\\d+)""".r.findFirstMatchIn(txt)
+        .getOrElse(throw new IllegalStateException(s"lexicon sidecar missing $name"))
+        .group(1).toLong
+    import spark.implicits._
+    Lexicon(Seq((field("n"), field("sumdl"))).toDF("n", "sumdl"),
+      spark.read.parquet(s"$path/terms"))
+  }
+
+  /** [[topK]] served from a prebuilt [[Lexicon]]: the per-term df and
+    * corpus stats resolve from the lexicon (a bounded driver fetch of
+    * `|queryTerms| + 2` numbers), so the only distributed work is the
+    * one scoring scan. Bit-identical to [[topK]] when the lexicon was
+    * built from the same frame — the gate pins both against one
+    * oracle. */
+  def topKWithLexicon(df: DataFrame, idCol: String, textCol: String,
+      lex: Lexicon, queryTerms: Seq[String], limit: Int,
+      k1: Double = DefaultK1, b: Double = DefaultB): DataFrame = {
+    val terms = queryTerms.map(_.toLowerCase).distinct.sorted
+    require(terms.nonEmpty, "queryTerms must be non-empty")
+    val st = lex.stats.head
+    val n = st.getLong(0).toDouble
+    val sumdl = st.getLong(1).toDouble
+    val dfByTerm = lex.terms.filter(col("term").isin(terms: _*))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val base = df.select(
+      (col(idCol) +: size(lowerTokens(col(textCol))).cast("long").as("dl") +:
+        terms.zipWithIndex.map { case (t, i) =>
+          size(filter(lowerTokens(col(textCol)), x => x === lit(t)))
+            .cast("long").as(s"_tf$i")
+        }): _*)
+    val avgdl = lit(sumdl) / lit(n)
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val tf = col(s"_tf$i").cast("double")
+      val dfT = lit(dfByTerm.getOrElse(t, 0L).toDouble)
+      val idf = log((lit(n) - dfT + 0.5) / (dfT + 0.5) + 1.0)
+      idf * (tf * (k1 + 1.0)) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    }.reduceLeft(_ + _)
+    base.select(col(idCol), col("dl"), score.as("score"),
+      round(score, 6).as("score_r"))
+      .filter(col("score_r") > 0)
+      .orderBy(col("score_r").desc, col(idCol).asc)
+      .limit(limit)
+      .select(col(idCol), col("dl"), col("score_r").as("score"))
+  }
 }

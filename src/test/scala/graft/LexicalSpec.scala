@@ -52,6 +52,26 @@ class LexicalSpec extends SparkSpec {
     assert(sc > 0 && sc < math.log(2.0) * (Bm25.DefaultK1 + 1.0))
   }
 
+  test("bm25 lexicon path == inline path, survives persist/reopen, df-0 terms safe") {
+    val d = docs(Seq(
+      1 -> "spark flink spark beam", 2 -> "spark storm", 3 -> "beam beam samza",
+      4 -> "flink only here now", 5 -> "totally unrelated words"))
+    val terms = Seq("spark", "beam", "zzz-unseen") // one term with df 0
+    val inline = Bm25.topK(d, "doc_id", "text", terms, limit = 10).collect()
+      .map(r => (r.getInt(0), r.getDouble(2)))
+    val lex = Bm25.buildLexicon(d, "doc_id", "text")
+    val viaLex = Bm25.topKWithLexicon(d, "doc_id", "text", lex, terms, limit = 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(2)))
+    assert(inline.toSeq === viaLex.toSeq) // bit-identical, same order
+    // persist + reopen: identical again
+    val path = java.nio.file.Files.createTempDirectory("graft_lexicon").toString
+    Bm25.writeLexicon(lex, path)
+    val reopened = Bm25.readLexicon(spark, path)
+    val viaDisk = Bm25.topKWithLexicon(d, "doc_id", "text", reopened, terms, 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(2)))
+    assert(inline.toSeq === viaDisk.toSeq)
+  }
+
   test("rrf: doc present in both rankings beats single-ranking docs; ranks kept") {
     import spark.implicits._
     val lex = Seq((10, 1L), (20, 2L)).toDF("id", "rank")
