@@ -497,6 +497,20 @@ object TrainingQueries {
         col("doc_id")), Seq("logppl"))
     }),
 
+    // exact substring-span dedup (the ExactSubstr boilerplate strip,
+    // Lee et al. 2022): a planted 25-token footer shared by docs 0-39
+    // must vanish from every carrier — window hashing, the shared set,
+    // flagged starts, and the per-token cut all replicate in SQL
+    "dedup_shared_spans" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id"),
+          when(col("doc_id") < 40,
+            concat(col("text"), lit(" fz0 fz1 fz2 fz3 fz4 fz5 fz6 fz7 fz8 fz9 fz10 fz11 fz12 fz13 fz14 fz15 fz16 fz17 fz18 fz19 fz20 fz21 fz22 fz23 fz24")))
+            .otherwise(col("text")).as("text"))
+      Dedup.dropSharedSpans(docs, "id", col("text"), spanTokens = 20)
+        .drop("clean_text")
+    }),
+
     // ---- lexical retrieval + hybrid fusion
     // Okapi BM25 top-k: per-doc tf/dl are codegen'd HOFs over the token
     // array (no corpus-wide term explode), corpus stats (N, Σdl,
@@ -2291,6 +2305,23 @@ object TrainingQueries {
          SELECT doc_id, dl, (round(score, 6) + 0) AS score FROM bmsc
          WHERE round(score, 6) > 0
          ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""",
+
+    "dedup_shared_spans" ->
+      s"""WITH corpus AS (SELECT doc_id AS id,
+           CASE WHEN doc_id < 40 THEN text || ' fz0 fz1 fz2 fz3 fz4 fz5 fz6 fz7 fz8 fz9 fz10 fz11 fz12 fz13 fz14 fz15 fz16 fz17 fz18 fz19 fz20 fz21 fz22 fz23 fz24' ELSE text END AS text
+         FROM documents WHERE doc_id < 100),
+         t AS (SELECT id, $tokensSql AS toks FROM corpus),
+         wins AS (SELECT id, i.i AS pos, md5(array_to_string(toks[(i.i+1):(i.i+20)], ' ')) AS w
+           FROM t, LATERAL (SELECT unnest(range(0, len(toks) - 20 + 1)) AS i) i
+           WHERE len(toks) >= 20),
+         sh AS (SELECT w FROM (SELECT w, count(DISTINCT id) AS nd FROM wins GROUP BY w) WHERE nd >= 2),
+         fl AS (SELECT id, list_sort(list(pos)) AS starts FROM wins JOIN sh USING (w) GROUP BY id),
+         cl AS (SELECT t.id, len(t.toks) AS nb,
+             list_filter(t.toks, (x, i) -> len(list_filter(coalesce(fl.starts, CAST([] AS BIGINT[])), s -> s <= i - 1 AND i - 1 < s + 20)) = 0) AS ck
+           FROM t LEFT JOIN fl ON fl.id = t.id)
+         SELECT id, CAST(nb AS INT) AS n_tokens_before, CAST(len(ck) AS INT) AS n_tokens_after,
+           md5(array_to_string(ck, ' ')) AS clean_md5
+         FROM cl ORDER BY id""",
 
     "text_bm25_lexicon" ->
       s"""WITH ${bm25Ctes(Seq("vector", "stream", "window"))}

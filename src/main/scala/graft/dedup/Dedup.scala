@@ -652,6 +652,59 @@ object Dedup {
       .select(col("id"), explode(col("lsh_bands")).as("band")), maxBandSize)
   }
 
+  // ------------------------------------------- shared-span (substring) dedup
+
+  /** Exact substring-span deduplication — the token-window form of
+    * Lee et al. 2022's ExactSubstr (arXiv:2107.06499): any
+    * `spanTokens`-long token window that appears verbatim in at least
+    * `minDocs` DISTINCT documents is treated as boilerplate, and every
+    * token it covers is removed from EVERY document carrying it. (The
+    * paper's variant keeps one canonical occurrence; the remove-all
+    * form implemented here is the standard boilerplate-strip used on
+    * web corpora — headers, footers, licence blocks — and is fully
+    * deterministic with no global canonical election. A document whose
+    * text is entirely duplicated elsewhere is stripped to nothing — by
+    * design.)
+    *
+    * Scale shape: windows hash to md5 and shuffle as (window, id, pos)
+    * triples; the shared set is a grouped count; flagged START
+    * positions come back per doc as one sorted array, and the token
+    * cut is a per-row HOF (cost tokens x flagged-spans) — no
+    * doc-vs-doc joins anywhere, so cost scales with total tokens plus
+    * the duplicated-window mass, never corpus^2.
+    *
+    * Returns (id, n_tokens_before, n_tokens_after, clean_md5,
+    * clean_text) with whitespace-normalized reconstruction. */
+  def dropSharedSpans(df: DataFrame, idCol: String, textCol: Column,
+      spanTokens: Int = 20, minDocs: Int = 2): DataFrame = {
+    require(spanTokens >= 2, "spanTokens must be at least 2")
+    require(minDocs >= 2, "minDocs must be at least 2")
+    val L = spanTokens
+    val base = df.select(col(idCol).as("id"), TextAnalysis.tokens(textCol).as("_tk"))
+      .localCheckpoint()
+    val wins = base.filter(size(col("_tk")) >= L)
+      .select(col("id"), posexplode(transform(
+        sequence(lit(0), size(col("_tk")) - L),
+        i => md5(array_join(slice(col("_tk"), i + 1, lit(L)), " ")))))
+      .select(col("id"), col("pos"), col("col").as("_w"))
+    val shared = wins.groupBy(col("_w"))
+      .agg(countDistinct(col("id")).as("_nd"))
+      .filter(col("_nd") >= minDocs).select(col("_w"))
+    val flagged = wins.join(shared, "_w")
+      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("_starts"))
+    base.join(flagged, Seq("id"), "left")
+      .select(col("id"), col("_tk"),
+        coalesce(col("_starts"), array().cast("array<int>")).as("_st"))
+      .select(col("id"),
+        size(col("_tk")).cast("int").as("n_tokens_before"),
+        filter(col("_tk"), (x, i) =>
+          !exists(col("_st"), s => s <= i && i < s + L)).as("_clean"))
+      .select(col("id"), col("n_tokens_before"),
+        size(col("_clean")).cast("int").as("n_tokens_after"),
+        md5(array_join(col("_clean"), " ")).as("clean_md5"),
+        array_join(col("_clean"), " ").as("clean_text"))
+  }
+
   // ------------------------------------------- semantic dedup (SemDeDup)
 
   /** SemDeDup-style semantic deduplication (Abbas et al. 2023,

@@ -243,6 +243,28 @@ class PipelineSpec extends SparkSpec {
     assert(!spairs.exists(p => p._1.startsWith("s") && p._2.startsWith("s")))
   }
 
+  test("shared-span dedup: footer stripped everywhere, unique text intact, full dup erased") {
+    val footer = "f1 f2 f3 f4 f5 f6 f7 f8"
+    val docs = Seq(
+      ("a", s"alpha beta gamma delta $footer"),
+      ("b", s"eps zeta eta theta $footer"),
+      ("c", "totally unique words never repeated anywhere at all"),
+      ("d", "copy of this exact document text right here ok"),
+      ("e", "copy of this exact document text right here ok")
+    ).toDF("id", "text")
+    val out = Dedup.dropSharedSpans(docs, "id", col("text"), spanTokens = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(4))).toMap
+    // footer windows are shared by a and b -> all 8 footer tokens go;
+    // the 4-token unique prefixes survive (no 5-window fits inside them)
+    assert(out("a") === ((12, 4, "alpha beta gamma delta")))
+    assert(out("b") === ((12, 4, "eps zeta eta theta")))
+    // unique doc untouched
+    assert(out("c")._1 === out("c")._2)
+    // full duplicates: every window shared -> stripped to nothing
+    assert(out("d")._2 === 0 && out("e")._2 === 0)
+  }
+
   test("temperature sampling: T=1 proportional, high T flattens, cap and determinism") {
     import graft.functions.Sampling
     val rows = ((0 until 800).map(i => (i, "big")) ++
