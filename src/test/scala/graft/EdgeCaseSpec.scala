@@ -129,4 +129,62 @@ class EdgeCaseSpec extends SparkSpec {
       Seq("zz" -> 1.0), defaultFraction = 0.0, salt = "s")
     assert(strat.count() === 0)
   }
+
+  test("round-10 edges: bm25 empty/zero-match, range radius 0, knn k>n, nb one class, lm empty, spans tiny") {
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    import graft.text.{Bm25, NaiveBayes, NgramLm}
+    import graft.ann.KnnGraph
+    import graft.functions.Sampling
+
+    // BM25: empty corpus -> empty result, no NaN explosion
+    val empty = Seq.empty[(Int, String)].toDF("id", "text")
+    assert(Bm25.topK(empty, "id", "text", Seq("x"), 5).count() === 0)
+    // no doc matches -> empty (score-0 rows filtered)
+    val noHit = Seq((1, "aa bb"), (2, "cc dd")).toDF("id", "text")
+    assert(Bm25.topK(noHit, "id", "text", Seq("zz"), 5).count() === 0)
+
+    // range search: epsilon radius keeps the (re-normalized) self only
+    // — self-distance is ~1e-8, not exactly 0, because prepareQuery
+    // re-normalizes and f32 storage drifts a ulp
+    val c3 = corpus(3)
+    val q0 = c3.filter(org.apache.spark.sql.functions.col("id") === "0")
+      .select("vector").head.getSeq[Float](0).toArray
+    val r0 = graft.search.Search.rangeSearch(c3, config, q0, radius = 1e-6)
+      .collect().map(_.getString(0)).toSeq
+    assert(r0 === Seq("0"))
+    assert(graft.search.Search.rangeSearch(c3, config, q0, radius = 0.0)
+      .count() <= 1) // 0 or the self row, never a non-match
+
+    // knn: k larger than n-1 returns all others, no padding
+    val g = KnnGraph.exact(corpus(3), config, k = 10)
+    assert(g.count() === 6) // 3 rows x 2 others
+
+    // naive bayes: single-class training predicts that class for anything
+    val nb = NaiveBayes.train(Seq((1, "a b", "only")).toDF("id", "text", "label"),
+      "id", "text", "label")
+    val p = NaiveBayes.predict(nb, Seq((9, "zz")).toDF("id", "text"), "id", "text")
+      .head
+    assert(p.getString(1) === "only")
+    assert(p.getDouble(2) === 0.0) // ln(1/1) prior, no in-vocab tokens
+
+    // ngram lm: empty string scores null, not a crash
+    val lm = NgramLm.train(Seq((1, "a b c")).toDF("id", "text"), "id", "text")
+    val sc = NgramLm.score(lm, Seq((2, "")).toDF("id", "text"), "id", "text").head
+    assert(sc.isNullAt(2))
+
+    // shared spans: corpus where every doc is shorter than the window ->
+    // nothing flagged, texts unchanged
+    val tiny = Seq(("x", "a b"), ("y", "a b")).toDF("id", "text")
+    val spans = graft.dedup.Dedup.dropSharedSpans(tiny, "id",
+      org.apache.spark.sql.functions.col("text"), spanTokens = 5)
+      .collect().map(r => (r.getInt(1), r.getInt(2)))
+    assert(spans.forall { case (b, a) => b === a })
+
+    // temperature sampling: one group == plain fractional sampling
+    val one = (0 until 100).map(i => (i, "g")).toDF("id", "grp")
+    val ts = Sampling.temperatureSample(one, "id", "grp", 3.0, 0.4, "s")
+    val plain = Sampling.sampleByHash(one, "id", 0.4, "s")
+    assert(ts.select("id").collect().map(_.getInt(0)).toSet ===
+      plain.select("id").collect().map(_.getInt(0)).toSet)
+  }
 }
