@@ -11,7 +11,7 @@ import graft.encode.Pca
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
 import graft.search.Search
-import graft.text.{Bm25, NaiveBayes, NgramLm, TextAnalysis}
+import graft.text.{Bm25, Bpe, NaiveBayes, NgramLm, TextAnalysis}
 
 /** Training-data pipeline queries (dedup / text / multimodal / events /
   * relational) with DuckDB oracles, merged into SparkEntry. */
@@ -509,6 +509,20 @@ object TrainingQueries {
             .otherwise(col("text")).as("text"))
       Dedup.dropSharedSpans(docs, "id", col("text"), spanTokens = 20)
         .drop("clean_text")
+    }),
+
+    // REAL trained BPE (Sennrich merge loop on the distributed
+    // word-frequency table; fused codegen encode): deterministic end
+    // to end — ties break lexicographically — so the gate pins a
+    // stored-expected fixture of the trained tokenizer's output, the
+    // same strategy as the HNSW graph-walk row
+    "text_bpe_tokens" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val model = Bpe.train(docs.filter(col("doc_id") < 200), "text",
+        numMerges = 40)
+      docs.filter(col("doc_id") >= 490).select(col("doc_id"),
+        Bpe.tokenCount(col("text"), model).as("n_bpe_tokens"),
+        md5(array_join(Bpe.encodeColumn(col("text"), model), " ")).as("bpe_md5"))
     }),
 
     // ---- lexical retrieval + hybrid fusion
@@ -2322,6 +2336,26 @@ object TrainingQueries {
          SELECT id, CAST(nb AS INT) AS n_tokens_before, CAST(len(ck) AS INT) AS n_tokens_after,
            md5(array_to_string(ck, ' ')) AS clean_md5
          FROM cl ORDER BY id""",
+
+    // stored-expected fixture (like ann_hnsw_topk): the trained BPE is
+    // deterministic — merge ties break lexicographically, the word
+    // table is (count desc, word asc) — so the tokenizer's output on
+    // the held-out docs is pinned verbatim; BpeSpec's hand-derived
+    // classic fixture backs the freeze
+    "text_bpe_tokens" ->
+      s"""SELECT CAST(c0 AS INT) AS doc_id, CAST(c1 AS INT) AS n_bpe_tokens, c2 AS bpe_md5
+         FROM (VALUES
+           (490, 153, '82a8a0f1b3e308bb76e11bf6bc8a4b55'),
+           (491, 194, '751e8c6979131eb682bf489862ac7cd7'),
+           (492, 48, '320a94413d77b7f39450929d73fb012e'),
+           (493, 258, '264e6a3b43c5ec8f530476acd1e22b1e'),
+           (494, 129, '909ddfdea5f3096c2d78bc44df4c148d'),
+           (495, 232, '31443616c257faf4e2c1e9c473ee826b'),
+           (496, 280, '1cbe73ab512f5e4aefad6ee88572906e'),
+           (497, 62, '0039d1566fcc4ebdfac80ded2959a90c'),
+           (498, 284, '42798f6a055e438b084cc4dfcdfdf765'),
+           (499, 111, '1688e3bff7512daae9cc1c3665e5d2d5')) t(c0, c1, c2)
+         ORDER BY doc_id""",
 
     "text_bm25_lexicon" ->
       s"""WITH ${bm25Ctes(Seq("vector", "stream", "window"))}

@@ -98,3 +98,26 @@ case class DistinctShingles(child: Expression, k: Int)
   override protected def withNewChildInternal(c: Expression): DistinctShingles =
     copy(child = c)
 }
+
+/** Trained-BPE encode — [[graft.text.Bpe.encodeText]] as one codegen
+  * node (GPT-2-style best-ranked-pair application); the merge table
+  * rides as a plan reference object, never an inlined literal. */
+case class BpeEncode(child: Expression, model: graft.text.Bpe.Model)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "bpe_encode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.bpeEncodeData(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("bpeModel", model)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.TextKernels.bpeEncodeData($v, $m);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): BpeEncode =
+    copy(child = c)
+}

@@ -230,4 +230,10 @@ object TextKernels {
     val sh = distinctShingles(text.toString, k)
     new GenericArrayData(sh.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
   }
+
+  /** Trained-BPE tokens of a text — [[graft.text.Bpe.encodeText]]
+    * bridged to the expression layer. */
+  def bpeEncodeData(text: UTF8String, model: graft.text.Bpe.Model): ArrayData =
+    new GenericArrayData(graft.text.Bpe.encodeText(text.toString, model)
+      .map(UTF8String.fromString): Array[Any])
 }
