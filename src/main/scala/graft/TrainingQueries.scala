@@ -525,6 +525,22 @@ object TrainingQueries {
         md5(array_join(Bpe.encodeColumn(col("text"), model), " ")).as("bpe_md5"))
     }),
 
+    // corpus-level per-dimension standardization (the quantizer-prep
+    // z-score ACROSS the corpus, not within a vector): stats are a
+    // bounded d-row fit, application is a pure codegen'd HOF; stats,
+    // the std-0 rule, and every standardized value replicate in SQL
+    "emb_standardize" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val emb = Tables.read(s, dir, "embeddings")
+      val (mean, std) = Pca.trainStandardizer(
+        emb.select(col("embedding").as("vector")), "vector", d)
+      roundCols(emb.filter(col("vec_id") < 50)
+        .select(col("vec_id").cast("int").as("id"),
+          posexplode(Pca.standardizeColumn(col("embedding"), mean, std)))
+        .select(col("id"), col("pos").as("i"), col("col").as("z")),
+        Seq("z")) 
+    }),
+
     // ---- lexical retrieval + hybrid fusion
     // Okapi BM25 top-k: per-doc tf/dl are codegen'd HOFs over the token
     // array (no corpus-wide term explode), corpus stats (N, Σdl,
@@ -2342,6 +2358,22 @@ object TrainingQueries {
     // table is (count desc, word asc) — so the tokenizer's output on
     // the held-out docs is pinned verbatim; BpeSpec's hand-derived
     // classic fixture backs the freeze
+    "emb_standardize" ->
+      s"""WITH dd AS (SELECT len(embedding) AS dims FROM embeddings LIMIT 1),
+         idx AS (SELECT unnest(range(0, (SELECT dims FROM dd))) AS i),
+         st AS (SELECT p.i,
+             CAST(count(*) AS BIGINT) AS n,
+             sum(CAST(embedding[p.i+1] AS DOUBLE)) AS s,
+             sum(CAST(embedding[p.i+1] AS DOUBLE) * CAST(embedding[p.i+1] AS DOUBLE)) AS ss
+           FROM idx p, embeddings GROUP BY p.i),
+         ms AS (SELECT i, s / CAST(n AS DOUBLE) AS mean,
+             sqrt(ss / CAST(n AS DOUBLE) - (s / CAST(n AS DOUBLE)) * (s / CAST(n AS DOUBLE))) AS std
+           FROM st)
+         SELECT CAST(e.vec_id AS INT) AS id, CAST(ms.i AS INT) AS i,
+           (round(CASE WHEN ms.std > 0 THEN (CAST(e.embedding[ms.i+1] AS DOUBLE) - ms.mean) / ms.std ELSE 0.0 END, 6) + 0) AS z
+         FROM embeddings e, ms WHERE e.vec_id < 50
+         ORDER BY id, i""",
+
     "text_bpe_tokens" ->
       s"""SELECT CAST(c0 AS INT) AS doc_id, CAST(c1 AS INT) AS n_bpe_tokens, c2 AS bpe_md5
          FROM (VALUES

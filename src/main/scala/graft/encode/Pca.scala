@@ -103,6 +103,51 @@ object Pca {
       outCol: String = "vector_pca"): DataFrame =
     df.withColumn(outCol, projectColumn(col(vectorCol), model))
 
+  // -------------------------------- corpus-level standardization
+
+  /** Per-dimension corpus statistics (i, n, s, ss) — the diagonal-only
+    * sibling of [[moments]] (O(d) per row, not O(d^2)). */
+  def dimStats(df: DataFrame, vectorCol: String): DataFrame =
+    df.select(posexplode(col(vectorCol)))
+      .groupBy(col("pos").as("i")).agg(
+        count(lit(1)).as("n"),
+        sum(col("col").cast("double")).as("s"),
+        sum(col("col").cast("double") * col("col").cast("double")).as("ss"))
+
+  /** Fit corpus z-score parameters: per-dim (mean, std) via
+    * `ss/n - (s/n)^2`. A bounded d-row collect, like every model fit
+    * here. */
+  def trainStandardizer(df: DataFrame, vectorCol: String,
+      dims: Int): (Array[Double], Array[Double]) = {
+    val mean = new Array[Double](dims)
+    val std = new Array[Double](dims)
+    dimStats(df, vectorCol).collect().foreach { r =>
+      val i = r.getInt(0); val n = r.getLong(1).toDouble
+      val m = r.getDouble(2) / n
+      mean(i) = m
+      std(i) = math.sqrt(r.getDouble(3) / n - m * m)
+    }
+    (mean, std)
+  }
+
+  /** CORPUS z-score of a vector column — (x_d - mean_d) / std_d per
+    * dimension, constant dims (std 0) map to 0. Unlike the per-vector
+    * `Normalize.ZScore` mode this standardizes ACROSS the corpus: the
+    * preprocessing quantizers want when dimensions have wildly
+    * different scales (balanced per-dim variance is what SQ8's affine
+    * grid and PQ's subspace k-means assume). A pure codegen'd HOF —
+    * no shuffle, composable with every index. */
+  def standardizeColumn(vectorCol: Column, mean: Array[Double],
+      std: Array[Double]): Column = {
+    val meanLit = typedLit(mean.toSeq)
+    val stdLit = typedLit(std.toSeq)
+    transform(vectorCol, (x, i) =>
+      when(element_at(stdLit, i + 1) > 0,
+        (x.cast("double") - element_at(meanLit, i + 1)) /
+          element_at(stdLit, i + 1))
+        .otherwise(lit(0.0)))
+  }
+
   /** Cyclic Jacobi eigensolver for a symmetric matrix (the classical
     * rotate-away-the-largest-off-diagonals sweep with the standard
     * tau-form updates): fixed (p, q) sweep order — deterministic for a

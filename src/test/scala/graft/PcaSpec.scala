@@ -76,6 +76,27 @@ class PcaSpec extends SparkSpec {
     assert(math.abs(var0 - m.eigenvalues(0)) < 1e-6)
   }
 
+  test("corpus standardization: unit variance per dim, constant dims -> 0") {
+    val rows = Seq(
+      Seq(1.0f, 10.0f, 7.0f), Seq(3.0f, 20.0f, 7.0f),
+      Seq(5.0f, 30.0f, 7.0f), Seq(7.0f, 40.0f, 7.0f))
+    val df = rows.map(Tuple1(_)).toDF("vector").repartition(2)
+    val (mean, std) = Pca.trainStandardizer(df, "vector", 3)
+    assert(math.abs(mean(0) - 4.0) < 1e-12)
+    assert(std(2) < 1e-9) // constant dim
+    val z = df.select(Pca.standardizeColumn(col("vector"), mean, std).as("z"))
+      .collect().map(_.getSeq[Double](0))
+    // constant dim maps to 0 everywhere
+    assert(z.forall(_(2) === 0.0))
+    // per-dim mean 0, variance 1 after standardization
+    for (d <- 0 to 1) {
+      val vals = z.map(_(d))
+      val m = vals.sum / vals.length
+      val v = vals.map(x => (x - m) * (x - m)).sum / vals.length
+      assert(math.abs(m) < 1e-12 && math.abs(v - 1.0) < 1e-9, s"dim $d")
+    }
+  }
+
   test("pca-then-search: top-1 neighbors survive compression on clustered data") {
     // 4 well-separated clusters in 16-D; PCA to 4 dims; each member's
     // nearest neighbor must stay inside its own cluster
