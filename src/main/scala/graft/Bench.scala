@@ -467,6 +467,25 @@ object Bench {
       }
       pcaColl.unpersist(blocking = true)
     }
+    // kNN-graph edge recall at partial probes on the clustered corpus:
+    // the fraction of the EXACT 5-NN graph's edges the IVF-blocked
+    // builder recovers probing 2 of 16 cells (1000-row sample — the
+    // exact graph is the quadratic verification tool)
+    locally {
+      val sample = cluColl.filter(col("id").cast("long") < 1000).persist()
+      sample.count()
+      val exactE = graft.ann.KnnGraph.exact(sample, config, 5).collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      val ivfE = graft.ann.KnnGraph.ivf(sample, config, cluCents, 5, nprobe = 2)
+        .collect().map(r => (r.getString(0), r.getString(1))).toSet
+      quality("clu_knn_recall_nprobe2") =
+        if (exactE.isEmpty) 1.0
+        else exactE.intersect(ivfE).size.toDouble / exactE.size
+      record("synth_knn_graph_ivf_1k") {
+        graft.ann.KnnGraph.ivf(sample, config, cluCents, 5, nprobe = 2).count()
+      }
+      sample.unpersist(blocking = true)
+    }
     // recallTarget facade on the same clustered corpus: the knobs the
     // measured overlap curve resolves for target 0.9 must DELIVER >=0.9
     // on a fresh (non-calibration) perturbed query — the end-to-end
