@@ -541,6 +541,22 @@ object TrainingQueries {
         Seq("z")) 
     }),
 
+    // WITHIN-doc repetition strip (the self-repetition fix operator):
+    // docs 0-39 get their own first 30 tokens re-appended — the
+    // repeated region keeps its first occurrence, the appended copy
+    // falls; window hashes, first-occurrence rule, and the cut all
+    // replicate in SQL
+    "dedup_repeated_spans" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents").filter(col("doc_id") < 100)
+        .select(col("doc_id").as("id"),
+          when(col("doc_id") < 40,
+            concat(col("text"), lit(" "),
+              array_join(slice(TextAnalysis.tokens(col("text")), 1, 30), " ")))
+            .otherwise(col("text")).as("text"))
+      Dedup.dropRepeatedSpans(docs, "id", col("text"), spanTokens = 20)
+        .drop("clean_text")
+    }),
+
     // ---- lexical retrieval + hybrid fusion
     // Okapi BM25 top-k: per-doc tf/dl are codegen'd HOFs over the token
     // array (no corpus-wide term explode), corpus stats (N, Σdl,
@@ -2335,6 +2351,26 @@ object TrainingQueries {
          SELECT doc_id, dl, (round(score, 6) + 0) AS score FROM bmsc
          WHERE round(score, 6) > 0
          ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""",
+
+    "dedup_repeated_spans" ->
+      s"""WITH base0 AS (SELECT doc_id AS id, $tokensSql AS tk0, text FROM documents WHERE doc_id < 100),
+         corpus AS (SELECT id,
+           CASE WHEN id < 40 THEN text || ' ' || array_to_string(tk0[1:30], ' ') ELSE text END AS text
+         FROM base0),
+         t AS (SELECT id, $tokensSql AS toks FROM corpus),
+         wins AS (SELECT id, i.i AS pos, md5(array_to_string(toks[(i.i+1):(i.i+20)], ' ')) AS w
+           FROM t, LATERAL (SELECT unnest(range(0, len(toks) - 20 + 1)) AS i) i
+           WHERE len(toks) >= 20),
+         fi AS (SELECT id, w, min(pos) AS fpos, count(*) AS c FROM wins GROUP BY id, w),
+         fl AS (SELECT wins.id, list_sort(list(wins.pos)) AS starts
+           FROM wins JOIN fi ON fi.id = wins.id AND fi.w = wins.w
+           WHERE fi.c >= 2 AND wins.pos > fi.fpos GROUP BY wins.id),
+         cl AS (SELECT t.id, len(t.toks) AS nb,
+             list_filter(t.toks, (x, i) -> len(list_filter(coalesce(fl.starts, CAST([] AS BIGINT[])), s -> s <= i - 1 AND i - 1 < s + 20)) = 0) AS ck
+           FROM t LEFT JOIN fl ON fl.id = t.id)
+         SELECT id, CAST(nb AS INT) AS n_tokens_before, CAST(len(ck) AS INT) AS n_tokens_after,
+           md5(array_to_string(ck, ' ')) AS clean_md5
+         FROM cl ORDER BY id""",
 
     "dedup_shared_spans" ->
       s"""WITH corpus AS (SELECT doc_id AS id,

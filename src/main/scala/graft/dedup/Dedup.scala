@@ -679,7 +679,38 @@ object Dedup {
       spanTokens: Int = 20, minDocs: Int = 2): DataFrame = {
     require(spanTokens >= 2, "spanTokens must be at least 2")
     require(minDocs >= 2, "minDocs must be at least 2")
-    val L = spanTokens
+    val (base, wins) = spanWindows(df, idCol, textCol, spanTokens)
+    val shared = wins.groupBy(col("_w"))
+      .agg(countDistinct(col("id")).as("_nd"))
+      .filter(col("_nd") >= minDocs).select(col("_w"))
+    val flagged = wins.join(shared, "_w")
+      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("_starts"))
+    cutSpans(base, flagged, spanTokens)
+  }
+
+  /** WITHIN-document repetition strip — the self-repetition cleaner
+    * (looping model output, templated boilerplate repeated inside one
+    * page): any `spanTokens`-window occurring MORE THAN ONCE in the
+    * SAME document keeps its FIRST occurrence and loses the rest
+    * (every token covered only by non-first occurrences is cut).
+    * The diagnosis side of this is `TextAnalysis.topNgramFrac` /
+    * `gopherKeep`; this is the corresponding fix operator. Same scale
+    * shape as [[dropSharedSpans]], with the grouped count keyed
+    * (id, window) — never cross-document. */
+  def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: Column,
+      spanTokens: Int = 20): DataFrame = {
+    require(spanTokens >= 2, "spanTokens must be at least 2")
+    val (base, wins) = spanWindows(df, idCol, textCol, spanTokens)
+    val firsts = wins.groupBy(col("id"), col("_w"))
+      .agg(min(col("pos")).as("_first"), count(lit(1)).as("_c"))
+    val flagged = wins.join(firsts, Seq("id", "_w"))
+      .filter(col("_c") >= 2 && col("pos") > col("_first"))
+      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("_starts"))
+    cutSpans(base, flagged, spanTokens)
+  }
+
+  private def spanWindows(df: DataFrame, idCol: String, textCol: Column,
+      L: Int): (DataFrame, DataFrame) = {
     val base = df.select(col(idCol).as("id"), TextAnalysis.tokens(textCol).as("_tk"))
       .localCheckpoint()
     val wins = base.filter(size(col("_tk")) >= L)
@@ -687,11 +718,10 @@ object Dedup {
         sequence(lit(0), size(col("_tk")) - L),
         i => md5(array_join(slice(col("_tk"), i + 1, lit(L)), " ")))))
       .select(col("id"), col("pos"), col("col").as("_w"))
-    val shared = wins.groupBy(col("_w"))
-      .agg(countDistinct(col("id")).as("_nd"))
-      .filter(col("_nd") >= minDocs).select(col("_w"))
-    val flagged = wins.join(shared, "_w")
-      .groupBy(col("id")).agg(sort_array(collect_list(col("pos"))).as("_starts"))
+    (base, wins)
+  }
+
+  private def cutSpans(base: DataFrame, flagged: DataFrame, L: Int): DataFrame =
     base.join(flagged, Seq("id"), "left")
       .select(col("id"), col("_tk"),
         coalesce(col("_starts"), array().cast("array<int>")).as("_st"))
@@ -703,7 +733,6 @@ object Dedup {
         size(col("_clean")).cast("int").as("n_tokens_after"),
         md5(array_join(col("_clean"), " ")).as("clean_md5"),
         array_join(col("_clean"), " ").as("clean_text"))
-  }
 
   // ------------------------------------------- semantic dedup (SemDeDup)
 

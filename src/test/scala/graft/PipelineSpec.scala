@@ -265,6 +265,29 @@ class PipelineSpec extends SparkSpec {
     assert(out("d")._2 === 0 && out("e")._2 === 0)
   }
 
+  test("repeated-span strip: first occurrence survives, later repeats fall, cross-doc untouched") {
+    val phrase = "p1 p2 p3 p4 p5"
+    val docs = Seq(
+      // phrase repeats inside ONE doc: first copy stays, second falls
+      ("a", s"$phrase mid1 mid2 mid3 $phrase"),
+      // same phrase in ANOTHER doc, once: within-doc op must NOT touch it
+      ("b", s"$phrase tail1 tail2 tail3"),
+      ("c", "all unique tokens here nothing repeated at all")
+    ).toDF("id", "text")
+    val out = Dedup.dropRepeatedSpans(docs, "id", col("text"), spanTokens = 5)
+      .collect().map(r => r.getString(0) ->
+        (r.getInt(1), r.getInt(2), r.getString(4))).toMap
+    assert(out("a") === ((13, 8, s"$phrase mid1 mid2 mid3")))
+    assert(out("b")._1 === out("b")._2) // cross-doc repeat is dropSharedSpans' job
+    assert(out("c")._1 === out("c")._2)
+    // looping output: "x1..x5" repeated 4x keeps exactly the first copy
+    val loop = Seq(("l", Array.fill(4)("x1 x2 x3 x4 x5").mkString(" ")))
+      .toDF("id", "text")
+    val l = Dedup.dropRepeatedSpans(loop, "id", col("text"), spanTokens = 5)
+      .head
+    assert(l.getInt(2) === 5 && l.getString(4) === "x1 x2 x3 x4 x5")
+  }
+
   test("temperature sampling: T=1 proportional, high T flattens, cap and determinism") {
     import graft.functions.Sampling
     val rows = ((0 until 800).map(i => (i, "big")) ++
