@@ -119,4 +119,48 @@ class PropertySpec extends SparkSpec {
       assert(math.abs(both - (one + two)) < 1e-12)
     }
   }
+
+  test("round-10 kernel properties: bpe reassembly/idempotence, span-cut invariants") {
+    import graft.text.Bpe
+    val rnd = new Random(77)
+    def randWord(): String =
+      (0 until (1 + rnd.nextInt(10))).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString
+    // train on a random small-alphabet corpus so merges really fire
+    val table = (0 until 30).map(_ => (randWord(), (1 + rnd.nextInt(9)).toLong))
+      .groupBy(_._1).map { case (w, g) => (w, g.map(_._2).sum) }.toArray
+    val m = Bpe.trainLocal(table, numMerges = 25)
+    for (_ <- 1 to 200) {
+      val w = randWord()
+      val toks = Bpe.encodeWord(w, m)
+      // tokens reassemble the word + end marker, exactly
+      assert(toks.mkString("") === w + Bpe.EndOfWord, s"word $w -> ${toks.toSeq}")
+      // encoding is deterministic (idempotent across calls)
+      assert(Bpe.encodeWord(w, m).toSeq === toks.toSeq)
+      // token count never exceeds characters + marker
+      assert(toks.length <= w.length + 1)
+    }
+    // span-cut invariants on random repetitive texts: output tokens are
+    // a subsequence of the input; all-unique text is untouched
+    import org.apache.spark.sql.functions.col
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    val words = Seq("aa", "bb", "cc", "dd", "ee")
+    val texts = (0 until 12).map { i =>
+      (i.toString, (0 until 30).map(_ => words(rnd.nextInt(words.length))).mkString(" "))
+    }
+    val out = graft.dedup.Dedup.dropRepeatedSpans(
+      texts.toDF("id", "text"), "id", col("text"), spanTokens = 4)
+      .collect().map(r => r.getString(0) -> r.getString(4)).toMap
+    val byId = texts.toMap
+    out.foreach { case (id, clean) =>
+      val orig = byId(id).split(" ").toList
+      val kept = if (clean.isEmpty) Nil else clean.split(" ").toList
+      // subsequence check
+      var rest = orig
+      kept.foreach { t =>
+        val at = rest.indexOf(t)
+        assert(at >= 0, s"doc $id: '$t' not a subsequence token")
+        rest = rest.drop(at + 1)
+      }
+    }
+  }
 }
