@@ -557,6 +557,22 @@ object TrainingQueries {
         .drop("clean_text")
     }),
 
+    // batch BM25 — N query-term-sets in ONE corpus pass (the explode +
+    // join transient-inverted-index shape; cost is one scan + the
+    // MATCHING pairs, independent of query count); per-query results
+    // bit-identical to the single-query operator, and the zero-hit
+    // query (q2) is absent from the output
+    "text_bm25_search_many" -> ((s, dir) => {
+      import s.implicits.{localSeqToDatasetHolder, newProductEncoder}
+      val queries = Seq(
+        ("q0", Seq("vector", "stream", "window")),
+        ("q1", Seq("spark", "batch")),
+        ("q2", Seq("zzznope"))).toDF("qid", "terms")
+      Bm25.searchMany(
+        Tables.read(s, dir, "documents").select(col("doc_id"), col("text")),
+        "doc_id", "text", queries, limit = 5)
+    }),
+
     // ---- lexical retrieval + hybrid fusion
     // Okapi BM25 top-k: per-doc tf/dl are codegen'd HOFs over the token
     // array (no corpus-wide term explode), corpus stats (N, Σdl,
@@ -2424,6 +2440,27 @@ object TrainingQueries {
            (498, 284, '42798f6a055e438b084cc4dfcdfdf765'),
            (499, 111, '1688e3bff7512daae9cc1c3665e5d2d5')) t(c0, c1, c2)
          ORDER BY doc_id""",
+
+    "text_bm25_search_many" ->
+      s"""WITH qt AS (SELECT * FROM (VALUES ('q0','vector'),('q0','stream'),('q0','window'),('q1','spark'),('q1','batch'),('q2','zzznope')) v(qid, term)),
+         d AS (SELECT doc_id, list_transform($tokensSql, t -> lower(t)) AS lt FROM documents),
+         st AS (SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(len(lt)) AS BIGINT) AS sumdl FROM d),
+         prs AS (SELECT e.doc_id, e.dl, e.term, CAST(count(*) AS BIGINT) AS tf
+           FROM (SELECT doc_id, CAST(len(lt) AS BIGINT) AS dl, unnest(lt) AS term FROM d) e
+           JOIN (SELECT DISTINCT term FROM qt) q ON q.term = e.term
+           GROUP BY e.doc_id, e.dl, e.term),
+         dft AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS dfv FROM prs GROUP BY term),
+         ctb AS (SELECT qt.qid, prs.doc_id, prs.dl, struct_pack(t := prs.term, c :=
+             ln((CAST(st.n AS DOUBLE) - CAST(dft.dfv AS DOUBLE) + 0.5) / (CAST(dft.dfv AS DOUBLE) + 0.5) + 1.0)
+             * (CAST(prs.tf AS DOUBLE) * (1.2 + 1.0))
+             / (CAST(prs.tf AS DOUBLE) + 1.2 * (1.0 - 0.75 + 0.75 * CAST(prs.dl AS DOUBLE) / (CAST(st.sumdl AS DOUBLE) / CAST(st.n AS DOUBLE))))) AS tc
+           FROM prs JOIN dft ON dft.term = prs.term JOIN qt ON qt.term = prs.term, st),
+         sc AS (SELECT qid, doc_id, dl, list_sum(list_transform(list_sort(list(tc)), x -> struct_extract(x, 'c'))) AS score
+           FROM ctb GROUP BY qid, doc_id, dl),
+         rk AS (SELECT qid, doc_id, dl, round(score, 6) AS score_r,
+             row_number() OVER (PARTITION BY qid ORDER BY round(score, 6) DESC, doc_id ASC) AS rn
+           FROM sc WHERE round(score, 6) > 0)
+         SELECT qid, doc_id, dl, (score_r + 0) AS score FROM rk WHERE rn <= 5 ORDER BY qid, rn""",
 
     "text_bm25_lexicon" ->
       s"""WITH ${bm25Ctes(Seq("vector", "stream", "window"))}

@@ -78,6 +78,54 @@ object Bm25 {
       .limit(limit)
       .select(col(idCol), col("dl"), col("score_r").as("score"))
 
+  /** Batch BM25: every query in ONE corpus pass — the explode + join
+    * shape (a transient inverted index). Where [[topK]] plants each
+    * query term as a per-doc HOF column (right for a handful of terms),
+    * this explodes (doc, term, tf) pairs for the union of all query
+    * terms, joins the query list on term, and folds scores per
+    * (qid, doc) — the cost is one corpus scan plus a shuffle of the
+    * MATCHING pairs only, independent of the number of queries.
+    * Per-query results are bit-identical to [[topK]] (absent terms
+    * contribute an exact 0.0 there, which the IEEE sum ignores).
+    * `queries`: (qid, terms array<string>). Output adds `qid`. */
+  def searchMany(df: DataFrame, idCol: String, textCol: String,
+      queries: DataFrame, limit: Int, k1: Double = DefaultK1,
+      b: Double = DefaultB): DataFrame = {
+    val qterms = queries.select(col("qid"),
+      explode(col("terms")).as("_qt")).select(col("qid"), lower(col("_qt")).as("term"))
+      .distinct()
+    val docs = df.select(col(idCol).as("_id"), lowerTokens(col(textCol)).as("_lt"))
+    val stats = docs.agg(count(lit(1)).as("_n"),
+      sum(size(col("_lt")).cast("long")).as("_sumdl"))
+    val pairs = docs
+      .select(col("_id"), size(col("_lt")).cast("long").as("dl"),
+        explode(col("_lt")).as("term"))
+      .join(broadcast(qterms.select(col("term")).distinct()), "term")
+      .groupBy(col("_id"), col("dl"), col("term")).agg(count(lit(1)).as("_tf"))
+    val dfT = pairs.groupBy(col("term")).agg(countDistinct(col("_id")).as("_df"))
+    val contrib = pairs.join(dfT, "term").join(qterms, Seq("term"))
+      .crossJoin(broadcast(stats))
+    val n = col("_n").cast("double")
+    val avgdl = col("_sumdl").cast("double") / n
+    val c = log((n - col("_df").cast("double") + 0.5) /
+        (col("_df").cast("double") + 0.5) + 1.0) *
+      (col("_tf").cast("double") * (k1 + 1.0)) /
+      (col("_tf").cast("double") +
+        lit(k1) * (lit(1.0 - b) + lit(b) * col("dl").cast("double") / avgdl))
+    val scored = contrib
+      .select(col("qid"), col("_id"), col("dl"), struct(col("term"), c.as("c")).as("tc"))
+      .groupBy(col("qid"), col("_id"), col("dl"))
+      .agg(aggregate(sort_array(collect_list(col("tc"))), lit(0.0),
+        (acc, x) => acc + x.getField("c")).as("score"))
+      .withColumn("score_r", round(col("score"), 6))
+      .filter(col("score_r") > 0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("qid")).orderBy(col("score_r").desc, col("_id").asc)
+    scored.withColumn("_rn", row_number().over(w)).filter(col("_rn") <= limit)
+      .select(col("qid"), col("_id").as(idCol), col("dl"),
+        col("score_r").as("score"))
+  }
+
   // ---------------------------------------- persisted lexicon path
 
   /** Corpus lexicon: `stats` (one row — n docs, sumdl) and `terms`

@@ -72,6 +72,27 @@ class LexicalSpec extends SparkSpec {
     assert(inline.toSeq === viaDisk.toSeq)
   }
 
+  test("bm25 searchMany == topK per query, bit for bit; zero-hit query absent") {
+    import spark.implicits._
+    val d = docs(Seq(
+      1 -> "spark flink spark beam", 2 -> "spark storm flink",
+      3 -> "beam beam samza extra", 4 -> "flink only here now",
+      5 -> "totally unrelated words"))
+    val qs = Seq(
+      ("qa", Seq("spark", "beam")),
+      ("qb", Seq("flink")),
+      ("qc", Seq("zzz"))).toDF("qid", "terms")
+    val batch = Bm25.searchMany(d, "doc_id", "text", qs, limit = 10)
+      .collect().groupBy(_.getString(0))
+      .map { case (q, rows) => q -> rows.map(r => (r.getInt(1), r.getDouble(3))).toSeq }
+    assert(!batch.contains("qc"))
+    for ((q, terms) <- Seq("qa" -> Seq("spark", "beam"), "qb" -> Seq("flink"))) {
+      val single = Bm25.topK(d, "doc_id", "text", terms, limit = 10)
+        .collect().map(r => (r.getInt(0), r.getDouble(2))).toSeq
+      assert(batch(q) === single, s"query $q")
+    }
+  }
+
   test("rrf: doc present in both rankings beats single-ranking docs; ranks kept") {
     import spark.implicits._
     val lex = Seq((10, 1L), (20, 2L)).toDF("id", "rank")
