@@ -1,0 +1,95 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.dedup.Dedup
+import graft.text.{NgramLm, TextAnalysis}
+
+/** The curation pipeline as ONE callable — the composition the
+  * pipeline_* gate rows verify stage-by-stage, packaged so a pipeline
+  * user configures instead of re-plumbing:
+  *
+  *   Gopher quality gate → (optional) within-doc repetition strip →
+  *   exact dedup → (optional) MinHash near-dup drop → (optional)
+  *   benchmark decontamination → (optional) LM perplexity-median cut →
+  *   (optional) stratified language mixing → stable sequential ids.
+  *
+  * Every stage is the same operator the gate rows replicate in SQL;
+  * stage materialization (`localCheckpoint`) between phases keeps the
+  * optimizer from re-expanding tokenization through the whole lineage
+  * — the reason real pipelines checkpoint between stages. */
+object Curation {
+
+  final case class Config(
+      minWords: Int = 20,
+      stripRepeatedSpans: Boolean = false,
+      spanTokens: Int = 20,
+      nearDedup: Boolean = true,
+      minhashThreshold: Double = 0.7,
+      fastHash: Boolean = true,
+      decontaminationNgram: Int = 5,
+      lmFilter: Boolean = false,
+      stratumFractions: Seq[(String, Double)] = Nil,
+      defaultFraction: Double = 1.0,
+      salt: String = "graft")
+
+  /** Run the pipeline. `df` needs (idCol, textCol[, stratumCol]);
+    * `benchmark` (texts to decontaminate against) and `lmTrusted`
+    * (the LM's clean reference slice) are optional side inputs.
+    * Returns the kept rows with `seq_id`. */
+  def curate(df: DataFrame, idCol: String, textCol: String,
+      stratumCol: Option[String] = None,
+      benchmark: Option[DataFrame] = None,
+      lmTrusted: Option[DataFrame] = None,
+      config: Config = Config()): DataFrame = {
+    val text = col(textCol)
+    // 1. quality gate
+    var cur = df.filter(TextAnalysis.gopherKeep(text, minWords = config.minWords))
+      .localCheckpoint()
+    // 2. optional self-repetition strip (replaces the text column)
+    if (config.stripRepeatedSpans) {
+      val cleaned = Dedup.dropRepeatedSpans(cur, idCol, text, config.spanTokens)
+        .select(col("id").as(idCol), col("clean_text").as(textCol))
+      cur = cur.drop(textCol).join(cleaned, idCol).localCheckpoint()
+    }
+    // 3. exact dedup (canonical per md5)
+    cur = Dedup.dropExactDuplicates(cur, idCol, text).localCheckpoint()
+    // 4. near-dup drop
+    if (config.nearDedup)
+      cur = Dedup.dropNearDuplicates(cur, idCol, text,
+        threshold = config.minhashThreshold, fastHash = config.fastHash)
+        .localCheckpoint()
+    // 5. benchmark decontamination (zero shared n-grams)
+    benchmark.foreach { bench =>
+      val report = TextAnalysis.contaminationReport(
+        cur.select(col(idCol), text), bench.select(text), idCol, textCol,
+        n = config.decontaminationNgram)
+      cur = cur.join(
+        report.filter(col("n_shared") === 0).select(col("id").as(idCol)), idCol)
+    }
+    // 6. LM perplexity-median cut (CCNet shape): keep the fluent half
+    if (config.lmFilter) {
+      val trusted = lmTrusted.getOrElse(cur)
+      val model = NgramLm.train(trusted.select(col(idCol), text), idCol, textCol)
+      val scored = NgramLm.score(model, cur.select(col(idCol), text),
+        idCol, textCol).localCheckpoint()
+      val n = scored.count()
+      val seqd = Sampling.withSequentialIds(scored,
+        struct(col("logppl"), col(idCol)))
+      val med = seqd.filter(col("seq_id") === (n - 1) / 2)
+        .select(col("logppl")).head.getDouble(0)
+      cur = cur.join(scored.filter(col("logppl") <= med)
+        .select(col(idCol)), idCol)
+    }
+    // 7. stratified mixing
+    (stratumCol, config.stratumFractions) match {
+      case (Some(sc), fr) if fr.nonEmpty =>
+        cur = Sampling.stratifiedSampleByHash(cur, idCol, sc, fr,
+          defaultFraction = config.defaultFraction, salt = config.salt)
+      case _ => ()
+    }
+    // 8. stable ids
+    Sampling.withSequentialIds(cur, col(idCol))
+  }
+}

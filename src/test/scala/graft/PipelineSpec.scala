@@ -265,6 +265,34 @@ class PipelineSpec extends SparkSpec {
     assert(out("d")._2 === 0 && out("e")._2 === 0)
   }
 
+  test("Curation facade reproduces the pipeline_curation gate composition") {
+    import graft.functions.Curation
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.read(spark, dir, "documents")
+    val bench = docs.filter(col("doc_id") >= 480 || col("doc_id") < 10)
+      .select(col("text"))
+    val viaFacade = Curation.curate(
+      docs.select(col("doc_id"), col("lang"), col("text")),
+      "doc_id", "text", stratumCol = Some("lang"),
+      benchmark = Some(bench),
+      config = Curation.Config(nearDedup = false,
+        stratumFractions = Seq("en" -> 0.5, "de" -> 1.0),
+        defaultFraction = 0.1))
+      .select("doc_id", "lang", "seq_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaGate = TrainingQueries.queries("pipeline_curation")(spark, dir)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaFacade === viaGate && viaFacade.nonEmpty)
+    // the optional stages compose without breaking the id contract
+    val withExtras = Curation.curate(
+      docs.select(col("doc_id"), col("lang"), col("text")),
+      "doc_id", "text",
+      config = Curation.Config(stripRepeatedSpans = true, lmFilter = true))
+    val rows = withExtras.select("doc_id", "seq_id").collect()
+    assert(rows.nonEmpty)
+    assert(rows.map(_.getLong(1)).sorted.toSeq === rows.indices.map(_.toLong))
+  }
+
   test("repeated-span strip: first occurrence survives, later repeats fall, cross-doc untouched") {
     val phrase = "p1 p2 p3 p4 p5"
     val docs = Seq(
