@@ -573,6 +573,22 @@ object TrainingQueries {
         "doc_id", "text", queries, limit = 5)
     }),
 
+    // interval (band) join: view -> purchase attribution within 2h,
+    // same user — time-bucket blocking (<= 2 bins per left row) makes
+    // it an equi-join on (user, bin) + exact band filter; the oracle
+    // is the plain inequality join
+    "events_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      EventStreams.intervalJoin(views, purchases, "user_id", "ts",
+        lowerNs = 1L, upperNs = 7200000000000L)
+        .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+          col("delta_ns"))
+    }),
+
     // ---- lexical retrieval + hybrid fusion
     // Okapi BM25 top-k: per-doc tf/dl are codegen'd HOFs over the token
     // array (no corpus-wide term explode), corpus stats (N, Σdl,
@@ -2825,6 +2841,16 @@ object TrainingQueries {
          SELECT sec - (sec % 3600) AS window_start_epoch, event_type,
            CAST(count(*) AS BIGINT) AS cnt, (round(sum(value), 6) + 0) AS sum_value
          FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "events_interval_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ns, event_type FROM events),
+         v AS (SELECT * FROM e WHERE event_type = 'view'),
+         p AS (SELECT * FROM e WHERE event_type = 'purchase')
+         SELECT v.user_id, v.event_id AS l_event_id, p.event_id AS r_event_id,
+           CAST(p.ns - v.ns AS BIGINT) AS delta_ns
+         FROM v JOIN p ON p.user_id = v.user_id
+           AND p.ns - v.ns BETWEEN 1 AND 7200000000000
+         ORDER BY 1, 2, 3""",
 
     "events_sessionize" ->
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS ns FROM events),

@@ -143,6 +143,40 @@ object EventStreams {
       .drop("_hist")
   }
 
+  /** Interval (band) join on event time — the attribution-join shape:
+    * every (l, r) pair with the same key and `r.ts - l.ts` in
+    * `[lowerNs, upperNs]` (view→purchase within a minute, impression→
+    * click, error→retry). The naive theta-join plans as a per-key
+    * nested loop — quadratic under hot keys; here both sides bucket
+    * into `upperNs - lowerNs`-wide time bins: the left row's
+    * admissible window spans at most TWO bins, so it explodes to <= 2
+    * bin keys and the whole thing is an equi-join on (key, bin) plus
+    * the exact band filter. Shuffle volume = 2x left + right, hot keys
+    * spread across their time bins, never a per-key cross product.
+    * Output: key, `l_`-prefixed left columns, `r_`-prefixed right
+    * columns, `delta_ns`. Timestamps resolve through the same
+    * Long/timestamp rules as every operator here. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, lowerNs: Long, upperNs: Long): DataFrame = {
+    require(upperNs >= lowerNs, "upperNs must be >= lowerNs")
+    val size = math.max(upperNs - lowerNs, 1L)
+    val lSel = left.withColumn("_lns", nanos(left, tsCol))
+      .select(col(key) +: col("_lns") +:
+        left.columns.filterNot(_ == key).map(c => col(c).as(s"l_$c")).toSeq: _*)
+    val rSel = right.withColumn("_rns", nanos(right, tsCol))
+      .select(col(key) +: col("_rns") +:
+        right.columns.filterNot(_ == key).map(c => col(c).as(s"r_$c")).toSeq: _*)
+    val lB = lSel.withColumn("_bin", explode(array_distinct(array(
+      expr(s"(_lns + $lowerNs) div ${size}L"),
+      expr(s"(_lns + $upperNs) div ${size}L")))))
+    val rB = rSel.withColumn("_bin", expr(s"_rns div ${size}L"))
+    lB.join(rB, Seq(key, "_bin"))
+      .filter(col("_rns") - col("_lns") >= lowerNs &&
+        col("_rns") - col("_lns") <= upperNs)
+      .withColumn("delta_ns", col("_rns") - col("_lns"))
+      .drop("_bin", "_lns", "_rns")
+  }
+
   /** Gap-based sessionization: a new session starts when the nanosecond
     * gap to the user's previous event exceeds `gapSeconds`. One shuffle
     * on user_id. Returns one row per (user, session). */

@@ -265,6 +265,29 @@ class PipelineSpec extends SparkSpec {
     assert(out("d")._2 === 0 && out("e")._2 === 0)
   }
 
+  test("interval join: inclusive band, bin straddle, no duplicates, key isolation") {
+    // Long ts = raw nanos (the documented legacy contract)
+    val left = Seq(("u", "a", 0L), ("u", "b", 950L), ("w", "c", 0L))
+      .toDF("user_id", "id", "ts")
+    val right = Seq(
+      ("u", "x", 10L),   // a+10: inside
+      ("u", "y", 100L),  // a+100: inclusive upper edge; straddles a's bin
+      ("u", "z", 101L),  // a+101: out for a
+      ("v", "q", 10L))   // other key: never pairs
+      .toDF("user_id", "id", "ts")
+    val out = EventStreams.intervalJoin(left, right, "user_id", "ts",
+      lowerNs = 0L, upperNs = 100L)
+      .select("l_id", "r_id", "delta_ns").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val pairs = out.toSet
+    assert(pairs === Set(("a", "x", 10L), ("a", "y", 100L)))
+    assert(out.length === pairs.size) // straddled bins never duplicate a pair
+    // lower bound is inclusive too: [10, 10] picks exactly delta 10
+    val tight = EventStreams.intervalJoin(left, right, "user_id", "ts", 10L, 10L)
+      .select("l_id", "r_id").collect().map(r => (r.getString(0), r.getString(1)))
+    assert(tight.toSeq === Seq(("a", "x")))
+  }
+
   test("Curation facade reproduces the pipeline_curation gate composition") {
     import graft.functions.Curation
     val dir = "/root/testdata/sf0.001"
