@@ -67,6 +67,48 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got3.toSet === expectLm)
   }
 
+  test("stream-stream band join (native, watermarked) == batch intervalJoin") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, expr}
+    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    val leftRows = Seq(("u", ts(0), "a"), ("u", ts(500), "b"), ("w", ts(0), "c"))
+    val rightRows = Seq(("u", ts(10), "x"), ("u", ts(100), "y"),
+      ("u", ts(101), "z"), ("v", ts(10), "q"))
+    // batch reference: the bucketed interval join, [0s, 100s] band
+    val expected = graft.streaming.EventStreams.intervalJoin(
+      leftRows.toDF("user_id", "ts", "id"), rightRows.toDF("user_id", "ts", "id"),
+      "user_id", "ts", 0L, 100L * 1000000000L)
+      .select("l_id", "r_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    // streaming: Spark's native stream-stream join with the same band
+    // condition — watermarks bound both sides' state
+    val lIn = MemoryStream[(String, java.sql.Timestamp, String)]
+    val rIn = MemoryStream[(String, java.sql.Timestamp, String)]
+    val lDf = lIn.toDS().toDF("lkey", "lts", "lid").withWatermark("lts", "5 seconds")
+    val rDf = rIn.toDS().toDF("rkey", "rts", "rid").withWatermark("rts", "5 seconds")
+    val joined = lDf.join(rDf, expr(
+      "lkey = rkey AND rts >= lts AND rts <= lts + interval 100 seconds"))
+      .select(col("lid"), col("rid"))
+    val q = joined.writeStream.format("memory").queryName("bandjoin")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      lIn.addData(leftRows.take(2): _*); rIn.addData(rightRows.take(2): _*)
+      q.processAllAvailable()
+      lIn.addData(leftRows.drop(2): _*); rIn.addData(rightRows.drop(2): _*)
+      q.processAllAvailable()
+      // Spark's time-interval stream-stream join holds results until
+      // the watermark passes the join bound (the multi-stateful-op
+      // semantics) — a late heartbeat on both sides flushes them
+      lIn.addData(("hb", ts(100000), "hb")); rIn.addData(("hb2", ts(100000), "hb"))
+      q.processAllAvailable()
+      val got = spark.table("bandjoin").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got === expected)
+      assert(got === Set(("a", "x"), ("a", "y")))
+    } finally q.stop()
+  }
+
   test("stateful sessionize across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
