@@ -75,12 +75,17 @@ object Curation {
       val scored = NgramLm.score(model, cur.select(col(idCol), text),
         idCol, textCol).localCheckpoint()
       val n = scored.count()
-      val seqd = Sampling.withSequentialIds(scored,
-        struct(col("logppl"), col(idCol)))
-      val med = seqd.filter(col("seq_id") === (n - 1) / 2)
-        .select(col("logppl")).head.getDouble(0)
-      cur = cur.join(scored.filter(col("logppl") <= med)
-        .select(col(idCol)), idCol)
+      // n == 0: the earlier gates emptied the corpus — there is no
+      // median to cut at ((n-1)/2 = -1 matches no seq_id), so pass the
+      // empty frame through instead of crashing on .head
+      if (n > 0) {
+        val seqd = Sampling.withSequentialIds(scored,
+          struct(col("logppl"), col(idCol)))
+        val med = seqd.filter(col("seq_id") === (n - 1) / 2)
+          .select(col("logppl")).head.getDouble(0)
+        cur = cur.join(scored.filter(col("logppl") <= med)
+          .select(col(idCol)), idCol)
+      }
     }
     // 7. stratified mixing
     (stratumCol, config.stratumFractions) match {

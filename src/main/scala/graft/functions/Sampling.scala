@@ -122,13 +122,16 @@ object Sampling {
     val counts = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n_g"))
     val tot = counts.agg(sum(col("_n_g")).as("_n"),
       sum(pow(col("_n_g").cast("double"), lit(alpha))).as("_z"))
-    val rates = counts.crossJoin(broadcast(tot)).select(col(groupCol),
+    val rates = counts.crossJoin(broadcast(tot)).select(col(groupCol).as("_g"),
       round(least(lit(1.0),
         lit(targetFraction) * col("_n").cast("double") *
           (pow(col("_n_g").cast("double"), lit(alpha)) / col("_z")) /
           col("_n_g").cast("double")) * 1000.0)
         .cast("int").as("mix_rate_x1000"))
-    df.join(broadcast(rates), groupCol)
+    // null-safe equality: a NULL group is a real group (groupBy counted
+    // it), so its rows must keep at their derived rate instead of
+    // silently vanishing through a null-dropping equi-join
+    df.join(broadcast(rates), col(groupCol) <=> col("_g")).drop("_g")
       .filter(hashBucket(col(idCol), 1000, salt) < col("mix_rate_x1000"))
   }
 

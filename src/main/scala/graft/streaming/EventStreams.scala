@@ -177,6 +177,52 @@ object EventStreams {
       .drop("_bin", "_lns", "_rns")
   }
 
+  /** Streaming form of [[intervalJoin]]: the same band-join contract —
+    * every (l, r) pair with equal key and `r.ts - l.ts` in
+    * `[lowerNs, upperNs]` — over TWO LIVE STREAMS, as Spark's native
+    * watermarked stream-stream inner join. Both inputs must carry a
+    * TIMESTAMP (or TIMESTAMP_NTZ) event-time column named `tsCol`.
+    *
+    * The join condition is emitted in the canonical
+    * `r.ts BETWEEN l.ts + lower AND l.ts + upper` form so Catalyst's
+    * StreamingJoinHelper derives state watermarks for BOTH sides: each
+    * side's buffered rows are evicted as soon as the global watermark
+    * proves no future match can arrive — state is bounded by
+    * (band width + watermark delay) x arrival rate, never the full
+    * stream. Inner matches emit eagerly (append mode) the micro-batch
+    * both rows are present; the watermark only governs eviction and
+    * late-row admission. Nanosecond bounds are truncated to Spark's
+    * microsecond timestamp precision.
+    *
+    * Output contract matches [[intervalJoin]]: key, `l_`-prefixed left
+    * columns, `r_`-prefixed right columns, `delta_ns`. Also works on
+    * two batch frames (same plan, ordinary join) — gated stream ≡ batch
+    * in StatefulStreamingSpec. */
+  def streamingIntervalJoin(left: DataFrame, right: DataFrame, key: String,
+      tsCol: String, lowerNs: Long, upperNs: Long,
+      watermark: String = "10 seconds"): DataFrame = {
+    require(upperNs >= lowerNs, "upperNs must be >= lowerNs")
+    def secs(ns: Long) = java.math.BigDecimal.valueOf(ns, 9).toPlainString
+    def side(df: DataFrame, p: String): DataFrame = {
+      val renamed = df.select(col(key).as(s"${p}_key") +:
+        df.columns.filterNot(_ == key).map(c => col(c).as(s"${p}_$c")).toSeq: _*)
+      if (df.isStreaming) renamed.withWatermark(s"${p}_$tsCol", watermark)
+      else renamed
+    }
+    val lSel = side(left, "l")
+    val rSel = side(right, "r")
+    val joined = lSel.join(rSel,
+      col("l_key") === col("r_key") &&
+        expr(s"`r_$tsCol` >= `l_$tsCol` + INTERVAL '${secs(lowerNs)}' SECOND") &&
+        expr(s"`r_$tsCol` <= `l_$tsCol` + INTERVAL '${secs(upperNs)}' SECOND"))
+    joined
+      .withColumn("delta_ns",
+        (epochMicros(joined, s"r_$tsCol") - epochMicros(joined, s"l_$tsCol")) *
+          lit(1000L))
+      .withColumnRenamed("l_key", key)
+      .drop("r_key")
+  }
+
   /** Gap-based sessionization: a new session starts when the nanosecond
     * gap to the user's previous event exceeds `gapSeconds`. One shuffle
     * on user_id. Returns one row per (user, session). */

@@ -314,6 +314,13 @@ class PipelineSpec extends SparkSpec {
     val rows = withExtras.select("doc_id", "seq_id").collect()
     assert(rows.nonEmpty)
     assert(rows.map(_.getLong(1)).sorted.toSeq === rows.indices.map(_.toLong))
+    // gates that empty the corpus: lmFilter has no median to cut at —
+    // curate returns the empty frame instead of crashing
+    val allShort = Seq((1L, "en", "too short"), (2L, "en", "also short"))
+      .toDF("doc_id", "lang", "text")
+    val empty = Curation.curate(allShort, "doc_id", "text",
+      config = Curation.Config(lmFilter = true))
+    assert(empty.count() === 0)
   }
 
   test("repeated-span strip: first occurrence survives, later repeats fall, cross-doc untouched") {
@@ -361,6 +368,14 @@ class PipelineSpec extends SparkSpec {
     val b = Sampling.temperatureSample(rows, "id", "grp", 4.0, 0.5, "s")
       .select("id").collect().map(_.getInt(0)).toSet
     assert(a === b && a.nonEmpty)
+    // NULL group: a real group — its rows sample at their derived rate
+    // instead of vanishing through a null-dropping equi-join
+    val withNull = rows.withColumn("grp",
+      when(col("id") < 100, lit(null: String)).otherwise(col("grp")))
+    val nn = Sampling.temperatureSample(withNull, "id", "grp", 1.0, 0.5, "s")
+    assert(nn.filter(col("grp").isNull).count() > 0)
+    assert(nn.select("grp", "mix_rate_x1000").distinct().collect()
+      .map(_.getInt(1)).toSet === Set(500)) // T=1: uniform rate incl. null grp
   }
 
   test("semdedup: within-cell pairs verify, boundary straddles miss, canonical keep") {

@@ -67,45 +67,76 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(got3.toSet === expectLm)
   }
 
-  test("stream-stream band join (native, watermarked) == batch intervalJoin") {
+  test("streamingIntervalJoin: stream ≡ batch intervalJoin across ≥3 micro-batches with late data") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
-    import org.apache.spark.sql.functions.{col, expr}
-    def ts(sec: Long) = new java.sql.Timestamp(sec * 1000L)
+    import graft.streaming.EventStreams
+    // offset from epoch 0: a streaming query starts with watermark =
+    // 1970-01-01T00:00:00, and the pre-join late-record filter drops
+    // input rows whose event time does not exceed the current watermark
+    // — so a row at exactly ts(0) silently vanishes before the join
+    def ts(sec: Long) = new java.sql.Timestamp((1000L + sec) * 1000L)
     val leftRows = Seq(("u", ts(0), "a"), ("u", ts(500), "b"), ("w", ts(0), "c"))
     val rightRows = Seq(("u", ts(10), "x"), ("u", ts(100), "y"),
-      ("u", ts(101), "z"), ("v", ts(10), "q"))
+      ("u", ts(101), "z"), ("v", ts(10), "q"),
+      // arrive in batch 3 OUT OF ORDER (event times far behind the max
+      // already seen) but inside the watermark delay: w1 matches a's
+      // band, r1 matches b's band
+      ("u", ts(50), "w1"), ("u", ts(550), "r1"))
+    val band = (0L, 100L * 1000000000L)
+    val lBatch = leftRows.toDF("user_id", "ts", "id")
+    val rBatch = rightRows.toDF("user_id", "ts", "id")
     // batch reference: the bucketed interval join, [0s, 100s] band
-    val expected = graft.streaming.EventStreams.intervalJoin(
-      leftRows.toDF("user_id", "ts", "id"), rightRows.toDF("user_id", "ts", "id"),
-      "user_id", "ts", 0L, 100L * 1000000000L)
+    val expected = EventStreams.intervalJoin(
+      lBatch, rBatch, "user_id", "ts", band._1, band._2)
       .select("l_id", "r_id").collect()
       .map(r => (r.getString(0), r.getString(1))).toSet
-    // streaming: Spark's native stream-stream join with the same band
-    // condition — watermarks bound both sides' state
+    assert(expected === Set(("a", "x"), ("a", "y"), ("a", "w1"), ("b", "r1")))
+    // the SAME operator on two batch frames: identical result + contract
+    val onBatch = EventStreams.streamingIntervalJoin(
+      lBatch, rBatch, "user_id", "ts", band._1, band._2)
+    assert(onBatch.columns.toSeq ===
+      Seq("user_id", "l_ts", "l_id", "r_ts", "r_id", "delta_ns"))
+    assert(onBatch.select("l_id", "r_id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet === expected)
+    // streaming: native watermarked stream-stream inner join; the
+    // watermark delay (600s) admits the batch-3 out-of-order rows
     val lIn = MemoryStream[(String, java.sql.Timestamp, String)]
     val rIn = MemoryStream[(String, java.sql.Timestamp, String)]
-    val lDf = lIn.toDS().toDF("lkey", "lts", "lid").withWatermark("lts", "5 seconds")
-    val rDf = rIn.toDS().toDF("rkey", "rts", "rid").withWatermark("rts", "5 seconds")
-    val joined = lDf.join(rDf, expr(
-      "lkey = rkey AND rts >= lts AND rts <= lts + interval 100 seconds"))
-      .select(col("lid"), col("rid"))
-    val q = joined.writeStream.format("memory").queryName("bandjoin")
+    val joined = EventStreams.streamingIntervalJoin(
+      lIn.toDS().toDF("user_id", "ts", "id"), rIn.toDS().toDF("user_id", "ts", "id"),
+      "user_id", "ts", band._1, band._2, watermark = "600 seconds")
+    val q = joined.select("l_id", "r_id", "delta_ns").writeStream
+      .format("memory").queryName("bandjoin")
       .outputMode(OutputMode.Append()).start()
+    def got() = spark.table("bandjoin").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
     try {
-      lIn.addData(leftRows.take(2): _*); rIn.addData(rightRows.take(2): _*)
+      // micro-batch 1: left a,b + right x — eager inner emission
+      lIn.addData(leftRows.take(2): _*); rIn.addData(rightRows.head)
       q.processAllAvailable()
-      lIn.addData(leftRows.drop(2): _*); rIn.addData(rightRows.drop(2): _*)
+      assert(got() === Set(("a", "x")))
+      // micro-batch 2: right y,z,q + left c — y joins buffered a
+      lIn.addData(leftRows.drop(2): _*); rIn.addData(rightRows.slice(1, 4): _*)
       q.processAllAvailable()
-      // Spark's time-interval stream-stream join holds results until
-      // the watermark passes the join bound (the multi-stateful-op
-      // semantics) — a late heartbeat on both sides flushes them
+      assert(got() === Set(("a", "x"), ("a", "y")))
+      // micro-batch 3: LATE right rows (event time behind max seen, but
+      // within the 600s watermark) still join the buffered left state
+      rIn.addData(rightRows.drop(4): _*)
+      q.processAllAvailable()
+      assert(got() === expected)
+      // heartbeats advance the watermark past every band: buffered
+      // state is evicted without retracting already-emitted rows
       lIn.addData(("hb", ts(100000), "hb")); rIn.addData(("hb2", ts(100000), "hb"))
       q.processAllAvailable()
-      val got = spark.table("bandjoin").collect()
-        .map(r => (r.getString(0), r.getString(1))).toSet
-      assert(got === expected)
-      assert(got === Set(("a", "x"), ("a", "y")))
+      lIn.addData(("hb", ts(100001), "hb")); rIn.addData(("hb2", ts(100001), "hb"))
+      q.processAllAvailable()
+      assert(got() === expected)
+      // delta_ns contract matches the batch operator
+      val deltas = spark.table("bandjoin").collect()
+        .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      assert(deltas(("a", "y")) === 100L * 1000000000L)
+      assert(deltas(("b", "r1")) === 50L * 1000000000L)
     } finally q.stop()
   }
 
