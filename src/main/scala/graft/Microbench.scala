@@ -132,6 +132,39 @@ object Microbench {
     }
   }
 
+  /** Plan-time vs execution split of single-query funnel search (the
+    * r10 synth_funnel regression): `runMain graft.Microbench funnel`. */
+  def profileFunnel(spark: SparkSession): Unit = {
+    val dims = 384
+    val config = CollectionConfig("m", dims, Metric.Cosine)
+    val genUdf = udf((id: Long) => Bench.synthVector(id, dims))
+    val coll = graft.prepare.Prepare.prepareEmbeddings(
+      spark.range(100000).select(col("id").cast("string").as("id"),
+        col("id").cast("string").as("value"), genUdf(col("id")).as("vector")),
+      config).select("id", "value", "vector", "binary_vector").persist()
+    coll.count()
+    val q = Search.prepareQuery(config, Bench.synthVector(-1L, dims))
+    val stages = Seq(dims / 4, dims / 2, dims)
+    Search.flatSearch(coll, config, q, 10).collect() // JIT warmup
+    time("flat cosine plan+exec", 5) {
+      Search.flatSearch(coll, config, q, 10).collect()
+    }
+    time("funnel plan+exec", 5) {
+      Search.funnelSearch(coll, config, q, 10, stages, 200).collect()
+    }
+    val reused = Search.funnelSearch(coll, config, q, 10, stages, 200)
+    time("funnel exec only (reused plan)", 5) { reused.collect() }
+    time("funnel widen=1 plan+exec", 5) {
+      Search.funnelSearch(coll, config, q, 10, stages, 200, widen = 1).collect()
+    }
+    time("funnel 1 stage (d/4 only) plan+exec", 5) {
+      Search.funnelSearch(coll, config, q, 10, Seq(dims / 4), 200).collect()
+    }
+    time("funnel 2 stages plan+exec", 5) {
+      Search.funnelSearch(coll, config, q, 10, Seq(dims / 4, dims / 2), 200).collect()
+    }
+  }
+
   /** Driver-side HNSW insert-path profile (the per-shard build cost of
     * ShardedHnsw rides on this): `runMain graft.Microbench hnsw [n]`. */
   def profileHnsw(spark: SparkSession, args: Array[String]): Unit = {
@@ -193,6 +226,9 @@ object Microbench {
     }
     if (args.headOption.contains("adc")) {
       profileAdc(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("funnel")) {
+      profileFunnel(spark); spark.stop(); return
     }
     if (args.headOption.contains("minhash")) {
       profileMinhash(spark); spark.stop(); return

@@ -167,14 +167,55 @@ object Search {
     * true normalized cosine because prefixes of unit vectors are not unit
     * (search.rs:56-59); other metrics use their own kernel on the prefix. */
   private def funnelStage(df: DataFrame, config: CollectionConfig, q: Array[Float],
-      d: Int, keep: Int): DataFrame = {
+      d: Int, keep: Int): DataFrame =
+    filterByIds(df, funnelStageTopIds(df, config, q, d, keep))
+
+  /** Survivor-id set for one funnel stage, computed EAGERLY on a SLIM
+    * (id, rank) projection. Running the cut over the full rows puts the
+    * corpus VECTORS through the per-partition sort and a keep*P-row
+    * sort-exchange (~KB/row: r10's 5.6x synth_funnel regression, and a
+    * scale-killer at 100 TB where every exchange would carry the
+    * embedding payload); a lazy broadcast-semi-join variant instead
+    * nests each stage's sub-plan inside the next stage's broadcast
+    * build, tripling planning and job count per query. Here the cut is
+    * a TERMINAL slim top-k — TakeOrderedAndProject's per-partition
+    * bounded heap + driver merge, the same shape as flat search's own
+    * top-k — and survivors re-enter the plan as an id InSet literal:
+    * flat plans, one job per stage, vectors never leave the scan.
+    * Driver bound: <= min(64, P) * keep slim (id, rank) pairs — above
+    * 64 partitions the locally-cut survivors funnel through a 64-way
+    * exchange of slim pairs first, so the driver merge never scales
+    * with corpus partition count. */
+  private def funnelStageTopIds(df: DataFrame, config: CollectionConfig,
+      q: Array[Float], d: Int, keep: Int): Array[String] = {
     val qPrefix = q.slice(0, d)
     val vPrefix = if (d >= config.dimensions) col("vector") else slice(col("vector"), 1, d)
     val raw =
       if (config.metric == Metric.Cosine) trueCosine(vPrefix, vecLit(qPrefix))
       else vecDistance(config.metric, vPrefix, vecLit(qPrefix))
-    candidateCut(df.withColumn("raw", raw).withColumn("rank", rankCol(config.metric, col("raw"))),
-      keep).drop("raw", "rank")
+    val slim = df.select(col("id"), raw.as("raw"))
+      .select(col("id"), rankCol(config.metric, col("raw")).as("rank"))
+    val fanned =
+      if (df.rdd.getNumPartitions > 64)
+        slim.sortWithinPartitions(col("rank").asc_nulls_last, col("id").asc)
+          .filter(monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) < keep)
+          .repartition(64)
+      else slim
+    topK(fanned, keep).select("id").collect().map(_.getString(0))
+  }
+
+  /** Survivors as a flat InSet probe over the input — keeps every stage
+    * plan shallow instead of chaining semi-joins. Built as a single
+    * catalyst InSet node holding the id set: `isInCollection` expands
+    * to one Literal PER ID (12800 tree nodes at the default funnel
+    * operating point), and analyzing/serializing that tree costs more
+    * than the stage's distance job. */
+  private def filterByIds(df: DataFrame, ids: Array[String]): DataFrame = {
+    import org.apache.spark.sql.catalyst.expressions.InSet
+    import org.apache.spark.unsafe.types.UTF8String
+    val hset: Set[Any] = ids.iterator.map(UTF8String.fromString(_): Any).toSet
+    df.filter(org.apache.spark.sql.graft.Bridge.column(
+      InSet(org.apache.spark.sql.graft.Bridge.expression(col("id")), hset)))
   }
 
   /** Default funnel stages `[d/4, d/2, d]` — the reference's bench
@@ -212,10 +253,19 @@ object Search {
     require(effCand >= limit, "candidates must be >= limit")
     require(widen >= 1, "widen must be >= 1")
     val keeps = funnelKeeps(effStages.size, effCand, widen)
-    val survivors = effStages.zip(keeps).foldLeft(df) {
-      case (cur, (d, keep)) => funnelStage(cur, config, q, d, keep)
+    // survivor ids thread through as arrays: each stage filters the
+    // ORIGINAL frame by the latest id set (equivalent to chaining, one
+    // probe instead of a probe per ancestor stage), and a stage whose
+    // keep already covers the survivor count is an identity cut — skip
+    // its job entirely (candidates >= corpus makes every stage a no-op
+    // and the funnel degenerates to exact flat search, the equivalence
+    // property SearchSpec pins)
+    var ids: Option[Array[String]] = None
+    for ((d, keep) <- effStages.zip(keeps) if ids.forall(_.length > keep)) {
+      val cur = ids.fold(df)(filterByIds(df, _))
+      ids = Some(funnelStageTopIds(cur, config, q, d, keep))
     }
-    flatSearchPrepared(survivors, config, q, limit)
+    flatSearchPrepared(ids.fold(df)(filterByIds(df, _)), config, q, limit)
   }
 
   /** Exact rerank over an already-prepared query — shared by the
