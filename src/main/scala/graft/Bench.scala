@@ -14,7 +14,11 @@ import graft.search.Search
   * once first; build/write rows reset their own state per rep so all
   * three measure the same cold path), with the per-row relative spread
   * (max-min)/median persisted alongside — a cross-round delta smaller
-  * than the row's own spread is noise, not signal. Families are
+  * than the row's own spread is noise, not signal. Rows whose 3-rep
+  * median lands under 200 ms re-measure at 9 reps and report the
+  * median with the spread over the middle 5 (the extremes on a
+  * sub-100ms row are scheduler hiccups, not operator behavior — r10's
+  * batch64 row posted spread 11.1 from one stray rep). Families are
   * separated by cache-clear + GC barriers so a section never measures
   * its predecessor's heap churn.
   *
@@ -99,12 +103,19 @@ object Bench {
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // Warmup once (skipped when `cold` — then every rep must reset its
     // own state inside f, e.g. unpersist/clearCache, so all reps measure
-    // the same cold path), then median of 3 measured reps.
+    // the same cold path), then median of 3 measured reps. Sub-200ms
+    // rows: 3 reps cannot separate a real 1.5x delta from one stray
+    // scheduler hiccup, so extend to 9 reps and report the median with
+    // the spread over the middle 5 (trimmed — the extremes of a fast
+    // row measure the machine, not the operator).
     def record(name: String, div: Double = 1.0, cold: Boolean = false)(f: => Unit): Unit = {
       if (!cold) f
-      val ts = Seq(time(f), time(f), time(f)).sorted
-      results(name) = ts(1) / div
-      spreads(name) = if (ts(1) > 0) (ts(2) - ts(0)) / ts(1) else 0.0
+      var ts = Seq(time(f), time(f), time(f)).sorted
+      if (ts(1) < 0.2) ts = (ts ++ Seq.fill(6)(time(f))).sorted
+      val med = ts(ts.length / 2)
+      val band = if (ts.length > 3) ts.drop(2).dropRight(2) else ts
+      results(name) = med / div
+      spreads(name) = if (med > 0) (band.last - band.head) / med else 0.0
     }
     // Cache/GC barrier between bench families: without it a family
     // measures the previous family's evicted blocks and JIT churn
