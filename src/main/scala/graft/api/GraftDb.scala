@@ -45,8 +45,8 @@ final class GraftDb(val spark: SparkSession) {
   def createCollection(name: String, dimensions: Int,
       metric: String = "cosine", normalize: Option[String] = None,
       score: String = "similarity", index: String = "flat"): Unit = {
-    require(Seq("flat", "hnsw", "lsh", "ivf", "sq8", "pq", "ivfpq").contains(index),
-      s"unknown index $index")
+    require(GraftIndexRegistry.BuiltinNames(index) ||
+      GraftIndexRegistry.lookup(index).isDefined, s"unknown index $index")
     require(!registry.contains(name), s"collection $name already exists")
     val config = CollectionConfig(name, dimensions, Metric.fromName(metric),
       normalize.map(Normalize.fromName), ScoreMode.fromName(score), index)
@@ -250,7 +250,12 @@ final class GraftDb(val spark: SparkSession) {
           graft.ann.IvfPq.prepare(df, cents, cb).persist())
         graft.ann.IvfPq.search(filtered(prepared), config, cents, cb, query,
           limit, ivfCfg.nprobe)
-      case other => throw new IllegalArgumentException(s"unknown index $other")
+      case other => GraftIndexRegistry.lookup(other) match {
+        // third-party behaviour (reference: custom index modules,
+        // collection.ex:1283-1298) — the impl owns filter semantics
+        case Some(impl) => impl.search(df, config, query, limit, filter)
+        case None => throw new IllegalArgumentException(s"unknown index $other")
+      }
     }
   }
 
@@ -351,6 +356,7 @@ final class GraftDb(val spark: SparkSession) {
     // measured recall curves are per collection generation (keys carry
     // the limit suffix, so sweep by prefix)
     curveCache.keys.filter(_.startsWith(name + "#")).foreach(curveCache.remove)
+    GraftIndexRegistry.notifyMutation(name)
   }
 
   /** Largest m <= 8 dividing the dimension (PQ needs m | dims). */
@@ -477,7 +483,11 @@ final class GraftDb(val spark: SparkSession) {
           residual = false, queries, limit,
           if (np > 0) np else ivfCfg.nprobe, candidates = cand,
           knownNq = knownNq)
-      case _ => Search.flatSearchMany(filtered(df), config, queries, limit)
+      case other => GraftIndexRegistry.lookup(other) match {
+        case Some(impl) =>
+          impl.searchMany(df, config, queries, limit, knownNq, filter)
+        case None => Search.flatSearchMany(filtered(df), config, queries, limit)
+      }
     }
   }
 
@@ -662,15 +672,33 @@ final class GraftDb(val spark: SparkSession) {
 
   // ------------------------------------------------------------ snapshot
 
-  def snapshot(name: String, path: String): Unit = {
+  def snapshot(name: String, path: String, store: String = ParquetStore.name): Unit = {
     val (df, config) = collection(name)
-    CollectionStore.snapshot(df, config, path)
+    GraftStoreRegistry(store).snapshot(df, config, path)
   }
 
   /** Load a snapshot into the registry (overrides whitelisted per
-    * collection.ex:54). */
-  def loadSnapshot(path: String, overrides: Map[String, String] = Map.empty): String = {
-    val (df, config) = CollectionStore.load(spark, path, overrides)
+    * collection.ex:54). `store` names a [[GraftStoreRegistry]] entry;
+    * WHATEVER the store returns goes through the same full-record
+    * validation scan and derived-column rebuild as the default parquet
+    * path — a custom store cannot bypass restored-record validation
+    * (the reference's adversarial contract,
+    * test/vector_adversarial_test.exs:294). */
+  def loadSnapshot(path: String, overrides: Map[String, String] = Map.empty,
+      store: String = ParquetStore.name): String = {
+    val (raw, config) = GraftStoreRegistry(store).load(spark, path, overrides)
+    val missing = Seq("id", "vector").filterNot(raw.columns.contains)
+    if (missing.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot missing required columns: ${missing.mkString(",")}")
+    val invalid = Prepare.invalidRows(raw, config).limit(1).collect()
+    if (invalid.nonEmpty)
+      throw new IllegalStateException(
+        s"snapshot contains invalid record id=${invalid.head.getAs[String]("id")}")
+    val df =
+      if (raw.columns.contains("binary_vector")) raw
+      else raw.withColumn("binary_vector",
+        graft.functions.VectorFunctions.packSignBits(col("vector")))
     registry.put(config.name, (df, config))
     invalidateIndexCaches(config.name)
     config.name

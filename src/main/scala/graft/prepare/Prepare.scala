@@ -95,8 +95,11 @@ object Prepare {
     val badDim = size(col("vector")) =!= config.dimensions
     val nonFinite = exists(col("vector"), x => isnan(x) || x === Float.PositiveInfinity || x === Float.NegativeInfinity)
     val badId = col("id").isNull || col("id") === ""
-    val badMulti = col("vectors").isNotNull &&
-      exists(col("vectors"), v => size(v) =!= config.dimensions)
+    // tolerate a frame without the optional multi-vector column — the
+    // validator also runs over frames produced by third-party stores
+    val multi = optCol(df, "vectors")
+    val badMulti = multi.isNotNull &&
+      exists(multi, v => size(v) =!= config.dimensions)
     df.filter(noVector || badDim || nonFinite || badId || badMulti)
   }
 
