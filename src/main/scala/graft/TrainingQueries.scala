@@ -1897,6 +1897,52 @@ object TrainingQueries {
     * stats → explicit sorted-term score fold) mirroring [[Bm25.scores]]
     * operation-for-operation: same left-assoc arithmetic, same
     * `ln((n-df+0.5)/(df+0.5)+1)` idf, same round-6 ranking key. */
+  /** Stored-expected fixture for the three ann_hnsw_* gate rows: the
+    * deterministic sf0.01 top-10 (id, 6-dp score) of the driver shim,
+    * the 4-shard distributed build, and the persisted layout (all three
+    * coincide at this scale — the graphs recover their true local
+    * top-10). FixtureRegenSpec recomputes this from data every test run
+    * and fails on any divergence, closing the "oracle = my own output"
+    * loop a frozen literal would otherwise leave open. */
+  val HnswFixtureSf001: Seq[(String, Double)] = Seq(
+    "0" -> 1.0, "365" -> 0.369994, "334" -> 0.362722, "387" -> 0.331139,
+    "423" -> 0.296934, "73" -> 0.295434, "7" -> 0.292842, "320" -> 0.287861,
+    "190" -> 0.281795, "464" -> 0.276628)
+
+  private def hnswFixtureSql: String = {
+    val vals = HnswFixtureSf001
+      .map { case (id, s) => s"('$id', $s)" }.mkString(",\n           ")
+    s"""SELECT id, (CAST(score AS DOUBLE) + 0) AS score FROM (VALUES
+           $vals) AS t(id, score)"""
+  }
+
+  /** Stored-expected fixture for text_bpe_tokens: the trained-BPE
+    * tokenization of the sf0.01 held-out docs (doc_id, token count,
+    * md5 of the joined tokens). Deterministic — merge ties break
+    * lexicographically, the word table is (count desc, word asc);
+    * BpeSpec's hand-derived classic fixture backs the freeze and
+    * FixtureRegenSpec re-derives this table from a fresh training run. */
+  val BpeFixtureSf001: Seq[(Int, Int, String)] = Seq(
+    (490, 153, "82a8a0f1b3e308bb76e11bf6bc8a4b55"),
+    (491, 194, "751e8c6979131eb682bf489862ac7cd7"),
+    (492, 48, "320a94413d77b7f39450929d73fb012e"),
+    (493, 258, "264e6a3b43c5ec8f530476acd1e22b1e"),
+    (494, 129, "909ddfdea5f3096c2d78bc44df4c148d"),
+    (495, 232, "31443616c257faf4e2c1e9c473ee826b"),
+    (496, 280, "1cbe73ab512f5e4aefad6ee88572906e"),
+    (497, 62, "0039d1566fcc4ebdfac80ded2959a90c"),
+    (498, 284, "42798f6a055e438b084cc4dfcdfdf765"),
+    (499, 111, "1688e3bff7512daae9cc1c3665e5d2d5"))
+
+  private def bpeFixtureSql: String = {
+    val vals = BpeFixtureSf001
+      .map { case (d, n, m) => s"($d, $n, '$m')" }.mkString(",\n           ")
+    s"""SELECT CAST(c0 AS INT) AS doc_id, CAST(c1 AS INT) AS n_bpe_tokens, c2 AS bpe_md5
+         FROM (VALUES
+           $vals) t(c0, c1, c2)
+         ORDER BY doc_id"""
+  }
+
   private def bm25Ctes(terms: Seq[String], k1: String = "1.2",
       b: String = "0.75"): String = {
     val ts = terms.map(_.toLowerCase).distinct.sorted
@@ -1955,35 +2001,22 @@ object TrainingQueries {
     // constant. A VALUES literal makes the one previously un-oracled
     // row a real regression tripwire: any change to level hashing,
     // neighbor pruning, or the greedy walk shifts the tail of this
-    // list. Regenerate via GRAFT_VERIFY_ONLY=ann_hnsw_topk if the graph
-    // parameters are deliberately changed.
-    "ann_hnsw_topk" ->
-      s"""SELECT id, (CAST(score AS DOUBLE) + 0) AS score FROM (VALUES
-           ('0', 1.0), ('365', 0.369994), ('334', 0.362722),
-           ('387', 0.331139), ('423', 0.296934), ('73', 0.295434),
-           ('7', 0.292842), ('320', 0.287861), ('190', 0.281795),
-           ('464', 0.276628)) AS t(id, score)""",
+    // list. FixtureRegenSpec recomputes the fixture from a fresh
+    // deterministic build every test run and diffs it against
+    // [[HnswFixtureSf001]] — the fixture can never silently drift from
+    // what the engine actually produces. Regenerate via
+    // GRAFT_VERIFY_ONLY=ann_hnsw_topk on deliberate parameter change.
+    "ann_hnsw_topk" -> hnswFixtureSql,
 
     // same fixture-oracle mechanism for the DISTRIBUTED path: 4-shard
     // search is deterministic (hash partition, id-sorted insertion),
     // and at sf0.01 every shard graph recovers its true local top-10,
-    // so the merged list coincides with the driver shim's. Regenerate
-    // via GRAFT_VERIFY_ONLY=ann_hnsw_sharded_topk on deliberate change.
-    "ann_hnsw_sharded_topk" ->
-      s"""SELECT id, (CAST(score AS DOUBLE) + 0) AS score FROM (VALUES
-           ('0', 1.0), ('365', 0.369994), ('334', 0.362722),
-           ('387', 0.331139), ('423', 0.296934), ('73', 0.295434),
-           ('7', 0.292842), ('320', 0.287861), ('190', 0.281795),
-           ('464', 0.276628)) AS t(id, score)""",
+    // so the merged list coincides with the driver shim's.
+    "ann_hnsw_sharded_topk" -> hnswFixtureSql,
     // the persisted layout serves bit-identically to the sharded build
     // path (Hnsw.fromState round-trip, pinned in ShardedHnswSpec), so
     // it shares the fixture
-    "ann_hnsw_persisted_topk" ->
-      s"""SELECT id, (CAST(score AS DOUBLE) + 0) AS score FROM (VALUES
-           ('0', 1.0), ('365', 0.369994), ('334', 0.362722),
-           ('387', 0.331139), ('423', 0.296934), ('73', 0.295434),
-           ('7', 0.292842), ('320', 0.287861), ('190', 0.281795),
-           ('464', 0.276628)) AS t(id, score)""",
+    "ann_hnsw_persisted_topk" -> hnswFixtureSql,
     "dedup_embedding_lsh" -> embeddingLshOracle,
     "dedup_embedding_against" -> embeddingAgainstOracle,
 
@@ -2442,20 +2475,9 @@ object TrainingQueries {
          FROM embeddings e, ms WHERE e.vec_id < 50
          ORDER BY id, i""",
 
-    "text_bpe_tokens" ->
-      s"""SELECT CAST(c0 AS INT) AS doc_id, CAST(c1 AS INT) AS n_bpe_tokens, c2 AS bpe_md5
-         FROM (VALUES
-           (490, 153, '82a8a0f1b3e308bb76e11bf6bc8a4b55'),
-           (491, 194, '751e8c6979131eb682bf489862ac7cd7'),
-           (492, 48, '320a94413d77b7f39450929d73fb012e'),
-           (493, 258, '264e6a3b43c5ec8f530476acd1e22b1e'),
-           (494, 129, '909ddfdea5f3096c2d78bc44df4c148d'),
-           (495, 232, '31443616c257faf4e2c1e9c473ee826b'),
-           (496, 280, '1cbe73ab512f5e4aefad6ee88572906e'),
-           (497, 62, '0039d1566fcc4ebdfac80ded2959a90c'),
-           (498, 284, '42798f6a055e438b084cc4dfcdfdf765'),
-           (499, 111, '1688e3bff7512daae9cc1c3665e5d2d5')) t(c0, c1, c2)
-         ORDER BY doc_id""",
+    // FixtureRegenSpec recomputes this from a freshly-trained BPE every
+    // test run and diffs against [[BpeFixtureSf001]]
+    "text_bpe_tokens" -> bpeFixtureSql,
 
     "text_bm25_search_many" ->
       s"""WITH qt AS (SELECT * FROM (VALUES ('q0','vector'),('q0','stream'),('q0','window'),('q1','spark'),('q1','batch'),('q2','zzznope')) v(qid, term)),
