@@ -42,6 +42,13 @@ final class GraftDb(val spark: SparkSession) {
   private def collection(name: String): (DataFrame, CollectionConfig) =
     registry.getOrElse(name, throw new NoSuchElementException(s"no collection $name"))
 
+  /** Create an empty named collection (reference `Vettore.new` /
+    * `create_collection`).
+    * {{{
+    * val db = new GraftDb(spark)
+    * db.createCollection("articles", dimensions = 4)           // cosine/flat defaults
+    * db.createCollection("codes", 4, metric = "l2", index = "sq8")
+    * }}} */
   def createCollection(name: String, dimensions: Int,
       metric: String = "cosine", normalize: Option[String] = None,
       score: String = "similarity", index: String = "flat"): Unit = {
@@ -55,12 +62,25 @@ final class GraftDb(val spark: SparkSession) {
     registry.put(name, (empty, config))
   }
 
-  /** Idempotent release (reference close/1, collection.ex:360-374). */
+  /** Idempotent release (reference close/1, collection.ex:360-374).
+    * {{{
+    * db.close("articles")   // frees caches; safe to call twice
+    * }}} */
   def close(name: String): Unit = {
     registry.remove(name).foreach(_._1.unpersist())
     invalidateIndexCaches(name)
   }
+
+  /** Alias of [[close]] (reference `delete_collection`).
+    * {{{
+    * db.deleteCollection("articles")
+    * }}} */
   def deleteCollection(name: String): Unit = close(name)
+
+  /** Registered collection names, sorted.
+    * {{{
+    * db.listCollections()   // Seq("articles", "codes")
+    * }}} */
   def listCollections(): Seq[String] = registry.keys.toSeq.sorted
 
   private def toDf(rows: Seq[EmbeddingInput]): DataFrame = {
@@ -76,9 +96,19 @@ final class GraftDb(val spark: SparkSession) {
         e.metadata)): _*), schema)
   }
 
+  /** Insert one embedding (reference `put`).
+    * {{{
+    * db.insert("articles", db.EmbeddingInput("a1", "hello world",
+    *   vector = Array(1f, 0f, 0f, 0f)))
+    * }}} */
   def insert(name: String, e: EmbeddingInput): Unit = batch(name, Seq(e))
 
-  /** Atomic batch append with duplicate-id rejection (put_many). */
+  /** Atomic batch append with duplicate-id rejection (put_many).
+    * {{{
+    * db.batch("articles", Seq(
+    *   db.EmbeddingInput("a2", vector = Array(0f, 1f, 0f, 0f)),
+    *   db.EmbeddingInput("a3", vector = Array(0f, 0f, 1f, 0f))))
+    * }}} */
   def batch(name: String, rows: Seq[EmbeddingInput]): Unit = {
     val (df, config) = collection(name)
     val next = Prepare.putMany(df, toDf(rows), config)
@@ -86,20 +116,52 @@ final class GraftDb(val spark: SparkSession) {
     invalidateIndexCaches(name)
   }
 
+  /** The collection's canonical frame (reference `all`).
+    * {{{
+    * db.all("articles").select("id", "vector").show()
+    * }}} */
   def all(name: String): DataFrame = collection(name)._1
+
+  /** Alias of [[all]] (reference `get_all`).
+    * {{{
+    * db.getAll("articles").count()
+    * }}} */
   def getAll(name: String): DataFrame = all(name)
+
+  /** Row count (reference `Store.count`).
+    * {{{
+    * db.count("articles")   // 3L
+    * }}} */
   def count(name: String): Long = all(name).count()
+
+  /** The collection's config (dimensions, metric, normalize, score, index).
+    * {{{
+    * db.config("articles").metric.name   // "cosine"
+    * }}} */
   def config(name: String): CollectionConfig = collection(name)._2
 
+  /** Fetch one record by id (reference `get`).
+    * {{{
+    * db.get("articles", "a1").map(_.getAs[String]("value"))   // Some("hello world")
+    * }}} */
   def get(name: String, id: String): Option[Row] =
     Prepare.get(all(name), id).collect().headOption
 
+  /** First record whose value matches; lowest id wins (reference
+    * `get_by_value`).
+    * {{{
+    * db.getByValue("articles", "hello world").map(_.getAs[String]("id"))   // Some("a1")
+    * }}} */
   def getByValue(name: String, value: String): Option[Row] =
     all(name).filter(col("value") === value).orderBy(col("id")).limit(1)
       .collect().headOption
 
   /** First exact match of the *prepared* (normalized) vector
-    * (vettore.ex:508-524); lowest id wins for determinism. */
+    * (vettore.ex:508-524); lowest id wins for determinism.
+    * {{{
+    * db.getByVector("articles", Array(1f, 0f, 0f, 0f))
+    *   .map(_.getAs[String]("id"))   // Some("a1")
+    * }}} */
   def getByVector(name: String, vector: Array[Float]): Option[Row] = {
     val (df, config) = collection(name)
     val prepared = Search.prepareQuery(config, vector)
@@ -107,6 +169,10 @@ final class GraftDb(val spark: SparkSession) {
       .orderBy(col("id")).limit(1).collect().headOption
   }
 
+  /** Copy-on-write delete by id (reference `delete`).
+    * {{{
+    * db.delete("articles", "a3")
+    * }}} */
   def delete(name: String, id: String): Unit = {
     val (df, config) = collection(name)
     registry.put(name, (Prepare.deleteIds(df, Seq(id)), config))
@@ -132,7 +198,12 @@ final class GraftDb(val spark: SparkSession) {
     * `recallTarget` resolves the search knobs from the measured
     * [[overlapCurve]] exactly like [[searchMany]]'s form of the same
     * option (the single-query path shares the batch path's models and
-    * candidate budgets, so the curve transfers). */
+    * candidate budgets, so the curve transfers).
+    * {{{
+    * db.search("articles", Array(1f, 0f, 0f, 0f), limit = 2)
+    *   .select("id", "score").show()
+    * db.search("articles", q, 10, filter = Some(col("id") =!= "a2"))
+    * }}} */
   def search(name: String, query: Array[Float], limit: Int,
       filter: Option[org.apache.spark.sql.Column] = None,
       oversample: Int = 4, recallTarget: Double = 0.0): DataFrame = {
@@ -364,11 +435,18 @@ final class GraftDb(val spark: SparkSession) {
     graft.ann.Pq.PqConfig(m = (8 to 1 by -1).find(config.dimensions % _ == 0).get)
 
   /** Validate + normalize a query exactly like ingest — the reference's
-    * prepare_query/2 (vettore.ex:314). */
+    * prepare_query/2 (vettore.ex:314).
+    * {{{
+    * db.prepareQuery("articles", Array(3f, 0f, 0f, 0f))   // unit-normalized
+    * }}} */
   def prepareQuery(name: String, query: Array[Float]): Array[Float] =
     Search.prepareQuery(collection(name)._2, query)
 
-  /** (id, score) pairs, compat default score mode (vettore.ex:593-605). */
+  /** (id, score) pairs, compat default score mode (vettore.ex:593-605).
+    * {{{
+    * db.similaritySearch("articles", Array(1f, 0f, 0f, 0f), 2)
+    *   // Seq(("a1", 1.0), ...)
+    * }}} */
   def similaritySearch(name: String, query: Array[Float], limit: Int): Seq[(String, Double)] =
     search(name, query, limit).select("id", "score").collect()
       .map(r => (r.getString(0), r.getDouble(1))).toSeq
@@ -390,7 +468,11 @@ final class GraftDb(val spark: SparkSession) {
     * [[overlapCurve]] whose measured overlap@limit meets the target
     * (curve measured once per collection generation, persisted beside
     * an at-rest index). Explicit `nprobe`/`candidates`/`beam` override
-    * both the defaults and the target; 0 means "not set". */
+    * both the defaults and the target; 0 means "not set".
+    * {{{
+    * val queries = Seq(("q0", Seq(1f, 0f, 0f, 0f))).toDF("qid", "qvector")
+    * db.searchMany("articles", queries, limit = 2, knownNq = 1L)
+    * }}} */
   def searchMany(name: String, queries: DataFrame, limit: Int,
       knownNq: Long = -1L,
       filter: Option[org.apache.spark.sql.Column] = None,
@@ -530,7 +612,10 @@ final class GraftDb(val spark: SparkSession) {
     * for a collection opened from an at-rest index — persisted as a
     * sidecar beside the model so reopened sessions skip the
     * measurement. Cost: one exact batch search plus one batch search
-    * per ladder point, each over `sampleQueries` probe queries. */
+    * per ladder point, each over `sampleQueries` probe queries.
+    * {{{
+    * db.overlapCurve("codes", limit = 5)   // Seq(OperatingPoint(...), ...)
+    * }}} */
   def overlapCurve(name: String, limit: Int = 10,
       sampleQueries: Int = 8): Seq[OperatingPoint] =
     curveCache.getOrElseUpdate(s"$name#$limit", {
@@ -583,19 +668,31 @@ final class GraftDb(val spark: SparkSession) {
     * no ladder point does, the most expensive point (a target above the
     * index's measured ceiling cannot be conjured — check
     * [[overlapCurve]] and widen the ladder knobs explicitly if the
-    * ceiling surprises you). */
+    * ceiling surprises you).
+    * {{{
+    * val p = db.knobsFor("codes", recallTarget = 0.9)
+    * db.searchMany("codes", queries, 10, candidates = p.candidates)
+    * }}} */
   def knobsFor(name: String, recallTarget: Double, limit: Int = 10): OperatingPoint = {
     val curve = overlapCurve(name, limit)
     curve.find(p => p.overlap >= recallTarget && p.fill >= 0.999)
       .getOrElse(curve.last)
   }
 
+  /** Matryoshka funnel search (compat funnel_search).
+    * {{{
+    * db.funnelSearch("articles", q, 10, stages = Seq(1, 2, 4))
+    * }}} */
   def funnelSearch(name: String, query: Array[Float], limit: Int,
       stages: Seq[Int] = Nil, candidates: Int = 0): DataFrame = {
     val (df, config) = collection(name)
     Search.funnelSearch(df, config, query, limit, stages, candidates)
   }
 
+  /** Sign-bit candidate search + exact rerank (compat quantized_search).
+    * {{{
+    * db.quantizedSearch("articles", q, 10, candidates = 50)
+    * }}} */
   def quantizedSearch(name: String, query: Array[Float], limit: Int,
       candidates: Int = 0): DataFrame = {
     val (df, config) = collection(name)
@@ -603,7 +700,10 @@ final class GraftDb(val spark: SparkSession) {
   }
 
   /** Batch quantized search — sign-bit candidates for the whole query
-    * batch in one scan (see Search.quantizedSearchMany). */
+    * batch in one scan (see Search.quantizedSearchMany).
+    * {{{
+    * db.quantizedSearchMany("articles", queries, 10, knownNq = 1L)
+    * }}} */
   def quantizedSearchMany(name: String, queries: DataFrame, limit: Int,
       candidates: Int = 0, knownNq: Long = -1L): DataFrame = {
     val (df, config) = collection(name)
@@ -611,6 +711,12 @@ final class GraftDb(val spark: SparkSession) {
       knownNq = knownNq)
   }
 
+  /** MaxSim late-interaction search over multi-vector records (compat
+    * multi_vector_search).
+    * {{{
+    * db.multiVectorSearch("articles",
+    *   Seq(Array(1f, 0f, 0f, 0f), Array(0f, 1f, 0f, 0f)), 5)
+    * }}} */
   def multiVectorSearch(name: String, queryVectors: Seq[Array[Float]], limit: Int,
       metric: Option[String] = None): DataFrame = {
     val (df, config) = collection(name)
@@ -618,6 +724,11 @@ final class GraftDb(val spark: SparkSession) {
       metric.map(Metric.fromName))
   }
 
+  /** Candidate-generator union + exact (or MaxSim) rerank (compat
+    * hybrid_search).
+    * {{{
+    * db.hybridSearch("articles", q, 10, generators = Seq("funnel", "quantized"))
+    * }}} */
   def hybridSearch(name: String, query: Array[Float], limit: Int,
       generators: Seq[String] = Seq("funnel", "quantized"), candidates: Int = 0,
       rerankMultiVector: Option[Seq[Array[Float]]] = None): DataFrame = {
@@ -630,7 +741,10 @@ final class GraftDb(val spark: SparkSession) {
     * reference stores the document text there): top-`limit` by Okapi
     * BM25, (id, dl, score). Null values rank as empty docs — they
     * never match. Engine extension (the reference has no lexical
-    * scorer); see [[graft.text.Bm25]] for the scale shape. */
+    * scorer); see [[graft.text.Bm25]] for the scale shape.
+    * {{{
+    * db.textSearch("articles", Seq("hello", "world"), 5)
+    * }}} */
   def textSearch(name: String, queryTerms: Seq[String], limit: Int,
       k1: Double = graft.text.Bm25.DefaultK1,
       b: Double = graft.text.Bm25.DefaultB): DataFrame = {
@@ -645,7 +759,10 @@ final class GraftDb(val spark: SparkSession) {
     * (whatever [[search]] dispatches to — flat, ivf, hnsw, ...), each
     * contributing a `poolSize` ranking, fused by 1/(k0+rank). The
     * rank-based fusion needs no calibration between BM25 and the
-    * vector score scale. */
+    * vector score scale.
+    * {{{
+    * db.hybridRrfSearch("articles", Seq("hello"), q, 5)
+    * }}} */
   def hybridRrfSearch(name: String, queryTerms: Seq[String],
       query: Array[Float], limit: Int, poolSize: Int = 50,
       k0: Int = graft.search.Fusion.DefaultK0): DataFrame = {
@@ -662,7 +779,10 @@ final class GraftDb(val spark: SparkSession) {
       k0 = k0, limit = limit)
   }
 
-  /** MMR rerank over the collection (compat rerank/4, vettore.ex:622-642). */
+  /** MMR rerank over the collection (compat rerank/4, vettore.ex:622-642).
+    * {{{
+    * db.rerank("articles", q, alpha = 0.7, finalK = 3)
+    * }}} */
   def rerank(name: String, query: Array[Float], alpha: Double, finalK: Int,
       candidates: Int = 0): DataFrame = {
     val (df, config) = collection(name)
@@ -672,6 +792,11 @@ final class GraftDb(val spark: SparkSession) {
 
   // ------------------------------------------------------------ snapshot
 
+  /** Persist the collection + config at `path` through a registered
+    * [[GraftStore]] (parquet by default; compat snapshot/2).
+    * {{{
+    * db.snapshot("articles", "/tmp/articles_snap")
+    * }}} */
   def snapshot(name: String, path: String, store: String = ParquetStore.name): Unit = {
     val (df, config) = collection(name)
     GraftStoreRegistry(store).snapshot(df, config, path)
@@ -683,7 +808,12 @@ final class GraftDb(val spark: SparkSession) {
     * validation scan and derived-column rebuild as the default parquet
     * path — a custom store cannot bypass restored-record validation
     * (the reference's adversarial contract,
-    * test/vector_adversarial_test.exs:294). */
+    * test/vector_adversarial_test.exs:294).
+    * {{{
+    * val restored = db.loadSnapshot("/tmp/articles_snap",
+    *   overrides = Map("name" -> "articles2"))
+    * db.count(restored)
+    * }}} */
   def loadSnapshot(path: String, overrides: Map[String, String] = Map.empty,
       store: String = ParquetStore.name): String = {
     val (raw, config) = GraftStoreRegistry(store).load(spark, path, overrides)
@@ -718,7 +848,10 @@ final class GraftDb(val spark: SparkSession) {
     * other half of the lifecycle. `hnsw` persists its per-shard graphs
     * WITH adjacency (the reference rebuilds from canonical,
     * collection.ex:426-433 — the layout is this engine's extension), so
-    * reopening reconstructs them with zero distance computations. */
+    * reopening reconstructs them with zero distance computations.
+    * {{{
+    * db.persistIndex("codes", "/tmp/codes_idx")   // model + encoded layout
+    * }}} */
   def persistIndex(name: String, path: String): Unit = {
     val (df, config) = collection(name)
     config.index match {
@@ -785,7 +918,11 @@ final class GraftDb(val spark: SparkSession) {
     * the model sidecar, and the code/cell columns feed the search
     * caches directly — a cold session serves its first query with NO
     * retraining and NO re-encoding. The registry holds the canonical
-    * columns, so CRUD output is unchanged. */
+    * columns, so CRUD output is unchanged.
+    * {{{
+    * db.openIndexed("codes2", "/tmp/codes_idx")   // cold open, no retrain
+    * db.search("codes2", q, 10)
+    * }}} */
   def openIndexed(name: String, path: String): Unit = {
     require(!registry.contains(name), s"collection $name already exists")
     val config = CollectionStore.readConfig(spark, path).copy(name = name)
@@ -844,7 +981,11 @@ final class GraftDb(val spark: SparkSession) {
     * entries per key without ever emptying them; since the model
     * sidecar is append-invariant, a search racing the refresh pairs the
     * unchanged model with either the old or the new frame — both
-    * self-consistent, and nothing ever retrains. */
+    * self-consistent, and nothing ever retrains.
+    * {{{
+    * db.openIndexed("codes2", "/tmp/codes_idx")
+    * db.appendIndexed("codes2", newRows)  // encodes through the persisted model
+    * }}} */
   def appendIndexed(name: String, rows: DataFrame): Unit = {
     val (_, config) = registry.getOrElse(name,
       throw new IllegalArgumentException(s"collection $name does not exist"))
@@ -910,7 +1051,10 @@ final class GraftDb(val spark: SparkSession) {
     * files — DataFrames captured before the call, including lazily held
     * search results, reference deleted paths and will fail when next
     * evaluated. Quiesce reads on this collection around the call and
-    * re-issue queries after it returns. */
+    * re-issue queries after it returns.
+    * {{{
+    * db.compactIndexed("codes2")  // rewrite small files, results unchanged
+    * }}} */
   def compactIndexed(name: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     val (_, config) = registry.getOrElse(name,
