@@ -589,6 +589,25 @@ object TrainingQueries {
           col("delta_ns"))
     }),
 
+    // the SAME band join through the streaming operator's plan shape
+    // (canonical r.ts BETWEEN l.ts + lower AND l.ts + upper condition —
+    // what the watermarked stream-stream form runs) on batch frames:
+    // gates that the streaming operator's batch degenerate case agrees
+    // with an independent SQL band join, whole-second bounds so the
+    // ns -> interval truncation to Spark's microsecond timestamps is
+    // exact
+    "events_streaming_interval_join" -> ((s, dir) => {
+      val ev = events(s, dir)
+      val views = ev.filter(col("event_type") === "view")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val purchases = ev.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      EventStreams.streamingIntervalJoin(views, purchases, "user_id", "ts",
+        lowerNs = 1000000000L, upperNs = 7200000000000L)
+        .select(col("user_id"), col("l_event_id"), col("r_event_id"),
+          col("delta_ns"))
+    }),
+
     // ---- lexical retrieval + hybrid fusion
     // Okapi BM25 top-k: per-doc tf/dl are codegen'd HOFs over the token
     // array (no corpus-wide term explode), corpus stats (N, Σdl,
@@ -2872,6 +2891,16 @@ object TrainingQueries {
            CAST(p.ns - v.ns AS BIGINT) AS delta_ns
          FROM v JOIN p ON p.user_id = v.user_id
            AND p.ns - v.ns BETWEEN 1 AND 7200000000000
+         ORDER BY 1, 2, 3""",
+
+    "events_streaming_interval_join" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ns, event_type FROM events),
+         v AS (SELECT * FROM e WHERE event_type = 'view'),
+         p AS (SELECT * FROM e WHERE event_type = 'purchase')
+         SELECT v.user_id, v.event_id AS l_event_id, p.event_id AS r_event_id,
+           CAST(p.ns - v.ns AS BIGINT) AS delta_ns
+         FROM v JOIN p ON p.user_id = v.user_id
+           AND p.ns - v.ns BETWEEN 1000000000 AND 7200000000000
          ORDER BY 1, 2, 3""",
 
     "events_sessionize" ->

@@ -461,6 +461,26 @@ class ScaleSpec extends SparkSpec {
     assert(salted("hot")._2 === 5000L)
   }
 
+  test("funnel final plan: InSet survivor probe over the scan, zero exchanges") {
+    // the r10 regression shape: stage cuts over full rows put the
+    // vector payload through a keep*P-row sort-exchange. The fixed
+    // design decides cuts on slim (id, rank) projections and threads
+    // survivors back as one InSet literal — the returned plan must be
+    // a pure scan+filter+TakeOrdered with NO exchange of any kind.
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+    val q = Tables.queryVector(spark, sfDir, 1L)
+    val res = Search.funnelSearch(coll, config, q, 10,
+      stages = Seq(d / 4, d / 2, d), candidates = 40)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"funnel result plan shuffles:\n$plan")
+    assert(plan.contains("TakeOrderedAndProject"))
+    // and it still returns the exact funnel result
+    assert(res.collect().length === 10)
+  }
+
   test("salted join equals plain join under a hot key") {
     val big = (Seq.fill(2000)(1) ++ (2 to 50)).zipWithIndex
       .map { case (k, i) => (k, i) }.toDF("k", "payload").repartition(8)
