@@ -137,6 +137,15 @@ class StatefulStreamingSpec extends SparkSpec {
         .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
       assert(deltas(("a", "y")) === 100L * 1000000000L)
       assert(deltas(("b", "r1")) === 50L * 1000000000L)
+      // the watermark boundary is REAL: a right row whose event time is
+      // behind (max seen - 600s) arrives too late — its left partner's
+      // state has been evicted, so it joins nothing. This is the one
+      // deliberate divergence from the batch form (which sees all rows);
+      // bounded state is the price of an unbounded stream.
+      rIn.addData(("u", ts(20), "too_late"))
+      q.processAllAvailable()
+      assert(!spark.table("bandjoin").collect()
+        .map(_.getString(1)).contains("too_late"))
     } finally q.stop()
   }
 
