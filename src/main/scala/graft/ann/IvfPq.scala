@@ -44,11 +44,11 @@ object IvfPq {
       if (df.columns.contains("ivf_cell") && df.columns.contains("pq_codes")) df
       else prepare(df, centroids, codebooks)
     val approx = adcDistance(col("pq_codes"), table, codebooks(0).length)
-    val cut = Search.candidateCut(
-      prepared.filter(col("ivf_cell").isin(cells: _*))
-        .withColumn("rank", if (sim) -approx else approx), effCand)
-      .drop("rank", "pq_codes", "ivf_cell")
-    Search.rerankExact(cut, config, q, limit)
+    // slim (id, adc-rank) cut over the probed cells + InSet survivors
+    val ids = Search.slimTopIds(
+      prepared.filter(col("ivf_cell").isin(cells: _*)),
+      if (sim) -approx else approx, effCand)
+    Search.rerankExact(Search.filterByIds(df, ids), config, q, limit)
   }
 
   /** Batch IVF-PQ search — the full scale shape for a million-query
@@ -173,9 +173,11 @@ object IvfPq {
       prepared.filter(col("ivf_cell") === c)
         .withColumn("rank", adcDistance(col("pq_res_codes"), table, k))
     }
-    val cut = Search.candidateCut(branches.reduce(_ unionByName _), effCand)
-      .drop("rank", "pq_res_codes", "ivf_cell")
-    Search.rerankExact(cut, config, q, limit)
+    // the per-cell branches carry their rank column; the union's cut is
+    // slim + InSet like every single-query candidate pass
+    val ids = Search.slimTopIds(branches.reduce(_ unionByName _),
+      col("rank"), effCand)
+    Search.rerankExact(Search.filterByIds(df, ids), config, q, limit)
   }
 
   /** Batch residual search — [[searchMany]]'s shape with per-(query,cell)

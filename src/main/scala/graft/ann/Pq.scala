@@ -128,10 +128,9 @@ object Pq {
     val table = adcTable(codebooks, q, config.metric)
     val approx = adcDistance(col(codesCol), table, codebooks(0).length)
     val rank = if (similarityLike(config.metric)) -approx else approx
-    val cut = Search.candidateCut(
-      withCodes(df, codebooks, codesCol).withColumn("rank", rank), effCand)
-      .drop("rank", codesCol)
-    Search.rerankExact(cut, config, q, limit)
+    // slim (id, adc-rank) cut + InSet survivors, like Sq8.search
+    val ids = Search.slimTopIds(withCodes(df, codebooks, codesCol), rank, effCand)
+    Search.rerankExact(Search.filterByIds(df, ids), config, q, limit)
   }
 
   /** Batch ADC search over m-byte codes — same contract and shape as

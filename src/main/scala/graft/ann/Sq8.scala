@@ -150,10 +150,12 @@ object Sq8 {
     val table = adcTable(model, q, config.metric)
     val approx = adcDistance(col(codesCol), table, 256)
     val rank = if (similarityLike(config.metric)) -approx else approx
-    val cut = Search.candidateCut(
-      withCodes(df, model, codesCol).withColumn("rank", rank), effCand)
-      .drop("rank", codesCol)
-    Search.rerankExact(cut, config, q, limit)
+    // slim (id, adc-rank) cut: the codes-only scan's sort carries 12
+    // bytes/row, and survivors re-enter as an id InSet over the raw
+    // frame — the cut never touches the full-precision columns it is
+    // there to avoid reading
+    val ids = Search.slimTopIds(withCodes(df, model, codesCol), rank, effCand)
+    Search.rerankExact(Search.filterByIds(df, ids), config, q, limit)
   }
 
   /** Batch ADC search: ONE codes-only scan answers every query — the

@@ -193,8 +193,18 @@ object Search {
     val raw =
       if (config.metric == Metric.Cosine) trueCosine(vPrefix, vecLit(qPrefix))
       else vecDistance(config.metric, vPrefix, vecLit(qPrefix))
-    val slim = df.select(col("id"), raw.as("raw"))
-      .select(col("id"), rankCol(config.metric, col("raw")).as("rank"))
+    slimTopIds(df, rankCol(config.metric, raw), keep)
+  }
+
+  /** Top-`keep` ids by ascending (`rank`, id), decided on a slim
+    * (id, rank) projection — the shared candidate-cut shape (see
+    * [[funnelStageTopIds]] for why payload columns must never enter
+    * the sort). Terminal TakeOrderedAndProject = per-partition bounded
+    * heap + driver merge of slim pairs; above 64 partitions the
+    * locally-cut survivors funnel through a 64-way exchange first so
+    * the driver merge never scales with corpus partition count. */
+  private[graft] def slimTopIds(df: DataFrame, rank: Column, keep: Int): Array[String] = {
+    val slim = df.select(col("id"), rank.as("rank"))
     val fanned =
       if (df.rdd.getNumPartitions > 64)
         slim.sortWithinPartitions(col("rank").asc_nulls_last, col("id").asc)
@@ -210,7 +220,7 @@ object Search {
     * to one Literal PER ID (12800 tree nodes at the default funnel
     * operating point), and analyzing/serializing that tree costs more
     * than the stage's distance job. */
-  private def filterByIds(df: DataFrame, ids: Array[String]): DataFrame = {
+  private[graft] def filterByIds(df: DataFrame, ids: Array[String]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.InSet
     import org.apache.spark.unsafe.types.UTF8String
     val hset: Set[Any] = ids.iterator.map(UTF8String.fromString(_): Any).toSet
@@ -319,7 +329,10 @@ object Search {
       else if (config.metric == Metric.NegativeInnerProduct)
         packedAsymmetricDot(stored, vecLit(q))
       else -packedAsymmetricDot(stored, vecLit(q))
-    candidateCut(df.withColumn("ham", rank), keep, rank = col("ham")).drop("ham")
+    // slim (id, proxy-rank) cut + InSet survivors, like the funnel
+    // stages: the packed-bit scan never sorts the full-precision rows
+    // it is there to avoid reading
+    filterByIds(df, slimTopIds(df, rank, keep))
   }
 
   /** ColBERT/MaxSim multi-vector search (collection.ex:298-323). Records
@@ -367,9 +380,9 @@ object Search {
         }
       case "quantized" => quantizedCandidates(df, config, q, effCand, asymmetric)
       case "search" | "flat" =>
-        candidateCut(df.withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))
-          .withColumn("rank", rankCol(config.metric, col("raw"))), effCand)
-          .drop("raw", "rank")
+        filterByIds(df, slimTopIds(df,
+          rankCol(config.metric, vecDistance(config.metric, col("vector"), vecLit(q))),
+          effCand))
       case g => throw new IllegalArgumentException(s"unknown generator $g")
     }.map(_.select(keep.map(col): _*))
     val union = frames.reduce(_ unionByName _).dropDuplicates("id")
