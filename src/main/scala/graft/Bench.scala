@@ -14,13 +14,14 @@ import graft.search.Search
   * once first; build/write rows reset their own state per rep so all
   * three measure the same cold path), with the per-row relative spread
   * (max-min)/median persisted alongside — a cross-round delta smaller
-  * than the row's own spread is noise, not signal. Rows whose 3-rep
-  * median lands under 200 ms re-measure at 9 reps and report the
-  * median with the spread over the middle 5 (the extremes on a
-  * sub-100ms row are scheduler hiccups, not operator behavior — r10's
-  * batch64 row posted spread 11.1 from one stray rep). Families are
-  * separated by cache-clear + GC barriers so a section never measures
-  * its predecessor's heap churn.
+  * than the row's own spread is noise, not signal. Measurement
+  * escalates while a row looks noisy (sub-200ms median or trimmed
+  * spread > 0.5 -> 9 reps; still noisy or sub-50ms -> 21 reps), and
+  * the spread reports the middle half (the extremes on a sub-100ms
+  * row are scheduler hiccups, not operator behavior — r10's batch64
+  * row posted spread 11.1 from one stray rep). Families are separated
+  * by cache-clear + GC barriers so a section never measures its
+  * predecessor's heap churn.
   *
   * Two benchmark families:
   *  1. `synth_*`: the reference's published matrix shape — 100k records
@@ -103,19 +104,29 @@ object Bench {
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
     // Warmup once (skipped when `cold` — then every rep must reset its
     // own state inside f, e.g. unpersist/clearCache, so all reps measure
-    // the same cold path), then median of 3 measured reps. Sub-200ms
-    // rows: 3 reps cannot separate a real 1.5x delta from one stray
-    // scheduler hiccup, so extend to 9 reps and report the median with
-    // the spread over the middle 5 (trimmed — the extremes of a fast
-    // row measure the machine, not the operator).
+    // the same cold path), then median of 3 measured reps. 3 reps
+    // cannot separate a real 1.5x delta from one stray scheduler hiccup,
+    // so measurement ESCALATES while the row looks noisy: sub-200ms
+    // medians or a trimmed spread above 0.5 extend to 9 reps, and a
+    // still-noisy row (or sub-50ms median) to 21; the reported spread is
+    // over the middle half (the extremes of a fast row measure the
+    // machine, not the operator). Cold rows escalate on the same rule —
+    // their per-rep cost bounds the extra wall-clock.
     def record(name: String, div: Double = 1.0, cold: Boolean = false)(f: => Unit): Unit = {
       if (!cold) f
+      def trimmed(xs: Seq[Double]): Seq[Double] =
+        if (xs.length > 3) { val d = xs.length / 4; xs.drop(d).dropRight(d) } else xs
+      def spreadOf(xs: Seq[Double]): Double = {
+        val med = xs(xs.length / 2); val t = trimmed(xs)
+        if (med > 0) (t.last - t.head) / med else 0.0
+      }
       var ts = Seq(time(f), time(f), time(f)).sorted
-      if (ts(1) < 0.2) ts = (ts ++ Seq.fill(6)(time(f))).sorted
-      val med = ts(ts.length / 2)
-      val band = if (ts.length > 3) ts.drop(2).dropRight(2) else ts
-      results(name) = med / div
-      spreads(name) = if (med > 0) (band.last - band.head) / med else 0.0
+      if (ts(1) < 0.2 || spreadOf(ts) > 0.5)
+        ts = (ts ++ Seq.fill(6)(time(f))).sorted
+      if (ts.length > 3 && (ts(ts.length / 2) < 0.05 || spreadOf(ts) > 0.5))
+        ts = (ts ++ Seq.fill(12)(time(f))).sorted
+      results(name) = ts(ts.length / 2) / div
+      spreads(name) = spreadOf(ts)
     }
     // Cache/GC barrier between bench families: without it a family
     // measures the previous family's evicted blocks and JIT churn
