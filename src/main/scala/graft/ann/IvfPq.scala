@@ -44,11 +44,14 @@ object IvfPq {
       if (df.columns.contains("ivf_cell") && df.columns.contains("pq_codes")) df
       else prepare(df, centroids, codebooks)
     val approx = adcDistance(col("pq_codes"), table, codebooks(0).length)
-    // slim (id, adc-rank) cut over the probed cells + InSet survivors
-    val ids = Search.slimTopIds(
-      prepared.filter(col("ivf_cell").isin(cells: _*)),
-      if (sim) -approx else approx, effCand)
-    Search.rerankExact(Search.filterByIds(df, ids), config, q, limit)
+    // slim (id, adc-rank) cut over the probed cells + InSet survivors;
+    // the rerank keeps the cell probe on its scan too — survivors lie in
+    // probed cells by construction, and on the partitioned at-rest
+    // layout that filter IS the directory pruning (PartitionFilters),
+    // which an id-only probe would forfeit
+    val probed = prepared.filter(col("ivf_cell").isin(cells: _*))
+    val ids = Search.slimTopIds(probed, if (sim) -approx else approx, effCand)
+    Search.rerankExact(Search.filterByIds(probed, ids), config, q, limit)
   }
 
   /** Batch IVF-PQ search — the full scale shape for a million-query
@@ -174,10 +177,13 @@ object IvfPq {
         .withColumn("rank", adcDistance(col("pq_res_codes"), table, k))
     }
     // the per-cell branches carry their rank column; the union's cut is
-    // slim + InSet like every single-query candidate pass
+    // slim + InSet like every single-query candidate pass, and the
+    // rerank keeps the cell probe so the at-rest layout's directory
+    // pruning survives in the final plan
     val ids = Search.slimTopIds(branches.reduce(_ unionByName _),
       col("rank"), effCand)
-    Search.rerankExact(Search.filterByIds(df, ids), config, q, limit)
+    Search.rerankExact(Search.filterByIds(
+      prepared.filter(col("ivf_cell").isin(cells: _*)), ids), config, q, limit)
   }
 
   /** Batch residual search — [[searchMany]]'s shape with per-(query,cell)

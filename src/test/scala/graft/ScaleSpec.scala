@@ -403,7 +403,10 @@ class ScaleSpec extends SparkSpec {
     // the probe reaches the scan as a PartitionFilter (whole-directory prune)
     val probePlan = graft.ann.IvfPq.searchPartitionedResidual(spark, path, config,
       cents, cb, q, 5, nprobe = 2).queryExecution.executedPlan.toString
-    assert(probePlan.contains("PartitionFilters: [isnotnull(ivf_cell"),
+    // slim-cut shape: the rerank scan carries `ivf_cell IN (probes)`
+    // (was `isnotnull(ivf_cell), (ivf_cell = c)` per branch before) —
+    // either way the probe must reach the scan as a PartitionFilter
+    assert(probePlan.contains("PartitionFilters: [ivf_cell"),
       s"probe not pushed to partition filter:\n$probePlan")
     coll.unpersist()
   }
