@@ -220,6 +220,31 @@ class SearchSpec extends SparkSpec {
     assert(top.head.getAs[String]("id") === "b")
   }
 
+  test("slimTopIds == candidateCut id set: same (rank, id) cut, payload-free") {
+    import spark.implicits._
+    // many partitions + duplicate rank values force both the tie-break
+    // and the per-partition/global merge paths; rank = a deterministic
+    // hash so neither ordering nor partitioning is accidentally aligned
+    val df = spark.range(997).select(
+      col("id").cast("string").as("id"),
+      (col("id") * 2654435761L % 97L).cast("double").as("rank"),
+      lit("payload").as("value")).repartition(13)
+    for (k <- Seq(1, 7, 96, 200, 997, 2000)) {
+      val viaCut = Search.candidateCut(df, k).select("id")
+        .collect().map(_.getString(0)).toSet
+      val viaSlim = Search.slimTopIds(df, col("rank"), k).toSet
+      assert(viaSlim === viaCut, s"k=$k")
+    }
+    // above 64 partitions the fan-in pre-reduction path engages;
+    // results must not change
+    val wide = df.repartition(80)
+    for (k <- Seq(7, 200)) {
+      val viaCut = Search.candidateCut(wide, k).select("id")
+        .collect().map(_.getString(0)).toSet
+      assert(Search.slimTopIds(wide, col("rank"), k).toSet === viaCut, s"wide k=$k")
+    }
+  }
+
   test("hybrid search with MaxSim rerank restricts scoring to candidates") {
     val config = CollectionConfig("hmv", 2, Metric.InnerProduct)
     val df = multiVectorRows(Seq(
