@@ -541,6 +541,26 @@ object TrainingQueries {
         Seq("z")) 
     }),
 
+    // linear probe (closed-form ridge on the embedding column — the
+    // FineWeb-Edu quality-scorer shape): teacher label = the 3rd
+    // embedding dim (deterministic, present on both engines), features
+    // = the first 2 dims, lambda = 0.001, no intercept so the whole
+    // normal-equation solve is 2x2 and replicates in SQL via the
+    // adjugate. Gates: the moments job, the ridge solve, and every
+    // probe score end-to-end
+    "emb_linear_probe" -> ((s, dir) => {
+      val emb = Tables.read(s, dir, "embeddings")
+      val feats = emb.select(col("vec_id"),
+        slice(col("embedding"), 1, 2).as("vector"),
+        element_at(col("embedding"), 3).cast("double").as("y"))
+      val model = graft.encode.LinearProbe.train(feats, "vector", col("y"),
+        dims = 2, lambda = 0.001, fitIntercept = false)
+      roundCols(feats.filter(col("vec_id") < 50)
+        .select(col("vec_id").cast("int").as("id"),
+          graft.encode.LinearProbe.scoreColumn(col("vector"), model).as("score")),
+        Seq("score"))
+    }),
+
     // WITHIN-doc repetition strip (the self-repetition fix operator):
     // docs 0-39 get their own first 30 tokens re-appended — the
     // repeated region keeps its first occurrence, the appended copy
@@ -2497,6 +2517,20 @@ object TrainingQueries {
     // FixtureRegenSpec recomputes this from a freshly-trained BPE every
     // test run and diffs against [[BpeFixtureSf001]]
     "text_bpe_tokens" -> bpeFixtureSql,
+
+    "emb_linear_probe" ->
+      s"""WITH f AS (SELECT vec_id,
+           CAST(embedding[1] AS DOUBLE) AS x1,
+           CAST(embedding[2] AS DOUBLE) AS x2,
+           CAST(embedding[3] AS DOUBLE) AS y FROM embeddings),
+         m AS (SELECT sum(x1*x1) + 0.001 AS a11, sum(x1*x2) AS a12,
+             sum(x2*x2) + 0.001 AS a22, sum(x1*y) AS b1, sum(x2*y) AS b2
+           FROM f),
+         w AS (SELECT (a22*b1 - a12*b2) / (a11*a22 - a12*a12) AS w1,
+             (a11*b2 - a12*b1) / (a11*a22 - a12*a12) AS w2 FROM m)
+         SELECT CAST(f.vec_id AS INT) AS id,
+           (round(w.w1 * f.x1 + w.w2 * f.x2, 6) + 0) AS score
+         FROM f, w WHERE f.vec_id < 50 ORDER BY id""",
 
     "text_bm25_search_many" ->
       s"""WITH qt AS (SELECT * FROM (VALUES ('q0','vector'),('q0','stream'),('q0','window'),('q1','spark'),('q1','batch'),('q2','zzznope')) v(qid, term)),

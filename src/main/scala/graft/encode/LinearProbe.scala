@@ -1,0 +1,104 @@
+package graft.encode
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Closed-form ridge regression (a linear probe) over an embedding
+  * column — the embedding-based QUALITY SCORER shape of modern data
+  * curation (FineWeb-Edu style: a teacher labels a sample of documents,
+  * a linear head on frozen embeddings distills the judgment, the probe
+  * scores the full corpus and a threshold cuts it). The engine's other
+  * quality paths are heuristic (Gopher), generative (bigram-LM
+  * perplexity) or token-count-based (Naive Bayes); this is the learned
+  * embedding-space one.
+  *
+  * Scale shape (the same contract as [[Pca]]): training is ONE
+  * distributed moments job over the augmented vector `[x, 1, y]` —
+  * normal-equation sums `X^T X` (upper triangle) and `X^T y` as a
+  * (d+2)^2/2-row aggregate, nothing per-row ever reaches the driver —
+  * followed by a driver-side O(d^3) Gaussian elimination of the
+  * (d+1)-dim system. Scoring is a pure codegen'd HOF fold
+  * (`aggregate(zip_with(...))`), composable with every search/dedup
+  * operator and usable unchanged under Structured Streaming.
+  *
+  * Solves `(X^T X + lambda I) w = X^T y` (intercept column, when
+  * fitted, is not regularized). `lambda` is absolute, not scaled by n —
+  * the DuckDB oracle replicates the exact arithmetic.
+  */
+object LinearProbe {
+
+  /** Fitted probe: `score(x) = dot(weights, x) + intercept`. */
+  final case class Model(weights: Array[Double], intercept: Double,
+      lambda: Double)
+
+  /** Fit on `(vectorCol: array<float|double>, label: double)` rows.
+    * One moments job; driver work is the (d+1)^3 solve. */
+  def train(df: DataFrame, vectorCol: String, label: Column, dims: Int,
+      lambda: Double = 1e-3, fitIntercept: Boolean = true): Model = {
+    require(dims >= 1, "dims must be positive")
+    require(lambda >= 0, "lambda must be non-negative")
+    val p = if (fitIntercept) dims + 1 else dims
+    val xs = transform(col(vectorCol), x => x.cast("double"))
+    val aug = if (fitIntercept) concat(xs, array(lit(1.0d))) else xs
+    val z = concat(aug, array(label.cast("double")))
+    val rows = Pca.moments(df.select(z.as("_z")), "_z", p + 1).collect()
+    val a = Array.ofDim[Double](p, p)
+    val b = new Array[Double](p)
+    rows.foreach { r =>
+      val i = r.getInt(0); val j = r.getInt(1)
+      val s = r.getDouble(r.fieldIndex("sum_ij"))
+      if (j < p) { a(i)(j) = s; a(j)(i) = s }
+      else if (i < p) b(i) = s
+      // (i = j = p) is sum(y^2): not needed for the solve
+    }
+    var i = 0
+    while (i < dims) { a(i)(i) += lambda; i += 1 } // intercept unregularized
+    val w = solve(a, b)
+    Model(w.take(dims), if (fitIntercept) w(dims) else 0.0, lambda)
+  }
+
+  /** Probe score as a codegen'd fold: `dot(w, x) + intercept`, all-f64. */
+  def scoreColumn(vec: Column, model: Model): Column =
+    aggregate(
+      zip_with(vec, typedlit(model.weights), (x, w) => x.cast("double") * w),
+      lit(model.intercept), (acc, t) => acc + t)
+
+  /** The curation cut: rows whose probe score meets `minScore` — the
+    * FineWeb-Edu "educational value >= threshold" gate as one filter. */
+  def thresholdCut(df: DataFrame, vectorCol: String, model: Model,
+      minScore: Double): DataFrame =
+    df.filter(scoreColumn(col(vectorCol), model) >= lit(minScore))
+
+  /** Gaussian elimination with partial pivoting (driver-side, p <= a
+    * few thousand — the probe dimension, never the corpus). */
+  private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {
+    val p = b.length
+    val m = Array.tabulate(p)(i => a(i) :+ b(i))
+    var c = 0
+    while (c < p) {
+      var piv = c
+      var r = c + 1
+      while (r < p) { if (math.abs(m(r)(c)) > math.abs(m(piv)(c))) piv = r; r += 1 }
+      require(math.abs(m(piv)(c)) > 1e-12,
+        s"singular normal equations at column $c — raise lambda")
+      val t = m(c); m(c) = m(piv); m(piv) = t
+      r = c + 1
+      while (r < p) {
+        val f = m(r)(c) / m(c)(c)
+        if (f != 0.0) { var k = c; while (k <= p) { m(r)(k) -= f * m(c)(k); k += 1 } }
+        r += 1
+      }
+      c += 1
+    }
+    val w = new Array[Double](p)
+    var i = p - 1
+    while (i >= 0) {
+      var s = m(i)(p)
+      var k = i + 1
+      while (k < p) { s -= m(i)(k) * w(k); k += 1 }
+      w(i) = s / m(i)(i)
+      i -= 1
+    }
+    w
+  }
+}
