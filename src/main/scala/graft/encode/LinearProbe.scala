@@ -57,6 +57,65 @@ object LinearProbe {
     Model(w.take(dims), if (fitIntercept) w(dims) else 0.0, lambda)
   }
 
+  /** Logistic probe (binary labels in {0,1}) via IRLS/Newton — the
+    * CLASSIFIER form of the quality scorer (a FineWeb-Edu teacher says
+    * keep/drop, not a regression target). Each iteration is ONE
+    * distributed moments job: the weighted Hessian `X^T W X` and the
+    * gradient `X^T (y - p)` both fall out of the second moments of the
+    * augmented vector `[sqrt(w) * z, (y - p) / sqrt(w)]` (the cross
+    * terms telescope the 1/sqrt(w) away), so Newton costs exactly what
+    * ridge training costs, `iterations` times. Fixed iteration count
+    * keeps the result deterministic; ridge `lambda` bounds the weights
+    * on separable data (where unregularized logistic diverges).
+    * [[scoreColumn]] then yields the LOGIT — threshold at 0 for the
+    * 0.5-probability cut, or apply sigmoid for calibrated scores. */
+  def trainLogistic(df: DataFrame, vectorCol: String, label: Column,
+      dims: Int, lambda: Double = 1e-3, fitIntercept: Boolean = true,
+      iterations: Int = 8): Model = {
+    require(dims >= 1, "dims must be positive")
+    require(lambda >= 0, "lambda must be non-negative")
+    require(iterations >= 1, "iterations must be positive")
+    val p = if (fitIntercept) dims + 1 else dims
+    var model = Model(new Array[Double](dims), 0.0, lambda)
+    var it = 0
+    while (it < iterations) {
+      val eta = scoreColumn(col(vectorCol), model)
+      val prob = lit(1.0) / (lit(1.0) + exp(-eta))
+      // floor the IRLS weight so saturated rows (p near 0/1) neither
+      // divide by zero nor vanish from the Hessian
+      val wgt = greatest(prob * (lit(1.0) - prob), lit(1e-6))
+      val resid = label.cast("double") - prob
+      val xs = transform(col(vectorCol), x => x.cast("double"))
+      val zBase = if (fitIntercept) concat(xs, array(lit(1.0d))) else xs
+      val zz = concat(
+        transform(zBase, zi => zi * sqrt(wgt)),
+        array(resid / sqrt(wgt)))
+      val rows = Pca.moments(df.select(zz.as("_z")), "_z", p + 1).collect()
+      val h = Array.ofDim[Double](p, p)
+      val g = new Array[Double](p)
+      rows.foreach { r =>
+        val i = r.getInt(0); val j = r.getInt(1)
+        val s = r.getDouble(r.fieldIndex("sum_ij"))
+        if (j < p) { h(i)(j) = s; h(j)(i) = s }
+        else if (i < p) g(i) = s
+      }
+      // L2-regularized Newton: (H + lambda I) step = g - lambda w,
+      // intercept unregularized on both sides
+      var i = 0
+      while (i < dims) {
+        h(i)(i) += lambda
+        g(i) -= lambda * model.weights(i)
+        i += 1
+      }
+      val step = solve(h, g)
+      model = Model(
+        Array.tabulate(dims)(k => model.weights(k) + step(k)),
+        if (fitIntercept) model.intercept + step(dims) else 0.0, lambda)
+      it += 1
+    }
+    model
+  }
+
   /** Probe score as a codegen'd fold: `dot(w, x) + intercept`, all-f64. */
   def scoreColumn(vec: Column, model: Model): Column =
     aggregate(

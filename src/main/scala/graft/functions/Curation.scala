@@ -32,7 +32,14 @@ object Curation {
       lmFilter: Boolean = false,
       stratumFractions: Seq[(String, Double)] = Nil,
       defaultFraction: Double = 1.0,
-      salt: String = "graft")
+      salt: String = "graft",
+      // learned quality gate (FineWeb-Edu shape): keep rows whose
+      // linear-probe score over `probeVectorCol` meets `probeMinScore`;
+      // the probe trains offline (LinearProbe.train on a teacher-labeled
+      // sample) and rides the config as a model
+      probe: Option[graft.encode.LinearProbe.Model] = None,
+      probeVectorCol: String = "embedding",
+      probeMinScore: Double = 0.0)
 
   /** Run the pipeline. `df` needs (idCol, textCol[, stratumCol]);
     * `benchmark` (texts to decontaminate against) and `lmTrusted`
@@ -44,9 +51,14 @@ object Curation {
       lmTrusted: Option[DataFrame] = None,
       config: Config = Config()): DataFrame = {
     val text = col(textCol)
-    // 1. quality gate
+    // 1. quality gate (heuristic), then the optional LEARNED gate — a
+    // linear-probe threshold over the document's embedding column
     var cur = df.filter(TextAnalysis.gopherKeep(text, minWords = config.minWords))
       .localCheckpoint()
+    config.probe.foreach { m =>
+      cur = graft.encode.LinearProbe.thresholdCut(cur, config.probeVectorCol,
+        m, config.probeMinScore).localCheckpoint()
+    }
     // 2. optional self-repetition strip (replaces the text column)
     if (config.stripRepeatedSpans) {
       val cleaned = Dedup.dropRepeatedSpans(cur, idCol, text, config.spanTokens)

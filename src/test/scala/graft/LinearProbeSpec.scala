@@ -83,6 +83,54 @@ class LinearProbeSpec extends SparkSpec {
     assert(kept === expect && kept.nonEmpty && kept.size < 100)
   }
 
+  test("logistic probe separates a planted keep/drop law; gradient vanishes at the optimum") {
+    // deterministic labels from a linear law — separable, so ridge is
+    // what keeps the weights finite
+    val df = synthFrame(400, (x1, x2) => if (2.0 * x1 - x2 + 0.5 > 0) 1.0 else 0.0)
+    val m = graft.encode.LinearProbe.trainLogistic(df, "vector", col("y"),
+      dims = 2, lambda = 0.1, iterations = 25)
+    // 100% training accuracy at the logit-0 cut
+    val wrong = df.filter(
+      (graft.encode.LinearProbe.scoreColumn(col("vector"), m) > 0) =!=
+        (col("y") > 0.5)).count()
+    assert(wrong === 0L)
+    // stationarity: the regularized gradient X^T(y - p) - lambda*w is
+    // ~0 at the returned weights (checked with an independent Spark
+    // aggregation, not the training loop's own numbers)
+    val eta = graft.encode.LinearProbe.scoreColumn(col("vector"), m)
+    val p = lit(1.0) / (lit(1.0) + exp(-eta))
+    val g = df.select(posexplode(transform(
+        concat(transform(col("vector"), x => x.cast("double")), array(lit(1.0d))),
+        z => z * (col("y") - p))))
+      .groupBy("pos").agg(sum("col").as("g")).collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(math.abs(g(0) - 0.1 * m.weights(0)) < 1e-3)
+    assert(math.abs(g(1) - 0.1 * m.weights(1)) < 1e-3)
+    assert(math.abs(g(2)) < 1e-3) // intercept unregularized
+  }
+
+  test("logistic probe on label-symmetric data: weights ~0, intercept = logit(base rate)") {
+    // every feature vector appears with BOTH labels -> no direction
+    // helps; the only signal is the 0.75 base rate
+    import org.apache.spark.sql.types._
+    val rows = (0 until 200).flatMap { i =>
+      val v = Seq((math.sin(i * 0.9) * 2).toFloat, (math.cos(i * 1.7)).toFloat)
+      Seq(
+        org.apache.spark.sql.Row(s"p$i", v, 1.0),
+        org.apache.spark.sql.Row(s"q$i", v, 1.0),
+        org.apache.spark.sql.Row(s"r$i", v, 1.0),
+        org.apache.spark.sql.Row(s"n$i", v, 0.0))
+    }
+    val df = spark.createDataFrame(java.util.Arrays.asList(rows: _*),
+      StructType(Seq(StructField("id", StringType),
+        StructField("vector", ArrayType(FloatType)),
+        StructField("y", DoubleType)))).repartition(4)
+    val m = graft.encode.LinearProbe.trainLogistic(df, "vector", col("y"),
+      2, lambda = 0.01)
+    assert(m.weights.forall(w => math.abs(w) < 1e-6))
+    assert(math.abs(m.intercept - math.log(3.0)) < 1e-6) // logit(0.75)
+  }
+
   test("singular system without ridge refuses with guidance") {
     // duplicate feature column -> rank-deficient normal equations
     import org.apache.spark.sql.types._

@@ -321,6 +321,20 @@ class PipelineSpec extends SparkSpec {
     val empty = Curation.curate(allShort, "doc_id", "text",
       config = Curation.Config(lmFilter = true))
     assert(empty.count() === 0)
+    // learned quality gate: a linear-probe threshold over the embedding
+    // column composes as a stage (FineWeb-Edu shape) — same text, the
+    // embedding decides
+    val good = (1 to 30).map(i => s"word$i").mkString(" ")
+    val probed = Curation.curate(
+      Seq(("hi", good + " a"), ("lo", good + " b")).toDF("doc_id", "text")
+        .withColumn("embedding",
+          when(col("doc_id") === "hi", typedlit(Seq(1f, 0f)))
+            .otherwise(typedlit(Seq(-1f, 0f)))),
+      "doc_id", "text",
+      config = Curation.Config(nearDedup = false,
+        probe = Some(graft.encode.LinearProbe.Model(Array(1.0, 0.0), 0.0, 0.0)),
+        probeMinScore = 0.5))
+    assert(probed.select("doc_id").collect().map(_.getString(0)).toSeq === Seq("hi"))
   }
 
   test("repeated-span strip: first occurrence survives, later repeats fall, cross-doc untouched") {
