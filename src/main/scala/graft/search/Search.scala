@@ -166,10 +166,6 @@ object Search {
     * stored vectors against the `d`-prefix of the query. Cosine uses the
     * true normalized cosine because prefixes of unit vectors are not unit
     * (search.rs:56-59); other metrics use their own kernel on the prefix. */
-  private def funnelStage(df: DataFrame, config: CollectionConfig, q: Array[Float],
-      d: Int, keep: Int): DataFrame =
-    filterByIds(df, funnelStageTopIds(df, config, q, d, keep))
-
   /** Survivor-id set for one funnel stage, computed EAGERLY on a SLIM
     * (id, rank) projection. Running the cut over the full rows puts the
     * corpus VECTORS through the per-partition sort and a keep*P-row
@@ -263,19 +259,27 @@ object Search {
     require(effCand >= limit, "candidates must be >= limit")
     require(widen >= 1, "widen must be >= 1")
     val keeps = funnelKeeps(effStages.size, effCand, widen)
-    // survivor ids thread through as arrays: each stage filters the
-    // ORIGINAL frame by the latest id set (equivalent to chaining, one
-    // probe instead of a probe per ancestor stage), and a stage whose
-    // keep already covers the survivor count is an identity cut — skip
-    // its job entirely (candidates >= corpus makes every stage a no-op
-    // and the funnel degenerates to exact flat search, the equivalence
-    // property SearchSpec pins)
+    val ids = funnelSurvivorIds(df, config, q, effStages, keeps)
+    flatSearchPrepared(ids.fold(df)(filterByIds(df, _)), config, q, limit)
+  }
+
+  /** Survivor ids of the staged funnel. Ids thread through as arrays:
+    * each stage filters the ORIGINAL frame by the latest id set
+    * (equivalent to chaining, one probe instead of a probe per ancestor
+    * stage), and a stage whose keep already covers the survivor count
+    * is an identity cut — skip its job entirely (candidates >= corpus
+    * makes every stage a no-op and the funnel degenerates to exact flat
+    * search, the equivalence property SearchSpec pins). None = no stage
+    * ran (every cut was an identity) — the candidate set is the whole
+    * frame. */
+  private def funnelSurvivorIds(df: DataFrame, config: CollectionConfig,
+      q: Array[Float], stages: Seq[Int], keeps: Seq[Int]): Option[Array[String]] = {
     var ids: Option[Array[String]] = None
-    for ((d, keep) <- effStages.zip(keeps) if ids.forall(_.length > keep)) {
+    for ((d, keep) <- stages.zip(keeps) if ids.forall(_.length > keep)) {
       val cur = ids.fold(df)(filterByIds(df, _))
       ids = Some(funnelStageTopIds(cur, config, q, d, keep))
     }
-    flatSearchPrepared(ids.fold(df)(filterByIds(df, _)), config, q, limit)
+    ids
   }
 
   /** Exact rerank over an already-prepared query — shared by the
@@ -312,7 +316,11 @@ object Search {
   }
 
   private def quantizedCandidates(df: DataFrame, config: CollectionConfig,
-      q: Array[Float], keep: Int, asymmetric: Boolean = true): DataFrame = {
+      q: Array[Float], keep: Int, asymmetric: Boolean = true): DataFrame =
+    filterByIds(df, quantizedCandidateIds(df, config, q, keep, asymmetric))
+
+  private def quantizedCandidateIds(df: DataFrame, config: CollectionConfig,
+      q: Array[Float], keep: Int, asymmetric: Boolean = true): Array[String] = {
     val stored =
       if (df.columns.contains("binary_vector"))
         coalesce(col("binary_vector"), packSignBits(col("vector")))
@@ -329,10 +337,10 @@ object Search {
       else if (config.metric == Metric.NegativeInnerProduct)
         packedAsymmetricDot(stored, vecLit(q))
       else -packedAsymmetricDot(stored, vecLit(q))
-    // slim (id, proxy-rank) cut + InSet survivors, like the funnel
-    // stages: the packed-bit scan never sorts the full-precision rows
-    // it is there to avoid reading
-    filterByIds(df, slimTopIds(df, rank, keep))
+    // slim (id, proxy-rank) cut, like the funnel stages: the packed-bit
+    // scan never sorts the full-precision rows it is there to avoid
+    // reading
+    slimTopIds(df, rank, keep)
   }
 
   /** ColBERT/MaxSim multi-vector search (collection.ex:298-323). Records
@@ -371,21 +379,27 @@ object Search {
     val effCand = if (candidates > 0) candidates else math.max(20 * limit, limit)
     require(effCand >= limit, "candidates must be >= limit")
     val effStages = if (stages.nonEmpty) stages else defaultFunnelStages(config.dimensions)
-    val keep = Seq("id", "value", "vector") ++
-      Seq("vectors", "binary_vector", "metadata").filter(df.columns.contains)
-    val frames = generators.map {
+    // every generator reduces to a candidate ID SET (slim cuts — see
+    // funnelStageTopIds); the union-with-first-seen-dedup of identical
+    // corpus rows IS set union, so the old frame-union + dropDuplicates
+    // shuffle collapses into one InSet probe feeding a single rerank
+    // scan. None = a generator whose every cut was an identity (keep >=
+    // corpus): its candidate set is the whole frame, so the union is too
+    val idSets: Seq[Option[Array[String]]] = generators.map {
       case "funnel" =>
-        effStages.zip(funnelKeeps(effStages.size, effCand, widen)).foldLeft(df) {
-          case (cur, (d, k)) => funnelStage(cur, config, q, d, k)
-        }
-      case "quantized" => quantizedCandidates(df, config, q, effCand, asymmetric)
+        funnelSurvivorIds(df, config, q, effStages,
+          funnelKeeps(effStages.size, effCand, widen))
+      case "quantized" =>
+        Some(quantizedCandidateIds(df, config, q, effCand, asymmetric))
       case "search" | "flat" =>
-        filterByIds(df, slimTopIds(df,
+        Some(slimTopIds(df,
           rankCol(config.metric, vecDistance(config.metric, col("vector"), vecLit(q))),
           effCand))
       case g => throw new IllegalArgumentException(s"unknown generator $g")
-    }.map(_.select(keep.map(col): _*))
-    val union = frames.reduce(_ unionByName _).dropDuplicates("id")
+    }
+    val union =
+      if (idSets.exists(_.isEmpty)) df
+      else filterByIds(df, idSets.flatMap(_.get).distinct.toArray)
     rerankMultiVector match {
       case Some(qvecs) => multiVectorSearch(union, config, qvecs, limit)
       case None        => flatSearchPrepared(union, config, q, limit)
