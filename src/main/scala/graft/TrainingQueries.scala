@@ -368,6 +368,14 @@ object TrainingQueries {
       Tables.read(s, dir, "documents").select(
         col("doc_id"), TextAnalysis.simhash64(col("text")).as("simhash"))),
 
+    // corpus top-k n-gram heavy hitters (vocabulary seeding /
+    // boilerplate mining): exact two-phase count, map-side combine, the
+    // deterministic (freq desc, gram asc) cut — counts AND the cut
+    // replicate in SQL
+    "text_top_ngrams" -> ((s, dir) =>
+      TextAnalysis.topNgrams(Tables.read(s, dir, "documents"),
+        col("text"), n = 3, k = 20)),
+
     // hashing-trick TF vectors (embedding-free content vectors): the
     // md5-bucket construction itself is verified via nnz / l2-norm /
     // argmax scalars per doc — the bridge from the text tier into the
@@ -2517,6 +2525,14 @@ object TrainingQueries {
     // FixtureRegenSpec recomputes this from a freshly-trained BPE every
     // test run and diffs against [[BpeFixtureSf001]]
     "text_bpe_tokens" -> bpeFixtureSql,
+
+    "text_top_ngrams" ->
+      s"""WITH t AS (SELECT list_transform($tokensSql, x -> lower(x)) AS toks FROM documents),
+         g AS (SELECT unnest(list_transform(range(0, len(toks) - 3 + 1),
+             i -> array_to_string(toks[i+1:i+3], ' '))) AS ngram
+           FROM t WHERE len(toks) >= 3),
+         c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS freq FROM g GROUP BY ngram)
+         SELECT ngram, freq FROM c ORDER BY freq DESC, ngram ASC LIMIT 20""",
 
     "emb_linear_probe" ->
       s"""WITH f AS (SELECT vec_id,

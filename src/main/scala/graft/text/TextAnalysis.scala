@@ -315,6 +315,28 @@ object TextAnalysis {
       i => concat_ws(" ", slice(toks, i + 1, lit(k))))
   }
 
+  /** Corpus-level top-`k` n-gram heavy hitters — vocabulary seeding,
+    * boilerplate discovery, stop-phrase mining. EXACT two-phase count
+    * (no sketch): tokens lowercase per-token, full n-grams explode into
+    * a groupBy whose map-side partial aggregation means the shuffle
+    * carries one row per DISTINCT gram per partition, never per token;
+    * the deterministic (freq desc, gram asc) cut is the standard
+    * terminal per-partition heap. Documents shorter than `n` tokens
+    * contribute nothing (no padded partial grams). */
+  def topNgrams(df: org.apache.spark.sql.DataFrame, text: Column, n: Int,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be positive")
+    require(k >= 1, "k must be positive")
+    val toks = transform(tokens(text), w => lower(w))
+    val grams = when(size(toks) >= n,
+      transform(sequence(lit(0), size(toks) - n),
+        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
+      .otherwise(array().cast("array<string>"))
+    df.select(explode(grams).as("ngram"))
+      .groupBy("ngram").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("ngram").asc).limit(k)
+  }
+
   /** Rolling w-shingling fingerprint: the minimum md5 over k-shingles —
     * one deterministic representative per document (a 1-hash MinHash). */
   def minShingleFingerprint(text: Column, k: Int): Column =
