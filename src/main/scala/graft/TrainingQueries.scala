@@ -1278,6 +1278,14 @@ object TrainingQueries {
       roundCols(EventStreams.windowedStats(events(s, dir), 3600L),
         Seq("sum_value"))),
 
+    // sliding (hopping) windows: 1h windows every 15min — each event
+    // explodes into its 4 covering windows (bounded, map-side-combined
+    // groupBy); assignment arithmetic and every aggregate replicate in
+    // SQL via the same generate-4-starts construction
+    "events_windowed_sliding" -> ((s, dir) =>
+      roundCols(EventStreams.slidingWindowStats(events(s, dir), 3600L, 900L),
+        Seq("sum_value"))),
+
     "events_sessionize" -> ((s, dir) => {
       val sess = EventStreams.sessionize(events(s, dir), gapSeconds = 1800L)
       sess.groupBy(col("user_id"))
@@ -2932,6 +2940,16 @@ object TrainingQueries {
          SELECT sec - (sec % 3600) AS window_start_epoch, event_type,
            CAST(count(*) AS BIGINT) AS cnt, (round(sum(value), 6) + 0) AS sum_value
          FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "events_windowed_sliding" ->
+      s"""WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value FROM events),
+         w AS (SELECT unnest(list_filter(
+             list_transform(range(0, 4), i -> (sec - (sec % 900)) - i * 900),
+             st -> st > sec - 3600)) AS window_start_epoch,
+           event_type, value FROM e)
+         SELECT window_start_epoch, event_type,
+           CAST(count(*) AS BIGINT) AS cnt, (round(sum(value), 6) + 0) AS sum_value
+         FROM w GROUP BY 1, 2 ORDER BY 1, 2""",
 
     "events_interval_join" ->
       s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) AS ns, event_type FROM events),

@@ -74,6 +74,42 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
   }
 
+  /** Sliding (hopping) window aggregation: each event lands in every
+    * `windowSeconds`-long window whose start is a multiple of
+    * `slideSeconds` covering it — `windowSeconds / slideSeconds`
+    * windows per event (requires slide | window so the window set is a
+    * clean partition cover, like Spark's own `window()` constraint).
+    * Shape: a bounded explode (the per-event window list is a tiny
+    * integer sequence built with `div` arithmetic — epoch nanos
+    * overflow double, so never fp division) into ONE groupBy with
+    * map-side partial aggregation; shuffle volume = events x
+    * (window/slide), never a self-join or range join. This batch form
+    * groups by a derived start column; the STREAMING form is
+    * [[streamingSlidingWindowStats]] (Spark's native
+    * `window(ts, win, slide)`, whose event-time key the watermark can
+    * evict) — same window-assignment semantics, pinned stream ≡ batch
+    * in StatefulStreamingSpec. */
+  def slidingWindowStats(events: DataFrame, windowSeconds: Long,
+      slideSeconds: Long, tsCol: String = "ts"): DataFrame = {
+    require(windowSeconds > 0 && slideSeconds > 0, "window/slide must be positive")
+    require(windowSeconds % slideSeconds == 0,
+      "windowSeconds must be a multiple of slideSeconds")
+    val nPer = (windowSeconds / slideSeconds).toInt
+    val withSec = events.withColumn("_ns", nanos(events, tsCol))
+      .withColumn("_sec", expr("_ns div 1000000000"))
+    // latest covering window starts at the event's slide bucket; the
+    // nPer starts walk backwards from there, clipped at t - window
+    val lastStart = col("_sec") - pmod(col("_sec"), lit(slideSeconds))
+    val starts = filter(
+      transform(sequence(lit(0), lit(nPer - 1)),
+        i => lastStart - i.cast("long") * lit(slideSeconds)),
+      st => st > col("_sec") - lit(windowSeconds))
+    withSec.select(col("event_type"), col("value"),
+        explode(starts).as("window_start_epoch"))
+      .groupBy(col("window_start_epoch"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+  }
+
   /** Point-in-time (as-of) join: for each left row, attach `valueCols`
     * from the LATEST right row of the same `key` with right ts <= left
     * ts (inclusive), null when no prior right row exists — the feature/
@@ -254,6 +290,25 @@ object EventStreams {
     val stream = spark.readStream.schema(schema).parquet(dir)
     stream.withWatermark(tsCol, "2 hours")
       .groupBy(window(col(tsCol), windowLength).as("w"), col("event_type"))
+      .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
+      .select(col("w.start").as("window_start"), col("event_type"),
+        col("cnt"), col("sum_value"))
+  }
+
+  /** Streaming form of [[slidingWindowStats]]: Spark's native hopping
+    * `window(ts, windowDuration, slideDuration)` — the event-time
+    * window key lets the watermark evict closed windows, which the
+    * batch form's derived start column cannot. Works on a batch frame
+    * too (same assignment semantics, gated stream ≡ batch). */
+  def streamingSlidingWindowStats(events: DataFrame,
+      windowDuration: String, slideDuration: String,
+      watermark: String = "2 hours", tsCol: String = "ts"): DataFrame = {
+    val base =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark)
+      else events
+    base.groupBy(
+        window(col(tsCol), windowDuration, slideDuration).as("w"),
+        col("event_type"))
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
       .select(col("w.start").as("window_start"), col("event_type"),
         col("cnt"), col("sum_value"))

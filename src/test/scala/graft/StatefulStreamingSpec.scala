@@ -149,6 +149,46 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows: streaming native hopping window ≡ batch slidingWindowStats") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.functions.{col, unix_timestamp}
+    def ts(sec: Long) = new java.sql.Timestamp((100000L + sec) * 1000L)
+    val rows = Seq(
+      (ts(0), "view", 1.0), (ts(400), "view", 2.0), (ts(950), "click", 3.0),
+      (ts(1000), "view", 4.0), (ts(2700), "click", 5.0), (ts(3650), "view", 6.0))
+    val batch = EventStreams.slidingWindowStats(
+      rows.toDF("ts", "event_type", "value"), 3600L, 900L)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    // each event covers 4 windows; spot-pin one: the 1h window starting
+    // at +0s holds view@0,400,1000 and click@950
+    val base = 100000L - (100000L % 900L) // ts() offset lands mid-bucket
+    assert(batch.exists { case (w, t, c, s) => t == "view" && c == 3 && s == 7.0 && w >= base - 3600 })
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val q = EventStreams.streamingSlidingWindowStats(
+      input.toDF().toDF("ts", "event_type", "value"), "1 hour", "15 minutes",
+      watermark = "10 minutes")
+      .writeStream.format("memory").queryName("slide_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(3): _*); q.processAllAvailable()
+      input.addData(rows.drop(3): _*); q.processAllAvailable()
+      // two heartbeat rounds: advance the watermark past every window,
+      // then run a micro-batch with it applied so closed windows emit
+      input.addData((ts(100000), "hb", 0.0)); q.processAllAvailable()
+      input.addData((ts(100001), "hb", 0.0)); q.processAllAvailable()
+      val got = spark.table("slide_out")
+        .filter(col("event_type") =!= "hb")
+        .select(unix_timestamp(col("window_start")).as("w"),
+          col("event_type"), col("cnt"), col("sum_value"))
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionize across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
