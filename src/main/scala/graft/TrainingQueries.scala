@@ -1274,6 +1274,19 @@ object TrainingQueries {
     }),
 
     // ---- event streams
+    // z-order (Morton) coding over exact integer buckets — the
+    // multi-column data-skipping layout key; every bit shift replicates
+    // in SQL (writeZOrdered's clustering property is ZOrderSpec's)
+    "data_zorder" -> ((s, dir) => {
+      val e = events(s, dir)
+      // integer `div`, never fp division: exact on both engines
+      val withUs = e.withColumn("_us", EventStreams.epochMicros(e, "ts"))
+      val b1 = pmod(col("user_id"), lit(256L))
+      val b2 = pmod(expr("_us div 3600000000"), lit(256L))
+      withUs.select(col("event_id"),
+        graft.store.ZOrder.zValue(Seq(b1, b2), 8).as("z"))
+    }),
+
     "events_windowed" -> ((s, dir) =>
       roundCols(EventStreams.windowedStats(events(s, dir), 3600L),
         Seq("sum_value"))),
@@ -2940,6 +2953,18 @@ object TrainingQueries {
          SELECT sec - (sec % 3600) AS window_start_epoch, event_type,
            CAST(count(*) AS BIGINT) AS cnt, (round(sum(value), 6) + 0) AS sum_value
          FROM e GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "data_zorder" -> {
+      val terms = (for (ci <- 0 until 2; j <- 0 until 8) yield {
+        val src = if (ci == 0) "b1" else "b2"
+        s"((($src >> $j) & 1) << ${j * 2 + ci})"
+      }).mkString(" | ")
+      s"""WITH e AS (SELECT event_id,
+           user_id % 256 AS b1,
+           ((epoch_ns(ts) // 1000) // 3600000000) % 256 AS b2
+         FROM events)
+         SELECT event_id, CAST($terms AS BIGINT) AS z FROM e ORDER BY event_id"""
+    },
 
     "events_windowed_sliding" ->
       s"""WITH e AS (SELECT epoch_ns(ts) // 1000000000 AS sec, event_type, value FROM events),

@@ -156,6 +156,24 @@ object Bm25 {
       java.nio.file.Paths.get(s"$path/_graft_lexicon.json"), json)
   }
 
+  /** Incrementally fold a new document batch into a lexicon — the
+    * continuous-ingest half of the lexical lifecycle (the analog of
+    * appendPartitioned for the quantized layouts): df counts are
+    * additive, so `merge(lexicon(corpus), lexicon(batch)) ==
+    * lexicon(corpus ++ batch)` exactly — never a recount of the corpus
+    * at rest. One aggregation over the BATCH only plus a
+    * full-outer-union of term counts (map-side combined). */
+  def updateLexicon(lex: Lexicon, newDocs: DataFrame, idCol: String,
+      textCol: String): Lexicon = {
+    val add = buildLexicon(newDocs, idCol, textCol)
+    val stats = lex.stats.unionByName(add.stats)
+      .agg(sum(col("n")).cast("long").as("n"),
+        sum(col("sumdl")).cast("long").as("sumdl"))
+    val terms = lex.terms.unionByName(add.terms)
+      .groupBy(col("term")).agg(sum(col("df")).cast("long").as("df"))
+    Lexicon(stats, terms)
+  }
+
   def readLexicon(spark: org.apache.spark.sql.SparkSession, path: String): Lexicon = {
     val txt = java.nio.file.Files.readString(
       java.nio.file.Paths.get(s"$path/_graft_lexicon.json"))

@@ -72,6 +72,37 @@ class LexicalSpec extends SparkSpec {
     assert(inline.toSeq === viaDisk.toSeq)
   }
 
+  test("bm25 incremental lexicon: merge(old, batch) == rebuild over corpus+batch, exactly") {
+    val corpus = docs(Seq(
+      1 -> "spark flink spark beam", 2 -> "spark storm", 3 -> "beam beam samza"))
+    val batch = docs(Seq(
+      4 -> "flink only here now", 5 -> "spark beam spark fresh"))
+    val all = corpus.unionByName(batch)
+    val merged = Bm25.updateLexicon(
+      Bm25.buildLexicon(corpus, "doc_id", "text"), batch, "doc_id", "text")
+    val rebuilt = Bm25.buildLexicon(all, "doc_id", "text")
+    // df counts are additive: stats and every term row agree exactly
+    assert(merged.stats.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      === rebuilt.stats.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq)
+    assert(merged.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      === rebuilt.terms.collect().map(r => (r.getString(0), r.getLong(1))).toSet)
+    // and serving through the merged lexicon == the inline path on the
+    // grown corpus (never a recount of the at-rest side)
+    val terms = Seq("spark", "beam", "fresh")
+    val viaMerged = Bm25.topKWithLexicon(all, "doc_id", "text", merged, terms, 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(2)))
+    val inline = Bm25.topK(all, "doc_id", "text", terms, 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(2)))
+    assert(viaMerged.toSeq === inline.toSeq)
+    // persisted round trip of the merged lexicon
+    val path = java.nio.file.Files.createTempDirectory("graft_lexicon_up").toString
+    Bm25.writeLexicon(merged, path)
+    val viaDisk = Bm25.topKWithLexicon(all, "doc_id", "text",
+      Bm25.readLexicon(spark, path), terms, 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(2)))
+    assert(viaDisk.toSeq === inline.toSeq)
+  }
+
   test("bm25 searchMany == topK per query, bit for bit; zero-hit query absent") {
     import spark.implicits._
     val d = docs(Seq(
