@@ -1299,6 +1299,13 @@ object TrainingQueries {
       roundCols(EventStreams.slidingWindowStats(events(s, dir), 3600L, 900L),
         Seq("sum_value"))),
 
+    // Spark's NATIVE session_window gated against an independent
+    // lag-based islands construction (>= gap boundary, end = last+gap):
+    // pins the engine's merge semantics, not our reimplementation
+    "events_session_window" -> ((s, dir) =>
+      roundCols(EventStreams.sessionWindowStats(events(s, dir), 1800L),
+        Seq("session_value"))),
+
     "events_sessionize" -> ((s, dir) => {
       val sess = EventStreams.sessionize(events(s, dir), gapSeconds = 1800L)
       sess.groupBy(col("user_id"))
@@ -2995,6 +3002,20 @@ object TrainingQueries {
          FROM v JOIN p ON p.user_id = v.user_id
            AND p.ns - v.ns BETWEEN 1000000000 AND 7200000000000
          ORDER BY 1, 2, 3""",
+
+    "events_session_window" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+         g AS (SELECT user_id, us, value,
+           CASE WHEN lag(us) OVER w IS NULL THEN 1
+                WHEN us - lag(us) OVER w >= 1800000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY us)),
+         s AS (SELECT user_id, us, value,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY us ROWS UNBOUNDED PRECEDING) AS sid FROM g)
+         SELECT user_id, CAST(min(us) AS BIGINT) AS session_start_us,
+           CAST(max(us) + 1800000000 AS BIGINT) AS session_end_us,
+           CAST(count(*) AS BIGINT) AS n_events,
+           (round(sum(value), 6) + 0) AS session_value
+         FROM s GROUP BY user_id, sid ORDER BY 1, 2""",
 
     "events_sessionize" ->
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS ns FROM events),

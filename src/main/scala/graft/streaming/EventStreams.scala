@@ -110,6 +110,35 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
   }
 
+  /** Sessionization via Spark's NATIVE `session_window` (merge-on-gap):
+    * sessions close when the next event arrives `gapSeconds` OR MORE
+    * after the previous one (Spark merges while `next < prev + gap`;
+    * note the boundary differs from [[sessionize]]'s strictly-greater
+    * islands rule — an event at exactly `gap` starts a NEW session
+    * here). Emits (user_id, session_start_us, session_end_us =
+    * last_ts + gap, n_events, session_value). Works identically on a
+    * batch frame (gated against a lag-based islands SQL oracle) and
+    * under Structured Streaming, where the session state is
+    * watermark-managed by the engine instead of
+    * [[statefulSessionize]]'s explicit flatMapGroupsWithState. */
+  def sessionWindowStats(events: DataFrame, gapSeconds: Long,
+      tsCol: String = "ts", watermark: String = "2 hours"): DataFrame = {
+    require(gapSeconds > 0, "gap must be positive")
+    val base =
+      if (events.isStreaming) events.withWatermark(tsCol, watermark)
+      else events
+    val grouped = base.groupBy(col("user_id"),
+        session_window(col(tsCol), s"$gapSeconds seconds").as("_w"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("session_value"))
+    val flat = grouped.select(col("user_id"),
+      col("_w.start").as("_start"), col("_w.end").as("_end"),
+      col("n_events"), col("session_value"))
+    flat.select(col("user_id"),
+      epochMicros(flat, "_start").as("session_start_us"),
+      epochMicros(flat, "_end").as("session_end_us"),
+      col("n_events"), col("session_value"))
+  }
+
   /** Point-in-time (as-of) join: for each left row, attach `valueCols`
     * from the LATEST right row of the same `key` with right ts <= left
     * ts (inclusive), null when no prior right row exists — the feature/

@@ -189,6 +189,42 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("native session_window: streaming ≡ batch sessionWindowStats across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    import org.apache.spark.sql.functions.col
+    def ts(sec: Long) = new java.sql.Timestamp((50000L + sec) * 1000L)
+    // user 1: one session split across micro-batches, then a second
+    // session after the gap; user 2: single event
+    val rows = Seq(
+      (1L, ts(0), "e", 1.0), (1L, ts(600), "e", 2.0),
+      (1L, ts(1000), "e", 3.0), (1L, ts(4000), "e", 4.0),
+      (2L, ts(100), "e", 7.0))
+    val batch = EventStreams.sessionWindowStats(
+      rows.toDF("user_id", "ts", "event_type", "value"), gapSeconds = 1800L)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    assert(batch.size === 3) // (u1 x2, u2 x1)
+    val input = MemoryStream[(Long, java.sql.Timestamp, String, Double)]
+    val q = EventStreams.sessionWindowStats(
+      input.toDF().toDF("user_id", "ts", "event_type", "value"),
+      gapSeconds = 1800L, watermark = "10 minutes")
+      .writeStream.format("memory").queryName("sesswin_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows.take(2): _*); q.processAllAvailable()
+      input.addData(rows.drop(2): _*); q.processAllAvailable()
+      input.addData((99L, ts(100000), "hb", 0.0)); q.processAllAvailable()
+      input.addData((99L, ts(100001), "hb", 0.0)); q.processAllAvailable()
+      val got = spark.table("sesswin_out")
+        .filter(col("user_id") =!= 99L)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getDouble(4))).toSet
+      assert(got === batch)
+    } finally q.stop()
+  }
+
   test("stateful sessionize across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
