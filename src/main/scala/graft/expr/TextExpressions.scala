@@ -99,6 +99,30 @@ case class DistinctShingles(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Deflate compression ratio of the UTF-8 text: compressed bytes /
+  * raw bytes (1.0 for empty). The CCNet/Gopher-family gibberish and
+  * boilerplate signal — highly repetitive text compresses far below
+  * natural prose, random bytes above it. java.util.zip.Deflater at a
+  * fixed level with a fresh instance per value is bit-deterministic,
+  * so the ratio is a stable feature, not a heuristic that drifts. */
+case class CompressionRatio(child: Expression, level: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "compression_ratio"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.compressionRatioData(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], level)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.TextKernels.compressionRatioData($v, $level);")
+
+  override protected def withNewChildInternal(c: Expression): CompressionRatio =
+    copy(child = c)
+}
+
 /** Trained-BPE encode — [[graft.text.Bpe.encodeText]] as one codegen
   * node (GPT-2-style best-ranked-pair application); the merge table
   * rides as a plan reference object, never an inlined literal. */

@@ -236,4 +236,22 @@ object TextKernels {
   def bpeEncodeData(text: UTF8String, model: graft.text.Bpe.Model): ArrayData =
     new GenericArrayData(graft.text.Bpe.encodeText(text.toString, model)
       .map(UTF8String.fromString): Array[Any])
+
+  /** Deflate-compressed size over raw size of the UTF-8 bytes; 1.0 for
+    * empty input. Fresh Deflater per call (no shared state), fixed
+    * level, default strategy — deterministic across JVMs. */
+  def compressionRatioData(
+      text: org.apache.spark.unsafe.types.UTF8String, level: Int): Double = {
+    val raw = text.getBytes
+    if (raw.isEmpty) return 1.0
+    val d = new java.util.zip.Deflater(level, false)
+    try {
+      d.setInput(raw)
+      d.finish()
+      val buf = new Array[Byte](8192)
+      var total = 0L
+      while (!d.finished()) total += d.deflate(buf)
+      total.toDouble / raw.length.toDouble
+    } finally d.end()
+  }
 }

@@ -337,6 +337,18 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("ngram").asc).limit(k)
   }
 
+  /** Deflate compression ratio (compressed/raw bytes, 1.0 empty) — the
+    * CCNet/Gopher-family gibberish + boilerplate signal: looping or
+    * templated text compresses far below natural prose. One codegen
+    * node, deterministic (fixed level, fresh Deflater per value). No
+    * SQL oracle exists for zlib, so the gate is ScalaTest-only (pinned
+    * monotonicity: repetitive < prose < high-entropy), mirroring the
+    * reference's unit-test split for path-dependent kernels. */
+  def compressionRatio(text: Column, level: Int = 6): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.CompressionRatio(
+        org.apache.spark.sql.graft.Bridge.expression(text.cast("string")), level))
+
   /** Rolling w-shingling fingerprint: the minimum md5 over k-shingles —
     * one deterministic representative per document (a 1-hash MinHash). */
   def minShingleFingerprint(text: Column, k: Int): Column =

@@ -938,6 +938,30 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got === Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
+  test("compression ratio: repetitive < prose < high-entropy; empty = 1; deterministic") {
+    import graft.text.TextAnalysis
+    val repetitive = ("spam ham " * 200).trim
+    val prose = "The quick brown fox jumps over the lazy dog while seventeen " +
+      "curious researchers measured how natural language compresses under " +
+      "deflate compared to templated boilerplate and random noise in corpora. " * 4
+    // deterministic pseudo-random hex: near-incompressible
+    val entropy = (0 until 400).map(i =>
+      f"${graft.Bench.synthVector(i.toLong, 1)(0)}%.7f").mkString(" ")
+    val df = Seq(("rep", repetitive), ("prose", prose), ("rand", entropy),
+      ("empty", "")).toDF("id", "text")
+    val out = df.select(col("id"),
+        TextAnalysis.compressionRatio(col("text")).as("cr"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(out("empty") === 1.0)
+    assert(out("rep") < out("prose") && out("prose") < out("rand"),
+      s"ordering violated: $out")
+    assert(out("rep") < 0.1 && out("rand") > 0.4)
+    // bit-deterministic: a second evaluation reproduces every value
+    val again = df.select(col("id"),
+        TextAnalysis.compressionRatio(col("text")).as("cr"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(again === out)
+  }
 }
 
 /** Small helper to expose query preparation for the LSH spec. */
