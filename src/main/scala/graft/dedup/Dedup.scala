@@ -412,10 +412,34 @@ object Dedup {
   // ----------------------------------------------------------- SimHash
 
   private def simhashBanded(df: DataFrame, idCol: String, textCol: Column): DataFrame =
-    df.select(col(idCol).as("id"), TextAnalysis.simhash64(textCol).as("sh"))
+    banded64(df, idCol, TextAnalysis.simhash64(textCol))
+
+  /** 4 x 16-bit band keys over ANY 64-bit hash column — the banding
+    * simhash uses, exposed for other 64-bit perceptual hashes (image
+    * dHash). Sharing a band guarantees candidate recall for hamming <= 3
+    * (pigeonhole over 4 bands). */
+  private def banded64(df: DataFrame, idCol: String, hash: Column): DataFrame =
+    df.select(col(idCol).as("id"), hash.as("sh"))
       .withColumn("band",
         explode(array((0 until 4).map(b =>
           concat(lit(s"$b:"), shiftright(col("sh"), b * 16).bitwiseAND(lit(0xFFFFL)))): _*)))
+
+  /** Near-dup pairs of any precomputed 64-bit hash column: banded
+    * candidates (4 x 16 bits, recall-complete for hamming <= 3),
+    * verified by popcount(xor) <= maxHamming — [[simhashPairs]]' shape
+    * for hashes the caller derived (e.g. [[graft.multimodal.Multimodal]]
+    * image dHash). */
+  def hamming64Pairs(df: DataFrame, idCol: String, hash: Column,
+      maxHamming: Int, maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
+    val banded = dropHotBands(banded64(df, idCol, hash), maxBandSize)
+    val a = banded.select(col("band"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = banded.select(col("band"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
 
   /** SimHash near-dup pairs: candidates share one of 4 16-bit bands of
     * the 64-bit simhash (guarantees recall for hamming <= 3), verified by

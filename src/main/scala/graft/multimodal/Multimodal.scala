@@ -315,6 +315,63 @@ object Multimodal {
     }(enc)
   }
 
+  /** Perceptual difference hash (dHash) of an image payload: REAL
+    * decode -> [[bilinearResize]] to (gridW+1) x gridH -> integer
+    * BT.601 luma (299r + 587g + 114b, milli-units so no fp) -> bit
+    * (y*gridW + x) set when lum(x, y) > lum(x+1, y). 64 bits at the
+    * default 8x8 grid. Robust to rescaling and uniform brightness
+    * shifts (bits compare neighbors, not absolutes); deterministic end
+    * to end (same decode + resize kernels the mm gate rows pin). */
+  def dHash(payload: Array[Byte], gridW: Int = 8, gridH: Int = 8): Long = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 64,
+      "grid must hold at most 64 bits")
+    val img = ImageIO.read(new ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val rs = bilinearResize(img, gridW + 1, gridH)
+    def lum(rgb: Int): Int =
+      299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)
+    var bits = 0L
+    var y = 0
+    while (y < gridH) {
+      var x = 0
+      while (x < gridW) {
+        if (lum(rs.getRGB(x, y)) > lum(rs.getRGB(x + 1, y)))
+          bits |= 1L << (y * gridW + x)
+        x += 1
+      }
+      y += 1
+    }
+    bits
+  }
+
+  /** Append `image_dhash` (LongType) to a binary image column —
+    * partition-local batches, same contract as [[decodeImagesReal]]. */
+  def withDHash(df: DataFrame, payloadCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val inputSchema = df.schema
+    val outSchema = StructType(inputSchema.fields :+
+      StructField("image_dhash", LongType, nullable = false))
+    val payloadIdx = inputSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          Row.fromSeq(row.toSeq :+ dHash(row.getAs[Array[Byte]](payloadIdx)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Image near-duplicate pairs: dHash + the engine's banded 64-bit
+    * hamming machinery ([[graft.dedup.Dedup.hamming64Pairs]] — 4 x
+    * 16-bit candidate bands, popcount verify, hot-band cap). The
+    * multimodal sibling of text simhash dedup: resized/re-encoded
+    * copies land within a few bits of the original. */
+  def imageNearDuplicates(df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 4): DataFrame =
+    graft.dedup.Dedup.hamming64Pairs(
+      withDHash(df, payloadCol), idCol, col("image_dhash"), maxHamming)
+
   val audioSchema: StructType = StructType(Seq(
     StructField("sample_rate", IntegerType, nullable = false),
     StructField("n_samples", LongType, nullable = false),

@@ -938,6 +938,48 @@ class PipelineSpec extends SparkSpec {
       .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got === Seq(("click", 2L, 3.0), ("view", 1L, 3.0)))
   }
+  test("multimodal: image dHash — hand-derived grids, invariances, banded near-dup pairs") {
+    import java.awt.image.BufferedImage
+    def png(w: Int, h: Int, gray: (Int, Int) => Int): Array[Byte] = {
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) {
+        val g = gray(x, y)
+        img.setRGB(x, y, (g << 16) | (g << 8) | g)
+      }
+      val bos = new java.io.ByteArrayOutputStream
+      javax.imageio.ImageIO.write(img, "png", bos)
+      bos.toByteArray
+    }
+    // 9x8 inputs hit the hash grid directly (the resize is identity):
+    // a strictly DECREASING row sets every comparison bit, an
+    // INCREASING row none — hand-derivable without touching the kernel
+    assert(Multimodal.dHash(png(9, 8, (x, _) => 220 - x * 20)) === -1L)
+    assert(Multimodal.dHash(png(9, 8, (x, _) => 20 + x * 20)) === 0L)
+    // scale invariance: the same decreasing ramp at 2x resolution
+    // resizes to a still-decreasing grid -> identical hash
+    assert(Multimodal.dHash(png(18, 16, (x, _) => 220 - x * 10)) === -1L)
+    // brightness invariance: +30 on every pixel flips no comparison
+    val a = Multimodal.dHash(png(18, 16, (x, y) => 40 + ((x * 7 + y * 13) % 180)))
+    val b = Multimodal.dHash(png(18, 16, (x, y) => 70 + ((x * 7 + y * 13) % 180)))
+    assert(a === b)
+    // near-dup pairs: original + slightly-perturbed copy pair up, an
+    // unrelated pattern stays out
+    val imgs = Seq(
+      ("orig", png(18, 16, (x, _) => 220 - x * 10)),
+      ("tweak", png(18, 16, (x, y) => math.max(0, 220 - x * 10 - (if (x == 3 && y == 2) 5 else 0)))),
+      ("other", png(18, 16, (x, _) => if (x % 2 == 0) 220 else 20)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(imgs.map(t => org.apache.spark.sql.Row(t._1, t._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val pairs = Multimodal.imageNearDuplicates(df, "id", "payload", maxHamming = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("orig", "tweak")))
+  }
+
   test("compression ratio: repetitive < prose < high-entropy; empty = 1; deterministic") {
     import graft.text.TextAnalysis
     val repetitive = ("spam ham " * 200).trim
