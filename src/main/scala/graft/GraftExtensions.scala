@@ -142,6 +142,15 @@ object GraftExtensions {
         require(args.length == 4, "text_minhash_bands_fast(text, k, num_hashes, bands)")
         MinhashBandKeysFast(args(0), intArgOf(args(1)), intArgOf(args(2)), intArgOf(args(3)))
       })),
+    "text_compression_ratio" -> ((
+      info("text_compression_ratio",
+        "text_compression_ratio(text[, level]) - deflate bytes / raw utf8 bytes (1.0 empty): the gibberish/boilerplate quality signal; deterministic at a fixed level (default 6)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1 || args.length == 2,
+          "text_compression_ratio(text[, level])")
+        CompressionRatio(args(0),
+          if (args.length == 2) intArgOf(args(1)) else 6)
+      })),
     "text_hashing_tf" -> ((
       info("text_hashing_tf",
         "text_hashing_tf(text, dims) - hashing-trick TF vector: lowercased whitespace tokens md5-hash to dims buckets, f32 counts (embedding-free content vector)"),

@@ -315,6 +315,74 @@ object Multimodal {
     }(enc)
   }
 
+  /** Energy-contour fingerprint of a 16-bit PCM WAV payload — the
+    * audio sibling of image [[dHash]]: samples split into `nBits + 1`
+    * equal frames, per-frame mean |amplitude| in exact integer
+    * arithmetic (sum of abs scaled by frame length cross-multiplied,
+    * never fp), bit i set when frame i's energy exceeds frame i+1's.
+    * Invariant to uniform volume scaling (comparisons, not absolutes)
+    * and deterministic; near-dup via [[audioNearDuplicates]]. */
+  def audioFingerprint(payload: Array[Byte], nBits: Int = 64): Long = {
+    require(nBits >= 1 && nBits <= 64, "nBits in [1, 64]")
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.BufferedInputStream(new ByteArrayInputStream(payload)))
+    try {
+      val fmt = in.getFormat
+      require(fmt.getSampleSizeInBits == 16, "expected 16-bit PCM")
+      val bytes = in.readAllBytes()
+      val le = !fmt.isBigEndian
+      val n = bytes.length / 2
+      val frames = nBits + 1
+      val sums = new Array[Long](frames)
+      val counts = new Array[Long](frames)
+      var i = 0
+      while (i < n) {
+        val lo = bytes(if (le) i * 2 else i * 2 + 1) & 0xFF
+        val hi = bytes(if (le) i * 2 + 1 else i * 2)
+        val s = ((hi << 8) | lo).toShort.toLong
+        val f = math.min(frames - 1, (i.toLong * frames / math.max(n, 1)).toInt)
+        sums(f) += math.abs(s)
+        counts(f) += 1
+        i += 1
+      }
+      var bits = 0L
+      var b = 0
+      while (b < nBits) {
+        // mean(a) > mean(b) compared exactly: sumA*cntB > sumB*cntA
+        val ca = math.max(counts(b), 1L); val cb = math.max(counts(b + 1), 1L)
+        if (sums(b) * cb > sums(b + 1) * ca) bits |= 1L << b
+        b += 1
+      }
+      bits
+    } finally in.close()
+  }
+
+  /** Append `audio_fp` (LongType) to a binary WAV column. */
+  def withAudioFingerprint(df: DataFrame, payloadCol: String,
+      batchSize: Int = 256): DataFrame = {
+    val inputSchema = df.schema
+    val outSchema = StructType(inputSchema.fields :+
+      StructField("audio_fp", LongType, nullable = false))
+    val payloadIdx = inputSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(outSchema)
+    df.mapPartitions { rows =>
+      rows.grouped(batchSize).flatMap { batch =>
+        batch.map { row =>
+          Row.fromSeq(row.toSeq :+
+            audioFingerprint(row.getAs[Array[Byte]](payloadIdx)))
+        }
+      }
+    }(enc)
+  }
+
+  /** Audio near-duplicate pairs: energy-contour fingerprints through
+    * the banded 64-bit hamming machinery — same contract as
+    * [[imageNearDuplicates]]. */
+  def audioNearDuplicates(df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 4): DataFrame =
+    graft.dedup.Dedup.hamming64Pairs(
+      withAudioFingerprint(df, payloadCol), idCol, col("audio_fp"), maxHamming)
+
   /** Perceptual difference hash (dHash) of an image payload: REAL
     * decode -> [[bilinearResize]] to (gridW+1) x gridH -> integer
     * BT.601 luma (299r + 587g + 114b, milli-units so no fp) -> bit

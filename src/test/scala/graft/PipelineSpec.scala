@@ -980,6 +980,50 @@ class PipelineSpec extends SparkSpec {
     assert(pairs === Set(("orig", "tweak")))
   }
 
+  test("multimodal: audio energy fingerprint — hand-derived contours, volume invariance, near-dup pairs") {
+    def wav(samples: Array[Short]): Array[Byte] = {
+      val data = new Array[Byte](samples.length * 2)
+      for (i <- samples.indices) {
+        data(i * 2) = (samples(i) & 0xFF).toByte
+        data(i * 2 + 1) = ((samples(i) >> 8) & 0xFF).toByte
+      }
+      val bos = new java.io.ByteArrayOutputStream
+      val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+      javax.sound.sampled.AudioSystem.write(
+        new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(data), fmt, samples.length.toLong),
+        javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+      bos.toByteArray
+    }
+    // 65 frames x 64 samples, per-frame constant amplitude: strictly
+    // decreasing contour -> every comparison bit; increasing -> none
+    def contour(f: Int => Int): Array[Short] =
+      (0 until 65).flatMap(fr => Array.fill(64)(f(fr).toShort)).toArray
+    val down = contour(fr => (65 - fr) * 100)
+    val up = contour(fr => (fr + 1) * 100)
+    assert(Multimodal.audioFingerprint(wav(down)) === -1L)
+    assert(Multimodal.audioFingerprint(wav(up)) === 0L)
+    // uniform volume change flips no comparison
+    val bumpy = contour(fr => 500 + ((fr * 37) % 400))
+    assert(Multimodal.audioFingerprint(wav(bumpy.map(s => (s * 3).toShort)))
+      === Multimodal.audioFingerprint(wav(bumpy)))
+    // near-dup pairs: a lightly perturbed copy pairs with the original,
+    // an unrelated contour stays out
+    val tweak = bumpy.clone(); tweak(100) = (tweak(100) + 40).toShort
+    val clips = Seq(("orig", wav(bumpy)), ("tweak", wav(tweak)),
+      ("other", wav(up)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(clips.map(t => org.apache.spark.sql.Row(t._1, t._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val pairs = Multimodal.audioNearDuplicates(df, "id", "payload", maxHamming = 4)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs === Set(("orig", "tweak")))
+  }
+
   test("compression ratio: repetitive < prose < high-entropy; empty = 1; deterministic") {
     import graft.text.TextAnalysis
     val repetitive = ("spam ham " * 200).trim

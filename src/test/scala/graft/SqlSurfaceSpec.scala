@@ -28,6 +28,12 @@ class SqlSurfaceSpec extends SparkSpec {
       "SELECT text_minhash_bands_fast('a b c d e f', 2, 8, 4) AS b").head().getSeq[Long](0)
     assert(fast === graft.expr.TextKernels
       .minhashBandKeysFast("a b c d e f", 2, 8, 4).toSeq)
+    // compression ratio: empty = 1, repetitive < 1, explicit level works
+    val crs = spark.sql("""SELECT text_compression_ratio(''),
+      text_compression_ratio(repeat('spam ham ', 200)),
+      text_compression_ratio(repeat('spam ham ', 200), 9)""").head()
+    assert(crs.getDouble(0) === 1.0)
+    assert(crs.getDouble(1) < 0.1 && crs.getDouble(2) <= crs.getDouble(1))
   }
 
   test("vector kernels callable from SQL") {
