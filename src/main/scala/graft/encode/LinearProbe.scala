@@ -128,6 +128,31 @@ object LinearProbe {
       minScore: Double): DataFrame =
     df.filter(scoreColumn(col(vectorCol), model) >= lit(minScore))
 
+  /** Keep the top `keepFraction` of rows by probe score — the relative
+    * form of [[thresholdCut]] when the budget is a data FRACTION, not a
+    * score bar. The cutoff is the EXACT corpus order statistic
+    * (distributed zipWithIndex over the score-sorted frame, the same
+    * machinery as the LM perplexity-median gate — no approximate
+    * quantile sketch whose error would make the kept set
+    * irreproducible). Ties at the cutoff score all survive, so the
+    * result is deterministic regardless of partitioning; empty input
+    * passes through. */
+  def quantileCut(df: DataFrame, vectorCol: String, model: Model,
+      keepFraction: Double): DataFrame = {
+    require(keepFraction > 0 && keepFraction <= 1, "keepFraction in (0, 1]")
+    val scored = df.withColumn("_probe_score",
+      scoreColumn(col(vectorCol), model))
+    val n = scored.count()
+    if (n == 0) return df
+    val keep = math.max(1L, math.ceil(n * keepFraction).toLong)
+    // the keep-th HIGHEST score = order statistic n - keep ascending
+    val cutoff = graft.functions.Sampling.withSequentialIds(
+        scored.select(col("_probe_score")), col("_probe_score"))
+      .filter(col("seq_id") === (n - keep))
+      .select(col("_probe_score")).head.getDouble(0)
+    scored.filter(col("_probe_score") >= cutoff).drop("_probe_score")
+  }
+
   /** Gaussian elimination with partial pivoting (driver-side, p <= a
     * few thousand — the probe dimension, never the corpus). */
   private def solve(a: Array[Array[Double]], b: Array[Double]): Array[Double] = {

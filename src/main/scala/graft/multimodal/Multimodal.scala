@@ -391,10 +391,16 @@ object Multimodal {
     * shifts (bits compare neighbors, not absolutes); deterministic end
     * to end (same decode + resize kernels the mm gate rows pin). */
   def dHash(payload: Array[Byte], gridW: Int = 8, gridH: Int = 8): Long = {
-    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 64,
-      "grid must hold at most 64 bits")
     val img = ImageIO.read(new ByteArrayInputStream(payload))
     require(img != null, "payload is not a decodable image")
+    dHashImage(img, gridW, gridH)
+  }
+
+  /** [[dHash]] over an already-decoded frame (shared with the video
+    * per-frame path). */
+  def dHashImage(img: BufferedImage, gridW: Int = 8, gridH: Int = 8): Long = {
+    require(gridW >= 1 && gridH >= 1 && gridW * gridH <= 64,
+      "grid must hold at most 64 bits")
     val rs = bilinearResize(img, gridW + 1, gridH)
     def lum(rgb: Int): Int =
       299 * ((rgb >> 16) & 0xFF) + 587 * ((rgb >> 8) & 0xFF) + 114 * (rgb & 0xFF)
@@ -410,6 +416,56 @@ object Multimodal {
       y += 1
     }
     bits
+  }
+
+  /** Per-frame dHashes of an animated GIF (every `stride`-th frame). */
+  def videoFrameDHashes(payload: Array[Byte], stride: Int): Seq[(Int, Long)] = {
+    require(stride > 0, "stride must be positive")
+    val it = ImageIO.getImageReadersByFormatName("gif")
+    require(it.hasNext, "no GIF reader")
+    val reader = it.next()
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(payload))
+    try {
+      reader.setInput(iis)
+      val n = reader.getNumImages(true)
+      (0 until n by stride).map(i => (i, dHashImage(reader.read(i))))
+    } finally { reader.dispose(); iis.close() }
+  }
+
+  /** Video near-duplicate pairs: two clips pair when ANY sampled frame
+    * of one is within `maxHamming` bits of any sampled frame of the
+    * other (the shared-scene criterion). Frames ride the same banded
+    * 64-bit machinery — per (clip, frame) rows band-join, then pairs
+    * collapse to distinct clip pairs with their minimum frame distance.
+    * Shuffle = frames x 4 band keys; never a clip-level cross join. */
+  def videoNearDuplicates(df: DataFrame, idCol: String, payloadCol: String,
+      maxHamming: Int = 4, stride: Int = 1): DataFrame = {
+    val inputSchema = df.schema
+    val idIdx = inputSchema.fieldIndex(idCol)
+    val payloadIdx = inputSchema.fieldIndex(payloadCol)
+    val enc = RowEncoder.encoderFor(StructType(Seq(
+      StructField("_fid", StringType, nullable = false),
+      StructField("_fhash", LongType, nullable = false))))
+    val frames = df.mapPartitions { rows =>
+      rows.flatMap { row =>
+        val id = row.get(idIdx).toString
+        videoFrameDHashes(row.getAs[Array[Byte]](payloadIdx), stride)
+          .map { case (i, h) => Row(s"$id\u0001$i", h) }
+      }
+    }(enc)
+    val clip = (c: org.apache.spark.sql.Column) =>
+      substring_index(c, "\u0001", 1)
+    graft.dedup.Dedup.hamming64Pairs(frames, "_fid", col("_fhash"), maxHamming)
+      .select(clip(col("id_a")).as("id_a"), clip(col("id_b")).as("id_b"),
+        col("hamming"))
+      .filter(col("id_a") =!= col("id_b"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("hamming")).as("min_frame_hamming"))
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"),
+        col("min_frame_hamming"))
+      .groupBy(col("id_a"), col("id_b"))
+      .agg(min(col("min_frame_hamming")).as("min_frame_hamming"))
   }
 
   /** Append `image_dhash` (LongType) to a binary image column —

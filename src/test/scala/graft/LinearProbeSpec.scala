@@ -131,6 +131,27 @@ class LinearProbeSpec extends SparkSpec {
     assert(math.abs(m.intercept - math.log(3.0)) < 1e-6) // logit(0.75)
   }
 
+  test("quantileCut keeps exactly the top fraction by probe score, ties survive") {
+    val df = synthFrame(100, (x1, x2) => x1 + x2)
+    val m = LinearProbe.train(df, "vector", col("y"), 2, lambda = 0.0)
+    val kept = LinearProbe.quantileCut(df, "vector", m, keepFraction = 0.2)
+      .select("id", "y").collect().map(r => (r.getString(0), r.getDouble(1)))
+    assert(kept.length === 20)
+    // the kept set IS the top 20 by label (score == y at lambda 0)
+    val top20 = df.select("id", "y").collect()
+      .map(r => (r.getString(0), r.getDouble(1)))
+      .sortBy(-_._2).take(20).map(_._1).toSet
+    assert(kept.map(_._1).toSet === top20)
+    // keepFraction = 1 keeps everything; empty input passes through
+    assert(LinearProbe.quantileCut(df, "vector", m, 1.0).count() === 100)
+    assert(LinearProbe.quantileCut(df.filter(lit(false)), "vector", m, 0.5)
+      .count() === 0)
+    // ties at the cutoff all survive: constant scores keep every row
+    val const = synthFrame(50, (_, _) => 1.0)
+    val mc = LinearProbe.Model(Array(0.0, 0.0), 7.0, 0.0)
+    assert(LinearProbe.quantileCut(const, "vector", mc, 0.1).count() === 50)
+  }
+
   test("singular system without ridge refuses with guidance") {
     // duplicate feature column -> rank-deficient normal equations
     import org.apache.spark.sql.types._

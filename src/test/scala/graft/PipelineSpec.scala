@@ -1024,6 +1024,70 @@ class PipelineSpec extends SparkSpec {
     assert(pairs === Set(("orig", "tweak")))
   }
 
+  test("multimodal: video near-dup — shared frame pairs clips, disjoint clips stay out") {
+    import java.awt.image.BufferedImage
+    // two-tone frames survive GIF's palette quantization exactly
+    def frame(phase: Int): BufferedImage = {
+      val img = new BufferedImage(18, 16, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until 16; x <- 0 until 18)
+        img.setRGB(x, y, if ((x / 3 + phase) % 2 == 0) 0xDCDCDC else 0x141414)
+      img
+    }
+    def gif(phases: Seq[Int]): Array[Byte] = {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+      val writer = it.next()
+      val bos = new java.io.ByteArrayOutputStream
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        phases.foreach(p => writer.writeToSequence(
+          new javax.imageio.IIOImage(frame(p), null, null),
+          writer.getDefaultWriteParam))
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    // per-frame hashes are deterministic and phase-sensitive
+    val h0 = Multimodal.videoFrameDHashes(gif(Seq(0, 1)), stride = 1)
+    assert(h0.map(_._1) === Seq(0, 1) && h0(0)._2 != h0(1)._2)
+    // clip A(0,1) and B(1,0) share BOTH frame patterns; clip C uses a
+    // genuinely different pattern: solid frames (all comparisons equal
+    // -> hash 0, far from any stripe hash)
+    def solidGif(n: Int): Array[Byte] = {
+      val it = javax.imageio.ImageIO.getImageWritersByFormatName("gif")
+      val writer = it.next()
+      val bos = new java.io.ByteArrayOutputStream
+      val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+      try {
+        writer.setOutput(ios)
+        writer.prepareWriteSequence(null)
+        (0 until n).foreach { _ =>
+          val img = new BufferedImage(18, 16, BufferedImage.TYPE_3BYTE_BGR)
+          for (y <- 0 until 16; x <- 0 until 18) img.setRGB(x, y, 0x808080)
+          writer.writeToSequence(new javax.imageio.IIOImage(img, null, null),
+            writer.getDefaultWriteParam)
+        }
+        writer.endWriteSequence()
+      } finally { writer.dispose(); ios.close() }
+      bos.toByteArray
+    }
+    val clips = Seq(("a", gif(Seq(0, 1))), ("b", gif(Seq(1, 0))),
+      ("c", solidGif(2)))
+    val df = spark.createDataFrame(
+      java.util.Arrays.asList(clips.map(t => org.apache.spark.sql.Row(t._1, t._2)): _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("payload",
+          org.apache.spark.sql.types.BinaryType))))
+    val pairs = Multimodal.videoNearDuplicates(df, "id", "payload",
+      maxHamming = 2)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getInt(2))).toMap
+    assert(pairs.keySet === Set(("a", "b")))
+    assert(pairs(("a", "b")) === 0) // identical frame patterns, reordered
+  }
+
   test("compression ratio: repetitive < prose < high-entropy; empty = 1; deterministic") {
     import graft.text.TextAnalysis
     val repetitive = ("spam ham " * 200).trim
