@@ -228,6 +228,31 @@ object TrainingQueries {
         .withColumn("in_sample", (col("bucket") < 250).cast("int"))
     }),
 
+    // weighted sampling without replacement (Efraimidis–Spirakis):
+    // md5-derived exact-dyadic uniforms -> ln(u)/w priorities -> one
+    // TakeOrderedAndProject; the oracle re-derives every priority bit
+    // for bit and takes the same top-n
+    "data_weighted_sample" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("n_chars"))
+      roundCols(graft.functions.Sampling.weightedSample(
+        docs, "doc_id", col("n_chars"), n = 120, salt = "graft"),
+        Seq("priority"))
+    }),
+
+    // leakage-safe split: near-dup cluster labels (pointer-jump CC over
+    // verified minhash pairs) become the split key, so no component
+    // ever straddles train/test; oracle = recursive-CTE closure + the
+    // same md5 bucketing on the cluster label
+    "data_leakage_split" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val pairs = Dedup.minhashVerifiedPairs(c, "id", col("text"),
+        k = 3, numHashes = 8, bands = 4, threshold = 0.5)
+        .select("id_a", "id_b")
+      graft.functions.Sampling.leakageSafeSplit(c.select(col("id")), "id",
+        pairs, Seq("train" -> 0.8, "test" -> 0.2), salt = "graft")
+    }),
+
     // stratified deterministic sampling: rebalance a skewed corpus
     // (downsample the dominant language, keep the tail) with per-stratum
     // hash-rate thresholds — reproducible at any cluster size
@@ -723,6 +748,14 @@ object TrainingQueries {
       Dedup.dropNearAgainst(
         dedupCorpusSide(s, dir), dedupBatchSide(s, dir), "id", col("text"),
         k = 3, numHashes = 8, bands = 4, threshold = 0.5)
+        .select("id")),
+
+    // bloom-pruned exact against-cut: definite bloom negatives skip the
+    // join entirely, positives are cleared by the semi-pruned anti-join
+    // — the result is EXACT, so the oracle is the plain NOT-IN
+    "dedup_exact_against_bloom" -> ((s, dir) =>
+      Dedup.dropExactAgainstBloom(
+        dedupCorpusSide(s, dir), dedupBatchSide(s, dir), col("text"))
         .select("id")),
 
     "dedup_simhash_against" -> ((s, dir) =>
@@ -1313,6 +1346,26 @@ object TrainingQueries {
           sum(col("n_events")).as("n_events_total"),
           max(col("n_events")).as("max_session_events"))
     }),
+
+    // event-sequence funnel: greedy-earliest view -> click -> purchase
+    // chain per user, horizon 3 days anchored at the first view; the
+    // single-shuffle sorted-fold result must equal the oracle's chained
+    // min-subquery construction (two independent derivations of the
+    // same greedy recurrence)
+    "events_funnel_steps" -> ((s, dir) =>
+      EventStreams.funnelSteps(events(s, dir),
+        Seq("view", "click", "purchase"), horizonSeconds = 259200L)),
+
+    "events_funnel_summary" -> ((s, dir) =>
+      EventStreams.funnelSummary(
+        EventStreams.funnelSteps(events(s, dir),
+          Seq("view", "click", "purchase"), horizonSeconds = 259200L),
+        Seq("view", "click", "purchase"))),
+
+    // retention triangle: day cohorts by first event, distinct active
+    // users per (cohort, day-offset)
+    "events_retention_cohorts" -> ((s, dir) =>
+      EventStreams.retentionCohorts(events(s, dir), bucketSeconds = 86400L)),
 
     "events_json_extract" -> ((s, dir) =>
       events(s, dir)
@@ -2270,6 +2323,37 @@ object TrainingQueries {
            bucket, CAST(bucket < 250 AS INT) AS in_sample
          FROM b ORDER BY doc_id""",
 
+    "data_weighted_sample" ->
+      s"""WITH b AS (SELECT doc_id, n_chars,
+           ln((('0x' || substr(md5('graft' || ':' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+              / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS pr
+         FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
+         SELECT doc_id, n_chars, (round(pr, 6) + 0) AS priority
+         FROM b ORDER BY pr DESC, doc_id LIMIT 120""",
+
+    "data_leakage_split" ->
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+         t AS (SELECT id, $tokensSql AS toks FROM corpus),
+         shs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM t),
+         sig AS (SELECT id, sh, ${minhashSigSql(8)} AS sig FROM shs),
+         bandt AS (SELECT id, unnest(${minhashBandsSql(4, 2)}) AS band FROM sig),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bandt a JOIN bandt b ON a.band = b.band AND a.id < b.id),
+         ver AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+             FROM cand JOIN shs sa ON sa.id = cand.id_a JOIN shs sb ON sb.id = cand.id_b)
+           WHERE jaccard >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+           UNION ALL SELECT id_b, id_a FROM ver),
+         reach(id, r) AS (
+           SELECT id, id FROM corpus
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id)
+         SELECT id, cluster_id,
+           CASE WHEN CAST(('0x' || substr(md5('graft' || ':' || CAST(cluster_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS INT) < 800
+                THEN 'train' ELSE 'test' END AS split
+         FROM lab ORDER BY id""",
+
     "data_stratified_sample" ->
       s"""WITH b AS (SELECT doc_id, lang,
            CAST(('0x' || substr(md5('graft' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS INT) AS bucket
@@ -3029,6 +3113,43 @@ object TrainingQueries {
            CAST(sum(n) AS BIGINT) AS n_events_total,
            CAST(max(n) AS BIGINT) AS max_session_events
          FROM per GROUP BY user_id ORDER BY user_id""",
+
+    "events_funnel_steps" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING(user_id)
+           WHERE event_type = 'click' AND us > t1 AND us <= t1 + 259200000000 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING(user_id) JOIN s1 USING(user_id)
+           WHERE event_type = 'purchase' AND us > t2 AND us <= t1 + 259200000000 GROUP BY 1)
+         SELECT s1.user_id, CAST(t1 AS BIGINT) AS step1_us,
+           CAST(t2 AS BIGINT) AS step2_us, CAST(t3 AS BIGINT) AS step3_us,
+           CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS depth
+         FROM s1 LEFT JOIN s2 USING(user_id) LEFT JOIN s3 USING(user_id) ORDER BY 1""",
+
+    "events_funnel_summary" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING(user_id)
+           WHERE event_type = 'click' AND us > t1 AND us <= t1 + 259200000000 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING(user_id) JOIN s1 USING(user_id)
+           WHERE event_type = 'purchase' AND us > t2 AND us <= t1 + 259200000000 GROUP BY 1)
+         SELECT * FROM (VALUES
+           (1, 'view', (SELECT CAST(count(*) AS BIGINT) FROM s1)),
+           (2, 'click', (SELECT CAST(count(*) AS BIGINT) FROM s2)),
+           (3, 'purchase', (SELECT CAST(count(*) AS BIGINT) FROM s3)))
+           t(step, step_name, n_users) ORDER BY step""",
+
+    "events_retention_cohorts" ->
+      s"""WITH e AS (SELECT DISTINCT user_id, (epoch_ns(ts) // 1000) // 86400000000 AS b FROM events),
+         f AS (SELECT user_id, min(b) AS cohort_bucket FROM e GROUP BY 1)
+         SELECT cohort_bucket, b - cohort_bucket AS bucket_offset,
+           CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_users
+         FROM e JOIN f USING(user_id) GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "dedup_exact_against_bloom" ->
+      s"""WITH corpus AS ($dedupCorpusSideSql), batch AS ($dedupBatchSideSql)
+         SELECT id FROM batch
+         WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus) ORDER BY id""",
 
     "events_json_extract" ->
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,

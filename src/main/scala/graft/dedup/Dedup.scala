@@ -334,6 +334,48 @@ object Dedup {
       .join(keys, Seq("_dk"), "left_anti").drop("_dk")
   }
 
+  /** [[dropExactAgainst]] with a Bloom-filter pre-cut — the incremental
+    * -ingest shape where the corpus is huge and mostly-at-rest while
+    * batches are small and frequent: ONE corpus pass builds a Bloom
+    * filter over the corpus keys (`expectedItems` defaults to a corpus
+    * count; size it once and reuse `corpusKeyBloom` across batches),
+    * each batch then filters through the broadcast bloom — a definite
+    * negative is provably novel with ZERO join work — and only the
+    * bloom-positive survivors (true dups + fpp false positives) run
+    * the exact anti-join, whose corpus side is semi-join-pruned by the
+    * survivors' key set. The result is EXACT (the bloom only prunes;
+    * false positives are cleared by the anti-join), so the oracle is
+    * the same NOT-IN as the plain exact cut.
+    *
+    * Driver memory holds only the bloom (~1.2 bytes/key at fpp 0.03 —
+    * 1.2 GB per 10^9 corpus keys; for a corpus beyond a few billion
+    * keys, shard the corpus and intersect per-shard blooms upstream). */
+  def dropExactAgainstBloom(corpus: DataFrame, batch: DataFrame,
+      keyCol: Column, fpp: Double = 0.03,
+      expectedItems: Long = -1L): DataFrame = {
+    val bloom = corpusKeyBloom(corpus, keyCol, fpp, expectedItems)
+    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
+    val keyed = batch.withColumn("_dk", md5(keyCol))
+    val negatives = keyed.filter(!mightContain(col("_dk")))
+    val candidates = keyed.filter(mightContain(col("_dk")))
+    val corpusKeys = corpus.select(md5(keyCol).as("_dk"))
+      .join(candidates.select("_dk").distinct(), Seq("_dk"), "left_semi")
+    negatives.unionByName(
+        candidates.join(corpusKeys, Seq("_dk"), "left_anti"))
+      .drop("_dk")
+  }
+
+  /** The corpus-side Bloom filter [[dropExactAgainstBloom]] uses, built
+    * once per corpus epoch (one aggregation pass, partial-merged across
+    * partitions) and reusable across every arriving batch. */
+  def corpusKeyBloom(corpus: DataFrame, keyCol: Column, fpp: Double = 0.03,
+      expectedItems: Long = -1L): org.apache.spark.util.sketch.BloomFilter = {
+    val n = if (expectedItems > 0) expectedItems
+      else math.max(corpus.count(), 1L)
+    corpus.select(md5(keyCol).as("_dk")).stat.bloomFilter("_dk", n, fpp)
+  }
+
   /** Verified near-dup matches of a NEW batch against the corpus:
     * MinHash band keys on both sides, batch x corpus join per band
     * (never corpus x corpus), exact shingle-Jaccard verification at

@@ -135,6 +135,56 @@ object Sampling {
       .filter(hashBucket(col(idCol), 1000, salt) < col("mix_rate_x1000"))
   }
 
+  /** Weighted sample WITHOUT replacement of exactly `n` rows
+    * (Efraimidis–Spirakis priority keys): each row draws a
+    * deterministic uniform `u` from md5(salt ':' id) — 13 hex chars =
+    * a 52-bit integer, `(k + 0.5) / 2^52`, every step exact dyadic
+    * double arithmetic so any md5-capable engine reproduces `u` BIT
+    * FOR BIT — and ranks by priority `ln(u) / w`; the top-n priorities
+    * are the sample. Inclusion probability is proportional to weight
+    * (heavier rows draw priorities closer to 0), the classic
+    * distributed one-pass weighted reservoir. Rows with NULL or
+    * non-positive weight are excluded (they have no defined priority).
+    *
+    * Spark shape: a narrow projection then ONE TakeOrderedAndProject —
+    * per-partition top-n heaps merged on the driver, no global sort
+    * exchange, no RNG state; the same (salt, weights) always draws the
+    * same sample at any parallelism. Output: the sampled rows plus
+    * their `priority` (the tie-break is (priority, id), total because
+    * ids are unique). */
+  def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
+      n: Int, salt: String = ""): DataFrame = {
+    require(n > 0, "sample size must be positive")
+    val k = conv(substring(md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    val u = (k.cast("double") + lit(0.5)) / lit(4503599627370496.0) // 2^52
+    val pr = log(u) / weightCol.cast("double")
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("priority", pr)
+      .orderBy(col("priority").desc, col(idCol))
+      .limit(n)
+  }
+
+  /** Leakage-safe split: near-duplicate documents must never straddle
+    * train/test (a test doc whose near-copy sits in train inflates
+    * eval), so the split key is the row's DUPLICATE-CLUSTER label, not
+    * its own id — every member of a connected component lands in the
+    * same partition by construction. `pairs` is any verified dup-pair
+    * frame ((id_a, id_b) — minhash, simhash, embedding, or semantic);
+    * labels come from [[graft.dedup.Dedup.clusters]] (component
+    * minimum), and the assignment is the same md5 per-mille bucketing
+    * as [[deterministicSplit]] applied to the cluster id — singleton
+    * docs split by their own label. One label join on id; the split
+    * itself stays a narrow projection. Output: input rows plus
+    * (cluster_id, split). */
+  def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      weights: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    val labels = graft.dedup.Dedup.clusters(
+      df.select(col(idCol)), idCol, pairs)
+    val joined = df.join(labels, idCol)
+    deterministicSplit(joined, "cluster_id", weights, salt)
+  }
+
   /** Per-group row cap (the CC-pipeline "at most N documents per domain"
     * rule): keeps the first `cap` rows of each group in ascending
     * `order` (append a unique tiebreaker for full determinism). One

@@ -343,6 +343,117 @@ object EventStreams {
         col("cnt"), col("sum_value"))
   }
 
+  // --------------------------------------------- funnel & retention
+
+  /** Event-sequence funnel: per user, the greedy-earliest completion
+    * times of an ordered step chain (e.g. view -> click -> purchase).
+    * Semantics: `t1` is the user's FIRST step-1 event; `t_k` is the
+    * earliest step-k event with ts strictly after `t_{k-1}` and within
+    * `horizonSeconds` of the anchor `t1`. The horizon is anchored at
+    * the first step-1 event (the standard product-analytics definition
+    * — a user whose earliest attempt expires does not re-anchor).
+    * Greedy-earliest is optimal for reachability here: any completion
+    * chain implies the greedy one completes too.
+    *
+    * Output: one row per user with >= 1 step-1 event —
+    * (user_id, step1_us..stepN_us nullable, depth). Exact integer
+    * microsecond arithmetic throughout.
+    *
+    * Spark shape: filter to the step types (pushed to the scan), ONE
+    * shuffle (groupBy user), per-user ts-sorted fold entirely inside
+    * codegen'd higher-order functions (`sort_array` + `aggregate` +
+    * `transform`) — no window over the full corpus, no self-joins, no
+    * per-step shuffle chain. Per-user state is the O(n)-element times
+    * array; the collected per-user event list is bounded by that
+    * user's step-event count (funnel analytics' usual contract — cap
+    * upstream with a per-user limit if a bot user could hold millions
+    * of step events). */
+  def funnelSteps(events: DataFrame, steps: Seq[String],
+      horizonSeconds: Long, tsCol: String = "ts",
+      typeCol: String = "event_type", userCol: String = "user_id"): DataFrame = {
+    require(steps.length >= 2, "a funnel needs at least 2 steps")
+    require(steps.distinct.length == steps.length, "funnel steps must be distinct")
+    require(horizonSeconds > 0 && horizonSeconds < Long.MaxValue / 2000000L,
+      "horizon must be positive (and not overflow micros)")
+    val n = steps.length
+    val horizonUs = horizonSeconds * 1000000L
+    val stepIdx = steps.zipWithIndex.tail
+      .foldLeft(when(col(typeCol) === steps.head, lit(0))) {
+        case (acc, (s, i)) => acc.when(col(typeCol) === s, lit(i))
+      }.otherwise(lit(-1))
+    val none = lit(-1L)
+    val init = array((0 until n).map(_ => none): _*)
+    val perUser = events
+      .withColumn("_us", epochMicros(events, tsCol))
+      .withColumn("_step", stepIdx)
+      .filter(col("_step") >= 0)
+      .groupBy(col(userCol).as("user_id"))
+      .agg(sort_array(collect_list(struct(col("_us"), col("_step")))).as("_evs"))
+    // fold in (ts, step) order; slot s fills when still empty, the
+    // previous slot is filled, ts is strictly later, and ts is inside
+    // the anchor's horizon (element_at is 1-based: element_at(acc, s)
+    // IS acc[s-1])
+    val times = aggregate(col("_evs"), init, (acc, e) => {
+      val s = e.getField("_step")
+      val t = e.getField("_us")
+      transform(acc, (v, j) =>
+        when(j === s && v === none &&
+          (s === lit(0) ||
+            (element_at(acc, s) =!= none && t > element_at(acc, s) &&
+             t <= element_at(acc, lit(1)) + lit(horizonUs))), t)
+          .otherwise(v))
+    })
+    val out = perUser.withColumn("_t", times).filter(element_at(col("_t"), 1) =!= none)
+    out.select(
+      col("user_id") +:
+        (0 until n).map(k =>
+          when(element_at(col("_t"), k + 1) === none, lit(null).cast("long"))
+            .otherwise(element_at(col("_t"), k + 1)).as(s"step${k + 1}_us")) :+
+        size(filter(col("_t"), v => v =!= none)).as("depth"): _*)
+  }
+
+  /** Per-step funnel conversion counts from [[funnelSteps]] output:
+    * (step, step_name, n_users) where n_users completed >= that step.
+    * A tiny frame (n rows) — the dashboard summary. */
+  def funnelSummary(perUser: DataFrame, steps: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("_c1") +:
+      (2 to steps.length).map(k =>
+        count(when(col("depth") >= k, 1)).as(s"_c$k"))
+    val counts = perUser.agg(aggs.head, aggs.tail: _*)
+    counts.select(explode(array(steps.zipWithIndex.map { case (s, i) =>
+      struct(lit(i + 1).as("step"), lit(s).as("step_name"),
+        col(s"_c${i + 1}").as("n_users"))
+    }: _*)).as("r")).select("r.*")
+  }
+
+  /** Retention cohorts: users bucketed by their first-ever event's
+    * time bucket (default: day), counted once per (cohort, offset)
+    * bucket they were active in — the classic triangle retention
+    * matrix. Output: (cohort_bucket, bucket_offset, n_users), buckets
+    * as integer epoch-bucket ordinals (multiply by `bucketSeconds` for
+    * epoch seconds).
+    *
+    * Spark shape: project to (user, bucket) -> distinct (map-side
+    * partial), min-bucket per user (partial agg), one equi-join back
+    * on user (AQE broadcasts the cohort side when small; a plain
+    * shuffle join otherwise — both sides are already user-keyed), then
+    * a count-distinct keyed by (cohort, offset). No windows, no
+    * cross products; every stage is partial-aggregatable, so shuffle
+    * volume is distinct (user, bucket) pairs, not raw events. */
+  def retentionCohorts(events: DataFrame, bucketSeconds: Long = 86400L,
+      tsCol: String = "ts", userCol: String = "user_id"): DataFrame = {
+    require(bucketSeconds > 0, "bucket must be positive")
+    val e0 = events.withColumn("_us", epochMicros(events, tsCol))
+    val e = e0.select(col(userCol).as("user_id"),
+        expr(s"_us div ${bucketSeconds * 1000000L}").as("_b"))
+      .distinct()
+    val first = e.groupBy("user_id").agg(min("_b").as("cohort_bucket"))
+    e.join(first, "user_id")
+      .groupBy(col("cohort_bucket"),
+        (col("_b") - col("cohort_bucket")).as("bucket_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
   // ------------------------------------------------- stateful streaming
 
   final case class SessionEvent(user_id: Long, ts_ns: Long, value: Double)
@@ -391,6 +502,68 @@ object EventStreams {
     events.groupByKey(_.user_id)
       .flatMapGroupsWithState(OutputMode.Append(),
         if (idleFlush) GroupStateTimeout.ProcessingTimeTimeout()
+        else GroupStateTimeout.NoTimeout())(fn)
+  }
+
+  final case class FunnelEvent(user_id: Long, ts_ns: Long, step: Int)
+  final case class FunnelState(times: Seq[Long])
+  final case class FunnelOut(user_id: Long, step_times_ns: Seq[Long])
+
+  /** Streaming form of [[funnelSteps]]: per-user greedy-earliest step
+    * chain held in `flatMapGroupsWithState`, emitting ONE [[FunnelOut]]
+    * the moment the final step completes (append mode); state is
+    * removed on completion, so each emission is one completed chain —
+    * a later fresh step-1 event re-anchors a NEW chain (the batch form
+    * computes only the first chain; keep users single-chain when
+    * asserting stream ≡ batch). Same
+    * anchored-horizon semantics as the batch form (nanos here, like
+    * the other stateful ops). Events sort by (ts, step) inside each
+    * micro-batch; cross-batch the greedy fold is order-correct
+    * whenever each user's events arrive in event-time order across
+    * batches (the replay / in-order-ingest regime the adjacent
+    * stateful ops document). With `idleTimeout` set, unconverted
+    * users' state is dropped after that much processing-time silence —
+    * bounded state on an unbounded stream. (Leave it None under
+    * `processAllAvailable` test harnesses: a processing-time timeout
+    * makes the engine run timeout-check batches continuously at the
+    * default 0 ms trigger, so the all-available condition never
+    * settles; production queries use a real trigger interval.) */
+  def statefulFunnel(events: org.apache.spark.sql.Dataset[FunnelEvent],
+      numSteps: Int, horizonSeconds: Long,
+      idleTimeout: Option[String] = None): org.apache.spark.sql.Dataset[FunnelOut] = {
+    require(numSteps >= 2, "a funnel needs at least 2 steps")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val horizonNs = horizonSeconds * 1000000000L
+
+    def fn(userId: Long, rows: Iterator[FunnelEvent],
+        state: GroupState[FunnelState]): Iterator[FunnelOut] = {
+      if (state.hasTimedOut) { state.remove(); return Iterator.empty }
+      val times = state.getOption.map(_.times.toArray)
+        .getOrElse(Array.fill(numSteps)(-1L))
+      var done = false
+      rows.toSeq.sortBy(e => (e.ts_ns, e.step)).foreach { e =>
+        if (!done && e.step >= 0 && e.step < numSteps && times(e.step) == -1L &&
+            (e.step == 0 ||
+              (times(e.step - 1) != -1L && e.ts_ns > times(e.step - 1) &&
+               e.ts_ns <= times(0) + horizonNs))) {
+          times(e.step) = e.ts_ns
+          if (e.step == numSteps - 1) done = true
+        }
+      }
+      if (done) {
+        state.remove()
+        Iterator.single(FunnelOut(userId, times.toSeq))
+      } else {
+        state.update(FunnelState(times.toSeq))
+        idleTimeout.foreach(state.setTimeoutDuration)
+        Iterator.empty
+      }
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        if (idleTimeout.isDefined) GroupStateTimeout.ProcessingTimeTimeout()
         else GroupStateTimeout.NoTimeout())(fn)
   }
 

@@ -225,6 +225,57 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful funnel: chain completes across micro-batches, stream ≡ batch, horizon binds") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import EventStreams.{FunnelEvent, FunnelOut}
+    val sec = 1000000000L
+    val input = MemoryStream[FunnelEvent]
+    val q = EventStreams.statefulFunnel(input.toDS(), numSteps = 3,
+      horizonSeconds = 3600L)
+      .writeStream.format("memory").queryName("funnel_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    val fed = scala.collection.mutable.ArrayBuffer.empty[FunnelEvent]
+    def feed(evs: FunnelEvent*): Unit = {
+      fed ++= evs; input.addData(evs: _*); q.processAllAvailable()
+    }
+    try {
+      // batch 1: u1 opens (steps 0,1), u2 opens (step 0) — nothing emits
+      feed(FunnelEvent(1L, 10 * sec, 0), FunnelEvent(1L, 20 * sec, 1),
+        FunnelEvent(2L, 10 * sec, 0))
+      assert(spark.table("funnel_stream_out").count() === 0)
+      // batch 2: u1's final step lands -> exactly one emission, exact times
+      feed(FunnelEvent(1L, 30 * sec, 2), FunnelEvent(2L, 20 * sec, 1))
+      val done = spark.table("funnel_stream_out").as[FunnelOut].collect()
+      assert(done.toSeq === Seq(FunnelOut(1L, Seq(10 * sec, 20 * sec, 30 * sec))))
+      // equal-ts final step is NOT strictly after u2's click -> no emission
+      feed(FunnelEvent(2L, 20 * sec, 2))
+      assert(spark.table("funnel_stream_out").count() === 1)
+      // u3: final step outside the anchored 3600s horizon never completes
+      feed(FunnelEvent(3L, 1000 * sec, 0))
+      feed(FunnelEvent(3L, 1001 * sec, 1), FunnelEvent(3L, 6000 * sec, 2))
+      assert(spark.table("funnel_stream_out").count() === 1)
+      // u2 finally converts in a later batch
+      feed(FunnelEvent(2L, 40 * sec, 2))
+      val out = spark.table("funnel_stream_out").as[FunnelOut].collect()
+        .map(o => o.user_id -> o.step_times_ns).toMap
+      assert(out === Map(
+        1L -> Seq(10 * sec, 20 * sec, 30 * sec),
+        2L -> Seq(10 * sec, 20 * sec, 40 * sec)))
+      // stream ≡ batch: the batch funnelSteps over every event fed so far
+      // finds exactly the streamed completions (single-chain users)
+      val evDf = fed.toSeq.map(e => (e.user_id, s"s${e.step}", e.ts_ns))
+        .toDF("user_id", "event_type", "ts")
+      val batchDone = EventStreams.funnelSteps(evDf, Seq("s0", "s1", "s2"),
+        horizonSeconds = 3600L)
+        .filter(col("depth") === 3).collect()
+        .map(r => r.getLong(0) -> Seq(r.getLong(1), r.getLong(2), r.getLong(3)))
+        .toMap
+      assert(batchDone === out.view.mapValues(_.map(_ / 1000L)).toMap)
+    } finally q.stop()
+  }
+
   test("stateful sessionize across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
