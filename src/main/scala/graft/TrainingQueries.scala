@@ -462,6 +462,17 @@ object TrainingQueries {
         "doc_id", "text"), Seq("logppl"))
     }),
 
+    // interpolated Kneser–Ney bigram perplexity (the smoothing CCNet's
+    // KenLM actually uses): absolute discount + continuation-probability
+    // backoff, every probability term replicated in SQL
+    "text_kn_ppl" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val model = NgramLm.trainKneserNey(
+        docs.filter(col("doc_id") < 400), "doc_id", "text")
+      roundCols(NgramLm.scoreKneserNey(model, docs.filter(col("doc_id") >= 400),
+        "doc_id", "text"), Seq("logppl"))
+    }),
+
     // PCA embedding compression — the ONE distributed job of PCA
     // training (upper-tri second moments; the d x d eigensolve is
     // driver-side and property-tested in PcaSpec): every covariance
@@ -1366,6 +1377,12 @@ object TrainingQueries {
     // users per (cohort, day-offset)
     "events_retention_cohorts" -> ((s, dir) =>
       EventStreams.retentionCohorts(events(s, dir), bucketSeconds = 86400L)),
+
+    // trailing rolling features over each user's last 5 events — the
+    // lag-feature projection; ROWS frame totalized by (ts, event_id)
+    "events_rolling_stats" -> ((s, dir) =>
+      roundCols(EventStreams.rollingStats(events(s, dir), k = 5),
+        Seq("roll_sum", "roll_avg", "roll_max"))),
 
     "events_json_extract" -> ((s, dir) =>
       events(s, dir)
@@ -2467,6 +2484,31 @@ object TrainingQueries {
            (CASE WHEN sums.nb > 0 THEN round((0.0 - sums.s) / CAST(sums.nb AS DOUBLE), 6) + 0 ELSE NULL END) AS logppl
          FROM tst t LEFT JOIN sums ON sums.doc_id = t.doc_id ORDER BY t.doc_id""",
 
+    "text_kn_ppl" ->
+      s"""WITH allt AS (SELECT doc_id, list_transform($tokensSql, t -> lower(t)) AS lt FROM documents),
+         trn AS (SELECT * FROM allt WHERE doc_id < 400),
+         tst AS (SELECT * FROM allt WHERE doc_id >= 400),
+         tbg AS (SELECT lt[i.i+1] AS w1, lt[i.i+2] AS w2 FROM trn, LATERAL (SELECT unnest(range(0, len(lt)-1)) AS i) i WHERE len(lt) >= 2),
+         bgc AS (SELECT w1, w2, CAST(count(*) AS BIGINT) AS c12 FROM tbg GROUP BY w1, w2),
+         hd AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, CAST(count(*) AS BIGINT) AS n1ph FROM bgc GROUP BY w1),
+         ct AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1pc FROM bgc GROUP BY w2),
+         nbb AS (SELECT CAST(count(*) AS BIGINT) AS nb FROM bgc),
+         vn AS (SELECT CAST(count(DISTINCT term) AS BIGINT) AS v FROM (SELECT unnest(lt) AS term FROM trn)),
+         sbg AS (SELECT doc_id, i.i AS pos, lt[i.i+1] AS w1, lt[i.i+2] AS w2 FROM tst, LATERAL (SELECT unnest(range(0, len(lt)-1)) AS i) i WHERE len(lt) >= 2),
+         ctb AS (SELECT doc_id, struct_pack(p := pos, c := ln(
+             CASE WHEN hd.c1 IS NULL
+               THEN (CAST(coalesce(ct.n1pc, 0) AS DOUBLE) + 1.0) / CAST(nbb.nb + vn.v + 1 AS DOUBLE)
+               ELSE greatest(CAST(coalesce(bgc.c12, 0) AS DOUBLE) - 0.75, 0.0) / CAST(hd.c1 AS DOUBLE)
+                 + 0.75 * CAST(hd.n1ph AS DOUBLE) / CAST(hd.c1 AS DOUBLE)
+                   * ((CAST(coalesce(ct.n1pc, 0) AS DOUBLE) + 1.0) / CAST(nbb.nb + vn.v + 1 AS DOUBLE))
+             END)) AS pc
+           FROM sbg LEFT JOIN bgc ON bgc.w1 = sbg.w1 AND bgc.w2 = sbg.w2
+             LEFT JOIN hd ON hd.w1 = sbg.w1 LEFT JOIN ct ON ct.w2 = sbg.w2, nbb, vn),
+         sums AS (SELECT doc_id, list_sum(list_transform(list_sort(list(pc)), x -> struct_extract(x, 'c'))) AS s, CAST(count(*) AS BIGINT) AS nb FROM ctb GROUP BY doc_id)
+         SELECT t.doc_id, CAST(coalesce(sums.nb, 0) AS BIGINT) AS n_bigrams,
+           (CASE WHEN sums.nb > 0 THEN round((0.0 - sums.s) / CAST(sums.nb AS DOUBLE), 6) + 0 ELSE NULL END) AS logppl
+         FROM tst t LEFT JOIN sums ON sums.doc_id = t.doc_id ORDER BY t.doc_id""",
+
     "text_nb_langid" ->
       s"""WITH aug AS (SELECT doc_id, lang,
            text || (CASE WHEN doc_id % 3 != 0 THEN ' tok_' || lang ELSE '' END) AS text
@@ -3150,6 +3192,17 @@ object TrainingQueries {
       s"""WITH corpus AS ($dedupCorpusSideSql), batch AS ($dedupBatchSideSql)
          SELECT id FROM batch
          WHERE md5(text) NOT IN (SELECT md5(text) FROM corpus) ORDER BY id""",
+
+    "events_rolling_stats" ->
+      s"""SELECT event_id, user_id, epoch_ns(ts) // 1000 AS ts_us,
+           CAST(count(*) OVER w AS BIGINT) AS roll_n,
+           (round(sum(value) OVER w, 6) + 0) AS roll_sum,
+           (round(avg(value) OVER w, 6) + 0) AS roll_avg,
+           (round(max(value) OVER w, 6) + 0) AS roll_max
+         FROM events
+         WINDOW w AS (PARTITION BY user_id ORDER BY epoch_ns(ts) // 1000, event_id
+           ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+         ORDER BY event_id""",
 
     "events_json_extract" ->
       s"""SELECT event_type, CAST(count(*) AS BIGINT) AS cnt,

@@ -110,6 +110,29 @@ object EventStreams {
       .agg(count(lit(1)).as("cnt"), sum(col("value")).as("sum_value"))
   }
 
+  /** Trailing per-key rolling features: for each event, count/
+    * sum/avg/max of `valueCol` over that key's last `k` events up to
+    * and including it (ROWS frame, ordered by (ts, event_id) so the
+    * frame is total even at duplicate timestamps) — the lag-feature
+    * projection of training pipelines ("user's activity over their
+    * last k events"). ONE shuffle + per-key sort; the bounded ROWS
+    * frame walks each partition linearly — no self-join, no explode,
+    * cost independent of k's time span. */
+  def rollingStats(events: DataFrame, k: Int, tsCol: String = "ts",
+      keyCol: String = "user_id", valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    require(k > 0, "k must be positive")
+    val withUs = events.withColumn("_us", epochMicros(events, tsCol))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_us"), col(idCol))
+      .rowsBetween(-(k - 1).toLong, 0L)
+    withUs.select(col(idCol), col(keyCol), col("_us").as("ts_us"),
+      count(lit(1)).over(w).as("roll_n"),
+      sum(col(valueCol)).over(w).as("roll_sum"),
+      avg(col(valueCol)).over(w).as("roll_avg"),
+      max(col(valueCol)).over(w).as("roll_max"))
+  }
+
   /** Sessionization via Spark's NATIVE `session_window` (merge-on-gap):
     * sessions close when the next event arrives `gapSeconds` OR MORE
     * after the previous one (Spark merges while `next < prev + gap`;

@@ -61,6 +61,66 @@ object NgramLm {
     Model(bigrams, heads, v)
   }
 
+  /** Interpolated Kneser–Ney bigram model — the smoothing CCNet's
+    * actual KenLM filter uses (Kneser & Ney 1995; Chen & Goodman 1998),
+    * fixing [[Model]]'s add-1 artifact: a word's backoff weight is its
+    * CONTINUATION probability (how many distinct contexts it follows)
+    * rather than raw frequency, so "Francisco" (frequent but only
+    * after "San") stops inflating unseen-context scores. Still pure
+    * counts — every probability is exactly replicable in SQL:
+    *
+    *   p(w2|w1) = max(c12 - D, 0)/c1 + D·N1+(w1,·)/c1 · p_cont(w2)
+    *   p_cont(w2) = (N1+(·,w2) + 1) / (N_bb + V + 1)   (add-1 so OOV
+    *     w2 keeps finite mass), unseen heads back off to p_cont alone.
+    */
+  case class KnModel(bigrams: DataFrame, heads: DataFrame,
+      continuations: DataFrame, totalBigramTypes: Long, vocabSize: Long,
+      discount: Double)
+
+  def trainKneserNey(df: DataFrame, idCol: String, textCol: String,
+      discount: Double = 0.75): KnModel = {
+    require(discount > 0 && discount < 1, "discount in (0,1)")
+    val bg = bigramRows(df, idCol, textCol)
+    val bigrams = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
+    val heads = bigrams.groupBy(col("w1"))
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1p_head"))
+    val continuations = bigrams.groupBy(col("w2"))
+      .agg(count(lit(1)).as("n1p_cont"))
+    val nbb = bigrams.count()
+    val v = df.select(explode(lowerTokens(textCol)).as("term"))
+      .distinct().count()
+    KnModel(bigrams, heads, continuations, nbb, v, discount)
+  }
+
+  /** Score (id, text) rows under the KN model: (idCol, n_bigrams,
+    * logppl) — same output contract and position-ordered fold as
+    * [[score]]. */
+  def scoreKneserNey(model: KnModel, df: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val d = model.discount
+    val denom = (model.totalBigramTypes + model.vocabSize + 1).toDouble
+    val pcont = (coalesce(col("n1p_cont"), lit(0L)).cast("double") + 1.0) / lit(denom)
+    val c1d = col("c1").cast("double")
+    val p = when(col("c1").isNull, pcont).otherwise(
+      greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(d), lit(0.0)) / c1d +
+        lit(d) * col("n1p_head").cast("double") / c1d * pcont)
+    val contrib = bigramRows(df, idCol, textCol)
+      .join(model.bigrams, Seq("w1", "w2"), "left")
+      .join(model.heads, Seq("w1"), "left")
+      .join(model.continuations, Seq("w2"), "left")
+      .select(col("_id"), struct(col("pos"), log(p).as("c")).as("pc"))
+    val sums = contrib.groupBy(col("_id"))
+      .agg(aggregate(sort_array(collect_list(col("pc"))), lit(0.0),
+        (acc, x) => acc + x.getField("c")).as("s"),
+        count(lit(1)).as("n_bigrams"))
+    df.select(col(idCol).as("_id")).join(sums, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        when(col("n_bigrams") > 0,
+          (lit(0.0) - col("s")) / col("n_bigrams").cast("double"))
+          .otherwise(lit(null)).cast("double").as("logppl"))
+  }
+
   /** Score (id, text) rows: (idCol, n_bigrams, logppl). */
   def score(model: Model, df: DataFrame, idCol: String,
       textCol: String): DataFrame = {

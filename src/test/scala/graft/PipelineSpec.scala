@@ -336,6 +336,24 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) === ((10000L, 20000L, 25000L, 3)))
   }
 
+  test("rolling stats: trailing ROWS frame per key, tie-total ordering") {
+    val ms = 1000000L
+    val ev = Seq(
+      (1L, 1L, 1L * ms, 1.0), (2L, 1L, 2L * ms, 2.0), (3L, 1L, 3L * ms, 3.0),
+      // u2: duplicate timestamps — frame order falls back to event_id
+      (4L, 2L, 5L * ms, 10.0), (5L, 2L, 5L * ms, 20.0), (6L, 2L, 5L * ms, 30.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = EventStreams.rollingStats(ev, k = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out(1L) === ((1L, 1.0, 1.0, 1.0)))
+    assert(out(2L) === ((2L, 3.0, 1.5, 2.0)))
+    assert(out(3L) === ((2L, 5.0, 2.5, 3.0)))
+    assert(out(4L) === ((1L, 10.0, 10.0, 10.0)))
+    assert(out(5L) === ((2L, 30.0, 15.0, 20.0)))
+    assert(out(6L) === ((2L, 50.0, 25.0, 30.0)))
+  }
+
   test("retention cohorts: day-bucket triangle on hand data") {
     val sec = 1000000000L
     val ev = Seq( // bucketSeconds = 10 -> bucket = ts div 10s

@@ -89,6 +89,37 @@ class TextModelSpec extends SparkSpec {
     assert(sc(11).isEmpty)
   }
 
+  test("kn: hand-checked interpolated Kneser–Ney probabilities; OOV backoff finite") {
+    import graft.text.NgramLm
+    // corpus "a b a b": bigrams (a,b):2, (b,a):1; heads a:(c1=2,n1+=1),
+    // b:(c1=1,n1+=1); continuations a:1, b:1; N_bb=2, V=2 -> denom 5
+    val m = NgramLm.trainKneserNey(Seq((1, "a b a b")).toDF("id", "text"),
+      "id", "text")
+    assert(m.totalBigramTypes === 2L && m.vocabSize === 2L)
+    def ppl(text: String): Double =
+      NgramLm.scoreKneserNey(m, Seq((9, text)).toDF("id", "text"), "id", "text")
+        .collect().head.getDouble(2)
+    // p(b|a) = (2-.75)/2 + .75*(1/2)*((1+1)/5) = 0.625 + 0.15 = 0.775
+    assert(math.abs(ppl("a b") - (-math.log(0.775))) < 1e-12)
+    // unseen pair, seen head: p(b|b) = 0 + .75*(1/1)*0.4 = 0.3
+    assert(math.abs(ppl("b b") - (-math.log(0.3))) < 1e-12)
+    // unseen head backs off to continuation alone: p(a|z) = 2/5
+    assert(math.abs(ppl("z a") - (-math.log(0.4))) < 1e-12)
+    // OOV continuation keeps finite add-1 mass: p(z|a) = .75*(1/2)*(1/5)
+    assert(math.abs(ppl("a z") - (-math.log(0.075))) < 1e-12)
+    // the KN fix vs add-1: an unseen HEAD no longer gets the smallest
+    // denominator — fluent in-vocab text beats OOV gibberish
+    val big = NgramLm.trainKneserNey(
+      Seq((1, "the quick brown fox jumps over the lazy dog"),
+        (2, "the quick brown fox sleeps")).toDF("id", "text"), "id", "text")
+    val sc = NgramLm.scoreKneserNey(big,
+      Seq((100, "the quick brown fox"), (101, "fox the jumps brown the"),
+        (102, "zzz qqq www yyy")).toDF("id", "text"), "id", "text")
+      .collect().map(r => r.getInt(0) -> r.getDouble(2)).toMap
+    assert(sc(100) < sc(101) && sc(100) < sc(102))
+    assert(sc(102) > sc(101), "fully-OOV must score worse than shuffled in-vocab under KN")
+  }
+
   test("nb: gate fixture beats the majority baseline on planted-signal langid") {
     val dir = "/root/testdata/sf0.001"
     val docs = Tables.read(spark, dir, "documents").select(
