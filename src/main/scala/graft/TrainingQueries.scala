@@ -253,6 +253,17 @@ object TrainingQueries {
         pairs, Seq("train" -> 0.8, "test" -> 0.2), salt = "graft")
     }),
 
+    // farthest-point (k-center greedy) coreset: the 4-pick sequential
+    // greedy replicated round-by-round in SQL — seed = min id, each
+    // round's argmax(min-dist) with (dist DESC, id) tie-break
+    "data_kcenter_coreset" -> ((s, dir) => {
+      val base = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 60)
+        .select(col("vec_id").cast("string").as("id"),
+          col("embedding").as("vector"))
+      roundCols(graft.functions.Coreset.kCenterGreedy(base, "id", "vector",
+        k = 4), Seq("center_distance"))
+    }),
+
     // stratified deterministic sampling: rebalance a skewed corpus
     // (downsample the dominant language, keep the tail) with per-stratum
     // hash-rate thresholds — reproducible at any cluster size
@@ -494,6 +505,30 @@ object TrainingQueries {
       val coll = Tables.embeddingsCollection(s, dir, config)
         .filter(col("id").cast("int") < 100)
       roundCols(KnnGraph.exact(coll, config, 5), Seq("score", "distance"))
+    }),
+
+    // PageRank over the exact kNN graph (3 synchronous power rounds,
+    // d = 0.85): the prototypicality/centrality signal for curation;
+    // the oracle unrolls every round over the same edge set
+    "graph_pagerank_knn" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+        .filter(col("id").cast("int") < 100)
+      val edges = KnnGraph.exact(coll, config, 5)
+        .select(col("id").as("src"), col("neighbor_id").as("dst"))
+      roundCols(graft.graph.GraphOps.pageRank(edges, iterations = 3),
+        Seq("pagerank"))
+    }),
+
+    "graph_degrees_knn" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+        .filter(col("id").cast("int") < 100)
+      val edges = KnnGraph.exact(coll, config, 5)
+        .select(col("id").as("src"), col("neighbor_id").as("dst"))
+      graft.graph.GraphOps.degrees(edges)
     }),
 
     "knn_graph_ivf_full" -> ((s, dir) => {
@@ -2340,6 +2375,26 @@ object TrainingQueries {
            bucket, CAST(bucket < 250 AS INT) AS in_sample
          FROM b ORDER BY doc_id""",
 
+    "data_kcenter_coreset" -> {
+      def l2(x: String, y: String) =
+        s"sqrt(list_sum(list_transform(range(1, len($x)+1), i -> (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE)) * (CAST($x[i] AS DOUBLE) - CAST($y[i] AS DOUBLE)))))"
+      val rounds = (1 to 3).map { t =>
+        val prevD = s"d${t - 1}"
+        s"""p$t AS (SELECT id, v, mind FROM $prevD ORDER BY mind DESC, id LIMIT 1),
+           d$t AS (SELECT $prevD.id, $prevD.v, least($prevD.mind, ${l2(s"$prevD.v", s"p$t.v")}) AS mind
+             FROM $prevD, p$t WHERE $prevD.id != p$t.id)"""
+      }.mkString(",\n         ")
+      s"""WITH n AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v FROM embeddings WHERE vec_id < 60),
+         sd AS (SELECT id, v FROM n ORDER BY id LIMIT 1),
+         d0 AS (SELECT n.id, n.v, ${l2("n.v", "sd.v")} AS mind FROM n, sd WHERE n.id != sd.id),
+         $rounds
+         SELECT sd.id, CAST(0 AS INT) AS pick_order, 0.0 AS center_distance FROM sd
+         UNION ALL SELECT p1.id, CAST(1 AS INT), (round(p1.mind, 6) + 0) FROM p1
+         UNION ALL SELECT p2.id, CAST(2 AS INT), (round(p2.mind, 6) + 0) FROM p2
+         UNION ALL SELECT p3.id, CAST(3 AS INT), (round(p3.mind, 6) + 0) FROM p3
+         ORDER BY pick_order"""
+    },
+
     "data_weighted_sample" ->
       s"""WITH b AS (SELECT doc_id, n_chars,
            ln((('0x' || substr(md5('graft' || ':' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
@@ -2548,6 +2603,46 @@ object TrainingQueries {
          SELECT qid AS id, bid AS neighbor_id, CAST(rn AS INT) AS rank,
            (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance
          FROM r WHERE rn <= 5 ORDER BY id, rank""",
+
+    "graph_pagerank_knn" -> {
+      val knnEdges =
+        s"""n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings WHERE vec_id < 100),
+         p AS (SELECT a.id AS qid, b.id AS bid,
+             list_sum(list_transform(range(1, len(b.nv)+1), i -> CAST(b.nv[i] AS DOUBLE) * CAST(a.nv[i] AS DOUBLE))) AS raw
+           FROM n a JOIN n b ON a.id != b.id),
+         r AS (SELECT qid, bid, raw,
+             row_number() OVER (PARTITION BY qid ORDER BY (1.0 - raw) ASC, bid ASC) AS rn FROM p),
+         e AS (SELECT qid AS src, bid AS dst FROM r WHERE rn <= 5),
+         nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         nn AS (SELECT CAST(count(*) AS DOUBLE) AS nd FROM nodes),
+         od AS (SELECT src, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY src)"""
+      val rounds = (1 to 3).map { t =>
+        val prev = s"pr${t - 1}"
+        s"""c$t AS (SELECT e.dst AS id, sum($prev.pr / CAST(od.o AS DOUBLE)) AS c
+             FROM e JOIN $prev ON $prev.id = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+           d$t AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM $prev WHERE id NOT IN (SELECT src FROM od)),
+           pr$t AS (SELECT nodes.id, (1.0 - 0.85) / nn.nd + 0.85 * (coalesce(c$t.c, 0.0) + d$t.dm / nn.nd) AS pr
+             FROM nodes LEFT JOIN c$t ON c$t.id = nodes.id, nn, d$t)"""
+      }.mkString(",\n         ")
+      s"""WITH $knnEdges,
+         pr0 AS (SELECT id, 1.0 / nn.nd AS pr FROM nodes, nn),
+         $rounds
+         SELECT id, (round(pr, 6) + 0) AS pagerank FROM pr3 ORDER BY id"""
+    },
+
+    "graph_degrees_knn" ->
+      s"""WITH n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings WHERE vec_id < 100),
+         p AS (SELECT a.id AS qid, b.id AS bid,
+             list_sum(list_transform(range(1, len(b.nv)+1), i -> CAST(b.nv[i] AS DOUBLE) * CAST(a.nv[i] AS DOUBLE))) AS raw
+           FROM n a JOIN n b ON a.id != b.id),
+         r AS (SELECT qid, bid, raw,
+             row_number() OVER (PARTITION BY qid ORDER BY (1.0 - raw) ASC, bid ASC) AS rn FROM p),
+         e AS (SELECT qid AS src, bid AS dst FROM r WHERE rn <= 5),
+         o AS (SELECT src AS id, CAST(count(*) AS BIGINT) AS out_deg FROM e GROUP BY src),
+         i AS (SELECT dst AS id, CAST(count(*) AS BIGINT) AS in_deg FROM e GROUP BY dst)
+         SELECT coalesce(o.id, i.id) AS id, coalesce(o.out_deg, 0) AS out_deg,
+           coalesce(i.in_deg, 0) AS in_deg
+         FROM o FULL JOIN i ON o.id = i.id ORDER BY id""",
 
     // the SAME oracle: full-probe IVF must reproduce exact bit-for-bit
     "knn_graph_ivf_full" ->

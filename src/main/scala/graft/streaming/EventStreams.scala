@@ -466,15 +466,39 @@ object EventStreams {
   def retentionCohorts(events: DataFrame, bucketSeconds: Long = 86400L,
       tsCol: String = "ts", userCol: String = "user_id"): DataFrame = {
     require(bucketSeconds > 0, "bucket must be positive")
+    val e = retentionActivity(events, bucketSeconds, tsCol, userCol)
+    e.groupBy(col("cohort_bucket"),
+        (col("_b") - col("cohort_bucket")).as("bucket_offset"))
+      .agg(count_distinct(col("user_id")).as("n_users"))
+  }
+
+  /** [[retentionCohorts]] with HyperLogLog++ sketches instead of exact
+    * count-distinct — the 100 TB path: exact distinct re-shuffles every
+    * (user, bucket) pair to its (cohort, offset) cell, while HLL
+    * sketches partial-merge map-side to a few KB per cell regardless of
+    * user count. `rsd` is the target relative standard deviation
+    * (Spark's `approx_count_distinct`); the exact form stays the
+    * oracle-gated one. */
+  def retentionCohortsApprox(events: DataFrame, bucketSeconds: Long = 86400L,
+      rsd: Double = 0.02, tsCol: String = "ts",
+      userCol: String = "user_id"): DataFrame = {
+    val e = retentionActivity(events, bucketSeconds, tsCol, userCol)
+    e.groupBy(col("cohort_bucket"),
+        (col("_b") - col("cohort_bucket")).as("bucket_offset"))
+      .agg(approx_count_distinct(col("user_id"), rsd).as("n_users"))
+  }
+
+  /** Shared (user, activity-bucket, cohort-bucket) frame of the two
+    * retention forms. */
+  private def retentionActivity(events: DataFrame, bucketSeconds: Long,
+      tsCol: String, userCol: String): DataFrame = {
+    require(bucketSeconds > 0, "bucket must be positive")
     val e0 = events.withColumn("_us", epochMicros(events, tsCol))
     val e = e0.select(col(userCol).as("user_id"),
         expr(s"_us div ${bucketSeconds * 1000000L}").as("_b"))
       .distinct()
     val first = e.groupBy("user_id").agg(min("_b").as("cohort_bucket"))
     e.join(first, "user_id")
-      .groupBy(col("cohort_bucket"),
-        (col("_b") - col("cohort_bucket")).as("bucket_offset"))
-      .agg(count_distinct(col("user_id")).as("n_users"))
   }
 
   // ------------------------------------------------- stateful streaming

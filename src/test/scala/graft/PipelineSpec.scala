@@ -366,6 +366,20 @@ class PipelineSpec extends SparkSpec {
       (1L, 0L, 1L), (1L, 2L, 1L)))
   }
 
+  test("approx retention: HLL cells within rsd of exact on the gate data") {
+    val ev = Tables.read(spark, "/root/testdata/sf0.01", "events")
+    val exact = EventStreams.retentionCohorts(ev)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val approx = EventStreams.retentionCohortsApprox(ev, rsd = 0.02)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(approx.keySet === exact.keySet)
+    exact.foreach { case (k, n) =>
+      val a = approx(k).toDouble
+      assert(math.abs(a - n) <= math.max(2.0, 0.1 * n),
+        s"cell $k approx $a vs exact $n") // 5 sigma at rsd 0.02
+    }
+  }
+
   test("bloom against-cut is exact: equals the plain anti-join even at high fpp") {
     import graft.dedup.Dedup
     val corpus = Seq(("c1", "alpha"), ("c2", "beta"), ("c3", "gamma"))
@@ -381,9 +395,13 @@ class PipelineSpec extends SparkSpec {
         .select("id").collect().map(_.getString(0)).toSet
       assert(bloomed === plain, s"fpp=$fpp")
     }
-    // prebuilt corpus bloom reused across batches gives the same cut
+    // prebuilt corpus bloom: every corpus key is a definite positive
     val bloom = Dedup.corpusKeyBloom(corpus, col("text"))
-    assert(bloom.mightContainString(null) || true) // smoke: serializable API
+    def md5hex(s: String): String = java.security.MessageDigest
+      .getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    Seq("alpha", "beta", "gamma").foreach(t =>
+      assert(bloom.mightContainString(md5hex(t)), t))
   }
 
   test("Curation facade reproduces the pipeline_curation gate composition") {

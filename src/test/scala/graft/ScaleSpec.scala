@@ -464,6 +464,29 @@ class ScaleSpec extends SparkSpec {
     assert(salted("hot")._2 === 5000L)
   }
 
+  test("event funnel plan: ONE exchange, fold stays in codegen HOFs") {
+    import graft.streaming.EventStreams
+    val ev = Tables.read(spark, "/root/testdata/sf0.001", "events")
+    val res = EventStreams.funnelSteps(ev,
+      Seq("view", "click", "purchase"), horizonSeconds = 259200L)
+    val plan = res.queryExecution.executedPlan.toString
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1, s"funnelSteps should shuffle exactly once:\n$plan")
+    assert(!plan.toLowerCase.contains("batchevalpython") &&
+      !plan.contains("ScalaUDF"), "fold must be native expressions")
+  }
+
+  test("weighted sample plan: TakeOrderedAndProject, no global sort exchange") {
+    import graft.functions.Sampling
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val res = Sampling.weightedSample(docs, "doc_id", col("n_chars"), n = 50)
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weightedSample should plan per-partition top-n heaps:\n$plan")
+    assert(!plan.contains("Exchange rangepartitioning"),
+      s"weightedSample must not global-sort:\n$plan")
+  }
+
   test("funnel final plan: InSet survivor probe over the scan, zero exchanges") {
     // the r10 regression shape: stage cuts over full rows put the
     // vector payload through a keep*P-row sort-exchange. The fixed
