@@ -552,6 +552,48 @@ object EventStreams {
         else GroupStateTimeout.NoTimeout())(fn)
   }
 
+  final case class RollEvent(user_id: Long, ts_ns: Long, event_id: Long,
+      value: Double)
+  final case class RollState(recent: Seq[RollEvent])
+  final case class RollOut(event_id: Long, user_id: Long, ts_ns: Long,
+      roll_n: Long, roll_sum: Double, roll_avg: Double, roll_max: Double)
+
+  /** Streaming form of [[rollingStats]]: per-key trailing k-event
+    * count/sum/avg/max emitted PER EVENT as it arrives — the online
+    * lag-feature server. State per key is just the last `k-1` events
+    * (a bounded ring, bytes not history); rows sort by (ts, event_id)
+    * within each micro-batch, and the output equals the batch form
+    * whenever each key's events arrive in event-time order across
+    * batches (same regime the other stateful ops document). Sum/avg
+    * accumulate left-to-right over the ring exactly like the batch
+    * ROWS frame, so stream ≡ batch bit-for-bit, not just
+    * approximately. */
+  def statefulRollingStats(events: org.apache.spark.sql.Dataset[RollEvent],
+      k: Int): org.apache.spark.sql.Dataset[RollOut] = {
+    require(k > 0, "k must be positive")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+    def fn(userId: Long, rows: Iterator[RollEvent],
+        state: GroupState[RollState]): Iterator[RollOut] = {
+      var recent = state.getOption.map(_.recent.toVector).getOrElse(Vector.empty)
+      val out = scala.collection.mutable.ArrayBuffer.empty[RollOut]
+      rows.toSeq.sortBy(e => (e.ts_ns, e.event_id)).foreach { e =>
+        recent = (recent :+ e).takeRight(k)
+        var s = 0.0; var m = Double.NegativeInfinity
+        recent.foreach { r => s += r.value; m = math.max(m, r.value) }
+        out += RollOut(e.event_id, userId, e.ts_ns, recent.length.toLong,
+          s, s / recent.length, m)
+      }
+      state.update(RollState(recent.takeRight(math.max(k - 1, 1))))
+      out.iterator
+    }
+
+    events.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(),
+        GroupStateTimeout.NoTimeout())(fn)
+  }
+
   final case class FunnelEvent(user_id: Long, ts_ns: Long, step: Int)
   final case class FunnelState(times: Seq[Long])
   final case class FunnelOut(user_id: Long, step_times_ns: Seq[Long])

@@ -337,6 +337,23 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("ngram").asc).limit(k)
   }
 
+  /** Count-Min sketch of lowercased token frequencies — the 100 TB
+    * companion to [[topNgrams]]: exact heavy-hitter counting shuffles
+    * the full (token, count) table, while the sketch partial-merges
+    * map-side to `O(1/eps * ln(1/(1-confidence)))` counters total,
+    * regardless of vocabulary size. Estimates only OVER-count
+    * (`estimate >= true`, within `eps * totalTokens` at the given
+    * confidence), so a threshold keep/drop on the sketch is
+    * recall-complete for true heavy tokens. Deterministic for a fixed
+    * seed. The exact `topNgrams` stays the oracle-gated form. */
+  def tokenCountSketch(df: org.apache.spark.sql.DataFrame, text: Column,
+      eps: Double = 0.001, confidence: Double = 0.99,
+      seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch = {
+    val toks = df.select(
+      explode(transform(tokens(text), w => lower(w))).as("_tok"))
+    toks.stat.countMinSketch("_tok", eps, confidence, seed)
+  }
+
   /** Deflate compression ratio (compressed/raw bytes, 1.0 empty) — the
     * CCNet/Gopher-family gibberish + boilerplate signal: looping or
     * templated text compresses far below natural prose. One codegen

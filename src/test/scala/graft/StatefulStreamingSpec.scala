@@ -276,6 +276,34 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stateful rolling stats: per-event trailing frame ≡ batch window, bit-for-bit") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import EventStreams.{RollEvent, RollOut}
+    val ms = 1000000L
+    val b1 = Seq(RollEvent(1L, 1L * ms, 1L, 1.5), RollEvent(1L, 2L * ms, 2L, 2.25),
+      RollEvent(2L, 5L * ms, 4L, 10.0), RollEvent(2L, 5L * ms, 5L, 20.0))
+    val b2 = Seq(RollEvent(1L, 3L * ms, 3L, 3.125), RollEvent(2L, 6L * ms, 6L, 30.0))
+    val input = MemoryStream[RollEvent]
+    val q = EventStreams.statefulRollingStats(input.toDS(), k = 2)
+      .writeStream.format("memory").queryName("roll_stream_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(b1: _*); q.processAllAvailable()
+      input.addData(b2: _*); q.processAllAvailable()
+      val stream = spark.table("roll_stream_out").as[RollOut].collect()
+        .map(o => o.event_id -> ((o.roll_n, o.roll_sum, o.roll_avg, o.roll_max)))
+        .toMap
+      val batch = EventStreams.rollingStats(
+        (b1 ++ b2).map(e => (e.event_id, e.user_id, e.ts_ns, e.value))
+          .toDF("event_id", "user_id", "ts", "value"), k = 2)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(3), r.getDouble(4), r.getDouble(5), r.getDouble(6)))).toMap
+      assert(stream === batch) // exact doubles, not approximate
+      assert(stream(3L) === ((2L, 5.375, 2.6875, 3.125))) // ring spans the batch boundary
+    } finally q.stop()
+  }
+
   test("stateful sessionize across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -140,4 +140,28 @@ class TextModelSpec extends SparkSpec {
       .agg(max("count")).head.getLong(0).toDouble / train.count()
     assert(acc > majority, s"nb accuracy $acc should beat majority $majority")
   }
+
+  test("count-min token sketch: over-count only, eps bound, exact on heavy hitters") {
+    import graft.text.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    val exact = TextAnalysis.topNgrams(docs, col("text"), n = 1, k = 20)
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val totalTokens = docs.selectExpr(
+      "sum(size(split(trim(text), '\\\\s+')))").head.getLong(0)
+    val cms = TextAnalysis.tokenCountSketch(docs, col("text"), eps = 0.001)
+    exact.foreach { case (tok, n) =>
+      val est = cms.estimateCount(tok)
+      assert(est >= n, s"sketch must never under-count: $tok $est < $n")
+      assert(est <= n + math.ceil(0.001 * totalTokens).toLong + 1,
+        s"$tok est $est exceeds eps bound over true $n")
+    }
+    // unseen token: bounded by the same eps slack, not the corpus
+    assert(cms.estimateCount("zzz_never_in_corpus") <=
+      math.ceil(0.001 * totalTokens).toLong + 1)
+    // deterministic for a fixed seed
+    val again = TextAnalysis.tokenCountSketch(docs, col("text"), eps = 0.001)
+    assert(exact.forall { case (t, _) =>
+      again.estimateCount(t) == cms.estimateCount(t) })
+  }
 }
