@@ -253,6 +253,22 @@ object TrainingQueries {
         pairs, Seq("train" -> 0.8, "test" -> 0.2), salt = "graft")
     }),
 
+    // distribution-drift monitoring: PSI buckets + standardized mean
+    // difference between the "tuned-on" corpus and the "new crawl"
+    "data_psi_drift" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      roundCols(graft.functions.Drift.psi(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "n_chars"), Seq("ref_frac", "cur_frac", "psi_term"))
+    }),
+
+    "data_smd_drift" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      roundCols(graft.functions.Drift.standardizedMeanDiff(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "n_chars"), Seq("ref_mean", "cur_mean", "pooled_std", "smd"))
+    }),
+
     // farthest-point (k-center greedy) coreset: the 4-pick sequential
     // greedy replicated round-by-round in SQL — seed = min id, each
     // round's argmax(min-dist) with (dist DESC, id) tie-break
@@ -2374,6 +2390,41 @@ object TrainingQueries {
            CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
            bucket, CAST(bucket < 250 AS INT) AS in_sample
          FROM b ORDER BY doc_id""",
+
+    "data_psi_drift" ->
+      s"""WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents WHERE doc_id < 400),
+         c AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents WHERE doc_id >= 400),
+         mm AS (SELECT CAST(min(x) AS DOUBLE) AS mn, CAST(max(x) AS DOUBLE) AS mx FROM r),
+         b AS (SELECT CAST(unnest(range(0, 10)) AS INT) AS bucket),
+         rb AS (SELECT least(9, greatest(0, CAST(floor((x - mm.mn) / ((mm.mx - mm.mn) / 10)) AS INT))) AS bucket,
+             CAST(count(*) AS BIGINT) AS nr FROM r, mm GROUP BY 1),
+         cb AS (SELECT least(9, greatest(0, CAST(floor((x - mm.mn) / ((mm.mx - mm.mn) / 10)) AS INT))) AS bucket,
+             CAST(count(*) AS BIGINT) AS nc FROM c, mm GROUP BY 1),
+         j AS (SELECT b.bucket, coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+           FROM b LEFT JOIN rb USING(bucket) LEFT JOIN cb USING(bucket)),
+         t AS (SELECT CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc FROM j),
+         p AS (SELECT bucket,
+             greatest(CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE), 1e-6) AS pa,
+             greatest(CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE), 1e-6) AS pb
+           FROM j, t)
+         SELECT bucket, (round(pa, 6) + 0) AS ref_frac, (round(pb, 6) + 0) AS cur_frac,
+           (round((pa - pb) * ln(pa / pb), 6) + 0) AS psi_term
+         FROM p ORDER BY bucket""",
+
+    "data_smd_drift" ->
+      s"""WITH r AS (SELECT CAST(count(*) AS DOUBLE) AS rn, sum(CAST(n_chars AS DOUBLE)) AS rs,
+             sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS rss
+           FROM documents WHERE doc_id < 400),
+         c AS (SELECT CAST(count(*) AS DOUBLE) AS cn, sum(CAST(n_chars AS DOUBLE)) AS cs,
+             sum(CAST(n_chars AS DOUBLE) * CAST(n_chars AS DOUBLE)) AS css
+           FROM documents WHERE doc_id >= 400),
+         m AS (SELECT rs / rn AS rm, cs / cn AS cm,
+             rss / rn - (rs / rn) * (rs / rn) AS rv,
+             css / cn - (cs / cn) * (cs / cn) AS cv, rn, cn FROM r, c)
+         SELECT (round(rm, 6) + 0) AS ref_mean, (round(cm, 6) + 0) AS cur_mean,
+           (round(sqrt((rv * rn + cv * cn) / (rn + cn)), 6) + 0) AS pooled_std,
+           (round((cm - rm) / sqrt((rv * rn + cv * cn) / (rn + cn)), 6) + 0) AS smd
+         FROM m""",
 
     "data_kcenter_coreset" -> {
       def l2(x: String, y: String) =

@@ -1,0 +1,87 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift monitoring between a REFERENCE corpus (the data a
+  * model/filter was tuned on) and a CURRENT batch (the new crawl) — the
+  * ops layer of a continuously-ingesting training pipeline: a quality
+  * score whose distribution drifts means thresholds tuned last month
+  * silently cut different data today.
+  */
+object Drift {
+
+  /** Population Stability Index over one numeric column, fixed-width
+    * buckets spanning the REFERENCE min/max (current-side outliers
+    * clamp into the edge buckets, so mass leaving the reference range
+    * is visible as edge-bucket inflation). Returns one row per bucket:
+    * (bucket, ref_frac, cur_frac, psi_term) with the classic
+    * eps-substitution (`max(p, eps)`) keeping empty buckets finite;
+    * `Σ psi_term` is the PSI (rule of thumb: < 0.1 stable, > 0.25
+    * drifted).
+    *
+    * Scale shape: one 2-scalar agg on the reference (min/max), then one
+    * grouped count per side — every stage partial-aggregatable, shuffle
+    * volume = `buckets` rows; nothing driver-resident but the two
+    * scalars. Every arithmetic step (width, floor-bucket, fractions,
+    * ln ratio) is plain double math an oracle engine replicates
+    * exactly. */
+  def psi(ref: DataFrame, cur: DataFrame, colName: String,
+      buckets: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(buckets > 1, "need at least 2 buckets")
+    require(eps > 0, "eps must be positive")
+    val mm = ref.agg(min(col(colName)).cast("double").as("mn"),
+      max(col(colName)).cast("double").as("mx")).head()
+    val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
+    require(mx > mn, s"reference $colName is constant — PSI undefined")
+    val width = (mx - mn) / buckets
+    def bucketed(df: DataFrame): Column =
+      least(lit(buckets - 1), greatest(lit(0),
+        floor((col(colName).cast("double") - lit(mn)) / lit(width)).cast("int")))
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(colName).isNotNull)
+        .groupBy(bucketed(df).as("bucket"))
+        .agg(count(lit(1)).as(out))
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val all = (0 until buckets).toDF("bucket")
+    val joined = all
+      .join(counts(ref, "_nr"), Seq("bucket"), "left")
+      .join(counts(cur, "_nc"), Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("_nr"), lit(0L)).as("_nr"),
+        coalesce(col("_nc"), lit(0L)).as("_nc"))
+    val tot = joined.agg(sum(col("_nr")).as("_tr"), sum(col("_nc")).as("_tc"))
+    val pa = greatest(col("_nr").cast("double") / col("_tr").cast("double"), lit(eps))
+    val pb = greatest(col("_nc").cast("double") / col("_tc").cast("double"), lit(eps))
+    joined.crossJoin(broadcast(tot))
+      .select(col("bucket"),
+        pa.as("ref_frac"), pb.as("cur_frac"),
+        ((pa - pb) * log(pa / pb)).as("psi_term"))
+  }
+
+  /** Standardized mean difference (Cohen's d with pooled variance) of
+    * one numeric column between reference and current — the scalar
+    * first-look companion to [[psi]]. One aggregation per side
+    * (count/mean via sum, population variance via sum of squares);
+    * output is a single row (ref_mean, cur_mean, pooled_std, smd). */
+  def standardizedMeanDiff(ref: DataFrame, cur: DataFrame,
+      colName: String): DataFrame = {
+    def stats(df: DataFrame, p: String): DataFrame =
+      df.filter(col(colName).isNotNull)
+        .agg(count(lit(1)).cast("double").as(s"${p}n"),
+          sum(col(colName).cast("double")).as(s"${p}s"),
+          sum(col(colName).cast("double") * col(colName).cast("double"))
+            .as(s"${p}ss"))
+    val j = stats(ref, "r").crossJoin(stats(cur, "c"))
+    val rMean = col("rs") / col("rn")
+    val cMean = col("cs") / col("cn")
+    val rVar = col("rss") / col("rn") - rMean * rMean
+    val cVar = col("css") / col("cn") - cMean * cMean
+    val pooled = sqrt((rVar * col("rn") + cVar * col("cn")) /
+      (col("rn") + col("cn")))
+    j.select(rMean.as("ref_mean"), cMean.as("cur_mean"),
+      pooled.as("pooled_std"),
+      ((cMean - rMean) / pooled).as("smd"))
+  }
+}

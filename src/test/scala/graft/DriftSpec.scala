@@ -1,0 +1,47 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.functions.Drift
+
+/** Distribution-drift monitoring: PSI buckets and standardized mean
+  * difference, hand-derived. */
+class DriftSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("psi: identical distributions score zero, shifted ones large; clamping") {
+    val ref = (1 to 100).map(i => i.toDouble).toDF("x")
+    val same = Drift.psi(ref, ref, "x", buckets = 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(3)))
+    assert(same.length === 10)
+    assert(same.forall(_._2 === 0.0), "pa == pb gives exactly zero terms")
+    // hard shift: everything lands in the top bucket (clamped), PSI huge
+    val cur = (1 to 100).map(i => 1000.0 + i).toDF("x")
+    val shifted = Drift.psi(ref, cur, "x", buckets = 10)
+      .collect().map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    val top = shifted.find(_._1 == 9).get
+    assert(top._3 === 1.0, "out-of-range current mass clamps into the edge bucket")
+    assert(shifted.map(_._4).sum > 0.25, "rule-of-thumb drifted threshold")
+    // empty-bucket eps substitution keeps every term finite
+    assert(shifted.forall(t => !t._4.isNaN && !t._4.isInfinite))
+    // nulls are ignored, not bucketed: 3 non-null rows all land in one
+    // bucket, so its fraction is exactly 1.0 (a counted null would make
+    // it 0.75); the nine empty buckets carry only the eps clamp
+    val withNull = (Seq.fill(3)(Some(5.0)) ++ Seq(None)).toDF("x")
+    val n = Drift.psi(ref, withNull, "x").agg(max("cur_frac")).head.getDouble(0)
+    assert(n === 1.0)
+  }
+
+  test("smd: hand-derived pooled std and sign") {
+    // ref {0,2}: mean 1, var 1; cur {3,5}: mean 4, var 1 -> pooled 1, smd 3
+    val ref = Seq(0.0, 2.0).toDF("x")
+    val cur = Seq(3.0, 5.0).toDF("x")
+    val r = Drift.standardizedMeanDiff(ref, cur, "x").collect().head
+    assert(r.getDouble(0) === 1.0 && r.getDouble(1) === 4.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 3.0) < 1e-12)
+    // symmetric: swapping sides flips the sign
+    val s = Drift.standardizedMeanDiff(cur, ref, "x").collect().head
+    assert(math.abs(s.getDouble(3) + 3.0) < 1e-12)
+  }
+}
