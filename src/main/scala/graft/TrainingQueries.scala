@@ -792,6 +792,19 @@ object TrainingQueries {
       Dedup.clusters(c.select(col("id")), "id", pairs)
     }),
 
+    // quality-aware keep: each near-dup cluster survives through its
+    // LONGEST member (ties by id) instead of the canonical minimum —
+    // closure + per-cluster argmax replicated in the oracle
+    "dedup_keep_best" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val pairs = Dedup.minhashVerifiedPairs(c, "id", col("text"),
+        k = 3, numHashes = 8, bands = 4, threshold = 0.5)
+        .select("id_a", "id_b")
+      Dedup.keepBestPerCluster(c, "id", pairs, length(col("text")))
+        .select(col("id"), col("cluster_id"),
+          col("keep_score").cast("long").as("keep_score"))
+    }),
+
     "dedup_ngram_jaccard" -> ((s, dir) =>
       roundCols(Dedup.exactJaccardPairs(
         Tables.read(s, dir, "documents").filter(col("doc_id") < 60), "doc_id",
@@ -3009,6 +3022,29 @@ object TrainingQueries {
            UNION
            SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
          SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+
+    "dedup_keep_best" ->
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+         t AS (SELECT id, $tokensSql AS toks FROM corpus),
+         shs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM t),
+         sig AS (SELECT id, sh, ${minhashSigSql(8)} AS sig FROM shs),
+         bandt AS (SELECT id, unnest(${minhashBandsSql(4, 2)}) AS band FROM sig),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bandt a JOIN bandt b ON a.band = b.band AND a.id < b.id),
+         ver AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+             FROM cand JOIN shs sa ON sa.id = cand.id_a JOIN shs sb ON sb.id = cand.id_b)
+           WHERE jaccard >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+           UNION ALL SELECT id_b, id_a FROM ver),
+         reach(id, r) AS (
+           SELECT id, id FROM corpus
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         scored AS (SELECT corpus.id, lab.cluster_id, CAST(len(corpus.text) AS BIGINT) AS keep_score,
+             row_number() OVER (PARTITION BY lab.cluster_id ORDER BY len(corpus.text) DESC, corpus.id ASC) AS rn
+           FROM corpus JOIN lab ON lab.id = corpus.id)
+         SELECT id, cluster_id, keep_score FROM scored WHERE rn = 1 ORDER BY id""",
 
     "dedup_semantic_pairs" ->
       s"""WITH RECURSIVE

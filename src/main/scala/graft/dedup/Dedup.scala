@@ -304,6 +304,31 @@ object Dedup {
       .drop("_cl_id", "_cl_label")
   }
 
+  /** Quality-aware cluster keep: like [[dropNearDuplicates]]'
+    * canonical-minimum rule, but the survivor of each near-dup cluster
+    * is its BEST member by `scoreCol` (ties by ascending id) — the
+    * policy real pipelines want ("keep the longest / highest-quality
+    * copy"), where min-id keep can discard the good copy of a
+    * boilerplate-expanded pair. `pairs` is any verified dup-pair frame;
+    * labels come from [[clusters]]. Returns the kept rows plus
+    * (cluster_id, keep_score). One label join + one window keyed on the
+    * cluster label — Spark's WindowGroupLimit pre-cuts each cluster to
+    * its rank-1 row map-side, so a mega-cluster never floods the
+    * exchange. */
+  def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
+      scoreCol: Column): DataFrame = {
+    val labels = clusters(df.select(col(idCol)), idCol, pairs)
+      .select(col("id").as("_cl_id"), col("cluster_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id"))
+      .orderBy(col("keep_score").desc, col(idCol).asc)
+    df.withColumn("keep_score", scoreCol)
+      .join(labels, df(idCol) === col("_cl_id"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_cl_id", "_rn")
+  }
+
   // ------------------------------------------- batch-vs-corpus (against)
   //
   // The incremental-ingest shape: a NEW batch is deduplicated AGAINST an

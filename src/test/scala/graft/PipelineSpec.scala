@@ -621,6 +621,30 @@ class PipelineSpec extends SparkSpec {
     assert(kept.toSeq === Seq("a1", "b1", "c1"))
   }
 
+  test("keepBestPerCluster: longest member survives, min-id on ties, singletons intact") {
+    val base = "the quick brown fox jumps over the lazy dog and keeps running"
+    val docs = Seq(
+      ("a1", base),
+      ("a2", base + " extra tail"),       // near copy, LONGER -> survives
+      ("a3", base),                       // exact copy of a1
+      ("b1", "completely different text about other things entirely here"),
+      ("c1", "a third unrelated document with its own words and phrases")
+    ).toDF("id", "text")
+    val pairs = Dedup.minhashVerifiedPairs(docs, "id", $"text",
+      k = 2, numHashes = 8, bands = 4, threshold = 0.5).select("id_a", "id_b")
+    val kept = Dedup.keepBestPerCluster(docs, "id", pairs, length($"text"))
+      .collect().map(r => r.getString(0) -> r.getAs[Int]("keep_score")).toMap
+    assert(kept.keySet === Set("a2", "b1", "c1"))
+    assert(kept("a2") === base.length + " extra tail".length)
+    // tie on score: smaller id wins (a1 vs its exact copy a3)
+    val noA2 = docs.filter($"id" =!= "a2")
+    val pairs2 = Dedup.minhashVerifiedPairs(noA2, "id", $"text",
+      k = 2, numHashes = 8, bands = 4, threshold = 0.5).select("id_a", "id_b")
+    val tied = Dedup.keepBestPerCluster(noA2, "id", pairs2, length($"text"))
+      .collect().map(_.getString(0)).toSet
+    assert(tied === Set("a1", "b1", "c1"))
+  }
+
   test("langid picks the profile language; und when nothing matches") {
     val df = Seq(
       ("1", "the cat sat of the mat and it is that"),
