@@ -182,6 +182,28 @@ object TrainingQueries {
       graft.functions.Sampling.withSequentialIds(sampled, col("doc_id"))
     }),
 
+    // the same pipeline reported as a per-stage funnel: the oracle
+    // re-derives every stage's surviving count from the same CTE chain
+    "pipeline_curation_report" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val kept = docs.filter(TextAnalysis.gopherKeep(col("text"), minWords = 20))
+      val canon = Dedup.dropExactDuplicates(kept, "doc_id", col("text"))
+        .localCheckpoint()
+      val bench = docs.filter(col("doc_id") >= 480 || col("doc_id") < 10)
+        .select(col("text"))
+      val contam = TextAnalysis.contaminationReport(
+        canon.select(col("doc_id"), col("text")), bench, "doc_id", "text", n = 5)
+      val clean = canon.join(
+        contam.filter(col("n_shared") === 0).select(col("id").as("doc_id")),
+        "doc_id")
+      val sampled = graft.functions.Sampling.stratifiedSampleByHash(
+        clean.select(col("doc_id"), col("lang")), "doc_id", "lang",
+        Seq("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.1, salt = "graft")
+      graft.functions.Curation.stageReport(Seq(
+        "input" -> docs, "quality_gate" -> kept, "exact_dedup" -> canon,
+        "decontaminate" -> clean, "stratified_mix" -> sampled))
+    }),
+
     // the same pipeline with the flagship stage added: MinHash+LSH
     // near-dup removal between exact dedup and decontamination. The
     // input is augmented with PLANTED near-duplicates (docs 0-29
@@ -2329,6 +2351,49 @@ object TrainingQueries {
          SELECT doc_id, lang,
            CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
          FROM samp ORDER BY doc_id""",
+
+    "pipeline_curation_report" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $tokensSql AS toks,
+           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS ls,
+           list_transform($tokensSql, t -> lower(t)) AS lt
+         FROM documents),
+         m AS (SELECT doc_id, lang, text, toks,
+           len(toks) AS n_words,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(toks) END AS mean_word_len,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) END AS frac_alpha,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...') OR contains(t, '…'))) AS DOUBLE) / len(toks) END AS frac_symbol,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls) END AS frac_bullet,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls) END AS frac_ellipsis,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS frac_dup_lines,
+           CASE WHEN len(lt) = 0 THEN 0.0 ELSE CAST(list_max(list_transform(list_distinct(lt), d -> len(list_filter(lt, x -> x = d)))) AS DOUBLE) / len(lt) END AS top_token_frac
+         FROM t),
+         k AS (SELECT doc_id, lang, text, toks FROM m
+           WHERE n_words >= 20 AND n_words <= 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND frac_symbol <= 0.1 AND frac_bullet <= 0.9
+             AND frac_ellipsis <= 0.3 AND frac_alpha >= 0.8
+             AND frac_dup_lines <= 0.3 AND top_token_frac <= 0.2),
+         dd AS (SELECT doc_id, lang, toks FROM (
+             SELECT doc_id, lang, toks, min(doc_id) OVER (PARTITION BY md5(text)) AS canon FROM k)
+           WHERE doc_id = canon),
+         be AS (SELECT DISTINCT unnest(list_distinct(${shinglesSql(5)})) AS gr
+           FROM t WHERE doc_id >= 480 OR doc_id < 10),
+         dg AS (SELECT doc_id, lang, list_distinct(${shinglesSql(5)}) AS gs FROM dd),
+         dirty AS (SELECT DISTINCT ex.doc_id
+           FROM (SELECT doc_id, unnest(gs) AS gr FROM dg) ex JOIN be USING (gr)),
+         clean AS (SELECT doc_id, lang FROM dg
+           WHERE doc_id NOT IN (SELECT doc_id FROM dirty)),
+         samp AS (SELECT doc_id, lang FROM (SELECT doc_id, lang,
+             CAST(('0x' || substr(md5('graft' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS INT) AS bucket
+           FROM clean)
+           WHERE bucket < (CASE WHEN lang = 'en' THEN 500 WHEN lang = 'de' THEN 1000 ELSE 100 END))
+         SELECT * FROM (VALUES
+           (CAST(0 AS INT), 'input', (SELECT CAST(count(*) AS BIGINT) FROM t)),
+           (CAST(1 AS INT), 'quality_gate', (SELECT CAST(count(*) AS BIGINT) FROM k)),
+           (CAST(2 AS INT), 'exact_dedup', (SELECT CAST(count(*) AS BIGINT) FROM dd)),
+           (CAST(3 AS INT), 'decontaminate', (SELECT CAST(count(*) AS BIGINT) FROM clean)),
+           (CAST(4 AS INT), 'stratified_mix', (SELECT CAST(count(*) AS BIGINT) FROM samp)))
+           v(stage_idx, stage, n_rows) ORDER BY stage_idx""",
 
     // six stages in one SQL chain: the curation oracle plus the MinHash
     // signature -> band-bucket candidates -> exact-Jaccard verify ->

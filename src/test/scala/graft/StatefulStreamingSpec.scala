@@ -613,6 +613,37 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming drift monitor: per-micro-batch PSI vs a static reference, stream ≡ batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import graft.functions.Drift
+    // the ops composition: a tuned-on reference at rest, new data
+    // arriving as a stream, each micro-batch scored for drift with the
+    // same batch PSI the offline monitor uses (foreachBatch — no
+    // separate streaming scorer to keep correct)
+    val ref = (1 to 200).map(_.toDouble).toDF("x")
+    val arriving = (901 to 1000).map(_.toDouble)
+    val expected = Drift.psi(ref, arriving.toDF("x"), "x")
+      .agg(org.apache.spark.sql.functions.sum("psi_term")).head.getDouble(0)
+    assert(expected > 0.25, "planted shift must read as drifted")
+    val got = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val input = MemoryStream[Double]
+    val q = input.toDF().toDF("x").writeStream
+      .foreachBatch { (b: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        if (!b.isEmpty) {
+          val s = Drift.psi(ref, b.toDF(), "x")
+            .agg(org.apache.spark.sql.functions.sum("psi_term")).head.getDouble(0)
+          got.synchronized { got += s }
+        }
+        ()
+      }.start()
+    try {
+      input.addData(arriving: _*)
+      q.processAllAvailable()
+    } finally q.stop()
+    assert(got.size === 1 && got.head === expected)
+  }
+
   test("streaming ANN: query stream answered per micro-batch via searchMany, stream ≡ batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
