@@ -38,6 +38,9 @@ object Coreset {
     import spark.implicits._
     val base = df.select(col(idCol).cast("string").as("_id"),
       col(vectorCol).as("_v"))
+    if (base.isEmpty)
+      return Seq.empty[(String, Int, Double)]
+        .toDF(idCol, "pick_order", "center_distance")
     val seed = seedId.getOrElse(
       base.orderBy(col("_id")).select(col("_id")).as[String].head())
     val seedVec = base.filter(col("_id") === seed)

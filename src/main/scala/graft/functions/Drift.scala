@@ -32,6 +32,8 @@ object Drift {
     require(eps > 0, "eps must be positive")
     val mm = ref.agg(min(col(colName)).cast("double").as("mn"),
       max(col(colName)).cast("double").as("mx")).head()
+    require(!mm.isNullAt(0) && !mm.isNullAt(1),
+      s"reference $colName has no non-null rows — PSI undefined")
     val (mn, mx) = (mm.getDouble(0), mm.getDouble(1))
     require(mx > mn, s"reference $colName is constant — PSI undefined")
     val width = (mx - mn) / buckets

@@ -187,4 +187,37 @@ class EdgeCaseSpec extends SparkSpec {
     assert(ts.select("id").collect().map(_.getInt(0)).toSet ===
       plain.select("id").collect().map(_.getInt(0)).toSet)
   }
+
+  test("round-11 edges: empty coreset, drift guards, funnel no-step-1, retention empty, pagerank no edges") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    // coreset on an empty frame: empty result, correct schema, no throw
+    val emptyVec = Seq.empty[(String, Seq[Float])].toDF("id", "vector")
+    val ks = graft.functions.Coreset.kCenterGreedy(emptyVec, "id", "vector", 3)
+    assert(ks.count() === 0)
+    assert(ks.columns.toSeq === Seq("id", "pick_order", "center_distance"))
+    // psi: all-null or constant reference is a loud error, not NaN soup
+    val refNull = Seq.empty[Double].toDF("x")
+    intercept[IllegalArgumentException] {
+      graft.functions.Drift.psi(refNull, Seq(1.0).toDF("x"), "x")
+    }
+    intercept[IllegalArgumentException] {
+      graft.functions.Drift.psi(Seq(5.0, 5.0).toDF("x"), Seq(1.0).toDF("x"), "x")
+    }
+    // funnel: users without a step-1 event are absent; empty input -> empty
+    val noView = Seq((1L, "click", 10L), (1L, "purchase", 20L))
+      .toDF("user_id", "event_type", "ts")
+    assert(EventStreams.funnelSteps(noView,
+      Seq("view", "click", "purchase"), 100L).count() === 0)
+    // retention on an empty frame: empty triangle
+    val noEv = Seq.empty[(Long, Long)].toDF("user_id", "ts")
+    assert(EventStreams.retentionCohorts(noEv).count() === 0)
+    // pagerank with no edges: no nodes, empty frame (no division blowup)
+    val noEdges = Seq.empty[(String, String)].toDF("src", "dst")
+    assert(graft.graph.GraphOps.pageRank(noEdges, 3).count() === 0)
+    // weighted sample on an all-degenerate-weight frame: empty
+    val degen = Seq((1L, 0.0), (2L, -5.0)).toDF("id", "w")
+    assert(graft.functions.Sampling.weightedSample(degen, "id", col("w"), 5)
+      .count() === 0)
+  }
 }

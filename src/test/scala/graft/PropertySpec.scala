@@ -163,4 +163,81 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("round-11 properties: funnel/rolling/pagerank vs independent references on random data") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.streaming.EventStreams
+    val steps = Seq("s0", "s1", "s2")
+    val horizon = 50L
+    for (trial <- 1 to 3) {
+      // random event soup: 12 users x up to 30 events, ms-grid times
+      val evs = (1 to 360).map { _ =>
+        (rng.nextInt(12).toLong, s"s${rng.nextInt(4)}",
+          (rng.nextInt(100) + 1).toLong * 1000000L)
+      }
+      // independent greedy reference per user
+      val want = evs.filter(e => e._2 != "s3")
+        .groupBy(_._1).flatMap { case (u, es) =>
+          val sorted = es.map(e => (e._3 / 1000L, steps.indexOf(e._2)))
+            .filter(_._2 >= 0).sortBy(t => (t._1, t._2))
+          val t = Array.fill(3)(-1L)
+          sorted.foreach { case (us, sidx) =>
+            if (t(sidx) == -1L &&
+                (sidx == 0 || (t(sidx - 1) != -1L && us > t(sidx - 1) &&
+                 us <= t(0) + horizon * 1000000L)))
+              t(sidx) = us
+          }
+          if (t(0) == -1L) None
+          else Some(u -> ((t.map(x => if (x == -1L) None else Some(x)).toSeq,
+            t.count(_ != -1L))))
+        }
+      val got = EventStreams.funnelSteps(
+        evs.toDF("user_id", "event_type", "ts"), steps, horizon)
+        .collect().map(r => r.getLong(0) ->
+          (((1 to 3).map(i => Option(r.get(i)).map(_.asInstanceOf[Long])),
+            r.getInt(4)))).toMap
+      assert(got.keySet === want.keySet, s"trial $trial")
+      want.foreach { case (u, (ts, d)) =>
+        assert(got(u)._1 === ts && got(u)._2 === d, s"trial $trial user $u") }
+      // rolling stats vs a scala sliding-window reference
+      val revs = evs.zipWithIndex.map { case ((u, _, ns), i) =>
+        (i.toLong, u, ns, rng.nextInt(100).toDouble) }
+      val k = 1 + rng.nextInt(5)
+      val gotR = EventStreams.rollingStats(
+        revs.toDF("event_id", "user_id", "ts", "value"), k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(3), r.getDouble(4), r.getDouble(6)))).toMap
+      revs.groupBy(_._2).foreach { case (_, es) =>
+        val sorted = es.sortBy(e => (e._3 / 1000L, e._1))
+        sorted.indices.foreach { i =>
+          val frame = sorted.slice(math.max(0, i - k + 1), i + 1)
+          val (id, _, _, _) = sorted(i)
+          assert(gotR(id)._1 === frame.length.toLong)
+          assert(math.abs(gotR(id)._2 - frame.map(_._4).sum) < 1e-9)
+          assert(gotR(id)._3 === frame.map(_._4).max)
+        }
+      }
+      // pagerank on a random digraph vs the GraphSpec-style reference
+      val edges = (1 to 30).map(_ =>
+        (s"n${rng.nextInt(10)}", s"n${rng.nextInt(10)}")).distinct
+        .filter(e => e._1 != e._2)
+      val nodes = (edges.map(_._1) ++ edges.map(_._2)).distinct
+      val n = nodes.length.toDouble
+      val outd = edges.groupBy(_._1).view.mapValues(_.length).toMap
+      var pr = nodes.map(_ -> 1.0 / n).toMap
+      for (_ <- 1 to 4) {
+        val c = edges.groupBy(_._2).view.mapValues(es =>
+          es.map(e => pr(e._1) / outd(e._1)).sum).toMap
+        val dm = nodes.filterNot(outd.contains).map(pr).sum
+        pr = nodes.map(v =>
+          v -> (0.15 / n + 0.85 * (c.getOrElse(v, 0.0) + dm / n))).toMap
+      }
+      val gotP = graft.graph.GraphOps.pageRank(edges.toDF("src", "dst"), 4)
+        .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+      assert(gotP.keySet === pr.keySet, s"trial $trial")
+      pr.foreach { case (v, x) =>
+        assert(math.abs(gotP(v) - x) < 1e-9, s"trial $trial node $v") }
+    }
+  }
 }
