@@ -151,6 +151,13 @@ object GraftExtensions {
         CompressionRatio(args(0),
           if (args.length == 2) intArgOf(args(1)) else 6)
       })),
+    "text_nfc" -> ((
+      info("text_nfc",
+        "text_nfc(text) - Unicode NFC canonical composition (JDK Normalizer; DuckDB nfc_normalize twin)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "text_nfc(text)")
+        graft.expr.NfcNormalize(args(0))
+      })),
     "text_hashing_tf" -> ((
       info("text_hashing_tf",
         "text_hashing_tf(text, dims) - hashing-trick TF vector: lowercased whitespace tokens md5-hash to dims buckets, f32 counts (embedding-free content vector)"),

@@ -814,6 +814,23 @@ object TrainingQueries {
       Dedup.clusters(c.select(col("id")), "id", pairs)
     }),
 
+    // canonical-key exact dedup: NFC + casefold + whitespace-collapse
+    // before hashing, so NFD/NFC encoding accidents and case/spacing
+    // noise can't defeat the cut — planted NFD twins (combining acute)
+    // must land in the same md5 group as their precomposed NFC copies
+    "dedup_exact_canonical" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents").filter(col("doc_id") < 50)
+      val aug = docs.select(col("doc_id").cast("long").as("id"), col("text"))
+        .union(docs.select((col("doc_id") + 50000).cast("long").as("id"),
+          // NFD + uppercase + doubled spaces
+          concat(col("text"), lit(" CAFE\u0301  TOUCHE\u0301")).as("text")))
+        .union(docs.select((col("doc_id") + 60000).cast("long").as("id"),
+          // NFC precomposed + lowercase + padding
+          concat(col("text"), lit("  caf\u00e9 touch\u00e9 ")).as("text")))
+      aug.groupBy(md5(TextAnalysis.canonicalize(col("text"))).as("canon_md5"))
+        .agg(count(lit(1)).as("n_members"), min(col("id")).as("canonical_id"))
+    }),
+
     // quality-aware keep: each near-dup cluster survives through its
     // LONGEST member (ties by id) instead of the canonical minimum —
     // closure + per-cluster argmax replicated in the oracle
@@ -3087,6 +3104,15 @@ object TrainingQueries {
            UNION
            SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
          SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+
+    "dedup_exact_canonical" ->
+      s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),
+         aug AS (SELECT CAST(doc_id AS BIGINT) AS id, text FROM docs
+           UNION ALL SELECT doc_id + 50000, text || ' CAFE' || chr(769) || '  TOUCHE' || chr(769) FROM docs
+           UNION ALL SELECT doc_id + 60000, text || '  caf' || chr(233) || ' touch' || chr(233) || ' ' FROM docs)
+         SELECT md5(trim(regexp_replace(lower(nfc_normalize(text)), '\\s+', ' ', 'g'))) AS canon_md5,
+           CAST(count(*) AS BIGINT) AS n_members, min(id) AS canonical_id
+         FROM aug GROUP BY 1 ORDER BY canonical_id""",
 
     "dedup_keep_best" ->
       s"""WITH RECURSIVE corpus AS ($corpusSql),

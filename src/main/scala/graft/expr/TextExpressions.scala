@@ -99,6 +99,28 @@ case class DistinctShingles(child: Expression, k: Int)
     copy(child = c)
 }
 
+/** Unicode NFC normalization (java.text.Normalizer, canonical
+  * composition): the canonicalization CCNet-family dedup keys apply
+  * before hashing, so "café" typed as NFD (e + combining acute) and
+  * NFC (precomposed) hash identically. One codegen node; the JDK's
+  * Normalizer is the same table DuckDB's nfc_normalize implements, so
+  * the transform is oracle-replicable. */
+case class NfcNormalize(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "nfc_normalize"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.nfcData(v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.TextKernels.nfcData($v);")
+
+  override protected def withNewChildInternal(c: Expression): NfcNormalize =
+    copy(child = c)
+}
+
 /** Deflate compression ratio of the UTF-8 text: compressed bytes /
   * raw bytes (1.0 for empty). The CCNet/Gopher-family gibberish and
   * boilerplate signal — highly repetitive text compresses far below

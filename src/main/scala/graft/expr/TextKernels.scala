@@ -237,6 +237,14 @@ object TextKernels {
     new GenericArrayData(graft.text.Bpe.encodeText(text.toString, model)
       .map(UTF8String.fromString): Array[Any])
 
+  /** Unicode NFC (canonical composition) of the text. */
+  def nfcData(text: org.apache.spark.unsafe.types.UTF8String): org.apache.spark.unsafe.types.UTF8String = {
+    val s = text.toString
+    val n = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
+    if (n eq s) text
+    else org.apache.spark.unsafe.types.UTF8String.fromString(n)
+  }
+
   /** Deflate-compressed size over raw size of the UTF-8 bytes; 1.0 for
     * empty input. Fresh Deflater per call (no shared state), fixed
     * level, default strategy — deterministic across JVMs. */

@@ -366,6 +366,22 @@ object TextAnalysis {
       graft.expr.CompressionRatio(
         org.apache.spark.sql.graft.Bridge.expression(text.cast("string")), level))
 
+  /** Unicode NFC (canonical composition) — one codegen node over the
+    * JDK Normalizer; DuckDB's `nfc_normalize` is the oracle twin. */
+  def nfc(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.NfcNormalize(
+        org.apache.spark.sql.graft.Bridge.expression(text.cast("string"))))
+
+  /** Canonical dedup key: NFC-compose, casefold, collapse runs of
+    * whitespace to one space, trim — the normalization CCNet-family
+    * pipelines apply BEFORE hashing so that byte-level encoding
+    * accidents (NFD vs NFC, case, spacing) don't defeat exact dedup.
+    * Feed to [[fingerprintMd5]] / [[graft.dedup.Dedup.dropExactDuplicates]]
+    * in place of the raw text. */
+  def canonicalize(text: Column): Column =
+    trim(regexp_replace(lower(nfc(text)), "\\s+", " "))
+
   /** Rolling w-shingling fingerprint: the minimum md5 over k-shingles —
     * one deterministic representative per document (a 1-hash MinHash). */
   def minShingleFingerprint(text: Column, k: Int): Column =

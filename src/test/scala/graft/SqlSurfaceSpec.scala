@@ -92,4 +92,31 @@ class SqlSurfaceSpec extends SparkSpec {
       .head().getDouble(0)
     assert(adc === 50.0)
   }
+
+  test("text_nfc + canonicalize: NFD==NFC keys, case/space fold, null-safe, idempotent") {
+    GraftExtensions.register(spark)
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.text.TextAnalysis
+    val nfd = "CAFE\u0301  touche\u0301" // E + combining acute, doubled space
+    val nfc = "caf\u00e9 touch\u00e9"
+    // SQL surface: NFC composes the combining pair
+    val viaSql = spark.sql(s"SELECT text_nfc('$nfd') AS t").head().getString(0)
+    assert(viaSql === "CAF\u00c9  touch\u00e9")
+    // canonical keys collapse encoding + case + spacing accidents
+    val keys = Seq(("a", nfd), ("b", " " + nfc + " "), ("c", "other text"))
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.canonicalize(col("text")).as("k"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(keys("a") === keys("b"))
+    assert(keys("a") === nfc)
+    assert(keys("c") === "other text")
+    // idempotent; null stays null
+    val again = Seq(keys("a")).toDF("text")
+      .select(TextAnalysis.canonicalize(col("text"))).head().getString(0)
+    assert(again === keys("a"))
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(TextAnalysis.nfc(col("text"))).head()
+    assert(n.isNullAt(0))
+  }
 }
