@@ -28,6 +28,15 @@ object Curation {
       nearDedup: Boolean = true,
       minhashThreshold: Double = 0.7,
       fastHash: Boolean = true,
+      // NFC + casefold + whitespace-collapse the exact-dedup key
+      // (TextAnalysis.canonicalize), so encoding/case/spacing accidents
+      // can't defeat the cut; the text column itself is untouched
+      canonicalKeys: Boolean = false,
+      // near-dup survivor policy: None = canonical minimum id;
+      // Some(score) = the cluster's best member by that column
+      // (Dedup.keepBestPerCluster — "keep the longest/highest-quality
+      // copy")
+      nearKeepScore: Option[Column] = None,
       decontaminationNgram: Int = 5,
       lmFilter: Boolean = false,
       stratumFractions: Seq[(String, Double)] = Nil,
@@ -65,13 +74,25 @@ object Curation {
         .select(col("id").as(idCol), col("clean_text").as(textCol))
       cur = cur.drop(textCol).join(cleaned, idCol).localCheckpoint()
     }
-    // 3. exact dedup (canonical per md5)
-    cur = Dedup.dropExactDuplicates(cur, idCol, text).localCheckpoint()
-    // 4. near-dup drop
-    if (config.nearDedup)
-      cur = Dedup.dropNearDuplicates(cur, idCol, text,
-        threshold = config.minhashThreshold, fastHash = config.fastHash)
-        .localCheckpoint()
+    // 3. exact dedup (canonical per md5 of the raw — or canonicalized — key)
+    val exactKey =
+      if (config.canonicalKeys) TextAnalysis.canonicalize(text) else text
+    cur = Dedup.dropExactDuplicates(cur, idCol, exactKey).localCheckpoint()
+    // 4. near-dup drop (min-id keep, or best-by-score via nearKeepScore)
+    if (config.nearDedup) {
+      cur = (config.nearKeepScore match {
+        case Some(score) =>
+          val pairs = Dedup.minhashVerifiedPairs(cur, idCol, text,
+            k = 3, numHashes = 8, bands = 4,
+            threshold = config.minhashThreshold, fastHash = config.fastHash)
+            .select("id_a", "id_b")
+          Dedup.keepBestPerCluster(cur, idCol, pairs, score)
+            .drop("cluster_id", "keep_score")
+        case None =>
+          Dedup.dropNearDuplicates(cur, idCol, text,
+            threshold = config.minhashThreshold, fastHash = config.fastHash)
+      }).localCheckpoint()
+    }
     // 5. benchmark decontamination (zero shared n-grams)
     benchmark.foreach { bench =>
       val report = TextAnalysis.contaminationReport(

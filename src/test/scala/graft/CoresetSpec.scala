@@ -47,4 +47,33 @@ class CoresetSpec extends SparkSpec {
       .collect().head
     assert(m.getString(1) === "a" && m.getDouble(2) === 5.0)
   }
+
+  test("k-center coverage radius beats random selection on the embeddings corpus") {
+    import org.apache.spark.sql.functions.{col, max => smax}
+    val coll = Tables.read(spark, "/root/testdata/sf0.001", "embeddings")
+      .select(col("vec_id").cast("string").as("id"), col("embedding").as("vector"))
+      .cache()
+    val k = 8
+    val picks = Coreset.kCenterGreedy(coll, "id", "vector", k)
+    val centers = picks.select(col("id").as("cid"))
+      .join(coll, col("cid") === col("id"))
+      .select(col("cid"), col("vector").as("cv"))
+    def radius(cs: org.apache.spark.sql.DataFrame): Double =
+      Coreset.assignToCenters(coll, "id", "vector", cs, "cid", "cv")
+        .agg(smax("distance")).head.getDouble(0)
+    val greedy = radius(centers)
+    // deterministic "random" baseline: first k ids in hash order
+    val rand = coll.withColumn("cid", col("id"))
+      .orderBy(org.apache.spark.sql.functions.md5(col("id"))).limit(k)
+      .select(col("cid"), col("vector").as("cv"))
+    val baseline = radius(rand)
+    assert(greedy > 0.0 && greedy <= baseline,
+      s"k-center radius $greedy should not exceed hash-pick baseline $baseline")
+    // 2-approximation sanity: radius is monotone non-increasing in k
+    val fewer = radius(Coreset.kCenterGreedy(coll, "id", "vector", 4)
+      .select(col("id").as("cid")).join(coll, col("cid") === col("id"))
+      .select(col("cid"), col("vector").as("cv")))
+    assert(greedy <= fewer)
+    coll.unpersist()
+  }
 }

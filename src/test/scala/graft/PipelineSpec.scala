@@ -404,6 +404,41 @@ class PipelineSpec extends SparkSpec {
       assert(bloom.mightContainString(md5hex(t)), t))
   }
 
+  test("Curation config: canonical keys merge NFD twins; nearKeepScore keeps the best copy") {
+    import graft.functions.Curation
+    val base = "the quick brown fox jumps over the lazy dog and keeps running " +
+      "through fields with many more words to pass the quality gate easily " +
+      "because gopher wants at least twenty well formed words in a document"
+    val docs = Seq(
+      ("a1", base + " café"),        // NFC é
+      ("a2", base + " CAFÉ"),       // NFD + uppercase: same canonical key
+      ("b1", base + " entirely different suffix so it is no near duplicate " +
+        "zeta theta iota kappa lambda")
+    ).toDF("id", "text")
+    // default keys: a1/a2 differ byte-wise AND share most shingles -> the
+    // near-dup stage may merge them; canonical keys must merge them at the
+    // EXACT stage already (near-dedup off isolates the claim)
+    val plain = Curation.curate(docs, "id", "text",
+      config = Curation.Config(nearDedup = false)).count()
+    assert(plain === 3)
+    val canon = Curation.curate(docs, "id", "text",
+      config = Curation.Config(nearDedup = false, canonicalKeys = true))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(canon === Set("a1", "b1")) // min-id survivor of the merged pair
+    // best-by-length near-dup keep: the LONGER member of a planted pair wins
+    val other = "completely different prose about ships and harbors where " +
+      "sailors mend their nets while gulls circle the masts and the tide " +
+      "slowly turns beneath wooden piers near the old stone lighthouse"
+    val near = Seq(
+      ("n1", base), ("n2", base + " extra tail of tokens"), ("m1", other))
+      .toDF("id", "text")
+    val best = Curation.curate(near, "id", "text",
+      config = Curation.Config(minhashThreshold = 0.5,
+        nearKeepScore = Some(length(col("text")))))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(best.contains("n2") && !best.contains("n1"))
+  }
+
   test("Curation facade reproduces the pipeline_curation gate composition") {
     import graft.functions.Curation
     val dir = "/root/testdata/sf0.001"
