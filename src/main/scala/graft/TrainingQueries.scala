@@ -511,6 +511,24 @@ object TrainingQueries {
         "doc_id", "text"), Seq("logppl"))
     }),
 
+    // vocabulary-coverage gate (CCNet's OOV companion to perplexity):
+    // fraction of each held-out doc's tokens present in the reference
+    // vocabulary
+    "text_vocab_coverage" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      roundCols(TextAnalysis.vocabCoverage(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "doc_id", "text"), Seq("coverage"))
+    }),
+
+    // cross-source duplication audit: distinct-shingle overlap between
+    // every source pair — no document pairs anywhere, fan-out bounded
+    // by the source count
+    "dedup_source_overlap" -> ((s, dir) =>
+      roundCols(Dedup.sourceOverlap(
+        Tables.read(s, dir, "documents"), "source", col("text")),
+        Seq("jaccard_shingles"))),
+
     // interpolated Kneser–Ney bigram perplexity (the smoothing CCNet's
     // KenLM actually uses): absolute discount + continuation-probability
     // backoff, every probability term replicated in SQL
@@ -2684,6 +2702,35 @@ object TrainingQueries {
          SELECT t.doc_id, CAST(coalesce(sums.nb, 0) AS BIGINT) AS n_bigrams,
            (CASE WHEN sums.nb > 0 THEN round((0.0 - sums.s) / CAST(sums.nb AS DOUBLE), 6) + 0 ELSE NULL END) AS logppl
          FROM tst t LEFT JOIN sums ON sums.doc_id = t.doc_id ORDER BY t.doc_id""",
+
+    "text_vocab_coverage" ->
+      s"""WITH allt AS (SELECT doc_id, list_transform($tokensSql, t -> lower(t)) AS lt FROM documents),
+         voc AS (SELECT DISTINCT unnest(lt) AS term FROM allt WHERE doc_id < 400),
+         tok AS (SELECT doc_id, unnest(lt) AS term FROM allt WHERE doc_id >= 400),
+         tot AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens FROM tok GROUP BY 1),
+         cov AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_covered FROM tok
+           WHERE term IN (SELECT term FROM voc) GROUP BY 1)
+         SELECT a.doc_id, coalesce(tot.n_tokens, 0) AS n_tokens,
+           coalesce(cov.n_covered, 0) AS n_covered,
+           (CASE WHEN coalesce(tot.n_tokens, 0) > 0
+             THEN round(CAST(coalesce(cov.n_covered, 0) AS DOUBLE) / CAST(tot.n_tokens AS DOUBLE), 6) + 0
+             ELSE NULL END) AS coverage
+         FROM (SELECT doc_id FROM documents WHERE doc_id >= 400) a
+           LEFT JOIN tot ON tot.doc_id = a.doc_id
+           LEFT JOIN cov ON cov.doc_id = a.doc_id
+         ORDER BY a.doc_id""",
+
+    "dedup_source_overlap" ->
+      s"""WITH t AS (SELECT source, $tokensSql AS toks FROM documents),
+         ss AS (SELECT DISTINCT source AS src, unnest(list_distinct(${shinglesSql(3)})) AS sh FROM t),
+         sz AS (SELECT src, CAST(count(*) AS BIGINT) AS n FROM ss GROUP BY 1),
+         sh AS (SELECT a.src AS source_a, b.src AS source_b, CAST(count(*) AS BIGINT) AS shared_shingles
+           FROM ss a JOIN ss b ON a.sh = b.sh AND a.src < b.src GROUP BY 1, 2)
+         SELECT sh.source_a, sh.source_b, sh.shared_shingles,
+           (round(CAST(sh.shared_shingles AS DOUBLE) /
+             CAST(za.n + zb.n - sh.shared_shingles AS DOUBLE), 6) + 0) AS jaccard_shingles
+         FROM sh JOIN sz za ON za.src = sh.source_a JOIN sz zb ON zb.src = sh.source_b
+         ORDER BY 1, 2""",
 
     "text_kn_ppl" ->
       s"""WITH allt AS (SELECT doc_id, list_transform($tokensSql, t -> lower(t)) AS lt FROM documents),

@@ -304,6 +304,39 @@ object Dedup {
       .drop("_cl_id", "_cl_label")
   }
 
+  /** Cross-source duplication audit: for every pair of values of
+    * `sourceCol` (crawl snapshots, registry mirrors, dataset vendors),
+    * the number of distinct k-shingles they share and the Jaccard of
+    * their shingle sets — "how much of source B did we already buy in
+    * source A". Output: (source_a, source_b, shared_shingles,
+    * jaccard_shingles), source_a < source_b.
+    *
+    * Scale shape: the corpus reduces to distinct (source, shingle)
+    * pairs (map-side partial); the pair counts come from a self-join
+    * keyed on the shingle, whose per-key fan-out is bounded by the
+    * number of SOURCES (a handful), never the corpus — so the join
+    * output is at most |distinct shingles| x sources^2/2 rows and the
+    * whole audit is one aggregation pyramid, no document pairs
+    * anywhere. */
+  def sourceOverlap(df: DataFrame, sourceCol: String, textCol: Column,
+      k: Int = 3): DataFrame = {
+    val ss = df.select(col(sourceCol).as("_src"),
+        explode(TextAnalysis.distinctShingles(textCol, k)).as("_sh"))
+      .distinct()
+    val sizes = ss.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
+    val shared = ss.join(ss.select(col("_src").as("_src_b"), col("_sh")), Seq("_sh"))
+      .filter(col("_src") < col("_src_b"))
+      .groupBy(col("_src").as("source_a"), col("_src_b").as("source_b"))
+      .agg(count(lit(1)).as("shared_shingles"))
+    shared
+      .join(sizes.select(col("_src").as("source_a"), col("_n").as("_na")), "source_a")
+      .join(sizes.select(col("_src").as("source_b"), col("_n").as("_nb")), "source_b")
+      .select(col("source_a"), col("source_b"), col("shared_shingles"),
+        (col("shared_shingles").cast("double") /
+          (col("_na") + col("_nb") - col("shared_shingles")).cast("double"))
+          .as("jaccard_shingles"))
+  }
+
   /** Quality-aware cluster keep: like [[dropNearDuplicates]]'
     * canonical-minimum rule, but the survivor of each near-dup cluster
     * is its BEST member by `scoreCol` (ties by ascending id) — the

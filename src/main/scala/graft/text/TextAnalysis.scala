@@ -366,6 +366,39 @@ object TextAnalysis {
       graft.expr.CompressionRatio(
         org.apache.spark.sql.graft.Bridge.expression(text.cast("string")), level))
 
+  /** Per-document vocabulary coverage against a REFERENCE corpus: the
+    * fraction of the document's (lowercased) tokens that appear in the
+    * reference vocabulary — CCNet's cheap companion gate to perplexity
+    * (an OOV-heavy document is out-of-domain no matter how its LM
+    * score lands, and the add-1 LM's unseen-head artifact makes this
+    * gate load-bearing). Returns (idCol, n_tokens, n_covered,
+    * coverage); empty docs cover 0 over 0 -> null coverage.
+    *
+    * Scale shape: the reference reduces ONCE to its distinct-token
+    * vocabulary (broadcast when small, shuffle join otherwise); the
+    * scored side explodes to (doc, token) and left-semi-counts — both
+    * sides partial-aggregatable, no collect. */
+  def vocabCoverage(ref: org.apache.spark.sql.DataFrame,
+      df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String): org.apache.spark.sql.DataFrame = {
+    val vocab = ref.select(explode(transform(tokens(col(textCol)),
+      t => lower(t))).as("term")).distinct()
+    val toks = df.select(col(idCol).as("_id"),
+      explode(transform(tokens(col(textCol)), t => lower(t))).as("term"))
+    val covered = toks.join(vocab, Seq("term"), "left_semi")
+      .groupBy(col("_id")).agg(count(lit(1)).as("n_covered"))
+    val totals = toks.groupBy(col("_id")).agg(count(lit(1)).as("n_tokens"))
+    df.select(col(idCol).as("_id")).join(totals, Seq("_id"), "left")
+      .join(covered, Seq("_id"), "left")
+      .select(col("_id").as(idCol),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_covered"), lit(0L)).as("n_covered"),
+        when(coalesce(col("n_tokens"), lit(0L)) > 0,
+          coalesce(col("n_covered"), lit(0L)).cast("double") /
+            col("n_tokens").cast("double"))
+          .otherwise(lit(null)).cast("double").as("coverage"))
+  }
+
   /** Unicode NFC (canonical composition) — one codegen node over the
     * JDK Normalizer; DuckDB's `nfc_normalize` is the oracle twin. */
   def nfc(text: Column): Column =

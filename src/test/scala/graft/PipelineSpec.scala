@@ -656,6 +656,44 @@ class PipelineSpec extends SparkSpec {
     assert(kept.toSeq === Seq("a1", "b1", "c1"))
   }
 
+  test("vocab coverage: case-insensitive hits, OOV fractions, empty doc null") {
+    val ref = Seq(("r1", "Alpha beta"), ("r2", "beta gamma")).toDF("id", "text")
+    val docs = Seq(
+      ("d1", "alpha BETA alpha"), // all covered (case-folded)
+      ("d2", "alpha zz"),         // half covered
+      ("d3", "zz qq"),            // none
+      ("d4", ""),                 // tokenizer contract: one empty token
+      ("d5", null)).toDF("id", "text")
+    val out = TextAnalysis.vocabCoverage(ref, docs, "id", "text")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3))))).toMap
+    assert(out("d1") === ((3L, 3L, Some(1.0))))
+    assert(out("d2") === ((2L, 1L, Some(0.5))))
+    assert(out("d3") === ((2L, 0L, Some(0.0))))
+    // '' splits to one (uncovered) empty token — the same tokens()
+    // contract every text op (and the DuckDB oracle) shares
+    assert(out("d4") === ((1L, 0L, Some(0.0))))
+    assert(out("d5") === ((0L, 0L, None)))
+  }
+
+  test("source overlap: shared-shingle counts and jaccard; disjoint pairs absent") {
+    val docs = Seq(
+      ("X", "a b c d"), ("Y", "a b c e"), ("Z", "q r s t"))
+      .toDF("source", "text")
+    val out = Dedup.sourceOverlap(docs, "source", col("text"), k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getDouble(3)))).toMap
+    // X: {abc, bcd}, Y: {abc, bce} -> shared {abc}, jaccard 1/3
+    assert(out(("X", "Y")) === ((1L, 1.0 / 3.0)))
+    assert(!out.contains(("X", "Z")) && !out.contains(("Y", "Z")),
+      "disjoint source pairs do not appear")
+    // duplicate shingles across docs of ONE source count once
+    val dup = Seq(("X", "a b c"), ("X", "a b c"), ("Y", "a b c"))
+      .toDF("source", "text")
+    assert(Dedup.sourceOverlap(dup, "source", col("text"), 3)
+      .collect().head.getLong(2) === 1L)
+  }
+
   test("keepBestPerCluster: longest member survives, min-id on ties, singletons intact") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running"
     val docs = Seq(
