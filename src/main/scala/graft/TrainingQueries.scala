@@ -275,6 +275,23 @@ object TrainingQueries {
         pairs, Seq("train" -> 0.8, "test" -> 0.2), salt = "graft")
     }),
 
+    // token-budget source mixing (Pile/DoReMi-style weights over
+    // TOKENS): per-source plan row + the md5-deterministic application
+    "data_token_budget_mix" -> ((s, dir) =>
+      roundCols(graft.functions.Sampling.tokenBudgetMix(
+        Tables.read(s, dir, "documents"), "source", col("n_chars"),
+        Seq("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0),
+        budgetTokens = 20000L), Seq("target_tokens", "epochs"))),
+
+    "data_token_budget_apply" -> ((s, dir) =>
+      graft.functions.Sampling.applyTokenBudgetMix(
+        Tables.read(s, dir, "documents")
+          .select(col("doc_id"), col("source"), col("n_chars")),
+        "doc_id", "source", col("n_chars"),
+        Seq("src0" -> 3.0, "src1" -> 1.0, "src2" -> 1.0),
+        budgetTokens = 20000L, salt = "graft")
+        .select(col("doc_id"), col("source"), col("keep_rate_x1000"))),
+
     // distribution-drift monitoring: PSI buckets + standardized mean
     // difference between the "tuned-on" corpus and the "new crawl"
     "data_psi_drift" -> ((s, dir) => {
@@ -2503,6 +2520,28 @@ object TrainingQueries {
            CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split,
            bucket, CAST(bucket < 250 AS INT) AS in_sample
          FROM b ORDER BY doc_id""",
+
+    "data_token_budget_mix" ->
+      s"""WITH w AS (SELECT * FROM (VALUES ('src0', 0.6), ('src1', 0.2), ('src2', 0.2)) t(src, wn)),
+         a AS (SELECT source, CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS avail_tokens
+           FROM documents GROUP BY source)
+         SELECT a.source, a.avail_tokens,
+           (round(coalesce(w.wn, 0.0) * 20000.0, 6) + 0) AS target_tokens,
+           CAST(round(least(1.0, coalesce(w.wn, 0.0) * 20000.0 / CAST(a.avail_tokens AS DOUBLE)) * 1000.0, 0) AS INT) AS keep_rate_x1000,
+           (round(coalesce(w.wn, 0.0) * 20000.0 / CAST(a.avail_tokens AS DOUBLE), 6) + 0) AS epochs
+         FROM a LEFT JOIN w ON w.src = a.source ORDER BY a.source""",
+
+    "data_token_budget_apply" ->
+      s"""WITH w AS (SELECT * FROM (VALUES ('src0', 0.6), ('src1', 0.2), ('src2', 0.2)) t(src, wn)),
+         a AS (SELECT source, CAST(sum(CAST(n_chars AS BIGINT)) AS BIGINT) AS avail_tokens
+           FROM documents GROUP BY source),
+         r AS (SELECT a.source,
+             CAST(round(least(1.0, coalesce(w.wn, 0.0) * 20000.0 / CAST(a.avail_tokens AS DOUBLE)) * 1000.0, 0) AS INT) AS keep_rate_x1000
+           FROM a LEFT JOIN w ON w.src = a.source)
+         SELECT d.doc_id, d.source, r.keep_rate_x1000
+         FROM documents d JOIN r ON r.source = d.source
+         WHERE CAST(('0x' || substr(md5('graft' || ':' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS INT) < r.keep_rate_x1000
+         ORDER BY d.doc_id""",
 
     "data_psi_drift" ->
       s"""WITH r AS (SELECT CAST(n_chars AS DOUBLE) AS x FROM documents WHERE doc_id < 400),

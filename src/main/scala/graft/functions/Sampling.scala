@@ -135,6 +135,54 @@ object Sampling {
       .filter(hashBucket(col(idCol), 1000, salt) < col("mix_rate_x1000"))
   }
 
+  /** Token-budget source mixing plan — the paper-correct form of
+    * domain mixing (Pile/DoReMi weights are over TOKENS, not document
+    * counts, which [[temperatureSample]]/[[stratifiedSampleByHash]]
+    * rebalance): given per-source mixture weights and a total token
+    * budget, emit each source's plan row (available tokens, its
+    * weight's share of the budget, the downsample keep-rate, and
+    * `epochs` = target/available — > 1 means the budget wants MORE
+    * than the source holds, the data-constrained-repetition signal;
+    * the keep-rate caps at 1 since sampling cannot upsample).
+    * Sources not listed get weight 0 (rate 0). Weights are normalized
+    * ONCE on the driver and embedded, so any engine reproduces the
+    * arithmetic. One grouped sum per source — nothing else. */
+  def tokenBudgetMix(df: DataFrame, sourceCol: String, tokenCol: Column,
+      weights: Seq[(String, Double)], budgetTokens: Long): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
+    require(budgetTokens > 0, "budget must be positive")
+    val tot = weights.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val targets = weights.map { case (s, w) => (s, w / tot) }
+      .toDF("_src", "_wn")
+    val avail = df.groupBy(col(sourceCol).as("_src"))
+      .agg(sum(tokenCol.cast("long")).as("avail_tokens"))
+    avail.join(broadcast(targets), Seq("_src"), "left")
+      .select(col("_src").as("source"), col("avail_tokens"),
+        (coalesce(col("_wn"), lit(0.0)) * lit(budgetTokens.toDouble))
+          .as("target_tokens"),
+        round(least(lit(1.0),
+          coalesce(col("_wn"), lit(0.0)) * lit(budgetTokens.toDouble) /
+            col("avail_tokens").cast("double")) * 1000.0)
+          .cast("int").as("keep_rate_x1000"),
+        (coalesce(col("_wn"), lit(0.0)) * lit(budgetTokens.toDouble) /
+          col("avail_tokens").cast("double")).as("epochs"))
+  }
+
+  /** Apply a [[tokenBudgetMix]] plan: deterministic md5 per-mille keep
+    * at each source's rate (same assignment discipline as every
+    * sampler here). Rows from unlisted sources drop. */
+  def applyTokenBudgetMix(df: DataFrame, idCol: String, sourceCol: String,
+      tokenCol: Column, weights: Seq[(String, Double)], budgetTokens: Long,
+      salt: String = ""): DataFrame = {
+    val plan = tokenBudgetMix(df, sourceCol, tokenCol, weights, budgetTokens)
+      .select(col("source").as("_ps"), col("keep_rate_x1000"))
+    df.join(broadcast(plan), df(sourceCol) === col("_ps"))
+      .filter(hashBucket(col(idCol), 1000, salt) < col("keep_rate_x1000"))
+      .drop("_ps")
+  }
+
   /** Weighted sample WITHOUT replacement of exactly `n` rows
     * (Efraimidis–Spirakis priority keys): each row draws a
     * deterministic uniform `u` from md5(salt ':' id) — 13 hex chars =

@@ -656,6 +656,35 @@ class PipelineSpec extends SparkSpec {
     assert(kept.toSeq === Seq("a1", "b1", "c1"))
   }
 
+  test("token-budget mix: epochs signal, rate cap, unlisted sources drop") {
+    import graft.functions.Sampling
+    val docs = (1 to 40).map(i =>
+      (i.toLong, if (i <= 10) "small" else if (i <= 30) "big" else "other",
+        100L)).toDF("id", "source", "tok")
+    // small holds 1000 tokens, big 2000; budget 3000 at 2:1 ->
+    // small target 2000 (epochs 2.0, rate caps at 1000), big target
+    // 1000 (rate 500); 'other' unlisted -> rate 0
+    val plan = Sampling.tokenBudgetMix(docs, "source", col("tok"),
+      Seq("small" -> 2.0, "big" -> 1.0), budgetTokens = 3000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getInt(3), r.getDouble(4)))).toMap
+    assert(plan("small") === ((1000L, 2000.0, 1000, 2.0)))
+    assert(plan("big") === ((2000L, 1000.0, 500, 0.5)))
+    assert(plan("other") === ((1000L, 0.0, 0, 0.0)))
+    val kept = Sampling.applyTokenBudgetMix(docs, "id", "source", col("tok"),
+      Seq("small" -> 2.0, "big" -> 1.0), budgetTokens = 3000L, salt = "x")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(kept.count(_._2 == "small") === 10) // rate 1000 keeps all
+    assert(!kept.exists(_._2 == "other"))
+    val bigKept = kept.count(_._2 == "big")
+    assert(bigKept > 0 && bigKept < 20) // ~half by md5 threshold
+    // deterministic: same salt, same keep-set
+    val again = Sampling.applyTokenBudgetMix(docs, "id", "source", col("tok"),
+      Seq("small" -> 2.0, "big" -> 1.0), budgetTokens = 3000L, salt = "x")
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(again.sorted.toSeq === kept.sorted.toSeq)
+  }
+
   test("vocab coverage: case-insensitive hits, OOV fractions, empty doc null") {
     val ref = Seq(("r1", "Alpha beta"), ("r2", "beta gamma")).toDF("id", "text")
     val docs = Seq(
