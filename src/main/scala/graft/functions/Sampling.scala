@@ -227,8 +227,10 @@ object Sampling {
     * (cluster_id, split). */
   def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
       weights: Seq[(String, Double)], salt: String = ""): DataFrame = {
+    // Dedup.clusters names its id output "id" regardless of idCol
     val labels = graft.dedup.Dedup.clusters(
       df.select(col(idCol)), idCol, pairs)
+      .withColumnRenamed("id", idCol)
     val joined = df.join(labels, idCol)
     deterministicSplit(joined, "cluster_id", weights, salt)
   }
