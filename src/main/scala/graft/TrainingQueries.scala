@@ -301,6 +301,15 @@ object TrainingQueries {
         "n_chars"), Seq("ref_frac", "cur_frac", "psi_term"))
     }),
 
+    // per-group drift: PSI per language — a stable global distribution
+    // can hide a badly drifted tail group
+    "data_psi_drift_by_lang" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      roundCols(graft.functions.Drift.psiByGroup(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "n_chars", "lang"), Seq("ref_frac", "cur_frac", "psi_term"))
+    }),
+
     "data_smd_drift" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
       roundCols(graft.functions.Drift.standardizedMeanDiff(
@@ -2562,6 +2571,27 @@ object TrainingQueries {
          SELECT bucket, (round(pa, 6) + 0) AS ref_frac, (round(pb, 6) + 0) AS cur_frac,
            (round((pa - pb) * ln(pa / pb), 6) + 0) AS psi_term
          FROM p ORDER BY bucket""",
+
+    "data_psi_drift_by_lang" ->
+      s"""WITH r AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS x FROM documents WHERE doc_id < 400 AND n_chars IS NOT NULL),
+         c AS (SELECT lang AS g, CAST(n_chars AS DOUBLE) AS x FROM documents WHERE doc_id >= 400 AND n_chars IS NOT NULL),
+         mm AS (SELECT g, CAST(min(x) AS DOUBLE) AS mn, CAST(max(x) AS DOUBLE) AS mx FROM r GROUP BY g HAVING max(x) > min(x)),
+         b AS (SELECT g, CAST(unnest(range(0, 10)) AS INT) AS bucket FROM mm),
+         rb AS (SELECT r.g, least(9, greatest(0, CAST(floor((x - mn) / ((mx - mn) / 10)) AS INT))) AS bucket,
+             CAST(count(*) AS BIGINT) AS nr FROM r JOIN mm ON mm.g = r.g GROUP BY 1, 2),
+         cb AS (SELECT c.g, least(9, greatest(0, CAST(floor((x - mn) / ((mx - mn) / 10)) AS INT))) AS bucket,
+             CAST(count(*) AS BIGINT) AS nc FROM c JOIN mm ON mm.g = c.g GROUP BY 1, 2),
+         j AS (SELECT b.g, b.bucket, coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+           FROM b LEFT JOIN rb ON rb.g = b.g AND rb.bucket = b.bucket
+             LEFT JOIN cb ON cb.g = b.g AND cb.bucket = b.bucket),
+         t AS (SELECT g, CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc FROM j GROUP BY g),
+         p AS (SELECT j.g, j.bucket,
+             greatest(CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE), 1e-6) AS pa,
+             CASE WHEN tc > 0 THEN greatest(CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE), 1e-6) ELSE 1e-6 END AS pb
+           FROM j JOIN t ON t.g = j.g)
+         SELECT g AS lang, bucket, (round(pa, 6) + 0) AS ref_frac, (round(pb, 6) + 0) AS cur_frac,
+           (round((pa - pb) * ln(pa / pb), 6) + 0) AS psi_term
+         FROM p ORDER BY 1, 2""",
 
     "data_smd_drift" ->
       s"""WITH r AS (SELECT CAST(count(*) AS DOUBLE) AS rn, sum(CAST(n_chars AS DOUBLE)) AS rs,

@@ -62,6 +62,54 @@ object Drift {
         ((pa - pb) * log(pa / pb)).as("psi_term"))
   }
 
+  /** [[psi]] per group (the multilingual monitor: drift per language /
+    * per source, where a stable global distribution can hide a badly
+    * drifted tail group). Bucket edges are per-group reference min/max
+    * (each group monitors its own scale); groups present on only one
+    * side are skipped (no reference range, or nothing to score —
+    * surface those with a plain anti-join upstream). Output: one row
+    * per (group, bucket) with the same eps-substituted psi_term.
+    * Same shuffle discipline as [[psi]], keyed by (group, bucket). */
+  def psiByGroup(ref: DataFrame, cur: DataFrame, colName: String,
+      groupCol: String, buckets: Int = 10, eps: Double = 1e-6): DataFrame = {
+    require(buckets > 1, "need at least 2 buckets")
+    require(eps > 0, "eps must be positive")
+    val mm = ref.filter(col(colName).isNotNull)
+      .groupBy(col(groupCol).as("_g"))
+      .agg(min(col(colName)).cast("double").as("_mn"),
+        max(col(colName)).cast("double").as("_mx"))
+      .filter(col("_mx") > col("_mn"))
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.filter(col(colName).isNotNull)
+        .select(col(groupCol).as("_g"), col(colName).cast("double").as("_x"))
+        .join(mm, Seq("_g"))
+        .select(col("_g"),
+          least(lit(buckets - 1), greatest(lit(0),
+            floor((col("_x") - col("_mn")) /
+              ((col("_mx") - col("_mn")) / buckets)).cast("int"))).as("bucket"))
+        .groupBy(col("_g"), col("bucket")).agg(count(lit(1)).as(out))
+    val spark = ref.sparkSession
+    import spark.implicits._
+    val grid = mm.select(col("_g"))
+      .crossJoin((0 until buckets).toDF("bucket"))
+    val withCounts = grid
+      .join(counts(ref, "_nr"), Seq("_g", "bucket"), "left")
+      .join(counts(cur, "_nc"), Seq("_g", "bucket"), "left")
+      .select(col("_g"), col("bucket"),
+        coalesce(col("_nr"), lit(0L)).as("_nr"),
+        coalesce(col("_nc"), lit(0L)).as("_nc"))
+    val tot = withCounts.groupBy(col("_g"))
+      .agg(sum(col("_nr")).as("_tr"), sum(col("_nc")).as("_tc"))
+    val pa = greatest(col("_nr").cast("double") / col("_tr").cast("double"), lit(eps))
+    val pb = when(col("_tc") > 0,
+      greatest(col("_nc").cast("double") / col("_tc").cast("double"), lit(eps)))
+      .otherwise(lit(eps))
+    withCounts.join(tot, Seq("_g"))
+      .select(col("_g").as(groupCol), col("bucket"),
+        pa.as("ref_frac"), pb.as("cur_frac"),
+        ((pa - pb) * log(pa / pb)).as("psi_term"))
+  }
+
   /** Standardized mean difference (Cohen's d with pooled variance) of
     * one numeric column between reference and current — the scalar
     * first-look companion to [[psi]]. One aggregation per side

@@ -32,6 +32,23 @@ class DriftSpec extends SparkSpec {
     assert(n === 1.0)
   }
 
+  test("psiByGroup: per-group buckets, one drifted group flagged, single-sided groups skipped") {
+    val ref = ((1 to 50).map(i => ("en", i.toDouble)) ++
+      (1 to 50).map(i => ("de", i.toDouble)) ++
+      Seq(("const", 7.0), ("const", 7.0))).toDF("lang", "x")
+    // en stable, de hard-shifted; 'const' has no range; 'fr' only in cur
+    val cur = ((1 to 50).map(i => ("en", i.toDouble)) ++
+      (1 to 50).map(i => ("de", 1000.0 + i)) ++
+      Seq(("fr", 3.0))).toDF("lang", "x")
+    val out = Drift.psiByGroup(ref, cur, "x", "lang")
+      .collect().map(r => (r.getString(0), r.getInt(1)) -> r.getDouble(4))
+    val byLang = out.groupBy(_._1._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(byLang.keySet === Set("en", "de"), "rangeless/cur-only groups skipped")
+    assert(byLang("en") === 0.0, "identical group scores exactly zero")
+    assert(byLang("de") > 0.25, "shifted group flagged")
+    assert(out.length === 20)
+  }
+
   test("smd: hand-derived pooled std and sign") {
     // ref {0,2}: mean 1, var 1; cur {3,5}: mean 4, var 1 -> pooled 1, smd 3
     val ref = Seq(0.0, 2.0).toDF("x")
