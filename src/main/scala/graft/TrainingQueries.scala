@@ -262,6 +262,16 @@ object TrainingQueries {
         Seq("priority"))
     }),
 
+    // per-group weighted sampling: 15 docs per language, weighted by
+    // n_chars — E-S priorities + one WindowGroupLimit-pre-cut window
+    "data_weighted_sample_per_lang" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      roundCols(graft.functions.Sampling.weightedSamplePerGroup(
+        docs, "doc_id", "lang", col("n_chars"), nPerGroup = 15,
+        salt = "graft"), Seq("priority"))
+    }),
+
     // leakage-safe split: near-dup cluster labels (pointer-jump CC over
     // verified minhash pairs) become the split key, so no component
     // ever straddles train/test; oracle = recursive-CTE closure + the
@@ -2635,6 +2645,16 @@ object TrainingQueries {
          FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0)
          SELECT doc_id, n_chars, (round(pr, 6) + 0) AS priority
          FROM b ORDER BY pr DESC, doc_id LIMIT 120""",
+
+    "data_weighted_sample_per_lang" ->
+      s"""WITH b AS (SELECT doc_id, lang, n_chars,
+           ln((('0x' || substr(md5('graft' || ':' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+              / 4503599627370496.0) / CAST(n_chars AS DOUBLE) AS pr
+         FROM documents WHERE n_chars IS NOT NULL AND n_chars > 0),
+         r AS (SELECT doc_id, lang, n_chars, pr,
+           row_number() OVER (PARTITION BY lang ORDER BY pr DESC, doc_id) AS rn FROM b)
+         SELECT doc_id, lang, n_chars, (round(pr, 6) + 0) AS priority
+         FROM r WHERE rn <= 15 ORDER BY doc_id""",
 
     "data_leakage_split" ->
       s"""WITH RECURSIVE corpus AS ($corpusSql),

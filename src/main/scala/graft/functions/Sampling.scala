@@ -213,6 +213,30 @@ object Sampling {
       .limit(n)
   }
 
+  /** [[weightedSample]] per group: exactly `nPerGroup` rows from each
+    * `groupCol` value (fewer when the group is smaller), drawn with
+    * the same Efraimidis–Spirakis priorities — "15 documents per
+    * language, weighted by quality" in one pass. Spark shape: the
+    * priority projection plus ONE group-keyed window; the rank <=
+    * nPerGroup filter plans as WindowGroupLimit, so each group is
+    * pre-cut to its top rows map-side and a mega-group never floods
+    * the exchange. Rows with NULL/non-positive weight are excluded. */
+  def weightedSamplePerGroup(df: DataFrame, idCol: String, groupCol: String,
+      weightCol: Column, nPerGroup: Int, salt: String = ""): DataFrame = {
+    require(nPerGroup > 0, "sample size must be positive")
+    val k = conv(substring(md5(concat(lit(salt), lit(":"),
+      col(idCol).cast("string"))), 1, 13), 16, 10).cast("long")
+    val u = (k.cast("double") + lit(0.5)) / lit(4503599627370496.0)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol))
+      .orderBy(col("priority").desc, col(idCol))
+    df.filter(weightCol.isNotNull && weightCol > 0)
+      .withColumn("priority", log(u) / weightCol.cast("double"))
+      .withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") <= nPerGroup)
+      .drop("_rn")
+  }
+
   /** Leakage-safe split: near-duplicate documents must never straddle
     * train/test (a test doc whose near-copy sits in train inflates
     * eval), so the split key is the row's DUPLICATE-CLUSTER label, not

@@ -929,6 +929,34 @@ class PipelineSpec extends SparkSpec {
       .select("id").collect().map(_.getLong(0)).toSeq === Seq(1L))
   }
 
+  test("weighted sample per group: per-group E-S top-n, small groups exhaust") {
+    import graft.functions.Sampling
+    val rows = (1 to 60).map(i =>
+      (i.toLong, if (i % 3 == 0) "a" else if (i % 3 == 1) "b" else "c", i.toDouble))
+    val df = rows.toDF("id", "g", "w")
+    val got = Sampling.weightedSamplePerGroup(df, "id", "g", col("w"),
+      nPerGroup = 4, salt = "s")
+      .collect().map(r => r.getString(1) -> r.getLong(0))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    def priority(id: Long, w: Double): Double = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"s:$id".getBytes("UTF-8")).map("%02x".format(_)).mkString
+      math.log((java.lang.Long.parseLong(hex.substring(0, 13), 16) + 0.5) /
+        4503599627370496.0) / w
+    }
+    rows.groupBy(_._2).foreach { case (g, es) =>
+      val want = es.sortBy { case (id, _, w) => (-priority(id, w), id) }
+        .take(4).map(_._1).toSet
+      assert(got(g) === want, s"group $g")
+    }
+    // a group smaller than n returns whole; degenerate weights excluded
+    val tiny = Seq((1L, "x", 2.0), (2L, "x", 0.0), (3L, "y", 1.0))
+      .toDF("id", "g", "w")
+    val t = Sampling.weightedSamplePerGroup(tiny, "id", "g", col("w"), 5)
+      .collect().map(_.getLong(0)).toSet
+    assert(t === Set(1L, 3L))
+  }
+
   test("leakage-safe split: cluster members never straddle splits") {
     import graft.functions.Sampling
     val docs = (1 to 40).map(i => i.toLong).toDF("id")
