@@ -868,6 +868,16 @@ object TrainingQueries {
       Dedup.clusters(c.select(col("id")), "id", pairs)
     }),
 
+    // duplicate-mass histogram: cluster-size distribution over the
+    // same verified-pair components as dedup_clusters
+    "dedup_cluster_histogram" -> ((s, dir) => {
+      val c = corpus(s, dir)
+      val pairs = Dedup.minhashVerifiedPairs(c, "id", col("text"),
+        k = 3, numHashes = 8, bands = 4, threshold = 0.5)
+        .select("id_a", "id_b")
+      Dedup.clusterSizeHistogram(Dedup.clusters(c.select(col("id")), "id", pairs))
+    }),
+
     // canonical-key exact dedup: NFC + casefold + whitespace-collapse
     // before hashing, so NFD/NFC encoding accidents and case/spacing
     // noise can't defeat the cut — planted NFD twins (combining acute)
@@ -3240,6 +3250,30 @@ object TrainingQueries {
            UNION
            SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
          SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+
+    "dedup_cluster_histogram" ->
+      s"""WITH RECURSIVE corpus AS ($corpusSql),
+         t AS (SELECT id, $tokensSql AS toks FROM corpus),
+         shs AS (SELECT id, list_distinct(${shinglesSql(3)}) AS sh FROM t),
+         sig AS (SELECT id, sh, ${minhashSigSql(8)} AS sig FROM shs),
+         bandt AS (SELECT id, unnest(${minhashBandsSql(4, 2)}) AS band FROM sig),
+         cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b FROM bandt a JOIN bandt b ON a.band = b.band AND a.id < b.id),
+         ver AS (SELECT id_a, id_b FROM (SELECT id_a, id_b,
+             CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE) / len(list_distinct(list_concat(sa.sh, sb.sh))) AS jaccard
+             FROM cand JOIN shs sa ON sa.id = cand.id_a JOIN shs sb ON sb.id = cand.id_b)
+           WHERE jaccard >= 0.5),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+           UNION ALL SELECT id_b, id_a FROM ver),
+         reach(id, r) AS (
+           SELECT id, id FROM corpus
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         lab AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         cs AS (SELECT cluster_id, CAST(count(*) AS BIGINT) AS cluster_size FROM lab GROUP BY 1)
+         SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters,
+           CAST(count(*) * cluster_size AS BIGINT) AS n_docs,
+           CAST(count(*) * (cluster_size - 1) AS BIGINT) AS n_removable
+         FROM cs GROUP BY cluster_size ORDER BY cluster_size""",
 
     "dedup_exact_canonical" ->
       s"""WITH docs AS (SELECT doc_id, text FROM documents WHERE doc_id < 50),

@@ -304,6 +304,20 @@ object Dedup {
       .drop("_cl_id", "_cl_label")
   }
 
+  /** Duplicate-mass histogram over [[clusters]] labels: one row per
+    * cluster SIZE with how many clusters have it and how many
+    * documents (and removable duplicates) they hold — the one-look
+    * dedup diagnostic ("how much of the corpus is singletons vs a few
+    * mega-clusters"). Two grouped counts on top of the label frame. */
+  def clusterSizeHistogram(labels: DataFrame): DataFrame = {
+    val sizes = labels.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("cluster_size"))
+    sizes.groupBy(col("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"),
+        (count(lit(1)) * col("cluster_size")).as("n_docs"),
+        (count(lit(1)) * (col("cluster_size") - 1)).as("n_removable"))
+  }
+
   /** Cross-source duplication audit: for every pair of values of
     * `sourceCol` (crawl snapshots, registry mirrors, dataset vendors),
     * the number of distinct k-shingles they share and the Jaccard of

@@ -723,6 +723,20 @@ class PipelineSpec extends SparkSpec {
       .collect().head.getLong(2) === 1L)
   }
 
+  test("cluster size histogram: singleton/pair/triple masses add up") {
+    // labels: {a,b,c} one cluster, {d,e} one, {f} singleton
+    val labels = Seq(("a", "a"), ("b", "a"), ("c", "a"),
+      ("d", "d"), ("e", "d"), ("f", "f")).toDF("id", "cluster_id")
+    val h = Dedup.clusterSizeHistogram(labels)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(h === Map(1L -> ((1L, 1L, 0L)), 2L -> ((1L, 2L, 1L)),
+      3L -> ((1L, 3L, 2L))))
+    // totals reconcile: docs == corpus size, removable == docs - clusters
+    assert(h.values.map(_._2).sum === 6L)
+    assert(h.values.map(_._3).sum === 6L - 3L)
+  }
+
   test("keepBestPerCluster: longest member survives, min-id on ties, singletons intact") {
     val base = "the quick brown fox jumps over the lazy dog and keeps running"
     val docs = Seq(
