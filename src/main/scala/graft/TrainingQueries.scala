@@ -320,6 +320,15 @@ object TrainingQueries {
         "n_chars", "lang"), Seq("ref_frac", "cur_frac", "psi_term"))
     }),
 
+    // categorical drift: the language-mix shift between the tuned-on
+    // corpus and the new crawl
+    "data_psi_drift_categorical" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      roundCols(graft.functions.Drift.psiCategorical(
+        docs.filter(col("doc_id") < 400), docs.filter(col("doc_id") >= 400),
+        "lang"), Seq("ref_frac", "cur_frac", "psi_term"))
+    }),
+
     "data_smd_drift" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
       roundCols(graft.functions.Drift.standardizedMeanDiff(
@@ -611,6 +620,20 @@ object TrainingQueries {
         .select(col("id").as("src"), col("neighbor_id").as("dst"))
       roundCols(graft.graph.GraphOps.pageRank(edges, iterations = 3),
         Seq("pagerank"))
+    }),
+
+    // personalized PageRank seeded at three exemplars: centrality as
+    // seen from the trusted docs — same unrolled-rounds oracle with a
+    // CASE teleport vector
+    "graph_ppr_knn" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+        .filter(col("id").cast("int") < 100)
+      val edges = KnnGraph.exact(coll, config, 5)
+        .select(col("id").as("src"), col("neighbor_id").as("dst"))
+      roundCols(graft.graph.GraphOps.personalizedPageRank(
+        edges, Seq("0", "1", "2"), iterations = 3), Seq("pagerank"))
     }),
 
     "graph_degrees_knn" -> ((s, dir) => {
@@ -2918,6 +2941,46 @@ object TrainingQueries {
       }.mkString(",\n         ")
       s"""WITH $knnEdges,
          pr0 AS (SELECT id, 1.0 / nn.nd AS pr FROM nodes, nn),
+         $rounds
+         SELECT id, (round(pr, 6) + 0) AS pagerank FROM pr3 ORDER BY id"""
+    },
+
+    "data_psi_drift_categorical" ->
+      s"""WITH r AS (SELECT lang, CAST(count(*) AS BIGINT) AS nr FROM documents WHERE doc_id < 400 GROUP BY 1),
+         c AS (SELECT lang, CAST(count(*) AS BIGINT) AS nc FROM documents WHERE doc_id >= 400 GROUP BY 1),
+         j AS (SELECT coalesce(r.lang, c.lang) AS category, coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+           FROM r FULL JOIN c ON r.lang = c.lang),
+         t AS (SELECT CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc FROM j),
+         p AS (SELECT category,
+             greatest(CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE), 1e-6) AS pa,
+             greatest(CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE), 1e-6) AS pb
+           FROM j, t)
+         SELECT category, (round(pa, 6) + 0) AS ref_frac, (round(pb, 6) + 0) AS cur_frac,
+           (round((pa - pb) * ln(pa / pb), 6) + 0) AS psi_term
+         FROM p ORDER BY category""",
+
+    "graph_ppr_knn" -> {
+      val tv = "CASE WHEN nodes.id IN ('0', '1', '2') THEN 1.0 / 3.0 ELSE 0.0 END"
+      val knnEdges =
+        s"""n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings WHERE vec_id < 100),
+         p AS (SELECT a.id AS qid, b.id AS bid,
+             list_sum(list_transform(range(1, len(b.nv)+1), i -> CAST(b.nv[i] AS DOUBLE) * CAST(a.nv[i] AS DOUBLE))) AS raw
+           FROM n a JOIN n b ON a.id != b.id),
+         r AS (SELECT qid, bid, raw,
+             row_number() OVER (PARTITION BY qid ORDER BY (1.0 - raw) ASC, bid ASC) AS rn FROM p),
+         e AS (SELECT qid AS src, bid AS dst FROM r WHERE rn <= 5),
+         nodes AS (SELECT DISTINCT id FROM (SELECT src AS id FROM e UNION ALL SELECT dst AS id FROM e)),
+         od AS (SELECT src, CAST(count(*) AS BIGINT) AS o FROM e GROUP BY src)"""
+      val rounds = (1 to 3).map { t =>
+        val prev = s"pr${t - 1}"
+        s"""c$t AS (SELECT e.dst AS id, sum($prev.pr / CAST(od.o AS DOUBLE)) AS c
+             FROM e JOIN $prev ON $prev.id = e.src JOIN od ON od.src = e.src GROUP BY e.dst),
+           d$t AS (SELECT coalesce(sum(pr), 0.0) AS dm FROM $prev WHERE id NOT IN (SELECT src FROM od)),
+           pr$t AS (SELECT nodes.id, (1.0 - 0.85) * ($tv) + 0.85 * (coalesce(c$t.c, 0.0) + d$t.dm * ($tv)) AS pr
+             FROM nodes LEFT JOIN c$t ON c$t.id = nodes.id, d$t)"""
+      }.mkString(",\n         ")
+      s"""WITH $knnEdges,
+         pr0 AS (SELECT id, $tv AS pr FROM nodes),
          $rounds
          SELECT id, (round(pr, 6) + 0) AS pagerank FROM pr3 ORDER BY id"""
     },

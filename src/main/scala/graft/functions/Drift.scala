@@ -62,6 +62,35 @@ object Drift {
         ((pa - pb) * log(pa / pb)).as("psi_term"))
   }
 
+  /** [[psi]] over a CATEGORICAL column (language mix, source mix,
+    * label balance): one cell per category from the union of both
+    * sides' values, same eps-substituted terms. A new current-side
+    * category shows up as (eps, its-share) — maximally flagged, which
+    * is the right alarm for "a source appeared that the reference
+    * never saw". NULL categories count as a real category (they are a
+    * mix share too). Shuffle = one grouped count per side. */
+  def psiCategorical(ref: DataFrame, cur: DataFrame, colName: String,
+      eps: Double = 1e-6): DataFrame = {
+    require(eps > 0, "eps must be positive")
+    def counts(df: DataFrame, out: String): DataFrame =
+      df.groupBy(col(colName).as("category"))
+        .agg(count(lit(1)).as(out))
+    // null-safe join: a NULL category is a real mix share and must
+    // align across sides instead of splitting into two rows
+    val r = counts(ref, "_nr")
+    val c = counts(cur, "_nc").withColumnRenamed("category", "_cat2")
+    val joined = r.join(c, r("category") <=> c("_cat2"), "full")
+      .select(coalesce(r("category"), c("_cat2")).as("category"),
+        coalesce(col("_nr"), lit(0L)).as("_nr"),
+        coalesce(col("_nc"), lit(0L)).as("_nc"))
+    val tot = joined.agg(sum(col("_nr")).as("_tr"), sum(col("_nc")).as("_tc"))
+    val pa = greatest(col("_nr").cast("double") / col("_tr").cast("double"), lit(eps))
+    val pb = greatest(col("_nc").cast("double") / col("_tc").cast("double"), lit(eps))
+    joined.crossJoin(broadcast(tot))
+      .select(col("category"), pa.as("ref_frac"), pb.as("cur_frac"),
+        ((pa - pb) * log(pa / pb)).as("psi_term"))
+  }
+
   /** [[psi]] per group (the multilingual monitor: drift per language /
     * per source, where a stable global distribution can hide a badly
     * drifted tail group). Bucket edges are per-group reference min/max

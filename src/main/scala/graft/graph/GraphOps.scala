@@ -60,6 +60,48 @@ object GraphOps {
     pr
   }
 
+  /** Personalized PageRank: teleport lands on the SEED set instead of
+    * uniformly — rank becomes "centrality as seen from the seeds", the
+    * find-more-like-my-trusted-docs signal over a kNN graph (seed the
+    * curated exemplars, keep the high-rank neighborhood). Same update
+    * as [[pageRank]] with teleport vector `t(v) = 1/|seeds|` on seeds
+    * and 0 elsewhere; dangling mass also re-enters through `t` (the
+    * standard PPR formulation), so Σpr = 1 whenever every seed is a
+    * graph node. Start vector = `t`. Same per-round shuffle shape. */
+  def personalizedPageRank(edges: DataFrame, seeds: Seq[String],
+      iterations: Int, damping: Double = 0.85,
+      srcCol: String = "src", dstCol: String = "dst"): DataFrame = {
+    require(seeds.nonEmpty, "need at least one seed")
+    require(iterations > 0, "iterations must be positive")
+    require(damping > 0 && damping < 1, "damping in (0,1)")
+    val e = edges.select(col(srcCol).cast("string").as("_src"),
+      col(dstCol).cast("string").as("_dst")).localCheckpoint()
+    val nodes = e.select(col("_src").as("id"))
+      .union(e.select(col("_dst").as("id"))).distinct().localCheckpoint()
+    val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_out"))
+      .localCheckpoint()
+    val tv = when(col("id").isin(seeds: _*), lit(1.0 / seeds.size))
+      .otherwise(lit(0.0))
+    var pr = nodes.withColumn("pagerank", tv)
+    for (_ <- 1 to iterations) {
+      val contrib = e.join(pr.withColumnRenamed("id", "_src"), Seq("_src"))
+        .join(outdeg, Seq("_src"))
+        .groupBy(col("_dst").as("id"))
+        .agg(sum(col("pagerank") / col("_out").cast("double")).as("_c"))
+      val dangling = pr.join(outdeg,
+          pr("id") === outdeg("_src"), "left_anti")
+        .agg(coalesce(sum(col("pagerank")), lit(0.0)).as("_dm"))
+      pr = nodes.join(contrib, Seq("id"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("id"),
+          (lit(1.0 - damping) * tv + lit(damping) *
+            (coalesce(col("_c"), lit(0.0)) + col("_dm") * tv))
+            .as("pagerank"))
+        .localCheckpoint()
+    }
+    pr
+  }
+
   /** Degree table of a directed edge frame: (id, out_deg, in_deg) over
     * the endpoint union — the zero-cost sanity companion to
     * [[pageRank]] (a node's rank floor is (1-d)/N exactly when in_deg

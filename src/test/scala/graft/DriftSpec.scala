@@ -61,4 +61,21 @@ class DriftSpec extends SparkSpec {
     val s = Drift.standardizedMeanDiff(cur, ref, "x").collect().head
     assert(math.abs(s.getDouble(3) + 3.0) < 1e-12)
   }
+
+  test("categorical psi: identical zero, unseen category flagged, null aligns") {
+    val ref = (Seq.fill(50)(Some("en")) ++ Seq.fill(30)(Some("de")) ++
+      Seq.fill(20)(None: Option[String])).toDF("lang")
+    val same = Drift.psiCategorical(ref, ref, "lang")
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(3))
+    assert(same.length === 3)
+    assert(same.forall(_._2 === 0.0))
+    assert(same.exists(_._1.isEmpty), "null category is one aligned row")
+    // current side has a category the reference never saw
+    val cur = (Seq.fill(50)(Some("en")) ++ Seq.fill(50)(Some("xx")))
+      .toDF("lang")
+    val out = Drift.psiCategorical(ref, cur, "lang")
+      .collect().map(r => Option(r.getString(0)) -> r.getDouble(3)).toMap
+    assert(out(Some("xx")) > 1.0, "unseen category is maximally flagged")
+    assert(out.keySet === Set(Some("en"), Some("de"), Some("xx"), None))
+  }
 }

@@ -60,4 +60,33 @@ class GraphSpec extends SparkSpec {
     assert(deg === Map("s1" -> ((1L, 1L)), "s2" -> ((1L, 0L)),
       "s3" -> ((1L, 0L)), "h" -> ((1L, 3L))))
   }
+
+  test("personalized pagerank: seeds dominate, mass conserved, matches reference") {
+    // chain: s -> a -> b -> c; seed at s
+    val edges = Seq(("s", "a"), ("a", "b"), ("b", "c"), ("c", "s"))
+    val pr = GraphOps.personalizedPageRank(edges.toDF("src", "dst"),
+      Seq("s"), iterations = 20)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(math.abs(pr.values.sum - 1.0) < 1e-9, "mass conserved")
+    // rank decays with distance from the seed along the chain
+    assert(pr("s") > pr("a") && pr("a") > pr("b") && pr("b") > pr("c"))
+    // independent reference with teleport vector
+    val nodes = Seq("s", "a", "b", "c"); val d = 0.85
+    val out = edges.groupBy(_._1).view.mapValues(_.length).toMap
+    def t(v: String) = if (v == "s") 1.0 else 0.0
+    var ref = nodes.map(v => v -> t(v)).toMap
+    for (_ <- 1 to 20) {
+      val c = edges.groupBy(_._2).view.mapValues(es =>
+        es.map(e => ref(e._1) / out(e._1)).sum).toMap
+      val dm = nodes.filterNot(out.contains).map(ref).sum
+      ref = nodes.map(v =>
+        v -> ((1.0 - d) * t(v) + d * (c.getOrElse(v, 0.0) + dm * t(v)))).toMap
+    }
+    nodes.foreach(v => assert(math.abs(pr(v) - ref(v)) < 1e-12, v))
+    // non-seed-reachable node: teleport never lands there
+    val iso = GraphOps.personalizedPageRank(
+      (edges :+ ("x", "y")).toDF("src", "dst"), Seq("s"), 10)
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(iso("x") === 0.0 && iso("y") === 0.0)
+  }
 }
