@@ -556,6 +556,13 @@ object TrainingQueries {
         "doc_id", "text"), Seq("logppl"))
     }),
 
+    // c-TF-IDF cluster labeling: top distinctive terms per language —
+    // every frequency/containment term replicated in the oracle
+    "text_top_terms_per_cluster" -> ((s, dir) =>
+      roundCols(TextAnalysis.topTermsPerCluster(
+        Tables.read(s, dir, "documents"), "lang", "text", topN = 5),
+        Seq("score"))),
+
     // vocabulary-coverage gate (CCNet's OOV companion to perplexity):
     // fraction of each held-out doc's tokens present in the reference
     // vocabulary
@@ -889,6 +896,19 @@ object TrainingQueries {
         k = 3, numHashes = 8, bands = 4, threshold = 0.5)
         .select("id_a", "id_b")
       Dedup.clusters(c.select(col("id")), "id", pairs)
+    }),
+
+    // snapshot diff: added / removed / changed ids between two corpus
+    // epochs — the small output, never a materialized copy
+    "store_snapshot_diff" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val before = docs.filter(col("doc_id") < 300)
+        .select(col("doc_id").as("id"), col("text"))
+      val after = docs.filter(col("doc_id") >= 100 && col("doc_id") < 400)
+        .select(col("doc_id").as("id"),
+          when(col("doc_id") < 150, concat(col("text"), lit(" v2")))
+            .otherwise(col("text")).as("text"))
+      graft.store.CollectionStore.diffSnapshots(before, after, "id")
     }),
 
     // duplicate-mass histogram: cluster-size distribution over the
@@ -2825,6 +2845,20 @@ object TrainingQueries {
            (CASE WHEN sums.nb > 0 THEN round((0.0 - sums.s) / CAST(sums.nb AS DOUBLE), 6) + 0 ELSE NULL END) AS logppl
          FROM tst t LEFT JOIN sums ON sums.doc_id = t.doc_id ORDER BY t.doc_id""",
 
+    "text_top_terms_per_cluster" ->
+      s"""WITH toks AS (SELECT lang AS c, unnest(list_transform($tokensSql, t -> lower(t))) AS term FROM documents),
+         tc AS (SELECT c, term, CAST(count(*) AS BIGINT) AS cnt FROM toks GROUP BY 1, 2),
+         ct AS (SELECT c, CAST(sum(cnt) AS BIGINT) AS tok_c FROM tc GROUP BY 1),
+         cf AS (SELECT term, CAST(count(*) AS BIGINT) AS cfreq FROM (SELECT DISTINCT c, term FROM tc) GROUP BY 1),
+         nc AS (SELECT CAST(count(DISTINCT c) AS BIGINT) AS n FROM tc),
+         sc AS (SELECT tc.c, tc.term,
+             (CAST(tc.cnt AS DOUBLE) / CAST(ct.tok_c AS DOUBLE)) * ln(1.0 + CAST(nc.n AS DOUBLE) / CAST(cf.cfreq AS DOUBLE)) AS score
+           FROM tc JOIN ct ON ct.c = tc.c JOIN cf ON cf.term = tc.term, nc),
+         r AS (SELECT c, term, score,
+             row_number() OVER (PARTITION BY c ORDER BY score DESC, term) AS rank FROM sc)
+         SELECT c AS lang, term, (round(score, 6) + 0) AS score, CAST(rank AS INT) AS rank
+         FROM r WHERE rank <= 5 ORDER BY lang, rank""",
+
     "text_vocab_coverage" ->
       s"""WITH allt AS (SELECT doc_id, list_transform($tokensSql, t -> lower(t)) AS lt FROM documents),
          voc AS (SELECT DISTINCT unnest(lt) AS term FROM allt WHERE doc_id < 400),
@@ -3313,6 +3347,17 @@ object TrainingQueries {
            UNION
            SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r)
          SELECT id, min(r) AS cluster_id FROM reach GROUP BY id ORDER BY id""",
+
+    "store_snapshot_diff" ->
+      s"""WITH b AS (SELECT doc_id AS id, text FROM documents WHERE doc_id < 300),
+         a AS (SELECT doc_id AS id, CASE WHEN doc_id < 150 THEN text || ' v2' ELSE text END AS text
+           FROM documents WHERE doc_id >= 100 AND doc_id < 400)
+         SELECT coalesce(b.id, a.id) AS id,
+           CASE WHEN b.id IS NULL THEN 'added' WHEN a.id IS NULL THEN 'removed'
+                WHEN a.text != b.text THEN 'changed' END AS status
+         FROM b FULL JOIN a ON b.id = a.id
+         WHERE (b.id IS NULL OR a.id IS NULL OR a.text != b.text)
+         ORDER BY id""",
 
     "dedup_cluster_histogram" ->
       s"""WITH RECURSIVE corpus AS ($corpusSql),

@@ -114,6 +114,37 @@ object CollectionStore {
         graft.functions.VectorFunctions.packSignBits(col("vector")))
     (df, config)
   }
+  /** Diff two collection frames (snapshots, a snapshot vs live, two
+    * epochs of a layout): one row per id that is `added` (only in
+    * `after`), `removed` (only in `before`), or `changed` (present in
+    * both with a different md5 over the compared columns — default:
+    * every common non-id column, name-sorted so the fingerprint is
+    * schema-order-independent). Unchanged ids are omitted — at 100 TB
+    * the diff is the small output, never a materialized copy. One
+    * md5 projection per side + one full outer join on id. */
+  def diffSnapshots(before: org.apache.spark.sql.DataFrame,
+      after: org.apache.spark.sql.DataFrame, idCol: String = "id",
+      compareCols: Seq[String] = Nil): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    val cols =
+      if (compareCols.nonEmpty) compareCols.sorted
+      else (before.columns.toSet intersect after.columns.toSet - idCol)
+        .toSeq.sorted
+    require(cols.nonEmpty, "no comparable columns")
+    def keyed(df: org.apache.spark.sql.DataFrame, fp: String) =
+      df.select(col(idCol).as("_did"),
+        md5(to_json(struct(cols.map(c => col(c).as(c)): _*))).as(fp))
+    val b = keyed(before, "_fp_b")
+    val a = keyed(after, "_fp_a").withColumnRenamed("_did", "_did_a")
+    b.join(a, col("_did") <=> col("_did_a"), "full")
+      .withColumn("status",
+        when(col("_fp_b").isNull, lit("added"))
+          .when(col("_fp_a").isNull, lit("removed"))
+          .when(col("_fp_a") =!= col("_fp_b"), lit("changed"))
+          .otherwise(lit(null)))
+      .filter(col("status").isNotNull)
+      .select(coalesce(col("_did"), col("_did_a")).as(idCol), col("status"))
+  }
 }
 
 /** Bucketed at-rest layout: rows hash-clustered and sorted by a key at

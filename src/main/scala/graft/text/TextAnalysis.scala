@@ -366,6 +366,41 @@ object TextAnalysis {
       graft.expr.CompressionRatio(
         org.apache.spark.sql.graft.Bridge.expression(text.cast("string")), level))
 
+  /** c-TF-IDF distinctive terms per cluster (the BERTopic labeling
+    * idea): for each value of `clusterCol` (a k-means/IVF cell, a
+    * language, a source), the `topN` terms whose in-cluster frequency
+    * is high while few OTHER clusters contain them —
+    * `score = (cnt_tc / tokens_c) * ln(1 + n_clusters / clusters_with_t)`.
+    * Output: (cluster, term, score, rank), ties by ascending term.
+    * The human-readable answer to "what IS this cluster".
+    *
+    * Spark shape: grouped counts (all partial-aggregatable) + one
+    * cluster-keyed window whose rank filter plans as WindowGroupLimit
+    * — per-cluster top rows pre-cut map-side. The cluster count rides
+    * as a broadcast 1-row frame, not a collected scalar. */
+  def topTermsPerCluster(df: org.apache.spark.sql.DataFrame,
+      clusterCol: String, textCol: String,
+      topN: Int): org.apache.spark.sql.DataFrame = {
+    require(topN > 0, "topN must be positive")
+    val toks = df.select(col(clusterCol).as("_c"),
+      explode(transform(tokens(col(textCol)), t => lower(t))).as("term"))
+    val tc = toks.groupBy(col("_c"), col("term")).agg(count(lit(1)).as("_cnt"))
+    val ct = tc.groupBy(col("_c")).agg(sum(col("_cnt")).as("_tok_c"))
+    val cf = tc.select(col("_c"), col("term")).distinct()
+      .groupBy(col("term")).agg(count(lit(1)).as("_cf"))
+    val nc = tc.select(col("_c")).distinct().agg(count(lit(1)).as("_nc"))
+    val scored = tc.join(ct, Seq("_c")).join(cf, Seq("term"))
+      .crossJoin(broadcast(nc))
+      .withColumn("score",
+        (col("_cnt").cast("double") / col("_tok_c").cast("double")) *
+          log(lit(1.0) + col("_nc").cast("double") / col("_cf").cast("double")))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("_c")).orderBy(col("score").desc, col("term"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= topN)
+      .select(col("_c").as(clusterCol), col("term"), col("score"), col("rank"))
+  }
+
   /** Per-document vocabulary coverage against a REFERENCE corpus: the
     * fraction of the document's (lowercased) tokens that appear in the
     * reference vocabulary — CCNet's cheap companion gate to perplexity

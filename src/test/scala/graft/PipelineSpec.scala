@@ -685,6 +685,44 @@ class PipelineSpec extends SparkSpec {
     assert(again.sorted.toSeq === kept.sorted.toSeq)
   }
 
+  test("snapshot diff: added/removed/changed only, column-order independent") {
+    import graft.store.CollectionStore
+    val before = Seq(("a", 1.0, "x"), ("b", 2.0, "y"), ("c", 3.0, "z"))
+      .toDF("id", "v", "tag")
+    val after = Seq(("b", 2.0, "y"), ("c", 9.0, "z"), ("d", 4.0, "w"))
+      .toDF("id", "v", "tag")
+    val out = CollectionStore.diffSnapshots(before, after)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out === Map("a" -> "removed", "c" -> "changed", "d" -> "added"))
+    // unchanged rows are omitted; column order doesn't matter
+    val reordered = after.select("tag", "id", "v")
+    val out2 = CollectionStore.diffSnapshots(before, reordered)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out2 === out)
+    // restrict comparison to one column: c's v-change invisible
+    val out3 = CollectionStore.diffSnapshots(before, after,
+      compareCols = Seq("tag"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(out3 === Map("a" -> "removed", "d" -> "added"))
+  }
+
+  test("top terms per cluster: planted distinctive terms rank first") {
+    val docs = Seq(
+      ("a", "shared words plus banana banana banana"),
+      ("a", "shared words plus banana kiwi kiwi"),
+      ("b", "shared words plus bolt bolt bolt"),
+      ("b", "shared words plus bolt washer washer")).toDF("cl", "text")
+    val out = TextAnalysis.topTermsPerCluster(docs, "cl", "text", topN = 2)
+      .collect().map(r => (r.getString(0), r.getInt(3)) -> r.getString(1)).toMap
+    // cluster-exclusive high-frequency terms outscore the shared ones
+    assert(out(("a", 1)) === "banana")
+    assert(out(("b", 1)) === "bolt")
+    // at EQUAL frequency, the cluster-exclusive term beats the shared
+    // one (kiwi/washer tf == plus tf, but ln(1+2/1) > ln(1+2/2))
+    assert(out(("a", 2)) === "kiwi")
+    assert(out(("b", 2)) === "washer")
+  }
+
   test("vocab coverage: case-insensitive hits, OOV fractions, empty doc null") {
     val ref = Seq(("r1", "Alpha beta"), ("r2", "beta gamma")).toDF("id", "text")
     val docs = Seq(
