@@ -556,6 +556,25 @@ object TrainingQueries {
         "doc_id", "text"), Seq("logppl"))
     }),
 
+    // lexical diversity: type-token ratio + hapax fraction, the
+    // template/boilerplate vs gibberish quality axes
+    "text_lexical_diversity" -> ((s, dir) =>
+      roundCols(Tables.read(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.typeTokenRatio(col("text")).as("ttr"),
+        TextAnalysis.hapaxFraction(col("text")).as("hapax_frac")),
+        Seq("ttr", "hapax_frac"))),
+
+    // one-pass embedding-quality audit: null/non-finite/zero-norm
+    // totals + norm range over the clean rows
+    "emb_vector_audit" -> ((s, dir) =>
+      roundCols(graft.prepare.Prepare.vectorAudit(
+        Tables.read(s, dir, "embeddings"), "embedding"),
+        Seq("min_norm", "avg_norm", "max_norm"))),
+
+    // per-user behavioral features in one shuffle, exact median gap
+    "events_user_features" -> ((s, dir) =>
+      EventStreams.userActivityFeatures(events(s, dir))),
+
     // c-TF-IDF cluster labeling: top distinctive terms per language —
     // every frequency/containment term replicated in the oracle
     "text_top_terms_per_cluster" -> ((s, dir) =>
@@ -2844,6 +2863,43 @@ object TrainingQueries {
          SELECT t.doc_id, CAST(coalesce(sums.nb, 0) AS BIGINT) AS n_bigrams,
            (CASE WHEN sums.nb > 0 THEN round((0.0 - sums.s) / CAST(sums.nb AS DOUBLE), 6) + 0 ELSE NULL END) AS logppl
          FROM tst t LEFT JOIN sums ON sums.doc_id = t.doc_id ORDER BY t.doc_id""",
+
+    "text_lexical_diversity" ->
+      s"""WITH t AS (SELECT doc_id, list_transform($tokensSql, x -> lower(x)) AS lt FROM documents)
+         SELECT doc_id,
+           (round(CAST(len(list_distinct(lt)) AS DOUBLE) / len(lt), 6) + 0) AS ttr,
+           (round(CAST(len(list_filter(list_distinct(lt), d -> len(list_filter(lt, x -> x = d)) = 1)) AS DOUBLE)
+             / len(list_distinct(lt)), 6) + 0) AS hapax_frac
+         FROM t ORDER BY doc_id""",
+
+    "emb_vector_audit" ->
+      s"""WITH v AS (SELECT embedding,
+           CASE WHEN embedding IS NULL THEN NULL
+             ELSE len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE)) OR isinf(CAST(x AS DOUBLE)))) > 0 END AS bad,
+           CASE WHEN embedding IS NULL THEN NULL
+             ELSE sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) END AS nrm
+         FROM embeddings)
+         SELECT CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(count(CASE WHEN embedding IS NULL THEN 1 END) AS BIGINT) AS n_null,
+           CAST(count(CASE WHEN embedding IS NOT NULL AND bad THEN 1 END) AS BIGINT) AS n_nonfinite,
+           CAST(count(CASE WHEN embedding IS NOT NULL AND NOT bad AND nrm = 0.0 THEN 1 END) AS BIGINT) AS n_zero,
+           (round(min(CASE WHEN embedding IS NOT NULL AND NOT bad THEN nrm END), 6) + 0) AS min_norm,
+           (round(avg(CASE WHEN embedding IS NOT NULL AND NOT bad THEN nrm END), 6) + 0) AS avg_norm,
+           (round(max(CASE WHEN embedding IS NOT NULL AND NOT bad THEN nrm END), 6) + 0) AS max_norm
+         FROM v""",
+
+    "events_user_features" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),
+         g AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+             CAST(count(DISTINCT us // 86400000000) AS BIGINT) AS active_buckets,
+             CAST(min(us) AS BIGINT) AS first_us, CAST(max(us) AS BIGINT) AS last_us,
+             list_sort(list(us)) AS l FROM e GROUP BY 1),
+         g2 AS (SELECT *, list_sort(list_transform(range(1, len(l)), i -> l[i+1] - l[i])) AS gp FROM g)
+         SELECT user_id, n_events, active_buckets, first_us, last_us,
+           (CASE WHEN len(gp) = 0 THEN NULL
+             WHEN len(gp) % 2 = 1 THEN CAST(gp[(len(gp) + 1) // 2] AS DOUBLE)
+             ELSE CAST(gp[len(gp) // 2] + gp[len(gp) // 2 + 1] AS DOUBLE) / 2.0 END) AS median_gap_us
+         FROM g2 ORDER BY user_id""",
 
     "text_top_terms_per_cluster" ->
       s"""WITH toks AS (SELECT lang AS c, unnest(list_transform($tokensSql, t -> lower(t))) AS term FROM documents),

@@ -85,6 +85,30 @@ object Prepare {
   def withPackedVector(df: DataFrame, vectorCol: String = "vector"): DataFrame =
     df.withColumn("vector_f32", packF32(col(vectorCol)))
 
+  /** One-row embedding-quality audit of a vector column: totals of
+    * null / non-finite / zero-norm vectors plus min/avg/max L2 norm
+    * over the clean rows — the pre-index sanity report (a zero vector
+    * breaks cosine, a NaN poisons every distance it touches, a norm
+    * range spanning orders of magnitude says "these were never
+    * normalized"). ONE aggregation pass, every term plain arithmetic
+    * an oracle replicates. */
+  def vectorAudit(df: DataFrame, vectorCol: String = "vector"): DataFrame = {
+    val v = col(vectorCol)
+    val bad = exists(v, x => isnan(x.cast("double")) ||
+      abs(x.cast("double")) === lit(Double.PositiveInfinity))
+    val norm = sqrt(aggregate(v, lit(0.0),
+      (a, x) => a + x.cast("double") * x.cast("double")))
+    val clean = v.isNotNull && !bad
+    val cleanNorm = when(clean, norm)
+    df.agg(count(lit(1)).as("n_rows"),
+      count(when(v.isNull, 1)).as("n_null"),
+      count(when(v.isNotNull && bad, 1)).as("n_nonfinite"),
+      count(when(clean && norm === 0.0, 1)).as("n_zero"),
+      min(cleanNorm).as("min_norm"),
+      avg(cleanNorm).as("avg_norm"),
+      max(cleanNorm).as("max_norm"))
+  }
+
   /** Rows that violate collection invariants (dimension mismatch, missing
     * id, non-finite values). Empty result == collection valid; the same
     * scan the reference runs on snapshot load (collection.ex:1184-1203). */

@@ -133,6 +133,38 @@ object EventStreams {
       max(col(valueCol)).over(w).as("roll_max"))
   }
 
+  /** Per-user behavioral features in ONE shuffle: event count, distinct
+    * active buckets (default: days), first/last event micros, and the
+    * MEDIAN inter-event gap (exact — per-user sorted fold over the
+    * collected timestamps; even counts average the two middles). The
+    * feature projection of churn/engagement models. Per-user state is
+    * that user's timestamp list — the same bounded-by-user-history
+    * contract as [[funnelSteps]]. */
+  def userActivityFeatures(events: DataFrame, bucketSeconds: Long = 86400L,
+      tsCol: String = "ts", userCol: String = "user_id"): DataFrame = {
+    require(bucketSeconds > 0, "bucket must be positive")
+    val withUs = events.withColumn("_us", epochMicros(events, tsCol))
+      .withColumn("_b", expr(s"_us div ${bucketSeconds * 1000000L}"))
+    val agged = withUs.groupBy(col(userCol).as("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        count_distinct(col("_b")).as("active_buckets"),
+        min(col("_us")).as("first_us"), max(col("_us")).as("last_us"),
+        sort_array(collect_list(col("_us"))).as("_l"))
+    val gaps = sort_array(transform(sequence(lit(1), size(col("_l")) - 1),
+      i => element_at(col("_l"), i + 1) - element_at(col("_l"), i)))
+    val m = size(col("_g"))
+    agged.withColumn("_g", when(size(col("_l")) >= 2, gaps)
+        .otherwise(array().cast("array<bigint>")))
+      .withColumn("median_gap_us",
+        when(m === 0, lit(null).cast("double"))
+          .when(m % 2 === 1,
+            element_at(col("_g"), ((m + 1) / 2).cast("int")).cast("double"))
+          .otherwise((element_at(col("_g"), (m / 2).cast("int")) +
+            element_at(col("_g"), (m / 2).cast("int") + 1)).cast("double") / 2.0))
+      .select(col("user_id"), col("n_events"), col("active_buckets"),
+        col("first_us"), col("last_us"), col("median_gap_us"))
+  }
+
   /** Sessionization via Spark's NATIVE `session_window` (merge-on-gap):
     * sessions close when the next event arrives `gapSeconds` OR MORE
     * after the previous one (Spark merges while `next < prev + gap`;

@@ -366,6 +366,27 @@ object TextAnalysis {
       graft.expr.CompressionRatio(
         org.apache.spark.sql.graft.Bridge.expression(text.cast("string")), level))
 
+  /** Lexical-diversity columns: type-token ratio (distinct/total over
+    * lowercased tokens) and hapax fraction (tokens occurring exactly
+    * once / distinct tokens) — low TTR is the template/boilerplate
+    * signal, a near-1 hapax fraction on long docs the gibberish one.
+    * Pure array builtins per row (one aggregate HOF for hapax), no
+    * shuffle; empty text (one empty token) scores ttr 1. */
+  def typeTokenRatio(text: Column): Column = {
+    val lt = transform(tokens(text), t => lower(t))
+    size(array_distinct(lt)).cast("double") / size(lt).cast("double")
+  }
+
+  /** Hapax fraction: share of DISTINCT (lowercased) tokens appearing
+    * exactly once. */
+  def hapaxFraction(text: Column): Column = {
+    val lt = transform(tokens(text), t => lower(t))
+    val distinctToks = array_distinct(lt)
+    val hapax = filter(distinctToks, d =>
+      size(filter(lt, x => x === d)) === 1)
+    size(hapax).cast("double") / size(distinctToks).cast("double")
+  }
+
   /** c-TF-IDF distinctive terms per cluster (the BERTopic labeling
     * idea): for each value of `clusterCol` (a k-means/IVF cell, a
     * language, a source), the `topN` terms whose in-cluster frequency

@@ -723,6 +723,60 @@ class PipelineSpec extends SparkSpec {
     assert(out(("b", 2)) === "washer")
   }
 
+  test("lexical diversity: ttr and hapax on hand texts") {
+    val out = Seq(
+      ("rep", "spam spam spam spam"),       // ttr 0.25, hapax 0/1
+      ("uniq", "all words here differ"),    // ttr 1, hapax 1
+      ("mix", "a a b c"))                   // ttr 0.75, hapax 2/3
+      .toDF("id", "text")
+      .select(col("id"), TextAnalysis.typeTokenRatio(col("text")).as("t"),
+        TextAnalysis.hapaxFraction(col("text")).as("h"))
+      .collect().map(r => r.getString(0) -> ((r.getDouble(1), r.getDouble(2)))).toMap
+    assert(out("rep") === ((0.25, 0.0)))
+    assert(out("uniq") === ((1.0, 1.0)))
+    assert(out("mix") === ((0.75, 2.0 / 3.0)))
+  }
+
+  test("vector audit: planted null/NaN/zero/scaled rows all counted once") {
+    import graft.prepare.Prepare
+    val rows = Seq(
+      ("ok1", Seq(3f, 4f)),                       // norm 5
+      ("ok2", Seq(0.3f, 0.4f)),                   // norm ~0.5
+      ("zero", Seq(0f, 0f)),
+      ("nan", Seq(Float.NaN, 1f)),
+      ("inf", Seq(Float.PositiveInfinity, 1f)),
+      ("nul", null: Seq[Float])).toDF("id", "vector")
+    val a = Prepare.vectorAudit(rows).collect().head
+    assert(a.getLong(0) === 6 && a.getLong(1) === 1)
+    assert(a.getLong(2) === 2 && a.getLong(3) === 1)
+    assert(a.getDouble(4) === 0.0)         // min over clean includes the zero vector
+    assert(a.getDouble(6) === 5.0)
+    // clean corpus: no pathologies, norms positive
+    val emb = Prepare.vectorAudit(
+      Tables.read(spark, "/root/testdata/sf0.001", "embeddings"), "embedding")
+      .collect().head
+    assert(emb.getLong(1) === 0 && emb.getLong(2) === 0 && emb.getLong(3) === 0)
+    assert(emb.getDouble(4) > 0.0)
+  }
+
+  test("user activity features: exact medians, buckets, single-event null gap") {
+    import graft.streaming.EventStreams
+    val sec = 1000000000L
+    val ev = Seq(
+      (1L, 0L), (1L, 10L * sec), (1L, 40L * sec),            // gaps 10s,30s -> median 20s
+      (2L, 5L * sec), (2L, 6L * sec), (2L, 9L * sec), (2L, 100L * sec), // gaps 1,3,91 -> median 3s
+      (3L, 7L * sec))
+      .toDF("user_id", "ts")
+    val out = EventStreams.userActivityFeatures(ev, bucketSeconds = 20L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(5))))).toMap
+    // u1 buckets (20s): 0s->0, 10s->0, 40s->2 => 2 distinct; even gap
+    // count averages the middles: (10s+30s)/2 = 20s = 2.0e7 us
+    assert(out(1L) === ((3L, 2L, Some(2.0e7))))
+    assert(out(2L) === ((4L, 2L, Some(3.0e6))))
+    assert(out(3L) === ((1L, 1L, None)))
+  }
+
   test("vocab coverage: case-insensitive hits, OOV fractions, empty doc null") {
     val ref = Seq(("r1", "Alpha beta"), ("r2", "beta gamma")).toDF("id", "text")
     val docs = Seq(
