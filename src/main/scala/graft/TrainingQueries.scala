@@ -575,6 +575,26 @@ object TrainingQueries {
     "events_user_features" -> ((s, dir) =>
       EventStreams.userActivityFeatures(events(s, dir))),
 
+    // most common session paths (30-min gap): the "what do users do"
+    // chains, counted and cut to the top 25
+    "events_session_paths" -> ((s, dir) =>
+      EventStreams.topSessionPaths(events(s, dir), gapSeconds = 1800L,
+        topK = 25)),
+
+    // exact decile binning of document length — percentile features
+    // with no sketch, rank*10 div n over the (n_chars, doc_id) order
+    "data_quantile_bins" -> ((s, dir) =>
+      graft.functions.Sampling.quantileBin(
+        Tables.read(s, dir, "documents").select(col("doc_id"), col("n_chars")),
+        struct(col("n_chars"), col("doc_id")), nBins = 10)),
+
+    // key-skew diagnostic: the heaviest event users with share and
+    // x-uniform ratio — the pre-job straggler check
+    "skew_key_stats" -> ((s, dir) =>
+      roundCols(graft.functions.Skew.keyStats(
+        events(s, dir), col("user_id"), topK = 20),
+        Seq("share", "x_uniform"))),
+
     // c-TF-IDF cluster labeling: top distinctive terms per language —
     // every frequency/containment term replicated in the oracle
     "text_top_terms_per_cluster" -> ((s, dir) =>
@@ -2887,6 +2907,34 @@ object TrainingQueries {
            (round(avg(CASE WHEN embedding IS NOT NULL AND NOT bad THEN nrm END), 6) + 0) AS avg_norm,
            (round(max(CASE WHEN embedding IS NOT NULL AND NOT bad THEN nrm END), 6) + 0) AS max_norm
          FROM v""",
+
+    "events_session_paths" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS ns, event_type FROM events),
+         g AS (SELECT user_id, ns, event_type,
+           CASE WHEN lag(ns) OVER w IS NULL THEN 1
+                WHEN ns - lag(ns) OVER w > 1800000000000 THEN 1 ELSE 0 END AS new_s
+           FROM e WINDOW w AS (PARTITION BY user_id ORDER BY ns)),
+         s AS (SELECT user_id, ns, event_type,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ns ROWS UNBOUNDED PRECEDING) AS sid FROM g),
+         p AS (SELECT array_to_string(list_transform(list_sort(list(struct_pack(t := ns, e := event_type))), x -> struct_extract(x, 'e')), '>') AS path
+           FROM s GROUP BY user_id, sid),
+         c AS (SELECT path, CAST(count(*) AS BIGINT) AS n_sessions FROM p GROUP BY 1)
+         SELECT path, n_sessions FROM c ORDER BY n_sessions DESC, path LIMIT 25""",
+
+    "data_quantile_bins" ->
+      s"""WITH r AS (SELECT doc_id, n_chars,
+           CAST(row_number() OVER (ORDER BY n_chars, doc_id) - 1 AS BIGINT) AS rank FROM documents)
+         SELECT doc_id, n_chars, rank,
+           CAST((rank * 10) // (SELECT count(*) FROM documents) AS INT) AS bin
+         FROM r ORDER BY doc_id""",
+
+    "skew_key_stats" ->
+      s"""WITH c AS (SELECT user_id AS key, CAST(count(*) AS BIGINT) AS n_rows FROM events GROUP BY 1),
+         t AS (SELECT CAST(sum(n_rows) AS BIGINT) AS n, CAST(count(*) AS BIGINT) AS k FROM c)
+         SELECT key, n_rows,
+           (round(CAST(n_rows AS DOUBLE) / CAST(n AS DOUBLE), 6) + 0) AS share,
+           (round(CAST(n_rows AS DOUBLE) / (CAST(n AS DOUBLE) / CAST(k AS DOUBLE)), 6) + 0) AS x_uniform
+         FROM c, t ORDER BY n_rows DESC, key LIMIT 20""",
 
     "events_user_features" ->
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us FROM events),

@@ -135,6 +135,24 @@ object Sampling {
       .filter(hashBucket(col(idCol), 1000, salt) < col("mix_rate_x1000"))
   }
 
+  /** Exact quantile binning: assign each row its `nBins`-quantile bin
+    * of `orderCol` (0-based; bin = rank * nBins div n over the total
+    * (orderCol, tiebreak) order) — percentile features, quantile-
+    * anchored drift buckets, "drop the worst decile" cuts, all exact
+    * (no sketch): the same distributed zipWithIndex discipline as
+    * [[withSequentialIds]], so the 100 TB cost is one sort-free
+    * per-partition count pass, not a global sort of the corpus.
+    * Output: the input plus (rank, bin). */
+  def quantileBin(df: DataFrame, order: Column, nBins: Int): DataFrame = {
+    require(nBins > 1, "need at least 2 bins")
+    val n = df.count()
+    val seqd = withSequentialIds(df, order)
+    seqd.withColumn("rank", col("seq_id"))
+      .withColumn("bin",
+        expr(s"CAST((rank * $nBins) div $n AS INT)"))
+      .drop("seq_id")
+  }
+
   /** Token-budget source mixing plan — the paper-correct form of
     * domain mixing (Pile/DoReMi weights are over TOKENS, not document
     * counts, which [[temperatureSample]]/[[stratifiedSampleByHash]]

@@ -133,6 +133,37 @@ object EventStreams {
       max(col(valueCol)).over(w).as("roll_max"))
   }
 
+  /** Most common session paths: sessionize (islands rule, same
+    * strictly-greater gap boundary as [[sessionize]]), render each
+    * session as its time-ordered event-type chain ("view>click>
+    * purchase"), count identical chains, keep the `topK` most common
+    * (ties by path) — the "what do users actually do" product
+    * analytics query. Two keyed shuffles (user windows, then path
+    * counts) + one bounded TakeOrdered; per-session state is that
+    * session's type list. */
+  def topSessionPaths(events: DataFrame, gapSeconds: Long, topK: Int,
+      tsCol: String = "ts"): DataFrame = {
+    require(topK > 0, "topK must be positive")
+    val ns = nanos(events, tsCol)
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("_ts_ns"))
+    val withSess = events.withColumn("_ts_ns", ns)
+      .withColumn("_prev", lag(col("_ts_ns"), 1).over(byUser))
+      .withColumn("_new_session",
+        when(col("_prev").isNull, 1)
+          .when(col("_ts_ns") - col("_prev") > gapSeconds * 1000000000L, 1)
+          .otherwise(0))
+      .withColumn("_sid", sum(col("_new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    withSess.groupBy(col("user_id"), col("_sid"))
+      .agg(sort_array(collect_list(struct(col("_ts_ns"), col("event_type"))))
+        .as("_evs"))
+      .select(concat_ws(">",
+        transform(col("_evs"), e => e.getField("event_type"))).as("path"))
+      .groupBy(col("path")).agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path").asc)
+      .limit(topK)
+  }
+
   /** Per-user behavioral features in ONE shuffle: event count, distinct
     * active buckets (default: days), first/last event micros, and the
     * MEDIAN inter-event gap (exact — per-user sorted fold over the

@@ -723,6 +723,47 @@ class PipelineSpec extends SparkSpec {
     assert(out(("b", 2)) === "washer")
   }
 
+  test("session paths: gap-split chains, equal-ts order, top-k tie order") {
+    import graft.streaming.EventStreams
+    val sec = 1000000000L
+    val ev = Seq(
+      (1L, "view", 0L), (1L, "click", 10L * sec),          // session 1
+      (1L, "purchase", 5000L * sec),                        // session 2 (gap)
+      (2L, "view", 0L), (2L, "click", 10L * sec),
+      (3L, "buy", 0L), (3L, "buy", 0L))                     // equal ts: sorted pair
+      .toDF("user_id", "event_type", "ts")
+    val out = EventStreams.topSessionPaths(ev, gapSeconds = 60L, topK = 10)
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    assert(out.toSeq === Seq(("view>click", 2L), ("buy>buy", 1L), ("purchase", 1L)))
+  }
+
+  test("quantile bins: exact deciles, ties resolved by id, rank contiguous") {
+    import graft.functions.Sampling
+    val df = (1 to 10).map(i => (i.toLong, (i % 3).toDouble)).toDF("id", "v")
+    val out = Sampling.quantileBin(df, struct(col("v"), col("id")), nBins = 2)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(2), r.getInt(3)))).toMap
+    // order by (v, id): v=0 -> ids 3,6,9; v=1 -> 1,4,7,10; v=2 -> 2,5,8
+    assert(out(3L)._1 === 0L && out(9L)._1 === 2L)
+    assert(out(3L)._2 === 0 && out(2L)._2 === 1)
+    val ranks = out.values.map(_._1).toSeq.sorted
+    assert(ranks === (0L until 10L))
+    // bottom half bin 0, top half bin 1
+    assert(out.values.count(_._2 == 0) === 5)
+  }
+
+  test("key skew stats: hot key share and x-uniform ratio") {
+    import graft.functions.Skew
+    val df = (Seq.fill(90)("hot") ++ (1 to 10).map(i => s"k$i"))
+      .toDF("key0").select(col("key0"))
+    val out = Skew.keyStats(df, col("key0"), topK = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(out.head._1 === "hot" && out.head._2 === 90L)
+    assert(math.abs(out.head._3 - 0.9) < 1e-12)
+    // 11 distinct keys, mean 100/11: hot is 90/(100/11) = 9.9x uniform
+    assert(math.abs(out.head._4 - 9.9) < 1e-9)
+    assert(out.length === 3 && out(1)._2 === 1L)
+  }
+
   test("lexical diversity: ttr and hapax on hand texts") {
     val out = Seq(
       ("rep", "spam spam spam spam"),       // ttr 0.25, hapax 0/1
