@@ -250,6 +250,12 @@ object TrainingQueries {
         .withColumn("in_sample", (col("bucket") < 250).cast("int"))
     }),
 
+    // deterministic k-fold CV assignment (md5 bucket mod k)
+    "data_kfold" -> ((s, dir) =>
+      graft.functions.Sampling.kFold(
+        Tables.read(s, dir, "documents").select(col("doc_id")),
+        "doc_id", k = 5, salt = "graft")),
+
     // weighted sampling without replacement (Efraimidis–Spirakis):
     // md5-derived exact-dyadic uniforms -> ln(u)/w priorities -> one
     // TakeOrderedAndProject; the oracle re-derives every priority bit
@@ -1615,6 +1621,13 @@ object TrainingQueries {
     "events_funnel_steps" -> ((s, dir) =>
       EventStreams.funnelSteps(events(s, dir),
         Seq("view", "click", "purchase"), horizonSeconds = 259200L)),
+
+    // funnel trend: the same chains bucketed by anchor day —
+    // conversion over time
+    "events_funnel_trend" -> ((s, dir) =>
+      EventStreams.funnelTrend(
+        EventStreams.funnelSteps(events(s, dir),
+          Seq("view", "click", "purchase"), horizonSeconds = 259200L))),
 
     "events_funnel_summary" -> ((s, dir) =>
       EventStreams.funnelSummary(
@@ -3822,6 +3835,25 @@ object TrainingQueries {
            CAST(t2 AS BIGINT) AS step2_us, CAST(t3 AS BIGINT) AS step3_us,
            CAST(CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS INT) AS depth
          FROM s1 LEFT JOIN s2 USING(user_id) LEFT JOIN s3 USING(user_id) ORDER BY 1""",
+
+    "events_funnel_trend" ->
+      s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),
+         s1 AS (SELECT user_id, min(us) AS t1 FROM e WHERE event_type = 'view' GROUP BY 1),
+         s2 AS (SELECT e.user_id, min(us) AS t2 FROM e JOIN s1 USING(user_id)
+           WHERE event_type = 'click' AND us > t1 AND us <= t1 + 259200000000 GROUP BY 1),
+         s3 AS (SELECT e.user_id, min(us) AS t3 FROM e JOIN s2 USING(user_id) JOIN s1 USING(user_id)
+           WHERE event_type = 'purchase' AND us > t2 AND us <= t1 + 259200000000 GROUP BY 1),
+         f AS (SELECT s1.user_id, t1,
+             CASE WHEN t3 IS NOT NULL THEN 3 WHEN t2 IS NOT NULL THEN 2 ELSE 1 END AS depth
+           FROM s1 LEFT JOIN s2 USING(user_id) LEFT JOIN s3 USING(user_id))
+         SELECT t1 // 86400000000 AS anchor_bucket, CAST(depth AS INT) AS depth,
+           CAST(count(*) AS BIGINT) AS n_users
+         FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "data_kfold" ->
+      s"""SELECT doc_id,
+           CAST(CAST(('0x' || substr(md5('graft' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS INT) % 5 AS INT) AS fold
+         FROM documents ORDER BY doc_id""",
 
     "events_funnel_summary" ->
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) // 1000 AS us, event_type FROM events),

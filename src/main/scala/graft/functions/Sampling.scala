@@ -135,6 +135,18 @@ object Sampling {
       .filter(hashBucket(col(idCol), 1000, salt) < col("mix_rate_x1000"))
   }
 
+  /** Deterministic k-fold assignment: `fold` = md5 bucket mod k on the
+    * id — cross-validation splits with the same engine-portable,
+    * order-independent discipline as [[deterministicSplit]]. Pass a
+    * CLUSTER label (e.g. from [[graft.dedup.Dedup.clusters]]) as
+    * `idCol` for the leakage-safe form: no near-dup pair ever
+    * straddles folds. */
+  def kFold(df: DataFrame, idCol: String, k: Int,
+      salt: String = ""): DataFrame = {
+    require(k > 1, "need at least 2 folds")
+    df.withColumn("fold", pmod(hashBucket(col(idCol), 1000, salt), lit(k)))
+  }
+
   /** Exact quantile binning: assign each row its `nBins`-quantile bin
     * of `orderCol` (0-based; bin = rank * nBins div n over the total
     * (orderCol, tiebreak) order) — percentile features, quantile-

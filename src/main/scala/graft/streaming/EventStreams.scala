@@ -498,6 +498,19 @@ object EventStreams {
         size(filter(col("_t"), v => v =!= none)).as("depth"): _*)
   }
 
+  /** Funnel trend: [[funnelSteps]] bucketed by the anchor (step-1)
+    * time — (anchor_bucket, depth, n_users), the conversion-over-time
+    * series ("did last week's signup cohort convert worse"). A single
+    * grouped count over the per-user frame. */
+  def funnelTrend(perUser: DataFrame,
+      bucketSeconds: Long = 86400L): DataFrame = {
+    require(bucketSeconds > 0, "bucket must be positive")
+    perUser.groupBy(
+        expr(s"step1_us div ${bucketSeconds * 1000000L}").as("anchor_bucket"),
+        col("depth"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Per-step funnel conversion counts from [[funnelSteps]] output:
     * (step, step_name, n_users) where n_users completed >= that step.
     * A tiny frame (n rows) — the dashboard summary. */

@@ -354,6 +354,38 @@ class PipelineSpec extends SparkSpec {
     assert(out(6L) === ((2L, 50.0, 25.0, 30.0)))
   }
 
+  test("funnel trend: per-anchor-bucket depth counts; kFold covers and is cluster-safe") {
+    import graft.streaming.EventStreams
+    import graft.functions.Sampling
+    val ms = 1000000L
+    val day = 86400L * 1000000000L
+    val ev = Seq( // u1 converts day 0; u2 stalls day 0; u3 converts day 1
+      (1L, "view", 10L * ms), (1L, "click", 20L * ms), (1L, "purchase", 30L * ms),
+      (2L, "view", 40L * ms),
+      (3L, "view", day + 10L * ms), (3L, "click", day + 20L * ms),
+      (3L, "purchase", day + 30L * ms))
+      .toDF("user_id", "event_type", "ts")
+    val trend = EventStreams.funnelTrend(EventStreams.funnelSteps(
+      ev, Seq("view", "click", "purchase"), horizonSeconds = 3600L))
+      .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(trend === Map((0L, 3) -> 1L, (0L, 1) -> 1L, (1L, 3) -> 1L))
+    // kFold: every fold in [0,k), deterministic, cluster-keyed co-assignment
+    val docs = (1 to 100).map(_.toLong).toDF("doc_id")
+    val folds = Sampling.kFold(docs, "doc_id", k = 5, salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(folds.values.forall(f => f >= 0 && f < 5))
+    assert(folds.values.toSet.size === 5) // all folds populated at n=100
+    val again = Sampling.kFold(docs, "doc_id", k = 5, salt = "s")
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(again === folds)
+    // leakage-safe form: fold by the CLUSTER label co-assigns members
+    val labeled = Seq(("a", "c1"), ("b", "c1"), ("c", "c9"))
+      .toDF("id", "cluster_id")
+    val cf = Sampling.kFold(labeled, "cluster_id", k = 3)
+      .collect().map(r => r.getString(0) -> r.getInt(2)).toMap
+    assert(cf("a") === cf("b"))
+  }
+
   test("retention cohorts: day-bucket triangle on hand data") {
     val sec = 1000000000L
     val ev = Seq( // bucketSeconds = 10 -> bucket = ts div 10s
