@@ -250,6 +250,22 @@ object TrainingQueries {
         .withColumn("in_sample", (col("bucket") < 250).cast("int"))
     }),
 
+    // SRM guard: the 80/10/10 split's observed counts vs expectation,
+    // with the normal-approximation z per split
+    "data_split_balance" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents").select(col("doc_id"))
+      val split = graft.functions.Sampling.deterministicSplit(docs, "doc_id",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1), salt = "graft")
+      roundCols(graft.functions.Sampling.splitBalanceCheck(split, "split",
+        Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)),
+        Seq("expected_frac", "actual_frac", "z"))
+    }),
+
+    // dimension histogram: a mixed-dims corpus surfaces as >1 row
+    "emb_dim_histogram" -> ((s, dir) =>
+      graft.prepare.Prepare.dimensionHistogram(
+        Tables.read(s, dir, "embeddings"), "embedding")),
+
     // deterministic k-fold CV assignment (md5 bucket mod k)
     "data_kfold" -> ((s, dir) =>
       graft.functions.Sampling.kFold(
@@ -3849,6 +3865,24 @@ object TrainingQueries {
          SELECT t1 // 86400000000 AS anchor_bucket, CAST(depth AS INT) AS depth,
            CAST(count(*) AS BIGINT) AS n_users
          FROM f GROUP BY 1, 2 ORDER BY 1, 2""",
+
+    "data_split_balance" ->
+      s"""WITH b AS (SELECT doc_id,
+           CAST(('0x' || substr(md5('graft' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 AS INT) AS bucket
+         FROM documents),
+         sp AS (SELECT CASE WHEN bucket < 800 THEN 'train' WHEN bucket < 900 THEN 'val' ELSE 'test' END AS split FROM b),
+         c AS (SELECT split, CAST(count(*) AS BIGINT) AS n FROM sp GROUP BY 1),
+         e AS (SELECT * FROM (VALUES ('train', 0.8), ('val', 0.1), ('test', 0.1)) t(split, ef)),
+         tt AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM c)
+         SELECT c.split, c.n, (round(e.ef, 6) + 0) AS expected_frac,
+           (round(CAST(c.n AS DOUBLE) / CAST(tt.tot AS DOUBLE), 6) + 0) AS actual_frac,
+           (round((CAST(c.n AS DOUBLE) - CAST(tt.tot AS DOUBLE) * e.ef)
+             / sqrt(CAST(tt.tot AS DOUBLE) * e.ef * (1.0 - e.ef)), 6) + 0) AS z
+         FROM c JOIN e ON e.split = c.split, tt ORDER BY c.split""",
+
+    "emb_dim_histogram" ->
+      s"""SELECT coalesce(len(embedding), -1) AS dim, CAST(count(*) AS BIGINT) AS n_rows
+         FROM embeddings GROUP BY 1 ORDER BY 1""",
 
     "data_kfold" ->
       s"""SELECT doc_id,

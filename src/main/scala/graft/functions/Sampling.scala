@@ -135,6 +135,37 @@ object Sampling {
       .filter(hashBucket(col(idCol), 1000, salt) < col("mix_rate_x1000"))
   }
 
+  /** Sample-ratio-mismatch (SRM) check over a split/fold column: per
+    * split value, observed count vs the expected fraction and the
+    * normal-approximation z-score `(n - Np) / sqrt(Np(1-p))` — the
+    * "did my 90/10 split actually land 90/10" guard that catches a
+    * filter silently biased by the split key. |z| > ~4 on large N
+    * means the assignment is broken, not unlucky. One grouped count. */
+  def splitBalanceCheck(df: DataFrame, splitCol: String,
+      weights: Seq[(String, Double)]): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
+    val tot = weights.map(_._2).sum
+    val spark = df.sparkSession
+    import spark.implicits._
+    val expected = weights.map { case (s, w) => (s, w / tot) }
+      .toDF("split", "expected_frac")
+    val counts = df.groupBy(col(splitCol).as("split"))
+      .agg(count(lit(1)).as("n"))
+    val n = counts.agg(sum(col("n")).as("_tot"))
+    counts.join(broadcast(expected), Seq("split"), "full")
+      .crossJoin(broadcast(n))
+      .select(col("split"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("expected_frac"), lit(0.0)).as("expected_frac"),
+        (coalesce(col("n"), lit(0L)).cast("double") /
+          col("_tot").cast("double")).as("actual_frac"),
+        ((coalesce(col("n"), lit(0L)).cast("double") -
+          col("_tot").cast("double") * coalesce(col("expected_frac"), lit(0.0))) /
+          sqrt(col("_tot").cast("double") *
+            coalesce(col("expected_frac"), lit(0.0)) *
+            (lit(1.0) - coalesce(col("expected_frac"), lit(0.0))))).as("z"))
+  }
+
   /** Deterministic k-fold assignment: `fold` = md5 bucket mod k on the
     * id — cross-validation splits with the same engine-portable,
     * order-independent discipline as [[deterministicSplit]]. Pass a

@@ -85,6 +85,15 @@ object Prepare {
   def withPackedVector(df: DataFrame, vectorCol: String = "vector"): DataFrame =
     df.withColumn("vector_f32", packF32(col(vectorCol)))
 
+  /** Vector-dimension histogram: (dim, n_rows) over `size(vector)`
+    * (null vectors as dim -1) — more than one row means a mixed-dims
+    * corpus that will fail ingest validation; the companion scan to
+    * [[vectorAudit]]. */
+  def dimensionHistogram(df: DataFrame,
+      vectorCol: String = "vector"): DataFrame =
+    df.groupBy(coalesce(size(col(vectorCol)), lit(-1)).as("dim"))
+      .agg(count(lit(1)).as("n_rows"))
+
   /** One-row embedding-quality audit of a vector column: totals of
     * null / non-finite / zero-norm vectors plus min/avg/max L2 norm
     * over the clean rows — the pre-index sanity report (a zero vector

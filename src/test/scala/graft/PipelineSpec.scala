@@ -354,6 +354,29 @@ class PipelineSpec extends SparkSpec {
     assert(out(6L) === ((2L, 50.0, 25.0, 30.0)))
   }
 
+  test("split balance: balanced z small, broken split flagged; dim histogram") {
+    import graft.functions.Sampling
+    import graft.prepare.Prepare
+    val docs = (1 to 1000).map(_.toLong).toDF("doc_id")
+    val w = Seq("train" -> 0.9, "test" -> 0.1)
+    val ok = Sampling.splitBalanceCheck(
+      Sampling.deterministicSplit(docs, "doc_id", w), "split", w)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(4)))).toMap
+    assert(ok("train")._1 + ok("test")._1 === 1000L)
+    assert(ok.values.forall(v => math.abs(v._2) < 4.0), s"balanced split: $ok")
+    // a deliberately broken assignment (everything 'train') is flagged
+    val broken = Sampling.splitBalanceCheck(
+      docs.withColumn("split", lit("train")), "split", w)
+      .collect().map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(broken("train") > 4.0 && broken("test") < -4.0)
+    // dimension histogram: mixed dims + null all counted
+    val mixed = Seq(("a", Seq(1f, 2f)), ("b", Seq(1f, 2f)),
+      ("c", Seq(1f, 2f, 3f)), ("d", null: Seq[Float])).toDF("id", "vector")
+    val dh = Prepare.dimensionHistogram(mixed)
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    assert(dh === Map(2 -> 2L, 3 -> 1L, -1 -> 1L))
+  }
+
   test("funnel trend: per-anchor-bucket depth counts; kFold covers and is cluster-safe") {
     import graft.streaming.EventStreams
     import graft.functions.Sampling
