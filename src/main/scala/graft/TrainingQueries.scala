@@ -578,6 +578,16 @@ object TrainingQueries {
         "doc_id", "text"), Seq("logppl"))
     }),
 
+    // blocklist screening: hits + fraction against a term list (the
+    // LDNOOBW-style stage; threshold the fraction, not presence)
+    "text_blocklist" -> ((s, dir) =>
+      roundCols(Tables.read(s, dir, "documents").select(col("doc_id"),
+        TextAnalysis.blocklistHits(col("text"),
+          Seq("spark", "fast", "slow")).as("n_hits"),
+        TextAnalysis.blocklistFraction(col("text"),
+          Seq("spark", "fast", "slow")).as("hit_frac")),
+        Seq("hit_frac"))),
+
     // lexical diversity: type-token ratio + hapax fraction, the
     // template/boilerplate vs gibberish quality axes
     "text_lexical_diversity" -> ((s, dir) =>
@@ -2912,6 +2922,13 @@ object TrainingQueries {
          SELECT t.doc_id, CAST(coalesce(sums.nb, 0) AS BIGINT) AS n_bigrams,
            (CASE WHEN sums.nb > 0 THEN round((0.0 - sums.s) / CAST(sums.nb AS DOUBLE), 6) + 0 ELSE NULL END) AS logppl
          FROM tst t LEFT JOIN sums ON sums.doc_id = t.doc_id ORDER BY t.doc_id""",
+
+    "text_blocklist" ->
+      s"""WITH t AS (SELECT doc_id, list_transform($tokensSql, x -> lower(x)) AS lt FROM documents)
+         SELECT doc_id,
+           CAST(len(list_filter(lt, x -> x IN ('spark', 'fast', 'slow'))) AS INT) AS n_hits,
+           (round(CAST(len(list_filter(lt, x -> x IN ('spark', 'fast', 'slow'))) AS DOUBLE) / len(lt), 6) + 0) AS hit_frac
+         FROM t ORDER BY doc_id""",
 
     "text_lexical_diversity" ->
       s"""WITH t AS (SELECT doc_id, list_transform($tokensSql, x -> lower(x)) AS lt FROM documents)

@@ -366,6 +366,28 @@ object TextAnalysis {
       graft.expr.CompressionRatio(
         org.apache.spark.sql.graft.Bridge.expression(text.cast("string")), level))
 
+  /** Blocklist screening (the LDNOOBW-style stage of CC pipelines):
+    * per-document count and fraction of (lowercased) tokens that hit
+    * the caller's term list — threshold on the FRACTION, not presence,
+    * so a long document quoting one slur is not auto-dropped while
+    * concentrated listings are. The list rides as an array literal
+    * membership test (array_contains), pure projection, no shuffle;
+    * for multi-thousand-term lists prefer a broadcast join on the
+    * exploded tokens upstream. */
+  def blocklistHits(text: Column, terms: Seq[String]): Column = {
+    require(terms.nonEmpty, "empty blocklist")
+    val lt = transform(tokens(text), t => lower(t))
+    val tl = typedlit(terms.map(_.toLowerCase))
+    size(filter(lt, x => array_contains(tl, x)))
+  }
+
+  /** Fraction of tokens hitting the blocklist (0 for empty docs'
+    * single empty token — it can't be a listed term). */
+  def blocklistFraction(text: Column, terms: Seq[String]): Column = {
+    val lt = transform(tokens(text), t => lower(t))
+    blocklistHits(text, terms).cast("double") / size(lt).cast("double")
+  }
+
   /** Lexical-diversity columns: type-token ratio (distinct/total over
     * lowercased tokens) and hapax fraction (tokens occurring exactly
     * once / distinct tokens) — low TTR is the template/boilerplate

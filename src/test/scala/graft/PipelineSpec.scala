@@ -819,6 +819,23 @@ class PipelineSpec extends SparkSpec {
     assert(out.length === 3 && out(1)._2 === 1L)
   }
 
+  test("blocklist: case-insensitive hits, fraction thresholding beats presence") {
+    val terms = Seq("BAD", "worse")
+    val out = Seq(
+      ("quote", "a long text that mentions bad once " + ("filler " * 20).trim),
+      ("listing", "bad worse bad worse"),
+      ("clean", "nothing objectionable here"))
+      .toDF("id", "text")
+      .select(col("id"),
+        TextAnalysis.blocklistHits(col("text"), terms).as("n"),
+        TextAnalysis.blocklistFraction(col("text"), terms).as("f"))
+      .collect().map(r => r.getString(0) -> ((r.getInt(1), r.getDouble(2)))).toMap
+    assert(out("quote")._1 === 1)
+    assert(out("quote")._2 < 0.05, "one hit in a long doc stays under a 5% gate")
+    assert(out("listing") === ((4, 1.0)))
+    assert(out("clean") === ((0, 0.0)))
+  }
+
   test("lexical diversity: ttr and hapax on hand texts") {
     val out = Seq(
       ("rep", "spam spam spam spam"),       // ttr 0.25, hapax 0/1
