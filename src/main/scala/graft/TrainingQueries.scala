@@ -1672,6 +1672,12 @@ object TrainingQueries {
       roundCols(EventStreams.rollingStats(events(s, dir), k = 5),
         Seq("roll_sum", "roll_avg", "roll_max"))),
 
+    // prior-window z-score anomaly signal (frame excludes the current
+    // row so a spike can't mask itself)
+    "events_rolling_zscore" -> ((s, dir) =>
+      roundCols(EventStreams.rollingZScore(events(s, dir), k = 8),
+        Seq("value", "prior_mean", "prior_std", "z"))),
+
     "events_json_extract" -> ((s, dir) =>
       events(s, dir)
         .withColumn("k", regexp_extract(col("props"), "\"k\":\\s*(\\d+)", 1).cast("long"))
@@ -2953,6 +2959,19 @@ object TrainingQueries {
            (round(avg(CASE WHEN embedding IS NOT NULL AND NOT bad THEN nrm END), 6) + 0) AS avg_norm,
            (round(max(CASE WHEN embedding IS NOT NULL AND NOT bad THEN nrm END), 6) + 0) AS max_norm
          FROM v""",
+
+    "events_rolling_zscore" ->
+      s"""WITH e AS (SELECT event_id, user_id, epoch_ns(ts) // 1000 AS us, value FROM events),
+         f AS (SELECT event_id, user_id, us, CAST(value AS DOUBLE) AS v,
+             CAST(count(*) OVER w AS BIGINT) AS pn,
+             avg(value) OVER w AS pm,
+             sqrt(greatest(avg(value * value) OVER w - (avg(value) OVER w) * (avg(value) OVER w), 0.0)) AS ps
+           FROM e
+           WINDOW w AS (PARTITION BY user_id ORDER BY us, event_id ROWS BETWEEN 8 PRECEDING AND 1 PRECEDING))
+         SELECT event_id, user_id, us AS ts_us, (round(v, 6) + 0) AS value,
+           pn AS prior_n, (round(pm, 6) + 0) AS prior_mean, (round(ps, 6) + 0) AS prior_std,
+           (CASE WHEN pn >= 2 AND ps > 1e-9 THEN round((v - pm) / ps, 6) + 0 ELSE NULL END) AS z
+         FROM f ORDER BY event_id""",
 
     "events_session_paths" ->
       s"""WITH e AS (SELECT user_id, epoch_ns(ts) AS ns, event_type FROM events),

@@ -196,6 +196,37 @@ object EventStreams {
         col("first_us"), col("last_us"), col("median_gap_us"))
   }
 
+  /** Rolling z-score anomaly signal: each event scored against the
+    * mean/std of its key's PRIOR `k` events (frame excludes the
+    * current row, so a spike can't mask itself) — the streaming-shape
+    * outlier/fraud/bot flag. z is null until 2 prior events exist or
+    * while the prior window is constant (std 0 — a first deviation
+    * from a flat history is flagged by `prior_std = 0 && value !=
+    * prior_mean`, not by an infinite z). Population std, same ROWS
+    * discipline as [[rollingStats]], ONE shuffle. */
+  def rollingZScore(events: DataFrame, k: Int, tsCol: String = "ts",
+      keyCol: String = "user_id", valueCol: String = "value",
+      idCol: String = "event_id"): DataFrame = {
+    require(k > 1, "need at least 2 prior events")
+    val withUs = events.withColumn("_us", epochMicros(events, tsCol))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_us"), col(idCol))
+      .rowsBetween(-k.toLong, -1L)
+    val n = count(lit(1)).over(w)
+    val mean = avg(col(valueCol)).over(w)
+    val std = sqrt(greatest(
+      avg(col(valueCol) * col(valueCol)).over(w) - mean * mean, lit(0.0)))
+    withUs.select(col(idCol), col(keyCol), col("_us").as("ts_us"),
+      col(valueCol).cast("double").as("value"),
+      n.as("prior_n"), mean.as("prior_mean"), std.as("prior_std"),
+      // the constant-window guard is an epsilon, not an exact 0: k
+      // identical doubles can leave a ~1e-16 residual whose exact value
+      // is association-order-dependent, and engines disagree on it
+      when(n >= 2 && std > lit(1e-9),
+        (col(valueCol).cast("double") - mean) / std)
+        .otherwise(lit(null)).cast("double").as("z"))
+  }
+
   /** Sessionization via Spark's NATIVE `session_window` (merge-on-gap):
     * sessions close when the next event arrives `gapSeconds` OR MORE
     * after the previous one (Spark merges while `next < prev + gap`;

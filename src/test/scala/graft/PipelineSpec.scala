@@ -336,6 +336,28 @@ class PipelineSpec extends SparkSpec {
     assert(out(2L) === ((10000L, 20000L, 25000L, 3)))
   }
 
+  test("rolling z-score: prior frame excludes self, constant-window guard, spike flagged") {
+    import graft.streaming.EventStreams
+    val ms = 1000000L
+    val ev = Seq(
+      (1L, 1L, 1L * ms, 10.0), (2L, 1L, 2L * ms, 10.0), (3L, 1L, 3L * ms, 10.0),
+      (4L, 1L, 4L * ms, 100.0), // spike vs constant history -> null z (std 0) but mean shows it
+      (5L, 1L, 5L * ms, 14.0),  // prior {10,10,10,100}: mean 32.5, std ~38.97
+      (6L, 2L, 1L * ms, 5.0))
+      .toDF("event_id", "user_id", "ts", "value")
+    val out = EventStreams.rollingZScore(ev, k = 4)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(4), Option(r.get(5)), Option(r.get(7))))).toMap
+    assert(out(1L) === ((0L, None, None)))          // no prior events
+    assert(out(2L)._1 === 1L && out(2L)._3.isEmpty) // one prior: no z yet
+    assert(out(4L)._1 === 3L && out(4L)._3.isEmpty) // constant prior window: guarded
+    assert(out(4L)._2 === Some(10.0))
+    val z5 = out(5L)._3.get.asInstanceOf[Double]
+    val m = 32.5; val sd = math.sqrt((3 * (10.0 - m) * (10.0 - m) + (100.0 - m) * (100.0 - m)) / 4)
+    assert(math.abs(z5 - (14.0 - m) / sd) < 1e-9)
+    assert(out(6L) === ((0L, None, None)))          // other key isolated
+  }
+
   test("rolling stats: trailing ROWS frame per key, tie-total ordering") {
     val ms = 1000000L
     val ev = Seq(
