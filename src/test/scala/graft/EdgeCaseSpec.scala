@@ -220,4 +220,30 @@ class EdgeCaseSpec extends SparkSpec {
     assert(graft.functions.Sampling.weightedSample(degen, "id", col("w"), 5)
       .count() === 0)
   }
+
+  test("round-11b edges: empty frames through zscore/paths/bins/balance; blocklist guard") {
+    import spark.implicits._
+    import graft.streaming.EventStreams
+    import graft.functions.Sampling
+    val noEv = Seq.empty[(Long, Long, Long, Double)]
+      .toDF("event_id", "user_id", "ts", "value")
+    assert(EventStreams.rollingZScore(noEv, k = 4).count() === 0)
+    assert(EventStreams.userActivityFeatures(noEv).count() === 0)
+    val noTyped = Seq.empty[(Long, String, Long)]
+      .toDF("user_id", "event_type", "ts")
+    assert(EventStreams.topSessionPaths(noTyped, 60L, 5).count() === 0)
+    // quantile bins on an empty frame: no rows, no division blowup
+    val noDocs = Seq.empty[(Long, Double)].toDF("id", "v")
+    assert(Sampling.quantileBin(noDocs, col("v"), nBins = 4).count() === 0)
+    // split balance on an empty frame still reports every expected
+    // split (n = 0) instead of vanishing
+    val bal = Sampling.splitBalanceCheck(
+      Seq.empty[String].toDF("split"), "split", Seq("a" -> 1.0, "b" -> 1.0))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bal === Map("a" -> 0L, "b" -> 0L))
+    // empty blocklist is a loud error, not a silent all-pass
+    intercept[IllegalArgumentException] {
+      graft.text.TextAnalysis.blocklistHits(col("text"), Nil)
+    }
+  }
 }
