@@ -686,6 +686,41 @@ object TrainingQueries {
       roundCols(KnnGraph.exact(coll, config, 5), Seq("score", "distance"))
     }),
 
+    // retrieval evaluation: recall@5 / precision@5 / MRR / nDCG@5 of
+    // the exact kNN retrieval against same-label relevance — every
+    // metric term replicated in SQL
+    "eval_ranking_knn" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+        .filter(col("id").cast("int") < 100)
+      val results = KnnGraph.exact(coll, config, 5)
+        .select(col("id").as("qid"), col("neighbor_id").as("id"), col("rank"))
+      val emb = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id").cast("string").as("id"), col("label"))
+      val labels = emb.select(col("id").as("qid"), col("label"))
+        .join(emb, "label")
+        .filter(col("qid") =!= col("id")).select("qid", "id")
+      roundCols(graft.search.RankingEval.perQuery(results, labels, 5),
+        Seq("recall_at_k", "precision_at_k", "mrr", "ndcg_at_k"))
+    }),
+
+    "eval_ranking_summary" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+        .filter(col("id").cast("int") < 100)
+      val results = KnnGraph.exact(coll, config, 5)
+        .select(col("id").as("qid"), col("neighbor_id").as("id"), col("rank"))
+      val emb = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id").cast("string").as("id"), col("label"))
+      val labels = emb.select(col("id").as("qid"), col("label"))
+        .join(emb, "label")
+        .filter(col("qid") =!= col("id")).select("qid", "id")
+      roundCols(graft.search.RankingEval.summary(results, labels, 5),
+        Seq("mean_recall", "mean_precision", "mean_mrr", "mean_ndcg"))
+    }),
+
     // PageRank over the exact kNN graph (3 synchronous power rounds,
     // d = 0.85): the prototypicality/centrality signal for curation;
     // the oracle unrolls every round over the same edge set
@@ -3121,6 +3156,73 @@ object TrainingQueries {
          SELECT qid AS id, bid AS neighbor_id, CAST(rn AS INT) AS rank,
            (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance
          FROM r WHERE rn <= 5 ORDER BY id, rank""",
+
+    "eval_ranking_knn" -> {
+      val metricsCtes =
+        s"""n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings WHERE vec_id < 100),
+         p AS (SELECT a.id AS qid, b.id AS bid,
+             list_sum(list_transform(range(1, len(b.nv)+1), i -> CAST(b.nv[i] AS DOUBLE) * CAST(a.nv[i] AS DOUBLE))) AS raw
+           FROM n a JOIN n b ON a.id != b.id),
+         r AS (SELECT qid, bid, raw,
+             row_number() OVER (PARTITION BY qid ORDER BY (1.0 - raw) ASC, bid ASC) AS rn FROM p),
+         res AS (SELECT qid, bid AS id, CAST(rn AS INT) AS rank FROM r WHERE rn <= 5),
+         l AS (SELECT DISTINCT CAST(a.vec_id AS VARCHAR) AS qid, CAST(b.vec_id AS VARCHAR) AS id
+           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
+           WHERE a.vec_id < 100 AND b.vec_id < 100),
+         nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_relevant FROM l GROUP BY 1),
+         nret AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_retrieved FROM res GROUP BY 1),
+         h AS (SELECT res.qid, res.id, res.rank FROM res JOIN l ON l.qid = res.qid AND l.id = res.id),
+         pq AS (SELECT qid, CAST(count(CASE WHEN rank <= 5 THEN 1 END) AS BIGINT) AS hits,
+             min(rank) AS fr,
+             sum(CASE WHEN rank <= 5 THEN ln(2.0) / ln(CAST(rank AS DOUBLE) + 1.0) ELSE 0.0 END) AS dcg
+           FROM h GROUP BY 1),
+         m AS (SELECT nr.qid, nr.n_relevant,
+             coalesce(nret.n_retrieved, 0) AS n_retrieved,
+             coalesce(pq.hits, 0) AS hits_at_k,
+             CAST(coalesce(pq.hits, 0) AS DOUBLE) / CAST(nr.n_relevant AS DOUBLE) AS recall_at_k,
+             CAST(coalesce(pq.hits, 0) AS DOUBLE) / 5 AS precision_at_k,
+             CASE WHEN pq.fr IS NOT NULL THEN 1.0 / CAST(pq.fr AS DOUBLE) ELSE 0.0 END AS mrr,
+             coalesce(pq.dcg, 0.0) / list_sum(list_transform(range(1, least(CAST(nr.n_relevant AS INT), 5) + 1),
+               i -> ln(2.0) / ln(CAST(i AS DOUBLE) + 1.0))) AS ndcg_at_k
+           FROM nr LEFT JOIN nret ON nret.qid = nr.qid LEFT JOIN pq ON pq.qid = nr.qid)"""
+      s"""WITH $metricsCtes
+         SELECT qid, n_relevant, n_retrieved, hits_at_k,
+           (round(recall_at_k, 6) + 0) AS recall_at_k,
+           (round(precision_at_k, 6) + 0) AS precision_at_k,
+           (round(mrr, 6) + 0) AS mrr, (round(ndcg_at_k, 6) + 0) AS ndcg_at_k
+         FROM m ORDER BY qid"""
+    },
+
+    "eval_ranking_summary" ->
+      s"""WITH n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings WHERE vec_id < 100),
+         p AS (SELECT a.id AS qid, b.id AS bid,
+             list_sum(list_transform(range(1, len(b.nv)+1), i -> CAST(b.nv[i] AS DOUBLE) * CAST(a.nv[i] AS DOUBLE))) AS raw
+           FROM n a JOIN n b ON a.id != b.id),
+         r AS (SELECT qid, bid, raw,
+             row_number() OVER (PARTITION BY qid ORDER BY (1.0 - raw) ASC, bid ASC) AS rn FROM p),
+         res AS (SELECT qid, bid AS id, CAST(rn AS INT) AS rank FROM r WHERE rn <= 5),
+         l AS (SELECT DISTINCT CAST(a.vec_id AS VARCHAR) AS qid, CAST(b.vec_id AS VARCHAR) AS id
+           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
+           WHERE a.vec_id < 100 AND b.vec_id < 100),
+         nr AS (SELECT qid, CAST(count(*) AS BIGINT) AS n_relevant FROM l GROUP BY 1),
+         h AS (SELECT res.qid, res.id, res.rank FROM res JOIN l ON l.qid = res.qid AND l.id = res.id),
+         pq AS (SELECT qid, CAST(count(CASE WHEN rank <= 5 THEN 1 END) AS BIGINT) AS hits,
+             min(rank) AS fr,
+             sum(CASE WHEN rank <= 5 THEN ln(2.0) / ln(CAST(rank AS DOUBLE) + 1.0) ELSE 0.0 END) AS dcg
+           FROM h GROUP BY 1),
+         m AS (SELECT nr.qid,
+             CAST(coalesce(pq.hits, 0) AS DOUBLE) / CAST(nr.n_relevant AS DOUBLE) AS rec,
+             CAST(coalesce(pq.hits, 0) AS DOUBLE) / 5 AS prec,
+             CASE WHEN pq.fr IS NOT NULL THEN 1.0 / CAST(pq.fr AS DOUBLE) ELSE 0.0 END AS mrr,
+             coalesce(pq.dcg, 0.0) / list_sum(list_transform(range(1, least(CAST(nr.n_relevant AS INT), 5) + 1),
+               i -> ln(2.0) / ln(CAST(i AS DOUBLE) + 1.0))) AS ndcg
+           FROM nr LEFT JOIN pq ON pq.qid = nr.qid)
+         SELECT CAST(count(*) AS BIGINT) AS n_queries,
+           (round(avg(rec), 6) + 0) AS mean_recall,
+           (round(avg(prec), 6) + 0) AS mean_precision,
+           (round(avg(mrr), 6) + 0) AS mean_mrr,
+           (round(avg(ndcg), 6) + 0) AS mean_ndcg
+         FROM m""",
 
     "graph_pagerank_knn" -> {
       val knnEdges =
