@@ -578,6 +578,13 @@ object TrainingQueries {
         "doc_id", "text"), Seq("logppl"))
     }),
 
+    // corpus profile: the one-row dataset-card summary incl. the
+    // Shannon entropy of the language mix
+    "text_corpus_profile" -> ((s, dir) =>
+      roundCols(TextAnalysis.corpusProfile(
+        Tables.read(s, dir, "documents"), "text", "lang"),
+        Seq("mean_tokens", "group_entropy"))),
+
     // blocklist screening: hits + fraction against a term list (the
     // LDNOOBW-style stage; threshold the fraction, not presence)
     "text_blocklist" -> ((s, dir) =>
@@ -2963,6 +2970,19 @@ object TrainingQueries {
          SELECT t.doc_id, CAST(coalesce(sums.nb, 0) AS BIGINT) AS n_bigrams,
            (CASE WHEN sums.nb > 0 THEN round((0.0 - sums.s) / CAST(sums.nb AS DOUBLE), 6) + 0 ELSE NULL END) AS logppl
          FROM tst t LEFT JOIN sums ON sums.doc_id = t.doc_id ORDER BY t.doc_id""",
+
+    "text_corpus_profile" ->
+      s"""WITH t AS (SELECT lang, len($tokensSql) AS nt FROM documents),
+         b AS (SELECT CAST(count(*) AS BIGINT) AS n_docs, CAST(sum(nt) AS BIGINT) AS total_tokens,
+             avg(CAST(nt AS DOUBLE)) AS mean_tokens,
+             CAST(min(nt) AS INT) AS min_tokens, CAST(max(nt) AS INT) AS max_tokens FROM t),
+         g AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM t GROUP BY 1),
+         e AS (SELECT 0.0 - sum((CAST(n AS DOUBLE) / CAST(tt.s AS DOUBLE)) * ln(CAST(n AS DOUBLE) / CAST(tt.s AS DOUBLE))) AS group_entropy,
+             CAST(count(*) AS BIGINT) AS n_groups
+           FROM g, (SELECT CAST(sum(n) AS BIGINT) AS s FROM g) tt)
+         SELECT b.n_docs, b.total_tokens, (round(b.mean_tokens, 6) + 0) AS mean_tokens,
+           b.min_tokens, b.max_tokens, (round(e.group_entropy, 6) + 0) AS group_entropy, e.n_groups
+         FROM b, e""",
 
     "text_blocklist" ->
       s"""WITH t AS (SELECT doc_id, list_transform($tokensSql, x -> lower(x)) AS lt FROM documents)

@@ -304,6 +304,20 @@ object Dedup {
       .drop("_cl_id", "_cl_label")
   }
 
+  /** MinHash LSH band tuning (MMDS ch.3): among the divisor splits of
+    * `numHashes` into (bands b, rows-per-band r), pick the one whose
+    * S-curve threshold `(1/b)^(1/r)` lands closest to the target
+    * Jaccard — the principled way to choose the banding the pairs/
+    * against/streaming families take as parameters. Pure driver math.
+    * Returns (bands, rowsPerBand, achievedThreshold). */
+  def tuneBands(numHashes: Int, targetThreshold: Double): (Int, Int, Double) = {
+    require(numHashes > 0, "numHashes must be positive")
+    require(targetThreshold > 0 && targetThreshold < 1, "threshold in (0,1)")
+    val splits = (1 to numHashes).filter(numHashes % _ == 0)
+      .map { b => val r = numHashes / b; (b, r, math.pow(1.0 / b, 1.0 / r)) }
+    splits.minBy { case (_, _, t) => (math.abs(t - targetThreshold), t) }
+  }
+
   /** Duplicate-mass histogram over [[clusters]] labels: one row per
     * cluster SIZE with how many clusters have it and how many
     * documents (and removable duplicates) they hold — the one-look

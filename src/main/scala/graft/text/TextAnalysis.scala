@@ -366,6 +366,28 @@ object TextAnalysis {
       graft.expr.CompressionRatio(
         org.apache.spark.sql.graft.Bridge.expression(text.cast("string")), level))
 
+  /** One-row corpus profile — the numbers a dataset card leads with:
+    * document/token totals, length moments, and the Shannon entropy of
+    * the `groupCol` mix (languages, sources) in nats — entropy 0 =
+    * monoculture, ln(k) = perfectly balanced over k groups. One
+    * grouped count + one global agg; entropy folds over the (small)
+    * per-group count frame. */
+  def corpusProfile(df: org.apache.spark.sql.DataFrame, textCol: String,
+      groupCol: String): org.apache.spark.sql.DataFrame = {
+    val toks = size(transform(tokens(col(textCol)), t => lower(t)))
+    val base = df.agg(count(lit(1)).as("n_docs"),
+      sum(toks.cast("long")).as("total_tokens"),
+      avg(toks.cast("double")).as("mean_tokens"),
+      min(toks).as("min_tokens"), max(toks).as("max_tokens"))
+    val groups = df.groupBy(col(groupCol)).agg(count(lit(1)).as("_n"))
+    val ent = groups.crossJoin(broadcast(
+        groups.agg(sum(col("_n")).as("_tot"))))
+      .select((col("_n").cast("double") / col("_tot").cast("double")).as("_p"))
+      .agg((lit(0.0) - sum(col("_p") * log(col("_p")))).as("group_entropy"),
+        count(lit(1)).as("n_groups"))
+    base.crossJoin(ent)
+  }
+
   /** Blocklist screening (the LDNOOBW-style stage of CC pipelines):
     * per-document count and fraction of (lowercased) tokens that hit
     * the caller's term list — threshold on the FRACTION, not presence,

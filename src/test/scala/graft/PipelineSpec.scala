@@ -841,6 +841,31 @@ class PipelineSpec extends SparkSpec {
     assert(out.length === 3 && out(1)._2 === 1L)
   }
 
+  test("corpus profile: totals, moments, entropy extremes; band tuning picks MMDS split") {
+    val docs = Seq(("a", "one two three", "en"), ("b", "four five", "en"),
+      ("c", "six", "de")).toDF("id", "text", "lang")
+    val p = TextAnalysis.corpusProfile(docs, "text", "lang").collect().head
+    assert(p.getLong(0) === 3L && p.getLong(1) === 6L)
+    assert(math.abs(p.getDouble(2) - 2.0) < 1e-12)
+    assert(p.getInt(3) === 1 && p.getInt(4) === 3)
+    val want = -(2.0 / 3 * math.log(2.0 / 3) + 1.0 / 3 * math.log(1.0 / 3))
+    assert(math.abs(p.getDouble(5) - want) < 1e-12 && p.getLong(6) === 2L)
+    // monoculture: entropy exactly 0
+    val mono = TextAnalysis.corpusProfile(
+      docs.withColumn("lang", lit("en")), "text", "lang").collect().head
+    assert(mono.getDouble(5) === 0.0 && mono.getLong(6) === 1L)
+    // band tuning: 16 hashes at target 0.7 -> the classic (4, 4) whose
+    // S-curve threshold is 0.25^0.25 ~ 0.707; 0.35 -> (8, 2) ~ 0.354
+    import graft.dedup.Dedup
+    val (b, r, t) = Dedup.tuneBands(16, 0.7)
+    assert(b === 4 && r === 4)
+    assert(math.abs(t - math.pow(0.25, 0.25)) < 1e-12)
+    assert(Dedup.tuneBands(16, 0.35)._1 === 8)
+    // extremes: near-0 target wants many bands, near-1 wants few
+    assert(Dedup.tuneBands(16, 0.05)._1 === 16)
+    assert(Dedup.tuneBands(16, 0.99)._1 === 1)
+  }
+
   test("blocklist: case-insensitive hits, fraction thresholding beats presence") {
     val terms = Seq("BAD", "worse")
     val out = Seq(
