@@ -165,6 +165,75 @@ object Microbench {
     }
   }
 
+  /** Stage split of the partitioned IVF-PQ BATCH path (the
+    * scale5x_ivfpq_part_batch64_perq bench row): builds the same 500k
+    * cell-partitioned layout as Bench (override via GRAFT_MB_RECORDS)
+    * and times each stage of `searchManyPartitioned` separately —
+    * sidecar load, fresh parquet read, probe-union job, candidate
+    * window cut, exact rerank, full call, and the exec-only reused
+    * plan. `runMain graft.Microbench ivfpq_batch`. */
+  def profileIvfPqBatch(spark: SparkSession, args: Array[String]): Unit = {
+    val dims = 384
+    val n = sys.env.getOrElse("GRAFT_MB_RECORDS", "500000").toInt
+    val config = CollectionConfig("m", dims, Metric.Cosine)
+    val genUdf = udf((id: Long) => Bench.synthVector(id, dims))
+    val path = "/tmp/mb_ivfpq_part"
+    val base = graft.prepare.Prepare.prepareEmbeddings(
+      spark.range(n).select(col("id").cast("string").as("id"),
+        col("id").cast("string").as("value"), genUdf(col("id")).as("vector")),
+      config).select("id", "value", "vector")
+    // train like Bench: PQ on the 100k synth prefix, IVF on the full base
+    val trainColl = base.limit(100000)
+    val pqCb = graft.ann.Pq.trainOrdered(trainColl, config,
+      graft.ann.Pq.PqConfig(m = 32, k = 256, iterations = 3, sampleSize = 4000),
+      col("id").cast("long"))
+    val cents = graft.ann.IvfIndex.trainOrdered(base, config,
+      graft.ann.IvfIndex.IvfConfig(k = 16, iterations = 3), col("id").cast("long"))
+    time("writePartitioned (cold)", 1) {
+      graft.ann.IvfPq.writePartitioned(base, cents, pqCb, path)
+    }
+    val qs = spark.range(64).select(col("id").cast("string").as("qid"),
+      genUdf(col("id") + 2000000L).as("qvector"))
+    time("full searchManyPartitioned.count", 5) {
+      graft.ann.IvfPq.searchManyPartitioned(spark, path, config, qs, 10,
+        nprobe = 4, candidates = 100, knownNq = 64L).count()
+    }
+    val reused = graft.ann.IvfPq.searchManyPartitioned(spark, path, config, qs,
+      10, nprobe = 4, candidates = 100, knownNq = 64L)
+    time("exec only (reused plan)", 5) { reused.count() }
+    time("loadModel (sidecar)", 5) { graft.ann.IvfPq.loadModel(spark, path) }
+    time("parquet read + columns", 5) { spark.read.parquet(path).columns }
+    val frame = spark.read.parquet(path)
+    time("searchManyPruned (cached frame+model)", 5) {
+      graft.ann.IvfPq.searchManyPruned(frame, config, cents, pqCb,
+        residual = false, qs, 10, nprobe = 4, candidates = 100,
+        knownNq = 64L).count()
+    }
+    // stage split: probe union job alone, then searchMany on the pruned frame
+    val np = 4
+    val probeUdf = udf((q: Seq[Float]) =>
+      graft.ann.IvfIndex.probeCells(q.toArray,
+        cents, np).toArray)
+    import graft.functions.VectorFunctions.normalizeVector
+    time("probe-union agg job", 5) {
+      qs.select(normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+        .select(explode(probeUdf(col("qvector"))).as("c"))
+        .agg(collect_set(col("c")), count(lit(1))).head()
+    }
+    val cells = qs
+      .select(normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+      .select(explode(probeUdf(col("qvector"))).as("c"))
+      .agg(collect_set(col("c"))).head().getSeq[Int](0)
+    val pruned = frame.filter(col("ivf_cell").isin(cells.map(Int.box): _*))
+    time("searchMany on pruned frame", 5) {
+      graft.ann.IvfPq.searchMany(pruned, config, cents, pqCb, qs, 10,
+        nprobe = np, candidates = 100, knownNq = 64L).count()
+    }
+    time("pruned codes scan count", 5) {
+      pruned.select("ivf_cell", "id", "pq_codes").count()
+    }
+  }
+
   /** Driver-side HNSW insert-path profile (the per-shard build cost of
     * ShardedHnsw rides on this): `runMain graft.Microbench hnsw [n]`. */
   def profileHnsw(spark: SparkSession, args: Array[String]): Unit = {
@@ -214,8 +283,10 @@ object Microbench {
   }
 
   def main(args: Array[String]): Unit = {
-    val spark = SparkSession.builder().master("local[8]")
-      .config("spark.sql.shuffle.partitions", "8")
+    val spark = SparkSession.builder()
+      .master(sys.env.getOrElse("GRAFT_MB_MASTER", "local[8]"))
+      .config("spark.sql.shuffle.partitions",
+        sys.env.getOrElse("GRAFT_MB_SHUFFLE", "8"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     if (args.headOption.contains("slow")) {
@@ -235,6 +306,9 @@ object Microbench {
     }
     if (args.headOption.contains("hnsw")) {
       profileHnsw(spark, args); spark.stop(); return
+    }
+    if (args.headOption.contains("ivfpq_batch")) {
+      profileIvfPqBatch(spark, args); spark.stop(); return
     }
     val dims = sys.env.getOrElse("GRAFT_MB_DIMS", "384").toInt
     val n = sys.env.getOrElse("GRAFT_MB_RECORDS", "100000").toInt

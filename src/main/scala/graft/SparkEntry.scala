@@ -238,6 +238,33 @@ object SparkEntry {
         candidates = 20, knownNq = 10L), Seq("score", "distance"))
     }),
 
+    // batch funnel: per-stage per-qid window cuts over ONE broadcast
+    // scan (stage keeps [400, 50] like vec_funnel_topk), shared exact
+    // batch rerank — per-query results equal the single-query funnel
+    "vec_funnel_search_many" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+      roundCols(Search.funnelSearchMany(coll, config, qs, 5,
+        stages = Seq(16, 32), candidates = 50, knownNq = 8L),
+        Seq("score", "distance"))
+    }),
+
+    // batch hybrid: funnel + quantized generators in batch form, union
+    // deduped per (qid, id), ONE exact rerank
+    "vec_hybrid_search_many" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 8)
+        .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+      roundCols(Search.hybridSearchMany(coll, config, qs, 5,
+        generators = Seq("funnel", "quantized"), candidates = 50,
+        stages = Seq(16, 32), knownNq = 8L), Seq("score", "distance"))
+    }),
+
     // score mode :similarity on a distance metric (1/(1+raw))
     "vec_flat_l2_similarity_topk" -> ((s, dir) => {
       val d = Tables.dims(s, dir)
@@ -565,6 +592,33 @@ object SparkEntry {
            cand AS (SELECT qid, id, v, qv FROM (SELECT qid, id, v, qv,
              row_number() OVER (PARTITION BY qid ORDER BY asym DESC, id ASC) AS crn FROM sc) WHERE crn <= 20),
            fin AS (SELECT qid, id, sqrt(${sqlL2sq("v", "qv")}) AS raw FROM cand),
+           rk AS (SELECT qid, id, raw, row_number() OVER (PARTITION BY qid ORDER BY raw ASC, id ASC) AS rn FROM fin)
+           SELECT qid, id, id AS value, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric
+           FROM rk WHERE rn <= 5""",
+
+      "vec_funnel_search_many" ->
+        s"""WITH qs AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           base AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v FROM embeddings),
+           sc1 AS (SELECT qid, id, v, qv, ${sqlL2sq("v[1:16]", "qv[1:16]")} AS r1 FROM base, qs),
+           s1 AS (SELECT qid, id, v, qv FROM (SELECT qid, id, v, qv, row_number() OVER (PARTITION BY qid ORDER BY r1 ASC, id ASC) AS rn1 FROM sc1) WHERE rn1 <= 400),
+           sc2 AS (SELECT qid, id, v, qv, ${sqlL2sq("v[1:32]", "qv[1:32]")} AS r2 FROM s1),
+           s2 AS (SELECT qid, id, v, qv FROM (SELECT qid, id, v, qv, row_number() OVER (PARTITION BY qid ORDER BY r2 ASC, id ASC) AS rn2 FROM sc2) WHERE rn2 <= 50),
+           fin AS (SELECT qid, id, sqrt(${sqlL2sq("v", "qv")}) AS raw FROM s2),
+           rk AS (SELECT qid, id, raw, row_number() OVER (PARTITION BY qid ORDER BY raw ASC, id ASC) AS rn FROM fin)
+           SELECT qid, id, id AS value, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric
+           FROM rk WHERE rn <= 5""",
+
+      "vec_hybrid_search_many" ->
+        s"""WITH qs AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qv FROM embeddings WHERE vec_id < 8),
+           base AS (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v FROM embeddings),
+           sc1 AS (SELECT qid, id, v, qv, ${sqlL2sq("v[1:16]", "qv[1:16]")} AS r1 FROM base, qs),
+           s1 AS (SELECT qid, id, v, qv FROM (SELECT qid, id, v, qv, row_number() OVER (PARTITION BY qid ORDER BY r1 ASC, id ASC) AS rn1 FROM sc1) WHERE rn1 <= 400),
+           sc2 AS (SELECT qid, id, v, qv, ${sqlL2sq("v[1:32]", "qv[1:32]")} AS r2 FROM s1),
+           s2 AS (SELECT qid, id, v, qv FROM (SELECT qid, id, v, qv, row_number() OVER (PARTITION BY qid ORDER BY r2 ASC, id ASC) AS rn2 FROM sc2) WHERE rn2 <= 50),
+           scq AS (SELECT qid, id, v, qv, ${sqlAsymDot("v", "qv")} AS asym FROM base, qs),
+           hq AS (SELECT qid, id, v, qv FROM (SELECT qid, id, v, qv, row_number() OVER (PARTITION BY qid ORDER BY asym DESC, id ASC) AS crn FROM scq) WHERE crn <= 50),
+           u AS (SELECT qid, id, v, qv FROM s2 UNION SELECT qid, id, v, qv FROM hq),
+           fin AS (SELECT qid, id, sqrt(${sqlL2sq("v", "qv")}) AS raw FROM u),
            rk AS (SELECT qid, id, raw, row_number() OVER (PARTITION BY qid ORDER BY raw ASC, id ASC) AS rn FROM fin)
            SELECT qid, id, id AS value, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric
            FROM rk WHERE rn <= 5""",

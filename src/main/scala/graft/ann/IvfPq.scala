@@ -50,8 +50,9 @@ object IvfPq {
     // layout that filter IS the directory pruning (PartitionFilters),
     // which an id-only probe would forfeit
     val probed = prepared.filter(col("ivf_cell").isin(cells: _*))
-    val ids = Search.slimTopIds(probed, if (sim) -approx else approx, effCand)
-    Search.rerankExact(Search.filterByIds(probed, ids), config, q, limit)
+    Search.rerankExact(
+      Search.cutAndFilter(probed, probed, if (sim) -approx else approx, effCand),
+      config, q, limit)
   }
 
   /** Batch IVF-PQ search — the full scale shape for a million-query
@@ -180,10 +181,10 @@ object IvfPq {
     // slim + InSet like every single-query candidate pass, and the
     // rerank keeps the cell probe so the at-rest layout's directory
     // pruning survives in the final plan
-    val ids = Search.slimTopIds(branches.reduce(_ unionByName _),
-      col("rank"), effCand)
-    Search.rerankExact(Search.filterByIds(
-      prepared.filter(col("ivf_cell").isin(cells: _*)), ids), config, q, limit)
+    Search.rerankExact(
+      Search.cutAndFilter(branches.reduce(_ unionByName _),
+        prepared.filter(col("ivf_cell").isin(cells: _*)), col("rank"), effCand),
+      config, q, limit)
   }
 
   /** Batch residual search — [[searchMany]]'s shape with per-(query,cell)

@@ -128,9 +128,11 @@ object Pq {
     val table = adcTable(codebooks, q, config.metric)
     val approx = adcDistance(col(codesCol), table, codebooks(0).length)
     val rank = if (similarityLike(config.metric)) -approx else approx
-    // slim (id, adc-rank) cut + InSet survivors, like Sq8.search
-    val ids = Search.slimTopIds(withCodes(df, codebooks, codesCol), rank, effCand)
-    Search.rerankExact(Search.filterByIds(df, ids), config, q, limit)
+    // slim (id, adc-rank) cut + InSet survivors, like Sq8.search; above
+    // the driver-collect bound the cut degrades to a left-semi join
+    Search.rerankExact(
+      Search.cutAndFilter(withCodes(df, codebooks, codesCol), df, rank, effCand),
+      config, q, limit)
   }
 
   /** Batch ADC search over m-byte codes — same contract and shape as

@@ -154,8 +154,9 @@ object Sq8 {
     // bytes/row, and survivors re-enter as an id InSet over the raw
     // frame — the cut never touches the full-precision columns it is
     // there to avoid reading
-    val ids = Search.slimTopIds(withCodes(df, model, codesCol), rank, effCand)
-    Search.rerankExact(Search.filterByIds(df, ids), config, q, limit)
+    Search.rerankExact(
+      Search.cutAndFilter(withCodes(df, model, codesCol), df, rank, effCand),
+      config, q, limit)
   }
 
   /** Batch ADC search: ONE codes-only scan answers every query — the

@@ -689,6 +689,21 @@ final class GraftDb(val spark: SparkSession) {
     Search.funnelSearch(df, config, query, limit, stages, candidates)
   }
 
+  /** Batch funnel search — per-query results equal [[funnelSearch]]
+    * with the same knobs; per-stage cuts are per-qid window cuts over
+    * ONE broadcast scan (see Search.funnelSearchMany), so a
+    * million-query batch pays no per-query driver round-trips.
+    * {{{
+    * db.funnelSearchMany("articles", queries, 10, knownNq = 1L)
+    * }}} */
+  def funnelSearchMany(name: String, queries: DataFrame, limit: Int,
+      stages: Seq[Int] = Nil, candidates: Int = 0,
+      knownNq: Long = -1L): DataFrame = {
+    val (df, config) = collection(name)
+    Search.funnelSearchMany(df, config, queries, limit, stages, candidates,
+      knownNq = knownNq)
+  }
+
   /** Sign-bit candidate search + exact rerank (compat quantized_search).
     * {{{
     * db.quantizedSearch("articles", q, 10, candidates = 50)
@@ -735,6 +750,21 @@ final class GraftDb(val spark: SparkSession) {
     val (df, config) = collection(name)
     Search.hybridSearch(df, config, query, limit, generators, candidates,
       rerankMultiVector = rerankMultiVector)
+  }
+
+  /** Batch hybrid search — per-query results equal [[hybridSearch]]
+    * with the same knobs; every generator runs in batch form and ONE
+    * exact rerank scores the deduped union (see
+    * Search.hybridSearchMany).
+    * {{{
+    * db.hybridSearchMany("articles", queries, 10, knownNq = 1L)
+    * }}} */
+  def hybridSearchMany(name: String, queries: DataFrame, limit: Int,
+      generators: Seq[String] = Seq("funnel", "quantized"),
+      candidates: Int = 0, knownNq: Long = -1L): DataFrame = {
+    val (df, config) = collection(name)
+    Search.hybridSearchMany(df, config, queries, limit, generators,
+      candidates, knownNq = knownNq)
   }
 
   /** BM25 lexical search over the collection's `value` payload (the

@@ -182,14 +182,14 @@ object Search {
     * 64 partitions the locally-cut survivors funnel through a 64-way
     * exchange of slim pairs first, so the driver merge never scales
     * with corpus partition count. */
-  private def funnelStageTopIds(df: DataFrame, config: CollectionConfig,
-      q: Array[Float], d: Int, keep: Int): Array[String] = {
+  private def funnelStageRank(config: CollectionConfig, q: Array[Float],
+      d: Int): Column = {
     val qPrefix = q.slice(0, d)
     val vPrefix = if (d >= config.dimensions) col("vector") else slice(col("vector"), 1, d)
     val raw =
       if (config.metric == Metric.Cosine) trueCosine(vPrefix, vecLit(qPrefix))
       else vecDistance(config.metric, vPrefix, vecLit(qPrefix))
-    slimTopIds(df, rankCol(config.metric, raw), keep)
+    rankCol(config.metric, raw)
   }
 
   /** Top-`keep` ids by ascending (`rank`, id), decided on a slim
@@ -199,30 +199,64 @@ object Search {
     * heap + driver merge of slim pairs; above 64 partitions the
     * locally-cut survivors funnel through a 64-way exchange first so
     * the driver merge never scales with corpus partition count. */
-  private[graft] def slimTopIds(df: DataFrame, rank: Column, keep: Int): Array[String] = {
+  /** Driver-collect bound for the slim candidate cuts
+    * (`spark.graft.slimcut.maxIds`, default 100k ids): a cut whose keep
+    * exceeds it must NOT collect — `funnelSearch(candidates = 5M)` would
+    * otherwise pull 5M ids to the driver and build a 5M-element InSet.
+    * Above the bound the callers switch to [[slimTopIdsFrame]] + a
+    * left-semi join: same result set, everything stays distributed. */
+  private[graft] def slimCutMaxIds(df: DataFrame): Int =
+    df.sparkSession.conf.getOption("spark.graft.slimcut.maxIds")
+      .map(_.toInt).getOrElse(100000)
+
+  private[graft] def slimTopIds(df: DataFrame, rank: Column, keep: Int,
+      numPartitions: Int = -1): Array[Any] = {
     val slim = df.select(col("id"), rank.as("rank"))
+    val parts = if (numPartitions >= 0) numPartitions else df.rdd.getNumPartitions
     val fanned =
-      if (df.rdd.getNumPartitions > 64)
+      if (parts > 64)
         slim.sortWithinPartitions(col("rank").asc_nulls_last, col("id").asc)
           .filter(monotonically_increasing_id().bitwiseAND(lit((1L << 33) - 1)) < keep)
           .repartition(64)
       else slim
-    topK(fanned, keep).select("id").collect().map(_.getString(0))
+    topK(fanned, keep).select("id").collect().map(_.get(0))
   }
+
+  /** Distributed form of the slim cut — the top-`keep` ids as a one-column
+    * FRAME (per-partition local sort-cut, then the terminal slim top-k;
+    * see [[candidateCut]]): the fallback shape when `keep` exceeds
+    * [[slimCutMaxIds]] and a driver collect is off the table. Survivors
+    * rematerialize via `probe.join(frame, "id", "left_semi")`. */
+  private[graft] def slimTopIdsFrame(df: DataFrame, rank: Column, keep: Int): DataFrame =
+    candidateCut(df.select(col("id"), rank.as("rank")), keep).select("id")
 
   /** Survivors as a flat InSet probe over the input — keeps every stage
     * plan shallow instead of chaining semi-joins. Built as a single
     * catalyst InSet node holding the id set: `isInCollection` expands
     * to one Literal PER ID (12800 tree nodes at the default funnel
     * operating point), and analyzing/serializing that tree costs more
-    * than the stage's distance job. */
-  private[graft] def filterByIds(df: DataFrame, ids: Array[String]): DataFrame = {
+    * than the stage's distance job. Ids convert to the id column's OWN
+    * catalyst type (string ids -> UTF8String, long ids -> Long, ...), so
+    * any orderable id type works. */
+  private[graft] def filterByIds(df: DataFrame, ids: Array[Any]): DataFrame = {
     import org.apache.spark.sql.catalyst.expressions.InSet
-    import org.apache.spark.unsafe.types.UTF8String
-    val hset: Set[Any] = ids.iterator.map(UTF8String.fromString(_): Any).toSet
+    val conv = org.apache.spark.sql.graft.Bridge.toCatalyst(df.schema("id").dataType)
+    val hset: Set[Any] = ids.iterator.map(conv).toSet
     df.filter(org.apache.spark.sql.graft.Bridge.column(
       InSet(org.apache.spark.sql.graft.Bridge.expression(col("id")), hset)))
   }
+
+  /** The guarded shared candidate-cut: decide the top-`keep` cut on a
+    * slim (id, rank) projection of `cutFrame`, rematerialize survivors
+    * from `probe` — collect+InSet below [[slimCutMaxIds]] (flat plans,
+    * one job per cut), a distributed left-semi join above it (no driver
+    * collect, no InSet literal). */
+  private[graft] def cutAndFilter(cutFrame: DataFrame, probe: DataFrame,
+      rank: Column, keep: Int, numPartitions: Int = -1): DataFrame =
+    if (keep <= slimCutMaxIds(probe))
+      filterByIds(probe, slimTopIds(cutFrame, rank, keep, numPartitions))
+    else
+      probe.join(slimTopIdsFrame(cutFrame, rank, keep), Seq("id"), "left_semi")
 
   /** Default funnel stages `[d/4, d/2, d]` — the reference's bench
     * defaults (bench/search_modes_bench.exs:262-266), deduplicated. */
@@ -259,8 +293,13 @@ object Search {
     require(effCand >= limit, "candidates must be >= limit")
     require(widen >= 1, "widen must be >= 1")
     val keeps = funnelKeeps(effStages.size, effCand, widen)
-    val ids = funnelSurvivorIds(df, config, q, effStages, keeps)
-    flatSearchPrepared(ids.fold(df)(filterByIds(df, _)), config, q, limit)
+    if (keeps.max > slimCutMaxIds(df))
+      flatSearchPrepared(funnelSurvivorsFrame(df, config, q, effStages, keeps),
+        config, q, limit)
+    else {
+      val ids = funnelSurvivorIds(df, config, q, effStages, keeps)
+      flatSearchPrepared(ids.fold(df)(filterByIds(df, _)), config, q, limit)
+    }
   }
 
   /** Survivor ids of the staged funnel. Ids thread through as arrays:
@@ -271,16 +310,29 @@ object Search {
     * makes every stage a no-op and the funnel degenerates to exact flat
     * search, the equivalence property SearchSpec pins). None = no stage
     * ran (every cut was an identity) — the candidate set is the whole
-    * frame. */
+    * frame. The corpus partition count is computed ONCE per search (each
+    * stage frame is a filter of the same scan, so it never changes) —
+    * per-stage `df.rdd` calls would rebuild a physical plan each. */
   private def funnelSurvivorIds(df: DataFrame, config: CollectionConfig,
-      q: Array[Float], stages: Seq[Int], keeps: Seq[Int]): Option[Array[String]] = {
-    var ids: Option[Array[String]] = None
+      q: Array[Float], stages: Seq[Int], keeps: Seq[Int]): Option[Array[Any]] = {
+    var ids: Option[Array[Any]] = None
+    lazy val parts = df.rdd.getNumPartitions
     for ((d, keep) <- stages.zip(keeps) if ids.forall(_.length > keep)) {
       val cur = ids.fold(df)(filterByIds(df, _))
-      ids = Some(funnelStageTopIds(cur, config, q, d, keep))
+      ids = Some(slimTopIds(cur, funnelStageRank(config, q, d), keep, parts))
     }
     ids
   }
+
+  /** Distributed funnel fallback for keeps above [[slimCutMaxIds]]:
+    * per-stage slim id-frame cuts chained by left-semi joins — no driver
+    * collect anywhere, same survivor set as the id-threading path. */
+  private def funnelSurvivorsFrame(df: DataFrame, config: CollectionConfig,
+      q: Array[Float], stages: Seq[Int], keeps: Seq[Int]): DataFrame =
+    stages.zip(keeps).foldLeft(df) { case (cur, (d, keep)) =>
+      cur.join(slimTopIdsFrame(cur, funnelStageRank(config, q, d), keep),
+        Seq("id"), "left_semi")
+    }
 
   /** Exact rerank over an already-prepared query — shared by the
     * candidate-generator searches (funnel/quantized/hybrid/SQ8/PQ). */
@@ -317,31 +369,34 @@ object Search {
 
   private def quantizedCandidates(df: DataFrame, config: CollectionConfig,
       q: Array[Float], keep: Int, asymmetric: Boolean = true): DataFrame =
-    filterByIds(df, quantizedCandidateIds(df, config, q, keep, asymmetric))
+    cutAndFilter(df, df, quantizedRank(df, config, q, asymmetric), keep)
 
-  private def quantizedCandidateIds(df: DataFrame, config: CollectionConfig,
-      q: Array[Float], keep: Int, asymmetric: Boolean = true): Array[String] = {
+  /** Sign-bit proxy rank for the quantized candidate pass. The
+    * asymmetric proxy follows the metric's rank direction: every metric
+    * wants direction-similar candidates (high dot) EXCEPT
+    * negative_inner_product, whose exact top-k is the most-opposite
+    * direction — there high-asym candidates would exclude the true
+    * winners (the symmetric Hamming mode keeps the reference's literal
+    * sign-similarity semantics for every metric). */
+  private def quantizedRank(df: DataFrame, config: CollectionConfig,
+      q: Array[Float], asymmetric: Boolean): Column = {
     val stored =
       if (df.columns.contains("binary_vector"))
         coalesce(col("binary_vector"), packSignBits(col("vector")))
       else packSignBits(col("vector"))
-    // the asymmetric proxy follows the metric's rank direction: every
-    // metric wants direction-similar candidates (high dot) EXCEPT
-    // negative_inner_product, whose exact top-k is the most-opposite
-    // direction — there high-asym candidates would exclude the true
-    // winners (the symmetric Hamming mode keeps the reference's literal
-    // sign-similarity semantics for every metric)
-    val rank =
-      if (!asymmetric)
-        packedHamming(stored, typedlit(VectorKernels.packSignBits(q)), config.dimensions)
-      else if (config.metric == Metric.NegativeInnerProduct)
-        packedAsymmetricDot(stored, vecLit(q))
-      else -packedAsymmetricDot(stored, vecLit(q))
+    if (!asymmetric)
+      packedHamming(stored, typedlit(VectorKernels.packSignBits(q)), config.dimensions)
+    else if (config.metric == Metric.NegativeInnerProduct)
+      packedAsymmetricDot(stored, vecLit(q))
+    else -packedAsymmetricDot(stored, vecLit(q))
+  }
+
+  private def quantizedCandidateIds(df: DataFrame, config: CollectionConfig,
+      q: Array[Float], keep: Int, asymmetric: Boolean = true): Array[Any] =
     // slim (id, proxy-rank) cut, like the funnel stages: the packed-bit
     // scan never sorts the full-precision rows it is there to avoid
     // reading
-    slimTopIds(df, rank, keep)
-  }
+    slimTopIds(df, quantizedRank(df, config, q, asymmetric), keep)
 
   /** ColBERT/MaxSim multi-vector search (collection.ex:298-323). Records
     * fall back to `[vector]` when `vectors` is absent; score is the MaxSim
@@ -379,27 +434,41 @@ object Search {
     val effCand = if (candidates > 0) candidates else math.max(20 * limit, limit)
     require(effCand >= limit, "candidates must be >= limit")
     val effStages = if (stages.nonEmpty) stages else defaultFunnelStages(config.dimensions)
-    // every generator reduces to a candidate ID SET (slim cuts — see
-    // funnelStageTopIds); the union-with-first-seen-dedup of identical
-    // corpus rows IS set union, so the old frame-union + dropDuplicates
-    // shuffle collapses into one InSet probe feeding a single rerank
-    // scan. None = a generator whose every cut was an identity (keep >=
-    // corpus): its candidate set is the whole frame, so the union is too
-    val idSets: Seq[Option[Array[String]]] = generators.map {
-      case "funnel" =>
-        funnelSurvivorIds(df, config, q, effStages,
-          funnelKeeps(effStages.size, effCand, widen))
-      case "quantized" =>
-        Some(quantizedCandidateIds(df, config, q, effCand, asymmetric))
-      case "search" | "flat" =>
-        Some(slimTopIds(df,
-          rankCol(config.metric, vecDistance(config.metric, col("vector"), vecLit(q))),
-          effCand))
-      case g => throw new IllegalArgumentException(s"unknown generator $g")
-    }
-    val union =
+    val funKeeps = funnelKeeps(effStages.size, effCand, widen)
+    val flatRank =
+      rankCol(config.metric, vecDistance(config.metric, col("vector"), vecLit(q)))
+    val maxKeep =
+      if (generators.contains("funnel")) math.max(funKeeps.max, effCand) else effCand
+    val union = if (maxKeep > slimCutMaxIds(df)) {
+      // distributed fallback (keeps above the driver-collect bound):
+      // each generator yields a slim id FRAME, the union dedups by id,
+      // survivors rematerialize via one left-semi join
+      val idFrames = generators.map {
+        case "funnel" =>
+          funnelSurvivorsFrame(df, config, q, effStages, funKeeps).select("id")
+        case "quantized" =>
+          slimTopIdsFrame(df, quantizedRank(df, config, q, asymmetric), effCand)
+        case "search" | "flat" => slimTopIdsFrame(df, flatRank, effCand)
+        case g => throw new IllegalArgumentException(s"unknown generator $g")
+      }
+      df.join(idFrames.reduce(_ unionByName _).distinct(), Seq("id"), "left_semi")
+    } else {
+      // every generator reduces to a candidate ID SET (slim cuts — see
+      // funnelStageRank); the union-with-first-seen-dedup of identical
+      // corpus rows IS set union, so the old frame-union + dropDuplicates
+      // shuffle collapses into one InSet probe feeding a single rerank
+      // scan. None = a generator whose every cut was an identity (keep >=
+      // corpus): its candidate set is the whole frame, so the union is too
+      val idSets: Seq[Option[Array[Any]]] = generators.map {
+        case "funnel" => funnelSurvivorIds(df, config, q, effStages, funKeeps)
+        case "quantized" =>
+          Some(quantizedCandidateIds(df, config, q, effCand, asymmetric))
+        case "search" | "flat" => Some(slimTopIds(df, flatRank, effCand))
+        case g => throw new IllegalArgumentException(s"unknown generator $g")
+      }
       if (idSets.exists(_.isEmpty)) df
       else filterByIds(df, idSets.flatMap(_.get).distinct.toArray)
+    }
     rerankMultiVector match {
       case Some(qvecs) => multiVectorSearch(union, config, qvecs, limit)
       case None        => flatSearchPrepared(union, config, q, limit)
@@ -456,13 +525,21 @@ object Search {
     val effCand = math.max(if (candidates > 0) candidates else 20 * limit, limit)
     val qNorm = queries.select(col("qid"),
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
-    // bits-ONLY candidate scan: when the stored `binary_vector` exists
-    // (canonical collections always derive it at ingest) the scan must
-    // not also decode `vector` — a coalesce fallback would drag the
-    // full f32 column through the widest stage and erase the 32x
-    // narrow-scan advantage. A row with a NULL stored binary_vector
-    // (non-canonical input) ranks null and sorts LAST, i.e. it is
-    // excluded from candidates rather than silently promoted.
+    val cands = quantizedCandPairs(df, config, qNorm, effCand, asymmetric)
+    rerankManyExact(df, config, cands, qNorm, limit,
+      perQueryBound = effCand, knownNq = knownNq)
+  }
+
+  /** (qid, id) candidate pairs of the batch quantized pass.
+    * Bits-ONLY candidate scan: when the stored `binary_vector` exists
+    * (canonical collections always derive it at ingest) the scan must
+    * not also decode `vector` — a coalesce fallback would drag the
+    * full f32 column through the widest stage and erase the 32x
+    * narrow-scan advantage. A row with a NULL stored binary_vector
+    * (non-canonical input) ranks null and sorts LAST, i.e. it is
+    * excluded from candidates rather than silently promoted. */
+  private def quantizedCandPairs(df: DataFrame, config: CollectionConfig,
+      qNorm: DataFrame, effCand: Int, asymmetric: Boolean): DataFrame = {
     val bitsScan =
       if (df.columns.contains("binary_vector"))
         df.select(col("id"), col("binary_vector").as("_bits"))
@@ -477,13 +554,129 @@ object Search {
       else -packedAsymmetricDot(col("_bits"), col("qvector"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("_qrank").asc_nulls_last, col("id").asc)
-    val cands = bitsScan
+    bitsScan
       .crossJoin(broadcast(qSide))
       .withColumn("_qrank", rank)
       .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= effCand)
       .select("qid", "id")
-    rerankManyExact(df, config, cands, qNorm, limit,
-      perQueryBound = effCand, knownNq = knownNq)
+  }
+
+  /** Broadcast-or-shuffle hint keyed on an estimated ROW count against
+    * `spark.graft.rerank.broadcastMaxRows` (default 4M) — the shared
+    * bound for bounded candidate-pair frames riding back onto a corpus
+    * scan. Negative estimate = unknown = broadcast (callers only pass
+    * negative when the frame is structurally tiny). */
+  private def rowsBroadcastHint(df: DataFrame, estRows: Long): DataFrame => DataFrame = {
+    val maxRows = df.sparkSession.conf
+      .getOption("spark.graft.rerank.broadcastMaxRows").map(_.toLong)
+      .getOrElse(4000000L)
+    if (estRows < 0 || estRows <= maxRows) broadcast(_) else identity
+  }
+
+  /** Batch funnel rank at prefix `d` with the query as a COLUMN (the
+    * broadcast batch shape) — the same math as the single-query
+    * [[funnelStageRank]]: true cosine on prefixes for cosine, the
+    * metric's own kernel otherwise. */
+  private def funnelStageRankCols(config: CollectionConfig, d: Int): Column = {
+    val vP = if (d >= config.dimensions) col("vector") else slice(col("vector"), 1, d)
+    val qP = if (d >= config.dimensions) col("qvector") else slice(col("qvector"), 1, d)
+    val raw =
+      if (config.metric == Metric.Cosine) trueCosine(vP, qP)
+      else vecDistance(config.metric, vP, qP)
+    rankCol(config.metric, raw)
+  }
+
+  /** (qid, id) survivors of the staged batch funnel: stage 1 scores the
+    * full corpus against every query in ONE broadcast cross-join scan at
+    * the smallest prefix; each later stage joins the corpus back onto
+    * the previous stage's bounded survivor pairs (broadcast while
+    * `nq * keep` fits the rerank bound) and re-cuts per qid via
+    * row_number's map-side WindowGroupLimit. No driver collect at any
+    * stage — the batch shape a million-query training run needs (the
+    * single-query path's per-stage driver round-trips are exactly what
+    * it cannot pay). */
+  private def funnelCandPairs(df: DataFrame, config: CollectionConfig,
+      qNorm: DataFrame, stages: Seq[Int], keeps: Seq[Int], nq: Long): DataFrame = {
+    var pairs: DataFrame = null
+    var prevKeep = 0L
+    for ((d, keep) <- stages.zip(keeps)) {
+      val scored =
+        if (pairs == null)
+          df.select(col("id"), col("vector")).crossJoin(broadcast(qNorm))
+        else {
+          val hint = rowsBroadcastHint(df, if (nq >= 0) nq * prevKeep else -1L)
+          df.select(col("id"), col("vector"))
+            .join(hint(pairs), Seq("id"))
+            .join(broadcast(qNorm), Seq("qid"))
+        }
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("_fr").asc_nulls_last, col("id").asc)
+      pairs = scored.withColumn("_fr", funnelStageRankCols(config, d))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= keep)
+        .select("qid", "id")
+      prevKeep = keep
+    }
+    pairs
+  }
+
+  /** Batch Matryoshka funnel search: per-query results equal
+    * [[funnelSearch]] with the same stages/candidates/widen. Stage cuts
+    * are per-qid window cuts over broadcast-joined survivor pairs (see
+    * [[funnelCandPairs]]); the exact rerank is the shared bounded
+    * broadcast tail. */
+  def funnelSearchMany(df: DataFrame, config: CollectionConfig,
+      queries: DataFrame, limit: Int, stages: Seq[Int] = Nil,
+      candidates: Int = 0, widen: Int = 8, knownNq: Long = -1L): DataFrame = {
+    require(limit > 0, "limit must be positive")
+    val effStages = if (stages.nonEmpty) stages else defaultFunnelStages(config.dimensions)
+    val effCand = if (candidates > 0) candidates else math.max(20 * limit, limit)
+    require(effCand >= limit, "candidates must be >= limit")
+    require(widen >= 1, "widen must be >= 1")
+    val keeps = funnelKeeps(effStages.size, effCand, widen)
+    val qNorm = queries.select(col("qid"),
+      normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+    val nq = if (knownNq >= 0) knownNq else queries.count()
+    val pairs = funnelCandPairs(df, config, qNorm, effStages, keeps, nq)
+    rerankManyExact(df, config, pairs, qNorm, limit, effCand, nq)
+  }
+
+  /** Batch hybrid search: every generator emits bounded (qid, id)
+    * candidate pairs in batch form (funnel = [[funnelCandPairs]],
+    * quantized = the bits-only broadcast scan, flat = one full-precision
+    * broadcast scan), the union dedups per (qid, id), and ONE exact
+    * rerank scores the survivors — per-query results equal
+    * [[hybridSearch]] with the same knobs. */
+  def hybridSearchMany(df: DataFrame, config: CollectionConfig,
+      queries: DataFrame, limit: Int,
+      generators: Seq[String] = Seq("funnel", "quantized"),
+      candidates: Int = 0, stages: Seq[Int] = Nil, widen: Int = 8,
+      asymmetric: Boolean = true, knownNq: Long = -1L): DataFrame = {
+    require(limit > 0, "limit must be positive")
+    require(generators.nonEmpty, "at least one generator")
+    val effCand = if (candidates > 0) candidates else math.max(20 * limit, limit)
+    require(effCand >= limit, "candidates must be >= limit")
+    val effStages = if (stages.nonEmpty) stages else defaultFunnelStages(config.dimensions)
+    val qNorm = queries.select(col("qid"),
+      normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+    val nq = if (knownNq >= 0) knownNq else queries.count()
+    val pairs = generators.map {
+      case "funnel" =>
+        funnelCandPairs(df, config, qNorm, effStages,
+          funnelKeeps(effStages.size, effCand, widen), nq)
+      case "quantized" =>
+        quantizedCandPairs(df, config, qNorm, effCand, asymmetric)
+      case "search" | "flat" =>
+        val w = Window.partitionBy(col("qid"))
+          .orderBy(col("_fr").asc_nulls_last, col("id").asc)
+        df.select(col("id"), col("vector")).crossJoin(broadcast(qNorm))
+          .withColumn("_fr",
+            rankCol(config.metric, vecDistance(config.metric, col("vector"), col("qvector"))))
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= effCand)
+          .select("qid", "id")
+      case g => throw new IllegalArgumentException(s"unknown generator $g")
+    }.reduce(_ unionByName _).distinct()
+    rerankManyExact(df, config, pairs, qNorm, limit,
+      perQueryBound = effCand * generators.size, knownNq = nq)
   }
 
   /** Exact batch rerank over (qid, id) candidate pairs — the shared tail
@@ -501,16 +694,12 @@ object Search {
   private[graft] def rerankManyExact(df: DataFrame, config: CollectionConfig,
       candidates: DataFrame, queries: DataFrame, limit: Int,
       perQueryBound: Int = 0, knownNq: Long = -1L): DataFrame = {
-    val maxBroadcast = df.sparkSession.conf
-      .getOption("spark.graft.rerank.broadcastMaxRows").map(_.toLong)
-      .getOrElse(4000000L)
     // a caller that knows its batch size passes it; otherwise the
     // query-side count is a tiny job (nq rows) — the corpus is untouched
     val nq = if (knownNq >= 0) knownNq
              else if (perQueryBound > 0) queries.count() else -1L
     val bound = if (perQueryBound > 0 && nq >= 0) nq * perQueryBound else -1L
-    val hint: DataFrame => DataFrame =
-      if (bound < 0 || bound <= maxBroadcast) broadcast(_) else identity
+    val hint = rowsBroadcastHint(df, bound)
     val joined = df.select(col("id"), col("value"), col("vector"))
       .join(hint(candidates.select("qid", "id")), Seq("id"))
       .join(hint(queries.select("qid", "qvector")), Seq("qid"))

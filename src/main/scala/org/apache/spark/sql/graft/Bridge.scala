@@ -10,4 +10,10 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Scala-external -> catalyst-internal value converter for `dt`
+    * (String -> UTF8String, Timestamp -> micros, ...): what an `InSet`
+    * literal set must hold to match the column's runtime values. */
+  def toCatalyst(dt: org.apache.spark.sql.types.DataType): Any => Any =
+    org.apache.spark.sql.catalyst.CatalystTypeConverters.createToCatalystConverter(dt)
 }

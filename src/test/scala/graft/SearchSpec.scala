@@ -298,4 +298,73 @@ class SearchSpec extends SparkSpec {
     val byQ = res.map(r => r.getString(0) -> r.getString(1)).toMap
     assert(byQ === Map("q1" -> "right", "q2" -> "up"))
   }
+
+  test("slim-cut guard: semi-join fallback above maxIds keeps results identical") {
+    val config = CollectionConfig("guard", 8, Metric.Cosine)
+    val rows = (0 until 300).map(i =>
+      (f"r$i%04d", Array.tabulate(8)(j => math.sin(i * 31 + j * 7).toFloat)))
+    val coll = prep(rows, config).persist()
+    val q = Array.tabulate(8)(j => math.cos(j * 3).toFloat)
+    def run(): Seq[Seq[(String, Double)]] = Seq(
+      Search.funnelSearch(coll, config, q, 5, Seq(2, 4, 8), 40, widen = 2),
+      Search.quantizedSearch(coll, config, q, 5, candidates = 40),
+      Search.hybridSearch(coll, config, q, 5, candidates = 40))
+      .map(_.collect().map(r => (r.getString(0), r.getDouble(2))).toSeq)
+    val unguarded = run()
+    // candidates=40 > maxIds=10 -> every cut takes the distributed
+    // left-semi path; the result sets and ordering must not change
+    spark.conf.set("spark.graft.slimcut.maxIds", "10")
+    try assert(run() === unguarded)
+    finally spark.conf.unset("spark.graft.slimcut.maxIds")
+    coll.unpersist()
+  }
+
+  test("filterByIds handles non-string id types via the column's catalyst type") {
+    val longDf = spark.range(100).select(col("id"),
+      (col("id") * 2654435761L % 97L).cast("double").as("rank"))
+    val ids = Search.slimTopIds(longDf, col("rank"), 7)
+    assert(ids.length === 7)
+    val kept = Search.filterByIds(longDf, ids).collect().map(_.getLong(0)).toSet
+    assert(kept === ids.map(_.asInstanceOf[Long]).toSet)
+    val intDf = spark.range(50).select(col("id").cast("int").as("id"),
+      (col("id") % 13).cast("double").as("rank"))
+    val intIds = Search.slimTopIds(intDf, col("rank"), 5)
+    assert(Search.filterByIds(intDf, intIds).count() === 5)
+  }
+
+  test("funnelSearchMany / hybridSearchMany per-query equal the single-query forms") {
+    import spark.implicits._
+    val config = CollectionConfig("batchfh", 16, Metric.Cosine)
+    val rows = (0 until 250).map(i =>
+      (f"r$i%04d", Array.tabulate(16)(j => math.sin(i * 13 + j * 5).toFloat)))
+    val coll = prep(rows, config).persist()
+    val qs = (0 until 3).map(k =>
+      (s"q$k", Array.tabulate(16)(j => math.cos(k * 7 + j).toFloat)))
+    val qdf = qs.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "qvector")
+    def keyOf(r: org.apache.spark.sql.Row, offset: Int) =
+      (r.getString(offset), math.rint(r.getDouble(offset + 2) * 1e9) / 1e9)
+    val manyF = Search.funnelSearchMany(coll, config, qdf, 5, candidates = 30,
+      knownNq = 3L).collect().groupBy(_.getString(0))
+    val manyH = Search.hybridSearchMany(coll, config, qdf, 5, candidates = 30,
+      knownNq = 3L).collect().groupBy(_.getString(0))
+    for ((qid, v) <- qs) {
+      val singleF = Search.funnelSearch(coll, config, v, 5, candidates = 30)
+        .collect().map(keyOf(_, 0)).toSet
+      assert(manyF(qid).map(keyOf(_, 1)).toSet === singleF, s"funnel $qid")
+      val singleH = Search.hybridSearch(coll, config, v, 5, candidates = 30)
+        .collect().map(keyOf(_, 0)).toSet
+      assert(manyH(qid).map(keyOf(_, 1)).toSet === singleH, s"hybrid $qid")
+    }
+    // the flat generator too (full-precision batch candidates)
+    val manyFlat = Search.hybridSearchMany(coll, config, qdf, 5,
+      generators = Seq("flat"), candidates = 30, knownNq = 3L)
+      .collect().groupBy(_.getString(0))
+    for ((qid, v) <- qs) {
+      val single = Search.hybridSearch(coll, config, v, 5,
+        generators = Seq("flat"), candidates = 30)
+        .collect().map(keyOf(_, 0)).toSet
+      assert(manyFlat(qid).map(keyOf(_, 1)).toSet === single, s"flat $qid")
+    }
+    coll.unpersist()
+  }
 }
