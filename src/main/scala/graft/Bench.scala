@@ -238,6 +238,19 @@ object Bench {
       Search.hybridSearch(coll, config, q, 10, candidates = 200,
         stages = Seq(dims / 4, dims / 2, dims)).collect()
     }
+    // batch funnel/hybrid: the last two search modes to get searchMany
+    // forms (r11's single-query-only gap) — per-stage per-qid window
+    // cuts in ONE job instead of per-query driver round-trips
+    record("synth_funnel_batch64_perq", div = 64.0) {
+      Search.funnelSearchMany(coll, config, queries64, 10,
+        stages = Seq(dims / 4, dims / 2, dims), candidates = 200,
+        knownNq = 64L).collect()
+    }
+    record("synth_hybrid_batch64_perq", div = 64.0) {
+      Search.hybridSearchMany(coll, config, queries64, 10,
+        candidates = 200, stages = Seq(dims / 4, dims / 2, dims),
+        knownNq = 64L).collect()
+    }
     // packed-f32 binary layout (scan-friendly at-rest format)
     val packedColl = graft.prepare.Prepare.withPackedVector(coll)
       .select("id", "value", "vector_f32").persist()

@@ -42,10 +42,21 @@ trait GraftIndex {
     * like every built-in family). */
   def searchMany(df: DataFrame, config: CollectionConfig, queries: DataFrame,
       limit: Int, knownNq: Long, filter: Option[Column]): DataFrame = {
+    // numeric element conversion (not getSeq[Float]): callers may pass
+    // array<double> qvectors, which the built-ins tolerate too
     val qs = queries.select(col("qid").cast("string"), col("qvector"))
       .collect().map(r => (r.getString(0),
-        r.getSeq[Float](1).toArray))
-    qs.map { case (qid, vec) =>
+        r.getSeq[Number](1).map(_.floatValue).toArray))
+    if (qs.isEmpty) {
+      // empty batch -> empty frame with the minimal contract schema
+      // (reduceLeft on zero frames would throw)
+      import org.apache.spark.sql.types._
+      df.sparkSession.createDataFrame(
+        java.util.Collections.emptyList[org.apache.spark.sql.Row](),
+        StructType(Seq(StructField("id", StringType),
+          StructField("score", DoubleType), StructField("distance", DoubleType),
+          StructField("metric", StringType), StructField("qid", StringType))))
+    } else qs.map { case (qid, vec) =>
       search(df, config, vec, limit, filter).withColumn("qid", lit(qid))
     }.reduceLeft(_ unionByName _)
   }

@@ -16,6 +16,21 @@ import graft.text.TextAnalysis
   * by exact verification restricted to candidate pairs. Exact dedup is a
   * single hash-aggregate. Nothing ever does an all-pairs join except the
   * explicitly-named `exactJaccardPairs` verification helper.
+  *
+  * Scaladoc examples below share these toy frames (DocExamplesSpec runs
+  * every example verbatim):
+  * {{{
+  * val docs = Seq(
+  *   ("d1", "the quick brown fox jumps over the lazy dog"),
+  *   ("d2", "the quick brown fox jumps over the lazy dog"),  // exact dup
+  *   ("d3", "a quick brown fox jumps over a lazy dog today"),// near dup
+  *   ("d4", "completely different text about spark pipelines")
+  * ).toDF("id", "text")
+  * val vecs = Seq(
+  *   ("v1", Seq(1f, 0f, 0f)), ("v2", Seq(0.999f, 0.045f, 0f)), // near dups
+  *   ("v3", Seq(0f, 1f, 0f))
+  * ).toDF("id", "vector")
+  * }}}
   */
 object Dedup {
 
@@ -23,14 +38,21 @@ object Dedup {
 
   /** Exact dedup on a key: marks each row with the canonical (minimum)
     * id of its duplicate group and an is_dup flag. One shuffle on the
-    * md5 of the key. */
+    * md5 of the key.
+    * {{{
+    * Dedup.exactDuplicates(docs, "id", col("text"))
+    *   .filter(col("is_dup"))   // d2 only, canonical_id d1
+    * }}} */
   def exactDuplicates(df: DataFrame, idCol: String, keyCol: Column): DataFrame = {
     val w = Window.partitionBy(md5(keyCol))
     df.withColumn("canonical_id", min(col(idCol)).over(w))
       .withColumn("is_dup", col(idCol) =!= col("canonical_id"))
   }
 
-  /** Keep only canonical rows (first by id within each duplicate group). */
+  /** Keep only canonical rows (first by id within each duplicate group).
+    * {{{
+    * Dedup.dropExactDuplicates(docs, "id", col("text")).count()   // 3
+    * }}} */
   def dropExactDuplicates(df: DataFrame, idCol: String, keyCol: Column): DataFrame =
     exactDuplicates(df, idCol, keyCol).filter(!col("is_dup"))
       .drop("canonical_id", "is_dup")
@@ -39,7 +61,11 @@ object Dedup {
 
   /** Exact k-shingle Jaccard for all pairs of a (small) frame — the
     * verification kernel and test oracle. O(n^2): use the minhash path
-    * for anything big. */
+    * for anything big.
+    * {{{
+    * Dedup.exactJaccardPairs(docs, "id", col("text"), k = 3)
+    *   .filter(col("jaccard") === 1.0)   // exactly the (d1, d2) pair
+    * }}} */
   def exactJaccardPairs(df: DataFrame, idCol: String, textCol: Column,
       k: Int): DataFrame = {
     val withSh = df.select(col(idCol).as("id"),
@@ -102,7 +128,12 @@ object Dedup {
   /** MinHash+LSH candidate pairs: signature -> band keys -> self-join on
     * band key (a<b), distinct. The only shuffled payload is
     * (band_hash, id); bands over `maxBandSize` members are skipped (see
-    * [[dropHotBands]], audit with [[minhashHotBands]]). */
+    * [[dropHotBands]], audit with [[minhashHotBands]]).
+    * {{{
+    * Dedup.minhashCandidatePairs(docs, "id", col("text"),
+    *   k = 3, numHashes = 8, bands = 4)
+    *   // contains (d1, d2): identical text collides in every band
+    * }}} */
   def minhashCandidatePairs(df: DataFrame, idCol: String, textCol: Column,
       k: Int, numHashes: Int, bands: Int,
       maxBandSize: Int = DefaultMaxBandSize,
@@ -115,14 +146,23 @@ object Dedup {
       .select("id_a", "id_b").distinct()
   }
 
-  /** Skipped-bands audit for [[minhashCandidatePairs]]. */
+  /** Skipped-bands audit for [[minhashCandidatePairs]].
+    * {{{
+    * Dedup.minhashHotBands(docs, "id", col("text"), 3, 8, 4)
+    *   .count()   // 0: no band exceeds the default cap on 4 docs
+    * }}} */
   def minhashHotBands(df: DataFrame, idCol: String, textCol: Column,
       k: Int, numHashes: Int, bands: Int,
       maxBandSize: Int = DefaultMaxBandSize): DataFrame =
     hotBands(minhashBanded(df, idCol, textCol, k, numHashes, bands), maxBandSize)
 
   /** MinHash dedup: LSH candidates verified by exact shingle Jaccard at
-    * `threshold`. Returns (id_a, id_b, jaccard) for verified pairs. */
+    * `threshold`. Returns (id_a, id_b, jaccard) for verified pairs.
+    * {{{
+    * val pairs = Dedup.minhashVerifiedPairs(docs, "id", col("text"),
+    *   k = 3, numHashes = 8, bands = 4, threshold = 0.7)
+    * pairs.select("id_a", "id_b")   // (d1, d2); d3/d4 verify below 0.7
+    * }}} */
   def minhashVerifiedPairs(df: DataFrame, idCol: String, textCol: Column,
       k: Int, numHashes: Int, bands: Int, threshold: Double,
       fastHash: Boolean = false): DataFrame = {
@@ -150,7 +190,12 @@ object Dedup {
     * need ~30 rounds, not millions. The loop stops at fixpoint;
     * `maxIter` is only a runaway safety cap. `localCheckpoint` per
     * round truncates the otherwise exponentially-growing plan lineage.
-    * Returns (id, cluster_id) with cluster_id = component minimum. */
+    * Returns (id, cluster_id) with cluster_id = component minimum.
+    * {{{
+    * val pairs = Seq(("d1", "d2"), ("d2", "d3")).toDF("id_a", "id_b")
+    * Dedup.clusters(docs, "id", pairs)
+    *   .filter(col("cluster_id") === "d1").count()   // 3: one chain
+    * }}} */
   def clusters(df: DataFrame, idCol: String, pairs: DataFrame,
       maxIter: Int = 100, maxLocalPairs: Int = -1): DataFrame = {
     // HYBRID: duplicate-pair sets are usually tiny relative to the
@@ -291,7 +336,11 @@ object Dedup {
 
   /** End-to-end near-dup removal: MinHash-LSH verified pairs ->
     * connected components -> keep only each cluster's canonical (minimum
-    * id) row. The one-call shape of the full dedup pipeline. */
+    * id) row. The one-call shape of the full dedup pipeline.
+    * {{{
+    * val kept = Dedup.dropNearDuplicates(docs, "id", col("text"))
+    *   .select("id")   // d2 dropped (d1 is its cluster minimum)
+    * }}} */
   def dropNearDuplicates(df: DataFrame, idCol: String, textCol: Column,
       k: Int = 3, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.7, fastHash: Boolean = false): DataFrame = {
@@ -309,7 +358,11 @@ object Dedup {
     * S-curve threshold `(1/b)^(1/r)` lands closest to the target
     * Jaccard — the principled way to choose the banding the pairs/
     * against/streaming families take as parameters. Pure driver math.
-    * Returns (bands, rowsPerBand, achievedThreshold). */
+    * Returns (bands, rowsPerBand, achievedThreshold).
+    * {{{
+    * Dedup.tuneBands(numHashes = 16, targetThreshold = 0.5)
+    *   // (8, 2, 0.354...): the divisor split whose S-curve lands closest
+    * }}} */
   def tuneBands(numHashes: Int, targetThreshold: Double): (Int, Int, Double) = {
     require(numHashes > 0, "numHashes must be positive")
     require(targetThreshold > 0 && targetThreshold < 1, "threshold in (0,1)")
@@ -322,7 +375,12 @@ object Dedup {
     * cluster SIZE with how many clusters have it and how many
     * documents (and removable duplicates) they hold — the one-look
     * dedup diagnostic ("how much of the corpus is singletons vs a few
-    * mega-clusters"). Two grouped counts on top of the label frame. */
+    * mega-clusters"). Two grouped counts on top of the label frame.
+    * {{{
+    * val pairs = Seq(("d1", "d2")).toDF("id_a", "id_b")
+    * Dedup.clusterSizeHistogram(Dedup.clusters(docs, "id", pairs))
+    *   // (size 1: 2 clusters) and (size 2: 1 cluster, 1 removable)
+    * }}} */
   def clusterSizeHistogram(labels: DataFrame): DataFrame = {
     val sizes = labels.groupBy(col("cluster_id"))
       .agg(count(lit(1)).as("cluster_size"))
@@ -345,7 +403,13 @@ object Dedup {
     * number of SOURCES (a handful), never the corpus — so the join
     * output is at most |distinct shingles| x sources^2/2 rows and the
     * whole audit is one aggregation pyramid, no document pairs
-    * anywhere. */
+    * anywhere.
+    * {{{
+    * val sourced = docs.withColumn("source",
+    *   when(col("id") < "d3", "crawl_a").otherwise("crawl_b"))
+    * Dedup.sourceOverlap(sourced, "source", col("text"), k = 3)
+    *   // one (crawl_a, crawl_b) row with their shared-shingle Jaccard
+    * }}} */
   def sourceOverlap(df: DataFrame, sourceCol: String, textCol: Column,
       k: Int = 3): DataFrame = {
     val ss = df.select(col(sourceCol).as("_src"),
@@ -375,7 +439,13 @@ object Dedup {
     * (cluster_id, keep_score). One label join + one window keyed on the
     * cluster label — Spark's WindowGroupLimit pre-cuts each cluster to
     * its rank-1 row map-side, so a mega-cluster never floods the
-    * exchange. */
+    * exchange.
+    * {{{
+    * val scored = docs.withColumn("quality", length(col("text")))
+    * val pairs = Seq(("d1", "d3")).toDF("id_a", "id_b")
+    * Dedup.keepBestPerCluster(scored, "id", pairs, col("quality"))
+    *   // d3 survives the (d1, d3) cluster: longer text wins, not min id
+    * }}} */
   def keepBestPerCluster(df: DataFrame, idCol: String, pairs: DataFrame,
       scoreCol: Column): DataFrame = {
     val labels = clusters(df.select(col(idCol)), idCol, pairs)
@@ -404,7 +474,14 @@ object Dedup {
 
   /** Batch rows whose exact dedup key already exists in the corpus:
     * semi-join on md5(key) — the corpus reduces to its distinct key
-    * hashes before any join. */
+    * hashes before any join.
+    * {{{
+    * val batch = Seq(
+    *   ("b1", "the quick brown fox jumps over the lazy dog"),  // in corpus
+    *   ("b2", "a genuinely novel document")).toDF("id", "text")
+    * Dedup.exactMatchesAgainst(docs, batch, col("text"))
+    *   .select("id")   // b1 only
+    * }}} */
   def exactMatchesAgainst(corpus: DataFrame, batch: DataFrame,
       keyCol: Column): DataFrame = {
     val keys = corpus.select(md5(keyCol).as("_dk")).distinct()
@@ -412,7 +489,14 @@ object Dedup {
       .join(keys, Seq("_dk"), "left_semi").drop("_dk")
   }
 
-  /** Batch rows with NO exact key match in the corpus. */
+  /** Batch rows with NO exact key match in the corpus.
+    * {{{
+    * val batch = Seq(
+    *   ("b1", "the quick brown fox jumps over the lazy dog"),
+    *   ("b2", "a genuinely novel document")).toDF("id", "text")
+    * Dedup.dropExactAgainst(docs, batch, col("text"))
+    *   .select("id")   // b2 only
+    * }}} */
   def dropExactAgainst(corpus: DataFrame, batch: DataFrame,
       keyCol: Column): DataFrame = {
     val keys = corpus.select(md5(keyCol).as("_dk")).distinct()
@@ -435,7 +519,14 @@ object Dedup {
     *
     * Driver memory holds only the bloom (~1.2 bytes/key at fpp 0.03 —
     * 1.2 GB per 10^9 corpus keys; for a corpus beyond a few billion
-    * keys, shard the corpus and intersect per-shard blooms upstream). */
+    * keys, shard the corpus and intersect per-shard blooms upstream).
+    * {{{
+    * val batch = Seq(
+    *   ("b1", "the quick brown fox jumps over the lazy dog"),
+    *   ("b2", "a genuinely novel document")).toDF("id", "text")
+    * Dedup.dropExactAgainstBloom(docs, batch, col("text"))
+    *   .select("id")   // b2 only — provably identical to dropExactAgainst
+    * }}} */
   def dropExactAgainstBloom(corpus: DataFrame, batch: DataFrame,
       keyCol: Column, fpp: Double = 0.03,
       expectedItems: Long = -1L): DataFrame = {
@@ -454,7 +545,11 @@ object Dedup {
 
   /** The corpus-side Bloom filter [[dropExactAgainstBloom]] uses, built
     * once per corpus epoch (one aggregation pass, partial-merged across
-    * partitions) and reusable across every arriving batch. */
+    * partitions) and reusable across every arriving batch.
+    * {{{
+    * val bloom = Dedup.corpusKeyBloom(docs, col("text"))
+    * bloom.expectedFpp() < 0.1   // sized from the corpus count
+    * }}} */
   def corpusKeyBloom(corpus: DataFrame, keyCol: Column, fpp: Double = 0.03,
       expectedItems: Long = -1L): org.apache.spark.util.sketch.BloomFilter = {
     val n = if (expectedItems > 0) expectedItems
@@ -466,7 +561,15 @@ object Dedup {
     * MinHash band keys on both sides, batch x corpus join per band
     * (never corpus x corpus), exact shingle-Jaccard verification at
     * `threshold`. Returns (id, corpus_id, jaccard) — one row per
-    * verified (batch, corpus) match. */
+    * verified (batch, corpus) match.
+    * {{{
+    * val batch = Seq(
+    *   ("b1", "the quick brown fox jumps over the lazy dog"),
+    *   ("b2", "a genuinely novel document")).toDF("id", "text")
+    * Dedup.minhashMatchesAgainst(docs, batch, "id", col("text"),
+    *   k = 3, numHashes = 8, bands = 4, threshold = 0.7)
+    *   // (b1, d1, 1.0) and (b1, d2, 1.0); b2 matches nothing
+    * }}} */
   def minhashMatchesAgainst(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: Column, k: Int, numHashes: Int, bands: Int,
       threshold: Double, maxBandSize: Int = DefaultMaxBandSize,
@@ -512,7 +615,14 @@ object Dedup {
     * boilerplate, not near-dup signal, so this is usually the right
     * trade — but when a false-novel on hot boilerplate matters, run
     * [[minhashAgainstHotBands]] alongside and handle its bands
-    * explicitly (e.g. an exact-key pass over their members). */
+    * explicitly (e.g. an exact-key pass over their members).
+    * {{{
+    * val batch = Seq(
+    *   ("b1", "the quick brown fox jumps over the lazy dog"),
+    *   ("b2", "a genuinely novel document")).toDF("id", "text")
+    * Dedup.dropNearAgainst(docs, batch, "id", col("text"))
+    *   .select("id")   // b2 only
+    * }}} */
   def dropNearAgainst(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: Column, k: Int = 3, numHashes: Int = 8, bands: Int = 4,
       threshold: Double = 0.7, maxBandSize: Int = DefaultMaxBandSize,
@@ -526,7 +636,12 @@ object Dedup {
   /** Two-sided skipped-bands audit for the minhash against family:
     * (side, band, members) for bands over the cap on the corpus or
     * batch side — exactly the bands [[minhashMatchesAgainst]] /
-    * [[dropNearAgainst]] skip at the same `maxBandSize`. */
+    * [[dropNearAgainst]] skip at the same `maxBandSize`.
+    * {{{
+    * val batch = Seq(("b2", "a genuinely novel document")).toDF("id", "text")
+    * Dedup.minhashAgainstHotBands(docs, batch, "id", col("text"),
+    *   3, 8, 4).count()   // 0 at the default cap
+    * }}} */
   def minhashAgainstHotBands(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: Column, k: Int, numHashes: Int, bands: Int,
       maxBandSize: Int = DefaultMaxBandSize,
@@ -556,7 +671,13 @@ object Dedup {
     * candidates (4 x 16 bits, recall-complete for hamming <= 3),
     * verified by popcount(xor) <= maxHamming — [[simhashPairs]]' shape
     * for hashes the caller derived (e.g. [[graft.multimodal.Multimodal]]
-    * image dHash). */
+    * image dHash).
+    * {{{
+    * val hashes = Seq(("h1", 0xF0F0L), ("h2", 0xF0F1L), ("h3", 0x0F0FL))
+    *   .toDF("id", "h")
+    * Dedup.hamming64Pairs(hashes, "id", col("h"), maxHamming = 3)
+    *   // one (h1, h2) pair at hamming 1
+    * }}} */
   def hamming64Pairs(df: DataFrame, idCol: String, hash: Column,
       maxHamming: Int, maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
     val banded = dropHotBands(banded64(df, idCol, hash), maxBandSize)
@@ -572,7 +693,11 @@ object Dedup {
   /** SimHash near-dup pairs: candidates share one of 4 16-bit bands of
     * the 64-bit simhash (guarantees recall for hamming <= 3), verified by
     * popcount(xor) <= maxHamming. Bands over `maxBandSize` members are
-    * skipped (see [[dropHotBands]], audit with [[simhashHotBands]]). */
+    * skipped (see [[dropHotBands]], audit with [[simhashHotBands]]).
+    * {{{
+    * Dedup.simhashPairs(docs, "id", col("text"), maxHamming = 3)
+    *   // contains (d1, d2) at hamming 0 (identical fingerprints)
+    * }}} */
   def simhashPairs(df: DataFrame, idCol: String, textCol: Column,
       maxHamming: Int, maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
     val banded = dropHotBands(simhashBanded(df, idCol, textCol), maxBandSize)
@@ -585,7 +710,10 @@ object Dedup {
       .filter(col("hamming") <= maxHamming)
   }
 
-  /** Skipped-bands audit for [[simhashPairs]]. */
+  /** Skipped-bands audit for [[simhashPairs]].
+    * {{{
+    * Dedup.simhashHotBands(docs, "id", col("text")).count()   // 0
+    * }}} */
   def simhashHotBands(df: DataFrame, idCol: String, textCol: Column,
       maxBandSize: Int = DefaultMaxBandSize): DataFrame =
     hotBands(simhashBanded(df, idCol, textCol).select("id", "band"), maxBandSize)
@@ -594,7 +722,14 @@ object Dedup {
     * sibling on the 64-bit fingerprint): 16-bit bands on both sides,
     * batch x corpus join per band (recall guaranteed for hamming <= 3),
     * verified by popcount(xor) <= maxHamming. Asymmetric like the other
-    * against forms. Returns (id, corpus_id, hamming). */
+    * against forms. Returns (id, corpus_id, hamming).
+    * {{{
+    * val batch = Seq(
+    *   ("b1", "the quick brown fox jumps over the lazy dog"),
+    *   ("b2", "a genuinely novel document")).toDF("id", "text")
+    * Dedup.simhashMatchesAgainst(docs, batch, "id", col("text"),
+    *   maxHamming = 3)   // b1 matches d1 and d2 at hamming 0
+    * }}} */
   def simhashMatchesAgainst(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: Column, maxHamming: Int,
       maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
@@ -611,7 +746,14 @@ object Dedup {
   /** Batch rows with no corpus fingerprint within `maxHamming` bits.
     * Same cap caveat as [[dropNearAgainst]]: bands over `maxBandSize` on
     * either side are skipped, so a match living only in a skipped band
-    * passes as novel — audit with [[simhashAgainstHotBands]]. */
+    * passes as novel — audit with [[simhashAgainstHotBands]].
+    * {{{
+    * val batch = Seq(
+    *   ("b1", "the quick brown fox jumps over the lazy dog"),
+    *   ("b2", "a genuinely novel document")).toDF("id", "text")
+    * Dedup.dropSimhashAgainst(docs, batch, "id", col("text"),
+    *   maxHamming = 3).select("id")   // b2 only
+    * }}} */
   def dropSimhashAgainst(corpus: DataFrame, batch: DataFrame, idCol: String,
       textCol: Column, maxHamming: Int,
       maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
@@ -621,7 +763,12 @@ object Dedup {
   }
 
   /** Two-sided skipped-bands audit for [[simhashMatchesAgainst]] /
-    * [[dropSimhashAgainst]]: (side, band, members) over the cap. */
+    * [[dropSimhashAgainst]]: (side, band, members) over the cap.
+    * {{{
+    * val batch = Seq(("b2", "a genuinely novel document")).toDF("id", "text")
+    * Dedup.simhashAgainstHotBands(docs, batch, "id", col("text"))
+    *   .count()   // 0 at the default cap
+    * }}} */
   def simhashAgainstHotBands(corpus: DataFrame, batch: DataFrame,
       idCol: String, textCol: Column,
       maxBandSize: Int = DefaultMaxBandSize): DataFrame =
@@ -637,7 +784,18 @@ object Dedup {
     * — state for a fingerprint is held only within the watermark window,
     * so state size is bounded (the streaming analogue of
     * exactDuplicates). `df` must be a streaming frame with an event-time
-    * column. */
+    * column.
+    * {{{
+    * val input = MemoryStream[(java.sql.Timestamp, String)]
+    * val deduped = Dedup.streamingExactDedup(
+    *   input.toDF().toDF("ts", "text"), col("text"), "ts", "10 minutes")
+    * val q = deduped.writeStream.format("memory").queryName("sdedup")
+    *   .outputMode("append").start()
+    * val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    * input.addData((t0, "hello"), (t0, "hello"), (t0, "world"))
+    * q.processAllAvailable()
+    * spark.table("sdedup").count()   // 2: the repeat was dropped
+    * }}} */
   def streamingExactDedup(df: DataFrame, keyCol: Column, tsCol: String,
       watermark: String): DataFrame =
     df.withColumn("_fp", md5(keyCol))
@@ -660,7 +818,23 @@ object Dedup {
     * stateful stages key on SMALL values (band hash / doc id) — no
     * document text in state, so state scales with arrival rate x
     * watermark, not corpus size.
-    */
+    * {{{
+    * val input = MemoryStream[(java.sql.Timestamp, String, String)]
+    * val novelty = Dedup.streamingMinhashNovelty(
+    *   input.toDF().toDF("ts", "id", "text"), "id", col("text"),
+    *   "ts", watermark = "5 minutes", k = 2, numHashes = 8, bands = 4)
+    * val q = novelty.writeStream.format("memory").queryName("novel")
+    *   .outputMode("append").start()
+    * val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    * input.addData((t0, "a", "the quick brown fox jumps over the dog"))
+    * q.processAllAvailable()
+    * // a late sentinel advances the watermark so t0's window closes
+    * input.addData((java.sql.Timestamp.valueOf("2024-01-01 10:30:00"),
+    *   "z", "late sentinel"))
+    * q.processAllAvailable()
+    * spark.table("novel").filter(col("id") === "a").head.getBoolean(2)
+    *   // true: first-seen text, every band novel
+    * }}} */
   def streamingMinhashNovelty(df: DataFrame, idCol: String, textCol: Column,
       tsCol: String, watermark: String, k: Int = 3, numHashes: Int = 8,
       bands: Int = 4, windowLength: String = "1 minute",
@@ -679,7 +853,15 @@ object Dedup {
   /** Streaming embedding near-dup filter: same chained-stateful shape as
     * [[streamingMinhashNovelty]], with cosine-LSH hyperplane band keys
     * over the L2-normalized vector — an online analogue of
-    * [[embeddingPairs]]'s candidate generation. */
+    * [[embeddingPairs]]'s candidate generation.
+    * {{{
+    * val input = MemoryStream[(java.sql.Timestamp, String, Seq[Float])]
+    * val novelty = Dedup.streamingEmbeddingNovelty(
+    *   input.toDF().toDF("ts", "id", "vector"), "id", "vector",
+    *   "ts", watermark = "5 minutes")
+    * // same memory-sink + watermark-sentinel loop as
+    * // streamingMinhashNovelty; novel=true for first-seen vectors
+    * }}} */
   def streamingEmbeddingNovelty(df: DataFrame, idCol: String, vectorCol: String,
       tsCol: String, watermark: String,
       lsh: CosineLsh.LshConfig = CosineLsh.LshConfig(bands = 24, bitsPerBand = 6),
@@ -708,7 +890,12 @@ object Dedup {
     * verification. `df` needs (id, vector); vectors are L2-normalized
     * here so verification is a plain dot. Bands over `maxBandSize`
     * members (e.g. a zero-vector bucket) are skipped (see
-    * [[dropHotBands]], audit with [[embeddingHotBands]]). */
+    * [[dropHotBands]], audit with [[embeddingHotBands]]).
+    * {{{
+    * Dedup.embeddingPairs(vecs, "id", "vector",
+    *   CosineLsh.LshConfig(bands = 8, bitsPerBand = 4), threshold = 0.9)
+    *   // one (v1, v2) pair, cosine ~0.999
+    * }}} */
   def embeddingPairs(df: DataFrame, idCol: String, vectorCol: String,
       lsh: CosineLsh.LshConfig, threshold: Double,
       maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
@@ -741,7 +928,14 @@ object Dedup {
     * `threshold`. Same shuffle discipline as [[embeddingPairs]] — only
     * (band, id) moves through the join; vectors attach after the
     * distinct. Returns (id, corpus_id, cosine), asymmetric like the
-    * text variant. */
+    * text variant.
+    * {{{
+    * val vbatch = Seq(("n1", Seq(0.998f, 0.05f, 0f)),
+    *   ("n2", Seq(0f, 0f, 1f))).toDF("id", "vector")
+    * Dedup.embeddingMatchesAgainst(vecs, vbatch, "id", "vector",
+    *   CosineLsh.LshConfig(bands = 8, bitsPerBand = 4), threshold = 0.9)
+    *   // n1 matches v1 and v2; n2 matches nothing
+    * }}} */
   def embeddingMatchesAgainst(corpus: DataFrame, batch: DataFrame,
       idCol: String, vectorCol: String, lsh: CosineLsh.LshConfig,
       threshold: Double, maxBandSize: Int = DefaultMaxBandSize,
@@ -776,14 +970,27 @@ object Dedup {
     * (id, nv) frame with L2-normalized vectors that
     * [[embeddingMatchesAgainst]] / [[dropEmbeddingAgainst]] accept with
     * `corpusIsNormalized = true`. Persist (or write to parquet) once
-    * per corpus generation. */
+    * per corpus generation.
+    * {{{
+    * val nc = Dedup.normalizedCorpus(vecs, "id", "vector").persist()
+    * Dedup.dropEmbeddingAgainst(nc, vbatch, "id", "vector",
+    *   CosineLsh.LshConfig(bands = 8, bitsPerBand = 4), 0.9,
+    *   corpusIsNormalized = true)   // per-batch cost skips the corpus prep
+    * }}} */
   def normalizedCorpus(df: DataFrame, idCol: String, vectorCol: String): DataFrame =
     df.select(col(idCol).as("id"),
       normalizeVector(graft.core.Normalize.L2, col(vectorCol)).as("nv"))
 
   /** Batch rows with no corpus embedding within `threshold` cosine —
     * the vector-space novelty cut. Same cap caveat as
-    * [[dropNearAgainst]] (audit with [[embeddingHotBands]] per side). */
+    * [[dropNearAgainst]] (audit with [[embeddingHotBands]] per side).
+    * {{{
+    * val vbatch = Seq(("n1", Seq(0.998f, 0.05f, 0f)),
+    *   ("n2", Seq(0f, 0f, 1f))).toDF("id", "vector")
+    * Dedup.dropEmbeddingAgainst(vecs, vbatch, "id", "vector",
+    *   CosineLsh.LshConfig(bands = 8, bitsPerBand = 4), threshold = 0.9)
+    *   .select("id")   // n2 only
+    * }}} */
   def dropEmbeddingAgainst(corpus: DataFrame, batch: DataFrame,
       idCol: String, vectorCol: String, lsh: CosineLsh.LshConfig,
       threshold: Double, maxBandSize: Int = DefaultMaxBandSize,
@@ -794,7 +1001,11 @@ object Dedup {
     batch.join(matched, batch(idCol) === col("_m_id"), "left_anti")
   }
 
-  /** Skipped-bands audit for [[embeddingPairs]]. */
+  /** Skipped-bands audit for [[embeddingPairs]].
+    * {{{
+    * Dedup.embeddingHotBands(vecs, "id", "vector",
+    *   CosineLsh.LshConfig(bands = 8, bitsPerBand = 4)).count()   // 0
+    * }}} */
   def embeddingHotBands(df: DataFrame, idCol: String, vectorCol: String,
       lsh: CosineLsh.LshConfig,
       maxBandSize: Int = DefaultMaxBandSize): DataFrame = {
@@ -826,7 +1037,17 @@ object Dedup {
     * the duplicated-window mass, never corpus^2.
     *
     * Returns (id, n_tokens_before, n_tokens_after, clean_md5,
-    * clean_text) with whitespace-normalized reconstruction. */
+    * clean_text) with whitespace-normalized reconstruction.
+    * {{{
+    * val pages = Seq(
+    *   ("p1", "copyright footer text plus unique alpha content"),
+    *   ("p2", "copyright footer text plus unique beta content"))
+    *   .toDF("id", "text")
+    * Dedup.dropSharedSpans(pages, "id", col("text"),
+    *   spanTokens = 3, minDocs = 2)
+    *   // the shared "copyright footer text plus unique" run is cut
+    *   // from BOTH pages; each keeps its unique tail
+    * }}} */
   def dropSharedSpans(df: DataFrame, idCol: String, textCol: Column,
       spanTokens: Int = 20, minDocs: Int = 2): DataFrame = {
     require(spanTokens >= 2, "spanTokens must be at least 2")
@@ -848,7 +1069,13 @@ object Dedup {
     * The diagnosis side of this is `TextAnalysis.topNgramFrac` /
     * `gopherKeep`; this is the corresponding fix operator. Same scale
     * shape as [[dropSharedSpans]], with the grouped count keyed
-    * (id, window) — never cross-document. */
+    * (id, window) — never cross-document.
+    * {{{
+    * val loops = Seq(("p1", "buy now buy now buy now unique ending"))
+    *   .toDF("id", "text")
+    * Dedup.dropRepeatedSpans(loops, "id", col("text"), spanTokens = 2)
+    *   .head   // n_tokens_after < n_tokens_before: the loop is stripped
+    * }}} */
   def dropRepeatedSpans(df: DataFrame, idCol: String, textCol: Column,
       spanTokens: Int = 20): DataFrame = {
     require(spanTokens >= 2, "spanTokens must be at least 2")
@@ -905,7 +1132,12 @@ object Dedup {
     * vectors attach AFTER candidate generation like every pair family
     * here — and pair cost is bounded by the largest cell; degenerate
     * cells over `maxCellSize` are skipped (audit via
-    * [[semanticHotCells]]). Returns (id_a, id_b, cell, cosine). */
+    * [[semanticHotCells]]). Returns (id_a, id_b, cell, cosine).
+    * {{{
+    * val cents = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f))
+    * Dedup.semanticPairs(vecs, "id", "vector", cents, threshold = 0.9)
+    *   // (v1, v2) share cell 0 and verify at cosine ~0.999
+    * }}} */
   def semanticPairs(df: DataFrame, idCol: String, vectorCol: String,
       centroids: Array[Array[Float]], threshold: Double,
       maxCellSize: Int = DefaultMaxBandSize): DataFrame = {
@@ -932,7 +1164,12 @@ object Dedup {
     * keep each component's minimum id (the canonical), drop the rest.
     * Returns `df` rows that survive. Same silent-skip caveat as the
     * other capped families: a pair lost to a `maxCellSize`-skipped cell
-    * leaves both rows in the keep-set. */
+    * leaves both rows in the keep-set.
+    * {{{
+    * val cents = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f))
+    * Dedup.dropSemanticDuplicates(vecs, "id", "vector", cents, 0.9)
+    *   .select("id")   // v1 (cluster min) and v3; v2 dropped
+    * }}} */
   def dropSemanticDuplicates(df: DataFrame, idCol: String, vectorCol: String,
       centroids: Array[Array[Float]], threshold: Double,
       maxCellSize: Int = DefaultMaxBandSize): DataFrame = {
@@ -946,7 +1183,11 @@ object Dedup {
   }
 
   /** Skipped-cells audit for [[semanticPairs]]: (cell, members) for
-    * cells over the cap — exactly the cells the pair join skips. */
+    * cells over the cap — exactly the cells the pair join skips.
+    * {{{
+    * val cents = Array(Array(1f, 0f, 0f), Array(0f, 1f, 0f))
+    * Dedup.semanticHotCells(vecs, "id", "vector", cents).count()   // 0
+    * }}} */
   def semanticHotCells(df: DataFrame, idCol: String, vectorCol: String,
       centroids: Array[Array[Float]],
       maxCellSize: Int = DefaultMaxBandSize): DataFrame =
@@ -960,7 +1201,11 @@ object Dedup {
       graft.expr.IvfCell(
         org.apache.spark.sql.graft.Bridge.expression(v), centroids))
 
-  /** Exact all-pairs cosine for a small frame (verification oracle). */
+  /** Exact all-pairs cosine for a small frame (verification oracle).
+    * {{{
+    * Dedup.exactCosinePairs(vecs, "id", "vector")
+    *   .filter(col("cosine") > 0.9)   // the (v1, v2) pair
+    * }}} */
   def exactCosinePairs(df: DataFrame, idCol: String, vectorCol: String): DataFrame = {
     val n = df.select(col(idCol).as("id"),
       normalizeVector(graft.core.Normalize.L2, col(vectorCol)).as("nv"))

@@ -25,7 +25,13 @@ object Drift {
     * volume = `buckets` rows; nothing driver-resident but the two
     * scalars. Every arithmetic step (width, floor-bucket, fractions,
     * ln ratio) is plain double math an oracle engine replicates
-    * exactly. */
+    * exactly.
+    * {{{
+    * val ref = Seq(1.0, 2.0, 3.0, 4.0, 5.0, 6.0, 7.0, 8.0, 9.0, 10.0).toDF("x")
+    * Drift.psi(ref, ref, "x").agg(sum("psi_term")).head.getDouble(0)   // 0.0
+    * val cur = Seq(9.0, 9.5, 10.0).toDF("x")   // mass moved to the top bucket
+    * Drift.psi(ref, cur, "x").agg(sum("psi_term")).head.getDouble(0)   // > 0.25
+    * }}} */
   def psi(ref: DataFrame, cur: DataFrame, colName: String,
       buckets: Int = 10, eps: Double = 1e-6): DataFrame = {
     require(buckets > 1, "need at least 2 buckets")
@@ -54,8 +60,15 @@ object Drift {
         coalesce(col("_nr"), lit(0L)).as("_nr"),
         coalesce(col("_nc"), lit(0L)).as("_nc"))
     val tot = joined.agg(sum(col("_nr")).as("_tr"), sum(col("_nc")).as("_tc"))
-    val pa = greatest(col("_nr").cast("double") / col("_tr").cast("double"), lit(eps))
-    val pb = greatest(col("_nc").cast("double") / col("_tc").cast("double"), lit(eps))
+    // an EMPTY current side would make _nc/_tc = 0/0 = NaN, and NaN
+    // passes greatest() (NaN compares greatest in Spark) — guard to the
+    // eps floor instead so the PSI stays finite (and maximal)
+    val pa = when(col("_tr") > 0,
+      greatest(col("_nr").cast("double") / col("_tr").cast("double"), lit(eps)))
+      .otherwise(lit(eps))
+    val pb = when(col("_tc") > 0,
+      greatest(col("_nc").cast("double") / col("_tc").cast("double"), lit(eps)))
+      .otherwise(lit(eps))
     joined.crossJoin(broadcast(tot))
       .select(col("bucket"),
         pa.as("ref_frac"), pb.as("cur_frac"),
@@ -68,7 +81,13 @@ object Drift {
     * category shows up as (eps, its-share) — maximally flagged, which
     * is the right alarm for "a source appeared that the reference
     * never saw". NULL categories count as a real category (they are a
-    * mix share too). Shuffle = one grouped count per side. */
+    * mix share too). Shuffle = one grouped count per side.
+    * {{{
+    * val refLang = Seq("en", "en", "en", "de").toDF("lang")
+    * val curLang = Seq("en", "zz", "zz", "zz").toDF("lang")   // new source
+    * Drift.psiCategorical(refLang, curLang, "lang")
+    *   .filter(col("category") === "zz").head.getDouble(3)    // large psi_term
+    * }}} */
   def psiCategorical(ref: DataFrame, cur: DataFrame, colName: String,
       eps: Double = 1e-6): DataFrame = {
     require(eps > 0, "eps must be positive")
@@ -84,8 +103,13 @@ object Drift {
         coalesce(col("_nr"), lit(0L)).as("_nr"),
         coalesce(col("_nc"), lit(0L)).as("_nc"))
     val tot = joined.agg(sum(col("_nr")).as("_tr"), sum(col("_nc")).as("_tc"))
-    val pa = greatest(col("_nr").cast("double") / col("_tr").cast("double"), lit(eps))
-    val pb = greatest(col("_nc").cast("double") / col("_tc").cast("double"), lit(eps))
+    // empty-side guard: see [[psi]] (0/0 = NaN would pass greatest)
+    val pa = when(col("_tr") > 0,
+      greatest(col("_nr").cast("double") / col("_tr").cast("double"), lit(eps)))
+      .otherwise(lit(eps))
+    val pb = when(col("_tc") > 0,
+      greatest(col("_nc").cast("double") / col("_tc").cast("double"), lit(eps)))
+      .otherwise(lit(eps))
     joined.crossJoin(broadcast(tot))
       .select(col("category"), pa.as("ref_frac"), pb.as("cur_frac"),
         ((pa - pb) * log(pa / pb)).as("psi_term"))
@@ -94,11 +118,23 @@ object Drift {
   /** [[psi]] per group (the multilingual monitor: drift per language /
     * per source, where a stable global distribution can hide a badly
     * drifted tail group). Bucket edges are per-group reference min/max
-    * (each group monitors its own scale); groups present on only one
-    * side are skipped (no reference range, or nothing to score —
-    * surface those with a plain anti-join upstream). Output: one row
+    * (each group monitors its own scale). Groups with no usable
+    * REFERENCE range (absent, all-null, or constant) are skipped —
+    * there is nothing to bucket against; a group present in the
+    * reference but ABSENT from the current batch IS emitted, with
+    * cur_frac at the eps floor in every bucket (maximal psi_terms):
+    * "a group we tuned on disappeared" is exactly the alarm a drift
+    * monitor must raise. Output: one row
     * per (group, bucket) with the same eps-substituted psi_term.
-    * Same shuffle discipline as [[psi]], keyed by (group, bucket). */
+    * Same shuffle discipline as [[psi]], keyed by (group, bucket).
+    * {{{
+    * val refG = Seq(("en", 1.0), ("en", 2.0), ("en", 3.0), ("de", 1.0),
+    *   ("de", 2.0), ("de", 3.0)).toDF("lang", "x")
+    * val curG = Seq(("en", 1.0), ("en", 2.0), ("en", 3.0), ("de", 3.0),
+    *   ("de", 3.0), ("de", 3.0)).toDF("lang", "x")   // de drifted, en stable
+    * Drift.psiByGroup(refG, curG, "x", "lang").groupBy("lang")
+    *   .agg(sum("psi_term").as("psi"))   // en ~0, de large
+    * }}} */
   def psiByGroup(ref: DataFrame, cur: DataFrame, colName: String,
       groupCol: String, buckets: Int = 10, eps: Double = 1e-6): DataFrame = {
     require(buckets > 1, "need at least 2 buckets")
@@ -143,7 +179,12 @@ object Drift {
     * one numeric column between reference and current — the scalar
     * first-look companion to [[psi]]. One aggregation per side
     * (count/mean via sum, population variance via sum of squares);
-    * output is a single row (ref_mean, cur_mean, pooled_std, smd). */
+    * output is a single row (ref_mean, cur_mean, pooled_std, smd).
+    * {{{
+    * val a = Seq(0.0, 2.0).toDF("x")   // mean 1, var 1
+    * val b = Seq(3.0, 5.0).toDF("x")   // mean 4, var 1
+    * Drift.standardizedMeanDiff(a, b, "x").head.getDouble(3)   // 3.0
+    * }}} */
   def standardizedMeanDiff(ref: DataFrame, cur: DataFrame,
       colName: String): DataFrame = {
     def stats(df: DataFrame, p: String): DataFrame =

@@ -12,7 +12,12 @@ import org.apache.spark.sql.functions._
   */
 object Sampling {
 
-  /** Uniform bucket in [0, buckets) from the id column. */
+  /** Uniform bucket in [0, buckets) from the id column.
+    * {{{
+    * val docs = (0 until 100).map(i => s"d$i").toDF("id")
+    * docs.select(Sampling.hashBucket(col("id"), 10).as("b"))
+    *   .agg(min("b"), max("b")).head   // buckets stay inside [0, 10)
+    * }}} */
   def hashBucket(id: Column, buckets: Int, salt: String = ""): Column = {
     require(buckets > 0, "buckets must be positive")
     (conv(substring(md5(concat(lit(salt), lit(":"), id.cast("string"))), 1, 8), 16, 10)
@@ -20,7 +25,12 @@ object Sampling {
   }
 
   /** Deterministic fractional sample: keeps id iff its per-mille bucket
-    * falls below fraction*1000 (resolution 0.1%). */
+    * falls below fraction*1000 (resolution 0.1%).
+    * {{{
+    * val docs = (0 until 100).map(i => s"d$i").toDF("id")
+    * val half = Sampling.sampleByHash(docs, "id", 0.5)
+    * half.count()   // ~50, and the SAME rows on every run/cluster size
+    * }}} */
   def sampleByHash(df: DataFrame, idCol: String, fraction: Double,
       salt: String = ""): DataFrame = {
     require(fraction >= 0 && fraction <= 1, "fraction in [0,1]")
@@ -31,7 +41,13 @@ object Sampling {
     * lands in (e.g. train/val/test by 0.9/0.05/0.05). Weights are
     * normalized and mapped onto per-mille bucket ranges, so every row
     * lands in exactly one split and re-running (any cluster size, any
-    * order) reproduces the same assignment. */
+    * order) reproduces the same assignment.
+    * {{{
+    * val docs = (0 until 100).map(i => s"d$i").toDF("id")
+    * Sampling.deterministicSplit(docs, "id",
+    *   Seq("train" -> 0.9, "test" -> 0.1))
+    *   .groupBy("split").count()   // every row in exactly one split
+    * }}} */
   def deterministicSplit(df: DataFrame, idCol: String,
       weights: Seq[(String, Double)], salt: String = ""): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights required")
@@ -53,7 +69,14 @@ object Sampling {
     * dominant language, keep the tail) is reproducible across runs,
     * cluster sizes, and engines — a narrow filter, no shuffle, no RNG
     * state, and the same row never flips strata between samples drawn
-    * with the same salt. */
+    * with the same salt.
+    * {{{
+    * val byLang = (0 until 90).map(i => (s"d$i", "en")) ++
+    *   (90 until 100).map(i => (s"d$i", "fr"))
+    * Sampling.stratifiedSampleByHash(byLang.toDF("id", "lang"), "id", "lang",
+    *   Seq("en" -> 0.1, "fr" -> 1.0))
+    *   .groupBy("lang").count()   // en downsampled ~9, fr kept whole (10)
+    * }}} */
   def stratifiedSampleByHash(df: DataFrame, idCol: String, stratumCol: String,
       fractions: Seq[(String, Double)], defaultFraction: Double = 0.0,
       salt: String = ""): DataFrame = {
@@ -81,7 +104,15 @@ object Sampling {
     * learned domains). The output keeps the assignment as `mix_cell`.
     * A narrow projection + filter: no shuffle, reproducible at any
     * cluster size, and the same row never flips clusters or buckets
-    * between runs with the same centroids and salt. */
+    * between runs with the same centroids and salt.
+    * {{{
+    * val emb = (0 until 40).map(i =>
+    *   (s"d$i", Seq(if (i < 30) 1f else -1f, 0f))).toDF("id", "vector")
+    * val cents = Array(Array(1f, 0f), Array(-1f, 0f))
+    * Sampling.clusterProportionalSample(emb, "id", "vector", cents,
+    *   fractions = Seq(0 -> 0.1, 1 -> 1.0))
+    *   .groupBy("mix_cell").count()   // head cluster thinned, tail kept
+    * }}} */
   def clusterProportionalSample(df: DataFrame, idCol: String,
       vectorCol: String, centroids: Array[Array[Float]],
       fractions: Seq[(Int, Double)], defaultFraction: Double = 0.0,
@@ -112,7 +143,14 @@ object Sampling {
     * deterministic md5 per-mille threshold as every sampler here, so
     * the keep-set is reproducible at any cluster size and exactly
     * replicable in SQL. Output: input rows that survive, plus
-    * `mix_rate_x1000` (the group's applied threshold). */
+    * `mix_rate_x1000` (the group's applied threshold).
+    * {{{
+    * val byLang = ((0 until 90).map(i => (s"d$i", "en")) ++
+    *   (90 until 100).map(i => (s"d$i", "fr"))).toDF("id", "lang")
+    * Sampling.temperatureSample(byLang, "id", "lang",
+    *   temperature = 2.0, targetFraction = 0.5)
+    *   .groupBy("lang").count()   // T>1 boosts fr's share vs proportional
+    * }}} */
   def temperatureSample(df: DataFrame, idCol: String, groupCol: String,
       temperature: Double, targetFraction: Double,
       salt: String = ""): DataFrame = {
@@ -140,7 +178,15 @@ object Sampling {
     * normal-approximation z-score `(n - Np) / sqrt(Np(1-p))` — the
     * "did my 90/10 split actually land 90/10" guard that catches a
     * filter silently biased by the split key. |z| > ~4 on large N
-    * means the assignment is broken, not unlucky. One grouped count. */
+    * means the assignment is broken, not unlucky. One grouped count.
+    * {{{
+    * val docs = (0 until 100).map(i => s"d$i").toDF("id")
+    * val split = Sampling.deterministicSplit(docs, "id",
+    *   Seq("train" -> 0.9, "test" -> 0.1))
+    * Sampling.splitBalanceCheck(split, "split",
+    *   Seq("train" -> 0.9, "test" -> 0.1))
+    *   .select("split", "z")   // |z| small: the split landed as weighted
+    * }}} */
   def splitBalanceCheck(df: DataFrame, splitCol: String,
       weights: Seq[(String, Double)]): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
@@ -171,7 +217,12 @@ object Sampling {
     * order-independent discipline as [[deterministicSplit]]. Pass a
     * CLUSTER label (e.g. from [[graft.dedup.Dedup.clusters]]) as
     * `idCol` for the leakage-safe form: no near-dup pair ever
-    * straddles folds. */
+    * straddles folds.
+    * {{{
+    * val docs = (0 until 100).map(i => s"d$i").toDF("id")
+    * Sampling.kFold(docs, "id", k = 5)
+    *   .groupBy("fold").count()   // 5 folds, every row in exactly one
+    * }}} */
   def kFold(df: DataFrame, idCol: String, k: Int,
       salt: String = ""): DataFrame = {
     require(k > 1, "need at least 2 folds")
@@ -185,7 +236,12 @@ object Sampling {
     * (no sketch): the same distributed zipWithIndex discipline as
     * [[withSequentialIds]], so the 100 TB cost is one sort-free
     * per-partition count pass, not a global sort of the corpus.
-    * Output: the input plus (rank, bin). */
+    * Output: the input plus (rank, bin).
+    * {{{
+    * val scored = (0 until 100).map(i => (s"d$i", i / 100.0)).toDF("id", "q")
+    * Sampling.quantileBin(scored, col("q"), nBins = 10)
+    *   .filter(col("bin") > 0)   // drop the worst decile, exactly 90 rows
+    * }}} */
   def quantileBin(df: DataFrame, order: Column, nBins: Int): DataFrame = {
     require(nBins > 1, "need at least 2 bins")
     val n = df.count()
@@ -207,7 +263,14 @@ object Sampling {
     * the keep-rate caps at 1 since sampling cannot upsample).
     * Sources not listed get weight 0 (rate 0). Weights are normalized
     * ONCE on the driver and embedded, so any engine reproduces the
-    * arithmetic. One grouped sum per source — nothing else. */
+    * arithmetic. One grouped sum per source — nothing else.
+    * {{{
+    * val corpus = Seq(("d1", "web", 800L), ("d2", "web", 800L),
+    *   ("d3", "code", 100L)).toDF("id", "source", "tokens")
+    * Sampling.tokenBudgetMix(corpus, "source", col("tokens"),
+    *   Seq("web" -> 0.5, "code" -> 0.5), budgetTokens = 400L)
+    *   // web: keep-rate 125/1000; code: epochs 2.0 (budget wants 2x copies)
+    * }}} */
   def tokenBudgetMix(df: DataFrame, sourceCol: String, tokenCol: Column,
       weights: Seq[(String, Double)], budgetTokens: Long): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0), "positive weights")
@@ -233,7 +296,13 @@ object Sampling {
 
   /** Apply a [[tokenBudgetMix]] plan: deterministic md5 per-mille keep
     * at each source's rate (same assignment discipline as every
-    * sampler here). Rows from unlisted sources drop. */
+    * sampler here). Rows from unlisted sources drop.
+    * {{{
+    * val corpus = (0 until 100).map(i => (s"d$i", "web", 10L))
+    *   .toDF("id", "source", "tokens")
+    * Sampling.applyTokenBudgetMix(corpus, "id", "source", col("tokens"),
+    *   Seq("web" -> 1.0), budgetTokens = 500L).count()   // ~50 of 100 docs
+    * }}} */
   def applyTokenBudgetMix(df: DataFrame, idCol: String, sourceCol: String,
       tokenCol: Column, weights: Seq[(String, Double)], budgetTokens: Long,
       salt: String = ""): DataFrame = {
@@ -260,7 +329,13 @@ object Sampling {
     * exchange, no RNG state; the same (salt, weights) always draws the
     * same sample at any parallelism. Output: the sampled rows plus
     * their `priority` (the tie-break is (priority, id), total because
-    * ids are unique). */
+    * ids are unique).
+    * {{{
+    * val scored = (0 until 100).map(i =>
+    *   (s"d$i", if (i < 5) 100.0 else 0.01)).toDF("id", "quality")
+    * Sampling.weightedSample(scored, "id", col("quality"), n = 5)
+    *   // the 5 heavy rows dominate the draw; same sample every run
+    * }}} */
   def weightedSample(df: DataFrame, idCol: String, weightCol: Column,
       n: Int, salt: String = ""): DataFrame = {
     require(n > 0, "sample size must be positive")
@@ -281,7 +356,15 @@ object Sampling {
     * priority projection plus ONE group-keyed window; the rank <=
     * nPerGroup filter plans as WindowGroupLimit, so each group is
     * pre-cut to its top rows map-side and a mega-group never floods
-    * the exchange. Rows with NULL/non-positive weight are excluded. */
+    * the exchange. Rows with NULL/non-positive weight are excluded.
+    * {{{
+    * val scored = (0 until 40).map(i =>
+    *   (s"d$i", if (i % 2 == 0) "en" else "fr", 1.0 + i))
+    *   .toDF("id", "lang", "quality")
+    * Sampling.weightedSamplePerGroup(scored, "id", "lang",
+    *   col("quality"), nPerGroup = 3)
+    *   .groupBy("lang").count()   // exactly 3 per language
+    * }}} */
   def weightedSamplePerGroup(df: DataFrame, idCol: String, groupCol: String,
       weightCol: Column, nPerGroup: Int, salt: String = ""): DataFrame = {
     require(nPerGroup > 0, "sample size must be positive")
@@ -309,7 +392,15 @@ object Sampling {
     * as [[deterministicSplit]] applied to the cluster id — singleton
     * docs split by their own label. One label join on id; the split
     * itself stays a narrow projection. Output: input rows plus
-    * (cluster_id, split). */
+    * (cluster_id, split).
+    * {{{
+    * val docs = Seq("a", "b", "c", "d").toDF("id")
+    * val dupPairs = Seq(("a", "b")).toDF("id_a", "id_b")  // a ~ b near-dups
+    * val split = Sampling.leakageSafeSplit(docs, "id", dupPairs,
+    *   Seq("train" -> 0.5, "test" -> 0.5))
+    * // a and b share a cluster_id => always the same split
+    * split.filter(col("id").isin("a", "b")).select("split").distinct.count  // 1
+    * }}} */
   def leakageSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
       weights: Seq[(String, Double)], salt: String = ""): DataFrame = {
     // Dedup.clusters names its id output "id" regardless of idCol
@@ -325,7 +416,13 @@ object Sampling {
     * `order` (append a unique tiebreaker for full determinism). One
     * shuffle on the group key; Spark's WindowGroupLimit pre-cuts each
     * group to `cap` rows map-side, so a mega-domain never floods the
-    * exchange. */
+    * exchange.
+    * {{{
+    * val byDomain = (0 until 30).map(i => (s"d$i", s"dom${i % 3}"))
+    *   .toDF("id", "domain")
+    * Sampling.capPerGroup(byDomain, "domain", cap = 2, Seq(col("id")))
+    *   .count()   // 6: at most 2 docs per domain
+    * }}} */
   def capPerGroup(df: DataFrame, groupCol: String, cap: Int,
       order: Seq[Column]): DataFrame = {
     require(cap > 0, "cap must be positive")
@@ -354,7 +451,14 @@ object Sampling {
     * key, one pass for per-partition token totals (collected — one small
     * number per partition), then a second pass over the SAME materialized
     * RDD instance streams each partition with its exclusive prefix offset
-    * (the [[withSequentialIds]] determinism contract). */
+    * (the [[withSequentialIds]] determinism contract).
+    * {{{
+    * val toPack = Seq(("a", 600L), ("b", 600L), ("c", 600L))
+    *   .toDF("id", "tokens")
+    * Sampling.packSequences(toPack, col("id"), "tokens", binSize = 1024)
+    *   .select("id", "pack_token_start", "pack_bin", "pack_end_bin")
+    *   // a: start 0 bin 0; b: start 600 spans bins 0-1; c: start 1200 bin 1
+    * }}} */
   def packSequences(df: DataFrame, order: Column, tokenCol: String,
       binSize: Int, prefix: String = "pack_"): DataFrame = {
     require(binSize > 0, "binSize must be positive")
@@ -413,7 +517,12 @@ object Sampling {
     * job see identical partition boundaries and (sorted) contents. Two
     * separate Dataset actions would each re-plan — new RDD ids, new
     * sampling seeds, AQE re-coalescing — and could assign duplicate or
-    * non-contiguous ids. */
+    * non-contiguous ids.
+    * {{{
+    * val docs = Seq("c", "a", "b").toDF("id")
+    * Sampling.withSequentialIds(docs, col("id"))
+    *   .orderBy("seq_id")   // a->0, b->1, c->2: contiguous in sort order
+    * }}} */
   def withSequentialIds(df: DataFrame, order: Column,
       idCol: String = "seq_id"): DataFrame = {
     val spark = df.sparkSession

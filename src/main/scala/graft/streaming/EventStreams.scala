@@ -17,6 +17,18 @@ import org.apache.spark.sql.types.{LongType, StructType, TimestampNTZType}
   * tables' timestamp[us] parquet) — and converts through [[epochMicros]]
   * to exact integer epoch arithmetic; no precision cliff between
   * engines and no session-timezone dependence.
+  *
+  * Scaladoc examples below share this toy frame (`ts` = raw epoch
+  * NANOS in a Long column, the module default; DocExamplesSpec runs
+  * every example verbatim):
+  * {{{
+  * val events = Seq(
+  *   ("u1",  0L                , "view",     1.0, "e1"),
+  *   ("u1",  5L * 1000000000L  , "click",    2.0, "e2"),
+  *   ("u1", 40L * 1000000000L  , "purchase", 3.0, "e3"),
+  *   ("u2", 10L * 1000000000L  , "view",     4.0, "e4")
+  * ).toDF("user_id", "ts", "event_type", "value", "event_id")
+  * }}}
   */
 object EventStreams {
 
@@ -31,7 +43,11 @@ object EventStreams {
     * a different unit sets `spark.graft.events.longTsUnit` to one of
     * nanos | micros | millis | seconds — silently-wrong windows from a
     * unit mismatch have no type-level signal, so the unit is an
-    * explicit, validated setting rather than a guess. */
+    * explicit, validated setting rather than a guess.
+    * {{{
+    * events.select(EventStreams.epochMicros(events, "ts").as("us"))
+    *   .agg(max("us")).head.getLong(0)   // 40000000L: nanos div 1000
+    * }}} */
   def epochMicros(df: DataFrame, tsCol: String): org.apache.spark.sql.Column =
     df.schema(tsCol).dataType match {
       case LongType => longTsUnit(df) match {
@@ -62,7 +78,12 @@ object EventStreams {
     }
 
   /** Tumbling-window counts/sums per event type. Window start is emitted
-    * as epoch seconds (exact integer). */
+    * as epoch seconds (exact integer).
+    * {{{
+    * EventStreams.windowedStats(events, windowSeconds = 10)
+    *   // (0, view, 1, 1.0), (0, click, 1, 2.0), (10, view, 1, 4.0),
+    *   // (40, purchase, 1, 3.0)
+    * }}} */
   def windowedStats(events: DataFrame, windowSeconds: Long = 3600L,
       tsCol: String = "ts"): DataFrame = {
     // integer `div`, not fp division: epoch nanos overflow double's 2^53
@@ -88,7 +109,11 @@ object EventStreams {
     * [[streamingSlidingWindowStats]] (Spark's native
     * `window(ts, win, slide)`, whose event-time key the watermark can
     * evict) — same window-assignment semantics, pinned stream ≡ batch
-    * in StatefulStreamingSpec. */
+    * in StatefulStreamingSpec.
+    * {{{
+    * EventStreams.slidingWindowStats(events, windowSeconds = 20,
+    *   slideSeconds = 10)   // each event lands in its 2 covering windows
+    * }}} */
   def slidingWindowStats(events: DataFrame, windowSeconds: Long,
       slideSeconds: Long, tsCol: String = "ts"): DataFrame = {
     require(windowSeconds > 0 && slideSeconds > 0, "window/slide must be positive")
@@ -117,7 +142,11 @@ object EventStreams {
     * projection of training pipelines ("user's activity over their
     * last k events"). ONE shuffle + per-key sort; the bounded ROWS
     * frame walks each partition linearly — no self-join, no explode,
-    * cost independent of k's time span. */
+    * cost independent of k's time span.
+    * {{{
+    * EventStreams.rollingStats(events, k = 2)
+    *   .filter(col("event_id") === "e2").head   // roll_n 2, roll_avg 1.5
+    * }}} */
   def rollingStats(events: DataFrame, k: Int, tsCol: String = "ts",
       keyCol: String = "user_id", valueCol: String = "value",
       idCol: String = "event_id"): DataFrame = {
@@ -140,7 +169,11 @@ object EventStreams {
     * (ties by path) — the "what do users actually do" product
     * analytics query. Two keyed shuffles (user windows, then path
     * counts) + one bounded TakeOrdered; per-session state is that
-    * session's type list. */
+    * session's type list.
+    * {{{
+    * EventStreams.topSessionPaths(events, gapSeconds = 20, topK = 3)
+    *   // ("view", 2 sessions), ("purchase", 1), ("view>click" ... by gaps)
+    * }}} */
   def topSessionPaths(events: DataFrame, gapSeconds: Long, topK: Int,
       tsCol: String = "ts"): DataFrame = {
     require(topK > 0, "topK must be positive")
@@ -170,7 +203,12 @@ object EventStreams {
     * collected timestamps; even counts average the two middles). The
     * feature projection of churn/engagement models. Per-user state is
     * that user's timestamp list — the same bounded-by-user-history
-    * contract as [[funnelSteps]]. */
+    * contract as [[funnelSteps]].
+    * {{{
+    * EventStreams.userActivityFeatures(events, bucketSeconds = 10)
+    *   .filter(col("user_id") === "u1").head
+    *   // n_events 3, active_buckets 2, median_gap_us 20000000
+    * }}} */
   def userActivityFeatures(events: DataFrame, bucketSeconds: Long = 86400L,
       tsCol: String = "ts", userCol: String = "user_id"): DataFrame = {
     require(bucketSeconds > 0, "bucket must be positive")
@@ -203,7 +241,11 @@ object EventStreams {
     * while the prior window is constant (std 0 — a first deviation
     * from a flat history is flagged by `prior_std = 0 && value !=
     * prior_mean`, not by an infinite z). Population std, same ROWS
-    * discipline as [[rollingStats]], ONE shuffle. */
+    * discipline as [[rollingStats]], ONE shuffle.
+    * {{{
+    * EventStreams.rollingZScore(events, k = 2)
+    *   .filter(col("event_id") === "e3").head   // z from e1/e2's mean/std
+    * }}} */
   def rollingZScore(events: DataFrame, k: Int, tsCol: String = "ts",
       keyCol: String = "user_id", valueCol: String = "value",
       idCol: String = "event_id"): DataFrame = {
@@ -237,7 +279,12 @@ object EventStreams {
     * batch frame (gated against a lag-based islands SQL oracle) and
     * under Structured Streaming, where the session state is
     * watermark-managed by the engine instead of
-    * [[statefulSessionize]]'s explicit flatMapGroupsWithState. */
+    * [[statefulSessionize]]'s explicit flatMapGroupsWithState.
+    * {{{
+    * val tsd = events.withColumn("tst", timestamp_micros(expr("ts div 1000")))
+    * EventStreams.sessionWindowStats(tsd, gapSeconds = 20, tsCol = "tst")
+    *   .filter(col("user_id") === "u1")   // 2 sessions: {e1,e2} and {e3}
+    * }}} */
   def sessionWindowStats(events: DataFrame, gapSeconds: Long,
       tsCol: String = "ts", watermark: String = "2 hours"): DataFrame = {
     require(gapSeconds > 0, "gap must be positive")
@@ -274,7 +321,15 @@ object EventStreams {
     * single `last(ignoreNulls)` — the match is atomic per row: every
     * output column comes from the SAME matched right row, and a
     * genuinely-NULL field of that row surfaces as NULL instead of
-    * falling back to an older right row. */
+    * falling back to an older right row.
+    * {{{
+    * val trades = Seq(("k1", 10L, "t1"), ("k1", 20L, "t2"))
+    *   .toDF("key", "ts", "trade")
+    * val quotes = Seq(("k1", 5L, 1.5), ("k1", 15L, 1.6))
+    *   .toDF("key", "ts", "px")
+    * EventStreams.asofJoin(trades, quotes, "key", "ts", Seq("px"))
+    *   // t1 -> asof_px 1.5 (quote@5), t2 -> asof_px 1.6 (quote@15)
+    * }}} */
   def asofJoin(left: DataFrame, right: DataFrame, key: String, ts: String,
       valueCols: Seq[String], prefix: String = "asof_",
       tieBreak: Seq[org.apache.spark.sql.Column] = Nil): DataFrame = {
@@ -312,7 +367,15 @@ object EventStreams {
     * picks the latest entry with entry ts <= row ts (inclusive), null
     * when none. Stateless — works identically on a batch frame or a
     * structured stream (no watermark, no state store), unlike the
-    * union-window [[asofJoin]] which needs the full left+right shuffle. */
+    * union-window [[asofJoin]] which needs the full left+right shuffle.
+    * {{{
+    * val trades = Seq(("k1", 10L, "t1"), ("k1", 20L, "t2"))
+    *   .toDF("key", "ts", "trade")
+    * val quotes = Seq(("k1", 5L, 1.5), ("k1", 15L, 1.6))
+    *   .toDF("key", "ts", "px")
+    * EventStreams.asofLookup(trades, quotes, "key", "ts", "px")
+    *   // same matches as asofJoin, right side broadcast as history arrays
+    * }}} */
   def asofLookup(left: DataFrame, right: DataFrame, key: String, ts: String,
       valueCol: String, prefix: String = "asof_"): DataFrame = {
     val hist = right.groupBy(col(key)).agg(
@@ -337,7 +400,15 @@ object EventStreams {
     * spread across their time bins, never a per-key cross product.
     * Output: key, `l_`-prefixed left columns, `r_`-prefixed right
     * columns, `delta_ns`. Timestamps resolve through the same
-    * Long/timestamp rules as every operator here. */
+    * Long/timestamp rules as every operator here.
+    * {{{
+    * val clicks = Seq(("u1", 0L, "c1")).toDF("user_id", "ts", "click_id")
+    * val buys = Seq(("u1", 30L * 1000000000L, "b1"))
+    *   .toDF("user_id", "ts", "buy_id")
+    * EventStreams.intervalJoin(clicks, buys, "user_id", "ts",
+    *   lowerNs = 0L, upperNs = 60L * 1000000000L)
+    *   // one (c1, b1) attribution pair, delta_ns = 30e9
+    * }}} */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
       tsCol: String, lowerNs: Long, upperNs: Long): DataFrame = {
     require(upperNs >= lowerNs, "upperNs must be >= lowerNs")
@@ -379,7 +450,16 @@ object EventStreams {
     * Output contract matches [[intervalJoin]]: key, `l_`-prefixed left
     * columns, `r_`-prefixed right columns, `delta_ns`. Also works on
     * two batch frames (same plan, ordinary join) — gated stream ≡ batch
-    * in StatefulStreamingSpec. */
+    * in StatefulStreamingSpec.
+    * {{{
+    * val clicksT = Seq(("u1", 0L, "c1")).toDF("user_id", "ts", "click_id")
+    *   .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * val buysT = Seq(("u1", 30L * 1000000000L, "b1"))
+    *   .toDF("user_id", "ts", "buy_id")
+    *   .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * EventStreams.streamingIntervalJoin(clicksT, buysT, "user_id", "ts",
+    *   0L, 60L * 1000000000L)   // same pair as intervalJoin, stream-capable
+    * }}} */
   def streamingIntervalJoin(left: DataFrame, right: DataFrame, key: String,
       tsCol: String, lowerNs: Long, upperNs: Long,
       watermark: String = "10 seconds"): DataFrame = {
@@ -407,7 +487,11 @@ object EventStreams {
 
   /** Gap-based sessionization: a new session starts when the nanosecond
     * gap to the user's previous event exceeds `gapSeconds`. One shuffle
-    * on user_id. Returns one row per (user, session). */
+    * on user_id. Returns one row per (user, session).
+    * {{{
+    * EventStreams.sessionize(events, gapSeconds = 20)
+    *   .groupBy("user_id").count()   // u1 -> 2 sessions, u2 -> 1
+    * }}} */
   def sessionize(events: DataFrame, gapSeconds: Long,
       tsCol: String = "ts"): DataFrame = {
     val ns = nanos(events, tsCol)
@@ -429,7 +513,16 @@ object EventStreams {
 
   /** Streaming form of windowedStats over a Timestamp column source:
     * watermark + tumbling window. Used with Trigger.AvailableNow in
-    * tests; identical plan consumes a live source incrementally. */
+    * tests; identical plan consumes a live source incrementally.
+    * {{{
+    * val dir = "/tmp/graft_doc_events"
+    * val tsd = events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * tsd.write.mode("overwrite").parquet(dir)
+    * val agg = EventStreams.streamingWindowedStats(spark, dir, tsd.schema,
+    *   windowLength = "10 seconds")
+    * EventStreams.runAvailableNow(agg, "doc_win")
+    * spark.table("doc_win")   // the same windows windowedStats computes
+    * }}} */
   def streamingWindowedStats(spark: SparkSession, dir: String,
       schema: StructType, windowLength: String = "1 hour",
       tsCol: String = "ts"): DataFrame = {
@@ -445,7 +538,12 @@ object EventStreams {
     * `window(ts, windowDuration, slideDuration)` — the event-time
     * window key lets the watermark evict closed windows, which the
     * batch form's derived start column cannot. Works on a batch frame
-    * too (same assignment semantics, gated stream ≡ batch). */
+    * too (same assignment semantics, gated stream ≡ batch).
+    * {{{
+    * val tsd = events.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    * EventStreams.streamingSlidingWindowStats(tsd, "20 seconds", "10 seconds")
+    *   // the hopping windows slidingWindowStats derives, as native window()
+    * }}} */
   def streamingSlidingWindowStats(events: DataFrame,
       windowDuration: String, slideDuration: String,
       watermark: String = "2 hours", tsCol: String = "ts"): DataFrame = {
@@ -484,7 +582,12 @@ object EventStreams {
     * array; the collected per-user event list is bounded by that
     * user's step-event count (funnel analytics' usual contract — cap
     * upstream with a per-user limit if a bot user could hold millions
-    * of step events). */
+    * of step events).
+    * {{{
+    * val perUser = EventStreams.funnelSteps(events,
+    *   Seq("view", "click", "purchase"), horizonSeconds = 3600)
+    * perUser.select("user_id", "depth")   // u1 depth 3, u2 depth 1
+    * }}} */
   def funnelSteps(events: DataFrame, steps: Seq[String],
       horizonSeconds: Long, tsCol: String = "ts",
       typeCol: String = "event_type", userCol: String = "user_id"): DataFrame = {
@@ -532,7 +635,13 @@ object EventStreams {
   /** Funnel trend: [[funnelSteps]] bucketed by the anchor (step-1)
     * time — (anchor_bucket, depth, n_users), the conversion-over-time
     * series ("did last week's signup cohort convert worse"). A single
-    * grouped count over the per-user frame. */
+    * grouped count over the per-user frame.
+    * {{{
+    * val perUser = EventStreams.funnelSteps(events,
+    *   Seq("view", "click", "purchase"), horizonSeconds = 3600)
+    * EventStreams.funnelTrend(perUser, bucketSeconds = 10)
+    *   // u1 anchors bucket 0, u2 bucket 1: one (bucket, depth) row each
+    * }}} */
   def funnelTrend(perUser: DataFrame,
       bucketSeconds: Long = 86400L): DataFrame = {
     require(bucketSeconds > 0, "bucket must be positive")
@@ -544,7 +653,13 @@ object EventStreams {
 
   /** Per-step funnel conversion counts from [[funnelSteps]] output:
     * (step, step_name, n_users) where n_users completed >= that step.
-    * A tiny frame (n rows) — the dashboard summary. */
+    * A tiny frame (n rows) — the dashboard summary.
+    * {{{
+    * val perUser = EventStreams.funnelSteps(events,
+    *   Seq("view", "click", "purchase"), horizonSeconds = 3600)
+    * EventStreams.funnelSummary(perUser, Seq("view", "click", "purchase"))
+    *   // (1, view, 2), (2, click, 1), (3, purchase, 1)
+    * }}} */
   def funnelSummary(perUser: DataFrame, steps: Seq[String]): DataFrame = {
     val aggs = count(lit(1)).as("_c1") +:
       (2 to steps.length).map(k =>
@@ -569,7 +684,11 @@ object EventStreams {
     * shuffle join otherwise — both sides are already user-keyed), then
     * a count-distinct keyed by (cohort, offset). No windows, no
     * cross products; every stage is partial-aggregatable, so shuffle
-    * volume is distinct (user, bucket) pairs, not raw events. */
+    * volume is distinct (user, bucket) pairs, not raw events.
+    * {{{
+    * EventStreams.retentionCohorts(events, bucketSeconds = 10)
+    *   // u1 cohort 0 active at offsets 0 and 4; u2 cohort 1 offset 0
+    * }}} */
   def retentionCohorts(events: DataFrame, bucketSeconds: Long = 86400L,
       tsCol: String = "ts", userCol: String = "user_id"): DataFrame = {
     require(bucketSeconds > 0, "bucket must be positive")
@@ -585,7 +704,11 @@ object EventStreams {
     * sketches partial-merge map-side to a few KB per cell regardless of
     * user count. `rsd` is the target relative standard deviation
     * (Spark's `approx_count_distinct`); the exact form stays the
-    * oracle-gated one. */
+    * oracle-gated one.
+    * {{{
+    * EventStreams.retentionCohortsApprox(events, bucketSeconds = 10)
+    *   // the same cells as retentionCohorts, counted by HLL sketches
+    * }}} */
   def retentionCohortsApprox(events: DataFrame, bucketSeconds: Long = 86400L,
       rsd: Double = 0.02, tsCol: String = "ts",
       userCol: String = "user_id"): DataFrame = {
@@ -620,7 +743,18 @@ object EventStreams {
     * row whenever a gap closes it; the open session stays in state
     * across micro-batches and is flushed on ProcessingTime timeout.
     * The batch `sessionize` above computes the same sessions in one
-    * pass; this is the streaming form for live ingestion. */
+    * pass; this is the streaming form for live ingestion. Also runs on
+    * a batch Dataset (state starts empty, timeouts never fire), which
+    * is what the example shows; stream ≡ batch is gated in
+    * StatefulStreamingSpec.
+    * {{{
+    * val ds = Seq(EventStreams.SessionEvent(1L, 0L, 1.0),
+    *   EventStreams.SessionEvent(1L, 50L * 1000000000L, 2.0)).toDS
+    * EventStreams.statefulSessionize(ds, gapSeconds = 20,
+    *   idleFlush = false).collect()
+    *   // one CLOSED session (the 50 s gap closed it); the open one
+    *   // stays in state awaiting its gap or timeout
+    * }}} */
   def statefulSessionize(events: org.apache.spark.sql.Dataset[SessionEvent],
       gapSeconds: Long, idleFlush: Boolean = true): org.apache.spark.sql.Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -674,7 +808,13 @@ object EventStreams {
     * batches (same regime the other stateful ops document). Sum/avg
     * accumulate left-to-right over the ring exactly like the batch
     * ROWS frame, so stream ≡ batch bit-for-bit, not just
-    * approximately. */
+    * approximately.
+    * {{{
+    * val rolls = Seq(EventStreams.RollEvent(1L, 1L, 1L, 2.0),
+    *   EventStreams.RollEvent(1L, 2L, 2L, 4.0)).toDS
+    * EventStreams.statefulRollingStats(rolls, k = 2).collect()
+    *   // per-event trailing stats: the second event's roll_avg is 3.0
+    * }}} */
   def statefulRollingStats(events: org.apache.spark.sql.Dataset[RollEvent],
       k: Int): org.apache.spark.sql.Dataset[RollOut] = {
     require(k > 0, "k must be positive")
@@ -723,7 +863,13 @@ object EventStreams {
     * `processAllAvailable` test harnesses: a processing-time timeout
     * makes the engine run timeout-check batches continuously at the
     * default 0 ms trigger, so the all-available condition never
-    * settles; production queries use a real trigger interval.) */
+    * settles; production queries use a real trigger interval.)
+    * {{{
+    * val fes = Seq(EventStreams.FunnelEvent(1L, 0L, 0),
+    *   EventStreams.FunnelEvent(1L, 1000L, 1)).toDS
+    * EventStreams.statefulFunnel(fes, numSteps = 2,
+    *   horizonSeconds = 3600).collect()   // one completed 2-step chain
+    * }}} */
   def statefulFunnel(events: org.apache.spark.sql.Dataset[FunnelEvent],
       numSteps: Int, horizonSeconds: Long,
       idleTimeout: Option[String] = None): org.apache.spark.sql.Dataset[FunnelOut] = {
@@ -788,7 +934,15 @@ object EventStreams {
     * [[asofJoin]] whenever history updates arrive no later than the
     * first query they should match — the in-order replay / live-tick
     * regime. A history update that arrives LATE corrects all subsequent
-    * matches but never retracts rows already emitted (append mode). */
+    * matches but never retracts rows already emitted (append mode).
+    * {{{
+    * val asof = Seq(
+    *   EventStreams.AsofStreamEvent(1L, 0L, 0, 1.5, ""),    // history tick
+    *   EventStreams.AsofStreamEvent(1L, 10L, 1, 0.0, "q1")) // query event
+    *   .toDS
+    * EventStreams.statefulAsofJoin(asof).collect()
+    *   // q1 matches the latest tick at ts <= 10: asof_value Some(1.5)
+    * }}} */
   def statefulAsofJoin(events: org.apache.spark.sql.Dataset[AsofStreamEvent],
       maxHistoryPerKey: Int = 10000): org.apache.spark.sql.Dataset[AsofStreamOut] = {
     import events.sparkSession.implicits._
@@ -836,7 +990,9 @@ object EventStreams {
   /** Run a streaming frame to a memory sink until all available data is
     * processed (test harness). Aggregation streams use the default
     * "complete" mode; append-mode producers in this module
-    * (statefulSessionize, Dedup.streamingExactDedup) pass "append". */
+    * (statefulSessionize, Dedup.streamingExactDedup) pass "append".
+    * See [[streamingWindowedStats]]'s example for the full
+    * readStream -> aggregate -> runAvailableNow -> spark.table loop. */
   def runAvailableNow(df: DataFrame, queryName: String,
       outputMode: String = "complete"): Unit = {
     val q: DataStreamWriter[org.apache.spark.sql.Row] = df.writeStream

@@ -49,6 +49,25 @@ class DriftSpec extends SparkSpec {
     assert(out.length === 20)
   }
 
+  test("psi/psiCategorical/psiByGroup stay finite on an empty current side") {
+    val ref = (1 to 100).map(i => i.toDouble).toDF("x")
+    val empty = Seq.empty[Double].toDF("x")
+    // 0/0 = NaN passes greatest() in Spark — the eps guard must hold
+    val terms = Drift.psi(ref, empty, "x").collect().map(_.getDouble(3))
+    assert(terms.forall(t => !t.isNaN && !t.isInfinite))
+    assert(terms.sum > 0.25, "an emptied batch is maximal drift, not NaN")
+    val refC = Seq("a", "a", "b").toDF("x")
+    val emptyC = Seq.empty[String].toDF("x")
+    val ct = Drift.psiCategorical(refC, emptyC, "x").collect().map(_.getDouble(3))
+    assert(ct.forall(t => !t.isNaN && !t.isInfinite))
+    // a reference group ABSENT from current is emitted at the eps floor
+    val refG = (1 to 50).map(i => ("en", i.toDouble)).toDF("lang", "x")
+    val curG = Seq(("xx", 1.0)).toDF("lang", "x")
+    val g = Drift.psiByGroup(refG, curG, "x", "lang").collect()
+    assert(g.nonEmpty && g.forall(_.getString(0) == "en"))
+    assert(g.forall(r => !r.getDouble(4).isNaN))
+  }
+
   test("smd: hand-derived pooled std and sign") {
     // ref {0,2}: mean 1, var 1; cur {3,5}: mean 4, var 1 -> pooled 1, smd 3
     val ref = Seq(0.0, 2.0).toDF("x")

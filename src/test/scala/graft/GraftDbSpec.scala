@@ -491,5 +491,24 @@ class GraftDbSpec extends SparkSpec {
     db.openIndexed("rt_ivf", path)
     val p2 = db.knobsFor("rt_ivf", 0.9) // served from the sidecar
     assert(p1 === p2)
+    // the partitioned IVF-PQ at-rest layout resolves recallTarget
+    // through the same curve machinery when opened COLD (fresh facade,
+    // models from the sidecar, no retraining) — and still meets the
+    // measured target on the probe queries
+    val pqPath = java.nio.file.Files.createTempDirectory("graft_rtivfpq").toString
+    db.persistIndex("rt_ivfpq", pqPath)
+    val db2 = new GraftDb(spark)
+    db2.openIndexed("rt_ivfpq", pqPath)
+    val point2 = db2.knobsFor("rt_ivfpq", 0.9)
+    assert(point2.overlap >= 0.9,
+      s"opened ivfpq curve ceiling ${point2.overlap} below target")
+    val got2 = topIds(db2.searchMany("rt_ivfpq", qs, 10, knownNq = 4,
+      recallTarget = 0.9))
+    val ov2 = exact.toSeq.map { case (q, ex) =>
+      ex.intersect(got2.getOrElse(q, Set.empty)).size.toDouble / ex.size }
+    assert(ov2.sum / ov2.size >= 0.9,
+      s"opened ivfpq recallTarget=0.9 delivered ${ov2.sum / ov2.size}")
+    // the measured curve persisted beside the partitioned layout
+    assert(graft.ann.ModelStore.loadRecallCurve(spark, pqPath).isDefined)
   }
 }

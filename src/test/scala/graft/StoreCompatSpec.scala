@@ -51,6 +51,29 @@ class StoreCompatSpec extends SparkSpec {
     } finally GraftIndexRegistry.unregister("toybrute")
   }
 
+  test("default searchMany tolerates empty batches and array<double> qvectors") {
+    GraftIndexRegistry.register(ToyBruteIndex)
+    try {
+      val db = mkDb()
+      db.createCollection("toy2", 4, metric = "l2", normalize = Some("none"),
+        index = "toybrute")
+      db.batch("toy2", (0 until 8).map(i => db.EmbeddingInput(s"e$i",
+        vector = vec(i.toFloat, 0f, 0f, 1f))))
+      import spark.implicits._
+      // empty query frame -> empty result with the contract schema
+      val empty = Seq.empty[(String, Seq[Float])].toDF("qid", "qvector")
+      val out = db.searchMany("toy2", empty, 3)
+      assert(out.count() === 0L)
+      assert(Seq("id", "score", "distance", "metric", "qid")
+        .forall(out.columns.contains))
+      // double-typed qvectors convert numerically instead of throwing
+      val dq = Seq(("a", Seq(5.0, 0.0, 0.0, 1.0))).toDF("qid", "qvector")
+      val hits = db.searchMany("toy2", dq, 2)
+        .select("id").collect().map(_.getString(0))
+      assert(hits.length === 2 && hits.contains("e5"))
+    } finally GraftIndexRegistry.unregister("toybrute")
+  }
+
   test("scripted index: facade returns the implementation's frame verbatim; mutation hook fires") {
     import spark.implicits._
     val scripted = new ScriptedIndex("scripted",
