@@ -136,7 +136,13 @@ object Bench {
           ts = Seq(window(), window(), window()).sorted
         } else if (spreadOf(ts) > 0.5)
           ts = (ts ++ Seq.fill(6)(time(f))).sorted
-      }
+      } else if (ts(1) < 1.0 && spreadOf(ts) > 0.5)
+        // CHEAP cold rows (sub-second per rep) still escalate once: at
+        // that cost a stray JIT/GC rep dominates the 3-rep spread, and
+        // 6 more reps are bounded by ~6 s — expensive cold rows (the
+        // 11 s writes) stay at 3 reps, where escalation measured only
+        // ambient churn (see r11)
+        ts = (ts ++ Seq.fill(6)(time(f))).sorted
       results(name) = ts(ts.length / 2) / div
       spreads(name) = spreadOf(ts)
       // stderr diagnostics: per-row rep count + raw extremes, so a

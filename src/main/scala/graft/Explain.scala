@@ -22,6 +22,7 @@ object Explain {
         "agg_pricing_summary", "join_revenue_by_nation", "dedup_minhash_pairs",
         "text_contamination", "data_domain_cap", "data_stratified_sample",
         "vec_quantized_topk", "vec_quantized_search_many",
+        "vec_funnel_search_many", "vec_hybrid_search_many",
         "data_cluster_mix", "text_hashing_tf", "dedup_tfvector_cosine",
         "text_bm25_topk", "hybrid_bm25_rrf", "dedup_semantic_pairs",
         "vec_range_cosine", "knn_graph_ivf_full", "text_nb_langid",

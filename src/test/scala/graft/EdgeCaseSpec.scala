@@ -76,6 +76,36 @@ class EdgeCaseSpec extends SparkSpec {
     assert(Search.hybridSearch(coll, config, q, 5, candidates = 10).count() === 1)
   }
 
+  test("batch funnel/hybrid edges: empty corpus, empty queries, single row, candidates >= corpus") {
+    import spark.implicits._
+    val q = Bench.synthVector(-1L, dims)
+    val qdf = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
+    val emptyQ = Seq.empty[(String, Seq[Float])].toDF("qid", "qvector")
+    // empty corpus, non-empty queries -> zero rows
+    assert(Search.funnelSearchMany(corpus(0), config, qdf, 5,
+      stages = Seq(2, 4), candidates = 10, knownNq = 1L).count() === 0)
+    assert(Search.hybridSearchMany(corpus(0), config, qdf, 5,
+      candidates = 10, knownNq = 1L).count() === 0)
+    // non-empty corpus, empty query frame -> zero rows
+    assert(Search.funnelSearchMany(corpus(3), config, emptyQ, 5,
+      stages = Seq(2, 4), candidates = 10, knownNq = 0L).count() === 0)
+    assert(Search.hybridSearchMany(corpus(3), config, emptyQ, 5,
+      candidates = 10, knownNq = 0L).count() === 0)
+    // single-row corpus answers every query with its one row
+    assert(Search.funnelSearchMany(corpus(1), config, qdf, 5,
+      stages = Seq(2, 4), candidates = 10, knownNq = 1L).count() === 1)
+    assert(Search.hybridSearchMany(corpus(1), config, qdf, 5,
+      candidates = 10, knownNq = 1L).count() === 1)
+    // candidates >= corpus degenerates to exact batch flat per query
+    val coll = corpus(20)
+    val exact = Search.flatSearchMany(coll, config, qdf, 5)
+      .collect().map(r => (r.getString(1), r.getDouble(3))).toSet
+    val fun = Search.funnelSearchMany(coll, config, qdf, 5,
+      stages = Seq(2, 4), candidates = 100, knownNq = 1L)
+      .collect().map(r => (r.getString(1), r.getDouble(3))).toSet
+    assert(fun === exact)
+  }
+
   test("facade on an empty collection: search empty, count 0, get None") {
     val db = new GraftDb(spark)
     db.createCollection("edge_empty", dims, metric = "cosine")

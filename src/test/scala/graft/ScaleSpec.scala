@@ -507,6 +507,25 @@ class ScaleSpec extends SparkSpec {
     assert(res.collect().length === 10)
   }
 
+  test("batch funnel plan: broadcast query side, map-side window pre-cut per stage") {
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.l2Config(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+    val qs = Tables.read(spark, sfDir, "embeddings").filter(col("vec_id") < 4)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+    val plan = Search.funnelSearchMany(coll, config, qs, 5,
+      stages = Seq(d / 4, d), candidates = 20, knownNq = 4L)
+      .queryExecution.executedPlan.toString
+    // queries and survivor pairs ride broadcasts; the corpus never
+    // shuffles against them
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastHashJoin"),
+      s"no broadcast join in batch funnel plan:\n$plan")
+    // every per-qid stage cut pre-cuts map-side before its exchange
+    assert(plan.contains("WindowGroupLimit"), s"no WindowGroupLimit:\n$plan")
+    assert(plan.contains("Partial"), s"no partial group limit:\n$plan")
+  }
+
   test("salted join equals plain join under a hot key") {
     val big = (Seq.fill(2000)(1) ++ (2 to 50)).zipWithIndex
       .map { case (k, i) => (k, i) }.toDF("k", "payload").repartition(8)
