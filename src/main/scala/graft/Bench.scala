@@ -799,6 +799,31 @@ object Bench {
     record("scale5x_flat_packed") {
       Search.flatSearchPacked(scaleDf, config, q, 10).collect()
     }
+    // bf16 layout: HALF the packed-f32 scan bytes; the overlap quality
+    // row pins the "near-identical ranking" claim at this scale
+    val scaleBf16Path = "/tmp/graft_bench_scale_bf16"
+    record("scale5x_bf16_write", cold = true) {
+      graft.prepare.Prepare.withBf16Vector(
+        graft.prepare.Prepare.prepareEmbeddings(
+          spark.range(scaleN).select(
+            col("id").cast("string").as("id"),
+            col("id").cast("string").as("value"),
+            genUdf(col("id")).as("vector")), config))
+        .select("id", "value", "vector_bf16")
+        .write.mode("overwrite").parquet(scaleBf16Path)
+    }
+    familyBarrier()
+    val scaleBf16 = spark.read.parquet(scaleBf16Path)
+    record("scale5x_flat_bf16") {
+      Search.flatSearchBf16(scaleBf16, config, q, 10).collect()
+    }
+    quality("overlap10_bf16_vs_f32") = {
+      val exact = Search.flatSearchPacked(scaleDf, config, q, 10)
+        .collect().map(_.getString(0)).toSet
+      val bf = Search.flatSearchBf16(scaleBf16, config, q, 10)
+        .collect().map(_.getString(0)).toSet
+      if (exact.isEmpty) 1.0 else exact.intersect(bf).size.toDouble / exact.size
+    }
     // PQ codes-only table: the compressed serving layout — the ADC scan
     // reads m bytes/row (vs 4*dims packed), rerank joins the 200
     // surviving ids back against the packed table

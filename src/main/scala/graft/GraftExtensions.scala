@@ -108,6 +108,24 @@ object GraftExtensions {
         require(args.length == 3, "vec_binary_distance(metric, packed, q)")
         BinaryVectorDistance(args(1), args(2), metricCodeOf(args(0)))
       })),
+    "vec_pack_bf16" -> ((
+      info("vec_pack_bf16", "vec_pack_bf16(v) - f32 vector packed to bf16 binary (2 bytes/dim, round-to-nearest-even; half the scan IO of vec_pack_f32)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vec_pack_bf16(v)")
+        PackBf16(args.head)
+      })),
+    "vec_unpack_bf16" -> ((
+      info("vec_unpack_bf16", "vec_unpack_bf16(b) - decoded f32 values of a vec_pack_bf16 vector (the rounded corpus)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "vec_unpack_bf16(b)")
+        UnpackBf16(args.head)
+      })),
+    "vec_bf16_distance" -> ((
+      info("vec_bf16_distance", "vec_bf16_distance(metric, packed, q) - metric between a vec_pack_bf16 vector and a f32 query (in-place decode)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 3, "vec_bf16_distance(metric, packed, q)")
+        Bf16VectorDistance(args(1), args(2), metricCodeOf(args(0)))
+      })),
     "vec_adc_distance" -> ((
       info("vec_adc_distance", "vec_adc_distance(codes, table, stride) - ADC lookup sum over byte codes: sum_i table[i*stride + codes[i]] (SQ8 stride 256, PQ stride k)"),
       (args: Seq[Expression]) => {

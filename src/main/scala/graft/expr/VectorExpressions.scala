@@ -97,6 +97,84 @@ case class UnpackFloats(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): UnpackFloats = copy(child = c)
 }
 
+/** f32 vector -> packed bf16 bytes (2 bytes/dim, round-to-nearest-even)
+  * — HALF the at-rest/scan footprint of [[PackFloats]] with f32's full
+  * exponent range. */
+case class PackBf16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pack_bf16"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.packBf16Data(v.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.VectorKernels.packBf16Data($v);")
+
+  override protected def withNewChildInternal(c: Expression): PackBf16 = copy(child = c)
+}
+
+/** Inverse of [[PackBf16]] (decoded f32 values — the rounded corpus). */
+case class UnpackBf16(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(FloatType, containsNull = false)
+  override def prettyName: String = "unpack_bf16"
+
+  override protected def nullSafeEval(v: Any): Any =
+    ArrayData.toArrayData(VectorKernels.unpackBf16(v.asInstanceOf[Array[Byte]]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = org.apache.spark.sql.catalyst.util.ArrayData.toArrayData(" +
+        s"graft.expr.VectorKernels.unpackBf16($v));")
+
+  override protected def withNewChildInternal(c: Expression): UnpackBf16 = copy(child = c)
+}
+
+/** Raw metric value between a packed bf16 vector and a f32 query —
+  * in-place bf16 decode, no array materialization ([[
+  * BinaryVectorDistance]]'s shape at half the scan bytes). */
+case class Bf16VectorDistance(left: Expression, right: Expression, metricCode: Int)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "bf16_vector_distance"
+
+  @transient private lazy val rightConst: Array[Float] =
+    if (right.foldable) {
+      val v = right.eval(InternalRow.empty)
+      if (v == null) null else v.asInstanceOf[ArrayData].toFloatArray()
+    } else null
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    if (rightConst != null)
+      VectorKernels.distanceBf16(metricCode, a.asInstanceOf[Array[Byte]], rightConst)
+    else
+      VectorKernels.distanceBf16(metricCode, a.asInstanceOf[Array[Byte]],
+        b.asInstanceOf[ArrayData].toFloatArray())
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    if (rightConst != null) {
+      val ref = ctx.addReferenceObj("queryVec", rightConst, "float[]")
+      val leftGen = left.genCode(ctx)
+      ev.copy(code = code"""
+        ${leftGen.code}
+        boolean ${ev.isNull} = ${leftGen.isNull};
+        double ${ev.value} = 0.0;
+        if (!${ev.isNull}) {
+          ${ev.value} = graft.expr.VectorKernels.distanceBf16(
+            $metricCode, ${leftGen.value}, $ref);
+        }""")
+    } else
+      nullSafeCodeGen(ctx, ev, (a, b) =>
+        s"${ev.value} = graft.expr.VectorKernels.distanceBf16($metricCode, $a, " +
+          s"((org.apache.spark.sql.catalyst.util.ArrayData) $b).toFloatArray());")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Bf16VectorDistance =
+    copy(left = l, right = r)
+}
+
 /** Raw metric value between a packed byte vector and a foldable f32
   * query literal — in-place byte reads, no array materialization. */
 case class BinaryVectorDistance(left: Expression, right: Expression, metricCode: Int)

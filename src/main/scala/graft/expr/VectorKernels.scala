@@ -150,6 +150,98 @@ object VectorKernels {
     acc
   }
 
+  // ----------------------------------------------- bf16 packed layout
+  //
+  // 2 bytes/dim at rest (the upper half of the IEEE f32 pattern,
+  // round-to-nearest-even) — HALF the scan IO of the packed-f32 layout
+  // for ~3 significant decimal digits: the standard embedding-storage
+  // trade (bf16 keeps f32's full exponent range, so norms and dots
+  // never overflow where f32 wouldn't). Scoring decodes in place
+  // (bits << 16), so search cost is the same arithmetic over a stream
+  // half the size.
+
+  /** Round-to-nearest-even f32 -> bf16 bit pattern. NaN payloads are
+    * squashed to a canonical quiet NaN instead of rounding (RNE on a
+    * NaN pattern could carry into the exponent and yield infinity). */
+  def f32ToBf16Bits(x: Float): Short = {
+    val bits = java.lang.Float.floatToRawIntBits(x)
+    if ((bits & 0x7FFFFFFF) > 0x7F800000) (((bits >>> 16) | 0x0040) & 0xFFFF).toShort
+    else ((bits + (0x7FFF + ((bits >>> 16) & 1))) >>> 16).toShort
+  }
+
+  def bf16BitsToF32(s: Short): Float =
+    java.lang.Float.intBitsToFloat((s & 0xFFFF) << 16)
+
+  @inline private def getBf(b: Array[Byte], i: Int): Float = {
+    val s =
+      if (NativeIsLE) Platform.getShort(b, BAO + i * 2L)
+      else java.lang.Short.reverseBytes(Platform.getShort(b, BAO + i * 2L))
+    bf16BitsToF32(s)
+  }
+
+  def packBf16(v: Array[Float]): Array[Byte] = {
+    val out = new Array[Byte](v.length * 2)
+    var i = 0
+    while (i < v.length) {
+      val s = f32ToBf16Bits(v(i))
+      Platform.putShort(out, BAO + i * 2L,
+        if (NativeIsLE) s else java.lang.Short.reverseBytes(s))
+      i += 1
+    }
+    out
+  }
+
+  def packBf16Data(v: ArrayData): Array[Byte] = packBf16(v.toFloatArray())
+
+  def unpackBf16(b: Array[Byte]): Array[Float] = {
+    require(b.length % 2 == 0, s"bf16 vector length ${b.length} not a multiple of 2")
+    val out = new Array[Float](b.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = getBf(b, i)
+      i += 1
+    }
+    out
+  }
+
+  /** Metric over a packed bf16 vector and a float[] query — the same
+    * f64 accumulation order as [[distance]] over the DECODED values, so
+    * results equal `distance(code, unpackBf16(a), q)` bit-for-bit;
+    * codes above 4 fall back through [[unpackBf16]]. */
+  def distanceBf16(code: Int, a: Array[Byte], q: Array[Float]): Double = {
+    val n = q.length
+    if (a.length != n * 2)
+      throw new IllegalArgumentException(
+        s"dimension mismatch: ${a.length / 2} vs $n")
+    code match {
+      case 0 => math.sqrt(l2sqBf(a, q, n))
+      case 1 => l2sqBf(a, q, n)
+      case 2 => dotBf(a, q, n)
+      case 3 => dotBf(a, q, n)
+      case 4 => -dotBf(a, q, n)
+      case c => distance(c, unpackBf16(a), q)
+    }
+  }
+
+  private def dotBf(a: Array[Byte], q: Array[Float], n: Int): Double = {
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      acc += getBf(a, i).toDouble * q(i).toDouble
+      i += 1
+    }
+    acc
+  }
+
+  private def l2sqBf(a: Array[Byte], q: Array[Float], n: Int): Double = {
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val d = getBf(a, i).toDouble - q(i).toDouble
+      acc += d * d
+      i += 1
+    }
+    acc
+  }
+
   // ------------------------------------------- quantized-code ADC lookup
   //
   // Asymmetric distance computation: a quantized vector is a byte code

@@ -119,6 +119,21 @@ object VectorFunctions {
   def binaryVecDistance(metric: Metric, packed: Column, query: Array[Float]): Column =
     col2(BinaryVectorDistance(expr0(packed), expr0(vecLit(query)), metric.code))
 
+  /** Pack a f32 vector into bf16 binary (2 bytes/dim, RNE rounding) —
+    * HALF the at-rest/scan footprint of [[packF32]] for ~3 significant
+    * decimal digits, with f32's full exponent range. */
+  def packBf16(v: Column): Column =
+    col2(PackBf16(expr0(asFloatArray(v))))
+
+  /** Decoded f32 values of a [[packBf16]] vector (the rounded corpus). */
+  def unpackBf16(b: Column): Column =
+    col2(UnpackBf16(expr0(b)))
+
+  /** Raw metric value between a packed bf16 vector column and a query
+    * literal, decoding bf16 in place. */
+  def bf16VecDistance(metric: Metric, packed: Column, query: Array[Float]): Column =
+    col2(Bf16VectorDistance(expr0(packed), expr0(vecLit(query)), metric.code))
+
   /** ADC score of a quantized byte-code column against a per-query
     * partial-distance table (position-major, `table(pos*stride+code)`).
     * The table is a plan CONSTANT carried as a reference object — large

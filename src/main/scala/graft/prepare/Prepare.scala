@@ -85,6 +85,15 @@ object Prepare {
   def withPackedVector(df: DataFrame, vectorCol: String = "vector"): DataFrame =
     df.withColumn("vector_f32", packF32(col(vectorCol)))
 
+  /** bf16-packed at-rest layout (2 bytes/dim, RNE rounding): HALF the
+    * scan IO of [[withPackedVector]] for ~3 significant decimal digits
+    * — the standard embedding-storage trade at 100 TB. Search with
+    * [[graft.search.Search.flatSearchBf16]]; results are the exact
+    * top-k over the ROUNDED corpus (deterministic, near-identical
+    * ranking — Bench pins the measured overlap vs f32 exact). */
+  def withBf16Vector(df: DataFrame, vectorCol: String = "vector"): DataFrame =
+    df.withColumn("vector_bf16", packBf16(col(vectorCol)))
+
   /** Vector-dimension histogram: (dim, n_rows) over `size(vector)`
     * (null vectors as dim -1) — more than one row means a mixed-dims
     * corpus that will fail ingest validation; the companion scan to

@@ -104,6 +104,23 @@ object Search {
     projectResults(topK(scored, limit), config)
   }
 
+  /** Exact flat search over the bf16-packed layout (see
+    * Prepare.withBf16Vector): the top-k over the bf16-ROUNDED corpus —
+    * deterministic and near-identical to f32 ranking (bf16 keeps f32's
+    * exponent range; Bench pins the measured overlap), at HALF
+    * [[flatSearchPacked]]'s scan bytes. The parquet scan decodes one
+    * 2*dims-byte binary per row; scoring decodes bf16 in place. */
+  def flatSearchBf16(df: DataFrame, config: CollectionConfig, query: Array[Float],
+      limit: Int, packedCol: String = "vector_bf16"): DataFrame = {
+    require(limit > 0, "limit must be positive")
+    require(df.columns.contains(packedCol), s"missing bf16 column $packedCol")
+    val q = prepareQuery(config, query)
+    val scored = df.withColumn("raw",
+        bf16VecDistance(config.metric, col(packedCol), q))
+      .withColumn("rank", rankCol(config.metric, col("raw")))
+    projectResults(topK(scored, limit), config)
+  }
+
   /** Range (radius) search — the FAISS `range_search` contract: every
     * row whose result DISTANCE is within `radius`, not a fixed k. A
     * pure scan + codegen'd filter: no heap, no sort, no shuffle — the

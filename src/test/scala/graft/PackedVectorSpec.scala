@@ -96,4 +96,81 @@ class PackedVectorSpec extends SparkSpec {
     assert(exact.map(_.getString(0)).toSeq === viaDisk.map(_.getString(0)).toSeq)
     assert(exact.map(_.getDouble(2)).toSeq === viaDisk.map(_.getDouble(2)).toSeq)
   }
+
+  test("bf16 kernel: RNE rounding semantics, specials, distance == decoded distance") {
+    // hand values: exactly-representable stay exact; RNE rounds ties to even
+    assert(VectorKernels.bf16BitsToF32(VectorKernels.f32ToBf16Bits(1.0f)) === 1.0f)
+    assert(VectorKernels.bf16BitsToF32(VectorKernels.f32ToBf16Bits(-2.5f)) === -2.5f)
+    // 1 + 2^-9 sits exactly between bf16 neighbors 1.0 and 1+2^-8 -> even (1.0)
+    val tie = java.lang.Float.intBitsToFloat(0x3F808000)
+    assert(VectorKernels.bf16BitsToF32(VectorKernels.f32ToBf16Bits(tie)) === 1.0f)
+    // just above the tie rounds up
+    val aboveTie = java.lang.Float.intBitsToFloat(0x3F808001)
+    assert(VectorKernels.bf16BitsToF32(VectorKernels.f32ToBf16Bits(aboveTie)) ===
+      java.lang.Float.intBitsToFloat(0x3F810000))
+    // specials survive: NaN stays NaN (never rounds to infinity), infs/zeros exact
+    assert(VectorKernels.bf16BitsToF32(VectorKernels.f32ToBf16Bits(Float.NaN)).isNaN)
+    val nearInfNaN = java.lang.Float.intBitsToFloat(0x7F80FFFF) // NaN w/ low payload
+    assert(VectorKernels.bf16BitsToF32(VectorKernels.f32ToBf16Bits(nearInfNaN)).isNaN)
+    assert(VectorKernels.bf16BitsToF32(VectorKernels.f32ToBf16Bits(
+      Float.PositiveInfinity)) === Float.PositiveInfinity)
+    assert(java.lang.Float.floatToRawIntBits(VectorKernels.bf16BitsToF32(
+      VectorKernels.f32ToBf16Bits(-0.0f))) === java.lang.Float.floatToRawIntBits(-0.0f))
+    // error bound: relative error <= 2^-8 per element
+    val v = Array.tabulate(257)(i => (math.sin(i * 0.7) * math.pow(10, i % 7 - 3)).toFloat)
+    val back = VectorKernels.unpackBf16(VectorKernels.packBf16(v))
+    v.indices.foreach { i =>
+      if (v(i) != 0f)
+        assert(math.abs((back(i) - v(i)) / v(i)) <= math.pow(2, -8), s"i=$i")
+    }
+    // distanceBf16 == distance over the DECODED values, all codes
+    val a = Bench.synthVector(7L, dims)
+    val q = Bench.synthVector(-3L, dims)
+    val packed = VectorKernels.packBf16(a)
+    val decoded = VectorKernels.unpackBf16(packed)
+    (0 to 9).foreach { code =>
+      assert(VectorKernels.distanceBf16(code, packed, q) ===
+        VectorKernels.distance(code, decoded, q), s"code $code")
+    }
+  }
+
+  test("bf16 layout: column roundtrip, search parity with rounded corpus, high overlap vs f32") {
+    val coll = corpus(400)
+    // column roundtrip equals the kernel rounding
+    val rt = Prepare.withBf16Vector(coll)
+      .select(col("vector"), unpackBf16(col("vector_bf16")).as("back"))
+      .collect()
+    rt.foreach { r =>
+      val v = r.getSeq[Float](0).toArray
+      assert(r.getSeq[Float](1).toArray.toSeq ===
+        VectorKernels.unpackBf16(VectorKernels.packBf16(v)).toSeq)
+    }
+    // through parquet: flatSearchBf16 == flatSearch over the decoded corpus
+    val path = "/tmp/graft_bf16_spec"
+    Prepare.withBf16Vector(coll).select("id", "value", "vector_bf16")
+      .write.mode("overwrite").parquet(path)
+    val onDisk = spark.read.parquet(path)
+    val q = Bench.synthVector(-9L, dims)
+    val viaBf16 = Search.flatSearchBf16(onDisk, config, q, 10).collect()
+    val roundedCorpus = onDisk.select(col("id"), col("value"),
+      unpackBf16(col("vector_bf16")).as("vector"))
+    val viaDecoded = Search.flatSearch(roundedCorpus, config, q, 10).collect()
+    assert(viaBf16.map(_.getString(0)).toSeq === viaDecoded.map(_.getString(0)).toSeq)
+    assert(viaBf16.map(_.getDouble(2)).toSeq === viaDecoded.map(_.getDouble(2)).toSeq)
+    // ranking vs full-precision: top-10 overlap stays high (pins the
+    // documented near-identical-ranking claim on this corpus shape)
+    val exact = Search.flatSearch(coll, config, q, 10).collect()
+      .map(_.getString(0)).toSet
+    val got = viaBf16.map(_.getString(0)).toSet
+    assert(exact.intersect(got).size >= 9, s"overlap ${exact.intersect(got).size}")
+    // SQL surface round trip: raw cosine of a (normalized) vector with
+    // its own bf16-decoded self is ~1
+    graft.GraftExtensions.register(spark)
+    coll.createOrReplaceTempView("bf16_coll")
+    val sqlTop = spark.sql(
+      """SELECT id, vec_bf16_distance('cosine', vec_pack_bf16(vector),
+        |  vec_unpack_bf16(vec_pack_bf16(vector))) AS d FROM bf16_coll LIMIT 3""".stripMargin)
+      .collect()
+    assert(sqlTop.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-2))
+  }
 }

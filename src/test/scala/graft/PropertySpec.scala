@@ -240,4 +240,43 @@ class PropertySpec extends SparkSpec {
         assert(math.abs(gotP(v) - x) < 1e-9, s"trial $trial node $v") }
     }
   }
+
+  test("round-12 properties: batch funnel/hybrid per-query == single-query on random corpora") {
+    import spark.implicits._
+    // random corpora x metrics x knob points: every batch result set
+    // (and its scores) must equal the single-query form per query —
+    // the r12 flagship contract, swept past the hand-picked spec points
+    for ((metric, trial) <- Seq(Metric.Cosine, Metric.L2,
+        Metric.InnerProduct).zipWithIndex) {
+      val dims = 12
+      val config = CollectionConfig(s"p12_$trial", dims, metric)
+      val rows = (0 until 120).map(i => (f"r$i%03d", randVec(dims)))
+      val coll = Prepare.prepareEmbeddings(
+        embeddingRows(rows), config).persist()
+      val qs = (0 until 4).map(k => (s"q$k", randVec(dims)))
+      val qdf = qs.map { case (qid, v) => (qid, v.toSeq) }.toDF("qid", "qvector")
+      def key(r: org.apache.spark.sql.Row, off: Int) =
+        (r.getString(off), math.rint(r.getDouble(off + 2) * 1e9) / 1e9)
+      val stages = Seq(dims / 4, dims / 2, dims)
+      for (cand <- Seq(15, 60)) {
+        val mF = Search.funnelSearchMany(coll, config, qdf, 7, stages,
+          cand, knownNq = 4L).collect().groupBy(_.getString(0))
+        val mH = Search.hybridSearchMany(coll, config, qdf, 7,
+          candidates = cand, stages = stages, knownNq = 4L)
+          .collect().groupBy(_.getString(0))
+        for ((qid, v) <- qs) {
+          val sF = Search.funnelSearch(coll, config, v, 7, stages, cand)
+            .collect().map(key(_, 0)).toSet
+          assert(mF(qid).map(key(_, 1)).toSet === sF,
+            s"funnel $metric cand=$cand $qid")
+          val sH = Search.hybridSearch(coll, config, v, 7,
+            candidates = cand, stages = stages)
+            .collect().map(key(_, 0)).toSet
+          assert(mH(qid).map(key(_, 1)).toSet === sH,
+            s"hybrid $metric cand=$cand $qid")
+        }
+      }
+      coll.unpersist()
+    }
+  }
 }
