@@ -526,6 +526,35 @@ object Search {
         lit(config.metric.name).as("metric"))
   }
 
+  /** Batch form of [[flatSearchBf16]]: one bf16-scan answers every
+    * query (queries broadcast; per-qid row_number cut) — the batch
+    * brute-force at HALF the f32 scan bytes, with the same
+    * rounded-corpus top-k contract as the single-query form. */
+  def flatSearchManyBf16(df: DataFrame, config: CollectionConfig,
+      queries: DataFrame, limit: Int,
+      packedCol: String = "vector_bf16"): DataFrame = {
+    require(limit > 0, "limit must be positive")
+    require(df.columns.contains(packedCol), s"missing bf16 column $packedCol")
+    val qNorm = queries.select(col("qid"),
+      normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+    val scored = df.crossJoin(broadcast(qNorm))
+      .withColumn("raw",
+        col2Bf16Distance(config.metric, col(packedCol), col("qvector")))
+      .withColumn("rank", rankCol(config.metric, col("raw")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc_nulls_last, col("id").asc)
+    val (score, dist) = resultValues(config.metric, col("raw"), config.score)
+    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
+      .select(col("qid"), col("id"), col("value"),
+        score.cast("double").as("score"), dist.cast("double").as("distance"),
+        lit(config.metric.name).as("metric"))
+  }
+
+  private def col2Bf16Distance(metric: Metric, packed: Column, q: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.Bf16VectorDistance(
+        org.apache.spark.sql.graft.Bridge.expression(packed),
+        org.apache.spark.sql.graft.Bridge.expression(q), metric.code))
+
   /** Batch form of quantized search: the candidate pass scores the
     * stored sign words against every query in ONE scan (queries
     * broadcast with their prepared vectors; asymmetric binary dot by

@@ -163,6 +163,19 @@ class PackedVectorSpec extends SparkSpec {
       .map(_.getString(0)).toSet
     val got = viaBf16.map(_.getString(0)).toSet
     assert(exact.intersect(got).size >= 9, s"overlap ${exact.intersect(got).size}")
+    // batch form: per-query results equal the single-query bf16 search
+    import spark.implicits._
+    val qs = Seq(("q0", Bench.synthVector(-9L, dims).toSeq),
+      ("q1", Bench.synthVector(-4L, dims).toSeq)).toDF("qid", "qvector")
+    val many = Search.flatSearchManyBf16(onDisk, config, qs, 5)
+      .collect().groupBy(_.getString(0))
+    for ((qid, v) <- Seq("q0" -> Bench.synthVector(-9L, dims),
+        "q1" -> Bench.synthVector(-4L, dims))) {
+      val single = Search.flatSearchBf16(onDisk, config, v, 5)
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+      assert(many(qid).map(r => (r.getString(1), r.getDouble(3))).toSet === single,
+        s"bf16 batch $qid")
+    }
     // SQL surface round trip: raw cosine of a (normalized) vector with
     // its own bf16-decoded self is ~1
     graft.GraftExtensions.register(spark)
