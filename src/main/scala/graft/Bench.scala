@@ -817,6 +817,13 @@ object Bench {
     record("scale5x_flat_bf16") {
       Search.flatSearchBf16(scaleBf16, config, q, 10).collect()
     }
+    // batch brute force at the half-IO width: 64 queries, ONE bf16 scan
+    // (per-query cost is the number a training-batch retrieval pays)
+    record("scale5x_bf16_batch64_perq", div = 64.0) {
+      val qs = spark.range(64).select(col("id").cast("string").as("qid"),
+        genUdf(col("id") + 2000000L).as("qvector"))
+      Search.flatSearchManyBf16(scaleBf16, config, qs, 10).count()
+    }
     quality("overlap10_bf16_vs_f32") = {
       val exact = Search.flatSearchPacked(scaleDf, config, q, 10)
         .collect().map(_.getString(0)).toSet

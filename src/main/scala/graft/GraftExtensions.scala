@@ -169,6 +169,51 @@ object GraftExtensions {
         CompressionRatio(args(0),
           if (args.length == 2) intArgOf(args(1)) else 6)
       })),
+    "text_strip_html" -> ((
+      info("text_strip_html",
+        "text_strip_html(html) - tag-stripped, entity-decoded, whitespace-collapsed text (script/style blocks drop with content)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "text_strip_html(html)")
+        org.apache.spark.sql.graft.Bridge.resolvableExpression(
+          graft.text.WebText.stripHtml(
+            org.apache.spark.sql.graft.Bridge.column(args(0))))
+      })),
+    "text_link_density" -> ((
+      info("text_link_density",
+        "text_link_density(html) - fraction of stripped text chars inside <a> anchors (jusText boilerplate signal)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "text_link_density(html)")
+        org.apache.spark.sql.graft.Bridge.resolvableExpression(
+          graft.text.WebText.linkDensity(
+            org.apache.spark.sql.graft.Bridge.column(args(0))))
+      })),
+    "url_host" -> ((
+      info("url_host",
+        "url_host(url) - lowercased host (userinfo/port stripped; '' when unparseable)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "url_host(url)")
+        org.apache.spark.sql.graft.Bridge.resolvableExpression(
+          graft.text.WebText.urlHost(
+            org.apache.spark.sql.graft.Bridge.column(args(0))))
+      })),
+    "url_domain" -> ((
+      info("url_domain",
+        "url_domain(url) - registered domain (eTLD+1, built-in multi-label suffix set): the per-domain cap / domain-mix unit"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "url_domain(url)")
+        org.apache.spark.sql.graft.Bridge.resolvableExpression(
+          graft.text.WebText.urlDomain(
+            org.apache.spark.sql.graft.Bridge.column(args(0))))
+      })),
+    "url_path" -> ((
+      info("url_path",
+        "url_path(url) - path component, query/fragment dropped ('/' when empty)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "url_path(url)")
+        org.apache.spark.sql.graft.Bridge.resolvableExpression(
+          graft.text.WebText.urlPath(
+            org.apache.spark.sql.graft.Bridge.column(args(0))))
+      })),
     "text_nfc" -> ((
       info("text_nfc",
         "text_nfc(text) - Unicode NFC canonical composition (JDK Normalizer; DuckDB nfc_normalize twin)"),

@@ -11,7 +11,7 @@ import graft.encode.Pca
 import graft.multimodal.Multimodal
 import graft.streaming.EventStreams
 import graft.search.Search
-import graft.text.{Bm25, Bpe, NaiveBayes, NgramLm, TextAnalysis}
+import graft.text.{Bm25, Bpe, NaiveBayes, NgramLm, TextAnalysis, WebText}
 
 /** Training-data pipeline queries (dedup / text / multimodal / events /
   * relational) with DuckDB oracles, merged into SparkEntry. */
@@ -24,6 +24,36 @@ object TrainingQueries {
   def events(s: SparkSession, dir: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     s.read.parquet(s"$dir/events.parquet")
+  }
+
+  /** Deterministic synthetic HTML page per documents row (mirrored
+    * verbatim in the DuckDB oracle). */
+  private def synthHtml: Column = concat(
+    lit("<html><head><title>"), col("source"),
+    lit("</title><script type=\"text/javascript\">var v = "),
+    col("doc_id").cast("string"),
+    lit(";</script><style>p { color: red }</style></head><body><h1>"),
+    col("source"), lit("</h1><p>"), col("text"),
+    lit(" &amp; more &lt;tags&gt;</p><a href=\"/d/"),
+    col("doc_id").cast("string"), lit("\">read "), col("lang"),
+    lit(" doc</a><div><a href=\"/next\">next</a></div></body></html>"))
+
+  /** Deterministic synthetic URL per documents row: userinfo, www/blog
+    * subdomains, multi-label suffixes, ports, query strings all cycle
+    * by doc_id (mirrored verbatim in the DuckDB oracle). */
+  private def synthUrl: Column = {
+    val did = col("doc_id")
+    concat(lit("https://"),
+      when(did % 7 === 0, lit("user:pw@")).otherwise(lit("")),
+      when(did % 5 === 0, lit("www."))
+        .when(did % 5 === 1, lit("blog.")).otherwise(lit("")),
+      col("source"),
+      when(did % 4 === 0, lit(".co.uk")).when(did % 4 === 1, lit(".com"))
+        .when(did % 4 === 2, lit(".org")).otherwise(lit(".com.au")),
+      when(did % 3 === 0, lit(":8080")).otherwise(lit("")),
+      when(did % 2 === 0,
+        concat(lit("/p/"), did.cast("string"), lit("?q="), col("lang")))
+        .otherwise(lit("")))
   }
 
   /** Dedup corpus: originals + exact copies + near copies, derived from
@@ -594,6 +624,28 @@ object TrainingQueries {
         TextAnalysis.blocklistFraction(col("text"),
           Seq("spark", "fast", "slow")).as("hit_frac")),
         Seq("hit_frac"))),
+
+    // HTML -> training text: script/style blocks drop with content,
+    // tags strip, entities decode, whitespace collapses; link density
+    // is the jusText boilerplate signal. The page is synthesized
+    // deterministically from the documents row (mirrored in SQL).
+    "text_html_extract" -> ((s, dir) => {
+      val html = synthHtml
+      roundCols(Tables.read(s, dir, "documents").select(col("doc_id"),
+        WebText.stripHtml(html).as("stripped"),
+        WebText.linkDensity(html).as("link_density")),
+        Seq("link_density"))
+    }),
+
+    // URL -> host / registered domain (eTLD+1 heuristic) / path — the
+    // grouping unit for per-domain caps and domain-mix stats
+    "text_url_domains" -> ((s, dir) => {
+      val url = synthUrl
+      Tables.read(s, dir, "documents").select(col("doc_id"),
+        WebText.urlHost(url).as("host"),
+        WebText.urlDomain(url).as("domain"),
+        WebText.urlPath(url).as("path"))
+    }),
 
     // lexical diversity: type-token ratio + hapax fraction, the
     // template/boilerplate vs gibberish quality axes
@@ -2990,6 +3042,46 @@ object TrainingQueries {
            CAST(len(list_filter(lt, x -> x IN ('spark', 'fast', 'slow'))) AS INT) AS n_hits,
            (round(CAST(len(list_filter(lt, x -> x IN ('spark', 'fast', 'slow'))) AS DOUBLE) / len(lt), 6) + 0) AS hit_frac
          FROM t ORDER BY doc_id""",
+
+    "text_html_extract" -> {
+      val htmlSql = """'<html><head><title>' || source || '</title><script type="text/javascript">var v = ' || CAST(doc_id AS VARCHAR) || ';</script><style>p { color: red }</style></head><body><h1>' || source || '</h1><p>' || text || ' &amp; more &lt;tags&gt;</p><a href="/d/' || CAST(doc_id AS VARCHAR) || '">read ' || lang || ' doc</a><div><a href="/next">next</a></div></body></html>'"""
+      s"""WITH h AS (SELECT doc_id, $htmlSql AS html FROM documents),
+         s AS (SELECT doc_id, html,
+           trim(regexp_replace(
+             replace(replace(replace(replace(replace(replace(
+               regexp_replace(
+                 regexp_replace(html, '(?is)<(script|style)[^>]*>.*?</(script|style)>', ' ', 'g'),
+                 '<[^>]+>', ' ', 'g'),
+               '&lt;','<'),'&gt;','>'),'&quot;','"'),'&#39;',''''),'&nbsp;',' '),'&amp;','&'),
+             '\\s+', ' ', 'g')) AS stripped,
+           coalesce(list_sum(list_transform(
+             regexp_extract_all(html, '(?is)<a[^>]*>(.*?)</a>', 1),
+             x -> length(trim(regexp_replace(regexp_replace(x,'<[^>]+>',' ','g'),'\\s+',' ','g'))))), 0) AS ac
+           FROM h)
+         SELECT doc_id, stripped,
+           (round(CASE WHEN length(stripped) > 0 THEN least(CAST(ac AS DOUBLE)/length(stripped), 1.0) ELSE 0.0 END, 6) + 0) AS link_density
+         FROM s ORDER BY doc_id"""
+    },
+
+    "text_url_domains" -> {
+      val urlSql = """'https://' || (CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END) || (CASE doc_id % 5 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' ELSE '' END) || source || (CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com' WHEN 2 THEN '.org' ELSE '.com.au' END) || (CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END) || (CASE WHEN doc_id % 2 = 0 THEN '/p/' || CAST(doc_id AS VARCHAR) || '?q=' || lang ELSE '' END)"""
+      val suffixes = graft.text.WebText.MultiLabelSuffixes
+        .map(s => s"'$s'").mkString(",")
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         h AS (SELECT doc_id, url,
+           lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                 '^(?:[^@]*@)?([^:]+)', 1)) AS host,
+           coalesce(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/') AS path
+           FROM u)
+         SELECT doc_id, host,
+           CASE WHEN host = '' OR host IS NULL THEN NULL
+             WHEN len(string_split(host,'.')) <= 2 THEN host
+             WHEN array_to_string(string_split(host,'.')[-2:],'.') IN ($suffixes)
+               THEN array_to_string(string_split(host,'.')[-3:],'.')
+             ELSE array_to_string(string_split(host,'.')[-2:],'.') END AS domain,
+           path
+         FROM h ORDER BY doc_id"""
+    },
 
     "text_lexical_diversity" ->
       s"""WITH t AS (SELECT doc_id, list_transform($tokensSql, x -> lower(x)) AS lt FROM documents)

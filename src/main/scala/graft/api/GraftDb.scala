@@ -181,10 +181,12 @@ final class GraftDb(val spark: SparkSession) {
 
   // ------------------------------------------------------------- search
 
-  /** Index-routed search: `flat` scans exactly; `hnsw` uses the parity
-    * graph; `lsh` / `ivf` / `sq8` / `pq` / `ivfpq` use the distributed
-    * ANN candidate paths (quantized variants rerank exactly).
-    * Mirrors the reference's `index_mod.search` dispatch.
+  /** Index-routed search: `flat` scans exactly; `bf16` scans exactly
+    * over the bf16-rounded corpus at 2 B/dim (half the scan bytes of a
+    * flat at-rest layout — see [[persistIndex]]); `hnsw` uses the
+    * parity graph; `lsh` / `ivf` / `sq8` / `pq` / `ivfpq` use the
+    * distributed ANN candidate paths (quantized variants rerank
+    * exactly). Mirrors the reference's `index_mod.search` dispatch.
     *
     * `filter` (engine extension) makes it a FILTERED search: top-k
     * among rows matching the predicate (post-filter semantics). Models
@@ -220,6 +222,12 @@ final class GraftDb(val spark: SparkSession) {
     def filtered(f: DataFrame): DataFrame = filter.foldLeft(f)(_.filter(_))
     config.index match {
       case "flat" => Search.flatSearch(filtered(df), config, query, limit)
+      case "bf16" =>
+        // exact scan over the bf16-ROUNDED corpus (2 B/dim at rest —
+        // half the flat snapshot's scan bytes); deterministic, no knobs
+        val frame = codedFrameCache.getOrElseUpdate(name,
+          Prepare.withBf16Vector(df))
+        Search.flatSearchBf16(filtered(frame), config, query, limit)
       case "hnsw" if openPaths.contains(name) =>
         // opened from an at-rest layout: serve through the persisted
         // shard graphs (reconstructed from adjacency, cached per path)
@@ -486,6 +494,10 @@ final class GraftDb(val spark: SparkSession) {
       } else (nprobe, candidates, beam)
     def filtered(f: DataFrame): DataFrame = filter.foldLeft(f)(_.filter(_))
     config.index match {
+      case "bf16" =>
+        val frame = codedFrameCache.getOrElseUpdate(name,
+          Prepare.withBf16Vector(df))
+        Search.flatSearchManyBf16(filtered(frame), config, queries, limit)
       case "hnsw" if openPaths.contains(name) =>
         val path = openPaths(name)
         graft.index.ShardedHnsw.searchManyPersisted(spark, path, config,
@@ -929,6 +941,14 @@ final class GraftDb(val spark: SparkSession) {
           .write.mode("overwrite").parquet(path)
       case "flat" =>
         CollectionStore.snapshot(df, config, path)
+      case "bf16" =>
+        // the at-rest layout DROPS the f32 vector column entirely:
+        // vector_bf16 carries the payload at 2 B/dim, so the reopened
+        // collection's scans read HALF the bytes of a flat snapshot.
+        // The f32 values are NOT recoverable — a reopened collection
+        // serves the rounded corpus (the bf16 contract).
+        Prepare.withBf16Vector(df).drop("vector")
+          .write.mode("overwrite").parquet(path)
       case "hnsw" =>
         // per-shard graphs persisted WITH their adjacency: a cold open
         // reconstructs them with zero distance computations, skipping
@@ -987,6 +1007,10 @@ final class GraftDb(val spark: SparkSession) {
         else { pqCache.put(name, (cb, null)); ivfPqCache.put(name, full) }
       case "lsh" =>
         codedFrameCache.put(name, full)
+      case "bf16" =>
+        require(full.columns.contains("vector_bf16"),
+          s"bf16 layout at $path is missing vector_bf16")
+        codedFrameCache.put(name, full)
       case "hnsw" =>
         // validate the sidecar now (a failed open must not bind the
         // path); shard graphs themselves reconstruct lazily on first
@@ -996,8 +1020,14 @@ final class GraftDb(val spark: SparkSession) {
       case other => throw new IllegalArgumentException(
         s"index $other has no persistable layout")
     }
-    val canonical = Prepare.canonicalSchema.fieldNames.filter(full.columns.contains)
-    registry.put(name, (full.select(canonical.map(col).toSeq: _*), config))
+    // a bf16 layout has no f32 column at rest — CRUD reads (get/all)
+    // serve the DECODED rounded vectors, which ARE the stored corpus
+    val reg = if (config.index == "bf16")
+      full.withColumn("vector",
+        graft.functions.VectorFunctions.unpackBf16(col("vector_bf16")))
+    else full
+    val canonical = Prepare.canonicalSchema.fieldNames.filter(reg.columns.contains)
+    registry.put(name, (reg.select(canonical.map(col).toSeq: _*), config))
   }
 
   /** Append new rows to the at-rest layout of a collection opened via
@@ -1065,6 +1095,9 @@ final class GraftDb(val spark: SparkSession) {
           .write.mode("append").parquet(path)
       case "flat" =>
         prepared.write.mode("append").parquet(path)
+      case "bf16" =>
+        Prepare.withBf16Vector(prepared).drop("vector")
+          .write.mode("append").parquet(path)
       case other => throw new IllegalArgumentException(
         s"index $other has no persistable layout")
     }

@@ -73,7 +73,8 @@ trait GraftIndex {
   * reserved and cannot be overridden — a plugin shadowing `flat` would
   * silently change every default collection. */
 object GraftIndexRegistry {
-  val BuiltinNames: Set[String] = Set("flat", "hnsw", "lsh", "ivf", "sq8", "pq", "ivfpq")
+  val BuiltinNames: Set[String] =
+    Set("flat", "bf16", "hnsw", "lsh", "ivf", "sq8", "pq", "ivfpq")
 
   private val impls =
     scala.collection.concurrent.TrieMap.empty[String, GraftIndex]

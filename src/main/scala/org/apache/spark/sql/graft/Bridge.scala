@@ -11,6 +11,13 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** Eager Column -> Expression conversion (UnresolvedFunction nodes
+    * the analyzer then resolves) — what a FunctionRegistry builder must
+    * return; [[expression]]'s lazy `ColumnNodeExpression` wrapper is
+    * Unevaluable and never re-enters analysis from there. */
+  def resolvableExpression(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter(c.node)
+
   /** Scala-external -> catalyst-internal value converter for `dt`
     * (String -> UTF8String, Timestamp -> micros, ...): what an `InSet`
     * literal set must hold to match the column's runtime values. */

@@ -201,7 +201,7 @@ class GraftDbSpec extends SparkSpec {
     // ivfpq on cosine = raw codes; on l2 = residual codes; both roads
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
         "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
-        "hnsw" -> "cosine", "flat" -> "cosine")) {
+        "hnsw" -> "cosine", "flat" -> "cosine", "bf16" -> "cosine")) {
       val name = s"p_${idx}_$metric"
       db.createCollection(name, 4, metric = metric, index = idx)
       db.batch(name, vecs)
@@ -250,6 +250,57 @@ class GraftDbSpec extends SparkSpec {
     }
   }
 
+  test("bf16 facade kind: rounded-exact search, vector-free at-rest layout, decoded CRUD") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val db = new GraftDb(spark)
+    val vecs = (0 until 40).map(i =>
+      db.EmbeddingInput(id = f"b$i%02d", vector = Array(
+        math.cos(i * 0.21).toFloat, math.sin(i * 0.21).toFloat,
+        (i % 9) / 8.0f, 1.0f / (i + 1))))
+    val q = Array(0.6f, 0.4f, 0.55f, 0.2f)
+    db.createCollection("bf", 4, metric = "cosine", index = "bf16")
+    db.batch("bf", vecs)
+    // facade routing == the low-level bf16 scan over the packed frame
+    val cfg = graft.core.CollectionConfig("bf", 4,
+      graft.core.Metric.Cosine, None, graft.core.ScoreMode.Similarity, "bf16")
+    val direct = graft.search.Search.flatSearchBf16(
+        graft.prepare.Prepare.withBf16Vector(db.all("bf")), cfg, q, 5)
+      .select("id", "score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val viaDb = db.search("bf", q, 5).select("id", "score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(viaDb === direct, "facade bf16 routing differs from Search.flatSearchBf16")
+    // in-memory batch parity (the persist loop covers the opened form)
+    val queries = Seq(("q0", q.toSeq), ("q1", vecs(7).vector.toSeq))
+      .toDF("qid", "qvector")
+    val batch = db.searchMany("bf", queries, 5).collect()
+      .groupBy(_.getAs[String]("qid"))
+    assert(batch("q0").map(r => (r.getAs[String]("id"), r.getAs[Double]("score")))
+      .toSeq.sortBy(_._1) === viaDb.sortBy(_._1), "bf16 batch != single")
+    // filtered search: exact top-k among matching rows only
+    val filt = db.search("bf", q, 3, filter = Some(col("id") =!= viaDb.head._1))
+      .collect().map(_.getString(0)).toSeq
+    assert(!filt.contains(viaDb.head._1) && filt.nonEmpty, "bf16 filter ignored")
+    // at-rest layout: NO f32 column (that is the point), packed present
+    val path = java.nio.file.Files.createTempDirectory("graft_bf16").toString
+    db.persistIndex("bf", path)
+    val onDisk = spark.read.parquet(path)
+    assert(!onDisk.columns.contains("vector"), "bf16 layout leaks the f32 column")
+    assert(onDisk.columns.contains("vector_bf16"))
+    // CRUD on the reopened collection serves the DECODED rounded corpus
+    val db2 = new GraftDb(spark)
+    db2.openIndexed("bf2", path)
+    val gotRow = db2.get("bf2", "b07").get
+    val got = gotRow.getSeq[Float](gotRow.fieldIndex("vector"))
+    val expected = graft.prepare.Prepare.withBf16Vector(db.all("bf"))
+      .filter(col("id") === "b07")
+      .select(graft.functions.VectorFunctions.unpackBf16(col("vector_bf16")))
+      .head.getSeq[Float](0)
+    assert(got === expected, "reopened bf16 CRUD vector is not the decoded corpus")
+    db.close("bf"); db2.close("bf2")
+  }
+
   test("l2 ivfpq facade defaults to residual codes; batch agrees with single") {
     val db = new GraftDb(spark)
     db.createCollection("resq", 3, metric = "l2", index = "ivfpq")
@@ -290,7 +341,7 @@ class GraftDbSpec extends SparkSpec {
     val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
         "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
-        "hnsw" -> "cosine", "flat" -> "cosine")) {
+        "hnsw" -> "cosine", "flat" -> "cosine", "bf16" -> "cosine")) {
       val name = s"ap_${idx}_$metric"
       db.createCollection(name, 4, metric = metric, index = idx)
       db.batch(name, vecs)

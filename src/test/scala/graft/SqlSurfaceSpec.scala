@@ -119,4 +119,19 @@ class SqlSurfaceSpec extends SparkSpec {
       .select(TextAnalysis.nfc(col("text"))).head()
     assert(n.isNullAt(0))
   }
+
+  test("web surface: text_strip_html / text_link_density / url_* from pure SQL") {
+    GraftExtensions.register(spark)
+    val r = spark.sql("""SELECT
+      text_strip_html('<p>Hi &amp; <b>bye</b></p><script>x</script>') AS t,
+      text_link_density('<a>four</a> and more') AS d,
+      url_host('https://u@www.Ex.co.uk:81/a/b?q#f') AS h,
+      url_domain('https://u@www.Ex.co.uk:81/a/b?q#f') AS dom,
+      url_path('https://u@www.Ex.co.uk:81/a/b?q#f') AS p""").head()
+    assert(r.getString(0) === "Hi & bye")
+    assert(r.getDouble(1) === 4.0 / 13)
+    assert(r.getString(2) === "www.ex.co.uk")
+    assert(r.getString(3) === "ex.co.uk")
+    assert(r.getString(4) === "/a/b")
+  }
 }
