@@ -205,6 +205,15 @@ object GraftExtensions {
           graft.text.WebText.urlDomain(
             org.apache.spark.sql.graft.Bridge.column(args(0))))
       })),
+    "url_canonicalize" -> ((
+      info("url_canonicalize",
+        "url_canonicalize(url) - canonical dedup key: www/userinfo/port/fragment/tracking-params stripped, params sorted, trailing slash normalized (lower(url) fallback when unparseable)"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, "url_canonicalize(url)")
+        org.apache.spark.sql.graft.Bridge.resolvableExpression(
+          graft.text.WebText.urlCanonicalize(
+            org.apache.spark.sql.graft.Bridge.column(args(0))))
+      })),
     "url_path" -> ((
       info("url_path",
         "url_path(url) - path component, query/fragment dropped ('/' when empty)"),

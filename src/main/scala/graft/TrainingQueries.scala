@@ -56,6 +56,23 @@ object TrainingQueries {
         .otherwise(lit("")))
   }
 
+  /** Noisy synthetic URL per documents row for the canonicalize oracle:
+    * WWW/case, trailing slashes, tracking params, param order, and
+    * fragments all cycle by doc_id so several raw forms share one
+    * canonical key (mirrored verbatim in the DuckDB oracle). */
+  private def synthNoisyUrl: Column = {
+    val did = col("doc_id")
+    concat(lit("https://"),
+      when(did % 3 === 0, lit("WWW.")).otherwise(lit("")),
+      col("source"), lit(".com"),
+      when(did % 4 === 0, lit("/a/b/")).when(did % 4 === 1, lit("/a/b"))
+        .when(did % 4 === 2, lit("/")).otherwise(lit("")),
+      when(did % 5 === 0, lit("?utm_source=x&b=2&a=1"))
+        .when(did % 5 === 1, lit("?a=1&b=2"))
+        .when(did % 5 === 2, lit("?utm_campaign=y")).otherwise(lit("")),
+      when(did % 2 === 0, lit("#frag")).otherwise(lit("")))
+  }
+
   /** Dedup corpus: originals + exact copies + near copies, derived from
     * the documents table (deterministic, mirrored in SQL). */
   private def corpus(s: SparkSession, dir: String): DataFrame = {
@@ -645,6 +662,15 @@ object TrainingQueries {
         WebText.urlHost(url).as("host"),
         WebText.urlDomain(url).as("domain"),
         WebText.urlPath(url).as("path"))
+    }),
+
+    // canonical-URL dedup keys: www/userinfo/port/fragment/tracking
+    // params stripped, params sorted — rows whose synthetic URLs differ
+    // only by transport noise collapse to one key (C4's URL dedup unit)
+    "text_url_canonical" -> ((s, dir) => {
+      val url = synthNoisyUrl
+      Tables.read(s, dir, "documents").select(col("doc_id"),
+        WebText.urlCanonicalize(url).as("canonical"))
     }),
 
     // lexical diversity: type-token ratio + hapax fraction, the
@@ -3081,6 +3107,25 @@ object TrainingQueries {
              ELSE array_to_string(string_split(host,'.')[-2:],'.') END AS domain,
            path
          FROM h ORDER BY doc_id"""
+    },
+
+    "text_url_canonical" -> {
+      val urlSql = """'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) || source || '.com' || (CASE doc_id % 4 WHEN 0 THEN '/a/b/' WHEN 1 THEN '/a/b' WHEN 2 THEN '/' ELSE '' END) || (CASE doc_id % 5 WHEN 0 THEN '?utm_source=x&b=2&a=1' WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?utm_campaign=y' ELSE '' END) || (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END)"""
+      s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         h AS (SELECT doc_id, url,
+           regexp_replace(lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
+                 '^(?:[^@]*@)?([^:]+)', 1)), '^www\\.', '') AS host,
+           coalesce(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/') AS path,
+           regexp_extract(url, '\\?([^#]*)', 1) AS qs
+           FROM u),
+         c AS (SELECT doc_id, url, host,
+           CASE WHEN path = '/' THEN '' ELSE regexp_replace(path, '/+$$', '') END AS cpath,
+           array_to_string(list_sort(list_filter(string_split(qs, '&'),
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref|ref_src|mc_cid|mc_eid)='))), '&') AS cq
+           FROM h)
+         SELECT doc_id, CASE WHEN host = '' THEN lower(url)
+           ELSE host || cpath || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) END AS canonical
+         FROM c ORDER BY doc_id"""
     },
 
     "text_lexical_diversity" ->

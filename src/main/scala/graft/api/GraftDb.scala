@@ -577,10 +577,13 @@ final class GraftDb(val spark: SparkSession) {
           residual = false, queries, limit,
           if (np > 0) np else ivfCfg.nprobe, candidates = cand,
           knownNq = knownNq)
+      case "flat" => Search.flatSearchMany(filtered(df), config, queries, limit)
       case other => GraftIndexRegistry.lookup(other) match {
         case Some(impl) =>
           impl.searchMany(df, config, queries, limit, knownNq, filter)
-        case None => Search.flatSearchMany(filtered(df), config, queries, limit)
+        // mirror search(): an unknown kind (plugin unregistered after
+        // create) must throw, not silently serve a flat scan
+        case None => throw new IllegalArgumentException(s"unknown index $other")
       }
     }
   }

@@ -97,4 +97,29 @@ object WebText {
 
   /** [[registeredDomain]] straight from a URL. */
   def urlDomain(url: Column): Column = registeredDomain(urlHost(url))
+
+  /** Query parameters dropped by [[urlCanonicalize]]: the tracking
+    * params that vary per click without changing the fetched content. */
+  val TrackingParamPattern: String =
+    "^(utm_[^=]*|gclid|fbclid|ref|ref_src|mc_cid|mc_eid)="
+
+  /** Canonical URL dedup key — the fuzzy-URL-dedup unit (C4-style
+    * corpora dedupe by URL before any content pass): lowercased host
+    * with `www.` and userinfo/port stripped, trailing-slash-normalized
+    * path, tracking params ([[TrackingParamPattern]]) dropped and the
+    * survivors SORTED (param order is transport noise), fragment
+    * dropped. Unparseable rows fall back to `lower(url)` so they still
+    * group exactly. Pure per-row projection. */
+  def urlCanonicalize(url: Column): Column = {
+    val host = regexp_replace(urlHost(url), "^www\\.", "")
+    val path = urlPath(url)
+    val cpath = when(path === "/", lit(""))
+      .otherwise(regexp_replace(path, "/+$", ""))
+    val qs = regexp_extract(url, "\\?([^#]*)", 1)
+    val params = filter(split(qs, "&"),
+      p => p =!= "" && !p.rlike(TrackingParamPattern))
+    val cq = array_join(array_sort(params), "&")
+    when(host === "", lower(url)).otherwise(concat(host, cpath,
+      when(cq =!= "", concat(lit("?"), cq)).otherwise(lit(""))))
+  }
 }

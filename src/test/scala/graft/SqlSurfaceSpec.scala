@@ -127,11 +127,13 @@ class SqlSurfaceSpec extends SparkSpec {
       text_link_density('<a>four</a> and more') AS d,
       url_host('https://u@www.Ex.co.uk:81/a/b?q#f') AS h,
       url_domain('https://u@www.Ex.co.uk:81/a/b?q#f') AS dom,
-      url_path('https://u@www.Ex.co.uk:81/a/b?q#f') AS p""").head()
+      url_path('https://u@www.Ex.co.uk:81/a/b?q#f') AS p,
+      url_canonicalize('https://WWW.Ex.com/a/?utm_source=x&b=2&a=1#f') AS c""").head()
     assert(r.getString(0) === "Hi & bye")
     assert(r.getDouble(1) === 4.0 / 13)
     assert(r.getString(2) === "www.ex.co.uk")
     assert(r.getString(3) === "ex.co.uk")
     assert(r.getString(4) === "/a/b")
+    assert(r.getString(5) === "ex.com/a?a=1&b=2")
   }
 }

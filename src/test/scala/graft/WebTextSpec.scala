@@ -68,6 +68,20 @@ class WebTextSpec extends SparkSpec {
     assert(viaUrl === Seq("news.com.au"))
   }
 
+  test("urlCanonicalize: transport-noise forms collapse to one dedup key") {
+    val got = one(WebText.urlCanonicalize(col("x")),
+      "a" -> "https://WWW.Ex.com/a/b/?utm_source=x&b=2&a=1#f",
+      "b" -> "https://ex.com/a/b?a=1&b=2",
+      "c" -> "https://user@ex.com:8080/a/b?b=2&a=1",
+      "d" -> "https://ex.com",
+      "e" -> "https://www.ex.com/?utm_campaign=y&fbclid=z",
+      "f" -> "Not A URL")
+    assert(got(0) === "ex.com/a/b?a=1&b=2")
+    assert(got(1) === got(0) && got(2) === got(0))
+    assert(got(3) === "ex.com" && got(4) === "ex.com")
+    assert(got(5) === "not a url")
+  }
+
   test("invariants over generated inputs: plain-text fixpoint, domain-suffix, density bounds") {
     import spark.implicits._
     val rnd = new scala.util.Random(42)
