@@ -824,6 +824,28 @@ object Bench {
         genUdf(col("id") + 2000000L).as("qvector"))
       Search.flatSearchManyBf16(scaleBf16, config, qs, 10).count()
     }
+    // Matryoshka prefix layout: the funnel's stage-1 scan reads ONLY the
+    // dims/4-prefix column (2 B/dim) via parquet column pruning — 1/8
+    // the f32 vector's bytes for the cut that touches every row
+    val scaleBf16PfxPath = "/tmp/graft_bench_scale_bf16_pfx"
+    val pfxStages = Search.defaultFunnelStages(dims)
+    record("scale5x_bf16_prefix_write", cold = true) {
+      val pfxCols = pfxStages.filter(_ < dims)
+        .map(d => graft.prepare.Prepare.bf16PrefixCol(d))
+      graft.prepare.Prepare.withBf16Prefixes(
+        graft.prepare.Prepare.prepareEmbeddings(
+          spark.range(scaleN).select(
+            col("id").cast("string").as("id"),
+            col("id").cast("string").as("value"),
+            genUdf(col("id")).as("vector")), config), pfxStages, dims)
+        .select((Seq("id", "value", "vector_bf16") ++ pfxCols).map(col): _*)
+        .write.mode("overwrite").parquet(scaleBf16PfxPath)
+    }
+    familyBarrier()
+    val scalePfx = spark.read.parquet(scaleBf16PfxPath)
+    record("scale5x_funnel_bf16") {
+      Search.funnelSearchBf16(scalePfx, config, q, 10).collect()
+    }
     quality("overlap10_bf16_vs_f32") = {
       val exact = Search.flatSearchPacked(scaleDf, config, q, 10)
         .collect().map(_.getString(0)).toSet

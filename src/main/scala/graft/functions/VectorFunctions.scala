@@ -134,6 +134,12 @@ object VectorFunctions {
   def bf16VecDistance(metric: Metric, packed: Column, query: Array[Float]): Column =
     col2(Bf16VectorDistance(expr0(packed), expr0(vecLit(query)), metric.code))
 
+  /** [[bf16VecDistance]] by explicit kernel code — for ranks outside the
+    * Metric enum (e.g. `VectorKernels.TRUE_COSINE_CODE`, the funnel's
+    * prefix-stage scorer). */
+  def bf16VecDistanceCode(code: Int, packed: Column, query: Array[Float]): Column =
+    col2(Bf16VectorDistance(expr0(packed), expr0(vecLit(query)), code))
+
   /** ADC score of a quantized byte-code column against a per-query
     * partial-distance table (position-major, `table(pos*stride+code)`).
     * The table is a plan CONSTANT carried as a reference object — large

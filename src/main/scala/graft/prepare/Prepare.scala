@@ -94,6 +94,24 @@ object Prepare {
   def withBf16Vector(df: DataFrame, vectorCol: String = "vector"): DataFrame =
     df.withColumn("vector_bf16", packBf16(col(vectorCol)))
 
+  /** Column name of the packed bf16 `d`-prefix in a funnel layout. */
+  def bf16PrefixCol(d: Int): String = s"vector_bf16_p$d"
+
+  /** Matryoshka funnel layout at bf16 width: `vector_bf16` plus one
+    * packed 2 B/dim prefix column per non-final stage, so
+    * `Search.funnelSearchBf16`'s stage `d` scan reads `d * 2` bytes/row
+    * via parquet column pruning (the f32 funnel reads the whole
+    * `4 * dims` vector column at every stage). Prefix columns add
+    * `2 * sum(prefix dims)` bytes/row at rest — the price of the 8x
+    * cheaper first-stage scan; drop `vectorCol` before writing when the
+    * layout is bf16-only (the facade's at-rest contract). */
+  def withBf16Prefixes(df: DataFrame, stages: Seq[Int], dims: Int,
+      vectorCol: String = "vector"): DataFrame =
+    stages.filter(_ < dims).distinct.foldLeft(withBf16Vector(df, vectorCol)) {
+      (cur, d) => cur.withColumn(bf16PrefixCol(d),
+        packBf16(slice(col(vectorCol), 1, d)))
+    }
+
   /** Vector-dimension histogram: (dim, n_rows) over `size(vector)`
     * (null vectors as dim -1) — more than one row means a mixed-dims
     * corpus that will fail ingest validation; the companion scan to

@@ -310,13 +310,68 @@ object Search {
     require(effCand >= limit, "candidates must be >= limit")
     require(widen >= 1, "widen must be >= 1")
     val keeps = funnelKeeps(effStages.size, effCand, widen)
+    val rankFor = (d: Int) => funnelStageRank(config, q, d)
     if (keeps.max > slimCutMaxIds(df))
-      flatSearchPrepared(funnelSurvivorsFrame(df, config, q, effStages, keeps),
+      flatSearchPrepared(funnelSurvivorsFrame(df, rankFor, effStages, keeps),
         config, q, limit)
     else {
-      val ids = funnelSurvivorIds(df, config, q, effStages, keeps)
+      val ids = funnelSurvivorIds(df, rankFor, effStages, keeps)
       flatSearchPrepared(ids.fold(df)(filterByIds(df, _)), config, q, limit)
     }
+  }
+
+  /** Matryoshka funnel over a bf16 PREFIX layout
+    * ([[graft.prepare.Prepare.withBf16Prefixes]]): stage `d` scans ONLY
+    * the packed `vector_bf16_p{d}` column — parquet column pruning makes
+    * stage-1 IO `d1 * 2` bytes/row instead of the f32 vector's
+    * `4 * dims` (8x at the default `dims/4` first stage), and the final
+    * stage + rerank read the 2 B/dim full column. Cut plumbing (slim
+    * cuts, identity-skip, the distributed above-[[slimCutMaxIds]]
+    * fallback) is shared with [[funnelSearch]]. Results are funnel
+    * semantics over the bf16-ROUNDED corpus — `candidates >= corpus`
+    * degenerates to exactly [[flatSearchBf16]] (the same equivalence
+    * property the f32 funnel has vs flat search). */
+  def funnelSearchBf16(df: DataFrame, config: CollectionConfig,
+      query: Array[Float], limit: Int, stages: Seq[Int] = Nil,
+      candidates: Int = 0, widen: Int = 8,
+      packedCol: String = "vector_bf16"): DataFrame = {
+    val q = prepareQuery(config, query)
+    val effStages = if (stages.nonEmpty) stages else defaultFunnelStages(config.dimensions)
+    val effCand = if (candidates > 0) candidates else math.max(20 * limit, limit)
+    require(effCand >= limit, "candidates must be >= limit")
+    require(widen >= 1, "widen must be >= 1")
+    require(df.columns.contains(packedCol), s"missing bf16 column $packedCol")
+    val keeps = funnelKeeps(effStages.size, effCand, widen)
+    val rankFor = (d: Int) => {
+      val colName =
+        if (d >= config.dimensions) packedCol
+        else graft.prepare.Prepare.bf16PrefixCol(d)
+      require(df.columns.contains(colName),
+        s"missing bf16 prefix column $colName - build the layout with Prepare.withBf16Prefixes")
+      val code =
+        if (config.metric == Metric.Cosine) VectorKernels.TRUE_COSINE_CODE
+        else config.metric.code
+      rankCol(config.metric,
+        bf16VecDistanceCode(code, col(colName), q.slice(0, math.min(d, config.dimensions))))
+    }
+    if (keeps.max > slimCutMaxIds(df))
+      flatSearchBf16Prepared(funnelSurvivorsFrame(df, rankFor, effStages, keeps),
+        config, q, limit, packedCol)
+    else {
+      val ids = funnelSurvivorIds(df, rankFor, effStages, keeps)
+      flatSearchBf16Prepared(ids.fold(df)(filterByIds(df, _)), config, q,
+        limit, packedCol)
+    }
+  }
+
+  /** bf16 rerank over an already-prepared query (the bf16 funnel's
+    * terminal stage — [[flatSearchBf16]] minus the re-preparation). */
+  private def flatSearchBf16Prepared(df: DataFrame, config: CollectionConfig,
+      q: Array[Float], limit: Int, packedCol: String): DataFrame = {
+    val scored = df.withColumn("raw",
+        bf16VecDistance(config.metric, col(packedCol), q))
+      .withColumn("rank", rankCol(config.metric, col("raw")))
+    projectResults(topK(scored, limit), config)
   }
 
   /** Survivor ids of the staged funnel. Ids thread through as arrays:
@@ -330,13 +385,13 @@ object Search {
     * frame. The corpus partition count is computed ONCE per search (each
     * stage frame is a filter of the same scan, so it never changes) —
     * per-stage `df.rdd` calls would rebuild a physical plan each. */
-  private def funnelSurvivorIds(df: DataFrame, config: CollectionConfig,
-      q: Array[Float], stages: Seq[Int], keeps: Seq[Int]): Option[Array[Any]] = {
+  private def funnelSurvivorIds(df: DataFrame, rankFor: Int => Column,
+      stages: Seq[Int], keeps: Seq[Int]): Option[Array[Any]] = {
     var ids: Option[Array[Any]] = None
     lazy val parts = df.rdd.getNumPartitions
     for ((d, keep) <- stages.zip(keeps) if ids.forall(_.length > keep)) {
       val cur = ids.fold(df)(filterByIds(df, _))
-      ids = Some(slimTopIds(cur, funnelStageRank(config, q, d), keep, parts))
+      ids = Some(slimTopIds(cur, rankFor(d), keep, parts))
     }
     ids
   }
@@ -344,11 +399,10 @@ object Search {
   /** Distributed funnel fallback for keeps above [[slimCutMaxIds]]:
     * per-stage slim id-frame cuts chained by left-semi joins — no driver
     * collect anywhere, same survivor set as the id-threading path. */
-  private def funnelSurvivorsFrame(df: DataFrame, config: CollectionConfig,
-      q: Array[Float], stages: Seq[Int], keeps: Seq[Int]): DataFrame =
+  private def funnelSurvivorsFrame(df: DataFrame, rankFor: Int => Column,
+      stages: Seq[Int], keeps: Seq[Int]): DataFrame =
     stages.zip(keeps).foldLeft(df) { case (cur, (d, keep)) =>
-      cur.join(slimTopIdsFrame(cur, funnelStageRank(config, q, d), keep),
-        Seq("id"), "left_semi")
+      cur.join(slimTopIdsFrame(cur, rankFor(d), keep), Seq("id"), "left_semi")
     }
 
   /** Exact rerank over an already-prepared query — shared by the
@@ -462,7 +516,8 @@ object Search {
       // survivors rematerialize via one left-semi join
       val idFrames = generators.map {
         case "funnel" =>
-          funnelSurvivorsFrame(df, config, q, effStages, funKeeps).select("id")
+          funnelSurvivorsFrame(df, d => funnelStageRank(config, q, d),
+            effStages, funKeeps).select("id")
         case "quantized" =>
           slimTopIdsFrame(df, quantizedRank(df, config, q, asymmetric), effCand)
         case "search" | "flat" => slimTopIdsFrame(df, flatRank, effCand)
@@ -477,7 +532,8 @@ object Search {
       // scan. None = a generator whose every cut was an identity (keep >=
       // corpus): its candidate set is the whole frame, so the union is too
       val idSets: Seq[Option[Array[Any]]] = generators.map {
-        case "funnel" => funnelSurvivorIds(df, config, q, effStages, funKeeps)
+        case "funnel" =>
+          funnelSurvivorIds(df, d => funnelStageRank(config, q, d), effStages, funKeeps)
         case "quantized" =>
           Some(quantizedCandidateIds(df, config, q, effCand, asymmetric))
         case "search" | "flat" => Some(slimTopIds(df, flatRank, effCand))

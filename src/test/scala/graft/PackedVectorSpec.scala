@@ -186,4 +186,51 @@ class PackedVectorSpec extends SparkSpec {
       .collect()
     assert(sqlTop.forall(r => math.abs(r.getDouble(1) - 1.0) < 1e-2))
   }
+
+  test("bf16 prefix funnel: works f32-free off the prefixed layout, equivalence at full candidates") {
+    val coll = corpus(300)
+    val stages = Search.defaultFunnelStages(dims)
+    val path = "/tmp/graft_bf16_funnel_spec"
+    // the at-rest layout: prefix columns + full bf16, NO f32 column
+    Prepare.withBf16Prefixes(coll, stages, dims).drop("vector")
+      .write.mode("overwrite").parquet(path)
+    val onDisk = spark.read.parquet(path)
+    assert(!onDisk.columns.contains("vector"))
+    val q = Bench.synthVector(-9L, dims)
+    // candidates >= corpus: every cut is an identity -> exactly flatSearchBf16
+    val full = Search.funnelSearchBf16(onDisk, config, q, 10, candidates = 300)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    val flat = Search.flatSearchBf16(onDisk, config, q, 10)
+      .collect().map(r => (r.getString(0), r.getDouble(2))).toSeq
+    assert(full === flat, "bf16 funnel at full candidates != bf16 flat")
+    // default operating point: high overlap with the exact rounded top-10
+    val approx = Search.funnelSearchBf16(onDisk, config, q, 10)
+      .collect().map(_.getString(0)).toSet
+    assert(flat.map(_._1).toSet.intersect(approx).size >= 8,
+      s"bf16 funnel overlap ${flat.map(_._1).toSet.intersect(approx).size}")
+    // distributed (above-maxIds) path agrees with the collect path
+    spark.conf.set("spark.graft.slimcut.maxIds", "5")
+    try {
+      val dist = Search.funnelSearchBf16(onDisk, config, q, 10)
+        .collect().map(_.getString(0)).toSeq
+      spark.conf.unset("spark.graft.slimcut.maxIds")
+      val inset = Search.funnelSearchBf16(onDisk, config, q, 10)
+        .collect().map(_.getString(0)).toSeq
+      assert(dist === inset, "distributed bf16 funnel != InSet path")
+    } finally spark.conf.unset("spark.graft.slimcut.maxIds")
+    // non-cosine code path (l2 prefix kernel) + missing-column guard
+    val l2cfg = CollectionConfig("packed_l2", dims, Metric.L2)
+    val l2coll = Prepare.prepareEmbeddings(embeddingRows(
+      (0 until 120).map(i => i.toString -> Bench.synthVector(i + 900L, dims))), l2cfg)
+    val l2Layout = Prepare.withBf16Prefixes(l2coll, stages, dims)
+    val l2Full = Search.funnelSearchBf16(l2Layout, l2cfg, q, 5, candidates = 120)
+      .collect().map(_.getString(0)).toSeq
+    val l2Flat = Search.flatSearchBf16(l2Layout, l2cfg, q, 5)
+      .collect().map(_.getString(0)).toSeq
+    assert(l2Full === l2Flat)
+    val e = intercept[IllegalArgumentException] {
+      Search.funnelSearchBf16(Prepare.withBf16Vector(coll), config, q, 10)
+    }
+    assert(e.getMessage.contains("prefix column"))
+  }
 }
