@@ -341,6 +341,31 @@ object TrainingQueries {
         salt = "graft"), Seq("priority"))
     }),
 
+    // DSIR importance weights (Xie et al. 2023): each doc's hashed-
+    // n-gram (uni+bi) log-likelihood ratio under target-vs-raw unigram
+    // models; target = the corpus's own English slice. Fit = two
+    // bucket-bounded count jobs; scoring = one pure projection against
+    // the table re-entering the plan as a single array literal
+    "data_dsir_weights" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      roundCols(graft.text.Dsir.importanceWeights(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text", buckets = 512)
+        .select("doc_id", "dsir_logw"), Seq("dsir_logw"))
+    }),
+
+    // DSIR resample: deterministic Gumbel-top-n on the importance log
+    // weights — a without-replacement draw with inclusion proportional
+    // to exp(logw), the paper's selection step, md5-seeded so the
+    // oracle re-derives every key bit for bit
+    "data_dsir_resample" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val w = graft.text.Dsir.importanceWeights(docs, "doc_id", "text",
+        docs.filter(col("lang") === "en"), "text", buckets = 512)
+      roundCols(graft.text.Dsir.resampleTop(w, "doc_id",
+        col("dsir_logw"), n = 100, salt = "graft")
+        .select("doc_id", "gumbel_key"), Seq("gumbel_key"))
+    }),
+
     // leakage-safe split: near-dup cluster labels (pointer-jump CC over
     // verified minhash pairs) become the split key, so no component
     // ever straddles train/test; oracle = recursive-CTE closure + the
@@ -1906,6 +1931,38 @@ object TrainingQueries {
   // ======================================================== oracle SQL
 
   private val tokensSql = "string_split_regex(trim(text), '\\s+')"
+
+  /** DSIR chain: lowercased uni+bigram hash buckets per doc, target/raw
+    * bucket counts (target = the English slice), the add-1-smoothed
+    * per-bucket log ratio over the full 512-bucket domain, and per-doc
+    * summed log weights — mirrors graft.text.Dsir bit for bit (the md5
+    * bucket idiom is Sampling.hashBucket with salt 'dsir'). */
+  private val dsirCtes =
+    """dt AS (SELECT doc_id, lang,
+         list_filter(list_transform(string_split_regex(trim(text), '\s+'), w -> lower(w)),
+                     w -> len(w) > 0) AS toks FROM documents),
+       dg AS (SELECT doc_id, lang, list_concat(toks,
+           CASE WHEN len(toks) >= 2
+                THEN list_transform(range(0, len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' '))
+                ELSE [] END) AS grams FROM dt),
+       db AS (SELECT doc_id, lang,
+           list_transform(grams, g -> CAST(('0x' || substr(md5('dsir' || ':' || g), 1, 8))::BIGINT % 512 AS INT)) AS bks
+         FROM dg),
+       de AS (SELECT doc_id, lang, u.b AS bucket FROM db, unnest(bks) AS u(b)),
+       dtc AS (SELECT bucket, count(*) AS n FROM de WHERE lang = 'en' GROUP BY 1),
+       drc AS (SELECT bucket, count(*) AS n FROM de GROUP BY 1),
+       dtot AS (SELECT (SELECT coalesce(sum(n), 0) FROM dtc) AS tt,
+                       (SELECT coalesce(sum(n), 0) FROM drc) AS tr),
+       dratio AS (SELECT r.range AS bucket,
+           ln((coalesce(dtc.n, 0) + 1.0) / (dtot.tt + 512.0))
+             - ln((coalesce(drc.n, 0) + 1.0) / (dtot.tr + 512.0)) AS lr
+         FROM range(0, 512) r CROSS JOIN dtot
+           LEFT JOIN dtc ON dtc.bucket = r.range
+           LEFT JOIN drc ON drc.bucket = r.range),
+       dw AS (SELECT de.doc_id, sum(dratio.lr) AS lw
+         FROM de JOIN dratio ON dratio.bucket = de.bucket GROUP BY 1),
+       dsirw AS (SELECT d.doc_id, coalesce(dw.lw, 0.0) AS lw
+         FROM documents d LEFT JOIN dw ON dw.doc_id = d.doc_id)"""
   private def shinglesSql(k: Int): String =
     s"list_transform(range(0, greatest(len(toks)-$k,0)+1), i -> array_to_string(toks[i+1:i+$k], ' '))"
   private val enList = TextAnalysis.profiles.toMap.apply("en").map("'" + _ + "'").mkString(",")
@@ -2912,6 +2969,20 @@ object TrainingQueries {
            row_number() OVER (PARTITION BY lang ORDER BY pr DESC, doc_id) AS rn FROM b)
          SELECT doc_id, lang, n_chars, (round(pr, 6) + 0) AS priority
          FROM r WHERE rn <= 15 ORDER BY doc_id""",
+
+    "data_dsir_weights" ->
+      s"""WITH $dsirCtes
+         SELECT doc_id, (round(lw, 6) + 0) AS dsir_logw
+         FROM dsirw ORDER BY doc_id""",
+
+    "data_dsir_resample" ->
+      s"""WITH $dsirCtes,
+         k AS (SELECT doc_id, lw +
+             -ln(-ln((('0x' || substr(md5('graft' || ':' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+                     / 4503599627370496.0)) AS gk
+           FROM dsirw)
+         SELECT doc_id, (round(gk, 6) + 0) AS gumbel_key
+         FROM k ORDER BY gk DESC, doc_id LIMIT 100""",
 
     "data_leakage_split" ->
       s"""WITH RECURSIVE corpus AS ($corpusSql),
