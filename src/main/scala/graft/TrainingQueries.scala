@@ -914,6 +914,20 @@ object TrainingQueries {
         col("doc_id")), Seq("logppl"))
     }),
 
+    // C4-style line dedup ACROSS the corpus: synthesize multi-line
+    // pages (5 shared headers, unique body slices, a blank spacer, one
+    // corpus-wide footer); each repeated line survives only at its
+    // first (id, pos) occurrence while blank lines always stay —
+    // reconstruction + counts replicate line-for-line in SQL
+    "dedup_lines_across" -> ((s, dir) => {
+      val pages = Tables.read(s, dir, "documents").select(col("doc_id"),
+        concat(lit("header-"), (col("doc_id") % 5).cast("string"),
+          lit("\n"), substring(col("text"), 1, 60), lit("\n"), lit(" "),
+          lit("\n"), lit("shared footer line")).as("text"))
+      Dedup.dropDuplicateLinesAcross(pages, "doc_id", "text")
+        .select("doc_id", "text_deduped", "n_lines_kept")
+    }),
+
     // exact substring-span dedup (the ExactSubstr boilerplate strip,
     // Lee et al. 2022): a planted 25-token footer shared by docs 0-39
     // must vanish from every carrier — window hashing, the shared set,
@@ -3600,6 +3614,27 @@ object TrainingQueries {
          SELECT doc_id, dl, (round(score, 6) + 0) AS score FROM bmsc
          WHERE round(score, 6) > 0
          ORDER BY round(score, 6) DESC, doc_id ASC LIMIT 10""",
+
+    "dedup_lines_across" ->
+      s"""WITH syn AS (SELECT doc_id,
+           'header-' || CAST(doc_id % 5 AS VARCHAR) || chr(10) || substr(text, 1, 60)
+             || chr(10) || ' ' || chr(10) || 'shared footer line' AS text
+         FROM documents),
+         sp AS (SELECT doc_id, string_split(text, chr(10)) AS ls FROM syn),
+         l AS (SELECT doc_id, i.i AS pos, ls[i.i + 1] AS line
+           FROM sp, LATERAL (SELECT unnest(range(0, len(ls))) AS i) i),
+         k AS (SELECT doc_id, pos, line,
+             row_number() OVER (PARTITION BY line ORDER BY doc_id, pos) AS rn,
+             len(trim(line)) AS tl
+           FROM l),
+         kept AS (SELECT doc_id, pos, line FROM k WHERE tl < 1 OR rn = 1),
+         agg AS (SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_deduped,
+             count(*) AS n_lines_kept
+           FROM kept GROUP BY doc_id)
+         SELECT d.doc_id, coalesce(a.text_deduped, '') AS text_deduped,
+           coalesce(a.n_lines_kept, 0) AS n_lines_kept
+         FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+         ORDER BY d.doc_id""",
 
     "dedup_repeated_spans" ->
       s"""WITH base0 AS (SELECT doc_id AS id, $tokensSql AS tk0, text FROM documents WHERE doc_id < 100),

@@ -778,6 +778,59 @@ object Dedup {
         hotBands(simhashBanded(batch, idCol, textCol).select("id", "band"), maxBandSize)
           .withColumn("side", lit("batch")))
 
+  // ------------------------------------------------- cross-corpus lines
+
+  /** C4-style line-level dedup ACROSS the corpus (Raffel et al. 2020,
+    * arXiv:1910.10683 §2.2): any line occurring more than once in the
+    * whole corpus keeps only its FIRST occurrence (ordered by (id,
+    * line position)); every other copy is removed from its document —
+    * the navigation-menu/footer/licence-line strip that per-document
+    * dedup cannot see. Lines whose trimmed length is below `minChars`
+    * (blank lines, separators) are never dedup-eligible and always
+    * stay, preserving paragraph structure.
+    *
+    * Returns every input row with `text_deduped` (lines rejoined in
+    * original order; a fully-duplicated document becomes the empty
+    * string) and `n_lines_kept`.
+    *
+    * Scale shape: lines shuffle on their md5 — one grouped min
+    * (combiner-friendly: a hot boilerplate line partial-aggregates
+    * map-side to one (id, pos) per partition), one hash join back on
+    * the line key, one per-doc regroup to reassemble. Cost scales with
+    * total line mass, never document pairs.
+    * {{{
+    * val pages = Seq(
+    *   ("p1", "home | about\nunique article one"),
+    *   ("p2", "home | about\nunique article two")
+    * ).toDF("id", "text")
+    * Dedup.dropDuplicateLinesAcross(pages, "id", "text")
+    *   .select("id", "text_deduped").collect()
+    *   // p1 keeps both lines; p2 keeps only "unique article two"
+    * }}} */
+  def dropDuplicateLinesAcross(df: DataFrame, idCol: String,
+      textCol: String, minChars: Int = 1): DataFrame = {
+    require(minChars >= 0, "minChars must be >= 0")
+    val lines = df.select(col(idCol).as("_id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("_pos", "_line")))
+    val eligible = length(trim(col("_line"))) >= minChars
+    val firsts = lines.filter(eligible)
+      .groupBy(md5(col("_line")).as("_h"))
+      .agg(min(struct(col("_id"), col("_pos"))).as("_first"))
+    val kept = lines.join(firsts, md5(col("_line")) === col("_h"), "left")
+      .filter(!eligible ||
+        (col("_first._id") === col("_id") && col("_first._pos") === col("_pos")))
+    val rebuilt = kept.groupBy(col("_id"))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_pos"), col("_line")))),
+          s => s.getField("_line")), "\n").as("text_deduped"),
+        count(lit(1)).as("n_lines_kept"))
+    df.join(rebuilt, col(idCol) === rebuilt("_id"), "left")
+      .withColumn("text_deduped", coalesce(col("text_deduped"), lit("")))
+      .withColumn("n_lines_kept", coalesce(col("n_lines_kept"), lit(0L)))
+      .drop("_id")
+  }
+
   // --------------------------------------------------------- streaming
 
   /** Streaming exact dedup: md5 fingerprint + dropDuplicatesWithinWatermark

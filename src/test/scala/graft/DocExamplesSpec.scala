@@ -529,6 +529,18 @@ class DocExamplesSpec extends SparkSpec {
     val ec = Dedup.exactCosinePairs(vecs, "id", "vector")
       .filter(col("cosine") > 0.9).collect()
     assert(ec.length === 1 && ec.head.getString(0) === "v1")
+    // --- dropDuplicateLinesAcross
+    locally { // scoped: the enclosing test already binds a `pages`
+      val pages = Seq(
+        ("p1", "home | about\nunique article one"),
+        ("p2", "home | about\nunique article two")
+      ).toDF("id", "text")
+      val lineDeduped = Dedup.dropDuplicateLinesAcross(pages, "id", "text")
+        .select("id", "text_deduped").collect()
+        .map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(lineDeduped("p1") === "home | about\nunique article one")
+      assert(lineDeduped("p2") === "unique article two")
+    }
     // --- streaming forms (memory-stream harness from the scaladoc)
     locally {
       implicit val sqlCtx = spark.sqlContext

@@ -95,6 +95,28 @@ class PipelineSpec extends SparkSpec {
     assert(out === Set(("a", "a", false), ("b", "a", true), ("c", "c", false)))
   }
 
+  test("line dedup across corpus: first (id,pos) wins, blanks stay, full dup empties") {
+    val df = Seq(
+      ("p1", "menu\nbody one\n\nfooter"),
+      ("p2", "menu\nbody two\n\nfooter"),
+      ("p3", "menu\nfooter"),            // fully boilerplate
+      ("p4", "repeat\nrepeat\nsolo"),    // within-doc dup also collapses
+      ("p5", "no newline here")
+    ).toDF("id", "text")
+    val out = Dedup.dropDuplicateLinesAcross(df, "id", "text")
+      .select("id", "text_deduped", "n_lines_kept").collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getLong(2)))).toMap
+    assert(out("p1") === (("menu\nbody one\n\nfooter", 4L)))
+    assert(out("p2") === (("body two\n", 2L)))   // keeps body + blank
+    assert(out("p3") === (("", 0L)))             // every line owned earlier
+    assert(out("p4") === (("repeat\nsolo", 2L))) // second 'repeat' dropped
+    assert(out("p5") === (("no newline here", 1L)))
+    // minChars guard: short lines below the threshold are never deduped
+    val guarded = Dedup.dropDuplicateLinesAcross(df, "id", "text", minChars = 10)
+      .filter(col("id") === "p3").select("text_deduped").head.getString(0)
+    assert(guarded === "menu\nfooter") // both lines under 10 chars -> kept
+  }
+
   test("minhash LSH finds near-duplicates, skips dissimilar") {
     val base = (1 to 40).map(i => s"tok$i").mkString(" ")
     val near = base + " tailtoken"
