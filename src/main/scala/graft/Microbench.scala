@@ -234,6 +234,73 @@ object Microbench {
     }
   }
 
+  /** DSIR fit + score profile at a real SF dir (the q_data_dsir_* rows):
+    * splits the two fit count-jobs from the scoring projection and the
+    * Gumbel resample, and times the whole oracle-row chain end to end.
+    * `runMain graft.Microbench dsir /root/testdata/sf0.1`. */
+  def profileDsir(spark: SparkSession, dir: String): Unit = {
+    val docs = Tables.read(spark, dir, "documents").persist()
+    println("docs " + docs.count())
+    val target = docs.filter(col("lang") === "en")
+    time("fit: logRatioTable (2 count jobs)", 3) {
+      graft.text.Dsir.logRatioTable(docs, col("text"), target, col("text"), 512)
+    }
+    val table = graft.text.Dsir.logRatioTable(docs, col("text"), target,
+      col("text"), 512)
+    time("score: projection collect", 3) {
+      docs.select(col("doc_id"),
+        graft.text.Dsir.scoreColumn(col("text"), table).as("w")).collect()
+    }
+    time("weights row end-to-end (fit+score)", 3) {
+      graft.text.Dsir.importanceWeights(docs, "doc_id", "text", target,
+        "text", buckets = 512).select("doc_id", "dsir_logw").collect()
+    }
+    time("resample row end-to-end", 3) {
+      val w = graft.text.Dsir.importanceWeights(docs, "doc_id", "text",
+        target, "text", buckets = 512)
+      graft.text.Dsir.resampleTop(w, "doc_id", col("dsir_logw"), n = 100,
+        salt = "graft").select("doc_id", "gumbel_key").collect()
+    }
+    docs.unpersist()
+  }
+
+  /** FlatIndex mirror single-query modes in isolation (the
+    * synth_flatindex_* bench rows) — the bisect harness for warm-path
+    * drift: `runMain graft.Microbench flatindex`. */
+  def profileFlatIndex(spark: SparkSession): Unit = {
+    val dims = 384
+    val n = sys.env.getOrElse("GRAFT_MB_RECORDS", "100000").toInt
+    val config = CollectionConfig("f", dims, Metric.Cosine)
+    val genUdf = udf((id: Long) => Bench.synthVector(id, dims))
+    val coll = graft.prepare.Prepare.prepareEmbeddings(
+      spark.range(n).select(col("id").cast("string").as("id"),
+        col("id").cast("string").as("value"), genUdf(col("id")).as("vector")),
+      config).select("id", "value", "vector").persist()
+    coll.count()
+    val idx = graft.index.FlatIndex.build(coll, config)
+    println("index rows " + idx.count())
+    val q = Search.prepareQuery(config, Bench.synthVector(-1L, dims))
+    val stages = Seq(dims / 4, dims / 2, dims)
+    time("flatindex single", 10) { idx.search(q, Metric.Cosine, 10) }
+    time("flatindex funnel", 10) {
+      idx.funnelSearch(q, Metric.Cosine, 10, stages, 200)
+    }
+    time("flatindex quantized", 10) {
+      idx.quantizedSearch(q, Metric.Cosine, 10, 200)
+    }
+    time("flatindex hybrid", 10) {
+      idx.hybridSearch(q, Metric.Cosine, 10, stages, 200)
+    }
+    time("flatindex hammingTop only", 10) {
+      idx.hammingTop(q, 200, asymmetric = true, Metric.Cosine)
+    }
+    time("flatindex rerank(200) only", 10) {
+      idx.rerank(q, Metric.Cosine,
+        idx.hammingTop(q, 200, asymmetric = true, Metric.Cosine).toSet, 10)
+    }
+    idx.unpersist(); coll.unpersist()
+  }
+
   /** Driver-side HNSW insert-path profile (the per-shard build cost of
     * ShardedHnsw rides on this): `runMain graft.Microbench hnsw [n]`. */
   def profileHnsw(spark: SparkSession, args: Array[String]): Unit = {
@@ -309,6 +376,13 @@ object Microbench {
     }
     if (args.headOption.contains("ivfpq_batch")) {
       profileIvfPqBatch(spark, args); spark.stop(); return
+    }
+    if (args.headOption.contains("dsir")) {
+      profileDsir(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"))
+      spark.stop(); return
+    }
+    if (args.headOption.contains("flatindex")) {
+      profileFlatIndex(spark); spark.stop(); return
     }
     val dims = sys.env.getOrElse("GRAFT_MB_DIMS", "384").toInt
     val n = sys.env.getOrElse("GRAFT_MB_RECORDS", "100000").toInt

@@ -2,7 +2,6 @@ package graft.text
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.Sampling
 
 /** Data Selection via Importance Resampling (DSIR, Xie et al. 2023):
   * pick raw-corpus documents whose hashed-n-gram distribution looks like
@@ -20,11 +19,12 @@ import graft.functions.Sampling
   *     the token mass;
   *   - the fitted log-ratio table is a dense `buckets`-sized double array
   *     on the driver (bounded by the `buckets` parameter, NOT the data)
-  *     that re-enters the plan as one array literal;
-  *   - scoring is a pure codegen projection (grams → `element_at` →
-  *     in-row `aggregate` fold, left-to-right so the sum is order-
-  *     deterministic) — no join, no shuffle, composes with any
-  *     downstream sampler.
+  *     that rides the plan as a codegen REFERENCE OBJECT, never an array
+  *     literal;
+  *   - scoring is one fused whole-stage-codegen kernel per row
+  *     ([[graft.expr.DsirScore]]: tokenize → hash → table-sum,
+  *     left-to-right so the sum is order-deterministic) — no join, no
+  *     shuffle, composes with any downstream sampler.
   *
   * Features are lowercased whitespace unigrams + bigrams (the paper's
   * default), hashed by the same engine-portable md5 idiom as
@@ -46,10 +46,16 @@ object Dsir {
   }
 
   /** Per-doc hash buckets of [[grams]] (with multiplicity — DSIR scores
-    * the bag, not the set). */
+    * the bag, not the set). Fused codegen kernel
+    * ([[graft.expr.DsirGramBuckets]]): one JVM loop per row instead of
+    * the interpreted higher-order-function chain
+    * `transform(grams(text), g => Sampling.hashBucket(g, buckets, salt))`
+    * it replaces bit-for-bit. */
   private[graft] def gramBuckets(text: Column, buckets: Int,
       salt: String): Column =
-    transform(grams(text), g => Sampling.hashBucket(g, buckets, salt))
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.DsirGramBuckets(
+        org.apache.spark.sql.graft.Bridge.expression(text), buckets, salt))
 
   /** Hashed-n-gram bucket counts of a corpus: (bucket, n) with at most
     * `buckets` rows — the sufficient statistic of the DSIR unigram
@@ -85,7 +91,7 @@ object Dsir {
 
   /** Adds `dsir_logw` — each raw doc's importance log-weight
     * `Σ_grams ln(p_target/p_raw)` under the fitted hashed-n-gram models
-    * — to `raw`. Pure projection against the broadcast-as-literal ratio
+    * — to `raw`. Pure projection against the reference-object ratio
     * table; docs with no grams score 0. Fit is on (`raw`, `target`) as
     * given — pass a hash sample of the raw corpus as `raw` and score the
     * full corpus via [[scoreColumn]] when even the counts pass should
@@ -101,13 +107,18 @@ object Dsir {
 
   /** The scoring projection alone, for a pre-fitted [[logRatioTable]]
     * (score a different frame than the fit saw, or reuse one fit across
-    * epochs). In-row left-to-right fold — order-deterministic. */
+    * epochs). In-row left-to-right fold — order-deterministic, the exact
+    * sum the interpreted `aggregate(transform(...), 0.0, +)` chain
+    * produced. The fitted table rides as a codegen reference object
+    * ([[graft.expr.DsirScore]]), NOT a plan array literal — a
+    * `buckets`-sized literal costs O(buckets) on every tree
+    * conversion/analysis, the planning disease AdcDistanceConst fixed
+    * for ADC tables. */
   def scoreColumn(text: Column, table: Array[Double],
       salt: String = "dsir"): Column =
-    aggregate(
-      transform(gramBuckets(text, table.length, salt),
-        b => element_at(lit(table), b + 1)),
-      lit(0.0), (acc, x) => acc + x)
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.DsirScore(
+        org.apache.spark.sql.graft.Bridge.expression(text), table, salt))
 
   /** Deterministic Gumbel-top-`n` resample by `logwCol`: key =
     * `logw + Gumbel(0,1)` with the Gumbel drawn from the same exact-
