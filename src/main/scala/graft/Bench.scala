@@ -224,7 +224,7 @@ object Bench {
     val queries64 = spark.range(64).select(col("id").cast("string").as("qid"),
       genUdf(col("id") + 1000000L).as("qvector"))
     record("synth_flat_cosine_batch64_perq", div = 64.0) {
-      Search.flatSearchMany(coll, config, queries64, 10).collect()
+      Search.flatSearchMany(coll, config, queries64, 10, knownNq = 64L).collect()
     }
     record("synth_funnel") {
       Search.funnelSearch(coll, config, q, 10,
@@ -822,7 +822,7 @@ object Bench {
     record("scale5x_bf16_batch64_perq", div = 64.0) {
       val qs = spark.range(64).select(col("id").cast("string").as("qid"),
         genUdf(col("id") + 2000000L).as("qvector"))
-      Search.flatSearchManyBf16(scaleBf16, config, qs, 10).count()
+      Search.flatSearchManyBf16(scaleBf16, config, qs, 10, knownNq = 64L).count()
     }
     // Matryoshka prefix layout: the funnel's stage-1 scan reads ONLY the
     // dims/4-prefix column (2 B/dim) via parquet column pruning — 1/8

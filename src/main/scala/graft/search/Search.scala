@@ -165,18 +165,22 @@ object Search {
     * minScore` when `byScore` — per (qid, id). Emits only matches, so
     * the output is the join's selectivity, never |corpus| x |queries|. */
   def rangeSearchMany(df: DataFrame, config: CollectionConfig,
-      queries: DataFrame, radius: Double, byScore: Boolean = false): DataFrame = {
+      queries: DataFrame, radius: Double, byScore: Boolean = false,
+      knownNq: Long = -1L): DataFrame = {
     val qNorm = queries.select(col("qid"),
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
-    val scored = df.crossJoin(broadcast(qNorm))
-      .withColumn("raw", vecDistance(config.metric, col("vector"), col("qvector")))
-    val (score, dist) = resultValues(config.metric, col("raw"), config.score)
-    scored
-      .filter(if (byScore) score.cast("double") >= radius
-              else dist.cast("double") <= radius)
-      .select(col("qid"), col("id"), col("value"),
-        score.cast("double").as("score"), dist.cast("double").as("distance"),
-        lit(config.metric.name).as("metric"))
+    val nq = if (knownNq >= 0) knownNq else queries.count()
+    queryBlocks(qNorm, nq, config.dimensions).map { qb =>
+      val scored = df.crossJoin(broadcast(qb))
+        .withColumn("raw", vecDistance(config.metric, col("vector"), col("qvector")))
+      val (score, dist) = resultValues(config.metric, col("raw"), config.score)
+      scored
+        .filter(if (byScore) score.cast("double") >= radius
+                else dist.cast("double") <= radius)
+        .select(col("qid"), col("id"), col("value"),
+          score.cast("double").as("score"), dist.cast("double").as("distance"),
+          lit(config.metric.name).as("metric"))
+    }.reduce(_ unionByName _)
   }
 
   /** Candidate frame for one funnel stage: score the `d`-prefix of the
@@ -267,13 +271,22 @@ object Search {
     * slim (id, rank) projection of `cutFrame`, rematerialize survivors
     * from `probe` — collect+InSet below [[slimCutMaxIds]] (flat plans,
     * one job per cut), a distributed left-semi join above it (no driver
-    * collect, no InSet literal). */
+    * collect, no InSet literal). The fan-in partition count is probed on
+    * `probe`, NOT `cutFrame`: callers pass a long-lived collection frame
+    * as the probe (its `Dataset.rdd` is a lazy val, so repeat searches
+    * reuse one physical-plan build) while `cutFrame` is often a per-call
+    * projection of it (`withCodes`) whose `.rdd` would re-plan every
+    * query; the two always partition identically because the cut frame
+    * is a narrow projection of the probe. */
   private[graft] def cutAndFilter(cutFrame: DataFrame, probe: DataFrame,
-      rank: Column, keep: Int, numPartitions: Int = -1): DataFrame =
+      rank: Column, keep: Int, numPartitions: Int = -1): DataFrame = {
+    val parts =
+      if (numPartitions >= 0) numPartitions else probe.rdd.getNumPartitions
     if (keep <= slimCutMaxIds(probe))
-      filterByIds(probe, slimTopIds(cutFrame, rank, keep, numPartitions))
+      filterByIds(probe, slimTopIds(cutFrame, rank, keep, parts))
     else
       probe.join(slimTopIdsFrame(cutFrame, rank, keep), Seq("id"), "left_semi")
+  }
 
   /** Default funnel stages `[d/4, d/2, d]` — the reference's bench
     * defaults (bench/search_modes_bench.exs:262-266), deduplicated. */
@@ -568,18 +581,21 @@ object Search {
     * carry qid. This is the shape that scales on a cluster — per-query
     * driver jobs do not. */
   def flatSearchMany(df: DataFrame, config: CollectionConfig, queries: DataFrame,
-      limit: Int): DataFrame = {
+      limit: Int, knownNq: Long = -1L): DataFrame = {
     val qNorm = queries.select(col("qid"),
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
-    val scored = df.crossJoin(broadcast(qNorm))
-      .withColumn("raw", vecDistance(config.metric, col("vector"), col("qvector")))
-      .withColumn("rank", rankCol(config.metric, col("raw")))
+    val nq = if (knownNq >= 0) knownNq else queries.count()
     val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc_nulls_last, col("id").asc)
-    val (score, dist) = resultValues(config.metric, col("raw"), config.score)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
-      .select(col("qid"), col("id"), col("value"),
-        score.cast("double").as("score"), dist.cast("double").as("distance"),
-        lit(config.metric.name).as("metric"))
+    queryBlocks(qNorm, nq, config.dimensions).map { qb =>
+      val scored = df.crossJoin(broadcast(qb))
+        .withColumn("raw", vecDistance(config.metric, col("vector"), col("qvector")))
+        .withColumn("rank", rankCol(config.metric, col("raw")))
+      val (score, dist) = resultValues(config.metric, col("raw"), config.score)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
+        .select(col("qid"), col("id"), col("value"),
+          score.cast("double").as("score"), dist.cast("double").as("distance"),
+          lit(config.metric.name).as("metric"))
+    }.reduce(_ unionByName _)
   }
 
   /** Batch form of [[flatSearchBf16]]: one bf16-scan answers every
@@ -588,21 +604,24 @@ object Search {
     * rounded-corpus top-k contract as the single-query form. */
   def flatSearchManyBf16(df: DataFrame, config: CollectionConfig,
       queries: DataFrame, limit: Int,
-      packedCol: String = "vector_bf16"): DataFrame = {
+      packedCol: String = "vector_bf16", knownNq: Long = -1L): DataFrame = {
     require(limit > 0, "limit must be positive")
     require(df.columns.contains(packedCol), s"missing bf16 column $packedCol")
     val qNorm = queries.select(col("qid"),
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
-    val scored = df.crossJoin(broadcast(qNorm))
-      .withColumn("raw",
-        col2Bf16Distance(config.metric, col(packedCol), col("qvector")))
-      .withColumn("rank", rankCol(config.metric, col("raw")))
+    val nq = if (knownNq >= 0) knownNq else queries.count()
     val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc_nulls_last, col("id").asc)
-    val (score, dist) = resultValues(config.metric, col("raw"), config.score)
-    scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
-      .select(col("qid"), col("id"), col("value"),
-        score.cast("double").as("score"), dist.cast("double").as("distance"),
-        lit(config.metric.name).as("metric"))
+    queryBlocks(qNorm, nq, config.dimensions).map { qb =>
+      val scored = df.crossJoin(broadcast(qb))
+        .withColumn("raw",
+          col2Bf16Distance(config.metric, col(packedCol), col("qvector")))
+        .withColumn("rank", rankCol(config.metric, col("raw")))
+      val (score, dist) = resultValues(config.metric, col("raw"), config.score)
+      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
+        .select(col("qid"), col("id"), col("value"),
+          score.cast("double").as("score"), dist.cast("double").as("distance"),
+          lit(config.metric.name).as("metric"))
+    }.reduce(_ unionByName _)
   }
 
   private def col2Bf16Distance(metric: Metric, packed: Column, q: Column): Column =
@@ -627,9 +646,10 @@ object Search {
     val effCand = math.max(if (candidates > 0) candidates else 20 * limit, limit)
     val qNorm = queries.select(col("qid"),
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
-    val cands = quantizedCandPairs(df, config, qNorm, effCand, asymmetric)
+    val nq = if (knownNq >= 0) knownNq else queries.count()
+    val cands = quantizedCandPairs(df, config, qNorm, effCand, asymmetric, nq)
     rerankManyExact(df, config, cands, qNorm, limit,
-      perQueryBound = effCand, knownNq = knownNq)
+      perQueryBound = effCand, knownNq = nq)
   }
 
   /** (qid, id) candidate pairs of the batch quantized pass.
@@ -641,7 +661,8 @@ object Search {
     * (non-canonical input) ranks null and sorts LAST, i.e. it is
     * excluded from candidates rather than silently promoted. */
   private def quantizedCandPairs(df: DataFrame, config: CollectionConfig,
-      qNorm: DataFrame, effCand: Int, asymmetric: Boolean): DataFrame = {
+      qNorm: DataFrame, effCand: Int, asymmetric: Boolean,
+      nq: Long = -1L): DataFrame = {
     val bitsScan =
       if (df.columns.contains("binary_vector"))
         df.select(col("id"), col("binary_vector").as("_bits"))
@@ -656,11 +677,40 @@ object Search {
       else -packedAsymmetricDot(col("_bits"), col("qvector"))
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("_qrank").asc_nulls_last, col("id").asc)
-    bitsScan
-      .crossJoin(broadcast(qSide))
-      .withColumn("_qrank", rank)
-      .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= effCand)
-      .select("qid", "id")
+    queryBlocks(qSide, nq, config.dimensions).map { qb =>
+      bitsScan
+        .crossJoin(broadcast(qb))
+        .withColumn("_qrank", rank)
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= effCand)
+        .select("qid", "id")
+    }.reduce(_ unionByName _)
+  }
+
+  /** Query-side broadcast guard for the batch searches. One broadcast
+    * block while `nq * dims` stays within
+    * `spark.graft.query.broadcastMaxCells` (default 32M f32 cells ≈
+    * 128 MB of query vectors); above it the query frame splits into
+    * `ceil(cells / max)` disjoint `hash(qid)` blocks, each bounded and
+    * broadcast independently — a 1M-query × 384-dim batch becomes ~12
+    * ~128 MB broadcasts instead of one unconditional ~1.5 GB one that
+    * would sink every executor (and the driver) at once. Blocks
+    * partition QUERIES, never corpus rows, so per-qid window cuts stay
+    * complete within a block and callers just union the per-block
+    * results (each block = one extra corpus scan — the unavoidable
+    * brute-force cost, paid with bounded memory). `nq < 0` (unknown) =
+    * one block: callers resolve nq first (a count of the query frame is
+    * a tiny job; the corpus is untouched). */
+  private def queryBlocks(qNorm: DataFrame, nq: Long, dims: Int): Seq[DataFrame] = {
+    val maxCells = qNorm.sparkSession.conf
+      .getOption("spark.graft.query.broadcastMaxCells").map(_.toLong)
+      .getOrElse(32000000L)
+    val cells = if (nq < 0) -1L else nq * math.max(dims, 1).toLong
+    if (cells < 0 || cells <= maxCells) Seq(qNorm)
+    else {
+      val nBlocks = math.min((cells + maxCells - 1) / maxCells, 4096L).toInt
+      (0 until nBlocks).map(i =>
+        qNorm.filter(pmod(hash(col("qid")), lit(nBlocks)) === lit(i)))
+    }
   }
 
   /** Broadcast-or-shuffle hint keyed on an estimated ROW count against
@@ -699,17 +749,27 @@ object Search {
     * it cannot pay). */
   private def funnelCandPairs(df: DataFrame, config: CollectionConfig,
       qNorm: DataFrame, stages: Seq[Int], keeps: Seq[Int], nq: Long): DataFrame = {
+    val blocks = queryBlocks(qNorm, nq, config.dimensions)
+    // hash(qid) splits queries near-uniformly, so each block carries
+    // ~nq/blocks queries — the per-stage pair bound scales with it
+    val blockNq = if (nq >= 0 && blocks.size > 1) nq / blocks.size + 1 else nq
+    blocks.map(funnelCandPairsBlock(df, config, _, stages, keeps, blockNq))
+      .reduce(_ unionByName _)
+  }
+
+  private def funnelCandPairsBlock(df: DataFrame, config: CollectionConfig,
+      qBlock: DataFrame, stages: Seq[Int], keeps: Seq[Int], nq: Long): DataFrame = {
     var pairs: DataFrame = null
     var prevKeep = 0L
     for ((d, keep) <- stages.zip(keeps)) {
       val scored =
         if (pairs == null)
-          df.select(col("id"), col("vector")).crossJoin(broadcast(qNorm))
+          df.select(col("id"), col("vector")).crossJoin(broadcast(qBlock))
         else {
           val hint = rowsBroadcastHint(df, if (nq >= 0) nq * prevKeep else -1L)
           df.select(col("id"), col("vector"))
             .join(hint(pairs), Seq("id"))
-            .join(broadcast(qNorm), Seq("qid"))
+            .join(broadcast(qBlock), Seq("qid"))
         }
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("_fr").asc_nulls_last, col("id").asc)
@@ -766,15 +826,17 @@ object Search {
         funnelCandPairs(df, config, qNorm, effStages,
           funnelKeeps(effStages.size, effCand, widen), nq)
       case "quantized" =>
-        quantizedCandPairs(df, config, qNorm, effCand, asymmetric)
+        quantizedCandPairs(df, config, qNorm, effCand, asymmetric, nq)
       case "search" | "flat" =>
         val w = Window.partitionBy(col("qid"))
           .orderBy(col("_fr").asc_nulls_last, col("id").asc)
-        df.select(col("id"), col("vector")).crossJoin(broadcast(qNorm))
-          .withColumn("_fr",
-            rankCol(config.metric, vecDistance(config.metric, col("vector"), col("qvector"))))
-          .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= effCand)
-          .select("qid", "id")
+        queryBlocks(qNorm, nq, config.dimensions).map { qb =>
+          df.select(col("id"), col("vector")).crossJoin(broadcast(qb))
+            .withColumn("_fr",
+              rankCol(config.metric, vecDistance(config.metric, col("vector"), col("qvector"))))
+            .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= effCand)
+            .select("qid", "id")
+        }.reduce(_ unionByName _)
       case g => throw new IllegalArgumentException(s"unknown generator $g")
     }.reduce(_ unionByName _).distinct()
     rerankManyExact(df, config, pairs, qNorm, limit,

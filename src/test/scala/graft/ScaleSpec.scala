@@ -105,6 +105,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("query-side broadcast is bounded: oversize batch splits into per-block broadcasts") {
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+    val qs = Tables.read(spark, sfDir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(String, String)] =
+      df.select("qid", "id").collect()
+        .map(r => (r.getString(0), r.getString(1))).sortBy(identity).toSeq
+    // reference results under the default (single-broadcast) regime
+    val flatRef = key(Search.flatSearchMany(coll, config, qs, 5, knownNq = 8L))
+    val funnelRef = key(Search.funnelSearchMany(coll, config, qs, 5,
+      candidates = 20, knownNq = 8L))
+    val quantRef = key(Search.quantizedSearchMany(coll, config, qs, 5,
+      candidates = 20, knownNq = 8L))
+    val hybridRef = key(Search.hybridSearchMany(coll, config, qs, 5,
+      candidates = 20, knownNq = 8L))
+    // 8 queries x d cells against a 3d-cell bound -> ceil(8d/3d) = 3
+    // disjoint hash(qid) blocks, each its OWN bounded broadcast
+    withSQLConf("spark.graft.query.broadcastMaxCells" -> (3L * d).toString) {
+      val flat = Search.flatSearchMany(coll, config, qs, 5, knownNq = 8L)
+      val plan = flat.queryExecution.executedPlan.toString
+      assert("BroadcastExchange".r.findAllIn(plan).length >= 3,
+        s"expected >= 3 per-block broadcasts:\n$plan")
+      assert(plan.contains("Union"), "blocks must union")
+      assert(key(flat) === flatRef)
+      assert(key(Search.funnelSearchMany(coll, config, qs, 5,
+        candidates = 20, knownNq = 8L)) === funnelRef)
+      assert(key(Search.quantizedSearchMany(coll, config, qs, 5,
+        candidates = 20, knownNq = 8L)) === quantRef)
+      assert(key(Search.hybridSearchMany(coll, config, qs, 5,
+        candidates = 20, knownNq = 8L)) === hybridRef)
+    }
+  }
+
   test("compaction: small files merged, data identical") {
     import graft.store.Compaction
     val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
