@@ -846,6 +846,13 @@ object Bench {
     record("scale5x_funnel_bf16") {
       Search.funnelSearchBf16(scalePfx, config, q, 10).collect()
     }
+    // batch twin: 64 queries through the prefix funnel in ONE staged
+    // pipeline — stage-1 still reads only the dims/4 prefix column
+    record("scale5x_funnel_bf16_batch64_perq", div = 64.0) {
+      val qs = spark.range(64).select(col("id").cast("string").as("qid"),
+        genUdf(col("id") + 2000000L).as("qvector"))
+      Search.funnelSearchManyBf16(scalePfx, config, qs, 10, knownNq = 64L).count()
+    }
     quality("overlap10_bf16_vs_f32") = {
       val exact = Search.flatSearchPacked(scaleDf, config, q, 10)
         .collect().map(_.getString(0)).toSet

@@ -225,8 +225,8 @@ final class GraftDb(val spark: SparkSession) {
       case "bf16" =>
         // exact scan over the bf16-ROUNDED corpus (2 B/dim at rest —
         // half the flat snapshot's scan bytes); deterministic, no knobs
-        val frame = codedFrameCache.getOrElseUpdate(name,
-          Prepare.withBf16Vector(df))
+        // (recallTarget routes through the batch path's funnel ladder)
+        val frame = codedFrameCache.getOrElseUpdate(name, bf16Frame(df, config))
         Search.flatSearchBf16(filtered(frame), config, query, limit)
       case "hnsw" if openPaths.contains(name) =>
         // opened from an at-rest layout: serve through the persisted
@@ -383,6 +383,14 @@ final class GraftDb(val spark: SparkSession) {
   // reuses precomputed columns directly from the scan (lsh_bands,
   // ivf_cell) — CRUD sees the canonical projection, search sees this
   private val codedFrameCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+
+  /** bf16 serving frame: the packed full-width column PLUS the funnel
+    * prefix columns (flat scans prune the prefixes away for free; the
+    * recallTarget funnel ladder needs them present). */
+  private def bf16Frame(df: DataFrame, config: CollectionConfig): DataFrame =
+    Prepare.withBf16Prefixes(df,
+      graft.search.Search.defaultFunnelStages(config.dimensions),
+      config.dimensions)
   private val ivfPqResCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Array[Array[Float]]], DataFrame)]
   // where each openIndexed collection's at-rest layout lives. Any CRUD
@@ -495,9 +503,20 @@ final class GraftDb(val spark: SparkSession) {
     def filtered(f: DataFrame): DataFrame = filter.foldLeft(f)(_.filter(_))
     config.index match {
       case "bf16" =>
-        val frame = codedFrameCache.getOrElseUpdate(name,
-          Prepare.withBf16Vector(df))
-        Search.flatSearchManyBf16(filtered(frame), config, queries, limit)
+        // candidates > 0 selects the Matryoshka prefix funnel (the bf16
+        // recallTarget ladder's knob); 0 = the exact rounded-corpus scan.
+        // Opened layouts written before prefixes existed degrade to the
+        // exact scan rather than erroring.
+        val frame = codedFrameCache.getOrElseUpdate(name, bf16Frame(df, config))
+        val stages = graft.search.Search.defaultFunnelStages(config.dimensions)
+        val funnelable = stages.forall(d => d >= config.dimensions ||
+          frame.columns.contains(Prepare.bf16PrefixCol(d)))
+        if (cand > 0 && funnelable)
+          Search.funnelSearchManyBf16(filtered(frame), config, queries, limit,
+            candidates = cand, knownNq = knownNq)
+        else
+          Search.flatSearchManyBf16(filtered(frame), config, queries, limit,
+            knownNq = knownNq)
       case "hnsw" if openPaths.contains(name) =>
         val path = openPaths(name)
         graft.index.ShardedHnsw.searchManyPersisted(spark, path, config,
@@ -615,6 +634,10 @@ final class GraftDb(val spark: SparkSession) {
           .map { case (np, c) => (math.min(np, cells), c * limit, 0) }.distinct
       case "hnsw" =>
         Seq(1, 2, 4, 8, 16).map(b => (0, 0, b * limit))
+      case "bf16" =>
+        // prefix-funnel candidate ladder, then the exact rounded scan as
+        // the measured ceiling (candidates = 0 dispatches to flat bf16)
+        Seq(2, 5, 20).map(m => (0, m * limit, 0)) :+ ((0, 0, 0))
       case _ => Seq((0, 0, 0)) // flat is exact; lsh tunes via LshConfig
     }
 
@@ -946,11 +969,13 @@ final class GraftDb(val spark: SparkSession) {
         CollectionStore.snapshot(df, config, path)
       case "bf16" =>
         // the at-rest layout DROPS the f32 vector column entirely:
-        // vector_bf16 carries the payload at 2 B/dim, so the reopened
-        // collection's scans read HALF the bytes of a flat snapshot.
-        // The f32 values are NOT recoverable — a reopened collection
-        // serves the rounded corpus (the bf16 contract).
-        Prepare.withBf16Vector(df).drop("vector")
+        // vector_bf16 carries the payload at 2 B/dim (plus the packed
+        // funnel prefix columns — column pruning keeps flat scans at
+        // 2 B/dim; the prefixes are what lets a reopened collection
+        // serve the recallTarget funnel ladder). The f32 values are NOT
+        // recoverable — a reopened collection serves the rounded corpus
+        // (the bf16 contract).
+        bf16Frame(df, config).drop("vector")
           .write.mode("overwrite").parquet(path)
       case "hnsw" =>
         // per-shard graphs persisted WITH their adjacency: a cold open

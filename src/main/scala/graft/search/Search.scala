@@ -625,10 +625,13 @@ object Search {
   }
 
   private def col2Bf16Distance(metric: Metric, packed: Column, q: Column): Column =
+    col2Bf16DistanceCode(metric.code, packed, q)
+
+  private def col2Bf16DistanceCode(code: Int, packed: Column, q: Column): Column =
     org.apache.spark.sql.graft.Bridge.column(
       graft.expr.Bf16VectorDistance(
         org.apache.spark.sql.graft.Bridge.expression(packed),
-        org.apache.spark.sql.graft.Bridge.expression(q), metric.code))
+        org.apache.spark.sql.graft.Bridge.expression(q), code))
 
   /** Batch form of quantized search: the candidate pass scores the
     * stored sign words against every query in ONE scan (queries
@@ -748,32 +751,43 @@ object Search {
     * single-query path's per-stage driver round-trips are exactly what
     * it cannot pay). */
   private def funnelCandPairs(df: DataFrame, config: CollectionConfig,
-      qNorm: DataFrame, stages: Seq[Int], keeps: Seq[Int], nq: Long): DataFrame = {
+      qNorm: DataFrame, stages: Seq[Int], keeps: Seq[Int], nq: Long): DataFrame =
+    funnelCandPairsWith(df, config, qNorm, stages, keeps, nq,
+      _ => "vector", d => funnelStageRankCols(config, d))
+
+  /** Shared staged-cut plumbing of the batch funnels, parameterized on
+    * the per-stage scan column and rank (f32 slices `vector`; bf16 scans
+    * the packed `d`-prefix column so parquet column pruning keeps stage
+    * IO at `2 * d` bytes/row). */
+  private def funnelCandPairsWith(df: DataFrame, config: CollectionConfig,
+      qNorm: DataFrame, stages: Seq[Int], keeps: Seq[Int], nq: Long,
+      stageCol: Int => String, stageRank: Int => Column): DataFrame = {
     val blocks = queryBlocks(qNorm, nq, config.dimensions)
     // hash(qid) splits queries near-uniformly, so each block carries
     // ~nq/blocks queries — the per-stage pair bound scales with it
     val blockNq = if (nq >= 0 && blocks.size > 1) nq / blocks.size + 1 else nq
-    blocks.map(funnelCandPairsBlock(df, config, _, stages, keeps, blockNq))
-      .reduce(_ unionByName _)
+    blocks.map(funnelCandPairsBlock(df, _, stages, keeps, blockNq,
+      stageCol, stageRank)).reduce(_ unionByName _)
   }
 
-  private def funnelCandPairsBlock(df: DataFrame, config: CollectionConfig,
-      qBlock: DataFrame, stages: Seq[Int], keeps: Seq[Int], nq: Long): DataFrame = {
+  private def funnelCandPairsBlock(df: DataFrame, qBlock: DataFrame,
+      stages: Seq[Int], keeps: Seq[Int], nq: Long,
+      stageCol: Int => String, stageRank: Int => Column): DataFrame = {
     var pairs: DataFrame = null
     var prevKeep = 0L
     for ((d, keep) <- stages.zip(keeps)) {
       val scored =
         if (pairs == null)
-          df.select(col("id"), col("vector")).crossJoin(broadcast(qBlock))
+          df.select(col("id"), col(stageCol(d))).crossJoin(broadcast(qBlock))
         else {
           val hint = rowsBroadcastHint(df, if (nq >= 0) nq * prevKeep else -1L)
-          df.select(col("id"), col("vector"))
+          df.select(col("id"), col(stageCol(d)))
             .join(hint(pairs), Seq("id"))
             .join(broadcast(qBlock), Seq("qid"))
         }
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("_fr").asc_nulls_last, col("id").asc)
-      pairs = scored.withColumn("_fr", funnelStageRankCols(config, d))
+      pairs = scored.withColumn("_fr", stageRank(d))
         .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= keep)
         .select("qid", "id")
       prevKeep = keep
@@ -800,6 +814,77 @@ object Search {
     val nq = if (knownNq >= 0) knownNq else queries.count()
     val pairs = funnelCandPairs(df, config, qNorm, effStages, keeps, nq)
     rerankManyExact(df, config, pairs, qNorm, limit, effCand, nq)
+  }
+
+  /** Batch funnel rank at prefix `d` over the packed bf16 layout with
+    * the query as a COLUMN — the same math as the single-query
+    * [[funnelSearchBf16]] stage rank (true cosine on prefixes for
+    * cosine, the metric's own kernel otherwise). */
+  private def bf16StageRankCols(config: CollectionConfig, d: Int,
+      packedCol: String): Column = {
+    val packed =
+      if (d >= config.dimensions) col(packedCol)
+      else col(graft.prepare.Prepare.bf16PrefixCol(d))
+    val qP = if (d >= config.dimensions) col("qvector") else slice(col("qvector"), 1, d)
+    val code =
+      if (config.metric == Metric.Cosine) VectorKernels.TRUE_COSINE_CODE
+      else config.metric.code
+    rankCol(config.metric, col2Bf16DistanceCode(code, packed, qP))
+  }
+
+  /** Batch Matryoshka funnel over a bf16 PREFIX layout: per-query
+    * results equal [[funnelSearchBf16]] with the same knobs. Stage `d`
+    * scans ONLY the packed `2 * d`-byte prefix column (the batch twin of
+    * the single-query form's column-pruned stages); cuts are per-qid
+    * window cuts over bounded broadcast-joined survivor pairs, the exact
+    * rerank reads the full bf16 column — no f32 column needed anywhere,
+    * so the at-rest bf16 layout serves a million-query batch without
+    * per-query driver round-trips. */
+  def funnelSearchManyBf16(df: DataFrame, config: CollectionConfig,
+      queries: DataFrame, limit: Int, stages: Seq[Int] = Nil,
+      candidates: Int = 0, widen: Int = 8,
+      packedCol: String = "vector_bf16", knownNq: Long = -1L): DataFrame = {
+    require(limit > 0, "limit must be positive")
+    require(df.columns.contains(packedCol), s"missing bf16 column $packedCol")
+    val effStages = if (stages.nonEmpty) stages else defaultFunnelStages(config.dimensions)
+    val effCand = if (candidates > 0) candidates else math.max(20 * limit, limit)
+    require(effCand >= limit, "candidates must be >= limit")
+    require(widen >= 1, "widen must be >= 1")
+    val keeps = funnelKeeps(effStages.size, effCand, widen)
+    val stageColF = (d: Int) =>
+      if (d >= config.dimensions) packedCol
+      else graft.prepare.Prepare.bf16PrefixCol(d)
+    effStages.foreach(d => require(df.columns.contains(stageColF(d)),
+      s"missing bf16 prefix column ${stageColF(d)} - build the layout with Prepare.withBf16Prefixes"))
+    val qNorm = queries.select(col("qid"),
+      normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
+    val nq = if (knownNq >= 0) knownNq else queries.count()
+    val pairs = funnelCandPairsWith(df, config, qNorm, effStages, keeps, nq,
+      stageColF, d => bf16StageRankCols(config, d, packedCol))
+    rerankManyExactBf16(df, config, pairs, qNorm, limit, effCand, nq, packedCol)
+  }
+
+  /** Exact batch rerank over (qid, id) pairs at bf16 width — the
+    * [[rerankManyExact]] shape reading the packed bf16 column instead of
+    * the f32 `vector` (which a bf16-only layout does not carry). */
+  private[graft] def rerankManyExactBf16(df: DataFrame, config: CollectionConfig,
+      candidates: DataFrame, queries: DataFrame, limit: Int,
+      perQueryBound: Int, knownNq: Long, packedCol: String): DataFrame = {
+    val nq = if (knownNq >= 0) knownNq
+             else if (perQueryBound > 0) queries.count() else -1L
+    val bound = if (perQueryBound > 0 && nq >= 0) nq * perQueryBound else -1L
+    val hint = rowsBroadcastHint(df, bound)
+    val joined = df.select(col("id"), col("value"), col(packedCol))
+      .join(hint(candidates.select("qid", "id")), Seq("id"))
+      .join(hint(queries.select("qid", "qvector")), Seq("qid"))
+      .withColumn("raw", col2Bf16Distance(config.metric, col(packedCol), col("qvector")))
+      .withColumn("rank", rankCol(config.metric, col("raw")))
+    val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc_nulls_last, col("id").asc)
+    val (score, dist) = resultValues(config.metric, col("raw"), config.score)
+    joined.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
+      .select(col("qid"), col("id"), col("value"),
+        score.cast("double").as("score"), dist.cast("double").as("distance"),
+        lit(config.metric.name).as("metric"))
   }
 
   /** Batch hybrid search: every generator emits bounded (qid, id)

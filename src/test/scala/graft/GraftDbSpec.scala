@@ -513,7 +513,7 @@ class GraftDbSpec extends SparkSpec {
       res.select("qid", "id").collect().groupBy(_.getString(0))
         .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
     val exact = topIds(db.searchMany("rt_flat", qs, 10, knownNq = 4))
-    for (idx <- Seq("ivf", "pq", "ivfpq", "hnsw", "sq8")) {
+    for (idx <- Seq("ivf", "pq", "ivfpq", "hnsw", "sq8", "bf16")) {
       val name = s"rt_$idx"
       db.createCollection(name, dims, metric = "cosine", index = idx)
       db.batch(name, rows)

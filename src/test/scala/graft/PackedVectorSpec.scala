@@ -233,4 +233,34 @@ class PackedVectorSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("prefix column"))
   }
+
+  test("bf16 batch funnel: per-query results equal the single-query form, f32-free") {
+    val coll = corpus(300)
+    val stages = Search.defaultFunnelStages(dims)
+    val path = "/tmp/graft_bf16_funnel_many_spec"
+    Prepare.withBf16Prefixes(coll, stages, dims).drop("vector")
+      .write.mode("overwrite").parquet(path)
+    val onDisk = spark.read.parquet(path)
+    assert(!onDisk.columns.contains("vector"))
+    import spark.implicits._
+    val qvecs = Seq("q0" -> Bench.synthVector(-9L, dims),
+      "q1" -> Bench.synthVector(-4L, dims),
+      "q2" -> Bench.synthVector(-15L, dims))
+    val qs = qvecs.map { case (k, v) => (k, v.toSeq) }.toDF("qid", "qvector")
+    val many = Search.funnelSearchManyBf16(onDisk, config, qs, 5,
+      candidates = 40, knownNq = 3L).collect().groupBy(_.getString(0))
+    for ((qid, v) <- qvecs) {
+      val single = Search.funnelSearchBf16(onDisk, config, v, 5, candidates = 40)
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+      assert(many(qid).map(r => (r.getString(1), r.getDouble(3))).toSet === single,
+        s"bf16 batch funnel $qid")
+    }
+    // candidates >= corpus: the batch funnel degenerates to batch flat bf16
+    def keys(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(3))).sortBy(t => (t._1, t._3, t._2)).toSeq
+    assert(keys(Search.funnelSearchManyBf16(onDisk, config, qs, 5,
+        candidates = 300, knownNq = 3L)) ===
+      keys(Search.flatSearchManyBf16(onDisk, config, qs, 5, knownNq = 3L)),
+      "bf16 batch funnel at full candidates != bf16 batch flat")
+  }
 }
