@@ -366,6 +366,29 @@ object TrainingQueries {
         .select("doc_id", "gumbel_key"), Seq("gumbel_key"))
     }),
 
+    // DSIR-curated pipeline (the paper's end-to-end use): Gopher quality
+    // gate -> DSIR fit with FIT/SCORE SEPARATION (the two count jobs see
+    // only a deterministic md5 half-sample of the gated corpus — at
+    // 100 TB the fit never reads every row — while the scoring
+    // projection covers ALL gated rows; target = the gated English
+    // slice) -> Gumbel-top-n resample -> contiguous sequential ids
+    "pipeline_curation_dsir" -> ((s, dir) => {
+      val docs = Tables.read(s, dir, "documents")
+      val kept = docs.filter(TextAnalysis.gopherKeep(col("text"), minWords = 20))
+        .localCheckpoint() // stage materialization (see pipeline_curation)
+      val fitRaw = graft.functions.Sampling.sampleByHash(kept, "doc_id", 0.5,
+        salt = "graft")
+      val table = graft.text.Dsir.logRatioTable(fitRaw, col("text"),
+        kept.filter(col("lang") === "en"), col("text"), buckets = 512)
+      val scored = kept.withColumn("dsir_logw",
+        graft.text.Dsir.scoreColumn(col("text"), table))
+      val top = graft.text.Dsir.resampleTop(scored, "doc_id",
+        col("dsir_logw"), n = 80, salt = "graft")
+      roundCols(graft.functions.Sampling.withSequentialIds(
+        top.select(col("doc_id"), col("lang"), col("gumbel_key")),
+        col("doc_id")), Seq("gumbel_key"))
+    }),
+
     // leakage-safe split: near-dup cluster labels (pointer-jump CC over
     // verified minhash pairs) become the split key, so no component
     // ever straddles train/test; oracle = recursive-CTE closure + the
@@ -1947,14 +1970,17 @@ object TrainingQueries {
   private val tokensSql = "string_split_regex(trim(text), '\\s+')"
 
   /** DSIR chain: lowercased uni+bigram hash buckets per doc, target/raw
-    * bucket counts (target = the English slice), the add-1-smoothed
-    * per-bucket log ratio over the full 512-bucket domain, and per-doc
-    * summed log weights — mirrors graft.text.Dsir bit for bit (the md5
-    * bucket idiom is Sampling.hashBucket with salt 'dsir'). */
-  private val dsirCtes =
-    """dt AS (SELECT doc_id, lang,
-         list_filter(list_transform(string_split_regex(trim(text), '\s+'), w -> lower(w)),
-                     w -> len(w) > 0) AS toks FROM documents),
+    * bucket counts (target = the English slice of `src`; raw = the rows
+    * of `src` matching `fitPred` — TRUE for fit-on-everything, a hash
+    * predicate for the fit/score-separated pipeline form), the
+    * add-1-smoothed per-bucket log ratio over the full 512-bucket
+    * domain, and per-doc summed log weights over ALL of `src` —
+    * mirrors graft.text.Dsir bit for bit (the md5 bucket idiom is
+    * Sampling.hashBucket with salt 'dsir'). */
+  private def dsirCtesOver(src: String, fitPred: String): String =
+    s"""dt AS (SELECT doc_id, lang,
+         list_filter(list_transform(string_split_regex(trim(text), '\\s+'), w -> lower(w)),
+                     w -> len(w) > 0) AS toks FROM $src),
        dg AS (SELECT doc_id, lang, list_concat(toks,
            CASE WHEN len(toks) >= 2
                 THEN list_transform(range(0, len(toks) - 1), i -> array_to_string(toks[i+1:i+2], ' '))
@@ -1964,7 +1990,7 @@ object TrainingQueries {
          FROM dg),
        de AS (SELECT doc_id, lang, u.b AS bucket FROM db, unnest(bks) AS u(b)),
        dtc AS (SELECT bucket, count(*) AS n FROM de WHERE lang = 'en' GROUP BY 1),
-       drc AS (SELECT bucket, count(*) AS n FROM de GROUP BY 1),
+       drc AS (SELECT bucket, count(*) AS n FROM de WHERE $fitPred GROUP BY 1),
        dtot AS (SELECT (SELECT coalesce(sum(n), 0) FROM dtc) AS tt,
                        (SELECT coalesce(sum(n), 0) FROM drc) AS tr),
        dratio AS (SELECT r.range AS bucket,
@@ -1976,7 +2002,14 @@ object TrainingQueries {
        dw AS (SELECT de.doc_id, sum(dratio.lr) AS lw
          FROM de JOIN dratio ON dratio.bucket = de.bucket GROUP BY 1),
        dsirw AS (SELECT d.doc_id, coalesce(dw.lw, 0.0) AS lw
-         FROM documents d LEFT JOIN dw ON dw.doc_id = d.doc_id)"""
+         FROM $src d LEFT JOIN dw ON dw.doc_id = d.doc_id)"""
+
+  private val dsirCtes = dsirCtesOver("documents", "TRUE")
+
+  /** The md5 per-mille hash-sample predicate of
+    * [[graft.functions.Sampling.sampleByHash]] (salt `graft`). */
+  private def hashSamplePred(perMille: Int): String =
+    s"('0x' || substr(md5('graft' || ':' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 1000 < $perMille"
   private def shinglesSql(k: Int): String =
     s"list_transform(range(0, greatest(len(toks)-$k,0)+1), i -> array_to_string(toks[i+1:i+$k], ' '))"
   private val enList = TextAnalysis.profiles.toMap.apply("en").map("'" + _ + "'").mkString(",")
@@ -2997,6 +3030,42 @@ object TrainingQueries {
            FROM dsirw)
          SELECT doc_id, (round(gk, 6) + 0) AS gumbel_key
          FROM k ORDER BY gk DESC, doc_id LIMIT 100""",
+
+    // quality gate (the pipeline_curation Gopher CTEs) -> fit/score-
+    // separated DSIR (raw counts from the md5 half-sample, scoring over
+    // every gated row) -> Gumbel-top-80 -> dense sequential ids
+    "pipeline_curation_dsir" ->
+      s"""WITH t AS (SELECT doc_id, lang, text, $tokensSql AS toks,
+           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS ls,
+           list_transform($tokensSql, t -> lower(t)) AS lt
+         FROM documents),
+         m AS (SELECT doc_id, lang, text, toks,
+           len(toks) AS n_words,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(toks) END AS mean_word_len,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) END AS frac_alpha,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...') OR contains(t, '…'))) AS DOUBLE) / len(toks) END AS frac_symbol,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls) END AS frac_bullet,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls) END AS frac_ellipsis,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS frac_dup_lines,
+           CASE WHEN len(lt) = 0 THEN 0.0 ELSE CAST(list_max(list_transform(list_distinct(lt), d -> len(list_filter(lt, x -> x = d)))) AS DOUBLE) / len(lt) END AS top_token_frac
+         FROM t),
+         kq AS (SELECT doc_id, lang, text FROM m
+           WHERE n_words >= 20 AND n_words <= 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND frac_symbol <= 0.1 AND frac_bullet <= 0.9
+             AND frac_ellipsis <= 0.3 AND frac_alpha >= 0.8
+             AND frac_dup_lines <= 0.3 AND top_token_frac <= 0.2),
+         ${dsirCtesOver("kq", hashSamplePred(500))},
+         g AS (SELECT doc_id, lw +
+             -ln(-ln((('0x' || substr(md5('graft' || ':' || CAST(doc_id AS VARCHAR)), 1, 13))::BIGINT + 0.5)
+                     / 4503599627370496.0)) AS gk
+           FROM dsirw),
+         top AS (SELECT g.doc_id, kq.lang, g.gk
+           FROM g JOIN kq USING (doc_id)
+           ORDER BY g.gk DESC, g.doc_id LIMIT 80)
+         SELECT doc_id, lang, (round(gk, 6) + 0) AS gumbel_key,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
+         FROM top ORDER BY doc_id""",
 
     "data_leakage_split" ->
       s"""WITH RECURSIVE corpus AS ($corpusSql),
