@@ -43,7 +43,12 @@ object TrainingQueries {
     * by doc_id (mirrored verbatim in the DuckDB oracle). */
   private def synthUrl: Column = {
     val did = col("doc_id")
-    concat(lit("https://"),
+    when(did % 11 === 0,
+      // bracketed IPv6 authority with a port: the naive first-colon
+      // split would truncate the host to '[' (the r12 advice finding)
+      concat(lit("https://[2001:db8::"), (did % 9).cast("string"),
+        lit("]:8080/v6/"), did.cast("string")))
+    .otherwise(concat(lit("https://"),
       when(did % 7 === 0, lit("user:pw@")).otherwise(lit("")),
       when(did % 5 === 0, lit("www."))
         .when(did % 5 === 1, lit("blog.")).otherwise(lit("")),
@@ -53,7 +58,7 @@ object TrainingQueries {
       when(did % 3 === 0, lit(":8080")).otherwise(lit("")),
       when(did % 2 === 0,
         concat(lit("/p/"), did.cast("string"), lit("?q="), col("lang")))
-        .otherwise(lit("")))
+        .otherwise(lit(""))))
   }
 
   /** Noisy synthetic URL per documents row for the canonicalize oracle:
@@ -69,7 +74,9 @@ object TrainingQueries {
         .when(did % 4 === 2, lit("/")).otherwise(lit("")),
       when(did % 5 === 0, lit("?utm_source=x&b=2&a=1"))
         .when(did % 5 === 1, lit("?a=1&b=2"))
-        .when(did % 5 === 2, lit("?utm_campaign=y")).otherwise(lit("")),
+        .when(did % 5 === 2, lit("?utm_campaign=y"))
+        // a BARE tracking param (no '='): still transport noise
+        .when(did % 5 === 3, lit("?gclid&a=1")).otherwise(lit("")),
       when(did % 2 === 0, lit("#frag")).otherwise(lit("")))
   }
 
@@ -3244,15 +3251,19 @@ object TrainingQueries {
     },
 
     "text_url_domains" -> {
-      val urlSql = """'https://' || (CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END) || (CASE doc_id % 5 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' ELSE '' END) || source || (CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com' WHEN 2 THEN '.org' ELSE '.com.au' END) || (CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END) || (CASE WHEN doc_id % 2 = 0 THEN '/p/' || CAST(doc_id AS VARCHAR) || '?q=' || lang ELSE '' END)"""
+      val urlSql = """CASE WHEN doc_id % 11 = 0 THEN 'https://[2001:db8::' || CAST(doc_id % 9 AS VARCHAR) || ']:8080/v6/' || CAST(doc_id AS VARCHAR) ELSE 'https://' || (CASE WHEN doc_id % 7 = 0 THEN 'user:pw@' ELSE '' END) || (CASE doc_id % 5 WHEN 0 THEN 'www.' WHEN 1 THEN 'blog.' ELSE '' END) || source || (CASE doc_id % 4 WHEN 0 THEN '.co.uk' WHEN 1 THEN '.com' WHEN 2 THEN '.org' ELSE '.com.au' END) || (CASE WHEN doc_id % 3 = 0 THEN ':8080' ELSE '' END) || (CASE WHEN doc_id % 2 = 0 THEN '/p/' || CAST(doc_id AS VARCHAR) || '?q=' || lang ELSE '' END) END"""
       val suffixes = graft.text.WebText.MultiLabelSuffixes
         .map(s => s"'$s'").mkString(",")
       s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         a AS (SELECT doc_id, url,
+           regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '^[^@]*@', '') AS na
+           FROM u),
          h AS (SELECT doc_id, url,
-           lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
-                 '^(?:[^@]*@)?([^:]+)', 1)) AS host,
+           CASE WHEN regexp_extract(na, '^\\[([^\\]]*)\\]', 1) <> ''
+                THEN lower(regexp_extract(na, '^\\[([^\\]]*)\\]', 1))
+                ELSE lower(regexp_extract(na, '^([^:]+)', 1)) END AS host,
            coalesce(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/') AS path
-           FROM u)
+           FROM a)
          SELECT doc_id, host,
            CASE WHEN host = '' OR host IS NULL THEN NULL
              WHEN len(string_split(host,'.')) <= 2 THEN host
@@ -3264,18 +3275,22 @@ object TrainingQueries {
     },
 
     "text_url_canonical" -> {
-      val urlSql = """'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) || source || '.com' || (CASE doc_id % 4 WHEN 0 THEN '/a/b/' WHEN 1 THEN '/a/b' WHEN 2 THEN '/' ELSE '' END) || (CASE doc_id % 5 WHEN 0 THEN '?utm_source=x&b=2&a=1' WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?utm_campaign=y' ELSE '' END) || (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END)"""
+      val urlSql = """'https://' || (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) || source || '.com' || (CASE doc_id % 4 WHEN 0 THEN '/a/b/' WHEN 1 THEN '/a/b' WHEN 2 THEN '/' ELSE '' END) || (CASE doc_id % 5 WHEN 0 THEN '?utm_source=x&b=2&a=1' WHEN 1 THEN '?a=1&b=2' WHEN 2 THEN '?utm_campaign=y' WHEN 3 THEN '?gclid&a=1' ELSE '' END) || (CASE WHEN doc_id % 2 = 0 THEN '#frag' ELSE '' END)"""
       s"""WITH u AS (SELECT doc_id, $urlSql AS url FROM documents),
+         a AS (SELECT doc_id, url,
+           regexp_replace(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1), '^[^@]*@', '') AS na
+           FROM u),
          h AS (SELECT doc_id, url,
-           regexp_replace(lower(regexp_extract(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)', 1),
-                 '^(?:[^@]*@)?([^:]+)', 1)), '^www\\.', '') AS host,
+           regexp_replace(CASE WHEN regexp_extract(na, '^\\[([^\\]]*)\\]', 1) <> ''
+                THEN lower(regexp_extract(na, '^\\[([^\\]]*)\\]', 1))
+                ELSE lower(regexp_extract(na, '^([^:]+)', 1)) END, '^www\\.', '') AS host,
            coalesce(nullif(regexp_extract(url, '^[A-Za-z][A-Za-z0-9+.-]*://[^/?#]*([^?#]*)', 1), ''), '/') AS path,
            regexp_extract(url, '\\?([^#]*)', 1) AS qs
-           FROM u),
+           FROM a),
          c AS (SELECT doc_id, url, host,
            CASE WHEN path = '/' THEN '' ELSE regexp_replace(path, '/+$$', '') END AS cpath,
            array_to_string(list_sort(list_filter(string_split(qs, '&'),
-             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|gclid|fbclid|ref|ref_src|mc_cid|mc_eid)='))), '&') AS cq
+             p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=&]*|gclid|fbclid|ref|ref_src|mc_cid|mc_eid)(=|$$)'))), '&') AS cq
            FROM h)
          SELECT doc_id, CASE WHEN host = '' THEN lower(url)
            ELSE host || cpath || (CASE WHEN cq <> '' THEN '?' || cq ELSE '' END) END AS canonical

@@ -17,8 +17,11 @@ import graft.core.CollectionConfig
   * The contract is frame-in/frame-out: `df` is the collection's
   * canonical frame (id, value, vector, vectors?, binary_vector,
   * metadata?), and results must use the facade's result schema —
-  * `(id, score, distance, metric)` at minimum — so callers can swap a
-  * custom index for a built-in without changing a line. State (trained
+  * `(id, score, distance, metric)` at minimum; built-ins return the
+  * full `(id, value, score, distance, metric, metadata)` convention,
+  * which is also the schema the default [[GraftIndex.searchMany]]
+  * yields for an EMPTY batch — so callers can swap a custom index for
+  * a built-in without changing a line. State (trained
   * models, encoded frames) is the implementation's concern; use
   * [[GraftIndex.onMutation]] to drop per-collection state when the
   * facade mutates the underlying frame.
@@ -48,14 +51,25 @@ trait GraftIndex {
       .collect().map(r => (r.getString(0),
         r.getSeq[Number](1).map(_.floatValue).toArray))
     if (qs.isEmpty) {
-      // empty batch -> empty frame with the minimal contract schema
-      // (reduceLeft on zero frames would throw)
+      // empty batch -> empty frame with the facade result-convention
+      // schema (id, value, score, distance, metric, metadata, qid) —
+      // the SAME columns the non-empty loop yields for a built-in-shaped
+      // search(), so a consumer selecting 'value' or unionByName-ing
+      // results does not fail only on empty batches (reduceLeft on zero
+      // frames would throw). value/metadata types follow the collection
+      // frame when it carries them.
       import org.apache.spark.sql.types._
+      def fieldType(name: String, fallback: DataType): DataType =
+        if (df.columns.contains(name)) df.schema(name).dataType else fallback
       df.sparkSession.createDataFrame(
         java.util.Collections.emptyList[org.apache.spark.sql.Row](),
-        StructType(Seq(StructField("id", StringType),
+        StructType(Seq(
+          StructField("id", fieldType("id", StringType)),
+          StructField("value", fieldType("value", StringType)),
           StructField("score", DoubleType), StructField("distance", DoubleType),
-          StructField("metric", StringType), StructField("qid", StringType))))
+          StructField("metric", StringType),
+          StructField("metadata", fieldType("metadata", NullType)),
+          StructField("qid", StringType))))
     } else qs.map { case (qid, vec) =>
       search(df, config, vec, limit, filter).withColumn("qid", lit(qid))
     }.reduceLeft(_ unionByName _)

@@ -54,13 +54,18 @@ object WebText {
   }
 
   /** Lowercased host of a URL: the authority minus userinfo and port.
-    * Empty string when `url` has no `scheme://` authority (mirrors
-    * `regexp_extract`'s no-match value, so the column stays
-    * null-free over dirty corpora). */
-  def urlHost(url: Column): Column =
-    lower(regexp_extract(
-      regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1),
-      "^(?:[^@]*@)?([^:]+)", 1))
+    * Bracketed IPv6 authorities (`https://[::1]:8080/x`) yield the
+    * address inside the brackets — the naive first-colon port split
+    * would truncate them to `[`. Empty string when `url` has no
+    * `scheme://` authority (mirrors `regexp_extract`'s no-match value,
+    * so the column stays null-free over dirty corpora). */
+  def urlHost(url: Column): Column = {
+    val auth = regexp_extract(url, "^[A-Za-z][A-Za-z0-9+.-]*://([^/?#]+)", 1)
+    val noUser = regexp_replace(auth, "^[^@]*@", "")
+    val bracketed = regexp_extract(noUser, "^\\[([^\\]]*)\\]", 1)
+    lower(when(bracketed =!= "", bracketed)
+      .otherwise(regexp_extract(noUser, "^([^:]+)", 1)))
+  }
 
   /** Path component of a URL (query/fragment dropped); `/` for an
     * empty path so grouping by path never mixes "no path" with
@@ -99,9 +104,11 @@ object WebText {
   def urlDomain(url: Column): Column = registeredDomain(urlHost(url))
 
   /** Query parameters dropped by [[urlCanonicalize]]: the tracking
-    * params that vary per click without changing the fetched content. */
+    * params that vary per click without changing the fetched content.
+    * `(=|$)` accepts BARE params too (`?gclid` with no value is still
+    * tracking noise). */
   val TrackingParamPattern: String =
-    "^(utm_[^=]*|gclid|fbclid|ref|ref_src|mc_cid|mc_eid)="
+    "^(utm_[^=&]*|gclid|fbclid|ref|ref_src|mc_cid|mc_eid)(=|$)"
 
   /** Canonical URL dedup key — the fuzzy-URL-dedup unit (C4-style
     * corpora dedupe by URL before any content pass): lowercased host

@@ -60,12 +60,14 @@ class StoreCompatSpec extends SparkSpec {
       db.batch("toy2", (0 until 8).map(i => db.EmbeddingInput(s"e$i",
         vector = vec(i.toFloat, 0f, 0f, 1f))))
       import spark.implicits._
-      // empty query frame -> empty result with the contract schema
+      // empty query frame -> empty result with the full facade result
+      // convention (value/metadata included), so a consumer selecting
+      // 'value' or unionByName-ing does not fail only on empty batches
       val empty = Seq.empty[(String, Seq[Float])].toDF("qid", "qvector")
       val out = db.searchMany("toy2", empty, 3)
       assert(out.count() === 0L)
-      assert(Seq("id", "score", "distance", "metric", "qid")
-        .forall(out.columns.contains))
+      assert(out.columns.toSeq === Seq("id", "value", "score", "distance",
+        "metric", "metadata", "qid"))
       // double-typed qvectors convert numerically instead of throwing
       val dq = Seq(("a", Seq(5.0, 0.0, 0.0, 1.0))).toDF("qid", "qvector")
       val hits = db.searchMany("toy2", dq, 2)

@@ -41,9 +41,11 @@ class WebTextSpec extends SparkSpec {
       "a" -> "https://www.Example.co.uk:8080/path/a?q=1#f",
       "b" -> "http://user:pw@sub.blog.example.com/x/y",
       "c" -> "https://example.com",
-      "d" -> "not a url")
+      "d" -> "not a url",
+      "e" -> "https://[::1]:8080/x",
+      "f" -> "https://user@[2001:DB8::1]/y")
     assert(hosts === Seq("www.example.co.uk", "sub.blog.example.com",
-      "example.com", ""))
+      "example.com", "", "::1", "2001:db8::1"))
     val paths = one(WebText.urlPath(col("x")),
       "a" -> "https://h.io:8080/path/a?q=1#f",
       "b" -> "https://h.io",
@@ -75,11 +77,15 @@ class WebTextSpec extends SparkSpec {
       "c" -> "https://user@ex.com:8080/a/b?b=2&a=1",
       "d" -> "https://ex.com",
       "e" -> "https://www.ex.com/?utm_campaign=y&fbclid=z",
-      "f" -> "Not A URL")
+      "f" -> "Not A URL",
+      "g" -> "https://ex.com/a/b?gclid&a=1&b=2",
+      "h" -> "https://ex.com/a/b?a=1&b=2&utm_source")
     assert(got(0) === "ex.com/a/b?a=1&b=2")
     assert(got(1) === got(0) && got(2) === got(0))
     assert(got(3) === "ex.com" && got(4) === "ex.com")
     assert(got(5) === "not a url")
+    // bare tracking params (no '=') are transport noise too
+    assert(got(6) === got(0) && got(7) === got(0))
   }
 
   test("invariants over generated inputs: plain-text fixpoint, domain-suffix, density bounds") {
