@@ -157,6 +157,11 @@ object Microbench {
     time("funnel widen=1 plan+exec", 5) {
       Search.funnelSearch(coll, config, q, 10, stages, 200, widen = 1).collect()
     }
+    time("quantized plan+exec", 5) {
+      Search.quantizedSearch(coll, config, q, 10, candidates = 200).collect()
+    }
+    val reusedQ = Search.quantizedSearch(coll, config, q, 10, candidates = 200)
+    time("quantized exec only (reused plan)", 5) { reusedQ.collect() }
     time("funnel 1 stage (d/4 only) plan+exec", 5) {
       Search.funnelSearch(coll, config, q, 10, Seq(dims / 4), 200).collect()
     }

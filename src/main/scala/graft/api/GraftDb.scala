@@ -596,7 +596,9 @@ final class GraftDb(val spark: SparkSession) {
           residual = false, queries, limit,
           if (np > 0) np else ivfCfg.nprobe, candidates = cand,
           knownNq = knownNq)
-      case "flat" => Search.flatSearchMany(filtered(df), config, queries, limit)
+      case "flat" =>
+        Search.flatSearchMany(filtered(df), config, queries, limit,
+          knownNq = knownNq)
       case other => GraftIndexRegistry.lookup(other) match {
         case Some(impl) =>
           impl.searchMany(df, config, queries, limit, knownNq, filter)
@@ -683,7 +685,8 @@ final class GraftDb(val spark: SparkSession) {
     def topIds(res: DataFrame): Map[String, Set[String]] =
       res.select("qid", "id").collect().groupBy(_.getString(0))
         .map { case (q, rows) => q -> rows.map(_.getString(1)).toSet }
-    val exact = topIds(Search.flatSearchMany(df, config, qdf, limit))
+    val exact = topIds(Search.flatSearchMany(df, config, qdf, limit,
+      knownNq = probes.length.toLong))
     def overlapAndFill(res: DataFrame): (Double, Double) = {
       val got = topIds(res)
       val per = exact.toSeq.map { case (q, ex) =>
