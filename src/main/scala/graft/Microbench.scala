@@ -306,6 +306,37 @@ object Microbench {
     idx.unpersist(); coll.unpersist()
   }
 
+  /** Batch brute-force profile (the *_batch64_perq rows): the
+    * multi-distance scan plan vs per-query singles, f32 and bf16.
+    * `runMain graft.Microbench batch`. */
+  def profileBatch(spark: SparkSession): Unit = {
+    val dims = 384
+    val n = sys.env.getOrElse("GRAFT_MB_RECORDS", "100000").toInt
+    val config = CollectionConfig("b", dims, Metric.Cosine)
+    val genUdf = udf((id: Long) => Bench.synthVector(id, dims))
+    val coll = graft.prepare.Prepare.prepareEmbeddings(
+      spark.range(n).select(col("id").cast("string").as("id"),
+        col("id").cast("string").as("value"), genUdf(col("id")).as("vector")),
+      config).select("id", "value", "vector").persist()
+    coll.count()
+    val qs = spark.range(64).select(col("id").cast("string").as("qid"),
+      genUdf(col("id") + 1000000L).as("qvector"))
+    val q = Search.prepareQuery(config, Bench.synthVector(-1L, dims))
+    Search.flatSearch(coll, config, q, 10).collect() // JIT warmup
+    time("flat single", 5) { Search.flatSearch(coll, config, q, 10).collect() }
+    time("flat batch64 (whole batch)", 5) {
+      Search.flatSearchMany(coll, config, qs, 10, knownNq = 64L).count()
+    }
+    val bf = graft.prepare.Prepare.withBf16Vector(coll)
+      .select("id", "value", "vector_bf16").persist()
+    bf.count()
+    time("bf16 single", 5) { Search.flatSearchBf16(bf, config, q, 10).collect() }
+    time("bf16 batch64 (whole batch)", 5) {
+      Search.flatSearchManyBf16(bf, config, qs, 10, knownNq = 64L).count()
+    }
+    bf.unpersist(); coll.unpersist()
+  }
+
   /** Driver-side HNSW insert-path profile (the per-shard build cost of
     * ShardedHnsw rides on this): `runMain graft.Microbench hnsw [n]`. */
   def profileHnsw(spark: SparkSession, args: Array[String]): Unit = {
@@ -388,6 +419,9 @@ object Microbench {
     }
     if (args.headOption.contains("flatindex")) {
       profileFlatIndex(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("batch")) {
+      profileBatch(spark); spark.stop(); return
     }
     val dims = sys.env.getOrElse("GRAFT_MB_DIMS", "384").toInt
     val n = sys.env.getOrElse("GRAFT_MB_RECORDS", "100000").toInt

@@ -62,6 +62,72 @@ case class VectorDistance(left: Expression, right: Expression, metricCode: Int)
     copy(left = l, right = r)
 }
 
+/** Distances of ONE stored f32 vector against a WHOLE query batch —
+  * the batch brute-force scan shape: the row decodes once, every query
+  * reuses it, and the output is a primitive double array that a
+  * `posexplode` turns into slim (row, query-index, raw) triples. The
+  * batch rides an ordinary `SparkContext.broadcast` handle (fetched
+  * once per executor, cached in generated-class state), NOT a plan
+  * literal or a closure capture — a 100k-query block would otherwise be
+  * re-deserialized per task inside the task binary. Per-(row, query)
+  * values equal [[VectorDistance]] bit for bit. */
+case class VectorDistanceMulti(child: Expression,
+    queries: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+    metricCode: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "vector_distance_multi"
+
+  @transient private lazy val qs: Array[Array[Float]] = queries.value
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.distanceMulti(metricCode, v.asInstanceOf[ArrayData], qs))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("queryBatch", queries,
+      "org.apache.spark.broadcast.Broadcast")
+    val mat = ctx.addMutableState("float[][]", "qmat")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      if ($mat == null) { $mat = (float[][]) $bcRef.value(); }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        graft.expr.VectorKernels.distanceMulti($metricCode, $v, $mat));""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): VectorDistanceMulti =
+    copy(child = newChild)
+}
+
+/** bf16 twin of [[VectorDistanceMulti]]: one 2 B/dim unpack per row,
+  * then the float kernel per query ([[VectorKernels.distanceBf16Multi]]
+  * — bit-equal to [[Bf16VectorDistance]] per pair). */
+case class Bf16VectorDistanceMulti(child: Expression,
+    queries: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+    metricCode: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "bf16_vector_distance_multi"
+
+  @transient private lazy val qs: Array[Array[Float]] = queries.value
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.distanceBf16Multi(metricCode, v.asInstanceOf[Array[Byte]], qs))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("queryBatch", queries,
+      "org.apache.spark.broadcast.Broadcast")
+    val mat = ctx.addMutableState("float[][]", "qmat")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      if ($mat == null) { $mat = (float[][]) $bcRef.value(); }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        graft.expr.VectorKernels.distanceBf16Multi($metricCode, $v, $mat));""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): Bf16VectorDistanceMulti =
+    copy(child = newChild)
+}
+
 /** Pack a f32 vector into 4d bytes (BinaryType) — the scan-friendly
   * at-rest layout: parquet decodes one BYTE_ARRAY per row instead of d
   * repetition-leveled elements. */

@@ -52,6 +52,33 @@ object VectorKernels {
   def distance(code: Int, a: ArrayData, b: ArrayData): Double =
     distance(code, a.toFloatArray(), b.toFloatArray())
 
+  /** One stored vector against a WHOLE query batch: the vector converts
+    * to float[] ONCE and each query reuses it — per-(row, query) results
+    * equal `distance(code, a, qs(i))` bit for bit (same kernel, same
+    * accumulation order). The batch-scan shape: the corpus row is
+    * decoded/copied once regardless of batch size, where a per-pair
+    * cross join re-copies it per query. */
+  def distanceMulti(code: Int, a: ArrayData, qs: Array[Array[Float]]): Array[Double] = {
+    val v = a.toFloatArray()
+    val out = new Array[Double](qs.length)
+    var i = 0
+    while (i < qs.length) { out(i) = distance(code, v, qs(i)); i += 1 }
+    out
+  }
+
+  /** bf16 twin of [[distanceMulti]]: unpack the 2 B/dim payload ONCE,
+    * then the plain float kernel per query — equals
+    * `distanceBf16(code, b, qs(i))` bit for bit (codes 0-4 accumulate
+    * the decoded values in the same order; codes above 4 already route
+    * through [[unpackBf16]]). */
+  def distanceBf16Multi(code: Int, b: Array[Byte], qs: Array[Array[Float]]): Array[Double] = {
+    val v = unpackBf16(b)
+    val out = new Array[Double](qs.length)
+    var i = 0
+    while (i < qs.length) { out(i) = distance(code, v, qs(i)); i += 1 }
+    out
+  }
+
   /** Literal-specialized entry point: the query side is already float[]. */
   def distance(code: Int, a: ArrayData, b: Array[Float]): Double =
     distance(code, a.toFloatArray(), b)

@@ -581,21 +581,93 @@ object Search {
     * carry qid. This is the shape that scales on a cluster — per-query
     * driver jobs do not. */
   def flatSearchMany(df: DataFrame, config: CollectionConfig, queries: DataFrame,
-      limit: Int, knownNq: Long = -1L): DataFrame = {
+      limit: Int, knownNq: Long = -1L): DataFrame =
+    batchTopMulti(df, config, queries, limit, bc =>
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.expr.VectorDistanceMulti(
+          org.apache.spark.sql.graft.Bridge.expression(col("vector")),
+          bc, config.metric.code)))
+
+  /** Shared brute-force batch plan of [[flatSearchMany]] /
+    * [[flatSearchManyBf16]]. The query batch collects to the driver
+    * (bounded: callers pass bounded batches, and blocks re-bound it),
+    * splits into `spark.graft.query.broadcastMaxCells`-bounded blocks,
+    * and each block ships ONCE per executor as a
+    * `SparkContext.broadcast` float matrix inside a multi-distance
+    * expression: the scan emits each corpus row's distances to the
+    * WHOLE block as one primitive array, `posexplode` turns them into
+    * slim (id, query-index, raw) triples, and the per-query top-k rides
+    * row_number's map-side WindowGroupLimit over those 16-byte triples.
+    * The former per-pair cross join re-copied the row payload (vector +
+    * qvector + value, ~KB) into every (row, query) pair BEFORE the
+    * cut — at 64 queries that is ~64x the scan bytes through the
+    * join/projection; here the payload is decoded once per row and only
+    * the final `nq * limit` winners rejoin the corpus for `value`.
+    * A row with a NULL vector yields no triples (it can never reach a
+    * top-k that exact search would return on a validated collection). */
+  private def batchTopMulti(df: DataFrame, config: CollectionConfig,
+      queries: DataFrame, limit: Int,
+      multiCol: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]] => Column): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val spark = df.sparkSession
     val qNorm = queries.select(col("qid"),
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
-    val nq = if (knownNq >= 0) knownNq else queries.count()
-    val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc_nulls_last, col("id").asc)
-    queryBlocks(qNorm, nq, config.dimensions).map { qb =>
-      val scored = df.crossJoin(broadcast(qb))
-        .withColumn("raw", vecDistance(config.metric, col("vector"), col("qvector")))
-        .withColumn("rank", rankCol(config.metric, col("raw")))
-      val (score, dist) = resultValues(config.metric, col("raw"), config.score)
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
-        .select(col("qid"), col("id"), col("value"),
-          score.cast("double").as("score"), dist.cast("double").as("distance"),
-          lit(config.metric.name).as("metric"))
+    val (score, dist) = resultValues(config.metric, col("raw"), config.score)
+    val outCols = Seq(col("qid"), col("id"), col("value"),
+      score.cast("double").as("score"), dist.cast("double").as("distance"),
+      lit(config.metric.name).as("metric"))
+    val rows = qNorm.collect()
+    val qidType = qNorm.schema("qid").dataType
+    if (rows.isEmpty)
+      return df.limit(0).select(col("id"), col("value"))
+        .withColumn("qid", lit(null).cast(qidType))
+        .withColumn("raw", lit(null).cast("double"))
+        .select(outCols: _*)
+    val dims = math.max(config.dimensions, 1)
+    val maxCells = spark.conf.getOption("spark.graft.query.broadcastMaxCells")
+      .map(_.toLong).getOrElse(32000000L)
+    val perBlock = math.max(1L, maxCells / dims).min(Int.MaxValue).toInt
+    val mat = rows.map(_.getSeq[Float](1).toArray)
+    // string-id collections (the canonical schema) cut via BatchTopKAgg:
+    // per-partition bounded heaps, nothing exploded, nothing sorted
+    // beyond the nq*k winners. Non-string ids keep the exploded
+    // window-cut plan (same results through WindowGroupLimit pre-cuts).
+    val heapCut = df.schema("id").dataType == org.apache.spark.sql.types.StringType
+    val slim = mat.grouped(perBlock).toSeq.zipWithIndex.map { case (qs, bi) =>
+      val bc = spark.sparkContext.broadcast(qs)
+      val offset = bi * perBlock
+      if (heapCut) {
+        val agg = org.apache.spark.sql.graft.Bridge.column(
+          graft.expr.BatchTopKAgg(
+            org.apache.spark.sql.graft.Bridge.expression(col("id")),
+            org.apache.spark.sql.graft.Bridge.expression(col("_ds")),
+            qs.length, math.max(limit, 0), config.metric.code)
+            .toAggregateExpression())
+        df.select(col("id"), multiCol(bc).as("_ds"))
+          .groupBy().agg(agg.as("_tops"))
+          .select(explode(col("_tops")).as("_t"))
+          .select((col("_t.qi") + lit(offset)).as("_qi"),
+            col("_t.id").as("id"), col("_t.raw").as("raw"))
+      } else {
+        val w = Window.partitionBy(col("_qi"))
+          .orderBy(col("rank").asc_nulls_last, col("id").asc)
+        df.select(col("id"), posexplode(multiCol(bc)).as(Seq("_bqi", "raw")))
+          .withColumn("_qi", col("_bqi") + lit(offset))
+          .withColumn("rank", rankCol(config.metric, col("raw")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
+          .select(col("_qi"), col("id"), col("raw"))
+      }
     }.reduce(_ unionByName _)
+    val qidFrame = spark.createDataFrame(
+      java.util.Arrays.asList(rows.zipWithIndex.map { case (r, i) =>
+        Row(i, r.get(0)) }: _*),
+      StructType(Seq(StructField("_qi", IntegerType, nullable = false),
+        StructField("qid", qidType))))
+    val hint = rowsBroadcastHint(df, rows.length.toLong * math.max(limit, 1))
+    df.select(col("id"), col("value"))
+      .join(hint(slim.join(broadcast(qidFrame), "_qi")), Seq("id"))
+      .select(outCols: _*)
   }
 
   /** Batch form of [[flatSearchBf16]]: one bf16-scan answers every
@@ -607,21 +679,11 @@ object Search {
       packedCol: String = "vector_bf16", knownNq: Long = -1L): DataFrame = {
     require(limit > 0, "limit must be positive")
     require(df.columns.contains(packedCol), s"missing bf16 column $packedCol")
-    val qNorm = queries.select(col("qid"),
-      normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
-    val nq = if (knownNq >= 0) knownNq else queries.count()
-    val w = Window.partitionBy(col("qid")).orderBy(col("rank").asc_nulls_last, col("id").asc)
-    queryBlocks(qNorm, nq, config.dimensions).map { qb =>
-      val scored = df.crossJoin(broadcast(qb))
-        .withColumn("raw",
-          col2Bf16Distance(config.metric, col(packedCol), col("qvector")))
-        .withColumn("rank", rankCol(config.metric, col("raw")))
-      val (score, dist) = resultValues(config.metric, col("raw"), config.score)
-      scored.withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
-        .select(col("qid"), col("id"), col("value"),
-          score.cast("double").as("score"), dist.cast("double").as("distance"),
-          lit(config.metric.name).as("metric"))
-    }.reduce(_ unionByName _)
+    batchTopMulti(df, config, queries, limit, bc =>
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.expr.Bf16VectorDistanceMulti(
+          org.apache.spark.sql.graft.Bridge.expression(col(packedCol)),
+          bc, config.metric.code)))
   }
 
   private def col2Bf16Distance(metric: Metric, packed: Column, q: Column): Column =

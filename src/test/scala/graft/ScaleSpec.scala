@@ -123,14 +123,21 @@ class ScaleSpec extends SparkSpec {
       candidates = 20, knownNq = 8L))
     val hybridRef = key(Search.hybridSearchMany(coll, config, qs, 5,
       candidates = 20, knownNq = 8L))
-    // 8 queries x d cells against a 3d-cell bound -> ceil(8d/3d) = 3
-    // disjoint hash(qid) blocks, each its OWN bounded broadcast
+    // 8 queries x d cells against a 3d-cell bound -> ceil(8/3) = 3
+    // bounded query blocks. The flat batch rides the multi-distance
+    // scan: one posexplode'd slim branch PER BLOCK (each block's query
+    // matrix is its own bounded executor-cached broadcast handle), with
+    // map-side WindowGroupLimit pre-cuts before the only exchange of
+    // 16-byte triples; the staged searches chunk their broadcast-joined
+    // query frames the same way.
     withSQLConf("spark.graft.query.broadcastMaxCells" -> (3L * d).toString) {
       val flat = Search.flatSearchMany(coll, config, qs, 5, knownNq = 8L)
       val plan = flat.queryExecution.executedPlan.toString
-      assert("BroadcastExchange".r.findAllIn(plan).length >= 3,
-        s"expected >= 3 per-block broadcasts:\n$plan")
+      assert("vector_distance_multi".r.findAllIn(plan).length >= 3,
+        s"expected >= 3 per-block multi-distance scans:\n$plan")
       assert(plan.contains("Union"), "blocks must union")
+      assert(plan.contains("partial_batch_topk"),
+        "per-query cut must combine map-side (partial heap aggregation)")
       assert(key(flat) === flatRef)
       assert(key(Search.funnelSearchMany(coll, config, qs, 5,
         candidates = 20, knownNq = 8L)) === funnelRef)
