@@ -73,7 +73,7 @@ case class VectorDistance(left: Expression, right: Expression, metricCode: Int)
   * values equal [[VectorDistance]] bit for bit. */
 case class VectorDistanceMulti(child: Expression,
     queries: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
-    metricCode: Int) extends UnaryExpression {
+    metricCode: Int, prefix: Int = 0) extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
   override def prettyName: String = "vector_distance_multi"
@@ -82,7 +82,7 @@ case class VectorDistanceMulti(child: Expression,
 
   override protected def nullSafeEval(v: Any): Any =
     new org.apache.spark.sql.catalyst.util.GenericArrayData(
-      VectorKernels.distanceMulti(metricCode, v.asInstanceOf[ArrayData], qs))
+      VectorKernels.distanceMultiPrefix(metricCode, v.asInstanceOf[ArrayData], qs, prefix))
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
     val bcRef = ctx.addReferenceObj("queryBatch", queries,
@@ -91,7 +91,7 @@ case class VectorDistanceMulti(child: Expression,
     nullSafeCodeGen(ctx, ev, v => s"""
       if ($mat == null) { $mat = (float[][]) $bcRef.value(); }
       ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
-        graft.expr.VectorKernels.distanceMulti($metricCode, $v, $mat));""")
+        graft.expr.VectorKernels.distanceMultiPrefix($metricCode, $v, $mat, $prefix));""")
   }
 
   override protected def withNewChildInternal(newChild: Expression): VectorDistanceMulti =

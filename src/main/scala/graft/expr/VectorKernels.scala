@@ -58,8 +58,18 @@ object VectorKernels {
     * accumulation order). The batch-scan shape: the corpus row is
     * decoded/copied once regardless of batch size, where a per-pair
     * cross join re-copies it per query. */
-  def distanceMulti(code: Int, a: ArrayData, qs: Array[Array[Float]]): Array[Double] = {
-    val v = a.toFloatArray()
+  def distanceMulti(code: Int, a: ArrayData, qs: Array[Array[Float]]): Array[Double] =
+    distanceMultiPrefix(code, a, qs, 0)
+
+  /** [[distanceMulti]] over the first `prefix` dimensions (0 = all):
+    * the Matryoshka funnel's stage scan — the stored vector slices ONCE
+    * per row (queries arrive pre-sliced), where the per-pair Column
+    * form allocates a slice per (row, query). */
+  def distanceMultiPrefix(code: Int, a: ArrayData, qs: Array[Array[Float]],
+      prefix: Int): Array[Double] = {
+    val full = a.toFloatArray()
+    val v = if (prefix > 0 && prefix < full.length)
+      java.util.Arrays.copyOf(full, prefix) else full
     val out = new Array[Double](qs.length)
     var i = 0
     while (i < qs.length) { out(i) = distance(code, v, qs(i)); i += 1 }

@@ -633,7 +633,8 @@ object Search {
     // per-partition bounded heaps, nothing exploded, nothing sorted
     // beyond the nq*k winners. Non-string ids keep the exploded
     // window-cut plan (same results through WindowGroupLimit pre-cuts).
-    val heapCut = df.schema("id").dataType == org.apache.spark.sql.types.StringType
+    val heapCut = heapCutEnabled(df) &&
+      df.schema("id").dataType == org.apache.spark.sql.types.StringType
     val slim = mat.grouped(perBlock).toSeq.zipWithIndex.map { case (qs, bi) =>
       val bc = spark.sparkContext.broadcast(qs)
       val offset = bi * perBlock
@@ -778,6 +779,14 @@ object Search {
     }
   }
 
+  /** `spark.graft.batch.heapCut` (default true): the BatchTopKAgg heap
+    * plan for batch cuts. The window/exploded plan stays reachable for
+    * plan-level A/B and as the non-string-id fallback — results are
+    * identical either way. */
+  private def heapCutEnabled(df: DataFrame): Boolean =
+    df.sparkSession.conf.getOption("spark.graft.batch.heapCut")
+      .forall(_.toBoolean)
+
   /** Broadcast-or-shuffle hint keyed on an estimated ROW count against
     * `spark.graft.rerank.broadcastMaxRows` (default 4M) — the shared
     * bound for bounded candidate-pair frames riding back onto a corpus
@@ -815,28 +824,98 @@ object Search {
   private def funnelCandPairs(df: DataFrame, config: CollectionConfig,
       qNorm: DataFrame, stages: Seq[Int], keeps: Seq[Int], nq: Long): DataFrame =
     funnelCandPairsWith(df, config, qNorm, stages, keeps, nq,
-      _ => "vector", d => funnelStageRankCols(config, d))
+      _ => "vector", d => funnelStageRankCols(config, d),
+      Some { (m, d) =>
+        val code =
+          if (config.metric == Metric.Cosine) VectorKernels.TRUE_COSINE_CODE
+          else config.metric.code
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.expr.VectorDistanceMulti(
+            org.apache.spark.sql.graft.Bridge.expression(col("vector")),
+            df.sparkSession.sparkContext.broadcast(m), code,
+            prefix = if (d >= config.dimensions) 0 else d))
+      })
 
   /** Shared staged-cut plumbing of the batch funnels, parameterized on
     * the per-stage scan column and rank (f32 slices `vector`; bf16 scans
     * the packed `d`-prefix column so parquet column pruning keeps stage
-    * IO at `2 * d` bytes/row). */
+    * IO at `2 * d` bytes/row). When `stage1Multi` is given and the id
+    * column is a string, STAGE 1 — the only stage that scans the whole
+    * corpus — runs as a multi-distance scan + [[graft.expr.BatchTopKAgg]]
+    * heap cut (each row scores the whole pre-sliced query block in one
+    * kernel call, per-partition bounded heaps combine map-side) instead
+    * of a per-pair cross join; later stages see only bounded survivor
+    * pairs and keep the broadcast-join window cuts. Query blocks bound
+    * BOTH the broadcast matrix (`spark.graft.query.broadcastMaxCells`)
+    * and the per-partition heap mass
+    * (`spark.graft.rerank.broadcastMaxRows` entries). */
   private def funnelCandPairsWith(df: DataFrame, config: CollectionConfig,
       qNorm: DataFrame, stages: Seq[Int], keeps: Seq[Int], nq: Long,
-      stageCol: Int => String, stageRank: Int => Column): DataFrame = {
-    val blocks = queryBlocks(qNorm, nq, config.dimensions)
-    // hash(qid) splits queries near-uniformly, so each block carries
-    // ~nq/blocks queries — the per-stage pair bound scales with it
-    val blockNq = if (nq >= 0 && blocks.size > 1) nq / blocks.size + 1 else nq
-    blocks.map(funnelCandPairsBlock(df, _, stages, keeps, blockNq,
-      stageCol, stageRank)).reduce(_ unionByName _)
+      stageCol: Int => String, stageRank: Int => Column,
+      stage1Multi: Option[(Array[Array[Float]], Int) => Column] = None): DataFrame = {
+    val spark = df.sparkSession
+    val heapOk = stage1Multi.isDefined && heapCutEnabled(df) &&
+      df.schema("id").dataType == org.apache.spark.sql.types.StringType
+    if (!heapOk) {
+      val blocks = queryBlocks(qNorm, nq, config.dimensions)
+      // hash(qid) splits queries near-uniformly, so each block carries
+      // ~nq/blocks queries — the per-stage pair bound scales with it
+      val blockNq = if (nq >= 0 && blocks.size > 1) nq / blocks.size + 1 else nq
+      return blocks.map(funnelCandPairsBlock(df, _, null, 0L, stages, keeps,
+        blockNq, stageCol, stageRank)).reduce(_ unionByName _)
+    }
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val rows = qNorm.collect()
+    if (rows.isEmpty)
+      return df.limit(0).select(col("id"))
+        .crossJoin(qNorm.limit(0).select(col("qid"))).select("qid", "id")
+    val dims = math.max(config.dimensions, 1)
+    val maxCells = spark.conf.getOption("spark.graft.query.broadcastMaxCells")
+      .map(_.toLong).getOrElse(32000000L)
+    val maxEntries = spark.conf.getOption("spark.graft.rerank.broadcastMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    val perBlock = math.max(1L,
+      math.min(maxCells / dims, maxEntries / math.max(keeps.head, 1)))
+      .min(Int.MaxValue).toInt
+    val qidType = qNorm.schema("qid").dataType
+    rows.grouped(perBlock).toSeq.map { blockRows =>
+      val mat = blockRows.map(_.getSeq[Float](1).toArray)
+      val d1 = stages.head
+      val sliced =
+        if (d1 >= config.dimensions) mat
+        else mat.map(q => java.util.Arrays.copyOf(q, d1))
+      val qidFrame = spark.createDataFrame(
+        java.util.Arrays.asList(blockRows.zipWithIndex.map { case (r, i) =>
+          Row(i, r.get(0)) }: _*),
+        StructType(Seq(StructField("_qi", IntegerType, nullable = false),
+          StructField("qid", qidType))))
+      val agg = org.apache.spark.sql.graft.Bridge.column(
+        graft.expr.BatchTopKAgg(
+          org.apache.spark.sql.graft.Bridge.expression(col("id")),
+          org.apache.spark.sql.graft.Bridge.expression(col("_ds")),
+          mat.length, keeps.head, config.metric.code).toAggregateExpression())
+      val stage1 = df.select(col("id"), stage1Multi.get(sliced, d1).as("_ds"))
+        .groupBy().agg(agg.as("_tops"))
+        .select(explode(col("_tops")).as("_t"))
+        .select(col("_t.qi").as("_qi"), col("_t.id").as("id"))
+        .join(broadcast(qidFrame), "_qi").select("qid", "id")
+      if (stages.size == 1) stage1
+      else {
+        val blockFrame = spark.createDataFrame(
+          java.util.Arrays.asList(blockRows: _*), qNorm.schema)
+        funnelCandPairsBlock(df, blockFrame, stage1, keeps.head.toLong,
+          stages.tail, keeps.tail, blockRows.length.toLong, stageCol, stageRank)
+      }
+    }.reduce(_ unionByName _)
   }
 
   private def funnelCandPairsBlock(df: DataFrame, qBlock: DataFrame,
+      init: DataFrame, initKeep: Long,
       stages: Seq[Int], keeps: Seq[Int], nq: Long,
       stageCol: Int => String, stageRank: Int => Column): DataFrame = {
-    var pairs: DataFrame = null
-    var prevKeep = 0L
+    var pairs: DataFrame = init
+    var prevKeep = initKeep
     for ((d, keep) <- stages.zip(keeps)) {
       val scored =
         if (pairs == null)
@@ -922,7 +1001,18 @@ object Search {
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
     val nq = if (knownNq >= 0) knownNq else queries.count()
     val pairs = funnelCandPairsWith(df, config, qNorm, effStages, keeps, nq,
-      stageColF, d => bf16StageRankCols(config, d, packedCol))
+      stageColF, d => bf16StageRankCols(config, d, packedCol),
+      Some { (m, d) =>
+        // the prefix COLUMN is already the d-dim payload; the query
+        // block arrives pre-sliced to match
+        val code =
+          if (config.metric == Metric.Cosine) VectorKernels.TRUE_COSINE_CODE
+          else config.metric.code
+        org.apache.spark.sql.graft.Bridge.column(
+          graft.expr.Bf16VectorDistanceMulti(
+            org.apache.spark.sql.graft.Bridge.expression(col(stageColF(d))),
+            df.sparkSession.sparkContext.broadcast(m), code))
+      })
     rerankManyExactBf16(df, config, pairs, qNorm, limit, effCand, nq, packedCol)
   }
 
