@@ -317,7 +317,7 @@ object Microbench {
     val coll = graft.prepare.Prepare.prepareEmbeddings(
       spark.range(n).select(col("id").cast("string").as("id"),
         col("id").cast("string").as("value"), genUdf(col("id")).as("vector")),
-      config).select("id", "value", "vector").persist()
+      config).select("id", "value", "vector", "binary_vector").persist()
     coll.count()
     val qs = spark.range(64).select(col("id").cast("string").as("qid"),
       genUdf(col("id") + 1000000L).as("qvector"))
@@ -340,6 +340,10 @@ object Microbench {
       time(s"hybrid batch64 heapCut=$heap", 5) {
         Search.hybridSearchMany(coll, config, qs, 10, candidates = 200,
           stages = Seq(dims / 4, dims / 2, dims), knownNq = 64L).count()
+      }
+      time(s"quantized batch64 heapCut=$heap", 5) {
+        Search.quantizedSearchMany(coll, config, qs, 10, candidates = 200,
+          knownNq = 64L).count()
       }
     }
     spark.conf.unset("spark.graft.batch.heapCut")

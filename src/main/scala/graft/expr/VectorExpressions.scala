@@ -98,6 +98,67 @@ case class VectorDistanceMulti(child: Expression,
     copy(child = newChild)
 }
 
+/** Batch quantized candidate rank: one stored sign-bit word array
+  * against the whole query block ([[VectorKernels.packedAsymmetricDotMulti]]
+  * — `negate` bakes the metric's rank direction in, so the output IS
+  * the per-query rank). Same broadcast-handle discipline as
+  * [[VectorDistanceMulti]]. */
+case class PackedDotMulti(child: Expression,
+    queries: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]],
+    negate: Boolean) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "packed_dot_multi"
+
+  @transient private lazy val qs: Array[Array[Float]] = queries.value
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.packedAsymmetricDotMulti(v.asInstanceOf[ArrayData], qs, negate))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("queryBatch", queries,
+      "org.apache.spark.broadcast.Broadcast")
+    val mat = ctx.addMutableState("float[][]", "qmat")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      if ($mat == null) { $mat = (float[][]) $bcRef.value(); }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        graft.expr.VectorKernels.packedAsymmetricDotMulti($v, $mat, $negate));""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PackedDotMulti =
+    copy(child = newChild)
+}
+
+/** Batch symmetric Hamming candidate rank over pre-packed query sign
+  * words ([[VectorKernels.packedHammingMulti]]). */
+case class PackedHammingMulti(child: Expression,
+    queryBits: org.apache.spark.broadcast.Broadcast[Array[Array[Long]]],
+    dims: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "packed_hamming_multi"
+
+  @transient private lazy val qs: Array[Array[Long]] = queryBits.value
+
+  override protected def nullSafeEval(v: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.packedHammingMulti(v.asInstanceOf[ArrayData], qs, dims))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("queryBits", queryBits,
+      "org.apache.spark.broadcast.Broadcast")
+    val mat = ctx.addMutableState("long[][]", "qbits")
+    nullSafeCodeGen(ctx, ev, v => s"""
+      if ($mat == null) { $mat = (long[][]) $bcRef.value(); }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        graft.expr.VectorKernels.packedHammingMulti($v, $mat, $dims));""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): PackedHammingMulti =
+    copy(child = newChild)
+}
+
 /** bf16 twin of [[VectorDistanceMulti]]: one 2 B/dim unpack per row,
   * then the float kernel per query ([[VectorKernels.distanceBf16Multi]]
   * — bit-equal to [[Bf16VectorDistance]] per pair). */

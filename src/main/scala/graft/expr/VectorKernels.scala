@@ -577,6 +577,34 @@ object VectorKernels {
   def packedAsymmetricDot(bits: ArrayData, q: Array[Float]): Double =
     packedAsymmetricDot(bits.toLongArray(), q)
 
+  /** One stored sign-bit word array against a whole query batch — the
+    * words convert once, each query reuses them; `negate` applies the
+    * candidate-rank direction so the output IS the rank (lower =
+    * better), matching the per-pair `-packedAsymmetricDot` column. */
+  def packedAsymmetricDotMulti(bits: ArrayData, qs: Array[Array[Float]],
+      negate: Boolean): Array[Double] = {
+    val b = bits.toLongArray()
+    val out = new Array[Double](qs.length)
+    var i = 0
+    while (i < qs.length) {
+      val d = packedAsymmetricDot(b, qs(i))
+      out(i) = if (negate) -d else d
+      i += 1
+    }
+    out
+  }
+
+  /** Batch twin of [[packedHamming]]: one stored word array against
+    * pre-packed query sign words. */
+  def packedHammingMulti(bits: ArrayData, qs: Array[Array[Long]],
+      dims: Int): Array[Double] = {
+    val b = bits.toLongArray()
+    val out = new Array[Double](qs.length)
+    var i = 0
+    while (i < qs.length) { out(i) = packedHamming(b, qs(i), dims); i += 1 }
+    out
+  }
+
   def packedAsymmetricDot(bits: ArrayData, q: ArrayData): Double =
     packedAsymmetricDot(bits.toLongArray(), q.toFloatArray())
 

@@ -729,27 +729,95 @@ object Search {
   private def quantizedCandPairs(df: DataFrame, config: CollectionConfig,
       qNorm: DataFrame, effCand: Int, asymmetric: Boolean,
       nq: Long = -1L): DataFrame = {
+    val spark = df.sparkSession
     val bitsScan =
       if (df.columns.contains("binary_vector"))
         df.select(col("id"), col("binary_vector").as("_bits"))
       else df.select(col("id"), packSignBits(col("vector")).as("_bits"))
-    val qSide =
-      if (asymmetric) qNorm
-      else qNorm.withColumn("qbits", packSignBits(col("qvector")))
-    val rank =
-      if (!asymmetric) packedHamming(col("_bits"), col("qbits"), config.dimensions)
-      else if (config.metric == Metric.NegativeInnerProduct)
-        packedAsymmetricDot(col("_bits"), col("qvector"))
-      else -packedAsymmetricDot(col("_bits"), col("qvector"))
-    val w = Window.partitionBy(col("qid"))
-      .orderBy(col("_qrank").asc_nulls_last, col("id").asc)
-    queryBlocks(qSide, nq, config.dimensions).map { qb =>
-      bitsScan
-        .crossJoin(broadcast(qb))
-        .withColumn("_qrank", rank)
-        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= effCand)
-        .select("qid", "id")
-    }.reduce(_ unionByName _)
+    if (heapCutEnabled(df) &&
+        df.schema("id").dataType == org.apache.spark.sql.types.StringType) {
+      // multi-rank scan + heap cut: the stored words convert once per
+      // row for the whole query block; rank code 0 = the emitted value
+      // IS the rank (direction pre-baked), ties by id as the window cut
+      val rows = qNorm.collect()
+      if (rows.isEmpty)
+        return df.limit(0).select(col("id"))
+          .crossJoin(qNorm.limit(0).select(col("qid"))).select("qid", "id")
+      val perBlock = heapBlockSize(spark, config.dimensions, effCand)
+      val qidType = qNorm.schema("qid").dataType
+      rows.grouped(perBlock).toSeq.map { blockRows =>
+        val mat = blockRows.map(_.getSeq[Float](1).toArray)
+        val multi =
+          if (asymmetric)
+            org.apache.spark.sql.graft.Bridge.column(
+              graft.expr.PackedDotMulti(
+                org.apache.spark.sql.graft.Bridge.expression(col("_bits")),
+                spark.sparkContext.broadcast(mat),
+                negate = config.metric != Metric.NegativeInnerProduct))
+          else
+            org.apache.spark.sql.graft.Bridge.column(
+              graft.expr.PackedHammingMulti(
+                org.apache.spark.sql.graft.Bridge.expression(col("_bits")),
+                spark.sparkContext.broadcast(mat.map(VectorKernels.packSignBits)),
+                config.dimensions))
+        val agg = org.apache.spark.sql.graft.Bridge.column(
+          graft.expr.BatchTopKAgg(
+            org.apache.spark.sql.graft.Bridge.expression(col("id")),
+            org.apache.spark.sql.graft.Bridge.expression(col("_ds")),
+            mat.length, effCand, 0).toAggregateExpression())
+        bitsScan.select(col("id"), multi.as("_ds"))
+          .groupBy().agg(agg.as("_tops"))
+          .select(explode(col("_tops")).as("_t"))
+          .select(col("_t.qi").as("_qi"), col("_t.id").as("id"))
+          .join(broadcast(qiFrame(spark, blockRows, qidType)), "_qi")
+          .select("qid", "id")
+      }.reduce(_ unionByName _)
+    } else {
+      val qSide =
+        if (asymmetric) qNorm
+        else qNorm.withColumn("qbits", packSignBits(col("qvector")))
+      val rank =
+        if (!asymmetric) packedHamming(col("_bits"), col("qbits"), config.dimensions)
+        else if (config.metric == Metric.NegativeInnerProduct)
+          packedAsymmetricDot(col("_bits"), col("qvector"))
+        else -packedAsymmetricDot(col("_bits"), col("qvector"))
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("_qrank").asc_nulls_last, col("id").asc)
+      queryBlocks(qSide, nq, config.dimensions).map { qb =>
+        bitsScan
+          .crossJoin(broadcast(qb))
+          .withColumn("_qrank", rank)
+          .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= effCand)
+          .select("qid", "id")
+      }.reduce(_ unionByName _)
+    }
+  }
+
+  /** Query-block size for the heap-cut batch plans: bounds both the
+    * broadcast matrix (`spark.graft.query.broadcastMaxCells` floats) and
+    * the per-partition heap mass (`spark.graft.rerank.broadcastMaxRows`
+    * entries at `k` kept per query). */
+  private def heapBlockSize(spark: org.apache.spark.sql.SparkSession,
+      dims: Int, k: Int): Int = {
+    val maxCells = spark.conf.getOption("spark.graft.query.broadcastMaxCells")
+      .map(_.toLong).getOrElse(32000000L)
+    val maxEntries = spark.conf.getOption("spark.graft.rerank.broadcastMaxRows")
+      .map(_.toLong).getOrElse(4000000L)
+    math.max(1L, math.min(maxCells / math.max(dims, 1),
+      maxEntries / math.max(k, 1))).min(Int.MaxValue).toInt
+  }
+
+  /** The (qi -> qid) side frame of a collected query block. */
+  private def qiFrame(spark: org.apache.spark.sql.SparkSession,
+      blockRows: Array[org.apache.spark.sql.Row],
+      qidType: org.apache.spark.sql.types.DataType): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    spark.createDataFrame(
+      java.util.Arrays.asList(blockRows.zipWithIndex.map { case (r, i) =>
+        Row(i, r.get(0)) }: _*),
+      StructType(Seq(StructField("_qi", IntegerType, nullable = false),
+        StructField("qid", qidType))))
   }
 
   /** Query-side broadcast guard for the batch searches. One broadcast
@@ -864,20 +932,11 @@ object Search {
       return blocks.map(funnelCandPairsBlock(df, _, null, 0L, stages, keeps,
         blockNq, stageCol, stageRank)).reduce(_ unionByName _)
     }
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
     val rows = qNorm.collect()
     if (rows.isEmpty)
       return df.limit(0).select(col("id"))
         .crossJoin(qNorm.limit(0).select(col("qid"))).select("qid", "id")
-    val dims = math.max(config.dimensions, 1)
-    val maxCells = spark.conf.getOption("spark.graft.query.broadcastMaxCells")
-      .map(_.toLong).getOrElse(32000000L)
-    val maxEntries = spark.conf.getOption("spark.graft.rerank.broadcastMaxRows")
-      .map(_.toLong).getOrElse(4000000L)
-    val perBlock = math.max(1L,
-      math.min(maxCells / dims, maxEntries / math.max(keeps.head, 1)))
-      .min(Int.MaxValue).toInt
+    val perBlock = heapBlockSize(spark, config.dimensions, keeps.head)
     val qidType = qNorm.schema("qid").dataType
     rows.grouped(perBlock).toSeq.map { blockRows =>
       val mat = blockRows.map(_.getSeq[Float](1).toArray)
@@ -885,11 +944,6 @@ object Search {
       val sliced =
         if (d1 >= config.dimensions) mat
         else mat.map(q => java.util.Arrays.copyOf(q, d1))
-      val qidFrame = spark.createDataFrame(
-        java.util.Arrays.asList(blockRows.zipWithIndex.map { case (r, i) =>
-          Row(i, r.get(0)) }: _*),
-        StructType(Seq(StructField("_qi", IntegerType, nullable = false),
-          StructField("qid", qidType))))
       val agg = org.apache.spark.sql.graft.Bridge.column(
         graft.expr.BatchTopKAgg(
           org.apache.spark.sql.graft.Bridge.expression(col("id")),
@@ -899,8 +953,9 @@ object Search {
         .groupBy().agg(agg.as("_tops"))
         .select(explode(col("_tops")).as("_t"))
         .select(col("_t.qi").as("_qi"), col("_t.id").as("id"))
-        .join(broadcast(qidFrame), "_qi").select("qid", "id")
-      if (stages.size == 1) stage1
+        .join(broadcast(qiFrame(spark, blockRows, qidType)), "_qi")
+        .select("qid", "id")
+        if (stages.size == 1) stage1
       else {
         val blockFrame = spark.createDataFrame(
           java.util.Arrays.asList(blockRows: _*), qNorm.schema)
