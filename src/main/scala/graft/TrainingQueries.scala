@@ -861,6 +861,45 @@ object TrainingQueries {
         Seq("mean_recall", "mean_precision", "mean_mrr", "mean_ndcg"))
     }),
 
+    // hard-negative mining (DPR/ANCE): top-ranked non-positives per
+    // query from the exact kNN result lists, positives = same-label
+    // docs — one anti-join + one WindowGroupLimit cut, no collects
+    "mining_hard_negatives" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+        .filter(col("id").cast("int") < 100)
+      val results = KnnGraph.exact(coll, config, 5)
+        .select(col("id").as("qid"), col("neighbor_id").as("id"), col("rank"))
+      val emb = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id").cast("string").as("id"), col("label"))
+      val labels = emb.select(col("id").as("qid"), col("label"))
+        .join(emb, "label")
+        .filter(col("qid") =!= col("id")).select("qid", "id")
+      graft.search.Mining.hardNegatives(results, labels, k = 3)
+        .select(col("qid"), col("id"), col("rank"), col("neg_rank"))
+    }),
+
+    // contrastive training triples: each labeled (query, positive) pair
+    // crossed with that query's hard negatives, fan-out capped per pair
+    // — the flattened (q, d+, d-) rows an InfoNCE loader consumes
+    "mining_training_triples" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+        .filter(col("id").cast("int") < 100)
+      val results = KnnGraph.exact(coll, config, 5)
+        .select(col("id").as("qid"), col("neighbor_id").as("id"), col("rank"))
+      val emb = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 100)
+        .select(col("vec_id").cast("string").as("id"), col("label"))
+      val labels = emb.select(col("id").as("qid"), col("label"))
+        .join(emb, "label")
+        .filter(col("qid") =!= col("id")).select("qid", "id")
+      graft.search.Mining.trainingTriples(results, labels, k = 3,
+        negsPerPair = 2)
+        .select(col("qid"), col("pos_id"), col("neg_id"), col("neg_rank"))
+    }),
+
     // PageRank over the exact kNN graph (3 synchronous power rounds,
     // d = 0.85): the prototypicality/centrality signal for curation;
     // the oracle unrolls every round over the same edge set
@@ -3518,6 +3557,45 @@ object TrainingQueries {
            (round(mrr, 6) + 0) AS mrr, (round(ndcg_at_k, 6) + 0) AS ndcg_at_k
          FROM m ORDER BY qid"""
     },
+
+    "mining_hard_negatives" ->
+      s"""WITH n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings WHERE vec_id < 100),
+         p AS (SELECT a.id AS qid, b.id AS bid,
+             list_sum(list_transform(range(1, len(b.nv)+1), i -> CAST(b.nv[i] AS DOUBLE) * CAST(a.nv[i] AS DOUBLE))) AS raw
+           FROM n a JOIN n b ON a.id != b.id),
+         r AS (SELECT qid, bid,
+             row_number() OVER (PARTITION BY qid ORDER BY (1.0 - raw) ASC, bid ASC) AS rn FROM p),
+         res AS (SELECT qid, bid AS id, CAST(rn AS INT) AS rank FROM r WHERE rn <= 5),
+         l AS (SELECT DISTINCT CAST(a.vec_id AS VARCHAR) AS qid, CAST(b.vec_id AS VARCHAR) AS id
+           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
+           WHERE a.vec_id < 100 AND b.vec_id < 100),
+         negs AS (SELECT res.qid, res.id, res.rank FROM res
+           WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.qid = res.qid AND l.id = res.id)),
+         nn AS (SELECT qid, id, rank,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY rank ASC, id ASC) AS INT) AS neg_rank
+           FROM negs)
+         SELECT qid, id, rank, neg_rank FROM nn WHERE neg_rank <= 3
+         ORDER BY qid, neg_rank""",
+
+    "mining_training_triples" ->
+      s"""WITH n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings WHERE vec_id < 100),
+         p AS (SELECT a.id AS qid, b.id AS bid,
+             list_sum(list_transform(range(1, len(b.nv)+1), i -> CAST(b.nv[i] AS DOUBLE) * CAST(a.nv[i] AS DOUBLE))) AS raw
+           FROM n a JOIN n b ON a.id != b.id),
+         r AS (SELECT qid, bid,
+             row_number() OVER (PARTITION BY qid ORDER BY (1.0 - raw) ASC, bid ASC) AS rn FROM p),
+         res AS (SELECT qid, bid AS id, CAST(rn AS INT) AS rank FROM r WHERE rn <= 5),
+         l AS (SELECT DISTINCT CAST(a.vec_id AS VARCHAR) AS qid, CAST(b.vec_id AS VARCHAR) AS id
+           FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id != b.vec_id
+           WHERE a.vec_id < 100 AND b.vec_id < 100),
+         negs AS (SELECT res.qid, res.id, res.rank FROM res
+           WHERE NOT EXISTS (SELECT 1 FROM l WHERE l.qid = res.qid AND l.id = res.id)),
+         nn AS (SELECT qid, id,
+             CAST(row_number() OVER (PARTITION BY qid ORDER BY rank ASC, id ASC) AS INT) AS neg_rank
+           FROM negs)
+         SELECT l.qid, l.id AS pos_id, nn.id AS neg_id, nn.neg_rank
+         FROM l JOIN nn ON nn.qid = l.qid AND nn.neg_rank <= 2
+         ORDER BY l.qid, pos_id, neg_rank""",
 
     "eval_ranking_summary" ->
       s"""WITH n AS (SELECT CAST(vec_id AS VARCHAR) AS id, list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv FROM embeddings WHERE vec_id < 100),

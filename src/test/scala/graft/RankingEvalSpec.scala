@@ -49,4 +49,24 @@ class RankingEvalSpec extends SparkSpec {
     assert(p.getDouble(4) === 0.0 && math.abs(p.getDouble(6) - 1.0 / 6.0) < 1e-12)
     assert(p.getDouble(7) === 0.0)
   }
+
+  test("hard negatives: positives excluded, rank order kept, cap, all-positive query drops") {
+    import graft.search.Mining
+    val results = Seq(
+      ("q1", "a", 1), ("q1", "b", 2), ("q1", "c", 3), ("q1", "d", 4), ("q1", "e", 5),
+      ("q2", "x", 1), ("q2", "y", 2)) // q2's whole list is positive
+      .toDF("qid", "id", "rank")
+    val positives = Seq(("q1", "b"), ("q2", "x"), ("q2", "y")).toDF("qid", "id")
+    val negs = Mining.hardNegatives(results, positives, k = 3)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getInt(3)))
+    // q1: a,c,d survive in rank order with neg_rank 1..3 (e cut by k);
+    // q2 contributes nothing
+    assert(negs.toSeq.sortBy(_._3) ===
+      Seq(("q1", "a", 1), ("q1", "c", 2), ("q1", "d", 3)))
+    // triples: every (q1, positive) pair crossed with its top negsPerPair
+    val tri = Mining.trainingTriples(results, positives, k = 3, negsPerPair = 2)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getInt(3)))
+    assert(tri.toSet === Set(
+      ("q1", "b", "a", 1), ("q1", "b", "c", 2)))
+  }
 }
