@@ -216,6 +216,20 @@ object SparkEntry {
         qvecs, 5).drop("metadata"), Seq("score"))
     }),
 
+    // batch MaxSim: 3 query SETS (2 vectors each, deterministic
+    // vec_id order) against the label-grouped multi-vector docs in ONE
+    // scan — per-query results equal multiVectorSearch
+    "vec_maxsim_search_many" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 6)
+        .groupBy((col("vec_id") / lit(2)).cast("int").cast("string").as("qid"))
+        .agg(transform(
+          array_sort(collect_list(struct(col("vec_id"), col("embedding")))),
+          x => x.getField("embedding")).as("qvectors"))
+      roundCols(Search.multiVectorSearchMany(labelDocs(s, dir),
+        Tables.ipConfig(d), qs, 5).drop("metadata"), Seq("score"))
+    }),
+
     // batch form: 10 queries answered in one shuffle-light pass
     "vec_search_many" -> ((s, dir) => {
       val d = Tables.dims(s, dir)
@@ -584,6 +598,15 @@ object SparkEntry {
            sc AS (SELECT CAST(label AS VARCHAR) AS id, sum(m) AS score FROM pair GROUP BY label)
            SELECT id, id AS value, (round(score, 6) + 0) AS score, CAST(NULL AS DOUBLE) AS distance, 'inner_product' AS metric
            FROM sc ORDER BY score DESC, id ASC LIMIT 5""",
+
+      "vec_maxsim_search_many" ->
+        s"""WITH qv AS (SELECT CAST(vec_id // 2 AS VARCHAR) AS qid, vec_id AS vid, embedding AS q FROM embeddings WHERE vec_id < 6),
+           pair AS (SELECT e.label AS label, qv.qid AS qid, qv.vid AS vid, max(${sqlDot("q", "embedding")}) AS m
+             FROM embeddings e, qv GROUP BY e.label, qv.qid, qv.vid),
+           sc AS (SELECT qid, CAST(label AS VARCHAR) AS id, sum(m) AS score FROM pair GROUP BY qid, label),
+           rk AS (SELECT qid, id, score, row_number() OVER (PARTITION BY qid ORDER BY score DESC, id ASC) AS rn FROM sc)
+           SELECT qid, id, id AS value, (round(score, 6) + 0) AS score, CAST(NULL AS DOUBLE) AS distance, 'inner_product' AS metric
+           FROM rk WHERE rn <= 5""",
 
       "vec_quantized_search_many" ->
         s"""WITH qs AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qv FROM embeddings WHERE vec_id < 10),

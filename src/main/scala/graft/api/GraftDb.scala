@@ -780,6 +780,21 @@ final class GraftDb(val spark: SparkSession) {
       metric.map(Metric.fromName))
   }
 
+  /** Batch ColBERT/MaxSim search: `queries` carries
+    * `(qid, qvectors array<array<float>>)` — one vector SET per query;
+    * per-query results equal [[multiVectorSearch]] (one corpus scan for
+    * the whole batch, see Search.multiVectorSearchMany).
+    * {{{
+    * val queries = Seq(("q0", Seq(Seq(1f, 0f, 0f, 0f)))).toDF("qid", "qvectors")
+    * db.multiVectorSearchMany("articles", queries, limit = 2)
+    * }}} */
+  def multiVectorSearchMany(name: String, queries: DataFrame, limit: Int,
+      metric: Option[String] = None): DataFrame = {
+    val (df, config) = collection(name)
+    Search.multiVectorSearchMany(df, config, queries, limit,
+      metric.map(Metric.fromName))
+  }
+
   /** Candidate-generator union + exact (or MaxSim) rerank (compat
     * hybrid_search).
     * {{{

@@ -518,6 +518,37 @@ case class MaxSim(left: Expression, right: Expression, metricCode: Int)
     copy(left = l, right = r)
 }
 
+/** Batch MaxSim: one document's vector set scores the WHOLE batch of
+  * query vector sets in one call ([[VectorKernels.maxSimMulti]] — the
+  * doc matrix converts once). Query sets ride a broadcast handle like
+  * [[VectorDistanceMulti]]. */
+case class MaxSimMulti(child: Expression,
+    queries: org.apache.spark.broadcast.Broadcast[Array[Array[Array[Float]]]],
+    metricCode: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+  override def prettyName: String = "max_sim_multi"
+
+  @transient private lazy val qs: Array[Array[Array[Float]]] = queries.value
+
+  override protected def nullSafeEval(d: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      VectorKernels.maxSimMulti(metricCode, qs, d.asInstanceOf[ArrayData]))
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcRef = ctx.addReferenceObj("querySets", queries,
+      "org.apache.spark.broadcast.Broadcast")
+    val mat = ctx.addMutableState("float[][][]", "qsets")
+    nullSafeCodeGen(ctx, ev, d => s"""
+      if ($mat == null) { $mat = (float[][][]) $bcRef.value(); }
+      ${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        graft.expr.VectorKernels.maxSimMulti($metricCode, $mat, $d));""")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): MaxSimMulti =
+    copy(child = newChild)
+}
+
 /** Asymmetric-distance (ADC) scoring of a quantized byte-code column
   * against a partial-distance table (position-major:
   * `table[pos * stride + code]`). Covers SQ8 (stride 256, one code per

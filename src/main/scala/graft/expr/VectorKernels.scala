@@ -676,6 +676,18 @@ object VectorKernels {
     total
   }
 
+  /** One document's vector set against a whole batch of QUERY SETS —
+    * the doc matrix converts once, each query set reuses it. Per-query
+    * values equal `maxSim(code, queries(i), docVecs)` bit for bit. */
+  def maxSimMulti(metricCode: Int, queries: Array[Array[Array[Float]]],
+      docVecs: ArrayData): Array[Double] = {
+    val d = toFloatMatrix(docVecs)
+    val out = new Array[Double](queries.length)
+    var i = 0
+    while (i < queries.length) { out(i) = maxSim(metricCode, queries(i), d); i += 1 }
+    out
+  }
+
   def toFloatMatrix(a: ArrayData): Array[Array[Float]] = {
     val n = a.numElements()
     val out = new Array[Array[Float]](n)

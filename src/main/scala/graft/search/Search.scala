@@ -506,6 +506,85 @@ object Search {
         (if (df.columns.contains("metadata")) col("metadata") else lit(null)).as("metadata"))
   }
 
+  /** Batch ColBERT/MaxSim search: `queries` carries
+    * `(qid, qvectors array<array<float>>)` — one vector SET per query —
+    * and per-query results equal [[multiVectorSearch]] with the same
+    * knobs. One corpus scan scores every query set
+    * ([[graft.expr.MaxSimMulti]]: the doc's vector matrix converts once
+    * per row), cut by the [[graft.expr.BatchTopKAgg]] per-partition
+    * heaps at rank `-score` (descending score, id ties ascending — the
+    * single-query ordering); only the winners rejoin the corpus for
+    * value/metadata. Non-string-id frames fall back to a per-collected-
+    * query loop of the single form (correct, driver-bounded by the
+    * query batch the caller already collected into a frame). */
+  def multiVectorSearchMany(df: DataFrame, config: CollectionConfig,
+      queries: DataFrame, limit: Int,
+      metricOverride: Option[Metric] = None): DataFrame = {
+    require(limit > 0, "limit must be positive")
+    val metric = metricOverride.getOrElse(config.metric)
+    val spark = df.sparkSession
+    val rows = queries.select(col("qid"), col("qvectors")).collect()
+    val qidType = queries.schema("qid").dataType
+    val docVecs =
+      if (df.columns.contains("vectors"))
+        coalesce(col("vectors"), array(col("vector")))
+      else array(col("vector"))
+    val metaCol =
+      if (df.columns.contains("metadata")) col("metadata") else lit(null)
+    val outCols = Seq(col("qid"), col("id"), col("value"),
+      col("raw").cast("double").as("score"),
+      lit(null).cast("double").as("distance"),
+      lit(metric.name).as("metric"), metaCol.as("metadata"))
+    if (rows.isEmpty)
+      return df.limit(0).select((Seq(col("id"), col("value")) ++
+          (if (df.columns.contains("metadata")) Seq(col("metadata")) else Nil)): _*)
+        .withColumn("qid", lit(null).cast(qidType))
+        .withColumn("raw", lit(null).cast("double"))
+        .select(outCols: _*)
+    val qsets: Array[Array[Array[Float]]] = rows.map { r =>
+      r.getSeq[scala.collection.Seq[Float]](1).map { v =>
+        val arr = v.toArray
+        require(arr.length == config.dimensions, "dimension mismatch")
+        require(VectorKernels.validateFinite(arr),
+          "vector contains a non-finite value")
+        prepareQuery(config, arr)
+      }.toArray
+    }
+    if (df.schema("id").dataType != org.apache.spark.sql.types.StringType)
+      return rows.zip(qsets).map { case (r, qv) =>
+        multiVectorSearch(df, config, qv.toSeq, limit, metricOverride)
+          .withColumn("qid", lit(r.get(0)).cast(qidType))
+          .select(col("qid"), col("id"), col("value"), col("score"),
+            col("distance"), col("metric"), col("metadata"))
+      }.reduce(_ unionByName _)
+    val avgVecs = math.max(1, qsets.map(_.length).sum / qsets.length)
+    val perBlock = heapBlockSize(spark,
+      avgVecs * math.max(config.dimensions, 1), limit)
+    val slim = rows.zip(qsets).grouped(perBlock).toSeq.map { block =>
+      val bc = spark.sparkContext.broadcast(block.map(_._2))
+      val agg = org.apache.spark.sql.graft.Bridge.column(
+        graft.expr.BatchTopKAgg(
+          org.apache.spark.sql.graft.Bridge.expression(col("id")),
+          org.apache.spark.sql.graft.Bridge.expression(col("_ds")),
+          block.length, limit, 3).toAggregateExpression()) // rankValue(3) = -raw
+      df.select(col("id"),
+          org.apache.spark.sql.graft.Bridge.column(graft.expr.MaxSimMulti(
+            org.apache.spark.sql.graft.Bridge.expression(docVecs),
+            bc, metric.code)).as("_ds"))
+        .groupBy().agg(agg.as("_tops"))
+        .select(explode(col("_tops")).as("_t"))
+        .select(col("_t.qi").as("_qi"), col("_t.id").as("id"),
+          col("_t.raw").as("raw"))
+        .join(broadcast(qiFrame(spark, block.map(_._1), qidType)), "_qi")
+        .select("qid", "id", "raw")
+    }.reduce(_ unionByName _)
+    val hint = rowsBroadcastHint(df, rows.length.toLong * limit)
+    df.select((Seq(col("id"), col("value")) ++
+        (if (df.columns.contains("metadata")) Seq(col("metadata")) else Nil)): _*)
+      .join(hint(slim), Seq("id"))
+      .select(outCols: _*)
+  }
+
   /** Hybrid search: run candidate generators, union + dedup by id, then
     * rerank exactly or by MaxSim (collection.ex:326-348,516-658).
     * Generators: "funnel", "quantized", "search" (= flat candidates). */

@@ -125,4 +125,32 @@ class MaxSimMuveraMmrSpec extends SparkSpec {
       Mmr.rerank(Seq("zz" -> 0.9), vectors, Metric.Cosine, 0.5, 1)
     }
   }
+
+  test("batch MaxSim: per-query == single; empty batch keeps the result schema") {
+    import spark.implicits._
+    val config = CollectionConfig("mv", 4, Metric.InnerProduct)
+    val docs = Seq(
+      ("a", "a", Seq(1f, 0f, 0f, 0f), Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f))),
+      ("b", "b", Seq(0f, 1f, 0f, 0f), Seq(Seq(0f, 1f, 0f, 0f))),
+      ("c", "c", Seq(0f, 0f, 1f, 0f), Seq(Seq(0f, 0f, 1f, 0f), Seq(0f, 0f, 0f, 1f))))
+      .toDF("id", "value", "vector", "vectors")
+    val qsets = Seq(
+      "q0" -> Seq(Array(1f, 0f, 0f, 0f)),
+      "q1" -> Seq(Array(0f, 0f, 1f, 0f), Array(0f, 1f, 0f, 0f)))
+    val qdf = qsets.map { case (q, vs) => (q, vs.map(_.toSeq)) }
+      .toDF("qid", "qvectors")
+    val many = Search.multiVectorSearchMany(docs, config, qdf, 2)
+      .collect().groupBy(_.getString(0))
+    for ((qid, vs) <- qsets) {
+      val single = Search.multiVectorSearch(docs, config, vs, 2)
+        .collect().map(r => (r.getString(0), r.getDouble(2))).toSet
+      assert(many(qid).map(r => (r.getString(1), r.getDouble(3))).toSet === single,
+        s"batch MaxSim $qid")
+    }
+    val empty = Seq.empty[(String, Seq[Seq[Float]])].toDF("qid", "qvectors")
+    val out = Search.multiVectorSearchMany(docs, config, empty, 2)
+    assert(out.count() === 0L)
+    assert(out.columns.toSeq ===
+      Seq("qid", "id", "value", "score", "distance", "metric", "metadata"))
+  }
 }
