@@ -295,6 +295,14 @@ object Bench {
     record("synth_maxsim_10k_docs") {
       Search.multiVectorSearch(mvDocs, mvConfig, qvecs, 10).collect()
     }
+    // batch MaxSim: 64 query sets (2 vectors each) in ONE doc scan
+    record("synth_maxsim_batch64_perq", div = 64.0) {
+      import spark.implicits._
+      val qs = (0 until 64).map(i => (i.toString,
+        Seq(synthVector(-10L - i, dims).toSeq,
+          synthVector(-200L - i, dims).toSeq))).toDF("qid", "qvectors")
+      Search.multiVectorSearchMany(mvDocs, mvConfig, qs, 10).count()
+    }
     val muvCfg = graft.encode.Muvera.Config(dimension = dims, numRepetitions = 2,
       numSimhashProjections = 4, seed = 7L, projectionDimension = 16)
     record("synth_muvera_encode_10k") {

@@ -131,6 +131,36 @@ object Curation {
     Sampling.withSequentialIds(cur, col(idCol))
   }
 
+  /** Streaming front door of [[curate]] for CONTINUOUS ingest: the
+    * stateless gates (Gopher quality, optional blocklist screen) run
+    * unchanged under Structured Streaming, then within-watermark exact
+    * dedup — `dropDuplicatesWithinWatermark` on the md5 text key keeps
+    * the FIRST ARRIVAL of each key and expires its state at the
+    * watermark, so state stays bounded by the ingest rate × watermark,
+    * never the corpus. This is the streaming analogue of
+    * [[graft.dedup.Dedup.dropExactDuplicates]] (whose batch form keeps
+    * the canonical MIN-id copy: on a stream where each key's first
+    * arrival is its min id the two agree — the equivalence the spec
+    * gates; re-arrivals beyond the watermark pass, by contract).
+    * Heavier stages (near-dup, decontamination, mixing) remain batch
+    * jobs over the landed output — the standard continuous-ingest
+    * split. `tsCol` must be a timestamp column. */
+  def streamingGate(stream: DataFrame, textCol: String, tsCol: String,
+      watermark: String = "10 minutes", minWords: Int = 20,
+      canonicalKeys: Boolean = false,
+      blocklist: Seq[String] = Nil, maxBlocklistHits: Int = 0): DataFrame = {
+    val text = col(textCol)
+    var cur = stream.filter(TextAnalysis.gopherKeep(text, minWords = minWords))
+    if (blocklist.nonEmpty)
+      cur = cur.filter(
+        TextAnalysis.blocklistHits(text, blocklist) <= maxBlocklistHits)
+    val key = if (canonicalKeys) TextAnalysis.canonicalize(text) else text
+    cur.withColumn("_exact_key", md5(key))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicatesWithinWatermark("_exact_key")
+      .drop("_exact_key")
+  }
+
   /** Per-stage row-count report — the funnel diagnostic every real
     * curation run ships with ("quality gate dropped 40%, dedup 3%,
     * decontamination 0.1%"): pass the named frames of a pipeline's

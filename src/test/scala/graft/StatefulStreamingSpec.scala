@@ -774,4 +774,44 @@ class StatefulStreamingSpec extends SparkSpec {
       }
     } finally q.stop()
   }
+
+  test("streamingGate: quality + blocklist gates and within-watermark exact dedup, stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import graft.functions.Curation
+    // 20 distinct alpha words each: passes the Gopher gate
+    val docA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docB = "uniform victor whiskey xray yankee zulu apple banana cherry " +
+      "durian elder fig grape honey iris jasmine kiwi lemon mango nectar"
+    val docBad = docA.replace("tango", "badterm") // gate-passing but listed
+    val base = 1700000000L
+    val rows1 = Seq((1, base, docA), (2, base + 10, docA), // dup, later arrival
+      (3, base + 11, "too short"), (4, base + 12, docBad))
+    val rows2 = Seq((5, base + 40, docB), (6, base + 41, docA)) // dup again
+    val input = MemoryStream[(Int, Long, String)]
+    val gated = Curation.streamingGate(
+      input.toDS().toDF("id", "secs", "text")
+        .withColumn("ts", timestamp_seconds(col("secs"))),
+      "text", "ts", watermark = "10 minutes", blocklist = Seq("badterm"))
+    val q = gated.writeStream.format("memory").queryName("curgate")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      input.addData(rows1: _*); q.processAllAvailable()
+      input.addData(rows2: _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("curgate").select("id")
+      .collect().map(_.getInt(0)).toSet
+    assert(streamed === Set(1, 5),
+      "first arrivals of each unique gate-passing text only")
+    // batch equivalence on the same rows (first arrival here = min id,
+    // so the batch canonical-min dedup agrees)
+    val all = (rows1 ++ rows2).toDF("id", "secs", "text")
+    val batch = graft.dedup.Dedup.dropExactDuplicates(
+      all.filter(graft.text.TextAnalysis.gopherKeep(col("text"), minWords = 20))
+        .filter(graft.text.TextAnalysis.blocklistHits(col("text"), Seq("badterm")) <= 0),
+      "id", col("text")).select("id").collect().map(_.getInt(0)).toSet
+    assert(batch === streamed, "stream gate != batch gate on the same rows")
+  }
 }
