@@ -58,4 +58,31 @@ class QuickstartSpec extends SparkSpec {
     assert(fused.length === 5)
     assert(fused.head.getAs[String]("id") === "doc001")
   }
+
+  test("README mining snippet runs verbatim: searchMany -> rank -> trainingTriples") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val db = new graft.api.GraftDb(spark)
+    def vec(seed: Int): Array[Float] =
+      Array.tabulate(8)(d => math.sin(seed * 3.7 + d * 0.9).toFloat)
+    db.createCollection("mine_docs", 8, metric = "cosine", index = "flat")
+    db.batch("mine_docs", (0 until 40).map(i =>
+      db.EmbeddingInput(id = f"doc$i%03d", vector = vec(i))))
+    val queries = (0 until 3).map(i => (s"q$i", vec(i).toSeq)).toDF("qid", "qvector")
+    // the README snippet, verbatim
+    val ranked = db.searchMany("mine_docs", queries, limit = 60)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("qid").orderBy(col("score").desc, col("id"))))
+    val positives = Seq(("q0", "doc000"), ("q1", "doc001"), ("q2", "doc002"))
+      .toDF("qid", "id")
+    val triples = graft.search.Mining.trainingTriples(
+      ranked, positives, k = 8, negsPerPair = 4)
+    val got = triples.collect()
+    assert(got.length === 3 * 4, "3 positives x 4 capped negatives")
+    // a negative is never its query's positive, and neg ranks are 1..4
+    assert(got.forall(r => r.getAs[String]("neg_id") != r.getAs[String]("pos_id")))
+    assert(got.forall(r => r.getAs[Int]("neg_rank") >= 1 && r.getAs[Int]("neg_rank") <= 4))
+    db.close("mine_docs")
+  }
 }
