@@ -81,7 +81,15 @@ class EdgeCaseSpec extends SparkSpec {
     val q = Bench.synthVector(-1L, dims)
     val qdf = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
     val emptyQ = Seq.empty[(String, Seq[Float])].toDF("qid", "qvector")
-    // empty corpus, non-empty queries -> zero rows
+    // empty corpus, non-empty queries -> zero rows (the heap-cut global
+    // aggregate over ZERO input rows yields one empty-buffer row whose
+    // explode is empty — for flat and maxsim too)
+    assert(Search.flatSearchMany(corpus(0), config, qdf, 5,
+      knownNq = 1L).count() === 0)
+    assert(Search.quantizedSearchMany(corpus(0), config, qdf, 5,
+      candidates = 10, knownNq = 1L).count() === 0)
+    assert(Search.multiVectorSearchMany(corpus(0), config,
+      Seq(("q0", Seq(q.toSeq))).toDF("qid", "qvectors"), 5).count() === 0)
     assert(Search.funnelSearchMany(corpus(0), config, qdf, 5,
       stages = Seq(2, 4), candidates = 10, knownNq = 1L).count() === 0)
     assert(Search.hybridSearchMany(corpus(0), config, qdf, 5,
