@@ -39,6 +39,9 @@ object Bench {
   /** Comma-separated substrings: when set, run only matching q_* queries
     * and skip the synth family (fast iteration on one slow query). */
   private val Only = sys.env.get("GRAFT_BENCH_ONLY").map(_.split(',').toSeq)
+  /** Skip the q_ and qalt_ oracle families (fast iteration on the
+    * synth/scale rows — the inverse of GRAFT_BENCH_ONLY). */
+  private val SkipQ = sys.env.getOrElse("GRAFT_BENCH_SKIP_Q", "0") == "1"
 
   private def mix(a: Long, b: Long): Long = {
     var x = a ^ java.lang.Long.rotateLeft(b, 31)
@@ -102,6 +105,9 @@ object Bench {
     // round's diff have been observed swinging 1.5-2.6x between one-shot
     // sessions; the spread makes that visible instead of misleading).
     val spreads = scala.collection.mutable.LinkedHashMap.empty[String, Double]
+    // cold rows (state reset per rep: builds/writes/trains) — labeled in
+    // the output so spread discipline can exempt them explicitly
+    val coldRows = scala.collection.mutable.LinkedHashSet.empty[String]
     // Warmup once (skipped when `cold` — then every rep must reset its
     // own state inside f, e.g. unpersist/clearCache, so all reps measure
     // the same cold path), then median of 3 measured reps.
@@ -117,7 +123,52 @@ object Bench {
     //    machine state, and re-running an 11 s write 21x (r11) burns
     //    4 minutes measuring the same ambient noise while churning the
     //    heap/page cache for every row after it.
+    // Per-row environment diagnostics (r13's regression cluster was
+    // un-diagnosable post-hoc because nothing recorded WHICH resource
+    // degraded): cached-vs-total partitions per persisted RDD (a frame
+    // silently losing blocks re-runs its lineage per rep — r9's phantom
+    // regressions), storage memory + disk-spill mass, broadcast block
+    // count (the heap-cut engine's handles live in the block manager),
+    // GC time attributable to the row, and JIT code-cache occupancy
+    // (a full code cache flushes + deoptimizes hot kernels 10-20x —
+    // see build.sbt's ReservedCodeCacheSize note).
+    var lastGcMs = 0L
+    def envDiag(name: String): Unit = {
+      import scala.jdk.CollectionConverters._
+      val infos = spark.sparkContext.getRDDStorageInfo
+      val cached = infos.map(_.numCachedPartitions).sum
+      val parts = infos.map(_.numPartitions).sum
+      val memMb = infos.map(_.memSize).sum / 1048576
+      val diskMb = infos.map(_.diskSize).sum / 1048576
+      val partial = infos.filter(i => i.numCachedPartitions < i.numPartitions)
+        .map(i => s"rdd${i.id}:${i.numCachedPartitions}/${i.numPartitions}")
+      val bcast = org.apache.spark.SparkEnv.get.blockManager
+        .getMatchingBlockIds(_.isBroadcast).map {
+          case org.apache.spark.storage.BroadcastBlockId(id, _) => id
+          case _ => -1L
+        }.distinct.size
+      val gcMs = java.lang.management.ManagementFactory
+        .getGarbageCollectorMXBeans.asScala.map(_.getCollectionTime).sum
+      val code = java.lang.management.ManagementFactory.getMemoryPoolMXBeans
+        .asScala.filter(_.getName.startsWith("CodeHeap"))
+        .map(p => s"${p.getUsage.getUsed / 1048576}/${p.getUsage.getMax / 1048576}")
+        .mkString("+")
+      // host-wide load average: the one signal that separates ambient
+      // machine load (r11's and r12's phantom regressions, and r13's
+      // 10-row cluster — none reproduced on a quiet machine) from a real
+      // code regression. local[32] alone keeps this near <= 32; a shared
+      // host pushing it far above means the row measured contention.
+      val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+        .getSystemLoadAverage
+      System.err.println(s"[bench][env] $name cache=$cached/$parts " +
+        s"mem=${memMb}M disk=${diskMb}M" +
+        (if (partial.nonEmpty) partial.mkString(" partial[", ",", "]") else "") +
+        s" bcast=$bcast gc+=${gcMs - lastGcMs}ms codeMB=$code" +
+        f" load=$load%.1f")
+      lastGcMs = gcMs
+    }
     def record(name: String, div: Double = 1.0, cold: Boolean = false)(f: => Unit): Unit = {
+      if (cold) coldRows += name
       if (!cold) f
       def trimmed(xs: Seq[Double]): Seq[Double] =
         if (xs.length > 3) { val d = xs.length / 4; xs.drop(d).dropRight(d) } else xs
@@ -126,18 +177,23 @@ object Bench {
         if (med > 0) (t.last - t.head) / med else 0.0
       }
       var ts = Seq(time(f), time(f), time(f)).sorted
+      def window(minSec: Double): Double = {
+        val lim = (minSec * 1e9).toLong
+        val t0 = System.nanoTime(); var n = 0
+        while (System.nanoTime() - t0 < lim) { f; n += 1 }
+        (System.nanoTime() - t0) / 1e9 / n
+      }
       if (!cold) {
-        if (ts(1) < 0.2) {
-          def window(): Double = {
-            val t0 = System.nanoTime(); var n = 0
-            while (System.nanoTime() - t0 < 1000000000L) { f; n += 1 }
-            (System.nanoTime() - t0) / 1e9 / n
-          }
-          ts = Seq(window(), window(), window()).sorted
+        // windows up to 300 ms medians (r13: synth_lsh_ann at a 204 ms
+        // median escaped the old 200 ms cutoff and posted spread 7.30 —
+        // the worst row ever recorded here; per-call timing at that
+        // scale measures scheduler bursts, windows amortize them)
+        if (ts(1) < 0.3) {
+          ts = Seq(window(1.0), window(1.0), window(1.0)).sorted
           // even amortized windows can straddle an ambient-load burst:
           // one bounded second escalation (6 more 1 s windows) before
           // reporting a spread the judge would have to explain away
-          if (spreadOf(ts) > 1.0) ts = (ts ++ Seq.fill(6)(window())).sorted
+          if (spreadOf(ts) > 1.0) ts = (ts ++ Seq.fill(6)(window(1.0))).sorted
         } else if (spreadOf(ts) > 0.5) {
           ts = (ts ++ Seq.fill(6)(time(f))).sorted
           // still > 1.0 after 9 reps = a sustained-variance row (r12:
@@ -145,13 +201,19 @@ object Bench {
           // tightens the trimmed window instead of shipping the noise
           if (spreadOf(ts) > 1.0) ts = (ts ++ Seq.fill(6)(time(f))).sorted
         }
-      } else if (ts(1) < 1.0 && spreadOf(ts) > 0.5)
-        // CHEAP cold rows (sub-second per rep) still escalate once: at
-        // that cost a stray JIT/GC rep dominates the 3-rep spread, and
-        // 6 more reps are bounded by ~6 s — expensive cold rows (the
-        // 11 s writes) stay at 3 reps, where escalation measured only
-        // ambient churn (see r11)
-        ts = (ts ++ Seq.fill(6)(time(f))).sorted
+      } else if (ts(1) < 1.5) {
+        // cold rows amortize through >= 3-call windows too: every cold
+        // f resets its own state, so back-to-back calls measure the
+        // same cold path — a window quotes sec/call with the stray
+        // JIT/GC rep averaged out instead of dominating a 3-rep spread
+        // (r13: flatindex_build 1.13, bf16_prefix_write 12.44,
+        // hnsw_persisted_open 1.05). Expensive cold rows (the multi-
+        // second writes) stay at 3 reps, where escalation measured
+        // only ambient churn (see r11).
+        val wlen = math.max(1.0, ts(1) * 3)
+        ts = Seq(window(wlen), window(wlen), window(wlen)).sorted
+        if (spreadOf(ts) > 1.0) ts = (ts ++ Seq.fill(2)(window(wlen))).sorted
+      }
       results(name) = ts(ts.length / 2) / div
       spreads(name) = spreadOf(ts)
       // stderr diagnostics: per-row rep count + raw extremes, so a
@@ -159,6 +221,7 @@ object Bench {
       // r11 ivfpq-batch 13x was invisible in the one-number output)
       System.err.println(f"[bench] $name reps=${ts.length} " +
         f"min=${ts.head}%.3f med=${ts(ts.length / 2)}%.3f max=${ts.last}%.3f")
+      envDiag(name)
     }
     // Cache/GC barrier between bench families: without it a family
     // measures the previous family's evicted blocks and JIT churn
@@ -171,6 +234,7 @@ object Bench {
     // q_* rows from the families that used to run before them): every
     // driver query at the given SF, warmup + median of 3 (a single cold
     // shot is machine-load noise, not a regression signal).
+    if (!SkipQ)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => Only.forall(_.exists(name.contains)) }
       .foreach { case (name, fn) =>
@@ -185,6 +249,7 @@ object Bench {
     val altSfDir = sys.env.get("GRAFT_BENCH_ALT_SF_DIR").filter(_ != "none")
       .orElse(if (sfDir.endsWith("sf0.1")) Some(sfDir.stripSuffix("sf0.1") + "sf0.01") else Option.empty[String])
       .filter(d => d != sfDir && new java.io.File(d).isDirectory)
+    if (!SkipQ)
     altSfDir.foreach { alt =>
       familyBarrier()
       SparkEntry.queries.toSeq.sortBy(_._1)
@@ -281,6 +346,13 @@ object Bench {
     }
     record("synth_mmr_rerank") {
       graft.rerank.Mmr.rerankSearch(spark, coll, config, q, 0.7, 10, 200).collect()
+    }
+    // batch MMR: candidates for 64 queries in ONE corpus pass, greedy
+    // loops on the collected 64x200 slim set (the last search mode to
+    // gain a searchMany sibling)
+    record("synth_mmr_batch64_perq", div = 64.0) {
+      graft.rerank.Mmr.rerankMany(spark, coll, config, queries64, 0.7, 10,
+        200, knownNq = 64L).count()
     }
     // multi-vector MaxSim: 10k docs x 3 token vectors
     val mvDocs = spark.range(10000).select(
@@ -1019,7 +1091,8 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
     val altField = altSfDir.map(d => s""","alt_sf":"$d"""").getOrElse("")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"quality":$ql,"spread":$sp,"sf":"$sfDir"$altField,"synth_records":$SynthRecords,"synth_dims":$SynthDims}"""
+    val coldList = coldRows.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"quality":$ql,"spread":$sp,"cold":$coldList,"sf":"$sfDir"$altField,"synth_records":$SynthRecords,"synth_dims":$SynthDims}"""
     // The FULL line (110 query rows + quality + spread, ~8 KB) is written
     // to a file committed with the round snapshot; stdout gets a COMPACT
     // line instead, because the driver persists only a ~2 KB tail of

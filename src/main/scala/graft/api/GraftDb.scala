@@ -876,6 +876,19 @@ final class GraftDb(val spark: SparkSession) {
     Mmr.rerankSearch(spark, df, config, query, alpha, finalK, cands)
   }
 
+  /** Batch MMR rerank: per-query results equal [[rerank]] with the same
+    * knobs, candidates for every query from ONE corpus pass
+    * ([[graft.rerank.Mmr.rerankMany]]). `queries` carries (qid, qvector).
+    * {{{
+    * db.rerankMany("articles", queries, alpha = 0.7, finalK = 3)
+    * }}} */
+  def rerankMany(name: String, queries: DataFrame, alpha: Double, finalK: Int,
+      candidates: Int = 0, knownNq: Long = -1L): DataFrame = {
+    val (df, config) = collection(name)
+    val cands = if (candidates > 0) candidates else math.max(finalK * 10, finalK)
+    Mmr.rerankMany(spark, df, config, queries, alpha, finalK, cands, knownNq)
+  }
+
   // ------------------------------------------------------------ snapshot
 
   /** Persist the collection + config at `path` through a registered

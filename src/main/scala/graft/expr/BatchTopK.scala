@@ -9,32 +9,123 @@ import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
+/** Id-type plumbing for the heap-cut batch aggregate: which catalyst id
+  * types the heap can order/serialize, and their Spark-sort-identical
+  * comparators. Restricted to the ATOMIC types whose internal values are
+  * immutable primitives or UTF8String — enough for any realistic id
+  * column (string, long web-scale doc ids, ints, timestamps, ...);
+  * nested ids fall back to the window-cut plan. */
+object BatchTopK {
+  def supportsIdType(dt: DataType): Boolean = dt match {
+    case StringType | LongType | IntegerType | ShortType | ByteType |
+         DoubleType | FloatType | BooleanType | TimestampType |
+         TimestampNTZType | DateType => true
+    case _ => false
+  }
+
+  /** `ORDER BY id ASC`-identical comparator over internal values.
+    * Doubles/floats use Spark's total order (`-0.0 == 0.0`, NaN last) —
+    * the same semantics [[TopKHeap]] applies to ranks. */
+  def idComparator(dt: DataType): (AnyRef, AnyRef) => Int = dt match {
+    case StringType =>
+      (a, b) => a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case LongType | TimestampType | TimestampNTZType =>
+      (a, b) => java.lang.Long.compare(
+        a.asInstanceOf[java.lang.Long], b.asInstanceOf[java.lang.Long])
+    case IntegerType | DateType =>
+      (a, b) => java.lang.Integer.compare(
+        a.asInstanceOf[java.lang.Integer], b.asInstanceOf[java.lang.Integer])
+    case ShortType =>
+      (a, b) => java.lang.Short.compare(
+        a.asInstanceOf[java.lang.Short], b.asInstanceOf[java.lang.Short])
+    case ByteType =>
+      (a, b) => java.lang.Byte.compare(
+        a.asInstanceOf[java.lang.Byte], b.asInstanceOf[java.lang.Byte])
+    case DoubleType =>
+      (a, b) => {
+        val x = a.asInstanceOf[java.lang.Double].doubleValue()
+        val y = b.asInstanceOf[java.lang.Double].doubleValue()
+        if (x == y) 0 else java.lang.Double.compare(x, y)
+      }
+    case FloatType =>
+      (a, b) => {
+        val x = a.asInstanceOf[java.lang.Float].floatValue()
+        val y = b.asInstanceOf[java.lang.Float].floatValue()
+        if (x == y) 0 else java.lang.Float.compare(x, y)
+      }
+    case BooleanType =>
+      (a, b) => java.lang.Boolean.compare(
+        a.asInstanceOf[java.lang.Boolean], b.asInstanceOf[java.lang.Boolean])
+    case other =>
+      throw new IllegalArgumentException(s"unsupported heap id type $other")
+  }
+
+  private[expr] def writeId(out: DataOutputStream, dt: DataType, id: AnyRef): Unit =
+    dt match {
+      case StringType =>
+        val b = id.asInstanceOf[UTF8String].getBytes
+        out.writeInt(b.length); out.write(b)
+      case LongType | TimestampType | TimestampNTZType =>
+        out.writeLong(id.asInstanceOf[java.lang.Long])
+      case IntegerType | DateType => out.writeInt(id.asInstanceOf[java.lang.Integer])
+      case ShortType => out.writeShort(id.asInstanceOf[java.lang.Short].intValue())
+      case ByteType => out.writeByte(id.asInstanceOf[java.lang.Byte].intValue())
+      case DoubleType => out.writeDouble(id.asInstanceOf[java.lang.Double])
+      case FloatType => out.writeFloat(id.asInstanceOf[java.lang.Float])
+      case BooleanType => out.writeBoolean(id.asInstanceOf[java.lang.Boolean])
+      case other =>
+        throw new IllegalArgumentException(s"unsupported heap id type $other")
+    }
+
+  private[expr] def readId(in: DataInputStream, dt: DataType): AnyRef = dt match {
+    case StringType =>
+      val len = in.readInt()
+      val b = new Array[Byte](len)
+      in.readFully(b)
+      UTF8String.fromBytes(b)
+    case LongType | TimestampType | TimestampNTZType => java.lang.Long.valueOf(in.readLong())
+    case IntegerType | DateType => java.lang.Integer.valueOf(in.readInt())
+    case ShortType => java.lang.Short.valueOf(in.readShort())
+    case ByteType => java.lang.Byte.valueOf(in.readByte())
+    case DoubleType => java.lang.Double.valueOf(in.readDouble())
+    case FloatType => java.lang.Float.valueOf(in.readFloat())
+    case BooleanType => java.lang.Boolean.valueOf(in.readBoolean())
+    case other =>
+      throw new IllegalArgumentException(s"unsupported heap id type $other")
+  }
+}
+
 /** Bounded max-heap on (rank, id): keeps the k smallest (rank, id)
   * pairs with Spark SQL's exact ordering semantics — doubles compare
   * like `ORDER BY rank ASC` (`-0.0 == 0.0`, NaN sorts last:
-  * `if (a == b) 0 else Double.compare(a, b)`), ties break by the id's
-  * BINARY UTF-8 order (`UTF8String.compareTo`, Spark's string sort) —
-  * so a heap cut is bit-identical to `ORDER BY (rank, id) LIMIT k`.
-  * The distributed twin of [[graft.index.FlatIndex.BoundedRankHeap]]
-  * (which holds Java Strings; this one stays in Spark's internal
-  * representation). */
-final class TopKHeap(val k: Int) extends Serializable {
+  * `if (a == b) 0 else Double.compare(a, b)`), ties break by the id
+  * comparator (for strings the BINARY UTF-8 order of
+  * `UTF8String.compareTo`, Spark's string sort) — so a heap cut is
+  * bit-identical to `ORDER BY (rank, id) LIMIT k` for ANY supported id
+  * type. The distributed twin of
+  * [[graft.index.FlatIndex.BoundedRankHeap]] (which holds Java Strings;
+  * this one stays in Spark's internal representation). */
+final class TopKHeap(val k: Int, val idCmp: (AnyRef, AnyRef) => Int)
+    extends Serializable {
+  /** String-id heap (the canonical collection schema). */
+  def this(k: Int) = this(k, BatchTopK.idComparator(StringType))
+
   private val ranks = new Array[Double](math.max(k, 1))
   private val raws = new Array[Double](math.max(k, 1))
-  private val ids = new Array[UTF8String](math.max(k, 1))
+  private val ids = new Array[AnyRef](math.max(k, 1))
   private var n = 0
 
   private def cmpRank(a: Double, b: Double): Int =
     if (a == b) 0 else java.lang.Double.compare(a, b)
 
-  private def worse(r1: Double, id1: UTF8String, r2: Double, id2: UTF8String): Boolean = {
+  private def worse(r1: Double, id1: AnyRef, r2: Double, id2: AnyRef): Boolean = {
     val c = cmpRank(r1, r2)
-    c > 0 || (c == 0 && id1.compareTo(id2) > 0)
+    c > 0 || (c == 0 && idCmp(id1, id2) > 0)
   }
 
   def size: Int = n
 
-  def offer(rank: Double, raw: Double, id: UTF8String): Unit = {
+  def offer(rank: Double, raw: Double, id: AnyRef): Unit = {
     if (k == 0) return
     if (n < k) {
       ranks(n) = rank; raws(n) = raw; ids(n) = id
@@ -73,18 +164,18 @@ final class TopKHeap(val k: Int) extends Serializable {
     val ti = ids(i); ids(i) = ids(j); ids(j) = ti
   }
 
-  def foreachEntry(f: (Double, Double, UTF8String) => Unit): Unit = {
+  def foreachEntry(f: (Double, Double, AnyRef) => Unit): Unit = {
     var i = 0
     while (i < n) { f(ranks(i), raws(i), ids(i)); i += 1 }
   }
 
   /** (id, raw, rank) sorted by (rank asc, id asc). */
-  def sorted: Array[(UTF8String, Double, Double)] = {
+  def sorted: Array[(AnyRef, Double, Double)] = {
     val out = Array.tabulate(n)(i => (ids(i), raws(i), ranks(i)))
     scala.util.Sorting.stableSort(out,
-      (a: (UTF8String, Double, Double), b: (UTF8String, Double, Double)) => {
+      (a: (AnyRef, Double, Double), b: (AnyRef, Double, Double)) => {
         val c = cmpRank(a._3, b._3)
-        c < 0 || (c == 0 && a._1.compareTo(b._1) < 0)
+        c < 0 || (c == 0 && idCmp(a._1, b._1) < 0)
       })
     out
   }
@@ -100,38 +191,48 @@ final class TopKHeap(val k: Int) extends Serializable {
   * shape that beats a window cut's per-partition sort of the exploded
   * triples by the sort's log factor and its full row traffic.
   *
-  * Output: `array<struct<qi int, id string, raw double>>`, each query's
-  * entries in (rank, id)-ascending order — bit-identical to
+  * Output: `array<struct<qi int, id <idType>, raw double>>`, each
+  * query's entries in (rank, id)-ascending order — bit-identical to
   * `ORDER BY rank, id LIMIT k` per query (the heap comparator
-  * replicates Spark's double ordering and binary string ties; rank =
+  * replicates Spark's double ordering and per-type id ties; rank =
   * [[VectorKernels.rankValue]] of `raw`, the same scalar
-  * `Search.rankCol` computes). Rows with a NULL id or NULL distance
-  * array contribute nothing (a validated collection has neither). */
+  * `Search.rankCol` computes). Any [[BatchTopK.supportsIdType]] id
+  * column works — long web-scale doc ids take the same one-scan plan
+  * as the canonical string schema. Rows with a NULL id or NULL
+  * distance array contribute nothing (a validated collection has
+  * neither). */
 case class BatchTopKAgg(idExpr: Expression, distsExpr: Expression,
-    nq: Int, k: Int, metricCode: Int,
+    nq: Int, k: Int, metricCode: Int, idType: DataType = StringType,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[Array[TopKHeap]] {
 
   require(nq >= 0, "nq must be non-negative")
   require(k >= 0, "k must be non-negative")
+  require(BatchTopK.supportsIdType(idType), s"unsupported heap id type $idType")
+
+  @transient private lazy val idCmp = BatchTopK.idComparator(idType)
 
   override def children: Seq[Expression] = Seq(idExpr, distsExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("qi", IntegerType, nullable = false),
-    StructField("id", StringType, nullable = false),
+    StructField("id", idType, nullable = false),
     StructField("raw", DoubleType, nullable = false))), containsNull = false)
   override def prettyName: String = "batch_topk"
 
   override def createAggregationBuffer(): Array[TopKHeap] =
-    Array.fill(nq)(new TopKHeap(k))
+    Array.fill(nq)(new TopKHeap(k, idCmp))
 
   override def update(buf: Array[TopKHeap], input: InternalRow): Array[TopKHeap] = {
     val idv = idExpr.eval(input)
     val ds = distsExpr.eval(input)
     if (idv != null && ds != null) {
-      // the input row's buffers are reused across rows — copy the id out
-      val id = idv.asInstanceOf[UTF8String].clone()
+      // the input row's buffers are reused across rows — copy a string
+      // id out; boxed primitives are immutable and need no copy
+      val id: AnyRef = idv match {
+        case u: UTF8String => u.clone()
+        case x => x.asInstanceOf[AnyRef]
+      }
       val arr = ds.asInstanceOf[ArrayData]
       var i = 0
       while (i < nq) {
@@ -173,8 +274,7 @@ case class BatchTopKAgg(idExpr: Expression, distsExpr: Expression,
       out.writeInt(buf(i).size)
       buf(i).foreachEntry { (r, w, id) =>
         out.writeDouble(r); out.writeDouble(w)
-        val b = id.getBytes
-        out.writeInt(b.length); out.write(b)
+        BatchTopK.writeId(out, idType, id)
       }
       i += 1
     }
@@ -185,17 +285,14 @@ case class BatchTopKAgg(idExpr: Expression, distsExpr: Expression,
   override def deserialize(bytes: Array[Byte]): Array[TopKHeap] = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val m = in.readInt()
-    val buf = Array.fill(m)(new TopKHeap(k))
+    val buf = Array.fill(m)(new TopKHeap(k, idCmp))
     var i = 0
     while (i < m) {
       val entries = in.readInt()
       var j = 0
       while (j < entries) {
         val r = in.readDouble(); val w = in.readDouble()
-        val len = in.readInt()
-        val b = new Array[Byte](len)
-        in.readFully(b)
-        buf(i).offer(r, w, UTF8String.fromBytes(b))
+        buf(i).offer(r, w, BatchTopK.readId(in, idType))
         j += 1
       }
       i += 1

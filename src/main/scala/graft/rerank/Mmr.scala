@@ -97,4 +97,65 @@ object Mmr {
         case ((id, s), i) => Row(id, s, i)
       }: _*), schema)
   }
+
+  /** Batch MMR: per-query results equal [[rerankSearch]] with the same
+    * knobs. `queries` carries `(qid, qvector)`. Candidates for EVERY
+    * query come from one distributed [[Search.flatSearchMany]] pass (one
+    * corpus scan, per-query heap cuts) and their vectors rejoin in the
+    * same job; the greedy loops then run per-qid on the driver over the
+    * collected `nq * candidates`-bounded slim set — the single form's
+    * own driver-side shape (and the reference's:
+    * lib/vettore_distance.ex:313-487), N of them without N corpus
+    * scans. Initial candidate order replicates Spark's `(rank, id)`
+    * sort exactly (double total order, binary UTF-8 id ties), so the
+    * greedy tie behavior is identical to the single form's collected
+    * ordering. String-id collections only, like [[rerankSearch]]. */
+  def rerankMany(spark: SparkSession, df: DataFrame, config: CollectionConfig,
+      queries: DataFrame, alpha: Double, finalK: Int, candidates: Int,
+      knownNq: Long = -1L): DataFrame = {
+    require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0,1]")
+    require(finalK > 0, "final_k must be positive")
+    require(candidates > 0, "candidates must be positive")
+    val qidType = queries.schema("qid").dataType
+    // ONE batch pass cuts every query's candidate ids; vectors for the
+    // nq*candidates winners rejoin before the single bounded collect
+    val winners = Search.flatSearchMany(df, config, queries, candidates,
+        knownNq = knownNq)
+      .select(col("qid"), col("id"))
+      .join(df.select(col("id"), col("vector")), Seq("id"))
+      .select(col("qid"), col("id"), col("vector"))
+      .collect()
+    val byQid = winners.groupBy(_.get(0))
+    val qRows = queries.select(col("qid"), col("qvector")).collect()
+    val cmpRank = (a: Double, b: Double) =>
+      if (a == b) 0 else java.lang.Double.compare(a, b)
+    val out = qRows.flatMap { qr =>
+      val qid = qr.get(0)
+      val q = Search.prepareQuery(config, qr.getSeq[Float](1).toArray)
+      val cand = byQid.getOrElse(qid, Array.empty).map { r =>
+        val v = r.getSeq[Float](2).toArray
+        val raw = VectorKernels.distance(config.metric.code, v, q)
+        (r.getString(1), v, raw)
+      }.sortWith { case ((id1, _, r1), (id2, _, r2)) =>
+        val c = cmpRank(VectorKernels.rankValue(config.metric.code, r1),
+          VectorKernels.rankValue(config.metric.code, r2))
+        c < 0 || (c == 0 &&
+          org.apache.spark.unsafe.types.UTF8String.fromString(id1)
+            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(id2)) < 0)
+      }
+      val initial = cand.map { case (id, _, raw) =>
+        id -> graft.core.ScoreMode.resultValues(config.metric, raw, config.score)._1
+      }.toSeq
+      val vectors = cand.map { case (id, v, _) => id -> v }.toMap
+      rerank(initial, vectors, config.metric, alpha, finalK).zipWithIndex.map {
+        case ((id, s), i) => Row(qid, id, s, i)
+      }
+    }
+    val schema = StructType(Seq(
+      StructField("qid", qidType),
+      StructField("id", StringType, nullable = false),
+      StructField("score", DoubleType, nullable = false),
+      StructField("position", IntegerType, nullable = false)))
+    spark.createDataFrame(java.util.Arrays.asList(out.toSeq: _*), schema)
+  }
 }

@@ -509,22 +509,26 @@ object Search {
   /** Batch ColBERT/MaxSim search: `queries` carries
     * `(qid, qvectors array<array<float>>)` — one vector SET per query —
     * and per-query results equal [[multiVectorSearch]] with the same
-    * knobs. One corpus scan scores every query set
+    * knobs. Default shape: one corpus scan scores every query set
     * ([[graft.expr.MaxSimMulti]]: the doc's vector matrix converts once
     * per row), cut by the [[graft.expr.BatchTopKAgg]] per-partition
     * heaps at rank `-score` (descending score, id ties ascending — the
     * single-query ordering); only the winners rejoin the corpus for
-    * value/metadata. Non-string-id frames fall back to a per-collected-
-    * query loop of the single form (correct, driver-bounded by the
-    * query batch the caller already collected into a frame). */
+    * value/metadata. Any [[graft.expr.BatchTopK.supportsIdType]] id
+    * column (string, long web-scale doc ids, ...) takes this one-scan
+    * plan; `spark.graft.batch.heapCut=false` or an exotic id type falls
+    * back to a fully distributed window-cut plan (bounded broadcast
+    * query blocks, per-pair MaxSim, per-qid row_number cut — no driver
+    * collect, but also no driver-side dimension/finiteness validation:
+    * query sets are normalized in-plan). */
   def multiVectorSearchMany(df: DataFrame, config: CollectionConfig,
       queries: DataFrame, limit: Int,
       metricOverride: Option[Metric] = None): DataFrame = {
     require(limit > 0, "limit must be positive")
     val metric = metricOverride.getOrElse(config.metric)
     val spark = df.sparkSession
-    val rows = queries.select(col("qid"), col("qvectors")).collect()
     val qidType = queries.schema("qid").dataType
+    val idType = df.schema("id").dataType
     val docVecs =
       if (df.columns.contains("vectors"))
         coalesce(col("vectors"), array(col("vector")))
@@ -535,54 +539,71 @@ object Search {
       col("raw").cast("double").as("score"),
       lit(null).cast("double").as("distance"),
       lit(metric.name).as("metric"), metaCol.as("metadata"))
-    if (rows.isEmpty)
-      return df.limit(0).select((Seq(col("id"), col("value")) ++
-          (if (df.columns.contains("metadata")) Seq(col("metadata")) else Nil)): _*)
-        .withColumn("qid", lit(null).cast(qidType))
-        .withColumn("raw", lit(null).cast("double"))
-        .select(outCols: _*)
-    val qsets: Array[Array[Array[Float]]] = rows.map { r =>
-      r.getSeq[scala.collection.Seq[Float]](1).map { v =>
-        val arr = v.toArray
-        require(arr.length == config.dimensions, "dimension mismatch")
-        require(VectorKernels.validateFinite(arr),
-          "vector contains a non-finite value")
-        prepareQuery(config, arr)
-      }.toArray
-    }
-    if (df.schema("id").dataType != org.apache.spark.sql.types.StringType)
-      return rows.zip(qsets).map { case (r, qv) =>
-        multiVectorSearch(df, config, qv.toSeq, limit, metricOverride)
-          .withColumn("qid", lit(r.get(0)).cast(qidType))
-          .select(col("qid"), col("id"), col("value"), col("score"),
-            col("distance"), col("metric"), col("metadata"))
+    def corpusSlim = df.select((Seq(col("id"), col("value")) ++
+      (if (df.columns.contains("metadata")) Seq(col("metadata")) else Nil)): _*)
+    val heapCut = heapCutEnabled(df) && graft.expr.BatchTopK.supportsIdType(idType)
+    var estPairs = -1L
+    val slim = if (!heapCut) {
+      val qNorm = queries.select(col("qid"),
+        transform(col("qvectors"),
+          v => normalizeVector(config.effectiveNormalize, v)).as("qvectors"))
+      val nq = queries.count()
+      estPairs = nq * limit
+      // block sizing uses dims (per query VECTOR, not set) — multi-vector
+      // sets make each block proportionally heavier, same as the heap
+      // path's avgVecs-scaled bound below
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("rank").asc_nulls_last, col("id").asc)
+      queryBlocks(qNorm, nq, config.dimensions).map { qb =>
+        df.select(col("id"), docVecs.as("_dv")).crossJoin(broadcast(qb))
+          .withColumn("raw", maxSim(metric, col("qvectors"), col("_dv")).cast("double"))
+          .withColumn("rank", -col("raw")) // rankValue(3) = -raw, desc score
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
+          .select(col("qid"), col("id"), col("raw"))
       }.reduce(_ unionByName _)
-    val avgVecs = math.max(1, qsets.map(_.length).sum / qsets.length)
-    val perBlock = heapBlockSize(spark,
-      avgVecs * math.max(config.dimensions, 1), limit)
-    val slim = rows.zip(qsets).grouped(perBlock).toSeq.map { block =>
-      val bc = spark.sparkContext.broadcast(block.map(_._2))
-      val agg = org.apache.spark.sql.graft.Bridge.column(
-        graft.expr.BatchTopKAgg(
-          org.apache.spark.sql.graft.Bridge.expression(col("id")),
-          org.apache.spark.sql.graft.Bridge.expression(col("_ds")),
-          block.length, limit, 3).toAggregateExpression()) // rankValue(3) = -raw
-      df.select(col("id"),
-          org.apache.spark.sql.graft.Bridge.column(graft.expr.MaxSimMulti(
-            org.apache.spark.sql.graft.Bridge.expression(docVecs),
-            bc, metric.code)).as("_ds"))
-        .groupBy().agg(agg.as("_tops"))
-        .select(explode(col("_tops")).as("_t"))
-        .select(col("_t.qi").as("_qi"), col("_t.id").as("id"),
-          col("_t.raw").as("raw"))
-        .join(broadcast(qiFrame(spark, block.map(_._1), qidType)), "_qi")
-        .select("qid", "id", "raw")
-    }.reduce(_ unionByName _)
-    val hint = rowsBroadcastHint(df, rows.length.toLong * limit)
-    df.select((Seq(col("id"), col("value")) ++
-        (if (df.columns.contains("metadata")) Seq(col("metadata")) else Nil)): _*)
-      .join(hint(slim), Seq("id"))
-      .select(outCols: _*)
+    } else {
+      val rows = queries.select(col("qid"), col("qvectors")).collect()
+      if (rows.isEmpty)
+        return corpusSlim.limit(0)
+          .withColumn("qid", lit(null).cast(qidType))
+          .withColumn("raw", lit(null).cast("double"))
+          .select(outCols: _*)
+      estPairs = rows.length.toLong * limit
+      val qsets: Array[Array[Array[Float]]] = rows.map { r =>
+        r.getSeq[scala.collection.Seq[Float]](1).map { v =>
+          val arr = v.toArray
+          require(arr.length == config.dimensions, "dimension mismatch")
+          require(VectorKernels.validateFinite(arr),
+            "vector contains a non-finite value")
+          prepareQuery(config, arr)
+        }.toArray
+      }
+      val avgVecs = math.max(1, qsets.map(_.length).sum / qsets.length)
+      val perBlock = heapBlockSize(spark,
+        avgVecs * math.max(config.dimensions, 1), limit)
+      rows.zip(qsets).grouped(perBlock).toSeq.map { block =>
+        val bc = BroadcastHandles.register(spark,
+          spark.sparkContext.broadcast(block.map(_._2)))
+        val agg = org.apache.spark.sql.graft.Bridge.column(
+          graft.expr.BatchTopKAgg(
+            org.apache.spark.sql.graft.Bridge.expression(col("id")),
+            org.apache.spark.sql.graft.Bridge.expression(col("_ds")),
+            block.length, limit, 3, idType) // rankValue(3) = -raw
+            .toAggregateExpression())
+        df.select(col("id"),
+            org.apache.spark.sql.graft.Bridge.column(graft.expr.MaxSimMulti(
+              org.apache.spark.sql.graft.Bridge.expression(docVecs),
+              bc, metric.code)).as("_ds"))
+          .groupBy().agg(agg.as("_tops"))
+          .select(explode(col("_tops")).as("_t"))
+          .select(col("_t.qi").as("_qi"), col("_t.id").as("id"),
+            col("_t.raw").as("raw"))
+          .join(broadcast(qiFrame(spark, block.map(_._1), qidType)), "_qi")
+          .select("qid", "id", "raw")
+      }.reduce(_ unionByName _)
+    }
+    val hint = rowsBroadcastHint(df, estPairs)
+    corpusSlim.join(hint(slim), Seq("id")).select(outCols: _*)
   }
 
   /** Hybrid search: run candidate generators, union + dedup by id, then
@@ -656,39 +677,55 @@ object Search {
   }
 
   /** Batch form of flat search: one shuffle-free pass answers many queries
-    * at once. `queries` must have (qid, qvector) and is broadcast; results
-    * carry qid. This is the shape that scales on a cluster — per-query
-    * driver jobs do not. */
+    * at once. `queries` must have (qid, qvector); results carry qid. This
+    * is the shape that scales on a cluster — per-query driver jobs do
+    * not. */
   def flatSearchMany(df: DataFrame, config: CollectionConfig, queries: DataFrame,
       limit: Int, knownNq: Long = -1L): DataFrame =
     batchTopMulti(df, config, queries, limit, bc =>
       org.apache.spark.sql.graft.Bridge.column(
         graft.expr.VectorDistanceMulti(
           org.apache.spark.sql.graft.Bridge.expression(col("vector")),
-          bc, config.metric.code)))
+          bc, config.metric.code)),
+      scanCol = "vector",
+      pairRaw = vecDistance(config.metric, col("vector"), col("qvector")),
+      knownNq = knownNq)
 
   /** Shared brute-force batch plan of [[flatSearchMany]] /
-    * [[flatSearchManyBf16]]. The query batch collects to the driver
-    * (bounded: callers pass bounded batches, and blocks re-bound it),
-    * splits into `spark.graft.query.broadcastMaxCells`-bounded blocks,
-    * and each block ships ONCE per executor as a
-    * `SparkContext.broadcast` float matrix inside a multi-distance
-    * expression: the scan emits each corpus row's distances to the
-    * WHOLE block as one primitive array, `posexplode` turns them into
-    * slim (id, query-index, raw) triples, and the per-query top-k rides
-    * row_number's map-side WindowGroupLimit over those 16-byte triples.
-    * The former per-pair cross join re-copied the row payload (vector +
-    * qvector + value, ~KB) into every (row, query) pair BEFORE the
-    * cut — at 64 queries that is ~64x the scan bytes through the
-    * join/projection; here the payload is decoded once per row and only
-    * the final `nq * limit` winners rejoin the corpus for `value`.
-    * A row with a NULL vector yields no triples (it can never reach a
-    * top-k that exact search would return on a validated collection). */
+    * [[flatSearchManyBf16]], two physical shapes behind one contract:
+    *
+    *  - HEAP CUT (default, any [[graft.expr.BatchTopK.supportsIdType]]
+    *    id column): the query batch collects to the driver (bounded by
+    *    the caller's batch size; blocks re-bound both the broadcast
+    *    matrix and per-partition heap mass via [[heapBlockSize]]) and
+    *    each block ships ONCE per executor as a `SparkContext.broadcast`
+    *    float matrix inside a multi-distance expression: the scan emits
+    *    each corpus row's distances to the WHOLE block as one primitive
+    *    array, cut by [[graft.expr.BatchTopKAgg]]'s per-partition
+    *    bounded heaps — nothing exploded, nothing sorted beyond the
+    *    nq*k winners. Per-call broadcasts register with
+    *    [[BroadcastHandles]] so a long-lived serving session stays
+    *    bounded.
+    *  - WINDOW CUT (`spark.graft.batch.heapCut=false`, or an exotic id
+    *    type): fully distributed, NO driver collect — the normalized
+    *    query frame splits into [[queryBlocks]]-bounded broadcast
+    *    blocks, each cross-joins the slim (id, scan column) projection,
+    *    and per-qid top-k rides row_number's map-side WindowGroupLimit.
+    *    The cluster-scale shape for query batches too large to collect.
+    *
+    * Either way only slim (qid, id, raw) triples leave the scan; the
+    * final `nq * limit` winners rejoin the corpus for `value` — the
+    * per-pair payload copying of the old cross-join plan (vector +
+    * qvector + value, ~KB, x nq before the cut) never happens. A row
+    * with a NULL vector or id yields no winners under both plans (it can
+    * never reach a top-k that exact search would return on a validated
+    * collection; single-query topK instead keeps null ranks LAST, so on
+    * an UNVALIDATED frame with fewer than `limit` scorable rows the
+    * batch forms return fewer rows — see README). */
   private def batchTopMulti(df: DataFrame, config: CollectionConfig,
       queries: DataFrame, limit: Int,
-      multiCol: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]] => Column): DataFrame = {
-    import org.apache.spark.sql.Row
-    import org.apache.spark.sql.types._
+      multiCol: org.apache.spark.broadcast.Broadcast[Array[Array[Float]]] => Column,
+      scanCol: String, pairRaw: Column, knownNq: Long): DataFrame = {
     val spark = df.sparkSession
     val qNorm = queries.select(col("qid"),
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
@@ -696,64 +733,59 @@ object Search {
     val outCols = Seq(col("qid"), col("id"), col("value"),
       score.cast("double").as("score"), dist.cast("double").as("distance"),
       lit(config.metric.name).as("metric"))
-    val rows = qNorm.collect()
     val qidType = qNorm.schema("qid").dataType
-    if (rows.isEmpty)
-      return df.limit(0).select(col("id"), col("value"))
-        .withColumn("qid", lit(null).cast(qidType))
-        .withColumn("raw", lit(null).cast("double"))
-        .select(outCols: _*)
-    val dims = math.max(config.dimensions, 1)
-    val maxCells = spark.conf.getOption("spark.graft.query.broadcastMaxCells")
-      .map(_.toLong).getOrElse(32000000L)
-    val perBlock = math.max(1L, maxCells / dims).min(Int.MaxValue).toInt
-    val mat = rows.map(_.getSeq[Float](1).toArray)
-    // string-id collections (the canonical schema) cut via BatchTopKAgg:
-    // per-partition bounded heaps, nothing exploded, nothing sorted
-    // beyond the nq*k winners. Non-string ids keep the exploded
-    // window-cut plan (same results through WindowGroupLimit pre-cuts).
-    val heapCut = heapCutEnabled(df) &&
-      df.schema("id").dataType == org.apache.spark.sql.types.StringType
-    val slim = mat.grouped(perBlock).toSeq.zipWithIndex.map { case (qs, bi) =>
-      val bc = spark.sparkContext.broadcast(qs)
-      val offset = bi * perBlock
-      if (heapCut) {
+    val idType = df.schema("id").dataType
+    val heapCut = heapCutEnabled(df) && graft.expr.BatchTopK.supportsIdType(idType)
+    var estPairs = -1L
+    val slim = if (!heapCut) {
+      val nq = if (knownNq >= 0) knownNq else queries.count()
+      estPairs = nq * math.max(limit, 1)
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("rank").asc_nulls_last, col("id").asc)
+      queryBlocks(qNorm, nq, config.dimensions).map { qb =>
+        df.select(col("id"), col(scanCol)).crossJoin(broadcast(qb))
+          .withColumn("raw", pairRaw)
+          .withColumn("rank", rankCol(config.metric, col("raw")))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
+          .select(col("qid"), col("id"), col("raw"))
+      }.reduce(_ unionByName _)
+    } else {
+      val rows = qNorm.collect()
+      if (rows.isEmpty)
+        return df.limit(0).select(col("id"), col("value"))
+          .withColumn("qid", lit(null).cast(qidType))
+          .withColumn("raw", lit(null).cast("double"))
+          .select(outCols: _*)
+      estPairs = rows.length.toLong * math.max(limit, 1)
+      val perBlock = heapBlockSize(spark, config.dimensions, math.max(limit, 1))
+      rows.grouped(perBlock).toSeq.map { blockRows =>
+        val bc = BroadcastHandles.register(spark, spark.sparkContext
+          .broadcast(blockRows.map(_.getSeq[Float](1).toArray)))
         val agg = org.apache.spark.sql.graft.Bridge.column(
           graft.expr.BatchTopKAgg(
             org.apache.spark.sql.graft.Bridge.expression(col("id")),
             org.apache.spark.sql.graft.Bridge.expression(col("_ds")),
-            qs.length, math.max(limit, 0), config.metric.code)
+            blockRows.length, math.max(limit, 0), config.metric.code, idType)
             .toAggregateExpression())
         df.select(col("id"), multiCol(bc).as("_ds"))
           .groupBy().agg(agg.as("_tops"))
           .select(explode(col("_tops")).as("_t"))
-          .select((col("_t.qi") + lit(offset)).as("_qi"),
-            col("_t.id").as("id"), col("_t.raw").as("raw"))
-      } else {
-        val w = Window.partitionBy(col("_qi"))
-          .orderBy(col("rank").asc_nulls_last, col("id").asc)
-        df.select(col("id"), posexplode(multiCol(bc)).as(Seq("_bqi", "raw")))
-          .withColumn("_qi", col("_bqi") + lit(offset))
-          .withColumn("rank", rankCol(config.metric, col("raw")))
-          .withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
-          .select(col("_qi"), col("id"), col("raw"))
-      }
-    }.reduce(_ unionByName _)
-    val qidFrame = spark.createDataFrame(
-      java.util.Arrays.asList(rows.zipWithIndex.map { case (r, i) =>
-        Row(i, r.get(0)) }: _*),
-      StructType(Seq(StructField("_qi", IntegerType, nullable = false),
-        StructField("qid", qidType))))
-    val hint = rowsBroadcastHint(df, rows.length.toLong * math.max(limit, 1))
+          .select(col("_t.qi").as("_qi"), col("_t.id").as("id"),
+            col("_t.raw").as("raw"))
+          .join(broadcast(qiFrame(spark, blockRows, qidType)), "_qi")
+          .select("qid", "id", "raw")
+      }.reduce(_ unionByName _)
+    }
+    val hint = rowsBroadcastHint(df, estPairs)
     df.select(col("id"), col("value"))
-      .join(hint(slim.join(broadcast(qidFrame), "_qi")), Seq("id"))
+      .join(hint(slim), Seq("id"))
       .select(outCols: _*)
   }
 
   /** Batch form of [[flatSearchBf16]]: one bf16-scan answers every
-    * query (queries broadcast; per-qid row_number cut) — the batch
-    * brute-force at HALF the f32 scan bytes, with the same
-    * rounded-corpus top-k contract as the single-query form. */
+    * query — the batch brute-force at HALF the f32 scan bytes, with the
+    * same rounded-corpus top-k contract as the single-query form
+    * (physical shapes per [[batchTopMulti]]). */
   def flatSearchManyBf16(df: DataFrame, config: CollectionConfig,
       queries: DataFrame, limit: Int,
       packedCol: String = "vector_bf16", knownNq: Long = -1L): DataFrame = {
@@ -763,7 +795,10 @@ object Search {
       org.apache.spark.sql.graft.Bridge.column(
         graft.expr.Bf16VectorDistanceMulti(
           org.apache.spark.sql.graft.Bridge.expression(col(packedCol)),
-          bc, config.metric.code)))
+          bc, config.metric.code)),
+      scanCol = packedCol,
+      pairRaw = col2Bf16Distance(config.metric, col(packedCol), col("qvector")),
+      knownNq = knownNq)
   }
 
   private def col2Bf16Distance(metric: Metric, packed: Column, q: Column): Column =
@@ -813,8 +848,8 @@ object Search {
       if (df.columns.contains("binary_vector"))
         df.select(col("id"), col("binary_vector").as("_bits"))
       else df.select(col("id"), packSignBits(col("vector")).as("_bits"))
-    if (heapCutEnabled(df) &&
-        df.schema("id").dataType == org.apache.spark.sql.types.StringType) {
+    val idType = df.schema("id").dataType
+    if (heapCutEnabled(df) && graft.expr.BatchTopK.supportsIdType(idType)) {
       // multi-rank scan + heap cut: the stored words convert once per
       // row for the whole query block; rank code 0 = the emitted value
       // IS the rank (direction pre-baked), ties by id as the window cut
@@ -831,19 +866,20 @@ object Search {
             org.apache.spark.sql.graft.Bridge.column(
               graft.expr.PackedDotMulti(
                 org.apache.spark.sql.graft.Bridge.expression(col("_bits")),
-                spark.sparkContext.broadcast(mat),
+                BroadcastHandles.register(spark, spark.sparkContext.broadcast(mat)),
                 negate = config.metric != Metric.NegativeInnerProduct))
           else
             org.apache.spark.sql.graft.Bridge.column(
               graft.expr.PackedHammingMulti(
                 org.apache.spark.sql.graft.Bridge.expression(col("_bits")),
-                spark.sparkContext.broadcast(mat.map(VectorKernels.packSignBits)),
+                BroadcastHandles.register(spark, spark.sparkContext
+                  .broadcast(mat.map(VectorKernels.packSignBits))),
                 config.dimensions))
         val agg = org.apache.spark.sql.graft.Bridge.column(
           graft.expr.BatchTopKAgg(
             org.apache.spark.sql.graft.Bridge.expression(col("id")),
             org.apache.spark.sql.graft.Bridge.expression(col("_ds")),
-            mat.length, effCand, 0).toAggregateExpression())
+            mat.length, effCand, 0, idType).toAggregateExpression())
         bitsScan.select(col("id"), multi.as("_ds"))
           .groupBy().agg(agg.as("_tops"))
           .select(explode(col("_tops")).as("_t"))
@@ -979,7 +1015,8 @@ object Search {
         org.apache.spark.sql.graft.Bridge.column(
           graft.expr.VectorDistanceMulti(
             org.apache.spark.sql.graft.Bridge.expression(col("vector")),
-            df.sparkSession.sparkContext.broadcast(m), code,
+            BroadcastHandles.register(df.sparkSession,
+              df.sparkSession.sparkContext.broadcast(m)), code,
             prefix = if (d >= config.dimensions) 0 else d))
       })
 
@@ -1001,8 +1038,9 @@ object Search {
       stageCol: Int => String, stageRank: Int => Column,
       stage1Multi: Option[(Array[Array[Float]], Int) => Column] = None): DataFrame = {
     val spark = df.sparkSession
+    val idType = df.schema("id").dataType
     val heapOk = stage1Multi.isDefined && heapCutEnabled(df) &&
-      df.schema("id").dataType == org.apache.spark.sql.types.StringType
+      graft.expr.BatchTopK.supportsIdType(idType)
     if (!heapOk) {
       val blocks = queryBlocks(qNorm, nq, config.dimensions)
       // hash(qid) splits queries near-uniformly, so each block carries
@@ -1027,7 +1065,8 @@ object Search {
         graft.expr.BatchTopKAgg(
           org.apache.spark.sql.graft.Bridge.expression(col("id")),
           org.apache.spark.sql.graft.Bridge.expression(col("_ds")),
-          mat.length, keeps.head, config.metric.code).toAggregateExpression())
+          mat.length, keeps.head, config.metric.code, idType)
+          .toAggregateExpression())
       val stage1 = df.select(col("id"), stage1Multi.get(sliced, d1).as("_ds"))
         .groupBy().agg(agg.as("_tops"))
         .select(explode(col("_tops")).as("_t"))
@@ -1145,7 +1184,8 @@ object Search {
         org.apache.spark.sql.graft.Bridge.column(
           graft.expr.Bf16VectorDistanceMulti(
             org.apache.spark.sql.graft.Bridge.expression(col(stageColF(d))),
-            df.sparkSession.sparkContext.broadcast(m), code))
+            BroadcastHandles.register(df.sparkSession,
+              df.sparkSession.sparkContext.broadcast(m)), code))
       })
     rerankManyExactBf16(df, config, pairs, qNorm, limit, effCand, nq, packedCol)
   }

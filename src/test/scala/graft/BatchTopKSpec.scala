@@ -44,6 +44,58 @@ class BatchTopKSpec extends SparkSpec {
     }
   }
 
+  test("LONG-id corpus: batch flat + MaxSim take the one-scan heap plan (no per-query jobs), native id tie order") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    val dims = 4
+    val config = CollectionConfig("longid", dims, Metric.InnerProduct,
+      normalize = Some(Normalize.None))
+    // ids 2 and 10: identical vectors make the id the ONLY tiebreaker —
+    // LONG order picks 2 first, string order would pick "10" first
+    val docs = (Seq((2L, "a"), (10L, "b")) ++
+      (20L until 40L).map(i => (i, s"v$i"))).map { case (id, v) =>
+        val vec = if (id == 2L || id == 10L) Seq(1f, 0f, 0f, 0f)
+                  else Seq(0.1f, 0.2f, 0.1f * (id % 3), 0f)
+        (id, v, vec, Seq(vec))
+      }.toDF("id", "value", "vector", "vectors")
+    val nq = 32
+    val qs = (0 until nq).map(i => (i.toString, Seq(1f, 0f, 0f, 0.01f * i)))
+      .toDF("qid", "qvector")
+    val qsets = (0 until nq).map(i =>
+      (i.toString, Seq(Seq(1f, 0f, 0f, 0.01f * i)))).toDF("qid", "qvectors")
+    val jobs = new java.util.concurrent.atomic.AtomicInteger
+    val listener = new SparkListener {
+      override def onJobStart(js: SparkListenerJobStart): Unit =
+        jobs.incrementAndGet()
+    }
+    // heap plan reachable: the plan itself proves one-scan
+    val flat = Search.flatSearchMany(docs, config, qs, 1, knownNq = nq.toLong)
+    assert(flat.queryExecution.executedPlan.toString.contains("partial_batch_topk"),
+      "long-id flat batch must take the heap plan")
+    spark.sparkContext.addSparkListener(listener)
+    val (flatRows, msRows) =
+      try {
+        val f = flat.collect()
+        val m = Search.multiVectorSearchMany(docs, config, qsets, 1).collect()
+        Thread.sleep(500) // listener bus delivers job-start events async
+        (f, m)
+      } finally spark.sparkContext.removeSparkListener(listener)
+    // job count must not scale with the 32 queries (the old fallback ran
+    // one plan per query); one-scan plans need only a handful of jobs
+    // (query collect + broadcast builds + final collect, x2 searches)
+    assert(jobs.get <= 12, s"expected O(1) jobs for $nq queries, got ${jobs.get}")
+    assert(flatRows.length === nq && msRows.length === nq)
+    // every query's top-1 is id=2 (LONG tie order, not string order)
+    assert(flatRows.forall(_.getLong(1) === 2L),
+      "flat batch must break rank ties by NATIVE long id order")
+    assert(msRows.forall(_.getLong(1) === 2L),
+      "batch MaxSim must break rank ties by NATIVE long id order")
+    // and per-query equality with the single forms on the long-id corpus
+    val single = Search.flatSearch(docs, config, Array(1f, 0f, 0f, 0f), 1)
+      .collect().map(r => (r.getLong(0), r.getDouble(2))).head
+    val batchQ0 = flatRows.find(_.getString(0) == "0").get
+    assert((batchQ0.getLong(1), batchQ0.getDouble(3)) === single)
+  }
+
   test("heap plan == window plan on ties, including non-BMP ids where UTF-16 and UTF-8 order differ") {
     val dims = 4
     val config = CollectionConfig("tie", dims, Metric.L2,

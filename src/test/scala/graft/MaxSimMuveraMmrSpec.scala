@@ -126,6 +126,49 @@ class MaxSimMuveraMmrSpec extends SparkSpec {
     }
   }
 
+  test("batch MMR: per-query == single (order, scores, positions); facade wired") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // clustered corpus with real redundancy so the diversity term bites:
+    // 3 tight direction clusters + an outlier, 2 queries aimed at
+    // different clusters
+    val dims = 4
+    val config = CollectionConfig("mmrb", dims, Metric.Cosine)
+    val rnd = new scala.util.Random(11)
+    val rows = (0 until 60).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(dims)(d => if (d == c) 1f else 0f)
+      val v = base.map(_ + 0.1f * rnd.nextFloat())
+      (s"d$i", s"d$i", v.toSeq)
+    }
+    val coll = Prepare.prepareEmbeddings(
+      rows.toDF("id", "value", "vector"), config)
+    val qs = Seq(
+      ("q0", Array.tabulate(dims)(d => if (d == 0) 1f else 0.05f).toSeq),
+      ("q1", Array.tabulate(dims)(d => if (d == 1) 1f else 0.02f).toSeq))
+      .toDF("qid", "qvector")
+    val many = Mmr.rerankMany(spark, coll, config, qs, 0.6, 5, 20, knownNq = 2L)
+      .collect().groupBy(_.getString(0))
+    for ((qid, qv) <- Seq(
+        "q0" -> Array.tabulate(dims)(d => if (d == 0) 1f else 0.05f),
+        "q1" -> Array.tabulate(dims)(d => if (d == 1) 1f else 0.02f))) {
+      val single = Mmr.rerankSearch(spark, coll, config, qv, 0.6, 5, 20)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2))).toSeq
+      val batch = many(qid).sortBy(_.getInt(3))
+        .map(r => (r.getString(1), r.getDouble(2), r.getInt(3))).toSeq
+      assert(batch === single, s"batch MMR $qid")
+    }
+    // facade: GraftDb.rerankMany over the same data
+    val db = new graft.api.GraftDb(spark)
+    db.createCollection("mmrb", dims, metric = "cosine")
+    db.batch("mmrb", rows.map { case (id, _, v) =>
+      db.EmbeddingInput(id = id, vector = v.toArray) })
+    val fac = db.rerankMany("mmrb", qs, 0.6, 5, candidates = 20, knownNq = 2L)
+    assert(fac.select("qid").distinct().count() === 2L)
+    assert(fac.groupBy("qid").count().collect().forall(_.getLong(1) === 5L))
+    db.close("mmrb")
+  }
+
   test("batch MaxSim: per-query == single; empty batch keeps the result schema") {
     import spark.implicits._
     val config = CollectionConfig("mv", 4, Metric.InnerProduct)

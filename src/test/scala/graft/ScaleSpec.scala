@@ -148,6 +148,48 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("heap-cut broadcast lifecycle: 200+ batch calls keep block-manager broadcast blocks bounded") {
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+    val qs = Tables.read(spark, sfDir, "embeddings").filter(col("vec_id") < 2)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+      .cache()
+    qs.count()
+    def broadcastBlockCount(): Int =
+      org.apache.spark.SparkEnv.get.blockManager
+        .getMatchingBlockIds(_.isBroadcast).map {
+          case org.apache.spark.storage.BroadcastBlockId(id, _) => id
+          case _ => -1L
+        }.distinct.size
+    withSQLConf("spark.graft.batch.broadcastHandles" -> "8") {
+      for (_ <- 0 until 210)
+        Search.flatSearchMany(coll, config, qs, 3, knownNq = 2L).count()
+      // the registry bound held: at most 8 of the 210 per-call query
+      // matrices are still live (the rest were destroy()ed eagerly)
+      assert(graft.search.BroadcastHandles.liveCount <= 8,
+        s"registry grew past its bound: ${graft.search.BroadcastHandles.liveCount}")
+      // and the block manager is actually bounded, not just the
+      // registry's view: Spark's own join-relation broadcasts are
+      // ContextCleaner-managed (released on GC), so drain them first,
+      // then require far fewer live broadcast ids than the 210 the loop
+      // would have accumulated without destroy()
+      var blocks = broadcastBlockCount()
+      var tries = 0
+      while (blocks > 100 && tries < 10) {
+        System.gc(); Thread.sleep(300)
+        blocks = broadcastBlockCount(); tries += 1
+      }
+      assert(blocks <= 100,
+        s"block manager still holds $blocks broadcast ids after 210 batch calls")
+    }
+    qs.unpersist(blocking = true)
+    // the batch results stay correct with eager destroy in play
+    val out = Search.flatSearchMany(coll, config, qs, 3, knownNq = 2L).collect()
+    assert(out.length === 6)
+  }
+
   test("compaction: small files merged, data identical") {
     import graft.store.Compaction
     val path = java.nio.file.Files.createTempDirectory("graft_compact").toString + "/t"
