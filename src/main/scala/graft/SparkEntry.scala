@@ -240,6 +240,35 @@ object SparkEntry {
       roundCols(Search.flatSearchMany(coll, config, qs, 5), Seq("score", "distance"))
     }),
 
+    // batch flat search over a LONG-id collection: the generic-id heap
+    // cut (BatchTopKAgg with a BIGINT id slot) takes the same one-scan
+    // plan as the canonical string schema — rank ties break by NATIVE
+    // long order, which string order would invert
+    "vec_search_many_longid" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+        .withColumn("id", col("id").cast("long"))
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 6)
+        .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+      roundCols(Search.flatSearchMany(coll, config, qs, 5, knownNq = 6L),
+        Seq("score", "distance"))
+    }),
+
+    // batch MMR: candidates for 2 queries from ONE flatSearchMany pass,
+    // per-qid driver greedy — per-query results equal vec_mmr_topk's
+    // single form (the batch recursive-CTE oracle replicates the greedy
+    // argmax per qid)
+    "vec_mmr_search_many" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 2)
+        .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+      roundCols(graft.rerank.Mmr.rerankMany(s, coll, config, qs, 0.7, 10, 50,
+        knownNq = 2L), Seq("score"))
+    }),
+
     // batch quantized search: sign-bit candidates for 10 queries in ONE
     // scan (asymmetric scorer), per-qid cut, shared exact batch rerank
     "vec_quantized_search_many" -> ((s, dir) => {
@@ -653,6 +682,44 @@ object SparkEntry {
            rk AS (SELECT qid, id, raw, row_number() OVER (PARTITION BY qid ORDER BY (1.0 - raw) ASC, id ASC) AS rn FROM sc)
            SELECT qid, id, id AS value, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance, 'cosine' AS metric
            FROM rk WHERE rn <= 5""",
+
+      // the long-id twin: id stays BIGINT end to end, ties order by the
+      // NATIVE numeric id (2 < 10, where string order says "10" < "2")
+      "vec_search_many_longid" ->
+        s"""WITH n AS (SELECT vec_id AS id, ${sqlNorm("embedding")} AS nv FROM embeddings),
+           qs AS (SELECT CAST(vec_id AS VARCHAR) AS qid, ${sqlNorm("embedding")} AS qv FROM embeddings WHERE vec_id < 6),
+           sc AS (SELECT qid, id, ${sqlDot("nv", "qv")} AS raw FROM n, qs),
+           rk AS (SELECT qid, id, raw, row_number() OVER (PARTITION BY qid ORDER BY (1.0 - raw) ASC, id ASC) AS rn FROM sc)
+           SELECT qid, id, CAST(id AS VARCHAR) AS value, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance, 'cosine' AS metric
+           FROM rk WHERE rn <= 5""",
+
+      // batch MMR: the single form's recursive-CTE greedy, parameterized
+      // per qid (seed + argmax correlate on qid; the selected-id list
+      // rides the recursion per query)
+      "vec_mmr_search_many" ->
+        s"""WITH RECURSIVE qs AS (SELECT CAST(vec_id AS VARCHAR) AS qid, ${sqlNorm("embedding")} AS qv FROM embeddings WHERE vec_id < 2),
+           n AS (SELECT CAST(vec_id AS VARCHAR) AS id, ${sqlNorm("embedding")} AS nv FROM embeddings),
+           sc AS (SELECT qs.qid, n.id, n.nv, ${sqlDot("nv", "qv")} AS raw FROM n, qs),
+           cand AS (SELECT * FROM (SELECT qid, id, nv, raw, row_number() OVER (PARTITION BY qid ORDER BY (1.0 - raw) ASC, id ASC) AS pos FROM sc) WHERE pos <= 50),
+           sel(qid, step, ids) AS (
+             SELECT q.qid, 1, [(SELECT c.id FROM cand c WHERE c.qid = q.qid ORDER BY 0.7*c.raw DESC, c.pos ASC LIMIT 1)]
+             FROM (SELECT DISTINCT qid FROM cand) q
+             UNION ALL
+             SELECT s.qid, s.step + 1, list_append(s.ids, (
+                 SELECT c.id FROM cand c
+                 WHERE c.qid = s.qid AND NOT list_contains(s.ids, c.id)
+                 ORDER BY (0.7*c.raw - (1.0 - 0.7) * (
+                     SELECT max(CASE WHEN dn = 0 OR dp = 0 THEN 0.0
+                                ELSE greatest(-1.0, least(1.0, dd / (sqrt(dn) * sqrt(dp)))) END)
+                     FROM (SELECT ${sqlDot("c.nv", "p.nv")} AS dd, ${sqlDot("c.nv", "c.nv")} AS dn,
+                                  ${sqlDot("p.nv", "p.nv")} AS dp
+                           FROM cand p WHERE p.qid = s.qid AND list_contains(s.ids, p.id)) pairs
+                   )) DESC, c.pos ASC LIMIT 1))
+             FROM sel s WHERE s.step < 10),
+           final AS (SELECT qid, ids FROM (SELECT qid, ids, row_number() OVER (PARTITION BY qid ORDER BY step DESC) AS rn FROM sel) WHERE rn = 1),
+           picked AS (SELECT qid, unnest(ids) AS id, unnest(range(len(ids))) AS position FROM final)
+           SELECT picked.qid, picked.id, (round(c.raw, 6) + 0) AS score, CAST(picked.position AS INT) AS position
+           FROM picked JOIN cand c ON c.qid = picked.qid AND c.id = picked.id ORDER BY picked.qid, position""",
 
       "vec_flat_l2_similarity_topk" ->
         s"""WITH q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),

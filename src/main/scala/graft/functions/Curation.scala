@@ -142,23 +142,64 @@ object Curation {
     * the canonical MIN-id copy: on a stream where each key's first
     * arrival is its min id the two agree — the equivalence the spec
     * gates; re-arrivals beyond the watermark pass, by contract).
-    * Heavier stages (near-dup, decontamination, mixing) remain batch
-    * jobs over the landed output — the standard continuous-ingest
-    * split. `tsCol` must be a timestamp column. */
+    *
+    * `nearDup = true` chains an online MinHash near-dup stage after the
+    * exact stage — [[graft.dedup.Dedup.streamingMinhashNovelty]]'s
+    * first-seen-band contract inlined so the PAYLOAD ROW rides through
+    * (the novelty form emits only (window, id, novel); a curation gate
+    * must emit rows): band keys explode over the exact-surviving rows,
+    * `dropDuplicatesWithinWatermark(band)` keeps first-seen (band, row)
+    * pairs, and a row is emitted — when its event-time window closes —
+    * iff ALL `nearDupBands` of its bands were first-seen (a band seen
+    * within the watermark, even from a dropped row, blocks later
+    * holders; absence means near-duplicate). State stays bounded: band
+    * hashes + in-window rows, expired at the watermark. Output is
+    * therefore DELAYED by the window close, the standard price of a
+    * stateful streaming aggregate.
+    *
+    * Heavier stages (decontamination, mixing) remain batch jobs over
+    * the landed output — the standard continuous-ingest split. `tsCol`
+    * must be a timestamp column. */
   def streamingGate(stream: DataFrame, textCol: String, tsCol: String,
       watermark: String = "10 minutes", minWords: Int = 20,
       canonicalKeys: Boolean = false,
-      blocklist: Seq[String] = Nil, maxBlocklistHits: Int = 0): DataFrame = {
+      blocklist: Seq[String] = Nil, maxBlocklistHits: Int = 0,
+      nearDup: Boolean = false, nearDupK: Int = 3, nearDupHashes: Int = 8,
+      nearDupBands: Int = 4, nearDupWindow: String = "1 minute",
+      fastHash: Boolean = false): DataFrame = {
     val text = col(textCol)
     var cur = stream.filter(TextAnalysis.gopherKeep(text, minWords = minWords))
     if (blocklist.nonEmpty)
       cur = cur.filter(
         TextAnalysis.blocklistHits(text, blocklist) <= maxBlocklistHits)
     val key = if (canonicalKeys) TextAnalysis.canonicalize(text) else text
-    cur.withColumn("_exact_key", md5(key))
+    val exact = cur.withColumn("_exact_key", md5(key))
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_exact_key")
       .drop("_exact_key")
+    if (!nearDup) exact
+    else {
+      require(nearDupHashes % nearDupBands == 0,
+        "nearDupHashes must be divisible by nearDupBands")
+      val keys =
+        if (fastHash)
+          TextAnalysis.minhashBandKeysFast(text, nearDupK, nearDupHashes, nearDupBands)
+        else TextAnalysis.minhashBandKeys(text, nearDupK, nearDupHashes, nearDupBands)
+      val cols = exact.columns.toSeq
+      // group on a metadata-STRIPPED copy of the event-time column: the
+      // watermarked original must feed window() and the band dedup, but
+      // if it also rides the grouping keys the aggregate output carries
+      // TWO event-time columns (window + ts) and the query is rejected
+      val strippedTs = col(tsCol)
+        .as("_nd_ts", org.apache.spark.sql.types.Metadata.empty)
+      exact.select((cols.map(col) :+ explode(keys).as("_band") :+ strippedTs): _*)
+        .dropDuplicatesWithinWatermark("_band")
+        .groupBy((window(col(tsCol), nearDupWindow) +:
+          cols.filterNot(_ == tsCol).map(col) :+ col("_nd_ts")): _*)
+        .agg(count(lit(1)).as("_surviving"))
+        .filter(col("_surviving") === nearDupBands)
+        .select(cols.map(c => if (c == tsCol) col("_nd_ts").as(tsCol) else col(c)): _*)
+    }
   }
 
   /** Per-stage row-count report — the funnel diagnostic every real

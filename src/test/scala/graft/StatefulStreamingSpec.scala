@@ -814,4 +814,62 @@ class StatefulStreamingSpec extends SparkSpec {
       "id", col("text")).select("id").collect().map(_.getInt(0)).toSet
     assert(batch === streamed, "stream gate != batch gate on the same rows")
   }
+
+  test("streamingGate nearDup: gate + exact + online minhash near-dup, stream == batch fold on planted near-copies") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import graft.functions.Curation
+    // 20+ distinct words each so the Gopher gate passes; B is a planted
+    // near-copy of A (one word appended -> most shingles shared), E a
+    // near-copy of C, D an EXACT copy of A (killed by the exact stage
+    // BEFORE its bands could enter near-dup state)
+    val docA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docB = docA + " extra"
+    val docC = "uniform victor whiskey xray yankee zulu apple banana cherry " +
+      "durian elder fig grape honey iris jasmine kiwi lemon mango nectar"
+    val docE = docC + " coda"
+    val base = 1700000000L
+    val rows = Seq((1, base, docA), (2, base + 10, docB), (3, base + 20, docC),
+      (4, base + 30, docA), (5, base + 40, docE))
+    val input = MemoryStream[(Int, Long, String)]
+    val gated = Curation.streamingGate(
+      input.toDS().toDF("id", "secs", "text")
+        .withColumn("ts", timestamp_seconds(col("secs"))),
+      "text", "ts", watermark = "10 minutes",
+      nearDup = true, nearDupK = 2, nearDupHashes = 8, nearDupBands = 4)
+    val q = gated.writeStream.format("memory").queryName("curgate_nd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // one microbatch per row: arrival order == event order, so the
+      // batch fold below sees the same first-seen band sequence
+      rows.foreach { r => input.addData(r); q.processAllAvailable() }
+      // flush sentinel advances the watermark so all windows close
+      input.addData((9, base + 3600, docC.replace("uniform", "sentinel")))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("curgate_nd").select("id")
+      .collect().map(_.getInt(0)).toSet
+    // batch twin of the online contract: gate -> exact dedup (keep min
+    // id) -> fold docs in arrival order, novel iff ALL band keys unseen;
+    // every first-seen band enters the seen set whether or not its doc
+    // survived (exactly dropDuplicatesWithinWatermark's state)
+    val all = rows.toDF("id", "secs", "text")
+    val exact = graft.dedup.Dedup.dropExactDuplicates(
+      all.filter(graft.text.TextAnalysis.gopherKeep(col("text"), minWords = 20)),
+      "id", col("text"))
+    val banded = exact.select(col("id"),
+        graft.text.TextAnalysis.minhashBandKeys(col("text"), 2, 8, 4).as("bands"))
+      .collect().map(r => (r.getInt(0), r.getSeq[String](1))).sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val batchKept = banded.collect { case (id, bands) =>
+      val novel = bands.forall(b => !seen.contains(b))
+      bands.foreach { b => if (!seen.contains(b)) seen += b }
+      if (novel) Some(id) else None
+    }.flatten.toSet
+    assert(batchKept === Set(1, 3), "fixture sanity: near-copies must collide")
+    assert(streamed === batchKept,
+      "stream gate+nearDup != batch fold on the same rows")
+  }
 }
