@@ -123,6 +123,19 @@ object SparkEntry {
         .drop("metadata"), Seq("score", "distance"))
     }),
 
+    // batch range search: 4 queries against the corpus in ONE broadcast
+    // scan; emits only the per-(qid, id) matches — output is the join's
+    // selectivity, never |corpus| x |queries|
+    "vec_range_search_many" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = CollectionConfig("embeddings", d, Metric.L2)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+      roundCols(Search.rangeSearchMany(coll, config, qs, radius = 1.35,
+        knownNq = 4L), Seq("score", "distance"))
+    }),
+
     // every scalar kernel over raw vectors vs the vec_id=0 query
     "vec_metrics_all" -> ((s, dir) => {
       val q = Tables.queryVector(s, dir, 0L)
@@ -529,6 +542,12 @@ object SparkEntry {
            sc AS (SELECT id, ${sqlDot("nv", "qv")} AS raw FROM n, q)
            SELECT id, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance, 'cosine' AS metric, id AS value
            FROM sc WHERE raw >= 0.15""",
+
+      "vec_range_search_many" ->
+        s"""WITH qs AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qv FROM embeddings WHERE vec_id < 4),
+           sc AS (SELECT qid, CAST(vec_id AS VARCHAR) AS id, sqrt(${sqlL2sq("embedding", "qv")}) AS raw FROM embeddings, qs)
+           SELECT qid, id, id AS value, (round(-raw, 6) + 0) AS score, (round(raw, 6) + 0) AS distance, 'l2' AS metric
+           FROM sc WHERE raw <= 1.35""",
 
       "vec_flat_l2_topk" ->
         s"""WITH q AS ($qv),

@@ -531,7 +531,8 @@ object Dedup {
       keyCol: Column, fpp: Double = 0.03,
       expectedItems: Long = -1L): DataFrame = {
     val bloom = corpusKeyBloom(corpus, keyCol, fpp, expectedItems)
-    val bc = corpus.sparkSession.sparkContext.broadcast(bloom)
+    val bc = graft.search.BroadcastHandles.register(corpus.sparkSession,
+      corpus.sparkSession.sparkContext.broadcast(bloom))
     val mightContain = udf((k: String) => k != null && bc.value.mightContainString(k))
     val keyed = batch.withColumn("_dk", md5(keyCol))
     val negatives = keyed.filter(!mightContain(col("_dk")))

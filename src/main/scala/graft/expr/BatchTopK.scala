@@ -110,10 +110,22 @@ final class TopKHeap(val k: Int, val idCmp: (AnyRef, AnyRef) => Int)
   /** String-id heap (the canonical collection schema). */
   def this(k: Int) = this(k, BatchTopK.idComparator(StringType))
 
-  private val ranks = new Array[Double](math.max(k, 1))
-  private val raws = new Array[Double](math.max(k, 1))
-  private val ids = new Array[AnyRef](math.max(k, 1))
+  // arrays grow geometrically up to k: a heap that never sees k entries
+  // (small partitions, grouped two-level merges) must not pay k slots
+  // up front — a grouped aggregate holds one buffer PER (partition,
+  // group) and eager nq*k slots per buffer multiply into GBs
+  private var cap = math.min(math.max(k, 1), 16)
+  private var ranks = new Array[Double](cap)
+  private var raws = new Array[Double](cap)
+  private var ids = new Array[AnyRef](cap)
   private var n = 0
+
+  private def grow(): Unit = {
+    cap = math.min(math.max(k, 1), cap * 2)
+    ranks = java.util.Arrays.copyOf(ranks, cap)
+    raws = java.util.Arrays.copyOf(raws, cap)
+    ids = java.util.Arrays.copyOf(ids, cap)
+  }
 
   private def cmpRank(a: Double, b: Double): Int =
     if (a == b) 0 else java.lang.Double.compare(a, b)
@@ -128,6 +140,7 @@ final class TopKHeap(val k: Int, val idCmp: (AnyRef, AnyRef) => Int)
   def offer(rank: Double, raw: Double, id: AnyRef): Unit = {
     if (k == 0) return
     if (n < k) {
+      if (n == cap) grow()
       ranks(n) = rank; raws(n) = raw; ids(n) = id
       n += 1
       siftUp(n - 1)

@@ -170,7 +170,8 @@ object ShardedHnsw {
     val nShards =
       if (shards > 0) shards else spark.sparkContext.defaultParallelism
     val qs = preparedQueries(config, queries)
-    val bq = spark.sparkContext.broadcast(qs)
+    val bq = graft.search.BroadcastHandles.register(spark,
+      spark.sparkContext.broadcast(qs))
     val metric = config.metric
     val p = params
     // shard count rides the stable key part: same cacheKey at a
@@ -457,7 +458,8 @@ object ShardedHnsw {
     val (nShards, params, version) = graft.ann.ModelStore.loadHnsw(spark,
       graft.ann.ModelStore.sidecarOf(path))
     val qs = preparedQueries(config, queries)
-    val bq = spark.sparkContext.broadcast(qs)
+    val bq = graft.search.BroadcastHandles.register(spark,
+      spark.sparkContext.broadcast(qs))
     val metric = config.metric
     val p = params
     // fold the layout version into the key: a rewrite/append bumps it,

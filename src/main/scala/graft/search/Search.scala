@@ -584,20 +584,11 @@ object Search {
       rows.zip(qsets).grouped(perBlock).toSeq.map { block =>
         val bc = BroadcastHandles.register(spark,
           spark.sparkContext.broadcast(block.map(_._2)))
-        val agg = org.apache.spark.sql.graft.Bridge.column(
-          graft.expr.BatchTopKAgg(
-            org.apache.spark.sql.graft.Bridge.expression(col("id")),
-            org.apache.spark.sql.graft.Bridge.expression(col("_ds")),
-            block.length, limit, 3, idType) // rankValue(3) = -raw
-            .toAggregateExpression())
-        df.select(col("id"),
+        heapTops(df.select(col("id"),
             org.apache.spark.sql.graft.Bridge.column(graft.expr.MaxSimMulti(
               org.apache.spark.sql.graft.Bridge.expression(docVecs),
-              bc, metric.code)).as("_ds"))
-          .groupBy().agg(agg.as("_tops"))
-          .select(explode(col("_tops")).as("_t"))
-          .select(col("_t.qi").as("_qi"), col("_t.id").as("id"),
-            col("_t.raw").as("raw"))
+              bc, metric.code)).as("_ds")),
+            block.length, limit, 3, idType) // rankValue(3) = -raw
           .join(broadcast(qiFrame(spark, block.map(_._1), qidType)), "_qi")
           .select("qid", "id", "raw")
       }.reduce(_ unionByName _)
@@ -761,17 +752,8 @@ object Search {
       rows.grouped(perBlock).toSeq.map { blockRows =>
         val bc = BroadcastHandles.register(spark, spark.sparkContext
           .broadcast(blockRows.map(_.getSeq[Float](1).toArray)))
-        val agg = org.apache.spark.sql.graft.Bridge.column(
-          graft.expr.BatchTopKAgg(
-            org.apache.spark.sql.graft.Bridge.expression(col("id")),
-            org.apache.spark.sql.graft.Bridge.expression(col("_ds")),
+        heapTops(df.select(col("id"), multiCol(bc).as("_ds")),
             blockRows.length, math.max(limit, 0), config.metric.code, idType)
-            .toAggregateExpression())
-        df.select(col("id"), multiCol(bc).as("_ds"))
-          .groupBy().agg(agg.as("_tops"))
-          .select(explode(col("_tops")).as("_t"))
-          .select(col("_t.qi").as("_qi"), col("_t.id").as("id"),
-            col("_t.raw").as("raw"))
           .join(broadcast(qiFrame(spark, blockRows, qidType)), "_qi")
           .select("qid", "id", "raw")
       }.reduce(_ unionByName _)
@@ -875,15 +857,8 @@ object Search {
                 BroadcastHandles.register(spark, spark.sparkContext
                   .broadcast(mat.map(VectorKernels.packSignBits))),
                 config.dimensions))
-        val agg = org.apache.spark.sql.graft.Bridge.column(
-          graft.expr.BatchTopKAgg(
-            org.apache.spark.sql.graft.Bridge.expression(col("id")),
-            org.apache.spark.sql.graft.Bridge.expression(col("_ds")),
-            mat.length, effCand, 0, idType).toAggregateExpression())
-        bitsScan.select(col("id"), multi.as("_ds"))
-          .groupBy().agg(agg.as("_tops"))
-          .select(explode(col("_tops")).as("_t"))
-          .select(col("_t.qi").as("_qi"), col("_t.id").as("id"))
+        heapTops(bitsScan.select(col("id"), multi.as("_ds")),
+            mat.length, effCand, 0, idType)
           .join(broadcast(qiFrame(spark, blockRows, qidType)), "_qi")
           .select("qid", "id")
       }.reduce(_ unionByName _)
@@ -920,6 +895,68 @@ object Search {
       .map(_.toLong).getOrElse(4000000L)
     math.max(1L, math.min(maxCells / math.max(dims, 1),
       maxEntries / math.max(k, 1))).min(Int.MaxValue).toInt
+  }
+
+  /** Column twin of [[VectorKernels.rankValue]] — plain double
+    * arithmetic, so the value is bit-identical to what the heap
+    * comparator ranked by. */
+  private def rankValueCode(code: Int, raw: Column): Column = code match {
+    case 2 => lit(1.0) - raw
+    case 3 => -raw
+    case _ => raw
+  }
+
+  /** Shared heap-cut tail of the batch plans: scored (id, _ds[nq]) rows
+    * -> slim (_qi, id, raw) winners. Single global aggregate while the
+    * buffer mass `nq * k` stays within
+    * `spark.graft.batch.mergeSingleMaxEntries` (default 262144 entries);
+    * above it the FINAL MERGE — one reduce task offering every
+    * partition's nq * min(k, partitionRows) partial entries — becomes
+    * the plan's only serial stage (measured: 64 queries x keep 12800
+    * over 5M rows spend ~18 s of a 24 s batch funnel in that task, and
+    * at 1000 executors the single reducer is a hard scale ceiling), so
+    * the cut goes TWO-LEVEL: per-corpus-slice heaps in
+    * `spark.graft.batch.mergeGroups` (default 8) parallel groups keyed
+    * on `spark_partition_id() % G` — each map task belongs to exactly
+    * ONE group, so per-task buffer memory and partial-row output stay
+    * identical to the single-level plan (a value-hashed key would give
+    * every task all G buffers: G x nq x k slots per task OOMs) — then a
+    * parallel per-qi window cut over the G*nq*k slim survivors. Rows
+    * are bit-identical either way — the global top-k is the top-k of
+    * the union of ANY disjoint corpus slicing's top-k's, and the window
+    * cut orders by the SAME (rank, id) the heap comparator replicates
+    * ([[rankValueCode]] + native id order). */
+  private def heapTops(scored: DataFrame, nq: Int, k: Int, code: Int,
+      idType: org.apache.spark.sql.types.DataType): DataFrame = {
+    val spark = scored.sparkSession
+    val agg = org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.BatchTopKAgg(
+        org.apache.spark.sql.graft.Bridge.expression(col("id")),
+        org.apache.spark.sql.graft.Bridge.expression(col("_ds")),
+        nq, k, code, idType).toAggregateExpression())
+    val maxSingle = spark.conf.getOption("spark.graft.batch.mergeSingleMaxEntries")
+      .map(_.toLong).getOrElse(262144L)
+    val single = nq.toLong * math.max(k, 1) <= maxSingle
+    val grouped =
+      if (single) scored.groupBy()
+      else {
+        val g = spark.conf.getOption("spark.graft.batch.mergeGroups")
+          .map(_.toInt).getOrElse(8)
+        scored.groupBy(
+          pmod(spark_partition_id(), lit(math.max(g, 1))).as("_mg"))
+      }
+    val tops = grouped.agg(agg.as("_tops"))
+      .select(explode(col("_tops")).as("_t"))
+      .select(col("_t.qi").as("_qi"), col("_t.id").as("id"),
+        col("_t.raw").as("raw"))
+    if (single) tops
+    else {
+      val w = Window.partitionBy(col("_qi"))
+        .orderBy(col("_rk").asc_nulls_last, col("id").asc)
+      tops.withColumn("_rk", rankValueCode(code, col("raw")))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= k)
+        .select(col("_qi"), col("id"), col("raw"))
+    }
   }
 
   /** The (qi -> qid) side frame of a collected query block. */
@@ -1061,16 +1098,9 @@ object Search {
       val sliced =
         if (d1 >= config.dimensions) mat
         else mat.map(q => java.util.Arrays.copyOf(q, d1))
-      val agg = org.apache.spark.sql.graft.Bridge.column(
-        graft.expr.BatchTopKAgg(
-          org.apache.spark.sql.graft.Bridge.expression(col("id")),
-          org.apache.spark.sql.graft.Bridge.expression(col("_ds")),
+      val stage1 = heapTops(
+          df.select(col("id"), stage1Multi.get(sliced, d1).as("_ds")),
           mat.length, keeps.head, config.metric.code, idType)
-          .toAggregateExpression())
-      val stage1 = df.select(col("id"), stage1Multi.get(sliced, d1).as("_ds"))
-        .groupBy().agg(agg.as("_tops"))
-        .select(explode(col("_tops")).as("_t"))
-        .select(col("_t.qi").as("_qi"), col("_t.id").as("id"))
         .join(broadcast(qiFrame(spark, blockRows, qidType)), "_qi")
         .select("qid", "id")
         if (stages.size == 1) stage1

@@ -148,6 +148,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("two-level heap merge == single global aggregate (flat, funnel, quantized, MaxSim)") {
+    import spark.implicits._
+    val sfDir = "/root/testdata/sf0.001"
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config)
+    val qs = Tables.read(spark, sfDir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+    val mv = coll.withColumn("vectors", array(col("vector")))
+    val qsets = Tables.read(spark, sfDir, "embeddings").filter(col("vec_id") < 8)
+      .select(col("vec_id").cast("string").as("qid"),
+        array(col("embedding")).as("qvectors"))
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(String, String, Double)] =
+      df.select("qid", "id", "score").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .sortBy(t => (t._1, t._2)).toSeq
+    def run(): Seq[Seq[(String, String, Double)]] = Seq(
+      key(Search.flatSearchMany(coll, config, qs, 5, knownNq = 8L)),
+      key(Search.funnelSearchMany(coll, config, qs, 5, candidates = 20,
+        knownNq = 8L)),
+      key(Search.quantizedSearchMany(coll, config, qs, 5, candidates = 20,
+        knownNq = 8L)),
+      key(Search.multiVectorSearchMany(mv, config, qsets, 5)))
+    // default thresholds on this tiny batch: single global aggregate
+    val single = run()
+    // force EVERY heap cut two-level (threshold 1 entry, 3 slice groups):
+    // rows must be bit-identical — the global top-k is the top-k of the
+    // union of any disjoint corpus slicing's top-k's, and the window cut
+    // replicates the heap's (rank, id) order
+    var twoLevel: Seq[Seq[(String, String, Double)]] = null
+    withSQLConf(
+      "spark.graft.batch.mergeSingleMaxEntries" -> "1",
+      "spark.graft.batch.mergeGroups" -> "3") { twoLevel = run() }
+    assert(twoLevel === single, "two-level merge changed batch results")
+  }
+
   test("heap-cut broadcast lifecycle: 200+ batch calls keep block-manager broadcast blocks bounded") {
     val sfDir = "/root/testdata/sf0.001"
     val d = Tables.dims(spark, sfDir)
