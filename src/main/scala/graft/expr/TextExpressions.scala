@@ -74,6 +74,46 @@ case class MinhashBandKeysFast(child: Expression, k: Int, numHashes: Int,
     copy(child = c)
 }
 
+/** ALL word k-shingles (document order, multiplicity preserved) as one
+  * codegen node — same values as the transform(sequence...,
+  * slice...concat_ws) HOF chain, which is CodegenFallback and
+  * interpreted per GRAM. */
+case class Shingles(child: Expression, k: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "shingles"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.shinglesData(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], k)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.TextKernels.shinglesData($v, $k);")
+
+  override protected def withNewChildInternal(c: Expression): Shingles =
+    copy(child = c)
+}
+
+/** Full n-grams of LOWERCASED tokens as one codegen node (SQL `lower`
+  * per token); texts shorter than n tokens yield an empty array. */
+case class LowerNgrams(child: Expression, n: Int) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "lower_ngrams"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.lowerNgramsData(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], n)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.TextKernels.lowerNgramsData($v, $n);")
+
+  override protected def withNewChildInternal(c: Expression): LowerNgrams =
+    copy(child = c)
+}
+
 /** Distinct word k-shingles as one opaque node — same values as
   * array_distinct(transform(sequence..., slice...)) but a fraction of
   * the generated code, and safe to reuse across join branches. */

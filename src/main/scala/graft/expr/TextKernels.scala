@@ -45,6 +45,66 @@ object TextKernels {
     s.substring(from, to)
   }
 
+  /** ALL word k-shingles in document order (multiplicity preserved) —
+    * the fused kernel of the transform/sequence/slice/concat_ws HOF
+    * chain (each of those is CodegenFallback, interpreted once PER
+    * GRAM; one kernel call per row replaces the whole chain — the DSIR
+    * lesson). Short texts collapse to one whole-text shingle, matching
+    * `sequence(0, greatest(size - k, 0))`. */
+  def shingles(text: String, k: Int): Array[String] = {
+    val toks = Whitespace.split(trimSpaces(text), -1)
+    val n = math.max(toks.length - k, 0)
+    val out = new Array[String](n + 1)
+    var i = 0
+    while (i <= n) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      val end = math.min(i + k, toks.length)
+      while (j < end) {
+        if (j > i) sb.append(' ')
+        sb.append(toks(j))
+        j += 1
+      }
+      out(i) = sb.toString
+      i += 1
+    }
+    out
+  }
+
+  def shinglesData(text: UTF8String, k: Int): ArrayData = {
+    val sh = shingles(text.toString, k)
+    new GenericArrayData(sh.map(UTF8String.fromString(_)).asInstanceOf[Array[Any]])
+  }
+
+  /** Full n-grams of LOWERCASED tokens (SQL `lower` semantics per
+    * token via UTF8String.toLowerCase); documents shorter than `n`
+    * tokens yield none — topNgrams' gram stage as one kernel call. */
+  def lowerNgramsData(text: UTF8String, n: Int): ArrayData = {
+    val toks = Whitespace.split(trimSpaces(text.toString), -1)
+    if (toks.length < n)
+      return new GenericArrayData(Array.empty[Any])
+    val low = new Array[String](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      low(i) = UTF8String.fromString(toks(i)).toLowerCase.toString
+      i += 1
+    }
+    val out = new Array[Any](toks.length - n + 1)
+    i = 0
+    while (i <= toks.length - n) {
+      val sb = new java.lang.StringBuilder()
+      var j = i
+      while (j < i + n) {
+        if (j > i) sb.append(' ')
+        sb.append(low(j))
+        j += 1
+      }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word k-shingles of a text (insertion order, like
     * array_distinct over the shingle transform). */
   def distinctShingles(text: String, k: Int): Array[String] = {

@@ -308,12 +308,14 @@ object TextAnalysis {
   def fingerprintMd5(text: Column): Column = md5(text)
 
   /** Word k-shingles (contiguous, space-joined); short texts collapse to
-    * one whole-text shingle. */
-  def shingles(text: Column, k: Int): Column = {
-    val toks = tokens(text)
-    transform(sequence(lit(0), greatest(size(toks) - k, lit(0))),
-      i => concat_ws(" ", slice(toks, i + 1, lit(k))))
-  }
+    * one whole-text shingle. One fused codegen node
+    * ([[graft.expr.Shingles]]) — the equivalent
+    * transform/sequence/slice/concat_ws HOF chain is CodegenFallback,
+    * interpreted once per gram. */
+  def shingles(text: Column, k: Int): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.Shingles(
+        org.apache.spark.sql.graft.Bridge.expression(text.cast("string")), k))
 
   /** Corpus-level top-`k` n-gram heavy hitters — vocabulary seeding,
     * boilerplate discovery, stop-phrase mining. EXACT two-phase count
@@ -327,11 +329,9 @@ object TextAnalysis {
       k: Int): org.apache.spark.sql.DataFrame = {
     require(n >= 1, "n must be positive")
     require(k >= 1, "k must be positive")
-    val toks = transform(tokens(text), w => lower(w))
-    val grams = when(size(toks) >= n,
-      transform(sequence(lit(0), size(toks) - n),
-        i => concat_ws(" ", slice(toks, i + 1, lit(n)))))
-      .otherwise(array().cast("array<string>"))
+    val grams = org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.LowerNgrams(
+        org.apache.spark.sql.graft.Bridge.expression(text.cast("string")), n))
     df.select(explode(grams).as("ngram"))
       .groupBy("ngram").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("ngram").asc).limit(k)
