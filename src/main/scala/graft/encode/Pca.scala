@@ -35,11 +35,14 @@ object Pca {
     * sum_ij) for i <= j — the single-pass moments the covariance
     * derives from. Exposed for the oracle gate. */
   def moments(df: DataFrame, vectorCol: String, dims: Int): DataFrame = {
-    val tri = flatten(transform(sequence(lit(0), lit(dims - 1)), i =>
-      transform(sequence(i, lit(dims - 1)), j =>
-        struct(i.as("i"), j.as("j"),
-          (element_at(col(vectorCol), i + 1).cast("double") *
-            element_at(col(vectorCol), j + 1).cast("double")).as("p")))))
+    // fused per-row product array (graft.expr.TriProducts): the nested
+    // transform/sequence/struct chain this replaces is CodegenFallback,
+    // interpreted once per (i, j) pair — dims*(dims+1)/2 closures per
+    // row; element order (and so every downstream sum's accumulation
+    // order) is identical
+    val tri = org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.TriProducts(
+        org.apache.spark.sql.graft.Bridge.expression(col(vectorCol))))
     val sums = df.select(posexplode(col(vectorCol)))
       .groupBy(col("pos").as("i")).agg(
         count(lit(1)).as("n"), sum(col("col").cast("double")).as("s"))

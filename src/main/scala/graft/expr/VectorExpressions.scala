@@ -620,3 +620,48 @@ case class AdcDistance(left: Expression, right: Expression, stride: Int)
   override protected def withNewChildrenInternal(l: Expression, r: Expression): AdcDistance =
     copy(left = l, right = r)
 }
+
+/** Upper-triangular per-row products array<struct<i int, j int,
+  * p double>> — the fused form of the nested
+  * transform(sequence, transform(sequence, struct(...))) chain PCA's
+  * moment pass exploded (interpreted HOFs, once per (i, j) PAIR: dims
+  * 64 = 2080 interpreted closures per row). One kernel call per row,
+  * identical element ORDER to the chain, so the downstream explode +
+  * groupBy sums accumulate in exactly the same sequence — bit-identical
+  * moments. Accepts float or double vectors (products always f64, like
+  * the chain's cast-then-multiply). */
+case class TriProducts(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.types._
+
+  // dataType resolves only after analysis — inspect lazily, validate via
+  // checkInputDataTypes (a constructor throw fires on the UNRESOLVED child)
+  private lazy val isFloat = child.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) | ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"tri_products needs a float/double array, got $other")
+    }
+
+  override def dataType: DataType = ArrayType(StructType(Seq(
+    StructField("i", IntegerType, nullable = false),
+    StructField("j", IntegerType, nullable = false),
+    StructField("p", DoubleType, nullable = false))), containsNull = false)
+  override def prettyName: String = "tri_products"
+
+  override protected def nullSafeEval(v: Any): Any =
+    VectorKernels.triProducts(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.expr.VectorKernels.triProducts($c, $isFloat);")
+
+  override protected def withNewChildInternal(c: Expression): TriProducts =
+    copy(child = c)
+}

@@ -714,6 +714,34 @@ object VectorKernels {
     case _ => raw
   }
 
+  /** Upper-triangular products (i <= j) as (i, j, xi*xj) rows in the
+    * same order the interpreted HOF chain emitted them — see
+    * [[graft.expr.TriProducts]]. */
+  def triProducts(v: org.apache.spark.sql.catalyst.util.ArrayData,
+      isFloat: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = v.numElements()
+    val vals = new Array[Double](n)
+    var i = 0
+    while (i < n) {
+      vals(i) = if (isFloat) v.getFloat(i).toDouble else v.getDouble(i)
+      i += 1
+    }
+    val out = new Array[Any](n * (n + 1) / 2)
+    var idx = 0
+    i = 0
+    while (i < n) {
+      var j = i
+      while (j < n) {
+        out(idx) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](i, j, vals(i) * vals(j)))
+        idx += 1
+        j += 1
+      }
+      i += 1
+    }
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+  }
+
   def validateFinite(v: Array[Float]): Boolean = {
     var i = 0
     while (i < v.length) { if (!java.lang.Float.isFinite(v(i))) return false; i += 1 }
