@@ -44,6 +44,44 @@ class BatchTopKSpec extends SparkSpec {
     }
   }
 
+  test("TopKHeap generic ids: long-id heap == sort-take with native ordering; lazy growth reaches k") {
+    import graft.expr.BatchTopK
+    import org.apache.spark.sql.types.LongType
+    val rnd = new scala.util.Random(13)
+    val specials = Array(Double.NaN, 0.0, -0.0, Double.PositiveInfinity,
+      Double.NegativeInfinity, 1.0, -1.0)
+    for (trial <- 0 until 40; k <- Seq(1, 7, 50)) {
+      // n > 16 with k = 50 exercises the geometric array growth (cap
+      // starts at 16); duplicate ranks force long-id tie-breaks
+      val n = 1 + rnd.nextInt(200)
+      val entries = Array.tabulate(n) { _ =>
+        val r = if (rnd.nextBoolean()) specials(rnd.nextInt(specials.length))
+                else rnd.nextInt(5).toDouble // dense ties
+        (r, rnd.nextLong() % 1000L)
+      }
+      val heap = new TopKHeap(k, BatchTopK.idComparator(LongType))
+      entries.foreach { case (r, id) =>
+        heap.offer(r, r, java.lang.Long.valueOf(id)) }
+      val got = heap.sorted.map(t =>
+        (java.lang.Double.doubleToLongBits(t._3),
+          t._1.asInstanceOf[java.lang.Long].longValue()))
+      val want = entries
+        .sortWith { case ((r1, i1), (r2, i2)) =>
+          val c = sparkCmp(r1, r2)
+          c < 0 || (c == 0 && i1 < i2)
+        }.take(k).map { case (r, id) => (java.lang.Double.doubleToLongBits(r), id) }
+      assert(got.toSeq === want.toSeq, s"trial $trial k=$k")
+    }
+    // serialization round trip preserves long ids through the agg codec
+    val agg = graft.expr.BatchTopKAgg(null, null, 2, 3, 0, LongType)
+    val buf = agg.createAggregationBuffer()
+    buf(0).offer(1.0, 1.0, java.lang.Long.valueOf(42L))
+    buf(1).offer(2.0, 2.0, java.lang.Long.valueOf(-7L))
+    val back = agg.deserialize(agg.serialize(buf))
+    assert(back(0).sorted.head._1 === java.lang.Long.valueOf(42L))
+    assert(back(1).sorted.head._1 === java.lang.Long.valueOf(-7L))
+  }
+
   test("LONG-id corpus: batch flat + MaxSim take the one-scan heap plan (no per-query jobs), native id tie order") {
     import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
     val dims = 4
