@@ -74,6 +74,25 @@ case class MinhashBandKeysFast(child: Expression, k: Int, numHashes: Int,
     copy(child = c)
 }
 
+/** Lowercased whitespace tokens as one codegen node — the fused form
+  * of the interpreted transform(split(trim(text)), lower) chain. */
+case class LowerTokens(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "lower_tokens"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.lowerTokensData(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.TextKernels.lowerTokensData($v);")
+
+  override protected def withNewChildInternal(c: Expression): LowerTokens =
+    copy(child = c)
+}
+
 /** ALL word k-shingles (document order, multiplicity preserved) as one
   * codegen node — same values as the transform(sequence...,
   * slice...concat_ws) HOF chain, which is CodegenFallback and

@@ -105,6 +105,21 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** Lowercased whitespace tokens as one kernel call — the fused form
+    * of `transform(tokens(text), t => lower(t))` (CodegenFallback,
+    * interpreted per TOKEN). Same trimSpaces + whitespace split, SQL
+    * `lower` per token via UTF8String.toLowerCase. */
+  def lowerTokensData(text: UTF8String): ArrayData = {
+    val toks = Whitespace.split(trimSpaces(text.toString), -1)
+    val out = new Array[Any](toks.length)
+    var i = 0
+    while (i < toks.length) {
+      out(i) = UTF8String.fromString(toks(i)).toLowerCase
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Distinct word k-shingles of a text (insertion order, like
     * array_distinct over the shingle transform). */
   def distinctShingles(text: String, k: Int): Array[String] = {

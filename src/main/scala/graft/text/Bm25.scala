@@ -29,7 +29,7 @@ object Bm25 {
   val DefaultB = 0.75
 
   private def lowerTokens(textCol: Column): Column =
-    transform(TextAnalysis.tokens(textCol), t => lower(t))
+    TextAnalysis.lowerTokens(textCol)
 
   /** `df` extended with `score` (raw double) and `score_r` (round-6
     * ranking key) for the given query terms. Zero-match docs score 0 —

@@ -34,7 +34,7 @@ object NaiveBayes {
   case class Model(classStats: DataFrame, likelihood: DataFrame)
 
   private def lowerTokens(textCol: String) =
-    transform(TextAnalysis.tokens(col(textCol)), t => lower(t))
+    TextAnalysis.lowerTokens(col(textCol))
 
   /** Fit on (id, text, label) rows. */
   def train(df: DataFrame, idCol: String, textCol: String,

@@ -40,7 +40,7 @@ object NgramLm {
   case class Model(bigrams: DataFrame, heads: DataFrame, vocabSize: Long)
 
   private def lowerTokens(textCol: String) =
-    transform(TextAnalysis.tokens(col(textCol)), t => lower(t))
+    TextAnalysis.lowerTokens(col(textCol))
 
   private def bigramRows(df: DataFrame, idCol: String, textCol: String) =
     df.select(col(idCol).as("_id"), lowerTokens(textCol).as("_lt"))

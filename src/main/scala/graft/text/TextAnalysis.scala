@@ -17,6 +17,14 @@ object TextAnalysis {
   /** Whitespace tokens (multiplicity preserved). */
   def tokens(text: Column): Column = split(trim(text), "\\s+")
 
+  /** LOWERCASED whitespace tokens as ONE codegen node
+    * ([[graft.expr.LowerTokens]]) — `transform(tokens(text), lower)` is
+    * a CodegenFallback HOF, interpreted per token. */
+  def lowerTokens(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.LowerTokens(
+        org.apache.spark.sql.graft.Bridge.expression(text.cast("string"))))
+
   /** BPE-ish regex token count: words + standalone punctuation. */
   def regexTokenCount(text: Column): Column =
     regexp_count(text, lit("[A-Za-z0-9]+|[^A-Za-z0-9\\s]"))
@@ -48,7 +56,7 @@ object TextAnalysis {
   /** Builtin-composition reference for [[hashingTfVector]] (O(tokens x
     * dims)) — what the fused kernel must reproduce bit-for-bit. */
   private[graft] def hashingTfVectorReference(text: Column, dims: Int): Column = {
-    val buckets = transform(transform(tokens(text), t => lower(t)), t =>
+    val buckets = transform(lowerTokens(text), t =>
       (conv(substring(md5(t), 1, 8), 16, 10).cast("long") % dims).cast("int"))
     transform(sequence(lit(0), lit(dims - 1)), i =>
       size(filter(buckets, b => b === i)).cast("float"))
@@ -174,7 +182,7 @@ object TextAnalysis {
 
   /** Occurrence fraction of the most frequent lowercased token. */
   def topTokenFrac(text: Column): Column =
-    maxFreqFrac(transform(tokens(text), t => lower(t)))
+    maxFreqFrac(lowerTokens(text))
 
   /** Occurrence fraction of the most frequent word n-gram (Gopher's
     * top-n-gram repetition signal, count-based) — 0 when no n-grams. */
@@ -248,7 +256,7 @@ object TextAnalysis {
       textCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val toks = docs.select(col(idCol),
-      explode(transform(tokens(col(textCol)), t => lower(t))).as("term"))
+      explode(lowerTokens(col(textCol))).as("term"))
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(col(idCol)).distinct().count()
@@ -350,7 +358,7 @@ object TextAnalysis {
       eps: Double = 0.001, confidence: Double = 0.99,
       seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch = {
     val toks = df.select(
-      explode(transform(tokens(text), w => lower(w))).as("_tok"))
+      explode(lowerTokens(text)).as("_tok"))
     toks.stat.countMinSketch("_tok", eps, confidence, seed)
   }
 
@@ -374,7 +382,7 @@ object TextAnalysis {
     * per-group count frame. */
   def corpusProfile(df: org.apache.spark.sql.DataFrame, textCol: String,
       groupCol: String): org.apache.spark.sql.DataFrame = {
-    val toks = size(transform(tokens(col(textCol)), t => lower(t)))
+    val toks = size(lowerTokens(col(textCol)))
     val base = df.agg(count(lit(1)).as("n_docs"),
       sum(toks.cast("long")).as("total_tokens"),
       avg(toks.cast("double")).as("mean_tokens"),
@@ -398,7 +406,7 @@ object TextAnalysis {
     * exploded tokens upstream. */
   def blocklistHits(text: Column, terms: Seq[String]): Column = {
     require(terms.nonEmpty, "empty blocklist")
-    val lt = transform(tokens(text), t => lower(t))
+    val lt = lowerTokens(text)
     val tl = typedlit(terms.map(_.toLowerCase))
     size(filter(lt, x => array_contains(tl, x)))
   }
@@ -406,7 +414,7 @@ object TextAnalysis {
   /** Fraction of tokens hitting the blocklist (0 for empty docs'
     * single empty token — it can't be a listed term). */
   def blocklistFraction(text: Column, terms: Seq[String]): Column = {
-    val lt = transform(tokens(text), t => lower(t))
+    val lt = lowerTokens(text)
     blocklistHits(text, terms).cast("double") / size(lt).cast("double")
   }
 
@@ -417,14 +425,14 @@ object TextAnalysis {
     * Pure array builtins per row (one aggregate HOF for hapax), no
     * shuffle; empty text (one empty token) scores ttr 1. */
   def typeTokenRatio(text: Column): Column = {
-    val lt = transform(tokens(text), t => lower(t))
+    val lt = lowerTokens(text)
     size(array_distinct(lt)).cast("double") / size(lt).cast("double")
   }
 
   /** Hapax fraction: share of DISTINCT (lowercased) tokens appearing
     * exactly once. */
   def hapaxFraction(text: Column): Column = {
-    val lt = transform(tokens(text), t => lower(t))
+    val lt = lowerTokens(text)
     val distinctToks = array_distinct(lt)
     val hapax = filter(distinctToks, d =>
       size(filter(lt, x => x === d)) === 1)
@@ -448,7 +456,7 @@ object TextAnalysis {
       topN: Int): org.apache.spark.sql.DataFrame = {
     require(topN > 0, "topN must be positive")
     val toks = df.select(col(clusterCol).as("_c"),
-      explode(transform(tokens(col(textCol)), t => lower(t))).as("term"))
+      explode(lowerTokens(col(textCol))).as("term"))
     val tc = toks.groupBy(col("_c"), col("term")).agg(count(lit(1)).as("_cnt"))
     val ct = tc.groupBy(col("_c")).agg(sum(col("_cnt")).as("_tok_c"))
     val cf = tc.select(col("_c"), col("term")).distinct()
@@ -481,10 +489,10 @@ object TextAnalysis {
   def vocabCoverage(ref: org.apache.spark.sql.DataFrame,
       df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val vocab = ref.select(explode(transform(tokens(col(textCol)),
-      t => lower(t))).as("term")).distinct()
+    val vocab = ref.select(explode(lowerTokens(col(textCol)))
+      .as("term")).distinct()
     val toks = df.select(col(idCol).as("_id"),
-      explode(transform(tokens(col(textCol)), t => lower(t))).as("term"))
+      explode(lowerTokens(col(textCol))).as("term"))
     val covered = toks.join(vocab, Seq("term"), "left_semi")
       .groupBy(col("_id")).agg(count(lit(1)).as("n_covered"))
     val totals = toks.groupBy(col("_id")).agg(count(lit(1)).as("n_tokens"))
