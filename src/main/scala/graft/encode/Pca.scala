@@ -42,7 +42,7 @@ object Pca {
     // order) is identical
     val tri = org.apache.spark.sql.graft.Bridge.column(
       graft.expr.TriProducts(
-        org.apache.spark.sql.graft.Bridge.expression(col(vectorCol))))
+        org.apache.spark.sql.graft.Bridge.expression(col(vectorCol)), dims))
     val sums = df.select(posexplode(col(vectorCol)))
       .groupBy(col("pos").as("i")).agg(
         count(lit(1)).as("n"), sum(col("col").cast("double")).as("s"))

@@ -74,6 +74,27 @@ case class MinhashBandKeysFast(child: Expression, k: Int, numHashes: Int,
     copy(child = c)
 }
 
+/** 64-bit SimHash of a text column as one codegen node — see
+  * [[TextKernels.simhash64]]. Replaces the last udf on a hot text path
+  * (the per-token bit loop), keeping the whole simhash-banded dedup
+  * scan inside WholeStageCodegen. */
+case class Simhash64(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "simhash64"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.simhash64Data(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.TextKernels.simhash64Data($v);")
+
+  override protected def withNewChildInternal(c: Expression): Simhash64 =
+    copy(child = c)
+}
+
 /** Lowercased whitespace tokens as one codegen node — the fused form
   * of the interpreted transform(split(trim(text)), lower) chain. */
 case class LowerTokens(child: Expression) extends UnaryExpression {

@@ -105,6 +105,36 @@ object TextKernels {
     new GenericArrayData(out)
   }
 
+  /** 64-bit SimHash over whitespace tokens as one kernel call — the
+    * fused form of the per-token udf loop in
+    * [[graft.text.TextAnalysis.simhash64Scala]] (same trimSpaces +
+    * whitespace split, same md5 first-8-bytes MSB-first bit votes,
+    * votes >= 0 set the bit). Bit-identical to the udf it replaces, so
+    * the DuckDB simhash oracles stay hash-green. */
+  def simhash64(text: String): Long = {
+    val toks = Whitespace.split(trimSpaces(text), -1)
+    val votes = new Array[Int](64)
+    val digest = java.security.MessageDigest.getInstance("MD5")
+    var t = 0
+    while (t < toks.length) {
+      val d = digest.digest(toks(t).getBytes("UTF-8"))
+      var b = 0
+      while (b < 64) {
+        // bit b (MSB-first over the first 8 digest bytes) votes +1/-1
+        if (((d(b >> 3) >> (7 - (b & 7))) & 1) == 1) votes(b) += 1
+        else votes(b) -= 1
+        b += 1
+      }
+      t += 1
+    }
+    var acc = 0L
+    var b = 0
+    while (b < 64) { acc = (acc << 1) | (if (votes(b) >= 0) 1L else 0L); b += 1 }
+    acc
+  }
+
+  def simhash64Data(text: UTF8String): Long = simhash64(text.toString)
+
   /** Lowercased whitespace tokens as one kernel call — the fused form
     * of `transform(tokens(text), t => lower(t))` (CodegenFallback,
     * interpreted per TOKEN). Same trimSpaces + whitespace split, SQL

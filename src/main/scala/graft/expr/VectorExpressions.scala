@@ -629,8 +629,10 @@ case class AdcDistance(left: Expression, right: Expression, stride: Int)
   * identical element ORDER to the chain, so the downstream explode +
   * groupBy sums accumulate in exactly the same sequence — bit-identical
   * moments. Accepts float or double vectors (products always f64, like
-  * the chain's cast-then-multiply). */
-case class TriProducts(child: Expression) extends UnaryExpression {
+  * the chain's cast-then-multiply). `dims` bounds the emitted indices at
+  * `min(length, dims)`, matching the chain's `sequence(0, dims-1)`
+  * truncation (`dims <= 0` = use the full array). */
+case class TriProducts(child: Expression, dims: Int = 0) extends UnaryExpression {
   import org.apache.spark.sql.types._
 
   // dataType resolves only after analysis — inspect lazily, validate via
@@ -656,11 +658,12 @@ case class TriProducts(child: Expression) extends UnaryExpression {
   override def prettyName: String = "tri_products"
 
   override protected def nullSafeEval(v: Any): Any =
-    VectorKernels.triProducts(v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat)
+    VectorKernels.triProducts(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], isFloat, dims)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c =>
-      s"${ev.value} = graft.expr.VectorKernels.triProducts($c, $isFloat);")
+      s"${ev.value} = graft.expr.VectorKernels.triProducts($c, $isFloat, $dims);")
 
   override protected def withNewChildInternal(c: Expression): TriProducts =
     copy(child = c)

@@ -716,10 +716,12 @@ object VectorKernels {
 
   /** Upper-triangular products (i <= j) as (i, j, xi*xj) rows in the
     * same order the interpreted HOF chain emitted them — see
-    * [[graft.expr.TriProducts]]. */
+    * [[graft.expr.TriProducts]]. Bounded at `dims` elements, like the
+    * chain's `sequence(0, dims-1)` (longer vectors truncate; `dims <= 0`
+    * means unbounded). */
   def triProducts(v: org.apache.spark.sql.catalyst.util.ArrayData,
-      isFloat: Boolean): org.apache.spark.sql.catalyst.util.ArrayData = {
-    val n = v.numElements()
+      isFloat: Boolean, dims: Int): org.apache.spark.sql.catalyst.util.ArrayData = {
+    val n = if (dims > 0) math.min(v.numElements(), dims) else v.numElements()
     val vals = new Array[Double](n)
     var i = 0
     while (i < n) {

@@ -39,8 +39,8 @@ object Mmr {
     * the first maximum (stable against input order, like the reference's
     * Enum.max_by). Returns at most `finalK` (id, originalScore) pairs in
     * selection order. */
-  def rerank(initial: Seq[(String, Double)], vectors: Map[String, Array[Float]],
-      metric: Metric, alpha: Double, finalK: Int): Seq[(String, Double)] = {
+  def rerank[I](initial: Seq[(I, Double)], vectors: Map[I, Array[Float]],
+      metric: Metric, alpha: Double, finalK: Int): Seq[(I, Double)] = {
     require(alpha >= 0.0 && alpha <= 1.0, "alpha must be in [0,1]")
     require(finalK > 0, "final_k must be positive")
     initial.foreach { case (id, s) =>
@@ -50,7 +50,7 @@ object Mmr {
     require(initial.map(_._1).distinct.size == initial.size, "duplicate candidate id")
 
     val remaining = scala.collection.mutable.ArrayBuffer.from(initial)
-    val selected = scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
+    val selected = scala.collection.mutable.ArrayBuffer.empty[(I, Double)]
     while (selected.size < finalK && remaining.nonEmpty) {
       var bestIdx = 0
       var bestScore = Double.NegativeInfinity
@@ -70,26 +70,54 @@ object Mmr {
     selected.toSeq
   }
 
+  /** `ORDER BY id ASC`-identical comparator over EXTERNAL (collected)
+    * id values — the driver-side twin of
+    * [[graft.expr.BatchTopK.idComparator]], which orders internal
+    * values. Strings compare in UTF-8 binary order (what Spark's sort
+    * uses), not Java's UTF-16 `compareTo`. */
+  private def externalIdCompare(dt: DataType): (Any, Any) => Int = dt match {
+    case StringType => (a, b) =>
+      org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+        .compareTo(
+          org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+    case DoubleType => (a, b) => {
+      val x = a.asInstanceOf[java.lang.Double].doubleValue()
+      val y = b.asInstanceOf[java.lang.Double].doubleValue()
+      if (x == y) 0 else java.lang.Double.compare(x, y)
+    }
+    case FloatType => (a, b) => {
+      val x = a.asInstanceOf[java.lang.Float].floatValue()
+      val y = b.asInstanceOf[java.lang.Float].floatValue()
+      if (x == y) 0 else java.lang.Float.compare(x, y)
+    }
+    // remaining supported id types (long/int/short/byte/boolean/
+    // date/timestamp) collect as mutually-comparable Java values
+    case _ => (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+  }
+
   /** DataFrame front-end: distributed flat search supplies the top
     * `candidates` (with vectors), the greedy loop runs on the driver,
-    * and the selection returns as a small DataFrame. */
+    * and the selection returns as a small DataFrame. Serves any
+    * heap-supported id type (string, integral, ...), like the batch
+    * search paths. */
   def rerankSearch(spark: SparkSession, df: DataFrame, config: CollectionConfig,
       query: Array[Float], alpha: Double, finalK: Int, candidates: Int): DataFrame = {
     val q = Search.prepareQuery(config, query)
+    val idType = df.schema("id").dataType
     import graft.functions.VectorFunctions._
     val cand = df
       .withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))
       .withColumn("rank", rankValue(config.metric, col("raw")))
       .orderBy(col("rank").asc_nulls_last, col("id").asc).limit(candidates)
     val rows = cand.select("id", "raw", "vector").collect()
-    val initial = rows.map(r => r.getString(0) -> {
+    val initial = rows.map(r => r.get(0) -> {
       val (score, _) = graft.core.ScoreMode.resultValues(config.metric, r.getDouble(1), config.score)
       score
     }).toSeq
-    val vectors = rows.map(r => r.getString(0) -> r.getSeq[Float](2).toArray).toMap
+    val vectors = rows.map(r => r.get(0) -> r.getSeq[Float](2).toArray).toMap
     val picked = rerank(initial, vectors, config.metric, alpha, finalK)
     val schema = StructType(Seq(
-      StructField("id", StringType, nullable = false),
+      StructField("id", idType, nullable = false),
       StructField("score", DoubleType, nullable = false),
       StructField("position", IntegerType, nullable = false)))
     spark.createDataFrame(
@@ -109,7 +137,8 @@ object Mmr {
     * scans. Initial candidate order replicates Spark's `(rank, id)`
     * sort exactly (double total order, binary UTF-8 id ties), so the
     * greedy tie behavior is identical to the single form's collected
-    * ordering. String-id collections only, like [[rerankSearch]]. */
+    * ordering. Serves any heap-supported id type, like
+    * [[rerankSearch]] and the batch search paths. */
   def rerankMany(spark: SparkSession, df: DataFrame, config: CollectionConfig,
       queries: DataFrame, alpha: Double, finalK: Int, candidates: Int,
       knownNq: Long = -1L): DataFrame = {
@@ -117,6 +146,8 @@ object Mmr {
     require(finalK > 0, "final_k must be positive")
     require(candidates > 0, "candidates must be positive")
     val qidType = queries.schema("qid").dataType
+    val idType = df.schema("id").dataType
+    val idCmp = externalIdCompare(idType)
     // ONE batch pass cuts every query's candidate ids; vectors for the
     // nq*candidates winners rejoin before the single bounded collect
     val winners = Search.flatSearchMany(df, config, queries, candidates,
@@ -135,13 +166,11 @@ object Mmr {
       val cand = byQid.getOrElse(qid, Array.empty).map { r =>
         val v = r.getSeq[Float](2).toArray
         val raw = VectorKernels.distance(config.metric.code, v, q)
-        (r.getString(1), v, raw)
+        (r.get(1), v, raw)
       }.sortWith { case ((id1, _, r1), (id2, _, r2)) =>
         val c = cmpRank(VectorKernels.rankValue(config.metric.code, r1),
           VectorKernels.rankValue(config.metric.code, r2))
-        c < 0 || (c == 0 &&
-          org.apache.spark.unsafe.types.UTF8String.fromString(id1)
-            .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(id2)) < 0)
+        c < 0 || (c == 0 && idCmp(id1, id2) < 0)
       }
       val initial = cand.map { case (id, _, raw) =>
         id -> graft.core.ScoreMode.resultValues(config.metric, raw, config.score)._1
@@ -153,7 +182,7 @@ object Mmr {
     }
     val schema = StructType(Seq(
       StructField("qid", qidType),
-      StructField("id", StringType, nullable = false),
+      StructField("id", idType, nullable = false),
       StructField("score", DoubleType, nullable = false),
       StructField("position", IntegerType, nullable = false)))
     spark.createDataFrame(java.util.Arrays.asList(out.toSeq: _*), schema)

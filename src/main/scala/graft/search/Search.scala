@@ -555,7 +555,10 @@ object Search {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("rank").asc_nulls_last, col("id").asc)
       queryBlocks(qNorm, nq, config.dimensions).map { qb =>
-        df.select(col("id"), docVecs.as("_dv")).crossJoin(broadcast(qb))
+        // match the heap plan: null id / null doc-set rows never win
+        df.select(col("id"), docVecs.as("_dv"))
+          .filter(col("id").isNotNull && col("_dv").isNotNull)
+          .crossJoin(broadcast(qb))
           .withColumn("raw", maxSim(metric, col("qvectors"), col("_dv")).cast("double"))
           .withColumn("rank", -col("raw")) // rankValue(3) = -raw, desc score
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
@@ -734,7 +737,12 @@ object Search {
       val w = Window.partitionBy(col("qid"))
         .orderBy(col("rank").asc_nulls_last, col("id").asc)
       queryBlocks(qNorm, nq, config.dimensions).map { qb =>
-        df.select(col("id"), col(scanCol)).crossJoin(broadcast(qb))
+        // null id/scan rows drop here exactly as the heap plan drops
+        // them (BatchTopKAgg skips null ids/distances) — without this a
+        // null row fills row_number slots when scorable rows < limit
+        df.select(col("id"), col(scanCol))
+          .filter(col("id").isNotNull && col(scanCol).isNotNull)
+          .crossJoin(broadcast(qb))
           .withColumn("raw", pairRaw)
           .withColumn("rank", rankCol(config.metric, col("raw")))
           .withColumn("rn", row_number().over(w)).filter(col("rn") <= limit)
@@ -875,6 +883,7 @@ object Search {
         .orderBy(col("_qrank").asc_nulls_last, col("id").asc)
       queryBlocks(qSide, nq, config.dimensions).map { qb =>
         bitsScan
+          .filter(col("id").isNotNull && col("_bits").isNotNull)
           .crossJoin(broadcast(qb))
           .withColumn("_qrank", rank)
           .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= effCand)
@@ -1272,7 +1281,9 @@ object Search {
         val w = Window.partitionBy(col("qid"))
           .orderBy(col("_fr").asc_nulls_last, col("id").asc)
         queryBlocks(qNorm, nq, config.dimensions).map { qb =>
-          df.select(col("id"), col("vector")).crossJoin(broadcast(qb))
+          df.select(col("id"), col("vector"))
+            .filter(col("id").isNotNull && col("vector").isNotNull)
+            .crossJoin(broadcast(qb))
             .withColumn("_fr",
               rankCol(config.metric, vecDistance(config.metric, col("vector"), col("qvector"))))
             .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= effCand)

@@ -5,9 +5,10 @@ import org.apache.spark.sql.functions._
 
 /** Text analysis for large-scale training-data pipelines: tokenization,
   * quality scoring, language ID, fingerprinting. Everything is a
-  * composition of codegen'd built-ins (split/transform/aggregate/md5) —
-  * no UDF in any per-row path except simhash (bit loop), so plans stay
-  * inside whole-stage codegen and scale linearly with partitions.
+  * composition of codegen'd built-ins (split/transform/aggregate/md5)
+  * or fused codegen kernels ([[graft.expr.TextKernels]]) — no UDF in
+  * any per-row path, so plans stay inside whole-stage codegen and
+  * scale linearly with partitions.
   *
   * Every function has an exact DuckDB-SQL mirror (same md5, same
   * arithmetic) so results are oracle-checkable row by row.
@@ -613,11 +614,13 @@ object TextAnalysis {
 
   /** 64-bit SimHash over whitespace tokens (multiplicity-weighted): bit b
     * of each token's md5 votes +1/-1; sign of the vote sum sets result
-    * bit b (MSB-first). Engine-portable: same md5, same bit order. */
-  def simhash64(text: Column): Column = {
-    val f = udf((toks: Seq[String]) => simhash64Scala(toks))
-    f(tokens(text))
-  }
+    * bit b (MSB-first). Engine-portable: same md5, same bit order.
+    * One codegen node ([[graft.expr.Simhash64]]) — bit-identical to the
+    * udf-over-tokens form it replaces, null text -> null. */
+  def simhash64(text: Column): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.Simhash64(
+        org.apache.spark.sql.graft.Bridge.expression(text.cast("string"))))
 
   def simhash64Scala(toks: Seq[String]): Long = {
     val votes = new Array[Int](64)

@@ -134,6 +134,45 @@ class BatchTopKSpec extends SparkSpec {
     assert((batchQ0.getLong(1), batchQ0.getDouble(3)) === single)
   }
 
+  test("window plans drop null id / null vector rows exactly like the heap plans") {
+    val dims = 4
+    val config = CollectionConfig("nulls", dims, Metric.L2,
+      normalize = Some(Normalize.None))
+    // 3 scorable rows + a null-id row + a null-vector row; limit ABOVE
+    // the scorable count is the exact failure shape: pre-fix the window
+    // cut let the null rows fill the empty row_number slots (and a null
+    // id sorted FIRST on rank ties, asc = nulls first)
+    val rows: Seq[(String, String, Seq[Float])] = Seq(
+      ("a", "a", Seq(1f, 0f, 0f, 0f)), ("b", "b", Seq(0f, 1f, 0f, 0f)),
+      ("c", "c", Seq(0f, 0f, 1f, 0f)),
+      (null, "null-id", Seq(1f, 0f, 0f, 0f)), ("nv", "nv", null))
+    val coll = rows.toDF("id", "value", "vector")
+    // multi-vector variant keeps the null-ID row only (its defect shape:
+    // a null id TIES the best row's rank and asc = nulls first put it
+    // FIRST pre-fix); a null element inside a token set is out of the
+    // validated multi-vector contract either way
+    val mv = coll.filter(col("value") =!= lit("nv"))
+      .withColumn("vectors", array(col("vector")))
+    val qs = Seq(("q0", Seq(1f, 0f, 0f, 0f))).toDF("qid", "qvector")
+    val qsets = Seq(("q0", Seq(Seq(1f, 0f, 0f, 0f)))).toDF("qid", "qvectors")
+    def run(heap: Boolean): Seq[Seq[String]] = {
+      spark.conf.set("spark.graft.batch.heapCut", heap.toString)
+      try Seq(
+        Search.flatSearchMany(coll, config, qs, 5, knownNq = 1L)
+          .collect().map(_.getString(1)).sorted.toSeq,
+        Search.multiVectorSearchMany(mv, config, qsets, 5)
+          .collect().map(_.getString(1)).sorted.toSeq,
+        Search.quantizedSearchMany(coll, config, qs, 5, candidates = 5,
+          knownNq = 1L).collect().map(_.getString(1)).sorted.toSeq)
+      finally spark.conf.unset("spark.graft.batch.heapCut")
+    }
+    val viaWindow = run(heap = false)
+    val viaHeap = run(heap = true)
+    assert(viaWindow === viaHeap, "window and heap plans disagree on null rows")
+    assert(viaWindow.forall(_ === Seq("a", "b", "c")),
+      s"null rows leaked into batch results: $viaWindow")
+  }
+
   test("heap plan == window plan on ties, including non-BMP ids where UTF-16 and UTF-8 order differ") {
     val dims = 4
     val config = CollectionConfig("tie", dims, Metric.L2,

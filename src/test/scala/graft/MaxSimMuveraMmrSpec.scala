@@ -169,6 +169,35 @@ class MaxSimMuveraMmrSpec extends SparkSpec {
     db.close("mmrb")
   }
 
+  test("MMR on long-id collections: single and batch match the string-id runs") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val dims = 4
+    val config = CollectionConfig("mmrl", dims, Metric.Cosine)
+    val rnd = new scala.util.Random(23)
+    val rows = (0 until 50).map { i =>
+      val c = i % 3
+      val base = Array.tabulate(dims)(d => if (d == c) 1f else 0f)
+      (i.toString, i.toString, base.map(_ + 0.1f * rnd.nextFloat()).toSeq)
+    }
+    val collS = Prepare.prepareEmbeddings(rows.toDF("id", "value", "vector"), config)
+    val collL = collS.withColumn("id", col("id").cast("long"))
+      .withColumn("value", col("value"))
+    val qv = Array.tabulate(dims)(d => if (d == 0) 1f else 0.05f)
+    val singleS = Mmr.rerankSearch(spark, collS, config, qv, 0.6, 5, 20)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    val singleL = Mmr.rerankSearch(spark, collL, config, qv, 0.6, 5, 20)
+      .collect().map(r => (r.getLong(0).toString, r.getDouble(1), r.getInt(2)))
+    assert(singleL.toSeq === singleS.toSeq)
+    val qs = Seq(("q0", qv.toSeq)).toDF("qid", "qvector")
+    val manyL = Mmr.rerankMany(spark, collL, config, qs, 0.6, 5, 20, knownNq = 1L)
+    assert(manyL.schema("id").dataType ===
+      org.apache.spark.sql.types.LongType)
+    val batchL = manyL.collect().sortBy(_.getInt(3))
+      .map(r => (r.getLong(1).toString, r.getDouble(2), r.getInt(3)))
+    assert(batchL.toSeq === singleS.toSeq)
+  }
+
   test("batch MaxSim: per-query == single; empty batch keeps the result schema") {
     import spark.implicits._
     val config = CollectionConfig("mv", 4, Metric.InnerProduct)

@@ -38,6 +38,26 @@ class PcaSpec extends SparkSpec {
       assert(math.abs(got((i, j)) - local(i)(j)) < 1e-9, s"cov($i,$j)")
   }
 
+  test("moments/train truncate vectors longer than dims (sequence(0, dims-1) contract)") {
+    val rows = Seq(
+      Seq(1.0f, 2.0f, 9.0f), Seq(3.0f, 0.0f, -9.0f),
+      Seq(5.0f, 4.0f, 1.0f), Seq(7.0f, 2.0f, 50.0f))
+    val df = rows.map(Tuple1(_)).toDF("vector").repartition(2)
+    // dims=2 on 3-long vectors: the product pass must emit NO (i,j) >= 2
+    // entry (pre-fusion the sequence(0, dims-1) chain truncated; the
+    // fused kernel is bounded the same way, so train()'s dims-sized
+    // mean/cov fill can't overflow)
+    val m = Pca.moments(df, "vector", 2).collect()
+    assert(m.forall(r => r.getInt(0) < 2 && r.getInt(1) < 2),
+      "moments emitted an index beyond dims")
+    assert(m.length === 3) // (0,0), (0,1), (1,1)
+    val model = Pca.train(df, "vector", 2, 2)
+    val df2 = rows.map(v => Tuple1(v.take(2))).toDF("vector")
+    val model2 = Pca.train(df2, "vector", 2, 2)
+    assert(model.mean.toSeq === model2.mean.toSeq)
+    assert(model.eigenvalues.toSeq === model2.eigenvalues.toSeq)
+  }
+
   test("train/project: orthonormal components, descending variance, subspace recovery") {
     // points in a 2-D plane inside 5-D (+ tiny jitter on one axis):
     // PCA-2 must recover the plane — projection preserves pairwise

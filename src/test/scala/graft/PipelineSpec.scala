@@ -206,6 +206,25 @@ class PipelineSpec extends SparkSpec {
     assert(TextAnalysis.simhash64Scala(Seq(tok)) === expected)
   }
 
+  test("simhash64 codegen expression == udf-era scala loop over tokens") {
+    import spark.implicits._
+    // mixed shapes: multi-token, single, repeated-token weighting, empty
+    // string (one empty token, like split(trim(''))), leading/multi
+    // whitespace, unicode; null text -> null hash
+    val texts = Seq("alpha beta gamma delta", "hello", "a a a b", "",
+      "  spaced   out\ttabs", "café naïve 中文")
+    val got = texts.toDF("text")
+      .select(TextAnalysis.simhash64(col("text"))).collect().map(_.getLong(0))
+    def trimSp(s: String) =
+      s.dropWhile(_ == ' ').reverse.dropWhile(_ == ' ').reverse
+    val want = texts.map(t => TextAnalysis.simhash64Scala(
+      java.util.regex.Pattern.compile("\\s+").split(trimSp(t), -1).toSeq))
+    assert(got.toSeq === want)
+    val n = Seq[Option[String]](None).toDF("text")
+      .select(TextAnalysis.simhash64(col("text"))).collect()
+    assert(n.head.isNullAt(0))
+  }
+
   test("simhash pairs on near-dup corpus") {
     val base = (1 to 60).map(i => s"tok$i").mkString(" ")
     val df = Seq(("d1", base), ("d2", base + " x"), ("d3", "totally different words entirely"))

@@ -203,14 +203,16 @@ class ScaleSpec extends SparkSpec {
       for (_ <- 0 until 210)
         Search.flatSearchMany(coll, config, qs, 3, knownNq = 2L).count()
       // the registry bound held: at most 8 of the 210 per-call query
-      // matrices are still live (the rest were destroy()ed eagerly)
+      // matrices are still strongly held (the rest were unpersisted and
+      // released to ContextCleaner)
       assert(graft.search.BroadcastHandles.liveCount <= 8,
         s"registry grew past its bound: ${graft.search.BroadcastHandles.liveCount}")
       // and the block manager is actually bounded, not just the
-      // registry's view: Spark's own join-relation broadcasts are
-      // ContextCleaner-managed (released on GC), so drain them first,
-      // then require far fewer live broadcast ids than the 210 the loop
-      // would have accumulated without destroy()
+      // registry's view: evicted per-call matrices and Spark's own
+      // join-relation broadcasts are both ContextCleaner-managed once
+      // unreferenced (released on GC), so drain them, then require far
+      // fewer live broadcast ids than the 210 the loop would have
+      // accumulated with an unbounded registry
       var blocks = broadcastBlockCount()
       var tries = 0
       while (blocks > 100 && tries < 10) {
@@ -224,6 +226,57 @@ class ScaleSpec extends SparkSpec {
     // the batch results stay correct with eager destroy in play
     val out = Search.flatSearchMany(coll, config, qs, 3, knownNq = 2L).collect()
     assert(out.length === 6)
+  }
+
+  test("broadcast registry: two concurrent sessions share the context bound; evicted plans re-execute") {
+    val sfDir = "/root/testdata/sf0.001"
+    val s2 = spark.newSession()
+    def fixtures(s: org.apache.spark.sql.SparkSession) = {
+      val d = Tables.dims(s, sfDir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, sfDir, config)
+      val qs = Tables.read(s, sfDir, "embeddings").filter(col("vec_id") < 2)
+        .select(col("vec_id").cast("string").as("qid"),
+          col("embedding").as("qvector"))
+      (coll, config, qs)
+    }
+    val (coll1, config1, qs1) = fixtures(spark)
+    val (coll2, config2, qs2) = fixtures(s2)
+    // a batch plan built BEFORE the eviction traffic below; under the
+    // former destroy() policy re-executing it past the bound raised
+    // SparkException ("Attempted to use Broadcast after it was destroyed")
+    val early = Search.flatSearchMany(coll1, config1, qs1, 3, knownNq = 2L)
+    val expected = early.collect().map(_.toString).sorted
+    assert(expected.nonEmpty)
+    spark.conf.set("spark.graft.batch.broadcastHandles", "4")
+    s2.conf.set("spark.graft.batch.broadcastHandles", "4")
+    try {
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+      val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+      def traffic(s: org.apache.spark.sql.SparkSession,
+          coll: org.apache.spark.sql.DataFrame, config: graft.core.CollectionConfig,
+          qs: org.apache.spark.sql.DataFrame): Runnable = () =>
+        try {
+          for (_ <- 0 until 40)
+            assert(Search.flatSearchMany(coll, config, qs, 3, knownNq = 2L)
+              .count() === 6)
+        } catch { case t: Throwable => errors.add(t) }
+      pool.submit(traffic(spark, coll1, config1, qs1))
+      pool.submit(traffic(s2, coll2, config2, qs2))
+      pool.shutdown()
+      assert(pool.awaitTermination(120, java.util.concurrent.TimeUnit.SECONDS))
+      assert(errors.isEmpty, s"interleaved batch call failed: ${errors.peek()}")
+      // both sessions feed ONE per-SparkContext queue — the bound is on
+      // the block manager they share, and it held under interleaving
+      assert(graft.search.BroadcastHandles.liveCount(spark) <= 4)
+      assert(graft.search.BroadcastHandles.liveCount(s2) <= 4)
+      // the early plan's matrix was long evicted (80 newer handles), yet
+      // unpersist() kept it re-readable: same rows, no SparkException
+      assert(early.collect().map(_.toString).sorted === expected)
+    } finally {
+      spark.conf.unset("spark.graft.batch.broadcastHandles")
+      s2.conf.unset("spark.graft.batch.broadcastHandles")
+    }
   }
 
   test("compaction: small files merged, data identical") {
