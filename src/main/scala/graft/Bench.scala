@@ -8,7 +8,11 @@ import graft.search.Search
 
 /** Benchmark main. Prints ONE JSON line:
   * {"metric":"total","value":N,"unit":"sec","queries":{...},
-  *  "quality":{...},"spread":{...},"sf":...}
+  *  "quality":{...},"spread":{...},"env":{...},"sf":...}
+  * where "env" carries the per-row environment diagnostics (cache
+  * residency, spill, broadcast count, GC delta, code cache, host load)
+  * — the artifact itself adjudicates ambient-vs-real for any row that
+  * moved between rounds.
   *
   * Every row is the median of 3 measured repetitions (hot rows warm up
   * once first; build/write rows reset their own state per rep so all
@@ -132,6 +136,11 @@ object Bench {
     // GC time attributable to the row, and JIT code-cache occupancy
     // (a full code cache flushes + deoptimizes hot kernels 10-20x —
     // see build.sbt's ReservedCodeCacheSize note).
+    // ... and since r15 the SAME diagnostics are persisted per row into
+    // the output JSON's "env" map (r13/r14 verdicts could not adjudicate
+    // ambient-vs-real from the committed artifact because these lines
+    // lived only on stderr)
+    val envs = scala.collection.mutable.LinkedHashMap.empty[String, String]
     var lastGcMs = 0L
     def envDiag(name: String): Unit = {
       import scala.jdk.CollectionConverters._
@@ -160,11 +169,18 @@ object Bench {
       // host pushing it far above means the row measured contention.
       val load = java.lang.management.ManagementFactory.getOperatingSystemMXBean
         .getSystemLoadAverage
+      val gcDelta = gcMs - lastGcMs
       System.err.println(s"[bench][env] $name cache=$cached/$parts " +
         s"mem=${memMb}M disk=${diskMb}M" +
         (if (partial.nonEmpty) partial.mkString(" partial[", ",", "]") else "") +
-        s" bcast=$bcast gc+=${gcMs - lastGcMs}ms codeMB=$code" +
+        s" bcast=$bcast gc+=${gcDelta}ms codeMB=$code" +
         f" load=$load%.1f")
+      envs(name) = s"""{"cache":"$cached/$parts","memMB":$memMb""" +
+        s""","diskMB":$diskMb""" +
+        (if (partial.nonEmpty)
+          s""","partial":"${partial.mkString(",")}"""" else "") +
+        s""","bcast":$bcast,"gcMs":$gcDelta,"codeMB":"$code"""" +
+        f""","load":$load%.1f}"""
       lastGcMs = gcMs
     }
     def record(name: String, div: Double = 1.0, cold: Boolean = false)(f: => Unit): Unit = {
@@ -213,6 +229,14 @@ object Bench {
         val wlen = math.max(1.0, ts(1) * 3)
         ts = Seq(window(wlen), window(wlen), window(wlen)).sorted
         if (spreadOf(ts) > 1.0) ts = (ts ++ Seq.fill(2)(window(wlen))).sorted
+      } else if (spreadOf(ts) > 1.0) {
+        // multi-second cold rows (the big writes): one load burst across
+        // a 3-rep sample fakes a spread > 1.0 (r14's driver run tripped
+        // bf16_prefix_write at 2.66 and pq_write at 1.21 this way). Two
+        // more reps -> median-of-5 with the trimmed middle-3 spread,
+        // which absorbs a single burst without re-running a multi-second
+        // write 21x (the r11 failure mode escalation was capped against)
+        ts = (ts ++ Seq.fill(2)(time(f))).sorted
       }
       results(name) = ts(ts.length / 2) / div
       spreads(name) = spreadOf(ts)
@@ -868,6 +892,22 @@ object Bench {
         .toDF("qid", "qvector")
       quality("emb_overlap10_hnsw_sharded") = eOverlap(dfIds(
         graft.index.ShardedHnsw.searchMany(ecoll, econfig, eOneQ, 10, shards = 4)))
+      // recallTarget facade for the bf16 index kind on the FIXTURE
+      // embeddings (the synth twin rt_overlap10_bf16 runs on seeded
+      // vectors): the half-width layout's auto-tuned operating point
+      // must deliver against the f32 exact top-10 on representative
+      // data, like the ivf/pq/ivfpq ladders above
+      locally {
+        val rdb = new graft.api.GraftDb(spark)
+        val rname = "bench_emb_rt_bf16"
+        rdb.createCollection(rname, ed, metric = "cosine", index = "bf16")
+        rdb.batch(rname, ecoll.select("id", "vector").collect().map(r =>
+          rdb.EmbeddingInput(id = r.getString(0),
+            vector = r.getSeq[Float](1).toArray)).toSeq)
+        quality("emb_rt_overlap10_bf16") = eOverlap(dfIds(
+          rdb.searchMany(rname, eOneQ, 10, knownNq = 1L, recallTarget = 0.9)))
+        rdb.close(rname)
+      }
       ecoll.unpersist(blocking = true)
     } catch { case _: Throwable => quality("emb_overlap_failed") = -1.0 }
 
@@ -961,6 +1001,33 @@ object Bench {
       val bf = Search.flatSearchBf16(scaleBf16, config, q, 10)
         .collect().map(_.getString(0)).toSet
       if (exact.isEmpty) 1.0 else exact.intersect(bf).size.toDouble / exact.size
+    }
+    // multi-vector corpus at the 5x tier: 500k docs x 3 token vectors —
+    // token sets DOMINATE scan IO here (3x the f32 payload of the flat
+    // corpus), the regime the MaxSimMulti heap cut must survive: one
+    // uncached scan scores every (doc, query-block) pair, only slim
+    // (qi, id, raw) winners leave it
+    val scaleMvPath = "/tmp/graft_bench_scale_mv"
+    record("scale5x_maxsim_write", cold = true) {
+      spark.range(scaleN).select(
+        col("id").cast("string").as("id"),
+        col("id").cast("string").as("value"),
+        array(genUdf(col("id")), genUdf(col("id") + 5000000L),
+          genUdf(col("id") + 6000000L)).as("vectors"))
+        .write.mode("overwrite").parquet(scaleMvPath)
+    }
+    familyBarrier()
+    // the compat `vector` column is derived, not stored — the scan reads
+    // only the token-set column
+    val scaleMv = spark.read.parquet(scaleMvPath)
+      .withColumn("vector", element_at(col("vectors"), 1))
+    record("scale5x_maxsim_batch64_perq", div = 64.0) {
+      import spark.implicits._
+      val qs = (0 until 64).map(i => (i.toString,
+        Seq(synthVector(-10L - i, dims).toSeq,
+          synthVector(-200L - i, dims).toSeq))).toDF("qid", "qvectors")
+      Search.multiVectorSearchMany(scaleMv,
+        CollectionConfig("mv5x", dims, Metric.InnerProduct), qs, 10).count()
     }
     // PQ codes-only table: the compressed serving layout — the ADC scan
     // reads m bytes/row (vs 4*dims packed), rerank joins the 200
@@ -1089,8 +1156,17 @@ object Bench {
         .select((Seq("id", "value", "vector_bf16") ++ pfxCols50).map(col): _*)
         .write.mode("overwrite").parquet(s50Bf16Pfx)
       val tb3 = System.nanoTime()
+      // PQ codes-only layout at 5M: the compressed ADC scan family —
+      // the exact family r14's driver run flagged at 500k — pinned at
+      // the largest local tier (same codebook as the 500k rows)
+      val s50Pq = "/tmp/graft_bench_scale50_pq"
+      graft.ann.Pq.withCodes(base50, pqCb)
+        .select("id", "value", "pq_codes")
+        .write.mode("overwrite").parquet(s50Pq)
+      val tb4 = System.nanoTime()
       System.err.println(f"[bench] scale50x build: packed=${(tb1 - tb0) / 1e9}%.1f s " +
-        f"ivfpq=${(tb2 - tb1) / 1e9}%.1f s bf16pfx=${(tb3 - tb2) / 1e9}%.1f s")
+        f"ivfpq=${(tb2 - tb1) / 1e9}%.1f s bf16pfx=${(tb3 - tb2) / 1e9}%.1f s " +
+        f"pq=${(tb4 - tb3) / 1e9}%.1f s")
       familyBarrier()
       val scale50Df = spark.read.parquet(s50Packed)
       record("scale50x_flat_packed") {
@@ -1108,11 +1184,27 @@ object Bench {
         graft.ann.IvfPq.searchManyPartitioned(spark, s50IvfPq, config,
           scaleQs, 10, nprobe = 4, candidates = 100, knownNq = 64L).count()
       }
+      // ADC codes scan + rerank at 5M (uncached reads, same shapes as
+      // the 500k rows): m bytes/row scanned, top-200 ids rejoin the
+      // packed table for the exact rerank
+      val scale50Pq = spark.read.parquet(s50Pq)
+      def s50AdcCut(keep: Int): DataFrame = Search.topK(
+        scale50Pq.withColumn("rank",
+          -graft.functions.VectorFunctions.adcDistance(
+            col("pq_codes"), scaleAdcTable, pqCfg.k)), keep)
+      record("scale50x_pq_adc_topk") { s50AdcCut(10).collect() }
+      record("scale50x_pq_rerank_e2e") {
+        Search.flatSearchPacked(
+          scale50Df.join(broadcast(s50AdcCut(200).select("id")), "id"),
+          config, synthVector(-1L, dims), 10).collect()
+      }
       System.err.println(f"[bench] scale50x: $s50N rows, packed search " +
         f"${results("scale50x_flat_packed")}%.3f s = " +
         f"${s50N / results("scale50x_flat_packed") / 1e6}%.1f Mrows/s, " +
         f"bf16 ${results("scale50x_flat_bf16")}%.3f s = " +
-        f"${s50N / results("scale50x_flat_bf16") / 1e6}%.1f Mrows/s")
+        f"${s50N / results("scale50x_flat_bf16") / 1e6}%.1f Mrows/s, " +
+        f"pq adc ${results("scale50x_pq_adc_topk")}%.3f s = " +
+        f"${s50N / results("scale50x_pq_adc_topk") / 1e6}%.1f Mrows/s")
     }
     }
 
@@ -1122,10 +1214,16 @@ object Bench {
       .mkString("{", ",", "}")
     val sp = spreads.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
+    // per-row environment block (same values as the [bench][env] stderr
+    // lines) — IN the committed artifact, so an anomalous row can be
+    // attributed to cache eviction / spill / GC / ambient host load from
+    // the JSON alone instead of a lost stderr stream
+    val ev = envs.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
     val total = results.values.filter(_ > 0).sum
     val altField = altSfDir.map(d => s""","alt_sf":"$d"""").getOrElse("")
     val coldList = coldRows.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"quality":$ql,"spread":$sp,"cold":$coldList,"sf":"$sfDir"$altField,"synth_records":$SynthRecords,"synth_dims":$SynthDims}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"quality":$ql,"spread":$sp,"env":$ev,"cold":$coldList,"sf":"$sfDir"$altField,"synth_records":$SynthRecords,"synth_dims":$SynthDims}"""
     // The FULL line (110 query rows + quality + spread, ~8 KB) is written
     // to a file committed with the round snapshot; stdout gets a COMPACT
     // line instead, because the driver persists only a ~2 KB tail of

@@ -12,8 +12,10 @@ import graft.text.{NgramLm, TextAnalysis}
   *
   *   Gopher quality gate → (optional) within-doc repetition strip →
   *   exact dedup → (optional) MinHash near-dup drop → (optional)
-  *   benchmark decontamination → (optional) LM perplexity-median cut →
-  *   (optional) stratified language mixing → stable sequential ids.
+  *   SemDeDup semantic near-dup drop over the embedding column →
+  *   (optional) benchmark decontamination → (optional) LM
+  *   perplexity-median cut → (optional) stratified language mixing →
+  *   stable sequential ids.
   *
   * Every stage is the same operator the gate rows replicate in SQL;
   * stage materialization (`localCheckpoint`) between phases keeps the
@@ -37,6 +39,16 @@ object Curation {
       // (Dedup.keepBestPerCluster — "keep the longest/highest-quality
       // copy")
       nearKeepScore: Option[Column] = None,
+      // optional SemDeDup stage after the text near-dup drop: k-means
+      // the embedding space (cells trained on the surviving rows),
+      // drop all but each semantic cluster's canonical min-id member —
+      // catches PARAPHRASES that share no shingles
+      // (Dedup.dropSemanticDuplicates; the streaming gate's
+      // semanticDedup flag is the online analogue)
+      semanticDedup: Boolean = false,
+      semanticVectorCol: String = "embedding",
+      semanticThreshold: Double = 0.9,
+      semanticCells: Int = 16,
       decontaminationNgram: Int = 5,
       lmFilter: Boolean = false,
       stratumFractions: Seq[(String, Double)] = Nil,
@@ -92,6 +104,24 @@ object Curation {
           Dedup.dropNearDuplicates(cur, idCol, text,
             threshold = config.minhashThreshold, fastHash = config.fastHash)
       }).localCheckpoint()
+    }
+    // 4b. optional semantic (embedding) near-dup drop — SemDeDup over
+    // the survivors; cells train on the curated frame itself, so index
+    // training and dedup share one k-means per corpus generation
+    if (config.semanticDedup) {
+      val dims = cur.select(size(col(config.semanticVectorCol)))
+        .head.getInt(0)
+      val cents = graft.ann.IvfIndex.trainOrdered(
+        cur.select(col(idCol).as("id"),
+          col(config.semanticVectorCol).as("vector")),
+        graft.core.CollectionConfig("curation_sem", dims,
+          graft.core.Metric.Cosine),
+        graft.ann.IvfIndex.IvfConfig(
+          k = config.semanticCells, iterations = 3),
+        col("id"))
+      cur = Dedup.dropSemanticDuplicates(cur, idCol,
+        config.semanticVectorCol, cents, config.semanticThreshold)
+        .localCheckpoint()
     }
     // 5. benchmark decontamination (zero shared n-grams)
     benchmark.foreach { bench =>
@@ -157,6 +187,22 @@ object Curation {
     * therefore DELAYED by the window close, the standard price of a
     * stateful streaming aggregate.
     *
+    * `semanticDedup = true` adds the embedding near-dup family to the
+    * SAME first-seen-band stage: cosine-LSH hyperplane bands of the
+    * L2-normalized `semanticVectorCol`
+    * ([[graft.dedup.Dedup.streamingEmbeddingNovelty]]'s keys) join the
+    * MinHash bands under one band-key namespace ("m:"/"e:"-tagged when
+    * both families are on), and a row is emitted iff ALL its keys —
+    * text AND embedding — were first-seen. This is the streaming
+    * analogue of embedding/SemDeDup near-dup curation: a PARAPHRASE
+    * shares no text shingles but lands on the same hyperplane bands, so
+    * it drops where MinHash alone would admit it. One fused stage
+    * instead of two chained aggregates keeps the pipeline a single
+    * stateful hop (no watermark re-derivation between aggregates) and
+    * extends the documented contract uniformly: every first-seen band
+    * of an exact-surviving row enters state, whether or not that row is
+    * itself emitted. State remains ingest-rate x watermark bounded.
+    *
     * Heavier stages (decontamination, mixing) remain batch jobs over
     * the landed output — the standard continuous-ingest split. `tsCol`
     * must be a timestamp column. */
@@ -166,7 +212,11 @@ object Curation {
       blocklist: Seq[String] = Nil, maxBlocklistHits: Int = 0,
       nearDup: Boolean = false, nearDupK: Int = 3, nearDupHashes: Int = 8,
       nearDupBands: Int = 4, nearDupWindow: String = "1 minute",
-      fastHash: Boolean = false): DataFrame = {
+      fastHash: Boolean = false,
+      semanticDedup: Boolean = false,
+      semanticVectorCol: String = "embedding",
+      semanticLsh: graft.ann.CosineLsh.LshConfig =
+        graft.ann.CosineLsh.LshConfig(bands = 24, bitsPerBand = 6)): DataFrame = {
     val text = col(textCol)
     var cur = stream.filter(TextAnalysis.gopherKeep(text, minWords = minWords))
     if (blocklist.nonEmpty)
@@ -177,29 +227,64 @@ object Curation {
       .withWatermark(tsCol, watermark)
       .dropDuplicatesWithinWatermark("_exact_key")
       .drop("_exact_key")
-    if (!nearDup) exact
-    else {
+    val textKeys = if (!nearDup) None else {
       require(nearDupHashes % nearDupBands == 0,
         "nearDupHashes must be divisible by nearDupBands")
-      val keys =
+      Some(
         if (fastHash)
           TextAnalysis.minhashBandKeysFast(text, nearDupK, nearDupHashes, nearDupBands)
-        else TextAnalysis.minhashBandKeys(text, nearDupK, nearDupHashes, nearDupBands)
-      val cols = exact.columns.toSeq
-      // group on a metadata-STRIPPED copy of the event-time column: the
-      // watermarked original must feed window() and the band dedup, but
-      // if it also rides the grouping keys the aggregate output carries
-      // TWO event-time columns (window + ts) and the query is rejected
-      val strippedTs = col(tsCol)
-        .as("_nd_ts", org.apache.spark.sql.types.Metadata.empty)
-      exact.select((cols.map(col) :+ explode(keys).as("_band") :+ strippedTs): _*)
-        .dropDuplicatesWithinWatermark("_band")
-        .groupBy((window(col(tsCol), nearDupWindow) +:
-          cols.filterNot(_ == tsCol).map(col) :+ col("_nd_ts")): _*)
-        .agg(count(lit(1)).as("_surviving"))
-        .filter(col("_surviving") === nearDupBands)
-        .select(cols.map(c => if (c == tsCol) col("_nd_ts").as(tsCol) else col(c)): _*)
+        else TextAnalysis.minhashBandKeys(text, nearDupK, nearDupHashes, nearDupBands))
     }
+    val embKeys =
+      if (!semanticDedup) None
+      else Some(graft.ann.CosineLsh.bandKeysColumn(semanticLsh)(
+        graft.functions.VectorFunctions.normalizeVector(
+          graft.core.Normalize.L2, col(semanticVectorCol))))
+    (textKeys, embKeys) match {
+      case (None, None) => exact
+      case (Some(tk), None) =>
+        bandGateStage(exact, tsCol, tk, nearDupBands,
+          nearDupWindow, "nd")
+      case (None, Some(ek)) =>
+        bandGateStage(exact, tsCol, ek, semanticLsh.bands,
+          nearDupWindow, "sd")
+      case (Some(tk), Some(ek)) =>
+        // one namespace for both families: tag to avoid cross-family key
+        // collisions (embedding keys are small band-indexed ints, fast
+        // minhash keys are longs — untagged they could alias)
+        val tagged = concat(
+          transform(tk, k => concat(lit("m:"), k.cast("string"))),
+          transform(ek, k => concat(lit("e:"), k.cast("string"))))
+        bandGateStage(exact, tsCol, tagged,
+          nearDupBands + semanticLsh.bands, nearDupWindow, "nd")
+    }
+  }
+
+  /** Payload-riding first-seen-band stage (MinHash, embedding-LSH, or
+    * the tagged union of both): explode `keys` over the rows,
+    * first-seen (band, row) within the watermark, emit the row when its
+    * event-time window closes iff ALL `bands` keys were first-seen.
+    * `df`'s `tsCol` must already carry the watermark (set by the exact
+    * stage — re-defining one here is disallowed by the engine). */
+  private def bandGateStage(df: DataFrame, tsCol: String,
+      keys: Column, bands: Int, windowLength: String, tag: String): DataFrame = {
+    val cols = df.columns.toSeq
+    val bandCol = s"_${tag}_band"
+    val tsAlias = s"_${tag}_ts"
+    val surv = s"_${tag}_surv"
+    // group on a metadata-STRIPPED copy of the event-time column: the
+    // watermarked original must feed window() and the band dedup, but
+    // if it also rides the grouping keys the aggregate output carries
+    // TWO event-time columns (window + ts) and the query is rejected
+    val strippedTs = col(tsCol)
+      .as(tsAlias, org.apache.spark.sql.types.Metadata.empty)
+    df.select((cols.map(col) :+ explode(keys).as(bandCol) :+ strippedTs): _*)
+      .dropDuplicatesWithinWatermark(bandCol)
+      .groupBy((window(col(tsCol), windowLength) +:
+        cols.filterNot(_ == tsCol).map(col) :+ col(tsAlias)): _*)
+      .agg(count(lit(1)).as(surv))
+      .filter(col(surv) === bands)
+      .select(cols.map(c => if (c == tsCol) col(tsAlias).as(tsCol) else col(c)): _*)
   }
 
   /** Per-stage row-count report — the funnel diagnostic every real

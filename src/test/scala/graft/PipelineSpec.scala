@@ -555,6 +555,26 @@ class PipelineSpec extends SparkSpec {
         nearKeepScore = Some(length(col("text")))))
       .select("id").collect().map(_.getString(0)).toSet
     assert(best.contains("n2") && !best.contains("n1"))
+    // semantic stage: a PARAPHRASE (no shared shingles, near-identical
+    // embedding) passes exact + MinHash but drops at SemDeDup; the
+    // min-id member of the semantic cluster survives
+    val para = Seq(
+      ("p1", base, Seq(1f, 0f, 0f, 0f)),
+      ("p2", other, Seq(0.999f, 0.04f, 0f, 0f)),  // paraphrase of p1
+      ("p3", "mountain trails wind upward through pine forests where hikers " +
+        "pause beside cold streams and granite boulders mark the path toward " +
+        "distant snowy summits high above the quiet valley floor",
+        Seq(0f, 0f, 1f, 0f)))
+      .toDF("id", "text", "embedding")
+    val sem = Curation.curate(para, "id", "text",
+      config = Curation.Config(semanticDedup = true, semanticCells = 2,
+        semanticThreshold = 0.9))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(sem === Set("p1", "p3"), s"semantic stage kept $sem")
+    // without the stage the paraphrase survives (nothing textual collides)
+    val noSem = Curation.curate(para, "id", "text")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(noSem === Set("p1", "p2", "p3"))
   }
 
   test("Curation facade reproduces the pipeline_curation gate composition") {

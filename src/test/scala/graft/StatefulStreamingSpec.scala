@@ -872,4 +872,79 @@ class StatefulStreamingSpec extends SparkSpec {
     assert(streamed === batchKept,
       "stream gate+nearDup != batch fold on the same rows")
   }
+
+  test("streamingGate semanticDedup: paraphrase near-copies drop at the embedding stage, stream == batch fold") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{col, timestamp_seconds}
+    import graft.functions.Curation
+    import graft.ann.CosineLsh
+    val dims = 16
+    // doc 2 is a PARAPHRASE of doc 1: zero shared words (the exact key
+    // and MinHash bands admit it) but a near-identical embedding — only
+    // the embedding bands can catch it. doc 4 = exact copy of doc 1
+    // (killed by the exact stage, so NONE of its bands enter state);
+    // doc 5 = TEXT near-copy of doc 3 (MinHash bands collide)
+    val docA = "alpha bravo charlie delta echo foxtrot golf hotel india " +
+      "juliet kilo lima mike november oscar papa quebec romeo sierra tango"
+    val docP = "swift auburn foxes vault past sleepy canines while morning " +
+      "light paints amber stripes across quiet meadows beyond silver rivers today"
+    val docC = "uniform victor whiskey xray yankee zulu apple banana cherry " +
+      "durian elder fig grape honey iris jasmine kiwi lemon mango nectar"
+    val docE = docC + " coda"
+    def emb(axis: Int, eps: Float): Seq[Float] =
+      Seq.tabulate(dims)(d => (if (d == axis) 1f else 0f) +
+        (if (d == (axis + 1) % dims) eps else 0f))
+    val base = 1700000000L
+    val rows = Seq(
+      (1, base, docA, emb(0, 0f)),
+      (2, base + 10, docP, emb(0, 1e-4f)), // paraphrase of 1
+      (3, base + 20, docC, emb(5, 0f)),
+      (4, base + 30, docA, emb(9, 0f)),    // exact text copy of 1
+      (5, base + 40, docE, emb(12, 0f)))   // text near-copy of 3
+    val lsh = CosineLsh.LshConfig(bands = 4, bitsPerBand = 4)
+    val input = MemoryStream[(Int, Long, String, Seq[Float])]
+    val gated = Curation.streamingGate(
+      input.toDS().toDF("id", "secs", "text", "embedding")
+        .withColumn("ts", timestamp_seconds(col("secs"))),
+      "text", "ts", watermark = "10 minutes",
+      nearDup = true, nearDupK = 2, nearDupHashes = 8, nearDupBands = 4,
+      semanticDedup = true, semanticLsh = lsh)
+    val q = gated.writeStream.format("memory").queryName("curgate_sd")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      rows.foreach { r => input.addData(r); q.processAllAvailable() }
+      input.addData((9, base + 3600,
+        docC.replace("uniform", "sentinel"), emb(14, 0f)))
+      q.processAllAvailable()
+    } finally q.stop()
+    val streamed = spark.table("curgate_sd").select("id")
+      .collect().map(_.getInt(0)).toSet
+    // batch twin: gate -> exact dedup -> ONE first-seen fold over the
+    // tagged union of MinHash + embedding bands in arrival order (every
+    // first-seen band of an exact survivor enters state, emitted iff
+    // ALL bands novel — the gate's documented combined contract)
+    val all = rows.toDF("id", "secs", "text", "embedding")
+    val exact = graft.dedup.Dedup.dropExactDuplicates(
+      all.filter(graft.text.TextAnalysis.gopherKeep(col("text"), minWords = 20)),
+      "id", col("text"))
+    val banded = exact.select(col("id"),
+        graft.text.TextAnalysis.minhashBandKeys(col("text"), 2, 8, 4).as("mb"),
+        CosineLsh.bandKeysColumn(lsh)(
+          graft.functions.VectorFunctions.normalizeVector(
+            graft.core.Normalize.L2, col("embedding"))).as("eb"))
+      .collect().map(r => (r.getInt(0),
+        r.getSeq[String](1).map("m:" + _) ++ r.getSeq[Int](2).map("e:" + _)))
+      .sortBy(_._1)
+    val seen = scala.collection.mutable.Set.empty[String]
+    val batchKept = banded.collect { case (id, bands) =>
+      val novel = bands.forall(b => !seen.contains(b))
+      bands.foreach(seen += _)
+      if (novel) Some(id) else None
+    }.flatten.toSet
+    assert(batchKept === Set(1, 3),
+      "fixture sanity: the paraphrase must collide ONLY on embedding bands")
+    assert(streamed === batchKept,
+      "stream gate+semanticDedup != batch fold on the same rows")
+  }
 }
