@@ -412,6 +412,21 @@ object Microbench {
         sys.env.getOrElse("GRAFT_MB_SHUFFLE", "8"))
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    if (args.headOption.contains("query")) {
+      // run one (or comma-several) named gate queries in isolation:
+      // runMain graft.Microbench query <sfDir> <name>[,<name>...] [reps]
+      val dir = args(1)
+      val reps = if (args.length > 3) args(3).toInt else 3
+      args(2).split(',').foreach { name =>
+        time(name, reps) { SparkEntry.queries(name)(spark, dir).collect() }
+      }
+      spark.stop(); return
+    }
+    if (args.headOption.contains("oracle")) {
+      // print one oracle's rendered SQL (for standalone DuckDB debugging):
+      // runMain graft.Microbench oracle <name>
+      println(SparkEntry.oracleSql(args(1))); spark.stop(); return
+    }
     if (args.headOption.contains("slow")) {
       profileSlow(spark, args(1)); spark.stop(); return
     }

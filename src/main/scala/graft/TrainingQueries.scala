@@ -247,9 +247,11 @@ object TrainingQueries {
         .select(col("text"))
       val contam = TextAnalysis.contaminationReport(
         canon.select(col("doc_id"), col("text")), bench, "doc_id", "text", n = 5)
+      // clean feeds TWO stageReport rows (its own count + sampled's) —
+      // without materialization the contamination join runs twice
       val clean = canon.join(
         contam.filter(col("n_shared") === 0).select(col("id").as("doc_id")),
-        "doc_id")
+        "doc_id").localCheckpoint()
       val sampled = graft.functions.Sampling.stratifiedSampleByHash(
         clean.select(col("doc_id"), col("lang")), "doc_id", "lang",
         Seq("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.1, salt = "graft")
@@ -291,6 +293,35 @@ object TrainingQueries {
         clean.select(col("doc_id"), col("lang")), "doc_id", "lang",
         Seq("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.1, salt = "graft")
       graft.functions.Sampling.withSequentialIds(sampled, col("doc_id"))
+    }),
+
+    // the same pipeline with the SEMANTIC stage instead of MinHash:
+    // SemDeDup over the embedding column between exact dedup and the
+    // sequential ids, cells = the corpus's trained k-means model passed
+    // IN via semanticCentroids (train once per corpus generation — the
+    // same model the dedup_semantic_* rows replicate in SQL). Planted
+    // PARAPHRASES: docs 0-29 re-added at id+10000 with reworded text
+    // (different exact key, near-dup stage off) and the embedding
+    // perturbed by +0.25 on dim 0 (cosine ~0.97 against a ~0.5
+    // background) — only the semantic stage can drop them; the min-id
+    // original survives.
+    "pipeline_curation_semantic" -> ((s, dir) => {
+      val (_, centroids) = semanticFixture(s, dir)
+      val docs = Tables.read(s, dir, "documents")
+      val emb = Tables.read(s, dir, "embeddings")
+      val base = docs.join(emb, docs("doc_id") === emb("vec_id"))
+        .select(col("doc_id"), col("lang"), col("text"), col("embedding"))
+      val aug = base.union(base.filter(col("doc_id") < 30).select(
+        (col("doc_id") + 10000).as("doc_id"), col("lang"),
+        concat(col("text"), lit(" reworded paraphrase marker")).as("text"),
+        transform(col("embedding"), (x, i) =>
+          when(i === 0, (x.cast("double") + lit(0.25)).cast("float"))
+            .otherwise(x)).as("embedding")))
+      graft.functions.Curation.curate(aug, "doc_id", "text",
+        config = graft.functions.Curation.Config(nearDedup = false,
+          semanticDedup = true, semanticThreshold = 0.9,
+          semanticCentroids = Some(centroids)))
+        .select(col("doc_id"), col("lang"), col("seq_id"))
     }),
 
     // deterministic hash-based train/val/test split + fractional sample
@@ -2937,6 +2968,64 @@ object TrainingQueries {
          SELECT doc_id, lang,
            CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
          FROM samp ORDER BY doc_id""",
+
+    // gopher gate + exact dedup + SemDeDup over the centroids the
+    // ivfCosKmeansCtes chain trains (the SAME model the Spark side
+    // passes via semanticCentroids) + connected-component min-id keep +
+    // sequential ids — the semantic-curation facade end-to-end
+    "pipeline_curation_semantic" ->
+      s"""WITH RECURSIVE
+         $ivfCosKmeansCtes,
+         base AS (SELECT d.doc_id, d.lang, d.text, e.embedding
+           FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id),
+         aug AS (SELECT doc_id, lang, text, embedding FROM base
+           UNION ALL SELECT doc_id + 10000, lang, text || ' reworded paraphrase marker',
+             list_transform(embedding, (x, i) -> CASE WHEN i = 1 THEN CAST(CAST(x AS DOUBLE) + 0.25 AS FLOAT) ELSE x END)
+           FROM base WHERE doc_id < 30),
+         t AS (SELECT doc_id, lang, text, embedding, $tokensSql AS toks,
+           list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)), l -> l != '') AS ls,
+           list_transform($tokensSql, t -> lower(t)) AS lt
+         FROM aug),
+         m AS (SELECT doc_id, lang, text, embedding,
+           len(toks) AS n_words,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(list_sum(list_transform(toks, t -> CAST(length(t) AS BIGINT))) AS DOUBLE) / len(toks) END AS mean_word_len,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> regexp_matches(t, '[A-Za-z]'))) AS DOUBLE) / len(toks) END AS frac_alpha,
+           CASE WHEN len(toks) = 0 THEN 0.0 ELSE CAST(len(list_filter(toks, t -> contains(t, '#') OR contains(t, '...') OR contains(t, '…'))) AS DOUBLE) / len(toks) END AS frac_symbol,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '-%' OR l LIKE '*%' OR l LIKE '•%')) AS DOUBLE) / len(ls) END AS frac_bullet,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE CAST(len(list_filter(ls, l -> l LIKE '%...' OR l LIKE '%…')) AS DOUBLE) / len(ls) END AS frac_ellipsis,
+           CASE WHEN len(ls) = 0 THEN 0.0 ELSE 1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls) END AS frac_dup_lines,
+           CASE WHEN len(lt) = 0 THEN 0.0 ELSE CAST(list_max(list_transform(list_distinct(lt), d -> len(list_filter(lt, x -> x = d)))) AS DOUBLE) / len(lt) END AS top_token_frac
+         FROM t),
+         k AS (SELECT doc_id, lang, text, embedding FROM m
+           WHERE n_words >= 20 AND n_words <= 100000
+             AND mean_word_len BETWEEN 3.0 AND 10.0
+             AND frac_symbol <= 0.1 AND frac_bullet <= 0.9
+             AND frac_ellipsis <= 0.3 AND frac_alpha >= 0.8
+             AND frac_dup_lines <= 0.3 AND top_token_frac <= 0.2),
+         dd AS (SELECT doc_id, lang, embedding FROM (
+             SELECT doc_id, lang, embedding, min(doc_id) OVER (PARTITION BY md5(text)) AS canon FROM k)
+           WHERE doc_id = canon),
+         nrmc AS (SELECT doc_id, lang,
+           list_transform(embedding, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform(embedding, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT)) AS nv
+         FROM dd),
+         sema AS (SELECT doc_id, lang, nv, ${ivfAssign("nrmc.nv", "cents.c")} AS cell
+           FROM nrmc, cents),
+         ver AS (SELECT id_a, id_b FROM (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+             list_sum(list_transform(range(1, len(a.nv)+1), i -> CAST(a.nv[i] AS DOUBLE) * CAST(b.nv[i] AS DOUBLE))) AS cosine
+             FROM sema a JOIN sema b ON a.cell = b.cell AND a.doc_id < b.doc_id)
+           WHERE cosine >= 0.9),
+         edges AS (SELECT id_a AS src, id_b AS dst FROM ver
+           UNION ALL SELECT id_b, id_a FROM ver),
+         reach(id, r) AS (
+           SELECT doc_id, doc_id FROM dd
+           UNION
+           SELECT reach.id, e.dst FROM reach JOIN edges e ON e.src = reach.r),
+         cl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+         keepr AS (SELECT dd.doc_id, dd.lang FROM dd
+           JOIN cl ON cl.id = dd.doc_id WHERE cl.cluster_id = dd.doc_id)
+         SELECT doc_id, lang,
+           CAST(row_number() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS seq_id
+         FROM keepr ORDER BY doc_id""",
 
     "data_split" ->
       s"""WITH b AS (SELECT doc_id,

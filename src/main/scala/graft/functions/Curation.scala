@@ -49,6 +49,11 @@ object Curation {
       semanticVectorCol: String = "embedding",
       semanticThreshold: Double = 0.9,
       semanticCells: Int = 16,
+      // pre-trained k-means cells (e.g. the corpus's index model): at
+      // 100 TB you train ONCE per corpus generation and share the model
+      // between indexing and dedup — when given, the stage skips its
+      // own fit entirely and semanticCells is ignored
+      semanticCentroids: Option[Array[Array[Float]]] = None,
       decontaminationNgram: Int = 5,
       lmFilter: Boolean = false,
       stratumFractions: Seq[(String, Double)] = Nil,
@@ -109,16 +114,18 @@ object Curation {
     // the survivors; cells train on the curated frame itself, so index
     // training and dedup share one k-means per corpus generation
     if (config.semanticDedup) {
-      val dims = cur.select(size(col(config.semanticVectorCol)))
-        .head.getInt(0)
-      val cents = graft.ann.IvfIndex.trainOrdered(
-        cur.select(col(idCol).as("id"),
-          col(config.semanticVectorCol).as("vector")),
-        graft.core.CollectionConfig("curation_sem", dims,
-          graft.core.Metric.Cosine),
-        graft.ann.IvfIndex.IvfConfig(
-          k = config.semanticCells, iterations = 3),
-        col("id"))
+      val cents = config.semanticCentroids.getOrElse {
+        val dims = cur.select(size(col(config.semanticVectorCol)))
+          .head.getInt(0)
+        graft.ann.IvfIndex.trainOrdered(
+          cur.select(col(idCol).as("id"),
+            col(config.semanticVectorCol).as("vector")),
+          graft.core.CollectionConfig("curation_sem", dims,
+            graft.core.Metric.Cosine),
+          graft.ann.IvfIndex.IvfConfig(
+            k = config.semanticCells, iterations = 3),
+          col("id"))
+      }
       cur = Dedup.dropSemanticDuplicates(cur, idCol,
         config.semanticVectorCol, cents, config.semanticThreshold)
         .localCheckpoint()

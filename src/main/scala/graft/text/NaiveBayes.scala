@@ -50,11 +50,18 @@ object NaiveBayes {
     val v = voc.count().toDouble
     val classStats = cls.join(tot, "label")
       .withColumn("log_prior", log(col("n_c").cast("double") / lit(n)))
+      // a MODEL is a fit artifact, not a view: materialize it so every
+      // predict() consumer reads vocab x classes rows instead of
+      // re-running the training corpus tokenization + count shuffles
+      // per downstream branch (the same stage-materialization rule the
+      // curation pipeline applies)
+      .localCheckpoint()
     val likelihood = voc.crossJoin(classStats.select(col("label"), col("t_c")))
       .join(tc, Seq("term", "label"), "left")
       .select(col("term"), col("label"),
         log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0) /
           (col("t_c").cast("double") + lit(v))).as("ll"))
+      .localCheckpoint()
     Model(classStats, likelihood)
   }
 
