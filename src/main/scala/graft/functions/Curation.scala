@@ -117,9 +117,14 @@ object Curation {
       val cents = config.semanticCentroids.getOrElse {
         val dims = cur.select(size(col(config.semanticVectorCol)))
           .head.getInt(0)
+        // fit on L2-NORMALIZED vectors — cell assignment inside
+        // dropSemanticDuplicates normalizes, so the model must live in
+        // the same space (trainOrdered samples the column as-is)
         graft.ann.IvfIndex.trainOrdered(
           cur.select(col(idCol).as("id"),
-            col(config.semanticVectorCol).as("vector")),
+            graft.functions.VectorFunctions.normalizeVector(
+              graft.core.Normalize.L2,
+              col(config.semanticVectorCol)).as("vector")),
           graft.core.CollectionConfig("curation_sem", dims,
             graft.core.Metric.Cosine),
           graft.ann.IvfIndex.IvfConfig(

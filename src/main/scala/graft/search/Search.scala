@@ -1131,7 +1131,11 @@ object Search {
     for ((d, keep) <- stages.zip(keeps)) {
       val scored =
         if (pairs == null)
-          df.select(col("id"), col(stageCol(d))).crossJoin(broadcast(qBlock))
+          // stage-1 drops null id/prefix rows like the heap stage-1
+          // (BatchTopKAgg skips null ids/distances) — see batchTopMulti
+          df.select(col("id"), col(stageCol(d)))
+            .filter(col("id").isNotNull && col(stageCol(d)).isNotNull)
+            .crossJoin(broadcast(qBlock))
         else {
           val hint = rowsBroadcastHint(df, if (nq >= 0) nq * prevKeep else -1L)
           df.select(col("id"), col(stageCol(d)))

@@ -163,6 +163,8 @@ class BatchTopKSpec extends SparkSpec {
         Search.multiVectorSearchMany(mv, config, qsets, 5)
           .collect().map(_.getString(1)).sorted.toSeq,
         Search.quantizedSearchMany(coll, config, qs, 5, candidates = 5,
+          knownNq = 1L).collect().map(_.getString(1)).sorted.toSeq,
+        Search.funnelSearchMany(coll, config, qs, 5, candidates = 5,
           knownNq = 1L).collect().map(_.getString(1)).sorted.toSeq)
       finally spark.conf.unset("spark.graft.batch.heapCut")
     }
@@ -170,7 +172,7 @@ class BatchTopKSpec extends SparkSpec {
     val viaHeap = run(heap = true)
     assert(viaWindow === viaHeap, "window and heap plans disagree on null rows")
     assert(viaWindow.forall(_ === Seq("a", "b", "c")),
-      s"null rows leaked into batch results: $viaWindow")
+      s"null rows leaked into batch results (flat/maxsim/quantized/funnel): $viaWindow")
   }
 
   test("heap plan == window plan on ties, including non-BMP ids where UTF-16 and UTF-8 order differ") {
