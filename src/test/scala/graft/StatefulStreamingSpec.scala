@@ -903,48 +903,55 @@ class StatefulStreamingSpec extends SparkSpec {
       (4, base + 30, docA, emb(9, 0f)),    // exact text copy of 1
       (5, base + 40, docE, emb(12, 0f)))   // text near-copy of 3
     val lsh = CosineLsh.LshConfig(bands = 4, bitsPerBand = 4)
-    val input = MemoryStream[(Int, Long, String, Seq[Float])]
-    val gated = Curation.streamingGate(
-      input.toDS().toDF("id", "secs", "text", "embedding")
-        .withColumn("ts", timestamp_seconds(col("secs"))),
-      "text", "ts", watermark = "10 minutes",
-      nearDup = true, nearDupK = 2, nearDupHashes = 8, nearDupBands = 4,
-      semanticDedup = true, semanticLsh = lsh)
-    val q = gated.writeStream.format("memory").queryName("curgate_sd")
-      .outputMode(OutputMode.Append()).start()
-    try {
-      rows.foreach { r => input.addData(r); q.processAllAvailable() }
-      input.addData((9, base + 3600,
-        docC.replace("uniform", "sentinel"), emb(14, 0f)))
-      q.processAllAvailable()
-    } finally q.stop()
-    val streamed = spark.table("curgate_sd").select("id")
-      .collect().map(_.getInt(0)).toSet
-    // batch twin: gate -> exact dedup -> ONE first-seen fold over the
-    // tagged union of MinHash + embedding bands in arrival order (every
-    // first-seen band of an exact survivor enters state, emitted iff
-    // ALL bands novel — the gate's documented combined contract)
-    val all = rows.toDF("id", "secs", "text", "embedding")
-    val exact = graft.dedup.Dedup.dropExactDuplicates(
-      all.filter(graft.text.TextAnalysis.gopherKeep(col("text"), minWords = 20)),
-      "id", col("text"))
-    val banded = exact.select(col("id"),
-        graft.text.TextAnalysis.minhashBandKeys(col("text"), 2, 8, 4).as("mb"),
-        CosineLsh.bandKeysColumn(lsh)(
-          graft.functions.VectorFunctions.normalizeVector(
-            graft.core.Normalize.L2, col("embedding"))).as("eb"))
-      .collect().map(r => (r.getInt(0),
-        r.getSeq[String](1).map("m:" + _) ++ r.getSeq[Int](2).map("e:" + _)))
-      .sortBy(_._1)
-    val seen = scala.collection.mutable.Set.empty[String]
-    val batchKept = banded.collect { case (id, bands) =>
-      val novel = bands.forall(b => !seen.contains(b))
-      bands.foreach(seen += _)
-      if (novel) Some(id) else None
-    }.flatten.toSet
-    assert(batchKept === Set(1, 3),
-      "fixture sanity: the paraphrase must collide ONLY on embedding bands")
-    assert(streamed === batchKept,
-      "stream gate+semanticDedup != batch fold on the same rows")
+    // both minhash key families through the tagged union: md5 string
+    // keys and the fast long keys (each casts into the m: namespace)
+    for (fast <- Seq(false, true)) {
+      val input = MemoryStream[(Int, Long, String, Seq[Float])]
+      val gated = Curation.streamingGate(
+        input.toDS().toDF("id", "secs", "text", "embedding")
+          .withColumn("ts", timestamp_seconds(col("secs"))),
+        "text", "ts", watermark = "10 minutes",
+        nearDup = true, nearDupK = 2, nearDupHashes = 8, nearDupBands = 4,
+        fastHash = fast, semanticDedup = true, semanticLsh = lsh)
+      val q = gated.writeStream.format("memory")
+        .queryName(s"curgate_sd_$fast")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        rows.foreach { r => input.addData(r); q.processAllAvailable() }
+        input.addData((9, base + 3600,
+          docC.replace("uniform", "sentinel"), emb(14, 0f)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table(s"curgate_sd_$fast").select("id")
+        .collect().map(_.getInt(0)).toSet
+      // batch twin: gate -> exact dedup -> ONE first-seen fold over the
+      // tagged union of MinHash + embedding bands in arrival order (every
+      // first-seen band of an exact survivor enters state, emitted iff
+      // ALL bands novel — the gate's documented combined contract)
+      val all = rows.toDF("id", "secs", "text", "embedding")
+      val exact = graft.dedup.Dedup.dropExactDuplicates(
+        all.filter(graft.text.TextAnalysis.gopherKeep(col("text"), minWords = 20)),
+        "id", col("text"))
+      val mk =
+        if (fast) graft.text.TextAnalysis.minhashBandKeysFast(col("text"), 2, 8, 4)
+        else graft.text.TextAnalysis.minhashBandKeys(col("text"), 2, 8, 4)
+      val banded = exact.select(col("id"), mk.cast("array<string>").as("mb"),
+          CosineLsh.bandKeysColumn(lsh)(
+            graft.functions.VectorFunctions.normalizeVector(
+              graft.core.Normalize.L2, col("embedding"))).as("eb"))
+        .collect().map(r => (r.getInt(0),
+          r.getSeq[String](1).map("m:" + _) ++ r.getSeq[Int](2).map("e:" + _)))
+        .sortBy(_._1)
+      val seen = scala.collection.mutable.Set.empty[String]
+      val batchKept = banded.collect { case (id, bands) =>
+        val novel = bands.forall(b => !seen.contains(b))
+        bands.foreach(seen += _)
+        if (novel) Some(id) else None
+      }.flatten.toSet
+      assert(batchKept === Set(1, 3),
+        s"fixture sanity (fast=$fast): the paraphrase must collide ONLY on embedding bands")
+      assert(streamed === batchKept,
+        s"stream gate+semanticDedup != batch fold on the same rows (fast=$fast)")
+    }
   }
 }
