@@ -1081,6 +1081,38 @@ object Bench {
       graft.ann.IvfPq.searchManyPartitioned(spark, scaleIvfPqPath, config,
         scaleQs, 10, nprobe = 4, candidates = 100, knownNq = 64L).count()
     }
+    // IVF-bf16 at-rest layout: directory pruning x half-IO near-exact
+    // payload — the serving point between flat-bf16 (no pruning) and
+    // IVF-PQ (lossy codes + rerank join); search is ONE pruned scan
+    val scaleIvfBf16Path = "/tmp/graft_bench_scale_ivfbf16"
+    record("scale5x_ivfbf16_part_write", cold = true) {
+      val base = graft.prepare.Prepare.prepareEmbeddings(
+        spark.range(scaleN).select(
+          col("id").cast("string").as("id"),
+          col("id").cast("string").as("value"),
+          genUdf(col("id")).as("vector")), config)
+        .select("id", "value", "vector")
+      val cents = graft.ann.IvfIndex.trainOrdered(base, config,
+        graft.ann.IvfIndex.IvfConfig(k = 16, iterations = 3),
+        col("id").cast("long"))
+      graft.ann.IvfBf16.writePartitioned(base, cents, scaleIvfBf16Path)
+    }
+    familyBarrier()
+    record("scale5x_ivfbf16_part_batch64_perq", div = 64.0) {
+      graft.ann.IvfBf16.searchManyPartitioned(spark, scaleIvfBf16Path, config,
+        scaleQs, 10, nprobe = 4, knownNq = 64L).count()
+    }
+    // ABLATION like overlap10_ivf_nprobe4: isolates the coarse probe's
+    // cell recall on this uniform-random corpus (bf16 itself ranks
+    // near-exactly — overlap10_bf16_vs_f32 above pins that at 1.0)
+    quality("overlap10_ivfbf16_nprobe4") = {
+      val exact = Search.flatSearchPacked(scaleDf, config, q, 10)
+        .collect().map(_.getString(0)).toSet
+      val got = graft.ann.IvfBf16.searchPartitioned(spark, scaleIvfBf16Path,
+          config, q, 10, nprobe = 4)
+        .collect().map(_.getString(0)).toSet
+      if (exact.isEmpty) 1.0 else exact.intersect(got).size.toDouble / exact.size
+    }
     // stage-split diagnostic for the row above (r11 saw a 13x that a
     // standalone microbench could not reproduce — split the cost inside
     // the aged session itself): sidecar load, fresh read, exec-only on
@@ -1164,9 +1196,14 @@ object Bench {
         .select("id", "value", "pq_codes")
         .write.mode("overwrite").parquet(s50Pq)
       val tb4 = System.nanoTime()
+      // IVF-bf16 at 5M: shares cents50 with the ivfpq layout (one
+      // k-means per corpus generation)
+      val s50IvfBf16 = "/tmp/graft_bench_scale50_ivfbf16"
+      graft.ann.IvfBf16.writePartitioned(base50, cents50, s50IvfBf16)
+      val tb5 = System.nanoTime()
       System.err.println(f"[bench] scale50x build: packed=${(tb1 - tb0) / 1e9}%.1f s " +
         f"ivfpq=${(tb2 - tb1) / 1e9}%.1f s bf16pfx=${(tb3 - tb2) / 1e9}%.1f s " +
-        f"pq=${(tb4 - tb3) / 1e9}%.1f s")
+        f"pq=${(tb4 - tb3) / 1e9}%.1f s ivfbf16=${(tb5 - tb4) / 1e9}%.1f s")
       familyBarrier()
       val scale50Df = spark.read.parquet(s50Packed)
       record("scale50x_flat_packed") {
@@ -1183,6 +1220,10 @@ object Bench {
       record("scale50x_ivfpq_part_batch64_perq", div = 64.0) {
         graft.ann.IvfPq.searchManyPartitioned(spark, s50IvfPq, config,
           scaleQs, 10, nprobe = 4, candidates = 100, knownNq = 64L).count()
+      }
+      record("scale50x_ivfbf16_part_batch64_perq", div = 64.0) {
+        graft.ann.IvfBf16.searchManyPartitioned(spark, s50IvfBf16, config,
+          scaleQs, 10, nprobe = 4, knownNq = 64L).count()
       }
       // ADC codes scan + rerank at 5M (uncached reads, same shapes as
       // the 500k rows): m bytes/row scanned, top-200 ids rejoin the

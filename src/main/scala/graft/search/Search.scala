@@ -791,7 +791,7 @@ object Search {
       knownNq = knownNq)
   }
 
-  private def col2Bf16Distance(metric: Metric, packed: Column, q: Column): Column =
+  private[graft] def col2Bf16Distance(metric: Metric, packed: Column, q: Column): Column =
     col2Bf16DistanceCode(metric.code, packed, q)
 
   private def col2Bf16DistanceCode(code: Int, packed: Column, q: Column): Column =

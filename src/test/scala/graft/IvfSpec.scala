@@ -161,4 +161,49 @@ class IvfSpec extends SparkSpec {
       .sorted === exact.sorted)
     coll.unpersist()
   }
+
+  test("IVF-bf16 layout: full probe == flat bf16; batch == single per query; directories prune") {
+    import org.apache.spark.sql.functions.col
+    import graft.ann.IvfBf16
+    val d = Tables.dims(spark, sfDir)
+    val config = Tables.cosineConfig(d)
+    val coll = Tables.embeddingsCollection(spark, sfDir, config).cache()
+    val centroids = IvfIndex.train(coll, config, IvfIndex.IvfConfig(k = 8, iterations = 5))
+    val path = java.nio.file.Files.createTempDirectory("graft_ivf_bf16").toString
+    IvfBf16.writePartitioned(coll, centroids, path)
+    // at rest: bf16 payload only (the f32 column is gone), cell dirs
+    val stored = spark.read.parquet(path)
+    assert(stored.columns.sorted.toSeq === Seq("id", "ivf_cell", "value", "vector_bf16"))
+    assert(new java.io.File(path).listFiles().count(_.getName.startsWith("ivf_cell=")) === 8)
+    def key(df: org.apache.spark.sql.DataFrame): Seq[(String, Double)] =
+      df.collect().map(r => (r.getAs[String]("id"), r.getAs[Double]("score"))).toSeq
+    // full probe == the flat bf16 scan (same rounded-corpus contract)
+    val q = Tables.queryVector(spark, sfDir, 2L)
+    val flat = key(Search.flatSearchBf16(
+      graft.prepare.Prepare.withBf16Vector(coll).select("id", "value", "vector_bf16"),
+      config, q, 10))
+    val full = key(IvfBf16.searchPartitioned(spark, path, config, q, 10, nprobe = 8))
+    assert(full === flat)
+    // batch == single per query at a PARTIAL probe; probe union prunes
+    // directories (PartitionFilters on ivf_cell in the scan)
+    import spark.implicits._
+    val queries = Seq(("2", Tables.queryVector(spark, sfDir, 2L).toSeq),
+      ("5", Tables.queryVector(spark, sfDir, 5L).toSeq)).toDF("qid", "qvector")
+    val many = IvfBf16.searchManyPartitioned(spark, path, config, queries,
+      10, nprobe = 3, knownNq = 2L)
+    val plan = many.queryExecution.executedPlan.toString
+    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(plan).isDefined, plan)
+    val rows = many.collect()
+    for (qid <- Seq("2", "5")) {
+      val qv = Tables.queryVector(spark, sfDir, qid.toLong)
+      val single = key(IvfBf16.searchPartitioned(spark, path, config, qv, 10, nprobe = 3))
+      val batch = rows.filter(_.getString(0) == qid)
+        .map(r => (r.getAs[String]("id"), r.getAs[Double]("score"))).toSeq
+      assert(batch.sorted === single.sorted, s"qid $qid")
+    }
+    // partial-probe quality on this corpus: ordered overlap vs bf16-exact
+    val part = key(IvfBf16.searchPartitioned(spark, path, config, q, 10, nprobe = 3))
+    assert(part.map(_._1).toSet.intersect(flat.map(_._1).toSet).size >= 5)
+    coll.unpersist()
+  }
 }
