@@ -119,7 +119,11 @@ object IvfBf16 {
     val (score, dist) = resultValues(config.metric, col("raw"), config.score)
     val hint: DataFrame => DataFrame =
       if (nq >= 0 && nq * limit <= 1000000L) broadcast(_) else identity
-    df.select(col("id"), col("value")).join(hint(slim), Seq("id"))
+    // value-fetch joins the PRUNED frame — every winner lives in a
+    // probed cell, so this second scan keeps the same partition filter
+    // (joining the unpruned frame would re-read id/value from every
+    // cell directory and defeat the layout's pruning contract)
+    pruned.select(col("id"), col("value")).join(hint(slim), Seq("id"))
       .select(col("qid"), col("id"), col("value"),
         score.cast("double").as("score"), dist.cast("double").as("distance"),
         lit(config.metric.name).as("metric"))

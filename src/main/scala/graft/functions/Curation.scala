@@ -114,26 +114,34 @@ object Curation {
     // the survivors; cells train on the curated frame itself, so index
     // training and dedup share one k-means per corpus generation
     if (config.semanticDedup) {
-      val cents = config.semanticCentroids.getOrElse {
-        val dims = cur.select(size(col(config.semanticVectorCol)))
-          .head.getInt(0)
-        // fit on L2-NORMALIZED vectors — cell assignment inside
-        // dropSemanticDuplicates normalizes, so the model must live in
-        // the same space (trainOrdered samples the column as-is)
-        graft.ann.IvfIndex.trainOrdered(
-          cur.select(col(idCol).as("id"),
-            graft.functions.VectorFunctions.normalizeVector(
-              graft.core.Normalize.L2,
-              col(config.semanticVectorCol)).as("vector")),
-          graft.core.CollectionConfig("curation_sem", dims,
-            graft.core.Metric.Cosine),
-          graft.ann.IvfIndex.IvfConfig(
-            k = config.semanticCells, iterations = 3),
-          col("id"))
+      val cents = config.semanticCentroids.orElse {
+        // infer dims from the first row WITH an embedding; an empty (or
+        // all-null-embedding) frame has nothing to fit OR to drop, so
+        // the stage becomes a no-op instead of crashing mid-pipeline
+        cur.select(size(col(config.semanticVectorCol)).as("_d"))
+          .filter(col("_d").isNotNull).head(1).headOption.map { r =>
+            val dims = r.getInt(0)
+            // fit on L2-NORMALIZED vectors — cell assignment inside
+            // dropSemanticDuplicates normalizes, so the model must live
+            // in the same space (trainOrdered samples the column as-is)
+            graft.ann.IvfIndex.trainOrdered(
+              cur.select(col(idCol).as("id"),
+                graft.functions.VectorFunctions.normalizeVector(
+                  graft.core.Normalize.L2,
+                  col(config.semanticVectorCol)).as("vector"))
+                .filter(col("vector").isNotNull),
+              graft.core.CollectionConfig("curation_sem", dims,
+                graft.core.Metric.Cosine),
+              graft.ann.IvfIndex.IvfConfig(
+                k = config.semanticCells, iterations = 3),
+              col("id"))
+          }
       }
-      cur = Dedup.dropSemanticDuplicates(cur, idCol,
-        config.semanticVectorCol, cents, config.semanticThreshold)
-        .localCheckpoint()
+      cents.foreach { c =>
+        cur = Dedup.dropSemanticDuplicates(cur, idCol,
+          config.semanticVectorCol, c, config.semanticThreshold)
+          .localCheckpoint()
+      }
     }
     // 5. benchmark decontamination (zero shared n-grams)
     benchmark.foreach { bench =>
@@ -255,48 +263,59 @@ object Curation {
     (textKeys, embKeys) match {
       case (None, None) => exact
       case (Some(tk), None) =>
-        bandGateStage(exact, tsCol, tk, nearDupBands,
-          nearDupWindow, "nd")
+        bandGateStage(exact, tsCol, tk, nearDupWindow, "nd")
       case (None, Some(ek)) =>
-        bandGateStage(exact, tsCol, ek, semanticLsh.bands,
-          nearDupWindow, "sd")
+        bandGateStage(exact, tsCol, ek, nearDupWindow, "sd")
       case (Some(tk), Some(ek)) =>
         // one namespace for both families: tag to avoid cross-family key
         // collisions (embedding keys are small band-indexed ints, fast
-        // minhash keys are longs — untagged they could alias)
+        // minhash keys are longs — untagged they could alias). A null
+        // embedding contributes ZERO e-keys (not a null array, which
+        // would null the whole concat and lose the row's TEXT bands)
         val tagged = concat(
           transform(tk, k => concat(lit("m:"), k.cast("string"))),
-          transform(ek, k => concat(lit("e:"), k.cast("string"))))
-        bandGateStage(exact, tsCol, tagged,
-          nearDupBands + semanticLsh.bands, nearDupWindow, "nd")
+          coalesce(transform(ek, k => concat(lit("e:"), k.cast("string"))),
+            array().cast("array<string>")))
+        bandGateStage(exact, tsCol, tagged, nearDupWindow, "nd")
     }
   }
 
   /** Payload-riding first-seen-band stage (MinHash, embedding-LSH, or
     * the tagged union of both): explode `keys` over the rows,
     * first-seen (band, row) within the watermark, emit the row when its
-    * event-time window closes iff ALL `bands` keys were first-seen.
-    * `df`'s `tsCol` must already carry the watermark (set by the exact
-    * stage — re-defining one here is disallowed by the engine). */
+    * event-time window closes iff ALL of ITS OWN keys were first-seen
+    * (the expected count rides per row, so families whose keys are
+    * absent on a row — e.g. a null embedding — demand nothing). Rows
+    * with NO keys at all have nothing to check or contribute: they
+    * bypass the stateful stage and emit immediately, matching the batch
+    * stages that keep them (a null cell pairs with nothing). `df`'s
+    * `tsCol` must already carry the watermark (set by the exact stage —
+    * re-defining one here is disallowed by the engine). */
   private def bandGateStage(df: DataFrame, tsCol: String,
-      keys: Column, bands: Int, windowLength: String, tag: String): DataFrame = {
+      keys: Column, windowLength: String, tag: String): DataFrame = {
     val cols = df.columns.toSeq
     val bandCol = s"_${tag}_band"
     val tsAlias = s"_${tag}_ts"
     val surv = s"_${tag}_surv"
+    val nbCol = s"_${tag}_nbands"
+    val nb = coalesce(size(keys), lit(0))
+    val bypass = df.filter(nb <= 0).select(cols.map(col): _*)
     // group on a metadata-STRIPPED copy of the event-time column: the
     // watermarked original must feed window() and the band dedup, but
     // if it also rides the grouping keys the aggregate output carries
     // TWO event-time columns (window + ts) and the query is rejected
     val strippedTs = col(tsCol)
       .as(tsAlias, org.apache.spark.sql.types.Metadata.empty)
-    df.select((cols.map(col) :+ explode(keys).as(bandCol) :+ strippedTs): _*)
+    val staged = df.filter(nb > 0)
+      .select((cols.map(col) :+ explode(keys).as(bandCol) :+ strippedTs :+
+        nb.as(nbCol)): _*)
       .dropDuplicatesWithinWatermark(bandCol)
       .groupBy((window(col(tsCol), windowLength) +:
-        cols.filterNot(_ == tsCol).map(col) :+ col(tsAlias)): _*)
+        cols.filterNot(_ == tsCol).map(col) :+ col(tsAlias) :+ col(nbCol)): _*)
       .agg(count(lit(1)).as(surv))
-      .filter(col(surv) === bands)
+      .filter(col(surv) === col(nbCol))
       .select(cols.map(c => if (c == tsCol) col(tsAlias).as(tsCol) else col(c)): _*)
+    staged.unionByName(bypass)
   }
 
   /** Per-stage row-count report — the funnel diagnostic every real

@@ -192,7 +192,9 @@ class IvfSpec extends SparkSpec {
     val many = IvfBf16.searchManyPartitioned(spark, path, config, queries,
       10, nprobe = 3, knownNq = 2L)
     val plan = many.queryExecution.executedPlan.toString
-    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(plan).isDefined, plan)
+    // BOTH scans prune: the bf16 distance scan AND the value-fetch join
+    // (joining the unpruned frame there would re-read every directory)
+    assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findAllIn(plan).size >= 2, plan)
     val rows = many.collect()
     for (qid <- Seq("2", "5")) {
       val qv = Tables.queryVector(spark, sfDir, qid.toLong)

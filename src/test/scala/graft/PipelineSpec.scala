@@ -575,6 +575,25 @@ class PipelineSpec extends SparkSpec {
     val noSem = Curation.curate(para, "id", "text")
       .select("id").collect().map(_.getString(0)).toSet
     assert(noSem === Set("p1", "p2", "p3"))
+    // internal fit on an EMPTY surviving frame: the stage is a no-op,
+    // not a crash (there is nothing to fit or drop)
+    val allShortSem = Curation.curate(
+      Seq(("s1", "too short", Seq(1f, 0f, 0f, 0f)))
+        .toDF("id", "text", "embedding"),
+      "id", "text", config = Curation.Config(semanticDedup = true))
+    assert(allShortSem.count() === 0)
+    // and a frame whose FIRST rows lack embeddings still fits on the
+    // rows that have them (null-embedding rows pass through, like the
+    // batch SemDeDup contract: a null cell pairs with nothing)
+    val mixed = Curation.curate(
+      (("p0", base + " unique embeddingless head",
+        null.asInstanceOf[Seq[Float]]) +: para.collect()
+        .map(r => (r.getString(0), r.getString(1), r.getSeq[Float](2))).toSeq)
+        .toDF("id", "text", "embedding"),
+      "id", "text", config = Curation.Config(nearDedup = false,
+        semanticDedup = true, semanticCells = 2, semanticThreshold = 0.9))
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(mixed === Set("p0", "p1", "p3"), s"mixed-null semantic kept $mixed")
   }
 
   test("Curation facade reproduces the pipeline_curation gate composition") {

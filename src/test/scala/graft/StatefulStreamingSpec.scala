@@ -895,13 +895,22 @@ class StatefulStreamingSpec extends SparkSpec {
     def emb(axis: Int, eps: Float): Seq[Float] =
       Seq.tabulate(dims)(d => (if (d == axis) 1f else 0f) +
         (if (d == (axis + 1) % dims) eps else 0f))
+    // doc 6 has NO embedding: its e-keys are vacuous, so it gates on
+    // text bands alone (and they must still ENTER state — doc 7, a text
+    // near-copy of 6 with a fresh embedding, must drop against them)
+    val docF = "ocean currents carry warm water toward northern coasts " +
+      "while cold streams sink below and circle back along deep basins " +
+      "feeding plankton blooms each spring season"
+    val docG = docF + " coda"
     val base = 1700000000L
     val rows = Seq(
       (1, base, docA, emb(0, 0f)),
       (2, base + 10, docP, emb(0, 1e-4f)), // paraphrase of 1
       (3, base + 20, docC, emb(5, 0f)),
       (4, base + 30, docA, emb(9, 0f)),    // exact text copy of 1
-      (5, base + 40, docE, emb(12, 0f)))   // text near-copy of 3
+      (5, base + 40, docE, emb(12, 0f)),   // text near-copy of 3
+      (6, base + 50, docF, null: Seq[Float]),
+      (7, base + 60, docG, emb(7, 0f)))    // text near-copy of the null-emb 6
     val lsh = CosineLsh.LshConfig(bands = 4, bitsPerBand = 4)
     // both minhash key families through the tagged union: md5 string
     // keys and the fast long keys (each casts into the m: namespace)
@@ -940,7 +949,8 @@ class StatefulStreamingSpec extends SparkSpec {
             graft.functions.VectorFunctions.normalizeVector(
               graft.core.Normalize.L2, col("embedding"))).as("eb"))
         .collect().map(r => (r.getInt(0),
-          r.getSeq[String](1).map("m:" + _) ++ r.getSeq[Int](2).map("e:" + _)))
+          r.getSeq[String](1).map("m:" + _) ++
+            (if (r.isNullAt(2)) Nil else r.getSeq[Int](2).map("e:" + _))))
         .sortBy(_._1)
       val seen = scala.collection.mutable.Set.empty[String]
       val batchKept = banded.collect { case (id, bands) =>
@@ -948,10 +958,61 @@ class StatefulStreamingSpec extends SparkSpec {
         bands.foreach(seen += _)
         if (novel) Some(id) else None
       }.flatten.toSet
-      assert(batchKept === Set(1, 3),
-        s"fixture sanity (fast=$fast): the paraphrase must collide ONLY on embedding bands")
+      assert(batchKept === Set(1, 3, 6),
+        s"fixture sanity (fast=$fast): the paraphrase collides only on embedding " +
+          "bands; the null-embedding doc passes but its text bands enter state")
       assert(streamed === batchKept,
         s"stream gate+semanticDedup != batch fold on the same rows (fast=$fast)")
+    }
+    // semantic-ONLY mode (no text family): a null-embedding row has no
+    // band keys at all — it bypasses the stateful stage and is emitted,
+    // exactly like the batch SemDeDup stage (a null cell pairs with
+    // nothing); the paraphrase still drops
+    locally {
+      val input = MemoryStream[(Int, Long, String, Seq[Float])]
+      val gated = Curation.streamingGate(
+        input.toDS().toDF("id", "secs", "text", "embedding")
+          .withColumn("ts", timestamp_seconds(col("secs"))),
+        "text", "ts", watermark = "10 minutes",
+        semanticDedup = true, semanticLsh = lsh)
+      val q = gated.writeStream.format("memory").queryName("curgate_sd_only")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        rows.foreach { r => input.addData(r); q.processAllAvailable() }
+        input.addData((9, base + 3600,
+          docC.replace("uniform", "sentinel"), emb(14, 0f)))
+        q.processAllAvailable()
+      } finally q.stop()
+      val streamed = spark.table("curgate_sd_only").select("id")
+        .collect().map(_.getInt(0)).toSet
+      // batch fold twin with e-bands only: a row with no embedding
+      // bypasses (kept, contributes nothing) — text near-copies are
+      // invisible to this mode. At bitsPerBand=4 novel embeddings can
+      // still collide on single bands by chance, so the expectation is
+      // the FOLD, not a hand-picked set
+      val all = rows.toDF("id", "secs", "text", "embedding")
+      val exact = graft.dedup.Dedup.dropExactDuplicates(
+        all.filter(graft.text.TextAnalysis.gopherKeep(col("text"), minWords = 20)),
+        "id", col("text"))
+      val banded = exact.select(col("id"),
+          CosineLsh.bandKeysColumn(lsh)(
+            graft.functions.VectorFunctions.normalizeVector(
+              graft.core.Normalize.L2, col("embedding"))).as("eb"))
+        .collect().map(r => (r.getInt(0),
+          if (r.isNullAt(1)) Nil else r.getSeq[Int](1)))
+        .sortBy(_._1)
+      val seen = scala.collection.mutable.Set.empty[Int]
+      val batchKept = banded.collect { case (id, eb) =>
+        val novel = eb.forall(b => !seen.contains(b))
+        eb.foreach(seen += _)
+        if (novel) Some(id) else None
+      }.flatten.toSet
+      // fixture sanity: the paraphrase drops on embedding bands, the
+      // exact copy at the exact stage, the null-embedding row bypasses
+      assert(!batchKept.contains(2) && !batchKept.contains(4) &&
+        batchKept.contains(6) && batchKept.contains(1) && batchKept.contains(3))
+      assert(streamed === batchKept,
+        "semantic-only gate: stream != batch fold (null-embedding bypass)")
     }
   }
 }
