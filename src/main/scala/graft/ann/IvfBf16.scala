@@ -38,7 +38,13 @@ object IvfBf16 {
     val prepared = graft.prepare.Prepare.withBf16Vector(
         IvfIndex.withCells(df, centroids))
       .select("id", "value", "vector_bf16", "ivf_cell")
-    IvfIndex.writeCellLayout(prepared, path, filesPerCell)
+    // bf16 payloads are WIDE (2 B/dim binary per row): parquet buffers a
+    // full row group uncompressed per open file, so every concurrent
+    // write task holds one — the default 128 MB x 32 tasks is a 4 GB
+    // heap bill for zero scan benefit at this payload shape; 32 MB row
+    // groups keep the write inside a default driver heap
+    IvfIndex.writeCellLayout(prepared, path, filesPerCell,
+      options = Map("parquet.block.size" -> (32L * 1024 * 1024).toString))
     ModelStore.saveIvf(df.sparkSession, sidecar(path), centroids)
   }
 

@@ -221,11 +221,12 @@ object IvfIndex {
     * `filesPerCell` when single-file cells would exceed a healthy
     * parquet size. */
   private[ann] def writeCellLayout(prepared: DataFrame, path: String,
-      filesPerCell: Int, mode: String = "overwrite"): Unit = {
+      filesPerCell: Int, mode: String = "overwrite",
+      options: Map[String, String] = Map.empty): Unit = {
     require(filesPerCell > 0, "filesPerCell must be positive")
     prepared
       .repartition(col("ivf_cell"), pmod(xxhash64(col("id")), lit(filesPerCell)))
-      .write.mode(mode).partitionBy("ivf_cell").parquet(path)
+      .write.mode(mode).options(options).partitionBy("ivf_cell").parquet(path)
   }
 
   /** Append NEW rows to an existing [[writePartitioned]] layout WITHOUT
