@@ -684,7 +684,7 @@ object Bench {
         if (cluFullExact.isEmpty) 1.0
         else cluFullExact.intersect(ids.toSet).size.toDouble / cluFullExact.size
       val rtQuery = Seq(("q0", cluQ.toSeq)).toDF("qid", "qvector")
-      for (ridx <- Seq("ivf", "pq", "ivfpq", "hnsw", "bf16")) {
+      for (ridx <- Seq("ivf", "pq", "ivfpq", "hnsw", "bf16", "ivfbf16")) {
         val rname = s"bench_rt_$ridx"
         rdb.createCollection(rname, dims, metric = "cosine", index = ridx)
         rdb.batch(rname, inputs)

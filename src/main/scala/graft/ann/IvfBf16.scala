@@ -29,23 +29,48 @@ object IvfBf16 {
   private def sidecar(path: String): String =
     path.stripSuffix("/") + "/" + ModelStore.SidecarName
 
+  // bf16 payloads are WIDE (2 B/dim binary per row): parquet buffers a
+  // full row group uncompressed per open file, so every concurrent
+  // write task holds one — the default 128 MB x 32 tasks is a 4 GB
+  // heap bill for zero scan benefit at this payload shape; 32 MB row
+  // groups keep the write inside a default driver heap
+  private val writeOptions: Map[String, String] =
+    Map("parquet.block.size" -> (32L * 1024 * 1024).toString)
+
+  /** The serving frame: cell-assigned + bf16-encoded rows of a
+    * canonical collection frame — what the facade caches for an
+    * in-memory ivfbf16 collection (an opened at-rest layout puts the
+    * parquet scan itself here instead). */
+  def prepare(df: DataFrame, centroids: Array[Array[Float]]): DataFrame =
+    graft.prepare.Prepare.withBf16Vector(IvfIndex.withCells(df, centroids))
+
+  private def slimAtRest(df: DataFrame): DataFrame =
+    df.select("id", "value", "vector_bf16", "ivf_cell")
+
   /** Write `df` (id, value, vector) cell-partitioned with bf16 payloads:
     * the f32 column is DROPPED at rest — half the bytes of
     * [[IvfIndex.writePartitioned]] under the same directory layout and
     * bounded-file-count discipline ([[IvfIndex.writeCellLayout]]). */
   def writePartitioned(df: DataFrame, centroids: Array[Array[Float]],
       path: String, filesPerCell: Int = 1): Unit = {
-    val prepared = graft.prepare.Prepare.withBf16Vector(
-        IvfIndex.withCells(df, centroids))
-      .select("id", "value", "vector_bf16", "ivf_cell")
-    // bf16 payloads are WIDE (2 B/dim binary per row): parquet buffers a
-    // full row group uncompressed per open file, so every concurrent
-    // write task holds one — the default 128 MB x 32 tasks is a 4 GB
-    // heap bill for zero scan benefit at this payload shape; 32 MB row
-    // groups keep the write inside a default driver heap
-    IvfIndex.writeCellLayout(prepared, path, filesPerCell,
-      options = Map("parquet.block.size" -> (32L * 1024 * 1024).toString))
+    IvfIndex.writeCellLayout(slimAtRest(prepare(df, centroids)), path,
+      filesPerCell, options = writeOptions)
     ModelStore.saveIvf(df.sparkSession, sidecar(path), centroids)
+  }
+
+  /** Append NEW rows to an existing partitioned layout WITHOUT
+    * retraining: rows are cell-assigned and bf16-encoded with the
+    * SIDECAR's centroids and appended into the cell directories — the
+    * incremental-ingest half of the lifecycle (at 100 TB you retrain
+    * rarely and append constantly). The sidecar is left untouched.
+    * Input needs the same base columns as the original write. */
+  def appendPartitioned(spark: SparkSession, path: String, df: DataFrame,
+      filesPerCell: Int = 1, checkIds: Boolean = true,
+      cachedModel: Option[Array[Array[Float]]] = None): Unit = {
+    if (checkIds) IvfIndex.requireNewIds(spark, path, df)
+    val cents = cachedModel.getOrElse(loadModel(spark, path))
+    IvfIndex.writeCellLayout(slimAtRest(prepare(df, cents)), path,
+      filesPerCell, mode = "append", options = writeOptions)
   }
 
   def loadModel(spark: SparkSession, path: String): Array[Array[Float]] =
@@ -53,6 +78,36 @@ object IvfBf16 {
 
   def hasModel(spark: SparkSession, path: String): Boolean =
     ModelStore.exists(spark, sidecar(path))
+
+  /** Single-query search over a cell-assigned bf16 frame (a [[prepare]]d
+    * in-memory frame or an at-rest scan): prune to the probed cells,
+    * rank the survivors by the bf16 distance directly. nprobe == cells
+    * degenerates to [[Search.flatSearchBf16]] over the whole frame. */
+  def search(df: DataFrame, config: CollectionConfig,
+      centroids: Array[Array[Float]], query: Array[Float], limit: Int,
+      nprobe: Int): DataFrame = {
+    val q = Search.prepareQuery(config, query)
+    searchProbes(df, config, query, limit,
+      IvfIndex.probeCells(q, centroids, math.min(nprobe, centroids.length)))
+  }
+
+  /** Single-query search with the ADAPTIVE probe policy
+    * ([[IvfIndex.probeCellsAdaptive]] — the facade default for the ivf
+    * family): identical plan shape to [[search]], only the probe set
+    * differs. */
+  def searchAdaptive(df: DataFrame, config: CollectionConfig,
+      centroids: Array[Array[Float]], query: Array[Float], limit: Int,
+      ratio: Double = 1.5, maxProbe: Int = 8): DataFrame = {
+    val q = Search.prepareQuery(config, query)
+    searchProbes(df, config, query, limit,
+      IvfIndex.probeCellsAdaptive(q, centroids, ratio, maxProbe))
+  }
+
+  private def searchProbes(df: DataFrame, config: CollectionConfig,
+      query: Array[Float], limit: Int, probes: Seq[Int]): DataFrame = {
+    val cands = df.filter(col("ivf_cell").isin(probes: _*)).drop("ivf_cell")
+    Search.flatSearchBf16(cands, config, query, limit)
+  }
 
   /** Single-query search over the at-rest layout: probe filter =
     * partition filter, then the bf16 flat search over the surviving
@@ -63,12 +118,9 @@ object IvfBf16 {
       config: CollectionConfig, query: Array[Float], limit: Int, nprobe: Int,
       filter: Option[Column] = None): DataFrame = {
     val cents = loadModel(spark, path)
-    val q = Search.prepareQuery(config, query)
-    val probes = IvfIndex.probeCells(q, cents, math.min(nprobe, cents.length))
     val base = spark.read.parquet(path)
-    val cands = filter.foldLeft(base)(_.filter(_))
-      .filter(col("ivf_cell").isin(probes: _*)).drop("ivf_cell")
-    Search.flatSearchBf16(cands, config, query, limit)
+    search(filter.foldLeft(base)(_.filter(_)), config, cents, query, limit,
+      nprobe)
   }
 
   /** Batch search over the at-rest layout: the probe UNION becomes a
@@ -95,20 +147,42 @@ object IvfBf16 {
   def searchManyPruned(df: DataFrame, config: CollectionConfig,
       centroids: Array[Array[Float]], queries: DataFrame, limit: Int,
       nprobe: Int, knownNq: Long = -1L): DataFrame = {
-    require(limit > 0, "limit must be positive")
     val cents = centroids
     val np = math.min(math.max(nprobe, 1), cents.length)
-    val probeUdf = udf((q: Seq[Float]) =>
-      IvfIndex.probeCells(q.toArray, cents, np).toArray)
+    searchManyWith(df, config, queries, limit,
+      q => IvfIndex.probeCells(q, cents, np), knownNq)
+  }
+
+  /** Adaptive-probe twin of [[searchManyPruned]]: per-query probe sets
+    * are variable-length (the explode-join shape absorbs that for free —
+    * easy queries ship fewer (qid, cell) pairs and the probe UNION that
+    * prunes the scan shrinks with them). Per-query results equal
+    * [[searchAdaptive]] at the same knobs. */
+  def searchManyPrunedAdaptive(df: DataFrame, config: CollectionConfig,
+      centroids: Array[Array[Float]], queries: DataFrame, limit: Int,
+      ratio: Double = 1.5, maxProbe: Int = 8, knownNq: Long = -1L): DataFrame = {
+    val cents = centroids
+    val (r, mp) = (ratio, maxProbe)
+    searchManyWith(df, config, queries, limit,
+      q => IvfIndex.probeCellsAdaptive(q, cents, r, mp), knownNq)
+  }
+
+  private def searchManyWith(df: DataFrame, config: CollectionConfig,
+      queries: DataFrame, limit: Int, probe: Array[Float] => Seq[Int],
+      knownNq: Long): DataFrame = {
+    require(limit > 0, "limit must be positive")
+    val probeUdf = udf((q: Seq[Float]) => probe(q.toArray).toArray)
     val qNorm = queries.select(col("qid"),
       normalizeVector(config.effectiveNormalize, col("qvector")).as("qvector"))
     val qSide = qNorm.select(col("qid"), col("qvector"),
       explode(probeUdf(col("qvector"))).as("ivf_cell"))
-    // ONE tiny job over the nq*np-row query side yields the static probe
-    // union AND nq (probeCells emits exactly np distinct cells per query)
-    val agg = qSide.agg(collect_set(col("ivf_cell")), count(lit(1))).head()
+    // ONE tiny job over the exploded query side yields the static probe
+    // union AND nq (adaptive probe sets are variable-length, so nq is a
+    // distinct count, not rows/np)
+    val agg = qSide.agg(collect_set(col("ivf_cell")),
+      count_distinct(col("qid"))).head()
     val cells = agg.getSeq[Int](0)
-    val nq = if (knownNq >= 0) knownNq else agg.getLong(1) / np
+    val nq = if (knownNq >= 0) knownNq else agg.getLong(1)
     val pruned = df.filter(col("ivf_cell").isin(cells.map(Int.box): _*))
     val raw = Search.col2Bf16Distance(config.metric,
       col("vector_bf16"), col("qvector"))

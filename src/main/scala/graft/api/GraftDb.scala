@@ -291,6 +291,23 @@ final class GraftDb(val spark: SparkSession) {
             graft.ann.IvfIndex.search(filtered(frame), config, cents, query,
               limit, ivfCfg.nprobe)
         }
+      case "ivfbf16" =>
+        // cell-directory pruning x half-IO bf16 payload — the serving
+        // point between flat bf16 and ivfpq (graft.ann.IvfBf16); the
+        // probe policy mirrors "ivf" exactly (adaptive by default)
+        val ivfCfg = graft.ann.IvfIndex.IvfConfig()
+        val cents = ivfCache.getOrElseUpdate(name,
+          graft.ann.IvfIndex.train(df, config, ivfCfg))
+        val frame = codedFrameCache.getOrElseUpdate(name,
+          graft.ann.IvfBf16.prepare(df, cents))
+        ivfAdaptive match {
+          case Some((ratio, maxProbe)) =>
+            graft.ann.IvfBf16.searchAdaptive(filtered(frame), config, cents,
+              query, limit, ratio, maxProbe)
+          case None =>
+            graft.ann.IvfBf16.search(filtered(frame), config, cents, query,
+              limit, ivfCfg.nprobe)
+        }
       case "sq8" =>
         val (model, coded) = sq8Cache.getOrElseUpdate(name, {
           val m = graft.ann.Sq8.train(df)
@@ -555,6 +572,25 @@ final class GraftDb(val spark: SparkSession) {
             graft.ann.IvfIndex.searchManyPruned(filtered(frame), config,
               cents, queries, limit, if (np > 0) np else ivfCfg.nprobe)
         }
+      case "ivfbf16" =>
+        // the probe union prunes the scan statically (directory pruning
+        // on an opened layout); the bf16 rank IS the result contract —
+        // no rerank stage. Explicit nprobe (the recallTarget ladder's
+        // knob) opts out of adaptive probing, as with "ivf".
+        val ivfCfg = graft.ann.IvfIndex.IvfConfig()
+        val cents = ivfCache.getOrElseUpdate(name,
+          graft.ann.IvfIndex.train(df, config, ivfCfg))
+        val frame = codedFrameCache.getOrElseUpdate(name,
+          graft.ann.IvfBf16.prepare(df, cents))
+        (if (np > 0) None else ivfAdaptive) match {
+          case Some((ratio, maxProbe)) =>
+            graft.ann.IvfBf16.searchManyPrunedAdaptive(filtered(frame),
+              config, cents, queries, limit, ratio, maxProbe, knownNq)
+          case None =>
+            graft.ann.IvfBf16.searchManyPruned(filtered(frame), config,
+              cents, queries, limit, if (np > 0) np else ivfCfg.nprobe,
+              knownNq)
+        }
       case "sq8" =>
         val (model, coded) = sq8Cache.getOrElseUpdate(name, {
           val m = graft.ann.Sq8.train(df)
@@ -627,7 +663,7 @@ final class GraftDb(val spark: SparkSession) {
   /** Knob ladder per index type, cheapest point first. */
   private def knobLadder(index: String, limit: Int, cells: Int): Seq[(Int, Int, Int)] =
     index match {
-      case "ivf" =>
+      case "ivf" | "ivfbf16" =>
         Seq(1, 2, 4, 8, cells).distinct.filter(_ <= cells).map(np => (np, 0, 0))
       case "pq" | "sq8" =>
         Seq(2, 5, 20, 50, 200).map(m => (0, m * limit, 0))
@@ -973,6 +1009,13 @@ final class GraftDb(val spark: SparkSession) {
         val cents = ivfCache.getOrElseUpdate(name,
           graft.ann.IvfIndex.train(df, config, graft.ann.IvfIndex.IvfConfig()))
         graft.ann.IvfIndex.writePartitioned(df, cents, path)
+      case "ivfbf16" =>
+        // cell directories + bf16 payloads, f32 DROPPED at rest (the
+        // bf16 contract): probe pruning is directory pruning over half
+        // the flat layout's scan bytes
+        val cents = ivfCache.getOrElseUpdate(name,
+          graft.ann.IvfIndex.train(df, config, graft.ann.IvfIndex.IvfConfig()))
+        graft.ann.IvfBf16.writePartitioned(df, cents, path)
       case "ivfpq" if residualMetric(config) =>
         val cents = ivfCache.getOrElseUpdate(name,
           graft.ann.IvfIndex.train(df, config, graft.ann.IvfIndex.IvfConfig()))
@@ -1057,6 +1100,11 @@ final class GraftDb(val spark: SparkSession) {
       case "ivf" =>
         ivfCache.put(name, graft.ann.IvfIndex.loadModel(spark, path))
         codedFrameCache.put(name, full)
+      case "ivfbf16" =>
+        require(full.columns.contains("vector_bf16"),
+          s"ivfbf16 layout at $path is missing vector_bf16")
+        ivfCache.put(name, graft.ann.IvfBf16.loadModel(spark, path))
+        codedFrameCache.put(name, full)
       case "ivfpq" =>
         val (cents, cb, residual) = graft.ann.IvfPq.loadModel(spark, path)
         require(residual == residualMetric(config),
@@ -1079,9 +1127,10 @@ final class GraftDb(val spark: SparkSession) {
       case other => throw new IllegalArgumentException(
         s"index $other has no persistable layout")
     }
-    // a bf16 layout has no f32 column at rest — CRUD reads (get/all)
-    // serve the DECODED rounded vectors, which ARE the stored corpus
-    val reg = if (config.index == "bf16")
+    // a bf16/ivfbf16 layout has no f32 column at rest — CRUD reads
+    // (get/all) serve the DECODED rounded vectors, which ARE the stored
+    // corpus
+    val reg = if (config.index == "bf16" || config.index == "ivfbf16")
       full.withColumn("vector",
         graft.functions.VectorFunctions.unpackBf16(col("vector_bf16")))
     else full
@@ -1131,6 +1180,9 @@ final class GraftDb(val spark: SparkSession) {
         graft.index.ShardedHnsw.appendLayout(spark, path, config, prepared)
       case "ivf" =>
         graft.ann.IvfIndex.appendPartitioned(spark, path, prepared,
+          checkIds = false, cachedModel = ivfCache.get(name))
+      case "ivfbf16" =>
+        graft.ann.IvfBf16.appendPartitioned(spark, path, prepared,
           checkIds = false, cachedModel = ivfCache.get(name))
       case "ivfpq" =>
         // rebuild the cached (cents, cb, residual) triple from the open

@@ -201,7 +201,8 @@ class GraftDbSpec extends SparkSpec {
     // ivfpq on cosine = raw codes; on l2 = residual codes; both roads
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
         "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
-        "hnsw" -> "cosine", "flat" -> "cosine", "bf16" -> "cosine")) {
+        "hnsw" -> "cosine", "flat" -> "cosine", "bf16" -> "cosine",
+        "ivfbf16" -> "cosine")) {
       val name = s"p_${idx}_$metric"
       db.createCollection(name, 4, metric = metric, index = idx)
       db.batch(name, vecs)
@@ -227,7 +228,7 @@ class GraftDbSpec extends SparkSpec {
         assert(batchTop === singleTop, s"$name batch/single disagree after open")
         // opened cell-partitioned collections route batch search through
         // the at-rest layout with a STATIC probe-union partition filter
-        if (idx == "ivf" || idx == "ivfpq") {
+        if (idx == "ivf" || idx == "ivfpq" || idx == "ivfbf16") {
           val plan = batch.queryExecution.executedPlan.toString
           assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(plan).isDefined,
             s"$name batch after open does not statically prune cells:\n$plan")
@@ -301,6 +302,62 @@ class GraftDbSpec extends SparkSpec {
     db.close("bf"); db2.close("bf2")
   }
 
+  test("ivfbf16 facade kind: wide-open probes == flat bf16 exact; batch == single; recallTarget resolves knobs") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val db = new GraftDb(spark)
+    val vecs = (0 until 80).map(i =>
+      db.EmbeddingInput(id = f"c$i%02d", vector = Array(
+        math.cos(i * 0.23).toFloat, math.sin(i * 0.29).toFloat,
+        (i % 11) / 10.0f, (i % 5) / 4.0f)))
+    val q = Array(0.55f, -0.35f, 0.6f, 0.25f)
+    db.createCollection("ibf", 4, metric = "cosine", index = "ivfbf16")
+    db.batch("ibf", vecs)
+    db.createCollection("ibf_flat", 4, metric = "cosine", index = "bf16")
+    db.batch("ibf_flat", vecs)
+    val bf16Exact = db.search("ibf_flat", q, 5).select("id", "score")
+      .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+    // wide-open adaptive knobs probe every cell: the rounded-exact anchor
+    spark.conf.set("spark.graft.ivf.ratio", "1e9")
+    spark.conf.set("spark.graft.ivf.maxProbe", "64")
+    try {
+      val full = db.search("ibf", q, 5).select("id", "score")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(full === bf16Exact, "full-probe ivfbf16 differs from the flat bf16 scan")
+    } finally {
+      spark.conf.unset("spark.graft.ivf.ratio")
+      spark.conf.unset("spark.graft.ivf.maxProbe")
+    }
+    // default adaptive knobs: single and batch stay per-query identical
+    val queries = Seq(("q0", q.toSeq), ("q1", vecs(13).vector.toSeq))
+      .toDF("qid", "qvector")
+    val batch = db.searchMany("ibf", queries, 5).collect()
+      .groupBy(_.getAs[String]("qid"))
+    for ((qid, qv) <- Seq("q0" -> q, "q1" -> vecs(13).vector)) {
+      val single = db.search("ibf", qv, 5).select("id", "score")
+        .collect().map(r => (r.getString(0), r.getDouble(1))).toSeq.sortBy(_._1)
+      val got = batch(qid)
+        .map(r => (r.getAs[String]("id"), r.getAs[Double]("score")))
+        .toSeq.sortBy(_._1)
+      assert(got === single, s"ivfbf16 batch != single for $qid")
+    }
+    // filtered search: the excluded id never surfaces
+    val top1 = db.search("ibf", q, 1).head.getString(0)
+    val filt = db.search("ibf", q, 3, filter = Some(col("id") =!= top1))
+      .collect().map(_.getString(0)).toSeq
+    assert(!filt.contains(top1) && filt.nonEmpty, "ivfbf16 filter ignored")
+    // recallTarget: the measured nprobe ladder resolves a full-fill point
+    // and the resolved knobs DELIVER vs the rounded-exact anchor
+    val p = db.knobsFor("ibf", recallTarget = 1.0, limit = 5)
+    assert(p.nprobe >= 1 && p.fill >= 0.999, s"ladder point $p")
+    val viaTarget = db.searchMany("ibf", Seq(("q0", q.toSeq)).toDF("qid", "qvector"),
+        5, knownNq = 1L, recallTarget = 1.0)
+      .collect().map(_.getAs[String]("id")).toSet
+    assert(bf16Exact.map(_._1).toSet.subsetOf(viaTarget),
+      s"recallTarget knobs under-deliver: $viaTarget")
+    db.close("ibf"); db.close("ibf_flat")
+  }
+
   test("l2 ivfpq facade defaults to residual codes; batch agrees with single") {
     val db = new GraftDb(spark)
     db.createCollection("resq", 3, metric = "l2", index = "ivfpq")
@@ -341,7 +398,8 @@ class GraftDbSpec extends SparkSpec {
     val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
         "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
-        "hnsw" -> "cosine", "flat" -> "cosine", "bf16" -> "cosine")) {
+        "hnsw" -> "cosine", "flat" -> "cosine", "bf16" -> "cosine",
+        "ivfbf16" -> "cosine")) {
       val name = s"ap_${idx}_$metric"
       db.createCollection(name, 4, metric = metric, index = idx)
       db.batch(name, vecs)
@@ -513,7 +571,7 @@ class GraftDbSpec extends SparkSpec {
       res.select("qid", "id").collect().groupBy(_.getString(0))
         .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
     val exact = topIds(db.searchMany("rt_flat", qs, 10, knownNq = 4))
-    for (idx <- Seq("ivf", "pq", "ivfpq", "hnsw", "sq8", "bf16")) {
+    for (idx <- Seq("ivf", "pq", "ivfpq", "hnsw", "sq8", "bf16", "ivfbf16")) {
       val name = s"rt_$idx"
       db.createCollection(name, dims, metric = "cosine", index = idx)
       db.batch(name, rows)
