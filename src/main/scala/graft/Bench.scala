@@ -460,6 +460,25 @@ object Bench {
     record("synth_pq_search") {
       graft.ann.Pq.search(pqColl, config, pqCb, q, 10, candidates = 200).collect()
     }
+    // RaBitQ calibrated 1-bit codes (rotation + 2 factors at rest):
+    // estimated-distance candidates instead of raw sign-matching, same
+    // 1 bit/dim scan payload as the quantized pass + 24 B of factors;
+    // encode uses the O(d log d) fast-Hadamard bulk path
+    val rqModel = graft.ann.RaBitQ.train(coll,
+      graft.ann.RaBitQ.Config(dims = dims, centered = true, ordered = false))
+    val rqColl = graft.ann.RaBitQ.withCodes(coll, rqModel)
+      .select("id", "value", "vector", "rabitq").persist()
+    record("synth_rabitq_encode", cold = true) {
+      rqColl.unpersist(blocking = true); rqColl.count()
+    }
+    rqColl.persist(); rqColl.count() // re-cache: search rows measure the CACHED regime
+    record("synth_rabitq_search") {
+      graft.ann.RaBitQ.search(rqColl, config, rqModel, q, 10, candidates = 200).collect()
+    }
+    record("synth_rabitq_batch64_perq", div = 64.0) {
+      graft.ann.RaBitQ.searchMany(rqColl, config, rqModel, queries64, 10,
+        candidates = 200, knownNq = 64L).collect()
+    }
     // ----- quality preflight: overlap@10 vs exact flat for every
     // approximate mode, printed with the timings like the reference's
     // bench gate (bench/search_modes_bench.exs:193-238, BASELINE.md).
@@ -505,6 +524,10 @@ object Bench {
       graft.ann.Sq8.search(sq8Coll, config, sq8Model, q, 10, candidates = 200)))
     quality("overlap10_pq_c200") = overlap(dfIds(
       graft.ann.Pq.search(pqColl, config, pqCb, q, 10, candidates = 200)))
+    // the calibrated-1-bit claim, measured: same candidate budget as
+    // overlap10_quantized (raw sign bits), strictly better or equal
+    quality("overlap10_rabitq_c200") = overlap(dfIds(
+      graft.ann.RaBitQ.search(rqColl, config, rqModel, q, 10, candidates = 200)))
     // Planted-query probes: uniform-random corpora have no genuine near
     // neighbors (pairwise cosines concentrate at 0), which floors any
     // locality-based ANN at ~0 overlap BY CONSTRUCTION of the data, not
@@ -532,6 +555,8 @@ object Bench {
       graft.ann.Sq8.search(sq8Coll, config, sq8Model, planted, 10, candidates = 200)))
     quality("planted_overlap10_pq") = pOverlap(dfIds(
       graft.ann.Pq.search(pqColl, config, pqCb, planted, 10, candidates = 200)))
+    quality("planted_overlap10_rabitq") = pOverlap(dfIds(
+      graft.ann.RaBitQ.search(rqColl, config, rqModel, planted, 10, candidates = 200)))
     // HNSW parity shim: driver-side build, quality on a 10k subset
     // (insertion is sequential by design — reference rebuild semantics)
     val hnswN = math.min(SynthRecords, 10000)
@@ -1056,6 +1081,59 @@ object Bench {
         scaleDf.join(broadcast(scaleAdcCut(200).select("id")), "id"),
         config, synthVector(-1L, dims), 10).collect()
     }
+    // RaBitQ codes-only layout at 500k: 1 bit/dim + 24 B factors
+    // (padded/8 + 24 ~ 88 B/row at 384 dims vs 1536 B f32 — a 17x
+    // narrower candidate scan), FHT bulk encode; the estimator cut is
+    // CALIBRATED distance, so candidates transfer across metrics
+    val scaleRqPath = "/tmp/graft_bench_scale_rabitq"
+    val scaleRqModel = graft.ann.RaBitQ.Model(
+      graft.ann.RaBitQ.Config(dims = dims, ordered = false),
+      new Array[Double](dims))
+    record("scale5x_rabitq_write", cold = true) {
+      graft.ann.RaBitQ.withCodes(
+        graft.prepare.Prepare.prepareEmbeddings(
+          spark.range(scaleN).select(
+            col("id").cast("string").as("id"),
+            col("id").cast("string").as("value"),
+            genUdf(col("id")).as("vector")), config), scaleRqModel)
+        .select("id", "value", "rabitq")
+        .write.mode("overwrite").parquet(scaleRqPath)
+    }
+    familyBarrier() // drain the write's heap churn before the read rows
+    val scaleRq = spark.read.parquet(scaleRqPath)
+    val scaleRqQp = graft.ann.RaBitQ.prepareQueryRot(scaleRqModel, q)
+    val scaleRqMode = graft.ann.RaBitQ.modeFor(config.metric)
+    def scaleRqCut(keep: Int): DataFrame = Search.topK(
+      scaleRq.withColumn("rank", graft.ann.RaBitQ.rankColumn(
+        scaleRqModel, scaleRqQp, scaleRqMode)(col("rabitq"))), keep)
+    record("scale5x_rabitq_est_topk") { scaleRqCut(10).collect() }
+    record("scale5x_rabitq_rerank_e2e") {
+      Search.flatSearchPacked(
+        scaleDf.join(broadcast(scaleRqCut(200).select("id")), "id"),
+        config, synthVector(-1L, dims), 10).collect()
+    }
+    // fully compressed batch serving stack: 64 queries cut on the
+    // 1-bit estimator scan, reranked on the HALF-IO bf16 tier — no f32
+    // column anywhere in the plan
+    record("scale5x_rabitq_batch64_perq", div = 64.0) {
+      val qPrep = spark.range(64).select(col("id").cast("string").as("qid"),
+          genUdf(col("id") + 2000000L).as("qvector"))
+        .select(col("qid"), graft.functions.VectorFunctions.normalizeVector(
+          config.effectiveNormalize, col("qvector")).as("qvector"))
+        .select(col("qid"), col("qvector"),
+          graft.ann.RaBitQ.queryPrepColumn(scaleRqModel)(col("qvector")).as("_qp"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("qid"))
+        .orderBy(col("_r").asc_nulls_last, col("id").asc)
+      val cand = scaleRq.select(col("id"), col("rabitq"))
+        .crossJoin(broadcast(qPrep.select(col("qid"), col("_qp"))))
+        .withColumn("_r", graft.ann.RaBitQ.pairRankColumn(
+          scaleRqModel.cc, scaleRqMode)(col("rabitq"), col("_qp")))
+        .withColumn("_rn", row_number().over(w)).filter(col("_rn") <= 200)
+        .select("qid", "id")
+      Search.rerankManyExactBf16(scaleBf16, config, cand,
+        qPrep.select(col("qid"), col("qvector")), 10, 200, 64L,
+        "vector_bf16").count()
+    }
     // the at-rest BATCH path at the largest local scale: IVF-PQ layout
     // partitioned by cell on disk, 64 queries in ONE job through the
     // static probe-union directory pruning + broadcast ADC join — the
@@ -1201,9 +1279,17 @@ object Bench {
       val s50IvfBf16 = "/tmp/graft_bench_scale50_ivfbf16"
       graft.ann.IvfBf16.writePartitioned(base50, cents50, s50IvfBf16)
       val tb5 = System.nanoTime()
+      // RaBitQ codes-only layout at 5M (same uncentered FHT model as
+      // the 500k tier)
+      val s50Rq = "/tmp/graft_bench_scale50_rabitq"
+      graft.ann.RaBitQ.withCodes(base50, scaleRqModel)
+        .select("id", "value", "rabitq")
+        .write.mode("overwrite").parquet(s50Rq)
+      val tb6 = System.nanoTime()
       System.err.println(f"[bench] scale50x build: packed=${(tb1 - tb0) / 1e9}%.1f s " +
         f"ivfpq=${(tb2 - tb1) / 1e9}%.1f s bf16pfx=${(tb3 - tb2) / 1e9}%.1f s " +
-        f"pq=${(tb4 - tb3) / 1e9}%.1f s ivfbf16=${(tb5 - tb4) / 1e9}%.1f s")
+        f"pq=${(tb4 - tb3) / 1e9}%.1f s ivfbf16=${(tb5 - tb4) / 1e9}%.1f s " +
+        f"rabitq=${(tb6 - tb5) / 1e9}%.1f s")
       familyBarrier()
       val scale50Df = spark.read.parquet(s50Packed)
       record("scale50x_flat_packed") {
@@ -1237,6 +1323,19 @@ object Bench {
       record("scale50x_pq_rerank_e2e") {
         Search.flatSearchPacked(
           scale50Df.join(broadcast(s50AdcCut(200).select("id")), "id"),
+          config, synthVector(-1L, dims), 10).collect()
+      }
+      // calibrated 1-bit estimator scan at 5M: ~88 B/row read (codes +
+      // factors) — between the 32 B PQ ADC scan and the 768 B bf16 scan,
+      // with NO codebook training anywhere in its lifecycle
+      val scale50Rq = spark.read.parquet(s50Rq)
+      def s50RqCut(keep: Int): DataFrame = Search.topK(
+        scale50Rq.withColumn("rank", graft.ann.RaBitQ.rankColumn(
+          scaleRqModel, scaleRqQp, scaleRqMode)(col("rabitq"))), keep)
+      record("scale50x_rabitq_est_topk") { s50RqCut(10).collect() }
+      record("scale50x_rabitq_rerank_e2e") {
+        Search.flatSearchPacked(
+          scale50Df.join(broadcast(s50RqCut(200).select("id")), "id"),
           config, synthVector(-1L, dims), 10).collect()
       }
       System.err.println(f"[bench] scale50x: $s50N rows, packed search " +

@@ -159,6 +159,13 @@ object TrainingQueries {
   }
   private def sidecar(base: String): String = base + "/" + ModelStore.SidecarName
 
+  /** Gate RaBitQ config: uncentered (zero centroid — the oracle's mean
+    * would otherwise depend on row-visit order), ordered rotation,
+    * 1 round, seed 7 (the OPQ gate's sign stream). */
+  private def rabitqConfig(d: Int) = graft.ann.RaBitQ.Config(dims = d, seed = 7L)
+  private def rabitqModel(s: SparkSession, dir: String, d: Int) =
+    graft.ann.RaBitQ.Model(rabitqConfig(d), new Array[Double](d))
+
   /** Driver-shim HNSW graph per sf-dir: the gate data is immutable, so
     * repeat invocations in one process (bench warmup+median) measure
     * the search, not a rebuild. */
@@ -1641,6 +1648,61 @@ object TrainingQueries {
         candidates = 50).drop("metadata"), Seq("score", "distance"))
     }),
 
+    // RaBitQ calibrated binary quantization (Gao & Long, SIGMOD 2024):
+    // sign-Hadamard rotation, 1 bit/dim + two f64 calibration factors,
+    // estimated-L2 candidate cut, exact rerank. The ESTIMATOR itself is
+    // gated (not just the reranked output): the encode row below pins
+    // the packed word, both factors, and the estimated distance per id
+    "ann_rabitq_estimator" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val model = rabitqModel(s, dir, d)
+      val coded = graft.ann.RaBitQ.withCodes(
+        Tables.embeddingsCollection(s, dir, config), model)
+      val qp = graft.ann.RaBitQ.prepareQueryRot(model,
+        Search.prepareQuery(config, Tables.queryVector(s, dir, 0L)))
+      roundCols(coded.filter(col("id").cast("long") < 64).select(
+        col("id"),
+        element_at(col("rabitq.codes"), 1).as("word0"),
+        col("rabitq.rnorm").as("rnorm"),
+        col("rabitq.sabs").as("sabs"),
+        graft.ann.RaBitQ.rankColumn(model, qp, 0)(col("rabitq")).as("est_l2sq")),
+        Seq("rnorm", "sabs", "est_l2sq"))
+    }),
+
+    "ann_rabitq_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val base = cachedLayout(s, dir, "rabitq") { p =>
+        val coll = Tables.embeddingsCollection(s, dir, config)
+        val m = graft.ann.RaBitQ.train(coll, rabitqConfig(d))
+        graft.ann.RaBitQ.withCodes(coll, m)
+          .select("id", "value", "vector", "rabitq")
+          .write.mode("overwrite").parquet(p)
+        ModelStore.saveRabitq(s, sidecar(p), m)
+      }
+      val model = ModelStore.loadRabitq(s, sidecar(base))
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(graft.ann.RaBitQ.search(s.read.parquet(base), config, model,
+        q, 10, candidates = 50).drop("metadata"), Seq("score", "distance"))
+    }),
+
+    // batch RaBitQ: 4 queries rotate in plan and share ONE codes-only
+    // scan; per-qid estimated cut, shared exact batch rerank — per-query
+    // results equal the single form (the oracle re-keys every global
+    // cut as a per-qid window)
+    "ann_rabitq_search_many" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val model = rabitqModel(s, dir, d)
+      val coded = graft.ann.RaBitQ.withCodes(
+        Tables.embeddingsCollection(s, dir, config), model)
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("string").as("qid"), col("embedding").as("qvector"))
+      roundCols(graft.ann.RaBitQ.searchMany(coded, config, model, qs, 5,
+        candidates = 50, knownNq = 4L), Seq("score", "distance"))
+    }),
+
     // IVF-PQ: coarse cells prune, m-byte ADC codes score, exact rerank —
     // the standard billion-vector layout; BOTH k-means (coarse + per-
     // subspace) replicated in the oracle, so cells, probe set, and the
@@ -2410,6 +2472,114 @@ object TrainingQueries {
        FROM fin ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10"""
   }
 
+  /** RaBitQ sign stream (seed 7, round 0 == Opq.signs(d, 7)) as a list
+    * CTE — shared by the three rabitq gate rows. */
+  private val rabitqSignCtes = {
+    val c1 = BigInt("11400714819323198485")
+    val c2 = BigInt("13787848793156543929")
+    val c3 = BigInt("10723151780598845931")
+    s"""sgd AS (SELECT unnest(range(0, (SELECT max(len(embedding)) FROM embeddings))) AS j),
+       sg0 AS (SELECT j, (7::HUGEINT + (j::HUGEINT + 1) * $c1::HUGEINT) % (1::HUGEINT << 64) AS st FROM sgd),
+       sg1 AS (SELECT j, ${sqlMul64("xor(st, st >> 30)", c2)} AS z1 FROM sg0),
+       sg2 AS (SELECT j, ${sqlMul64("xor(z1, z1 >> 27)", c3)} AS z2 FROM sg1),
+       sgl AS (SELECT list(CASE WHEN xor(z2, z2 >> 31) % 2 = 0 THEN 1.0 ELSE -1.0 END ORDER BY j) AS sgn FROM sg2)"""
+  }
+
+  /** f64 sign-Hadamard rotation (NO f32 casts — RaBitQ keeps the whole
+    * estimator pipeline in doubles): term-for-term
+    * RaBitQ.rotateOrdered's ascending-j accumulation. */
+  private def rabitqRotD(src: String) =
+    s"""list_transform(range(0, len($src)), i ->
+       list_sum(list_transform(range(0, len($src)), j ->
+         (CASE WHEN bit_count(CAST(i & j AS BIGINT)) % 2 = 0 THEN 1.0 ELSE -1.0 END)
+         * sgn[j+1] * CAST($src[j+1] AS DOUBLE))) / sqrt(len($src)))"""
+
+  /** Corpus-side rotate + factor CTEs (`rqe(id, v, r, rnorm, sabs)`)
+    * mirroring RaBitQ.encodeVec on the uncentered gate model. */
+  private val rabitqEncCtes =
+    s"""rq AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS id, embedding AS v,
+         ${rabitqRotD("embedding")} AS r FROM embeddings, sgl),
+       rqe AS MATERIALIZED (SELECT id, v, r,
+         sqrt(list_sum(list_transform(r, x -> x * x))) AS rnorm,
+         list_sum(list_transform(r, x -> abs(x))) AS sabs FROM rq)"""
+
+  /** est-L2^2 estimator expression over `rqe` columns + a prepared
+    * query (`nqr`, `qhat`) — the mode-0 arithmetic of RaBitQ.rankBits,
+    * operation-for-operation. */
+  private val rabitqEst =
+    """nqr*nqr + rnorm*rnorm - 2.0*(nqr * rnorm *
+       (CASE WHEN sabs = 0.0 THEN 0.0 ELSE sdot * rnorm / sabs END))"""
+
+  /** Encode + estimator gate: packed word 0 (exact signed i64), both
+    * factors, estimated L2^2 vs query 0 for ids < 64. */
+  private val rabitqEstimatorOracle =
+    s"""WITH $rabitqSignCtes,
+       $rabitqEncCtes,
+       q0 AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+       qr AS (SELECT ${rabitqRotD("qraw")} AS r FROM q0, sgl),
+       qn AS (SELECT r, sqrt(list_sum(list_transform(r, x -> x * x))) AS nqr FROM qr),
+       qh AS (SELECT nqr, CASE WHEN nqr > 0.0 THEN list_transform(r, x -> x / nqr)
+         ELSE list_transform(r, x -> 0.0) END AS qhat FROM qn),
+       sc AS (SELECT e.id, e.rnorm, e.sabs, q.nqr,
+           list_sum(list_transform(range(0, LEAST(len(e.r), 64)), i ->
+             CASE WHEN e.r[i+1] >= 0.0 THEN (1::HUGEINT << i) ELSE 0::HUGEINT END)) AS w0,
+           list_sum(list_transform(range(0, len(e.r)), i ->
+             CASE WHEN e.r[i+1] >= 0.0 THEN q.qhat[i+1] ELSE -q.qhat[i+1] END)) AS sdot
+         FROM rqe e, qh q WHERE CAST(e.id AS BIGINT) < 64)
+       SELECT id,
+         CAST(w0 - (CASE WHEN w0 >= (1::HUGEINT << 63) THEN (1::HUGEINT << 64) ELSE 0::HUGEINT END) AS BIGINT) AS word0,
+         (round(rnorm, 6) + 0) AS rnorm, (round(sabs, 6) + 0) AS sabs,
+         (round($rabitqEst, 6) + 0) AS est_l2sq
+       FROM sc"""
+
+  /** Estimated-L2 candidate cut (50) + exact L2 rerank (10) — the
+    * single-query rabitq search, candidate set verified. */
+  private val rabitqOracle =
+    s"""WITH $rabitqSignCtes,
+       $rabitqEncCtes,
+       q0 AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+       qr AS (SELECT qraw, ${rabitqRotD("qraw")} AS r FROM q0, sgl),
+       qn AS (SELECT qraw, r, sqrt(list_sum(list_transform(r, x -> x * x))) AS nqr FROM qr),
+       qh AS (SELECT qraw, nqr, CASE WHEN nqr > 0.0 THEN list_transform(r, x -> x / nqr)
+         ELSE list_transform(r, x -> 0.0) END AS qhat FROM qn),
+       sc AS (SELECT e.id, e.v, e.rnorm, e.sabs, q.nqr,
+           list_sum(list_transform(range(0, len(e.r)), i ->
+             CASE WHEN e.r[i+1] >= 0.0 THEN q.qhat[i+1] ELSE -q.qhat[i+1] END)) AS sdot
+         FROM rqe e, qh q),
+       est AS (SELECT id, v, $rabitqEst AS approx FROM sc),
+       cand AS (SELECT id, v FROM est ORDER BY approx ASC, id ASC LIMIT 50),
+       fin AS (SELECT id, sqrt(${kmL2("v", "qraw")}) AS raw FROM cand, qh)
+       SELECT id, id AS value, (round(-raw, 6) + 0) AS score,
+         (round(raw, 6) + 0) AS distance, 'l2' AS metric
+       FROM fin ORDER BY raw ASC, id ASC LIMIT 10"""
+
+  /** Batch rabitq: every global cut re-keyed as a per-qid window —
+    * mirrors RaBitQ.searchMany's WindowGroupLimit plan. */
+  private val rabitqSearchManyOracle =
+    s"""WITH $rabitqSignCtes,
+       $rabitqEncCtes,
+       qm AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qraw
+         FROM embeddings WHERE vec_id < 4),
+       qr AS (SELECT qid, qraw, ${rabitqRotD("qraw")} AS r FROM qm, sgl),
+       qn AS (SELECT qid, qraw, r, sqrt(list_sum(list_transform(r, x -> x * x))) AS nqr FROM qr),
+       qh AS (SELECT qid, qraw, nqr, CASE WHEN nqr > 0.0 THEN list_transform(r, x -> x / nqr)
+         ELSE list_transform(r, x -> 0.0) END AS qhat FROM qn),
+       sc AS (SELECT q.qid, e.id, e.rnorm, e.sabs, q.nqr,
+           list_sum(list_transform(range(0, len(e.r)), i ->
+             CASE WHEN e.r[i+1] >= 0.0 THEN q.qhat[i+1] ELSE -q.qhat[i+1] END)) AS sdot
+         FROM rqe e, qh q),
+       est AS (SELECT qid, id, $rabitqEst AS approx FROM sc),
+       cand AS (SELECT qid, id FROM (SELECT qid, id,
+           row_number() OVER (PARTITION BY qid ORDER BY approx ASC, id ASC) AS rn
+         FROM est) WHERE rn <= 50),
+       fin AS (SELECT c.qid, c.id, sqrt(${kmL2("n.v", "q.qraw")}) AS raw
+         FROM cand c JOIN rqe n ON n.id = c.id JOIN qh q ON q.qid = c.qid)
+       SELECT qid, id, id AS value, (round(-raw, 6) + 0) AS score,
+         (round(raw, 6) + 0) AS distance, 'l2' AS metric
+       FROM (SELECT qid, id, raw,
+           row_number() OVER (PARTITION BY qid ORDER BY raw ASC, id ASC) AS rn
+         FROM fin) WHERE rn <= 5"""
+
   /** OPQ-rotated cosine PQ: SplitMix signs (u64 over HUGEINT, mirrors
     * Opq.signs), Hadamard terms (-1)^popcount(i&j), f64 ascending-j
     * accumulation, /sqrt(d), f32 cast — term-for-term Opq.rotate — then
@@ -2709,6 +2879,9 @@ object TrainingQueries {
     "ann_ivf_topk" -> ivfPartialProbeOracle,
     "ann_ivf_adaptive_topk" -> ivfAdaptiveProbeOracle,
     "ann_sq8_topk" -> sq8Oracle,
+    "ann_rabitq_estimator" -> rabitqEstimatorOracle,
+    "ann_rabitq_topk" -> rabitqOracle,
+    "ann_rabitq_search_many" -> rabitqSearchManyOracle,
     "ann_pq_topk" -> pqOracle,
     "ann_opq_topk" -> opqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,

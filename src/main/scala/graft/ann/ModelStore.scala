@@ -272,6 +272,32 @@ object ModelStore {
     Sq8.Model(floats1(o("mn")), floats1(o("rng")))
   }
 
+  /** RaBitQ = config scalars + the centroid (f64 — Double.toString
+    * round-trips exactly, so a loaded model estimates bit-identically). */
+  def saveRabitq(spark: SparkSession, path: String, m: RaBitQ.Model): Unit =
+    writeString(spark, path, renderJson(JObj(Vector(
+      "kind" -> JStr("rabitq"),
+      "dims" -> JNum(m.config.dims.toString),
+      "rounds" -> JNum(m.config.rounds.toString),
+      "seed" -> JNum(m.config.seed.toString),
+      "centered" -> JBool(m.config.centered),
+      "ordered" -> JBool(m.config.ordered),
+      "centroid" -> JArr(m.centroid.toVector.map { d =>
+        require(java.lang.Double.isFinite(d),
+          s"non-finite model value $d — refusing to persist a poisoned model")
+        JNum(d.toString)
+      })))))
+
+  def loadRabitq(spark: SparkSession, path: String): RaBitQ.Model = {
+    val o = load(spark, path, "rabitq")
+    val bool: J => Boolean = { case JBool(b) => b
+      case other => throw new IllegalArgumentException(s"expected bool, got $other") }
+    RaBitQ.Model(
+      RaBitQ.Config(num(o("dims")).toInt, num(o("rounds")).toInt,
+        num(o("seed")).toLong, bool(o("centered")), bool(o("ordered"))),
+      arr(o("centroid")).map(x => num(x).toDouble).toArray)
+  }
+
   def savePq(spark: SparkSession, path: String,
       codebooks: Array[Array[Array[Float]]]): Unit =
     writeString(spark, path, renderJson(JObj(Vector(

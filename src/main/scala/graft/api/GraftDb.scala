@@ -320,6 +320,15 @@ final class GraftDb(val spark: SparkSession) {
           (c, graft.ann.Pq.withCodes(df, c).persist())
         })
         graft.ann.Pq.search(filtered(coded), config, cb, query, limit)
+      case "rabitq" =>
+        // calibrated 1-bit codes (rotation + factors): estimated-metric
+        // candidates, exact rerank — the quantized-family contract with
+        // a centered model and the FHT bulk encode as shipped defaults
+        val (model, coded) = rabitqCache.getOrElseUpdate(name, {
+          val m = graft.ann.RaBitQ.train(df, rabitqConfigFor(config))
+          (m, graft.ann.RaBitQ.withCodes(df, m).persist())
+        })
+        graft.ann.RaBitQ.search(filtered(coded), config, model, query, limit)
       case "ivfpq" if residualMetric(config) =>
         // FAISS-style default for the L2 family: codes quantize the
         // residual v - centroid[cell] (by_residual), spending the code
@@ -395,6 +404,8 @@ final class GraftDb(val spark: SparkSession) {
     .empty[String, (graft.ann.Sq8.Model, DataFrame)]
   private val pqCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Array[Array[Float]]], DataFrame)]
+  private val rabitqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.ann.RaBitQ.Model, DataFrame)]
   private val ivfPqCache = scala.collection.concurrent.TrieMap.empty[String, DataFrame]
   // at-rest coded frames opened by openIndexed for indexes whose search
   // reuses precomputed columns directly from the scan (lsh_bands,
@@ -455,6 +466,7 @@ final class GraftDb(val spark: SparkSession) {
     graft.index.ShardedHnsw.clearCache(s"$name@$dbToken#")
     sq8Cache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     pqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
+    rabitqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     ivfPqCache.remove(name).foreach(_.unpersist())
     ivfPqResCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     // measured recall curves are per collection generation (keys carry
@@ -466,6 +478,12 @@ final class GraftDb(val spark: SparkSession) {
   /** Largest m <= 8 dividing the dimension (PQ needs m | dims). */
   private def pqConfigFor(config: CollectionConfig): graft.ann.Pq.PqConfig =
     graft.ann.Pq.PqConfig(m = (8 to 1 by -1).find(config.dimensions % _ == 0).get)
+
+  /** Shipped RaBitQ defaults: centered (the paper's residual form) +
+    * the O(d log d) fast-Hadamard bulk encode. */
+  private def rabitqConfigFor(config: CollectionConfig): graft.ann.RaBitQ.Config =
+    graft.ann.RaBitQ.Config(dims = config.dimensions, centered = true,
+      ordered = false)
 
   /** Validate + normalize a query exactly like ingest — the reference's
     * prepare_query/2 (vettore.ex:314).
@@ -605,6 +623,13 @@ final class GraftDb(val spark: SparkSession) {
         })
         graft.ann.Pq.searchMany(filtered(coded), config, cb, queries, limit,
           candidates = cand, knownNq = knownNq)
+      case "rabitq" =>
+        val (model, coded) = rabitqCache.getOrElseUpdate(name, {
+          val m = graft.ann.RaBitQ.train(df, rabitqConfigFor(config))
+          (m, graft.ann.RaBitQ.withCodes(df, m).persist())
+        })
+        graft.ann.RaBitQ.searchMany(filtered(coded), config, model, queries,
+          limit, candidates = cand, knownNq = knownNq)
       case "ivfpq" if residualMetric(config) =>
         val ivfCfg = graft.ann.IvfIndex.IvfConfig()
         val cents = ivfCache.getOrElseUpdate(name,
@@ -665,7 +690,7 @@ final class GraftDb(val spark: SparkSession) {
     index match {
       case "ivf" | "ivfbf16" =>
         Seq(1, 2, 4, 8, cells).distinct.filter(_ <= cells).map(np => (np, 0, 0))
-      case "pq" | "sq8" =>
+      case "pq" | "sq8" | "rabitq" =>
         Seq(2, 5, 20, 50, 200).map(m => (0, m * limit, 0))
       case "ivfpq" =>
         Seq((1, 20), (2, 20), (4, 20), (8, 50), (cells, 200))
@@ -1005,6 +1030,13 @@ final class GraftDb(val spark: SparkSession) {
         val out = Option(coded).getOrElse(graft.ann.Pq.withCodes(df, cb))
         out.write.mode("overwrite").parquet(path)
         graft.ann.ModelStore.savePq(spark, idxSidecar(path), cb)
+      case "rabitq" =>
+        val (model, coded) = rabitqCache.getOrElseUpdate(name, {
+          val m = graft.ann.RaBitQ.train(df, rabitqConfigFor(config))
+          (m, graft.ann.RaBitQ.withCodes(df, m).persist())
+        })
+        coded.write.mode("overwrite").parquet(path)
+        graft.ann.ModelStore.saveRabitq(spark, idxSidecar(path), model)
       case "ivf" =>
         val cents = ivfCache.getOrElseUpdate(name,
           graft.ann.IvfIndex.train(df, config, graft.ann.IvfIndex.IvfConfig()))
@@ -1097,6 +1129,11 @@ final class GraftDb(val spark: SparkSession) {
         sq8Cache.put(name, (graft.ann.ModelStore.loadSq8(spark, idxSidecar(path)), full))
       case "pq" =>
         pqCache.put(name, (graft.ann.ModelStore.loadPq(spark, idxSidecar(path)), full))
+      case "rabitq" =>
+        require(full.columns.contains("rabitq"),
+          s"rabitq layout at $path is missing the rabitq struct column")
+        rabitqCache.put(name,
+          (graft.ann.ModelStore.loadRabitq(spark, idxSidecar(path)), full))
       case "ivf" =>
         ivfCache.put(name, graft.ann.IvfIndex.loadModel(spark, path))
         codedFrameCache.put(name, full)
@@ -1201,6 +1238,11 @@ final class GraftDb(val spark: SparkSession) {
         val cb = pqCache.get(name).map(_._1).getOrElse(
           graft.ann.ModelStore.loadPq(spark, idxSidecar(path)))
         graft.ann.Pq.withCodes(prepared, cb).write.mode("append").parquet(path)
+      case "rabitq" =>
+        val model = rabitqCache.get(name).map(_._1).getOrElse(
+          graft.ann.ModelStore.loadRabitq(spark, idxSidecar(path)))
+        graft.ann.RaBitQ.withCodes(prepared, model)
+          .write.mode("append").parquet(path)
       case "lsh" =>
         graft.ann.CosineLsh.withSignatures(prepared, graft.ann.CosineLsh.LshConfig())
           .write.mode("append").parquet(path)

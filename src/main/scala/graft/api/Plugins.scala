@@ -88,7 +88,8 @@ trait GraftIndex {
   * silently change every default collection. */
 object GraftIndexRegistry {
   val BuiltinNames: Set[String] =
-    Set("flat", "bf16", "hnsw", "lsh", "ivf", "sq8", "pq", "ivfpq", "ivfbf16")
+    Set("flat", "bf16", "hnsw", "lsh", "ivf", "sq8", "pq", "ivfpq", "ivfbf16",
+      "rabitq")
 
   private val impls =
     scala.collection.concurrent.TrieMap.empty[String, GraftIndex]

@@ -78,6 +78,94 @@ case class IvfCell(child: Expression, centroids: Array[Array[Float]])
     copy(child = c)
 }
 
+/** Fused RaBitQ encode — [[graft.ann.RaBitQ.encodeVec]] as a codegen
+  * node: rotated-residual sign bits + the two calibration factors +
+  * the centroid dot, emitted as ONE struct so the rotation runs once
+  * per row. */
+case class RaBitQEncode(child: Expression, model: graft.ann.RaBitQ.Model)
+    extends UnaryExpression {
+
+  override def dataType: DataType = graft.ann.RaBitQ.schema
+  override def prettyName: String = "rabitq_encode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.ann.RaBitQ.encodeRowData(v.asInstanceOf[ArrayData], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("rabitqModel", model)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.ann.RaBitQ.encodeRowData($v, $m);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): RaBitQEncode =
+    copy(child = c)
+}
+
+/** Fused RaBitQ query rotation — [[graft.ann.RaBitQ.prepareQueryRot]]
+  * as a codegen node (the batch path rotates nq query rows in plan). */
+case class RaBitQQueryPrep(child: Expression, model: graft.ann.RaBitQ.Model)
+    extends UnaryExpression {
+
+  override def dataType: DataType = graft.ann.RaBitQ.qprepSchema
+  override def prettyName: String = "rabitq_query_prep"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.ann.RaBitQ.queryPrepRowData(v.asInstanceOf[ArrayData], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("rabitqModel", model)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.ann.RaBitQ.queryPrepRowData($v, $m);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): RaBitQQueryPrep =
+    copy(child = c)
+}
+
+/** RaBitQ estimated-distance candidate rank against ONE driver-prepared
+  * query ([[graft.ann.RaBitQ.rankBits]]); the prep rides the plan as a
+  * reference object. */
+case class RaBitQRank(child: Expression, qp: graft.ann.RaBitQ.QueryPrep,
+    cc: Double, mode: Int) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "rabitq_rank"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.ann.RaBitQ.rankRowData(
+      v.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], qp, cc, mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val q = ctx.addReferenceObj("rabitqQuery", qp)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.ann.RaBitQ.rankRowData($v, $q, $cc, $mode);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): RaBitQRank =
+    copy(child = c)
+}
+
+/** RaBitQ estimated-distance rank of a stored struct x an in-plan query
+  * prep pair — the batch candidate scorer. */
+case class RaBitQPairRank(left: Expression, right: Expression,
+    cc: Double, mode: Int) extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "rabitq_pair_rank"
+
+  override protected def nullSafeEval(a: Any, b: Any): Any =
+    graft.ann.RaBitQ.pairRankRowData(
+      a.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow],
+      b.asInstanceOf[org.apache.spark.sql.catalyst.InternalRow], cc, mode)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) =>
+      s"${ev.value} = graft.ann.RaBitQ.pairRankRowData($a, $b, $cc, $mode);")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): RaBitQPairRank =
+    copy(left = l, right = r)
+}
+
 /** Fused cosine-LSH band keys — [[graft.ann.CosineLsh.bandKeys]] as a
   * codegen node. */
 case class LshBandKeys(child: Expression, config: graft.ann.CosineLsh.LshConfig)

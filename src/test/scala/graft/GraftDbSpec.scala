@@ -202,7 +202,7 @@ class GraftDbSpec extends SparkSpec {
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
         "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
         "hnsw" -> "cosine", "flat" -> "cosine", "bf16" -> "cosine",
-        "ivfbf16" -> "cosine")) {
+        "ivfbf16" -> "cosine", "rabitq" -> "cosine")) {
       val name = s"p_${idx}_$metric"
       db.createCollection(name, 4, metric = metric, index = idx)
       db.batch(name, vecs)
@@ -399,7 +399,7 @@ class GraftDbSpec extends SparkSpec {
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
         "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
         "hnsw" -> "cosine", "flat" -> "cosine", "bf16" -> "cosine",
-        "ivfbf16" -> "cosine")) {
+        "ivfbf16" -> "cosine", "rabitq" -> "cosine")) {
       val name = s"ap_${idx}_$metric"
       db.createCollection(name, 4, metric = metric, index = idx)
       db.batch(name, vecs)
@@ -571,7 +571,7 @@ class GraftDbSpec extends SparkSpec {
       res.select("qid", "id").collect().groupBy(_.getString(0))
         .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
     val exact = topIds(db.searchMany("rt_flat", qs, 10, knownNq = 4))
-    for (idx <- Seq("ivf", "pq", "ivfpq", "hnsw", "sq8", "bf16", "ivfbf16")) {
+    for (idx <- Seq("ivf", "pq", "ivfpq", "hnsw", "sq8", "bf16", "ivfbf16", "rabitq")) {
       val name = s"rt_$idx"
       db.createCollection(name, dims, metric = "cosine", index = idx)
       db.batch(name, rows)
