@@ -709,7 +709,8 @@ object Bench {
         if (cluFullExact.isEmpty) 1.0
         else cluFullExact.intersect(ids.toSet).size.toDouble / cluFullExact.size
       val rtQuery = Seq(("q0", cluQ.toSeq)).toDF("qid", "qvector")
-      for (ridx <- Seq("ivf", "pq", "ivfpq", "hnsw", "bf16", "ivfbf16")) {
+      for (ridx <- Seq("ivf", "pq", "ivfpq", "hnsw", "bf16", "ivfbf16",
+          "ivfrabitq")) {
         val rname = s"bench_rt_$ridx"
         rdb.createCollection(rname, dims, metric = "cosine", index = ridx)
         rdb.batch(rname, inputs)
@@ -906,6 +907,15 @@ object Bench {
         el2coll, el2, eCentsL2, eRawCb, eql2, 10, nprobe = 4, candidates = math.min(en, 50))))
       quality("emb_overlap10_ivfpq_residual") = el2Overlap(dfIds(graft.ann.IvfPq.searchResidual(
         el2coll, el2, eCentsL2, eResCb, eql2, 10, nprobe = 4, candidates = math.min(en, 50))))
+      // IVF x RaBitQ at the identical budget (same coarse cells,
+      // nprobe=4, candidates=50): calibrated per-cell residual BITS vs
+      // ivfpq's residual ADC codes — the head-to-head on real
+      // embeddings, with zero codebook training on the rabitq side
+      quality("emb_overlap10_ivfrabitq") = el2Overlap(dfIds(
+        graft.ann.IvfRaBitQ.search(el2coll, el2,
+          graft.ann.IvfRaBitQ.Model(eCentsL2, graft.ann.RaBitQ.Config(
+            dims = ed, centered = true, ordered = false)),
+          eql2, 10, nprobe = 4, candidates = math.min(en, 50))))
       el2coll.unpersist(blocking = true)
       val ehg = graft.index.Hnsw.build(ecoll, econfig)
       quality("emb_overlap10_hnsw") =
@@ -1180,6 +1190,41 @@ object Bench {
       graft.ann.IvfBf16.searchManyPartitioned(spark, scaleIvfBf16Path, config,
         scaleQs, 10, nprobe = 4, knownNq = 64L).count()
     }
+    // IVF x RaBitQ at-rest layout: directory pruning x 1-bit calibrated
+    // residual codes + exact rerank — the RaBitQ paper's IVF deployment
+    // form; the candidate scan reads codes+factors (~88 B/row) inside
+    // the probed cells only, no codebook training anywhere
+    val scaleIvfRqPath = "/tmp/graft_bench_scale_ivfrabitq"
+    record("scale5x_ivfrabitq_part_write", cold = true) {
+      val base = graft.prepare.Prepare.prepareEmbeddings(
+        spark.range(scaleN).select(
+          col("id").cast("string").as("id"),
+          col("id").cast("string").as("value"),
+          genUdf(col("id")).as("vector")), config)
+        .select("id", "value", "vector")
+      val cents = graft.ann.IvfIndex.trainOrdered(base, config,
+        graft.ann.IvfIndex.IvfConfig(k = 16, iterations = 3),
+        col("id").cast("long"))
+      graft.ann.IvfRaBitQ.writePartitioned(base,
+        graft.ann.IvfRaBitQ.Model(cents, graft.ann.RaBitQ.Config(
+          dims = dims, centered = true, ordered = false)), scaleIvfRqPath)
+    }
+    familyBarrier()
+    record("scale5x_ivfrabitq_part_batch64_perq", div = 64.0) {
+      graft.ann.IvfRaBitQ.searchManyPartitioned(spark, scaleIvfRqPath, config,
+        scaleQs, 10, nprobe = 4, candidates = 100, knownNq = 64L).count()
+    }
+    // same coarse-probe ablation as the ivf/ivfbf16 nprobe4 rows: on
+    // this uniform-random corpus the floor IS the cell recall; the
+    // calibrated in-cell ranking adds no error at candidates=100
+    quality("overlap10_ivfrabitq_nprobe4") = {
+      val exact = Search.flatSearchPacked(scaleDf, config, q, 10)
+        .collect().map(_.getString(0)).toSet
+      val got = graft.ann.IvfRaBitQ.searchPartitioned(spark, scaleIvfRqPath,
+          config, q, 10, nprobe = 4, candidates = 100)
+        .collect().map(_.getString(0)).toSet
+      if (exact.isEmpty) 1.0 else exact.intersect(got).size.toDouble / exact.size
+    }
     // ABLATION like overlap10_ivf_nprobe4: isolates the coarse probe's
     // cell recall on this uniform-random corpus (bf16 itself ranks
     // near-exactly — overlap10_bf16_vs_f32 above pins that at 1.0)
@@ -1286,10 +1331,17 @@ object Bench {
         .select("id", "value", "rabitq")
         .write.mode("overwrite").parquet(s50Rq)
       val tb6 = System.nanoTime()
+      // IVF x RaBitQ at 5M: shares cents50 (one coarse k-means per
+      // corpus generation) — cell directories + per-cell residual codes
+      val s50IvfRq = "/tmp/graft_bench_scale50_ivfrabitq"
+      graft.ann.IvfRaBitQ.writePartitioned(base50,
+        graft.ann.IvfRaBitQ.Model(cents50, graft.ann.RaBitQ.Config(
+          dims = dims, centered = true, ordered = false)), s50IvfRq)
+      val tb7 = System.nanoTime()
       System.err.println(f"[bench] scale50x build: packed=${(tb1 - tb0) / 1e9}%.1f s " +
         f"ivfpq=${(tb2 - tb1) / 1e9}%.1f s bf16pfx=${(tb3 - tb2) / 1e9}%.1f s " +
         f"pq=${(tb4 - tb3) / 1e9}%.1f s ivfbf16=${(tb5 - tb4) / 1e9}%.1f s " +
-        f"rabitq=${(tb6 - tb5) / 1e9}%.1f s")
+        f"rabitq=${(tb6 - tb5) / 1e9}%.1f s ivfrabitq=${(tb7 - tb6) / 1e9}%.1f s")
       familyBarrier()
       val scale50Df = spark.read.parquet(s50Packed)
       record("scale50x_flat_packed") {
@@ -1310,6 +1362,10 @@ object Bench {
       record("scale50x_ivfbf16_part_batch64_perq", div = 64.0) {
         graft.ann.IvfBf16.searchManyPartitioned(spark, s50IvfBf16, config,
           scaleQs, 10, nprobe = 4, knownNq = 64L).count()
+      }
+      record("scale50x_ivfrabitq_part_batch64_perq", div = 64.0) {
+        graft.ann.IvfRaBitQ.searchManyPartitioned(spark, s50IvfRq, config,
+          scaleQs, 10, nprobe = 4, candidates = 100, knownNq = 64L).count()
       }
       // ADC codes scan + rerank at 5M (uncached reads, same shapes as
       // the 500k rows): m bytes/row scanned, top-200 ids rejoin the

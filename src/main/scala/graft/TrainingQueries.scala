@@ -1827,6 +1827,50 @@ object TrainingQueries {
         Seq("score", "distance"))
     }),
 
+    // IVF x RaBitQ (Gao & Long SIGMOD 2024, the paper's IVF deployment
+    // form): coarse cells prune to nprobe=2 directories, rows carry
+    // 1-bit RaBitQ codes of the residual v - centroid[cell], and the
+    // candidate cut ranks by the CALIBRATED estimated L2^2 — coarse
+    // k-means, per-cell Hadamard rotations, factors, estimator,
+    // candidate set, and exact rerank ALL replicate in the oracle
+    "ann_ivfrabitq_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val base = cachedLayout(s, dir, "ivfrabitq") { p =>
+        val coll = Tables.embeddingsCollection(s, dir, config)
+        val cents = IvfIndex.trainOrdered(coll, config,
+          IvfIndex.IvfConfig(k = 8, iterations = 3), col("id").cast("long"))
+        graft.ann.IvfRaBitQ.writePartitioned(coll.drop("metadata"),
+          graft.ann.IvfRaBitQ.Model(cents, rabitqConfig(d)), p)
+      }
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(graft.ann.IvfRaBitQ.searchPartitioned(s, base, config, q, 10,
+        nprobe = 2, candidates = 50).drop("metadata"),
+        Seq("score", "distance"))
+    }),
+
+    // batch IVF x RaBitQ: per-(query, probed cell) rotations ride the
+    // plan; ONE codes-only scan of the probe union scores every pair;
+    // per-qid estimated cut + shared exact rerank — per-query results
+    // equal the single form over the same partitioned layout
+    "ann_ivfrabitq_search_many" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.l2Config(d)
+      val base = cachedLayout(s, dir, "ivfrabitq") { p =>
+        val coll = Tables.embeddingsCollection(s, dir, config)
+        val cents = IvfIndex.trainOrdered(coll, config,
+          IvfIndex.IvfConfig(k = 8, iterations = 3), col("id").cast("long"))
+        graft.ann.IvfRaBitQ.writePartitioned(coll.drop("metadata"),
+          graft.ann.IvfRaBitQ.Model(cents, rabitqConfig(d)), p)
+      }
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("string").as("qid"),
+          col("embedding").as("qvector"))
+      roundCols(graft.ann.IvfRaBitQ.searchManyPartitioned(s, base, config,
+        qs, 5, nprobe = 2, candidates = 50, knownNq = 4L),
+        Seq("score", "distance"))
+    }),
+
     // plain-IVF batch over the partitioned layout (no PQ codes — exact
     // distances inside probed cells): same static probe-union pruning,
     // centroids loaded from the sidecar; the oracle replicates the
@@ -2700,6 +2744,95 @@ object TrainingQueries {
        FROM rk WHERE rn <= 10"""
   }
 
+  /** Per-cell residual (f64: CAST both sides — term-for-term
+    * IvfRaBitQ's rotateResidual input, whose centroid is the f32 cell
+    * centroid widened to double). `cellRef` indexes `icb.c`. */
+  private def ivfRabitqResid(v: String, cellRef: String) =
+    s"""list_transform(range(0, len($v)), d ->
+       CAST($v[d+1] AS DOUBLE) - CAST(icb.c[$cellRef+1][d+1] AS DOUBLE))"""
+
+  /** IVF x RaBitQ: coarse k-means cells (ivfKmeansCtes) + per-cell
+    * residual sign-Hadamard rotations (rabitqSignCtes — one shared sign
+    * stream) + the calibrated mode-0 estimator (rabitqEst; the
+    * cross-term shifts cancel for L2, which never uses them) + exact
+    * rerank. Candidate set verified end-to-end: cells, probe set,
+    * per-cell rotations, factors, estimated cut, rerank. */
+  private val ivfRabitqOracle =
+    s"""WITH RECURSIVE
+       n AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, embedding AS v FROM embeddings),
+       $ivfKmeansCtes,
+       $rabitqSignCtes,
+       q AS (SELECT embedding AS qraw FROM embeddings WHERE vec_id = 0),
+       probes AS (SELECT k - 1 AS cell FROM (SELECT unnest(range(1, 9)) AS k), icb, q
+         ORDER BY ${kmL2("qraw", "icb.c[k]")} ASC, k ASC LIMIT 2),
+       ncell AS MATERIALIZED (SELECT n.id, n.v, ${kmAssign("n.v", "icb.c")} AS cell FROM n, icb),
+       res AS (SELECT i.id, i.v, i.cell, ${ivfRabitqResid("i.v", "i.cell")} AS rv
+         FROM ncell i, icb WHERE i.cell IN (SELECT cell FROM probes)),
+       enc AS MATERIALIZED (SELECT id, v, cell, ${rabitqRotD("rv")} AS r FROM res, sgl),
+       rqe AS (SELECT id, v, cell, r,
+         sqrt(list_sum(list_transform(r, x -> x * x))) AS rnorm,
+         list_sum(list_transform(r, x -> abs(x))) AS sabs FROM enc),
+       qres AS (SELECT p.cell, ${ivfRabitqResid("q.qraw", "p.cell")} AS rv
+         FROM probes p, icb, q),
+       qrot AS (SELECT cell, ${rabitqRotD("rv")} AS r FROM qres, sgl),
+       qn AS (SELECT cell, r, sqrt(list_sum(list_transform(r, x -> x * x))) AS nqr FROM qrot),
+       qh AS (SELECT cell, nqr, CASE WHEN nqr > 0.0 THEN list_transform(r, x -> x / nqr)
+         ELSE list_transform(r, x -> 0.0) END AS qhat FROM qn),
+       sc AS (SELECT e.id, e.v, e.rnorm, e.sabs, h.nqr,
+           list_sum(list_transform(range(0, len(e.r)), i ->
+             CASE WHEN e.r[i+1] >= 0.0 THEN h.qhat[i+1] ELSE -h.qhat[i+1] END)) AS sdot
+         FROM rqe e JOIN qh h ON e.cell = h.cell),
+       est AS (SELECT id, v, $rabitqEst AS approx FROM sc),
+       cand AS (SELECT id, v FROM est ORDER BY approx ASC, id ASC LIMIT 50),
+       fin AS (SELECT id, sqrt(${kmL2("v", "qraw")}) AS raw FROM cand, q)
+       SELECT id, id AS value, (round(-raw, 6) + 0) AS score,
+         (round(raw, 6) + 0) AS distance, 'l2' AS metric
+       FROM fin ORDER BY raw ASC, id ASC LIMIT 10"""
+
+  /** Batch IVF x RaBitQ: per-qid probe sets, per-(qid, cell) query
+    * rotations, one scored join keyed by cell, per-qid estimated cut +
+    * exact rerank windows — mirrors IvfRaBitQ.searchManyPartitioned. */
+  private val ivfRabitqSearchManyOracle =
+    s"""WITH RECURSIVE
+       n AS MATERIALIZED (SELECT CAST(vec_id AS VARCHAR) AS id, vec_id, embedding AS v FROM embeddings),
+       $ivfKmeansCtes,
+       $rabitqSignCtes,
+       qm AS (SELECT CAST(vec_id AS VARCHAR) AS qid, embedding AS qraw
+         FROM embeddings WHERE vec_id < 4),
+       probes AS (SELECT qid, cell FROM (
+           SELECT q.qid, k - 1 AS cell,
+             row_number() OVER (PARTITION BY q.qid ORDER BY ${kmL2("q.qraw", "icb.c[k]")} ASC, k ASC) AS rn
+           FROM (SELECT unnest(range(1, 9)) AS k), icb, qm q)
+         WHERE rn <= 2),
+       ncell AS MATERIALIZED (SELECT n.id, n.v, ${kmAssign("n.v", "icb.c")} AS cell FROM n, icb),
+       res AS (SELECT i.id, i.v, i.cell, ${ivfRabitqResid("i.v", "i.cell")} AS rv
+         FROM ncell i, icb WHERE i.cell IN (SELECT DISTINCT cell FROM probes)),
+       enc AS MATERIALIZED (SELECT id, v, cell, ${rabitqRotD("rv")} AS r FROM res, sgl),
+       rqe AS (SELECT id, v, cell, r,
+         sqrt(list_sum(list_transform(r, x -> x * x))) AS rnorm,
+         list_sum(list_transform(r, x -> abs(x))) AS sabs FROM enc),
+       qres AS (SELECT p.qid, p.cell, ${ivfRabitqResid("q.qraw", "p.cell")} AS rv
+         FROM probes p, icb, qm q WHERE q.qid = p.qid),
+       qrot AS (SELECT qid, cell, ${rabitqRotD("rv")} AS r FROM qres, sgl),
+       qn AS (SELECT qid, cell, r, sqrt(list_sum(list_transform(r, x -> x * x))) AS nqr FROM qrot),
+       qh AS (SELECT qid, cell, nqr, CASE WHEN nqr > 0.0 THEN list_transform(r, x -> x / nqr)
+         ELSE list_transform(r, x -> 0.0) END AS qhat FROM qn),
+       sc AS (SELECT h.qid, e.id, e.rnorm, e.sabs, h.nqr,
+           list_sum(list_transform(range(0, len(e.r)), i ->
+             CASE WHEN e.r[i+1] >= 0.0 THEN h.qhat[i+1] ELSE -h.qhat[i+1] END)) AS sdot
+         FROM rqe e JOIN qh h ON e.cell = h.cell),
+       est AS (SELECT qid, id, $rabitqEst AS approx FROM sc),
+       cand AS (SELECT qid, id FROM (SELECT qid, id,
+           row_number() OVER (PARTITION BY qid ORDER BY approx ASC, id ASC) AS rn
+         FROM est) WHERE rn <= 50),
+       fin AS (SELECT c.qid, c.id, sqrt(${kmL2("n.v", "q.qraw")}) AS raw
+         FROM cand c JOIN n ON n.id = c.id JOIN qm q ON q.qid = c.qid)
+       SELECT qid, id, id AS value, (round(-raw, 6) + 0) AS score,
+         (round(raw, 6) + 0) AS distance, 'l2' AS metric
+       FROM (SELECT qid, id, raw,
+           row_number() OVER (PARTITION BY qid ORDER BY raw ASC, id ASC) AS rn
+         FROM fin) WHERE rn <= 5"""
+
   /** Plain-IVF batch (no PQ): replicated coarse k-means, per-query
     * probe sets (nprobe=2), EXACT l2 inside the probed cells, per-query
     * top-10 — mirrors IvfIndex.searchManyPartitioned over a layout
@@ -2886,6 +3019,8 @@ object TrainingQueries {
     "ann_opq_topk" -> opqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
     "ann_ivfpq_search_many" -> ivfPqSearchManyOracle,
+    "ann_ivfrabitq_topk" -> ivfRabitqOracle,
+    "ann_ivfrabitq_search_many" -> ivfRabitqSearchManyOracle,
     // static cell pruning changes the scan, not the results
     "ann_ivfpq_partitioned_search_many" -> ivfPqSearchManyOracle,
     "ann_ivf_partitioned_search_many" -> ivfSearchManyOracle,

@@ -362,6 +362,28 @@ object ModelStore {
       "kind" -> JStr("ivfpq"), "residual" -> JBool(residual),
       "centroids" -> jFloats2(centroids), "codebooks" -> jFloats3(codebooks)))))
 
+  /** IVF x RaBitQ = coarse centroids (f32) + the shared rotation config
+    * (seeded — signs regenerate deterministically; the per-cell
+    * centering points ARE the centroids, so nothing else is trained). */
+  def saveIvfRabitq(spark: SparkSession, path: String,
+      m: IvfRaBitQ.Model): Unit =
+    writeString(spark, path, renderJson(JObj(Vector(
+      "kind" -> JStr("ivfrabitq"),
+      "dims" -> JNum(m.config.dims.toString),
+      "rounds" -> JNum(m.config.rounds.toString),
+      "seed" -> JNum(m.config.seed.toString),
+      "ordered" -> JBool(m.config.ordered),
+      "centroids" -> jFloats2(m.centroids)))))
+
+  def loadIvfRabitq(spark: SparkSession, path: String): IvfRaBitQ.Model = {
+    val o = load(spark, path, "ivfrabitq")
+    val bool: J => Boolean = { case JBool(b) => b
+      case other => throw new IllegalArgumentException(s"expected bool, got $other") }
+    IvfRaBitQ.Model(floats2(o("centroids")),
+      RaBitQ.Config(num(o("dims")).toInt, num(o("rounds")).toInt,
+        num(o("seed")).toLong, centered = true, ordered = bool(o("ordered"))))
+  }
+
   /** (centroids, codebooks, residual). */
   def loadIvfPq(spark: SparkSession,
       path: String): (Array[Array[Float]], Array[Array[Array[Float]]], Boolean) = {

@@ -355,6 +355,21 @@ final class GraftDb(val spark: SparkSession) {
           graft.ann.IvfPq.prepare(df, cents, cb).persist())
         graft.ann.IvfPq.search(filtered(prepared), config, cents, cb, query,
           limit, ivfCfg.nprobe)
+      case "ivfrabitq" =>
+        // coarse cells prune, 1-bit calibrated residual codes score,
+        // exact rerank — the RaBitQ paper's IVF deployment form
+        // (graft.ann.IvfRaBitQ). ALL metrics (the shifted-factor
+        // estimator reassembles full-space values); fixed-nprobe
+        // policy like "ivfpq"
+        val ivfCfg = graft.ann.IvfIndex.IvfConfig()
+        val (model, prepared) = ivfRabitqCache.getOrElseUpdate(name, {
+          val cents = ivfCache.getOrElseUpdate(name,
+            graft.ann.IvfIndex.train(df, config, ivfCfg))
+          val m = graft.ann.IvfRaBitQ.Model(cents, rabitqConfigFor(config))
+          (m, graft.ann.IvfRaBitQ.prepare(df, m).persist())
+        })
+        graft.ann.IvfRaBitQ.search(filtered(prepared), config, model, query,
+          limit, ivfCfg.nprobe)
       case other => GraftIndexRegistry.lookup(other) match {
         // third-party behaviour (reference: custom index modules,
         // collection.ex:1283-1298) — the impl owns filter semantics
@@ -419,6 +434,8 @@ final class GraftDb(val spark: SparkSession) {
     Prepare.withBf16Prefixes(df,
       graft.search.Search.defaultFunnelStages(config.dimensions),
       config.dimensions)
+  private val ivfRabitqCache = scala.collection.concurrent.TrieMap
+    .empty[String, (graft.ann.IvfRaBitQ.Model, DataFrame)]
   private val ivfPqResCache = scala.collection.concurrent.TrieMap
     .empty[String, (Array[Array[Array[Float]]], DataFrame)]
   // where each openIndexed collection's at-rest layout lives. Any CRUD
@@ -469,6 +486,7 @@ final class GraftDb(val spark: SparkSession) {
     rabitqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     ivfPqCache.remove(name).foreach(_.unpersist())
     ivfPqResCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
+    ivfRabitqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     // measured recall curves are per collection generation (keys carry
     // the limit suffix, so sweep by prefix)
     curveCache.keys.filter(_.startsWith(name + "#")).foreach(curveCache.remove)
@@ -657,6 +675,21 @@ final class GraftDb(val spark: SparkSession) {
           residual = false, queries, limit,
           if (np > 0) np else ivfCfg.nprobe, candidates = cand,
           knownNq = knownNq)
+      case "ivfrabitq" =>
+        // static probe-union prune (directory pruning on an opened
+        // layout) + per-(query,cell) in-plan rotations over ONE
+        // codes-only scan; explicit nprobe/candidates (the recallTarget
+        // ladder's knobs) override the defaults, as with "ivfpq"
+        val ivfCfg = graft.ann.IvfIndex.IvfConfig()
+        val (model, prepared) = ivfRabitqCache.getOrElseUpdate(name, {
+          val cents = ivfCache.getOrElseUpdate(name,
+            graft.ann.IvfIndex.train(df, config, ivfCfg))
+          val m = graft.ann.IvfRaBitQ.Model(cents, rabitqConfigFor(config))
+          (m, graft.ann.IvfRaBitQ.prepare(df, m).persist())
+        })
+        graft.ann.IvfRaBitQ.searchManyPruned(filtered(prepared), config,
+          model, queries, limit, if (np > 0) np else ivfCfg.nprobe,
+          candidates = cand, knownNq = knownNq)
       case "flat" =>
         Search.flatSearchMany(filtered(df), config, queries, limit,
           knownNq = knownNq)
@@ -692,7 +725,7 @@ final class GraftDb(val spark: SparkSession) {
         Seq(1, 2, 4, 8, cells).distinct.filter(_ <= cells).map(np => (np, 0, 0))
       case "pq" | "sq8" | "rabitq" =>
         Seq(2, 5, 20, 50, 200).map(m => (0, m * limit, 0))
-      case "ivfpq" =>
+      case "ivfpq" | "ivfrabitq" =>
         Seq((1, 20), (2, 20), (4, 20), (8, 50), (cells, 200))
           .map { case (np, c) => (math.min(np, cells), c * limit, 0) }.distinct
       case "hnsw" =>
@@ -1065,6 +1098,12 @@ final class GraftDb(val spark: SparkSession) {
           (c, null)
         })
         graft.ann.IvfPq.writePartitioned(df, cents, cb, path)
+      case "ivfrabitq" =>
+        val cents = ivfCache.getOrElseUpdate(name,
+          graft.ann.IvfIndex.train(df, config, graft.ann.IvfIndex.IvfConfig()))
+        val model = ivfRabitqCache.get(name).map(_._1).getOrElse(
+          graft.ann.IvfRaBitQ.Model(cents, rabitqConfigFor(config)))
+        graft.ann.IvfRaBitQ.writePartitioned(df, model, path)
       case "lsh" =>
         // LSH has no trained state — band keys derive deterministically
         // from the config; persist the signatures so a cold open serves
@@ -1149,6 +1188,12 @@ final class GraftDb(val spark: SparkSession) {
         ivfCache.put(name, cents)
         if (residual) ivfPqResCache.put(name, (cb, full))
         else { pqCache.put(name, (cb, null)); ivfPqCache.put(name, full) }
+      case "ivfrabitq" =>
+        require(full.columns.contains(graft.ann.IvfRaBitQ.StructCol),
+          s"ivfrabitq layout at $path is missing ${graft.ann.IvfRaBitQ.StructCol}")
+        val m = graft.ann.IvfRaBitQ.loadModel(spark, path)
+        ivfCache.put(name, m.centroids)
+        ivfRabitqCache.put(name, (m, full))
       case "lsh" =>
         codedFrameCache.put(name, full)
       case "bf16" =>
@@ -1230,6 +1275,9 @@ final class GraftDb(val spark: SparkSession) {
         }
         graft.ann.IvfPq.appendPartitioned(spark, path, prepared,
           checkIds = false, cachedModel = cached)
+      case "ivfrabitq" =>
+        graft.ann.IvfRaBitQ.appendPartitioned(spark, path, prepared,
+          checkIds = false, cachedModel = ivfRabitqCache.get(name).map(_._1))
       case "sq8" =>
         val model = sq8Cache.get(name).map(_._1).getOrElse(
           graft.ann.ModelStore.loadSq8(spark, idxSidecar(path)))

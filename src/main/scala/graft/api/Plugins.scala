@@ -89,7 +89,7 @@ trait GraftIndex {
 object GraftIndexRegistry {
   val BuiltinNames: Set[String] =
     Set("flat", "bf16", "hnsw", "lsh", "ivf", "sq8", "pq", "ivfpq", "ivfbf16",
-      "rabitq")
+      "rabitq", "ivfrabitq")
 
   private val impls =
     scala.collection.concurrent.TrieMap.empty[String, GraftIndex]

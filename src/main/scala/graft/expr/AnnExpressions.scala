@@ -166,6 +166,53 @@ case class RaBitQPairRank(left: Expression, right: Expression,
     copy(left = l, right = r)
 }
 
+/** Fused IVF x RaBitQ ingest encode — nearest cell + residual RaBitQ
+  * codes + shifted oc' in ONE struct per row
+  * ([[graft.ann.IvfRaBitQ.encodeRowData]]), so cell assignment and the
+  * rotation run in one codegen pass over the ingest scan. */
+case class IvfRaBitQEncode(child: Expression, model: graft.ann.IvfRaBitQ.Model)
+    extends UnaryExpression {
+
+  override def dataType: DataType = graft.ann.IvfRaBitQ.encSchema
+  override def prettyName: String = "ivf_rabitq_encode"
+
+  override protected def nullSafeEval(v: Any): Any =
+    graft.ann.IvfRaBitQ.encodeRowData(v.asInstanceOf[ArrayData], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("ivfRabitqModel", model)
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.ann.IvfRaBitQ.encodeRowData($v, $m);")
+  }
+
+  override protected def withNewChildInternal(c: Expression): IvfRaBitQEncode =
+    copy(child = c)
+}
+
+/** Per-(query, probed cell) IVF x RaBitQ query prep — the batch path's
+  * in-plan rotation of each query against each of ITS cells' centroids
+  * ([[graft.ann.IvfRaBitQ.queryPrepRowData]]); nq x nprobe rows, the
+  * corpus never enters. */
+case class IvfRaBitQQueryPrep(left: Expression, right: Expression,
+    model: graft.ann.IvfRaBitQ.Model) extends BinaryExpression {
+
+  override def dataType: DataType = graft.ann.RaBitQ.qprepSchema
+  override def prettyName: String = "ivf_rabitq_query_prep"
+
+  override protected def nullSafeEval(v: Any, cell: Any): Any =
+    graft.ann.IvfRaBitQ.queryPrepRowData(v.asInstanceOf[ArrayData],
+      cell.asInstanceOf[Int], model)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val m = ctx.addReferenceObj("ivfRabitqModel", model)
+    nullSafeCodeGen(ctx, ev, (v, cell) =>
+      s"${ev.value} = graft.ann.IvfRaBitQ.queryPrepRowData($v, $cell, $m);")
+  }
+
+  override protected def withNewChildrenInternal(l: Expression,
+      r: Expression): IvfRaBitQQueryPrep = copy(left = l, right = r)
+}
+
 /** Fused cosine-LSH band keys — [[graft.ann.CosineLsh.bandKeys]] as a
   * codegen node. */
 case class LshBandKeys(child: Expression, config: graft.ann.CosineLsh.LshConfig)

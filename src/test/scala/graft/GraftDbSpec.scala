@@ -202,7 +202,8 @@ class GraftDbSpec extends SparkSpec {
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
         "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
         "hnsw" -> "cosine", "flat" -> "cosine", "bf16" -> "cosine",
-        "ivfbf16" -> "cosine", "rabitq" -> "cosine")) {
+        "ivfbf16" -> "cosine", "rabitq" -> "cosine",
+        "ivfrabitq" -> "l2", "ivfrabitq" -> "cosine")) {
       val name = s"p_${idx}_$metric"
       db.createCollection(name, 4, metric = metric, index = idx)
       db.batch(name, vecs)
@@ -228,7 +229,8 @@ class GraftDbSpec extends SparkSpec {
         assert(batchTop === singleTop, s"$name batch/single disagree after open")
         // opened cell-partitioned collections route batch search through
         // the at-rest layout with a STATIC probe-union partition filter
-        if (idx == "ivf" || idx == "ivfpq" || idx == "ivfbf16") {
+        if (idx == "ivf" || idx == "ivfpq" || idx == "ivfbf16" ||
+            idx == "ivfrabitq") {
           val plan = batch.queryExecution.executedPlan.toString
           assert("PartitionFilters: \\[[^\\]]*ivf_cell".r.findFirstIn(plan).isDefined,
             s"$name batch after open does not statically prune cells:\n$plan")
@@ -399,7 +401,8 @@ class GraftDbSpec extends SparkSpec {
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
         "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
         "hnsw" -> "cosine", "flat" -> "cosine", "bf16" -> "cosine",
-        "ivfbf16" -> "cosine", "rabitq" -> "cosine")) {
+        "ivfbf16" -> "cosine", "rabitq" -> "cosine",
+        "ivfrabitq" -> "l2", "ivfrabitq" -> "cosine")) {
       val name = s"ap_${idx}_$metric"
       db.createCollection(name, 4, metric = metric, index = idx)
       db.batch(name, vecs)
@@ -571,7 +574,8 @@ class GraftDbSpec extends SparkSpec {
       res.select("qid", "id").collect().groupBy(_.getString(0))
         .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
     val exact = topIds(db.searchMany("rt_flat", qs, 10, knownNq = 4))
-    for (idx <- Seq("ivf", "pq", "ivfpq", "hnsw", "sq8", "bf16", "ivfbf16", "rabitq")) {
+    for (idx <- Seq("ivf", "pq", "ivfpq", "hnsw", "sq8", "bf16", "ivfbf16",
+        "rabitq", "ivfrabitq")) {
       val name = s"rt_$idx"
       db.createCollection(name, dims, metric = "cosine", index = idx)
       db.batch(name, rows)
