@@ -606,6 +606,29 @@ object Bench {
     quality("overlap10_hnsw_sharded") =
       if (exactFullIds.isEmpty) 1.0
       else exactFullIds.intersect(shardedIds).size.toDouble / exactFullIds.size
+    // Vamana (DiskANN-style flat graph) over the same corpus, same
+    // regime as the sharded hnsw rows: cold build+first search, then
+    // serve-from-cache batch
+    val vamKey = "bench_sharded_vamana"
+    record("synth_vamana_build_search", cold = true) {
+      graft.index.ShardedVamana.clearCache(vamKey)
+      graft.index.ShardedVamana.searchMany(coll, config, oneQuery, 10,
+        cacheKey = vamKey).collect()
+    }
+    record("synth_vamana_batch64_perq", div = 64.0) {
+      graft.index.ShardedVamana.searchMany(coll, config, queries64, 10,
+        cacheKey = vamKey).collect()
+    }
+    val vamanaIds = dfIds(graft.index.ShardedVamana.searchMany(
+      coll, config, oneQuery, 10, cacheKey = vamKey)).toSet
+    quality("overlap10_vamana_sharded") =
+      if (exactFullIds.isEmpty) 1.0
+      else exactFullIds.intersect(vamanaIds).size.toDouble / exactFullIds.size
+    quality("planted_overlap10_vamana") = pOverlap(dfIds(
+      graft.index.ShardedVamana.searchMany(coll, config,
+        Seq(("q0", planted.toSeq)).toDF("qid", "qvector"), 10,
+        cacheKey = vamKey)))
+    graft.index.ShardedVamana.clearCache(vamKey)
     graft.index.ShardedHnsw.clearCache(shKey)
     // FILTERED IVF / IVF-PQ quality on a CLUSTERED single-vector corpus
     // (uniform corpora floor locality-based ANN by construction of the
@@ -709,8 +732,8 @@ object Bench {
         if (cluFullExact.isEmpty) 1.0
         else cluFullExact.intersect(ids.toSet).size.toDouble / cluFullExact.size
       val rtQuery = Seq(("q0", cluQ.toSeq)).toDF("qid", "qvector")
-      for (ridx <- Seq("ivf", "pq", "ivfpq", "hnsw", "bf16", "ivfbf16",
-          "ivfrabitq")) {
+      for (ridx <- Seq("ivf", "pq", "ivfpq", "hnsw", "vamana", "bf16",
+          "ivfbf16", "ivfrabitq")) {
         val rname = s"bench_rt_$ridx"
         rdb.createCollection(rname, dims, metric = "cosine", index = ridx)
         rdb.batch(rname, inputs)
@@ -745,6 +768,27 @@ object Bench {
     }
     shState.unpersist(blocking = true)
     graft.index.ShardedHnsw.clearCache(shLayout)
+    // PERSISTED vamana layout — the DiskANN at-rest story: flat
+    // fixed-shape node records, open = scan + adjacency reconstruct
+    // with zero distance computations
+    val vamLayout = s"/tmp/graft_bench_vamana_layout_${SynthRecords}_$SynthDims"
+    if (!graft.ann.ModelStore.exists(spark,
+        vamLayout + "/" + graft.ann.ModelStore.SidecarName))
+      results("synth_vamana_layout_write") = time {
+        graft.index.ShardedVamana.writeLayout(coll, config, vamLayout)
+      }
+    record("synth_vamana_persisted_open_search", cold = true) {
+      graft.index.ShardedVamana.clearCache(vamLayout)
+      graft.index.ShardedVamana.searchManyPersisted(spark, vamLayout, config,
+        oneQuery, 10, cacheKey = vamLayout).collect()
+    }
+    val vamState = graft.index.ShardedVamana.layoutState(spark, vamLayout).persist()
+    record("synth_vamana_persisted_batch64_perq", div = 64.0) {
+      graft.index.ShardedVamana.searchManyPersisted(spark, vamLayout, config,
+        queries64, 10, cacheKey = vamLayout, state = Some(vamState)).collect()
+    }
+    vamState.unpersist(blocking = true)
+    graft.index.ShardedVamana.clearCache(vamLayout)
     // MUVERA FDE vs exact MaxSim on the multi-vector corpus
     def fdeTopIds(qv: Seq[Array[Float]]): Seq[String] = {
       val fdeQ = graft.encode.Muvera.encode(qv, muvCfg, graft.encode.Muvera.QueryMode)

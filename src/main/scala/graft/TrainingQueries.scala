@@ -1492,6 +1492,82 @@ object TrainingQueries {
         .select(col("id"), col("score")), Seq("score"))
     }),
 
+    // Vamana (DiskANN-style flat graph, engine extension): 4 hash-shards,
+    // each task bulk-builds its graph from id-sorted rows (two-pass
+    // α-robust prune, medoid entry) and answers the query; exact merge
+    // over per-shard top-10s. At the gate scale the autoscaled serving
+    // beam (320 for k=10) exceeds every shard's row count, the walk
+    // covers each connected shard graph fully, and VamanaSpec pins
+    // connectivity — so the result EQUALS exact flat search and the
+    // oracle is the data-derived flat-cosine SQL (survives testdata
+    // regeneration, unlike a stored fixture). If this row ever fails
+    // with the list's TAIL differing, a shard graph lost connectivity —
+    // that is a real regression, not an oracle artifact.
+    "ann_vamana_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      import s.implicits._
+      val queries = Seq(("q0", Tables.queryVector(s, dir, 0L).toSeq))
+        .toDF("qid", "qvector")
+      roundCols(graft.index.ShardedVamana
+        .searchMany(coll, config, queries, 10, shards = 4,
+          cacheKey = s"gate_sharded_vamana@$dir")
+        .select(col("id"), col("score")), Seq("score"))
+    }),
+
+    // PERSISTED vamana layout (flat adjacency at rest, zero distance
+    // computations on open): bit-identical to the build-path search
+    // (Vamana.fromState round-trip, pinned in VamanaSpec), same oracle
+    "ann_vamana_persisted_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val base = cachedLayout(s, dir, "vamana4") { p =>
+        val coll = Tables.embeddingsCollection(s, dir, config)
+        graft.index.ShardedVamana.writeLayout(coll.drop("metadata"), config,
+          p, shards = 4)
+      }
+      import s.implicits._
+      val queries = Seq(("q0", Tables.queryVector(s, dir, 0L).toSeq))
+        .toDF("qid", "qvector")
+      roundCols(graft.index.ShardedVamana
+        .searchManyPersisted(s, base, config, queries, 10, cacheKey = base)
+        .select(col("id"), col("score")), Seq("score"))
+    }),
+
+    // FILTERED vamana: post-filter with oversampled beams against the
+    // collection scan (same contract as ann_hnsw_filtered_topk); the
+    // oversampled beams recover the exact filtered top-10 at the gate
+    // scale, so the oracle is the filtered flat-cosine SQL
+    "ann_vamana_filtered_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      import s.implicits._
+      val queries = Seq(("q0", Tables.queryVector(s, dir, 0L).toSeq))
+        .toDF("qid", "qvector")
+      roundCols(graft.index.ShardedVamana
+        .searchMany(coll, config, queries, 10, shards = 4,
+          cacheKey = s"gate_sharded_vamana@$dir",
+          filter = Some(col("id") >= "5"), oversample = 4)
+        .select(col("id"), col("score")), Seq("score"))
+    }),
+
+    // BATCH vamana: 4 queries against the same shard graphs — one
+    // broadcast of the query block, per-shard walks, exact merge
+    "ann_vamana_search_many" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val qs = Tables.read(s, dir, "embeddings").filter(col("vec_id") < 4)
+        .select(col("vec_id").cast("string").as("qid"),
+          col("embedding").as("qvector"))
+      roundCols(graft.index.ShardedVamana
+        .searchMany(coll, config, qs, 5, shards = 4,
+          cacheKey = s"gate_sharded_vamana@$dir")
+        .select(col("qid"), col("id"), col("score")), Seq("score"))
+    }),
+
     // IVF: probing every cell must equal exact flat search (oracle =
     // the flat-cosine SQL); partial probe is the approximate scale path
     "ann_ivf_full_probe_topk" -> ((s, dir) => {
@@ -3042,6 +3118,27 @@ object TrainingQueries {
     "ann_ivfpq_partitioned_topk" -> ivfPqOracle,
     "ann_ivfpq_residual_topk" -> ivfPqResidualOracle,
     "ann_lsh_topk" -> lshOracle,
+
+    // Vamana rows: exact at the gate scale (autoscaled beams cover each
+    // connected shard graph — see the query comments), so the oracles
+    // are DATA-DERIVED flat-cosine SQL, not stored fixtures
+    "ann_vamana_topk" ->
+      s"SELECT id, score FROM ($flatCosineOracle)",
+    "ann_vamana_persisted_topk" ->
+      s"SELECT id, score FROM ($flatCosineOracle)",
+    "ann_vamana_filtered_topk" ->
+      s"""SELECT id, score FROM (
+         ${flatCosineOracleWhere("WHERE CAST(vec_id AS VARCHAR) >= '5'")})""",
+    "ann_vamana_search_many" -> {
+      def nrm(v: String) =
+        s"list_transform($v, x -> CAST(CAST(x AS DOUBLE) / sqrt(list_sum(list_transform($v, y -> CAST(y AS DOUBLE)*CAST(y AS DOUBLE)))) AS FLOAT))"
+      s"""WITH n AS (SELECT CAST(vec_id AS VARCHAR) AS id, ${nrm("embedding")} AS nv FROM embeddings),
+         qs AS (SELECT CAST(vec_id AS VARCHAR) AS qid, ${nrm("embedding")} AS qv FROM embeddings WHERE vec_id < 4),
+         sc AS (SELECT qid, id, list_sum(list_transform(range(1, len(nv)+1), i -> CAST(nv[i] AS DOUBLE) * CAST(qv[i] AS DOUBLE))) AS raw FROM n, qs),
+         rk AS (SELECT qid, id, raw, row_number() OVER (PARTITION BY qid ORDER BY (1.0 - raw) ASC, id ASC) AS rn FROM sc)
+         SELECT qid, id, (round(raw, 6) + 0) AS score
+         FROM rk WHERE rn <= 5"""
+    },
 
     // stored-expected FIXTURE oracle: the HNSW build is deterministic
     // (FNV-1a levels, sorted insertion, fixed seeds — pinned by

@@ -347,6 +347,31 @@ object ModelStore {
       o.get("version").map { case JStr(v) => v; case _ => "v0" }.getOrElse("v0"))
   }
 
+  def saveVamana(spark: SparkSession, path: String, shards: Int,
+      p: graft.index.Vamana.Params,
+      version: String = java.util.UUID.randomUUID().toString): Unit =
+    writeString(spark, path, renderJson(JObj(Vector(
+      "kind" -> JStr("vamana"), "shards" -> JNum(shards.toString),
+      "max_degree" -> JNum(p.maxDegree.toString),
+      "build_beam" -> JNum(p.buildBeam.toString),
+      "alpha" -> JNum(p.alpha.toString),
+      "search_beam" -> JNum(p.searchBeam.toString),
+      "coded" -> JBool(p.coded),
+      "version" -> JStr(version)))))
+
+  def loadVamana(spark: SparkSession,
+      path: String): (Int, graft.index.Vamana.Params, String) = {
+    val o = load(spark, path, "vamana")
+    (num(o("shards")).toInt, graft.index.Vamana.Params(
+      maxDegree = num(o("max_degree")).toInt,
+      buildBeam = num(o("build_beam")).toInt,
+      alpha = num(o("alpha")).toDouble,
+      searchBeam = num(o("search_beam")).toInt,
+      // absent in pre-coded sidecars — default false keeps them serving
+      coded = o.get("coded").collect { case JBool(b) => b }.getOrElse(false)),
+      o.get("version").map { case JStr(v) => v; case _ => "v0" }.getOrElse("v0"))
+  }
+
   def saveIvf(spark: SparkSession, path: String,
       centroids: Array[Array[Float]]): Unit =
     writeString(spark, path, renderJson(JObj(Vector(

@@ -274,6 +274,28 @@ final class GraftDb(val spark: SparkSession) {
             .select(col("id"), col("score"), col("distance"), col("metric"))
           widenFilteredHnsw(run, filter, limit, oversample)
         }
+      case "vamana" if openPaths.contains(name) =>
+        // opened from an at-rest layout: shard graphs reconstruct from
+        // stored flat adjacency, cached per path (see ShardedVamana)
+        import spark.implicits._
+        val queries = Seq(("q", query.toSeq)).toDF("qid", "qvector")
+        val path = openPaths(name)
+        def run(os: Int) = graft.index.ShardedVamana.searchManyPersisted(
+            spark, path, config, queries, limit, cacheKey = path,
+            filter = filter, oversample = os)
+          .select(col("id"), col("score"), col("distance"), col("metric"))
+        widenFilteredHnsw(run, filter, limit, oversample)
+      case "vamana" =>
+        // always the distributed per-shard graphs — Vamana has no
+        // driver parity shim to match (it is an engine extension, not a
+        // reference contract), so single queries ride the batch path
+        import spark.implicits._
+        val queries = Seq(("q", query.toSeq)).toDF("qid", "qvector")
+        def run(os: Int) = graft.index.ShardedVamana.searchMany(df, config,
+            queries, limit, cacheKey = hnswKey(name), filter = filter,
+            oversample = os)
+          .select(col("id"), col("score"), col("distance"), col("metric"))
+        widenFilteredHnsw(run, filter, limit, oversample)
       case "lsh" =>
         graft.ann.CosineLsh.search(
           filtered(codedFrameCache.getOrElse(name, df)), config,
@@ -481,6 +503,7 @@ final class GraftDb(val spark: SparkSession) {
     hnswRowCount.remove(name)
     hnswGen.put(name, hnswGen.getOrElse(name, 0L) + 1L)
     graft.index.ShardedHnsw.clearCache(s"$name@$dbToken#")
+    graft.index.ShardedVamana.clearCache(s"$name@$dbToken#")
     sq8Cache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     pqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
     rabitqCache.remove(name).foreach(c => Option(c._2).foreach(_.unpersist()))
@@ -581,6 +604,18 @@ final class GraftDb(val spark: SparkSession) {
         // driver shim can't give. The cache key tracks the registry
         // frame instance, so any CRUD mutation (new frame) re-shards.
         graft.index.ShardedHnsw.searchMany(df, config, queries, limit,
+          cacheKey = hnswKey(name), filter = filter, oversample = oversample,
+          beam = bm)
+      case "vamana" if openPaths.contains(name) =>
+        val path = openPaths(name)
+        graft.index.ShardedVamana.searchManyPersisted(spark, path, config,
+          queries, limit, cacheKey = path, filter = filter,
+          oversample = oversample, beam = bm)
+      case "vamana" =>
+        // flat-graph sibling of the distributed hnsw path (engine
+        // extension — DiskANN-style per-shard graphs); same cache-key
+        // generation regime as hnsw
+        graft.index.ShardedVamana.searchMany(df, config, queries, limit,
           cacheKey = hnswKey(name), filter = filter, oversample = oversample,
           beam = bm)
       case "lsh" =>
@@ -728,7 +763,7 @@ final class GraftDb(val spark: SparkSession) {
       case "ivfpq" | "ivfrabitq" =>
         Seq((1, 20), (2, 20), (4, 20), (8, 50), (cells, 200))
           .map { case (np, c) => (math.min(np, cells), c * limit, 0) }.distinct
-      case "hnsw" =>
+      case "hnsw" | "vamana" =>
         Seq(1, 2, 4, 8, 16).map(b => (0, 0, b * limit))
       case "bf16" =>
         // prefix-funnel candidate ladder, then the exact rounded scan as
@@ -1130,6 +1165,16 @@ final class GraftDb(val spark: SparkSession) {
         // quantized families' model sidecars)
         graft.index.ShardedHnsw.writeLayout(df, config, path,
           shards = confParsed("spark.graft.hnsw.shards", _.toInt).getOrElse(0))
+      case "vamana" =>
+        // flat adjacency at rest — one fixed-shape record per node.
+        // spark.graft.vamana.bf16=true builds+serves the layout's shard
+        // graphs over a bf16-packed arena (half the executor-cache
+        // bytes per node; rounded-corpus semantics) — the flag persists
+        // in the sidecar, so reopened sessions serve consistently.
+        graft.index.ShardedVamana.writeLayout(df, config, path,
+          shards = confParsed("spark.graft.vamana.shards", _.toInt).getOrElse(0),
+          params = graft.index.Vamana.Params(coded =
+            confParsed("spark.graft.vamana.bf16", _.toBoolean).getOrElse(false)))
       case other => throw new IllegalArgumentException(
         s"index $other has no persistable layout")
     }
@@ -1205,6 +1250,8 @@ final class GraftDb(val spark: SparkSession) {
         // path); shard graphs themselves reconstruct lazily on first
         // search, into the executor cache keyed by the layout path
         graft.ann.ModelStore.loadHnsw(spark, idxSidecar(path))
+      case "vamana" =>
+        graft.ann.ModelStore.loadVamana(spark, idxSidecar(path))
       case "flat" => ()
       case other => throw new IllegalArgumentException(
         s"index $other has no persistable layout")
@@ -1260,6 +1307,8 @@ final class GraftDb(val spark: SparkSession) {
     config.index match {
       case "hnsw" =>
         graft.index.ShardedHnsw.appendLayout(spark, path, config, prepared)
+      case "vamana" =>
+        graft.index.ShardedVamana.appendLayout(spark, path, config, prepared)
       case "ivf" =>
         graft.ann.IvfIndex.appendPartitioned(spark, path, prepared,
           checkIds = false, cachedModel = ivfCache.get(name))

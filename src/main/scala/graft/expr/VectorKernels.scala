@@ -395,6 +395,105 @@ object VectorKernels {
     (s0 + s1) + (s2 + s3)
   }
 
+  /** Graph-walk ranking over a bf16 byte ARENA vs a float[] query —
+    * the coded-graph twin of [[rankingDistanceOff]] (unrolled, internal
+    * ranking only: no oracle mirrors this order). `ao` is the ELEMENT
+    * offset inside the arena (dims, not bytes). */
+  def rankingDistanceBf16Off(code: Int, a: Array[Byte], ao: Int,
+      q: Array[Float], n: Int): Double = code match {
+    case 0 => math.sqrt(l2sq4BfOff(a, ao, q, n))
+    case 1 => l2sq4BfOff(a, ao, q, n)
+    case 2 => dot4BfOff(a, ao, q, n)
+    case 3 => dot4BfOff(a, ao, q, n)
+    case 4 => -dot4BfOff(a, ao, q, n)
+    case c =>
+      val tmp = new Array[Float](n)
+      var i = 0
+      while (i < n) { tmp(i) = getBf(a, ao + i); i += 1 }
+      distance(c, tmp, q)
+  }
+
+  /** Node-to-node ranking, both sides in a bf16 byte arena. */
+  def rankingDistanceBf16PairOff(code: Int, a: Array[Byte], ao: Int,
+      bo: Int, n: Int): Double = code match {
+    case 0 => math.sqrt(l2sq4BfPairOff(a, ao, bo, n))
+    case 1 => l2sq4BfPairOff(a, ao, bo, n)
+    case 2 => dot4BfPairOff(a, ao, bo, n)
+    case 3 => dot4BfPairOff(a, ao, bo, n)
+    case 4 => -dot4BfPairOff(a, ao, bo, n)
+    case c =>
+      val ta = new Array[Float](n)
+      val tb = new Array[Float](n)
+      var i = 0
+      while (i < n) { ta(i) = getBf(a, ao + i); tb(i) = getBf(a, bo + i); i += 1 }
+      distance(c, ta, tb)
+  }
+
+  private def l2sq4BfOff(a: Array[Byte], ao: Int, q: Array[Float], n: Int): Double = {
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    var i = 0
+    val lim = n - 3
+    while (i < lim) {
+      val d0 = getBf(a, ao + i).toDouble - q(i).toDouble
+      val d1 = getBf(a, ao + i + 1).toDouble - q(i + 1).toDouble
+      val d2 = getBf(a, ao + i + 2).toDouble - q(i + 2).toDouble
+      val d3 = getBf(a, ao + i + 3).toDouble - q(i + 3).toDouble
+      s0 += d0 * d0; s1 += d1 * d1; s2 += d2 * d2; s3 += d3 * d3
+      i += 4
+    }
+    while (i < n) { val d = getBf(a, ao + i).toDouble - q(i).toDouble; s0 += d * d; i += 1 }
+    (s0 + s1) + (s2 + s3)
+  }
+
+  private def dot4BfOff(a: Array[Byte], ao: Int, q: Array[Float], n: Int): Double = {
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    var i = 0
+    val lim = n - 3
+    while (i < lim) {
+      s0 += getBf(a, ao + i).toDouble * q(i).toDouble
+      s1 += getBf(a, ao + i + 1).toDouble * q(i + 1).toDouble
+      s2 += getBf(a, ao + i + 2).toDouble * q(i + 2).toDouble
+      s3 += getBf(a, ao + i + 3).toDouble * q(i + 3).toDouble
+      i += 4
+    }
+    while (i < n) { s0 += getBf(a, ao + i).toDouble * q(i).toDouble; i += 1 }
+    (s0 + s1) + (s2 + s3)
+  }
+
+  private def l2sq4BfPairOff(a: Array[Byte], ao: Int, bo: Int, n: Int): Double = {
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    var i = 0
+    val lim = n - 3
+    while (i < lim) {
+      val d0 = getBf(a, ao + i).toDouble - getBf(a, bo + i).toDouble
+      val d1 = getBf(a, ao + i + 1).toDouble - getBf(a, bo + i + 1).toDouble
+      val d2 = getBf(a, ao + i + 2).toDouble - getBf(a, bo + i + 2).toDouble
+      val d3 = getBf(a, ao + i + 3).toDouble - getBf(a, bo + i + 3).toDouble
+      s0 += d0 * d0; s1 += d1 * d1; s2 += d2 * d2; s3 += d3 * d3
+      i += 4
+    }
+    while (i < n) {
+      val d = getBf(a, ao + i).toDouble - getBf(a, bo + i).toDouble
+      s0 += d * d; i += 1
+    }
+    (s0 + s1) + (s2 + s3)
+  }
+
+  private def dot4BfPairOff(a: Array[Byte], ao: Int, bo: Int, n: Int): Double = {
+    var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
+    var i = 0
+    val lim = n - 3
+    while (i < lim) {
+      s0 += getBf(a, ao + i).toDouble * getBf(a, bo + i).toDouble
+      s1 += getBf(a, ao + i + 1).toDouble * getBf(a, bo + i + 1).toDouble
+      s2 += getBf(a, ao + i + 2).toDouble * getBf(a, bo + i + 2).toDouble
+      s3 += getBf(a, ao + i + 3).toDouble * getBf(a, bo + i + 3).toDouble
+      i += 4
+    }
+    while (i < n) { s0 += getBf(a, ao + i).toDouble * getBf(a, bo + i).toDouble; i += 1 }
+    (s0 + s1) + (s2 + s3)
+  }
+
   private def dot4(a: Array[Float], b: Array[Float], n: Int): Double = {
     var s0 = 0.0; var s1 = 0.0; var s2 = 0.0; var s3 = 0.0
     var i = 0

@@ -37,24 +37,13 @@ import graft.search.Search
 object ShardedHnsw {
 
   // executor-JVM-local: each executor caches the graphs of the shards
-  // it has served; local mode holds all of them in the one JVM. Entries
-  // carry a last-touch stamp so the node-count budget below can evict
-  // least-recently-used graphs (a dropped/abandoned collection's graphs
-  // would otherwise stay pinned in executor memory forever — the driver
-  // cannot reach this map on a cluster).
-  private final class Entry(val graph: Hnsw) {
-    @volatile var lastAccess: Long = System.nanoTime()
-  }
-  private val cache = scala.collection.concurrent.TrieMap.empty[(String, Int), Entry]
+  // it has served; local mode holds all of them in the one JVM. The
+  // machinery (version-purged keys, LRU node budget) is the shared
+  // [[ShardGraphCache]] — ShardedVamana holds its own instance.
+  private val cache = new ShardGraphCache[Hnsw](_.size.toLong)
 
-  /** Evictions whose victim shares the just-inserted key's stable
-    * prefix — i.e. the node budget is smaller than ONE generation, so
-    * the cache thrashes sibling shards of the layout currently being
-    * served (100% miss from then on, correctness unaffected). Exposed
-    * so operators can alarm on budget-too-small instead of silently
-    * paying a rebuild per call. */
-  private val samePrefixEvictionCount = new java.util.concurrent.atomic.AtomicLong(0)
-  def samePrefixEvictions: Long = samePrefixEvictionCount.get()
+  /** See [[ShardGraphCache.samePrefixEvictions]]. */
+  def samePrefixEvictions: Long = cache.samePrefixEvictions
 
   /** Default for `spark.graft.hnsw.cacheMaxNodes`: total LIVE nodes
     * across all cached shard graphs in one JVM. At 384 float dims a
@@ -67,80 +56,21 @@ object ShardedHnsw {
     * (facade invalidation uses a name-derived prefix). NOTE: this runs
     * in the CALLING JVM only — on a cluster, executor caches are
     * invalidated by version-suffixed cache keys instead (see
-    * [[cachedGraph]]), not by this call. */
-  def clearCache(prefix: String): Unit =
-    cache.keys.filter(_._1.startsWith(prefix)).foreach(cache.remove)
+    * [[ShardGraphCache.cachedGraph]]), not by this call. */
+  def clearCache(prefix: String): Unit = cache.clearCache(prefix)
 
-  private[graft] def cachedNodeCount: Long =
-    cache.values.iterator.map(_.graph.size.toLong).sum
+  private[graft] def cachedNodeCount: Long = cache.cachedNodeCount
 
-  /** Fold the shard count into the STABLE part of a cache key (before
-    * any '#version' suffix): graphs built under a different
-    * partitioning must be a guaranteed cache miss — with shards=0 the
-    * count tracks defaultParallelism, which changes under dynamic
-    * allocation, and reusing graphs from a different id-hash layout
-    * would duplicate/drop ids in the merged top-k. */
-  private def withShardCount(key: String, nShards: Int): String = {
-    if (key.isEmpty) return key
-    val sep = key.lastIndexOf('#')
-    if (sep > 0) key.substring(0, sep) + "|n" + nShards + key.substring(sep)
-    else key + "|n" + nShards
-  }
+  private def withShardCount(key: String, nShards: Int): String =
+    cache.withShardCount(key, nShards)
 
-  /** Executor-side cache access. Keys carry their data version after
-    * the LAST '#' ("stable#version"): when a key with the same stable
-    * part but a different version is inserted, superseded entries are
-    * purged IN THIS JVM — so on a real cluster, where the driver's
-    * [[clearCache]] cannot reach executor memory, a layout rewrite or
-    * collection mutation both invalidates stale graphs (new version =
-    * cache miss) and bounds growth (old versions evicted on first
-    * touch). Versionless keys behave as before. After an insert, total
-    * cached nodes above `maxNodes` evict least-recently-used entries
-    * (never the one just inserted) so abandoned generations die without
-    * a same-prefix touch. */
   private def cachedGraph(key: String, shard: Int,
-      maxNodes: Long = DefaultCacheMaxNodes)(build: => Hnsw): Hnsw = {
-    if (key.isEmpty) return build
-    val sep = key.lastIndexOf('#')
-    if (sep > 0) {
-      val stable = key.substring(0, sep + 1)
-      cache.keys.foreach { k =>
-        if (k._1.startsWith(stable) && k._1 != key) cache.remove(k)
-      }
-    }
-    val existing = cache.get((key, shard))
-    if (existing.isDefined) {
-      existing.get.lastAccess = System.nanoTime()
-      return existing.get.graph
-    }
-    val entry = cache.getOrElseUpdate((key, shard), new Entry(build))
-    entry.lastAccess = System.nanoTime()
-    val stablePrefix =
-      if (sep > 0) key.substring(0, sep + 1) else key
-    var total = cachedNodeCount
-    while (total > maxNodes && cache.size > 1) {
-      val lru = cache.iterator
-        .filter(_._1 != (key, shard))
-        .minByOption(_._2.lastAccess)
-      lru match {
-        case Some((k, _)) =>
-          // decrement only when WE removed it — a concurrent evictor
-          // may have beaten us, and double-subtracting would let the
-          // loop exit while the cache is still over budget
-          cache.remove(k).foreach { r =>
-            total -= r.graph.size
-            if (k._1.startsWith(stablePrefix))
-              samePrefixEvictionCount.incrementAndGet()
-          }
-        case None => return entry.graph
-      }
-    }
-    entry.graph
-  }
+      maxNodes: Long = DefaultCacheMaxNodes)(build: => Hnsw): Hnsw =
+    cache.cachedGraph(key, shard, maxNodes)(build)
 
   /** The JVM-wide cached-node budget, read driver-side and shipped in
     * the task closure (executors cannot see runtime SQL confs). */
-  private def cacheMaxNodes(spark: org.apache.spark.sql.SparkSession): Long =
+  private[index] def cacheMaxNodes(spark: org.apache.spark.sql.SparkSession): Long =
     spark.conf.getOption("spark.graft.hnsw.cacheMaxNodes")
       .map(_.toLong).getOrElse(DefaultCacheMaxNodes)
 
@@ -217,7 +147,7 @@ object ShardedHnsw {
     * candidates whose id survives the predicate over `attrs` (the
     * collection frame / layout scan — the predicate pushes down there),
     * joining the BOUNDED candidate set broadcast against that scan. */
-  private def postFilter(cands: DataFrame, attrs: DataFrame,
+  private[index] def postFilter(cands: DataFrame, attrs: DataFrame,
       filter: Option[org.apache.spark.sql.Column]): DataFrame =
     filter match {
       case None => cands
@@ -228,7 +158,7 @@ object ShardedHnsw {
 
   /** Global merge of per-shard candidate lists: nShards * nq * limit
     * rows, one keyed window. */
-  private def mergeTopK(perShard: DataFrame, config: CollectionConfig,
+  private[index] def mergeTopK(perShard: DataFrame, config: CollectionConfig,
       limit: Int): DataFrame = {
     val w = Window.partitionBy(col("qid"))
       .orderBy(col("rank").asc_nulls_last, col("id").asc)
@@ -241,7 +171,7 @@ object ShardedHnsw {
   }
 
   /** Collect + prepare a bounded (qid, qvector) query frame. */
-  private def preparedQueries(config: CollectionConfig,
+  private[index] def preparedQueries(config: CollectionConfig,
       queries: DataFrame): Array[(String, Array[Float])] =
     queries.select(col("qid").cast("string"),
         col("qvector").cast("array<float>"))

@@ -201,7 +201,8 @@ class GraftDbSpec extends SparkSpec {
     // ivfpq on cosine = raw codes; on l2 = residual codes; both roads
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
         "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
-        "hnsw" -> "cosine", "flat" -> "cosine", "bf16" -> "cosine",
+        "hnsw" -> "cosine", "vamana" -> "cosine", "vamana" -> "l2",
+        "flat" -> "cosine", "bf16" -> "cosine",
         "ivfbf16" -> "cosine", "rabitq" -> "cosine",
         "ivfrabitq" -> "l2", "ivfrabitq" -> "cosine")) {
       val name = s"p_${idx}_$metric"
@@ -400,7 +401,8 @@ class GraftDbSpec extends SparkSpec {
     val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
         "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
-        "hnsw" -> "cosine", "flat" -> "cosine", "bf16" -> "cosine",
+        "hnsw" -> "cosine", "vamana" -> "cosine", "vamana" -> "l2",
+        "flat" -> "cosine", "bf16" -> "cosine",
         "ivfbf16" -> "cosine", "rabitq" -> "cosine",
         "ivfrabitq" -> "l2", "ivfrabitq" -> "cosine")) {
       val name = s"ap_${idx}_$metric"
@@ -574,8 +576,8 @@ class GraftDbSpec extends SparkSpec {
       res.select("qid", "id").collect().groupBy(_.getString(0))
         .map { case (q, rs) => q -> rs.map(_.getString(1)).toSet }
     val exact = topIds(db.searchMany("rt_flat", qs, 10, knownNq = 4))
-    for (idx <- Seq("ivf", "pq", "ivfpq", "hnsw", "sq8", "bf16", "ivfbf16",
-        "rabitq", "ivfrabitq")) {
+    for (idx <- Seq("ivf", "pq", "ivfpq", "hnsw", "vamana", "sq8", "bf16",
+        "ivfbf16", "rabitq", "ivfrabitq")) {
       val name = s"rt_$idx"
       db.createCollection(name, dims, metric = "cosine", index = idx)
       db.batch(name, rows)
