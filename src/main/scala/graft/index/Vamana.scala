@@ -256,7 +256,16 @@ final class Vamana(val metric: Metric, val params: Vamana.Params) {
 
   /** One build step for node `p`: candidates = greedy-search visited
     * set ∪ current out-edges, robust-pruned to ≤R out-edges; each new
-    * out-neighbor gets the reciprocal edge, pruned on degree overflow. */
+    * out-neighbor gets the reciprocal edge, pruned on degree overflow.
+    *
+    * The candidate pool is CAPPED at the closest 2·L entries before
+    * occlusion (ties by id — deterministic): the paper's Algorithm 1
+    * prunes the full visited set, but occlusion is O(R·|pool|) node-pair
+    * distances per insert and the visited set grows with graph
+    * connectivity, which measured as ~25x the search cost of the build
+    * at 12k-node shards; candidates past 2L-closest essentially never
+    * survive occlusion, so the cap trades nothing measurable for the
+    * bound (recall gates in VamanaSpec and the bench overlap rows hold). */
   private def wire(p: Int, alpha: Double): Unit = {
     val q = vectorOf(p)
     val visited = beamSearchInternal(q, params.buildBeam, exclude = p)._2
@@ -270,7 +279,11 @@ final class Vamana(val metric: Metric, val params: Vamana.Params) {
         seen.set(id); cands += ((id, rankNodes(p, id)))
       }
     }
-    val kept = robustPrune(p, cands, alpha)
+    val cap = 2 * params.buildBeam
+    val pool =
+      if (cands.length <= cap) cands
+      else cands.sortInPlaceBy(t => (t._2, t._1)).take(cap)
+    val kept = robustPrune(p, pool, alpha)
     adjacency(p).clear()
     adjacency(p) ++= kept
     kept.foreach { j =>

@@ -284,6 +284,30 @@ class VamanaSpec extends SparkSpec {
     coll.unpersist()
   }
 
+  test("persisted serving plan: map-side rank cut, persisted state never re-shuffles") {
+    val config = CollectionConfig("vamplan", dims)
+    val coll = graft.prepare.Prepare
+      .prepareEmbeddings(embeddingRows(clusteredRows), config)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vamana_plan").toString
+    ShardedVamana.writeLayout(coll, config, dir, shards = 4)
+    val state = ShardedVamana.layoutState(spark, dir).persist()
+    state.count()
+    val queries = Seq(("q0", synth(-5L).toSeq)).toDF("qid", "qvector")
+    val df = ShardedVamana.searchManyPersisted(spark, dir, config, queries, 5,
+      cacheKey = dir, state = Some(state))
+    val plan = df.queryExecution.executedPlan.toString
+    // per-shard top-k lists are cut BEFORE the merge exchange
+    assert(plan.contains("WindowGroupLimit"), s"no map-side rank cut:\n$plan")
+    // the co-partitioned persisted state serves from cached blocks; the
+    // ONLY exchange is the bounded shards*nq*limit merge
+    assert(plan.contains("InMemoryTableScan"), s"state not served from cache:\n$plan")
+    val executing = plan.substring(0, plan.indexOf("InMemoryTableScan"))
+    assert("Exchange hashpartitioning".r.findAllIn(executing).size === 1,
+      s"persisted state re-shuffled:\n$plan")
+    state.unpersist(blocking = true)
+    ShardedVamana.clearCache(dir)
+  }
+
   test("persisted filtered search post-filters through the layout scan") {
     val config = CollectionConfig("vamf", dims)
     val coll = graft.prepare.Prepare
