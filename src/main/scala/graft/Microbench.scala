@@ -378,6 +378,41 @@ object Microbench {
     println("top3 " + g.search(q, 3).map { case (id, d) => f"$id:$d%.4f" }.mkString(" "))
   }
 
+  /** Vamana vs hnsw driver-side build+search at one shard's shape:
+    * `runMain graft.Microbench vamana [n]` (default 12500 ≈ one shard
+    * of the bench's 100k corpus at 8 shards). The coded (bf16 arena)
+    * variant times beside the f32 one — the memory-halved graph should
+    * build and serve at near-parity. */
+  def profileVamana(spark: SparkSession, args: Array[String]): Unit = {
+    val dims = 384
+    val n = args.lift(1).map(_.toInt).getOrElse(12500)
+    val config = CollectionConfig("v", dims, Metric.Cosine)
+    val rows = (0 until n).map { i =>
+      (i.toString, Search.prepareQuery(config, Bench.synthVector(i.toLong, dims)))
+    }.sortBy(_._1)
+    var h: graft.index.Hnsw = null
+    time(s"hnsw insertMany n=$n", 3) {
+      h = new graft.index.Hnsw(config.metric, graft.index.Hnsw.Params())
+      h.insertMany(rows)
+    }
+    var g: graft.index.Vamana = null
+    time(s"vamana insertMany n=$n", 3) {
+      g = new graft.index.Vamana(config.metric, graft.index.Vamana.Params())
+      g.insertMany(rows)
+    }
+    var gc: graft.index.Vamana = null
+    time(s"vamana coded insertMany n=$n", 3) {
+      gc = new graft.index.Vamana(config.metric,
+        graft.index.Vamana.Params(coded = true))
+      gc.insertMany(rows)
+    }
+    val q = Search.prepareQuery(config, Bench.synthVector(-1L, dims))
+    time("hnsw search k=10 x100", 5) { (0 until 100).foreach(_ => h.search(q, 10)) }
+    time("vamana search k=10 x100", 5) { (0 until 100).foreach(_ => g.search(q, 10)) }
+    time("vamana coded search k=10 x100", 5) { (0 until 100).foreach(_ => gc.search(q, 10)) }
+    println("vamana top3 " + g.search(q, 3).map { case (id, d) => f"$id:$d%.4f" }.mkString(" "))
+  }
+
   /** md5 spec hash vs MurmurHash3 fast hash for minhash banding over
     * 5k synthetic ~200-token docs: `runMain graft.Microbench minhash`. */
   def profileMinhash(spark: SparkSession): Unit = {
@@ -444,6 +479,9 @@ object Microbench {
     }
     if (args.headOption.contains("hnsw")) {
       profileHnsw(spark, args); spark.stop(); return
+    }
+    if (args.headOption.contains("vamana")) {
+      profileVamana(spark, args); spark.stop(); return
     }
     if (args.headOption.contains("ivfpq_batch")) {
       profileIvfPqBatch(spark, args); spark.stop(); return

@@ -142,9 +142,12 @@ final class Vamana(val metric: Metric, val params: Vamana.Params) {
     // the long-range diversity edges that cut the walk's hop count
     runPass(1.0)
     if (params.alpha != 1.0) runPass(params.alpha)
-    // final repair: medoid-reachability becomes a GUARANTEE, not an
-    // empirical property — the exactness contract (beam >= n == exact)
-    // and the gate rows' data-derived oracles rest on it
+    // settle the lazy slack back to the R contract, THEN make
+    // medoid-reachability a GUARANTEE, not an empirical property — the
+    // exactness contract (beam >= n == exact) and the gate rows'
+    // data-derived oracles rest on it (repair edges may exceed R and
+    // must not be pruned, so the order matters)
+    tightenDegrees(params.alpha)
     repairConnectivity()
   }
 
@@ -180,7 +183,7 @@ final class Vamana(val metric: Metric, val params: Vamana.Params) {
     while (p < n) {
       if (!seen.get(p)) {
         val near = beamSearchInternal(vectorOf(p), params.buildBeam,
-          exclude = p)._1
+          exclude = p)
         val src =
           if (near.isEmpty) entry
           else near.minBy(t => (t._2, t._1))._1
@@ -254,24 +257,27 @@ final class Vamana(val metric: Metric, val params: Vamana.Params) {
     }
   }
 
-  /** One build step for node `p`: candidates = greedy-search visited
-    * set ∪ current out-edges, robust-pruned to ≤R out-edges; each new
-    * out-neighbor gets the reciprocal edge, pruned on degree overflow.
+  /** One build step for node `p`: candidates = the closest-L nodes the
+    * greedy search returns ∪ current out-edges, robust-pruned to ≤R
+    * out-edges; each new out-neighbor gets the reciprocal edge, pruned
+    * on degree overflow.
     *
-    * The candidate pool is CAPPED at the closest 2·L entries before
-    * occlusion (ties by id — deterministic): the paper's Algorithm 1
-    * prunes the full visited set, but occlusion is O(R·|pool|) node-pair
-    * distances per insert and the visited set grows with graph
-    * connectivity, which measured as ~25x the search cost of the build
-    * at 12k-node shards; candidates past 2L-closest essentially never
-    * survive occlusion, so the cap trades nothing measurable for the
-    * bound (recall gates in VamanaSpec and the bench overlap rows hold). */
+    * The pool is the search's top-L, not the full visited set: the
+    * paper's Algorithm 1 writes V, but occlusion is O(R·|pool|)
+    * node-pair distances per insert and the visited set grows with
+    * graph connectivity — over full V it measured ~5x the whole hnsw
+    * build at 3k-node shards. A size-L prune pool is also what the
+    * reference DiskANN implementation maintains, so this is the
+    * deployed algorithm, not a deviation; recall gates in VamanaSpec
+    * and the bench overlap rows hold. */
   private def wire(p: Int, alpha: Double): Unit = {
     val q = vectorOf(p)
-    val visited = beamSearchInternal(q, params.buildBeam, exclude = p)._2
+    // the beam's RESULT set is exactly the closest-L visited nodes —
+    // the capped pool — so no separate visited list or re-sort is needed
+    val near = beamSearchInternal(q, params.buildBeam, exclude = p)
     val cands = mutable.ArrayBuffer.empty[(Int, Double)]
     val seen = new java.util.BitSet(externalIds.length)
-    visited.foreach { case (id, d) =>
+    near.foreach { case (id, d) =>
       if (id != p && !seen.get(id)) { seen.set(id); cands += ((id, d)) }
     }
     adjacency(p).foreach { id =>
@@ -279,23 +285,42 @@ final class Vamana(val metric: Metric, val params: Vamana.Params) {
         seen.set(id); cands += ((id, rankNodes(p, id)))
       }
     }
-    val cap = 2 * params.buildBeam
-    val pool =
-      if (cands.length <= cap) cands
-      else cands.sortInPlaceBy(t => (t._2, t._1)).take(cap)
-    val kept = robustPrune(p, pool, alpha)
+    val kept = robustPrune(p, cands, alpha)
     adjacency(p).clear()
     adjacency(p) ++= kept
     kept.foreach { j =>
       if (!adjacency(j).contains(p)) {
         adjacency(j) += p
-        if (adjacency(j).length > params.maxDegree) {
+        // LAZY back-edge prune with degree slack: α-occlusion is O(R²)
+        // node-pair distances, and an eager prune fires on nearly every
+        // back-edge — it measured as the dominant build cost (the whole
+        // build ran ~4x the hnsw build of the same rows). Triggering
+        // only past ~1.3·R amortizes each prune over ~R/3 additions —
+        // the slack factor the reference DiskANN implementation uses —
+        // and [[insertMany]] ends with one tighten-to-R pass.
+        if (adjacency(j).length > params.maxDegree * 13 / 10) {
           val jc = adjacency(j).map(id => (id, rankNodes(j, id)))
           val jKept = robustPrune(j, jc, alpha)
           adjacency(j).clear()
           adjacency(j) ++= jKept
         }
       }
+    }
+  }
+
+  /** Final bulk-build pass: α-occlusion-prune every node still over R
+    * (the lazy back-edge slack leaves degrees in (R, 1.3R]). Runs
+    * BEFORE connectivity repair, whose forced edges must survive. */
+  private def tightenDegrees(alpha: Double): Unit = {
+    var j = 0
+    while (j < externalIds.length) {
+      if (adjacency(j).length > params.maxDegree) {
+        val jc = adjacency(j).map(id => (id, rankNodes(j, id)))
+        val jKept = robustPrune(j, jc, alpha)
+        adjacency(j).clear()
+        adjacency(j) ++= jKept
+      }
+      j += 1
     }
   }
 
@@ -343,7 +368,7 @@ final class Vamana(val metric: Metric, val params: Vamana.Params) {
     if (limit <= 0 || externalIds.isEmpty) return Seq.empty
     require(query.length == dimension, "dimension mismatch")
     val l = math.max(math.max(beam, limit), effectiveBeam(limit))
-    beamSearchInternal(query, l, exclude = -1)._1
+    beamSearchInternal(query, l, exclude = -1)
       .sortBy(t => (t._2, t._1))
       .take(limit)
       .map { case (id, _) =>
@@ -353,15 +378,13 @@ final class Vamana(val metric: Metric, val params: Vamana.Params) {
   }
 
   /** Greedy beam search from the medoid: best-first over the graph,
-    * result set bounded at `beam`. Returns (result pairs, visited pairs
-    * in visit order) — the build consumes the visited set, serving the
-    * result set. `exclude` drops one id from the RESULT set (a node
-    * searching for itself during build still traverses through itself). */
+    * result set bounded at `beam` — the closest-`beam` visited nodes.
+    * `exclude` drops one id from the RESULT set (a node searching for
+    * itself during build still traverses through itself). */
   private def beamSearchInternal(query: Array[Float], beam: Int,
-      exclude: Int): (Seq[(Int, Double)], Seq[(Int, Double)]) = {
-    if (entry < 0) return (Seq.empty, Seq.empty)
+      exclude: Int): Seq[(Int, Double)] = {
+    if (entry < 0) return Seq.empty
     val visited = new java.util.BitSet(externalIds.length)
-    val visitedList = mutable.ArrayBuffer.empty[(Int, Double)]
     val frontier = new PairHeap(max = false)
     val results = new PairHeap(max = true)
     def admit(id: Int, d: Double): Unit =
@@ -371,7 +394,6 @@ final class Vamana(val metric: Metric, val params: Vamana.Params) {
       }
     val d0 = rankToQuery(entry, query)
     visited.set(entry)
-    visitedList += ((entry, d0))
     frontier.add(d0, entry)
     admit(entry, d0)
     var done = false
@@ -390,7 +412,6 @@ final class Vamana(val metric: Metric, val params: Vamana.Params) {
           if (!visited.get(nb)) {
             visited.set(nb)
             val d = rankToQuery(nb, query)
-            visitedList += ((nb, d))
             val w =
               if (results.size >= beam) results.topDist
               else Double.PositiveInfinity
@@ -409,8 +430,7 @@ final class Vamana(val metric: Metric, val params: Vamana.Params) {
       out(i) = (results.idAt(i), results.distAt(i))
       i += 1
     }
-    (scala.collection.immutable.ArraySeq.unsafeWrapArray(out),
-      visitedList.toSeq)
+    scala.collection.immutable.ArraySeq.unsafeWrapArray(out)
   }
 
   /** Snapshot for a persisted layout: flat adjacency by internal id;
