@@ -66,6 +66,12 @@ class IntegrationParitySpec extends SparkSpec {
         Seq(("q0", q.toSeq)).toDF("qid", "qvector"), 1, shards = 4)
         .select("id"))
     }
+    modes("vamana_sharded") = {
+      import spark.implicits._
+      top1(graft.index.ShardedVamana.searchMany(coll, config,
+        Seq(("q0", q.toSeq)).toDF("qid", "qvector"), 1, shards = 4)
+        .select("id"))
+    }
     val cents = graft.ann.IvfIndex.train(coll, config,
       graft.ann.IvfIndex.IvfConfig(k = 16, iterations = 5))
     modes("ivf_nprobe4") = top1(graft.ann.IvfIndex.search(coll, config,
