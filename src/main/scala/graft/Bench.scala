@@ -600,6 +600,30 @@ object Bench {
     quality("overlap10_hnsw_sharded_filtered") =
       if (fltExact.isEmpty) 1.0
       else fltExact.intersect(fltIds).size.toDouble / fltExact.size
+    // SELECTIVE-filter routing (the facade's cost-based pre/post-filter
+    // planner, GraftDb.exactRouteDecision): a predicate keeping ~0.5%
+    // of the corpus. `_route` is the plan the router serves (exact scan
+    // of the survivors — recall 1.0 by construction); `_beams` is what
+    // the same facade call did BEFORE the router (post-filtered
+    // oversampled graph beams), kept as the ablation: at 1-in-200
+    // selectivity even oversample=64 leaves the beams under-filled, the
+    // recall hole the router closes. overlap10_filtered_selective_beams
+    // is that ablation's floor — NOT a shipped operating point.
+    val selPred = expr("cast(id as long) % 200 = 0")
+    record("synth_filtered_selective_route") {
+      Search.flatSearch(coll.filter(selPred), config, q, 10).collect()
+    }
+    record("synth_filtered_selective_beams") {
+      graft.index.ShardedHnsw.searchMany(coll, config, oneQuery, 10,
+        cacheKey = shKey, filter = Some(selPred), oversample = 64).collect()
+    }
+    val selExact = dfIds(Search.flatSearch(coll.filter(selPred), config, q, 10)).toSet
+    val selBeams = dfIds(graft.index.ShardedHnsw.searchMany(coll, config,
+      oneQuery, 10, cacheKey = shKey, filter = Some(selPred),
+      oversample = 64)).toSet
+    quality("overlap10_filtered_selective_beams") =
+      if (selExact.isEmpty) 1.0
+      else selExact.intersect(selBeams).size.toDouble / selExact.size
     val exactFullIds = dfIds(Search.flatSearch(coll, config, q, 10)).toSet
     val shardedIds = dfIds(graft.index.ShardedHnsw.searchMany(
       coll, config, oneQuery, 10, cacheKey = shKey)).toSet
@@ -1080,6 +1104,18 @@ object Bench {
       val bf = Search.flatSearchBf16(scaleBf16, config, q, 10)
         .collect().map(_.getString(0)).toSet
       if (exact.isEmpty) 1.0 else exact.intersect(bf).size.toDouble / exact.size
+    }
+    // selective-filter routing at the AT-REST tier: the predicate the
+    // facade routes to an exact scan prunes the parquet read itself
+    // (id pushdown via PushedFilters) — the exact route over 500k rows
+    // reads ~0.2% of the id column's row groups' payload rather than
+    // post-filtering any index structure. The 100k in-memory rows
+    // (synth_filtered_selective_*) pin the recall story; this pins the
+    // scan-IO story the router buys on a real layout
+    record("scale5x_filtered_selective_route") {
+      Search.flatSearchBf16(
+        scaleBf16.filter(col("id").startsWith("4242")), config, q, 10)
+        .collect()
     }
     // multi-vector corpus at the 5x tier: 500k docs x 3 token vectors —
     // token sets DOMINATE scan IO here (3x the f32 payload of the flat

@@ -657,6 +657,15 @@ object TrainingQueries {
       TextAnalysis.topNgrams(Tables.read(s, dir, "documents"),
         col("text"), n = 3, k = 20)),
 
+    // the mergeable Misra-Gries form of the same cut: bounded counters
+    // per partition instead of a vocabulary-sized shuffle. At gate
+    // scale the capacity exceeds the distinct-gram count, so NO purge
+    // fires and the summary is provably exact + order-independent —
+    // the sketch is gated against the SAME exact SQL oracle
+    "text_top_ngrams_sketched" -> ((s, dir) =>
+      TextAnalysis.topNgramsSketched(Tables.read(s, dir, "documents"),
+        col("text"), n = 3, k = 20, capacity = 1 << 21)),
+
     // hashing-trick TF vectors (embedding-free content vectors): the
     // md5-bucket construction itself is verified via nnz / l2-norm /
     // argmax scalars per doc — the bridge from the text tier into the
@@ -4355,6 +4364,17 @@ object TrainingQueries {
     "text_bpe_tokens" -> bpeFixtureSql,
 
     "text_top_ngrams" ->
+      s"""WITH t AS (SELECT list_transform($tokensSql, x -> lower(x)) AS toks FROM documents),
+         g AS (SELECT unnest(list_transform(range(0, len(toks) - 3 + 1),
+             i -> array_to_string(toks[i+1:i+3], ' '))) AS ngram
+           FROM t WHERE len(toks) >= 3),
+         c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS freq FROM g GROUP BY ngram)
+         SELECT ngram, freq FROM c ORDER BY freq DESC, ngram ASC LIMIT 20""",
+
+    // purge-free regime (capacity >= distinct grams at gate scale):
+    // the Misra-Gries summary's counts are exact, so the sketch form
+    // shares the exact cut's oracle verbatim
+    "text_top_ngrams_sketched" ->
       s"""WITH t AS (SELECT list_transform($tokensSql, x -> lower(x)) AS toks FROM documents),
          g AS (SELECT unnest(list_transform(range(0, len(toks) - 3 + 1),
              i -> array_to_string(toks[i+1:i+3], ' '))) AS ngram

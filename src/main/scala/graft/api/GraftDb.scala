@@ -181,6 +181,72 @@ final class GraftDb(val spark: SparkSession) {
 
   // ------------------------------------------------------------- search
 
+  // ---- cost-based filtered-search routing (engine extension) ----
+  // The pre- vs post-filter planning step production vector stores
+  // make: when a query predicate matches only a handful of rows, an
+  // approximate index is the WRONG plan — probing cells / walking
+  // beams over a corpus that is 99.9% filtered away costs more than
+  // scanning the survivors, and post-filtered candidates can miss
+  // matching rows entirely (the classic filtered-ANN recall hole).
+  // Below `spark.graft.filter.exactMaxMatches` surviving rows
+  // (default 10k) the facade therefore serves the query EXACTLY from
+  // a scan of the filtered frame: cheaper AND recall-1.0. The match
+  // count probe is bounded — limit(cutoff+1).count() stops the scan
+  // as soon as the cutoff is crossed — and its verdict caches per
+  // (collection frame, predicate), so repeated queries skip it.
+  // `spark.graft.filter.exactRoute=false` disables the routing.
+  private val routeVerdictCache =
+    scala.collection.concurrent.TrieMap.empty[(String, Int, String), Boolean]
+  private val routeFrameCache =
+    scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+  /** Last filtered-search route taken per collection — a diagnostic
+    * hook ("exact-selective" | "index"), not a stable API. */
+  private[graft] val lastFilterRoute =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  /** Index kinds whose filtered form can route to the exact scan: the
+    * approximate families. flat/bf16 are already exact scans, and
+    * third-party kinds own their filter semantics. */
+  private val exactRoutableKinds = Set("lsh", "ivf", "ivfbf16", "sq8",
+    "pq", "rabitq", "ivfpq", "ivfrabitq", "hnsw", "vamana")
+
+  private def exactRouteDecision(name: String, df: DataFrame,
+      config: CollectionConfig,
+      filter: Option[org.apache.spark.sql.Column]): Boolean = {
+    val route = filter.isDefined &&
+      spark.conf.getOption("spark.graft.filter.exactRoute")
+        .forall(_.toBoolean) &&
+      exactRoutableKinds.contains(config.index) && {
+        val cutoff = spark.conf
+          .getOption("spark.graft.filter.exactMaxMatches")
+          .map(_.toLong).getOrElse(10000L)
+        val probeRows = math.min(cutoff + 1L, Int.MaxValue.toLong).toInt
+        val key = (name, System.identityHashCode(df),
+          s"${filter.get}|$cutoff")
+        routeVerdictCache.getOrElseUpdate(key,
+          df.filter(filter.get).select(lit(1).as("one"))
+            .limit(probeRows).count() <= cutoff)
+      }
+    if (filter.isDefined)
+      lastFilterRoute.put(name, if (route) "exact-selective" else "index")
+    route
+  }
+
+  /** The exact serving frame for a routed filtered search. ivfbf16's
+    * result contract is the bf16-ROUNDED rank (its normal path scores
+    * packed bf16), so its exact route scores the same rounding — for
+    * an opened layout the registry vector is already the decoded
+    * rounded corpus, and re-packing is idempotent. Every other
+    * routable kind reranks exactly in f32, so the registry frame's
+    * f32 vector IS its contract. */
+  private def exactRouteFrame(name: String, df: DataFrame,
+      config: CollectionConfig): DataFrame =
+    if (config.index == "ivfbf16")
+      codedFrameCache.get(name).filter(_.columns.contains("vector_bf16"))
+        .getOrElse(routeFrameCache.getOrElseUpdate(name,
+          Prepare.withBf16Vector(df)))
+    else df
+
   /** Index-routed search: `flat` scans exactly; `bf16` scans exactly
     * over the bf16-rounded corpus at 2 B/dim (half the scan bytes of a
     * flat at-rest layout — see [[persistIndex]]); `hnsw` uses the
@@ -196,6 +262,10 @@ final class GraftDb(val spark: SparkSession) {
     * filtered rows only), hnsw post-filters oversampled sharded beams
     * (the driver shim's graph holds no metadata, so filtered hnsw
     * always routes to the sharded path — `oversample` widens it).
+    * SELECTIVE predicates route to an exact scan of the surviving
+    * rows instead of the approximate structure (cheaper AND exact
+    * below `spark.graft.filter.exactMaxMatches` matches — see the
+    * routing note above [[search]]'s implementation).
     *
     * `recallTarget` resolves the search knobs from the measured
     * [[overlapCurve]] exactly like [[searchMany]]'s form of the same
@@ -218,6 +288,17 @@ final class GraftDb(val spark: SparkSession) {
       return searchMany(name, queries, limit, knownNq = 1L, filter = filter,
         oversample = oversample, recallTarget = recallTarget)
         .select(col("id"), col("score"), col("distance"), col("metric"))
+    }
+    if (exactRouteDecision(name, df, config, filter)) {
+      val frame = exactRouteFrame(name, df, config).filter(filter.get)
+      val exact =
+        if (config.index == "ivfbf16")
+          Search.flatSearchBf16(frame, config, query, limit)
+        else Search.flatSearch(frame, config, query, limit)
+      // the graph kinds' result contract is the slim 4-column shape
+      return if (config.index == "hnsw" || config.index == "vamana")
+        exact.select(col("id"), col("score"), col("distance"), col("metric"))
+      else exact
     }
     def filtered(f: DataFrame): DataFrame = filter.foldLeft(f)(_.filter(_))
     config.index match {
@@ -513,6 +594,12 @@ final class GraftDb(val spark: SparkSession) {
     // measured recall curves are per collection generation (keys carry
     // the limit suffix, so sweep by prefix)
     curveCache.keys.filter(_.startsWith(name + "#")).foreach(curveCache.remove)
+    // filtered-search routing state: verdicts key the frame instance
+    // too, so a mutation's NEW frame would never hit a stale verdict —
+    // the sweep just keeps the maps bounded
+    routeVerdictCache.keys.filter(_._1 == name).foreach(routeVerdictCache.remove)
+    routeFrameCache.remove(name)
+    lastFilterRoute.remove(name)
     GraftIndexRegistry.notifyMutation(name)
   }
 
@@ -571,6 +658,21 @@ final class GraftDb(val spark: SparkSession) {
       oversample: Int = 4, recallTarget: Double = 0.0,
       nprobe: Int = 0, candidates: Int = 0, beam: Int = 0): DataFrame = {
     val (df, config) = collection(name)
+    // selective-filter exact routing, BEFORE knob resolution: an exact
+    // scan of the surviving rows meets any recallTarget by definition,
+    // so a routed query never needs the overlap curve
+    if (exactRouteDecision(name, df, config, filter)) {
+      val frame = exactRouteFrame(name, df, config).filter(filter.get)
+      val exact =
+        if (config.index == "ivfbf16")
+          Search.flatSearchManyBf16(frame, config, queries, limit,
+            knownNq = knownNq)
+        else Search.flatSearchMany(frame, config, queries, limit, knownNq)
+      return if (config.index == "hnsw" || config.index == "vamana")
+        exact.select(col("qid"), col("id"), col("score"), col("distance"),
+          col("metric"))
+      else exact
+    }
     val (np, cand, bm) =
       if (recallTarget > 0.0 && nprobe == 0 && candidates == 0 && beam == 0) {
         val p = knobsFor(name, recallTarget, limit)
@@ -847,6 +949,96 @@ final class GraftDb(val spark: SparkSession) {
     val curve = overlapCurve(name, limit)
     curve.find(p => p.overlap >= recallTarget && p.fill >= 0.999)
       .getOrElse(curve.last)
+  }
+
+  /** One [[advise]] measurement: what `index` delivered on the sample —
+    * overlap@limit vs exact, result fill, one-time build cost (train +
+    * structure + first search), warm per-query serving cost. */
+  final case class IndexAdvice(index: String, overlap: Double, fill: Double,
+      buildSeconds: Double, perQuerySeconds: Double)
+
+  /** Cross-kind index advisor (engine extension): measure, on a bounded
+    * deterministic sample of the collection, what each candidate index
+    * kind would deliver at its SHIPPED defaults, and return one row per
+    * kind ranked best-first (overlap desc, then warm per-query cost).
+    * Complements [[knobsFor]]: that tunes knobs WITHIN a kind from the
+    * measured [[overlapCurve]]; this picks the KIND.
+    *
+    * Bounded by construction — build/train/search all happen on a
+    * hash-ordered sample of `sampleRows` rows plus `sampleQueries`
+    * held-out probe rows (the same deterministic ordering the overlap
+    * curve calibrates with), so the advisor costs the same on a 4k-row
+    * collection and a 100 TB one. Advice transfers as the sample's
+    * geometry does: pick the kind here, then resolve its knobs on the
+    * real collection via `recallTarget`. Kinds the collection's metric
+    * rejects (e.g. vamana under inner-product) are skipped, not errors.
+    * {{{
+    * db.advise("articles").foreach(println)  // best kind first
+    * }}} */
+  def advise(name: String, limit: Int = 10, sampleRows: Int = 4096,
+      sampleQueries: Int = 8,
+      kinds: Seq[String] = Seq("flat", "bf16", "lsh", "ivf", "ivfbf16",
+        "sq8", "pq", "rabitq", "ivfpq", "ivfrabitq", "hnsw", "vamana"))
+      : Seq[IndexAdvice] = {
+    require(limit > 0 && sampleRows > 0 && sampleQueries > 0 && kinds.nonEmpty,
+      "limit, sampleRows, sampleQueries must be positive; kinds non-empty")
+    val (df, config) = collection(name)
+    import spark.implicits._
+    val take = df.select(col("id").cast("string").as("id"), col("vector"))
+      .orderBy(md5(col("id")), col("id")).limit(sampleRows + sampleQueries)
+      .collect()
+    require(take.length > sampleQueries,
+      s"collection $name has too few rows to advise on")
+    val (corpus, probes) = take.splitAt(take.length - sampleQueries)
+    val inputs = corpus.map(r => EmbeddingInput(id = r.getString(0),
+      vector = r.getSeq[Float](1).toArray)).toSeq
+    val qdf = probes.map(r => (r.getString(0), r.getSeq[Float](1)))
+      .toSeq.toDF("qid", "qvector")
+    val nq = probes.length.toLong
+    // exact ground truth over the sample, through a flat twin so every
+    // kind (including "flat" itself) measures through the same facade
+    def topIds(res: DataFrame): Map[String, Set[String]] =
+      res.select("qid", "id").collect().groupBy(_.getString(0))
+        .map { case (k, rows) => k -> rows.map(_.getString(1)).toSet }
+    val exactName = s"__advise__${name}__exact"
+    val exact = try {
+      createCollection(exactName, config.dimensions,
+        metric = config.metric.name, index = "flat")
+      batch(exactName, inputs)
+      topIds(searchMany(exactName, qdf, limit, knownNq = nq))
+    } finally close(exactName)
+    val out = kinds.flatMap { kind =>
+      val tmp = s"__advise__${name}__$kind"
+      try {
+        createCollection(tmp, config.dimensions,
+          metric = config.metric.name, index = kind)
+        batch(tmp, inputs)
+        val t0 = System.nanoTime()
+        val first = searchMany(tmp, qdf, limit, knownNq = nq)
+        val firstRows = first.select("qid", "id").collect()
+        val buildS = (System.nanoTime() - t0) / 1e9
+        val t1 = System.nanoTime()
+        searchMany(tmp, qdf, limit, knownNq = nq).collect()
+        val perQ = (System.nanoTime() - t1) / 1e9 / nq
+        val got = firstRows.groupBy(_.getString(0))
+          .map { case (k, rows) => k -> rows.map(_.getString(1)).toSet }
+        val (ovSum, fillSum) = exact.foldLeft((0.0, 0.0)) {
+          case ((o, f), (qid, want)) =>
+            val have = got.getOrElse(qid, Set.empty)
+            (o + (if (want.isEmpty) 1.0
+                  else want.intersect(have).size.toDouble / want.size),
+             f + math.min(1.0, have.size.toDouble / limit))
+        }
+        Some(IndexAdvice(kind, ovSum / exact.size, fillSum / exact.size,
+          buildS, perQ))
+      } catch {
+        // a kind the metric rejects (vamana under MIPS) is not an error
+        case scala.util.control.NonFatal(_) => None
+      } finally {
+        try close(tmp) catch { case scala.util.control.NonFatal(_) => () }
+      }
+    }
+    out.sortBy(a => (-a.overlap, a.perQuerySeconds))
   }
 
   /** Matryoshka funnel search (compat funnel_search).
@@ -1300,6 +1492,75 @@ final class GraftDb(val spark: SparkSession) {
       throw new IllegalArgumentException(s"duplicate id: ${dups.head.getString(0)}")
     writeAppend(name, config, path, prepared)
     captureIndexed(name, path, config)
+  }
+
+  /** Continuous ingest into an OPENED at-rest index layout: the
+    * Structured-Streaming form of [[appendIndexed]]. Each microbatch
+    * appends through the SAME encode-through-persisted-models path
+    * (ivf-family rows encode against the trained sidecar centroids —
+    * never retrain; hnsw/vamana absorb through the incremental-insert
+    * append protocol), then re-captures the collection so searches see
+    * the grown corpus.
+    *
+    * REPLAY SAFETY (the property batch [[appendIndexed]] does not
+    * need): a restarted stream re-delivers its last uncommitted
+    * microbatch, so rows whose ids are ALREADY AT REST are silently
+    * skipped instead of throwing — re-running a batch is a no-op and
+    * the layout never holds duplicate ids. Ids must still be unique
+    * WITHIN a microbatch (a same-batch collision is a data bug, not a
+    * replay, and throws like the batch path).
+    *
+    * The checkpoint directory carries the stream's progress across
+    * restarts, exactly as any other Structured Streaming sink.
+    * {{{
+    * val q = db.appendStream("articles", stream, "/ckpt/articles")
+    * q.processAllAvailable()   // drain what's queued (tests/backfills)
+    * }}} */
+  def appendStream(name: String, stream: DataFrame, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.ProcessingTime(0L))
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    require(stream.isStreaming,
+      "appendStream needs a streaming DataFrame; use appendIndexed for batch")
+    // validate the binding before the query starts, not inside batch 0
+    registry.getOrElse(name,
+      throw new IllegalArgumentException(s"collection $name does not exist"))
+    openPaths.getOrElse(name, throw new IllegalArgumentException(
+      s"collection $name was not opened from an at-rest layout"))
+    stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .foreachBatch((batch: DataFrame, _: Long) =>
+        appendBatchIdempotent(name, batch))
+      .start()
+  }
+
+  /** One [[appendStream]] microbatch: validate, drop already-at-rest
+    * ids (replay), append survivors, re-capture. Exposed within the
+    * package so the replay contract is testable without a restart. */
+  private[graft] def appendBatchIdempotent(name: String, rows: DataFrame): Unit = {
+    val (_, config) = registry.getOrElse(name,
+      throw new IllegalArgumentException(s"collection $name does not exist"))
+    val path = openPaths.getOrElse(name, throw new IllegalArgumentException(
+      s"collection $name was not opened from an at-rest layout"))
+    val prepared = Prepare.prepareEmbeddings(rows, config)
+    val bad = Prepare.invalidRows(prepared, config).limit(1).collect()
+    if (bad.nonEmpty)
+      throw new IllegalArgumentException(
+        s"invalid embedding in stream append (id=${bad.head.getAs[Any]("id")}): " +
+          "missing/wrong-dimension/non-finite vector or empty id")
+    val inBatchDup = prepared.groupBy(col("id")).count()
+      .filter(col("count") > 1).limit(1).collect()
+    if (inBatchDup.nonEmpty)
+      throw new IllegalArgumentException(
+        s"duplicate id within one microbatch: ${inBatchDup.head.getString(0)}")
+    // at-rest collisions are REPLAYED rows — skip them (idempotency)
+    val fresh = prepared.join(
+      spark.read.parquet(path).select(col("id")), Seq("id"), "left_anti")
+    if (!fresh.isEmpty) {
+      writeAppend(name, config, path, fresh)
+      captureIndexed(name, path, config)
+    }
   }
 
   private def writeAppend(name: String, config: CollectionConfig, path: String,

@@ -346,6 +346,36 @@ object TextAnalysis {
       .orderBy(col("freq").desc, col("ngram").asc).limit(k)
   }
 
+  /** Approximate corpus top-k n-grams via a mergeable Misra–Gries
+    * summary ([[graft.expr.FrequentItemsAgg]]) — the bounded-shuffle
+    * form of [[topNgrams]]: the exact plan shuffles one row per
+    * DISTINCT gram (vocabulary-sized at web scale), this one ships at
+    * most `capacity` counters per partition into a counter-wise merge,
+    * with no explode row inflation (each document updates the summary
+    * once with its gram array). Same output schema and deterministic
+    * (freq desc, ngram asc) cut as the exact form.
+    *
+    * Counts are lower bounds — EXACT (and bit-identical to
+    * [[topNgrams]]) whenever capacity ≥ distinct grams; below that,
+    * any gram heavier than ~2·total/capacity is guaranteed reported
+    * (the Misra–Gries guarantee), which is precisely the regime a
+    * boilerplate/vocabulary-seeding pass cares about. */
+  def topNgramsSketched(df: org.apache.spark.sql.DataFrame, text: Column,
+      n: Int, k: Int, capacity: Int = 65536): org.apache.spark.sql.DataFrame = {
+    require(n >= 1, "n must be positive")
+    require(k >= 1, "k must be positive")
+    val grams = org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.LowerNgrams(
+        org.apache.spark.sql.graft.Bridge.expression(text.cast("string")), n))
+    df.agg(org.apache.spark.sql.graft.Bridge.column(
+        graft.expr.FrequentItemsAgg(
+          org.apache.spark.sql.graft.Bridge.expression(grams), capacity, k))
+        .as("_top"))
+      .select(explode(col("_top")).as("_e"))
+      .select(col("_e.item").as("ngram"), col("_e.freq").as("freq"))
+      .orderBy(col("freq").desc, col("ngram").asc)
+  }
+
   /** Count-Min sketch of lowercased token frequencies — the 100 TB
     * companion to [[topNgrams]]: exact heavy-hitter counting shuffles
     * the full (token, count) table, while the sketch partial-merges

@@ -139,6 +139,16 @@ class GraftDbSpec extends SparkSpec {
 
   test("filtered search routes through every index with post-filter semantics") {
     import org.apache.spark.sql.functions.{col, expr}
+    // this test covers the INDEX filtered machinery itself — pin the
+    // selective-filter exact routing off so the tiny corpus (every
+    // predicate is "selective" at 60 rows) still exercises it
+    spark.conf.set("spark.graft.filter.exactRoute", "false")
+    try { filteredSearchAcrossIndexes() }
+    finally spark.conf.unset("spark.graft.filter.exactRoute")
+  }
+
+  private def filteredSearchAcrossIndexes(): Unit = {
+    import org.apache.spark.sql.functions.{col, expr}
     val db = new GraftDb(spark)
     val vecs = (0 until 60).map(i =>
       db.EmbeddingInput(id = f"v$i%02d", vector = Array(
@@ -186,6 +196,132 @@ class GraftDbSpec extends SparkSpec {
     assert(db.searchMany("f_flat", queries, 5, filter = Some(pred))
       .orderBy(col("distance").asc, col("id").asc)
       .collect().map(_.getAs[String]("id")).toSeq === exact)
+  }
+
+  test("selective filtered search routes to the exact scan: recall-1.0, contract-shaped, mutation-aware") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    val db = new GraftDb(spark)
+    val vecs = (0 until 400).map(i =>
+      db.EmbeddingInput(id = f"s$i%03d", vector = Array(
+        math.cos(i * 0.07).toFloat, math.sin(i * 0.07).toFloat,
+        (i % 13) / 12.0f, (i % 5) / 4.0f)))
+    for (idx <- Seq("flat", "ivf", "pq", "hnsw")) {
+      db.createCollection(s"r_$idx", 4, metric = "cosine", index = idx)
+      db.batch(s"r_$idx", vecs)
+    }
+    val q = Array(0.8f, 0.1f, 0.4f, 0.3f)
+    // 40 of 400 rows match — selective under the 10k default cutoff
+    val pred = expr("substring(id, 3, 1) = '0'")
+    val ground = db.search("r_flat", q, 5, filter = Some(pred))
+      .select("id", "score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    for (idx <- Seq("ivf", "pq", "hnsw")) {
+      val top = db.search(s"r_$idx", q, 5, filter = Some(pred))
+      assert(db.lastFilterRoute.get(s"r_$idx") === Some("exact-selective"),
+        s"index $idx did not route")
+      val got = top.select("id", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(got === ground, s"routed $idx differs from the exact answer")
+      // the routed result keeps each kind's result-column contract
+      val expectedCols =
+        if (idx == "hnsw") Seq("id", "score", "distance", "metric")
+        else Seq("id", "value", "score", "distance", "metric", "metadata")
+      assert(top.columns.toSeq === expectedCols, s"routed $idx schema")
+    }
+    // batch form routes too, per-qid identical to the single form
+    val queries = Seq(("q0", q.toSeq), ("q1", vecs(42).vector.toSeq))
+      .toDF("qid", "qvector")
+    val batch = db.searchMany("r_ivf", queries, 5, filter = Some(pred))
+      .collect().groupBy(_.getAs[String]("qid"))
+    assert(db.lastFilterRoute.get("r_ivf") === Some("exact-selective"))
+    for ((qid, qv) <- Seq("q0" -> q, "q1" -> vecs(42).vector)) {
+      val single = db.search("r_ivf", qv, 5, filter = Some(pred))
+        .select("id", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq.sortBy(_._1)
+      assert(batch(qid).map(r =>
+          (r.getAs[String]("id"), r.getAs[Double]("score")))
+        .toSeq.sortBy(_._1) === single, s"routed batch != single for $qid")
+    }
+    // pin the cutoff below the match count to prove the knob gates the
+    // route (at 400 rows every predicate is "selective" under the 10k
+    // default — exactly the regime the gate exists for)
+    spark.conf.set("spark.graft.filter.exactMaxMatches", "10")
+    try {
+      db.search("r_ivf", q, 5, filter = Some(pred), oversample = 60).collect()
+      assert(db.lastFilterRoute.get("r_ivf") === Some("index"),
+        "cutoff below the match count must route to the index path")
+    } finally spark.conf.unset("spark.graft.filter.exactMaxMatches")
+    // a mutation invalidates the cached verdict: a NEW matching row
+    // nearest to q must surface through the routed path immediately
+    db.insert("r_ivf", db.EmbeddingInput(id = "sx0x",
+      vector = Array(0.8f, 0.1f, 0.4f, 0.3f)))
+    val afterPut = db.search("r_ivf", q, 5,
+      filter = Some(expr("substring(id, 3, 1) = '0'")))
+      .collect().map(_.getString(0)).toSeq
+    assert(db.lastFilterRoute.get("r_ivf") === Some("exact-selective"))
+    assert(afterPut.head === "sx0x", s"routed search missed the new row: $afterPut")
+    // ivfbf16: the routed exact scan keeps the bf16-ROUNDED contract —
+    // identical to a wide-open-probe filtered search on the same kind
+    db.createCollection("r_ibf", 4, metric = "cosine", index = "ivfbf16")
+    db.batch("r_ibf", vecs)
+    val routedIbf = db.search("r_ibf", q, 5, filter = Some(pred))
+      .select("id", "score").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    assert(db.lastFilterRoute.get("r_ibf") === Some("exact-selective"))
+    spark.conf.set("spark.graft.filter.exactRoute", "false")
+    spark.conf.set("spark.graft.ivf.ratio", "1e9")
+    spark.conf.set("spark.graft.ivf.maxProbe", "64")
+    try {
+      val fullProbe = db.search("r_ibf", q, 5, filter = Some(pred))
+        .select("id", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+      assert(db.lastFilterRoute.get("r_ibf") === Some("index"))
+      assert(routedIbf === fullProbe,
+        "routed ivfbf16 broke the rounded-rank contract")
+    } finally {
+      spark.conf.unset("spark.graft.filter.exactRoute")
+      spark.conf.unset("spark.graft.ivf.ratio")
+      spark.conf.unset("spark.graft.ivf.maxProbe")
+    }
+    (Seq("flat", "ivf", "pq", "hnsw").map("r_" + _) :+ "r_ibf")
+      .foreach(db.close)
+  }
+
+  test("advise: sample-bounded cross-kind measurement, ranked, exact kinds at overlap 1.0, no residue") {
+    val db = new GraftDb(spark)
+    val vecs = (0 until 300).map(i =>
+      db.EmbeddingInput(id = f"a$i%03d", vector = Array(
+        math.cos(i * 0.31).toFloat, math.sin(i * 0.37).toFloat,
+        (i % 17) / 16.0f, (i % 6) / 5.0f)))
+    db.createCollection("adv", 4, metric = "cosine", index = "flat")
+    db.batch("adv", vecs)
+    val kinds = Seq("flat", "ivf", "pq", "hnsw")
+    val advice = db.advise("adv", limit = 5, sampleRows = 200,
+      sampleQueries = 4, kinds = kinds)
+    assert(advice.map(_.index).toSet === kinds.toSet,
+      s"one row per kind expected: $advice")
+    advice.foreach { a =>
+      assert(a.overlap >= 0.0 && a.overlap <= 1.0, s"overlap range: $a")
+      assert(a.fill >= 0.0 && a.fill <= 1.0, s"fill range: $a")
+      assert(a.buildSeconds > 0.0 && a.perQuerySeconds > 0.0, s"times: $a")
+    }
+    // flat is exact on its own ground truth; pq/hnsw rerank exactly or
+    // cover the 200-row sample, so the whole panel should sit at 1.0 —
+    // but the CONTRACT is only that exact kinds measure 1.0
+    assert(advice.find(_.index == "flat").get.overlap === 1.0)
+    // ranked best-first: overlap desc, then warm per-query cost asc
+    assert(advice === advice.sortBy(a => (-a.overlap, a.perQuerySeconds)))
+    // the throwaway sample collections are gone
+    assert(db.listCollections().forall(!_.startsWith("__advise__")))
+    // a metric-rejected kind is skipped, not an error
+    db.createCollection("adv_ip", 4, metric = "inner_product", index = "flat")
+    db.batch("adv_ip", vecs)
+    val ipAdvice = db.advise("adv_ip", limit = 5, sampleRows = 100,
+      sampleQueries = 4, kinds = Seq("flat", "vamana"))
+    assert(ipAdvice.map(_.index) === Seq("flat"),
+      s"vamana must be skipped under inner-product: $ipAdvice")
+    db.close("adv"); db.close("adv_ip")
   }
 
   test("persistIndex/openIndexed lifecycle: cold open serves without retraining, results identical") {

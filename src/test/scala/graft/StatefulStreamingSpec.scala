@@ -742,6 +742,70 @@ class StatefulStreamingSpec extends SparkSpec {
     coll.unpersist()
   }
 
+  test("appendStream: facade continuous ingest — per-batch capture, replay-idempotent, search == batch-built") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.api.GraftDb
+    val db = new GraftDb(spark)
+    val vecs = (0 until 80).map(i =>
+      db.EmbeddingInput(id = f"w$i%02d", vector = Array(
+        math.cos(i * 0.19).toFloat, math.sin(i * 0.23).toFloat,
+        (i % 9) / 8.0f, (i % 4) / 3.0f)))
+    val (seed, arriving) = vecs.splitAt(40)
+    db.createCollection("si", 4, metric = "cosine", index = "ivf")
+    db.batch("si", seed)
+    val tmp = java.nio.file.Files.createTempDirectory("graft_append_stream")
+    val path = tmp.toString + "/layout"
+    db.persistIndex("si", path)
+    val db2 = new GraftDb(spark)
+    db2.openIndexed("si2", path)
+    // the facade ground truth: a flat collection holding ALL the rows
+    db.createCollection("si_flat", 4, metric = "cosine", index = "flat")
+    db.batch("si_flat", vecs)
+    val q = Array(0.7f, -0.2f, 0.5f, 0.3f)
+    def top(d: GraftDb, name: String) =
+      d.search(name, q, 10).select("id", "score").collect()
+        .map(r => (r.getString(0), r.getDouble(1))).toSeq
+    val input = MemoryStream[(String, Seq[Float])]
+    val stream = input.toDF().toDF("id", "vector")
+    // wide-open adaptive probes make the opened ivf collection exact —
+    // any ingest misplacement (wrong cell, missed capture) surfaces
+    spark.conf.set("spark.graft.ivf.ratio", "1e9")
+    spark.conf.set("spark.graft.ivf.maxProbe", "64")
+    val query = db2.appendStream("si2", stream, tmp.toString + "/ckpt")
+    try {
+      val (b1, b2) = arriving.map(e => (e.id, e.vector.toSeq)).splitAt(20)
+      input.addData(b1); query.processAllAvailable()
+      assert(db2.count("si2") === 60L, "batch 1 did not land or capture")
+      input.addData(b2); query.processAllAvailable()
+      assert(db2.count("si2") === 80L)
+      assert(top(db2, "si2") === top(db, "si_flat"),
+        "stream-ingested index diverges from the batch-built corpus")
+      // REPLAY: re-delivering an already-committed microbatch must be a
+      // no-op (a restarted stream re-runs its last uncommitted batch)
+      db2.appendBatchIdempotent("si2", b2.toDF("id", "vector"))
+      assert(db2.count("si2") === 80L, "replayed batch duplicated rows")
+      assert(top(db2, "si2") === top(db, "si_flat"))
+      // an id colliding WITHIN one microbatch is a data bug, not replay
+      val dup = Seq(("x00", Seq(1f, 0f, 0f, 0f)), ("x00", Seq(0f, 1f, 0f, 0f)))
+      val err = intercept[IllegalArgumentException] {
+        db2.appendBatchIdempotent("si2", dup.toDF("id", "vector"))
+      }
+      assert(err.getMessage.contains("duplicate id within one microbatch"))
+      assert(db2.count("si2") === 80L)
+    } finally {
+      query.stop()
+      spark.conf.unset("spark.graft.ivf.ratio")
+      spark.conf.unset("spark.graft.ivf.maxProbe")
+    }
+    // the at-rest layout itself holds exactly one row per id
+    val atRest = spark.read.parquet(path)
+    assert(atRest.count() === 80L &&
+      atRest.select("id").distinct().count() === 80L)
+    db.close("si"); db.close("si_flat"); db2.close("si2")
+  }
+
   test("streaming quantized ingest: sq8/pq/cell columns are stateless projections") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -164,4 +164,41 @@ class TextModelSpec extends SparkSpec {
     assert(exact.forall { case (t, _) =>
       again.estimateCount(t) == cms.estimateCount(t) })
   }
+
+  test("frequent-items top-ngrams: exact at capacity, heavy hitters survive purging, partition-invariant") {
+    import graft.text.TextAnalysis
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.read(spark, "/root/testdata/sf0.001", "documents")
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getString(0) -> r.getLong(1)).toSeq
+    val exact = pairs(TextAnalysis.topNgrams(docs, col("text"), n = 2, k = 15))
+    // capacity >= distinct grams: no purge, the summary is exact and
+    // order-independent — bit-identical to the groupBy plan
+    val sketched = pairs(TextAnalysis.topNgramsSketched(
+      docs, col("text"), n = 2, k = 15, capacity = 1 << 21))
+    assert(sketched === exact, "purge-free sketch must equal the exact cut")
+    // ... under ANY partitioning (merge path exercised)
+    val repart = pairs(TextAnalysis.topNgramsSketched(
+      docs.repartition(13), col("text"), n = 2, k = 15, capacity = 1 << 21))
+    assert(repart === exact, "merge across partitions changed the result")
+    // purging regime: a planted majority token on a long-tail corpus.
+    // MG guarantees any item heavier than ~2*total/capacity survives —
+    // at 50% mass and capacity 16 the heavy gram must be reported
+    // first, with a lower-bound count no greater than the truth
+    import spark.implicits.{localSeqToDatasetHolder, newStringEncoder}
+    val heavy = Seq.fill(500)("aa") ++ (0 until 500).map(i => s"t$i")
+    val tiny = heavy.map(t => Tuple1(t)).toDF("text")
+    val got = pairs(TextAnalysis.topNgramsSketched(
+      tiny, col("text"), n = 1, k = 3, capacity = 16))
+    assert(got.nonEmpty && got.head._1 === "aa",
+      s"majority item lost under purging: $got")
+    assert(got.head._2 <= 500L, "Misra-Gries count must be a lower bound")
+    assert(got.head._2 >= 400L,
+      s"undercount exceeds the purge-mass bound: ${got.head._2}")
+    // nulls and empties contribute nothing and do not throw
+    val withNulls = Seq(Some("x x"), None, Some("")).map(Tuple1(_)).toDF("text")
+    val n2 = pairs(TextAnalysis.topNgramsSketched(
+      withNulls, col("text"), n = 1, k = 5, capacity = 16))
+    assert(n2.filter(_._1 == "x").map(_._2) === Seq(2L))
+  }
 }
