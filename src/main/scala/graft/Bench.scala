@@ -937,6 +937,16 @@ object Bench {
       // recall the m=4/k=8 ADC misses (the exact rerank absorbs them)
       quality("emb_overlap10_pq_c200") = eOverlap(dfIds(graft.ann.Pq.search(
         ePqCoded, econfig, ePq, eq, 10, candidates = math.min(en, 200))))
+      // anisotropic (score-aware) codebooks at the IDENTICAL config +
+      // tight candidate budget: the family's claim is >= plain PQ here
+      // (AnisotropicPqSpec gates the synthetic case; this row pins the
+      // real-embedding fixture)
+      val eApq = graft.ann.AnisotropicPq.trainOrdered(ecoll, econfig,
+        graft.ann.Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256),
+        col("id").cast("long"))
+      quality("emb_overlap10_apq_c50") = eOverlap(dfIds(graft.ann.Pq.search(
+        graft.ann.Pq.withCodes(ecoll, eApq, "apq_codes"), econfig, eApq,
+        eq, 10, candidates = math.min(en, 50), codesCol = "apq_codes")))
       // OPQ sign-Hadamard rotation before the SAME pq config: on real
       // (anisotropic) embeddings the rotation balances subspace variance
       if (graft.ann.Opq.isPowerOfTwo(ed)) {

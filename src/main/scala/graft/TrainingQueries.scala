@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.DecimalType
 
-import graft.ann.{CosineLsh, IvfIndex, KnnGraph, ModelStore, Opq, Pq, Sq8}
+import graft.ann.{AnisotropicPq, CosineLsh, IvfIndex, KnnGraph, ModelStore, Opq, Pq, Sq8}
 import graft.core.{Metric, Normalize}
 import graft.dedup.Dedup
 import graft.encode.Pca
@@ -1702,6 +1702,29 @@ object TrainingQueries {
         candidates = 50).drop("metadata"), Seq("score", "distance"))
     }),
 
+    // anisotropic (score-aware) PQ: ScaNN's codebook loss (Guo et al.,
+    // ICML 2020) over the SAME Pq machinery. The anisotropic k-means
+    // update is a per-centroid linear solve with no tractable SQL
+    // mirror, so this row pins the family EQUIVALENCE contract —
+    // candidates cover the corpus, the exact rerank makes the cut
+    // exhaustive, and the result must equal exact flat cosine. The
+    // codebook claims themselves are ScalaTest-gated (AnisotropicPqSpec:
+    // eta=1 reduces to plain PQ bit-for-bit, the trainer beats plain
+    // codebooks on the anisotropic objective, candidate recall >= plain
+    // at the same budget)
+    "ann_apq_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val cb = AnisotropicPq.trainOrdered(coll, config,
+        Pq.PqConfig(m = 4, k = 8, iterations = 3, sampleSize = 256),
+        col("id").cast("long"))
+      val q = Tables.queryVector(s, dir, 0L)
+      roundCols(Pq.search(coll, config, cb, q, 10,
+        candidates = 1000000, codesCol = "apq_codes").drop("metadata"),
+        Seq("score", "distance"))
+    }),
+
     // OPQ-rotated PQ for the cosine/IP family: a SplitMix-seeded
     // sign-Hadamard rotation (R = H·D/sqrt(d), exactly orthonormal)
     // decorrelates the subspaces before the same PQ pipeline — the
@@ -3101,6 +3124,7 @@ object TrainingQueries {
     "ann_rabitq_topk" -> rabitqOracle,
     "ann_rabitq_search_many" -> rabitqSearchManyOracle,
     "ann_pq_topk" -> pqOracle,
+    "ann_apq_topk" -> flatCosineOracle,
     "ann_opq_topk" -> opqOracle,
     "ann_ivfpq_topk" -> ivfPqOracle,
     "ann_ivfpq_search_many" -> ivfPqSearchManyOracle,

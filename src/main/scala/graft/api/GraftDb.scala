@@ -208,7 +208,7 @@ final class GraftDb(val spark: SparkSession) {
     * approximate families. flat/bf16 are already exact scans, and
     * third-party kinds own their filter semantics. */
   private val exactRoutableKinds = Set("lsh", "ivf", "ivfbf16", "sq8",
-    "pq", "rabitq", "ivfpq", "ivfrabitq", "hnsw", "vamana")
+    "pq", "apq", "rabitq", "ivfpq", "ivfrabitq", "hnsw", "vamana")
 
   private def exactRouteDecision(name: String, df: DataFrame,
       config: CollectionConfig,
@@ -417,9 +417,9 @@ final class GraftDb(val spark: SparkSession) {
           (m, graft.ann.Sq8.withCodes(df, m).persist())
         })
         graft.ann.Sq8.search(filtered(coded), config, model, query, limit)
-      case "pq" =>
+      case "pq" | "apq" =>
         val (cb, coded) = pqCache.getOrElseUpdate(name, {
-          val c = graft.ann.Pq.trainOrdered(df, config, pqConfigFor(config), col("id"))
+          val c = pqTrain(df, config)
           (c, graft.ann.Pq.withCodes(df, c).persist())
         })
         graft.ann.Pq.search(filtered(coded), config, cb, query, limit)
@@ -607,6 +607,17 @@ final class GraftDb(val spark: SparkSession) {
   private def pqConfigFor(config: CollectionConfig): graft.ann.Pq.PqConfig =
     graft.ann.Pq.PqConfig(m = (8 to 1 by -1).find(config.dimensions % _ == 0).get)
 
+  /** pq-family codebooks: plain L2 k-means for "pq", the anisotropic
+    * (score-aware) trainer for "apq" — everything downstream (codes,
+    * ADC, layout, sidecar) is shared, so the two kinds differ ONLY
+    * here. */
+  private def pqTrain(df: DataFrame,
+      config: CollectionConfig): Array[Array[Array[Float]]] =
+    if (config.index == "apq")
+      graft.ann.AnisotropicPq.trainOrdered(df, config, pqConfigFor(config), col("id"))
+    else
+      graft.ann.Pq.trainOrdered(df, config, pqConfigFor(config), col("id"))
+
   /** Shipped RaBitQ defaults: centered (the paper's residual form) +
     * the O(d log d) fast-Hadamard bulk encode. */
   private def rabitqConfigFor(config: CollectionConfig): graft.ann.RaBitQ.Config =
@@ -771,9 +782,9 @@ final class GraftDb(val spark: SparkSession) {
         })
         graft.ann.Sq8.searchMany(filtered(coded), config, model, queries,
           limit, candidates = cand, knownNq = knownNq)
-      case "pq" =>
+      case "pq" | "apq" =>
         val (cb, coded) = pqCache.getOrElseUpdate(name, {
-          val c = graft.ann.Pq.trainOrdered(df, config, pqConfigFor(config), col("id"))
+          val c = pqTrain(df, config)
           (c, graft.ann.Pq.withCodes(df, c).persist())
         })
         graft.ann.Pq.searchMany(filtered(coded), config, cb, queries, limit,
@@ -860,7 +871,7 @@ final class GraftDb(val spark: SparkSession) {
     index match {
       case "ivf" | "ivfbf16" =>
         Seq(1, 2, 4, 8, cells).distinct.filter(_ <= cells).map(np => (np, 0, 0))
-      case "pq" | "sq8" | "rabitq" =>
+      case "pq" | "apq" | "sq8" | "rabitq" =>
         Seq(2, 5, 20, 50, 200).map(m => (0, m * limit, 0))
       case "ivfpq" | "ivfrabitq" =>
         Seq((1, 20), (2, 20), (4, 20), (8, 50), (cells, 200))
@@ -978,7 +989,7 @@ final class GraftDb(val spark: SparkSession) {
   def advise(name: String, limit: Int = 10, sampleRows: Int = 4096,
       sampleQueries: Int = 8,
       kinds: Seq[String] = Seq("flat", "bf16", "lsh", "ivf", "ivfbf16",
-        "sq8", "pq", "rabitq", "ivfpq", "ivfrabitq", "hnsw", "vamana"))
+        "sq8", "pq", "apq", "rabitq", "ivfpq", "ivfrabitq", "hnsw", "vamana"))
       : Seq[IndexAdvice] = {
     require(limit > 0 && sampleRows > 0 && sampleQueries > 0 && kinds.nonEmpty,
       "limit, sampleRows, sampleQueries must be positive; kinds non-empty")
@@ -1282,9 +1293,9 @@ final class GraftDb(val spark: SparkSession) {
         })
         coded.write.mode("overwrite").parquet(path)
         graft.ann.ModelStore.saveSq8(spark, idxSidecar(path), model)
-      case "pq" =>
+      case "pq" | "apq" =>
         val (cb, coded) = pqCache.getOrElseUpdate(name, {
-          val c = graft.ann.Pq.trainOrdered(df, config, pqConfigFor(config), col("id"))
+          val c = pqTrain(df, config)
           (c, graft.ann.Pq.withCodes(df, c).persist())
         })
         val out = Option(coded).getOrElse(graft.ann.Pq.withCodes(df, cb))
@@ -1403,7 +1414,7 @@ final class GraftDb(val spark: SparkSession) {
     config.index match {
       case "sq8" =>
         sq8Cache.put(name, (graft.ann.ModelStore.loadSq8(spark, idxSidecar(path)), full))
-      case "pq" =>
+      case "pq" | "apq" =>
         pqCache.put(name, (graft.ann.ModelStore.loadPq(spark, idxSidecar(path)), full))
       case "rabitq" =>
         require(full.columns.contains("rabitq"),
@@ -1592,7 +1603,7 @@ final class GraftDb(val spark: SparkSession) {
         val model = sq8Cache.get(name).map(_._1).getOrElse(
           graft.ann.ModelStore.loadSq8(spark, idxSidecar(path)))
         graft.ann.Sq8.withCodes(prepared, model).write.mode("append").parquet(path)
-      case "pq" =>
+      case "pq" | "apq" =>
         val cb = pqCache.get(name).map(_._1).getOrElse(
           graft.ann.ModelStore.loadPq(spark, idxSidecar(path)))
         graft.ann.Pq.withCodes(prepared, cb).write.mode("append").parquet(path)

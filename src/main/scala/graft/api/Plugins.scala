@@ -88,8 +88,8 @@ trait GraftIndex {
   * silently change every default collection. */
 object GraftIndexRegistry {
   val BuiltinNames: Set[String] =
-    Set("flat", "bf16", "hnsw", "vamana", "lsh", "ivf", "sq8", "pq", "ivfpq",
-      "ivfbf16", "rabitq", "ivfrabitq")
+    Set("flat", "bf16", "hnsw", "vamana", "lsh", "ivf", "sq8", "pq", "apq",
+      "ivfpq", "ivfbf16", "rabitq", "ivfrabitq")
 
   private val impls =
     scala.collection.concurrent.TrieMap.empty[String, GraftIndex]

@@ -336,7 +336,8 @@ class GraftDbSpec extends SparkSpec {
     val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
     // ivfpq on cosine = raw codes; on l2 = residual codes; both roads
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
-        "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
+        "sq8" -> "l2", "pq" -> "cosine", "apq" -> "cosine",
+        "ivfpq" -> "l2", "ivfpq" -> "cosine",
         "hnsw" -> "cosine", "vamana" -> "cosine", "vamana" -> "l2",
         "flat" -> "cosine", "bf16" -> "cosine",
         "ivfbf16" -> "cosine", "rabitq" -> "cosine",
@@ -536,7 +537,8 @@ class GraftDbSpec extends SparkSpec {
       .toDF("id", "vector")
     val queries = Seq(("q0", q.toSeq)).toDF("qid", "qvector")
     for ((idx, metric) <- Seq("lsh" -> "cosine", "ivf" -> "cosine",
-        "sq8" -> "l2", "pq" -> "cosine", "ivfpq" -> "l2", "ivfpq" -> "cosine",
+        "sq8" -> "l2", "pq" -> "cosine", "apq" -> "cosine",
+        "ivfpq" -> "l2", "ivfpq" -> "cosine",
         "hnsw" -> "cosine", "vamana" -> "cosine", "vamana" -> "l2",
         "flat" -> "cosine", "bf16" -> "cosine",
         "ivfbf16" -> "cosine", "rabitq" -> "cosine",
