@@ -666,6 +666,15 @@ object TrainingQueries {
       TextAnalysis.topNgramsSketched(Tables.read(s, dir, "documents"),
         col("text"), n = 3, k = 20, capacity = 1 << 21)),
 
+    // heavy-by-MASS mix audit: sources ranked by their TOKEN totals
+    // (the number a data-mix budget allocates) via the WEIGHTED form of
+    // the same Misra-Gries aggregate; purge-free at this cardinality,
+    // so the weighted counts equal the exact groupBy-sum SQL
+    "text_heavy_sources" -> ((s, dir) =>
+      TextAnalysis.heavyHitters(Tables.read(s, dir, "documents"),
+        col("source"), size(TextAnalysis.lowerTokens(col("text"))),
+        k = 5, capacity = 1024)),
+
     // hashing-trick TF vectors (embedding-free content vectors): the
     // md5-bucket construction itself is verified via nnz / l2-norm /
     // argmax scalars per doc — the bridge from the text tier into the
@@ -4394,6 +4403,12 @@ object TrainingQueries {
            FROM t WHERE len(toks) >= 3),
          c AS (SELECT ngram, CAST(count(*) AS BIGINT) AS freq FROM g GROUP BY ngram)
          SELECT ngram, freq FROM c ORDER BY freq DESC, ngram ASC LIMIT 20""",
+
+    "text_heavy_sources" ->
+      s"""SELECT source AS item,
+           CAST(sum(len($tokensSql)) AS BIGINT) AS weight
+         FROM documents GROUP BY source
+         ORDER BY weight DESC, item ASC LIMIT 5""",
 
     // purge-free regime (capacity >= distinct grams at gate scale):
     // the Misra-Gries summary's counts are exact, so the sketch form

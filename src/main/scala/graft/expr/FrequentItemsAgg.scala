@@ -78,19 +78,25 @@ final class FreqSummary(val capacity: Int) {
   * shuffles one row per DISTINCT item (vocabulary-sized at web scale),
   * this plan ships at most `capacity` counters per partition. Each
   * input row contributes every non-null element of its array (one
-  * update per document, no explode row inflation).
+  * update per document, no explode row inflation), each weighted by the
+  * row's `weightExpr` (LongType; 1 = plain counting — a null or
+  * non-positive weight contributes nothing). Weighted form = "heavy by
+  * MASS": e.g. sources/domains ranked by their token totals rather
+  * than document counts, the number a data-mix audit actually budgets.
   *
   * Output: `array<struct<item string, freq bigint>>`, the top `k` by
-  * (freq desc, item asc). `freq` is a lower bound, exact whenever
-  * capacity ≥ distinct items (see [[FreqSummary]]). */
-case class FrequentItemsAgg(itemsExpr: Expression, capacity: Int, k: Int,
+  * (freq desc, item asc). `freq` is a lower bound of the true weighted
+  * total, exact whenever capacity ≥ distinct items (see
+  * [[FreqSummary]]). */
+case class FrequentItemsAgg(itemsExpr: Expression, weightExpr: Expression,
+    capacity: Int, k: Int,
     mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
   extends TypedImperativeAggregate[FreqSummary] {
 
   require(capacity >= 2, "capacity must be at least 2")
   require(k >= 1, "k must be positive")
 
-  override def children: Seq[Expression] = Seq(itemsExpr)
+  override def children: Seq[Expression] = Seq(itemsExpr, weightExpr)
   override def nullable: Boolean = false
   override def dataType: DataType = ArrayType(StructType(Seq(
     StructField("item", StringType, nullable = false),
@@ -101,12 +107,14 @@ case class FrequentItemsAgg(itemsExpr: Expression, capacity: Int, k: Int,
 
   override def update(buf: FreqSummary, input: InternalRow): FreqSummary = {
     val arr = itemsExpr.eval(input)
-    if (arr != null) {
+    val wv = weightExpr.eval(input)
+    val w = if (wv == null) 0L else wv.asInstanceOf[Number].longValue()
+    if (arr != null && w > 0L) {
       val a = arr.asInstanceOf[ArrayData]
       var i = 0
       val n = a.numElements()
       while (i < n) {
-        if (!a.isNullAt(i)) buf.add(a.getUTF8String(i))
+        if (!a.isNullAt(i)) buf.add(a.getUTF8String(i), w)
         i += 1
       }
     }
@@ -161,5 +169,5 @@ case class FrequentItemsAgg(itemsExpr: Expression, capacity: Int, k: Int,
     copy(inputAggBufferOffset = newOffset)
   override protected def withNewChildrenInternal(
       newChildren: IndexedSeq[Expression]): FrequentItemsAgg =
-    copy(itemsExpr = newChildren(0))
+    copy(itemsExpr = newChildren(0), weightExpr = newChildren(1))
 }

@@ -369,11 +369,38 @@ object TextAnalysis {
         org.apache.spark.sql.graft.Bridge.expression(text.cast("string")), n))
     df.agg(org.apache.spark.sql.graft.Bridge.column(
         graft.expr.FrequentItemsAgg(
-          org.apache.spark.sql.graft.Bridge.expression(grams), capacity, k))
+          org.apache.spark.sql.graft.Bridge.expression(grams),
+          org.apache.spark.sql.catalyst.expressions.Literal(1L), capacity, k))
         .as("_top"))
       .select(explode(col("_top")).as("_e"))
       .select(col("_e.item").as("ngram"), col("_e.freq").as("freq"))
       .orderBy(col("freq").desc, col("ngram").asc)
+  }
+
+  /** Weighted heavy hitters over an arbitrary grouping column — "heavy
+    * by MASS", the data-mix audit number: which sources/domains/
+    * languages hold the most TOKENS (or bytes, or any long weight), not
+    * the most documents. Same bounded-state Misra–Gries plan as
+    * [[topNgramsSketched]] (≤ capacity counters per partition,
+    * counter-wise merge, no vocabulary-sized shuffle); weights are
+    * exact whenever capacity ≥ distinct groups — the usual case for
+    * source/language mixes — and lower bounds beyond it. Output
+    * (item, weight), heaviest first, deterministic (weight desc, item
+    * asc) cut. */
+  def heavyHitters(df: org.apache.spark.sql.DataFrame, item: Column,
+      weight: Column, k: Int,
+      capacity: Int = 65536): org.apache.spark.sql.DataFrame = {
+    require(k >= 1, "k must be positive")
+    df.agg(org.apache.spark.sql.graft.Bridge.column(
+        graft.expr.FrequentItemsAgg(
+          org.apache.spark.sql.graft.Bridge.expression(
+            array(item.cast("string"))),
+          org.apache.spark.sql.graft.Bridge.expression(weight.cast("long")),
+          capacity, k))
+        .as("_top"))
+      .select(explode(col("_top")).as("_e"))
+      .select(col("_e.item").as("item"), col("_e.freq").as("weight"))
+      .orderBy(col("weight").desc, col("item").asc)
   }
 
   /** Count-Min sketch of lowercased token frequencies — the 100 TB

@@ -742,6 +742,36 @@ class StatefulStreamingSpec extends SparkSpec {
     coll.unpersist()
   }
 
+  test("streaming heavy hitters: the weighted summary aggregates across microbatches, stream == batch") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    import graft.text.TextAnalysis
+    // an online data-mix monitor: sources ranked by token mass over
+    // everything ingested so far — the stateful streaming form of the
+    // text_heavy_sources gate row. The Misra-Gries buffer IS the
+    // streaming state (serialize/deserialize through the state store),
+    // bounded by `capacity` counters regardless of stream length.
+    val rows = (0 until 120).map(i => (s"s${i % 6}", (i % 9 + 1).toLong))
+    val expect = TextAnalysis.heavyHitters(rows.toDF("grp", "w"),
+      col("grp"), col("w"), k = 4, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val input = MemoryStream[(String, Long)]
+    val q = TextAnalysis.heavyHitters(input.toDF().toDF("grp", "w"),
+      col("grp"), col("w"), k = 4, capacity = 64)
+      .writeStream.format("memory").queryName("hh_stream")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      val (b1, b2) = rows.splitAt(70)
+      input.addData(b1); q.processAllAvailable()
+      input.addData(b2); q.processAllAvailable()
+      val got = spark.table("hh_stream")
+        .orderBy(col("weight").desc, col("item").asc)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      assert(got === expect, "streaming summary diverged from the batch fold")
+    } finally q.stop()
+  }
+
   test("appendStream: facade continuous ingest — per-batch capture, replay-idempotent, search == batch-built") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._

@@ -201,4 +201,38 @@ class TextModelSpec extends SparkSpec {
       withNulls, col("text"), n = 1, k = 5, capacity = 16))
     assert(n2.filter(_._1 == "x").map(_._2) === Seq(2L))
   }
+
+  test("weighted heavy hitters: purge-free == groupBy sum; heavy mass survives purging; nulls skipped") {
+    import graft.text.TextAnalysis
+    import org.apache.spark.sql.functions.{col, expr, sum => fsum}
+    import spark.implicits.{localSeqToDatasetHolder, newProductEncoder}
+    // (group, weight) rows: group g0..g9 with weight i%7+1
+    val rows = (0 until 200).map(i => (s"g${i % 10}", (i % 7 + 1).toLong))
+      .toDF("grp", "w")
+    val exact = rows.groupBy("grp").agg(fsum("w").as("weight"))
+      .orderBy(col("weight").desc, col("grp").asc).limit(4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val got = TextAnalysis.heavyHitters(rows, col("grp"), col("w"),
+      k = 4, capacity = 64)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(got === exact, "purge-free weighted summary must equal groupBy-sum")
+    // one group carrying >half the total mass at capacity 4: present,
+    // first, lower-bound weight
+    val heavy = ((0 until 50).map(i => ("big", 100L)) ++
+      (0 until 500).map(i => (s"t$i", 1L))).toDF("grp", "w")
+    val hh = TextAnalysis.heavyHitters(heavy, col("grp"), col("w"),
+      k = 2, capacity = 4)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(hh.nonEmpty && hh.head._1 === "big", s"heavy mass lost: $hh")
+    assert(hh.head._2 <= 5000L && hh.head._2 >= 4000L,
+      s"weighted lower bound out of range: ${hh.head._2}")
+    // null groups and null/non-positive weights contribute nothing
+    val edge = Seq((Some("a"), Some(3L)), (None, Some(9L)),
+      (Some("a"), None), (Some("b"), Some(-5L)), (Some("b"), Some(2L)))
+      .toDF("grp", "w")
+    val e = TextAnalysis.heavyHitters(edge, col("grp"), col("w"),
+      k = 5, capacity = 16)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(e === Seq(("a", 3L), ("b", 2L)), s"edge handling: $e")
+  }
 }
