@@ -491,6 +491,26 @@ object TrainingQueries {
         "lang"), Seq("ref_frac", "cur_frac", "psi_term"))
     }),
 
+    // drift in EMBEDDING SPACE: the cell-mix (nearest trained centroid)
+    // comparison between the tuned-on corpus and a biased new batch —
+    // scalar stats can be stable while mass concentrates in one corner
+    // of embedding space. The coarse k-means (k=8, it=5, id-ordered
+    // sample — the ann_ivf_topk trainer) is replicated in the DuckDB
+    // oracle, so the assignment itself is verified end-to-end; the
+    // "new batch" is the positive-first-component half-space, a
+    // direction no scalar column monitor would see
+    "data_psi_drift_embedding" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val centroids = IvfIndex.trainOrdered(coll, config,
+        IvfIndex.IvfConfig(k = 8, iterations = 5), col("id").cast("long"))
+      val cur = coll.filter(element_at(col("vector"), 1) > 0f)
+      roundCols(graft.functions.Drift.psiEmbedding(coll, cur, "vector",
+          centroids).orderBy("cell"),
+        Seq("ref_frac", "cur_frac", "psi_term"))
+    }),
+
     "data_smd_drift" -> ((s, dir) => {
       val docs = Tables.read(s, dir, "documents")
       roundCols(graft.functions.Drift.standardizedMeanDiff(
@@ -4203,6 +4223,31 @@ object TrainingQueries {
          SELECT category, (round(pa, 6) + 0) AS ref_frac, (round(pb, 6) + 0) AS cur_frac,
            (round((pa - pb) * ln(pa / pb), 6) + 0) AS psi_term
          FROM p ORDER BY category""",
+
+    // embedding-space drift: the shared k=8/it=5 recursive-CTE Lloyd's
+    // chain (ivfCosKmeansCtes) replicates the trainer, first-min argmin
+    // assigns every row, and the cell histograms feed the exact
+    // psiCategorical arithmetic (eps floor 1e-6, natural log)
+    "data_psi_drift_embedding" ->
+      s"""WITH RECURSIVE
+         $ivfCosKmeansCtes,
+         ar AS (SELECT ${ivfAssign("n.nv", "cents.c")} AS cell FROM n, cents),
+         ac AS (SELECT ${ivfAssign("n.nv", "cents.c")} AS cell FROM n, cents
+           WHERE n.nv[1] > 0),
+         r AS (SELECT cell, CAST(count(*) AS BIGINT) AS nr FROM ar GROUP BY 1),
+         c AS (SELECT cell, CAST(count(*) AS BIGINT) AS nc FROM ac GROUP BY 1),
+         j AS (SELECT coalesce(r.cell, c.cell) AS cell,
+             coalesce(nr, 0) AS nr, coalesce(nc, 0) AS nc
+           FROM r FULL JOIN c ON r.cell = c.cell),
+         t AS (SELECT CAST(sum(nr) AS BIGINT) AS tr, CAST(sum(nc) AS BIGINT) AS tc FROM j),
+         p AS (SELECT cell,
+             greatest(CAST(nr AS DOUBLE) / CAST(tr AS DOUBLE), 1e-6) AS pa,
+             greatest(CAST(nc AS DOUBLE) / CAST(tc AS DOUBLE), 1e-6) AS pb
+           FROM j, t)
+         SELECT CAST(cell AS INT) AS cell, (round(pa, 6) + 0) AS ref_frac,
+           (round(pb, 6) + 0) AS cur_frac,
+           (round((pa - pb) * ln(pa / pb), 6) + 0) AS psi_term
+         FROM p ORDER BY cell""",
 
     "graph_ppr_knn" -> {
       val tv = "CASE WHEN nodes.id IN ('0', '1', '2') THEN 1.0 / 3.0 ELSE 0.0 END"

@@ -1052,6 +1052,32 @@ final class GraftDb(val spark: SparkSession) {
     out.sortBy(a => (-a.overlap, a.perQuerySeconds))
   }
 
+  /** Embedding-space drift of an incoming batch against THIS
+    * collection — [[graft.functions.Drift.psiEmbedding]] served from
+    * the collection's own coarse quantizer: an ivf-family collection
+    * monitors drift over the SAME cells it serves searches from (the
+    * cached/persisted sidecar centroids — never retrained here, which
+    * is what keeps PSI values comparable across batches); any other
+    * kind gets a default-trained IVF quantizer through the same cache
+    * the probe paths use. The current batch's `vecCol` is normalized
+    * through the collection's configured normalization, so raw
+    * new-crawl embeddings compare in the collection's own space.
+    * Output: one row per observed cell (cell, ref_frac, cur_frac,
+    * psi_term); Σ psi_term is the PSI (< 0.1 stable, > 0.25 drifted).
+    * {{{
+    * db.embeddingDrift("articles", newCrawl.select($"embedding".as("vector")))
+    *   .agg(sum("psi_term")).head.getDouble(0)
+    * }}} */
+  def embeddingDrift(name: String, current: DataFrame,
+      vecCol: String = "vector", eps: Double = 1e-6): DataFrame = {
+    val (df, config) = collection(name)
+    val cents = ivfCache.getOrElseUpdate(name,
+      graft.ann.IvfIndex.train(df, config, graft.ann.IvfIndex.IvfConfig()))
+    val cur = current.select(graft.functions.VectorFunctions.normalizeVector(
+      config.effectiveNormalize, col(vecCol)).as("vector"))
+    graft.functions.Drift.psiEmbedding(df, cur, "vector", cents, eps)
+  }
+
   /** Matryoshka funnel search (compat funnel_search).
     * {{{
     * db.funnelSearch("articles", q, 10, stages = Seq(1, 2, 4))

@@ -175,6 +175,100 @@ object Drift {
         ((pa - pb) * log(pa / pb)).as("psi_term"))
   }
 
+  /** [[psiCategorical]] over the EMBEDDING distribution — drift in
+    * embedding SPACE rather than in any scalar column: each vector is
+    * assigned to its nearest centroid (the same first-min L2 argmin the
+    * IVF family serves from, as one codegen projection —
+    * [[graft.expr.IvfCell]]) and the cell mix is compared ref vs
+    * current. This is the monitor a continuously-ingesting embedding
+    * pipeline needs: a new crawl whose scalar stats look stable can
+    * still concentrate in one corner of embedding space (a template
+    * farm, a new language, an encoder regression), and that shows up
+    * as cell-mass movement before any downstream metric moves. The
+    * centroids come from ANY trained coarse quantizer (e.g.
+    * [[graft.ann.IvfIndex.train]] or a collection's persisted IVF
+    * sidecar); holding them FIXED across batches is what makes PSI
+    * values comparable over time.
+    *
+    * Scale shape: assignment is a stateless codegen projection (the
+    * k x d centroid table rides the closure), then one grouped count
+    * per side — shuffle volume = k rows; nothing driver-resident. Null
+    * vectors are skipped like [[psi]] skips null scalars. Output: one
+    * row per OBSERVED cell (cell, ref_frac, cur_frac, psi_term) with
+    * the same eps-substituted terms; `Σ psi_term` is the PSI. */
+  def psiEmbedding(ref: DataFrame, cur: DataFrame, vecCol: String,
+      centroids: Array[Array[Float]], eps: Double = 1e-6): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    def cells(df: DataFrame): DataFrame =
+      df.filter(col(vecCol).isNotNull)
+        .select(org.apache.spark.sql.graft.Bridge.column(
+          graft.expr.IvfCell(org.apache.spark.sql.graft.Bridge.expression(
+            col(vecCol)), centroids)).as("cell"))
+    psiCategorical(cells(ref), cells(cur), "cell")
+      .withColumnRenamed("category", "cell")
+  }
+
+  /** Streaming form of [[psiEmbedding]] — the ONLINE embedding-drift
+    * monitor: the incoming stream's vectors assign to their nearest
+    * centroid (same codegen projection), and each event-time window
+    * emits one row per cell comparing that window's cell mix against
+    * the FIXED reference mix (measured once, batch, from `ref`). State
+    * is ONE aggregation of k longs per open window — conditional sums
+    * over the known cell ids, not a per-row or per-distinct-value
+    * buffer — so a 100 TB/day stream holds (windows in flight) x k
+    * counters and nothing else; rows emit when the watermark closes
+    * the window (append mode). Cells the window never saw emit with
+    * the eps floor (mass DISAPPEARING from a cell is drift too), and
+    * every k cell is present in every emitted window, so downstream
+    * `Σ psi_term per window` is directly comparable across windows.
+    * Designed for COARSE monitors: the plan carries k aggregate
+    * columns, so keep k in the tens-to-hundreds a mix monitor actually
+    * wants — drift over a finer structure belongs in the batch form.
+    * Output: (window_start, window_end, cell, ref_frac, cur_frac,
+    * psi_term). */
+  def psiEmbeddingStream(cur: DataFrame, vecCol: String, timeCol: String,
+      ref: DataFrame, centroids: Array[Array[Float]], windowDur: String,
+      watermark: String, eps: Double = 1e-6): DataFrame = {
+    require(centroids.nonEmpty, "need at least one centroid")
+    require(eps > 0, "eps must be positive")
+    val k = centroids.length
+    def cellOf(c: Column): Column =
+      org.apache.spark.sql.graft.Bridge.column(
+        graft.expr.IvfCell(org.apache.spark.sql.graft.Bridge.expression(c),
+          centroids))
+    // the fixed reference mix: k grouped counts, driver-resident k rows
+    val refRows = ref.filter(col(vecCol).isNotNull)
+      .groupBy(cellOf(col(vecCol)).as("cell")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    val refTot = refRows.values.sum
+    require(refTot > 0, "reference has no non-null vectors — PSI undefined")
+    val refFrac: Map[Int, Double] =
+      (0 until k).map(i => i -> math.max(
+        refRows.getOrElse(i, 0L).toDouble / refTot, eps)).toMap
+    val cnts = (0 until k).map(i =>
+      sum(when(col("_cell") === i, 1L).otherwise(0L)).as(s"_c$i"))
+    val agged = cur.filter(col(vecCol).isNotNull)
+      .select(col(timeCol).as("_ts"), cellOf(col(vecCol)).as("_cell"))
+      .withWatermark("_ts", watermark)
+      .groupBy(window(col("_ts"), windowDur))
+      .agg(cnts.head, cnts.tail: _*)
+    val total = (0 until k).map(i => col(s"_c$i")).reduce(_ + _)
+    val entries = array((0 until k).map(i =>
+      struct(lit(i).as("cell"), col(s"_c$i").as("cnt"))): _*)
+    val pa = coalesce(element_at(typedLit(refFrac), col("cell")), lit(eps))
+    val pb = when(col("_tot") > 0,
+      greatest(col("cnt").cast("double") / col("_tot").cast("double"),
+        lit(eps))).otherwise(lit(eps))
+    agged.select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"), total.as("_tot"),
+        explode(entries).as("_e"))
+      .select(col("window_start"), col("window_end"),
+        col("_e.cell").as("cell"), col("_tot"), col("_e.cnt").as("cnt"))
+      .select(col("window_start"), col("window_end"), col("cell"),
+        pa.as("ref_frac"), pb.as("cur_frac"),
+        ((pa - pb) * log(pa / pb)).as("psi_term"))
+  }
+
   /** Standardized mean difference (Cohen's d with pooled variance) of
     * one numeric column between reference and current — the scalar
     * first-look companion to [[psi]]. One aggregation per side

@@ -97,4 +97,33 @@ class DriftSpec extends SparkSpec {
     assert(out(Some("xx")) > 1.0, "unseen category is maximally flagged")
     assert(out.keySet === Set(Some("en"), Some("de"), Some("xx"), None))
   }
+
+  test("embedding psi: cell-mix drift flagged, identical zero, nulls skipped, hand-checked assignment") {
+    // two fixed centroids on the x axis; vectors near +x or -x
+    val cents = Array(Array(1f, 0f), Array(-1f, 0f))
+    def vecs(plus: Int, minus: Int): org.apache.spark.sql.DataFrame =
+      ((0 until plus).map(i => Array(0.9f + 0.01f * (i % 5), 0.1f)) ++
+        (0 until minus).map(i => Array(-0.9f - 0.01f * (i % 5), 0.1f)))
+        .toDF("vector")
+    val ref = vecs(50, 50)
+    val same = Drift.psiEmbedding(ref, ref, "vector", cents)
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    assert(same.keySet === Set(0, 1), "both cells observed")
+    assert(same.values.forall(_ === 0.0), "identical mix scores exactly zero")
+    // current batch collapses onto the +x cluster: cell-mass movement a
+    // scalar column monitor would miss
+    val cur = vecs(95, 5)
+    val out = Drift.psiEmbedding(ref, cur, "vector", cents)
+    val psi = out.agg(sum("psi_term")).head.getDouble(0)
+    assert(psi > 0.25, s"collapsed mix must flag as drifted, psi=$psi")
+    val shares = out.collect()
+      .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(shares(0) === ((0.5, 0.95)) && shares(1) === ((0.5, 0.05)),
+      s"hand-checked cell shares: $shares")
+    // null vectors contribute nothing (the ref mix stays 50/50)
+    val withNull = ref.union(Seq(null.asInstanceOf[Array[Float]]).toDF("vector"))
+    val n = Drift.psiEmbedding(withNull, ref, "vector", cents)
+      .agg(sum("psi_term")).head.getDouble(0)
+    assert(n === 0.0, "null vector must be skipped, not assigned")
+  }
 }

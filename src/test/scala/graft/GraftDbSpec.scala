@@ -324,6 +324,42 @@ class GraftDbSpec extends SparkSpec {
     db.close("adv"); db.close("adv_ip")
   }
 
+  test("embeddingDrift: self is zero, sector-collapsed batch flagged, any kind served through the shared cell cache") {
+    import org.apache.spark.sql.functions.{sum => fsum}
+    import spark.implicits._
+    val db = new GraftDb(spark)
+    val vecs = (0 until 240).map { i =>
+      val a = i * 0.262
+      db.EmbeddingInput(id = f"d$i%03d", vector = Array(
+        math.cos(a).toFloat, math.sin(a).toFloat,
+        ((i % 13) / 12.0f) - 0.5f, ((i % 7) / 6.0f) - 0.5f))
+    }
+    db.createCollection("drift", 4, metric = "cosine", index = "ivf")
+    db.batch("drift", vecs)
+    // the current batch arrives RAW — the facade normalizes it through
+    // the same pipeline the put path used, so self-drift is exactly zero
+    val raw = vecs.map(v => Tuple1(v.vector)).toDF("vector")
+    val self = db.embeddingDrift("drift", raw)
+    assert(self.columns.toSeq === Seq("cell", "ref_frac", "cur_frac", "psi_term"))
+    assert(self.collect().forall(_.getDouble(3) === 0.0),
+      "the corpus against itself must be exactly zero drift")
+    // a batch collapsed onto one angular sector: embedding-space drift
+    // no scalar column monitor would see
+    val biased = vecs.filter(_.vector(0) > 0.8f)
+      .map(v => Tuple1(v.vector)).toDF("vector")
+    val psi = db.embeddingDrift("drift", biased)
+      .agg(fsum("psi_term")).head.getDouble(0)
+    assert(psi > 0.25, s"sector-collapsed batch must flag as drifted: $psi")
+    // a flat collection has no serving quantizer: a default IVF trains
+    // once through the same cache the probe paths share
+    db.createCollection("drift_flat", 4, metric = "cosine", index = "flat")
+    db.batch("drift_flat", vecs)
+    val p2 = db.embeddingDrift("drift_flat", raw)
+      .agg(fsum("psi_term")).head.getDouble(0)
+    assert(p2 === 0.0, s"flat-kind self drift: $p2")
+    db.close("drift"); db.close("drift_flat")
+  }
+
   test("persistIndex/openIndexed lifecycle: cold open serves without retraining, results identical") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -742,6 +742,53 @@ class StatefulStreamingSpec extends SparkSpec {
     coll.unpersist()
   }
 
+  test("streaming embedding drift: windowed cell-mix PSI == the batch fold per closed window") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val cents = Array(Array(1f, 0f), Array(-1f, 0f))
+    def v(plus: Boolean) = if (plus) Array(0.9f, 0.1f) else Array(-0.9f, 0.1f)
+    val ref = ((0 until 50).map(_ => v(true)) ++ (0 until 50).map(_ => v(false)))
+      .map(Tuple1(_)).toDF("vector")
+    val input = MemoryStream[(java.sql.Timestamp, Array[Float])]
+    val stream = graft.functions.Drift.psiEmbeddingStream(
+      input.toDF().toDF("ts", "vector"), "vector", "ts", ref, cents,
+      windowDur = "1 minute", watermark = "5 minutes")
+    val q = stream.writeStream.format("memory").queryName("edrift_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val tA = java.sql.Timestamp.valueOf("2024-01-01 10:00:10")
+      val tB = java.sql.Timestamp.valueOf("2024-01-01 10:10:10")
+      // window A collapses onto the +x cell (9:1); window B is balanced
+      val winA = (0 until 9).map(_ => v(true)) :+ v(false)
+      val winB = (0 until 5).map(_ => v(true)) ++ (0 until 5).map(_ => v(false))
+      input.addData(winA.map(x => (tA, x)))
+      input.addData(winB.map(x => (tB, x)))
+      q.processAllAvailable()
+      // sentinel advances the watermark past both windows
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 11:00:00"), v(true)))
+      q.processAllAvailable()
+      val out = spark.table("edrift_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getInt(2)) ->
+          (r.getDouble(3), r.getDouble(4), r.getDouble(5))).toMap
+      assert(out.size === 4, s"two closed windows x two cells: ${out.keySet}")
+      // the drifted window matches the BATCH fold of its rows bit-exactly
+      // (same ref counts, same IEEE double arithmetic)
+      val batchA = graft.functions.Drift.psiEmbedding(ref,
+        winA.map(Tuple1(_)).toDF("vector"), "vector", cents)
+        .collect()
+        .map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+        .toMap
+      val aStart = "2024-01-01 10:00:00.0"
+      (0 until 2).foreach { c =>
+        assert(out((aStart, c)) === batchA(c), s"cell $c: stream != batch")
+      }
+      val psiA = (0 until 2).map(c => out((aStart, c))._3).sum
+      val psiB = (0 until 2).map(c => out(("2024-01-01 10:10:00.0", c))._3).sum
+      assert(psiA > 0.25, s"collapsed window must flag as drifted: $psiA")
+      assert(psiB === 0.0, s"balanced window is exactly zero drift: $psiB")
+    } finally q.stop()
+  }
+
   test("streaming heavy hitters: the weighted summary aggregates across microbatches, stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
