@@ -89,6 +89,21 @@ object SparkEntry {
     "vec_flat_l2_topk" -> ((s, dir) => flatTopK(s, dir, Metric.L2, 10)),
     "vec_flat_ip_topk" -> ((s, dir) => flatTopK(s, dir, Metric.InnerProduct, 10)),
 
+    // cursor pagination (search_after): page 2 of the exact cosine
+    // ranking via the (distance, id) cursor of page 1's last row — must
+    // tile the ranking exactly like OFFSET under the strict (rank, id)
+    // total order
+    "vec_search_after_topk" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val q = Tables.queryVector(s, dir, 0L)
+      val last = Search.flatSearch(coll, config, q, 10).collect().last
+      roundCols(Search.flatSearchAfter(coll, config, q, 10,
+          last.getAs[Double]("distance"), last.getAs[String]("id"))
+        .drop("metadata"), Seq("score", "distance"))
+    }),
+
     // packed-f32 binary layout: scoring reads bytes in place; results
     // must be bit-identical to vec_flat_cosine_topk (same oracle SQL)
     "vec_flat_packed_topk" -> ((s, dir) => {
@@ -521,6 +536,14 @@ object SparkEntry {
            sc AS (SELECT id, ${sqlDot("nv", "qv")} AS raw FROM n, q)
            SELECT id, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance, 'cosine' AS metric, id AS value
            FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10""",
+
+      // page 2 == OFFSET 10 under the strict (rank, id) total order
+      "vec_search_after_topk" ->
+        s"""WITH q AS ($qv),
+           n AS (SELECT CAST(vec_id AS VARCHAR) AS id, ${sqlNorm("embedding")} AS nv FROM embeddings),
+           sc AS (SELECT id, ${sqlDot("nv", "qv")} AS raw FROM n, q)
+           SELECT id, (round(raw, 6) + 0) AS score, (round(1.0 - raw, 6) + 0) AS distance, 'cosine' AS metric, id AS value
+           FROM sc ORDER BY (1.0 - raw) ASC, id ASC LIMIT 10 OFFSET 10""",
 
       // identical to the cosine oracle: the packed layout is lossless
       "vec_flat_packed_topk" ->

@@ -224,9 +224,19 @@ object IvfIndex {
       filesPerCell: Int, mode: String = "overwrite",
       options: Map[String, String] = Map.empty): Unit = {
     require(filesPerCell > 0, "filesPerCell must be positive")
+    // cell-layout rows are WIDE (f32 vectors for the exact rerank, plus
+    // codes): parquet buffers one uncompressed row group per open file,
+    // and a partitioned write holds a file per (task, cell) — at the
+    // 128 MB default that is a multi-GB heap bill across concurrent
+    // tasks (observed as a JVM OOM on the 5M-row ivfrabitq tier). Bound
+    // row groups to 32 MB for every cell layout unless the caller
+    // overrides; scans lose nothing (row groups stay well above the
+    // pruning granularity that matters here — the cell DIRECTORY).
+    val opts = Map("parquet.block.size" -> (32L * 1024 * 1024).toString) ++
+      options
     prepared
       .repartition(col("ivf_cell"), pmod(xxhash64(col("id")), lit(filesPerCell)))
-      .write.mode(mode).options(options).partitionBy("ivf_cell").parquet(path)
+      .write.mode(mode).options(opts).partitionBy("ivf_cell").parquet(path)
   }
 
   /** Append NEW rows to an existing [[writePartitioned]] layout WITHOUT

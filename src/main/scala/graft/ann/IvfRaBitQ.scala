@@ -242,7 +242,9 @@ object IvfRaBitQ {
   /** Write cell-partitioned: directories per cell (probe pruning =
     * directory pruning), rows carry the residual codes; the f32 vectors
     * stay at rest for the exact rerank (the IVF-PQ contract). Model
-    * sidecar = centroids + rotation config — bit-identical on reload. */
+    * sidecar = centroids + rotation config — bit-identical on reload.
+    * Row groups are bounded by [[IvfIndex.writeCellLayout]]'s 32 MB
+    * default (wide rows; see the OOM note there). */
   def writePartitioned(df: DataFrame, model: Model, path: String,
       filesPerCell: Int = 1): Unit = {
     IvfIndex.writeCellLayout(prepare(df, model), path, filesPerCell)

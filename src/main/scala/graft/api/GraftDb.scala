@@ -1052,6 +1052,33 @@ final class GraftDb(val spark: SparkSession) {
     out.sortBy(a => (-a.overlap, a.perQuerySeconds))
   }
 
+  /** Cursor pagination (`search_after`): the page of `limit` rows
+    * strictly after the previous page's last `(distance, id)` in the
+    * exact (rank, id) total order — `None` starts from the top. Served
+    * from the EXACT flat scan for every index kind: a cursor is only
+    * stable under a deterministic total order, which approximate
+    * candidate sets do not give (same reasoning as the selective
+    * filtered-search route), and page depth costs nothing extra under
+    * the heap cut, where OFFSET would scan-and-discard. An optional
+    * predicate pre-filters the scan (pages of a filtered ranking).
+    * {{{
+    * val p1 = db.searchAfter("docs", q, 100)
+    * val last = p1.collect().last
+    * val p2 = db.searchAfter("docs", q, 100,
+    *   after = Some((last.getAs[Double]("distance"), last.getAs[Any]("id"))))
+    * }}} */
+  def searchAfter(name: String, query: Array[Float], limit: Int,
+      after: Option[(Double, Any)] = None,
+      filter: Option[org.apache.spark.sql.Column] = None): DataFrame = {
+    val (df, config) = collection(name)
+    val base = filter.map(f => df.filter(f)).getOrElse(df)
+    after match {
+      case None => Search.flatSearch(base, config, query, limit)
+      case Some((d, id)) =>
+        Search.flatSearchAfter(base, config, query, limit, d, id)
+    }
+  }
+
   /** Embedding-space drift of an incoming batch against THIS
     * collection — [[graft.functions.Drift.psiEmbedding]] served from
     * the collection's own coarse quantizer: an ivf-family collection
@@ -1076,6 +1103,26 @@ final class GraftDb(val spark: SparkSession) {
     val cur = current.select(graft.functions.VectorFunctions.normalizeVector(
       config.effectiveNormalize, col(vecCol)).as("vector"))
     graft.functions.Drift.psiEmbedding(df, cur, "vector", cents, eps)
+  }
+
+  /** Streaming form of [[embeddingDrift]] — the ONLINE monitor over a
+    * continuously-ingesting stream, served from the same collection
+    * cells: per event-time window, one row per cell against the
+    * collection's fixed mix (see
+    * [[graft.functions.Drift.psiEmbeddingStream]] for the bounded-state
+    * shape). The stream's `vecCol` normalizes through the collection's
+    * configured normalization, like the batch form. */
+  def embeddingDriftStream(name: String, current: DataFrame,
+      timeCol: String, windowDur: String, watermark: String,
+      vecCol: String = "vector", eps: Double = 1e-6): DataFrame = {
+    val (df, config) = collection(name)
+    val cents = ivfCache.getOrElseUpdate(name,
+      graft.ann.IvfIndex.train(df, config, graft.ann.IvfIndex.IvfConfig()))
+    val cur = current.select(col(timeCol),
+      graft.functions.VectorFunctions.normalizeVector(
+        config.effectiveNormalize, col(vecCol)).as("vector"))
+    graft.functions.Drift.psiEmbeddingStream(cur, "vector", timeCol, df,
+      cents, windowDur, watermark, eps)
   }
 
   /** Matryoshka funnel search (compat funnel_search).

@@ -88,6 +88,34 @@ object Search {
     projectResults(topK(scored, limit), config)
   }
 
+  /** Exact cursor pagination over the flat rank contract: the page of
+    * `limit` rows strictly AFTER `(afterDistance, afterId)` in the
+    * (rank, id) total order — the `search_after` every serving layer
+    * needs for deep result sets, without OFFSET's scan-and-discard.
+    * The cursor is the LAST ROW OF THE PREVIOUS PAGE exactly as
+    * returned: `distance` equals the rank value numerically for every
+    * metric (cosine 1-raw, IP -raw, everything else raw — see
+    * [[graft.core.Metric.rankValue]] vs ScoreMode.resultValues), so
+    * (distance, id) IS the rank cursor. Deterministic because the rank
+    * recomputes identically per page and (rank, id) is a strict total
+    * order; pages tile the full ranking with no gaps or repeats even
+    * across rank ties (id ascends within a tie). Unscorable rows
+    * (NULL vector/rank) never paginate — same contract as the batch
+    * forms. Scale shape: identical to [[flatSearch]] — the cursor
+    * predicate is one codegen comparison under the scan, then the
+    * bounded-heap cut; page depth costs nothing extra. */
+  def flatSearchAfter(df: DataFrame, config: CollectionConfig,
+      query: Array[Float], limit: Int, afterDistance: Double,
+      afterId: Any): DataFrame = {
+    require(limit > 0, "limit must be positive")
+    val q = prepareQuery(config, query)
+    val scored = df.withColumn("raw", vecDistance(config.metric, col("vector"), vecLit(q)))
+      .withColumn("rank", rankCol(config.metric, col("raw")))
+    val after = scored.filter(col("rank") > lit(afterDistance) ||
+      (col("rank") === lit(afterDistance) && col("id") > lit(afterId)))
+    projectResults(topK(after, limit), config)
+  }
+
   /** Exact flat search over the packed-f32 layout: like [[flatSearch]]
     * but scoring `vector_f32` (BinaryType, see Prepare.withPackedVector)
     * with in-place byte reads — bit-identical results, and the parquet

@@ -360,6 +360,47 @@ class GraftDbSpec extends SparkSpec {
     db.close("drift"); db.close("drift_flat")
   }
 
+  test("searchAfter: cursor pages tile the exact ranking across rank ties; filtered pages; exhausted cursor empty") {
+    import org.apache.spark.sql.functions.expr
+    val db = new GraftDb(spark)
+    // 9 rows, three sharing ONE vector: a rank tie the id order resolves
+    val tied = Array(0.5f, 0.5f, 0f, 0f)
+    val vecs = (0 until 6).map(i =>
+      db.EmbeddingInput(id = f"v$i", vector = Array(
+        math.cos(i * 0.7).toFloat, math.sin(i * 0.7).toFloat,
+        0.1f * i, 0.2f))) ++
+      Seq("t1", "t2", "t3").map(id => db.EmbeddingInput(id = id, vector = tied))
+    db.createCollection("page", 4, metric = "cosine", index = "flat")
+    db.batch("page", vecs)
+    val q = Array(1f, 0.2f, 0f, 0f)
+    def key(r: org.apache.spark.sql.Row) = (r.getAs[String]("id"),
+      r.getAs[Double]("score"), r.getAs[Double]("distance"))
+    val all = db.search("page", q, 9).collect().map(key)
+    // the tied rows rank identically, so they must sit consecutively
+    // in id order — the exact shape a naive cursor gets wrong
+    val ti = all.indexWhere(_._1 == "t1")
+    assert(all.slice(ti, ti + 3).map(_._1).toSeq === Seq("t1", "t2", "t3"))
+    var cursor: Option[(Double, Any)] = None
+    val pages = Seq(3, 3, 3).flatMap { n =>
+      val p = db.searchAfter("page", q, n, cursor).collect()
+      assert(p.length === n, "full pages until the ranking is exhausted")
+      cursor = Some((p.last.getAs[Double]("distance"), p.last.getAs[String]("id")))
+      p.map(key)
+    }
+    assert(pages.toSeq === all.toSeq, "pages must tile the exact ranking")
+    assert(db.searchAfter("page", q, 3, cursor).collect().isEmpty,
+      "a cursor past the last row yields an empty page")
+    // filtered pagination pages the FILTERED ranking
+    val pred = Some(expr("id like 'v%'"))
+    val fAll = db.searchAfter("page", q, 6, None, pred).collect().map(key)
+    val f1 = db.searchAfter("page", q, 3, None, pred).collect()
+    val fc = Some((f1.last.getAs[Double]("distance"),
+      f1.last.getAs[String]("id"): Any))
+    val f2 = db.searchAfter("page", q, 3, fc, pred).collect()
+    assert((f1.map(key) ++ f2.map(key)).toSeq === fAll.toSeq)
+    db.close("page")
+  }
+
   test("persistIndex/openIndexed lifecycle: cold open serves without retraining, results identical") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._

@@ -789,6 +789,46 @@ class StatefulStreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("facade streaming embedding drift: served from the collection's cells, self window zero, collapsed window flagged") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val db = new graft.api.GraftDb(spark)
+    val vecs = (0 until 240).map { i =>
+      val a = i * 0.262
+      db.EmbeddingInput(id = f"d$i%03d", vector = Array(
+        math.cos(a).toFloat, math.sin(a).toFloat,
+        ((i % 13) / 12.0f) - 0.5f, ((i % 7) / 6.0f) - 0.5f))
+    }
+    db.createCollection("sdrift", 4, metric = "cosine", index = "ivf")
+    db.batch("sdrift", vecs)
+    val input = MemoryStream[(java.sql.Timestamp, Array[Float])]
+    val stream = db.embeddingDriftStream("sdrift",
+      input.toDF().toDF("ts", "vector"), "ts",
+      windowDur = "1 minute", watermark = "5 minutes")
+    val q = stream.writeStream.format("memory").queryName("sdrift_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val tA = java.sql.Timestamp.valueOf("2024-01-01 10:00:10")
+      val tB = java.sql.Timestamp.valueOf("2024-01-01 10:10:10")
+      // window A replays the corpus's own RAW vectors — normalization
+      // through the facade matches the put path, so drift is exactly
+      // zero; window B is one angular sector
+      input.addData(vecs.map(v => (tA, v.vector)))
+      input.addData(vecs.filter(_.vector(0) > 0.8f).map(v => (tB, v.vector)))
+      q.processAllAvailable()
+      input.addData((java.sql.Timestamp.valueOf("2024-01-01 11:00:00"),
+        vecs.head.vector))
+      q.processAllAvailable()
+      val rows = spark.table("sdrift_out").collect()
+        .map(r => (r.getTimestamp(0).toString, r.getInt(2), r.getDouble(5)))
+      assert(rows.nonEmpty, "watermark must close both windows")
+      val psiA = rows.filter(_._1 == "2024-01-01 10:00:00.0").map(_._3).sum
+      val psiB = rows.filter(_._1 == "2024-01-01 10:10:00.0").map(_._3).sum
+      assert(psiA === 0.0, s"self window must be exactly zero: $psiA")
+      assert(psiB > 0.25, s"collapsed window must flag as drifted: $psiB")
+    } finally { q.stop(); db.close("sdrift") }
+  }
+
   test("streaming heavy hitters: the weighted summary aggregates across microbatches, stream == batch") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
