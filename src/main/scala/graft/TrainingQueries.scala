@@ -2269,6 +2269,25 @@ object TrainingQueries {
     }),
 
     // ---- store lifecycle (snapshot -> load -> validate)
+    // at-rest delete: write a fresh cell-partitioned layout, delete ids
+    // through the bounded per-directory rewrite, read back — the stored
+    // state must be the corpus minus exactly those ids (right-to-be-
+    // forgotten end-to-end; the facade's deleteIndexed serves this path)
+    "store_delete_rewrite" -> ((s, dir) => {
+      val d = Tables.dims(s, dir)
+      val config = Tables.cosineConfig(d)
+      val coll = Tables.embeddingsCollection(s, dir, config)
+      val cents = IvfIndex.trainOrdered(coll, config,
+        IvfIndex.IvfConfig(k = 8, iterations = 5), col("id").cast("long"))
+      val path = java.nio.file.Files.createTempDirectory("graft_del_gate")
+        .toString
+      IvfIndex.writePartitioned(coll.drop("metadata"), cents, path)
+      val n = graft.store.Compaction.deleteIds(s, path,
+        Seq("1", "3", "7", "no_such_id"))
+      s.read.parquet(path).select(col("id"))
+        .withColumn("deleted", lit(n)).orderBy("id")
+    }),
+
     "store_roundtrip" -> ((s, dir) => {
       val d = Tables.dims(s, dir)
       val config = Tables.cosineConfig(d)
@@ -5140,6 +5159,10 @@ object TrainingQueries {
            SELECT o_custkey, o_orderkey, o_totalprice,
              row_number() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey ASC) AS rk
            FROM orders) WHERE rk <= 3 ORDER BY o_custkey, rk""",
+
+    "store_delete_rewrite" ->
+      s"""SELECT CAST(vec_id AS VARCHAR) AS id, CAST(3 AS BIGINT) AS deleted
+         FROM embeddings WHERE vec_id NOT IN (1, 3, 7) ORDER BY id""",
 
     "store_roundtrip" ->
       s"""SELECT CAST(count(*) AS BIGINT) AS cnt,

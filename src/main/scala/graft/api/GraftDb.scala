@@ -1713,6 +1713,40 @@ final class GraftDb(val spark: SparkSession) {
     * {{{
     * db.compactIndexed("codes2")  // rewrite small files, results unchanged
     * }}} */
+  /** Delete ids from the at-rest layout of a collection opened via
+    * [[openIndexed]] — the right-to-be-forgotten half of incremental
+    * maintenance, completing the persist/open/append/compact lifecycle.
+    * BOUNDED rewrite: only the cell directories that actually hold a
+    * deleted id are rewritten (staged-swap, crash-safe — see
+    * [[graft.store.Compaction.deleteIds]]); every other partition
+    * directory keeps its files byte-identical, so a delete batch at
+    * 100 TB costs a handful of cells, not the corpus. Ids not present
+    * delete nothing (idempotent — a replayed request is a no-op), and
+    * a deleted id may be re-ingested through [[appendIndexed]]
+    * afterwards. Caches and the registry refresh through the same
+    * capture as append/compact, so search and CRUD see the removal
+    * immediately. Graph layouts (hnsw/vamana) are REJECTED: their
+    * stored adjacency references node ids, so removing rows would
+    * leave dangling edges — delete from a graph kind by filtering the
+    * corpus and rebuilding via [[persistIndex]]. Returns the number of
+    * rows removed. */
+  def deleteIndexed(name: String, ids: Seq[Any]): Long = {
+    val (_, config) = registry.getOrElse(name,
+      throw new IllegalArgumentException(s"collection $name does not exist"))
+    val path = openPaths.getOrElse(name, throw new IllegalArgumentException(
+      s"collection $name was not opened from an at-rest layout"))
+    require(config.index != "hnsw" && config.index != "vamana",
+      s"${config.index} layouts store graph adjacency; delete by rebuild: " +
+      "close the collection, filter the corpus, persistIndex anew")
+    val n = graft.store.Compaction.deleteIds(spark, path, ids)
+    // refresh like append: swap cache entries per key (never emptying),
+    // keep the layout binding; measured recall curves die with the old
+    // corpus generation
+    captureIndexed(name, path, config)
+    curveCache.keys.filter(_.startsWith(name + "#")).foreach(curveCache.remove)
+    n
+  }
+
   def compactIndexed(name: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     val (_, config) = registry.getOrElse(name,

@@ -188,51 +188,102 @@ object Compaction {
   def compact(spark: org.apache.spark.sql.SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024): Int = {
     require(targetBytes > 0, "targetBytes must be positive")
+    val partitionDirs = listPartitionDirs(spark, path)
+    if (partitionDirs.nonEmpty)
+      partitionDirs.map(st => compact(spark, st.getPath.toString, targetBytes)).sum
+    else rewriteDir(spark, path, targetBytes, identity)
+  }
+
+  /** Delete rows by id from an at-rest layout with a BOUNDED rewrite:
+    * only directories that actually hold a deleted id are rewritten
+    * (same staged-swap crash protocol as [[compact]]); every other
+    * partition directory keeps its files byte-identical. At 100 TB a
+    * right-to-be-forgotten batch touches the handful of cells its ids
+    * live in, not the corpus — and the affected-directory probe is one
+    * column-pruned scan of (id, partition value). Ids absent from the
+    * layout delete nothing (idempotent: a replayed delete is a no-op).
+    * Returns the number of rows removed. */
+  def deleteIds(spark: org.apache.spark.sql.SparkSession, path: String,
+      ids: Seq[Any], targetBytes: Long = 128L * 1024 * 1024): Long = {
+    require(ids.nonEmpty, "need at least one id to delete")
+    require(targetBytes > 0, "targetBytes must be positive")
+    import org.apache.spark.sql.functions.col
+    val full = spark.read.parquet(path)
+    val hit = full.filter(col("id").isin(ids: _*))
+    val partitionDirs = listPartitionDirs(spark, path)
+    val drop = (df: org.apache.spark.sql.DataFrame) =>
+      df.filter(!col("id").isin(ids: _*))
+    if (partitionDirs.isEmpty) {
+      val n = hit.count()
+      if (n > 0) rewriteDir(spark, path, targetBytes, drop)
+      n
+    } else {
+      val partCol = partitionDirs.head.getPath.getName.split('=')(0)
+      val affected = hit.groupBy(col(partCol)).count().collect()
+      val parent = new org.apache.hadoop.fs.Path(path)
+      affected.foreach { r =>
+        val dir = new org.apache.hadoop.fs.Path(parent, s"$partCol=${r.get(0)}")
+        rewriteDir(spark, dir.toString, targetBytes, drop)
+      }
+      affected.map(_.getLong(1)).sum
+    }
+  }
+
+  private def listPartitionDirs(spark: org.apache.spark.sql.SparkSession,
+      path: String): Array[org.apache.hadoop.fs.FileStatus] = {
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.listStatus(p)
+      .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
+        !st.getPath.getName.startsWith("."))
+  }
+
+  /** The staged-swap rewrite of ONE directory (no partition
+    * subdirectories): read → transform → write beside → two renames.
+    * A crash at any point leaves either the old dir (recoverable on
+    * the next call) or a complete new one, sidecars included. */
+  private def rewriteDir(spark: org.apache.spark.sql.SparkSession,
+      path: String, targetBytes: Long,
+      transform: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame): Int = {
     val conf = spark.sparkContext.hadoopConfiguration
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(conf)
-    val partitionDirs = fs.listStatus(p)
-      .filter(st => st.isDirectory && st.getPath.getName.contains("=") &&
-        !st.getPath.getName.startsWith("."))
-    if (partitionDirs.nonEmpty)
-      partitionDirs.map(st => compact(spark, st.getPath.toString, targetBytes)).sum
-    else {
-      // Staging dirs are SIBLINGS named with a leading '.', which Spark's
-      // file index ignores — a stale leftover can never be parsed as an
-      // extra partition directory (the old `<dir>._compact_old` names
-      // contained '=' inside hive-partitioned roots and were).
-      val parent = p.getParent
-      val tmp = new org.apache.hadoop.fs.Path(parent, "._compact_tmp_" + p.getName)
-      val old = new org.apache.hadoop.fs.Path(parent, "._compact_old_" + p.getName)
-      // recover from a crash between the two swap renames (data staged
-      // away, replacement never landed), then clear stale staging
-      if (!fs.exists(p) && fs.exists(old))
-        require(fs.rename(old, p), s"could not recover $path from staged copy")
-      fs.delete(tmp, true)
-      fs.delete(old, true)
-      val totalBytes = fs.getContentSummary(p).getLength
-      val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
-      spark.read.parquet(path).repartition(files).write.parquet(tmp.toString)
-      // metadata sidecars (`_graft_config.json`, `_graft_model.json`, …)
-      // live beside the data files and are invisible to the parquet read
-      // (underscore prefix), so the rewrite above does not carry them.
-      // COPY them into the staged replacement BEFORE the swap renames:
-      // the directory landing at `path` is complete at swap time, so a
-      // crash at any point leaves either the old dir (recoverable) or a
-      // full new one — never a layout whose only sidecar copy sits in a
-      // staging dir the next run deletes.
-      fs.listStatus(p)
-        .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
-          st.getPath.getName != "_SUCCESS")
-        .foreach { st =>
-          val dest = new org.apache.hadoop.fs.Path(tmp, st.getPath.getName)
-          require(org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dest,
-            false, conf), s"could not preserve sidecar ${st.getPath.getName}")
-        }
-      require(fs.rename(p, old), s"could not stage $path")
-      require(fs.rename(tmp, p), s"could not swap compacted files into $path")
-      fs.delete(old, true)
-      files
-    }
+    // Staging dirs are SIBLINGS named with a leading '.', which Spark's
+    // file index ignores — a stale leftover can never be parsed as an
+    // extra partition directory (the old `<dir>._compact_old` names
+    // contained '=' inside hive-partitioned roots and were).
+    val parent = p.getParent
+    val tmp = new org.apache.hadoop.fs.Path(parent, "._compact_tmp_" + p.getName)
+    val old = new org.apache.hadoop.fs.Path(parent, "._compact_old_" + p.getName)
+    // recover from a crash between the two swap renames (data staged
+    // away, replacement never landed), then clear stale staging
+    if (!fs.exists(p) && fs.exists(old))
+      require(fs.rename(old, p), s"could not recover $path from staged copy")
+    fs.delete(tmp, true)
+    fs.delete(old, true)
+    val totalBytes = fs.getContentSummary(p).getLength
+    val files = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+    transform(spark.read.parquet(path)).repartition(files)
+      .write.parquet(tmp.toString)
+    // metadata sidecars (`_graft_config.json`, `_graft_model.json`, …)
+    // live beside the data files and are invisible to the parquet read
+    // (underscore prefix), so the rewrite above does not carry them.
+    // COPY them into the staged replacement BEFORE the swap renames:
+    // the directory landing at `path` is complete at swap time, so a
+    // crash at any point leaves either the old dir (recoverable) or a
+    // full new one — never a layout whose only sidecar copy sits in a
+    // staging dir the next run deletes.
+    fs.listStatus(p)
+      .filter(st => st.isFile && st.getPath.getName.startsWith("_") &&
+        st.getPath.getName != "_SUCCESS")
+      .foreach { st =>
+        val dest = new org.apache.hadoop.fs.Path(tmp, st.getPath.getName)
+        require(org.apache.hadoop.fs.FileUtil.copy(fs, st.getPath, fs, dest,
+          false, conf), s"could not preserve sidecar ${st.getPath.getName}")
+      }
+    require(fs.rename(p, old), s"could not stage $path")
+    require(fs.rename(tmp, p), s"could not swap compacted files into $path")
+    fs.delete(old, true)
+    files
   }
 }

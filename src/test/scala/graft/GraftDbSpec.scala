@@ -401,6 +401,84 @@ class GraftDbSpec extends SparkSpec {
     db.close("page")
   }
 
+  test("deleteIndexed: bounded cell rewrite, untouched cells byte-identical, idempotent, re-ingest ok, graphs rejected") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val db = new GraftDb(spark)
+    val vecs = (0 until 80).map(i =>
+      db.EmbeddingInput(id = f"v$i%02d", vector = Array(
+        math.cos(i * 0.13).toFloat, math.sin(i * 0.17).toFloat,
+        (i % 7) / 6.0f, (i % 3) / 2.0f)))
+    val q = Array(0.9f, 0.2f, 0.3f, 0.1f)
+    db.createCollection("del_ivf", 4, metric = "cosine", index = "ivf")
+    db.batch("del_ivf", vecs)
+    val path = java.nio.file.Files.createTempDirectory("graft_del_ivf").toString
+    db.persistIndex("del_ivf", path)
+    db.close("del_ivf")
+    val db2 = new GraftDb(spark)
+    db2.openIndexed("del_ivf", path)
+    // pick two ids that live in ONE cell, so exactly one directory
+    // rewrites; fingerprint every data file first
+    val layout = spark.read.parquet(path).select("id", "ivf_cell")
+      .collect().map(r => r.getString(0) -> r.getInt(1))
+    val (cell, members) = layout.groupBy(_._2).maxBy(_._2.length)
+    val doomed = members.take(2).map(_._1).toSeq
+    def files(): Map[String, (Long, Long)] = {
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      def walk(p: org.apache.hadoop.fs.Path): Seq[org.apache.hadoop.fs.FileStatus] =
+        fs.listStatus(p).toSeq.flatMap(st =>
+          if (st.isDirectory) walk(st.getPath) else Seq(st))
+      walk(new org.apache.hadoop.fs.Path(path))
+        .filter(_.getPath.getName.endsWith(".parquet"))
+        .map(st => st.getPath.toString ->
+          ((st.getLen, st.getModificationTime))).toMap
+    }
+    val before = files()
+    assert(db2.deleteIndexed("del_ivf", doomed) === 2L)
+    // gone from search, CRUD, and the at-rest layout
+    assert(db2.count("del_ivf") === 78L)
+    val wide = db2.search("del_ivf", q, 80,
+      recallTarget = 0.0).collect().map(_.getString(0)).toSet
+    assert(doomed.forall(!wide.contains(_)), "deleted ids still served")
+    assert(spark.read.parquet(path).filter(col("id").isin(doomed: _*)).count() === 0L)
+    // ONLY the affected cell directory rewrote
+    val after = files()
+    val untouchedBefore = before.filter(!_._1.contains(s"ivf_cell=$cell"))
+    val untouchedAfter = after.filter(!_._1.contains(s"ivf_cell=$cell"))
+    assert(untouchedAfter === untouchedBefore,
+      "untouched cell directories must keep their files byte-identical")
+    assert(before.keys.exists(_.contains(s"ivf_cell=$cell")))
+    // idempotent: replaying the delete removes nothing
+    assert(db2.deleteIndexed("del_ivf", doomed) === 0L)
+    // a deleted id is free for re-ingest through the persisted model
+    db2.appendIndexed("del_ivf",
+      Seq((doomed.head, vecs.head.vector.toSeq)).toDF("id", "vector"))
+    assert(db2.count("del_ivf") === 79L)
+    // non-partitioned layout (flat parquet dir) deletes too
+    db.createCollection("del_flat", 4, metric = "cosine", index = "flat")
+    db.batch("del_flat", vecs)
+    val fpath = java.nio.file.Files.createTempDirectory("graft_del_flat").toString
+    db.persistIndex("del_flat", fpath)
+    db.close("del_flat")
+    val db3 = new GraftDb(spark)
+    db3.openIndexed("del_flat", fpath)
+    assert(db3.deleteIndexed("del_flat", Seq("v00", "zzz")) === 1L)
+    assert(db3.count("del_flat") === 79L)
+    // graph layouts carry adjacency: delete = rebuild, not a rewrite
+    db.createCollection("del_hnsw", 4, metric = "cosine", index = "hnsw")
+    db.batch("del_hnsw", vecs)
+    val hpath = java.nio.file.Files.createTempDirectory("graft_del_hnsw").toString
+    db.persistIndex("del_hnsw", hpath)
+    db.close("del_hnsw")
+    val db4 = new GraftDb(spark)
+    db4.openIndexed("del_hnsw", hpath)
+    intercept[IllegalArgumentException] {
+      db4.deleteIndexed("del_hnsw", Seq("v00"))
+    }
+    db2.close("del_ivf"); db3.close("del_flat"); db4.close("del_hnsw")
+  }
+
   test("persistIndex/openIndexed lifecycle: cold open serves without retraining, results identical") {
     import org.apache.spark.sql.functions.col
     import spark.implicits._
