@@ -234,9 +234,12 @@ object TrainingQueries {
         .select(col("text"))
       val contam = TextAnalysis.contaminationReport(
         canon.select(col("doc_id"), col("text")), bench, "doc_id", "text", n = 5)
+      // materialized like the report variant: withSequentialIds' range
+      // sampling + shuffle map would otherwise each re-run the whole
+      // contamination join (the most expensive stage) once more
       val clean = canon.join(
         contam.filter(col("n_shared") === 0).select(col("id").as("doc_id")),
-        "doc_id")
+        "doc_id").localCheckpoint()
       val sampled = graft.functions.Sampling.stratifiedSampleByHash(
         clean.select(col("doc_id"), col("lang")), "doc_id", "lang",
         Seq("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.1, salt = "graft")
@@ -293,9 +296,10 @@ object TrainingQueries {
         .select(col("text"))
       val contam = TextAnalysis.contaminationReport(
         nd.select(col("doc_id"), col("text")), bench, "doc_id", "text", n = 5)
+      // materialized for the same reason as pipeline_curation's clean
       val clean = nd.join(
         contam.filter(col("n_shared") === 0).select(col("id").as("doc_id")),
-        "doc_id")
+        "doc_id").localCheckpoint()
       val sampled = graft.functions.Sampling.stratifiedSampleByHash(
         clean.select(col("doc_id"), col("lang")), "doc_id", "lang",
         Seq("en" -> 0.5, "de" -> 1.0), defaultFraction = 0.1, salt = "graft")

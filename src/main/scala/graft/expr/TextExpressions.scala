@@ -225,6 +225,30 @@ case class CompressionRatio(child: Expression, level: Int)
     copy(child = c)
 }
 
+/** Fused Gopher keep rule as one codegen node — see
+  * [[TextKernels.gopherKeep]]: the 8-signal builtin-HOF conjunction
+  * re-tokenizes the text per signal and every lambda is interpreted
+  * per element; this evaluates the whole rule in one pass. Pinned
+  * bit-identical to the builtin form by TextKernelSpec and the
+  * curation-pipeline and text_gopher_quality oracle rows. */
+case class GopherKeep(child: Expression, minWords: Int, maxWords: Int)
+    extends UnaryExpression {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "gopher_keep"
+
+  override protected def nullSafeEval(v: Any): Any =
+    TextKernels.gopherKeepData(
+      v.asInstanceOf[org.apache.spark.unsafe.types.UTF8String], minWords, maxWords)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, v =>
+      s"${ev.value} = graft.expr.TextKernels.gopherKeepData($v, $minWords, $maxWords);")
+
+  override protected def withNewChildInternal(c: Expression): GopherKeep =
+    copy(child = c)
+}
+
 /** Trained-BPE encode — [[graft.text.Bpe.encodeText]] as one codegen
   * node (GPT-2-style best-ranked-pair application); the merge table
   * rides as a plan reference object, never an inlined literal. */

@@ -367,4 +367,95 @@ object TextKernels {
       total.toDouble / raw.length.toDouble
     } finally d.end()
   }
+
+  private val Newline = Pattern.compile("\n")
+
+  /** Fused Gopher keep rule — ONE pass over tokens + one over lines,
+    * bit-identical to the builtin-HOF conjunction it replaces
+    * ([[graft.text.TextAnalysis.gopherKeepReference]]; TextKernelSpec
+    * pins equality on the gate corpus and the edge cases). The HOF form
+    * re-tokenizes the text once per signal (8x) and every
+    * filter/aggregate/array_sort lambda is CodegenFallback, interpreted
+    * per ELEMENT; this kernel is O(tokens + lines) with one hash count
+    * for the top-token multiplicity instead of an O(n log n)
+    * interpreted sort. Signal arithmetic mirrors the builtins exactly:
+    * Spark `trim` strips SPACES only, `split` keeps leading empties
+    * (limit -1), `length` counts code points, ratios are
+    * when(den==0, 0.0) otherwise num.toDouble/den.toDouble, every
+    * bound is inclusive. */
+  def gopherKeep(text: String, minWords: Int, maxWords: Int): Boolean = {
+    val toks = Whitespace.split(trimSpaces(text), -1)
+    val n = toks.length
+    // (n >= minWords) && (n <= maxWords) && ... — a false word-count
+    // bound makes the whole conjunction false, so later signals never
+    // matter (they are pure; short-circuit is value-identical)
+    if (n < minWords || n > maxWords) return false
+    var sumLen = 0L
+    var symbol = 0
+    var alpha = 0
+    var i = 0
+    while (i < n) {
+      val t = toks(i)
+      sumLen += t.codePointCount(0, t.length)
+      if (t.indexOf('#') >= 0 || t.contains("...") || t.contains("…"))
+        symbol += 1
+      var hasAlpha = false
+      var j = 0
+      while (!hasAlpha && j < t.length) {
+        val c = t.charAt(j)
+        if ((c >= 'A' && c <= 'Z') || (c >= 'a' && c <= 'z')) hasAlpha = true
+        j += 1
+      }
+      if (hasAlpha) alpha += 1
+      i += 1
+    }
+    def ratio(num: Long, den: Long): Double =
+      if (den == 0) 0.0 else num.toDouble / den.toDouble
+    val mwl = ratio(sumLen, n)
+    if (!(mwl >= 3.0 && mwl <= 10.0)) return false
+    if (!(ratio(symbol, n) <= 0.1)) return false
+    // non-blank trimmed lines (same trim-spaces-only + keep-empty split
+    // as the lines() builtin chain)
+    val rawLines = Newline.split(text, -1)
+    var nLines = 0
+    var bullet = 0
+    var ellipsis = 0
+    val distinct = new java.util.HashSet[String]()
+    i = 0
+    while (i < rawLines.length) {
+      val l = trimSpaces(rawLines(i))
+      if (l.nonEmpty) {
+        nLines += 1
+        if (l.startsWith("-") || l.startsWith("*") || l.startsWith("•"))
+          bullet += 1
+        if (l.endsWith("...") || l.endsWith("…")) ellipsis += 1
+        distinct.add(l)
+      }
+      i += 1
+    }
+    if (!(ratio(bullet, nLines) <= 0.9)) return false
+    if (!(ratio(ellipsis, nLines) <= 0.3)) return false
+    if (!(ratio(alpha, n) >= 0.8)) return false
+    val dupFrac =
+      if (nLines == 0) 0.0
+      else 1.0 - distinct.size.toDouble / nLines.toDouble
+    if (!(dupFrac <= 0.3)) return false
+    // top-token fraction: max multiplicity of the LOWERCASED tokens
+    // (UTF8String.toLowerCase = the lower() builtin) over n — the same
+    // value maxFreqFrac finds as the longest equal run of the sorted
+    // array
+    val counts = new java.util.HashMap[String, Int](n * 2)
+    var best = 0
+    i = 0
+    while (i < n) {
+      val low = UTF8String.fromString(toks(i)).toLowerCase.toString
+      val c = counts.merge(low, 1, Integer.sum)
+      if (c > best) best = c
+      i += 1
+    }
+    ratio(best, n) <= 0.2
+  }
+
+  def gopherKeepData(text: UTF8String, minWords: Int, maxWords: Int): Boolean =
+    gopherKeep(text.toString, minWords, maxWords)
 }

@@ -40,17 +40,28 @@ object GraphOps {
     val nD = nodes.count().toDouble
     val outdeg = e.groupBy(col("_src")).agg(count(lit(1)).as("_out"))
       .localCheckpoint()
+    // The dangling NODE SET is fixed across rounds (only its mass
+    // moves). When it is empty — every kNN-graph source has out-edges —
+    // the per-round mass is identically 0.0, so the anti-join + scalar
+    // broadcast job per round (2 extra jobs x iterations on the gate
+    // graphs) drops out with bit-identical results.
+    val anyDangling = !nodes.join(outdeg,
+      nodes("id") === outdeg("_src"), "left_anti").isEmpty
     var pr = nodes.withColumn("pagerank", lit(1.0 / nD))
     for (_ <- 1 to iterations) {
       val contrib = e.join(pr.withColumnRenamed("id", "_src"), Seq("_src"))
         .join(outdeg, Seq("_src"))
         .groupBy(col("_dst").as("id"))
         .agg(sum(col("pagerank") / col("_out").cast("double")).as("_c"))
-      val dangling = pr.join(outdeg,
-          pr("id") === outdeg("_src"), "left_anti")
-        .agg(coalesce(sum(col("pagerank")), lit(0.0)).as("_dm"))
-      pr = nodes.join(contrib, Seq("id"), "left")
-        .crossJoin(broadcast(dangling))
+      val base = nodes.join(contrib, Seq("id"), "left")
+      val withDm =
+        if (anyDangling) {
+          val dangling = pr.join(outdeg,
+              pr("id") === outdeg("_src"), "left_anti")
+            .agg(coalesce(sum(col("pagerank")), lit(0.0)).as("_dm"))
+          base.crossJoin(broadcast(dangling))
+        } else base.withColumn("_dm", lit(0.0))
+      pr = withDm
         .select(col("id"),
           (lit((1.0 - damping) / nD) + lit(damping) *
             (coalesce(col("_c"), lit(0.0)) + col("_dm") / lit(nD)))
@@ -82,17 +93,24 @@ object GraphOps {
       .localCheckpoint()
     val tv = when(col("id").isin(seeds: _*), lit(1.0 / seeds.size))
       .otherwise(lit(0.0))
+    // fixed dangling set, same skip as pageRank: empty set -> mass 0.0
+    val anyDangling = !nodes.join(outdeg,
+      nodes("id") === outdeg("_src"), "left_anti").isEmpty
     var pr = nodes.withColumn("pagerank", tv)
     for (_ <- 1 to iterations) {
       val contrib = e.join(pr.withColumnRenamed("id", "_src"), Seq("_src"))
         .join(outdeg, Seq("_src"))
         .groupBy(col("_dst").as("id"))
         .agg(sum(col("pagerank") / col("_out").cast("double")).as("_c"))
-      val dangling = pr.join(outdeg,
-          pr("id") === outdeg("_src"), "left_anti")
-        .agg(coalesce(sum(col("pagerank")), lit(0.0)).as("_dm"))
-      pr = nodes.join(contrib, Seq("id"), "left")
-        .crossJoin(broadcast(dangling))
+      val base = nodes.join(contrib, Seq("id"), "left")
+      val withDm =
+        if (anyDangling) {
+          val dangling = pr.join(outdeg,
+              pr("id") === outdeg("_src"), "left_anti")
+            .agg(coalesce(sum(col("pagerank")), lit(0.0)).as("_dm"))
+          base.crossJoin(broadcast(dangling))
+        } else base.withColumn("_dm", lit(0.0))
+      pr = withDm
         .select(col("id"),
           (lit(1.0 - damping) * tv + lit(damping) *
             (coalesce(col("_c"), lit(0.0)) + col("_dm") * tv))

@@ -220,7 +220,18 @@ object TextAnalysis {
     * top-token repetition caps). Thresholds follow the published filter;
     * `minWords` is tunable because corpus snippets differ from full
     * pages. */
-  def gopherKeep(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column = {
+  def gopherKeep(text: Column, minWords: Int = 50, maxWords: Int = 100000): Column =
+    org.apache.spark.sql.graft.Bridge.column(
+      graft.expr.GopherKeep(
+        org.apache.spark.sql.graft.Bridge.expression(text.cast("string")),
+        minWords, maxWords))
+
+  /** Builtin-composition reference for [[gopherKeep]] (each signal
+    * re-tokenizes; every HOF lambda interpreted per element) — what the
+    * fused kernel must reproduce bit-for-bit (TextKernelSpec pins
+    * equality on the gate corpus and the edge cases). */
+  private[graft] def gopherKeepReference(text: Column, minWords: Int = 50,
+      maxWords: Int = 100000): Column = {
     val n = wordCount(text)
     (n >= minWords) && (n <= maxWords) &&
       meanWordLen(text).between(3.0, 10.0) &&
@@ -649,7 +660,10 @@ object TextAnalysis {
     // propagate into a null contamination (a pipeline thresholding on
     // `contamination > x` would silently keep such docs): every input
     // row comes out with n_grams = 0 and contamination = 0.0
-    val withGrams = docs.select(col(idCol).as("id"),
+    // spread (identity on real multi-split corpora): per-row distinct
+    // n-gram construction + one md5 per gram is the heavy single-split
+    // cost here, same rationale as the minhash banding spread
+    val withGrams = graft.Tables.spread(docs).select(col(idCol).as("id"),
       when(col(textCol).isNotNull, distinctShingles(col(textCol), n))
         .otherwise(array().cast("array<string>")).as("_gs"))
       .withColumn("n_grams", size(col("_gs")).cast("long"))

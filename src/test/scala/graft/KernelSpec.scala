@@ -148,6 +148,41 @@ class KernelSpec extends SparkSpec {
     }
   }
 
+  test("fused gopher keep == builtin conjunction (edge cases + gate corpus)") {
+    import org.apache.spark.sql.functions._
+    import graft.text.TextAnalysis
+    import spark.implicits._
+    val edge = Seq(
+      "", "   ", "\t\n", "one",
+      "- bullet\n- bullet\n- bullet\nprose line here",
+      "trailing ellipsis line...\nanother…\nplain",
+      "dup line\ndup line\ndup line\nother",
+      "the the the the the the the the the the",        // top-token heavy
+      "Wort " * 30 + "### ### ###",                     // symbol tokens
+      "ÄÖÜ Émigré ÉMIGRÉ émigré " * 10,                 // unicode lower
+      "a b c d e f g h i j k l m n o p q r s t u v",    // short words
+      "longwordlongwordlongword " * 25,                 // long words
+      ("valid prose with sensible words here okay " * 5) + "\nline\nline")
+    val dfE = edge.zipWithIndex.map { case (t, i) => (i.toString, t) }
+      .toDF("id", "text")
+    val docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+      .select(col("doc_id").cast("string").as("id"), col("text"))
+      .union(dfE)
+    for (minW <- Seq(0, 5, 20)) {
+      val rows = docs.select(col("id"),
+        TextAnalysis.gopherKeep(col("text"), minWords = minW).as("fused"),
+        TextAnalysis.gopherKeepReference(col("text"), minWords = minW).as("ref"))
+        .collect()
+      rows.foreach { r =>
+        assert(r.getBoolean(1) === r.getBoolean(2), s"id=${r.getString(0)} minW=$minW")
+      }
+    }
+    // null text: both forms are null -> filter drops the row
+    val nulls = Seq(("n1", null: String)).toDF("id", "text")
+    assert(nulls.filter(TextAnalysis.gopherKeep(col("text"), 0)).count() === 0)
+    assert(nulls.filter(TextAnalysis.gopherKeepReference(col("text"), 0)).count() === 0)
+  }
+
   test("fused minhash band keys == column-composed pipeline") {
     import org.apache.spark.sql.functions._
     import graft.text.TextAnalysis
