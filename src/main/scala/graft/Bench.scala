@@ -252,6 +252,34 @@ object Bench {
     // (observed ~2.5x inflation), not operator latency.
     def familyBarrier(): Unit = { spark.catalog.clearCache(); System.gc() }
 
+    // MACHINE-SPEED CALIBRATION: a fixed single-thread probe (500k
+    // 384-dim dot products through the shared ranking kernel, ~0.2 s on
+    // a quiet fast host) timed at session start and end and persisted
+    // in the JSON. The sandbox's host contention is INVISIBLE to
+    // loadavg (r15 observed the same single-thread microbench swing
+    // 13.7 s -> 7.9 s across one evening at load < 2), so absolute
+    // cross-run row deltas are meaningless without a same-run speed
+    // anchor; dividing a row by the run's calib median normalizes away
+    // host state — the last piece the self-adjudicating-artifact ask
+    // (r14 verdict #1) needed. Warmed once so JIT state doesn't ride
+    // the first sample.
+    def calibProbe(): Double = {
+      val v = synthVector(42L, SynthDims)
+      var acc = 0.0
+      val t0 = System.nanoTime()
+      var i = 0
+      while (i < 500000) {
+        acc += graft.expr.VectorKernels.rankingDistance(2, v, v)
+        i += 1
+      }
+      val dt = (System.nanoTime() - t0) / 1e9
+      if (acc == Double.MinValue) System.err.println("") // keep acc live
+      dt
+    }
+    calibProbe() // JIT warm
+    val calibStart = calibProbe()
+    System.err.println(f"[bench][calib] start=$calibStart%.3f s")
+
     // ----- family A (FIRST, before any heavy synth/HNSW section, so
     // cross-round deltas on these rows aren't driven by section-order
     // session pressure — r9 observed a uniform ~1.5-2x drift on untouched
@@ -1509,7 +1537,10 @@ object Bench {
     val total = results.values.filter(_ > 0).sum
     val altField = altSfDir.map(d => s""","alt_sf":"$d"""").getOrElse("")
     val coldList = coldRows.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"quality":$ql,"spread":$sp,"env":$ev,"cold":$coldList,"sf":"$sfDir"$altField,"synth_records":$SynthRecords,"synth_dims":$SynthDims}"""
+    val calibEnd = calibProbe()
+    System.err.println(f"[bench][calib] end=$calibEnd%.3f s")
+    val calib = f"""{"start":$calibStart%.4f,"end":$calibEnd%.4f}"""
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"quality":$ql,"spread":$sp,"env":$ev,"calib":$calib,"cold":$coldList,"sf":"$sfDir"$altField,"synth_records":$SynthRecords,"synth_dims":$SynthDims}"""
     // The FULL line (110 query rows + quality + spread, ~8 KB) is written
     // to a file committed with the round snapshot; stdout gets a COMPACT
     // line instead, because the driver persists only a ~2 KB tail of

@@ -170,7 +170,11 @@ object CosineLsh {
     val probeUdf = udf((v: Seq[Float]) => probeKeys(v.toArray, c))
     val qSide = qNorm.withColumn("band", explode(probeUdf(col("qvector"))))
     val dSide = (if (df.columns.contains("lsh_bands")) df else withSignatures(df, cfg))
-      .withColumn("band", explode(col("lsh_bands")))
+      .withColumn("band", explode_outer(col("lsh_bands")))
+      // outer + null-filter: a non-outer explode's inferred pre-filter
+      // would re-run the signature projection per row when bands are
+      // computed in this plan (InferFiltersFromGenerate)
+      .filter(col("band").isNotNull)
       .select(col("band"), col("id"), col("value"), col("vector"))
     val cands = dSide.join(qSide, "band")
       .dropDuplicates("qid", "id")

@@ -130,8 +130,15 @@ object Dedup {
     val keys =
       if (fastHash) TextAnalysis.minhashBandKeysFast(textCol, k, numHashes, bands)
       else TextAnalysis.minhashBandKeys(textCol, k, numHashes, bands)
+    // outer + attribute null-filter: a non-outer explode makes the
+    // optimizer infer a size/notNull pre-filter that RE-EVALUATES the
+    // fused band-key kernel per row (InferFiltersFromGenerate — and the
+    // inferred copy pushes below the spread exchange, i.e. runs
+    // single-threaded); outer generates are exempt, and the null row a
+    // null text emits is dropped on the cheap exploded attribute
     spreadBatch(df).select(col(idCol).as("id"), keys.as("bands"))
-      .select(col("id"), explode(col("bands")).as("band"))
+      .select(col("id"), explode_outer(col("bands")).as("band"))
+      .filter(col("band").isNotNull)
   }
 
   /** MinHash+LSH candidate pairs: signature -> band keys -> self-join on
@@ -423,7 +430,8 @@ object Dedup {
   def sourceOverlap(df: DataFrame, sourceCol: String, textCol: Column,
       k: Int = 3): DataFrame = {
     val ss = df.select(col(sourceCol).as("_src"),
-        explode(TextAnalysis.distinctShingles(textCol, k)).as("_sh"))
+        explode_outer(TextAnalysis.distinctShingles(textCol, k)).as("_sh"))
+      .filter(col("_sh").isNotNull) // see minhashBanded's outer rationale
       .distinct()
     val sizes = ss.groupBy(col("_src")).agg(count(lit(1)).as("_n"))
     val shared = ss.join(ss.select(col("_src").as("_src_b"), col("_sh")), Seq("_sh"))
@@ -910,7 +918,8 @@ object Dedup {
       if (fastHash) TextAnalysis.minhashBandKeysFast(textCol, k, numHashes, bands)
       else TextAnalysis.minhashBandKeys(textCol, k, numHashes, bands)
     bandNovelty(df.select(col(idCol).as("id"), col(tsCol).as("_ts"),
-        explode(keys).as("band")),
+        explode_outer(keys).as("band"))
+        .filter(col("band").isNotNull), // see minhashBanded's rationale
       watermark, bands, windowLength)
   }
 
@@ -931,9 +940,10 @@ object Dedup {
       lsh: CosineLsh.LshConfig = CosineLsh.LshConfig(bands = 24, bitsPerBand = 6),
       windowLength: String = "1 minute"): DataFrame = {
     bandNovelty(df.select(col(idCol).as("id"), col(tsCol).as("_ts"),
-        explode(CosineLsh.bandKeysColumn(lsh)(
+        explode_outer(CosineLsh.bandKeysColumn(lsh)(
           normalizeVector(graft.core.Normalize.L2, col(vectorCol))))
-          .as("band")),
+          .as("band"))
+        .filter(col("band").isNotNull), // see minhashBanded's rationale
       watermark, lsh.bands, windowLength)
   }
 
@@ -973,7 +983,8 @@ object Dedup {
     // on 2k x 384 at the gate shape). Vectors are attached AFTER the
     // distinct, by id joins against the small normalized frame.
     val banded = dropHotBands(CosineLsh.withSignatures(n, lsh, "nv")
-      .select(col("id"), explode(col("lsh_bands")).as("band")), maxBandSize)
+      .select(col("id"), explode_outer(col("lsh_bands")).as("band"))
+      .filter(col("band").isNotNull), maxBandSize) // outer: see minhashBanded
     val a = banded.select(col("band"), col("id").as("id_a"))
     val b = banded.select(col("band"), col("id").as("id_b"))
     val cands = a.join(b, Seq("band")).filter(col("id_a") < col("id_b"))
@@ -1008,7 +1019,8 @@ object Dedup {
       normalizeVector(graft.core.Normalize.L2, col(vectorCol)).as("nv"))
       .localCheckpoint()
     def banded(n: DataFrame) = dropHotBands(CosineLsh.withSignatures(n, lsh, "nv")
-      .select(col("id"), explode(col("lsh_bands")).as("band")), maxBandSize)
+      .select(col("id"), explode_outer(col("lsh_bands")).as("band"))
+      .filter(col("band").isNotNull), maxBandSize) // outer: see minhashBanded
     // Repeated-ingest path: normalizing + localCheckpointing the FULL
     // corpus per batch re-materializes its vectors into non-reliable
     // executor storage on every call. A caller running many batches
@@ -1076,7 +1088,8 @@ object Dedup {
     val n = df.select(col(idCol).as("id"),
       normalizeVector(graft.core.Normalize.L2, col(vectorCol)).as("nv"))
     hotBands(CosineLsh.withSignatures(n, lsh, "nv")
-      .select(col("id"), explode(col("lsh_bands")).as("band")), maxBandSize)
+      .select(col("id"), explode_outer(col("lsh_bands")).as("band"))
+      .filter(col("band").isNotNull), maxBandSize) // outer: see minhashBanded
   }
 
   // ------------------------------------------- shared-span (substring) dedup

@@ -306,9 +306,13 @@ object Curation {
     // TWO event-time columns (window + ts) and the query is rejected
     val strippedTs = col(tsCol)
       .as(tsAlias, org.apache.spark.sql.types.Metadata.empty)
+    // outer + null-filter: the non-outer explode's inferred pre-filter
+    // would re-run the fused band-key expression per row (and `keys`
+    // already rides this projection once for the nb count)
     val staged = df.filter(nb > 0)
-      .select((cols.map(col) :+ explode(keys).as(bandCol) :+ strippedTs :+
+      .select((cols.map(col) :+ explode_outer(keys).as(bandCol) :+ strippedTs :+
         nb.as(nbCol)): _*)
+      .filter(col(bandCol).isNotNull)
       .dropDuplicatesWithinWatermark(bandCol)
       .groupBy((window(col(tsCol), windowLength) +:
         cols.filterNot(_ == tsCol).map(col) :+ col(tsAlias) :+ col(nbCol)): _*)

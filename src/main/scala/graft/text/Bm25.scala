@@ -99,7 +99,9 @@ object Bm25 {
       sum(size(col("_lt")).cast("long")).as("_sumdl"))
     val pairs = docs
       .select(col("_id"), size(col("_lt")).cast("long").as("dl"),
-        explode(col("_lt")).as("term"))
+        explode_outer(col("_lt")).as("term"))
+      .filter(col("term").isNotNull) // outer: avoid the inferred filter
+      // re-running the fused tokenization (InferFiltersFromGenerate)
       .join(broadcast(qterms.select(col("term")).distinct()), "term")
       .groupBy(col("_id"), col("dl"), col("term")).agg(count(lit(1)).as("_tf"))
     val dfT = pairs.groupBy(col("term")).agg(countDistinct(col("_id")).as("_df"))
@@ -140,7 +142,8 @@ object Bm25 {
     val docs = df.select(lowerTokens(col(textCol)).as("_lt"))
     val stats = docs.agg(count(lit(1)).as("n"),
       sum(size(col("_lt")).cast("long")).as("sumdl"))
-    val terms = docs.select(explode(array_distinct(col("_lt"))).as("term"))
+    val terms = docs.select(explode_outer(array_distinct(col("_lt"))).as("term"))
+      .filter(col("term").isNotNull) // outer: see search's pairs
       .groupBy(col("term")).agg(count(lit(1)).as("df"))
     Lexicon(stats, terms)
   }

@@ -64,7 +64,10 @@ object Dsir {
   def bucketCounts(df: DataFrame, text: Column, buckets: Int = 4096,
       salt: String = "dsir"): DataFrame = {
     require(buckets > 0, "buckets must be positive")
-    df.select(explode(gramBuckets(text, buckets, salt)).as("bucket"))
+    // outer + null-filter: avoid the inferred filter re-running the
+    // fused gram-bucket kernel per row (InferFiltersFromGenerate)
+    df.select(explode_outer(gramBuckets(text, buckets, salt)).as("bucket"))
+      .filter(col("bucket").isNotNull)
       .groupBy("bucket").agg(count(lit(1)).as("n"))
   }
 

@@ -43,7 +43,10 @@ object NaiveBayes {
       lowerTokens(textCol).as("_lt"))
     val n = trn.count().toDouble
     val cls = trn.groupBy(col("label")).agg(count(lit(1)).as("n_c"))
-    val tok = trn.select(col("label"), explode(col("_lt")).as("term"))
+    // outer + null-filter: the non-outer explode makes the optimizer
+    // infer a filter that re-runs the fused tokenization per row
+    val tok = trn.select(col("label"), explode_outer(col("_lt")).as("term"))
+      .filter(col("term").isNotNull)
     val tc = tok.groupBy(col("label"), col("term")).agg(count(lit(1)).as("cnt"))
     val tot = tc.groupBy(col("label")).agg(sum(col("cnt")).as("t_c"))
     val voc = tok.select(col("term")).distinct()
@@ -72,7 +75,8 @@ object NaiveBayes {
   def predict(model: Model, df: DataFrame, idCol: String,
       textCol: String): DataFrame = {
     val docs = df.select(col(idCol).as("_id"), lowerTokens(textCol).as("_lt"))
-    val dtf = docs.select(col("_id"), explode(col("_lt")).as("term"))
+    val dtf = docs.select(col("_id"), explode_outer(col("_lt")).as("term"))
+      .filter(col("term").isNotNull) // see train's tok
       .groupBy(col("_id"), col("term")).agg(count(lit(1)).as("tf"))
     val contrib = dtf.join(model.likelihood, "term")
       .select(col("_id"), col("label"),

@@ -56,7 +56,9 @@ object NgramLm {
     val bg = bigramRows(df, idCol, textCol)
     val bigrams = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c12"))
     val heads = bigrams.groupBy(col("w1")).agg(sum(col("c12")).as("c1"))
-    val v = df.select(explode(lowerTokens(textCol)).as("term"))
+    val v = df.select(explode_outer(lowerTokens(textCol)).as("term"))
+      .filter(col("term").isNotNull) // outer: avoid the inferred filter
+      // re-running the fused tokenization (InferFiltersFromGenerate)
       .distinct().count()
     Model(bigrams, heads, v)
   }
@@ -87,7 +89,9 @@ object NgramLm {
     val continuations = bigrams.groupBy(col("w2"))
       .agg(count(lit(1)).as("n1p_cont"))
     val nbb = bigrams.count()
-    val v = df.select(explode(lowerTokens(textCol)).as("term"))
+    val v = df.select(explode_outer(lowerTokens(textCol)).as("term"))
+      .filter(col("term").isNotNull) // outer: avoid the inferred filter
+      // re-running the fused tokenization (InferFiltersFromGenerate)
       .distinct().count()
     KnModel(bigrams, heads, continuations, nbb, v, discount)
   }

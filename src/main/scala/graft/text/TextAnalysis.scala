@@ -267,8 +267,14 @@ object TextAnalysis {
   def tfidfTopTerms(docs: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, topK: Int): org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // explode_outer + attribute null-filter: the non-outer form makes
+    // the optimizer infer a size/notNull filter that RE-EVALUATES the
+    // fused tokenization per row (InferFiltersFromGenerate); outer
+    // generates are exempt and the null row a null text emits is
+    // filtered on the cheap exploded attribute instead
     val toks = docs.select(col(idCol),
-      explode(lowerTokens(col(textCol))).as("term"))
+      explode_outer(lowerTokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull)
     val tf = toks.groupBy(col(idCol), col("term")).agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     val n = docs.select(col(idCol)).distinct().count()
@@ -352,7 +358,10 @@ object TextAnalysis {
     val grams = org.apache.spark.sql.graft.Bridge.column(
       graft.expr.LowerNgrams(
         org.apache.spark.sql.graft.Bridge.expression(text.cast("string")), n))
-    df.select(explode(grams).as("ngram"))
+    // outer + null-filter: see tfidfTopTerms — avoids the inferred
+    // filter re-running the fused gram kernel per row
+    df.select(explode_outer(grams).as("ngram"))
+      .filter(col("ngram").isNotNull)
       .groupBy("ngram").agg(count(lit(1)).as("freq"))
       .orderBy(col("freq").desc, col("ngram").asc).limit(k)
   }
@@ -427,7 +436,8 @@ object TextAnalysis {
       eps: Double = 0.001, confidence: Double = 0.99,
       seed: Int = 42): org.apache.spark.util.sketch.CountMinSketch = {
     val toks = df.select(
-      explode(lowerTokens(text)).as("_tok"))
+      explode_outer(lowerTokens(text)).as("_tok"))
+      .filter(col("_tok").isNotNull) // see tfidfTopTerms
     toks.stat.countMinSketch("_tok", eps, confidence, seed)
   }
 
@@ -525,7 +535,8 @@ object TextAnalysis {
       topN: Int): org.apache.spark.sql.DataFrame = {
     require(topN > 0, "topN must be positive")
     val toks = df.select(col(clusterCol).as("_c"),
-      explode(lowerTokens(col(textCol))).as("term"))
+      explode_outer(lowerTokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull) // see tfidfTopTerms
     val tc = toks.groupBy(col("_c"), col("term")).agg(count(lit(1)).as("_cnt"))
     val ct = tc.groupBy(col("_c")).agg(sum(col("_cnt")).as("_tok_c"))
     val cf = tc.select(col("_c"), col("term")).distinct()
@@ -558,10 +569,11 @@ object TextAnalysis {
   def vocabCoverage(ref: org.apache.spark.sql.DataFrame,
       df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String): org.apache.spark.sql.DataFrame = {
-    val vocab = ref.select(explode(lowerTokens(col(textCol)))
-      .as("term")).distinct()
+    val vocab = ref.select(explode_outer(lowerTokens(col(textCol)))
+      .as("term")).filter(col("term").isNotNull).distinct()
     val toks = df.select(col(idCol).as("_id"),
-      explode(lowerTokens(col(textCol))).as("term"))
+      explode_outer(lowerTokens(col(textCol))).as("term"))
+      .filter(col("term").isNotNull) // see tfidfTopTerms
     val covered = toks.join(vocab, Seq("term"), "left_semi")
       .groupBy(col("_id")).agg(count(lit(1)).as("n_covered"))
     val totals = toks.groupBy(col("_id")).agg(count(lit(1)).as("n_tokens"))
@@ -667,9 +679,14 @@ object TextAnalysis {
       when(col(textCol).isNotNull, distinctShingles(col(textCol), n))
         .otherwise(array().cast("array<string>")).as("_gs"))
       .withColumn("n_grams", size(col("_gs")).cast("long"))
-    val dGrams = withGrams.select(col("id"), explode(col("_gs")).as("_g"))
+    // outer + null-filter on both gram explodes: the inferred non-outer
+    // filter would re-run the distinct-shingle kernel once more per row
+    val dGrams = withGrams.select(col("id"), explode_outer(col("_gs")).as("_g"))
+      .filter(col("_g").isNotNull)
       .select(col("id"), md5(col("_g")).as("_gh"))
-    val bGrams = bench.select(explode(distinctShingles(col(textCol), n)).as("_g"))
+    val bGrams = bench.select(
+        explode_outer(distinctShingles(col(textCol), n)).as("_g"))
+      .filter(col("_g").isNotNull)
       .select(md5(col("_g")).as("_gh")).distinct()
     val bSide = if (broadcastBench) broadcast(bGrams) else bGrams
     val shared = dGrams.join(bSide, "_gh")
