@@ -54,19 +54,25 @@ object GraphOps {
         .groupBy(col("_dst").as("id"))
         .agg(sum(col("pagerank") / col("_out").cast("double")).as("_c"))
       val base = nodes.join(contrib, Seq("id"), "left")
+      // the no-dangling branch must not materialize a literal 0.0/nD
+      // term: on an EMPTY graph nD is 0 and ANSI constant folding
+      // rejects lit(0.0)/lit(0.0) at plan time (the old per-row column
+      // divide never folded) — fold the whole term away instead
       val withDm =
         if (anyDangling) {
           val dangling = pr.join(outdeg,
               pr("id") === outdeg("_src"), "left_anti")
             .agg(coalesce(sum(col("pagerank")), lit(0.0)).as("_dm"))
           base.crossJoin(broadcast(dangling))
-        } else base.withColumn("_dm", lit(0.0))
-      pr = withDm
-        .select(col("id"),
-          (lit((1.0 - damping) / nD) + lit(damping) *
-            (coalesce(col("_c"), lit(0.0)) + col("_dm") / lit(nD)))
-            .as("pagerank"))
-        .localCheckpoint()
+            .select(col("id"),
+              (lit((1.0 - damping) / nD) + lit(damping) *
+                (coalesce(col("_c"), lit(0.0)) + col("_dm") / lit(nD)))
+                .as("pagerank"))
+        } else
+          base.select(col("id"),
+            (lit((1.0 - damping) / nD) + lit(damping) *
+              coalesce(col("_c"), lit(0.0))).as("pagerank"))
+      pr = withDm.localCheckpoint()
     }
     pr
   }
@@ -103,19 +109,22 @@ object GraphOps {
         .groupBy(col("_dst").as("id"))
         .agg(sum(col("pagerank") / col("_out").cast("double")).as("_c"))
       val base = nodes.join(contrib, Seq("id"), "left")
+      // same term-folding discipline as pageRank's no-dangling branch
       val withDm =
         if (anyDangling) {
           val dangling = pr.join(outdeg,
               pr("id") === outdeg("_src"), "left_anti")
             .agg(coalesce(sum(col("pagerank")), lit(0.0)).as("_dm"))
           base.crossJoin(broadcast(dangling))
-        } else base.withColumn("_dm", lit(0.0))
-      pr = withDm
-        .select(col("id"),
-          (lit(1.0 - damping) * tv + lit(damping) *
-            (coalesce(col("_c"), lit(0.0)) + col("_dm") * tv))
-            .as("pagerank"))
-        .localCheckpoint()
+            .select(col("id"),
+              (lit(1.0 - damping) * tv + lit(damping) *
+                (coalesce(col("_c"), lit(0.0)) + col("_dm") * tv))
+                .as("pagerank"))
+        } else
+          base.select(col("id"),
+            (lit(1.0 - damping) * tv + lit(damping) *
+              coalesce(col("_c"), lit(0.0))).as("pagerank"))
+      pr = withDm.localCheckpoint()
     }
     pr
   }
