@@ -239,6 +239,50 @@ object Microbench {
     }
   }
 
+  /** Stage split of the scale5x at-rest WRITE rows (ivfpq / ivfbf16 /
+    * ivfrabitq part writes): prepare pass, coarse k-means sample-train,
+    * encode-only (noop sink), and the cell shuffle + parquet write.
+    * `runMain graft.Microbench ivfwrite`. */
+  def profileIvfWrite(spark: SparkSession): Unit = {
+    val dims = 384
+    val n = sys.env.getOrElse("GRAFT_MB_RECORDS", "500000").toInt
+    val config = CollectionConfig("m", dims, Metric.Cosine)
+    val genUdf = udf((id: Long) => Bench.synthVector(id, dims))
+    def base = graft.prepare.Prepare.prepareEmbeddings(
+      spark.range(n).select(col("id").cast("string").as("id"),
+        col("id").cast("string").as("value"), genUdf(col("id")).as("vector")),
+      config).select("id", "value", "vector")
+    time("prepare pass alone (noop)", 3) {
+      base.write.format("noop").mode("overwrite").save()
+    }
+    val trainColl = base.limit(100000)
+    var pqCb: Array[Array[Array[Float]]] = null
+    time("pq trainOrdered", 3) {
+      pqCb = graft.ann.Pq.trainOrdered(trainColl, config,
+        graft.ann.Pq.PqConfig(m = 32, k = 256, iterations = 3, sampleSize = 4000),
+        col("id").cast("long"))
+    }
+    var cents: Array[Array[Float]] = null
+    time("ivf trainOrdered", 3) {
+      cents = graft.ann.IvfIndex.trainOrdered(base, config,
+        graft.ann.IvfIndex.IvfConfig(k = 16, iterations = 3),
+        col("id").cast("long"))
+    }
+    time("cells+pq encode only (noop)", 3) {
+      graft.ann.Pq.withCodes(graft.ann.IvfIndex.withCells(base, cents), pqCb)
+        .select("id", "value", "vector", "ivf_cell", "pq_codes")
+        .write.format("noop").mode("overwrite").save()
+    }
+    time("full writePartitioned", 3) {
+      graft.ann.IvfPq.writePartitioned(base, cents, pqCb, "/tmp/mb_ivfpq_w")
+    }
+    val ckpt = base.localCheckpoint()
+    time("writePartitioned over checkpointed base", 3) {
+      graft.ann.IvfPq.writePartitioned(ckpt, cents, pqCb, "/tmp/mb_ivfpq_w")
+    }
+    ckpt.unpersist(blocking = true)
+  }
+
   /** DSIR fit + score profile at a real SF dir (the q_data_dsir_* rows):
     * splits the two fit count-jobs from the scoring projection and the
     * Gumbel resample, and times the whole oracle-row chain end to end.
@@ -485,6 +529,9 @@ object Microbench {
     }
     if (args.headOption.contains("ivfpq_batch")) {
       profileIvfPqBatch(spark, args); spark.stop(); return
+    }
+    if (args.headOption.contains("ivfwrite")) {
+      profileIvfWrite(spark); spark.stop(); return
     }
     if (args.headOption.contains("dsir")) {
       profileDsir(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"))

@@ -109,15 +109,6 @@ object Dedup {
     exploded.groupBy("band").agg(count(lit(1)).as("members"))
       .filter(col("members") > cap)
 
-  /** Spread heavy per-row hashing across cores when the input is an
-    * unsplittable single-split scan (see [[graft.Tables.spread]]): the
-    * md5 spec MinHash is ~numHashes digests per shingle per document —
-    * the one per-row kernel expensive enough to earn the conditional
-    * exchange (identity on any real multi-split corpus). Streaming
-    * frames pass through untouched. */
-  private def spreadBatch(df: DataFrame): DataFrame =
-    if (df.isStreaming) df else graft.Tables.spread(df)
-
   private def minhashBanded(df: DataFrame, idCol: String, textCol: Column,
       k: Int, numHashes: Int, bands: Int,
       fastHash: Boolean = false): DataFrame = {
@@ -132,11 +123,10 @@ object Dedup {
       else TextAnalysis.minhashBandKeys(textCol, k, numHashes, bands)
     // outer + attribute null-filter: a non-outer explode makes the
     // optimizer infer a size/notNull pre-filter that RE-EVALUATES the
-    // fused band-key kernel per row (InferFiltersFromGenerate — and the
-    // inferred copy pushes below the spread exchange, i.e. runs
-    // single-threaded); outer generates are exempt, and the null row a
-    // null text emits is dropped on the cheap exploded attribute
-    spreadBatch(df).select(col(idCol).as("id"), keys.as("bands"))
+    // fused band-key kernel per row (InferFiltersFromGenerate); outer
+    // generates are exempt, and the null row a null text emits is
+    // dropped on the cheap exploded attribute
+    df.select(col(idCol).as("id"), keys.as("bands"))
       .select(col("id"), explode_outer(col("bands")).as("band"))
       .filter(col("band").isNotNull)
   }
@@ -185,9 +175,8 @@ object Dedup {
     val cands = minhashCandidatePairs(df, idCol, textCol, k, numHashes, bands,
       fastHash = fastHash)
     // fused shingle expression: opaque node, safe in both join branches
-    // without a lineage barrier; spread like the banded side (the
-    // shingle sets for BOTH join branches compute on this one frame)
-    val sh = spreadBatch(df).select(col(idCol).as("sid"),
+    // without a lineage barrier
+    val sh = df.select(col(idCol).as("sid"),
       TextAnalysis.distinctShingles(textCol, k).as("sh"))
     cands
       .join(sh.withColumnRenamed("sid", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")

@@ -39,31 +39,51 @@ object NaiveBayes {
   /** Fit on (id, text, label) rows. */
   def train(df: DataFrame, idCol: String, textCol: String,
       labelCol: String): Model = {
+    val spark = df.sparkSession
     val trn = df.select(col(idCol).as("_id"), col(labelCol).as("label"),
       lowerTokens(textCol).as("_lt"))
-    val n = trn.count().toDouble
-    val cls = trn.groupBy(col("label")).agg(count(lit(1)).as("n_c"))
     // outer + null-filter: the non-outer explode makes the optimizer
     // infer a filter that re-runs the fused tokenization per row
     val tok = trn.select(col("label"), explode_outer(col("_lt")).as("term"))
       .filter(col("term").isNotNull)
     val tc = tok.groupBy(col("label"), col("term")).agg(count(lit(1)).as("cnt"))
+    // ONE job yields every model scalar: n_c (docs per class — counted
+    // without tokenizing), t_c (tokens per class), V (vocabulary size),
+    // and N = sum(n_c). Collecting the |classes|-row result and building
+    // `classStats` as a LOCAL relation replaces four jobs (trn.count,
+    // voc.count, and two checkpoints that re-ran the count shuffles)
+    // with this collect + the likelihood checkpoint; log(n_c/N) on the
+    // driver is the same java.lang.Math.log on the same doubles the old
+    // `log(col/lit)` column computed, so the model is bit-identical.
+    // The local classStats also broadcast-joins for free in predict.
+    val cls = trn.groupBy(col("label")).agg(count(lit(1)).as("n_c"))
     val tot = tc.groupBy(col("label")).agg(sum(col("cnt")).as("t_c"))
-    val voc = tok.select(col("term")).distinct()
-    val v = voc.count().toDouble
-    val classStats = cls.join(tot, "label")
-      .withColumn("log_prior", log(col("n_c").cast("double") / lit(n)))
+    val joined = cls.join(tot, "label")
+      .crossJoin(tc.agg(countDistinct(col("term")).as("_v")))
+    val stats = joined.collect()
+    val n = stats.map(_.getLong(1)).sum.toDouble
+    val v = stats.headOption.map(_.getLong(3).toDouble).getOrElse(0.0)
+    val outRows = new java.util.ArrayList[org.apache.spark.sql.Row]()
+    stats.foreach { r =>
+      outRows.add(org.apache.spark.sql.Row(r.get(0), r.getLong(1),
+        r.getLong(2), math.log(r.getLong(1).toDouble / n)))
+    }
+    val classStats = spark.createDataFrame(outRows,
+      org.apache.spark.sql.types.StructType(
+        joined.schema.fields.dropRight(1) :+
+          org.apache.spark.sql.types.StructField("log_prior",
+            org.apache.spark.sql.types.DoubleType)))
+    val likelihood = tc.select(col("term")).distinct()
+      .crossJoin(classStats.select(col("label"), col("t_c")))
+      .join(tc, Seq("term", "label"), "left")
+      .select(col("term"), col("label"),
+        log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0) /
+          (col("t_c").cast("double") + lit(v))).as("ll"))
       // a MODEL is a fit artifact, not a view: materialize it so every
       // predict() consumer reads vocab x classes rows instead of
       // re-running the training corpus tokenization + count shuffles
       // per downstream branch (the same stage-materialization rule the
       // curation pipeline applies)
-      .localCheckpoint()
-    val likelihood = voc.crossJoin(classStats.select(col("label"), col("t_c")))
-      .join(tc, Seq("term", "label"), "left")
-      .select(col("term"), col("label"),
-        log((coalesce(col("cnt"), lit(0L)).cast("double") + 1.0) /
-          (col("t_c").cast("double") + lit(v))).as("ll"))
       .localCheckpoint()
     Model(classStats, likelihood)
   }

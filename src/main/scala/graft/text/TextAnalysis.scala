@@ -672,10 +672,7 @@ object TextAnalysis {
     // propagate into a null contamination (a pipeline thresholding on
     // `contamination > x` would silently keep such docs): every input
     // row comes out with n_grams = 0 and contamination = 0.0
-    // spread (identity on real multi-split corpora): per-row distinct
-    // n-gram construction + one md5 per gram is the heavy single-split
-    // cost here, same rationale as the minhash banding spread
-    val withGrams = graft.Tables.spread(docs).select(col(idCol).as("id"),
+    val withGrams = docs.select(col(idCol).as("id"),
       when(col(textCol).isNotNull, distinctShingles(col(textCol), n))
         .otherwise(array().cast("array<string>")).as("_gs"))
       .withColumn("n_grams", size(col("_gs")).cast("long"))
