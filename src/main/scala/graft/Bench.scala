@@ -47,6 +47,16 @@ object Bench {
     * synth/scale rows — the inverse of GRAFT_BENCH_ONLY). */
   private val SkipQ = sys.env.getOrElse("GRAFT_BENCH_SKIP_Q", "0") == "1"
 
+  /** Representative q_* rows for the bounded low-core mode: one per
+    * operator family, spanning scan-bound, join-bound, window-bound and
+    * iterative shapes, so the 32-vs-8-core scaling ratio samples every
+    * execution shape without re-running all 186 oracle queries. */
+  private val SmokeQueries = Set(
+    "text_gopher_quality", "text_bm25_topk", "dedup_minhash_pairs",
+    "pipeline_curation", "graph_pagerank_knn", "events_sessionize",
+    "vec_flat_cosine_topk", "ann_ivf_topk", "data_split",
+    "join_revenue_by_nation")
+
   private def mix(a: Long, b: Long): Long = {
     var x = a ^ java.lang.Long.rotateLeft(b, 31)
     x += 0x9E3779B97F4A7C15L
@@ -92,6 +102,19 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // BOUNDED LOW-CORE MODE: the full 450+-row suite takes ~45 min at 32
+    // cores; a low-core scaling run of the full suite cannot finish
+    // inside any reasonable window (r15's 8-core run rc=124 with an
+    // empty scaling block). When the session runs below 16 cores —
+    // i.e. the driver's scaling measurement, not the headline bench —
+    // default to a ~15-row representative subset (SmokeQueries +
+    // identical-body synth/scale rows below), same per-row methodology,
+    // so scaling ratios exist on the common rows. GRAFT_BENCH_SMOKE=1/0
+    // forces the mode either way. The >=16-core headline run is
+    // unaffected, keeping cross-round comparability.
+    val smoke = sys.env.get("GRAFT_BENCH_SMOKE").map(_ == "1")
+      .getOrElse(scala.util.Try(cpus.trim.toInt).toOption.exists(_ < 16))
+    if (smoke) System.err.println(s"[bench] SMOKE mode (cpus=$cpus): representative subset only")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -247,10 +270,21 @@ object Bench {
         f"min=${ts.head}%.3f med=${ts(ts.length / 2)}%.3f max=${ts.last}%.3f")
       envDiag(name)
     }
+    // Best-effort cleanup wrapper: explicit unpersist races Spark's
+    // ContextCleaner/eviction on a long session and can throw
+    // "Block rdd_N_M does not exist" (r15's driver bench died 46 min in
+    // at exactly such a cleanup, Bench.scala:1055, zeroing the round's
+    // entire evidence base). Every cleanup here is best-effort — the
+    // blocks being already gone IS the desired end state — so a cleanup
+    // hiccup must never kill a measurement run.
+    def safe(label: String)(f: => Unit): Unit =
+      try f catch { case scala.util.control.NonFatal(e) =>
+        System.err.println(s"[bench] cleanup '$label' skipped: ${e.getMessage}")
+      }
     // Cache/GC barrier between bench families: without it a family
     // measures the previous family's evicted blocks and JIT churn
     // (observed ~2.5x inflation), not operator latency.
-    def familyBarrier(): Unit = { spark.catalog.clearCache(); System.gc() }
+    def familyBarrier(): Unit = { safe("clearCache")(spark.catalog.clearCache()); System.gc() }
 
     // MACHINE-SPEED CALIBRATION: a fixed single-thread probe (500k
     // 384-dim dot products through the shared ranking kernel, ~0.2 s on
@@ -280,6 +314,21 @@ object Bench {
     val calibStart = calibProbe()
     System.err.println(f"[bench][calib] start=$calibStart%.3f s")
 
+    // ----- scale curve dir, resolved up front: the JSON emitter below
+    // references it even when a family aborts mid-run. Defaults to the
+    // sibling sf0.01 when benching sf0.1; disable with
+    // GRAFT_BENCH_ALT_SF_DIR=none.
+    val altSfDir = sys.env.get("GRAFT_BENCH_ALT_SF_DIR").filter(_ != "none")
+      .orElse(if (sfDir.endsWith("sf0.1")) Some(sfDir.stripSuffix("sf0.1") + "sf0.01") else Option.empty[String])
+      .filter(d => d != sfDir && new java.io.File(d).isDirectory)
+
+    // The whole measurement body runs under a NonFatal guard: the
+    // one-line JSON (everything measured up to the failure, plus an
+    // "aborted" diagnostic) is emitted no matter what — r15's lesson is
+    // that one flaky cleanup must not zero out 46 minutes of numbers.
+    var aborted: Option[String] = None
+    try {
+
     // ----- family A (FIRST, before any heavy synth/HNSW section, so
     // cross-round deltas on these rows aren't driven by section-order
     // session pressure — r9 observed a uniform ~1.5-2x drift on untouched
@@ -289,6 +338,7 @@ object Bench {
     if (!SkipQ)
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => Only.forall(_.exists(name.contains)) }
+      .filter { case (name, _) => !smoke || SmokeQueries(name) }
       .foreach { case (name, fn) =>
         try record(s"q_$name") { fn(spark, sfDir).count() }
         catch { case _: Throwable => results(s"q_$name") = -1.0 }
@@ -296,12 +346,9 @@ object Bench {
 
     // ----- scale curve: the same q_* family at a SECOND scale factor in
     // the same session, so scale-up claims ride a curve, not a point.
-    // Defaults to the sibling sf0.01 when benching sf0.1; disable with
-    // GRAFT_BENCH_ALT_SF_DIR=none.
-    val altSfDir = sys.env.get("GRAFT_BENCH_ALT_SF_DIR").filter(_ != "none")
-      .orElse(if (sfDir.endsWith("sf0.1")) Some(sfDir.stripSuffix("sf0.1") + "sf0.01") else Option.empty[String])
-      .filter(d => d != sfDir && new java.io.File(d).isDirectory)
-    if (!SkipQ)
+    // (skipped in smoke mode: the low-core run measures core scaling,
+    // not data scaling)
+    if (!SkipQ && !smoke)
     altSfDir.foreach { alt =>
       familyBarrier()
       SparkEntry.queries.toSeq.sortBy(_._1)
@@ -313,7 +360,79 @@ object Bench {
     }
     familyBarrier()
 
-    if (Only.isEmpty) {
+    if (Only.isEmpty && smoke) {
+    // ----- smoke synth/scale subset: row bodies are copied VERBATIM
+    // from the full sections below (same computation per name, so the
+    // 32-core full run and the low-core smoke run are comparable
+    // per-row); only the setup that those rows depend on runs.
+    val dims = SynthDims
+    val config = CollectionConfig("bench", dims, Metric.Cosine)
+    val genUdf = udf((id: Long) => synthVector(id, dims))
+    val raw = spark.range(SynthRecords).select(
+      col("id").cast("string").as("id"), col("id").cast("string").as("value"),
+      genUdf(col("id")).as("vector"))
+    val coll = graft.prepare.Prepare.prepareEmbeddings(raw, config)
+      .select("id", "value", "vector", "binary_vector").persist()
+    coll.count()
+    val q = Search.prepareQuery(config, synthVector(-1L, dims))
+    Search.flatSearch(coll, config, q, 10).collect() // plan+JIT warmup
+    record("synth_flat_cosine") {
+      Search.flatSearch(coll, config, q, 10).collect()
+    }
+    val queries64 = spark.range(64).select(col("id").cast("string").as("qid"),
+      genUdf(col("id") + 1000000L).as("qvector"))
+    record("synth_flat_cosine_batch64_perq", div = 64.0) {
+      Search.flatSearchMany(coll, config, queries64, 10, knownNq = 64L).collect()
+    }
+    record("synth_quantized") {
+      Search.quantizedSearch(coll, config, q, 10, candidates = 200).collect()
+    }
+    // PQ codebook for the scale rows (training itself is timed only in
+    // the full run's synth_pq_train)
+    val pqCfg = graft.ann.Pq.PqConfig(m = 32, k = 256, iterations = 3, sampleSize = 4000)
+    val pqCb = graft.ann.Pq.trainOrdered(coll, config, pqCfg, col("id").cast("long"))
+    familyBarrier()
+    val scaleN = SynthRecords * 5
+    val scalePath = "/tmp/graft_bench_scale"
+    record("scale5x_pack_write", cold = true) {
+      graft.prepare.Prepare.withPackedVector(
+        graft.prepare.Prepare.prepareEmbeddings(
+          spark.range(scaleN).select(
+            col("id").cast("string").as("id"),
+            col("id").cast("string").as("value"),
+            genUdf(col("id")).as("vector")), config))
+        .select("id", "value", "vector_f32")
+        .write.mode("overwrite").parquet(scalePath)
+    }
+    familyBarrier()
+    val scaleDf = spark.read.parquet(scalePath)
+    record("scale5x_flat_packed") {
+      Search.flatSearchPacked(scaleDf, config, q, 10).collect()
+    }
+    val scaleIvfPqPath = "/tmp/graft_bench_scale_ivfpq"
+    record("scale5x_ivfpq_part_write", cold = true) {
+      val base = graft.prepare.Prepare.prepareEmbeddings(
+        spark.range(scaleN).select(
+          col("id").cast("string").as("id"),
+          col("id").cast("string").as("value"),
+          genUdf(col("id")).as("vector")), config)
+        .select("id", "value", "vector")
+      val cents = graft.ann.IvfIndex.trainOrdered(base, config,
+        graft.ann.IvfIndex.IvfConfig(k = 16, iterations = 3),
+        col("id").cast("long"))
+      graft.ann.IvfPq.writePartitioned(base, cents, pqCb, scaleIvfPqPath)
+    }
+    familyBarrier()
+    val scaleQs = spark.range(64).select(col("id").cast("string").as("qid"),
+      genUdf(col("id") + 2000000L).as("qvector"))
+    record("scale5x_ivfpq_part_batch64_perq", div = 64.0) {
+      graft.ann.IvfPq.searchManyPartitioned(spark, scaleIvfPqPath, config,
+        scaleQs, 10, nprobe = 4, candidates = 100, knownNq = 64L).count()
+    }
+    safe("coll")(coll.unpersist(blocking = true))
+    }
+
+    if (Only.isEmpty && !smoke) {
     // ----- family 1: the reference's matrix shape on synthetic vectors
     val dims = SynthDims
     val config = CollectionConfig("bench", dims, Metric.Cosine)
@@ -326,7 +445,7 @@ object Bench {
       .persist() // spark.range partitions are already even — a repartition
                  // here only adds a full shuffle of the corpus to ingest
     record("synth_ingest_prepare", cold = true) { // includes normalize+pack
-      coll.unpersist(blocking = true); coll.count()
+      safe("coll")(coll.unpersist(blocking = true)); coll.count()
     }
     // unpersist() DEREGISTERS the cache and count() does not re-register
     // it, so without this the rest of the family measures uncached scans
@@ -437,7 +556,7 @@ object Bench {
     // blocks, per-partition bounded heap — reference flat.rs distributed)
     var idx: graft.index.FlatIndex = null
     record("synth_flatindex_build", cold = true) {
-      if (idx != null) idx.unpersist()
+      if (idx != null) safe("idx")(idx.unpersist())
       idx = graft.index.FlatIndex.build(coll, config)
     }
     record("synth_flatindex_single") {
@@ -464,7 +583,7 @@ object Bench {
     val sq8Coll = graft.ann.Sq8.withCodes(coll, sq8Model)
       .select("id", "value", "vector", "sq8_codes").persist()
     record("synth_sq8_encode", cold = true) {
-      sq8Coll.unpersist(blocking = true); sq8Coll.count()
+      safe("sq8Coll")(sq8Coll.unpersist(blocking = true)); sq8Coll.count()
     }
     sq8Coll.persist(); sq8Coll.count() // re-cache: the search rows below measure the CACHED regime
     record("synth_sq8_search") {
@@ -482,7 +601,7 @@ object Bench {
     val pqColl = graft.ann.Pq.withCodes(coll, pqCb)
       .select("id", "value", "vector", "pq_codes").persist()
     record("synth_pq_encode", cold = true) {
-      pqColl.unpersist(blocking = true); pqColl.count()
+      safe("pqColl")(pqColl.unpersist(blocking = true)); pqColl.count()
     }
     pqColl.persist(); pqColl.count() // re-cache: the search rows below measure the CACHED regime
     record("synth_pq_search") {
@@ -497,7 +616,7 @@ object Bench {
     val rqColl = graft.ann.RaBitQ.withCodes(coll, rqModel)
       .select("id", "value", "vector", "rabitq").persist()
     record("synth_rabitq_encode", cold = true) {
-      rqColl.unpersist(blocking = true); rqColl.count()
+      safe("rqColl")(rqColl.unpersist(blocking = true)); rqColl.count()
     }
     rqColl.persist(); rqColl.count() // re-cache: search rows measure the CACHED regime
     record("synth_rabitq_search") {
@@ -749,7 +868,7 @@ object Bench {
       record("synth_pca16_search") {
         Search.flatSearch(pcaColl, pcaCfg, pcaQ, 10).collect()
       }
-      pcaColl.unpersist(blocking = true)
+      safe("pcaColl")(pcaColl.unpersist(blocking = true))
     }
     // kNN-graph edge recall at partial probes on the clustered corpus:
     // the fraction of the EXACT 5-NN graph's edges the IVF-blocked
@@ -768,7 +887,7 @@ object Bench {
       record("synth_knn_graph_ivf_1k") {
         graft.ann.KnnGraph.ivf(sample, config, cluCents, 5, nprobe = 2).count()
       }
-      sample.unpersist(blocking = true)
+      safe("sample")(sample.unpersist(blocking = true))
     }
     // recallTarget facade on the same clustered corpus: the knobs the
     // measured overlap curve resolves for target 0.9 must DELIVER >=0.9
@@ -794,7 +913,7 @@ object Bench {
         rdb.close(rname)
       }
     }
-    cluColl.unpersist(blocking = true)
+    safe("cluColl")(cluColl.unpersist(blocking = true))
     // PERSISTED layout: the expensive per-shard builds amortize to a
     // one-time write (synth_hnsw_layout_write, skipped when the layout
     // is already on disk — rm -rf /tmp/graft_bench_hnsw_layout* for the
@@ -818,7 +937,7 @@ object Bench {
       graft.index.ShardedHnsw.searchManyPersisted(spark, shLayout, config,
         queries64, 10, cacheKey = shLayout, state = Some(shState)).collect()
     }
-    shState.unpersist(blocking = true)
+    safe("shState")(shState.unpersist(blocking = true))
     graft.index.ShardedHnsw.clearCache(shLayout)
     // PERSISTED vamana layout — the DiskANN at-rest story: flat
     // fixed-shape node records, open = scan + adjacency reconstruct
@@ -839,7 +958,7 @@ object Bench {
       graft.index.ShardedVamana.searchManyPersisted(spark, vamLayout, config,
         queries64, 10, cacheKey = vamLayout, state = Some(vamState)).collect()
     }
-    vamState.unpersist(blocking = true)
+    safe("vamState")(vamState.unpersist(blocking = true))
     graft.index.ShardedVamana.clearCache(vamLayout)
     // MUVERA FDE vs exact MaxSim on the multi-vector corpus
     def fdeTopIds(qv: Seq[Array[Float]]): Seq[String] = {
@@ -912,7 +1031,7 @@ object Bench {
     // must CONTAIN the exact MaxSim top-2 — FDE as a recall stage
     quality("muvera_recall_subset_top2") =
       if (cExact.take(2).forall(cFdeTop.contains)) 1.0 else 0.0
-    cmvDocs.unpersist(blocking = true)
+    safe("cmvDocs")(cmvDocs.unpersist(blocking = true))
 
     // Same gate on the driver's embeddings table: uniform-random vectors
     // are the adversarial case for ANN (pairwise cosines concentrate at
@@ -993,7 +1112,7 @@ object Bench {
         quality("emb_overlap10_pq_opq_c50") = eOverlap(dfIds(graft.ann.Pq.search(
           graft.ann.Pq.withCodes(eRot, ePqR), rcfg, ePqR,
           graft.ann.Opq.rotate(eq, sgn), 10, candidates = math.min(en, 50))))
-        eRot.unpersist(blocking = true)
+        safe("eRot")(eRot.unpersist(blocking = true))
       }
       // residual vs raw-vector codes at the same budget (l2 collection)
       val el2 = Tables.l2Config(ed)
@@ -1022,7 +1141,7 @@ object Bench {
           graft.ann.IvfRaBitQ.Model(eCentsL2, graft.ann.RaBitQ.Config(
             dims = ed, centered = true, ordered = false)),
           eql2, 10, nprobe = 4, candidates = math.min(en, 50))))
-      el2coll.unpersist(blocking = true)
+      safe("el2coll")(el2coll.unpersist(blocking = true))
       val ehg = graft.index.Hnsw.build(ecoll, econfig)
       quality("emb_overlap10_hnsw") =
         eOverlap(ehg.search(eq, 10).map(_._1))
@@ -1049,14 +1168,14 @@ object Bench {
           rdb.searchMany(rname, eOneQ, 10, knownNq = 1L, recallTarget = 0.9)))
         rdb.close(rname)
       }
-      ecoll.unpersist(blocking = true)
+      safe("ecoll")(ecoll.unpersist(blocking = true))
     } catch { case _: Throwable => quality("emb_overlap_failed") = -1.0 }
 
-    idx.unpersist(); idx.blocks.unpersist(blocking = true)
-    sq8Coll.unpersist(blocking = true); pqColl.unpersist(blocking = true)
-    packedColl.unpersist(blocking = true)
-    coll.unpersist(blocking = true); lshColl.unpersist(blocking = true)
-    mvDocs.unpersist(blocking = true)
+    safe("idx")(idx.unpersist()); safe("idx.blocks")(idx.blocks.unpersist(blocking = true))
+    safe("sq8Coll")(sq8Coll.unpersist(blocking = true)); safe("pqColl")(pqColl.unpersist(blocking = true))
+    safe("packedColl")(packedColl.unpersist(blocking = true))
+    safe("coll")(coll.unpersist(blocking = true)); safe("lshColl")(lshColl.unpersist(blocking = true))
+    safe("mvDocs")(mvDocs.unpersist(blocking = true))
     // Family 1 leaves the executor heap full of evicted cache blocks and
     // JIT churn; without a hard release the families below measure GC
     // pressure, not operator latency (observed ~2.5x inflation).
@@ -1522,6 +1641,12 @@ object Bench {
     }
     }
 
+    } catch { case scala.util.control.NonFatal(e) =>
+      aborted = Some(s"${e.getClass.getName}: ${String.valueOf(e.getMessage).replaceAll("[\"\\\\\\n\\r\\t]", " ").take(300)}")
+      System.err.println(s"[bench] ABORTED mid-run; emitting partial results. Cause:")
+      e.printStackTrace()
+    }
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
       .mkString("{", ",", "}")
     val ql = quality.map { case (k, v) => "\"" + k + "\":" + f"$v%.4f" }
@@ -1540,7 +1665,8 @@ object Bench {
     val calibEnd = calibProbe()
     System.err.println(f"[bench][calib] end=$calibEnd%.3f s")
     val calib = f"""{"start":$calibStart%.4f,"end":$calibEnd%.4f}"""
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"quality":$ql,"spread":$sp,"env":$ev,"calib":$calib,"cold":$coldList,"sf":"$sfDir"$altField,"synth_records":$SynthRecords,"synth_dims":$SynthDims}"""
+    val abortField = aborted.map(m => s""","aborted":"$m"""").getOrElse("")
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"quality":$ql,"spread":$sp,"env":$ev,"calib":$calib,"cold":$coldList,"sf":"$sfDir"$altField$abortField,"synth_records":$SynthRecords,"synth_dims":$SynthDims}"""
     // The FULL line (110 query rows + quality + spread, ~8 KB) is written
     // to a file committed with the round snapshot; stdout gets a COMPACT
     // line instead, because the driver persists only a ~2 KB tail of
@@ -1563,7 +1689,7 @@ object Bench {
     val cq = (headline.map { case (k, v) => "\"" + k + "\":" + f"$v%.3f" }.toSeq ++
       Seq("\"q_total\":" + f"$qTotal%.3f", "\"qalt_total\":" + f"$qaltTotal%.3f"))
       .mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cq,"sf":"$sfDir","synth_records":$SynthRecords,"synth_dims":$SynthDims,"full":"$outFile"}""")
-    spark.stop()
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$cq,"sf":"$sfDir"$abortField,"synth_records":$SynthRecords,"synth_dims":$SynthDims,"full":"$outFile"}""")
+    safe("spark.stop")(spark.stop())
   }
 }
