@@ -27,7 +27,16 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// The SIMD argmin/ranking kernels (src/main/java/graft/simd) use the
+// JDK 16+ incubator Vector API; code probes availability at runtime and
+// falls back to the scalar kernels if the module is absent.
+Compile / javacOptions ++= Seq("--add-modules", "jdk.incubator.vector",
+  "-encoding", "UTF-8")
+// Fork javac: the in-process compiler runs inside sbt's JVM, which was
+// not started with the incubator module, and fails module access checks.
+Compile / javaHome := Some(file(sys.props("java.home")))
 javaOptions ++= jdk17AddOpens ++ Seq(
+  "--add-modules=jdk.incubator.vector",
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",

@@ -273,14 +273,16 @@ object Microbench {
         .select("id", "value", "vector", "ivf_cell", "pq_codes")
         .write.format("noop").mode("overwrite").save()
     }
+    val wDir = java.nio.file.Files.createTempDirectory("mb_ivfpq_w").toString
     time("full writePartitioned", 3) {
-      graft.ann.IvfPq.writePartitioned(base, cents, pqCb, "/tmp/mb_ivfpq_w")
+      graft.ann.IvfPq.writePartitioned(base, cents, pqCb, wDir)
     }
     val ckpt = base.localCheckpoint()
     time("writePartitioned over checkpointed base", 3) {
-      graft.ann.IvfPq.writePartitioned(ckpt, cents, pqCb, "/tmp/mb_ivfpq_w")
+      graft.ann.IvfPq.writePartitioned(ckpt, cents, pqCb, wDir)
     }
     ckpt.unpersist(blocking = true)
+    org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(wDir))
   }
 
   /** DSIR fit + score profile at a real SF dir (the q_data_dsir_* rows):
@@ -532,6 +534,41 @@ object Microbench {
     }
     if (args.headOption.contains("ivfwrite")) {
       profileIvfWrite(spark); spark.stop(); return
+    }
+    if (args.headOption.contains("kernel")) {
+      // raw ranking-kernel throughput, single thread:
+      // runMain graft.Microbench kernel [dims] [calls]
+      val dims = args.lift(1).map(_.toInt).getOrElse(384)
+      val calls = args.lift(2).map(_.toInt).getOrElse(500000)
+      val rnd = new scala.util.Random(7)
+      val a = Array.fill(dims * 64)(rnd.nextFloat() - 0.5f)
+      val q = Array.fill(dims)(rnd.nextFloat() - 0.5f)
+      var sink = 0.0
+      time(s"rankingDistanceOff dot $dims-d x $calls", 5) {
+        var i = 0
+        while (i < calls) {
+          sink += graft.expr.VectorKernels.rankingDistanceOff(
+            2, a, (i % 64) * dims, q, 0, dims)
+          i += 1
+        }
+      }
+      time(s"rankingDistanceOff l2sq $dims-d x $calls", 5) {
+        var i = 0
+        while (i < calls) {
+          sink += graft.expr.VectorKernels.rankingDistanceOff(
+            1, a, (i % 64) * dims, q, 0, dims)
+          i += 1
+        }
+      }
+      time(s"rankingDistance(4-chain) dot $dims-d x $calls", 5) {
+        var i = 0
+        while (i < calls) {
+          sink += graft.expr.VectorKernels.rankingDistance(2, q, q)
+          i += 1
+        }
+      }
+      println(s"sink=$sink")
+      spark.stop(); return
     }
     if (args.headOption.contains("dsir")) {
       profileDsir(spark, args.lift(1).getOrElse("/root/testdata/sf0.1"))

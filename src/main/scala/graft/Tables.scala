@@ -7,7 +7,16 @@ import graft.core.{CollectionConfig, Metric}
 import graft.prepare.Prepare
 
 /** Loaders that adapt the driver's test tables into canonical collection
-  * frames (schema per SURVEY §1.3). */
+  * frames (schema per SURVEY §1.3).
+  *
+  * NOTE on single-file inputs: a one-row-group parquet file is ONE scan
+  * split no matter the split config, so per-row-expensive work upstream
+  * of the first exchange runs on one core. A measured opt-in spread
+  * (round-robin repartition when splits < parallelism) was tried in r15
+  * and REVERTED — on gate-scale data each added 32-task stage cost more
+  * than it saved (contamination/minhash rows 1.5-5x worse). Callers with
+  * genuinely large single-file corpora should pre-repartition at ingest;
+  * any real multi-split corpus is unaffected. */
 object Tables {
 
   def read(spark: SparkSession, dir: String, name: String): DataFrame =

@@ -60,7 +60,7 @@ object AnisotropicPq {
     require(effEta >= 1.0, s"eta must be >= 1 (got $effEta)")
     val sample = df.orderBy(order).select(vectorCol)
       .limit(pq.sampleSize).collect().map(_.getSeq[Float](0).toArray)
-    Array.tabulate(pq.m) { j =>
+    Pq.parSubspaces(pq.m) { j =>
       val slices = sample.map(v =>
         java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
       anisotropicKMeans(slices, sub, pq.k, pq.iterations, effEta)

@@ -78,12 +78,20 @@ object IvfIndex {
     centroids
   }
 
-  def nearestCentroid(v: Array[Float], centroids: Array[Array[Float]]): Int = {
+  def nearestCentroid(v: Array[Float], centroids: Array[Array[Float]]): Int =
+    ArgminKernel.cents(centroids).nearest(v)
+
+  /** Scalar argmin (the SIMD-unavailable fallback, and the reference
+    * the SIMD path's self-check pins against): early-abandoned l2sq is
+    * bit-identical to the full kernel for argmin purposes — terms are
+    * non-negative and selection is strict `<` (see l2sqBounded). */
+  private[ann] def nearestCentroidScalar(v: Array[Float],
+      centroids: Array[Array[Float]]): Int = {
     var best = 0
     var bestDist = Double.MaxValue
     var c = 0
     while (c < centroids.length) {
-      val d = VectorKernels.distance(1, v, centroids(c)) // l2 squared
+      val d = VectorKernels.l2sqBounded(v, centroids(c), bestDist)
       if (d < bestDist) { bestDist = d; best = c }
       c += 1
     }

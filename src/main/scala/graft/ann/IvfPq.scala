@@ -127,7 +127,7 @@ object IvfPq {
     val sample = df.orderBy(order).select("vector")
       .limit(pq.sampleSize).collect().map(_.getSeq[Float](0).toArray)
       .map(v => residualVec(v, centroids(IvfIndex.nearestCentroid(v, centroids))))
-    Array.tabulate(pq.m) { j =>
+    Pq.parSubspaces(pq.m) { j =>
       IvfIndex.lloydKMeans(sample.map(r =>
         java.util.Arrays.copyOfRange(r, j * sub, (j + 1) * sub)), sub, pq.k, pq.iterations)
     }

@@ -41,16 +41,59 @@ object Pq {
     val sub = config.dimensions / pq.m
     val sample = df.orderBy(order).select(vectorCol)
       .limit(pq.sampleSize).collect().map(_.getSeq[Float](0).toArray)
-    Array.tabulate(pq.m) { j =>
+    parSubspaces(pq.m) { j =>
       val slices = sample.map(v =>
         java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub))
       IvfIndex.lloydKMeans(slices, sub, pq.k, pq.iterations)
     }
   }
 
+  /** Run the `m` independent per-subspace trainings on driver threads.
+    * Each subspace's k-means is self-contained and deterministic, so
+    * the result array is bit-identical to the sequential
+    * `Array.tabulate(m)(f)` — only wall-clock changes (the m=32
+    * codebook training was the single largest driver-side stage of the
+    * index write paths, ~2 s single-threaded at 500k/384d). */
+  private[ann] def parSubspaces(m: Int)(
+      f: Int => Array[Array[Float]]): Array[Array[Array[Float]]] = {
+    val out = new Array[Array[Array[Float]]](m)
+    val threads = math.max(1,
+      math.min(m, Runtime.getRuntime.availableProcessors))
+    if (threads == 1) {
+      var j = 0
+      while (j < m) { out(j) = f(j); j += 1 }
+      return out
+    }
+    val next = new java.util.concurrent.atomic.AtomicInteger(0)
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val workers = Array.tabulate(threads) { _ =>
+      val t = new Thread(() => {
+        var j = next.getAndIncrement()
+        while (j < m && failure.get() == null) {
+          try out(j) = f(j)
+          catch { case e: Throwable => failure.compareAndSet(null, e) }
+          j = next.getAndIncrement()
+        }
+      })
+      t.setDaemon(true)
+      t.start()
+      t
+    }
+    workers.foreach(_.join())
+    if (failure.get() != null) throw failure.get()
+    out
+  }
+
   /** One byte per subspace: the nearest (L2, first-min tie-break)
-    * codeword of each slice. */
-  def encodeVec(v: Array[Float], codebooks: Array[Array[Array[Float]]]): Array[Byte] = {
+    * codeword of each slice. Dispatches to the candidate-per-lane SIMD
+    * argmin when available (bit-identical codes — see [[ArgminKernel]]). */
+  def encodeVec(v: Array[Float], codebooks: Array[Array[Array[Float]]]): Array[Byte] =
+    ArgminKernel.books(codebooks).encode(v)
+
+  /** Scalar encode (SIMD-unavailable fallback; also the reference the
+    * SIMD self-check pins against). */
+  private[ann] def encodeVecScalar(v: Array[Float],
+      codebooks: Array[Array[Array[Float]]]): Array[Byte] = {
     val m = codebooks.length
     val sub = codebooks(0)(0).length
     require(v.length == m * sub, s"dimension mismatch: ${v.length} vs ${m * sub}")
@@ -58,7 +101,7 @@ object Pq {
     var j = 0
     while (j < m) {
       val slice = java.util.Arrays.copyOfRange(v, j * sub, (j + 1) * sub)
-      out(j) = IvfIndex.nearestCentroid(slice, codebooks(j)).toByte
+      out(j) = IvfIndex.nearestCentroidScalar(slice, codebooks(j)).toByte
       j += 1
     }
     out

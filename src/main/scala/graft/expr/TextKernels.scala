@@ -26,6 +26,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * on a 90-doc corpus). This kernel is a single opaque expression node:
   * nothing to re-expand, no barrier needed, usable in streaming plans
   * where checkpoint barriers are impossible.
+  *
+  * NULL-ELEMENT INVARIANT: every array-returning fused kernel here (and
+  * the LSH/DSIR band kernels) returns arrays whose ELEMENTS are never
+  * null — empty arrays yes, null entries no. The r15 explode_outer
+  * conversions rest on it: `explode_outer(kernel(..)) ... WHERE col IS
+  * NOT NULL` is row-identical to `explode(kernel(..))` only because the
+  * sole null the filter removes is the one explode_outer fabricates for
+  * an empty/null array, never a real element.
   */
 object TextKernels {
 

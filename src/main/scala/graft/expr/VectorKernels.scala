@@ -349,19 +349,110 @@ object VectorKernels {
     * `ao` inside a flat arena (HNSW stores all node vectors in one
     * contiguous Array[Float] — one less pointer chase per graph-walk
     * distance, no per-vector object header splitting cache lines).
-    * Accumulation order is IDENTICAL to the array variants, so values
-    * are bit-equal and the deterministic graph is unchanged. */
+    *
+    * Since r16 this path uses the 16-accumulator-chain order
+    * ([[graft.simd.SimdRank]]'s contract): the 4-chain order was bound
+    * by the f64 add dependency chain at ~1 element/cycle, and the graph
+    * builds (the bench's largest single cost) are ~85% inside this
+    * kernel. The order is FIXED and platform-independent — the scalar
+    * fallback implements it bit-exactly and the init self-check pins
+    * SIMD == scalar — but it differs from the pre-r16 4-chain order at
+    * the last ulp, so f32 graphs differ from earlier rounds' at tie
+    * margins; the ann_hnsw fixture tripwire (FixtureRegenSpec) and the
+    * data-derived vamana oracles gate that the served RESULTS are
+    * unchanged. Internal ranking only: no oracle mirrors this order. */
   def rankingDistanceOff(code: Int, a: Array[Float], ao: Int,
       b: Array[Float], bo: Int, n: Int): Double = {
     code match {
-      case 0 => math.sqrt(l2sq4Off(a, ao, b, bo, n))
-      case 1 => l2sq4Off(a, ao, b, bo, n)
-      case 2 => dot4Off(a, ao, b, bo, n)
-      case 3 => dot4Off(a, ao, b, bo, n)
-      case 4 => -dot4Off(a, ao, b, bo, n)
+      case 0 => math.sqrt(l2sqRank(a, ao, b, bo, n))
+      case 1 => l2sqRank(a, ao, b, bo, n)
+      case 2 => dotRank(a, ao, b, bo, n)
+      case 3 => dotRank(a, ao, b, bo, n)
+      case 4 => -dotRank(a, ao, b, bo, n)
       case c =>
         throw new IllegalArgumentException(s"unsupported ranking metric code $c")
     }
+  }
+
+  /** SIMD ranking kernels usable (module present + bit-equal probe
+    * against the scalar 16-chain twins on mixed main/tail sizes). */
+  private val simdRank: Boolean = {
+    try {
+      var seed = 0x243F6A8885A308D3L
+      def nextF(): Float = {
+        seed = seed * 6364136223846793005L + 1442695040888963407L
+        ((seed >>> 40).toInt / 16777216.0f) - 0.5f
+      }
+      var ok = true
+      for (n <- Seq(1, 5, 16, 23, 37, 384)) {
+        val a = Array.fill(n + 3)(nextF())
+        val b = Array.fill(n + 3)(nextF())
+        def eq(x: Double, y: Double): Boolean =
+          java.lang.Double.doubleToRawLongBits(x) ==
+            java.lang.Double.doubleToRawLongBits(y)
+        if (!eq(graft.simd.SimdRank.dot(a, 3, b, 1, n), dot16Off(a, 3, b, 1, n)))
+          ok = false
+        if (!eq(graft.simd.SimdRank.l2sq(a, 3, b, 1, n), l2sq16Off(a, 3, b, 1, n)))
+          ok = false
+      }
+      ok
+    } catch { case _: Throwable => false }
+  }
+
+  private def dotRank(a: Array[Float], ao: Int, b: Array[Float], bo: Int, n: Int): Double =
+    if (simdRank) graft.simd.SimdRank.dot(a, ao, b, bo, n)
+    else dot16Off(a, ao, b, bo, n)
+
+  private def l2sqRank(a: Array[Float], ao: Int, b: Array[Float], bo: Int, n: Int): Double =
+    if (simdRank) graft.simd.SimdRank.l2sq(a, ao, b, bo, n)
+    else l2sq16Off(a, ao, b, bo, n)
+
+  /** Scalar twin of [[graft.simd.SimdRank.dot]]: same 16-chain order,
+    * same fixed reduction tree, bit-equal by construction. */
+  private def dot16Off(a: Array[Float], ao: Int, b: Array[Float], bo: Int, n: Int): Double = {
+    val s = new Array[Double](16)
+    val main = n & ~15
+    var i = 0
+    while (i < main) {
+      var j = 0
+      while (j < 16) {
+        s(j) += a(ao + i + j).toDouble * b(bo + i + j).toDouble
+        j += 1
+      }
+      i += 16
+    }
+    var tail = 0.0
+    while (i < n) { tail += a(ao + i).toDouble * b(bo + i).toDouble; i += 1 }
+    if (main == 0) return tail
+    reduce16(s) + tail
+  }
+
+  /** Scalar twin of [[graft.simd.SimdRank.l2sq]]. */
+  private def l2sq16Off(a: Array[Float], ao: Int, b: Array[Float], bo: Int, n: Int): Double = {
+    val s = new Array[Double](16)
+    val main = n & ~15
+    var i = 0
+    while (i < main) {
+      var j = 0
+      while (j < 16) {
+        val d = a(ao + i + j).toDouble - b(bo + i + j).toDouble
+        s(j) += d * d
+        j += 1
+      }
+      i += 16
+    }
+    var tail = 0.0
+    while (i < n) { val d = a(ao + i).toDouble - b(bo + i).toDouble; tail += d * d; i += 1 }
+    if (main == 0) return tail
+    reduce16(s) + tail
+  }
+
+  private def reduce16(s: Array[Double]): Double = {
+    val t0 = (s(0) + s(1)) + (s(2) + s(3))
+    val t1 = (s(4) + s(5)) + (s(6) + s(7))
+    val t2 = (s(8) + s(9)) + (s(10) + s(11))
+    val t3 = (s(12) + s(13)) + (s(14) + s(15))
+    (t0 + t1) + (t2 + t3)
   }
 
   private def dot4Off(a: Array[Float], ao: Int, b: Array[Float], bo: Int, n: Int): Double = {
@@ -528,6 +619,30 @@ object VectorKernels {
   private def dot(a: Array[Float], b: Array[Float], n: Int): Double = {
     var acc = 0.0; var i = 0
     while (i < n) { acc += a(i).toDouble * b(i).toDouble; i += 1 }
+    acc
+  }
+
+  /** Sequential l2sq with early abandonment at `bound` — the argmin
+    * scan kernel ([[graft.ann.IvfIndex.nearestCentroid]], PQ encode).
+    * The accumulation order is exactly [[l2sq]]'s (single f64
+    * accumulator, element order), and the scan stops once the partial
+    * sum reaches `bound`: every term is non-negative, so the full value
+    * could only be >= the abandoned partial. Callers that only test
+    * `result < bound` therefore make bit-identical decisions to the
+    * full kernel — a completed scan returns the identical f64 value,
+    * an abandoned scan returns a partial that already fails the test.
+    * The bound check runs once per 16 elements so the hot loop stays
+    * branch-predictable. */
+  def l2sqBounded(a: Array[Float], b: Array[Float], bound: Double): Double = {
+    val n = a.length
+    if (b.length != n)
+      throw new IllegalArgumentException(s"dimension mismatch: $n vs ${b.length}")
+    var acc = 0.0; var i = 0
+    while (i < n) {
+      val lim = math.min(n, i + 16)
+      while (i < lim) { val d = a(i).toDouble - b(i).toDouble; acc += d * d; i += 1 }
+      if (acc >= bound) return acc
+    }
     acc
   }
 

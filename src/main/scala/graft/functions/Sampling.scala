@@ -526,7 +526,29 @@ object Sampling {
   def withSequentialIds(df: DataFrame, order: Column,
       idCol: String = "seq_id"): DataFrame = {
     val spark = df.sparkSession
-    val sorted = df.repartitionByRange(order).sortWithinPartitions(order)
+    // HYBRID (mirror of Dedup.clusters' bounded driver path): the
+    // distributed form costs three executions of the input — the
+    // RangePartitioner boundary-sampling job, zipWithIndex's partition
+    // count job, and the final map — plus a range shuffle. Gate-scale
+    // frames (the pipeline_curation family, tiny curation batches) pay
+    // that fixed overhead on a few thousand rows. A bounded limit-probe
+    // (LocalLimit stops the scan early, so on a big frame it reads one
+    // partition prefix) routes small inputs to a ONE-PARTITION sort +
+    // zip: same total order, same contiguous ids — zipWithIndex on one
+    // partition skips its count job entirely, so the small path is one
+    // probe + one execution, no shuffle. Identical output by the total-
+    // order contract (`order` has unique values); the distributed path
+    // remains for anything past the bound.
+    val localCap = spark.conf.getOption("spark.graft.ids.maxLocalRows")
+      .map(_.toInt).getOrElse(DefaultMaxLocalRows)
+    // all-columns-pruned incremental take: the probe scans as few
+    // partitions as satisfy the limit, and ships 4-byte rows
+    val small = localCap > 0 &&
+      df.select(org.apache.spark.sql.functions.lit(1))
+        .limit(localCap + 1).collect().length <= localCap
+    val sorted =
+      if (small) df.coalesce(1).sortWithinPartitions(order)
+      else df.repartitionByRange(order).sortWithinPartitions(order)
     val schema = org.apache.spark.sql.types.StructType(sorted.schema.fields :+
       org.apache.spark.sql.types.StructField(idCol,
         org.apache.spark.sql.types.LongType, nullable = false))
@@ -535,4 +557,11 @@ object Sampling {
     }
     spark.createDataFrame(indexed, schema)
   }
+
+  /** Inputs at most this large sort on one task in [[withSequentialIds]]
+    * (the probe reads at most this many rows plus one). Override via
+    * `spark.graft.ids.maxLocalRows`; 0 disables the single-task path.
+    * 100k rows is minutes of headroom for a single sort task while every
+    * gate-scale frame (hundreds to thousands of rows) stays under it. */
+  val DefaultMaxLocalRows = 100000
 }

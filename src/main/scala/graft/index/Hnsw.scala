@@ -57,10 +57,12 @@ final class Hnsw(val metric: Metric, val params: Hnsw.Params) {
   // All node vectors live in ONE flat arena at offset id*dims — the
   // graph walk's distance calls are the build's dominant cost (stack
   // sampling: ~85% in the ranking kernel), and a contiguous arena
-  // removes a pointer chase + per-vector object header per call while
-  // keeping the arithmetic (rankingDistanceOff) bit-identical to the
-  // per-array kernels. Stale slots of deleted nodes are never read:
-  // every access is guarded by a live-Node lookup first.
+  // removes a pointer chase + per-vector object header per call. The
+  // walk ranks through rankingDistanceOff (16-chain SIMD order since
+  // r16 — deterministic, platform-independent, internal-only; result
+  // rows still report the sequential oracle-matched kernel). Stale
+  // slots of deleted nodes are never read: every access is guarded by
+  // a live-Node lookup first.
   private var arena: Array[Float] = new Array[Float](0)
 
   private def arenaStore(id: Int, vector: Array[Float]): Unit = {

@@ -52,7 +52,8 @@ final class Vamana(val metric: Metric, val params: Vamana.Params) {
   private var dimension: Int = -1
   // one flat vector arena, like Hnsw: the build is ~n·L·R distance
   // calls per pass and the contiguous layout removes a pointer chase
-  // per call while keeping arithmetic bit-identical to the row kernels.
+  // per call (ranking runs the 16-chain rankingDistanceOff order —
+  // internal-only; reported distances use the sequential row kernels).
   // With params.coded the arena is bf16-PACKED (2 B/dim — half the
   // executor-cache bytes per node, so one cacheMaxNodes budget holds
   // twice the corpus): vectors round on insert and the graph ranks,

@@ -52,9 +52,16 @@ object NaiveBayes {
     // and N = sum(n_c). Collecting the |classes|-row result and building
     // `classStats` as a LOCAL relation replaces four jobs (trn.count,
     // voc.count, and two checkpoints that re-ran the count shuffles)
-    // with this collect + the likelihood checkpoint; log(n_c/N) on the
-    // driver is the same java.lang.Math.log on the same doubles the old
-    // `log(col/lit)` column computed, so the model is bit-identical.
+    // with this collect + the likelihood checkpoint. PRECONDITIONS for
+    // parity with the old trn.count() form of N: every class has at
+    // least one doc whose tokenization is non-empty (else cls⋈tot drops
+    // it from N) and labels are non-null (null keys don't join) — both
+    // hold for any real labelled corpus and for every gate table; data
+    // violating them changes log_prior of the surviving classes, not
+    // correctness of the join pipeline. Driver-side math.log compiles
+    // to the JVM's Math.log intrinsic, which on this platform agrees
+    // with the StrictMath.log Spark's log() column uses (hash-parity
+    // gates pin it); on the same doubles the model is bit-identical.
     // The local classStats also broadcast-joins for free in predict.
     val cls = trn.groupBy(col("label")).agg(count(lit(1)).as("n_c"))
     val tot = tc.groupBy(col("label")).agg(sum(col("cnt")).as("t_c"))

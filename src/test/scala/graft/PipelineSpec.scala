@@ -1174,6 +1174,34 @@ class PipelineSpec extends SparkSpec {
     assert((0 until 1000).forall(i => out(f"k$i%04d") === i.toLong))
   }
 
+  test("sequential ids: local and distributed paths agree at the size boundary") {
+    import graft.functions.Sampling
+    // force a tiny cap so both sides of the hybrid run at test scale;
+    // n == cap takes the single-task path, n == cap + 1 the distributed
+    // one — outputs must be identical row sets either way
+    val cap = 64
+    spark.conf.set("spark.graft.ids.maxLocalRows", cap.toString)
+    try {
+      for (n <- Seq(cap, cap + 1)) {
+        val df = scala.util.Random.shuffle((0 until n).toList)
+          .map(i => (f"k$i%04d", i)).toDF("k", "payload").repartition(5)
+        val out = Sampling.withSequentialIds(df, col("k"))
+          .select("k", "seq_id").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(out.size === n)
+        assert((0 until n).forall(i => out(f"k$i%04d") === i.toLong),
+          s"rank mismatch at n=$n (cap=$cap)")
+        // disabled cap (0) must also agree: always-distributed reference
+        spark.conf.set("spark.graft.ids.maxLocalRows", "0")
+        val ref = Sampling.withSequentialIds(df, col("k"))
+          .select("k", "seq_id").collect()
+          .map(r => r.getString(0) -> r.getLong(1)).toMap
+        spark.conf.set("spark.graft.ids.maxLocalRows", cap.toString)
+        assert(ref === out, s"hybrid path diverged from distributed at n=$n")
+      }
+    } finally spark.conf.unset("spark.graft.ids.maxLocalRows")
+  }
+
   test("store roundtrip preserves rows and config; overrides whitelisted") {
     val config = CollectionConfig("c1", 2, Metric.Cosine)
     val coll = Prepare.prepareEmbeddings(
